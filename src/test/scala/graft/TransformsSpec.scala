@@ -1,0 +1,88 @@
+package graft
+
+import java.sql.Date
+
+import graft.ops.Transforms
+
+/** Unit tests for the ETL spine (SURVEY.md §2.3) including the reference's
+ * edge-case semantics: year-difference age, strict >18 boundary, null-key
+ * drop, concat_ws null-skipping, explode of empty/missing arrays, PERMISSIVE
+ * malformed-JSON handling. Fixture shapes per FIXTURES.md §A. */
+class TransformsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val asOf = Date.valueOf("2026-01-01")
+
+  private def envelope(
+      uuid: String = "u-1", first: String = "Ada", last: String = "Lovelace",
+      dob: String = "1989-03-21T04:15:09.512Z", country: String = "\"UK\"",
+      email: String = "ada@example.com"): String =
+    s"""{"results":[{"gender":"female",
+       |"name":{"title":"Ms","first":"$first","last":"$last"},
+       |"dob":{"date":"$dob","age":36},
+       |"location":{"street":{"number":221,"name":"Baker St"},
+       |"city":"London","state":"England","country":$country,"postcode":1234},
+       |"email":"$email",
+       |"login":{"uuid":${if (uuid == null) "null" else s""""$uuid""""},"username":"adal"},
+       |"registered":{"date":"2015-07-02T11:22:33.444Z"}}]}""".stripMargin.replaceAll("\n", "")
+
+  private def run(docs: String*): Array[graft.schema.UserProfile] = {
+    val raw = docs.toDF("value").select($"value".cast("binary").as("value"))
+    Transforms.etlSpine(raw, asOf).as[graft.schema.UserProfile].collect()
+  }
+
+  test("full spine: one envelope → one 9-column profile row") {
+    val rows = run(envelope())
+    assert(rows.length == 1)
+    val r = rows.head
+    assert(r.id == "u-1")
+    assert(r.full_name == "Ada Lovelace")
+    assert(r.age == 2026 - 1989)
+    assert(r.full_address == "UK England London 221 1234")
+    assert(r.inscription == "2015-07-02T11:22:33.444Z")
+  }
+
+  test("age is year-difference, not true age (reference quirk preserved)") {
+    // Born Dec 31: true age on 2026-01-01 is 36, year-difference says 37.
+    val rows = run(envelope(dob = "1989-12-31T00:00:00.000Z"))
+    assert(rows.head.age == 37)
+  }
+
+  test("GDPR filter: strict >18 — 18-year-diff dropped, 19 kept") {
+    assert(run(envelope(dob = "2008-06-15T00:00:00.000Z")).isEmpty)  // 18
+    assert(run(envelope(dob = "2007-06-15T00:00:00.000Z")).length == 1)  // 19
+  }
+
+  test("null login.uuid rows are dropped (id IS NOT NULL)") {
+    assert(run(envelope(uuid = null)).isEmpty)
+  }
+
+  test("concat_ws skips null components without double spaces") {
+    val rows = run(envelope(country = "null"))
+    assert(rows.head.full_address == "England London 221 1234")
+  }
+
+  test("multi-element and empty results arrays") {
+    def element(uuid: String) = envelope(uuid = uuid)
+      .stripPrefix("""{"results":[""").stripSuffix("]}")
+    val multi = s"""{"results":[${element("u-1")},${element("u-2")}]}"""
+    val rows = run(multi, """{"results":[]}""")
+    assert(rows.map(_.id).sorted.toSeq == Seq("u-1", "u-2"))
+  }
+
+  test("malformed JSON yields no rows (PERMISSIVE nulls filtered)") {
+    assert(run("""not json at all""").isEmpty)
+  }
+
+  test("pseudonymize replaces values with sha256 hex") {
+    val df = Seq(("a@b.com", 1)).toDF("email", "n")
+    val out = Transforms.pseudonymize(df, "email").collect().head.getString(0)
+    assert(out.matches("[0-9a-f]{64}"))
+  }
+
+  test("emailDomain extracts registered domain") {
+    val df = Seq("u@example.com", "u@mail.example.co", "u@plain.org")
+      .toDF("email").select(Transforms.emailDomain($"email").as("d"))
+    assert(df.as[String].collect().toSeq == Seq("example", "example", "plain"))
+  }
+}
