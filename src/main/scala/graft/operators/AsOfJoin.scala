@@ -1,0 +1,59 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/**
+ * Backward as-of join: for each left row, attach the value columns of the
+ * latest right row with the same key and `rightTime <= leftTime`.
+ *
+ * Scalable implementation (the union/sort trick used by time-series engines):
+ * instead of a range-condition join (which Spark plans as a broadcast
+ * nested-loop join at O(|L|·|R|) per key), union both sides tagged, shuffle
+ * ONCE on the key, sort within partitions by (time, tag), and carry the
+ * right values forward with `last(_, ignoreNulls=true)` over a running
+ * window. Cost: one shuffle + one sort — same as a sort-merge join —
+ * regardless of the time-range overlap between the sides.
+ *
+ * Right-side (key, time) pairs must be unique for deterministic output —
+ * pre-aggregate the right side if needed. Both `time` columns must share a
+ * comparable type (align units before calling).
+ *
+ * The reference has no as-of operator (SURVEY.md §2.4 — no joins at all);
+ * this is a north-star extension for the analytics layer.
+ */
+object AsOfJoin {
+
+  def asofBackward(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      time: String,
+      rightVals: Seq[String]): DataFrame = {
+
+    val leftCols = left.columns.toSeq
+    val leftStruct = StructType(left.schema.fields)
+
+    // Right rows tag 0 → sort before left rows at equal time (inclusive as-of).
+    val taggedRight = right.select(
+      Seq(col(key).as("__key"), col(time).as("__time"), lit(0).as("__tag"),
+        lit(null).cast(leftStruct).as("__l")) ++ rightVals.map(col): _*)
+
+    val taggedLeft = left.select(
+      Seq(col(key).as("__key"), col(time).as("__time"), lit(1).as("__tag"),
+        struct(leftCols.map(col): _*).as("__l")) ++
+        rightVals.map(c => lit(null).cast(right.schema(c).dataType).as(c)): _*)
+
+    val w = Window.partitionBy("__key").orderBy("__time", "__tag")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    taggedRight.unionByName(taggedLeft)
+      .select(
+        Seq(col("__tag"), col("__l")) ++
+          rightVals.map(c => last(col(c), ignoreNulls = true).over(w).as(c)): _*)
+      .filter(col("__tag") === 1)
+      .select(leftCols.map(c => col(s"__l.$c").as(c)) ++ rightVals.map(col): _*)
+  }
+}

@@ -1,0 +1,246 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.operators.AsOfJoin
+import Tables.t
+
+/**
+ * The relational surface the analytics layer adds on top of the reference
+ * (SURVEY.md §2.4 "no joins anywhere" — required by the north star): joins of
+ * every flavor, multi-way aggregation, windows, set ops, rollup, as-of.
+ *
+ * Scale posture per query is noted inline; the recurring rules:
+ *  - dimensions (region/nation, and customer up to ~sf1) are broadcast —
+ *    no shuffle of the fact table for dim enrichment;
+ *  - fact-fact joins shuffle on the join key once, and aggregations that
+ *    follow reuse that partitioning where possible;
+ *  - money sums are rounded at the decimal position where the math is exact
+ *    (inputs are 2-decimal), so double summation order can't flip the hash.
+ */
+object RelationalQueries {
+
+  val defs: Map[String, QueryDef] = Map(
+
+    // Multi-way star join: fact orders → broadcast dims. One shuffle for the
+    // final groupBy only; at 100 TB the dims stay broadcast and the fact scan
+    // never re-partitions.
+    "j1_star_join" -> QueryDef(
+      (s, dir) => t(s, dir, "orders")
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name")
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum("o_totalprice"), 2).as("revenue")),
+      Some("""SELECT r_name, count(*) AS n_orders,
+                     round(sum(o_totalprice), 2) AS revenue
+              FROM orders
+              JOIN customer ON o_custkey = c_custkey
+              JOIN nation ON c_nationkey = n_nationkey
+              JOIN region ON n_regionkey = r_regionkey
+              GROUP BY r_name"""),
+      "star join over broadcast dims + grouped money sum"),
+
+    // Semi join (EXISTS): customers that placed at least one order, by nation.
+    "j2_semi_join" -> QueryDef(
+      (s, dir) => t(s, dir, "customer")
+        .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left_semi")
+        .groupBy("c_nationkey").agg(count(lit(1)).as("n")),
+      Some("""SELECT c_nationkey, count(*) AS n FROM customer
+              WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+              GROUP BY c_nationkey"""),
+      "left-semi join + group count"),
+
+    // Anti join (NOT EXISTS): customers that never emitted an event.
+    "j3_anti_join" -> QueryDef(
+      (s, dir) => t(s, dir, "customer")
+        .join(t(s, dir, "events"), col("c_custkey") === col("user_id"), "left_anti")
+        .groupBy("c_mktsegment").agg(count(lit(1)).as("n")),
+      Some("""SELECT c_mktsegment, count(*) AS n FROM customer
+              WHERE NOT EXISTS (SELECT 1 FROM events WHERE user_id = c_custkey)
+              GROUP BY c_mktsegment"""),
+      "left-anti join + group count"),
+
+    // TPC-H Q1-flavored pricing summary: single scan, partial+final hash agg,
+    // 4-group output. Filters push into the parquet scan.
+    "g1_pricing_summary" -> QueryDef(
+      (s, dir) => t(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= lit(java.sql.Timestamp.valueOf("1998-09-01 00:00:00")))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          round(sum("l_quantity"), 2).as("sum_qty"),
+          round(sum("l_extendedprice"), 2).as("sum_base"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))), 2).as("sum_charge"),
+          count(lit(1)).as("n_rows")),
+      Some("""SELECT l_returnflag, l_linestatus,
+                     round(sum(l_quantity), 2) AS sum_qty,
+                     round(sum(l_extendedprice), 2) AS sum_base,
+                     round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                     round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+                     count(*) AS n_rows
+              FROM lineitem
+              WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+              GROUP BY l_returnflag, l_linestatus"""),
+      "pricing summary: filtered scan + multi-aggregate"),
+
+    // Distinct aggregation (two-phase shuffle: distinct expand then agg).
+    "g2_distinct_agg" -> QueryDef(
+      (s, dir) => t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(countDistinct(col("l_suppkey")).as("n_supp"),
+          count(lit(1)).as("n_rows")),
+      Some("""SELECT l_returnflag, count(DISTINCT l_suppkey) AS n_supp,
+                     count(*) AS n_rows
+              FROM lineitem GROUP BY l_returnflag"""),
+      "count-distinct aggregation"),
+
+    // Rollup (grouping sets): region → nation → grand total. Expressed via
+    // spark.sql — the Dataset rollup API after multi-joins trips Spark 4.1's
+    // ambiguous-self-join detector even with fresh aliases (Expand re-refs).
+    "g3_rollup" -> QueryDef(
+      (s, dir) => {
+        t(s, dir, "customer").createOrReplaceTempView("g3_customer")
+        t(s, dir, "nation").createOrReplaceTempView("g3_nation")
+        t(s, dir, "region").createOrReplaceTempView("g3_region")
+        s.sql("""
+          SELECT coalesce(r_name, '(all)') AS region,
+                 coalesce(n_name, '(all)') AS nation,
+                 count(*) AS n, round(sum(c_acctbal), 2) AS acct_sum
+          FROM g3_customer
+          JOIN g3_nation ON c_nationkey = n_nationkey
+          JOIN g3_region ON n_regionkey = r_regionkey
+          GROUP BY ROLLUP (r_name, n_name)""")
+      },
+      Some("""SELECT coalesce(r_name, '(all)') AS region,
+                     coalesce(n_name, '(all)') AS nation,
+                     count(*) AS n, round(sum(c_acctbal), 2) AS acct_sum
+              FROM customer
+              JOIN nation ON c_nationkey = n_nationkey
+              JOIN region ON n_regionkey = r_regionkey
+              GROUP BY ROLLUP (r_name, n_name)"""),
+      "rollup grouping sets over dim join"),
+
+    // Conditional aggregation (pivot-shaped without PIVOT).
+    "g4_conditional_agg" -> QueryDef(
+      (s, dir) => t(s, dir, "events")
+        .groupBy("user_id")
+        .agg(
+          round(sum(when(col("event_type") === "purchase", col("value")).otherwise(lit(0.0))), 2).as("purchase_value"),
+          round(sum(when(col("event_type") === "click", col("value")).otherwise(lit(0.0))), 2).as("click_value"),
+          count(when(col("event_type") === "error", lit(1))).as("n_errors")),
+      Some("""SELECT user_id,
+                     round(sum(CASE WHEN event_type = 'purchase' THEN value ELSE 0 END), 2) AS purchase_value,
+                     round(sum(CASE WHEN event_type = 'click' THEN value ELSE 0 END), 2) AS click_value,
+                     count(CASE WHEN event_type = 'error' THEN 1 END) AS n_errors
+              FROM events GROUP BY user_id"""),
+      "conditional (pivot-shaped) aggregation"),
+
+    // Partitioned window: top-3 orders per customer (deterministic tie-break).
+    "w1_topn_per_group" -> QueryDef(
+      (s, dir) => t(s, dir, "orders")
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("o_custkey")
+            .orderBy(desc("o_totalprice"), asc("o_orderkey"))))
+        .filter(col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "rn"),
+      Some("""SELECT o_custkey, o_orderkey, rn FROM (
+                SELECT o_custkey, o_orderkey,
+                       row_number() OVER (PARTITION BY o_custkey
+                         ORDER BY o_totalprice DESC, o_orderkey) AS rn
+                FROM orders) WHERE rn <= 3"""),
+      "top-N per group via partitioned row_number"),
+
+    // Running sum per user over event time (ts is long nanos on the Spark
+    // side — see GraftSession nanosAsLong; DuckDB compares via epoch_ns).
+    "w2_running_sum" -> QueryDef(
+      (s, dir) => t(s, dir, "events")
+        .withColumn("run_total", round(
+          sum("value").over(
+            Window.partitionBy("user_id").orderBy("ts", "event_id")
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow)), 2))
+        .select("event_id", "user_id", "run_total"),
+      Some("""SELECT event_id, user_id,
+                     round(sum(value) OVER (PARTITION BY user_id
+                       ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS run_total
+              FROM events"""),
+      "per-key running sum ordered by event time"),
+
+    // Sessionization (batch form): 1-hour-gap sessions per user via lag +
+    // running flag sum — the standard scalable pattern (one shuffle on user).
+    "s1_sessionize" -> QueryDef(
+      (s, dir) => {
+        val wOrd = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        val gapNs = 3600L * 1000000000L
+        t(s, dir, "events")
+          .withColumn("prev_ts", lag("ts", 1).over(wOrd))
+          .withColumn("new_sess",
+            when(col("prev_ts").isNull || col("ts") - col("prev_ts") > gapNs, 1L)
+              .otherwise(0L))
+          .groupBy("user_id")
+          .agg(sum("new_sess").as("n_sessions"), count(lit(1)).as("n_events"))
+      },
+      Some("""WITH g AS (
+                SELECT user_id, epoch_ns(ts) AS tsn, event_id,
+                       lag(epoch_ns(ts)) OVER (PARTITION BY user_id
+                         ORDER BY epoch_ns(ts), event_id) AS prev_ts
+                FROM events)
+              SELECT user_id,
+                     CAST(sum(CASE WHEN prev_ts IS NULL
+                                    OR tsn - prev_ts > 3600000000000
+                                   THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
+                     count(*) AS n_events
+              FROM g GROUP BY user_id"""),
+      "gap-based sessionization via lag + flag-sum"),
+
+    // Set ops: order-placing customer keys minus event-emitting user ids.
+    "set1_except" -> QueryDef(
+      (s, dir) => t(s, dir, "orders").select(col("o_custkey").as("k")).distinct()
+        .except(t(s, dir, "events").select(col("user_id").as("k")).distinct()),
+      Some("""SELECT DISTINCT o_custkey AS k FROM orders
+              EXCEPT
+              SELECT DISTINCT user_id AS k FROM events"""),
+      "EXCEPT set difference"),
+
+    // Set ops: nation keys present on both customer and supplier sides.
+    "set2_intersect" -> QueryDef(
+      (s, dir) => t(s, dir, "customer").select(col("c_nationkey").as("k")).distinct()
+        .intersect(t(s, dir, "supplier").select(col("s_nationkey").as("k")).distinct()),
+      Some("""SELECT DISTINCT c_nationkey AS k FROM customer
+              INTERSECT
+              SELECT DISTINCT s_nationkey AS k FROM supplier"""),
+      "INTERSECT"),
+
+    // As-of join (custom operator): each event picks up the latest order of
+    // the same customer at-or-before the event time. Right side is
+    // pre-aggregated to unique (key, time) for determinism. Implementation:
+    // graft.operators.AsOfJoin — single shuffle union/sort, no range join.
+    "x1_asof_join" -> QueryDef(
+      (s, dir) => {
+        val events = t(s, dir, "events").filter(col("user_id") >= 1)
+        val orders = t(s, dir, "orders")
+          .groupBy("o_custkey", "o_orderdate")
+          .agg(max("o_orderkey").as("last_orderkey"))
+          .select(col("o_custkey"),
+            // o_orderdate is TIMESTAMP_NTZ; session tz is pinned UTC, so the
+            // cast is a pure reinterpretation, matching DuckDB's epoch_ns.
+            (unix_micros(col("o_orderdate").cast("timestamp")) * 1000L).as("ts"),
+            col("last_orderkey"))
+          .withColumnRenamed("o_custkey", "user_id")
+        AsOfJoin.asofBackward(
+          events.select("event_id", "user_id", "ts"), orders,
+          key = "user_id", time = "ts", rightVals = Seq("last_orderkey"))
+          .select("event_id", "user_id", "last_orderkey")
+      },
+      Some("""SELECT e.event_id, e.user_id, r.last_orderkey
+              FROM (SELECT event_id, user_id, ts FROM events WHERE user_id >= 1) e
+              ASOF LEFT JOIN (
+                SELECT o_custkey, o_orderdate,
+                       max(o_orderkey) AS last_orderkey
+                FROM orders GROUP BY 1, 2) r
+              ON e.user_id = r.o_custkey AND e.ts >= r.o_orderdate"""),
+      "backward as-of join via union/sort operator (single shuffle)"))
+}

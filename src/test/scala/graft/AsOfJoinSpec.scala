@@ -1,0 +1,40 @@
+package graft
+
+import graft.operators.AsOfJoin
+
+/** AsOfJoin semantics on crafted interleaved data: backward match, inclusive
+ * equality, no match before first right row, per-key isolation. */
+class AsOfJoinSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("backward as-of picks latest right row at-or-before left time") {
+    val left = Seq(
+      (1L, 5L, "e1"), (1L, 10L, "e2"), (1L, 20L, "e3"),
+      (2L, 10L, "e4"),
+      (3L, 1L, "e5")).toDF("k", "t", "ev")
+    val right = Seq(
+      (1L, 5L, "r@5"), (1L, 15L, "r@15"),
+      (2L, 2L, "r@2"),
+      (3L, 9L, "r@9")).toDF("k", "t", "rv")
+
+    val out = AsOfJoin.asofBackward(
+      left.select($"ev", $"k".as("key"), $"t".as("ts")),
+      right.select($"k".as("key"), $"t".as("ts"), $"rv"),
+      key = "key", time = "ts", rightVals = Seq("rv"))
+      .select("ev", "rv").as[(String, String)].collect().toMap
+
+    assert(out("e1") == "r@5")   // inclusive: equal time matches
+    assert(out("e2") == "r@5")   // not yet r@15
+    assert(out("e3") == "r@15")  // latest at-or-before
+    assert(out("e4") == "r@2")   // per-key isolation
+    assert(out("e5") == null)    // left row before any right row
+  }
+
+  test("row count preserved (left join semantics)") {
+    val left = (1 to 100).map(i => (i.toLong % 5, i.toLong, s"e$i"))
+      .toDF("key", "ts", "ev")
+    val right = Seq((0L, 50L, "x")).toDF("key", "ts", "rv")
+    val out = AsOfJoin.asofBackward(left, right, "key", "ts", Seq("rv"))
+    assert(out.count() == 100)
+  }
+}
