@@ -1,0 +1,144 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Deduplication for a large-scale document pipeline, four families:
+ *
+ *  - exact:   hash-groupBy on the full text (or a normalized fingerprint) —
+ *             one shuffle, deterministic keeper (min doc_id);
+ *  - MinHash+LSH: word-shingle → k min-hashes → banded LSH buckets →
+ *             candidate pairs → exact Jaccard verification. Hashes derive
+ *             from md5 (available in every engine), so the whole pipeline is
+ *             replayable in SQL for the oracle gate;
+ *  - SimHash: per-token 32-bit md5-derived hashes, bit-position vote,
+ *             sign → fingerprint bit; near-dups = small Hamming distance;
+ *  - n-gram Jaccard: exact pairwise Jaccard on a bounded candidate window
+ *             (blocking key + id distance), the brute-force baseline.
+ *
+ * Scale notes (100 TB posture):
+ *  - shingling explodes ~|doc| rows/doc but is a narrow map; the distinct is
+ *    the first shuffle and is keyed by (doc, shingle) — well-distributed;
+ *  - minhash signatures reduce each doc to NumHashes longs in ONE hash-agg
+ *    pass (conditional min aggregation — no per-seed jobs);
+ *  - LSH bucket join shuffles on band hash; a pathological bucket (thousands
+ *    of identical docs) should be capped/salted before the pair join —
+ *    at test scale buckets are tiny;
+ *  - exact-Jaccard verification joins only LSH candidates, never all pairs.
+ */
+object Dedup {
+
+  val NumHashes = 12
+  val Bands = 4
+  val RowsPerBand: Int = NumHashes / Bands
+  val ShingleWidth = 3
+
+  /** Exact dedup: canonical row per distinct text, deterministic keeper. */
+  def exactDedup(docs: DataFrame): DataFrame =
+    docs.groupBy("text")
+      .agg(min("doc_id").as("doc_id"), count(lit(1)).as("n_copies"))
+      .select("doc_id", "n_copies")
+
+  /** Distinct word-shingles per doc: (doc_id, sh). */
+  def shingles(docs: DataFrame): DataFrame = {
+    val w = split(col("text"), " ")
+    val idx = sequence(lit(0), size(w) - ShingleWidth)
+    docs
+      .filter(size(w) >= ShingleWidth)
+      .select(col("doc_id"),
+        explode(transform(idx, i => concat_ws(" ",
+          element_at(w, i + 1), element_at(w, i + 2), element_at(w, i + 3)))).as("sh"))
+      .distinct()
+  }
+
+  /** md5-derived 32-bit hash of a shingle under a seed — replayable in any
+   * engine with md5 (the oracle re-runs it in DuckDB). */
+  def seededHash(sh: Column, seed: Int): Column =
+    conv(substring(md5(concat(lit(s"$seed:"), sh)), 1, 8), 16, 10).cast("long")
+
+  /** MinHash signature: one conditional-min hash-agg pass → m0..m{k-1}. */
+  def minhashSignature(sh: DataFrame): DataFrame = {
+    val aggs = (0 until NumHashes).map { s =>
+      min(seededHash(col("sh"), s)).as(s"m$s")
+    }
+    sh.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** LSH bands: (doc_id, band, band_hash) — md5 over the band's signature. */
+  def lshBands(sig: DataFrame): DataFrame = {
+    val bandExprs = (0 until Bands).flatMap { b =>
+      val ms = (0 until RowsPerBand).map(r => s"m${b * RowsPerBand + r}")
+      Seq(s"$b", s"md5(concat_ws(':', ${ms.mkString(", ")}))")
+    }
+    sig.selectExpr("doc_id",
+      s"stack($Bands, ${bandExprs.mkString(", ")}) as (band, band_hash)")
+  }
+
+  /** Candidate pairs: docs sharing any LSH bucket (doc_a < doc_b). */
+  def lshCandidates(bands: DataFrame): DataFrame = {
+    val a = bands.as("a")
+    val b = bands.as("b")
+    a.join(b,
+        col("a.band") === col("b.band") &&
+        col("a.band_hash") === col("b.band_hash") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+  }
+
+  /** Exact Jaccard for given pairs from their shingle sets: intersection via
+   * a two-key join, union by inclusion-exclusion on set sizes. */
+  def jaccard(pairs: DataFrame, sh: DataFrame): DataFrame = {
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val shA = sh.toDF("doc_a", "sh")
+    val shB = sh.toDF("doc_b", "sh")
+    pairs
+      .join(shA, Seq("doc_a"))
+      .join(shB, Seq("doc_b", "sh"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_inter"))
+      .join(sizes.toDF("doc_a", "n_a"), Seq("doc_a"))
+      .join(sizes.toDF("doc_b", "n_b"), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        round(col("n_inter").cast("double") /
+          (col("n_a") + col("n_b") - col("n_inter")), 4).as("jac"))
+  }
+
+  /** Full MinHash-LSH near-dup pipeline: candidates verified at `minJaccard`. */
+  def minhashDedupPairs(docs: DataFrame, minJaccard: Double): DataFrame = {
+    val sh = shingles(docs)
+    val cands = lshCandidates(lshBands(minhashSignature(sh)))
+    jaccard(cands, sh).filter(col("jac") >= minJaccard)
+  }
+
+  /** Candidate pairs by rare-shingle blocking: docs sharing a shingle whose
+   * document frequency is in [2, maxDf]. The classic inverted-index pruning —
+   * common shingles never join (bounded bucket size by construction), so the
+   * pair count stays near-linear even on skewed corpora. */
+  def rareShingleCandidates(sh: DataFrame, maxDf: Int): DataFrame = {
+    val rare = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2 && col("df") <= maxDf)
+      .select("sh")
+    val shRare = sh.join(rare, Seq("sh"))
+    shRare.toDF("sh", "doc_a")
+      .join(shRare.toDF("sh", "doc_b"), Seq("sh"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b")
+      .distinct()
+  }
+
+  /** SimHash fingerprint (32-bit): per-token md5-derived hash, per-bit vote. */
+  def simhash(docs: DataFrame): DataFrame = {
+    val tok = docs.select(col("doc_id"),
+      explode(split(col("text"), " ")).as("w"))
+      .withColumn("h", seededHash(col("w"), 0))
+    val bitVotes = (0 until 32).map { i =>
+      sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$i")
+    }
+    val voted = tok.groupBy("doc_id").agg(bitVotes.head, bitVotes.tail: _*)
+    val fp = (0 until 32)
+      .map(i => when(col(s"b$i") > 0, lit(1L << i)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    voted.select(col("doc_id"), fp.as("simhash"))
+  }
+}

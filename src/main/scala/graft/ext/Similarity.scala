@@ -1,0 +1,80 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Similarity search over an embedding column (`array<float>`).
+ *
+ *  - Brute-force cosine top-k: the exact baseline — a broadcast of the query
+ *    set against a full scan of the corpus, one window per query for the
+ *    top-k cut. Linear in corpus size; the right answer up to ~10^7 vectors
+ *    per executor-scan when the query set is small.
+ *  - IVF-style cell-restricted search: candidates limited to the query's
+ *    coarse cell (here the materialized `label` column stands in for the
+ *    assigned centroid id — exactly how an IVF index is stored at rest:
+ *    a cell id column + cell-partitioned layout). Turns the scan into a
+ *    partition-pruned lookup; recall trades off with cell count.
+ *
+ * All arithmetic is element-wise double math in index order (codegen'd
+ * builtins — `zip_with`/`aggregate`), so results replay bit-for-bit in the
+ * DuckDB oracle.
+ */
+object Similarity {
+
+  /** Dot product of two float-array columns in double precision. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** Cosine similarity (double). */
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+
+  /** Exact brute-force top-k neighbors for each query vector.
+   * `queries`/`corpus`: (id, embedding). Self-matches excluded. */
+  def knnBrute(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    val q = queries.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val c = corpus.select(col("vec_id").as("n_id"), col("embedding").as("n_emb"))
+    val scored = q.crossJoin(c)
+      .filter(col("q_id") =!= col("n_id"))
+      .select(col("q_id"), col("n_id"),
+        round(cosine(col("q_emb"), col("n_emb")), 4).as("sim"))
+    scored
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("q_id").orderBy(desc("sim"), asc("n_id"))))
+      .filter(col("rank") <= k)
+  }
+
+  /** IVF-style search: same scoring, but candidates restricted to the
+   * query's cell (`cellCol`), pruning the scan by the cell partitioning. */
+  def knnCell(queries: DataFrame, corpus: DataFrame, cellCol: String, k: Int): DataFrame = {
+    val q = queries.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+      col(cellCol).as("cell"))
+    val c = corpus.select(col("vec_id").as("n_id"), col("embedding").as("n_emb"),
+      col(cellCol).as("cell"))
+    val scored = q.join(c, Seq("cell"))
+      .filter(col("q_id") =!= col("n_id"))
+      .select(col("q_id"), col("n_id"),
+        round(cosine(col("q_emb"), col("n_emb")), 4).as("sim"))
+    scored
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("q_id").orderBy(desc("sim"), asc("n_id"))))
+      .filter(col("rank") <= k)
+  }
+
+  /** Embedding near-dup pairs: same-cell blocking, cosine ≥ threshold. */
+  def cosineDedupPairs(vecs: DataFrame, cellCol: String, minCos: Double): DataFrame = {
+    val a = vecs.select(col(cellCol).as("cell"), col("vec_id").as("id_a"),
+      col("embedding").as("emb_a"))
+    val b = vecs.select(col(cellCol).as("cell"), col("vec_id").as("id_b"),
+      col("embedding").as("emb_b"))
+    a.join(b, Seq("cell"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(cosine(col("emb_a"), col("emb_b")), 4).as("sim"))
+      .filter(col("sim") >= minCos)
+  }
+}

@@ -1,0 +1,64 @@
+package graft.ext
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/**
+ * Text-analysis primitives for a large-scale training-data pipeline:
+ * token counting, quality scoring, language ID, document fingerprinting.
+ * All are codegen'd builtin compositions (no UDFs) — they stay inside
+ * WholeStageCodegen and scale linearly with the scan.
+ */
+object TextAnalysis {
+
+  /** Whitespace token count. */
+  def wsTokenCount(text: Column): Column = size(split(text, " "))
+
+  /** Regex token count (BPE-ish word/number pieces). */
+  def regexTokenCount(text: Column): Column =
+    regexp_count(text, lit("[a-z0-9]+"))
+
+  /** Tiny public stopword lexicons per language — enough for a coarse,
+   * deterministic n-gram/stopword language heuristic. */
+  val Lexicons: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein"),
+    "es" -> Seq("el", "la", "los", "y", "es", "un"),
+    "fr" -> Seq("le", "les", "et", "est", "un", "une"),
+    "zh" -> Seq("的", "是", "在", "了", "和"))
+
+  /** Fraction of whitespace tokens that hit a lexicon. */
+  def stopwordRatio(text: Column, lexicon: Seq[String]): Column = {
+    val toks = split(text, " ")
+    size(filter(toks, t => t.isInCollection(lexicon))) / size(toks)
+  }
+
+  /** Deterministic language ID: pick the language whose lexicon covers the
+   * largest fraction of tokens; ties resolve in fixed order en,de,es,fr,zh
+   * (each language wins only if its score beats-or-ties every later one). */
+  def langId(text: Column): Column = {
+    val scores = Seq("en", "de", "es", "fr", "zh")
+      .map(l => l -> stopwordRatio(text, Lexicons(l)))
+    def best(remaining: List[(String, Column)]): Column = remaining match {
+      case (lang, _) :: Nil => lit(lang)
+      case (lang, score) :: rest =>
+        when(rest.map(_._2).foldLeft(lit(true))((acc, other) => acc && score >= other), lit(lang))
+          .otherwise(best(rest))
+      case Nil => lit("und")
+    }
+    best(scores.toList)
+  }
+
+  /** Quality score components: chars, tokens, mean token length, stopword
+   * ratio. Compose/filter downstream as needed. */
+  def qualityColumns(text: Column): Seq[(String, Column)] = Seq(
+    "n_chars" -> length(text),
+    "n_tokens" -> wsTokenCount(text),
+    "mean_token_len" -> round((length(text) - wsTokenCount(text) + 1).cast("double") / wsTokenCount(text), 4),
+    "stopword_ratio" -> round(stopwordRatio(text, Lexicons("en")), 4))
+
+  /** Normalized rolling fingerprint: md5 of lowercase, whitespace-collapsed
+   * text — the exact-dedup key that survives formatting noise. */
+  def fingerprint(text: Column): Column =
+    md5(regexp_replace(lower(text), "\\s+", " "))
+}

@@ -1,0 +1,249 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.ext.{Dedup, Similarity, TextAnalysis}
+import Tables.t
+
+/**
+ * North-star extensions (training-data pipeline operators): deduplication,
+ * similarity search, text analysis. Every query here has a full DuckDB
+ * oracle — the MinHash/SimHash pipelines hash via md5 so the oracle replays
+ * the identical arithmetic in SQL.
+ */
+object ExtensionQueries {
+
+  /** Shared DuckDB CTE prefix: distinct word-shingles per doc, mirroring
+   * Dedup.shingles (3-word shingles, 1-based list arithmetic). */
+  private val ShinglesCte: String =
+    """words AS (
+         SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       sh0 AS (
+         SELECT doc_id,
+                unnest([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                        for i in generate_series(1, len(w) - 2)]) AS sh
+         FROM words WHERE len(w) >= 3),
+       sh AS (SELECT DISTINCT doc_id, sh FROM sh0)"""
+
+  /** DuckDB mirror of Dedup.seededHash. */
+  private def sqlHash(shExpr: String, seed: Int): String =
+    s"('0x' || substr(md5('$seed:' || $shExpr), 1, 8))::BIGINT"
+
+  /** DuckDB mirror of Dedup.minhashSignature + Dedup.lshBands. */
+  private val BandsCte: String = {
+    val minCols = (0 until Dedup.NumHashes)
+      .map(s => s"min(CASE WHEN seed = $s THEN h END) AS m$s").mkString(", ")
+    val bandSelects = (0 until Dedup.Bands).map { b =>
+      val ms = (0 until Dedup.RowsPerBand)
+        .map(r => s"m${b * Dedup.RowsPerBand + r}").mkString(", ")
+      s"SELECT doc_id, $b AS band, md5(concat_ws(':', $ms)) AS band_hash FROM sig"
+    }.mkString(" UNION ALL ")
+    s"""hashes AS (
+          SELECT doc_id, seed,
+                 ('0x' || substr(md5(seed::VARCHAR || ':' || sh), 1, 8))::BIGINT AS h
+          FROM sh CROSS JOIN (SELECT unnest(generate_series(0, ${Dedup.NumHashes - 1})) AS seed)),
+        sig AS (SELECT doc_id, $minCols FROM hashes GROUP BY doc_id),
+        bands AS ($bandSelects)"""
+  }
+
+  /** DuckDB cosine mirror of Similarity.cosine (explicit, not the builtin
+   * list_cosine_similarity, to replay the same fp association). */
+  private def sqlCos(a: String, b: String): String =
+    s"round(list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b))), 4)"
+
+  val defs: Map[String, QueryDef] = Map(
+
+    // ---- deduplication ----
+
+    "d1_exact_dedup" -> QueryDef(
+      (s, dir) => Dedup.exactDedup(t(s, dir, "documents")),
+      Some("""SELECT min(doc_id) AS doc_id, count(*) AS n_copies
+              FROM documents GROUP BY text"""),
+      "exact dedup: hash-groupBy text, deterministic keeper"),
+
+    "d2_minhash_bands" -> QueryDef(
+      (s, dir) => Dedup.lshBands(Dedup.minhashSignature(
+        Dedup.shingles(t(s, dir, "documents")))),
+      Some(s"""WITH $ShinglesCte, $BandsCte
+               SELECT doc_id, band, band_hash FROM bands"""),
+      "MinHash signatures + LSH band hashes (md5-replayable)"),
+
+    "d3_lsh_pairs" -> QueryDef(
+      (s, dir) => Dedup.minhashDedupPairs(t(s, dir, "documents"), 0.5),
+      Some(s"""WITH $ShinglesCte, $BandsCte,
+               cands AS (
+                 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                 FROM bands a JOIN bands b
+                   ON a.band = b.band AND a.band_hash = b.band_hash
+                  AND a.doc_id < b.doc_id),
+               sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+               inter AS (
+                 SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+                 FROM cands c
+                 JOIN sh sa ON sa.doc_id = c.doc_a
+                 JOIN sh sb ON sb.doc_id = c.doc_b AND sb.sh = sa.sh
+                 GROUP BY 1, 2)
+               SELECT i.doc_a, i.doc_b,
+                      round(CAST(n_inter AS DOUBLE) / (na.n + nb.n - n_inter), 4) AS jac
+               FROM inter i
+               JOIN sizes na ON na.doc_id = i.doc_a
+               JOIN sizes nb ON nb.doc_id = i.doc_b
+               WHERE round(CAST(n_inter AS DOUBLE) / (na.n + nb.n - n_inter), 4) >= 0.5"""),
+      "MinHash-LSH candidates verified at Jaccard >= 0.5"),
+
+    "d4_ngram_jaccard" -> QueryDef(
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val sh = Dedup.shingles(docs)
+        Dedup.jaccard(Dedup.rareShingleCandidates(sh, maxDf = 5), sh)
+          .filter(col("jac") >= 0.3)
+      },
+      Some(s"""WITH $ShinglesCte,
+               rare AS (
+                 SELECT sh FROM (SELECT sh, count(*) AS df FROM sh GROUP BY sh)
+                 WHERE df BETWEEN 2 AND 5),
+               pairs AS (
+                 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                 FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+                 WHERE a.sh IN (SELECT sh FROM rare)),
+               sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+               inter AS (
+                 SELECT p.doc_a, p.doc_b, count(*) AS n_inter
+                 FROM pairs p
+                 JOIN sh sa ON sa.doc_id = p.doc_a
+                 JOIN sh sb ON sb.doc_id = p.doc_b AND sb.sh = sa.sh
+                 GROUP BY 1, 2)
+               SELECT i.doc_a, i.doc_b,
+                      round(CAST(n_inter AS DOUBLE) / (na.n + nb.n - n_inter), 4) AS jac
+               FROM inter i
+               JOIN sizes na ON na.doc_id = i.doc_a
+               JOIN sizes nb ON nb.doc_id = i.doc_b
+               WHERE round(CAST(n_inter AS DOUBLE) / (na.n + nb.n - n_inter), 4) >= 0.3"""),
+      "exact n-gram Jaccard with rare-shingle candidate blocking"),
+
+    "d5_simhash" -> QueryDef(
+      (s, dir) => Dedup.simhash(t(s, dir, "documents")),
+      Some {
+        val votes = (0 until 32)
+          .map(i => s"sum(CASE WHEN (h >> $i) & 1 = 1 THEN 1 ELSE -1 END) AS b$i")
+          .mkString(", ")
+        val assemble = (0 until 32)
+          .map(i => s"(CASE WHEN b$i > 0 THEN ${1L << i} ELSE 0 END)")
+          .mkString(" + ")
+        s"""WITH tok AS (
+              SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+            h AS (SELECT doc_id, ${sqlHash("w", 0)} AS h FROM tok),
+            votes AS (SELECT doc_id, $votes FROM h GROUP BY doc_id)
+            SELECT doc_id, CAST($assemble AS BIGINT) AS simhash FROM votes"""
+      },
+      "32-bit SimHash fingerprint per document"),
+
+    // ---- similarity search ----
+
+    "n1_knn_brute" -> QueryDef(
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        Similarity.knnBrute(emb.filter(col("vec_id") < 10), emb, 5)
+      },
+      Some(s"""WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qe
+                          FROM embeddings WHERE vec_id < 10),
+               c AS (SELECT vec_id AS n_id, embedding::DOUBLE[] AS ne FROM embeddings),
+               scored AS (
+                 SELECT q_id, n_id, ${sqlCos("qe", "ne")} AS sim
+                 FROM q CROSS JOIN c WHERE q_id <> n_id),
+               r AS (SELECT q_id, n_id, sim,
+                            CAST(row_number() OVER (PARTITION BY q_id
+                              ORDER BY sim DESC, n_id) AS INTEGER) AS rank
+                     FROM scored)
+               SELECT q_id, n_id, sim, rank FROM r WHERE rank <= 5"""),
+      "brute-force cosine top-5 (exact ANN baseline)"),
+
+    "n2_knn_ivf" -> QueryDef(
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        Similarity.knnCell(emb.filter(col("vec_id") < 10), emb, "label", 3)
+      },
+      Some(s"""WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qe, label
+                          FROM embeddings WHERE vec_id < 10),
+               c AS (SELECT vec_id AS n_id, embedding::DOUBLE[] AS ne, label FROM embeddings),
+               scored AS (
+                 SELECT q_id, n_id, ${sqlCos("qe", "ne")} AS sim
+                 FROM q JOIN c USING (label) WHERE q_id <> n_id),
+               r AS (SELECT q_id, n_id, sim,
+                            CAST(row_number() OVER (PARTITION BY q_id
+                              ORDER BY sim DESC, n_id) AS INTEGER) AS rank
+                     FROM scored)
+               SELECT q_id, n_id, sim, rank FROM r WHERE rank <= 3"""),
+      "IVF-style cell-restricted cosine top-3"),
+
+    "e1_embed_dedup" -> QueryDef(
+      (s, dir) => Similarity.cosineDedupPairs(t(s, dir, "embeddings"), "label", 0.4),
+      Some(s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                      ${sqlCos("a.embedding::DOUBLE[]", "b.embedding::DOUBLE[]")} AS sim
+               FROM embeddings a JOIN embeddings b
+                 ON a.label = b.label AND a.vec_id < b.vec_id
+               WHERE ${sqlCos("a.embedding::DOUBLE[]", "b.embedding::DOUBLE[]")} >= 0.4"""),
+      "embedding-cosine near-dup pairs (cell-blocked)"),
+
+    // ---- text analysis ----
+
+    "t1_token_stats" -> QueryDef(
+      (s, dir) => t(s, dir, "documents").select(
+        col("doc_id"),
+        length(col("text")).as("n_chars"),
+        TextAnalysis.wsTokenCount(col("text")).as("n_ws_tokens"),
+        TextAnalysis.regexTokenCount(col("text")).as("n_re_tokens")),
+      Some("""SELECT doc_id,
+                     CAST(length(text) AS INTEGER) AS n_chars,
+                     CAST(len(string_split(text, ' ')) AS INTEGER) AS n_ws_tokens,
+                     CAST(len(regexp_extract_all(text, '[a-z0-9]+')) AS INTEGER) AS n_re_tokens
+              FROM documents"""),
+      "token counting: whitespace + regex tokenizers"),
+
+    "t2_quality_score" -> QueryDef(
+      (s, dir) => {
+        val cols = TextAnalysis.qualityColumns(col("text"))
+        t(s, dir, "documents").select(
+          col("doc_id") +: cols.map { case (n, c) => c.as(n) }: _*)
+      },
+      Some {
+        val en = TextAnalysis.Lexicons("en").map(w => s"'$w'").mkString(", ")
+        s"""SELECT doc_id,
+                   CAST(length(text) AS INTEGER) AS n_chars,
+                   CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+                   round(CAST(length(text) - len(string_split(text, ' ')) + 1 AS DOUBLE)
+                         / len(string_split(text, ' ')), 4) AS mean_token_len,
+                   round(CAST(len(list_filter(string_split(text, ' '),
+                           x -> list_contains([$en], x))) AS DOUBLE)
+                         / len(string_split(text, ' ')), 4) AS stopword_ratio
+            FROM documents"""
+      },
+      "quality scoring: length/token/stopword metrics"),
+
+    "t3_lang_id" -> QueryDef(
+      (s, dir) => t(s, dir, "documents").select(
+        col("doc_id"),
+        TextAnalysis.langId(col("text")).as("lang_pred")),
+      Some {
+        val langs = Seq("en", "de", "es", "fr", "zh")
+        def score(l: String) = {
+          val lex = TextAnalysis.Lexicons(l).map(w => s"'$w'").mkString(", ")
+          s"(CAST(len(list_filter(string_split(text, ' '), x -> list_contains([$lex], x))) AS DOUBLE) / len(string_split(text, ' ')))"
+        }
+        val cases = langs.init.zipWithIndex.map { case (l, i) =>
+          val laters = langs.drop(i + 1).map(o => s"${score(l)} >= ${score(o)}").mkString(" AND ")
+          s"WHEN $laters THEN '$l'"
+        }.mkString(" ")
+        s"""SELECT doc_id, CASE $cases ELSE '${langs.last}' END AS lang_pred
+            FROM documents"""
+      },
+      "deterministic stopword-profile language ID"),
+
+    "t4_fingerprint" -> QueryDef(
+      (s, dir) => t(s, dir, "documents")
+        .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp")),
+      Some("""SELECT doc_id,
+                     md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp
+              FROM documents"""),
+      "normalized md5 document fingerprint"))
+}

@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ext.{Dedup, Similarity, TextAnalysis}
+
+/** Behavior tests for the training-data extensions on crafted micro-fixtures
+ * (the DuckDB oracle gate covers value-level parity on the real tables). */
+class ExtensionsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def docs(rows: (Long, String)*) =
+    rows.toDF("doc_id", "text")
+
+  test("exact dedup keeps min doc_id and counts copies") {
+    val d = docs((1L, "a b c"), (5L, "a b c"), (3L, "x y z"))
+    val out = Dedup.exactDedup(d).as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 2L, 3L -> 1L))
+  }
+
+  test("minhash LSH finds near-identical docs, not unrelated ones") {
+    val base = (1 to 40).map(i => s"w$i").mkString(" ")
+    val nearDup = base.replace("w7", "changed")
+    val other = (1 to 40).map(i => s"z$i").mkString(" ")
+    val d = docs((1L, base), (2L, nearDup), (3L, other))
+    val pairs = Dedup.minhashDedupPairs(d, 0.5)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("simhash: identical docs equal, unrelated docs differ") {
+    val d = docs((1L, "spark flink trino"), (2L, "spark flink trino"),
+      (3L, "entirely different words here"))
+    val fp = Dedup.simhash(d).as[(Long, Long)].collect().toMap
+    assert(fp(1L) == fp(2L))
+    assert(fp(1L) != fp(3L))
+  }
+
+  test("rare-shingle candidates block common shingles") {
+    // 8 docs share "common common common"; only two share a rare shingle.
+    val common = (1L to 8L).map(i => (i, s"common common common filler$i tail$i end$i"))
+    val d = docs(common :+ (10L, "rare one two three") :+ (11L, "rare one two three x"): _*)
+    val cands = Dedup.rareShingleCandidates(Dedup.shingles(d), maxDf = 5)
+      .as[(Long, Long)].collect().toSet
+    assert(cands.contains((10L, 11L)))
+    assert(!cands.contains((1L, 2L)))  // df=8 > maxDf
+  }
+
+  test("knnBrute ranks the exact nearest first with deterministic ties") {
+    val vecs = Seq(
+      (0L, Array(1f, 0f, 0f)),
+      (1L, Array(0.9f, 0.1f, 0f)),
+      (2L, Array(0f, 1f, 0f)),
+      (3L, Array(1f, 0f, 0f))).toDF("vec_id", "embedding")
+    val out = Similarity.knnBrute(vecs.filter($"vec_id" === 0), vecs, 2)
+      .orderBy("rank").select("n_id").as[Long].collect().toSeq
+    assert(out == Seq(3L, 1L))  // identical vector first, then closest
+  }
+
+  test("langId picks the dominant lexicon deterministically") {
+    val d = Seq(
+      (1L, "the cat and the dog is in the house"),
+      (2L, "der hund und die katze ist ein tier"),
+      (3L, "xyzzy qwerty asdf")).toDF("doc_id", "text")
+    val out = d.select($"doc_id", TextAnalysis.langId($"text").as("l"))
+      .as[(Long, String)].collect().toMap
+    assert(out(1L) == "en")
+    assert(out(2L) == "de")
+    assert(out(3L) == "en")  // all-zero scores tie → first in order
+  }
+
+  test("fingerprint is whitespace/case insensitive") {
+    val d = Seq((1L, "Hello  World"), (2L, "hello world")).toDF("doc_id", "text")
+    val fps = d.select(TextAnalysis.fingerprint($"text")).as[String].collect()
+    assert(fps(0) == fps(1))
+  }
+}
