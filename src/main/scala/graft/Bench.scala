@@ -18,23 +18,27 @@ object Bench {
 
     var failed = List.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      // Warmup run compiles the plan + codegen; the timed run measures
-      // steady-state execution (what a long-lived cluster session sees).
-      val ok =
-        try { fn(spark, sfDir).count(); true }
-        catch { case e: Throwable =>
+      // First run compiles the plan + codegen (and reports heavy queries
+      // as-is to bound total bench time); cheap queries get two more timed
+      // runs with min taken — this VM has multi-second CPU-steal bursts.
+      System.err.println(s"[bench] running $name")
+      val first =
+        try {
+          val t0 = System.nanoTime()
+          fn(spark, sfDir).count()
+          (System.nanoTime() - t0) / 1e9
+        } catch { case e: Throwable =>
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-          failed ::= name; false
+          failed ::= name; -1.0
         }
-      if (ok) {
-        // Best of two timed runs — damps GC/scheduler noise in a shared VM.
+      if (first >= 0 && first < 5.0) {
         val times = (1 to 2).map { _ =>
           val t0 = System.nanoTime()
           fn(spark, sfDir).count()
           (System.nanoTime() - t0) / 1e9
         }
-        name -> times.min
-      } else name -> -1.0
+        name -> math.min(first, times.min)
+      } else name -> first
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

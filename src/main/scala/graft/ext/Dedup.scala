@@ -104,10 +104,18 @@ object Dedup {
           (col("n_a") + col("n_b") - col("n_inter")), 4).as("jac"))
   }
 
-  /** Full MinHash-LSH near-dup pipeline: candidates verified at `minJaccard`. */
+  /** Full MinHash-LSH near-dup pipeline: candidates verified at `minJaccard`.
+   *
+   * The shingle and band relations are persisted: they feed multiple joins
+   * (band self-join, two jaccard probes), and materializing them once keeps
+   * the join tree shallow — otherwise Catalyst re-derives the whole
+   * scan→explode→12-hash-agg pipeline per reference, and the fused codegen
+   * stages blow past JIT limits. At cluster scale these are exactly the
+   * intermediates you'd checkpoint to storage between stages. */
   def minhashDedupPairs(docs: DataFrame, minJaccard: Double): DataFrame = {
-    val sh = shingles(docs)
-    val cands = lshCandidates(lshBands(minhashSignature(sh)))
+    val sh = shingles(docs).persist()
+    val bands = lshBands(minhashSignature(sh)).persist()
+    val cands = lshCandidates(bands)
     jaccard(cands, sh).filter(col("jac") >= minJaccard)
   }
 

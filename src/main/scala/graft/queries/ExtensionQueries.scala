@@ -94,7 +94,7 @@ object ExtensionQueries {
     "d4_ngram_jaccard" -> QueryDef(
       (s, dir) => {
         val docs = t(s, dir, "documents")
-        val sh = Dedup.shingles(docs)
+        val sh = Dedup.shingles(docs).persist()
         Dedup.jaccard(Dedup.rareShingleCandidates(sh, maxDf = 5), sh)
           .filter(col("jac") >= 0.3)
       },
