@@ -77,6 +77,17 @@ object StreamingEtl {
   def consoleSink(rows: Int = 20): BatchSink =
     BatchSink("console", (batch, _) => batch.show(rows, truncate = false))
 
+  /** Kafka producer sink (reference K1, `producer.py:36-44`): rows are
+   * JSON-serialized to the `value` column. Requires the kafka connector jar
+   * at runtime; thin and unexercised in the offline test env. */
+  def kafkaSink(bootstrapServers: String, topic: String): BatchSink =
+    BatchSink(s"kafka:$topic", (batch, _) =>
+      batch.selectExpr("to_json(struct(*)) AS value")
+        .write.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrapServers)
+        .option("topic", topic)
+        .save())
+
   /** Single-query multi-sink fan-out: persist each micro-batch once, write
    * to every sink, one checkpoint for all. */
   def start(
