@@ -196,6 +196,46 @@ object RelationalQueries {
               FROM g GROUP BY user_id"""),
       "gap-based sessionization via lag + flag-sum"),
 
+    // Tumbling-window aggregation in batch form (the streaming variant is
+    // StreamingAnalytics.windowedTypeCounts; same grouping semantics).
+    // Window starts exported as epoch micros to sidestep tz-encoding drift.
+    "w3_tumbling_counts" -> QueryDef(
+      (s, dir) => t(s, dir, "events")
+        .withColumn("event_ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+        .groupBy(window(col("event_ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(unix_micros(col("window.start")).as("w_start"),
+          col("event_type"), col("n")),
+      Some("""SELECT epoch_us(time_bucket(INTERVAL '1 hour', ts)) AS w_start,
+                     event_type, count(*) AS n
+              FROM events GROUP BY 1, 2"""),
+      "tumbling event-time window aggregation (batch form)"),
+
+    // Exact interpolated percentiles per group.
+    "g5_percentiles" -> QueryDef(
+      (s, dir) => t(s, dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+          round(expr("percentile(o_totalprice, 0.5)"), 2).as("p50"),
+          round(expr("percentile(o_totalprice, 0.9)"), 2).as("p90"),
+          count(lit(1)).as("n")),
+      Some("""SELECT o_orderpriority,
+                     round(quantile_cont(o_totalprice, 0.5), 2) AS p50,
+                     round(quantile_cont(o_totalprice, 0.9), 2) AS p90,
+                     count(*) AS n
+              FROM orders GROUP BY o_orderpriority"""),
+      "exact interpolated percentiles per group"),
+
+    // Sketch-based distinct (HLL++). No oracle: sketch estimates are
+    // engine-specific — the driver records the rows-only check; the exact
+    // distinct lives in g2_distinct_agg.
+    "g6_approx_distinct" -> QueryDef(
+      (s, dir) => t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts")),
+      None,
+      "HLL++ approximate distinct (rows-only check)"),
+
     // Set ops: order-placing customer keys minus event-emitting user ids.
     "set1_except" -> QueryDef(
       (s, dir) => t(s, dir, "orders").select(col("o_custkey").as("k")).distinct()
