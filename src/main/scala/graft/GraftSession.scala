@@ -10,8 +10,11 @@ import org.apache.spark.sql.SparkSession
  */
 object GraftSession {
 
-  def local(cores: Int = Runtime.getRuntime.availableProcessors()): SparkSession =
-    builder(s"local[$cores]", cores).getOrCreate()
+  def local(cores: Int = Runtime.getRuntime.availableProcessors()): SparkSession = {
+    val s = builder(s"local[$cores]", cores).getOrCreate()
+    graft.functions.GraftFunctions.register(s)
+    s
+  }
 
   def builder(master: String, shufflePartitions: Int): SparkSession.Builder =
     SparkSession.builder()

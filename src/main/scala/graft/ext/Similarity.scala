@@ -23,8 +23,17 @@ import org.apache.spark.sql.functions._
  */
 object Similarity {
 
-  /** Dot product of two float-array columns in double precision. */
+  /** Dot product of two float-array columns in double precision — the
+   * codegen'd native expression (graft.functions.FloatVecDot). Requires
+   * `GraftFunctions.register(spark)` on the session (GraftSession does it;
+   * query defs re-register defensively). Bit-identical to the builtin
+   * composition `aggregate(zip_with(a,b,(x,y)=>x*y), 0d, _+_)`. */
   def dot(a: Column, b: Column): Column =
+    graft.functions.GraftFunctions.vecDot(a, b)
+
+  /** The builtin-only composition (kept for cross-checking the native
+   * expression in tests). */
+  def dotBuiltin(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, v) => acc + v)

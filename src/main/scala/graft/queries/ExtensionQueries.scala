@@ -142,6 +142,7 @@ object ExtensionQueries {
 
     "n1_knn_brute" -> QueryDef(
       (s, dir) => {
+        graft.functions.GraftFunctions.register(s)
         val emb = t(s, dir, "embeddings")
         Similarity.knnBrute(emb.filter(col("vec_id") < 10), emb, 5)
       },
@@ -160,6 +161,7 @@ object ExtensionQueries {
 
     "n2_knn_ivf" -> QueryDef(
       (s, dir) => {
+        graft.functions.GraftFunctions.register(s)
         val emb = t(s, dir, "embeddings")
         Similarity.knnCell(emb.filter(col("vec_id") < 10), emb, "label", 3)
       },
@@ -177,7 +179,10 @@ object ExtensionQueries {
       "IVF-style cell-restricted cosine top-3"),
 
     "e1_embed_dedup" -> QueryDef(
-      (s, dir) => Similarity.cosineDedupPairs(t(s, dir, "embeddings"), "label", 0.4),
+      (s, dir) => {
+        graft.functions.GraftFunctions.register(s)
+        Similarity.cosineDedupPairs(t(s, dir, "embeddings"), "label", 0.4)
+      },
       Some(s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b,
                       ${sqlCos("a.embedding::DOUBLE[]", "b.embedding::DOUBLE[]")} AS sim
                FROM embeddings a JOIN embeddings b
