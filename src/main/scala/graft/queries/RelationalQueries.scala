@@ -254,6 +254,46 @@ object RelationalQueries {
               SELECT DISTINCT s_nationkey AS k FROM supplier"""),
       "INTERSECT"),
 
+    // Cross join (cartesian): the one join shape with no key.
+    "j4_cross_join" -> QueryDef(
+      (s, dir) => t(s, dir, "region").select(col("r_name").as("ra"))
+        .crossJoin(t(s, dir, "region").select(col("r_name").as("rb"))),
+      Some("""SELECT a.r_name AS ra, b.r_name AS rb
+              FROM region a CROSS JOIN region b"""),
+      "cartesian product (bounded dims only)"),
+
+    // Scalar subquery in a filter (exact threshold: max/2, no fp drift).
+    "j5_scalar_subquery" -> QueryDef(
+      (s, dir) => {
+        t(s, dir, "customer").createOrReplaceTempView("j5_customer")
+        s.sql("""
+          SELECT c_nationkey, count(*) AS n
+          FROM j5_customer
+          WHERE c_acctbal > (SELECT max(c_acctbal) FROM j5_customer) / 2
+          GROUP BY c_nationkey""")
+      },
+      Some("""SELECT c_nationkey, count(*) AS n
+              FROM customer
+              WHERE c_acctbal > (SELECT max(c_acctbal) FROM customer) / 2
+              GROUP BY c_nationkey"""),
+      "scalar subquery threshold filter"),
+
+    // Pivot (typed column-per-category totals).
+    "g7_pivot" -> QueryDef(
+      (s, dir) => t(s, dir, "events")
+        .groupBy("user_id")
+        .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
+        .agg(round(sum("value"), 2))
+        .toDF("user_id", "click", "view", "purchase", "signup", "error"),
+      Some("""SELECT user_id,
+                     round(sum(CASE WHEN event_type = 'click' THEN value END), 2) AS click,
+                     round(sum(CASE WHEN event_type = 'view' THEN value END), 2) AS view,
+                     round(sum(CASE WHEN event_type = 'purchase' THEN value END), 2) AS purchase,
+                     round(sum(CASE WHEN event_type = 'signup' THEN value END), 2) AS signup,
+                     round(sum(CASE WHEN event_type = 'error' THEN value END), 2) AS error
+              FROM events GROUP BY user_id"""),
+      "pivot: column-per-category aggregation"),
+
     // As-of join (custom operator): each event picks up the latest order of
     // the same customer at-or-before the event time. Right side is
     // pre-aggregated to unique (key, time) for determinism. Implementation:
