@@ -75,10 +75,22 @@ object Dedup {
       s"stack($Bands, ${bandExprs.mkString(", ")}) as (band, band_hash)")
   }
 
-  /** Candidate pairs: docs sharing any LSH bucket (doc_a < doc_b). */
-  def lshCandidates(bands: DataFrame): DataFrame = {
-    val a = bands.as("a")
-    val b = bands.as("b")
+  /** Candidate pairs: docs sharing any LSH bucket (doc_a < doc_b).
+   *
+   * Buckets larger than `maxBucket` are dropped before the self-join: a
+   * bucket of B docs contributes B² pair rows, so one degenerate bucket
+   * (boilerplate-dominated corpora) can dwarf the rest of the job. Docs in
+   * an over-cap bucket almost always share several other, tighter buckets;
+   * cap-dropped recall loss is negligible and the join cost gets a hard
+   * bound. Set `maxBucket = Int.MaxValue` to disable. */
+  def lshCandidates(bands: DataFrame, maxBucket: Int = 100): DataFrame = {
+    val bounded = bands.withColumn("__bucket_n",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy("band", "band_hash")))
+      .filter(col("__bucket_n") <= maxBucket)
+      .drop("__bucket_n")
+    val a = bounded.as("a")
+    val b = bounded.as("b")
     a.join(b,
         col("a.band") === col("b.band") &&
         col("a.band_hash") === col("b.band_hash") &&

@@ -43,14 +43,19 @@ object Similarity {
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
 
   /** Exact brute-force top-k neighbors for each query vector.
-   * `queries`/`corpus`: (id, embedding). Self-matches excluded. */
+   * `queries`/`corpus`: (id, embedding). Self-matches excluded.
+   * Norms are precomputed per side — one sqrt per vector instead of two
+   * dot products per PAIR (same doubles, so results are unchanged; the
+   * per-pair work drops to a single fused dot product). */
   def knnBrute(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
-    val q = queries.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
-    val c = corpus.select(col("vec_id").as("n_id"), col("embedding").as("n_emb"))
+    val q = queries.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+      sqrt(dot(col("embedding"), col("embedding"))).as("q_norm"))
+    val c = corpus.select(col("vec_id").as("n_id"), col("embedding").as("n_emb"),
+      sqrt(dot(col("embedding"), col("embedding"))).as("n_norm"))
     val scored = q.crossJoin(c)
       .filter(col("q_id") =!= col("n_id"))
       .select(col("q_id"), col("n_id"),
-        round(cosine(col("q_emb"), col("n_emb")), 4).as("sim"))
+        round(dot(col("q_emb"), col("n_emb")) / (col("q_norm") * col("n_norm")), 4).as("sim"))
     scored
       .withColumn("rank", row_number().over(
         Window.partitionBy("q_id").orderBy(desc("sim"), asc("n_id"))))
@@ -61,13 +66,15 @@ object Similarity {
    * query's cell (`cellCol`), pruning the scan by the cell partitioning. */
   def knnCell(queries: DataFrame, corpus: DataFrame, cellCol: String, k: Int): DataFrame = {
     val q = queries.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
-      col(cellCol).as("cell"))
+      col(cellCol).as("cell"),
+      sqrt(dot(col("embedding"), col("embedding"))).as("q_norm"))
     val c = corpus.select(col("vec_id").as("n_id"), col("embedding").as("n_emb"),
-      col(cellCol).as("cell"))
+      col(cellCol).as("cell"),
+      sqrt(dot(col("embedding"), col("embedding"))).as("n_norm"))
     val scored = q.join(c, Seq("cell"))
       .filter(col("q_id") =!= col("n_id"))
       .select(col("q_id"), col("n_id"),
-        round(cosine(col("q_emb"), col("n_emb")), 4).as("sim"))
+        round(dot(col("q_emb"), col("n_emb")) / (col("q_norm") * col("n_norm")), 4).as("sim"))
     scored
       .withColumn("rank", row_number().over(
         Window.partitionBy("q_id").orderBy(desc("sim"), asc("n_id"))))
