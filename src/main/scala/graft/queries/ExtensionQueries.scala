@@ -190,6 +190,38 @@ object ExtensionQueries {
                WHERE ${sqlCos("a.embedding::DOUBLE[]", "b.embedding::DOUBLE[]")} >= 0.4"""),
       "embedding-cosine near-dup pairs (cell-blocked)"),
 
+    // ---- streaming + generator (rows-only: no DuckDB analog) ----
+
+    // The full E1 streaming chain executed inside the gate: seeded envelopes
+    // → MemoryStream-equivalent batch spine → profile rows. Deterministic
+    // (fixed seed + frozen as-of date); rows-only check.
+    "st1_stream_spine" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val docs = graft.sources.EnvelopeGenerator.generate(500, seed = 42)
+        val raw = docs.toDF("value")
+          .select(col("value").cast("binary").as("value"))
+        graft.ops.Transforms.etlSpine(raw, Tables.AsOfDate)
+      },
+      None,
+      "reference E1 spine over the deterministic producer stand-in"),
+
+    // A3's exact dashboard shape (top-5 registered email domains) over the
+    // generated profiles — testdata tables carry no email column.
+    "st2_email_topk" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val docs = graft.sources.EnvelopeGenerator.generate(500, seed = 42)
+        val raw = docs.toDF("value")
+          .select(col("value").cast("binary").as("value"))
+        graft.ops.Transforms.etlSpine(raw, Tables.AsOfDate)
+          .select(graft.ops.Transforms.emailDomain(col("email")).as("domain"))
+          .groupBy("domain").agg(count(lit(1)).as("n"))
+          .orderBy(desc("n"), asc("domain")).limit(5)
+      },
+      None,
+      "top-5 email domains (tldextract-analog) on generated profiles"),
+
     // ---- text analysis ----
 
     "t1_token_stats" -> QueryDef(

@@ -254,6 +254,24 @@ object RelationalQueries {
               SELECT DISTINCT s_nationkey AS k FROM supplier"""),
       "INTERSECT"),
 
+    // Cube: all grouping-set combinations over two dims.
+    "g8_cube" -> QueryDef(
+      (s, dir) => {
+        t(s, dir, "orders").createOrReplaceTempView("g8_orders")
+        s.sql("""
+          SELECT coalesce(o_orderstatus, '(all)') AS status,
+                 coalesce(o_orderpriority, '(all)') AS priority,
+                 count(*) AS n, round(sum(o_totalprice), 2) AS revenue
+          FROM g8_orders
+          GROUP BY CUBE (o_orderstatus, o_orderpriority)""")
+      },
+      Some("""SELECT coalesce(o_orderstatus, '(all)') AS status,
+                     coalesce(o_orderpriority, '(all)') AS priority,
+                     count(*) AS n, round(sum(o_totalprice), 2) AS revenue
+              FROM orders
+              GROUP BY CUBE (o_orderstatus, o_orderpriority)"""),
+      "cube grouping sets"),
+
     // Cross join (cartesian): the one join shape with no key.
     "j4_cross_join" -> QueryDef(
       (s, dir) => t(s, dir, "region").select(col("r_name").as("ra"))
