@@ -100,17 +100,23 @@ object Dedup {
   }
 
   /** Exact Jaccard for given pairs from their shingle sets: intersection via
-   * a two-key join, union by inclusion-exclusion on set sizes. */
+   * a two-key join, union by inclusion-exclusion on set sizes.
+   *
+   * The pair set is broadcast: candidates are small by construction (LSH
+   * buckets are capped, rare-shingle blocking bounds df), while the shingle
+   * relation is corpus-sized — deriving pairs from a join leaves Catalyst
+   * without stats, and the default plan re-shuffles the shingles per probe
+   * instead. The sizes dim is broadcast for the same reason. */
   def jaccard(pairs: DataFrame, sh: DataFrame): DataFrame = {
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val shA = sh.toDF("doc_a", "sh")
     val shB = sh.toDF("doc_b", "sh")
-    pairs
-      .join(shA, Seq("doc_a"))
+    shA
+      .join(broadcast(pairs), Seq("doc_a"))
       .join(shB, Seq("doc_b", "sh"))
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_inter"))
-      .join(sizes.toDF("doc_a", "n_a"), Seq("doc_a"))
-      .join(sizes.toDF("doc_b", "n_b"), Seq("doc_b"))
+      .join(broadcast(sizes.toDF("doc_a", "n_a")), Seq("doc_a"))
+      .join(broadcast(sizes.toDF("doc_b", "n_b")), Seq("doc_b"))
       .select(col("doc_a"), col("doc_b"),
         round(col("n_inter").cast("double") /
           (col("n_a") + col("n_b") - col("n_inter")), 4).as("jac"))
