@@ -153,6 +153,26 @@ object RelationalQueries {
                 FROM orders) WHERE rn <= 3"""),
       "top-N per group via partitioned row_number"),
 
+    // Same result as w1 through the custom bounded-heap aggregate
+    // (graft.functions.TopKAggregator): map-side partial top-k, k rows per
+    // group shuffled, no full window sort. Oracle identical to w1's.
+    "w4_topk_agg" -> QueryDef(
+      (s, dir) => {
+        val topk = udaf(new graft.functions.TopKAggregator(3))
+        t(s, dir, "orders")
+          .groupBy("o_custkey")
+          .agg(topk(col("o_totalprice"), col("o_orderkey")).as("top"))
+          .select(col("o_custkey"), posexplode(col("top")))
+          .select(col("o_custkey"), col("col.id").as("o_orderkey"),
+            (col("pos") + 1).cast("int").as("rn"))
+      },
+      Some("""SELECT o_custkey, o_orderkey, rn FROM (
+                SELECT o_custkey, o_orderkey,
+                       row_number() OVER (PARTITION BY o_custkey
+                         ORDER BY o_totalprice DESC, o_orderkey) AS rn
+                FROM orders) WHERE rn <= 3"""),
+      "top-N per group via custom bounded-heap Aggregator (no window sort)"),
+
     // Running sum per user over event time (ts is long nanos on the Spark
     // side — see GraftSession nanosAsLong; DuckDB compares via epoch_ns).
     "w2_running_sum" -> QueryDef(
