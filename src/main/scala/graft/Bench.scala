@@ -44,7 +44,21 @@ object Bench {
       .mkString("{", ",", "}")
     val fs = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$fs,"sf":"$sfDir"}""")
+
+    // Baseline comparison: the reference sustains 0.153 records/s end-to-end
+    // through its E1 chain (BASELINE.md — source-rate-bound). Same chain
+    // here, measured over the deterministic producer stand-in.
+    val spineRate = {
+      val n = 20000
+      import spark.implicits._
+      val docs = graft.sources.EnvelopeGenerator.generate(n).toDF("value")
+        .select(org.apache.spark.sql.functions.col("value").cast("binary").as("value"))
+      val t0 = System.nanoTime()
+      graft.ops.Transforms.etlSpine(docs, graft.queries.Tables.AsOfDate).count()
+      n / ((System.nanoTime() - t0) / 1e9)
+    }
+
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$fs,"spine_envelopes_per_sec":${spineRate.round},"sf":"$sfDir"}""")
     spark.stop()
   }
 }
