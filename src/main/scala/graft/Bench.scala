@@ -17,28 +17,49 @@ object Bench {
       .foreach(t => spark.read.parquet(s"$sfDir/$t.parquet").count())
 
     var failed = List.empty[String]
+    val cpuRatios = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+      .asInstanceOf[com.sun.management.OperatingSystemMXBean]
+    // Every query is measured at least twice and the min is reported — this
+    // VM has multi-second CPU-steal bursts, so no number may be a single
+    // sample (round-1 verdict finding 3). Cheap queries (<5 s) get a third
+    // run. Re-runs are fault-guarded: a flaky re-run falls back to the
+    // completed measurements instead of losing the whole bench line. The
+    // process-CPU/wall ratio is emitted per query so a steal-hit sample is
+    // recognizable after the fact (ratio collapses when the VM is starved).
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      // First run compiles the plan + codegen (and reports heavy queries
-      // as-is to bound total bench time); cheap queries get two more timed
-      // runs with min taken — this VM has multi-second CPU-steal bursts.
       System.err.println(s"[bench] running $name")
+      def run(): (Double, Double) = {
+        val c0 = osBean.getProcessCpuTime
+        val t0 = System.nanoTime()
+        fn(spark, sfDir).count()
+        val wall = (System.nanoTime() - t0) / 1e9
+        (wall, (osBean.getProcessCpuTime - c0) / 1e9)
+      }
       val first =
-        try {
-          val t0 = System.nanoTime()
-          fn(spark, sfDir).count()
-          (System.nanoTime() - t0) / 1e9
-        } catch { case e: Throwable =>
+        try Some(run())
+        catch { case e: Throwable =>
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-          failed ::= name; -1.0
+          failed ::= name; None
         }
-      if (first >= 0 && first < 5.0) {
-        val times = (1 to 2).map { _ =>
-          val t0 = System.nanoTime()
-          fn(spark, sfDir).count()
-          (System.nanoTime() - t0) / 1e9
-        }
-        name -> math.min(first, times.min)
-      } else name -> first
+      first match {
+        case None => (name, -1.0, -1.0)
+        case Some((w1, c1)) =>
+          val extraRuns = if (w1 < 5.0) 2 else 1
+          val extras = (1 to extraRuns).flatMap { _ =>
+            try Some(run())
+            catch { case e: Throwable =>
+              System.err.println(s"[bench] $name re-run failed (keeping " +
+                s"completed samples): ${e.getMessage}")
+              None
+            }
+          }
+          val (bestW, bestC) = ((w1, c1) +: extras).minBy(_._1)
+          (name, bestW, if (bestW > 0) bestC / bestW else -1.0)
+      }
+    }.map { case (name, wall, cpuRatio) =>
+      cpuRatios += (name -> cpuRatio)
+      name -> wall
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
@@ -58,7 +79,9 @@ object Bench {
       n / ((System.nanoTime() - t0) / 1e9)
     }
 
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$fs,"spine_envelopes_per_sec":${spineRate.round},"sf":"$sfDir"}""")
+    val ratios = cpuRatios.map { case (k, v) => "\"" + k + "\":" + f"$v%.2f" }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$fs,"cpu_per_wall":$ratios,"spine_envelopes_per_sec":${spineRate.round},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -18,6 +18,15 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // Materialize the deterministic producer envelopes (same seed/count as
+    // the st1/st2 query defs) so their DuckDB oracles can replay the whole
+    // spine from the identical input — closes the former no_oracle rows.
+    // Fixed absolute path: it is baked into the static oracle SQL.
+    new java.io.File(graft.queries.StreamOracle.EnvelopePath).getParentFile.mkdirs()
+    Files.writeString(Paths.get(graft.queries.StreamOracle.EnvelopePath),
+      graft.sources.EnvelopeGenerator.generate(
+        graft.queries.StreamOracle.Count, graft.queries.StreamOracle.Seed)
+        .mkString("", "\n", "\n"))
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")

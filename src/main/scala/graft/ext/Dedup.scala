@@ -40,12 +40,22 @@ object Dedup {
       .agg(min("doc_id").as("doc_id"), count(lit(1)).as("n_copies"))
       .select("doc_id", "n_copies")
 
-  /** Distinct word-shingles per doc: (doc_id, sh). */
+  /** Distinct word-shingles per doc: (doc_id, sh).
+   *
+   * The input is re-split by doc_id before the derivation: shingling
+   * multiplies work per input byte ~100× (|doc| explode rows, each built by
+   * interpreted array ops), so byte-proportional file splits mis-size this
+   * stage badly — a corpus that fits one parquet split would otherwise run
+   * the whole explode+hash pipeline as a SINGLE task (observed: the entire
+   * d2/d3 cost at bench scale was one core). The repartition shuffle moves
+   * only the raw docs (small next to the exploded output) and co-locates
+   * each doc's rows for the downstream per-doc aggregations. */
   def shingles(docs: DataFrame): DataFrame = {
     val w = split(col("text"), " ")
     val idx = sequence(lit(0), size(w) - ShingleWidth)
     docs
       .filter(size(w) >= ShingleWidth)
+      .repartition(col("doc_id"))
       .select(col("doc_id"),
         explode(transform(idx, i => concat_ws(" ",
           element_at(w, i + 1), element_at(w, i + 2), element_at(w, i + 3)))).as("sh"))
@@ -57,12 +67,21 @@ object Dedup {
   def seededHash(sh: Column, seed: Int): Column =
     conv(substring(md5(concat(lit(s"$seed:"), sh)), 1, 8), 16, 10).cast("long")
 
-  /** MinHash signature: one conditional-min hash-agg pass → m0..m{k-1}. */
+  /** MinHash signature: one conditional-min hash-agg pass → m0..m{k-1}.
+   *
+   * The 12 seeded hashes come from the native `MinHash12` expression — one
+   * evaluation per shingle row emitting all 12 values with no hex-string
+   * round-trips (bit-identical to `seededHash`; see MinHash12.scala). The
+   * partial-aggregating 12-way min then runs map-side as before. */
   def minhashSignature(sh: DataFrame): DataFrame = {
+    require(NumHashes == graft.functions.MinHash12.NumHashes)
+    graft.functions.GraftFunctions.register(sh.sparkSession)
+    val hashed = sh.select(col("doc_id"),
+      graft.functions.GraftFunctions.minhash12(col("sh")).as("h"))
     val aggs = (0 until NumHashes).map { s =>
-      min(seededHash(col("sh"), s)).as(s"m$s")
+      min(element_at(col("h"), s + 1)).as(s"m$s")
     }
-    sh.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+    hashed.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
   }
 
   /** LSH bands: (doc_id, band, band_hash) — md5 over the band's signature. */
@@ -84,11 +103,13 @@ object Dedup {
    * cap-dropped recall loss is negligible and the join cost gets a hard
    * bound. Set `maxBucket = Int.MaxValue` to disable. */
   def lshCandidates(bands: DataFrame, maxBucket: Int = 100): DataFrame = {
-    val bounded = bands.withColumn("__bucket_n",
-        count(lit(1)).over(org.apache.spark.sql.expressions.Window
-          .partitionBy("band", "band_hash")))
-      .filter(col("__bucket_n") <= maxBucket)
-      .drop("__bucket_n")
+    val bounded =
+      if (maxBucket == Int.MaxValue) bands  // cap disabled: skip the window
+      else bands.withColumn("__bucket_n",
+          count(lit(1)).over(org.apache.spark.sql.expressions.Window
+            .partitionBy("band", "band_hash")))
+        .filter(col("__bucket_n") <= maxBucket)
+        .drop("__bucket_n")
     val a = bounded.as("a")
     val b = bounded.as("b")
     a.join(b,
@@ -102,21 +123,30 @@ object Dedup {
   /** Exact Jaccard for given pairs from their shingle sets: intersection via
    * a two-key join, union by inclusion-exclusion on set sizes.
    *
-   * The pair set is broadcast: candidates are small by construction (LSH
-   * buckets are capped, rare-shingle blocking bounds df), while the shingle
-   * relation is corpus-sized — deriving pairs from a join leaves Catalyst
-   * without stats, and the default plan re-shuffles the shingles per probe
-   * instead. The sizes dim is broadcast for the same reason. */
+   * No forced broadcasts (round-1 verdict finding 1): `sizes` is one row per
+   * DOCUMENT, i.e. corpus-cardinality — broadcasting it is a driver OOM at
+   * scale. It is instead semi-joined down to only the docs that appear in a
+   * candidate pair (bounded by 2·|pairs|) before joining; `pairs` joins
+   * unhinted and AQE picks broadcast at runtime when the candidate set is
+   * genuinely small. `pairs` is persisted here because it feeds three
+   * consumers (the probe join and both sides of the doc semi-join) and its
+   * lineage is itself a join — at cluster scale this is the intermediate
+   * you'd checkpoint between stages. */
   def jaccard(pairs: DataFrame, sh: DataFrame): DataFrame = {
+    val p = pairs.persist()
+    val pairDocs = p.select(col("doc_a").as("doc_id"))
+      .union(p.select(col("doc_b").as("doc_id")))
+      .distinct()
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      .join(pairDocs, Seq("doc_id"), "left_semi")
     val shA = sh.toDF("doc_a", "sh")
     val shB = sh.toDF("doc_b", "sh")
     shA
-      .join(broadcast(pairs), Seq("doc_a"))
+      .join(p, Seq("doc_a"))
       .join(shB, Seq("doc_b", "sh"))
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_inter"))
-      .join(broadcast(sizes.toDF("doc_a", "n_a")), Seq("doc_a"))
-      .join(broadcast(sizes.toDF("doc_b", "n_b")), Seq("doc_b"))
+      .join(sizes.toDF("doc_a", "n_a"), Seq("doc_a"))
+      .join(sizes.toDF("doc_b", "n_b"), Seq("doc_b"))
       .select(col("doc_a"), col("doc_b"),
         round(col("n_inter").cast("double") /
           (col("n_a") + col("n_b") - col("n_inter")), 4).as("jac"))
@@ -130,10 +160,11 @@ object Dedup {
    * scan→explode→12-hash-agg pipeline per reference, and the fused codegen
    * stages blow past JIT limits. At cluster scale these are exactly the
    * intermediates you'd checkpoint to storage between stages. */
-  def minhashDedupPairs(docs: DataFrame, minJaccard: Double): DataFrame = {
+  def minhashDedupPairs(docs: DataFrame, minJaccard: Double,
+      maxBucket: Int = 100): DataFrame = {
     val sh = shingles(docs).persist()
     val bands = lshBands(minhashSignature(sh)).persist()
-    val cands = lshCandidates(bands)
+    val cands = lshCandidates(bands, maxBucket)
     jaccard(cands, sh).filter(col("jac") >= minJaccard)
   }
 

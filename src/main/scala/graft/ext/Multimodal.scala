@@ -8,12 +8,13 @@ import org.apache.spark.sql.functions._
  * plus typed metadata, processed batch-wise in executors.
  *
  * The Spark-side plumbing is real and tested — schema, partitioning, the
- * per-partition batch loop, output shapes. The codec calls themselves are
- * STUBBED with deterministic fakes (this container ships no image/audio
- * libraries): `FakeCodec` derives all "decoded" values from the payload
- * bytes alone, so tests are exact and reproducible. Swap `Codec` for a real
- * implementation (JavaCV, TwelveMonkeys, ffmpeg-cli) in production — the
- * dataflow does not change.
+ * per-partition batch loop, output shapes. IMAGE decode is real: the
+ * `JdkImageCodec` below reads PNG/BMP/GIF/JPEG through the JDK's built-in
+ * `javax.imageio` (zero external dependencies). Audio/video decode remains
+ * STUBBED with a deterministic fake (`FakeCodec` — this container ships no
+ * audio/video libraries): all "decoded" values derive from the payload
+ * bytes alone, so tests are exact and reproducible. Swap the codec seam for
+ * JavaCV/ffmpeg-cli in production — the dataflow does not change.
  *
  * Scale posture: payloads never pass through a shuffle (decode/feature ops
  * are narrow mapPartitions); partition sizing is byte-based (`maxRecordsPer
@@ -78,6 +79,64 @@ object Multimodal {
         ((s >>> 33).toInt % 1000) / 1000.0f
       }
     }
+  }
+
+  /** Real image decode on the JDK's built-in `javax.imageio` readers
+   * (PNG/BMP/GIF/JPEG — no external libraries): actual pixel dimensions and
+   * a deterministic 8-dim pixel-statistics embedding (2×2 quadrant mean
+   * luma, global mean R/G/B, aspect ratio). Pixels are sampled on a bounded
+   * stride so decode feature cost is O(4096) samples regardless of image
+   * size. Payloads imageio cannot parse fall back to the deterministic fake
+   * (keeps the plumbing total); audio/video stay on the fake codec — the
+   * container ships no media libraries for those (declared stub). */
+  object JdkImageCodec extends Codec {
+    def decodeImage(payload: Array[Byte]): (Int, Int, Array[Float]) = {
+      val img =
+        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+        catch { case _: java.io.IOException => null }
+      if (img == null) FakeCodec.decodeImage(payload)
+      else {
+        val w = img.getWidth
+        val h = img.getHeight
+        val stepX = math.max(1, w / 64)
+        val stepY = math.max(1, h / 64)
+        val quadSum = new Array[Double](4)
+        val quadN = new Array[Long](4)
+        var sr, sg, sb = 0.0
+        var n = 0L
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            val r = (rgb >> 16) & 0xff
+            val g = (rgb >> 8) & 0xff
+            val b = rgb & 0xff
+            val q = (if (y >= h / 2) 2 else 0) + (if (x >= w / 2) 1 else 0)
+            quadSum(q) += (0.299 * r + 0.587 * g + 0.114 * b) / 255.0
+            quadN(q) += 1
+            sr += r / 255.0; sg += g / 255.0; sb += b / 255.0
+            n += 1
+            x += stepX
+          }
+          y += stepY
+        }
+        val feats = Array(
+          (quadSum(0) / math.max(1L, quadN(0))).toFloat,
+          (quadSum(1) / math.max(1L, quadN(1))).toFloat,
+          (quadSum(2) / math.max(1L, quadN(2))).toFloat,
+          (quadSum(3) / math.max(1L, quadN(3))).toFloat,
+          (sr / n).toFloat, (sg / n).toFloat, (sb / n).toFloat,
+          w.toFloat / h.toFloat)
+        (w, h, feats)
+      }
+    }
+
+    def decodeAudioWindows(payload: Array[Byte], windowMs: Int, durationMs: Long): Array[Array[Float]] =
+      FakeCodec.decodeAudioWindows(payload, windowMs, durationMs)
+
+    def extractFrame(payload: Array[Byte], tsMs: Long): Array[Byte] =
+      FakeCodec.extractFrame(payload, tsMs)
   }
 
   /** Image decode + feature extraction, batch-wise per partition. */

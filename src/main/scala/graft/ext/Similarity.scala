@@ -62,15 +62,33 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** Deterministic within-cell truncation to `maxCell` members, ordered by
+   * a hash of the id (a pseudo-random but replayable sample). Mirrors
+   * `Dedup.lshCandidates`'s bucket cap: one degenerate cell (a dominant
+   * label) otherwise makes every within-cell join O(B²)/unbounded. Unlike
+   * LSH buckets (where over-cap buckets are droppable — their docs share
+   * tighter buckets), a cell here is the ONLY route to its members, so we
+   * sample it down instead of dropping it: bounded cost, graceful recall
+   * degradation. `maxCell = Int.MaxValue` disables. */
+  private def capCell(vecs: DataFrame, idCol: String, maxCell: Int): DataFrame =
+    if (maxCell == Int.MaxValue) vecs
+    else vecs.withColumn("__rn", row_number().over(
+        Window.partitionBy("cell").orderBy(xxhash64(col(idCol)), col(idCol))))
+      .filter(col("__rn") <= maxCell).drop("__rn")
+
   /** IVF-style search: same scoring, but candidates restricted to the
-   * query's cell (`cellCol`), pruning the scan by the cell partitioning. */
-  def knnCell(queries: DataFrame, corpus: DataFrame, cellCol: String, k: Int): DataFrame = {
+   * query's cell (`cellCol`), pruning the scan by the cell partitioning.
+   * Corpus cells are capped at `maxCell` candidates (see capCell). */
+  def knnCell(queries: DataFrame, corpus: DataFrame, cellCol: String, k: Int,
+      maxCell: Int = 10000): DataFrame = {
     val q = queries.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
       col(cellCol).as("cell"),
       sqrt(dot(col("embedding"), col("embedding"))).as("q_norm"))
-    val c = corpus.select(col("vec_id").as("n_id"), col("embedding").as("n_emb"),
-      col(cellCol).as("cell"),
-      sqrt(dot(col("embedding"), col("embedding"))).as("n_norm"))
+    val c = capCell(
+      corpus.select(col("vec_id").as("n_id"), col("embedding").as("n_emb"),
+        col(cellCol).as("cell"),
+        sqrt(dot(col("embedding"), col("embedding"))).as("n_norm")),
+      "n_id", maxCell)
     val scored = q.join(c, Seq("cell"))
       .filter(col("q_id") =!= col("n_id"))
       .select(col("q_id"), col("n_id"),
@@ -81,11 +99,17 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
-  /** Embedding near-dup pairs: same-cell blocking, cosine ≥ threshold. */
-  def cosineDedupPairs(vecs: DataFrame, cellCol: String, minCos: Double): DataFrame = {
-    val a = vecs.select(col(cellCol).as("cell"), col("vec_id").as("id_a"),
+  /** Embedding near-dup pairs: same-cell blocking, cosine ≥ threshold.
+   * Cells are capped at `maxCell` members before the self-join, bounding
+   * the within-cell cost at maxCell²/2 pairs (see capCell). */
+  def cosineDedupPairs(vecs: DataFrame, cellCol: String, minCos: Double,
+      maxCell: Int = 10000): DataFrame = {
+    val capped = capCell(
+      vecs.select(col(cellCol).as("cell"), col("vec_id"), col("embedding")),
+      "vec_id", maxCell)
+    val a = capped.select(col("cell"), col("vec_id").as("id_a"),
       col("embedding").as("emb_a"))
-    val b = vecs.select(col(cellCol).as("cell"), col("vec_id").as("id_b"),
+    val b = capped.select(col("cell"), col("vec_id").as("id_b"),
       col("embedding").as("emb_b"))
     a.join(b, Seq("cell"))
       .filter(col("id_a") < col("id_b"))

@@ -21,7 +21,9 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
  * primitive loop inside WholeStageCodegen — no allocation, no virtual
  * calls — and reproduces bit-for-bit the same result as the builtin
  * composition (same double-cast, same left-to-right accumulation), so the
- * DuckDB oracle comparison is unaffected.
+ * DuckDB oracle comparison is unaffected. Null parity with the builtin is
+ * exact too: mismatched lengths yield NULL (zip_with pads with nulls and
+ * poisons the sum) and any null element yields NULL.
  */
 case class FloatVecDot(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -39,13 +41,17 @@ case class FloatVecDot(left: Expression, right: Expression)
         s"got ${left.dataType.sql} and ${right.dataType.sql}")
   }
 
+  override def nullable: Boolean = true
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     var s = 0.0
     var i = 0
     while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       s += x.getFloat(i).toDouble * y.getFloat(i).toDouble
       i += 1
     }
@@ -57,11 +63,27 @@ case class FloatVecDot(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val n = ctx.freshName("n")
       val s = ctx.freshName("s")
+      // Per-element null checks are emitted only when either input type can
+      // hold nulls — embedding columns declare containsNull=false and keep
+      // the unconditioned tight loop.
+      val canHoldNulls = Seq(left, right).exists(_.dataType match {
+        case ArrayType(_, cn) => cn
+        case _ => false
+      })
+      val nullCheck =
+        if (canHoldNulls)
+          s"if ($x.isNullAt($i) || $y.isNullAt($i)) { ${ev.isNull} = true; break; }"
+        else ""
       s"""
-         |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
+         |int $n = $x.numElements();
          |double $s = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $s += ((double) $x.getFloat($i)) * ((double) $y.getFloat($i));
+         |if ($n != $y.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $nullCheck
+         |    $s += ((double) $x.getFloat($i)) * ((double) $y.getFloat($i));
+         |  }
          |}
          |${ev.value} = $s;
        """.stripMargin
@@ -76,14 +98,21 @@ case class FloatVecDot(left: Expression, right: Expression)
 object GraftFunctions {
 
   val VecDotName = "graft_vec_dot"
+  val MinHash12Name = "graft_minhash12"
 
-  /** Idempotent per-session registration (temp function). */
-  def register(spark: SparkSession): Unit =
+  /** Idempotent per-session registration (temp functions). */
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       VecDotName, exprs => FloatVecDot(exprs(0), exprs(1)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      MinHash12Name, exprs => MinHash12(exprs(0)), "scala_udf")
+  }
 
   /** Column API: resolves through the function registry. */
   def vecDot(a: Column, b: Column): Column = call_function(VecDotName, a, b)
+
+  /** All 12 seeded md5-prefix hashes of a string column (array<long>). */
+  def minhash12(in: Column): Column = call_function(MinHash12Name, in)
 }
 
 /** `SparkSessionExtensions` hook: injects the native functions at session
@@ -96,5 +125,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[FloatVecDot].getName, GraftFunctions.VecDotName),
       (exprs: Seq[Expression]) => FloatVecDot(exprs(0), exprs(1))))
+    e.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier(GraftFunctions.MinHash12Name),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[MinHash12].getName, GraftFunctions.MinHash12Name),
+      (exprs: Seq[Expression]) => MinHash12(exprs(0))))
   }
 }

@@ -91,11 +91,34 @@ object Transforms {
   def pseudonymize(df: DataFrame, cols: String*): DataFrame =
     cols.foldLeft(df)((d, c) => d.withColumn(c, sha2(col(c).cast(StringType), 256)))
 
+  /** Multi-label public suffixes (the common two-label entries of the
+   * Mozilla Public Suffix List — the ones covering the fixtures plus the
+   * high-traffic ccTLD families). A registrable domain sits one label LEFT
+   * of its public suffix, so `a@b.co.uk` → `b`, not `co`. */
+  private val PublicSuffix2: Seq[String] = Seq(
+    "co.uk", "org.uk", "ac.uk", "gov.uk", "me.uk", "net.uk",
+    "co.jp", "ne.jp", "or.jp", "ac.jp", "go.jp",
+    "com.au", "net.au", "org.au", "edu.au", "gov.au",
+    "com.br", "net.br", "org.br", "gov.br",
+    "co.in", "net.in", "org.in", "gen.in", "firm.in",
+    "co.nz", "net.nz", "org.nz", "govt.nz",
+    "co.za", "org.za", "web.za",
+    "com.cn", "net.cn", "org.cn", "gov.cn",
+    "com.mx", "org.mx", "com.ar", "com.tr", "com.sg", "com.my",
+    "co.kr", "or.kr", "co.th", "co.id", "com.hk", "com.tw")
+
   /** A3 helper: registered-domain extraction from an email address
-   * (`user@mail.example.com` → `example`). Matches `tldextract.extract().domain`
-   * for the simple `user@domain.tld` shapes in the fixtures. */
-  def emailDomain(email: Column): Column =
-    substring_index(substring_index(substring_index(email, "@", -1), ".", -2), ".", 1)
+   * (`user@mail.example.com` → `example`). Matches
+   * `tldextract.extract().domain` for single-label TLDs AND for the
+   * two-label public suffixes above (`a@b.co.uk` → `b`); suffix-only hosts
+   * degrade to the suffix's first label, as no registrable domain exists. */
+  def emailDomain(email: Column): Column = {
+    val host = substring_index(email, "@", -1)
+    val last2 = lower(substring_index(host, ".", -2))
+    when(last2.isin(PublicSuffix2: _*),
+        substring_index(substring_index(host, ".", -3), ".", 1))
+      .otherwise(substring_index(substring_index(host, ".", -2), ".", 1))
+  }
 
   /** The full E1 chain: raw Kafka-shaped rows → filtered 9-column profiles. */
   def etlSpine(raw: DataFrame, asOf: Date, minAge: Int = 18): DataFrame = {

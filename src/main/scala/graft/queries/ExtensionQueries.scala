@@ -68,8 +68,12 @@ object ExtensionQueries {
                SELECT doc_id, band, band_hash FROM bands"""),
       "MinHash signatures + LSH band hashes (md5-replayable)"),
 
+    // maxBucket is disabled here because the DuckDB oracle joins bands with
+    // no bucket cap — a bucket over the default cap would silently diverge
+    // the two sides. Production paths keep the default cap.
     "d3_lsh_pairs" -> QueryDef(
-      (s, dir) => Dedup.minhashDedupPairs(t(s, dir, "documents"), 0.5),
+      (s, dir) => Dedup.minhashDedupPairs(t(s, dir, "documents"), 0.5,
+        maxBucket = Int.MaxValue),
       Some(s"""WITH $ShinglesCte, $BandsCte,
                cands AS (
                  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
@@ -190,28 +194,37 @@ object ExtensionQueries {
                WHERE ${sqlCos("a.embedding::DOUBLE[]", "b.embedding::DOUBLE[]")} >= 0.4"""),
       "embedding-cosine near-dup pairs (cell-blocked)"),
 
-    // ---- streaming + generator (rows-only: no DuckDB analog) ----
+    // ---- streaming + generator (oracle replays the spine from the same
+    // materialized envelopes — see StreamOracle) ----
 
     // The full E1 streaming chain executed inside the gate: seeded envelopes
     // → MemoryStream-equivalent batch spine → profile rows. Deterministic
-    // (fixed seed + frozen as-of date); rows-only check.
+    // (fixed seed + frozen as-of date); Verify materializes the identical
+    // envelope stream for the DuckDB replay.
     "st1_stream_spine" -> QueryDef(
       (s, dir) => {
         import s.implicits._
-        val docs = graft.sources.EnvelopeGenerator.generate(500, seed = 42)
+        val docs = graft.sources.EnvelopeGenerator.generate(
+          StreamOracle.Count, StreamOracle.Seed)
         val raw = docs.toDF("value")
           .select(col("value").cast("binary").as("value"))
         graft.ops.Transforms.etlSpine(raw, Tables.AsOfDate)
       },
-      None,
+      Some(s"""WITH ${StreamOracle.SpineCte}
+               SELECT id, username, gender, title, age, email, inscription,
+                      full_name, full_address
+               FROM spine"""),
       "reference E1 spine over the deterministic producer stand-in"),
 
     // A3's exact dashboard shape (top-5 registered email domains) over the
-    // generated profiles — testdata tables carry no email column.
+    // generated profiles — testdata tables carry no email column. Generated
+    // domains are all simple two-label hosts, so the oracle's registered-
+    // domain extraction is the plain second-level label.
     "st2_email_topk" -> QueryDef(
       (s, dir) => {
         import s.implicits._
-        val docs = graft.sources.EnvelopeGenerator.generate(500, seed = 42)
+        val docs = graft.sources.EnvelopeGenerator.generate(
+          StreamOracle.Count, StreamOracle.Seed)
         val raw = docs.toDF("value")
           .select(col("value").cast("binary").as("value"))
         graft.ops.Transforms.etlSpine(raw, Tables.AsOfDate)
@@ -219,7 +232,12 @@ object ExtensionQueries {
           .groupBy("domain").agg(count(lit(1)).as("n"))
           .orderBy(desc("n"), asc("domain")).limit(5)
       },
-      None,
+      Some(s"""WITH ${StreamOracle.SpineCte},
+               d AS (SELECT string_split(split_part(email, '@', 2), '.') AS parts
+                     FROM spine)
+               SELECT parts[-2] AS domain, count(*) AS n
+               FROM d GROUP BY 1
+               ORDER BY n DESC, domain LIMIT 5"""),
       "top-5 email domains (tldextract-analog) on generated profiles"),
 
     // ---- text analysis ----

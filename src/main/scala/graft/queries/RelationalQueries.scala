@@ -221,7 +221,11 @@ object RelationalQueries {
     // Window starts exported as epoch micros to sidestep tz-encoding drift.
     "w3_tumbling_counts" -> QueryDef(
       (s, dir) => t(s, dir, "events")
-        .withColumn("event_ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+        // Integer division (`div`), not `/`: Spark's `/` on longs is double
+        // division, and ns-epoch magnitudes (~1.7e18) exceed double's 2^53
+        // mantissa — the truncating cast could land micros off by one and
+        // shift boundary events into the wrong window vs the exact oracle.
+        .withColumn("event_ts", timestamp_micros(expr("ts div 1000")))
         .groupBy(window(col("event_ts"), "1 hour"), col("event_type"))
         .agg(count(lit(1)).as("n"))
         .select(unix_micros(col("window.start")).as("w_start"),
@@ -255,6 +259,52 @@ object RelationalQueries {
         .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts")),
       None,
       "HLL++ approximate distinct (rows-only check)"),
+
+    // Oracle-checked companion to g6: the sketch estimate must land within
+    // 2% of the exact distinct. Spark emits (exact, within_tol); the oracle
+    // computes the exact counts and asserts `true` — the hash compare then
+    // FAILS if any group's HLL estimate drifts out of tolerance, turning
+    // sketch quality into a hard gate without requiring DuckDB to reproduce
+    // Spark's HLL++ bit-for-bit (sketches are engine-specific).
+    "g6b_approx_error" -> QueryDef(
+      (s, dir) => t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          approx_count_distinct(col("l_partkey"), 0.02).as("approx"),
+          countDistinct(col("l_partkey")).as("exact"))
+        .select(col("l_returnflag"), col("exact").as("exact_parts"),
+          (abs(col("approx") - col("exact")).cast("double") / col("exact") <= 0.02)
+            .as("within_tol")),
+      Some("""SELECT l_returnflag,
+                     count(DISTINCT l_partkey) AS exact_parts,
+                     true AS within_tol
+              FROM lineitem GROUP BY l_returnflag"""),
+      "HLL++ estimate within 2% of exact distinct (hard-checked)"),
+
+    // Salted hot-key join under the oracle gate: 80% of lineitem rows are
+    // forced onto one derived key, the salted plan (operators/Skew) runs on
+    // the Spark side, and the oracle is the PLAIN join in DuckDB — green
+    // means salting is result-identical on a genuinely skewed input.
+    "k1_salted_skew_join" -> QueryDef(
+      (s, dir) => {
+        val big = t(s, dir, "lineitem").select(
+          when(col("l_orderkey") % 10 < 8, lit(0L))
+            .otherwise(col("l_orderkey") % 25).as("skew_key"),
+          col("l_quantity"))
+        val dim = t(s, dir, "nation").select(
+          col("n_nationkey").cast("long").as("skew_key"), col("n_name"))
+        graft.operators.Skew.saltedJoin(big, dim, "skew_key", factor = 8)
+          .groupBy("n_name")
+          .agg(round(sum("l_quantity"), 2).as("sum_qty"),
+            count(lit(1)).as("n"))
+      },
+      Some("""SELECT n_name, round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+              FROM (SELECT CASE WHEN l_orderkey % 10 < 8 THEN 0
+                                ELSE l_orderkey % 25 END AS skew_key, l_quantity
+                    FROM lineitem) l
+              JOIN nation ON n_nationkey = skew_key
+              GROUP BY n_name"""),
+      "salted hot-key join == plain join on a deliberately skewed input"),
 
     // Set ops: order-placing customer keys minus event-emitting user ids.
     "set1_except" -> QueryDef(

@@ -18,9 +18,11 @@ import graft.ops.Transforms
  *     (`Real_Time_Data.py:139-160` re-reads Kafka 3× and checkpoints only
  *     one of the sinks). Here the micro-batch is persisted once, written to
  *     every sink, and the single checkpoint covers all of them.
- *  2. Every sink write is keyed/idempotent (`dropDuplicates` on the key
- *     within the batch; keyed upsert semantics downstream), so replay after
- *     failure is exactly-once per sink rather than at-least-once.
+ *  2. Every sink write is keyed and replay-idempotent: `dropDuplicates` on
+ *     the key within the batch, and (for the parquet sink) batchId-derived
+ *     dynamic partition overwrite, so a replayed batch rewrites its own
+ *     partition instead of appending a duplicate — exactly-once file
+ *     contents rather than the reference's at-least-once.
  *
  * Sources are abstracted so the same plan runs from Kafka in production and
  * from MemoryStream/file sources in tests (no network in CI).
@@ -66,12 +68,23 @@ object StreamingEtl {
   /** A named sink taking one deduplicated micro-batch. */
   final case class BatchSink(name: String, write: (DataFrame, Long) => Unit)
 
-  /** Parquet keyed sink: append with in-batch key dedup — replay-idempotent
-   * together with the WAL (a batch is either fully committed or fully
-   * re-written on restart). */
+  /** Parquet keyed sink: in-batch key dedup + batch-deterministic placement.
+   *
+   * Each micro-batch lands in its own `__batch_id=<n>` partition via dynamic
+   * partition overwrite, so replaying a batch (crash after a partial OR
+   * complete write, before the checkpoint commit) overwrites exactly that
+   * batch's partition instead of appending a second copy — a plain
+   * `mode("append")` here would only be at-least-once, since foreachBatch
+   * has no sink-side commit protocol of its own. Idempotent replay +
+   * checkpointed offsets = exactly-once file contents. */
   def parquetKeyedSink(path: String, key: String = "id"): BatchSink =
-    BatchSink(s"parquet:$path", (batch, _) =>
-      batch.dropDuplicates(key).write.mode("append").parquet(path))
+    BatchSink(s"parquet:$path", (batch, batchId) =>
+      batch.dropDuplicates(key)
+        .withColumn("__batch_id", org.apache.spark.sql.functions.lit(batchId))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("__batch_id")
+        .parquet(path))
 
   /** Console sink (reference K4). */
   def consoleSink(rows: Int = 20): BatchSink =

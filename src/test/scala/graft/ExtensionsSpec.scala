@@ -47,6 +47,29 @@ class ExtensionsSpec extends SparkTestBase {
     assert(!cands.contains((1L, 2L)))  // df=8 > maxDf
   }
 
+  test("capped cells: degenerate one-cell corpus stays bounded") {
+    // 60 vectors all sharing one cell; cap 10 -> exactly C(10,2)=45 scored
+    // pairs survive (deterministic hash-ordered truncation), not C(60,2).
+    val vecs = (0 until 60)
+      .map(i => (i.toLong, Array(1f, i.toFloat), "one"))
+      .toDF("vec_id", "embedding", "label")
+    val out = Similarity.cosineDedupPairs(vecs, "label", -1.0, maxCell = 10)
+    assert(out.count() == 45)
+    val uncapped = Similarity.cosineDedupPairs(vecs, "label", -1.0)
+    assert(uncapped.count() == 60L * 59 / 2)
+  }
+
+  test("knnCell cap bounds per-cell candidates but keeps k results") {
+    val vecs = (0 until 50)
+      .map(i => (i.toLong, Array(1f, i.toFloat), "one"))
+      .toDF("vec_id", "embedding", "label")
+    val out = Similarity.knnCell(
+      vecs.filter($"vec_id" === 0), vecs, "label", k = 3, maxCell = 20)
+    val rows = out.select("n_id").as[Long].collect()
+    assert(rows.length == 3)        // still k neighbors
+    assert(rows.forall(_ != 0L))    // self excluded
+  }
+
   test("knnBrute ranks the exact nearest first with deterministic ties") {
     val vecs = Seq(
       (0L, Array(1f, 0f, 0f)),

@@ -26,6 +26,36 @@ class MultimodalSpec extends SparkTestBase {
     assert(out.map(_.embedding.toSeq).toSet == again.map(_.embedding.toSeq).toSet)
   }
 
+  test("JdkImageCodec decodes a real PNG to its true dimensions") {
+    // Encode an actual 24x10 PNG in-memory: left half black, right half white.
+    val img = new java.awt.image.BufferedImage(
+      24, 10, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 10; x <- 0 until 24)
+      img.setRGB(x, y, if (x < 12) 0x000000 else 0xffffff)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val rec = MediaRecord(9L, "image", bos.toByteArray,
+      width = 24, height = 10, sample_rate = 0, duration_ms = 0)
+
+    val out = Multimodal.imageFeatures(
+      Seq(rec).toDS(), Multimodal.JdkImageCodec).collect()
+    assert(out.length == 1)
+    val f = out.head
+    assert(f.width == 24 && f.height == 10)  // REAL decoded dims, not stored
+    assert(f.embedding.length == 8)
+    // Quadrant luma: left quadrants black (0), right quadrants white (1).
+    assert(f.embedding(0) == 0.0f && f.embedding(2) == 0.0f)
+    assert(f.embedding(1) == 1.0f && f.embedding(3) == 1.0f)
+    assert(math.abs(f.embedding(7) - 2.4f) < 1e-6)  // aspect 24/10
+  }
+
+  test("JdkImageCodec falls back deterministically on undecodable payloads") {
+    val junk = Array.tabulate[Byte](64)(i => i.toByte)
+    val a = Multimodal.JdkImageCodec.decodeImage(junk)
+    val b = Multimodal.FakeCodec.decodeImage(junk)
+    assert(a._1 == b._1 && a._2 == b._2 && a._3.toSeq == b._3.toSeq)
+  }
+
   test("audio features: windows counted from duration, mean-pooled embedding") {
     val out = Multimodal.audioFeatures(ds, windowMs = 1000).collect()
     assert(out.length == 1)

@@ -85,4 +85,16 @@ class TransformsSpec extends SparkTestBase {
       .toDF("email").select(Transforms.emailDomain($"email").as("d"))
     assert(df.as[String].collect().toSeq == Seq("example", "example", "plain"))
   }
+
+  test("emailDomain honors two-label public suffixes (tldextract parity)") {
+    val cases = Seq(
+      "a@b.co.uk" -> "b",            // PSL two-label suffix
+      "a@sub.b.co.uk" -> "b",        // subdomain under PSL suffix
+      "a@b.com.au" -> "b",
+      "a@co.example.com" -> "example", // 'co' as an ordinary label
+      "a@b.io" -> "b")
+    val df = cases.map(_._1).toDF("email")
+      .select(Transforms.emailDomain($"email").as("d"))
+    assert(df.as[String].collect().toSeq == cases.map(_._2))
+  }
 }
