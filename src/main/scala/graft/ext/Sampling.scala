@@ -1,0 +1,67 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Deterministic corpus splitting, sampling and sequence packing for a
+ * training-data pipeline.
+ *
+ * Everything keys off a content-independent md5 bucket of the document id:
+ * the assignment is stable across runs, engines and cluster layouts (no
+ * `rand()`, no partition-index dependence), so train/val/test membership is
+ * reproducible and leakage-auditable — and the DuckDB oracle can replay the
+ * identical arithmetic. The md5-prefix bucket is the same construction the
+ * MinHash pipeline uses (`('0x'||substr(md5(x),1,8))::BIGINT` on the SQL
+ * side).
+ */
+object Sampling {
+
+  val Buckets = 100
+
+  /** Stable bucket in [0, Buckets): md5-prefix hash of the id, mod 100. */
+  def hashBucket(id: Column, salt: String = "split"): Column =
+    pmod(conv(substring(md5(concat(lit(s"$salt:"), id.cast("string"))), 1, 8),
+      16, 10).cast("long"), lit(Buckets.toLong))
+
+  /** Deterministic train/val/test split: bucket < trainPct → train,
+   * < trainPct+valPct → val, else test. A pure narrow projection — no
+   * shuffle, no state, assignment survives any repartitioning. */
+  def hashSplit(df: DataFrame, idCol: String,
+      trainPct: Int = 80, valPct: Int = 10): DataFrame = {
+    val b = hashBucket(col(idCol))
+    df.withColumn("split",
+      when(b < trainPct, "train")
+        .when(b < trainPct + valPct, "val")
+        .otherwise("test"))
+  }
+
+  /** Deterministic fractional sample: keep ids whose bucket falls below
+   * `pct` — the same rows every run, on any cluster. */
+  def hashSample(df: DataFrame, idCol: String, pct: Int): DataFrame =
+    df.filter(hashBucket(col(idCol), salt = "sample") < pct)
+
+  /** Sequence packing: assign documents to fixed-token-budget packs — the
+   * contiguous-fill approximation of bin packing used when concatenating
+   * documents into training sequences.
+   *
+   * Scale shape: a global greedy pack is inherently serial, so documents are
+   * first scattered into `Buckets` independent streams by the stable hash
+   * bucket, and packing runs per bucket (window partitioned by bucket,
+   * ordered by id) — each bucket is a bounded, deterministic unit of work
+   * and packs are identified by (bucket, pack_id). The exclusive running sum
+   * of token counts divided by the budget yields the pack index; a document
+   * larger than the budget still lands in its own pack(s) boundary. */
+  def packSequences(df: DataFrame, idCol: String, tokenCol: String,
+      budget: Int): DataFrame = {
+    val bucket = hashBucket(col(idCol), salt = "pack")
+    val w = Window.partitionBy("bucket").orderBy(idCol)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.withColumn("bucket", bucket)
+      .withColumn("__cum_excl",
+        coalesce(sum(col(tokenCol).cast("long")).over(w), lit(0L)))
+      .withColumn("pack_id", expr(s"__cum_excl div $budget"))
+      .drop("__cum_excl")
+  }
+}

@@ -61,4 +61,20 @@ object TextAnalysis {
    * text — the exact-dedup key that survives formatting noise. */
   def fingerprint(text: Column): Column =
     md5(regexp_replace(lower(text), "\\s+", " "))
+
+  /** PII patterns shared by the Spark plan and the oracle SQL. */
+  val EmailRe = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+  val LongNumberRe = "[0-9]{4,}"
+
+  /** PII scrubbing: emails and long digit runs become typed placeholder
+   * tokens — the standard pre-training redaction pass. Pure replace-all
+   * `regexp_replace` composition, stays in WholeStageCodegen. */
+  def scrubPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(text, EmailRe, "<EMAIL>"),
+      LongNumberRe, "<NUM>")
+
+  /** Redaction count for audit columns (emails + long digit runs). */
+  def piiCount(text: Column): Column =
+    regexp_count(text, lit(EmailRe)) + regexp_count(text, lit(LongNumberRe))
 }

@@ -51,6 +51,30 @@ object ExtensionQueries {
   private def sqlCos(a: String, b: String): String =
     s"round(list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b))), 4)"
 
+  /** Shared CTE chain ending in `lsh_pairs` (the verified near-dup pairs at
+   * Jaccard >= 0.5) — the d3 result, reused by the cluster queries d6/d7. */
+  private val LshPairsCtes: String =
+    s"""$ShinglesCte, $BandsCte,
+        cands AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM bands a JOIN bands b
+            ON a.band = b.band AND a.band_hash = b.band_hash
+           AND a.doc_id < b.doc_id),
+        sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        inter AS (
+          SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+          FROM cands c
+          JOIN sh sa ON sa.doc_id = c.doc_a
+          JOIN sh sb ON sb.doc_id = c.doc_b AND sb.sh = sa.sh
+          GROUP BY 1, 2),
+        lsh_pairs AS (
+          SELECT i.doc_a, i.doc_b,
+                 round(CAST(n_inter AS DOUBLE) / (na.n + nb.n - n_inter), 4) AS jac
+          FROM inter i
+          JOIN sizes na ON na.doc_id = i.doc_a
+          JOIN sizes nb ON nb.doc_id = i.doc_b
+          WHERE round(CAST(n_inter AS DOUBLE) / (na.n + nb.n - n_inter), 4) >= 0.5)"""
+
   val defs: Map[String, QueryDef] = Map(
 
     // ---- deduplication ----
@@ -74,31 +98,62 @@ object ExtensionQueries {
     "d3_lsh_pairs" -> QueryDef(
       (s, dir) => Dedup.minhashDedupPairs(t(s, dir, "documents"), 0.5,
         maxBucket = Int.MaxValue),
-      Some(s"""WITH $ShinglesCte, $BandsCte,
-               cands AS (
-                 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-                 FROM bands a JOIN bands b
-                   ON a.band = b.band AND a.band_hash = b.band_hash
-                  AND a.doc_id < b.doc_id),
-               sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-               inter AS (
-                 SELECT c.doc_a, c.doc_b, count(*) AS n_inter
-                 FROM cands c
-                 JOIN sh sa ON sa.doc_id = c.doc_a
-                 JOIN sh sb ON sb.doc_id = c.doc_b AND sb.sh = sa.sh
-                 GROUP BY 1, 2)
-               SELECT i.doc_a, i.doc_b,
-                      round(CAST(n_inter AS DOUBLE) / (na.n + nb.n - n_inter), 4) AS jac
-               FROM inter i
-               JOIN sizes na ON na.doc_id = i.doc_a
-               JOIN sizes nb ON nb.doc_id = i.doc_b
-               WHERE round(CAST(n_inter AS DOUBLE) / (na.n + nb.n - n_inter), 4) >= 0.5"""),
+      Some(s"""WITH $LshPairsCtes
+               SELECT doc_a, doc_b, jac FROM lsh_pairs"""),
       "MinHash-LSH candidates verified at Jaccard >= 0.5"),
+
+    // Connected components over the verified near-dup pairs: each doc gets
+    // the min doc_id of its component (the canonical keeper) — iterative
+    // min-label propagation on the Spark side, transitive-closure recursive
+    // CTE in the oracle. Both converge to the same labeling.
+    "d6_dup_clusters" -> QueryDef(
+      (s, dir) => Dedup.dupClusters(
+        Dedup.minhashDedupPairs(t(s, dir, "documents"), 0.5,
+          maxBucket = Int.MaxValue).select("doc_a", "doc_b")),
+      Some(s"""WITH RECURSIVE $LshPairsCtes,
+               edges AS (
+                 SELECT doc_a AS src, doc_b AS dst FROM lsh_pairs
+                 UNION ALL
+                 SELECT doc_b, doc_a FROM lsh_pairs),
+               reach(src, dst) AS (
+                 SELECT src, dst FROM edges
+                 UNION
+                 SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
+               SELECT src AS doc_id, least(src, min(dst)) AS cluster
+               FROM reach GROUP BY src"""),
+      "near-dup cluster assignment (connected components, min-label keeper)"),
+
+    // Apply the dedup: documents surviving near-dup removal = every cluster
+    // keeper plus every unpaired doc.
+    "d7_dedup_apply" -> QueryDef(
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val pairs = Dedup.minhashDedupPairs(docs, 0.5, maxBucket = Int.MaxValue)
+          .select("doc_a", "doc_b")
+        Dedup.dedupSurvivors(docs, Dedup.dupClusters(pairs))
+      },
+      Some(s"""WITH RECURSIVE $LshPairsCtes,
+               edges AS (
+                 SELECT doc_a AS src, doc_b AS dst FROM lsh_pairs
+                 UNION ALL
+                 SELECT doc_b, doc_a FROM lsh_pairs),
+               reach(src, dst) AS (
+                 SELECT src, dst FROM edges
+                 UNION
+                 SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+               clusters AS (
+                 SELECT src AS doc_id, least(src, min(dst)) AS cluster
+                 FROM reach GROUP BY src)
+               SELECT doc_id FROM documents
+               WHERE doc_id NOT IN
+                 (SELECT doc_id FROM clusters WHERE doc_id <> cluster)"""),
+      "documents surviving near-dup removal (keepers + unpaired)"),
 
     "d4_ngram_jaccard" -> QueryDef(
       (s, dir) => {
         val docs = t(s, dir, "documents")
         val sh = Dedup.shingles(docs).persist()
+        sh.count()  // materialization barrier (see Dedup.minhashDedupPairs)
         Dedup.jaccard(Dedup.rareShingleCandidates(sh, maxDf = 5), sh)
           .filter(col("jac") >= 0.3)
       },
@@ -300,5 +355,55 @@ object ExtensionQueries {
       Some("""SELECT doc_id,
                      md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp
               FROM documents"""),
-      "normalized md5 document fingerprint"))
+      "normalized md5 document fingerprint"),
+
+    "t5_pii_scrub" -> QueryDef(
+      (s, dir) => t(s, dir, "documents").select(
+        col("doc_id"),
+        md5(TextAnalysis.scrubPii(col("text"))).as("scrub_fp"),
+        TextAnalysis.piiCount(col("text")).as("n_pii")),
+      Some(s"""SELECT doc_id,
+                      md5(regexp_replace(regexp_replace(text,
+                            '${TextAnalysis.EmailRe}', '<EMAIL>', 'g'),
+                          '${TextAnalysis.LongNumberRe}', '<NUM>', 'g')) AS scrub_fp,
+                      CAST(len(regexp_extract_all(text, '${TextAnalysis.EmailRe}'))
+                         + len(regexp_extract_all(text, '${TextAnalysis.LongNumberRe}'))
+                        AS INTEGER) AS n_pii
+               FROM documents"""),
+      "PII scrubbing: emails + long digit runs -> placeholder tokens"),
+
+    // ---- deterministic splitting / sampling / packing ----
+
+    "sp1_hash_split" -> QueryDef(
+      (s, dir) => graft.ext.Sampling.hashSplit(
+        t(s, dir, "documents").select("doc_id"), "doc_id"),
+      Some("""SELECT doc_id,
+                     CASE WHEN b < 80 THEN 'train'
+                          WHEN b < 90 THEN 'val'
+                          ELSE 'test' END AS split
+              FROM (SELECT doc_id,
+                           ('0x' || substr(md5('split:' || doc_id::VARCHAR), 1, 8))::BIGINT % 100 AS b
+                    FROM documents)"""),
+      "deterministic md5-bucket train/val/test split"),
+
+    "sp2_seq_pack" -> QueryDef(
+      (s, dir) => graft.ext.Sampling.packSequences(
+        t(s, dir, "documents").select(col("doc_id"),
+          TextAnalysis.wsTokenCount(col("text")).as("n_tokens")),
+        "doc_id", "n_tokens", budget = 512),
+      Some("""WITH d AS (
+                SELECT doc_id,
+                       CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+                       ('0x' || substr(md5('pack:' || doc_id::VARCHAR), 1, 8))::BIGINT % 100 AS bucket
+                FROM documents),
+              c AS (
+                SELECT doc_id, n_tokens, bucket,
+                       coalesce(sum(CAST(n_tokens AS BIGINT)) OVER (
+                         PARTITION BY bucket ORDER BY doc_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+                FROM d)
+              SELECT doc_id, n_tokens, bucket,
+                     CAST(cum // 512 AS BIGINT) AS pack_id
+              FROM c"""),
+      "token-budget sequence packing (per-bucket contiguous fill)"))
 }

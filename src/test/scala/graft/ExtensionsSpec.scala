@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.ext.{Dedup, Similarity, TextAnalysis}
+import graft.ext.{Dedup, Sampling, Similarity, TextAnalysis}
 
 /** Behavior tests for the training-data extensions on crafted micro-fixtures
  * (the DuckDB oracle gate covers value-level parity on the real tables). */
@@ -45,6 +45,49 @@ class ExtensionsSpec extends SparkTestBase {
       .as[(Long, Long)].collect().toSet
     assert(cands.contains((10L, 11L)))
     assert(!cands.contains((1L, 2L)))  // df=8 > maxDf
+  }
+
+  test("dupClusters: min-label over transitive pairs") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("doc_a", "doc_b")
+    val m = Dedup.dupClusters(pairs).as[(Long, Long)].collect().toMap
+    assert(m == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
+  test("dedupSurvivors keeps cluster keepers and unpaired docs") {
+    val d = docs((1L, "a"), (2L, "b"), (3L, "c"), (10L, "d"), (11L, "e"), (99L, "f"))
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("doc_a", "doc_b")
+    val surv = Dedup.dedupSurvivors(d, Dedup.dupClusters(pairs))
+      .as[Long].collect().toSet
+    assert(surv == Set(1L, 10L, 99L))
+  }
+
+  test("hashSplit: deterministic assignment, roughly 80/10/10") {
+    val df = (1 to 1000).map(_.toLong).toDF("doc_id")
+    val counts = Sampling.hashSplit(df, "doc_id")
+      .groupBy("split").count().as[(String, Long)].collect().toMap
+    assert(counts("train") > 700 && counts("train") < 900)
+    assert(counts.values.sum == 1000)
+    val a = Sampling.hashSplit(df, "doc_id").collect().map(_.toSeq).toSet
+    val b = Sampling.hashSplit(df, "doc_id").collect().map(_.toSeq).toSet
+    assert(a == b)
+  }
+
+  test("packSequences: per-(bucket,pack) token sum bounded by budget + one doc") {
+    val df = (1 to 500).map(i => (i.toLong, 100)).toDF("doc_id", "n_tokens")
+    val sums = Sampling.packSequences(df, "doc_id", "n_tokens", budget = 512)
+      .groupBy("bucket", "pack_id").agg(sum("n_tokens").as("s"))
+      .as[(Long, Long, Long)].collect()
+    assert(sums.nonEmpty)
+    assert(sums.forall(_._3 <= 512 + 100))
+  }
+
+  test("scrubPii replaces emails and long digit runs") {
+    val d = Seq((1L, "mail me at jo.doe@corp.co.uk or call 0612345678 ref 123"))
+      .toDF("doc_id", "text")
+    val out = d.select(TextAnalysis.scrubPii($"text")).as[String].first()
+    assert(out == "mail me at <EMAIL> or call <NUM> ref 123")
+    val n = d.select(TextAnalysis.piiCount($"text")).as[Int].first()
+    assert(n == 2)
   }
 
   test("capped cells: degenerate one-cell corpus stays bounded") {
