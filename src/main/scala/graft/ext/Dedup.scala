@@ -52,13 +52,23 @@ object Dedup {
    * each doc's rows for the downstream per-doc aggregations. */
   def shingles(docs: DataFrame): DataFrame = {
     val w = split(col("text"), " ")
-    val idx = sequence(lit(0), size(w) - ShingleWidth)
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos")
+    // Shingles assemble via posexplode + window lead, NOT
+    // transform/element_at over the token array: higher-order functions
+    // evaluate interpreted (ArrayTransform has no codegen), while
+    // posexplode/lead/concat_ws all stay inside WholeStageCodegen. The
+    // window's partitioning is the doc_id repartition above, so no extra
+    // shuffle — only a per-partition sort by (doc_id, pos).
     docs
       .filter(size(w) >= ShingleWidth)
       .repartition(col("doc_id"))
+      .select(col("doc_id"), posexplode(w).as(Seq("pos", "w0")))
+      .withColumn("w1", lead("w0", 1).over(win))
+      .withColumn("w2", lead("w0", 2).over(win))
+      .filter(col("w2").isNotNull)
       .select(col("doc_id"),
-        explode(transform(idx, i => concat_ws(" ",
-          element_at(w, i + 1), element_at(w, i + 2), element_at(w, i + 3)))).as("sh"))
+        concat_ws(" ", col("w0"), col("w1"), col("w2")).as("sh"))
       .distinct()
   }
 
@@ -208,34 +218,51 @@ object Dedup {
    * pathological chains). Each round's result is persisted and the previous
    * round freed — at cluster scale these are the checkpoints. Only docs that
    * appear in a pair are emitted. */
-  def dupClusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+  def dupClusters(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
+    // Iteration state lives in eager localCheckpoints, NOT persist():
+    // persist/unpersist per round churns the shared CacheManager (every
+    // unpersist re-plans all dependent cache entries, so each successive
+    // call gets slower) and leaves the lineage growing one join deeper per
+    // round (planning cost per round grows with it). localCheckpoint
+    // truncates the lineage and keeps the round state out of the cache
+    // registry; on a cluster you'd use reliable checkpoints for fault
+    // tolerance — same shape.
     val edges = pairs
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      .persist()
+      .localCheckpoint()
     var labels = edges.groupBy("src").agg(min("dst").as("m"))
       .select(col("src").as("doc_id"), least(col("src"), col("m")).as("cluster"))
-      .persist()
+      .localCheckpoint()
+    // Labels only decrease, so an unchanged label sum == converged labeling.
     def labelSum(df: DataFrame): Long =
       df.agg(coalesce(sum("cluster"), lit(0L))).first().getLong(0)
     var prev = labelSum(labels)
     var it = 0
     var converged = false
     while (it < maxIter && !converged) {
+      // One neighbor-propagation hop + one pointer jump (follow the
+      // label's own label) per round: the hop alone moves the component
+      // minimum one edge per round (rounds = eccentricity — a 100-link
+      // chain needs 100 rounds); the jump doubles the distance covered,
+      // giving O(log diameter) convergence like large-star/small-star.
       val prop = edges
         .join(labels.withColumnRenamed("doc_id", "dst"), "dst")
         .select(col("src").as("doc_id"), col("cluster"))
-      val next = labels.union(prop)
+      val hop = labels.union(prop)
         .groupBy("doc_id").agg(min("cluster").as("cluster"))
-        .persist()
+      val next = hop
+        .join(hop.toDF("cluster", "cluster2"), Seq("cluster"), "left")
+        .select(col("doc_id"),
+          least(col("cluster"), coalesce(col("cluster2"), col("cluster")))
+            .as("cluster"))
+        .localCheckpoint()
       val s = labelSum(next)
-      labels.unpersist()
       labels = next
       converged = s == prev
       prev = s
       it += 1
     }
-    edges.unpersist()
     labels
   }
 

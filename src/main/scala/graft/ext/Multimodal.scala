@@ -8,13 +8,14 @@ import org.apache.spark.sql.functions._
  * plus typed metadata, processed batch-wise in executors.
  *
  * The Spark-side plumbing is real and tested — schema, partitioning, the
- * per-partition batch loop, output shapes. IMAGE decode is real: the
- * `JdkImageCodec` below reads PNG/BMP/GIF/JPEG through the JDK's built-in
- * `javax.imageio` (zero external dependencies). Audio/video decode remains
- * STUBBED with a deterministic fake (`FakeCodec` — this container ships no
- * audio/video libraries): all "decoded" values derive from the payload
- * bytes alone, so tests are exact and reproducible. Swap the codec seam for
- * JavaCV/ffmpeg-cli in production — the dataflow does not change.
+ * per-partition batch loop, output shapes. IMAGE decode is real (`JdkCodec`
+ * reads PNG/BMP/GIF/JPEG through the JDK's built-in `javax.imageio`) and so
+ * is AUDIO decode for WAV/PCM (`javax.sound.sampled`) — both zero external
+ * dependencies. VIDEO decode remains STUBBED with a deterministic fake
+ * (`FakeCodec` — no video libraries in this container): its "decoded"
+ * values derive from the payload bytes alone, so tests stay exact and
+ * reproducible. Swap the codec seam for JavaCV/ffmpeg-cli in production —
+ * the dataflow does not change.
  *
  * Scale posture: payloads never pass through a shuffle (decode/feature ops
  * are narrow mapPartitions); partition sizing is byte-based (`maxRecordsPer
@@ -81,15 +82,15 @@ object Multimodal {
     }
   }
 
-  /** Real image decode on the JDK's built-in `javax.imageio` readers
-   * (PNG/BMP/GIF/JPEG — no external libraries): actual pixel dimensions and
-   * a deterministic 8-dim pixel-statistics embedding (2×2 quadrant mean
-   * luma, global mean R/G/B, aspect ratio). Pixels are sampled on a bounded
-   * stride so decode feature cost is O(4096) samples regardless of image
-   * size. Payloads imageio cannot parse fall back to the deterministic fake
-   * (keeps the plumbing total); audio/video stay on the fake codec — the
-   * container ships no media libraries for those (declared stub). */
-  object JdkImageCodec extends Codec {
+  /** Real decode on JDK built-ins only. Images: `javax.imageio`
+   * (PNG/BMP/GIF/JPEG) — actual pixel dimensions and a deterministic 8-dim
+   * pixel-statistics embedding (2×2 quadrant mean luma, global mean R/G/B,
+   * aspect ratio), pixels sampled on a bounded stride so feature cost is
+   * O(4096) samples regardless of image size. Audio: `javax.sound.sampled`
+   * (WAV/PCM) — see decodeAudioWindows. Unparseable payloads fall back to
+   * the deterministic fake (keeps the plumbing total); video stays on the
+   * fake codec (no video libraries in this container — declared stub). */
+  object JdkCodec extends Codec {
     def decodeImage(payload: Array[Byte]): (Int, Int, Array[Float]) = {
       val img =
         try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
@@ -132,8 +133,60 @@ object Multimodal {
       }
     }
 
-    def decodeAudioWindows(payload: Array[Byte], windowMs: Int, durationMs: Long): Array[Array[Float]] =
-      FakeCodec.decodeAudioWindows(payload, windowMs, durationMs)
+    /** Real WAV/PCM decode through the JDK's built-in `javax.sound.sampled`
+     * (no external libraries): frames are windowed at `windowMs` and each
+     * window reduces to an 8-dim deterministic feature (RMS, mean |amp|,
+     * peak, zero-crossing rate, and 4 coarse quarter-window RMS values).
+     * Non-WAV payloads fall back to the deterministic fake. */
+    def decodeAudioWindows(payload: Array[Byte], windowMs: Int, durationMs: Long): Array[Array[Float]] = {
+      val stream =
+        try javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(payload))
+        catch {
+          case _: javax.sound.sampled.UnsupportedAudioFileException => null
+          case _: java.io.IOException => null
+        }
+      if (stream == null) FakeCodec.decodeAudioWindows(payload, windowMs, durationMs)
+      else {
+        val fmt = stream.getFormat
+        val bytesPerSample = math.max(1, fmt.getSampleSizeInBits / 8)
+        val channels = fmt.getChannels
+        val raw = stream.readAllBytes()
+        val n = raw.length / (bytesPerSample * channels)
+        // Mono-mix to normalized doubles (16-bit little-endian PCM, the
+        // canonical WAV layout; 8-bit unsigned handled too).
+        val samples = new Array[Double](n)
+        var i = 0
+        while (i < n) {
+          var acc = 0.0
+          var c = 0
+          while (c < channels) {
+            val off = (i * channels + c) * bytesPerSample
+            val v =
+              if (bytesPerSample >= 2)
+                ((raw(off + 1) << 8) | (raw(off) & 0xff)).toShort / 32768.0
+              else ((raw(off) & 0xff) - 128) / 128.0
+            acc += v
+            c += 1
+          }
+          samples(i) = acc / channels
+          i += 1
+        }
+        val perWindow = math.max(1, (fmt.getSampleRate * windowMs / 1000).toInt)
+        samples.grouped(perWindow).map { w =>
+          val len = w.length
+          val rms = math.sqrt(w.map(x => x * x).sum / len)
+          val meanAbs = w.map(math.abs).sum / len
+          val peak = w.map(math.abs).max
+          val zcr = w.sliding(2).count(p => p.length == 2 && p(0) * p(1) < 0).toDouble / len
+          val q = w.grouped(math.max(1, len / 4)).take(4)
+            .map(g => math.sqrt(g.map(x => x * x).sum / g.length)).toArray
+          val quads = Array.tabulate(4)(k => if (k < q.length) q(k) else 0.0)
+          Array(rms.toFloat, meanAbs.toFloat, peak.toFloat, zcr.toFloat,
+            quads(0).toFloat, quads(1).toFloat, quads(2).toFloat, quads(3).toFloat)
+        }.toArray
+      }
+    }
 
     def extractFrame(payload: Array[Byte], tsMs: Long): Array[Byte] =
       FakeCodec.extractFrame(payload, tsMs)

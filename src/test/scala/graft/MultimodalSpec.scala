@@ -26,7 +26,7 @@ class MultimodalSpec extends SparkTestBase {
     assert(out.map(_.embedding.toSeq).toSet == again.map(_.embedding.toSeq).toSet)
   }
 
-  test("JdkImageCodec decodes a real PNG to its true dimensions") {
+  test("JdkCodec decodes a real PNG to its true dimensions") {
     // Encode an actual 24x10 PNG in-memory: left half black, right half white.
     val img = new java.awt.image.BufferedImage(
       24, 10, java.awt.image.BufferedImage.TYPE_INT_RGB)
@@ -38,7 +38,7 @@ class MultimodalSpec extends SparkTestBase {
       width = 24, height = 10, sample_rate = 0, duration_ms = 0)
 
     val out = Multimodal.imageFeatures(
-      Seq(rec).toDS(), Multimodal.JdkImageCodec).collect()
+      Seq(rec).toDS(), Multimodal.JdkCodec).collect()
     assert(out.length == 1)
     val f = out.head
     assert(f.width == 24 && f.height == 10)  // REAL decoded dims, not stored
@@ -49,11 +49,36 @@ class MultimodalSpec extends SparkTestBase {
     assert(math.abs(f.embedding(7) - 2.4f) < 1e-6)  // aspect 24/10
   }
 
-  test("JdkImageCodec falls back deterministically on undecodable payloads") {
+  test("JdkCodec falls back deterministically on undecodable payloads") {
     val junk = Array.tabulate[Byte](64)(i => i.toByte)
-    val a = Multimodal.JdkImageCodec.decodeImage(junk)
+    val a = Multimodal.JdkCodec.decodeImage(junk)
     val b = Multimodal.FakeCodec.decodeImage(junk)
     assert(a._1 == b._1 && a._2 == b._2 && a._3.toSeq == b._3.toSeq)
+  }
+
+  test("JdkCodec decodes a real WAV: window count and RMS from actual samples") {
+    // Synthesize 1 second of 8 kHz 16-bit mono: constant amplitude 0.5.
+    val rate = 8000f
+    val fmt = new javax.sound.sampled.AudioFormat(rate, 16, 1, true, false)
+    val pcm = new Array[Byte](8000 * 2)
+    val amp = (0.5 * 32767).toInt
+    for (i <- 0 until 8000) {
+      val v = if (i % 2 == 0) amp else -amp  // square wave, |x| = 0.5
+      pcm(2 * i) = (v & 0xff).toByte
+      pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
+    }
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, 8000)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+
+    val wins = Multimodal.JdkCodec.decodeAudioWindows(
+      bos.toByteArray, windowMs = 250, durationMs = 1000)
+    assert(wins.length == 4)                      // 1s / 250ms windows
+    assert(wins.forall(_.length == 8))
+    assert(wins.forall(w => math.abs(w(0) - 0.5f) < 0.01f))  // true RMS
+    assert(wins.forall(w => w(3) > 0.9f))         // square wave: ~every step crosses
   }
 
   test("audio features: windows counted from duration, mean-pooled embedding") {
