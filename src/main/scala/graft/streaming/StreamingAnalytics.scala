@@ -42,6 +42,31 @@ object StreamingAnalytics {
     df.withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
 
+  /** Watermarked stream-stream inner join: action events enriched with the
+   * user's profile-change events from the preceding `joinWindow`.
+   *
+   * Both sides are watermarked AND the join carries an event-time range
+   * predicate — the two conditions that let Spark bound buffered state on
+   * both sides and emit/evict deterministically. A stream-stream join
+   * without the range predicate buffers one side forever; this is the
+   * canonical bounded-state enrichment shape. */
+  def enrichWithProfiles(
+      actions: DataFrame,   // user_id, ts (timestamp), event_type
+      profiles: DataFrame,  // user_id, p_ts (timestamp), tier
+      watermark: String = "10 minutes",
+      joinWindow: String = "1 hour"): DataFrame = {
+    val a = actions.withWatermark("ts", watermark)
+    val p = profiles.withWatermark("p_ts", watermark)
+    a.join(p,
+      a("user_id") === p("user_id") &&
+        p("p_ts") <= a("ts") &&
+        p("p_ts") >= a("ts") - expr(s"INTERVAL '$joinWindow'"))
+      .select(a("user_id"), a("ts"), a("event_type"), p("p_ts"), p("tier"))
+  }
+
+  final case class ActionEvent(user_id: Long, ts: Timestamp, event_type: String)
+  final case class ProfileEvent(user_id: Long, p_ts: Timestamp, tier: String)
+
   // ---- custom state: session tracking via flatMapGroupsWithState ----
 
   final case class SessionEvent(user_id: Long, ts: Timestamp, event_type: String)

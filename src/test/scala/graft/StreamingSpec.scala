@@ -95,6 +95,30 @@ class StreamingSpec extends SparkTestBase {
     assert(rows.contains(("view", 1L, 5.0)))
   }
 
+  test("stream-stream join enriches actions with in-window profiles only") {
+    implicit val sqlCtx = spark.sqlContext
+    val actions = MemoryStream[StreamingAnalytics.ActionEvent]
+    val profiles = MemoryStream[StreamingAnalytics.ProfileEvent]
+    val joined = StreamingAnalytics.enrichWithProfiles(
+      actions.toDF(), profiles.toDF(),
+      watermark = "10 minutes", joinWindow = "1 hour")
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("ss_join_out").start()
+
+    def t(h: Int, m: Int) = Timestamp.valueOf(f"2026-01-01 $h%02d:$m%02d:00")
+    profiles.addData(
+      StreamingAnalytics.ProfileEvent(1L, t(9, 30), "gold"),   // in window
+      StreamingAnalytics.ProfileEvent(1L, t(8, 0), "bronze"),  // too old
+      StreamingAnalytics.ProfileEvent(2L, t(9, 45), "silver")) // other user
+    actions.addData(StreamingAnalytics.ActionEvent(1L, t(10, 0), "click"))
+    q.processAllAvailable()
+    q.stop()
+
+    val rows = spark.table("ss_join_out")
+      .select($"user_id", $"tier").as[(Long, String)].collect().toSet
+    assert(rows == Set((1L, "gold")))  // bronze outside window, silver other key
+  }
+
   test("dropDuplicatesWithinWatermark suppresses in-horizon repeats") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Timestamp, String)]
