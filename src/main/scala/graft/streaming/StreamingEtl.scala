@@ -65,6 +65,21 @@ object StreamingEtl {
         Transforms.explodeResults(
           Transforms.parseEnvelope(raw)), asOf), minAge)
 
+  /** Cost-free pipeline observability: per-batch row count, null-key count
+   * and age bounds collected map-side by `observe` (AccumulatorV2 under the
+   * hood — no extra pass over the data, no action). In streaming they
+   * surface in `StreamingQueryProgress.observedMetrics("spine_metrics")`;
+   * in batch via a `QueryExecutionListener`. The operational substitute for
+   * the reference's print-and-eyeball monitoring. */
+  def observedProfiles(profiles: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    profiles.observe("spine_metrics",
+      count(lit(1)).as("n_rows"),
+      sum(when(col("id").isNull, 1L).otherwise(0L)).as("n_null_id"),
+      min("age").as("min_age"),
+      max("age").as("max_age"))
+  }
+
   /** A named sink taking one deduplicated micro-batch. */
   final case class BatchSink(name: String, write: (DataFrame, Long) => Unit)
 

@@ -95,6 +95,30 @@ class StreamingSpec extends SparkTestBase {
     assert(rows.contains(("view", 1L, 5.0)))
   }
 
+  test("observe metrics surface per-batch spine counts without an extra pass") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[String]
+    val cp = Files.createTempDirectory("obscp").toString
+    val profiles = StreamingEtl.observedProfiles(
+      StreamingEtl.profileStream(input.toDF().select($"value"), asOf))
+    val q = StreamingEtl.start(profiles, cp,
+      Seq(StreamingEtl.BatchSink("noop", (b, _) => { b.count(); () })))
+
+    input.addData(envelope("u-1"), envelope("u-2"),
+      envelope("kid", dob = "2015-01-01T00:00:00.000Z"))
+    q.processAllAvailable()
+    val metrics = q.recentProgress
+      .flatMap(p => Option(p.observedMetrics.get("spine_metrics")))
+      .lastOption
+    q.stop()
+
+    assert(metrics.isDefined)
+    val m = metrics.get
+    assert(m.getAs[Long]("n_rows") == 2)      // kid filtered before observe
+    assert(m.getAs[Long]("n_null_id") == 0)
+    assert(m.getAs[Int]("min_age") > 18)
+  }
+
   test("stream-stream join enriches actions with in-window profiles only") {
     implicit val sqlCtx = spark.sqlContext
     val actions = MemoryStream[StreamingAnalytics.ActionEvent]
