@@ -386,6 +386,13 @@ object ExtensionQueries {
                     FROM documents)"""),
       "deterministic md5-bucket train/val/test split"),
 
+    "sp3_hash_sample" -> QueryDef(
+      (s, dir) => graft.ext.Sampling.hashSample(
+        t(s, dir, "documents").select("doc_id"), "doc_id", pct = 10),
+      Some("""SELECT doc_id FROM documents
+              WHERE ('0x' || substr(md5('sample:' || doc_id::VARCHAR), 1, 8))::BIGINT % 100 < 10"""),
+      "deterministic ~10% sample (same rows every run, any cluster)"),
+
     "sp2_seq_pack" -> QueryDef(
       (s, dir) => graft.ext.Sampling.packSequences(
         t(s, dir, "documents").select(col("doc_id"),

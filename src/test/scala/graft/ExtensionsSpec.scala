@@ -53,6 +53,17 @@ class ExtensionsSpec extends SparkTestBase {
     assert(m == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
   }
 
+  test("dupClusters resolves a 200-link chain inside the round budget") {
+    // Hop-only propagation moves the min one link per round (199 rounds);
+    // the pointer jump makes coverage double per round, so the default
+    // maxIter must suffice. Failure mode: some doc keeps a non-min label.
+    val pairs = (1 until 200).map(i => (i.toLong, (i + 1).toLong))
+      .toDF("doc_a", "doc_b")
+    val m = Dedup.dupClusters(pairs).as[(Long, Long)].collect().toMap
+    assert(m.size == 200)
+    assert(m.values.forall(_ == 1L))
+  }
+
   test("dedupSurvivors keeps cluster keepers and unpaired docs") {
     val d = docs((1L, "a"), (2L, "b"), (3L, "c"), (10L, "d"), (11L, "e"), (99L, "f"))
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("doc_a", "doc_b")
