@@ -175,6 +175,31 @@ object RelationalQueries {
 
     // Running sum per user over event time (ts is long nanos on the Spark
     // side — see GraftSession nanosAsLong; DuckDB compares via epoch_ns).
+    // Full window-function surface beyond ranking/frames: lag/lead offsets
+    // and ntile bucketing in one pass over the per-user event order. Gaps
+    // and ordering use MICROsecond precision on both sides: DuckDB's
+    // parquet reader truncates TIMESTAMP(NANOS) to its native us timestamp,
+    // so ns-level arithmetic would silently diverge (event_id breaks any
+    // sub-us ordering ties deterministically).
+    "w5_lead_lag_ntile" -> QueryDef(
+      (s, dir) => {
+        val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+        t(s, dir, "events")
+          .withColumn("ts_us", expr("ts div 1000"))
+          .select(
+            col("event_id"), col("user_id"),
+            (col("ts_us") - lag("ts_us", 1).over(w)).as("gap_us"),
+            lead("event_type", 1).over(w).as("next_type"),
+            ntile(4).over(w).as("quartile"))
+      },
+      Some("""SELECT event_id, user_id,
+                     epoch_us(ts) - lag(epoch_us(ts)) OVER w AS gap_us,
+                     lead(event_type) OVER w AS next_type,
+                     CAST(ntile(4) OVER w AS INTEGER) AS quartile
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)"""),
+      "lag/lead offsets + ntile buckets over per-user event order"),
+
     "w2_running_sum" -> QueryDef(
       (s, dir) => t(s, dir, "events")
         .withColumn("run_total", round(
@@ -249,6 +274,25 @@ object RelationalQueries {
                      count(*) AS n
               FROM orders GROUP BY o_orderpriority"""),
       "exact interpolated percentiles per group"),
+
+    // Sketch accuracy gate for quantiles, same pattern as g6b: the
+    // approx_percentile sketch must land within 1% of the exact
+    // interpolated percentile; the oracle computes the exact value and
+    // asserts `true`, so sketch drift fails the hash compare.
+    "g5b_approx_percentile" -> QueryDef(
+      (s, dir) => t(s, dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+          round(expr("percentile(o_totalprice, 0.5)"), 2).as("p50_exact"),
+          expr("approx_percentile(o_totalprice, 0.5, 10000)").as("approx"))
+        .select(col("o_orderpriority"), col("p50_exact"),
+          (abs(col("approx") - col("p50_exact")) / col("p50_exact") <= 0.01)
+            .as("within_tol")),
+      Some("""SELECT o_orderpriority,
+                     round(quantile_cont(o_totalprice, 0.5), 2) AS p50_exact,
+                     true AS within_tol
+              FROM orders GROUP BY o_orderpriority"""),
+      "approx_percentile within 1% of exact (hard-checked)"),
 
     // Sketch-based distinct (HLL++). No oracle: sketch estimates are
     // engine-specific — the driver records the rows-only check; the exact
