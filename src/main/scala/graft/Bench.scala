@@ -5,6 +5,27 @@ package graft
  * (`BENCH_r{N}.json`). Failures are NOT silent: failed queries get value -1
  * and are listed under "failed". */
 object Bench {
+
+  private val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+    .asInstanceOf[com.sun.management.OperatingSystemMXBean]
+
+  /** Locale-stable 2-decimal formatting: under a comma-decimal default
+   * locale an f-interpolator would emit `0,95` and break the JSON line. */
+  private def f2(v: Double): String =
+    String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
+
+  private def jsonMap(m: Iterable[(String, String)]): String =
+    m.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+
+  /** Wall seconds + process-cpu seconds of one run of `body`. */
+  private def timed(body: => Unit): (Double, Double) = {
+    val c0 = osBean.getProcessCpuTime
+    val t0 = System.nanoTime()
+    body
+    val wall = (System.nanoTime() - t0) / 1e9
+    (wall, (osBean.getProcessCpuTime - c0) / 1e9)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
@@ -18,8 +39,6 @@ object Bench {
 
     var failed = List.empty[String]
     val cpuRatios = scala.collection.mutable.LinkedHashMap.empty[String, Double]
-    val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
-      .asInstanceOf[com.sun.management.OperatingSystemMXBean]
     // Every query is measured at least twice and the min is reported — this
     // VM has multi-second CPU-steal bursts, so no number may be a single
     // sample (round-1 verdict finding 3). Cheap queries (<5 s) get a third
@@ -29,13 +48,7 @@ object Bench {
     // recognizable after the fact (ratio collapses when the VM is starved).
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       System.err.println(s"[bench] running $name")
-      def run(): (Double, Double) = {
-        val c0 = osBean.getProcessCpuTime
-        val t0 = System.nanoTime()
-        fn(spark, sfDir).count()
-        val wall = (System.nanoTime() - t0) / 1e9
-        (wall, (osBean.getProcessCpuTime - c0) / 1e9)
-      }
+      def run(): (Double, Double) = timed(fn(spark, sfDir).count())
       val first =
         try Some(run())
         catch { case e: Throwable =>
@@ -61,27 +74,107 @@ object Bench {
       cpuRatios += (name -> cpuRatio)
       name -> wall
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    val qs = jsonMap(results.map { case (k, v) => k -> v.toString })
     val fs = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
 
     // Baseline comparison: the reference sustains 0.153 records/s end-to-end
     // through its E1 chain (BASELINE.md — source-rate-bound). Same chain
-    // here, measured over the deterministic producer stand-in.
-    val spineRate = {
-      val n = 20000
+    // here, measured over the deterministic producer stand-in. Min-of-3 with
+    // cpu/wall emitted, same discipline as the queries — the round-2
+    // artifact's single unguarded sample ran through a steal burst and
+    // understated this number ~50× (round-2 verdict "what's wrong" #1).
+    val spineN = 20000
+    val (spineRate, spineCpuRatio) = {
       import spark.implicits._
-      val docs = graft.sources.EnvelopeGenerator.generate(n).toDF("value")
-        .select(org.apache.spark.sql.functions.col("value").cast("binary").as("value"))
-      val t0 = System.nanoTime()
-      graft.ops.Transforms.etlSpine(docs, graft.queries.Tables.AsOfDate).count()
-      n / ((System.nanoTime() - t0) / 1e9)
+      import org.apache.spark.sql.functions.col
+      val docs = graft.sources.EnvelopeGenerator.generate(spineN).toDF("value")
+        .select(col("value").cast("binary").as("value"))
+      val samples = (1 to 3).map { _ =>
+        timed(graft.ops.Transforms.etlSpine(docs, graft.queries.Tables.AsOfDate).count())
+      }
+      val (w, c) = samples.minBy(_._1)
+      (spineN / w, c / w)
     }
 
-    val ratios = cpuRatios.map { case (k, v) => "\"" + k + "\":" + f"$v%.2f" }
-      .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$fs,"cpu_per_wall":$ratios,"spine_envelopes_per_sec":${spineRate.round},"sf":"$sfDir"}""")
+    // Streaming-mode spine throughput (round-2 verdict "next" #3): the SAME
+    // E1 chain executed through StreamingEtl.start (MemoryStream source,
+    // foreachBatch count sink, real checkpoint), over >= 5 micro-batches —
+    // the incremental cadence to hold against BASELINE.md's 6.54 s/batch.
+    val streamBatches = 5
+    val perBatch = 10000
+    val (streamRate, streamBatchesPerSec, streamCpuRatio) = {
+      import spark.implicits._
+      import org.apache.spark.sql.functions.col
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val mem = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[String]
+      val profiles = graft.streaming.StreamingEtl.profileStream(
+        mem.toDF().select(col("value")), graft.queries.Tables.AsOfDate)
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("bench_stream_ckpt").toString
+      val seen = new java.util.concurrent.atomic.AtomicLong(0)
+      val nBatches = new java.util.concurrent.atomic.AtomicLong(0)
+      val sink = graft.streaming.StreamingEtl.BatchSink("count", (b, _) => {
+        seen.addAndGet(b.count()); nBatches.incrementAndGet(); ()
+      })
+      val chunks = graft.sources.EnvelopeGenerator
+        .generate(streamBatches * perBatch).grouped(perBatch).toSeq
+      val query = graft.streaming.StreamingEtl.start(profiles, ckpt, Seq(sink))
+      val (wall, cpu) = timed {
+        chunks.foreach { chunk =>
+          mem.addData(chunk)
+          query.processAllAvailable()
+        }
+      }
+      query.stop()
+      (streamBatches * perBatch / wall, nBatches.get() / wall, cpu / wall)
+    }
+
+    // One-order-of-magnitude scale probe of the dedup family (round-2
+    // verdict "next" #8): no sf1 testdata exists, so a deterministic 10×
+    // corpus derives from the sf0.1 documents — 10 replicas, each replica's
+    // tokens suffixed `_k` so replicas share no shingles (dup structure per
+    // replica identical to sf0.1, no cross-replica pairs: clean linear
+    // scaling target). Single run each, cpu/wall emitted so a steal-hit
+    // sample is self-identifying. Gated to the sf0.1 bench dir (driver run).
+    val sf1Mode = sys.env.getOrElse("SPARK_GRAFT_SF1_DEDUP", "auto")
+    val runSf1 = sf1Mode == "1" || (sf1Mode == "auto" && sfDir.contains("sf0.1"))
+    val (sf1Walls, sf1Ratios, sf1Docs) = if (!runSf1) (Nil, Nil, 0L) else {
+      import org.apache.spark.sql.functions._
+      val dir10 = "/root/repo/target/bench_sf1"
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      val docs10 = (0 until 10).map { k =>
+        docs.select((col("doc_id") + lit(k * 10000000L)).as("doc_id"),
+          regexp_replace(col("text"), "(\\S+)", "$1_" + k).as("text"))
+      }.reduce(_ union _)
+      docs10.repartition(16).write.mode("overwrite")
+        .parquet(s"$dir10/documents.parquet")
+      val nDocs = spark.read.parquet(s"$dir10/documents.parquet").count()
+      val names = Seq("d2_minhash_bands", "d3_lsh_pairs", "d4_ngram_jaccard",
+        "d5_simhash", "d6_dup_clusters", "d7_dedup_apply")
+      val walls = scala.collection.mutable.ListBuffer.empty[(String, String)]
+      val ratios = scala.collection.mutable.ListBuffer.empty[(String, String)]
+      names.foreach { n =>
+        System.err.println(s"[bench] sf1 probe $n")
+        try {
+          val (w, c) = timed(SparkEntry.queries(n)(spark, dir10).count())
+          walls += (n -> w.toString)
+          ratios += (n -> f2(c / w))
+        } catch { case e: Throwable =>
+          System.err.println(s"[bench] sf1 $n FAILED: ${e.getMessage}")
+          walls += (n -> "-1")
+          ratios += (n -> "-1")
+        }
+      }
+      (walls.toList, ratios.toList, nDocs)
+    }
+    val sf1Fields =
+      if (!runSf1) ""
+      else s""","sf1_dedup":${jsonMap(sf1Walls)},"sf1_dedup_cpu_per_wall":${jsonMap(sf1Ratios)},"sf1_docs":$sf1Docs"""
+
+    val ratios = jsonMap(cpuRatios.map { case (k, v) => k -> f2(v) })
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$fs,"cpu_per_wall":$ratios,"spine_envelopes_per_sec":${spineRate.round},"spine_cpu_per_wall":${f2(spineCpuRatio)},"spine_streaming_envelopes_per_sec":${streamRate.round},"spine_streaming_batches":$streamBatches,"spine_streaming_batches_per_sec":${f2(streamBatchesPerSec)},"spine_streaming_cpu_per_wall":${f2(streamCpuRatio)}$sf1Fields,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -29,10 +29,29 @@ import org.apache.spark.sql.functions._
  */
 object Dedup {
 
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
   val NumHashes = 12
   val Bands = 4
   val RowsPerBand: Int = NumHashes / Bands
   val ShingleWidth = 3
+
+  /** Session conf flag selecting the checkpoint mode for pipeline
+   * intermediates and CC round state. */
+  val ReliableCheckpointConf = "graft.checkpoint.reliable"
+
+  /** Materialize an intermediate eagerly, truncating lineage. Local mode
+   * (default) uses `localCheckpoint` — executor-block storage, freed on RDD
+   * GC. With `graft.checkpoint.reliable=true` (cluster posture) it becomes a
+   * RELIABLE checkpoint to the session's checkpoint dir
+   * (`sparkContext.setCheckpointDir`), surviving executor loss — the mode
+   * you want under a multi-hour 100 TB dedup where recomputing a lost
+   * lineage means re-running the whole shingle+hash pipeline. */
+  private def materialize(df: DataFrame): DataFrame = {
+    val reliable = df.sparkSession.conf
+      .getOption(ReliableCheckpointConf).exists(_.toBoolean)
+    if (reliable) df.checkpoint() else df.localCheckpoint()
+  }
 
   /** Exact dedup: canonical row per distinct text, deterministic keeper. */
   def exactDedup(docs: DataFrame): DataFrame =
@@ -138,13 +157,16 @@ object Dedup {
    * scale. It is instead semi-joined down to only the docs that appear in a
    * candidate pair (bounded by 2·|pairs|) before joining; `pairs` joins
    * unhinted and AQE picks broadcast at runtime when the candidate set is
-   * genuinely small. `pairs` is persisted here because it feeds three
-   * consumers (the probe join and both sides of the doc semi-join) and its
-   * lineage is itself a join — at cluster scale this is the intermediate
-   * you'd checkpoint between stages. */
+   * genuinely small. `pairs` is materialized once (eager localCheckpoint)
+   * because it feeds three consumers (the probe join and both sides of the
+   * doc semi-join) and its lineage is itself a join — at cluster scale this
+   * is the intermediate you'd checkpoint between stages. localCheckpoint
+   * rather than persist(): it is eager (no AQE concurrent-branch race on a
+   * lazy cache) and its blocks are released when the RDD is GC'd, so
+   * repeated invocations in a long-lived session don't accumulate
+   * CacheManager entries (round-2 advice). */
   def jaccard(pairs: DataFrame, sh: DataFrame): DataFrame = {
-    val p = pairs.persist()
-    p.count()  // materialization barrier — see minhashDedupPairs
+    val p = materialize(pairs)
     val pairDocs = p.select(col("doc_a").as("doc_id"))
       .union(p.select(col("doc_b").as("doc_id")))
       .distinct()
@@ -165,25 +187,23 @@ object Dedup {
 
   /** Full MinHash-LSH near-dup pipeline: candidates verified at `minJaccard`.
    *
-   * The shingle and band relations are persisted: they feed multiple joins
-   * (band self-join, two jaccard probes), and materializing them once keeps
-   * the join tree shallow — otherwise Catalyst re-derives the whole
-   * scan→explode→12-hash-agg pipeline per reference, and the fused codegen
-   * stages blow past JIT limits. At cluster scale these are exactly the
-   * intermediates you'd checkpoint to storage between stages. */
+   * The shingle and band relations are materialized once via EAGER
+   * localCheckpoint: they feed multiple joins (band self-join, two jaccard
+   * probes), and materializing them first keeps the join tree shallow —
+   * otherwise Catalyst re-derives the whole scan→explode→12-hash-agg
+   * pipeline per reference, and the fused codegen stages blow past JIT
+   * limits. Eagerness also matters on its own: a lazy persist() lets AQE
+   * submit the downstream join branches CONCURRENTLY, each racing to compute
+   * the still-empty cache and serializing on per-partition cache locks
+   * (measured 4-10× the sum-of-phases cost in round 2). And unlike
+   * persist(), checkpoint blocks are freed when the RDD is GC'd — repeated
+   * calls in a long-lived session don't leak cache entries. At cluster
+   * scale these are exactly the intermediates you'd checkpoint to storage
+   * between stages. */
   def minhashDedupPairs(docs: DataFrame, minJaccard: Double,
       maxBucket: Int = 100): DataFrame = {
-    val sh = shingles(docs).persist()
-    val bands = lshBands(minhashSignature(sh)).persist()
-    // Materialization barrier: persist() alone is lazy, and AQE submits the
-    // downstream join branches (band self-join, two jaccard shingle probes,
-    // size agg) CONCURRENTLY — each would race to compute the still-empty
-    // cache, re-deriving the explode+hash pipeline per branch and
-    // serializing on per-partition cache locks (measured 4-10× the
-    // sum-of-phases cost). One eager count seals sh and bands first, so
-    // every consumer stage reads the cache. At cluster scale this is the
-    // stage checkpoint you'd write to storage anyway.
-    bands.count()
+    val sh = materialize(shingles(docs))
+    val bands = materialize(lshBands(minhashSignature(sh)))
     val cands = lshCandidates(bands, maxBucket)
     jaccard(cands, sh).filter(col("jac") >= minJaccard)
   }
@@ -219,21 +239,19 @@ object Dedup {
    * round freed — at cluster scale these are the checkpoints. Only docs that
    * appear in a pair are emitted. */
   def dupClusters(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
-    // Iteration state lives in eager localCheckpoints, NOT persist():
-    // persist/unpersist per round churns the shared CacheManager (every
-    // unpersist re-plans all dependent cache entries, so each successive
-    // call gets slower) and leaves the lineage growing one join deeper per
-    // round (planning cost per round grows with it). localCheckpoint
-    // truncates the lineage and keeps the round state out of the cache
-    // registry; on a cluster you'd use reliable checkpoints for fault
-    // tolerance — same shape.
-    val edges = pairs
+    // Iteration state lives in eager checkpoints (see `materialize` — local
+    // by default, reliable under graft.checkpoint.reliable=true), NOT
+    // persist(): persist/unpersist per round churns the shared CacheManager
+    // (every unpersist re-plans all dependent cache entries, so each
+    // successive call gets slower) and leaves the lineage growing one join
+    // deeper per round (planning cost per round grows with it).
+    // Checkpointing truncates the lineage and keeps the round state out of
+    // the cache registry.
+    val edges = materialize(pairs
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      .localCheckpoint()
-    var labels = edges.groupBy("src").agg(min("dst").as("m"))
-      .select(col("src").as("doc_id"), least(col("src"), col("m")).as("cluster"))
-      .localCheckpoint()
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst"))))
+    var labels = materialize(edges.groupBy("src").agg(min("dst").as("m"))
+      .select(col("src").as("doc_id"), least(col("src"), col("m")).as("cluster")))
     // Labels only decrease, so an unchanged label sum == converged labeling.
     def labelSum(df: DataFrame): Long =
       df.agg(coalesce(sum("cluster"), lit(0L))).first().getLong(0)
@@ -251,18 +269,25 @@ object Dedup {
         .select(col("src").as("doc_id"), col("cluster"))
       val hop = labels.union(prop)
         .groupBy("doc_id").agg(min("cluster").as("cluster"))
-      val next = hop
+      val next = materialize(hop
         .join(hop.toDF("cluster", "cluster2"), Seq("cluster"), "left")
         .select(col("doc_id"),
           least(col("cluster"), coalesce(col("cluster2"), col("cluster")))
-            .as("cluster"))
-        .localCheckpoint()
+            .as("cluster")))
       val s = labelSum(next)
       labels = next
       converged = s == prev
       prev = s
       it += 1
     }
+    // A labeling that stopped on maxIter (not on the convergence witness) is
+    // PARTIAL — some docs still carry a non-minimal cluster id, and
+    // dedupSurvivors would silently keep members of existing clusters.
+    // Surface it loudly instead of returning quietly-wrong clusters.
+    if (!converged)
+      log.warn(s"dupClusters: label propagation did NOT converge after " +
+        s"$maxIter rounds (label sum still decreasing) — clusters may be " +
+        s"split; raise maxIter")
     labels
   }
 

@@ -149,6 +149,22 @@ object Multimodal {
       if (stream == null) FakeCodec.decodeAudioWindows(payload, windowMs, durationMs)
       else {
         val fmt = stream.getFormat
+        // The manual sample loop below is only correct for the two canonical
+        // WAV layouts: 16-bit signed little-endian and 8-bit unsigned PCM.
+        // AudioSystem also parses 24/32-bit, big-endian, float and a-law/
+        // mu-law streams — decoding those here would silently read garbage
+        // (e.g. only the low 2 bytes of a 24-bit sample), so anything
+        // outside the supported envelope falls back to the deterministic
+        // fake, same as an unparseable payload.
+        import javax.sound.sampled.AudioFormat.Encoding
+        val bits = fmt.getSampleSizeInBits
+        val supported =
+          (fmt.getEncoding == Encoding.PCM_SIGNED && bits == 16 && !fmt.isBigEndian) ||
+          (fmt.getEncoding == Encoding.PCM_UNSIGNED && bits == 8)
+        if (!supported) {
+          stream.close()
+          return FakeCodec.decodeAudioWindows(payload, windowMs, durationMs)
+        }
         val bytesPerSample = math.max(1, fmt.getSampleSizeInBits / 8)
         val channels = fmt.getChannels
         val raw = stream.readAllBytes()

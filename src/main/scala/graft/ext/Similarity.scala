@@ -62,6 +62,57 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** Random-hyperplane plane matrix for in-engine cell derivation: `bits`
+   * planes × `dim` weights, every weight derived from md5 of
+   * `"rp:<seed>:<plane>:<dim>"` and quantized to the 1/1000 grid
+   * (`k/1000.0`, k ∈ [-1000, 1000]). The quantization is what makes the
+   * assignment ORACLE-REPLAYABLE: a 3-decimal literal parses to the
+   * identical IEEE double in any engine (DuckDB included), so the sign of
+   * the projection — and therefore the cell id — is bit-for-bit
+   * reproducible outside Spark. Fixed seed ⇒ same planes on every run,
+   * every cluster. */
+  def rpPlanes(dim: Int, bits: Int, seed: String = "rp"): Array[Array[Double]] =
+    Array.tabulate(bits) { p =>
+      Array.tabulate(dim) { d =>
+        (md5u32(s"rp:$seed:$p:$d") % 2001 - 1000) / 1000.0
+      }
+    }
+
+  /** First 4 md5 bytes as an unsigned 32-bit value — the same
+   * `('0x' || substr(md5(s), 1, 8))::BIGINT` the dedup oracles replay. */
+  private def md5u32(s: String): Long = {
+    val b = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+    ((b(0) & 0xffL) << 24) | ((b(1) & 0xffL) << 16) |
+      ((b(2) & 0xffL) << 8) | (b(3) & 0xffL)
+  }
+
+  /** Sign-bucket cell id from random hyperplanes: bit p = [emb · w_p > 0],
+   * cell = Σ bit_p · 2^p — the b-bit SimHash-for-vectors bucketing that
+   * turns raw embeddings into an IVF-style coarse partitioning with NO
+   * trained centroids and no driver-side state. Each projection runs through
+   * the native codegen'd vecDot (double-weight side), so the derivation is a
+   * single narrow map over the corpus — embarrassingly parallel, one pass,
+   * no shuffle. Closes the round-2 gap: `knnCell`/`cosineDedupPairs` no
+   * longer need a caller-supplied cell column. */
+  def rpCell(emb: Column, planes: Array[Array[Double]]): Column =
+    planes.zipWithIndex.map { case (w, p) =>
+      when(dot(emb, lit(w)) > 0, lit(1 << p)).otherwise(lit(0))
+    }.reduce(_ + _)
+
+  /** ANN over raw embeddings end-to-end: derive cells for corpus AND queries
+   * from the same planes, then cell-restricted top-k. The scale path a user
+   * with only an embedding column actually runs. */
+  def knnRp(queries: DataFrame, corpus: DataFrame, k: Int,
+      bits: Int = 4, dim: Int = 64, seed: String = "rp",
+      maxCell: Int = 10000): DataFrame = {
+    val planes = rpPlanes(dim, bits, seed)
+    knnCell(
+      queries.withColumn("__rp_cell", rpCell(col("embedding"), planes)),
+      corpus.withColumn("__rp_cell", rpCell(col("embedding"), planes)),
+      "__rp_cell", k, maxCell)
+  }
+
   /** Deterministic within-cell truncation to `maxCell` members, ordered by
    * a hash of the id (a pseudo-random but replayable sample). Mirrors
    * `Dedup.lshCandidates`'s bucket cap: one degenerate cell (a dominant

@@ -9,8 +9,13 @@ import org.apache.spark.sql.functions.call_function
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
 
 /**
- * Codegen'd dot product over two `array<float>` columns, accumulating in
- * double in index order.
+ * Codegen'd dot product over two vector columns (`array<float>` or
+ * `array<double>`, independently per side), accumulating in double in index
+ * order. Float elements widen to double before the multiply — bit-identical
+ * to the builtin `aggregate(zip_with(...))` composition on the same inputs.
+ * The double-array form exists for exact-decimal literal vectors (random-
+ * hyperplane weights, oracle-replayable in SQL) dotted against float
+ * embeddings.
  *
  * Why a custom Expression (SURVEY §4 note: none needed for the reference
  * surface — this one is perf-driven for the ANN extension): the builtin
@@ -32,13 +37,18 @@ case class FloatVecDot(left: Expression, right: Expression)
 
   override def checkInputDataTypes(): TypeCheckResult = {
     val ok = Seq(left, right).forall(_.dataType match {
-      case ArrayType(FloatType, _) => true
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
       case _ => false
     })
     if (ok) TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
-      s"$prettyName requires two array<float> arguments, " +
+      s"$prettyName requires two array<float|double> arguments, " +
         s"got ${left.dataType.sql} and ${right.dataType.sql}")
+  }
+
+  private def isFloatArr(e: Expression): Boolean = e.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
   }
 
   override def nullable: Boolean = true
@@ -46,13 +56,16 @@ case class FloatVecDot(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
+    val (xf, yf) = (isFloatArr(left), isFloatArr(right))
     val n = x.numElements()
     if (n != y.numElements()) return null
     var s = 0.0
     var i = 0
     while (i < n) {
       if (x.isNullAt(i) || y.isNullAt(i)) return null
-      s += x.getFloat(i).toDouble * y.getFloat(i).toDouble
+      val xv = if (xf) x.getFloat(i).toDouble else x.getDouble(i)
+      val yv = if (yf) y.getFloat(i).toDouble else y.getDouble(i)
+      s += xv * yv
       i += 1
     }
     s
@@ -74,6 +87,9 @@ case class FloatVecDot(left: Expression, right: Expression)
         if (canHoldNulls)
           s"if ($x.isNullAt($i) || $y.isNullAt($i)) { ${ev.isNull} = true; break; }"
         else ""
+      def get(e: Expression, arr: String): String =
+        if (isFloatArr(e)) s"((double) $arr.getFloat($i))"
+        else s"$arr.getDouble($i)"
       s"""
          |int $n = $x.numElements();
          |double $s = 0.0;
@@ -82,7 +98,7 @@ case class FloatVecDot(left: Expression, right: Expression)
          |} else {
          |  for (int $i = 0; $i < $n; $i++) {
          |    $nullCheck
-         |    $s += ((double) $x.getFloat($i)) * ((double) $y.getFloat($i));
+         |    $s += ${get(left, x)} * ${get(right, y)};
          |  }
          |}
          |${ev.value} = $s;
@@ -99,6 +115,21 @@ object GraftFunctions {
 
   val VecDotName = "graft_vec_dot"
   val MinHash12Name = "graft_minhash12"
+  val TopKName = "graft_topk"
+
+  /** Build the TypedTopK aggregate from registry args: (ord, id, k) with k a
+   * foldable integer literal. */
+  private def topKBuilder(exprs: Seq[Expression]): Expression = {
+    require(exprs.length == 3, s"$TopKName expects (ord, id, k)")
+    require(exprs(2).foldable, s"$TopKName k must be a literal")
+    val k = exprs(2).eval() match {
+      case i: Int => i
+      case l: Long => l.toInt
+      case other => throw new IllegalArgumentException(
+        s"$TopKName k must be integral, got $other")
+    }
+    TypedTopK(exprs(0), exprs(1), k)
+  }
 
   /** Idempotent per-session registration (temp functions). */
   def register(spark: SparkSession): Unit = {
@@ -106,6 +137,8 @@ object GraftFunctions {
       VecDotName, exprs => FloatVecDot(exprs(0), exprs(1)), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       MinHash12Name, exprs => MinHash12(exprs(0)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      TopKName, topKBuilder, "scala_udf")
   }
 
   /** Column API: resolves through the function registry. */
@@ -113,6 +146,10 @@ object GraftFunctions {
 
   /** All 12 seeded md5-prefix hashes of a string column (array<long>). */
   def minhash12(in: Column): Column = call_function(MinHash12Name, in)
+
+  /** Bounded top-k aggregate (ord DESC, id ASC) — array<struct<ord,id>>. */
+  def topK(ord: Column, id: Column, k: Int): Column =
+    call_function(TopKName, ord, id, org.apache.spark.sql.functions.lit(k))
 }
 
 /** `SparkSessionExtensions` hook: injects the native functions at session

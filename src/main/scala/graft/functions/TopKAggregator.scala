@@ -1,7 +1,12 @@
 package graft.functions
 
 import org.apache.spark.sql.Encoder
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.types._
 
 /**
  * Bounded top-k aggregate: keeps the k best (ord DESC, id ASC) pairs per
@@ -45,4 +50,112 @@ class TopKAggregator(k: Int)
     org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[List[ScoredId]]()
   override def outputEncoder: Encoder[Seq[ScoredId]] =
     org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[ScoredId]]()
+}
+
+/** Primitive bounded top-k buffer: two parallel arrays + insertion sort,
+ * descending (ord DESC, id ASC). Zero boxing, O(k) insert, O(k) state. */
+final class TopKBuffer(val k: Int) {
+  var n: Int = 0
+  val ords: Array[Double] = new Array[Double](k)
+  val ids: Array[Long] = new Array[Long](k)
+
+  @inline private def better(o1: Double, i1: Long, o2: Double, i2: Long): Boolean =
+    o1 > o2 || (o1 == o2 && i1 < i2)
+
+  def insert(o: Double, id: Long): Unit = {
+    if (n == k && !better(o, id, ords(k - 1), ids(k - 1))) return
+    var i = math.min(n, k - 1)
+    while (i > 0 && better(o, id, ords(i - 1), ids(i - 1))) {
+      ords(i) = ords(i - 1); ids(i) = ids(i - 1); i -= 1
+    }
+    ords(i) = o; ids(i) = id
+    if (n < k) n += 1
+  }
+}
+
+/**
+ * `TypedImperativeAggregate` form of the bounded top-k (round-2 verdict
+ * finding 3): same (ord DESC, id ASC) contract and array<struct<ord,id>>
+ * output as the udaf `TopKAggregator`, but the buffer is a raw
+ * primitive-array object — no per-reduce Catalyst round-trip through an
+ * `ExpressionEncoder[List[ScoredId]]`, no boxing, and (de)serialization is
+ * a flat 16-bytes-per-entry buffer that only runs at shuffle boundaries,
+ * not per input row. This is the buffer shape you'd want before calling
+ * this the 100-TB top-k: update cost is a branch + O(k) array shift.
+ *
+ * Strict input types (double ord, long id) — cast upstream; null ord/id
+ * rows are skipped (the window-form equivalent orders them after all
+ * non-null ords and they can never enter a top-k under a non-null corpus).
+ */
+case class TypedTopK(
+    ord: Expression,
+    id: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[TopKBuffer] {
+
+  require(k > 0, "k must be positive")
+
+  override def children: Seq[Expression] = Seq(ord, id)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("ord", DoubleType, nullable = false),
+      StructField("id", LongType, nullable = false))),
+    containsNull = false)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (ord.dataType == DoubleType && id.dataType == LongType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (double, bigint), got " +
+        s"${ord.dataType.sql}, ${id.dataType.sql}")
+
+  override def createAggregationBuffer(): TopKBuffer = new TopKBuffer(k)
+
+  override def update(buf: TopKBuffer, input: InternalRow): TopKBuffer = {
+    val o = ord.eval(input)
+    val i = id.eval(input)
+    if (o != null && i != null)
+      buf.insert(o.asInstanceOf[Double], i.asInstanceOf[Long])
+    buf
+  }
+
+  override def merge(buf: TopKBuffer, other: TopKBuffer): TopKBuffer = {
+    var j = 0
+    while (j < other.n) { buf.insert(other.ords(j), other.ids(j)); j += 1 }
+    buf
+  }
+
+  override def eval(buf: TopKBuffer): Any =
+    new GenericArrayData(Array.tabulate[Any](buf.n)(j =>
+      InternalRow(buf.ords(j), buf.ids(j))))
+
+  override def serialize(buf: TopKBuffer): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(4 + 16 * buf.n)
+    bb.putInt(buf.n)
+    var j = 0
+    while (j < buf.n) { bb.putDouble(buf.ords(j)); bb.putLong(buf.ids(j)); j += 1 }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): TopKBuffer = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val buf = new TopKBuffer(k)
+    val n = bb.getInt
+    var j = 0
+    // entries arrive already sorted; direct placement, no re-insert
+    while (j < n) { buf.ords(j) = bb.getDouble; buf.ids(j) = bb.getLong; j += 1 }
+    buf.n = n
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): TypedTopK =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): TypedTopK =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): TypedTopK =
+    copy(ord = newChildren(0), id = newChildren(1))
 }

@@ -13,6 +13,12 @@ import Tables.t
  */
 object ExtensionQueries {
 
+  /** Random-hyperplane cell parameters shared by the n3 query and its
+   * oracle: 4 bits → 16 cells over the 64-dim embeddings. */
+  private val RpBits = 4
+  private val RpDim = 64
+  private val RpSeed = "rp"
+
   /** Shared DuckDB CTE prefix: distinct word-shingles per doc, mirroring
    * Dedup.shingles (3-word shingles, 1-based list arithmetic). */
   private val ShinglesCte: String =
@@ -50,6 +56,17 @@ object ExtensionQueries {
    * list_cosine_similarity, to replay the same fp association). */
   private def sqlCos(a: String, b: String): String =
     s"round(list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b))), 4)"
+
+  /** DuckDB mirror of Similarity.rpCell: the same quantized plane weights
+   * (exact 3-decimal literals → identical IEEE doubles) dotted in index
+   * order, sign bits assembled into the cell id. */
+  private def sqlRpCell(embExpr: String, planes: Array[Array[Double]]): String =
+    planes.zipWithIndex.map { case (w, p) =>
+      val lits = w.map(v =>
+        java.math.BigDecimal.valueOf(math.round(v * 1000), 3).toPlainString)
+        .mkString("[", ", ", "]")
+      s"(CASE WHEN list_dot_product($embExpr, $lits::DOUBLE[]) > 0 THEN ${1 << p} ELSE 0 END)"
+    }.mkString(" + ")
 
   /** Shared CTE chain ending in `lsh_pairs` (the verified near-dup pairs at
    * Jaccard >= 0.5) — the d3 result, reused by the cluster queries d6/d7. */
@@ -152,8 +169,9 @@ object ExtensionQueries {
     "d4_ngram_jaccard" -> QueryDef(
       (s, dir) => {
         val docs = t(s, dir, "documents")
-        val sh = Dedup.shingles(docs).persist()
-        sh.count()  // materialization barrier (see Dedup.minhashDedupPairs)
+        // Eager localCheckpoint: materialization barrier + no cache-entry
+        // residue across invocations (see Dedup.minhashDedupPairs).
+        val sh = Dedup.shingles(docs).localCheckpoint()
         Dedup.jaccard(Dedup.rareShingleCandidates(sh, maxDf = 5), sh)
           .filter(col("jac") >= 0.3)
       },
@@ -236,6 +254,39 @@ object ExtensionQueries {
                      FROM scored)
                SELECT q_id, n_id, sim, rank FROM r WHERE rank <= 3"""),
       "IVF-style cell-restricted cosine top-3"),
+
+    // ANN from RAW embeddings end-to-end (round-2 verdict "next" #1): the
+    // engine derives the coarse cells itself — 4 seeded random hyperplanes,
+    // sign-bit bucket = cell — instead of reading a pre-assigned label
+    // column. The oracle replays the identical plane weights (quantized to
+    // exact 3-decimal literals) and the identical index-order double
+    // arithmetic, so the derived cell ids — and hence the candidate sets and
+    // ranks — match bit-for-bit.
+    "n3_knn_rp" -> QueryDef(
+      (s, dir) => {
+        graft.functions.GraftFunctions.register(s)
+        val emb = t(s, dir, "embeddings")
+        Similarity.knnRp(emb.filter(col("vec_id") < 10), emb, 3,
+          bits = RpBits, dim = RpDim, seed = RpSeed)
+      },
+      Some {
+        val cell = sqlRpCell("embedding::DOUBLE[]",
+          Similarity.rpPlanes(RpDim, RpBits, RpSeed))
+        s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb,
+                              $cell AS cell
+                       FROM embeddings),
+            q AS (SELECT vec_id AS q_id, emb AS qe, cell FROM e WHERE vec_id < 10),
+            c AS (SELECT vec_id AS n_id, emb AS ne, cell FROM e),
+            scored AS (
+              SELECT q_id, n_id, ${sqlCos("qe", "ne")} AS sim
+              FROM q JOIN c USING (cell) WHERE q_id <> n_id),
+            r AS (SELECT q_id, n_id, sim,
+                         CAST(row_number() OVER (PARTITION BY q_id
+                           ORDER BY sim DESC, n_id) AS INTEGER) AS rank
+                  FROM scored)
+            SELECT q_id, n_id, sim, rank FROM r WHERE rank <= 3"""
+      },
+      "ANN with in-engine random-hyperplane cell derivation (no label column)"),
 
     "e1_embed_dedup" -> QueryDef(
       (s, dir) => {

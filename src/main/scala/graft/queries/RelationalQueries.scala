@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -20,6 +21,23 @@ import Tables.t
  *    (inputs are 2-decimal), so double summation order can't flip the hash.
  */
 object RelationalQueries {
+
+  /** Run a SQL text against per-invocation UNIQUE temp-view names (round-2
+   * verdict finding 2: fixed global names like `g3_customer` mutate shared
+   * session state and race if query defs ever run concurrently). `sql`
+   * receives the generated name for each logical table. `spark.sql` analyzes
+   * eagerly, so the views are dropped before returning — no session residue,
+   * and the resulting DataFrame keeps its resolved plan. */
+  private def withViews(s: SparkSession, tables: (String, DataFrame)*)(
+      sql: Map[String, String] => String): DataFrame = {
+    val names = tables.map { case (key, df) =>
+      val unique = s"graft_${key}_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      df.createOrReplaceTempView(unique)
+      key -> unique
+    }.toMap
+    try s.sql(sql(names))
+    finally names.values.foreach(s.catalog.dropTempView(_))
+  }
 
   val defs: Map[String, QueryDef] = Map(
 
@@ -101,18 +119,18 @@ object RelationalQueries {
     // spark.sql — the Dataset rollup API after multi-joins trips Spark 4.1's
     // ambiguous-self-join detector even with fresh aliases (Expand re-refs).
     "g3_rollup" -> QueryDef(
-      (s, dir) => {
-        t(s, dir, "customer").createOrReplaceTempView("g3_customer")
-        t(s, dir, "nation").createOrReplaceTempView("g3_nation")
-        t(s, dir, "region").createOrReplaceTempView("g3_region")
-        s.sql("""
+      (s, dir) => withViews(s,
+          "customer" -> t(s, dir, "customer"),
+          "nation" -> t(s, dir, "nation"),
+          "region" -> t(s, dir, "region")) { v =>
+        s"""
           SELECT coalesce(r_name, '(all)') AS region,
                  coalesce(n_name, '(all)') AS nation,
                  count(*) AS n, round(sum(c_acctbal), 2) AS acct_sum
-          FROM g3_customer
-          JOIN g3_nation ON c_nationkey = n_nationkey
-          JOIN g3_region ON n_regionkey = r_regionkey
-          GROUP BY ROLLUP (r_name, n_name)""")
+          FROM ${v("customer")}
+          JOIN ${v("nation")} ON c_nationkey = n_nationkey
+          JOIN ${v("region")} ON n_regionkey = r_regionkey
+          GROUP BY ROLLUP (r_name, n_name)"""
       },
       Some("""SELECT coalesce(r_name, '(all)') AS region,
                      coalesce(n_name, '(all)') AS nation,
@@ -153,15 +171,21 @@ object RelationalQueries {
                 FROM orders) WHERE rn <= 3"""),
       "top-N per group via partitioned row_number"),
 
-    // Same result as w1 through the custom bounded-heap aggregate
-    // (graft.functions.TopKAggregator): map-side partial top-k, k rows per
-    // group shuffled, no full window sort. Oracle identical to w1's.
+    // Same result as w1 through the custom bounded-heap aggregate: map-side
+    // partial top-k, k rows per group shuffled, no full window sort. Since
+    // round 3 this is the `TypedTopK` TypedImperativeAggregate (primitive
+    // parallel-array buffer, serialized only at shuffle boundaries) — the
+    // udaf/ExpressionEncoder form it replaces round-tripped the buffer
+    // through Catalyst serialization on every reduce (round-2 verdict
+    // finding 3; equivalence + A/B pinned in TopKAggregatorSpec). Oracle
+    // identical to w1's.
     "w4_topk_agg" -> QueryDef(
       (s, dir) => {
-        val topk = udaf(new graft.functions.TopKAggregator(3))
+        graft.functions.GraftFunctions.register(s)
         t(s, dir, "orders")
           .groupBy("o_custkey")
-          .agg(topk(col("o_totalprice"), col("o_orderkey")).as("top"))
+          .agg(graft.functions.GraftFunctions.topK(
+            col("o_totalprice"), col("o_orderkey"), 3).as("top"))
           .select(col("o_custkey"), posexplode(col("top")))
           .select(col("o_custkey"), col("col.id").as("o_orderkey"),
             (col("pos") + 1).cast("int").as("rn"))
@@ -305,11 +329,14 @@ object RelationalQueries {
       "HLL++ approximate distinct (rows-only check)"),
 
     // Oracle-checked companion to g6: the sketch estimate must land within
-    // 2% of the exact distinct. Spark emits (exact, within_tol); the oracle
-    // computes the exact counts and asserts `true` — the hash compare then
-    // FAILS if any group's HLL estimate drifts out of tolerance, turning
+    // tolerance of the exact distinct. Spark emits (exact, within_tol); the
+    // oracle computes the exact counts and asserts `true` — the hash compare
+    // then FAILS if any group's HLL estimate drifts out of tolerance, turning
     // sketch quality into a hard gate without requiring DuckDB to reproduce
-    // Spark's HLL++ bit-for-bit (sketches are engine-specific).
+    // Spark's HLL++ bit-for-bit (sketches are engine-specific). The rsd
+    // parameter (0.02) is a relative STANDARD DEVIATION, not a bound — a
+    // 1-sigma gate would flap on legitimate data/scale changes, so the gate
+    // is 3×rsd (≈3 sigma, <0.3% false-alarm per group).
     "g6b_approx_error" -> QueryDef(
       (s, dir) => t(s, dir, "lineitem")
         .groupBy("l_returnflag")
@@ -317,13 +344,13 @@ object RelationalQueries {
           approx_count_distinct(col("l_partkey"), 0.02).as("approx"),
           countDistinct(col("l_partkey")).as("exact"))
         .select(col("l_returnflag"), col("exact").as("exact_parts"),
-          (abs(col("approx") - col("exact")).cast("double") / col("exact") <= 0.02)
+          (abs(col("approx") - col("exact")).cast("double") / col("exact") <= 0.06)
             .as("within_tol")),
       Some("""SELECT l_returnflag,
                      count(DISTINCT l_partkey) AS exact_parts,
                      true AS within_tol
               FROM lineitem GROUP BY l_returnflag"""),
-      "HLL++ estimate within 2% of exact distinct (hard-checked)"),
+      "HLL++ estimate within 3x rsd of exact distinct (hard-checked)"),
 
     // Salted hot-key join under the oracle gate: 80% of lineitem rows are
     // forced onto one derived key, the salted plan (operators/Skew) runs on
@@ -370,14 +397,13 @@ object RelationalQueries {
 
     // Cube: all grouping-set combinations over two dims.
     "g8_cube" -> QueryDef(
-      (s, dir) => {
-        t(s, dir, "orders").createOrReplaceTempView("g8_orders")
-        s.sql("""
+      (s, dir) => withViews(s, "orders" -> t(s, dir, "orders")) { v =>
+        s"""
           SELECT coalesce(o_orderstatus, '(all)') AS status,
                  coalesce(o_orderpriority, '(all)') AS priority,
                  count(*) AS n, round(sum(o_totalprice), 2) AS revenue
-          FROM g8_orders
-          GROUP BY CUBE (o_orderstatus, o_orderpriority)""")
+          FROM ${v("orders")}
+          GROUP BY CUBE (o_orderstatus, o_orderpriority)"""
       },
       Some("""SELECT coalesce(o_orderstatus, '(all)') AS status,
                      coalesce(o_orderpriority, '(all)') AS priority,
@@ -396,13 +422,12 @@ object RelationalQueries {
 
     // Scalar subquery in a filter (exact threshold: max/2, no fp drift).
     "j5_scalar_subquery" -> QueryDef(
-      (s, dir) => {
-        t(s, dir, "customer").createOrReplaceTempView("j5_customer")
-        s.sql("""
+      (s, dir) => withViews(s, "customer" -> t(s, dir, "customer")) { v =>
+        s"""
           SELECT c_nationkey, count(*) AS n
-          FROM j5_customer
-          WHERE c_acctbal > (SELECT max(c_acctbal) FROM j5_customer) / 2
-          GROUP BY c_nationkey""")
+          FROM ${v("customer")}
+          WHERE c_acctbal > (SELECT max(c_acctbal) FROM ${v("customer")}) / 2
+          GROUP BY c_nationkey"""
       },
       Some("""SELECT c_nationkey, count(*) AS n
               FROM customer

@@ -64,6 +64,26 @@ class ExtensionsSpec extends SparkTestBase {
     assert(m.values.forall(_ == 1L))
   }
 
+  test("dupClusters under RELIABLE checkpointing matches the local-mode result") {
+    // Cluster posture as code, not comment (round-2 verdict "next" #6): the
+    // graft.checkpoint.reliable flag swaps localCheckpoint for reliable
+    // checkpoints to the session checkpoint dir across the whole dedup
+    // pipeline — same labeling must come out.
+    val ckpt = java.nio.file.Files.createTempDirectory("cc_ckpt").toString
+    spark.sparkContext.setCheckpointDir(ckpt)
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("doc_a", "doc_b")
+    val local = Dedup.dupClusters(pairs).as[(Long, Long)].collect().toMap
+    spark.conf.set(Dedup.ReliableCheckpointConf, "true")
+    try {
+      val reliable = Dedup.dupClusters(pairs).as[(Long, Long)].collect().toMap
+      assert(reliable == local)
+      // checkpoint files actually landed in the reliable dir
+      val wrote = java.nio.file.Files.walk(java.nio.file.Paths.get(ckpt))
+        .filter(java.nio.file.Files.isRegularFile(_)).count()
+      assert(wrote > 0)
+    } finally spark.conf.unset(Dedup.ReliableCheckpointConf)
+  }
+
   test("dedupSurvivors keeps cluster keepers and unpaired docs") {
     val d = docs((1L, "a"), (2L, "b"), (3L, "c"), (10L, "d"), (11L, "e"), (99L, "f"))
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("doc_a", "doc_b")

@@ -31,6 +31,45 @@ class FloatVecDotSpec extends SparkTestBase {
     assert(r.isNullAt(0))
   }
 
+  test("double-array side is bit-identical to builtin composition") {
+    GraftFunctions.register(spark)
+    val planes = Similarity.rpPlanes(dim = 64, bits = 4)
+    val emb = spark.read.parquet(s"$Sf/embeddings.parquet").limit(200)
+    planes.foreach { w =>
+      val diff = emb.select(
+        (Similarity.dot($"embedding", lit(w)) -
+          aggregate(
+            zip_with($"embedding", lit(w), (x, y) => x.cast("double") * y),
+            lit(0.0), (acc, v) => acc + v)).as("d"))
+        .agg(max(abs($"d"))).as[Double].first()
+      assert(diff == 0.0)  // float side widens, double side passes through
+    }
+  }
+
+  test("rp cells: deterministic, in range, and derived cells drive knn") {
+    GraftFunctions.register(spark)
+    val emb = spark.read.parquet(s"$Sf/embeddings.parquet")
+    val planes = Similarity.rpPlanes(dim = 64, bits = 4)
+    // plane weights live on the exact 1/1000 grid (oracle-replayable)
+    assert(planes.flatten.forall(w => w >= -1.0 && w <= 1.0 &&
+      math.round(w * 1000) / 1000.0 == w))
+    val cells = emb.select(Similarity.rpCell($"embedding", planes).as("cell"))
+    val bounds = cells.agg(min($"cell"), max($"cell")).first()
+    assert(bounds.getInt(0) >= 0 && bounds.getInt(1) < 16)
+    // same planes => same assignment on re-derivation (content-stable)
+    val again = emb.select(Similarity.rpCell($"embedding",
+      Similarity.rpPlanes(dim = 64, bits = 4)).as("cell"))
+    assert(cells.exceptAll(again).isEmpty && again.exceptAll(cells).isEmpty)
+    // knnRp == knnCell over the materialized derived column
+    val withCell = emb.withColumn("c", Similarity.rpCell($"embedding", planes))
+    val viaKnnCell = Similarity.knnCell(
+      withCell.filter($"vec_id" < 5), withCell, "c", 3)
+    val viaKnnRp = Similarity.knnRp(
+      emb.filter($"vec_id" < 5), emb, 3, bits = 4, dim = 64)
+    assert(viaKnnRp.exceptAll(viaKnnCell).isEmpty &&
+      viaKnnCell.exceptAll(viaKnnRp).isEmpty)
+  }
+
   test("resolves in SQL through the registry") {
     GraftFunctions.register(spark)
     val r = spark.sql(

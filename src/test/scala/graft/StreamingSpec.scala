@@ -159,6 +159,30 @@ class StreamingSpec extends SparkTestBase {
     assert(ids.sorted == Seq("x", "y"))
   }
 
+  test("streaming top-k domains over >=2 micro-batches matches batch result") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[String]
+    val profiles = StreamingEtl.profileStream(input.toDF().select($"value"), asOf)
+    val q = StreamingAnalytics.topKDomains(profiles, 3)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("topk_dom").start()
+
+    val envs = graft.sources.EnvelopeGenerator.generate(300, 42)
+    input.addData(envs.take(150))
+    q.processAllAvailable()
+    input.addData(envs.drop(150))
+    q.processAllAvailable()
+    assert(q.recentProgress.length >= 2)  // genuinely incremental: 2+ batches
+    q.stop()
+
+    val streamed = spark.table("topk_dom")
+      .select($"domain", $"n").as[(String, Long)].collect().toSeq
+    val batch = StreamingAnalytics.topKDomains(
+      StreamingEtl.profileStream(envs.toDF("value"), asOf), 3)
+      .select($"domain", $"n").as[(String, Long)].collect().toSeq
+    assert(streamed.nonEmpty && streamed == batch)
+  }
+
   test("stateful sessionize closes sessions on gap") {
     implicit val s = spark
     implicit val sqlCtx = spark.sqlContext
