@@ -298,6 +298,40 @@ object Dedup {
       .join(clusters.filter(col("doc_id") =!= col("cluster")).select("doc_id"),
         Seq("doc_id"), "left_anti")
 
+  /** Near-dup pairs by SimHash Hamming distance: fingerprints within
+   * `maxHamming` bits of each other, found WITHOUT an all-pairs scan.
+   *
+   * Blocking is the pigeonhole split: the 32-bit fingerprint divides into 4
+   * disjoint 8-bit bands; two fingerprints within Hamming distance 3 must
+   * agree EXACTLY on at least one band (3 differing bits can touch at most
+   * 3 of the 4 bands), so the band-equality self-join loses nothing at
+   * maxHamming <= 3 while reducing candidates from |corpus|² to the
+   * same-band buckets — the SimHash analog of the MinHash LSH band join,
+   * with the same scale posture (one shuffle on (band, value), verification
+   * only on candidates). The exact Hamming check on candidates is a single
+   * codegen'd bit_count(xor). */
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3,
+      "4-band pigeonhole blocking is only lossless up to Hamming distance 3")
+    val fp = materialize(simhash(docs))
+    val bandCols = (0 until 4).map(b =>
+      shiftright(col("simhash"), b * 8).bitwiseAND(lit(255L)))
+    val bands = fp.select(col("doc_id"),
+      posexplode(array(bandCols: _*)).as(Seq("band", "band_val")))
+    val cands = bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") &&
+        col("a.band_val") === col("b.band_val") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    cands
+      .join(fp.toDF("doc_a", "sh_a"), Seq("doc_a"))
+      .join(fp.toDF("doc_b", "sh_b"), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("int").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
+
   /** SimHash fingerprint (32-bit): per-token md5-derived hash, per-bit vote. */
   def simhash(docs: DataFrame): DataFrame = {
     val tok = docs.select(col("doc_id"),

@@ -113,6 +113,29 @@ object Similarity {
       "__rp_cell", k, maxCell)
   }
 
+  /** Multi-probe variant of `knnRp`: each query searches its own cell PLUS
+   * the `bits` Hamming-1 neighbor cells (one sign-bit flip each) — the
+   * standard recall repair for sign-bucket ANN. A query that lies near a
+   * hyperplane has true neighbors on both sides of it; probing the flipped
+   * cells recovers them at a bounded (bits+1)× candidate cost, still
+   * O(|corpus| / 2^bits) per probe. Corpus vectors keep exactly one cell, so
+   * probe candidate sets are disjoint — no dedup pass needed before the
+   * top-k cut. */
+  def knnRpMultiProbe(queries: DataFrame, corpus: DataFrame, k: Int,
+      bits: Int = 4, dim: Int = 64, seed: String = "rp",
+      maxCell: Int = 10000): DataFrame = {
+    val planes = rpPlanes(dim, bits, seed)
+    val flips = array((lit(0) +: (0 until bits).map(p => lit(1 << p))): _*)
+    val probed = queries
+      .withColumn("__rp_base", rpCell(col("embedding"), planes))
+      .withColumn("__flip", explode(flips))
+      .withColumn("__rp_cell", col("__rp_base").bitwiseXOR(col("__flip")))
+      .drop("__rp_base", "__flip")
+    knnCell(probed,
+      corpus.withColumn("__rp_cell", rpCell(col("embedding"), planes)),
+      "__rp_cell", k, maxCell)
+  }
+
   /** Deterministic within-cell truncation to `maxCell` members, ordered by
    * a hash of the id (a pseudo-random but replayable sample). Mirrors
    * `Dedup.lshCandidates`'s bucket cap: one degenerate cell (a dominant

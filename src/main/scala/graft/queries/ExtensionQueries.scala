@@ -52,6 +52,21 @@ object ExtensionQueries {
         bands AS ($bandSelects)"""
   }
 
+  /** DuckDB mirror of Dedup.simhash, ending in `fp(doc_id, simhash)`. */
+  private val SimhashCte: String = {
+    val votes = (0 until 32)
+      .map(i => s"sum(CASE WHEN (h >> $i) & 1 = 1 THEN 1 ELSE -1 END) AS b$i")
+      .mkString(", ")
+    val assemble = (0 until 32)
+      .map(i => s"(CASE WHEN b$i > 0 THEN ${1L << i} ELSE 0 END)")
+      .mkString(" + ")
+    s"""tok AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+        h AS (SELECT doc_id, ${sqlHash("w", 0)} AS h FROM tok),
+        votes AS (SELECT doc_id, $votes FROM h GROUP BY doc_id),
+        fp AS (SELECT doc_id, CAST($assemble AS BIGINT) AS simhash FROM votes)"""
+  }
+
   /** DuckDB cosine mirror of Similarity.cosine (explicit, not the builtin
    * list_cosine_similarity, to replay the same fp association). */
   private def sqlCos(a: String, b: String): String =
@@ -200,20 +215,22 @@ object ExtensionQueries {
 
     "d5_simhash" -> QueryDef(
       (s, dir) => Dedup.simhash(t(s, dir, "documents")),
-      Some {
-        val votes = (0 until 32)
-          .map(i => s"sum(CASE WHEN (h >> $i) & 1 = 1 THEN 1 ELSE -1 END) AS b$i")
-          .mkString(", ")
-        val assemble = (0 until 32)
-          .map(i => s"(CASE WHEN b$i > 0 THEN ${1L << i} ELSE 0 END)")
-          .mkString(" + ")
-        s"""WITH tok AS (
-              SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
-            h AS (SELECT doc_id, ${sqlHash("w", 0)} AS h FROM tok),
-            votes AS (SELECT doc_id, $votes FROM h GROUP BY doc_id)
-            SELECT doc_id, CAST($assemble AS BIGINT) AS simhash FROM votes"""
-      },
+      Some(s"""WITH $SimhashCte
+               SELECT doc_id, simhash FROM fp"""),
       "32-bit SimHash fingerprint per document"),
+
+    // SimHash CONSUMED: near-dup pairs at Hamming <= 3. The Spark side finds
+    // candidates through the lossless 4-band pigeonhole blocking (no
+    // all-pairs join); the oracle is the brute-force all-pairs filter, so a
+    // green hash also PROVES the blocking loses no pair at this radius.
+    "d8_simhash_pairs" -> QueryDef(
+      (s, dir) => Dedup.simhashPairs(t(s, dir, "documents")),
+      Some(s"""WITH $SimhashCte
+               SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                      CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+               FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+               WHERE bit_count(xor(a.simhash, b.simhash)) <= 3"""),
+      "SimHash near-dup pairs via lossless band blocking (Hamming <= 3)"),
 
     // ---- similarity search ----
 
@@ -287,6 +304,39 @@ object ExtensionQueries {
             SELECT q_id, n_id, sim, rank FROM r WHERE rank <= 3"""
       },
       "ANN with in-engine random-hyperplane cell derivation (no label column)"),
+
+    // Multi-probe ANN: same derived cells as n3, but each query also probes
+    // its 4 Hamming-1 neighbor cells (one sign flip each) — recall repair
+    // for queries near a hyperplane, candidate cost bounded at 5 cells. The
+    // oracle unnests the identical probe list.
+    "n4_knn_multiprobe" -> QueryDef(
+      (s, dir) => {
+        graft.functions.GraftFunctions.register(s)
+        val emb = t(s, dir, "embeddings")
+        Similarity.knnRpMultiProbe(emb.filter(col("vec_id") < 10), emb, 3,
+          bits = RpBits, dim = RpDim, seed = RpSeed)
+      },
+      Some {
+        val cell = sqlRpCell("embedding::DOUBLE[]",
+          Similarity.rpPlanes(RpDim, RpBits, RpSeed))
+        val probes = (Seq("cell") ++ (0 until RpBits).map(p => s"xor(cell, ${1 << p})"))
+          .mkString("[", ", ", "]")
+        s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb,
+                              $cell AS cell
+                       FROM embeddings),
+            q AS (SELECT vec_id AS q_id, emb AS qe, cell FROM e WHERE vec_id < 10),
+            qp AS (SELECT q_id, qe, unnest($probes) AS cell FROM q),
+            c AS (SELECT vec_id AS n_id, emb AS ne, cell FROM e),
+            scored AS (
+              SELECT q_id, n_id, ${sqlCos("qe", "ne")} AS sim
+              FROM qp JOIN c USING (cell) WHERE q_id <> n_id),
+            r AS (SELECT q_id, n_id, sim,
+                         CAST(row_number() OVER (PARTITION BY q_id
+                           ORDER BY sim DESC, n_id) AS INTEGER) AS rank
+                  FROM scored)
+            SELECT q_id, n_id, sim, rank FROM r WHERE rank <= 3"""
+      },
+      "multi-probe ANN: derived cell + 4 Hamming-1 probes per query"),
 
     "e1_embed_dedup" -> QueryDef(
       (s, dir) => {

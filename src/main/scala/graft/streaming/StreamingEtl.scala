@@ -50,11 +50,11 @@ object StreamingEtl {
         .selectExpr("CAST(value AS STRING) AS value")
   }
 
-  /** Newline-delimited JSON files under a directory (offline stand-in). */
+  /** Newline-delimited JSON files under a directory (offline stand-in);
+   * the text source already yields the `value` column the spine expects. */
   final case class FileLinesSource(path: String) extends StreamSource {
     def load(spark: SparkSession): DataFrame =
       spark.readStream.format("text").load(path)
-        .withColumnRenamed("value", "value")
   }
 
   /** The streaming plan: same pure stages as batch (all stateless narrow

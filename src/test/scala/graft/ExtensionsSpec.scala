@@ -84,6 +84,25 @@ class ExtensionsSpec extends SparkTestBase {
     } finally spark.conf.unset(Dedup.ReliableCheckpointConf)
   }
 
+  test("simhashPairs: band blocking finds exactly the brute-force pairs") {
+    val d = docs(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "alpha beta gamma delta epsilon"),   // identical -> hamming 0
+      (3L, "alpha beta gamma delta zeta"),      // near
+      (4L, "one two three four five"))          // unrelated
+    val got = Dedup.simhashPairs(d, maxHamming = 3)
+      .as[(Long, Long, Int)].collect().toSet
+    // brute-force reference over the same fingerprints
+    val fps = Dedup.simhash(d).as[(Long, Long)].collect().toMap
+    val brute = (for {
+      a <- fps.keys; b <- fps.keys if a < b
+      h = java.lang.Long.bitCount(fps(a) ^ fps(b)) if h <= 3
+    } yield (a, b, h)).toSet
+    assert(got == brute)
+    assert(got.contains((1L, 2L, 0)))  // identical docs at hamming 0
+    intercept[IllegalArgumentException](Dedup.simhashPairs(d, maxHamming = 4))
+  }
+
   test("dedupSurvivors keeps cluster keepers and unpaired docs") {
     val d = docs((1L, "a"), (2L, "b"), (3L, "c"), (10L, "d"), (11L, "e"), (99L, "f"))
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("doc_a", "doc_b")

@@ -70,6 +70,19 @@ class FloatVecDotSpec extends SparkTestBase {
       viaKnnCell.exceptAll(viaKnnRp).isEmpty)
   }
 
+  test("multi-probe knn never finds a worse best-neighbor than single-probe") {
+    GraftFunctions.register(spark)
+    val emb = spark.read.parquet(s"$Sf/embeddings.parquet")
+    def best(df: org.apache.spark.sql.DataFrame): Map[Long, Double] =
+      df.filter($"rank" === 1).select($"q_id", $"sim")
+        .as[(Long, Double)].collect().toMap
+    val single = best(Similarity.knnRp(emb.filter($"vec_id" < 10), emb, 3))
+    val multi = best(Similarity.knnRpMultiProbe(emb.filter($"vec_id" < 10), emb, 3))
+    // multi-probe candidates are a superset: its best sim can only be >=
+    assert(single.keySet.subsetOf(multi.keySet))
+    single.foreach { case (q, s) => assert(multi(q) >= s) }
+  }
+
   test("resolves in SQL through the registry") {
     GraftFunctions.register(spark)
     val r = spark.sql(
