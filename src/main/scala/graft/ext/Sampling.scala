@@ -42,6 +42,36 @@ object Sampling {
   def hashSample(df: DataFrame, idCol: String, pct: Int): DataFrame =
     df.filter(hashBucket(col(idCol), salt = "sample") < pct)
 
+  /** Decontamination audit: near-dup pairs annotated with each side's
+   * train/val/test assignment. `leaks = true` marks a pair straddling a
+   * split boundary — a test/val document whose near-duplicate sits in
+   * train, the leakage that silently inflates eval scores. Cost shape: two
+   * joins of the (small) verified-pair set against the pure-projection
+   * split assignment — never a corpus self-join; at 100 TB the pair set is
+   * the LSH output, orders of magnitude below the corpus. */
+  def splitLeakage(pairs: DataFrame, docs: DataFrame): DataFrame = {
+    val splits = hashSplit(docs.select("doc_id"), "doc_id")
+    pairs.select("doc_a", "doc_b")
+      .join(splits.toDF("doc_a", "split_a"), Seq("doc_a"))
+      .join(splits.toDF("doc_b", "split_b"), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("split_a"), col("split_b"),
+        (col("split_a") =!= col("split_b")).as("leaks"))
+  }
+
+  /** Training-mixture statistics: per (split, source) document/token counts
+   * and each source's fraction of its split — the table a data-mixing stage
+   * reads to set or verify sampling weights. One hash-agg over a narrow
+   * projection plus a window over the (tiny) aggregate relation. */
+  def sourceMix(docs: DataFrame, sourceCol: String = "source"): DataFrame = {
+    val w = Window.partitionBy("split")
+    hashSplit(docs.select(col("doc_id"), col(sourceCol).as("source"),
+        TextAnalysis.wsTokenCount(col("text")).as("n_toks")), "doc_id")
+      .groupBy("split", "source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_toks").cast("long")).as("n_tokens"))
+      .withColumn("frac", round(col("n_docs") / sum("n_docs").over(w), 4))
+  }
+
   /** Sequence packing: assign documents to fixed-token-budget packs — the
    * contiguous-fill approximation of bin packing used when concatenating
    * documents into training sequences.

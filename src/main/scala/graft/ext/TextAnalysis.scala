@@ -62,6 +62,25 @@ object TextAnalysis {
   def fingerprint(text: Column): Column =
     md5(regexp_replace(lower(text), "\\s+", " "))
 
+  /** Within-document 3-gram repetition: total vs distinct shingle counts
+   * and the repetition ratio `1 - distinct/total` — the canonical "looping
+   * text" quality signal (high ratio = the document repeats itself).
+   * Total shingles come free from the token count (n - 2); the distinct
+   * count reuses the dedup shingle derivation, so the whole signal costs
+   * one extra per-doc aggregation over rows the dedup pass produces
+   * anyway. */
+  def repetitionStats(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val tot = docs
+      .filter(size(split(col("text"), " ")) >= Dedup.ShingleWidth)
+      .select(col("doc_id"),
+        (wsTokenCount(col("text")) - (Dedup.ShingleWidth - 1)).cast("int").as("n_total"))
+    val dis = Dedup.shingles(docs).groupBy("doc_id")
+      .agg(count(lit(1)).cast("int").as("n_distinct"))
+    tot.join(dis, Seq("doc_id"))
+      .withColumn("rep_ratio",
+        round(lit(1.0) - col("n_distinct").cast("double") / col("n_total"), 4))
+  }
+
   /** PII patterns shared by the Spark plan and the oracle SQL. */
   val EmailRe = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
   val LongNumberRe = "[0-9]{4,}"

@@ -67,6 +67,22 @@ object ExtensionQueries {
         fp AS (SELECT doc_id, CAST($assemble AS BIGINT) AS simhash FROM votes)"""
   }
 
+  /** DuckDB mirror of TextAnalysis.langId: stopword-coverage CASE over the
+   * fixed language order (each language wins only by beating-or-tying every
+   * later one). Shared by t3 and the t7 confusion table. */
+  private val LangPredSql: String = {
+    val langs = Seq("en", "de", "es", "fr", "zh")
+    def score(l: String) = {
+      val lex = TextAnalysis.Lexicons(l).map(w => s"'$w'").mkString(", ")
+      s"(CAST(len(list_filter(string_split(text, ' '), x -> list_contains([$lex], x))) AS DOUBLE) / len(string_split(text, ' ')))"
+    }
+    val cases = langs.init.zipWithIndex.map { case (l, i) =>
+      val laters = langs.drop(i + 1).map(o => s"${score(l)} >= ${score(o)}").mkString(" AND ")
+      s"WHEN $laters THEN '$l'"
+    }.mkString(" ")
+    s"CASE $cases ELSE '${langs.last}' END"
+  }
+
   /** DuckDB cosine mirror of Similarity.cosine (explicit, not the builtin
    * list_cosine_similarity, to replay the same fp association). */
   private def sqlCos(a: String, b: String): String =
@@ -435,20 +451,37 @@ object ExtensionQueries {
       (s, dir) => t(s, dir, "documents").select(
         col("doc_id"),
         TextAnalysis.langId(col("text")).as("lang_pred")),
-      Some {
-        val langs = Seq("en", "de", "es", "fr", "zh")
-        def score(l: String) = {
-          val lex = TextAnalysis.Lexicons(l).map(w => s"'$w'").mkString(", ")
-          s"(CAST(len(list_filter(string_split(text, ' '), x -> list_contains([$lex], x))) AS DOUBLE) / len(string_split(text, ' ')))"
-        }
-        val cases = langs.init.zipWithIndex.map { case (l, i) =>
-          val laters = langs.drop(i + 1).map(o => s"${score(l)} >= ${score(o)}").mkString(" AND ")
-          s"WHEN $laters THEN '$l'"
-        }.mkString(" ")
-        s"""SELECT doc_id, CASE $cases ELSE '${langs.last}' END AS lang_pred
-            FROM documents"""
-      },
+      Some(s"""SELECT doc_id, $LangPredSql AS lang_pred
+               FROM documents"""),
       "deterministic stopword-profile language ID"),
+
+    // Language-ID evaluated against the gold `lang` column: the confusion
+    // table (gold, predicted, count) — the eval op a pipeline runs after any
+    // classifier change. Deterministic because the predictor is.
+    "t7_langid_eval" -> QueryDef(
+      (s, dir) => t(s, dir, "documents")
+        .select(col("lang"), TextAnalysis.langId(col("text")).as("lang_pred"))
+        .groupBy("lang", "lang_pred").agg(count(lit(1)).as("n")),
+      Some(s"""WITH p AS (SELECT lang, $LangPredSql AS lang_pred FROM documents)
+               SELECT lang, lang_pred, count(*) AS n
+               FROM p GROUP BY lang, lang_pred"""),
+      "language-ID confusion table vs gold labels"),
+
+    // Within-doc 3-gram repetition ratio — the "looping text" quality
+    // signal; distinct shingles reuse the dedup derivation.
+    "t6_repetition" -> QueryDef(
+      (s, dir) => TextAnalysis.repetitionStats(t(s, dir, "documents")),
+      Some(s"""WITH $ShinglesCte,
+               tot AS (SELECT doc_id,
+                              CAST(len(string_split(text, ' ')) - 2 AS INTEGER) AS n_total
+                       FROM documents
+                       WHERE len(string_split(text, ' ')) >= 3),
+               dis AS (SELECT doc_id, CAST(count(*) AS INTEGER) AS n_distinct
+                       FROM sh GROUP BY doc_id)
+               SELECT t.doc_id, n_total, n_distinct,
+                      round(1 - n_distinct / CAST(n_total AS DOUBLE), 4) AS rep_ratio
+               FROM tot t JOIN dis USING (doc_id)"""),
+      "within-doc 3-gram repetition ratio (looping-text quality signal)"),
 
     "t4_fingerprint" -> QueryDef(
       (s, dir) => t(s, dir, "documents")
@@ -474,6 +507,51 @@ object ExtensionQueries {
       "PII scrubbing: emails + long digit runs -> placeholder tokens"),
 
     // ---- deterministic splitting / sampling / packing ----
+
+    // Decontamination audit: every verified near-dup pair with both sides'
+    // split assignment; `leaks` flags pairs crossing a split boundary.
+    "sp4_split_leakage" -> QueryDef(
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        graft.ext.Sampling.splitLeakage(
+          Dedup.minhashDedupPairs(docs, 0.5, maxBucket = Int.MaxValue), docs)
+      },
+      Some(s"""WITH $LshPairsCtes,
+               splits AS (
+                 SELECT doc_id,
+                        CASE WHEN b < 80 THEN 'train'
+                             WHEN b < 90 THEN 'val'
+                             ELSE 'test' END AS split
+                 FROM (SELECT doc_id,
+                              ('0x' || substr(md5('split:' || doc_id::VARCHAR), 1, 8))::BIGINT % 100 AS b
+                       FROM documents))
+               SELECT p.doc_a, p.doc_b, a.split AS split_a, b.split AS split_b,
+                      (a.split <> b.split) AS leaks
+               FROM lsh_pairs p
+               JOIN splits a ON a.doc_id = p.doc_a
+               JOIN splits b ON b.doc_id = p.doc_b"""),
+      "near-dup pairs crossing train/val/test boundaries (leakage audit)"),
+
+    // Training-mixture table: per (split, source) doc/token counts and the
+    // source's share of its split.
+    "sp5_source_mix" -> QueryDef(
+      (s, dir) => graft.ext.Sampling.sourceMix(t(s, dir, "documents")),
+      Some("""WITH s AS (
+                SELECT doc_id, source,
+                       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks,
+                       ('0x' || substr(md5('split:' || doc_id::VARCHAR), 1, 8))::BIGINT % 100 AS b
+                FROM documents),
+              g AS (
+                SELECT CASE WHEN b < 80 THEN 'train'
+                            WHEN b < 90 THEN 'val'
+                            ELSE 'test' END AS split,
+                       source, count(*) AS n_docs,
+                       CAST(sum(n_toks) AS BIGINT) AS n_tokens
+                FROM s GROUP BY 1, 2)
+              SELECT split, source, n_docs, n_tokens,
+                     round(n_docs / CAST(sum(n_docs) OVER (PARTITION BY split) AS DOUBLE), 4) AS frac
+              FROM g"""),
+      "per-(split, source) mixture stats with split-relative fractions"),
 
     "sp1_hash_split" -> QueryDef(
       (s, dir) => graft.ext.Sampling.hashSplit(

@@ -111,6 +111,37 @@ class ExtensionsSpec extends SparkTestBase {
     assert(surv == Set(1L, 10L, 99L))
   }
 
+  test("splitLeakage annotates pairs with real split assignments") {
+    val d = (1L to 40L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (3L, 4L), (5L, 6L)).toDF("doc_a", "doc_b")
+    val out = Sampling.splitLeakage(pairs, d).collect()
+    val splits = Sampling.hashSplit(d.select("doc_id"), "doc_id")
+      .as[(Long, String)].collect().toMap
+    assert(out.length == 3)
+    out.foreach { r =>
+      val (a, b) = (r.getLong(0), r.getLong(1))
+      assert(r.getString(2) == splits(a) && r.getString(3) == splits(b))
+      assert(r.getBoolean(4) == (splits(a) != splits(b)))
+    }
+  }
+
+  test("sourceMix fractions sum to 1 within each split") {
+    val mix = Sampling.sourceMix(spark.read.parquet(s"$Sf/documents.parquet"))
+    val sums = mix.groupBy("split").agg(sum("frac").as("s"))
+      .select("split", "s").as[(String, Double)].collect().toMap
+    assert(sums.nonEmpty)
+    // per-row 4-decimal rounding can drift the sum by at most n_sources*1e-4
+    sums.values.foreach(v => assert(math.abs(v - 1.0) <= 0.01))
+  }
+
+  test("repetitionStats: looping text scores high, distinct text scores 0") {
+    val d = docs((1L, "a b c a b c a b c"), (2L, "q w e r t y u i o"))
+    val m = TextAnalysis.repetitionStats(d)
+      .select("doc_id", "rep_ratio").as[(Long, Double)].collect().toMap
+    assert(m(1L) == 0.5714)  // 7 total 3-grams, 3 distinct
+    assert(m(2L) == 0.0)
+  }
+
   test("hashSplit: deterministic assignment, roughly 80/10/10") {
     val df = (1 to 1000).map(_.toLong).toDF("doc_id")
     val counts = Sampling.hashSplit(df, "doc_id")
