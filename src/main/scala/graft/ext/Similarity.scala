@@ -136,6 +136,26 @@ object Similarity {
       "__rp_cell", k, maxCell)
   }
 
+  /** Symmetric int8 quantization for embedding storage: per-vector scale =
+   * max |x|, each element mapped to floor(x/scale·127 + 0.5) ∈ [-127, 127].
+   * `floor(+0.5)` rather than `round()` deliberately: round-half
+   * conventions differ across engines (half-up vs half-even vs
+   * half-away), while floor is IEEE-identical everywhere — the oracle
+   * replays the quantization bit-for-bit. All-zero vectors quantize to
+   * zeros (scale 0 guarded). At 100 TB the embedding table is usually the
+   * largest one; int8 + a scale column is the standard 4× storage/scan-IO
+   * cut, and dequantization stays a narrow map. */
+  def quantizeInt8(vecs: DataFrame): DataFrame =
+    vecs
+      .select(col("vec_id"), col("embedding"),
+        array_max(transform(col("embedding"), v => abs(v.cast("double"))))
+          .as("scale"))
+      .select(col("vec_id"), col("scale"),
+        transform(col("embedding"), v =>
+          when(col("scale") === 0, lit(0L))
+            .otherwise(floor(v.cast("double") / col("scale") * lit(127.0) + lit(0.5)))
+            .cast("int")).as("q"))
+
   /** Deterministic within-cell truncation to `maxCell` members, ordered by
    * a hash of the id (a pseudo-random but replayable sample). Mirrors
    * `Dedup.lshCandidates`'s bucket cap: one degenerate cell (a dominant

@@ -366,6 +366,34 @@ object ExtensionQueries {
                WHERE ${sqlCos("a.embedding::DOUBLE[]", "b.embedding::DOUBLE[]")} >= 0.4"""),
       "embedding-cosine near-dup pairs (cell-blocked)"),
 
+    // Int8 quantization summary per vector: the gate compares scalar
+    // aggregates of the quantized array (sum/min/max + micro-scaled scale)
+    // rather than the array itself — array stringification differs between
+    // engines, the scalars don't, and together they pin every element's
+    // contribution.
+    "e2_embed_quantize" -> QueryDef(
+      (s, dir) => Similarity.quantizeInt8(t(s, dir, "embeddings"))
+        .select(col("vec_id"),
+          floor(col("scale") * 1e6 + 0.5).cast("long").as("scale_micro"),
+          aggregate(col("q"), lit(0L), (a, v) => a + v).as("q_sum"),
+          array_min(col("q")).as("q_min"),
+          array_max(col("q")).as("q_max")),
+      Some("""WITH s AS (
+                SELECT vec_id, embedding::DOUBLE[] AS e,
+                       list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) AS scale
+                FROM embeddings),
+              q AS (
+                SELECT vec_id, scale,
+                       list_transform(e, x -> CAST(floor(x / scale * 127 + 0.5) AS INTEGER)) AS q
+                FROM s)
+              SELECT vec_id,
+                     CAST(floor(scale * 1000000 + 0.5) AS BIGINT) AS scale_micro,
+                     CAST(list_sum(q) AS BIGINT) AS q_sum,
+                     CAST(list_min(q) AS INTEGER) AS q_min,
+                     CAST(list_max(q) AS INTEGER) AS q_max
+              FROM q"""),
+      "symmetric int8 embedding quantization (floor-based, engine-exact)"),
+
     // ---- streaming + generator (oracle replays the spine from the same
     // materialized envelopes — see StreamOracle) ----
 

@@ -24,6 +24,28 @@ class DedupPlanSpec extends SparkTestBase {
     assert(hofs.isEmpty, "ArrayTransform found — shingling left WholeStageCodegen")
   }
 
+  test("simhashPairs plans a band-equality join, never a cartesian product") {
+    val plan = Dedup.simhashPairs(docs).queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoop"),
+      s"all-pairs join shape found in:\n$plan")
+  }
+
+  test("rp-cell knn prunes unused columns and pushes the query filter") {
+    graft.functions.GraftFunctions.register(spark)
+    val emb = spark.read.parquet(s"$Sf/embeddings.parquet")
+    val plan = graft.ext.Similarity
+      .knnRp(emb.filter($"vec_id" < 10), emb, 3)
+      .queryExecution.executedPlan.toString
+    // embeddings carries a `label` column the rp path never touches — the
+    // scan must not read it (IVF posture: featherweight derivation scan)
+    val scans = plan.linesIterator.filter(_.contains("ReadSchema")).toList
+    assert(scans.nonEmpty && scans.forall(!_.contains("label")),
+      s"label column not pruned from scans:\n${scans.mkString("\n")}")
+    assert(plan.contains("vec_id"), "pushed query-id filter missing")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
   test("jaccard plan carries no forced broadcast hints") {
     val sh = Dedup.shingles(docs).persist()
     sh.count()

@@ -83,6 +83,19 @@ class FloatVecDotSpec extends SparkTestBase {
     single.foreach { case (q, s) => assert(multi(q) >= s) }
   }
 
+  test("int8 quantization: values in range, dequant error within half a step") {
+    val emb = spark.read.parquet(s"$Sf/embeddings.parquet").limit(100)
+    val joined = Similarity.quantizeInt8(emb).join(emb, "vec_id")
+    val r = joined.select(
+      max(array_max(zip_with($"q", $"embedding", (qi, x) =>
+        abs(qi.cast("double") * $"scale" / lit(127.0) - x.cast("double")) / $"scale")))
+        .as("max_rel_err"),
+      min(array_min($"q")).as("qmin"),
+      max(array_max($"q")).as("qmax")).first()
+    assert(r.getAs[Double]("max_rel_err") <= 0.5 / 127 + 1e-12)
+    assert(r.getAs[Int]("qmin") >= -127 && r.getAs[Int]("qmax") <= 127)
+  }
+
   test("resolves in SQL through the registry") {
     GraftFunctions.register(spark)
     val r = spark.sql(
