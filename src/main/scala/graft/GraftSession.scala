@@ -20,6 +20,10 @@ object GraftSession {
     SparkSession.builder()
       .master(master)
       .appName("graft")
+      // canonical library registration path: native functions injected at
+      // session build (the registry re-registration in query defs stays as
+      // a defensive no-op for externally-built sessions)
+      .withExtensions(new graft.functions.GraftExtensions)
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")

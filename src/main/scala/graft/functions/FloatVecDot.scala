@@ -118,7 +118,9 @@ object GraftFunctions {
   val TopKName = "graft_topk"
 
   /** Build the TypedTopK aggregate from registry args: (ord, id, k) with k a
-   * foldable integer literal. */
+   * foldable integer literal. Public alias for the extensions injector. */
+  def topKFromExprs(exprs: Seq[Expression]): Expression = topKBuilder(exprs)
+
   private def topKBuilder(exprs: Seq[Expression]): Expression = {
     require(exprs.length == 3, s"$TopKName expects (ord, id, k)")
     require(exprs(2).foldable, s"$TopKName k must be a literal")
@@ -167,5 +169,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[MinHash12].getName, GraftFunctions.MinHash12Name),
       (exprs: Seq[Expression]) => MinHash12(exprs(0))))
+    e.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier(GraftFunctions.TopKName),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[TypedTopK].getName, GraftFunctions.TopKName),
+      GraftFunctions.topKFromExprs _))
   }
 }

@@ -159,6 +159,25 @@ class StreamingSpec extends SparkTestBase {
     assert(ids.sorted == Seq("x", "y"))
   }
 
+  test("AvailableNow trigger drains the backlog and stops on its own") {
+    // The production backfill mode: process everything available in bounded
+    // micro-batches, commit the checkpoint, terminate — no manual stop().
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[String]
+    val cp = Files.createTempDirectory("an_cp").toString
+    val out = Files.createTempDirectory("an_sink").toString
+    input.addData(envelope("a"), envelope("b"), envelope("c"))
+
+    val profiles = StreamingEtl.profileStream(input.toDF().select($"value"), asOf)
+    val q = StreamingEtl.start(profiles, cp,
+      Seq(StreamingEtl.parquetKeyedSink(out)),
+      trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow())
+    assert(q.awaitTermination(60000), "AvailableNow query did not self-stop")
+
+    val ids = spark.read.parquet(out).select("id").as[String].collect().toSeq
+    assert(ids.sorted == Seq("a", "b", "c"))
+  }
+
   test("streaming top-k domains over >=2 micro-batches matches batch result") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[String]
