@@ -136,6 +136,24 @@ object Similarity {
       "__rp_cell", k, maxCell)
   }
 
+  /** Recall@k of an approximate top-k against the exact one: per query, the
+   * fraction of the exact neighbor set the approximate search recovered.
+   * THE governing metric for any ANN deployment — cell pruning and probe
+   * counts are tuned against this number, so the engine ships it as an
+   * operator instead of leaving it to ad-hoc notebooks. Join on (q_id,
+   * n_id) over two k-bounded relations: cost is O(|queries|·k), nothing
+   * corpus-sized. */
+  def recallAtK(approx: DataFrame, exact: DataFrame, k: Int): DataFrame = {
+    val hits = exact.select("q_id", "n_id")
+      .join(approx.select("q_id", "n_id"), Seq("q_id", "n_id"), "left_semi")
+      .groupBy("q_id").agg(count(lit(1)).as("n_hits"))
+    exact.select("q_id").distinct()
+      .join(hits, Seq("q_id"), "left")
+      .select(col("q_id"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+      .withColumn("recall", round(col("n_hits").cast("double") / k, 4))
+  }
+
   /** Symmetric int8 quantization for embedding storage: per-vector scale =
    * max |x|, each element mapped to floor(x/scale·127 + 0.5) ∈ [-127, 127].
    * `floor(+0.5)` rather than `round()` deliberately: round-half

@@ -366,6 +366,52 @@ object ExtensionQueries {
                WHERE ${sqlCos("a.embedding::DOUBLE[]", "b.embedding::DOUBLE[]")} >= 0.4"""),
       "embedding-cosine near-dup pairs (cell-blocked)"),
 
+    // Recall@3 of the derived-cell ANN (n3 path) against the exact brute
+    // force (n1 path) — the governing ANN quality metric, shipped as an
+    // operator. Deterministic: both sides replay in the oracle.
+    "n5_knn_recall" -> QueryDef(
+      (s, dir) => {
+        graft.functions.GraftFunctions.register(s)
+        val emb = t(s, dir, "embeddings")
+        val q = emb.filter(col("vec_id") < 10)
+        Similarity.recallAtK(
+          Similarity.knnRp(q, emb, 3, bits = RpBits, dim = RpDim, seed = RpSeed),
+          Similarity.knnBrute(q, emb, 3), 3)
+      },
+      Some {
+        val cell = sqlRpCell("embedding::DOUBLE[]",
+          Similarity.rpPlanes(RpDim, RpBits, RpSeed))
+        s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb,
+                              $cell AS cell
+                       FROM embeddings),
+            q AS (SELECT vec_id AS q_id, emb AS qe, cell FROM e WHERE vec_id < 10),
+            c AS (SELECT vec_id AS n_id, emb AS ne, cell FROM e),
+            exact AS (
+              SELECT q_id, n_id FROM (
+                SELECT q_id, n_id,
+                       row_number() OVER (PARTITION BY q_id
+                         ORDER BY ${sqlCos("qe", "ne")} DESC, n_id) AS rank
+                FROM q JOIN c ON q_id <> n_id)
+              WHERE rank <= 3),
+            approx AS (
+              SELECT q_id, n_id FROM (
+                SELECT q_id, n_id,
+                       row_number() OVER (PARTITION BY q_id
+                         ORDER BY ${sqlCos("qe", "ne")} DESC, n_id) AS rank
+                FROM q JOIN c USING (cell) WHERE q_id <> n_id)
+              WHERE rank <= 3),
+            hits AS (
+              SELECT e.q_id, count(*) AS n_hits
+              FROM exact e JOIN approx a ON e.q_id = a.q_id AND e.n_id = a.n_id
+              GROUP BY e.q_id)
+            SELECT q.q_id,
+                   coalesce(h.n_hits, 0) AS n_hits,
+                   round(coalesce(h.n_hits, 0) / 3.0, 4) AS recall
+            FROM (SELECT DISTINCT q_id FROM exact) q
+            LEFT JOIN hits h USING (q_id)"""
+      },
+      "recall@3 of derived-cell ANN vs exact brute force"),
+
     // Int8 quantization summary per vector: the gate compares scalar
     // aggregates of the quantized array (sum/min/max + micro-scaled scale)
     // rather than the array itself — array stringification differs between

@@ -83,6 +83,21 @@ class FloatVecDotSpec extends SparkTestBase {
     single.foreach { case (q, s) => assert(multi(q) >= s) }
   }
 
+  test("recallAtK: exact-vs-itself is 1.0, multiprobe never below single-probe") {
+    GraftFunctions.register(spark)
+    val emb = spark.read.parquet(s"$Sf/embeddings.parquet")
+    val q = emb.filter($"vec_id" < 10)
+    val exact = Similarity.knnBrute(q, emb, 3)
+    val self = Similarity.recallAtK(exact, exact, 3)
+      .select("recall").as[Double].collect()
+    assert(self.nonEmpty && self.forall(_ == 1.0))
+    def mean(df: org.apache.spark.sql.DataFrame): Double =
+      df.agg(avg($"recall")).as[Double].first()
+    val single = mean(Similarity.recallAtK(Similarity.knnRp(q, emb, 3), exact, 3))
+    val multi = mean(Similarity.recallAtK(Similarity.knnRpMultiProbe(q, emb, 3), exact, 3))
+    assert(multi >= single)  // more probes can only add exact hits
+  }
+
   test("int8 quantization: values in range, dequant error within half a step") {
     val emb = spark.read.parquet(s"$Sf/embeddings.parquet").limit(100)
     val joined = Similarity.quantizeInt8(emb).join(emb, "vec_id")
