@@ -61,6 +61,30 @@ object RelationalQueries {
               GROUP BY r_name"""),
       "star join over broadcast dims + grouped money sum"),
 
+    // TPC-H Q9-flavored profit rollup: fact lineitem enriched by TWO
+    // broadcast dims (part, supplier→nation). One fact scan, one final
+    // groupBy shuffle; at 100 TB part outgrows broadcast range and this
+    // becomes the bucketed-join candidate (sources.Bucketing), but the
+    // declared plan is unchanged — only the physical strategy moves.
+    "j6_profit_by_type" -> QueryDef(
+      (s, dir) => t(s, dir, "lineitem")
+        .join(broadcast(t(s, dir, "part")), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(t(s, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(t(s, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
+        .groupBy("p_type", "n_name")
+        .agg(count(lit(1)).as("n_items"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))
+            - col("p_retailprice") * col("l_quantity")), 2).as("profit")),
+      Some("""SELECT p_type, n_name, count(*) AS n_items,
+                     round(sum(l_extendedprice * (1 - l_discount)
+                       - p_retailprice * l_quantity), 2) AS profit
+              FROM lineitem
+              JOIN part ON l_partkey = p_partkey
+              JOIN supplier ON l_suppkey = s_suppkey
+              JOIN nation ON s_nationkey = n_nationkey
+              GROUP BY p_type, n_name"""),
+      "profit rollup: fact scan + 3 broadcast dims + grouped money math"),
+
     // Semi join (EXISTS): customers that placed at least one order, by nation.
     "j2_semi_join" -> QueryDef(
       (s, dir) => t(s, dir, "customer")
