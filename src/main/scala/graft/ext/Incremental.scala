@@ -1,0 +1,64 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Incremental-ingest primitives: MERGE (CDC apply) semantics expressed as a
+ * single keyed join pass.
+ *
+ * The reference pipeline is append-only (every micro-batch inserts new
+ * profiles); a production profile store additionally needs upsert/delete —
+ * the standard change-data-capture apply. Spark has no MERGE INTO on plain
+ * parquet, so the engine ships the relational core of it:
+ *
+ *   apply(base, changes) =
+ *       base rows whose key has no change          (unmatched base)
+ *     ∪ changes with op = 'U' or 'I'               (update wins over base,
+ *                                                   insert has no base row)
+ *     and changes with op = 'D' remove the base row.
+ *
+ * Scale shape: ONE full-outer shuffle join on the merge key — both sides
+ * hash-partition once, no broadcast of the (unbounded) change stream, no
+ * driver state. On a real table layout the base side is bucketed by the
+ * merge key (see `graft.sources.Bucketing`), which removes the base-side
+ * shuffle entirely: the join co-locates with the stored partitioning, so an
+ * incremental batch costs shuffle(changes) + a co-located merge — the shape
+ * every LSM/Delta-style merge runs at 100 TB. Last-writer-wins within the
+ * change set is resolved BEFORE the join by a keyed max-version cut
+ * (`latestPerKey`), keeping the join 1:1.
+ */
+object Incremental {
+
+  /** Reduce a change stream to its latest row per key (last-writer-wins):
+   * keyed max on `versionCol` with `opCol`/payload carried via struct max —
+   * a single partial-aggregatable hash-agg, no window sort. Ties on version
+   * resolve by op precedence via the struct ordering (op sorts after
+   * version, so equal-version ties go to the lexicographically larger op —
+   * deterministic, documented, and irrelevant when versions are unique). */
+  def latestPerKey(changes: DataFrame, keyCol: String, versionCol: String,
+      opCol: String, payloadCols: Seq[String]): DataFrame = {
+    val packed = struct((col(versionCol) +: col(opCol) +: payloadCols.map(col)): _*)
+    changes.groupBy(keyCol)
+      .agg(max(packed).as("__w"))
+      .select(col(keyCol) +: (Seq(versionCol, opCol) ++ payloadCols)
+        .map(c => col(s"__w.$c").as(c)): _*)
+  }
+
+  /** Apply a deduplicated change set (one row per key, op ∈ {I, U, D}) to
+   * `base`. `payloadCols` are the value columns present in both sides;
+   * output = key + payload, merged. */
+  def apply(base: DataFrame, changes: DataFrame, keyCol: String,
+      opCol: String, payloadCols: Seq[String]): DataFrame = {
+    val b = base.select(col(keyCol) +: payloadCols.map(c => col(c).as(s"__b_$c")): _*)
+    val c = changes.select(col(keyCol) +: col(opCol).as("__op") +:
+      payloadCols.map(cc => col(cc).as(s"__c_$cc")): _*)
+    b.join(c, Seq(keyCol), "full_outer")
+      // op null  → unmatched base row, keep as-is;
+      // op = D   → drop (a delete for an absent key is likewise a no-op);
+      // op = U/I → change payload wins (coalesce below).
+      .filter(col("__op").isNull || col("__op") =!= "D")
+      .select(col(keyCol) +: payloadCols.map(cc =>
+        coalesce(col(s"__c_$cc"), col(s"__b_$cc")).as(cc)): _*)
+  }
+}

@@ -42,6 +42,20 @@ object Sampling {
   def hashSample(df: DataFrame, idCol: String, pct: Int): DataFrame =
     df.filter(hashBucket(col(idCol), salt = "sample") < pct)
 
+  /** Stratified deterministic sample: per-stratum keep-rates (percent) over
+   * the same stable hash bucket — the knob a data-mixing stage turns to hit
+   * a target source/language mixture (up-weight scarce strata, down-sample
+   * dominant ones). A pure narrow projection + filter like `hashSample`:
+   * no shuffle, no per-stratum scan, assignment reproducible anywhere.
+   * Strata missing from `rates` fall back to `defaultPct`. */
+  def stratifiedSample(df: DataFrame, idCol: String, stratumCol: String,
+      rates: Map[String, Int], defaultPct: Int = 100): DataFrame = {
+    val rate = rates.foldLeft(lit(defaultPct)) { case (acc, (s, pct)) =>
+      when(col(stratumCol) === s, lit(pct)).otherwise(acc)
+    }
+    df.filter(hashBucket(col(idCol), salt = "strat") < rate)
+  }
+
   /** Decontamination audit: near-dup pairs annotated with each side's
    * train/val/test assignment. `leaks = true` marks a pair straddling a
    * split boundary — a test/val document whose near-duplicate sits in

@@ -136,6 +136,33 @@ object Similarity {
       "__rp_cell", k, maxCell)
   }
 
+  /** Per-cell centroids — the M-step of Lloyd's k-means over the
+   * rp-derived cells (`rpCell` is the E-step's assignment): element-wise
+   * mean of every member embedding. Together they form one full k-means
+   * iteration in-engine; iterate and the rp signature bootstraps a real
+   * trained IVF codebook, all in two shuffles per round (posexplode is
+   * narrow; the groupBy is a partial-aggregatable hash-agg over
+   * (cell, pos) — cells × dim rows, tiny at any corpus scale).
+   *
+   * Determinism: element values are quantized to integer MILLIONTHS
+   * (`floor(v·1e6 + 0.5)` — floor, not round: half-rounding conventions
+   * differ across engines) and summed as exact BIGINTs, so double
+   * summation order cannot perturb the centroid; the mean divides the
+   * exact sum once at the end. Output: (cell, pos, n, s, c). */
+  def cellCentroids(vecs: DataFrame, bits: Int = 4, dim: Int = 64,
+      seed: String = "rp"): DataFrame = {
+    val planes = rpPlanes(dim, bits, seed)
+    vecs
+      .select(rpCell(col("embedding"), planes).as("cell"),
+        posexplode(col("embedding")).as(Seq("pos", "v")))
+      .select(col("cell"), col("pos"),
+        floor(col("v").cast("double") * lit(1e6) + lit(0.5)).cast("long").as("vq"))
+      .groupBy("cell", "pos")
+      .agg(count(lit(1)).as("n"), sum("vq").as("s"))
+      .select(col("cell"), col("pos"), col("n"), col("s"),
+        (col("s").cast("double") / lit(1e6) / col("n")).as("c"))
+  }
+
   /** Recall@k of an approximate top-k against the exact one: per query, the
    * fraction of the exact neighbor set the approximate search recovered.
    * THE governing metric for any ANN deployment — cell pruning and probe

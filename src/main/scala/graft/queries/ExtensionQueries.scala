@@ -440,6 +440,38 @@ object ExtensionQueries {
               FROM q"""),
       "symmetric int8 embedding quantization (floor-based, engine-exact)"),
 
+    // Per-cell centroids over the derived rp cells — the M-step of Lloyd's
+    // k-means (rpCell is the E-step), i.e. the in-engine IVF codebook
+    // trainer. Element values are micro-quantized to exact BIGINT sums so
+    // the mean is independent of summation order AND DuckDB-replayable; the
+    // aggregate relation is cells × dim rows — tiny at any corpus scale.
+    "n6_cell_centroids" -> QueryDef(
+      (s, dir) => {
+        graft.functions.GraftFunctions.register(s)
+        Similarity.cellCentroids(t(s, dir, "embeddings"),
+          bits = RpBits, dim = RpDim, seed = RpSeed)
+      },
+      Some {
+        val cell = sqlRpCell("embedding::DOUBLE[]",
+          Similarity.rpPlanes(RpDim, RpBits, RpSeed))
+        s"""WITH e AS (SELECT CAST($cell AS INTEGER) AS cell,
+                              embedding::DOUBLE[] AS emb
+                       FROM embeddings),
+            x AS (SELECT cell,
+                         unnest([{'pos': i - 1, 'v': emb[i]}
+                                 for i in generate_series(1, len(emb))]) AS u
+                  FROM e),
+            q AS (SELECT cell, CAST(u.pos AS INTEGER) AS pos,
+                         CAST(floor(u.v * 1e6 + 0.5) AS BIGINT) AS vq
+                  FROM x),
+            g AS (SELECT cell, pos, count(*) AS n,
+                         CAST(sum(vq) AS BIGINT) AS s
+                  FROM q GROUP BY 1, 2)
+            SELECT cell, pos, n, s, CAST(s AS DOUBLE) / 1e6 / n AS c
+            FROM g"""
+      },
+      "per-cell embedding centroids (k-means M-step over derived cells)"),
+
     // ---- streaming + generator (oracle replays the spine from the same
     // materialized envelopes — see StreamOracle) ----
 
@@ -580,6 +612,31 @@ object ExtensionQueries {
                FROM documents"""),
       "PII scrubbing: emails + long digit runs -> placeholder tokens"),
 
+    // Model-based quality scoring: hashed bag-of-words linear scorer (the
+    // fastText-style filter after the t2 heuristics). Feature hashing means
+    // no weight-table join — the "table" is a hash formula; integer-millis
+    // weights sum exactly, so the oracle replays the score bit-for-bit.
+    "t8_quality_model" -> QueryDef(
+      (s, dir) => graft.ext.QualityModel.score(t(s, dir, "documents")),
+      Some(s"""WITH tok AS (
+                 SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                 FROM documents),
+               w AS (
+                 SELECT doc_id,
+                        ('0x' || substr(md5('qv:' ||
+                           (('0x' || substr(md5('qw:' || tok), 1, 8))::BIGINT % ${graft.ext.QualityModel.NumBuckets})::VARCHAR
+                         ), 1, 8))::BIGINT % 2001 - 1000 AS w_m
+                 FROM tok),
+               g AS (
+                 SELECT doc_id, count(*) AS n_toks,
+                        CAST(sum(w_m) AS BIGINT) AS s_m
+                 FROM w GROUP BY doc_id)
+               SELECT doc_id, n_toks,
+                      CAST(s_m AS DOUBLE) / 1000.0 / n_toks AS score,
+                      (CAST(s_m AS DOUBLE) / 1000.0 / n_toks) > 0.0 AS keep
+               FROM g"""),
+      "hashed linear quality-model score + keep decision"),
+
     // ---- deterministic splitting / sampling / packing ----
 
     // Decontamination audit: every verified near-dup pair with both sides'
@@ -645,6 +702,23 @@ object ExtensionQueries {
       Some("""SELECT doc_id FROM documents
               WHERE ('0x' || substr(md5('sample:' || doc_id::VARCHAR), 1, 8))::BIGINT % 100 < 10"""),
       "deterministic ~10% sample (same rows every run, any cluster)"),
+
+    // Stratified deterministic sampling: per-stratum keep rates (dominant
+    // `en` cut to 20%, scarce `zh` kept whole, default 50%) — the
+    // mixture-shaping knob over the same stable md5 bucket; still a pure
+    // narrow filter, no shuffle, no per-stratum scan.
+    "sp6_stratified" -> QueryDef(
+      (s, dir) => graft.ext.Sampling.stratifiedSample(
+        t(s, dir, "documents").select("doc_id", "lang"),
+        "doc_id", "lang", Map("en" -> 20, "zh" -> 100), defaultPct = 50),
+      Some("""SELECT doc_id, lang FROM (
+                SELECT doc_id, lang,
+                       ('0x' || substr(md5('strat:' || doc_id::VARCHAR), 1, 8))::BIGINT % 100 AS b
+                FROM documents)
+              WHERE b < CASE WHEN lang = 'en' THEN 20
+                             WHEN lang = 'zh' THEN 100
+                             ELSE 50 END"""),
+      "stratified deterministic sample (per-stratum md5-bucket keep rates)"),
 
     "sp2_seq_pack" -> QueryDef(
       (s, dir) => graft.ext.Sampling.packSequences(

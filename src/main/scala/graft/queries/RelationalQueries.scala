@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.operators.AsOfJoin
+import graft.ext.{Incremental, Sampling}
 import Tables.t
 
 /**
@@ -503,5 +504,89 @@ object RelationalQueries {
                        max(o_orderkey) AS last_orderkey
                 FROM orders GROUP BY 1, 2) r
               ON e.user_id = r.o_custkey AND e.ts >= r.o_orderdate"""),
-      "backward as-of join via union/sort operator (single shuffle)"))
+      "backward as-of join via union/sort operator (single shuffle)"),
+
+    // ---- incremental ingest (MERGE / CDC apply) ----
+
+    // Last-writer-wins compaction of a change stream: one keyed struct-max
+    // hash-agg (partial-aggregatable, no window sort) — the pass that keeps
+    // the downstream merge join 1:1. The change stream is derived
+    // deterministically from `documents` (md5 buckets), so DuckDB replays
+    // both its construction and the max-version cut.
+    "i2_cdc_latest" -> QueryDef(
+      (s, dir) => Incremental.latestPerKey(
+        cdcChanges(s, dir), "doc_id", "version", "op", Seq("val")),
+      Some(s"""WITH $CdcChangesCtes
+               SELECT doc_id, version, op, val FROM latest"""),
+      "CDC compaction: last-writer-wins per key via struct-max hash-agg"),
+
+    // MERGE INTO semantics on plain tables: ONE full-outer shuffle join of
+    // base against the compacted change set — D drops the base row, U/I
+    // payload wins, unmatched base passes through. With the base bucketed on
+    // the merge key the base-side shuffle disappears (co-located merge), the
+    // LSM/Delta-style shape an incremental batch runs at 100 TB.
+    "i1_cdc_apply" -> QueryDef(
+      (s, dir) => {
+        val base = t(s, dir, "documents")
+          .select(col("doc_id"), concat(col("source"), lit(":v0")).as("val"))
+        Incremental.apply(base,
+          Incremental.latestPerKey(
+            cdcChanges(s, dir), "doc_id", "version", "op", Seq("val")),
+          "doc_id", "op", Seq("val"))
+      },
+      Some(s"""WITH $CdcChangesCtes
+               SELECT coalesce(b.doc_id, l.doc_id) AS doc_id,
+                      coalesce(l.val, b.val) AS val
+               FROM (SELECT doc_id, source || ':v0' AS val FROM documents) b
+               FULL OUTER JOIN latest l ON b.doc_id = l.doc_id
+               WHERE l.op IS NULL OR l.op <> 'D'"""),
+      "MERGE/CDC apply: full-outer keyed merge with delete/upsert semantics"))
+
+  /** Deterministic CDC change stream derived from `documents`: keys in the
+   * low half of the "cdc" md5 bucket carry 1–3 versions; each (key, version)
+   * draws an op (20% D / 40% U / 40% I) from the "op" bucket and a payload
+   * `source:vN` — every step md5-replayable in the oracle. */
+  private def cdcChanges(s: SparkSession, dir: String): DataFrame = {
+    import Sampling.hashBucket
+    t(s, dir, "documents")
+      .select(col("doc_id"), col("source"))
+      .filter(hashBucket(col("doc_id"), "cdc") < 50)
+      .withColumn("version",
+        explode(sequence(lit(1L), hashBucket(col("doc_id"), "nv") % 3 + 1)))
+      .withColumn("op", {
+        val h = hashBucket(concat(col("doc_id").cast("string"), lit(":"),
+          col("version").cast("string")), "op")
+        when(h < 20, "D").when(h < 60, "U").otherwise("I")
+      })
+      .withColumn("val",
+        concat(col("source"), lit(":v"), col("version").cast("string")))
+      .select("doc_id", "version", "op", "val")
+  }
+
+  /** DuckDB mirror of `cdcChanges` + `Incremental.latestPerKey`, ending in
+   * `latest(doc_id, version, op, val)`. The window ORDER BY replays the
+   * struct-max field order (version, op, val). */
+  private def CdcChangesCtes: String =
+    """base AS (
+         SELECT doc_id, source,
+                ('0x' || substr(md5('nv:' || doc_id::VARCHAR), 1, 8))::BIGINT % 100 AS bn
+         FROM documents
+         WHERE ('0x' || substr(md5('cdc:' || doc_id::VARCHAR), 1, 8))::BIGINT % 100 < 50),
+       v AS (
+         SELECT doc_id, source,
+                unnest(generate_series(1, bn % 3 + 1)) AS version
+         FROM base),
+       ch AS (
+         SELECT doc_id, version,
+                CASE WHEN h < 20 THEN 'D' WHEN h < 60 THEN 'U' ELSE 'I' END AS op,
+                source || ':v' || version::VARCHAR AS val
+         FROM (SELECT doc_id, source, version,
+                      ('0x' || substr(md5('op:' || doc_id::VARCHAR || ':' || version::VARCHAR), 1, 8))::BIGINT % 100 AS h
+               FROM v)),
+       latest AS (
+         SELECT doc_id, version, op, val FROM (
+           SELECT doc_id, version, op, val,
+                  row_number() OVER (PARTITION BY doc_id
+                    ORDER BY version DESC, op DESC, val DESC) AS rn
+           FROM ch) WHERE rn = 1)"""
 }

@@ -222,4 +222,45 @@ class ExtensionsSpec extends SparkTestBase {
     val fps = d.select(TextAnalysis.fingerprint($"text")).as[String].collect()
     assert(fps(0) == fps(1))
   }
+
+  test("stratifiedSample honors per-stratum rates and the default") {
+    val df = (1 to 300).map(i => (i.toLong, Seq("a", "b", "c")(i % 3)))
+      .toDF("doc_id", "stratum")
+    val out = Sampling.stratifiedSample(df, "doc_id", "stratum",
+      Map("a" -> 0, "b" -> 100), defaultPct = 50)
+    val counts = out.groupBy("stratum").count()
+      .as[(String, Long)].collect().toMap
+    assert(!counts.contains("a"))            // rate 0 -> stratum dropped
+    assert(counts("b") == 100L)              // rate 100 -> kept whole
+    assert(counts("c") > 20 && counts("c") < 80)  // ~50% of 100
+    // deterministic: same rows on re-evaluation after a repartition
+    val again = Sampling.stratifiedSample(df.repartition(7), "doc_id",
+      "stratum", Map("a" -> 0, "b" -> 100), defaultPct = 50)
+    assert(out.select("doc_id").as[Long].collect().toSet ==
+      again.select("doc_id").as[Long].collect().toSet)
+  }
+
+  test("cellCentroids: identical vectors share a cell whose centroid is exact") {
+    val vecs = Seq((1L, Array(1f, 2f)), (2L, Array(1f, 2f)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.cellCentroids(vecs, bits = 2, dim = 2)
+      .select("pos", "n", "c").as[(Int, Long, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(out == Map(0 -> (2L, 1.0), 1 -> (2L, 2.0)))
+  }
+
+  test("QualityModel.score is partition-independent and bounded") {
+    import graft.ext.QualityModel
+    val d = docs((1L, "alpha beta gamma"), (2L, "alpha beta gamma"),
+      (3L, "delta epsilon"))
+    val s1 = QualityModel.score(d)
+      .select("doc_id", "n_toks", "score").collect().map(_.toSeq).toSet
+    val s2 = QualityModel.score(d.repartition(5))
+      .select("doc_id", "n_toks", "score").collect().map(_.toSeq).toSet
+    assert(s1 == s2)
+    val byId = QualityModel.score(d)
+      .select("doc_id", "score").as[(Long, Double)].collect().toMap
+    assert(byId(1L) == byId(2L))  // content-determined
+    byId.values.foreach(v => assert(v >= -1.0 && v <= 1.0))
+  }
 }
