@@ -155,10 +155,29 @@ object Bench {
         "d5_simhash", "d6_dup_clusters", "d7_dedup_apply")
       val walls = scala.collection.mutable.ListBuffer.empty[(String, String)]
       val ratios = scala.collection.mutable.ListBuffer.empty[(String, String)]
+      // Drop accumulated session state before (and between) the probes.
+      // The dedup pipelines checkpoint intermediates via localCheckpoint,
+      // whose blocks are freed only when the driver GC lets ContextCleaner
+      // run — which a 16 GB bench heap may never do unprompted. By this
+      // point ~70 queries of blocks crowd the block manager and the probe
+      // pays for it in execution-memory spills: the round-2 artifact
+      // recorded d4/d6 at 131/176 s where a clean JVM measures 13/8 s (a
+      // 32/128/256-partition sweep reproduced the clean numbers at the
+      // session default, so partitioning was NOT the cause).
+      def releaseState(): Unit = {
+        spark.catalog.clearCache()
+        System.gc()
+        Thread.sleep(2000) // ContextCleaner cleanup is async
+      }
       names.foreach { n =>
         System.err.println(s"[bench] sf1 probe $n")
         try {
-          val (w, c) = timed(SparkEntry.queries(n)(spark, dir10).count())
+          releaseState()
+          // min-of-2 with cpu/wall, same steal discipline as the queries
+          val samples = (1 to 2).map { _ =>
+            timed(SparkEntry.queries(n)(spark, dir10).count())
+          }
+          val (w, c) = samples.minBy(_._1)
           walls += (n -> w.toString)
           ratios += (n -> f2(c / w))
         } catch { case e: Throwable =>

@@ -163,6 +163,99 @@ object Similarity {
         (col("s").cast("double") / lit(1e6) / col("n")).as("c"))
   }
 
+  /** Element-wise quantization of an embedding to the integer-MICRO grid
+   * (`floor(v·1e6 + 0.5)` per element — floor, not round: half-rounding
+   * conventions differ across engines). The grid all trained-IVF distance
+   * arithmetic runs on: squared distances between micro-grid vectors are
+   * EXACT integers, so comparisons (and therefore cell assignments) are
+   * engine-independent — no order-dependent double summation anywhere. */
+  def quantizeMicro(emb: Column): Column =
+    transform(emb, v => floor(v.cast("double") * lit(1e6) + lit(0.5)).cast("long"))
+
+  /** Pivot `cellCentroids` long output to one array row per cell, each
+   * element snapped to the micro grid (`floor(s/n + 0.5)` — a single
+   * IEEE-deterministic double division + floor per element). The snapped
+   * codebook is what the E-step measures against: exact-integer distances,
+   * deterministic ties. */
+  def centroidArrays(centroids: DataFrame): DataFrame =
+    centroids
+      .select(col("cell"), struct(col("pos"),
+        floor(col("s") / col("n") + lit(0.5)).cast("long").as("cq")).as("pc"))
+      .groupBy("cell")
+      .agg(transform(array_sort(collect_list(col("pc"))), p => p.getField("cq"))
+        .as("cq"))
+
+  /** Train-and-fetch the IVF codebook: rp sign buckets seed the cell
+   * assignment (E-step 0), `cellCentroids` is the M-step, and the snapped
+   * per-cell arrays come back to the driver. The collect is MODEL
+   * PARAMETERS, not data — 2^bits cells × dim longs (a few KB), the same
+   * posture as holding a trained IVF codebook in any vector index; the
+   * data-path stays fully distributed. */
+  def codebook(vecs: DataFrame, bits: Int = 4, dim: Int = 64,
+      seed: String = "rp"): Array[(Int, Array[Long])] =
+    centroidArrays(cellCentroids(vecs, bits, dim, seed))
+      .collect()
+      .map(r => r.getInt(0) -> r.getSeq[Long](1).toArray)
+      .sortBy(_._1)
+
+  /** Lloyd E-step as a pure expression: nearest codebook centroid by exact
+   * integer squared distance on the micro grid, ties to the smaller cell id.
+   * The codebook is inlined as array literals, so assignment is a narrow
+   * codegen'd map — NO shuffle, no join: the whole corpus re-assigns in one
+   * pass. (At codebook sizes past a few thousand cells the literal fold
+   * stops being codegen-friendly; that regime wants a broadcast join +
+   * min_by instead — same semantics, one extra exchange on the small side.) */
+  def nearestCell(emb: Column, cb: Array[(Int, Array[Long])]): Column =
+    nearestCellStruct(emb, cb).getField("cell")
+
+  /** As `nearestCell` but returning the full (d, cell) struct — `d` is the
+   * exact integer squared distance on the micro grid (the per-vector
+   * inertia contribution). */
+  def nearestCellStruct(emb: Column, cb: Array[(Int, Array[Long])]): Column = {
+    require(cb.nonEmpty, "empty codebook")
+    val vq = quantizeMicro(emb)
+    val scored = cb.map { case (cell, cq) =>
+      struct(
+        aggregate(zip_with(vq, lit(cq), (a, b) => (a - b) * (a - b)),
+          lit(0L), _ + _).as("d"),
+        lit(cell).as("cell"))
+    }
+    if (scored.length == 1) scored.head else least(scored: _*)
+  }
+
+  /** Post-training IVF diagnostics: per trained cell, member count and
+   * exact integer inertia (Σ squared micro-grid distance to the assigned
+   * centroid) after one Lloyd round. THE numbers an IVF deployment watches —
+   * cell balance bounds worst-case probe cost (a dominant cell is a hot
+   * partition), inertia tracks codebook fit across training rounds. One
+   * narrow assignment pass + one tiny hash-agg; exact integers, so the
+   * oracle replays it bit-for-bit. */
+  def ivfStats(vecs: DataFrame, bits: Int = 4, dim: Int = 64,
+      seed: String = "rp"): DataFrame = {
+    val cb = codebook(vecs, bits, dim, seed)
+    vecs
+      .select(nearestCellStruct(col("embedding"), cb).as("a"))
+      .select(col("a.cell").as("cell"), col("a.d").as("dq"))
+      .groupBy("cell")
+      .agg(count(lit(1)).as("n"), sum("dq").as("inertia_q"))
+  }
+
+  /** Trained-IVF kNN: one full Lloyd iteration in-engine — rp sign buckets
+   * seed the assignment, `cellCentroids` trains the codebook, `nearestCell`
+   * re-assigns corpus AND queries to their trained cell — then the same
+   * cell-restricted top-k as `knnCell`. This is the n2 caveat fully closed:
+   * cells are no longer read (n2) or merely hashed (n3) but TRAINED from
+   * the corpus, the way a real IVF index is built. */
+  def knnIvfTrained(queries: DataFrame, corpus: DataFrame, k: Int,
+      bits: Int = 4, dim: Int = 64, seed: String = "rp",
+      maxCell: Int = 10000): DataFrame = {
+    val cb = codebook(corpus, bits, dim, seed)
+    knnCell(
+      queries.withColumn("__tc", nearestCell(col("embedding"), cb)),
+      corpus.withColumn("__tc", nearestCell(col("embedding"), cb)),
+      "__tc", k, maxCell)
+  }
+
   /** Recall@k of an approximate top-k against the exact one: per query, the
    * fraction of the exact neighbor set the approximate search recovered.
    * THE governing metric for any ANN deployment — cell pruning and probe

@@ -472,6 +472,108 @@ object ExtensionQueries {
       },
       "per-cell embedding centroids (k-means M-step over derived cells)"),
 
+    // Trained-IVF ANN: one full Lloyd iteration in-engine — rp sign buckets
+    // seed the assignment, n6's centroids become the codebook (snapped to
+    // the integer-micro grid), and every vector re-assigns to its nearest
+    // centroid by EXACT integer squared distance (no order-dependent double
+    // summation ⇒ the assignment replays bit-for-bit in DuckDB, ties to the
+    // smaller cell id in both engines). Search then restricts to the
+    // TRAINED cell — the way a real IVF index is built, closing n2's
+    // "cells are given, not derived" caveat end to end.
+    "n7_knn_ivf_trained" -> QueryDef(
+      (s, dir) => {
+        graft.functions.GraftFunctions.register(s)
+        val emb = t(s, dir, "embeddings")
+        Similarity.knnIvfTrained(emb.filter(col("vec_id") < 10), emb, 3,
+          bits = RpBits, dim = RpDim, seed = RpSeed)
+      },
+      Some {
+        val cell = sqlRpCell("embedding::DOUBLE[]",
+          Similarity.rpPlanes(RpDim, RpBits, RpSeed))
+        s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb,
+                              CAST($cell AS INTEGER) AS cell
+                       FROM embeddings),
+            x AS (SELECT cell,
+                         unnest([{'pos': i - 1, 'v': emb[i]}
+                                 for i in generate_series(1, len(emb))]) AS u
+                  FROM e),
+            g AS (SELECT cell, CAST(u.pos AS INTEGER) AS pos, count(*) AS n,
+                         CAST(sum(CAST(floor(u.v * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS s
+                  FROM x GROUP BY 1, 2),
+            cb AS (SELECT cell,
+                          list(CAST(floor(s / n + 0.5) AS BIGINT)::DOUBLE ORDER BY pos) AS cq
+                   FROM g GROUP BY cell),
+            v AS (SELECT vec_id, emb,
+                         list_transform(emb, x -> CAST(floor(x * 1e6 + 0.5) AS BIGINT)::DOUBLE) AS vq
+                  FROM e),
+            d AS (SELECT v.vec_id, v.emb, cb.cell,
+                         list_dot_product(v.vq, v.vq)
+                           - 2 * list_dot_product(v.vq, cb.cq)
+                           + list_dot_product(cb.cq, cb.cq) AS dist
+                  FROM v CROSS JOIN cb),
+            asg AS (SELECT vec_id, emb, cell FROM (
+                      SELECT vec_id, emb, cell,
+                             row_number() OVER (PARTITION BY vec_id
+                               ORDER BY dist, cell) AS rn
+                      FROM d) WHERE rn = 1),
+            q AS (SELECT vec_id AS q_id, emb AS qe, cell FROM asg WHERE vec_id < 10),
+            c AS (SELECT vec_id AS n_id, emb AS ne, cell FROM asg),
+            scored AS (
+              SELECT q_id, n_id, ${sqlCos("qe", "ne")} AS sim
+              FROM q JOIN c USING (cell) WHERE q_id <> n_id),
+            r AS (SELECT q_id, n_id, sim,
+                         CAST(row_number() OVER (PARTITION BY q_id
+                           ORDER BY sim DESC, n_id) AS INTEGER) AS rank
+                  FROM scored)
+            SELECT q_id, n_id, sim, rank FROM r WHERE rank <= 3"""
+      },
+      "trained-IVF ANN: one Lloyd round, exact-integer E-step, trained-cell search"),
+
+    // IVF training diagnostics: per trained cell, member count + exact
+    // integer inertia after the n7 Lloyd round — cell balance bounds probe
+    // cost, inertia tracks codebook fit. Shares n7's CTE chain up to the
+    // assignment; the gate is exact because distances are integers.
+    "n8_ivf_stats" -> QueryDef(
+      (s, dir) => {
+        graft.functions.GraftFunctions.register(s)
+        Similarity.ivfStats(t(s, dir, "embeddings"),
+          bits = RpBits, dim = RpDim, seed = RpSeed)
+      },
+      Some {
+        val cell = sqlRpCell("embedding::DOUBLE[]",
+          Similarity.rpPlanes(RpDim, RpBits, RpSeed))
+        s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb,
+                              CAST($cell AS INTEGER) AS cell
+                       FROM embeddings),
+            x AS (SELECT cell,
+                         unnest([{'pos': i - 1, 'v': emb[i]}
+                                 for i in generate_series(1, len(emb))]) AS u
+                  FROM e),
+            g AS (SELECT cell, CAST(u.pos AS INTEGER) AS pos, count(*) AS n,
+                         CAST(sum(CAST(floor(u.v * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS s
+                  FROM x GROUP BY 1, 2),
+            cb AS (SELECT cell,
+                          list(CAST(floor(s / n + 0.5) AS BIGINT)::DOUBLE ORDER BY pos) AS cq
+                   FROM g GROUP BY cell),
+            v AS (SELECT vec_id,
+                         list_transform(emb, x -> CAST(floor(x * 1e6 + 0.5) AS BIGINT)::DOUBLE) AS vq
+                  FROM e),
+            d AS (SELECT v.vec_id, cb.cell,
+                         list_dot_product(v.vq, v.vq)
+                           - 2 * list_dot_product(v.vq, cb.cq)
+                           + list_dot_product(cb.cq, cb.cq) AS dist
+                  FROM v CROSS JOIN cb),
+            asg AS (SELECT vec_id, cell, dist FROM (
+                      SELECT vec_id, cell, dist,
+                             row_number() OVER (PARTITION BY vec_id
+                               ORDER BY dist, cell) AS rn
+                      FROM d) WHERE rn = 1)
+            SELECT cell, count(*) AS n,
+                   CAST(sum(CAST(dist AS BIGINT)) AS BIGINT) AS inertia_q
+            FROM asg GROUP BY cell"""
+      },
+      "per-cell member count + exact inertia after the Lloyd round"),
+
     // ---- streaming + generator (oracle replays the spine from the same
     // materialized envelopes — see StreamOracle) ----
 

@@ -249,6 +249,50 @@ class ExtensionsSpec extends SparkTestBase {
     assert(out == Map(0 -> (2L, 1.0), 1 -> (2L, 2.0)))
   }
 
+  test("nearestCell picks the exact integer-distance argmin, ties to the smaller cell") {
+    // cell 2 duplicates cell 0's centroid: an exact tie that must resolve 0.
+    val cb = Array(0 -> Array(0L, 0L), 1 -> Array(1000000L, 0L), 2 -> Array(0L, 0L))
+    val df = Seq((1L, Array(0.4f, 0f)), (2L, Array(0.9f, 0f)))
+      .toDF("vec_id", "embedding")
+    val out = df.select($"vec_id",
+      Similarity.nearestCell($"embedding", cb).as("cell"))
+      .as[(Long, Int)].collect().toMap
+    assert(out == Map(1L -> 0, 2L -> 1))
+  }
+
+  test("knnIvfTrained keeps well-separated clusters in distinct trained cells") {
+    val c1 = (1L to 5L).map(i => (i, Array(1f + i * 0.001f, 0.1f)))
+    val c2 = (11L to 15L).map(i => (i, Array(-1f - (i - 10) * 0.001f, 0.1f)))
+    val vecs = (c1 ++ c2).toDF("vec_id", "embedding")
+    // the trained codebook separates the clusters...
+    val cb = Similarity.codebook(vecs, bits = 2, dim = 2)
+    val asg = vecs.select($"vec_id",
+      Similarity.nearestCell($"embedding", cb).as("cell"))
+      .as[(Long, Int)].collect().toMap
+    assert(asg.filterKeys(_ <= 5).values.toSet.size == 1)
+    assert(asg.filterKeys(_ >= 11).values.toSet.size == 1)
+    assert(asg(1L) != asg(11L))
+    // ...so trained-cell search only ever returns within-cluster neighbors.
+    val nbrs = Similarity.knnIvfTrained(
+      vecs.filter($"vec_id" isin (1L, 11L)), vecs, 2, bits = 2, dim = 2)
+      .select("q_id", "n_id").as[(Long, Long)].collect()
+      .groupBy(_._1).map { case (q, ps) => q -> ps.map(_._2).toSet }
+    assert(nbrs(1L).subsetOf((2L to 5L).toSet))
+    assert(nbrs(11L).subsetOf((12L to 15L).toSet))
+  }
+
+  test("ivfStats partitions the corpus and charges tight clusters little inertia") {
+    val c1 = (1L to 5L).map(i => (i, Array(1f + i * 0.001f, 0.1f)))
+    val c2 = (11L to 15L).map(i => (i, Array(-1f - (i - 10) * 0.001f, 0.1f)))
+    val vecs = (c1 ++ c2).toDF("vec_id", "embedding")
+    val stats = Similarity.ivfStats(vecs, bits = 2, dim = 2)
+      .as[(Int, Long, Long)].collect()
+    assert(stats.map(_._2).sum == 10L)       // every vector assigned once
+    // micro-grid inertia of a ±0.002-wide cluster is tiny: per member the
+    // squared distance to its centroid is < (3000 micro)^2 * 2 dims
+    stats.foreach { case (_, n, iq) => assert(iq < n * 2L * 3000L * 3000L) }
+  }
+
   test("QualityModel.score is partition-independent and bounded") {
     import graft.ext.QualityModel
     val d = docs((1L, "alpha beta gamma"), (2L, "alpha beta gamma"),
