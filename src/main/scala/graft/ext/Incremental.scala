@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /**
@@ -60,5 +60,50 @@ object Incremental {
       .filter(col("__op").isNull || col("__op") =!= "D")
       .select(col(keyCol) +: payloadCols.map(cc =>
         coalesce(col(s"__c_$cc"), col(s"__b_$cc")).as(cc)): _*)
+  }
+
+  /** Streaming MERGE sink: every micro-batch is a change set (key, version,
+   * op, payload) applied onto the previous table version with `apply`,
+   * producing an immutable new version directory `v=<batchId>` — the
+   * Delta/LSM loop without a table format. Idempotent under checkpoint
+   * replay: re-running batch N re-derives `v=N` from the same predecessor
+   * and overwrites it (versions are keyed by batchId, so a replay cannot
+   * double-apply). Readers pick the highest version (`currentBase`) —
+   * snapshot isolation for free. At scale the base read/write is one
+   * bucketed-layout pass per batch; compaction of old versions is a
+   * retention job, not a correctness concern. */
+  def mergeSink(baseDir: String, keyCol: String, versionCol: String,
+      opCol: String, payloadCols: Seq[String]): graft.streaming.StreamingEtl.BatchSink =
+    graft.streaming.StreamingEtl.BatchSink(s"merge:$baseDir", (batch, batchId) => {
+      val spark = batch.sparkSession
+      val prev = versions(spark, baseDir).filter(_ < batchId)
+      val base = prev.lastOption match {
+        case Some(v) => spark.read.parquet(s"$baseDir/v=$v")
+        case None =>
+          val empty = batch.select(col(keyCol) +: payloadCols.map(col): _*)
+          empty.filter(lit(false))
+      }
+      val merged = apply(base,
+        latestPerKey(batch, keyCol, versionCol, opCol, payloadCols),
+        keyCol, opCol, payloadCols)
+      merged.write.mode("overwrite").parquet(s"$baseDir/v=$batchId")
+    })
+
+  /** Latest committed version of a merge-sink table. */
+  def currentBase(spark: SparkSession, baseDir: String): DataFrame = {
+    val vs = versions(spark, baseDir)
+    require(vs.nonEmpty, s"no versions under $baseDir")
+    spark.read.parquet(s"$baseDir/v=${vs.last}")
+  }
+
+  /** Committed version ids under `baseDir`, ascending (HDFS-compatible). */
+  private def versions(spark: SparkSession, baseDir: String): Seq[Long] = {
+    val path = new org.apache.hadoop.fs.Path(baseDir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(path)) Seq.empty
+    else fs.listStatus(path).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("v="))
+      .map(_.getPath.getName.stripPrefix("v=").toLong)
+      .sorted
   }
 }

@@ -56,6 +56,30 @@ object Sampling {
     df.filter(hashBucket(col(idCol), salt = "strat") < rate)
   }
 
+  /** Sliding-window document chunking: fixed `chunkSize`-token windows every
+   * `chunkSize - overlap` tokens — the context-window prep step between
+   * cleaning and packing in a pretraining pipeline. Pure narrow
+   * split/sequence/slice (one explode, no shuffle, no UDF); a trailing
+   * window that would add no new tokens beyond the previous chunk's
+   * coverage is dropped (every emitted chunk advances the corpus).
+   * Output: (doc_id, chunk_id, n_toks, chunk). */
+  def chunkDocuments(docs: DataFrame, chunkSize: Int, overlap: Int): DataFrame = {
+    require(overlap >= 0 && overlap < chunkSize, "need 0 <= overlap < chunkSize")
+    val step = chunkSize - overlap
+    docs
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), col("toks"),
+        explode(sequence(lit(0), greatest(size(col("toks")) - 1, lit(0)),
+          lit(step))).as("start"))
+      .filter(col("start") === 0 || col("start") + overlap < size(col("toks")))
+      .select(col("doc_id"),
+        (col("start") / step).cast("int").as("chunk_id"),
+        slice(col("toks"), col("start") + 1, lit(chunkSize)).as("ct"))
+      .select(col("doc_id"), col("chunk_id"),
+        size(col("ct")).as("n_toks"),
+        concat_ws(" ", col("ct")).as("chunk"))
+  }
+
   /** Decontamination audit: near-dup pairs annotated with each side's
    * train/val/test assignment. `leaks = true` marks a pair straddling a
    * split boundary — a test/val document whose near-duplicate sits in

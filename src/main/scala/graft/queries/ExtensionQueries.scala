@@ -822,6 +822,44 @@ object ExtensionQueries {
                              ELSE 50 END"""),
       "stratified deterministic sample (per-stratum md5-bucket keep rates)"),
 
+    // Sliding-window chunking (32-token windows, 8-token overlap): the
+    // context-window prep between cleaning and packing. Narrow
+    // split/sequence/slice all the way — the oracle replays the identical
+    // 1-based slice arithmetic.
+    "sp7_chunk_windows" -> QueryDef(
+      (s, dir) => graft.ext.Sampling.chunkDocuments(
+        t(s, dir, "documents"), chunkSize = 32, overlap = 8),
+      Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS toks
+                         FROM documents),
+                s AS (SELECT doc_id, toks,
+                             unnest(generate_series(0, len(toks) - 1, 24)) AS start
+                      FROM w),
+                f AS (SELECT * FROM s WHERE start = 0 OR start + 8 < len(toks)),
+                c AS (SELECT doc_id, CAST(start / 24 AS INTEGER) AS chunk_id,
+                             toks[start + 1 : start + 32] AS ct
+                      FROM f)
+              SELECT doc_id, chunk_id, CAST(len(ct) AS INTEGER) AS n_toks,
+                     array_to_string(ct, ' ') AS chunk
+              FROM c"""),
+      "sliding-window token chunking (32-token windows, 8 overlap)"),
+
+    // Corpus vocabulary head: global token frequencies, top 20 — the Zipf
+    // head every tokenizer/filter audit starts from. Map-side partial
+    // count + TakeOrderedAndProject: k rows per partition cross the wire,
+    // never the full vocabulary.
+    "t9_vocab_topk" -> QueryDef(
+      (s, dir) => t(s, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("n"))
+        .orderBy(desc("n"), asc("tok"))
+        .limit(20),
+      Some("""SELECT tok, CAST(count(*) AS BIGINT) AS n
+              FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+              GROUP BY tok
+              ORDER BY n DESC, tok
+              LIMIT 20"""),
+      "global vocabulary top-20 (Zipf head)"),
+
     "sp2_seq_pack" -> QueryDef(
       (s, dir) => graft.ext.Sampling.packSequences(
         t(s, dir, "documents").select(col("doc_id"),

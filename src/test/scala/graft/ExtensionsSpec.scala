@@ -293,6 +293,20 @@ class ExtensionsSpec extends SparkTestBase {
     stats.foreach { case (_, n, iq) => assert(iq < n * 2L * 3000L * 3000L) }
   }
 
+  test("chunkDocuments slides with overlap and drops no-new-token tails") {
+    val d = docs((1L, (1 to 10).map(i => s"t$i").mkString(" ")))
+    val out = Sampling.chunkDocuments(d, chunkSize = 4, overlap = 2)
+      .select("chunk_id", "n_toks", "chunk")
+      .as[(Int, Int, String)].collect().sortBy(_._1)
+    assert(out.toSeq == Seq(
+      (0, 4, "t1 t2 t3 t4"), (1, 4, "t3 t4 t5 t6"),
+      (2, 4, "t5 t6 t7 t8"), (3, 4, "t7 t8 t9 t10")))
+    // short doc: one chunk, not padded
+    val short = Sampling.chunkDocuments(docs((2L, "a b")), 4, 2)
+      .select("n_toks", "chunk").as[(Int, String)].collect()
+    assert(short.toSeq == Seq((2, "a b")))
+  }
+
   test("QualityModel.score is partition-independent and bounded") {
     import graft.ext.QualityModel
     val d = docs((1L, "alpha beta gamma"), (2L, "alpha beta gamma"),
