@@ -155,27 +155,25 @@ object Bench {
         "d5_simhash", "d6_dup_clusters", "d7_dedup_apply")
       val walls = scala.collection.mutable.ListBuffer.empty[(String, String)]
       val ratios = scala.collection.mutable.ListBuffer.empty[(String, String)]
-      // Drop accumulated session state before (and between) the probes.
-      // The dedup pipelines checkpoint intermediates via localCheckpoint,
-      // whose blocks are freed only when the driver GC lets ContextCleaner
-      // run — which a 16 GB bench heap may never do unprompted. By this
-      // point ~70 queries of blocks crowd the block manager and the probe
-      // pays for it in execution-memory spills: the round-2 artifact
-      // recorded d4/d6 at 131/176 s where a clean JVM measures 13/8 s (a
-      // 32/128/256-partition sweep reproduced the clean numbers at the
-      // session default, so partitioning was NOT the cause).
-      def releaseState(): Unit = {
-        spark.catalog.clearCache()
-        System.gc()
-        Thread.sleep(2000) // ContextCleaner cleanup is async
-      }
+      // The probe gets a FRESH SparkContext: by this point ~70 queries of
+      // localCheckpoint blocks crowd the block manager (freed only when
+      // driver GC lets ContextCleaner run, which a 16 GB heap may never do
+      // unprompted) and the probe pays for the squeezed execution memory in
+      // spills — the round-2 artifact recorded d4/d6/d7 at 131/176/110 s
+      // where a clean JVM measures 13/8/16 s. A 32/128/256-partition sweep
+      // reproduced the clean numbers at the session default, so
+      // partitioning was NOT the cause; session state was. Stopping the
+      // context drops every block with it.
+      spark.stop()
+      System.gc()
+      val probeSpark = GraftSession.builder(s"local[$cpus]", cpus).getOrCreate()
+      probeSpark.sparkContext.setLogLevel("ERROR")
       names.foreach { n =>
         System.err.println(s"[bench] sf1 probe $n")
         try {
-          releaseState()
           // min-of-2 with cpu/wall, same steal discipline as the queries
           val samples = (1 to 2).map { _ =>
-            timed(SparkEntry.queries(n)(spark, dir10).count())
+            timed(SparkEntry.queries(n)(probeSpark, dir10).count())
           }
           val (w, c) = samples.minBy(_._1)
           walls += (n -> w.toString)
@@ -186,6 +184,7 @@ object Bench {
           ratios += (n -> "-1")
         }
       }
+      probeSpark.stop()
       (walls.toList, ratios.toList, nDocs)
     }
     val sf1Fields =

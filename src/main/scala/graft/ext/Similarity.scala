@@ -152,16 +152,23 @@ object Similarity {
   def cellCentroids(vecs: DataFrame, bits: Int = 4, dim: Int = 64,
       seed: String = "rp"): DataFrame = {
     val planes = rpPlanes(dim, bits, seed)
-    vecs
-      .select(rpCell(col("embedding"), planes).as("cell"),
-        posexplode(col("embedding")).as(Seq("pos", "v")))
+    centroidsOf(vecs.select(rpCell(col("embedding"), planes).as("cell"),
+      col("embedding")))
+  }
+
+  /** The M-step over an ARBITRARY (cell, embedding) assignment — the
+   * rp-seeded form above is round 0; later Lloyd rounds feed the
+   * `nearestCell` re-assignment back through this. Same exact-BIGINT
+   * micro-grid arithmetic, same (cell, pos, n, s, c) output. */
+  def centroidsOf(assigned: DataFrame): DataFrame =
+    assigned
+      .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "v")))
       .select(col("cell"), col("pos"),
         floor(col("v").cast("double") * lit(1e6) + lit(0.5)).cast("long").as("vq"))
       .groupBy("cell", "pos")
       .agg(count(lit(1)).as("n"), sum("vq").as("s"))
       .select(col("cell"), col("pos"), col("n"), col("s"),
         (col("s").cast("double") / lit(1e6) / col("n")).as("c"))
-  }
 
   /** Element-wise quantization of an embedding to the integer-MICRO grid
    * (`floor(v·1e6 + 0.5)` per element — floor, not round: half-rounding
@@ -193,10 +200,47 @@ object Similarity {
    * data-path stays fully distributed. */
   def codebook(vecs: DataFrame, bits: Int = 4, dim: Int = 64,
       seed: String = "rp"): Array[(Int, Array[Long])] =
-    centroidArrays(cellCentroids(vecs, bits, dim, seed))
-      .collect()
+    fetchCodebook(centroidArrays(cellCentroids(vecs, bits, dim, seed)))
+
+  private def fetchCodebook(arrays: DataFrame): Array[(Int, Array[Long])] =
+    arrays.collect()
       .map(r => r.getInt(0) -> r.getSeq[Long](1).toArray)
       .sortBy(_._1)
+
+  /** Multi-round Lloyd training: rp sign buckets seed round 1's M-step;
+   * every further round re-assigns the corpus with the current codebook
+   * (one narrow pass) and re-trains (one tiny hash-agg) — 2 shuffle-light
+   * jobs per round, driver state = the codebook only. `rounds = 1` is
+   * exactly `codebook`. Convergence note: k-means inertia is monotone
+   * non-increasing up to the micro-grid snap, so a handful of rounds is the
+   * practical regime; the per-round cost is flat in corpus size. */
+  def trainCodebook(vecs: DataFrame, bits: Int = 4, dim: Int = 64,
+      seed: String = "rp", rounds: Int = 1): Array[(Int, Array[Long])] = {
+    require(rounds >= 1, "need rounds >= 1")
+    var cb = codebook(vecs, bits, dim, seed)
+    for (_ <- 2 to rounds) {
+      val assigned = vecs.select(
+        nearestCell(col("embedding"), cb).as("cell"), col("embedding"))
+      cb = fetchCodebook(centroidArrays(centroidsOf(assigned)))
+    }
+    cb
+  }
+
+  /** E-step in the LARGE-codebook regime (the `nearestCell` Scaladoc
+   * caveat as code): broadcast the codebook relation and take the keyed
+   * min — same exact-integer distances, same smaller-cell tie-break, one
+   * extra exchange at vec grain instead of a K-branch literal expression.
+   * `centroids` is `centroidArrays` output. Returns (vec_id, cell). */
+  def assignCellsJoin(vecs: DataFrame, centroids: DataFrame): DataFrame =
+    vecs
+      .select(col("vec_id"), quantizeMicro(col("embedding")).as("__vq"))
+      .crossJoin(broadcast(centroids))
+      .select(col("vec_id"), col("cell"),
+        aggregate(zip_with(col("__vq"), col("cq"), (a, b) => (a - b) * (a - b)),
+          lit(0L), _ + _).as("__d"))
+      .groupBy("vec_id")
+      .agg(min(struct(col("__d"), col("cell"))).as("__m"))
+      .select(col("vec_id"), col("__m.cell").as("cell"))
 
   /** Lloyd E-step as a pure expression: nearest codebook centroid by exact
    * integer squared distance on the micro grid, ties to the smaller cell id.
@@ -231,8 +275,8 @@ object Similarity {
    * narrow assignment pass + one tiny hash-agg; exact integers, so the
    * oracle replays it bit-for-bit. */
   def ivfStats(vecs: DataFrame, bits: Int = 4, dim: Int = 64,
-      seed: String = "rp"): DataFrame = {
-    val cb = codebook(vecs, bits, dim, seed)
+      seed: String = "rp", rounds: Int = 1): DataFrame = {
+    val cb = trainCodebook(vecs, bits, dim, seed, rounds)
     vecs
       .select(nearestCellStruct(col("embedding"), cb).as("a"))
       .select(col("a.cell").as("cell"), col("a.d").as("dq"))
@@ -248,8 +292,8 @@ object Similarity {
    * the corpus, the way a real IVF index is built. */
   def knnIvfTrained(queries: DataFrame, corpus: DataFrame, k: Int,
       bits: Int = 4, dim: Int = 64, seed: String = "rp",
-      maxCell: Int = 10000): DataFrame = {
-    val cb = codebook(corpus, bits, dim, seed)
+      maxCell: Int = 10000, rounds: Int = 1): DataFrame = {
+    val cb = trainCodebook(corpus, bits, dim, seed, rounds)
     knnCell(
       queries.withColumn("__tc", nearestCell(col("embedding"), cb)),
       corpus.withColumn("__tc", nearestCell(col("embedding"), cb)),

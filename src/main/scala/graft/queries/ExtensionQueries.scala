@@ -574,6 +574,69 @@ object ExtensionQueries {
       },
       "per-cell member count + exact inertia after the Lloyd round"),
 
+    // Round-2 Lloyd diagnostics: the engine re-assigns with the round-1
+    // codebook, re-trains, re-assigns again — a REAL iterative k-means on
+    // DataFrames (2 shuffle-light jobs per round, driver state = codebook
+    // only). The oracle replays both rounds; exact integer arithmetic keeps
+    // every assignment decision engine-independent through the iteration.
+    "n9_ivf_round2" -> QueryDef(
+      (s, dir) => {
+        graft.functions.GraftFunctions.register(s)
+        Similarity.ivfStats(t(s, dir, "embeddings"),
+          bits = RpBits, dim = RpDim, seed = RpSeed, rounds = 2)
+      },
+      Some {
+        val cell = sqlRpCell("embedding::DOUBLE[]",
+          Similarity.rpPlanes(RpDim, RpBits, RpSeed))
+        s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb,
+                              CAST($cell AS INTEGER) AS cell
+                       FROM embeddings),
+            x AS (SELECT cell,
+                         unnest([{'pos': i - 1, 'v': emb[i]}
+                                 for i in generate_series(1, len(emb))]) AS u
+                  FROM e),
+            g AS (SELECT cell, CAST(u.pos AS INTEGER) AS pos, count(*) AS n,
+                         CAST(sum(CAST(floor(u.v * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS s
+                  FROM x GROUP BY 1, 2),
+            cb AS (SELECT cell,
+                          list(CAST(floor(s / n + 0.5) AS BIGINT)::DOUBLE ORDER BY pos) AS cq
+                   FROM g GROUP BY cell),
+            v AS (SELECT vec_id,
+                         list_transform(emb, x -> CAST(floor(x * 1e6 + 0.5) AS BIGINT)::DOUBLE) AS vq
+                  FROM e),
+            asg1 AS (SELECT vec_id, vq, cell FROM (
+                       SELECT v.vec_id, v.vq, cb.cell,
+                              row_number() OVER (PARTITION BY v.vec_id
+                                ORDER BY list_dot_product(v.vq, v.vq)
+                                  - 2 * list_dot_product(v.vq, cb.cq)
+                                  + list_dot_product(cb.cq, cb.cq), cb.cell) AS rn
+                       FROM v CROSS JOIN cb) WHERE rn = 1),
+            x2 AS (SELECT cell,
+                          unnest([{'pos': i - 1, 'v': vq[i]}
+                                  for i in generate_series(1, len(vq))]) AS u
+                   FROM asg1),
+            g2 AS (SELECT cell, CAST(u.pos AS INTEGER) AS pos, count(*) AS n,
+                          CAST(sum(CAST(u.v AS BIGINT)) AS BIGINT) AS s
+                   FROM x2 GROUP BY 1, 2),
+            cb2 AS (SELECT cell,
+                           list(CAST(floor(s / n + 0.5) AS BIGINT)::DOUBLE ORDER BY pos) AS cq
+                    FROM g2 GROUP BY cell),
+            asg2 AS (SELECT vec_id, cell, dist FROM (
+                       SELECT v.vec_id, cb2.cell,
+                              list_dot_product(v.vq, v.vq)
+                                - 2 * list_dot_product(v.vq, cb2.cq)
+                                + list_dot_product(cb2.cq, cb2.cq) AS dist,
+                              row_number() OVER (PARTITION BY v.vec_id
+                                ORDER BY list_dot_product(v.vq, v.vq)
+                                  - 2 * list_dot_product(v.vq, cb2.cq)
+                                  + list_dot_product(cb2.cq, cb2.cq), cb2.cell) AS rn
+                       FROM v CROSS JOIN cb2) WHERE rn = 1)
+            SELECT cell, count(*) AS n,
+                   CAST(sum(CAST(dist AS BIGINT)) AS BIGINT) AS inertia_q
+            FROM asg2 GROUP BY cell"""
+      },
+      "round-2 Lloyd: re-train + re-assign, per-cell count and exact inertia"),
+
     // ---- streaming + generator (oracle replays the spine from the same
     // materialized envelopes — see StreamOracle) ----
 

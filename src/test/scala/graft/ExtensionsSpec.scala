@@ -307,6 +307,26 @@ class ExtensionsSpec extends SparkTestBase {
     assert(short.toSeq == Seq((2, "a b")))
   }
 
+  test("assignCellsJoin matches the expression E-step vector for vector") {
+    val emb = spark.read.parquet(s"$Sf/embeddings.parquet")
+    val cent = Similarity.centroidArrays(Similarity.cellCentroids(emb))
+    val cb = Similarity.codebook(emb)
+    val viaExpr = emb.select($"vec_id",
+      Similarity.nearestCell($"embedding", cb).as("cell"))
+    val viaJoin = Similarity.assignCellsJoin(emb, cent)
+    assert(viaExpr.except(viaJoin).isEmpty && viaJoin.except(viaExpr).isEmpty)
+  }
+
+  test("trainCodebook: a second Lloyd round does not increase total inertia") {
+    val vecs = ((1L to 5L).map(i => (i, Array(1f + i * 0.01f, 0.3f))) ++
+      (11L to 15L).map(i => (i, Array(-1f - (i - 10) * 0.01f, -0.3f))))
+      .toDF("vec_id", "embedding")
+    def inertia(rounds: Int): Long =
+      Similarity.ivfStats(vecs, bits = 2, dim = 2, rounds = rounds)
+        .agg(sum("inertia_q")).head().getLong(0)
+    assert(inertia(2) <= inertia(1))
+  }
+
   test("QualityModel.score is partition-independent and bounded") {
     import graft.ext.QualityModel
     val d = docs((1L, "alpha beta gamma"), (2L, "alpha beta gamma"),
