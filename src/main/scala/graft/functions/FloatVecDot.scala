@@ -116,6 +116,7 @@ object GraftFunctions {
   val VecDotName = "graft_vec_dot"
   val MinHash12Name = "graft_minhash12"
   val TopKName = "graft_topk"
+  val HeavyHittersName = "graft_heavy_hitters"
 
   /** Build the TypedTopK aggregate from registry args: (ord, id, k) with k a
    * foldable integer literal. Public alias for the extensions injector. */
@@ -133,6 +134,22 @@ object GraftFunctions {
     TypedTopK(exprs(0), exprs(1), k)
   }
 
+  /** Build the HeavyHitters aggregate from registry args:
+   * (item, capacity, k), both bounds foldable integer literals. */
+  def heavyHittersFromExprs(exprs: Seq[Expression]): Expression = {
+    require(exprs.length == 3, s"$HeavyHittersName expects (item, capacity, k)")
+    def intLit(e: Expression, name: String): Int = {
+      require(e.foldable, s"$HeavyHittersName $name must be a literal")
+      e.eval() match {
+        case i: Int => i
+        case l: Long => l.toInt
+        case other => throw new IllegalArgumentException(
+          s"$HeavyHittersName $name must be integral, got $other")
+      }
+    }
+    HeavyHitters(exprs(0), intLit(exprs(1), "capacity"), intLit(exprs(2), "k"))
+  }
+
   /** Idempotent per-session registration (temp functions). */
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
@@ -141,6 +158,8 @@ object GraftFunctions {
       MinHash12Name, exprs => MinHash12(exprs(0)), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       TopKName, topKBuilder, "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      HeavyHittersName, heavyHittersFromExprs, "scala_udf")
   }
 
   /** Column API: resolves through the function registry. */
@@ -152,6 +171,13 @@ object GraftFunctions {
   /** Bounded top-k aggregate (ord DESC, id ASC) — array<struct<ord,id>>. */
   def topK(ord: Column, id: Column, k: Int): Column =
     call_function(TopKName, ord, id, org.apache.spark.sql.functions.lit(k))
+
+  /** SpaceSaving heavy-hitter sketch aggregate —
+   * array<struct<item,n,err>>, (n DESC, item ASC), top k of capacity. */
+  def heavyHitters(item: Column, capacity: Int, k: Int): Column =
+    call_function(HeavyHittersName, item,
+      org.apache.spark.sql.functions.lit(capacity),
+      org.apache.spark.sql.functions.lit(k))
 }
 
 /** `SparkSessionExtensions` hook: injects the native functions at session
@@ -174,5 +200,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[TypedTopK].getName, GraftFunctions.TopKName),
       GraftFunctions.topKFromExprs _))
+    e.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier(GraftFunctions.HeavyHittersName),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[HeavyHitters].getName, GraftFunctions.HeavyHittersName),
+      GraftFunctions.heavyHittersFromExprs _))
   }
 }

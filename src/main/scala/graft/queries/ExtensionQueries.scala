@@ -923,6 +923,35 @@ object ExtensionQueries {
               LIMIT 20"""),
       "global vocabulary top-20 (Zipf head)"),
 
+    // SpaceSaving heavy hitters over the token stream: the sketch form of
+    // t9 — one capacity-bounded buffer per partition crosses the wire
+    // regardless of domain cardinality (t9's exact form shuffles a row per
+    // DISTINCT token; fine at vocab 31, painful at a billion n-grams). The
+    // gate runs in the exact regime (capacity 64 > vocab 31 ⇒ no evictions,
+    // err = 0, partition-independent — same posture as g6/g6b); eviction
+    // error bounds are pinned in SpaceSavingSpec.
+    "t10_heavy_hitters" -> QueryDef(
+      (s, dir) => {
+        graft.functions.GraftFunctions.register(s)
+        t(s, dir, "documents")
+          .select(explode(split(col("text"), " ")).as("tok"))
+          .agg(graft.functions.GraftFunctions.heavyHitters(col("tok"), 64, 10)
+            .as("hh"))
+          .select(posexplode(col("hh")))
+          .select((col("pos") + 1).cast("int").as("rank"),
+            col("col.item").as("tok"), col("col.n").as("n"),
+            col("col.err").as("err"))
+      },
+      Some("""SELECT CAST(row_number() OVER (ORDER BY n DESC, tok) AS INTEGER) AS rank,
+                     tok, n, CAST(0 AS BIGINT) AS err
+              FROM (SELECT tok, CAST(count(*) AS BIGINT) AS n
+                    FROM (SELECT unnest(string_split(text, ' ')) AS tok
+                          FROM documents)
+                    GROUP BY tok)
+              ORDER BY n DESC, tok
+              LIMIT 10"""),
+      "SpaceSaving heavy-hitter sketch top-10 (exact regime under the gate)"),
+
     "sp2_seq_pack" -> QueryDef(
       (s, dir) => graft.ext.Sampling.packSequences(
         t(s, dir, "documents").select(col("doc_id"),
