@@ -96,4 +96,34 @@ object TextAnalysis {
   /** Redaction count for audit columns (emails + long digit runs). */
   def piiCount(text: Column): Column =
     regexp_count(text, lit(EmailRe)) + regexp_count(text, lit(LongNumberRe))
+
+  /** Corpus TF-IDF at document grain: Σ_term tf·idf with idf = ln(N/df).
+   * Scale shape: two hash-aggs (term frequencies per doc, document
+   * frequencies per term) + ONE join keyed on the term (the df relation is
+   * vocabulary-sized — AQE broadcasts it when small, shuffles when a
+   * billion-key n-gram domain makes it big) + a final doc-grain agg. The
+   * corpus size N is a 1-row broadcast.
+   *
+   * Determinism: idf is quantized to integer MICROS immediately after the
+   * (single, deterministic-input) `ln`, so per-term weights tf·idf_q are
+   * exact BIGINTs and the per-doc sum is summation-order independent — the
+   * same micro-grid discipline as the IVF family. Output:
+   * (doc_id, n_terms, tfidf_q, tfidf = tfidf_q/1e6). */
+  def tfIdf(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val toks = docs.select(col("doc_id"),
+      explode(split(col("text"), " ")).as("tok"))
+    val tf = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    val dfreq = toks.select("doc_id", "tok").distinct()
+      .groupBy("tok").agg(count(lit(1)).as("df"))
+    val n = docs.select(countDistinct("doc_id").as("n_docs"))
+    tf.join(dfreq, "tok")
+      .crossJoin(broadcast(n))
+      .withColumn("idf_q",
+        floor(log(col("n_docs").cast("double") / col("df")) * lit(1e6) + lit(0.5))
+          .cast("long"))
+      .withColumn("w_q", col("tf") * col("idf_q"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_terms"), sum("w_q").as("tfidf_q"))
+      .withColumn("tfidf", col("tfidf_q").cast("double") / lit(1e6))
+  }
 }

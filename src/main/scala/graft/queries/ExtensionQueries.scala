@@ -802,6 +802,27 @@ object ExtensionQueries {
                FROM g"""),
       "hashed linear quality-model score + keep decision"),
 
+    // Document TF-IDF: idf snapped to integer micros right after the ln, so
+    // per-term weights and the per-doc sum are exact BIGINTs — the gate
+    // compares bit-for-bit despite the transcendental in the middle.
+    "t11_tfidf" -> QueryDef(
+      (s, dir) => TextAnalysis.tfIdf(t(s, dir, "documents")),
+      Some("""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                           FROM documents),
+                tf AS (SELECT doc_id, tok, count(*) AS tf FROM tok GROUP BY 1, 2),
+                dfreq AS (SELECT tok, count(*) AS df
+                          FROM (SELECT DISTINCT doc_id, tok FROM tok)
+                          GROUP BY tok),
+                n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+                w AS (SELECT doc_id,
+                             tf * CAST(floor(ln(CAST(n_docs AS DOUBLE) / df) * 1e6 + 0.5) AS BIGINT) AS w_q
+                      FROM tf JOIN dfreq USING (tok) CROSS JOIN n)
+              SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms,
+                     CAST(sum(w_q) AS BIGINT) AS tfidf_q,
+                     CAST(sum(w_q) AS DOUBLE) / 1e6 AS tfidf
+              FROM w GROUP BY doc_id"""),
+      "document TF-IDF (micro-quantized log-idf, exact integer sums)"),
+
     // ---- deterministic splitting / sampling / packing ----
 
     // Decontamination audit: every verified near-dup pair with both sides'

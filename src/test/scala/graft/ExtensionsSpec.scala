@@ -327,6 +327,20 @@ class ExtensionsSpec extends SparkTestBase {
     assert(inertia(2) <= inertia(1))
   }
 
+  test("tfIdf: ubiquitous terms weigh zero, rare terms ln(N/df), exact sums") {
+    val d = docs((1L, "a a b"), (2L, "a c"))
+    val out = TextAnalysis.tfIdf(d)
+      .select("doc_id", "n_terms", "tfidf_q")
+      .as[(Long, Long, Long)].collect().toSet
+    val ln2q = math.floor(math.log(2.0) * 1e6 + 0.5).toLong  // 693147
+    // df(a)=2 of N=2 -> idf 0; b and c are singletons -> tf 1 * ln(2)
+    assert(out == Set((1L, 2L, ln2q), (2L, 2L, ln2q)))
+    val again = TextAnalysis.tfIdf(d.repartition(5))
+      .select("doc_id", "n_terms", "tfidf_q")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(again == out)
+  }
+
   test("QualityModel.score is partition-independent and bounded") {
     import graft.ext.QualityModel
     val d = docs((1L, "alpha beta gamma"), (2L, "alpha beta gamma"),
