@@ -49,6 +49,16 @@ object TextAnalysis {
     best(scores.toList)
   }
 
+  /** Full text cleanup: Unicode NFC (native codegen'd expression — the
+   * engine's canonical spelling step before shingles/fingerprints/tokens),
+   * C0/DEL control chars → space, whitespace runs collapsed, ends trimmed.
+   * Requires `GraftFunctions.register(spark)` (GraftSession does it). */
+  def cleanText(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(graft.functions.GraftFunctions.nfc(text),
+        "[\\x00-\\x1f\\x7f]", " "),
+      "\\s+", " "))
+
   /** Quality score components: chars, tokens, mean token length, stopword
    * ratio. Compose/filter downstream as needed. */
   def qualityColumns(text: Column): Seq[(String, Column)] = Seq(

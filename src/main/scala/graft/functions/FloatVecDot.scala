@@ -117,6 +117,7 @@ object GraftFunctions {
   val MinHash12Name = "graft_minhash12"
   val TopKName = "graft_topk"
   val HeavyHittersName = "graft_heavy_hitters"
+  val NfcName = "graft_nfc"
 
   /** Build the TypedTopK aggregate from registry args: (ord, id, k) with k a
    * foldable integer literal. Public alias for the extensions injector. */
@@ -160,6 +161,8 @@ object GraftFunctions {
       TopKName, topKBuilder, "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       HeavyHittersName, heavyHittersFromExprs, "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      NfcName, exprs => NormalizeNfc(exprs(0)), "scala_udf")
   }
 
   /** Column API: resolves through the function registry. */
@@ -178,6 +181,9 @@ object GraftFunctions {
     call_function(HeavyHittersName, item,
       org.apache.spark.sql.functions.lit(capacity),
       org.apache.spark.sql.functions.lit(k))
+
+  /** Unicode NFC normalization (codegen'd; no-copy on already-NFC input). */
+  def nfc(in: Column): Column = call_function(NfcName, in)
 }
 
 /** `SparkSessionExtensions` hook: injects the native functions at session
@@ -205,5 +211,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[HeavyHitters].getName, GraftFunctions.HeavyHittersName),
       GraftFunctions.heavyHittersFromExprs _))
+    e.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier(GraftFunctions.NfcName),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[NormalizeNfc].getName, GraftFunctions.NfcName),
+      (exprs: Seq[Expression]) => NormalizeNfc(exprs(0))))
   }
 }

@@ -777,6 +777,36 @@ object ExtensionQueries {
                FROM documents"""),
       "PII scrubbing: emails + long digit runs -> placeholder tokens"),
 
+    // Unicode NFC normalization + control-strip + whitespace collapse — the
+    // canonical-spelling step every text pipeline runs before shingles /
+    // fingerprints / tokenizers. The native codegen'd NormalizeNfc
+    // expression does the NFC (Spark has no builtin; zero-copy fast path on
+    // already-normalized text); a decomposed U+0065 U+0301 suffix is
+    // injected on BOTH sides so the oracle (DuckDB nfc_normalize) actually
+    // verifies the composition arithmetic, not just an ASCII no-op.
+    "t12_normalize" -> QueryDef(
+      (s, dir) => {
+        graft.functions.GraftFunctions.register(s)
+        val raw = concat(substring(col("text"), 1, 40), lit("e\u0301"))
+        t(s, dir, "documents").select(
+          col("doc_id"),
+          length(raw).as("n_raw"),
+          length(TextAnalysis.cleanText(raw)).as("n_norm"),
+          TextAnalysis.cleanText(raw).as("norm"))
+      },
+      Some("""WITH raw AS (
+                SELECT doc_id, substr(text, 1, 40) || 'e' || chr(769) AS r
+                FROM documents),
+              n AS (
+                SELECT doc_id, r,
+                       trim(regexp_replace(regexp_replace(nfc_normalize(r),
+                         '[\x00-\x1f\x7f]', ' ', 'g'), '\s+', ' ', 'g')) AS norm
+                FROM raw)
+              SELECT doc_id, CAST(length(r) AS INTEGER) AS n_raw,
+                     CAST(length(norm) AS INTEGER) AS n_norm, norm
+              FROM n"""),
+      "Unicode NFC + control-strip + whitespace collapse (native expression)"),
+
     // Model-based quality scoring: hashed bag-of-words linear scorer (the
     // fastText-style filter after the t2 heuristics). Feature hashing means
     // no weight-table join — the "table" is a hash formula; integer-millis

@@ -4,8 +4,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.operators.AsOfJoin
-import graft.ext.{Incremental, Sampling}
+import graft.operators.{AsOfJoin, RangeJoin}
+import graft.ext.{Incremental, Sampling, TimeSeries}
 import Tables.t
 
 /**
@@ -39,6 +39,15 @@ object RelationalQueries {
     try s.sql(sql(names))
     finally names.values.foreach(s.catalog.dropTempView(_))
   }
+
+  /** Irregular price bands for x2 (band_id, lo, hi) in integer cents —
+   * half-open [lo, hi), shared verbatim by the Spark plan and the oracle.
+   * Spans vary 2.5k–40k dollars so the bin replication path (not plain
+   * bucketing) is what's exercised. */
+  private val PriceBands: Seq[(Int, Long, Long)] = Seq(
+    (0, 0L, 250000L), (1, 250000L, 500000L), (2, 500000L, 1000000L),
+    (3, 1000000L, 2000000L), (4, 2000000L, 4000000L),
+    (5, 4000000L, 7000000L), (6, 7000000L, 11000000L))
 
   val defs: Map[String, QueryDef] = Map(
 
@@ -505,6 +514,73 @@ object RelationalQueries {
                 FROM orders GROUP BY 1, 2) r
               ON e.user_id = r.o_custkey AND e.ts >= r.o_orderdate"""),
       "backward as-of join via union/sort operator (single shuffle)"),
+
+    // Interval join with NO equality key: price-band assignment. A bare
+    // `p >= lo AND p < hi` join is a BroadcastNestedLoopJoin in Spark —
+    // O(|fact|·|bands|) and a full broadcast; RangeJoin.binnedRangeJoin
+    // replicates each band to the fixed-width bins it overlaps and
+    // equi-joins on the bin (one hash join, pair met in exactly one bin).
+    // Plan lock (no BNLJ) in RangeJoinSpec. Prices in exact integer cents:
+    // both engines compute floor(double*100) on identical IEEE doubles.
+    "x2_range_join" -> QueryDef(
+      (s, dir) => {
+        val pts = t(s, dir, "lineitem")
+          .select(floor(col("l_extendedprice") * 100).cast("long").as("p"))
+        val bands = s.createDataFrame(PriceBands)
+          .toDF("band_id", "lo", "hi")
+        RangeJoin.binnedRangeJoin(pts, "p", bands, "lo", "hi",
+            binWidth = 250000L)
+          .groupBy("band_id")
+          .agg(count(lit(1)).as("n_items"),
+            sum("p").cast("long").as("sum_cents"))
+      },
+      Some(s"""WITH pts AS (SELECT CAST(floor(l_extendedprice * 100) AS BIGINT) AS p
+                            FROM lineitem),
+                    bands(band_id, lo, hi) AS (VALUES ${PriceBands.map {
+                      case (b, lo, hi) => s"($b, $lo, $hi)" }.mkString(", ")})
+               SELECT band_id, count(*) AS n_items,
+                      CAST(sum(p) AS BIGINT) AS sum_cents
+               FROM pts JOIN bands ON p >= lo AND p < hi
+               GROUP BY band_id"""),
+      "equality-free interval join via bin-replication blocking (no BNLJ)"),
+
+    // Time-series densification: per-user daily event series with missing
+    // days zero-filled and a gauge column carried forward. Grid generated
+    // per key by sequence()+explode (narrow, bounded by per-key span), 1:1
+    // keyed fill join, single-sort carry-forward window.
+    "x3_gap_fill" -> QueryDef(
+      (s, dir) => {
+        val daily = t(s, dir, "events")
+          .filter(col("event_type") === "purchase")
+          // ts is LONG ns; `div` keeps the epoch math exact (see w3).
+          .groupBy(col("user_id"),
+            to_date(timestamp_micros(expr("ts div 1000"))).as("day"))
+          .agg(count(lit(1)).as("n_events"),
+            max("event_id").as("last_event_id"))
+        TimeSeries.gapFill(daily, key = "user_id", period = "day",
+          step = "1 day", zeroFill = Seq("n_events"),
+          carryForward = Seq("last_event_id"))
+      },
+      Some("""WITH daily AS (
+                SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+                       count(*) AS n_events, max(event_id) AS last_event_id
+                FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+              bounds AS (
+                SELECT user_id, min(day) AS d0, max(day) AS d1
+                FROM daily GROUP BY 1),
+              grid AS (
+                SELECT user_id,
+                       CAST(unnest(generate_series(d0::TIMESTAMP, d1::TIMESTAMP,
+                                                   INTERVAL 1 DAY)) AS DATE) AS day
+                FROM bounds)
+              SELECT g.user_id, g.day,
+                     coalesce(d.n_events, 0) AS n_events,
+                     last_value(d.last_event_id IGNORE NULLS) OVER (
+                       PARTITION BY g.user_id ORDER BY g.day
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS last_event_id
+              FROM grid g LEFT JOIN daily d USING (user_id, day)"""),
+      "time-series gap fill: dense per-key calendar grid, zero-fill + ffill"),
 
     // ---- incremental ingest (MERGE / CDC apply) ----
 
