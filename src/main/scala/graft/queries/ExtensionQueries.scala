@@ -919,6 +919,34 @@ object ExtensionQueries {
               WHERE ('0x' || substr(md5('sample:' || doc_id::VARCHAR), 1, 8))::BIGINT % 100 < 10"""),
       "deterministic ~10% sample (same rows every run, any cluster)"),
 
+    // Deterministic k-per-group sample: rank by a stable md5-derived score
+    // inside each group and keep the top k — "give me 5 random-but-
+    // reproducible docs per source" without a window sort over the corpus.
+    // The TypedTopK bounded-heap aggregate ships k rows per group off each
+    // map task (partial agg), so the shuffle carries O(groups·k), not the
+    // corpus. The 32-bit hash is exact as a double (< 2^53).
+    "sp8_group_sample" -> QueryDef(
+      (s, dir) => {
+        graft.functions.GraftFunctions.register(s)
+        val score = conv(substring(md5(concat(lit("gs:"),
+          col("doc_id").cast("string"))), 1, 8), 16, 10)
+          .cast("long").cast("double")
+        t(s, dir, "documents")
+          .groupBy("source")
+          .agg(graft.functions.GraftFunctions.topK(
+            score, col("doc_id"), 5).as("top"))
+          .select(col("source"), posexplode(col("top")))
+          .select(col("source"), col("col.id").as("doc_id"),
+            (col("pos") + 1).cast("int").as("rn"))
+      },
+      Some("""SELECT source, doc_id, rn FROM (
+                SELECT source, doc_id,
+                       row_number() OVER (PARTITION BY source
+                         ORDER BY ('0x' || substr(md5('gs:' || doc_id::VARCHAR), 1, 8))::BIGINT DESC,
+                                  doc_id) AS rn
+                FROM documents) WHERE rn <= 5"""),
+      "deterministic k-per-group sample via bounded-heap top-k aggregate"),
+
     // Stratified deterministic sampling: per-stratum keep rates (dominant
     // `en` cut to 20%, scarce `zh` kept whole, default 50%) — the
     // mixture-shaping knob over the same stable md5 bucket; still a pure

@@ -299,6 +299,100 @@ object RelationalQueries {
               FROM g GROUP BY user_id"""),
       "gap-based sessionization via lag + flag-sum"),
 
+    // Ordered-step conversion funnel: first view, first click AFTER that
+    // view, first purchase AFTER that click. Each stage is one keyed
+    // hash-agg over a type-filtered scan joined to the (one-row-per-user,
+    // AQE-broadcastable) previous stage — no window sort over the full
+    // event stream, no per-user event collection; stages stay keyed passes
+    // at any scale. Timestamps compared at MICROsecond precision on both
+    // sides (w2/w5 convention: DuckDB's parquet reader truncates
+    // TIMESTAMP_NS to us, so ns-precision outputs can never hash-match).
+    "s2_funnel" -> QueryDef(
+      (s, dir) => {
+        val e = t(s, dir, "events")
+          .select(col("user_id"), col("event_type"),
+            expr("ts div 1000").as("tsu"))
+        val v = e.filter(col("event_type") === "view")
+          .groupBy("user_id").agg(min("tsu").as("t_view"))
+        val c = e.filter(col("event_type") === "click")
+          .join(v, "user_id").filter(col("tsu") > col("t_view"))
+          .groupBy("user_id").agg(min("tsu").as("t_click"))
+        val p = e.filter(col("event_type") === "purchase")
+          .join(c, "user_id").filter(col("tsu") > col("t_click"))
+          .groupBy("user_id").agg(min("tsu").as("t_purchase"))
+        v.join(c, Seq("user_id"), "left").join(p, Seq("user_id"), "left")
+      },
+      Some("""WITH v AS (
+                SELECT user_id, min(epoch_us(ts)) AS t_view
+                FROM events WHERE event_type = 'view' GROUP BY 1),
+              c AS (
+                SELECT e.user_id, min(epoch_us(e.ts)) AS t_click
+                FROM events e JOIN v ON e.user_id = v.user_id
+                 AND epoch_us(e.ts) > v.t_view
+                WHERE e.event_type = 'click' GROUP BY 1),
+              p AS (
+                SELECT e.user_id, min(epoch_us(e.ts)) AS t_purchase
+                FROM events e JOIN c ON e.user_id = c.user_id
+                 AND epoch_us(e.ts) > c.t_click
+                WHERE e.event_type = 'purchase' GROUP BY 1)
+              SELECT v.user_id, v.t_view, c.t_click, p.t_purchase
+              FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)"""),
+      "ordered-step conversion funnel via staged keyed aggregations"),
+
+    // Cohort retention matrix: users bucketed by first-active day, activity
+    // counted per (cohort, day-offset). Two keyed shuffles total (distinct
+    // activity days, then cohort join + agg) — the denominator for any
+    // retention dashboard, scale-independent of per-user event counts.
+    "s3_retention" -> QueryDef(
+      (s, dir) => {
+        val day = to_date(timestamp_micros(expr("ts div 1000")))
+        val act = t(s, dir, "events")
+          .select(col("user_id"), day.as("day")).distinct()
+        val cohort = act.groupBy("user_id").agg(min("day").as("cohort_day"))
+        act.join(cohort, "user_id")
+          .groupBy(col("cohort_day"),
+            datediff(col("day"), col("cohort_day")).as("day_offset"))
+          .agg(countDistinct("user_id").as("n_users"))
+      },
+      Some("""WITH act AS (
+                SELECT DISTINCT user_id,
+                       CAST(date_trunc('day', ts) AS DATE) AS day
+                FROM events),
+              coh AS (
+                SELECT user_id, min(day) AS cohort_day FROM act GROUP BY 1)
+              SELECT c.cohort_day,
+                     CAST(a.day - c.cohort_day AS INTEGER) AS day_offset,
+                     count(DISTINCT a.user_id) AS n_users
+              FROM act a JOIN coh c USING (user_id)
+              GROUP BY 1, 2"""),
+      "cohort retention matrix: first-active cohort x day offset"),
+
+    // Rolling-frame features per key (feature-engineering staple): bounded
+    // 7-row trailing frame, so state per row is O(frame), not O(history).
+    // One shuffle + one sort per key — same cost envelope as w2. Sum
+    // rounded at the 2-decimal position where the input is exact; min/max
+    // are order-independent.
+    "w6_rolling" -> QueryDef(
+      (s, dir) => {
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+          .rowsBetween(-6, Window.currentRow)
+        t(s, dir, "events")
+          .select(col("event_id"), col("user_id"),
+            round(sum("value").over(w), 2).as("roll_sum"),
+            min("value").over(w).as("roll_min"),
+            max("value").over(w).as("roll_max"),
+            count(lit(1)).over(w).as("roll_n"))
+      },
+      Some("""SELECT event_id, user_id,
+                     round(sum(value) OVER w, 2) AS roll_sum,
+                     min(value) OVER w AS roll_min,
+                     max(value) OVER w AS roll_max,
+                     count(*) OVER w AS roll_n
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)"""),
+      "trailing 7-row rolling features per key (bounded frame state)"),
+
     // Tumbling-window aggregation in batch form (the streaming variant is
     // StreamingAnalytics.windowedTypeCounts; same grouping semantics).
     // Window starts exported as epoch micros to sidestep tz-encoding drift.
