@@ -710,7 +710,35 @@ object RelationalQueries {
                FROM (SELECT doc_id, source || ':v0' AS val FROM documents) b
                FULL OUTER JOIN latest l ON b.doc_id = l.doc_id
                WHERE l.op IS NULL OR l.op <> 'D'"""),
-      "MERGE/CDC apply: full-outer keyed merge with delete/upsert semantics"))
+      "MERGE/CDC apply: full-outer keyed merge with delete/upsert semantics"),
+
+    // SCD2 history build: every non-delete change becomes a versioned
+    // dimension row with a [valid_from, valid_to) validity interval;
+    // valid_to = the NEXT change's version (any op — a delete closes its
+    // predecessor), open interval = current. One shuffle + one sort per
+    // key (lead window) — the warehouse-standard history derivation, cost
+    // identical to w2 at any scale.
+    "i3_scd2" -> QueryDef(
+      (s, dir) => {
+        val w = Window.partitionBy("doc_id").orderBy("version")
+        cdcChanges(s, dir)
+          .withColumn("valid_to", lead("version", 1).over(w))
+          .filter(col("op") =!= "D")
+          .select(col("doc_id"), col("version").as("valid_from"),
+            col("valid_to"), col("val"),
+            col("valid_to").isNull.as("is_current"))
+      },
+      Some(s"""WITH $CdcChangesCtes,
+               led AS (
+                 SELECT doc_id, version AS valid_from,
+                        lead(version) OVER (PARTITION BY doc_id
+                          ORDER BY version) AS valid_to,
+                        op, val
+                 FROM ch)
+               SELECT doc_id, valid_from, valid_to, val,
+                      valid_to IS NULL AS is_current
+               FROM led WHERE op <> 'D'"""),
+      "SCD2 dimension history: validity intervals via per-key lead window"))
 
   /** Deterministic CDC change stream derived from `documents`: keys in the
    * low half of the "cdc" md5 bucket carry 1–3 versions; each (key, version)
