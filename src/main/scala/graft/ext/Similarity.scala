@@ -375,6 +375,80 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  // ---- product quantization (PQ) ----
+
+  /** Subvector `m` of an embedding: elements [m·subDim, (m+1)·subDim). */
+  def subvec(emb: Column, m: Int, subDim: Int): Column =
+    slice(emb, m * subDim + 1, subDim)
+
+  /** Per-subspace PQ codebooks: the embedding splits into `m` contiguous
+   * subvectors of `subDim` dims; each subspace trains its own small
+   * codebook with the SAME rp-seeded M-step as the IVF path (`codebook`,
+   * seeded `"$seed$i"` per subspace) on the micro grid. Driver state is
+   * m · 2^bits · subDim longs — model parameters, a few KB; the training
+   * passes stay fully distributed (one narrow projection + one tiny
+   * hash-agg per subspace). */
+  def pqCodebooks(vecs: DataFrame, m: Int = 4, subDim: Int = 16,
+      bits: Int = 2, seed: String = "pq"): Array[Array[(Int, Array[Long])]] =
+    Array.tabulate(m) { i =>
+      codebook(
+        vecs.select(col("vec_id"),
+          subvec(col("embedding"), i, subDim).as("embedding")),
+        bits, subDim, s"$seed$i")
+    }
+
+  /** PQ encoding: each vector compresses to `m` small code columns
+   * `c0..c{m-1}` — the id of the nearest subspace centroid by EXACT
+   * integer squared micro-grid distance (ties to the smaller id, both
+   * engines). A pure narrow codegen'd pass, no shuffle; at 100 TB this is
+   * the (dim·4 bytes → m codes) rewrite that makes the ANN corpus
+   * memory-resident. */
+  def pqEncode(vecs: DataFrame,
+      cbs: Array[Array[(Int, Array[Long])]], subDim: Int): DataFrame =
+    vecs.select(
+      col("vec_id") +:
+        cbs.indices.map(i =>
+          nearestCell(subvec(col("embedding"), i, subDim), cbs(i))
+            .as(s"c$i")): _*)
+
+  /** Asymmetric-distance (ADC) kNN over PQ codes: the query stays exact
+   * (micro grid); each corpus vector contributes only its codes, and the
+   * distance is Σ_m d²(q_m, codebook_m[c_m]) — the codebook inlined as
+   * literals, so scoring reads m SMALL INTS per corpus row instead of the
+   * full vector (the PQ scan-IO win), stays narrow/codegen'd, and every
+   * distance is an exact integer (bit-identical replay in the oracle).
+   * Top-k per query via the bounded-heap TypedTopK on -dist (ties → smaller
+   * neighbor id), so the shuffle carries k rows per query per partition —
+   * never the scored corpus. Queries must be registered for `topK`
+   * (GraftFunctions.register). */
+  def knnPqAdc(queries: DataFrame, corpus: DataFrame, k: Int,
+      m: Int = 4, subDim: Int = 16, bits: Int = 2,
+      seed: String = "pq"): DataFrame = {
+    val cbs = pqCodebooks(corpus, m, subDim, bits, seed)
+    val enc = pqEncode(corpus, cbs, subDim)
+    val q = queries.select(col("vec_id").as("q_id"),
+      col("embedding").as("q_emb"))
+    val dist = (0 until m).map { i =>
+      val qq = quantizeMicro(subvec(col("q_emb"), i, subDim))
+      val cases = cbs(i).map { case (cell, cq) =>
+        when(col(s"c$i") === cell,
+          aggregate(zip_with(qq, lit(cq), (a, b) => (a - b) * (a - b)),
+            lit(0L), _ + _))
+      }
+      coalesce(cases: _*)
+    }.reduce(_ + _)
+    q.crossJoin(enc)
+      .filter(col("q_id") =!= col("vec_id"))
+      .select(col("q_id"), col("vec_id").as("n_id"), dist.as("dist_q"))
+      .groupBy("q_id")
+      .agg(graft.functions.GraftFunctions.topK(
+        -col("dist_q").cast("double"), col("n_id"), k).as("top"))
+      .select(col("q_id"), posexplode(col("top")))
+      .select(col("q_id"), col("col.id").as("n_id"),
+        (-col("col.ord")).cast("long").as("dist_q"),
+        (col("pos") + 1).cast("int").as("rank"))
+  }
+
   /** Embedding near-dup pairs: same-cell blocking, cosine ≥ threshold.
    * Cells are capped at `maxCell` members before the self-join, bounding
    * the within-cell cost at maxCell²/2 pairs (see capCell). */

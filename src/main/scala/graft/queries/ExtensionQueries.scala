@@ -19,6 +19,48 @@ object ExtensionQueries {
   private val RpDim = 64
   private val RpSeed = "rp"
 
+  /** Product-quantization parameters shared by n10/n11 and their oracles:
+   * 4 subspaces × 16 dims, 2 rp bits → ≤4 centroids per subspace. */
+  private val PqM = 4
+  private val PqSubDim = 16
+  private val PqBits = 2
+  private val PqSeed = "pq"
+
+  /** DuckDB mirror of Similarity.pqCodebooks + pqEncode, one CTE chain per
+   * subspace (expects a prior `e(vec_id, emb)` CTE): rp-cell seed over the
+   * subvector slice, exact-integer M-step, micro-grid snap, argmin
+   * assignment ending in `a{i}(vec_id, c{i})`. */
+  private lazy val PqSubspaceCtes: String =
+    (0 until PqM).map { i =>
+      val lo = i * PqSubDim + 1
+      val hi = (i + 1) * PqSubDim
+      val cell = sqlRpCell(s"emb[$lo:$hi]",
+        Similarity.rpPlanes(PqSubDim, PqBits, s"$PqSeed$i"))
+      s"""sub$i AS (SELECT vec_id, emb[$lo:$hi] AS es,
+                           CAST($cell AS INTEGER) AS cell
+                    FROM e),
+          x$i AS (SELECT cell,
+                         unnest([{'pos': j - 1, 'v': es[j]}
+                                 for j in generate_series(1, len(es))]) AS u
+                  FROM sub$i),
+          g$i AS (SELECT cell, CAST(u.pos AS INTEGER) AS pos, count(*) AS n,
+                         CAST(sum(CAST(floor(u.v * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS s
+                  FROM x$i GROUP BY 1, 2),
+          cb$i AS (SELECT cell,
+                          list(CAST(floor(s / n + 0.5) AS BIGINT)::DOUBLE ORDER BY pos) AS cq
+                   FROM g$i GROUP BY cell),
+          v$i AS (SELECT vec_id,
+                         list_transform(es, x -> CAST(floor(x * 1e6 + 0.5) AS BIGINT)::DOUBLE) AS vq
+                  FROM sub$i),
+          a$i AS (SELECT vec_id, cell AS c$i FROM (
+                    SELECT v.vec_id, cb.cell,
+                           row_number() OVER (PARTITION BY v.vec_id
+                             ORDER BY list_dot_product(v.vq, v.vq)
+                               - 2 * list_dot_product(v.vq, cb.cq)
+                               + list_dot_product(cb.cq, cb.cq), cb.cell) AS rn
+                    FROM v$i v CROSS JOIN cb$i cb) WHERE rn = 1)"""
+    }.mkString(",\n")
+
   /** Shared DuckDB CTE prefix: distinct word-shingles per doc, mirroring
    * Dedup.shingles (3-word shingles, 1-based list arithmetic). */
   private val ShinglesCte: String =
@@ -636,6 +678,81 @@ object ExtensionQueries {
             FROM asg2 GROUP BY cell"""
       },
       "round-2 Lloyd: re-train + re-assign, per-cell count and exact inertia"),
+
+    // Product quantization: the embedding splits into 4 subvectors of 16
+    // dims; each subspace trains its own tiny rp-seeded codebook (same
+    // exact-integer M-step as n6/n7) and every vector compresses to 4
+    // small codes — the dim·4-bytes → m-codes rewrite that makes a 100-TB
+    // ANN corpus memory-resident. Encoding is a pure narrow codegen'd
+    // pass; the oracle replays training + argmin assignment per subspace.
+    "n10_pq_encode" -> QueryDef(
+      (s, dir) => {
+        graft.functions.GraftFunctions.register(s)
+        val emb = t(s, dir, "embeddings")
+        Similarity.pqEncode(emb,
+          Similarity.pqCodebooks(emb, m = PqM, subDim = PqSubDim,
+            bits = PqBits, seed = PqSeed), PqSubDim)
+      },
+      Some(s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb
+                          FROM embeddings),
+               ${PqSubspaceCtes}
+               SELECT a0.vec_id, a0.c0, a1.c1, a2.c2, a3.c3
+               FROM a0 JOIN a1 USING (vec_id) JOIN a2 USING (vec_id)
+                       JOIN a3 USING (vec_id)"""),
+      "PQ encoding: per-subspace trained codebooks, 4 codes per vector"),
+
+    // ADC (asymmetric-distance) kNN over the PQ codes: queries stay exact
+    // on the micro grid, corpus rows contribute ONLY their 4 codes, and
+    // distance is the sum of per-subspace query→centroid distances with
+    // the codebook inlined as literals (narrow scoring, no corpus-vector
+    // reads). Top-k via the bounded-heap aggregate — k rows per query per
+    // partition cross the wire. Distances are exact integers, so rank ties
+    // (dist, then id) replay identically in DuckDB.
+    "n11_pq_adc" -> QueryDef(
+      (s, dir) => {
+        graft.functions.GraftFunctions.register(s)
+        val emb = t(s, dir, "embeddings")
+        Similarity.knnPqAdc(emb.filter(col("vec_id") < 8), emb, 3,
+          m = PqM, subDim = PqSubDim, bits = PqBits, seed = PqSeed)
+      },
+      Some {
+        val luts = (0 until PqM).map { i =>
+          val lo = i * PqSubDim + 1
+          val hi = (i + 1) * PqSubDim
+          s"""lut$i AS (
+                SELECT qv.q_id, cb.cell,
+                       CAST(list_dot_product(qv.vq, qv.vq)
+                         - 2 * list_dot_product(qv.vq, cb.cq)
+                         + list_dot_product(cb.cq, cb.cq) AS BIGINT) AS d
+                FROM (SELECT q_id,
+                             list_transform(emb[$lo:$hi],
+                               x -> CAST(floor(x * 1e6 + 0.5) AS BIGINT)::DOUBLE) AS vq
+                      FROM q) qv CROSS JOIN cb$i cb)"""
+        }.mkString(",\n")
+        s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb
+                       FROM embeddings),
+            ${PqSubspaceCtes},
+            enc AS (SELECT a0.vec_id, a0.c0, a1.c1, a2.c2, a3.c3
+                    FROM a0 JOIN a1 USING (vec_id) JOIN a2 USING (vec_id)
+                            JOIN a3 USING (vec_id)),
+            q AS (SELECT vec_id AS q_id, emb FROM e WHERE vec_id < 8),
+            $luts,
+            scored AS (
+              SELECT q.q_id, enc.vec_id AS n_id,
+                     l0.d + l1.d + l2.d + l3.d AS dist_q
+              FROM q CROSS JOIN enc
+              JOIN lut0 l0 ON l0.q_id = q.q_id AND l0.cell = enc.c0
+              JOIN lut1 l1 ON l1.q_id = q.q_id AND l1.cell = enc.c1
+              JOIN lut2 l2 ON l2.q_id = q.q_id AND l2.cell = enc.c2
+              JOIN lut3 l3 ON l3.q_id = q.q_id AND l3.cell = enc.c3
+              WHERE q.q_id <> enc.vec_id),
+            r AS (SELECT q_id, n_id, dist_q,
+                         CAST(row_number() OVER (PARTITION BY q_id
+                           ORDER BY dist_q, n_id) AS INTEGER) AS rank
+                  FROM scored)
+            SELECT q_id, n_id, dist_q, rank FROM r WHERE rank <= 3"""
+      },
+      "PQ-ADC kNN: code-only corpus scoring with inlined codebook LUTs"),
 
     // ---- streaming + generator (oracle replays the spine from the same
     // materialized envelopes — see StreamOracle) ----

@@ -341,6 +341,47 @@ class ExtensionsSpec extends SparkTestBase {
     assert(again == out)
   }
 
+  test("pqEncode: codes come from the subspace codebooks, stable under repartition") {
+    val emb = spark.read.parquet(s"$Sf/embeddings.parquet")
+    val cbs = Similarity.pqCodebooks(emb)
+    val enc = Similarity.pqEncode(emb, cbs, 16)
+    val rows = enc.collect()
+    assert(rows.length == emb.count())
+    // every code is a trained centroid id of its own subspace
+    val valid = cbs.map(_.map(_._1).toSet)
+    rows.foreach { r =>
+      (0 until 4).foreach(i => assert(valid(i).contains(r.getInt(1 + i))))
+    }
+    val again = Similarity.pqEncode(emb.repartition(7), cbs, 16)
+      .collect().map(_.toSeq).toSet
+    assert(again == rows.map(_.toSeq).toSet)
+  }
+
+  test("knnPqAdc: ADC distance equals exact query-to-reconstruction distance") {
+    graft.functions.GraftFunctions.register(spark)
+    val emb = spark.read.parquet(s"$Sf/embeddings.parquet")
+    val cbs = Similarity.pqCodebooks(emb)
+    val out = Similarity.knnPqAdc(emb.filter($"vec_id" < 3), emb, 3)
+    val got = out.select("q_id", "n_id", "dist_q", "rank")
+      .as[(Long, Long, Long, Int)].collect()
+    assert(got.groupBy(_._1).forall(_._2.map(_._4).sorted.toSeq == Seq(1, 2, 3)))
+    // spot-check one pair against a driver-side reconstruction
+    val embMap = emb.select("vec_id", "embedding")
+      .as[(Long, Array[Float])].collect().toMap
+    val codes = Similarity.pqEncode(emb, cbs, 16)
+      .collect().map(r => r.getLong(0) -> (1 to 4).map(r.getInt).toArray).toMap
+    def quant(v: Array[Float]): Array[Long] =
+      v.map(x => math.floor(x.toDouble * 1e6 + 0.5).toLong)
+    val (qId, nId, distQ, _) = got.head
+    val q = quant(embMap(qId))
+    val expected = (0 until 4).map { i =>
+      val cq = cbs(i).toMap.apply(codes(nId)(i))
+      val qs = q.slice(i * 16, (i + 1) * 16)
+      qs.zip(cq).map { case (a, b) => (a - b) * (a - b) }.sum
+    }.sum
+    assert(distQ == expected)
+  }
+
   test("QualityModel.score is partition-independent and bounded") {
     import graft.ext.QualityModel
     val d = docs((1L, "alpha beta gamma"), (2L, "alpha beta gamma"),
