@@ -332,6 +332,29 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Edit-distance near-match pairs with prefix blocking: candidate pairs
+   * share a `blockPrefix`-char prefix (a length band is applied first as a
+   * cheap reject — |len_a − len_b| > maxDist can never be within maxDist),
+   * and only candidates pay the O(len²) Levenshtein. The blocking bounds
+   * each bucket by the prefix's selectivity, so the self-join never goes
+   * quadratic in the relation — the fuzzy-join analog of
+   * [[rareShingleCandidates]]. Prefix blocking is exact for edits PAST the
+   * prefix (ids/names with a stable head); edits inside the prefix need a
+   * second pass with a suffix block (same machinery, reversed column). */
+  def editDistancePairs(df: DataFrame, idCol: String, nameCol: String,
+      blockPrefix: Int, maxDist: Int): DataFrame = {
+    val a = df.select(col(idCol).as("id_a"), col(nameCol).as("name_a"),
+      substring(col(nameCol), 1, blockPrefix).as("blk"))
+    val b = df.select(col(idCol).as("id_b"), col(nameCol).as("name_b"),
+      substring(col(nameCol), 1, blockPrefix).as("blk"))
+    a.join(b, Seq("blk"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(abs(length(col("name_a")) - length(col("name_b"))) <= maxDist)
+      .select(col("id_a"), col("id_b"),
+        levenshtein(col("name_a"), col("name_b")).as("dist"))
+      .filter(col("dist") <= maxDist)
+  }
+
   /** SimHash fingerprint (32-bit): per-token md5-derived hash, per-bit vote. */
   def simhash(docs: DataFrame): DataFrame = {
     val tok = docs.select(col("doc_id"),

@@ -754,6 +754,26 @@ object ExtensionQueries {
       },
       "PQ-ADC kNN: code-only corpus scoring with inlined codebook LUTs"),
 
+    // Edit-distance near-match pairs (record-linkage / entity-resolution
+    // shape): prefix blocking + length band bound the candidate set, only
+    // candidates pay the O(len²) Levenshtein — never an all-pairs scan.
+    // Both engines implement standard Levenshtein, so the distances (and
+    // the ≤1 cut) agree exactly.
+    "d9_fuzzy_pairs" -> QueryDef(
+      (s, dir) => Dedup.editDistancePairs(
+        t(s, dir, "customer").filter(col("c_custkey") <= 400),
+        "c_custkey", "c_name", blockPrefix = 12, maxDist = 1),
+      Some("""WITH c AS (SELECT c_custkey AS id, c_name AS nm
+                         FROM customer WHERE c_custkey <= 400)
+              SELECT a.id AS id_a, b.id AS id_b,
+                     CAST(levenshtein(a.nm, b.nm) AS INTEGER) AS dist
+              FROM c a JOIN c b
+                ON substr(a.nm, 1, 12) = substr(b.nm, 1, 12)
+               AND a.id < b.id
+               AND abs(length(a.nm) - length(b.nm)) <= 1
+              WHERE levenshtein(a.nm, b.nm) <= 1"""),
+      "fuzzy self-join: prefix-blocked Levenshtein near-match pairs"),
+
     // ---- streaming + generator (oracle replays the spine from the same
     // materialized envelopes — see StreamOracle) ----
 

@@ -95,6 +95,60 @@ object RelationalQueries {
               GROUP BY p_type, n_name"""),
       "profit rollup: fact scan + 3 broadcast dims + grouped money math"),
 
+    // TPC-H Q3-flavored shipping-priority query: segment-filtered customer
+    // dim broadcast into orders, unshipped-revenue aggregation per order,
+    // global top-10 via TakeOrderedAndProject (k rows per partition cross
+    // the wire, never the aggregate). Date filters push into both fact
+    // scans.
+    "g9_unshipped_topk" -> QueryDef(
+      (s, dir) => {
+        val cutoff = lit(java.sql.Timestamp.valueOf("1998-01-01 00:00:00"))
+        t(s, dir, "lineitem").filter(col("l_shipdate") > cutoff)
+          .join(t(s, dir, "orders").filter(col("o_orderdate") < cutoff),
+            col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(t(s, dir, "customer")
+              .filter(col("c_mktsegment") === "BUILDING")),
+            col("o_custkey") === col("c_custkey"), "left_semi")
+          .groupBy(col("l_orderkey"), to_date(col("o_orderdate")).as("odate"))
+          .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+            .as("revenue"))
+          .orderBy(desc("revenue"), asc("l_orderkey"))
+          .limit(10)
+      },
+      Some("""SELECT l_orderkey, CAST(o_orderdate AS DATE) AS odate,
+                     round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+              FROM lineitem
+              JOIN orders ON l_orderkey = o_orderkey
+              WHERE l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+                AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+                AND EXISTS (SELECT 1 FROM customer
+                            WHERE c_custkey = o_custkey
+                              AND c_mktsegment = 'BUILDING')
+              GROUP BY 1, 2
+              ORDER BY revenue DESC, l_orderkey LIMIT 10"""),
+      "Q3-flavored unshipped-revenue top-10 (semi-joined segment dim)"),
+
+    // TPC-H Q18-flavored large-order detection: HAVING over a keyed
+    // pre-aggregation, then ONE keyed join back to orders — the aggregate
+    // side shrinks to qualifying keys before the join, so the orders scan
+    // joins against a relation bounded by the selectivity of the HAVING.
+    "g10_large_orders" -> QueryDef(
+      (s, dir) => t(s, dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(round(sum("l_quantity"), 2).as("sum_qty"))
+        .filter(col("sum_qty") > 150)
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_orderkey"), col("o_custkey"),
+          round(col("o_totalprice"), 2).as("o_totalprice"), col("sum_qty")),
+      Some("""SELECT o_orderkey, o_custkey,
+                     round(o_totalprice, 2) AS o_totalprice, sum_qty
+              FROM orders
+              JOIN (SELECT l_orderkey, round(sum(l_quantity), 2) AS sum_qty
+                    FROM lineitem GROUP BY 1
+                    HAVING round(sum(l_quantity), 2) > 150) big
+                ON o_orderkey = l_orderkey"""),
+      "Q18-flavored large-order filter via HAVING pre-aggregation"),
+
     // Semi join (EXISTS): customers that placed at least one order, by nation.
     "j2_semi_join" -> QueryDef(
       (s, dir) => t(s, dir, "customer")
