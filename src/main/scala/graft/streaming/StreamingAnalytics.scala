@@ -122,4 +122,53 @@ object StreamingAnalytics {
           closed.reverseIterator
       }
   }
+
+  // ---- custom state v2: transformWithState (the arbitrary-state API that
+  // replaces flatMapGroupsWithState — typed per-key state handles, TTL,
+  // timers; requires the RocksDB state store provider) ----
+
+  final case class StatEvent(user_id: Long, value: Double)
+  final case class RunningStat(n: Long, total: Double)
+  final case class RunningStatOut(user_id: Long, n_events: Long,
+      total_value: Double)
+
+  /** Per-user running (count, sum) via a typed `ValueState` — the minimal
+   * TWS processor: O(1) state per key, partitioned across executors, one
+   * upsert row per key per micro-batch (update mode). The same shape
+   * extends to TTL'd state (`TTLConfig(duration)`) and event-time timers
+   * without changing the state layout. */
+  class RunningStatsProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, StatEvent, RunningStatOut] {
+    @transient private var stat:
+      org.apache.spark.sql.streaming.ValueState[RunningStat] = _
+
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      stat = getHandle.getValueState[RunningStat]("stat",
+        org.apache.spark.sql.Encoders.product[RunningStat],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[StatEvent],
+        tv: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[RunningStatOut] = {
+      var s = if (stat.exists()) stat.get() else RunningStat(0L, 0.0)
+      rows.foreach(r => s = RunningStat(s.n + 1, s.total + r.value))
+      stat.update(s)
+      Iterator.single(RunningStatOut(key, s.n, s.total))
+    }
+  }
+
+  /** Streaming per-user running stats through `transformWithState`. The
+   * session must run the RocksDB state store provider (TWS requirement):
+   * `spark.sql.streaming.stateStore.providerClass =
+   *  ...state.RocksDBStateStoreProvider`. */
+  def runningUserStats(events: Dataset[StatEvent])(
+      implicit spark: SparkSession): Dataset[RunningStatOut] = {
+    import spark.implicits._
+    events
+      .groupByKey(_.user_id)
+      .transformWithState(new RunningStatsProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update())
+  }
 }

@@ -221,4 +221,46 @@ class StreamingSpec extends SparkTestBase {
       .select($"n_events").as[Long].collect().toSeq
     assert(sessions == Seq(2L, 1L))
   }
+
+  test("transformWithState running stats accumulate across micro-batches") {
+    implicit val s = spark
+    implicit val sqlCtx = spark.sqlContext
+    val prevProvider = spark.conf.getOption(
+      "spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val input = MemoryStream[StreamingAnalytics.StatEvent]
+      val q = StreamingAnalytics.runningUserStats(input.toDS())
+        .writeStream.outputMode("update")
+        .format("memory").queryName("tws_out").start()
+
+      input.addData(
+        StreamingAnalytics.StatEvent(1L, 1.5),
+        StreamingAnalytics.StatEvent(1L, 2.0),
+        StreamingAnalytics.StatEvent(2L, 10.0))
+      q.processAllAvailable()
+      input.addData(StreamingAnalytics.StatEvent(1L, 0.5))
+      q.processAllAvailable()
+      q.stop()
+
+      // update mode: memory sink appends one upsert per key per batch —
+      // the latest row per user carries the full running aggregate
+      val latest = spark.table("tws_out")
+        .groupBy($"user_id")
+        .agg(max(struct($"n_events", $"total_value")).as("m"))
+        .select($"user_id", $"m.n_events", $"m.total_value")
+        .as[(Long, Long, Double)].collect()
+        .map { case (u, n, t) => u -> ((n, t)) }.toMap
+      assert(latest(1L) == ((3L, 4.0)))
+      assert(latest(2L) == ((1L, 10.0)))
+    } finally {
+      prevProvider match {
+        case Some(p) => spark.conf.set(
+          "spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset(
+          "spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
 }
