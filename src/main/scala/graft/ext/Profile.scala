@@ -1,0 +1,34 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Data-quality profiling: per-column null count, exact distinct count, and
+ * min/max — the first thing a pipeline runs against a new 100-TB drop
+ * before any transform trusts the data.
+ *
+ * Plan shape: one union branch per profiled column, each branch a
+ * scan→aggregate with NO grouping key. That looks like "N passes" but is
+ * the RIGHT distributed plan: parquet column pruning means each branch
+ * reads exactly one column's pages (verified by the engine's PushdownSpec
+ * posture), the branches run as independent stages, and exact
+ * count(DISTINCT) per branch avoids the single-pass multi-distinct
+ * `Expand` blowup (which multiplies the scan by the number of profiled
+ * columns). Min/max aggregate on the NATIVE type and cast the scalar
+ * result to string — casting before aggregating would give lexicographic
+ * order on numbers.
+ */
+object Profile {
+
+  def profile(df: DataFrame, cols: Seq[String]): DataFrame =
+    cols.map { c =>
+      df.agg(
+        count(lit(1)).minus(count(col(c))).as("n_null"),
+        countDistinct(col(c)).as("n_distinct"),
+        min(col(c)).cast("string").as("min_s"),
+        max(col(c)).cast("string").as("max_s"))
+        .select(lit(c).as("col_name"), col("n_null"), col("n_distinct"),
+          col("min_s"), col("max_s"))
+    }.reduce(_.unionByName(_))
+}

@@ -774,6 +774,29 @@ object ExtensionQueries {
               WHERE levenshtein(a.nm, b.nm) <= 1"""),
       "fuzzy self-join: prefix-blocked Levenshtein near-match pairs"),
 
+    // Data-quality profile of a table: per-column nulls, exact distinct
+    // count, native-typed min/max (cast to string after aggregating). One
+    // union branch per column — each branch reads exactly ONE parquet
+    // column (pruning), dodging the multi-distinct Expand blowup a
+    // single-pass profiler pays.
+    "dq1_profile" -> QueryDef(
+      (s, dir) => graft.ext.Profile.profile(t(s, dir, "orders"),
+        Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+          "o_orderdate", "o_orderpriority")),
+      Some {
+        val branches = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+          "o_totalprice", "o_orderdate", "o_orderpriority").map { c =>
+          s"""SELECT '$c' AS col_name,
+                     count(*) - count($c) AS n_null,
+                     count(DISTINCT $c) AS n_distinct,
+                     CAST(min($c) AS VARCHAR) AS min_s,
+                     CAST(max($c) AS VARCHAR) AS max_s
+              FROM orders"""
+        }
+        branches.mkString(" UNION ALL ")
+      },
+      "per-column data-quality profile (nulls, distincts, min/max)"),
+
     // ---- streaming + generator (oracle replays the spine from the same
     // materialized envelopes — see StreamOracle) ----
 

@@ -447,6 +447,47 @@ object RelationalQueries {
                            ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)"""),
       "trailing 7-row rolling features per key (bounded frame state)"),
 
+    // Per-key OLS trend (value-over-time slope) with EXACT integer moment
+    // sums: y in cents, x in whole seconds from the key's first event, so
+    // Σx, Σy, Σxy, Σx² are exact BIGINTs in both engines and the slope is
+    // one deterministic double division at the end — group-wise regression
+    // without order-dependent floating-point accumulation. One shuffle for
+    // the per-key min, one for the moment agg. Degenerate keys (all events
+    // in the same second) are excluded on both sides (denominator 0).
+    "w7_trend" -> QueryDef(
+      (s, dir) => {
+        val e = t(s, dir, "events").select(col("user_id"), col("ts"),
+          floor(col("value") * 100 + 0.5).cast("long").as("y"))
+        val x = e.withColumn("x",
+          expr("(ts - min(ts) OVER (PARTITION BY user_id)) div 1000000000"))
+        val a = x.groupBy("user_id").agg(
+          count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+          sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"))
+        a.filter(col("n") * col("sxx") - col("sx") * col("sx") > 0)
+          .select(col("user_id"), col("n"),
+            round((col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+              / (col("n") * col("sxx") - col("sx") * col("sx")), 6).as("slope"))
+      },
+      Some("""WITH e AS (
+                SELECT user_id, epoch_ns(ts) AS tsn,
+                       CAST(floor(value * 100 + 0.5) AS BIGINT) AS y
+                FROM events),
+              m AS (SELECT user_id, min(tsn) AS t0 FROM e GROUP BY 1),
+              x AS (SELECT e.user_id, (tsn - t0) // 1000000000 AS x, y
+                    FROM e JOIN m USING (user_id)),
+              a AS (SELECT user_id, count(*) AS n,
+                           CAST(sum(x) AS BIGINT) AS sx,
+                           CAST(sum(y) AS BIGINT) AS sy,
+                           CAST(sum(x * y) AS BIGINT) AS sxy,
+                           CAST(sum(x * x) AS BIGINT) AS sxx
+                    FROM x GROUP BY 1)
+              SELECT user_id, n,
+                     round(CAST(n * sxy - sx * sy AS DOUBLE)
+                       / (n * sxx - sx * sx), 6) AS slope
+              FROM a WHERE n * sxx - sx * sx > 0"""),
+      "per-key OLS trend from exact integer moment sums"),
+
     // Tumbling-window aggregation in batch form (the streaming variant is
     // StreamingAnalytics.windowedTypeCounts; same grouping semantics).
     // Window starts exported as epoch micros to sidestep tz-encoding drift.
