@@ -140,7 +140,8 @@ object Bench {
     // sample is self-identifying. Gated to the sf0.1 bench dir (driver run).
     val sf1Mode = sys.env.getOrElse("SPARK_GRAFT_SF1_DEDUP", "auto")
     val runSf1 = sf1Mode == "1" || (sf1Mode == "auto" && sfDir.contains("sf0.1"))
-    val (sf1Walls, sf1Ratios, sf1Docs) = if (!runSf1) (Nil, Nil, 0L) else {
+    val (sf1Walls, sf1Ratios, sf1Docs, sf1Vecs) =
+      if (!runSf1) (Nil, Nil, 0L, 0L) else {
       import org.apache.spark.sql.functions._
       val dir10 = "/root/repo/target/bench_sf1"
       val docs = spark.read.parquet(s"$sfDir/documents.parquet")
@@ -151,6 +152,20 @@ object Bench {
       docs10.repartition(16).write.mode("overwrite")
         .parquet(s"$dir10/documents.parquet")
       val nDocs = spark.read.parquet(s"$dir10/documents.parquet").count()
+      // 10× embeddings for the ANN/PQ probe: replica k's vectors shift by
+      // k·1e-3 per element (deterministic, keeps replicas off each other's
+      // exact positions); replica 0 keeps the original ids so the probe
+      // queries (vec_id < 8/10) stay the same query set at 10× corpus.
+      val embs = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      val embs10 = (0 until 10).map { k =>
+        embs.select((col("vec_id") + lit(k * 10000000L)).as("vec_id"),
+          transform(col("embedding"),
+            v => (v + lit(k * 1e-3f)).cast("float")).as("embedding"),
+          col("label"))
+      }.reduce(_ union _)
+      embs10.repartition(16).write.mode("overwrite")
+        .parquet(s"$dir10/embeddings.parquet")
+      val nVecs = spark.read.parquet(s"$dir10/embeddings.parquet").count()
       val names = Seq("d2_minhash_bands", "d3_lsh_pairs", "d4_ngram_jaccard",
         "d5_simhash", "d6_dup_clusters", "d7_dedup_apply")
       val walls = scala.collection.mutable.ListBuffer.empty[(String, String)]
@@ -184,12 +199,30 @@ object Bench {
           ratios += (n -> "-1")
         }
       }
+      // ANN/PQ family at 10× vectors through the same fresh context:
+      // trained-IVF search, PQ encode, PQ-ADC search.
+      val annNames = Seq("n7_knn_ivf_trained", "n10_pq_encode", "n11_pq_adc")
+      annNames.foreach { n =>
+        System.err.println(s"[bench] sf1 ann probe $n")
+        try {
+          val samples = (1 to 2).map { _ =>
+            timed(SparkEntry.queries(n)(probeSpark, dir10).count())
+          }
+          val (w, c) = samples.minBy(_._1)
+          walls += (s"ann_$n" -> w.toString)
+          ratios += (s"ann_$n" -> f2(c / w))
+        } catch { case e: Throwable =>
+          System.err.println(s"[bench] sf1 ann $n FAILED: ${e.getMessage}")
+          walls += (s"ann_$n" -> "-1")
+          ratios += (s"ann_$n" -> "-1")
+        }
+      }
       probeSpark.stop()
-      (walls.toList, ratios.toList, nDocs)
+      (walls.toList, ratios.toList, nDocs, nVecs)
     }
     val sf1Fields =
       if (!runSf1) ""
-      else s""","sf1_dedup":${jsonMap(sf1Walls)},"sf1_dedup_cpu_per_wall":${jsonMap(sf1Ratios)},"sf1_docs":$sf1Docs"""
+      else s""","sf1_dedup":${jsonMap(sf1Walls)},"sf1_dedup_cpu_per_wall":${jsonMap(sf1Ratios)},"sf1_docs":$sf1Docs,"sf1_vecs":$sf1Vecs"""
 
     val ratios = jsonMap(cpuRatios.map { case (k, v) => k -> f2(v) })
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$fs,"cpu_per_wall":$ratios,"spine_envelopes_per_sec":${spineRate.round},"spine_cpu_per_wall":${f2(spineCpuRatio)},"spine_streaming_envelopes_per_sec":${streamRate.round},"spine_streaming_batches":$streamBatches,"spine_streaming_batches_per_sec":${f2(streamBatchesPerSec)},"spine_streaming_cpu_per_wall":${f2(streamCpuRatio)}$sf1Fields,"sf":"$sfDir"}""")

@@ -222,6 +222,27 @@ class StreamingSpec extends SparkTestBase {
     assert(sessions == Seq(2L, 1L))
   }
 
+  test("stream-static dimension join enriches each micro-batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq((1L, "gold"), (2L, "silver")).toDF("user_id", "tier")
+    val input = MemoryStream[(Long, Double)]
+    // stream-static join: the static side is planned per micro-batch, no
+    // state, no watermark needed — the standard dim-enrichment shape
+    val joined = input.toDF().toDF("user_id", "value")
+      .join(dim, Seq("user_id"), "left")
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("ss_join").start()
+    input.addData((1L, 5.0), (3L, 7.0))
+    q.processAllAvailable()
+    input.addData((2L, 1.0))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("ss_join")
+      .select($"user_id", $"tier").as[(Long, Option[String])]
+      .collect().toSet
+    assert(rows == Set((1L, Some("gold")), (3L, None), (2L, Some("silver"))))
+  }
+
   test("transformWithState running stats accumulate across micro-batches") {
     implicit val s = spark
     implicit val sqlCtx = spark.sqlContext
