@@ -216,5 +216,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[NormalizeNfc].getName, GraftFunctions.NfcName),
       (exprs: Seq[Expression]) => NormalizeNfc(exprs(0))))
+    // whole-plan rewrite: equality-free integral range joins re-plan as
+    // bin-replicated hash joins (see plans.RangeJoinRewrite)
+    e.injectOptimizerRule(session => graft.plans.RangeJoinRewrite(session))
   }
 }

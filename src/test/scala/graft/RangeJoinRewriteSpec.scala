@@ -1,0 +1,100 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.RangeJoin
+
+/** RangeJoinRewrite optimizer rule: a NAIVE non-equi interval join written
+ * by a user re-plans as a hash join (no BroadcastNestedLoopJoin), results
+ * identical; the rule stays out of the way for equi joins, non-integral
+ * bounds, and when disabled. */
+class RangeJoinRewriteSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val intervals = Seq(
+    (0, -20L, 0L), (1, 0L, 10L), (2, 5L, 25L), (3, 25L, 30L), (4, 100L, 140L))
+    .toDF("iv_id", "lo", "hi")
+  private val points = Seq(-20L, -1L, 0L, 4L, 5L, 9L, 24L, 25L, 29L, 30L,
+    99L, 100L, 139L, 140L, 500L).toDF("p")
+
+  private def naive = points.join(intervals,
+    col("p") >= col("lo") && col("p") < col("hi"))
+
+  private def withRule[T](enabled: Boolean, width: Long = 10L)(body: => T): T = {
+    spark.conf.set("spark.graft.rangeJoinRewrite.enabled", enabled.toString)
+    spark.conf.set("spark.graft.rangeJoinRewrite.binWidth", width.toString)
+    try body
+    finally {
+      spark.conf.unset("spark.graft.rangeJoinRewrite.enabled")
+      spark.conf.unset("spark.graft.rangeJoinRewrite.binWidth")
+    }
+  }
+
+  test("naive interval join re-plans as a hash join with identical results") {
+    val expected = withRule(enabled = false) {
+      val plan = naive.queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastNestedLoopJoin"), plan)
+      naive.select("p", "iv_id").as[(Long, Int)].collect().toSet
+    }
+    withRule(enabled = true) {
+      val plan = naive.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+      val got = naive.select("p", "iv_id").as[(Long, Int)].collect()
+      assert(got.length == got.toSet.size, "rewrite must not duplicate pairs")
+      assert(got.toSet == expected)
+      // and matches the explicit operator form
+      val op = RangeJoin.binnedRangeJoin(points, "p", intervals,
+        "lo", "hi", 10L).select("p", "iv_id").as[(Long, Int)].collect().toSet
+      assert(got.toSet == op)
+    }
+  }
+
+  test("inclusive upper bound (BETWEEN) also rewrites, bounds preserved") {
+    withRule(enabled = true) {
+      val between = points.join(intervals,
+        col("p") >= col("lo") && col("p") <= col("hi"))
+      assert(!between.queryExecution.executedPlan.toString
+        .contains("BroadcastNestedLoopJoin"))
+      val got = between.select("p", "iv_id").as[(Long, Int)].collect().toSet
+      val expected = withRule(enabled = false) {
+        points.join(intervals, col("p") >= col("lo") && col("p") <= col("hi"))
+          .select("p", "iv_id").as[(Long, Int)].collect().toSet
+      }
+      assert(got == expected)
+      assert(got.contains((0L, 0)))  // p == hi kept under <=
+    }
+  }
+
+  test("joins with an equi key are left alone") {
+    withRule(enabled = true) {
+      val l = Seq((1L, 5L), (2L, 15L)).toDF("k", "v")
+      val r = Seq((1L, 0L, 10L), (2L, 10L, 20L)).toDF("k", "lo", "hi")
+      val j = l.join(r, l("k") === r("k") && l("v") >= r("lo") && l("v") < r("hi"))
+      val plan = j.queryExecution.optimizedPlan.toString
+      assert(!plan.contains("__graft_bin"), plan)
+      assert(j.count() == 2)
+    }
+  }
+
+  test("non-integral bounds are left alone") {
+    withRule(enabled = true) {
+      val l = Seq(1.5, 2.5).toDF("p")
+      val r = Seq((0.0, 2.0)).toDF("lo", "hi")
+      val j = l.join(r, col("p") >= col("lo") && col("p") < col("hi"))
+      assert(!j.queryExecution.optimizedPlan.toString.contains("__graft_bin"))
+      assert(j.count() == 1)
+    }
+  }
+
+  test("negative domains and width larger than every span stay correct") {
+    val expected = withRule(enabled = false) {
+      naive.select("p", "iv_id").as[(Long, Int)].collect().toSet
+    }
+    for (w <- Seq(1L, 7L, 1000L)) {
+      withRule(enabled = true, width = w) {
+        assert(naive.select("p", "iv_id").as[(Long, Int)].collect().toSet
+          == expected, s"width $w")
+      }
+    }
+  }
+}

@@ -45,11 +45,17 @@ class RangeJoinSpec extends SparkTestBase {
         "lo", "hi", binWidth = 10L)
       .queryExecution.executedPlan.toString
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
-    val naive = points.join(intervals,
-        col("p") >= col("lo") && col("p") < col("hi"))
-      .queryExecution.executedPlan.toString
-    assert(naive.contains("BroadcastNestedLoopJoin"),
-      "naive form should be the nested loop this operator avoids")
+    // the naive spelling IS the nested loop this operator avoids — visible
+    // with the RangeJoinRewrite optimizer rule held off (it rewrites the
+    // naive form to this operator's plan by default; RangeJoinRewriteSpec)
+    spark.conf.set("spark.graft.rangeJoinRewrite.enabled", "false")
+    try {
+      val naive = points.join(intervals,
+          col("p") >= col("lo") && col("p") < col("hi"))
+        .queryExecution.executedPlan.toString
+      assert(naive.contains("BroadcastNestedLoopJoin"),
+        "naive form should be the nested loop this operator avoids")
+    } finally spark.conf.unset("spark.graft.rangeJoinRewrite.enabled")
   }
 
   test("gapFill densifies, zero-fills counts, carries gauges forward") {
