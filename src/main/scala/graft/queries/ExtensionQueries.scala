@@ -213,6 +213,48 @@ object ExtensionQueries {
                FROM reach GROUP BY src"""),
       "near-dup cluster assignment (connected components, min-label keeper)"),
 
+    // Quality-aware survivor selection: instead of d7's min-id keeper, each
+    // near-dup cluster keeps its BEST member (longest text, ties to the
+    // smaller id) — the selection step real dedup pipelines run so boiler-
+    // plate stubs don't survive over full documents. One struct-min
+    // hash-agg over the cluster assignment (argmax without a window sort).
+    "d10_quality_dedup" -> QueryDef(
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val clusters = Dedup.dupClusters(
+          Dedup.minhashDedupPairs(docs, 0.5, maxBucket = Int.MaxValue)
+            .select("doc_a", "doc_b"))
+        clusters.join(docs.select("doc_id", "n_chars"), "doc_id")
+          .groupBy("cluster")
+          .agg(
+            min(struct((-col("n_chars")).as("neg"), col("doc_id"))).as("m"),
+            count(lit(1)).as("n_members"))
+          .select(col("cluster"), col("m.doc_id").as("keeper"),
+            (-col("m.neg")).as("keeper_chars"), col("n_members"))
+      },
+      Some(s"""WITH RECURSIVE $LshPairsCtes,
+               edges AS (
+                 SELECT doc_a AS src, doc_b AS dst FROM lsh_pairs
+                 UNION ALL
+                 SELECT doc_b, doc_a FROM lsh_pairs),
+               reach(src, dst) AS (
+                 SELECT src, dst FROM edges
+                 UNION
+                 SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+               cl AS (SELECT src AS doc_id, least(src, min(dst)) AS cluster
+                      FROM reach GROUP BY src),
+               scored AS (
+                 SELECT cl.cluster, cl.doc_id, d.n_chars,
+                        row_number() OVER (PARTITION BY cl.cluster
+                          ORDER BY d.n_chars DESC, cl.doc_id) AS rn
+                 FROM cl JOIN documents d USING (doc_id))
+               SELECT cluster,
+                      max(CASE WHEN rn = 1 THEN doc_id END) AS keeper,
+                      max(CASE WHEN rn = 1 THEN n_chars END) AS keeper_chars,
+                      count(*) AS n_members
+               FROM scored GROUP BY cluster"""),
+      "quality-aware dedup keeper: argmax text length per near-dup cluster"),
+
     // Apply the dedup: documents surviving near-dup removal = every cluster
     // keeper plus every unpaired doc.
     "d7_dedup_apply" -> QueryDef(
