@@ -522,6 +522,40 @@ object RelationalQueries {
               FROM orders GROUP BY o_orderpriority"""),
       "exact interpolated percentiles per group"),
 
+    // Winsorized aggregation (robust-stats cleaning): per-group P10/P90
+    // computed once on the pre-aggregated group relation, broadcast back
+    // onto the fact rows (AQE: the percentile relation is group-cardinality,
+    // tiny), every value clipped into [P10, P90], then the robust sum —
+    // outlier capping without a per-row sort or UDF. Clip bounds are
+    // rounded to the exact 2-decimal grid BEFORE clipping so both engines
+    // clip against identical constants.
+    "g11_winsorize" -> QueryDef(
+      (s, dir) => {
+        val o = t(s, dir, "orders")
+        val bounds = o.groupBy("o_orderpriority").agg(
+          round(expr("percentile(o_totalprice, 0.1)"), 2).as("lo"),
+          round(expr("percentile(o_totalprice, 0.9)"), 2).as("hi"))
+        o.join(broadcast(bounds), Seq("o_orderpriority"))
+          .select(col("o_orderpriority"),
+            greatest(col("lo"), least(col("hi"), col("o_totalprice")))
+              .as("clipped"))
+          .groupBy("o_orderpriority")
+          .agg(round(sum("clipped"), 2).as("wins_sum"),
+            count(lit(1)).as("n"))
+      },
+      Some("""WITH b AS (
+                SELECT o_orderpriority,
+                       round(quantile_cont(o_totalprice, 0.1), 2) AS lo,
+                       round(quantile_cont(o_totalprice, 0.9), 2) AS hi
+                FROM orders GROUP BY 1)
+              SELECT o.o_orderpriority,
+                     round(sum(greatest(b.lo, least(b.hi, o.o_totalprice))), 2)
+                       AS wins_sum,
+                     count(*) AS n
+              FROM orders o JOIN b USING (o_orderpriority)
+              GROUP BY 1"""),
+      "winsorized group sums: P10/P90 clipping via broadcast bounds"),
+
     // Sketch accuracy gate for quantiles, same pattern as g6b: the
     // approx_percentile sketch must land within 1% of the exact
     // interpolated percentile; the oracle computes the exact value and
