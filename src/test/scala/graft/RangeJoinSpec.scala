@@ -58,6 +58,43 @@ class RangeJoinSpec extends SparkTestBase {
     } finally spark.conf.unset("spark.graft.rangeJoinRewrite.enabled")
   }
 
+  test("property: random intervals/points/widths always match the naive join") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    def sample[T](gen: Gen[T], seed: Long): T =
+      gen.apply(Gen.Parameters.default, Seed(seed)).get
+
+    val genCase = for {
+      nIv <- Gen.choose(1, 12)
+      ivs <- Gen.listOfN(nIv, for {
+        lo <- Gen.choose(-50L, 50L)
+        span <- Gen.choose(1L, 40L)
+      } yield (lo, lo + span))
+      nPts <- Gen.choose(1, 40)
+      pts <- Gen.listOfN(nPts, Gen.choose(-60L, 100L))
+      w <- Gen.oneOf(1L, 2L, 5L, 13L, 64L)
+    } yield (ivs, pts, w)
+
+    (1L to 12L).foreach { seed =>
+      val (ivs, pts, w) = sample(genCase, seed)
+      val ivDf = ivs.zipWithIndex.map { case ((lo, hi), i) => (i, lo, hi) }
+        .toDF("iv_id", "lo", "hi")
+      val pDf = pts.toDF("p")
+      // expected via the true nested loop — rewrite rule held off so the
+      // reference computation is independent of the code under test
+      spark.conf.set("spark.graft.rangeJoinRewrite.enabled", "false")
+      val expected =
+        try pDf.join(ivDf, col("p") >= col("lo") && col("p") < col("hi"))
+          .select("p", "iv_id").as[(Long, Int)].collect()
+          .groupBy(identity).view.mapValues(_.length).toMap
+        finally spark.conf.unset("spark.graft.rangeJoinRewrite.enabled")
+      val got = RangeJoin.binnedRangeJoin(pDf, "p", ivDf, "lo", "hi", w)
+        .select("p", "iv_id").as[(Long, Int)].collect()
+        .groupBy(identity).view.mapValues(_.length).toMap
+      assert(got == expected, s"seed=$seed w=$w")
+    }
+  }
+
   test("gapFill densifies, zero-fills counts, carries gauges forward") {
     val observed = Seq(
       // key "a": days 1,2,5 observed — 3,4 missing; gauge null on day 2
