@@ -32,10 +32,19 @@ import org.apache.spark.sql.types._
  *
  * Fires only when: inner join; both bounds on the same left-side integral
  * expression with right-side integral bounds; all expressions
- * deterministic; and NO equi-conjunct already present (an equi key means
- * the join already hash-plans and the rewrite would only add work).
- * Guarded by `spark.graft.rangeJoinRewrite.enabled` (default true);
- * `spark.graft.rangeJoinRewrite.binWidth` sets the bin width.
+ * deterministic; and NO equi-conjunct (of any type) already present — an
+ * equi key means the join already hash-plans and the rewrite would only
+ * add work.
+ *
+ * OPT-IN by design: `spark.graft.rangeJoinRewrite.enabled` defaults to
+ * FALSE and `spark.graft.rangeJoinRewrite.binWidth` (default 1000) must be
+ * sized to the workload's interval spans. Bin width is inherently
+ * domain-specific — 1000 is reasonable for integer cents, absurd for
+ * ns-epoch intervals (a 1-hour ns interval would replicate to 3.6e9 bins
+ * and exceed Spark's sequence length limit). An optimizer rule has no
+ * data statistics to derive the width from, so a library must not turn
+ * this on blindly for every session; enable it per workload with a width
+ * near the median interval span (replication factor ≈ span/width + 1).
  */
 case class RangeJoinRewrite(spark: SparkSession)
     extends Rule[LogicalPlan] with PredicateHelper {
@@ -62,8 +71,12 @@ case class RangeJoinRewrite(spark: SparkSession)
   }
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
-    if (!spark.conf.get(EnabledConf, "true").toBoolean) return plan
+    if (!spark.conf.get(EnabledConf, "false").toBoolean) return plan
     val width = spark.conf.get(WidthConf, "1000").toLong
+    // invalid width: the operator API raises; an optimizer rule must not
+    // fail or silently corrupt the query (IntegralDivide by 0 is NULL in
+    // non-ANSI mode -> every bin key NULL -> empty join), so stand down
+    if (width <= 0) return plan
 
     plan.transformUp {
       case j @ Join(left, right, Inner, Some(cond), hint) if j.resolved =>
@@ -74,9 +87,17 @@ case class RangeJoinRewrite(spark: SparkSession)
         def fromRight(e: Expression) = e.references.subsetOf(right.outputSet) &&
           e.references.nonEmpty && e.deterministic && integral(e.dataType)
 
+        // an equi-conjunct of ANY type (not just integral) means the join
+        // already hash-plans — the rewrite would only add work
+        def splitsSides(l: Expression, r: Expression) =
+          l.references.nonEmpty && r.references.nonEmpty &&
+            ((l.references.subsetOf(left.outputSet) &&
+              r.references.subsetOf(right.outputSet)) ||
+             (r.references.subsetOf(left.outputSet) &&
+              l.references.subsetOf(right.outputSet)))
         val hasEqui = conjuncts.exists {
-          case EqualTo(l, r) => (fromLeft(l) && fromRight(r)) ||
-            (fromLeft(r) && fromRight(l))
+          case EqualTo(l, r) => splitsSides(l, r)
+          case EqualNullSafe(l, r) => splitsSides(l, r)
           case _ => false
         }
 
@@ -108,10 +129,15 @@ case class RangeJoinRewrite(spark: SparkSession)
               if (inclusive) hi
               else Subtract(Cast(hi, LongType), Literal(1L))
             // Sequence is TimeZoneAwareExpression: resolved only with a
-            // timezone id set (the analyzer would inject it; we run after)
+            // timezone id set (the analyzer would inject it; we run after).
+            // NO explicit step: with step=1 an empty/inverted interval
+            // (hi <= lo across a bin boundary) would crash at runtime
+            // ("Illegal sequence boundaries"); the default step follows the
+            // boundary direction, and the exact predicate discards whatever
+            // a descending sequence emits — same posture as the operator
+            // API (RangeJoin.binnedRangeJoin uses sequence(start, stop)).
             val seq = Sequence(binOf(lo, width), binOf(hiBinArg, width),
-              Some(Literal(1L)),
-              Some(spark.sessionState.conf.sessionLocalTimeZone))
+              None, Some(spark.sessionState.conf.sessionLocalTimeZone))
             val binR = AttributeReference("__graft_bin_r", LongType,
               nullable = false)()
             val gen = Generate(Explode(seq), unrequiredChildIndex = Nil,

@@ -456,10 +456,14 @@ object RelationalQueries {
     // in the same second) are excluded on both sides (denominator 0).
     "w7_trend" -> QueryDef(
       (s, dir) => {
-        val e = t(s, dir, "events").select(col("user_id"), col("ts"),
+        // MICROsecond basis on both sides (w2/w5/s2 convention): DuckDB's
+        // parquet reader truncates TIMESTAMP_NS to us, so raw-ns second
+        // bucketing could disagree within 999 ns of a second boundary.
+        val e = t(s, dir, "events").select(col("user_id"),
+          expr("ts div 1000").as("tsu"),
           floor(col("value") * 100 + 0.5).cast("long").as("y"))
         val x = e.withColumn("x",
-          expr("(ts - min(ts) OVER (PARTITION BY user_id)) div 1000000000"))
+          expr("(tsu - min(tsu) OVER (PARTITION BY user_id)) div 1000000"))
         val a = x.groupBy("user_id").agg(
           count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
           sum(col("x") * col("y")).as("sxy"),
@@ -470,11 +474,11 @@ object RelationalQueries {
               / (col("n") * col("sxx") - col("sx") * col("sx")), 6).as("slope"))
       },
       Some("""WITH e AS (
-                SELECT user_id, epoch_ns(ts) AS tsn,
+                SELECT user_id, epoch_us(ts) AS tsu,
                        CAST(floor(value * 100 + 0.5) AS BIGINT) AS y
                 FROM events),
-              m AS (SELECT user_id, min(tsn) AS t0 FROM e GROUP BY 1),
-              x AS (SELECT e.user_id, (tsn - t0) // 1000000000 AS x, y
+              m AS (SELECT user_id, min(tsu) AS t0 FROM e GROUP BY 1),
+              x AS (SELECT e.user_id, (tsu - t0) // 1000000 AS x, y
                     FROM e JOIN m USING (user_id)),
               a AS (SELECT user_id, count(*) AS n,
                            CAST(sum(x) AS BIGINT) AS sx,

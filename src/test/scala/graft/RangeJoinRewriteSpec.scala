@@ -65,7 +65,7 @@ class RangeJoinRewriteSpec extends SparkTestBase {
     }
   }
 
-  test("joins with an equi key are left alone") {
+  test("joins with an equi key are left alone (any key type)") {
     withRule(enabled = true) {
       val l = Seq((1L, 5L), (2L, 15L)).toDF("k", "v")
       val r = Seq((1L, 0L, 10L), (2L, 10L, 20L)).toDF("k", "lo", "hi")
@@ -73,6 +73,35 @@ class RangeJoinRewriteSpec extends SparkTestBase {
       val plan = j.queryExecution.optimizedPlan.toString
       assert(!plan.contains("__graft_bin"), plan)
       assert(j.count() == 2)
+      // non-integral equi key (string): hash join already available — the
+      // guard must see it even though the key itself can't be binned
+      val ls = Seq(("a", 5L), ("b", 15L)).toDF("k", "v")
+      val rs = Seq(("a", 0L, 10L), ("b", 10L, 20L)).toDF("k", "lo", "hi")
+      val js = ls.join(rs,
+        ls("k") === rs("k") && ls("v") >= rs("lo") && ls("v") < rs("hi"))
+      assert(!js.queryExecution.optimizedPlan.toString.contains("__graft_bin"))
+      assert(js.count() == 2)
+    }
+  }
+
+  test("empty and inverted intervals do not crash, just match nothing") {
+    withRule(enabled = true, width = 10L) {
+      val r = Seq((0, 10L, 10L), (1, 30L, 20L), (2, 0L, 5L))
+        .toDF("iv_id", "lo", "hi")  // empty, inverted, normal
+      val got = points.join(r, col("p") >= col("lo") && col("p") < col("hi"))
+        .select("p", "iv_id").as[(Long, Int)].collect().toSet
+      assert(got.forall(_._2 == 2))
+      assert(got.map(_._1) == Set(0L, 4L))
+    }
+  }
+
+  test("non-positive binWidth stands down instead of corrupting the join") {
+    for (w <- Seq(0L, -5L)) {
+      withRule(enabled = true, width = w) {
+        val plan = naive.queryExecution.optimizedPlan.toString
+        assert(!plan.contains("__graft_bin"), s"width $w must disable: $plan")
+        assert(naive.count() > 0)
+      }
     }
   }
 
