@@ -255,6 +255,47 @@ object ExtensionQueries {
                FROM scored GROUP BY cluster"""),
       "quality-aware dedup keeper: argmax text length per near-dup cluster"),
 
+    // Chunk-granularity exact dedup (the "paragraph dedup" step between
+    // document dedup and packing): sliding-window chunks fingerprinted and
+    // grouped — duplicated spans surface even when the containing docs are
+    // only near-dups. One hash-agg over the chunk relation; fingerprints,
+    // not chunk text, carry through the shuffle.
+    "d11_chunk_dedup" -> QueryDef(
+      (s, dir) => graft.ext.Sampling
+        .chunkDocuments(t(s, dir, "documents"), chunkSize = 32, overlap = 8)
+        .groupBy(md5(col("chunk")).as("chunk_fp"))
+        .agg(count(lit(1)).as("n_copies"),
+          countDistinct("doc_id").as("n_docs"),
+          min(struct(col("doc_id"), col("chunk_id"))).as("k"))
+        .filter(col("n_copies") > 1)
+        .select(col("chunk_fp"), col("n_copies"), col("n_docs"),
+          col("k.doc_id").as("keeper_doc"),
+          col("k.chunk_id").as("keeper_chunk")),
+      Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS toks
+                         FROM documents),
+                s AS (SELECT doc_id, toks,
+                             unnest(generate_series(0, len(toks) - 1, 24)) AS start
+                      FROM w),
+                f AS (SELECT * FROM s WHERE start = 0 OR start + 8 < len(toks)),
+                c AS (SELECT doc_id, CAST(start / 24 AS INTEGER) AS chunk_id,
+                             toks[start + 1 : start + 32] AS ct
+                      FROM f),
+                ch AS (SELECT doc_id, chunk_id,
+                              md5(array_to_string(ct, ' ')) AS chunk_fp
+                       FROM c),
+                agg AS (SELECT chunk_fp, count(*) AS n_copies,
+                               count(DISTINCT doc_id) AS n_docs
+                        FROM ch GROUP BY 1 HAVING count(*) > 1),
+                k AS (SELECT chunk_fp, doc_id AS keeper_doc,
+                             chunk_id AS keeper_chunk,
+                             row_number() OVER (PARTITION BY chunk_fp
+                               ORDER BY doc_id, chunk_id) AS rn
+                      FROM ch)
+              SELECT a.chunk_fp, a.n_copies, a.n_docs,
+                     k.keeper_doc, k.keeper_chunk
+              FROM agg a JOIN k ON a.chunk_fp = k.chunk_fp AND k.rn = 1"""),
+      "chunk-level exact dedup: duplicated spans across near-dup documents"),
+
     // Apply the dedup: documents surviving near-dup removal = every cluster
     // keeper plus every unpaired doc.
     "d7_dedup_apply" -> QueryDef(
