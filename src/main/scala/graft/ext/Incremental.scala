@@ -96,6 +96,20 @@ object Incremental {
     spark.read.parquet(s"$baseDir/v=${vs.last}")
   }
 
+  /** Time-travel read: the table AS OF version `asOf` — the newest
+   * committed version ≤ `asOf`. Versions are immutable directories, so a
+   * historical read is a plain scan of one snapshot; nothing is
+   * reconstructed or replayed. */
+  def baseAsOf(spark: SparkSession, baseDir: String, asOf: Long): DataFrame = {
+    val vs = versions(spark, baseDir).filter(_ <= asOf)
+    require(vs.nonEmpty, s"no version <= $asOf under $baseDir")
+    spark.read.parquet(s"$baseDir/v=${vs.last}")
+  }
+
+  /** Committed version ids, ascending — the table's public history. */
+  def listVersions(spark: SparkSession, baseDir: String): Seq[Long] =
+    versions(spark, baseDir)
+
   /** Committed version ids under `baseDir`, ascending (HDFS-compatible). */
   private def versions(spark: SparkSession, baseDir: String): Seq[Long] = {
     val path = new org.apache.hadoop.fs.Path(baseDir)

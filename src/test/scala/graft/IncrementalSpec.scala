@@ -67,6 +67,16 @@ class IncrementalSpec extends SparkTestBase {
     assert(current == expected)
     // and the pre-replay version is still readable (snapshot isolation)
     assert(spark.read.parquet(s"$dir/v=0").count() == 3)
+    // time travel: AS OF version 0 sees the pre-merge table; AS OF a
+    // version id between commits resolves to the newest committed <= it
+    assert(Incremental.baseAsOf(spark, dir, 0L)
+      .as[(Long, String)].collect().toMap
+      == Map(1L -> "one", 2L -> "two", 3L -> "three"))
+    assert(Incremental.baseAsOf(spark, dir, 99L)
+      .as[(Long, String)].collect().toMap == expected)
+    assert(Incremental.listVersions(spark, dir) == Seq(0L, 1L))
+    assertThrows[IllegalArgumentException](
+      Incremental.baseAsOf(spark, dir, -1L))
   }
 
   test("mergeSink end-to-end through a real streaming query") {
