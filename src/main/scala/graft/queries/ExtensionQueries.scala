@@ -837,6 +837,74 @@ object ExtensionQueries {
       },
       "PQ-ADC kNN: code-only corpus scoring with inlined codebook LUTs"),
 
+    // Recall@3 of the PQ-ADC search against the exact brute force — the
+    // compression-vs-quality number a PQ deployment tunes (m, bits) by,
+    // same recall operator as n5. Honest on synthetic data: 4 subspaces ×
+    // 2 bits is a coarse code; the measured recall is the point of the
+    // query, not a target.
+    "n12_pq_recall" -> QueryDef(
+      (s, dir) => {
+        graft.functions.GraftFunctions.register(s)
+        val emb = t(s, dir, "embeddings")
+        val q = emb.filter(col("vec_id") < 8)
+        Similarity.recallAtK(
+          Similarity.knnPqAdc(q, emb, 3,
+            m = PqM, subDim = PqSubDim, bits = PqBits, seed = PqSeed),
+          Similarity.knnBrute(q, emb, 3), 3)
+      },
+      Some {
+        val luts = (0 until PqM).map { i =>
+          val lo = i * PqSubDim + 1
+          val hi = (i + 1) * PqSubDim
+          s"""lut$i AS (
+                SELECT qv.q_id, cb.cell,
+                       CAST(list_dot_product(qv.vq, qv.vq)
+                         - 2 * list_dot_product(qv.vq, cb.cq)
+                         + list_dot_product(cb.cq, cb.cq) AS BIGINT) AS d
+                FROM (SELECT q_id,
+                             list_transform(emb[$lo:$hi],
+                               x -> CAST(floor(x * 1e6 + 0.5) AS BIGINT)::DOUBLE) AS vq
+                      FROM q) qv CROSS JOIN cb$i cb)"""
+        }.mkString(",\n")
+        s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb
+                       FROM embeddings),
+            ${PqSubspaceCtes},
+            enc AS (SELECT a0.vec_id, a0.c0, a1.c1, a2.c2, a3.c3
+                    FROM a0 JOIN a1 USING (vec_id) JOIN a2 USING (vec_id)
+                            JOIN a3 USING (vec_id)),
+            q AS (SELECT vec_id AS q_id, emb FROM e WHERE vec_id < 8),
+            $luts,
+            approx AS (
+              SELECT q_id, n_id FROM (
+                SELECT q.q_id, enc.vec_id AS n_id,
+                       row_number() OVER (PARTITION BY q.q_id
+                         ORDER BY l0.d + l1.d + l2.d + l3.d, enc.vec_id) AS rank
+                FROM q CROSS JOIN enc
+                JOIN lut0 l0 ON l0.q_id = q.q_id AND l0.cell = enc.c0
+                JOIN lut1 l1 ON l1.q_id = q.q_id AND l1.cell = enc.c1
+                JOIN lut2 l2 ON l2.q_id = q.q_id AND l2.cell = enc.c2
+                JOIN lut3 l3 ON l3.q_id = q.q_id AND l3.cell = enc.c3
+                WHERE q.q_id <> enc.vec_id)
+              WHERE rank <= 3),
+            exact AS (
+              SELECT q_id, n_id FROM (
+                SELECT q.q_id, c.vec_id AS n_id,
+                       row_number() OVER (PARTITION BY q.q_id
+                         ORDER BY ${sqlCos("q.emb", "c.emb")} DESC, c.vec_id) AS rank
+                FROM q JOIN e c ON q.q_id <> c.vec_id)
+              WHERE rank <= 3),
+            hits AS (
+              SELECT e2.q_id, count(*) AS n_hits
+              FROM exact e2 JOIN approx a ON e2.q_id = a.q_id AND e2.n_id = a.n_id
+              GROUP BY e2.q_id)
+            SELECT qq.q_id,
+                   coalesce(h.n_hits, 0) AS n_hits,
+                   round(coalesce(h.n_hits, 0) / 3.0, 4) AS recall
+            FROM (SELECT DISTINCT q_id FROM exact) qq
+            LEFT JOIN hits h USING (q_id)"""
+      },
+      "recall@3 of PQ-ADC vs exact brute force (compression-quality gauge)"),
+
     // Edit-distance near-match pairs (record-linkage / entity-resolution
     // shape): prefix blocking + length band bound the candidate set, only
     // candidates pay the O(len²) Levenshtein — never an all-pairs scan.
