@@ -375,6 +375,32 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** kNN scored directly ON the int8-quantized representation — the search
+   * mode that makes the e2 storage cut pay at query time too: the corpus
+   * scan reads 1-byte codes instead of 4-byte floats, and the per-vector
+   * scales CANCEL in cosine (cos ≈ intdot / √(intnorm·intnorm)), so no
+   * dequantization happens anywhere. All dot products and norms are exact
+   * integers; the one sqrt+divide per pair is IEEE-deterministic, so the
+   * ranking replays bit-for-bit in the oracle. Same documented bounded-
+   * query-set posture as [[knnBrute]]. */
+  def knnInt8(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    def prep(df: DataFrame, idAs: String, qAs: String, nAs: String) =
+      quantizeInt8(df).select(col("vec_id").as(idAs), col("q").as(qAs),
+        aggregate(col("q"), lit(0L), (a, v) => a + (v * v).cast("long"))
+          .as(nAs))
+    val q = prep(queries, "q_id", "qq", "qn")
+    val c = prep(corpus, "n_id", "cq", "cn")
+    q.crossJoin(c).filter(col("q_id") =!= col("n_id"))
+      .select(col("q_id"), col("n_id"),
+        round(
+          aggregate(zip_with(col("qq"), col("cq"),
+            (a, b) => (a * b).cast("long")), lit(0L), _ + _).cast("double")
+            / (sqrt(col("qn")) * sqrt(col("cn"))), 4).as("sim8"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("q_id").orderBy(desc("sim8"), asc("n_id"))))
+      .filter(col("rank") <= k)
+  }
+
   // ---- product quantization (PQ) ----
 
   /** Subvector `m` of an embedding: elements [m·subDim, (m+1)·subDim). */

@@ -905,6 +905,38 @@ object ExtensionQueries {
       },
       "recall@3 of PQ-ADC vs exact brute force (compression-quality gauge)"),
 
+    // kNN on the int8 codes themselves: per-vector scales cancel in
+    // cosine, so the quantized corpus is searched without dequantization —
+    // 4× less scan IO at query time, exact integer dots, one
+    // IEEE-deterministic sqrt+divide per pair.
+    "n13_knn_int8" -> QueryDef(
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        Similarity.knnInt8(emb.filter(col("vec_id") < 6), emb, 3)
+      },
+      Some("""WITH s AS (
+                SELECT vec_id, embedding::DOUBLE[] AS e,
+                       list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) AS scale
+                FROM embeddings),
+              q8 AS (
+                SELECT vec_id,
+                       list_transform(e, x -> floor(x / scale * 127 + 0.5)) AS q
+                FROM s),
+              n AS (SELECT vec_id, q, list_dot_product(q, q) AS nrm FROM q8),
+              scored AS (
+                SELECT a.vec_id AS q_id, b.vec_id AS n_id,
+                       round(list_dot_product(a.q, b.q)
+                         / (sqrt(a.nrm) * sqrt(b.nrm)), 4) AS sim8
+                FROM n a JOIN n b ON a.vec_id < 6 AND a.vec_id <> b.vec_id)
+              SELECT q_id, n_id, sim8,
+                     CAST(rank AS INTEGER) AS rank
+              FROM (SELECT q_id, n_id, sim8,
+                           row_number() OVER (PARTITION BY q_id
+                             ORDER BY sim8 DESC, n_id) AS rank
+                    FROM scored)
+              WHERE rank <= 3"""),
+      "kNN on int8 codes: scales cancel, no dequantization at query time"),
+
     // Edit-distance near-match pairs (record-linkage / entity-resolution
     // shape): prefix blocking + length band bound the candidate set, only
     // candidates pay the O(len²) Levenshtein — never an all-pairs scan.
