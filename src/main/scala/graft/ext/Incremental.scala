@@ -90,11 +90,8 @@ object Incremental {
     })
 
   /** Latest committed version of a merge-sink table. */
-  def currentBase(spark: SparkSession, baseDir: String): DataFrame = {
-    val vs = versions(spark, baseDir)
-    require(vs.nonEmpty, s"no versions under $baseDir")
-    spark.read.parquet(s"$baseDir/v=${vs.last}")
-  }
+  def currentBase(spark: SparkSession, baseDir: String): DataFrame =
+    baseAsOf(spark, baseDir, Long.MaxValue)
 
   /** Time-travel read: the table AS OF version `asOf` — the newest
    * committed version ≤ `asOf`. Versions are immutable directories, so a

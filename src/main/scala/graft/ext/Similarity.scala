@@ -375,19 +375,25 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
-  /** kNN scored directly ON the int8-quantized representation — the search
-   * mode that makes the e2 storage cut pay at query time too: the corpus
-   * scan reads 1-byte codes instead of 4-byte floats, and the per-vector
-   * scales CANCEL in cosine (cos ≈ intdot / √(intnorm·intnorm)), so no
-   * dequantization happens anywhere. All dot products and norms are exact
-   * integers; the one sqrt+divide per pair is IEEE-deterministic, so the
-   * ranking replays bit-for-bit in the oracle. Same documented bounded-
-   * query-set posture as [[knnBrute]]. */
-  def knnInt8(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+  /** kNN over PRE-QUANTIZED int8 vectors (`(vec_id, q)` — e2's stored
+   * representation): the corpus scan reads 1-byte codes instead of 4-byte
+   * floats, and the per-vector scales CANCEL in cosine
+   * (cos ≈ intdot / √(intnorm·intnorm)), so no dequantization happens
+   * anywhere — consuming the stored quantized table directly is what
+   * makes the 4× IO cut real at query time. All dot products and norms
+   * are exact integers; the one sqrt+divide per pair is
+   * IEEE-deterministic, so the ranking replays bit-for-bit in the oracle.
+   * Zero vectors (norm 0) have no cosine direction and are EXCLUDED from
+   * both sides — without the guard their 0/0 similarity is NaN, which
+   * Spark's descending sort ranks above every real neighbor. Same
+   * documented bounded-query-set posture as [[knnBrute]]. */
+  def knnInt8Quantized(queries: DataFrame, corpus: DataFrame,
+      k: Int): DataFrame = {
     def prep(df: DataFrame, idAs: String, qAs: String, nAs: String) =
-      quantizeInt8(df).select(col("vec_id").as(idAs), col("q").as(qAs),
+      df.select(col("vec_id").as(idAs), col("q").as(qAs),
         aggregate(col("q"), lit(0L), (a, v) => a + (v * v).cast("long"))
           .as(nAs))
+        .filter(col(nAs) > 0)
     val q = prep(queries, "q_id", "qq", "qn")
     val c = prep(corpus, "n_id", "cq", "cn")
     q.crossJoin(c).filter(col("q_id") =!= col("n_id"))
@@ -400,6 +406,12 @@ object Similarity {
         Window.partitionBy("q_id").orderBy(desc("sim8"), asc("n_id"))))
       .filter(col("rank") <= k)
   }
+
+  /** Convenience form over raw float embeddings: quantizes both sides
+   * inline, then searches the codes. For the actual IO win, store
+   * [[quantizeInt8]]'s output and call [[knnInt8Quantized]]. */
+  def knnInt8(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame =
+    knnInt8Quantized(quantizeInt8(queries), quantizeInt8(corpus), k)
 
   // ---- product quantization (PQ) ----
 

@@ -26,6 +26,63 @@ object ExtensionQueries {
   private val PqBits = 2
   private val PqSeed = "pq"
 
+  /** Sliding-window chunking parameters shared by sp7/d11 and their
+   * oracles (step = size − overlap). */
+  private val ChunkSize = 32
+  private val ChunkOverlap = 8
+  private val ChunkStep = ChunkSize - ChunkOverlap
+
+  /** DuckDB chunking CTE chain (sp7's arithmetic), ending in
+   * `c(doc_id, chunk_id, ct)`. Shared by sp7 and d11 so the two oracles
+   * can never drift onto different chunk configurations. */
+  private lazy val ChunkCtes: String =
+    s"""w AS (SELECT doc_id, string_split(text, ' ') AS toks
+              FROM documents),
+        s AS (SELECT doc_id, toks,
+                     unnest(generate_series(0, len(toks) - 1, $ChunkStep)) AS start
+              FROM w),
+        f AS (SELECT * FROM s
+              WHERE start = 0 OR start + $ChunkOverlap < len(toks)),
+        c AS (SELECT doc_id, CAST(start / $ChunkStep AS INTEGER) AS chunk_id,
+                     toks[start + 1 : start + $ChunkSize] AS ct
+              FROM f)"""
+
+  /** DuckDB mirror of Similarity.pqEncode's final assembly (expects the
+   * `a{i}` CTEs from [[PqSubspaceCtes]]): one row per vector with its m
+   * codes. Shared by n10/n11/n12. */
+  private lazy val PqEncCte: String = {
+    val joins = (1 until PqM).map(i => s"JOIN a$i USING (vec_id)").mkString(" ")
+    val cols = (0 until PqM).map(i => s"a$i.c$i").mkString(", ")
+    s"enc AS (SELECT a0.vec_id, $cols FROM a0 $joins)"
+  }
+
+  /** DuckDB mirror of knnPqAdc's per-query LUTs (expects `q(q_id, emb)`
+   * and the `cb{i}` CTEs): exact integer distance from each query
+   * subvector to each subspace centroid. Shared by n11/n12 so a distance
+   * fix can never reach one oracle and miss the other. */
+  private lazy val PqLutCtes: String =
+    (0 until PqM).map { i =>
+      val lo = i * PqSubDim + 1
+      val hi = (i + 1) * PqSubDim
+      s"""lut$i AS (
+            SELECT qv.q_id, cb.cell,
+                   CAST(list_dot_product(qv.vq, qv.vq)
+                     - 2 * list_dot_product(qv.vq, cb.cq)
+                     + list_dot_product(cb.cq, cb.cq) AS BIGINT) AS d
+            FROM (SELECT q_id,
+                         list_transform(emb[$lo:$hi],
+                           x -> CAST(floor(x * 1e6 + 0.5) AS BIGINT)::DOUBLE) AS vq
+                  FROM q) qv CROSS JOIN cb$i cb)"""
+    }.mkString(",\n")
+
+  /** ADC pair scoring joins + total distance, shared by n11/n12. */
+  private lazy val PqAdcJoins: String =
+    (0 until PqM).map(i =>
+      s"JOIN lut$i l$i ON l$i.q_id = q.q_id AND l$i.cell = enc.c$i")
+      .mkString("\n                ")
+  private lazy val PqAdcDist: String =
+    (0 until PqM).map(i => s"l$i.d").mkString(" + ")
+
   /** DuckDB mirror of Similarity.pqCodebooks + pqEncode, one CTE chain per
    * subspace (expects a prior `e(vec_id, emb)` CTE): rp-cell seed over the
    * subvector slice, exact-integer M-step, micro-grid snap, argmin
@@ -262,7 +319,8 @@ object ExtensionQueries {
     // not chunk text, carry through the shuffle.
     "d11_chunk_dedup" -> QueryDef(
       (s, dir) => graft.ext.Sampling
-        .chunkDocuments(t(s, dir, "documents"), chunkSize = 32, overlap = 8)
+        .chunkDocuments(t(s, dir, "documents"),
+          chunkSize = ChunkSize, overlap = ChunkOverlap)
         .groupBy(md5(col("chunk")).as("chunk_fp"))
         .agg(count(lit(1)).as("n_copies"),
           countDistinct("doc_id").as("n_docs"),
@@ -271,15 +329,7 @@ object ExtensionQueries {
         .select(col("chunk_fp"), col("n_copies"), col("n_docs"),
           col("k.doc_id").as("keeper_doc"),
           col("k.chunk_id").as("keeper_chunk")),
-      Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS toks
-                         FROM documents),
-                s AS (SELECT doc_id, toks,
-                             unnest(generate_series(0, len(toks) - 1, 24)) AS start
-                      FROM w),
-                f AS (SELECT * FROM s WHERE start = 0 OR start + 8 < len(toks)),
-                c AS (SELECT doc_id, CAST(start / 24 AS INTEGER) AS chunk_id,
-                             toks[start + 1 : start + 32] AS ct
-                      FROM f),
+      Some(s"""WITH $ChunkCtes,
                 ch AS (SELECT doc_id, chunk_id,
                               md5(array_to_string(ct, ' ')) AS chunk_fp
                        FROM c),
@@ -778,10 +828,9 @@ object ExtensionQueries {
       },
       Some(s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb
                           FROM embeddings),
-               ${PqSubspaceCtes}
-               SELECT a0.vec_id, a0.c0, a1.c1, a2.c2, a3.c3
-               FROM a0 JOIN a1 USING (vec_id) JOIN a2 USING (vec_id)
-                       JOIN a3 USING (vec_id)"""),
+               ${PqSubspaceCtes},
+               ${PqEncCte}
+               SELECT vec_id, c0, c1, c2, c3 FROM enc"""),
       "PQ encoding: per-subspace trained codebooks, 4 codes per vector"),
 
     // ADC (asymmetric-distance) kNN over the PQ codes: queries stay exact
@@ -798,43 +847,23 @@ object ExtensionQueries {
         Similarity.knnPqAdc(emb.filter(col("vec_id") < 8), emb, 3,
           m = PqM, subDim = PqSubDim, bits = PqBits, seed = PqSeed)
       },
-      Some {
-        val luts = (0 until PqM).map { i =>
-          val lo = i * PqSubDim + 1
-          val hi = (i + 1) * PqSubDim
-          s"""lut$i AS (
-                SELECT qv.q_id, cb.cell,
-                       CAST(list_dot_product(qv.vq, qv.vq)
-                         - 2 * list_dot_product(qv.vq, cb.cq)
-                         + list_dot_product(cb.cq, cb.cq) AS BIGINT) AS d
-                FROM (SELECT q_id,
-                             list_transform(emb[$lo:$hi],
-                               x -> CAST(floor(x * 1e6 + 0.5) AS BIGINT)::DOUBLE) AS vq
-                      FROM q) qv CROSS JOIN cb$i cb)"""
-        }.mkString(",\n")
-        s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb
+      Some(s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb
                        FROM embeddings),
             ${PqSubspaceCtes},
-            enc AS (SELECT a0.vec_id, a0.c0, a1.c1, a2.c2, a3.c3
-                    FROM a0 JOIN a1 USING (vec_id) JOIN a2 USING (vec_id)
-                            JOIN a3 USING (vec_id)),
+            ${PqEncCte},
             q AS (SELECT vec_id AS q_id, emb FROM e WHERE vec_id < 8),
-            $luts,
+            ${PqLutCtes},
             scored AS (
               SELECT q.q_id, enc.vec_id AS n_id,
-                     l0.d + l1.d + l2.d + l3.d AS dist_q
+                     ${PqAdcDist} AS dist_q
               FROM q CROSS JOIN enc
-              JOIN lut0 l0 ON l0.q_id = q.q_id AND l0.cell = enc.c0
-              JOIN lut1 l1 ON l1.q_id = q.q_id AND l1.cell = enc.c1
-              JOIN lut2 l2 ON l2.q_id = q.q_id AND l2.cell = enc.c2
-              JOIN lut3 l3 ON l3.q_id = q.q_id AND l3.cell = enc.c3
+                ${PqAdcJoins}
               WHERE q.q_id <> enc.vec_id),
             r AS (SELECT q_id, n_id, dist_q,
                          CAST(row_number() OVER (PARTITION BY q_id
                            ORDER BY dist_q, n_id) AS INTEGER) AS rank
                   FROM scored)
-            SELECT q_id, n_id, dist_q, rank FROM r WHERE rank <= 3"""
-      },
+            SELECT q_id, n_id, dist_q, rank FROM r WHERE rank <= 3"""),
       "PQ-ADC kNN: code-only corpus scoring with inlined codebook LUTs"),
 
     // Recall@3 of the PQ-ADC search against the exact brute force — the
@@ -852,38 +881,19 @@ object ExtensionQueries {
             m = PqM, subDim = PqSubDim, bits = PqBits, seed = PqSeed),
           Similarity.knnBrute(q, emb, 3), 3)
       },
-      Some {
-        val luts = (0 until PqM).map { i =>
-          val lo = i * PqSubDim + 1
-          val hi = (i + 1) * PqSubDim
-          s"""lut$i AS (
-                SELECT qv.q_id, cb.cell,
-                       CAST(list_dot_product(qv.vq, qv.vq)
-                         - 2 * list_dot_product(qv.vq, cb.cq)
-                         + list_dot_product(cb.cq, cb.cq) AS BIGINT) AS d
-                FROM (SELECT q_id,
-                             list_transform(emb[$lo:$hi],
-                               x -> CAST(floor(x * 1e6 + 0.5) AS BIGINT)::DOUBLE) AS vq
-                      FROM q) qv CROSS JOIN cb$i cb)"""
-        }.mkString(",\n")
-        s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb
+      Some(s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb
                        FROM embeddings),
             ${PqSubspaceCtes},
-            enc AS (SELECT a0.vec_id, a0.c0, a1.c1, a2.c2, a3.c3
-                    FROM a0 JOIN a1 USING (vec_id) JOIN a2 USING (vec_id)
-                            JOIN a3 USING (vec_id)),
+            ${PqEncCte},
             q AS (SELECT vec_id AS q_id, emb FROM e WHERE vec_id < 8),
-            $luts,
+            ${PqLutCtes},
             approx AS (
               SELECT q_id, n_id FROM (
                 SELECT q.q_id, enc.vec_id AS n_id,
                        row_number() OVER (PARTITION BY q.q_id
-                         ORDER BY l0.d + l1.d + l2.d + l3.d, enc.vec_id) AS rank
+                         ORDER BY ${PqAdcDist}, enc.vec_id) AS rank
                 FROM q CROSS JOIN enc
-                JOIN lut0 l0 ON l0.q_id = q.q_id AND l0.cell = enc.c0
-                JOIN lut1 l1 ON l1.q_id = q.q_id AND l1.cell = enc.c1
-                JOIN lut2 l2 ON l2.q_id = q.q_id AND l2.cell = enc.c2
-                JOIN lut3 l3 ON l3.q_id = q.q_id AND l3.cell = enc.c3
+                ${PqAdcJoins}
                 WHERE q.q_id <> enc.vec_id)
               WHERE rank <= 3),
             exact AS (
@@ -901,8 +911,7 @@ object ExtensionQueries {
                    coalesce(h.n_hits, 0) AS n_hits,
                    round(coalesce(h.n_hits, 0) / 3.0, 4) AS recall
             FROM (SELECT DISTINCT q_id FROM exact) qq
-            LEFT JOIN hits h USING (q_id)"""
-      },
+            LEFT JOIN hits h USING (q_id)"""),
       "recall@3 of PQ-ADC vs exact brute force (compression-quality gauge)"),
 
     // kNN on the int8 codes themselves: per-vector scales cancel in
@@ -911,8 +920,13 @@ object ExtensionQueries {
     // IEEE-deterministic sqrt+divide per pair.
     "n13_knn_int8" -> QueryDef(
       (s, dir) => {
+        // search consumes the STORED quantized representation (e2's
+        // output) — the pre-quantized entry point is what makes the 4×
+        // scan-IO cut real; quantizing inline would re-read the floats
         val emb = t(s, dir, "embeddings")
-        Similarity.knnInt8(emb.filter(col("vec_id") < 6), emb, 3)
+        val stored = Similarity.quantizeInt8(emb).select("vec_id", "q")
+        Similarity.knnInt8Quantized(
+          stored.filter(col("vec_id") < 6), stored, 3)
       },
       Some("""WITH s AS (
                 SELECT vec_id, embedding::DOUBLE[] AS e,
@@ -920,9 +934,11 @@ object ExtensionQueries {
                 FROM embeddings),
               q8 AS (
                 SELECT vec_id,
-                       list_transform(e, x -> floor(x / scale * 127 + 0.5)) AS q
+                       list_transform(e, x -> CASE WHEN scale = 0 THEN 0
+                         ELSE floor(x / scale * 127 + 0.5) END) AS q
                 FROM s),
-              n AS (SELECT vec_id, q, list_dot_product(q, q) AS nrm FROM q8),
+              n AS (SELECT vec_id, q, list_dot_product(q, q) AS nrm
+                    FROM q8 WHERE list_dot_product(q, q) > 0),
               scored AS (
                 SELECT a.vec_id AS q_id, b.vec_id AS n_id,
                        round(list_dot_product(a.q, b.q)
@@ -1313,16 +1329,8 @@ object ExtensionQueries {
     // 1-based slice arithmetic.
     "sp7_chunk_windows" -> QueryDef(
       (s, dir) => graft.ext.Sampling.chunkDocuments(
-        t(s, dir, "documents"), chunkSize = 32, overlap = 8),
-      Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS toks
-                         FROM documents),
-                s AS (SELECT doc_id, toks,
-                             unnest(generate_series(0, len(toks) - 1, 24)) AS start
-                      FROM w),
-                f AS (SELECT * FROM s WHERE start = 0 OR start + 8 < len(toks)),
-                c AS (SELECT doc_id, CAST(start / 24 AS INTEGER) AS chunk_id,
-                             toks[start + 1 : start + 32] AS ct
-                      FROM f)
+        t(s, dir, "documents"), chunkSize = ChunkSize, overlap = ChunkOverlap),
+      Some(s"""WITH $ChunkCtes
               SELECT doc_id, chunk_id, CAST(len(ct) AS INTEGER) AS n_toks,
                      array_to_string(ct, ' ') AS chunk
               FROM c"""),
