@@ -353,6 +353,39 @@ object RelationalQueries {
               FROM g GROUP BY user_id"""),
       "gap-based sessionization via lag + flag-sum"),
 
+    // Spark's declarative session_window (gap-merged event-time sessions)
+    // in batch form — same semantics as s1's lag+flag-sum derivation, and
+    // the oracle IS that derivation, so the built-in operator is
+    // cross-checked against the classic formulation. One shuffle per key,
+    // session merge handled by the operator (no self-join).
+    "s4_session_window" -> QueryDef(
+      (s, dir) => t(s, dir, "events")
+        .withColumn("event_ts", timestamp_micros(expr("ts div 1000")))
+        .groupBy(col("user_id"),
+          session_window(col("event_ts"), "1 hour").as("sw"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"),
+          unix_micros(col("sw.start")).as("sess_start"),
+          unix_micros(col("sw.end")).as("sess_end"),
+          col("n_events")),
+      Some("""WITH g AS (
+                SELECT user_id, epoch_us(ts) AS tsu,
+                       lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                         ORDER BY epoch_us(ts)) AS prev
+                FROM events),
+              flagged AS (
+                SELECT user_id, tsu,
+                       sum(CASE WHEN prev IS NULL
+                                  OR tsu - prev > 3600000000 THEN 1
+                                ELSE 0 END) OVER (PARTITION BY user_id
+                         ORDER BY tsu ROWS UNBOUNDED PRECEDING) AS sess_id
+                FROM g)
+              SELECT user_id, min(tsu) AS sess_start,
+                     max(tsu) + 3600000000 AS sess_end,
+                     count(*) AS n_events
+              FROM flagged GROUP BY user_id, sess_id"""),
+      "built-in session_window sessions == classic lag+flag-sum derivation"),
+
     // Ordered-step conversion funnel: first view, first click AFTER that
     // view, first purchase AFTER that click. Each stage is one keyed
     // hash-agg over a type-filtered scan joined to the (one-row-per-user,

@@ -382,6 +382,20 @@ class ExtensionsSpec extends SparkTestBase {
     assert(distQ == expected)
   }
 
+  test("knnInt8Quantized excludes zero vectors instead of ranking NaN first") {
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(0.9f, 0.1f)),
+      (3L, Array(0.0f, 1.0f)),
+      (99L, Array(0.0f, 0.0f)))  // zero vector: no cosine direction
+      .toDF("vec_id", "embedding")
+    val stored = Similarity.quantizeInt8(vecs).select("vec_id", "q")
+    val out = Similarity.knnInt8Quantized(
+        stored.filter($"vec_id" === 1L), stored, 2)
+      .select("q_id", "n_id", "rank").as[(Long, Long, Int)].collect().toSet
+    // without the norm guard the zero vector's 0/0 = NaN sim sorts first
+    assert(out == Set((1L, 2L, 1), (1L, 3L, 2)))
+  }
+
   test("QualityModel.score is partition-independent and bounded") {
     import graft.ext.QualityModel
     val d = docs((1L, "alpha beta gamma"), (2L, "alpha beta gamma"),
