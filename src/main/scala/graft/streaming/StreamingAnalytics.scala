@@ -171,4 +171,70 @@ object StreamingAnalytics {
       .transformWithState(new RunningStatsProcessor,
         org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update())
   }
+
+  final case class TimedEvent(user_id: Long, ts: Timestamp)
+  final case class IdleSession(start: Long, last: Long, n: Long)
+  final case class ClosedSession(user_id: Long, session_start: Timestamp,
+      session_end: Timestamp, n_events: Long)
+
+  /** Idle-session closer on EVENT-TIME TIMERS — the TWS capability
+   * flatMapGroupsWithState lacks cleanly: instead of emitting on the next
+   * inbound event for the key, the session closes when the WATERMARK
+   * passes `last + gap`, so an abandoned key still emits. One timer per
+   * key (re-armed on every event: delete + register), state cleared on
+   * expiry — state size is O(open sessions), bounded by the watermark. */
+  class IdleSessionProcessor(gapMs: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, TimedEvent, ClosedSession] {
+    @transient private var sess:
+      org.apache.spark.sql.streaming.ValueState[IdleSession] = _
+
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      sess = getHandle.getValueState[IdleSession]("sess",
+        org.apache.spark.sql.Encoders.product[IdleSession],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[TimedEvent],
+        tv: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[ClosedSession] = {
+      var s = if (sess.exists()) sess.get() else IdleSession(Long.MaxValue, 0L, 0L)
+      rows.foreach { e =>
+        val t = e.ts.getTime
+        s = IdleSession(math.min(s.start, t), math.max(s.last, t), s.n + 1)
+      }
+      sess.update(s)
+      getHandle.listTimers().foreach(getHandle.deleteTimer)
+      getHandle.registerTimer(s.last + gapMs)
+      Iterator.empty
+    }
+
+    override def handleExpiredTimer(key: Long,
+        tv: org.apache.spark.sql.streaming.TimerValues,
+        info: org.apache.spark.sql.streaming.ExpiredTimerInfo)
+        : Iterator[ClosedSession] = {
+      val out =
+        if (!sess.exists()) Iterator.empty
+        else {
+          val s = sess.get()
+          Iterator.single(ClosedSession(key,
+            new Timestamp(s.start), new Timestamp(s.last), s.n))
+        }
+      sess.clear()
+      out
+    }
+  }
+
+  /** Event-time-timer sessionization through `transformWithState`.
+   * `events` must carry a watermark on `ts` (timers fire against it);
+   * requires the RocksDB state store provider. */
+  def idleSessions(events: Dataset[TimedEvent], gapMs: Long)(
+      implicit spark: SparkSession): Dataset[ClosedSession] = {
+    import spark.implicits._
+    events
+      .groupByKey(_.user_id)
+      .transformWithState(new IdleSessionProcessor(gapMs),
+        org.apache.spark.sql.streaming.TimeMode.EventTime(),
+        OutputMode.Append())
+  }
 }

@@ -243,6 +243,49 @@ class StreamingSpec extends SparkTestBase {
     assert(rows == Set((1L, Some("gold")), (3L, None), (2L, Some("silver"))))
   }
 
+  test("event-time timers close idle sessions when the watermark passes") {
+    implicit val s = spark
+    implicit val sqlCtx = spark.sqlContext
+    val prevProvider = spark.conf.getOption(
+      "spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val input = MemoryStream[StreamingAnalytics.TimedEvent]
+      val withWm = input.toDS().withWatermark("ts", "0 seconds")
+        .as[StreamingAnalytics.TimedEvent]
+      val q = StreamingAnalytics.idleSessions(withWm, gapMs = 60000L)
+        .writeStream.outputMode("append")
+        .format("memory").queryName("idle_out").start()
+
+      def ev(u: Long, m: Int, sec: Int = 0) = StreamingAnalytics.TimedEvent(
+        u, Timestamp.valueOf(f"2026-01-01 10:$m%02d:$sec%02d"))
+
+      input.addData(ev(7L, 0), ev(7L, 0, 30))  // session: 10:00-10:00:30
+      q.processAllAvailable()
+      // watermark advances past 10:00:30 + 60 s -> the timer fires even
+      // though user 7 sends NOTHING further (the fMGWS form cannot do this)
+      input.addData(ev(8L, 5))
+      q.processAllAvailable()
+      // a DIFFERENT user pushes the watermark past 10:06 -> 8's timer fires
+      input.addData(ev(9L, 20))
+      q.processAllAvailable()
+      q.stop()
+
+      val rows = spark.table("idle_out")
+        .select($"user_id", $"n_events").as[(Long, Long)].collect().toSet
+      assert(rows.contains((7L, 2L)), s"user 7 idle session must close: $rows")
+      assert(rows.contains((8L, 1L)), s"user 8 session must close: $rows")
+    } finally {
+      prevProvider match {
+        case Some(p) => spark.conf.set(
+          "spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset(
+          "spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("transformWithState running stats accumulate across micro-batches") {
     implicit val s = spark
     implicit val sqlCtx = spark.sqlContext
