@@ -56,6 +56,31 @@ object Sampling {
     df.filter(hashBucket(col(idCol), salt = "strat") < rate)
   }
 
+  /** Sqrt-smoothed mixture resampling — the classic multilingual
+   * "temperature" smoothing (weights ∝ count^(1/2)): every stratum's keep
+   * rate is `floor(100·√(c_min/c_s))`, so the rarest stratum keeps 100 %
+   * and dominant strata are downsampled toward (not onto) the floor.
+   * Unlike [[stratifiedSample]] the rates are DERIVED from the corpus, not
+   * caller-supplied — and derived with IEEE-exact arithmetic only (one
+   * divide, one sqrt, one floor), so the rate table replays identically in
+   * the oracle. Fully distributed: one stratum-cardinality aggregate,
+   * broadcast back; the filter itself stays the stable-md5-bucket narrow
+   * scan. α = 1/2 specifically because sqrt is correctly rounded by IEEE —
+   * a general `pow(c, α)` is not, and a 1-ulp cross-engine divergence at a
+   * rate boundary would flip rows. */
+  def sqrtMixtureSample(df: DataFrame, idCol: String,
+      stratumCol: String): DataFrame = {
+    val counts = df.groupBy(stratumCol).agg(count(lit(1)).as("__c"))
+    val rates = counts
+      .crossJoin(broadcast(counts.agg(min(col("__c")).as("__cmin"))))
+      .select(col(stratumCol),
+        floor(lit(100.0) * sqrt(col("__cmin").cast("double") / col("__c")))
+          .cast("int").as("__rate"))
+    df.join(broadcast(rates), stratumCol)
+      .filter(hashBucket(col(idCol), salt = "temp") < col("__rate"))
+      .drop("__rate")
+  }
+
   /** Sliding-window document chunking: fixed `chunkSize`-token windows every
    * `chunkSize - overlap` tokens — the context-window prep step between
    * cleaning and packing in a pretraining pipeline. Pure narrow

@@ -1306,6 +1306,40 @@ object ExtensionQueries {
                 FROM documents) WHERE rn <= 5"""),
       "deterministic k-per-group sample via bounded-heap top-k aggregate"),
 
+    // Sqrt-smoothed (temperature) mixture resampling over the skewed lang
+    // column: rates derived in-engine from stratum counts
+    // (floor(100·sqrt(cmin/c))), rarest language kept whole, dominant
+    // downsampled — α=1/2 because sqrt is IEEE-correctly-rounded, so the
+    // derived rate table replays exactly in DuckDB.
+    "sp9_sqrt_mixture" -> QueryDef(
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val kept = graft.ext.Sampling
+          .sqrtMixtureSample(docs, "doc_id", "lang")
+          .groupBy("lang").agg(count(lit(1)).as("n_kept"))
+        val counts = docs.groupBy("lang").agg(count(lit(1)).as("__c"))
+        val rates = counts
+          .crossJoin(broadcast(counts.agg(min(col("__c")).as("__cmin"))))
+          .select(col("lang"),
+            floor(lit(100.0) * sqrt(col("__cmin").cast("double") / col("__c")))
+              .cast("int").as("rate"))
+        rates.join(kept, Seq("lang"), "left")
+          .select(col("lang"), col("rate"),
+            coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+      },
+      Some("""WITH c AS (SELECT lang, count(*) AS c FROM documents GROUP BY 1),
+              m AS (SELECT min(c) AS cmin FROM c),
+              r AS (SELECT lang,
+                           CAST(floor(100 * sqrt(CAST(cmin AS DOUBLE) / c)) AS INTEGER) AS rate
+                    FROM c CROSS JOIN m),
+              k AS (SELECT d.lang, count(*) AS n_kept
+                    FROM documents d JOIN r USING (lang)
+                    WHERE ('0x' || substr(md5('temp:' || doc_id::VARCHAR), 1, 8))::BIGINT % 100 < rate
+                    GROUP BY 1)
+              SELECT r.lang, r.rate, coalesce(k.n_kept, 0) AS n_kept
+              FROM r LEFT JOIN k USING (lang)"""),
+      "sqrt-smoothed mixture resampling (rates derived in-engine)"),
+
     // Stratified deterministic sampling: per-stratum keep rates (dominant
     // `en` cut to 20%, scarce `zh` kept whole, default 50%) — the
     // mixture-shaping knob over the same stable md5 bucket; still a pure
