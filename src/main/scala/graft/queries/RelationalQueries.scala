@@ -559,6 +559,66 @@ object RelationalQueries {
               FROM orders GROUP BY o_orderpriority"""),
       "exact interpolated percentiles per group"),
 
+    // Explicit GROUPING SETS (the general form rollup/cube specialize):
+    // disjoint aggregation levels in ONE pass over the fact scan (Expand +
+    // single hash-agg), with grouping_id() disambiguating the all-rows set
+    // from a genuine NULL group. Completes the grouping-variant matrix
+    // next to g3 (rollup) and g8 (cube).
+    "g12_grouping_sets" -> QueryDef(
+      (s, dir) => withViews(s, "lineitem" -> t(s, dir, "lineitem")) { n =>
+        s"""SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   count(*) AS n_rows,
+                   grouping_id(l_returnflag, l_linestatus) AS gid
+            FROM ${n("lineitem")}
+            GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())"""
+      },
+      Some("""SELECT l_returnflag, l_linestatus,
+                     round(sum(l_quantity), 2) AS sum_qty,
+                     count(*) AS n_rows,
+                     CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus)
+                       AS BIGINT) AS gid
+              FROM lineitem
+              GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())"""),
+      "explicit GROUPING SETS with grouping_id disambiguation"),
+
+    // Referential-integrity audit: orphan counts along every FK edge of
+    // the star — each branch one anti-join whose dim side broadcasts (or
+    // bloom-prunes) at scale; the first data-quality gate after a drop
+    // lands, next to dq1's per-column profile.
+    "dq2_orphans" -> QueryDef(
+      (s, dir) => {
+        def orphans(name: String, fact: DataFrame, factKey: String,
+            dim: DataFrame, dimKey: String) =
+          fact.join(dim, col(factKey) === col(dimKey), "left_anti")
+            .agg(count(lit(1)).as("n_orphans"))
+            .select(lit(name).as("fk_edge"), col("n_orphans"))
+        orphans("lineitem->orders", t(s, dir, "lineitem"), "l_orderkey",
+            t(s, dir, "orders"), "o_orderkey")
+          .unionByName(orphans("lineitem->part", t(s, dir, "lineitem"),
+            "l_partkey", t(s, dir, "part"), "p_partkey"))
+          .unionByName(orphans("orders->customer", t(s, dir, "orders"),
+            "o_custkey", t(s, dir, "customer"), "c_custkey"))
+          .unionByName(orphans("events->customer", t(s, dir, "events"),
+            "user_id", t(s, dir, "customer"), "c_custkey"))
+      },
+      Some("""SELECT 'lineitem->orders' AS fk_edge, count(*) AS n_orphans
+              FROM lineitem WHERE NOT EXISTS
+                (SELECT 1 FROM orders WHERE o_orderkey = l_orderkey)
+              UNION ALL
+              SELECT 'lineitem->part', count(*) FROM lineitem
+              WHERE NOT EXISTS
+                (SELECT 1 FROM part WHERE p_partkey = l_partkey)
+              UNION ALL
+              SELECT 'orders->customer', count(*) FROM orders
+              WHERE NOT EXISTS
+                (SELECT 1 FROM customer WHERE c_custkey = o_custkey)
+              UNION ALL
+              SELECT 'events->customer', count(*) FROM events
+              WHERE NOT EXISTS
+                (SELECT 1 FROM customer WHERE c_custkey = user_id)"""),
+      "referential-integrity audit: orphan counts per FK edge"),
+
     // Winsorized aggregation (robust-stats cleaning): per-group P10/P90
     // computed once on the pre-aggregated group relation, broadcast back
     // onto the fact rows (AQE: the percentile relation is group-cardinality,
