@@ -94,6 +94,23 @@ object CoreQueries {
                 AND value IS NOT NULL AND props IS NOT NULL"""),
       "na.drop + IS NOT NULL key guard"),
 
+    // Semi-structured properties through Spark 4's VARIANT type:
+    // parse_json once, typed variant_get extraction + predicate — the
+    // open-schema path for event properties that would otherwise force a
+    // rigid from_json schema per producer version. At scale variant's
+    // binary encoding is scanned without re-tokenizing JSON text per
+    // access (vs get_json_object re-parsing per field).
+    "p13_variant_json" -> QueryDef(
+      (s, dir) => t(s, dir, "events")
+        .select(col("event_id"), col("event_type"),
+          variant_get(parse_json(col("props")), "$.k", "int").as("k"))
+        .filter(col("k") >= 50),
+      Some("""SELECT event_id, event_type,
+                     CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+              FROM events
+              WHERE CAST(json_extract_string(props, '$.k') AS INTEGER) >= 50"""),
+      "VARIANT semi-structured extraction with typed predicate"),
+
     // A1: total count (`dashbord/dashbord.py:101`).
     "a1_count" -> QueryDef(
       (s, dir) => t(s, dir, "customer").agg(count(lit(1)).as("n_users")),
