@@ -69,16 +69,30 @@ object Sampling {
    * a general `pow(c, α)` is not, and a 1-ulp cross-engine divergence at a
    * rate boundary would flip rows. */
   def sqrtMixtureSample(df: DataFrame, idCol: String,
-      stratumCol: String): DataFrame = {
-    val counts = df.groupBy(stratumCol).agg(count(lit(1)).as("__c"))
-    val rates = counts
+      stratumCol: String): DataFrame =
+    df.join(broadcast(sqrtMixtureRates(df, stratumCol)), stratumCol)
+      .filter(hashBucket(col(idCol), salt = "temp") < col("rate"))
+      .drop("rate")
+
+  /** The derived sqrt-smoothed rate table, one row per NON-NULL stratum:
+   * `(stratumCol, rate)` with `rate = max(1, floor(100·√(cmin/c)))`.
+   * Shared by [[sqrtMixtureSample]] and the sp9 gate query so the
+   * displayed rates can never drift from the rates the sample used.
+   * Clamped at 1 %: past ~10^4× skew the floor would reach 0 and silently
+   * DROP the dominant stratum entirely — the clamp keeps it represented
+   * (real web corpora exceed that skew routinely). NULL strata are
+   * excluded on both sides: a stray NULL would otherwise set cmin and
+   * deflate every real stratum's rate while its own rows vanished in the
+   * equi-join. */
+  def sqrtMixtureRates(df: DataFrame, stratumCol: String): DataFrame = {
+    val counts = df.filter(col(stratumCol).isNotNull)
+      .groupBy(stratumCol).agg(count(lit(1)).as("__c"))
+    counts
       .crossJoin(broadcast(counts.agg(min(col("__c")).as("__cmin"))))
       .select(col(stratumCol),
-        floor(lit(100.0) * sqrt(col("__cmin").cast("double") / col("__c")))
-          .cast("int").as("__rate"))
-    df.join(broadcast(rates), stratumCol)
-      .filter(hashBucket(col(idCol), salt = "temp") < col("__rate"))
-      .drop("__rate")
+        greatest(lit(1),
+          floor(lit(100.0) * sqrt(col("__cmin").cast("double") / col("__c")))
+            .cast("int")).as("rate"))
   }
 
   /** Sliding-window document chunking: fixed `chunkSize`-token windows every

@@ -95,11 +95,13 @@ object CoreQueries {
       "na.drop + IS NOT NULL key guard"),
 
     // Semi-structured properties through Spark 4's VARIANT type:
-    // parse_json once, typed variant_get extraction + predicate — the
+    // parse_json + typed variant_get extraction + predicate — the
     // open-schema path for event properties that would otherwise force a
-    // rigid from_json schema per producer version. At scale variant's
-    // binary encoding is scanned without re-tokenizing JSON text per
-    // access (vs get_json_object re-parsing per field).
+    // rigid from_json schema per producer version. (This query parses the
+    // stored JSON string inline, so it demonstrates the open-schema API;
+    // the no-re-parse-per-access benefit arrives when the VARIANT binary
+    // itself is what's stored, e.g. a parse-once ingest writing variant
+    // columns.)
     "p13_variant_json" -> QueryDef(
       (s, dir) => t(s, dir, "events")
         .select(col("event_id"), col("event_type"),

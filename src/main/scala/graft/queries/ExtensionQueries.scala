@@ -1317,20 +1317,18 @@ object ExtensionQueries {
         val kept = graft.ext.Sampling
           .sqrtMixtureSample(docs, "doc_id", "lang")
           .groupBy("lang").agg(count(lit(1)).as("n_kept"))
-        val counts = docs.groupBy("lang").agg(count(lit(1)).as("__c"))
-        val rates = counts
-          .crossJoin(broadcast(counts.agg(min(col("__c")).as("__cmin"))))
-          .select(col("lang"),
-            floor(lit(100.0) * sqrt(col("__cmin").cast("double") / col("__c")))
-              .cast("int").as("rate"))
-        rates.join(kept, Seq("lang"), "left")
+        // the SAME derived rate table the sample used (shared helper —
+        // displayed rates cannot drift from applied rates)
+        graft.ext.Sampling.sqrtMixtureRates(docs, "lang")
+          .join(kept, Seq("lang"), "left")
           .select(col("lang"), col("rate"),
             coalesce(col("n_kept"), lit(0L)).as("n_kept"))
       },
-      Some("""WITH c AS (SELECT lang, count(*) AS c FROM documents GROUP BY 1),
+      Some("""WITH c AS (SELECT lang, count(*) AS c FROM documents
+                         WHERE lang IS NOT NULL GROUP BY 1),
               m AS (SELECT min(c) AS cmin FROM c),
               r AS (SELECT lang,
-                           CAST(floor(100 * sqrt(CAST(cmin AS DOUBLE) / c)) AS INTEGER) AS rate
+                           greatest(1, CAST(floor(100 * sqrt(CAST(cmin AS DOUBLE) / c)) AS INTEGER)) AS rate
                     FROM c CROSS JOIN m),
               k AS (SELECT d.lang, count(*) AS n_kept
                     FROM documents d JOIN r USING (lang)

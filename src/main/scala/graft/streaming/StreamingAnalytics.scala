@@ -198,15 +198,32 @@ object StreamingAnalytics {
     override def handleInputRows(key: Long, rows: Iterator[TimedEvent],
         tv: org.apache.spark.sql.streaming.TimerValues)
         : Iterator[ClosedSession] = {
-      var s = if (sess.exists()) sess.get() else IdleSession(Long.MaxValue, 0L, 0L)
-      rows.foreach { e =>
+      // Same gap semantics as the fMGWS sessionize and s1/s4: rows sort by
+      // event time and an intra-batch (or cross-batch, pre-watermark) gap
+      // SPLITS — the older session closes immediately; only the trailing
+      // open session waits on the timer. Without the split, two events
+      // hours apart arriving before the watermark crossed last+gap would
+      // silently merge into one session.
+      val sorted = rows.toSeq.sortBy(_.ts.getTime)
+      var closed = List.empty[ClosedSession]
+      var cur = if (sess.exists()) Some(sess.get()) else None
+      sorted.foreach { e =>
         val t = e.ts.getTime
-        s = IdleSession(math.min(s.start, t), math.max(s.last, t), s.n + 1)
+        cur match {
+          case Some(s) if t - s.last <= gapMs =>
+            cur = Some(IdleSession(s.start, math.max(s.last, t), s.n + 1))
+          case Some(s) =>
+            closed ::= ClosedSession(key,
+              new Timestamp(s.start), new Timestamp(s.last), s.n)
+            cur = Some(IdleSession(t, t, 1))
+          case None =>
+            cur = Some(IdleSession(t, t, 1))
+        }
       }
-      sess.update(s)
+      cur.foreach(sess.update)
       getHandle.listTimers().foreach(getHandle.deleteTimer)
-      getHandle.registerTimer(s.last + gapMs)
-      Iterator.empty
+      cur.foreach(s => getHandle.registerTimer(s.last + gapMs))
+      closed.reverseIterator
     }
 
     override def handleExpiredTimer(key: Long,

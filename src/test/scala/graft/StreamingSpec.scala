@@ -261,20 +261,23 @@ class StreamingSpec extends SparkTestBase {
       def ev(u: Long, m: Int, sec: Int = 0) = StreamingAnalytics.TimedEvent(
         u, Timestamp.valueOf(f"2026-01-01 10:$m%02d:$sec%02d"))
 
-      input.addData(ev(7L, 0), ev(7L, 0, 30))  // session: 10:00-10:00:30
+      // user 7: one batch containing an INTRA-BATCH gap — must split into
+      // two sessions (first closes immediately, second waits on the timer)
+      input.addData(ev(7L, 0), ev(7L, 0, 30), ev(7L, 30))
       q.processAllAvailable()
-      // watermark advances past 10:00:30 + 60 s -> the timer fires even
-      // though user 7 sends NOTHING further (the fMGWS form cannot do this)
-      input.addData(ev(8L, 5))
+      // watermark advances past 10:30 + 60 s -> 7's trailing session timer
+      // fires even though user 7 sends NOTHING further
+      input.addData(ev(8L, 35))
       q.processAllAvailable()
-      // a DIFFERENT user pushes the watermark past 10:06 -> 8's timer fires
-      input.addData(ev(9L, 20))
+      // a DIFFERENT user pushes the watermark past 10:36 -> 8's timer fires
+      input.addData(ev(9L, 50))
       q.processAllAvailable()
       q.stop()
 
       val rows = spark.table("idle_out")
         .select($"user_id", $"n_events").as[(Long, Long)].collect().toSet
-      assert(rows.contains((7L, 2L)), s"user 7 idle session must close: $rows")
+      assert(rows.contains((7L, 2L)), s"user 7 split head must close: $rows")
+      assert(rows.contains((7L, 1L)), s"user 7 idle tail must close: $rows")
       assert(rows.contains((8L, 1L)), s"user 8 session must close: $rows")
     } finally {
       prevProvider match {
