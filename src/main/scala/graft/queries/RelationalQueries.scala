@@ -653,24 +653,39 @@ object RelationalQueries {
               GROUP BY 1"""),
       "winsorized group sums: P10/P90 clipping via broadcast bounds"),
 
-    // Sketch accuracy gate for quantiles, same pattern as g6b: the
-    // approx_percentile sketch must land within 1% of the exact
-    // interpolated percentile; the oracle computes the exact value and
-    // asserts `true`, so sketch drift fails the hash compare.
+    // Sketch accuracy gate for quantiles, same pattern as g6b — but
+    // SCALE-INDEPENDENT: a relative-error tolerance against the
+    // interpolated median is fragile at small groups (approx_percentile
+    // returns an actual element, and for a 30-row group the two central
+    // elements can legitimately sit >1% apart, which is a data property,
+    // not sketch drift). Instead the gate asserts the sketch lands inside
+    // [med_lo, med_hi] — the two exact elements bracketing the
+    // interpolated median — which holds at every scale factor and still
+    // fails hard on real sketch drift.
     "g5b_approx_percentile" -> QueryDef(
-      (s, dir) => t(s, dir, "orders")
-        .groupBy("o_orderpriority")
-        .agg(
-          round(expr("percentile(o_totalprice, 0.5)"), 2).as("p50_exact"),
+      (s, dir) => {
+        val o = t(s, dir, "orders")
+        val p = o.groupBy("o_orderpriority").agg(
+          expr("percentile(o_totalprice, 0.5)").as("p50"),
           expr("approx_percentile(o_totalprice, 0.5, 10000)").as("approx"))
-        .select(col("o_orderpriority"), col("p50_exact"),
-          (abs(col("approx") - col("p50_exact")) / col("p50_exact") <= 0.01)
-            .as("within_tol")),
+        o.join(broadcast(p), "o_orderpriority")
+          .groupBy("o_orderpriority")
+          .agg(
+            min("p50").as("p50u"), min("approx").as("approxu"),
+            max(when(col("o_totalprice") <= col("p50"),
+              col("o_totalprice"))).as("med_lo"),
+            min(when(col("o_totalprice") >= col("p50"),
+              col("o_totalprice"))).as("med_hi"))
+          .select(col("o_orderpriority"),
+            round(col("p50u"), 2).as("p50_exact"),
+            (col("approxu") >= col("med_lo") &&
+              col("approxu") <= col("med_hi")).as("within_tol"))
+      },
       Some("""SELECT o_orderpriority,
                      round(quantile_cont(o_totalprice, 0.5), 2) AS p50_exact,
                      true AS within_tol
               FROM orders GROUP BY o_orderpriority"""),
-      "approx_percentile within 1% of exact (hard-checked)"),
+      "approx_percentile brackets the exact median (scale-independent gate)"),
 
     // Sketch-based distinct (HLL++). No oracle: sketch estimates are
     // engine-specific — the driver records the rows-only check; the exact
