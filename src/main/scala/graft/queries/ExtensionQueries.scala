@@ -615,6 +615,36 @@ object ExtensionQueries {
               FROM q"""),
       "symmetric int8 embedding quantization (floor-based, engine-exact)"),
 
+    // Dequantization error audit: per vector, the max absolute element
+    // error of the int8 round trip (q/127·scale vs the original) — the
+    // number that justifies shipping int8 embeddings. Every step is
+    // deterministic IEEE arithmetic on both engines (float→double exact,
+    // one divide + one multiply per element, max is order-independent), so
+    // the error itself gates exactly, not just a tolerance bit.
+    "e3_dequant_error" -> QueryDef(
+      (s, dir) => Similarity.quantizeInt8(t(s, dir, "embeddings"))
+        .join(t(s, dir, "embeddings"), "vec_id")
+        .select(col("vec_id"),
+          round(aggregate(
+            zip_with(col("embedding"), col("q"), (x, qv) =>
+              abs(x.cast("double") - qv.cast("double") / 127.0 * col("scale"))),
+            lit(0.0d), (acc, e) => greatest(acc, e)), 9).as("max_err")),
+      Some("""WITH s AS (
+                SELECT vec_id, embedding::DOUBLE[] AS e,
+                       list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) AS scale
+                FROM embeddings),
+              q8 AS (
+                SELECT vec_id, e, scale,
+                       list_transform(e, x -> CASE WHEN scale = 0 THEN 0
+                         ELSE floor(x / scale * 127 + 0.5) END) AS q
+                FROM s)
+              SELECT vec_id,
+                     round(list_max(list_transform(
+                       range(1, len(e) + 1),
+                       i -> abs(e[i] - q[i] / 127.0 * scale))), 9) AS max_err
+              FROM q8"""),
+      "int8 round-trip max element error per vector (exact IEEE replay)"),
+
     // Per-cell centroids over the derived rp cells — the M-step of Lloyd's
     // k-means (rpCell is the E-step), i.e. the in-engine IVF codebook
     // trainer. Element values are micro-quantized to exact BIGINT sums so

@@ -525,6 +525,32 @@ object RelationalQueries {
               FROM a WHERE n * sxx - sx * sx > 0"""),
       "per-key OLS trend from exact integer moment sums"),
 
+    // The remaining ranking/distribution window functions in one per-key
+    // pass: percent_rank, cume_dist (both exact rational row-count ratios
+    // — deterministic doubles), nth_value and first_value over the running
+    // frame. Completes the window surface next to w1/w2/w5.
+    "w8_rank_dist" -> QueryDef(
+      (s, dir) => {
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        val wf = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        t(s, dir, "events")
+          .select(col("event_id"), col("user_id"),
+            round(percent_rank().over(w), 6).as("pct_rank"),
+            round(cume_dist().over(w), 6).as("cdist"),
+            first("event_id").over(wf).as("first_ev"),
+            nth_value(col("event_id"), 2).over(wf).as("second_ev"))
+      },
+      Some("""SELECT event_id, user_id,
+                     round(percent_rank() OVER w, 6) AS pct_rank,
+                     round(cume_dist() OVER w, 6) AS cdist,
+                     first_value(event_id) OVER wf AS first_ev,
+                     nth_value(event_id, 2) OVER wf AS second_ev
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id),
+                     wf AS (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"""),
+      "percent_rank / cume_dist / first_value / nth_value per key"),
+
     // Tumbling-window aggregation in batch form (the streaming variant is
     // StreamingAnalytics.windowedTypeCounts; same grouping semantics).
     // Window starts exported as epoch micros to sidestep tz-encoding drift.
