@@ -95,6 +95,53 @@ object Sampling {
             .cast("int")).as("rate"))
   }
 
+  /** Global training order (curriculum): every row gets its exact position
+   * in the corpus-wide `orderCols` sort. A bare `row_number()` over an
+   * unpartitioned window is the trap here — Spark plans it as a SINGLE
+   * partition holding the whole corpus. The scalable form is the classic
+   * two-pass shape: a range-partitioned distributed sort, then
+   * `zipWithIndex` (one extra tiny job collecting per-partition COUNTS —
+   * not data — to offset each partition's local indexes). This is one of
+   * the few genuinely-RDD operations in the engine: no DataFrame operator
+   * exposes partition-offset indexing. */
+  def globalOrder(df: DataFrame, orderCols: Seq[Column]): DataFrame = {
+    val sorted = df.orderBy(orderCols: _*)
+    val schema = org.apache.spark.sql.types.StructType(
+      sorted.schema.fields :+ org.apache.spark.sql.types.StructField(
+        "position", org.apache.spark.sql.types.LongType, nullable = false))
+    val indexed = sorted.rdd.zipWithIndex.map { case (r, i) =>
+      org.apache.spark.sql.Row.fromSeq(r.toSeq :+ i)
+    }
+    sorted.sparkSession.createDataFrame(indexed, schema)
+  }
+
+  /** Upsampling mixture balance — the other half of [[sqrtMixtureSample]]:
+   * scarce strata REPLICATE toward the dominant one instead of the
+   * dominant downsampling. Rates normalize against the LARGEST stratum
+   * (`rate_s = floor(100·√(cmax/c_s)) ≥ 100`): each row emits
+   * `rate div 100` full copies plus one more when its stable hash bucket
+   * falls under `rate mod 100`. Replicas are tagged (`__copy`) so
+   * downstream dedup/packing can tell them apart; everything stays a
+   * narrow explode — no shuffle, deterministic on any cluster. */
+  def sqrtUpsample(df: DataFrame, idCol: String,
+      stratumCol: String): DataFrame = {
+    val counts = df.filter(col(stratumCol).isNotNull)
+      .groupBy(stratumCol).agg(count(lit(1)).as("__c"))
+    val rates = counts
+      .crossJoin(broadcast(counts.agg(max(col("__c")).as("__cmax"))))
+      .select(col(stratumCol),
+        floor(lit(100.0) * sqrt(col("__cmax").cast("double") / col("__c")))
+          .cast("int").as("__rate"))
+    df.join(broadcast(rates), stratumCol)
+      .withColumn("__n_copies",
+        (col("__rate") / 100).cast("int") +
+          when(hashBucket(col(idCol), salt = "up") < col("__rate") % 100, 1)
+            .otherwise(0))
+      .withColumn("__copy",
+        explode(sequence(lit(1), col("__n_copies"))))
+      .drop("__rate", "__n_copies")
+  }
+
   /** Sliding-window document chunking: fixed `chunkSize`-token windows every
    * `chunkSize - overlap` tokens — the context-window prep step between
    * cleaning and packing in a pretraining pipeline. Pure narrow

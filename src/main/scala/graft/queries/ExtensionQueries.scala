@@ -1368,6 +1368,50 @@ object ExtensionQueries {
               FROM r LEFT JOIN k USING (lang)"""),
       "sqrt-smoothed mixture resampling (rates derived in-engine)"),
 
+    // The upsampling half of mixture balance: scarce languages REPLICATE
+    // toward the dominant one (rate = floor(100·√(cmax/c)) ≥ 100; full
+    // copies + a stable-hash fractional copy). Narrow explode, replicas
+    // tagged for downstream dedup/packing.
+    "sp10_upsample" -> QueryDef(
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val orig = docs.filter(col("lang").isNotNull)
+          .groupBy("lang").agg(count(lit(1)).as("n_orig"))
+        graft.ext.Sampling.sqrtUpsample(docs, "doc_id", "lang")
+          .groupBy("lang").agg(count(lit(1)).as("n_after"))
+          .join(orig, "lang")
+          .select(col("lang"), col("n_orig"), col("n_after"))
+      },
+      Some("""WITH c AS (SELECT lang, count(*) AS c FROM documents
+                         WHERE lang IS NOT NULL GROUP BY 1),
+              m AS (SELECT max(c) AS cmax FROM c),
+              r AS (SELECT lang,
+                           CAST(floor(100 * sqrt(CAST(cmax AS DOUBLE) / c)) AS INTEGER) AS rate
+                    FROM c CROSS JOIN m),
+              x AS (SELECT d.lang,
+                           (rate // 100) + CASE WHEN
+                             ('0x' || substr(md5('up:' || doc_id::VARCHAR), 1, 8))::BIGINT % 100
+                               < rate % 100 THEN 1 ELSE 0 END AS n
+                    FROM documents d JOIN r USING (lang))
+              SELECT x.lang, c.c AS n_orig, CAST(sum(x.n) AS BIGINT) AS n_after
+              FROM x JOIN c USING (lang)
+              GROUP BY x.lang, c.c"""),
+      "scarce-stratum upsampling: sqrt-normalized replication to the head"),
+
+    // Global curriculum order: exact corpus-wide position under
+    // (quality desc, id) — the scalable two-pass form (range-partitioned
+    // sort + zipWithIndex partition offsets), NOT a single-partition
+    // row_number window. Oracle: the same order as row_number()-1.
+    "sp11_curriculum" -> QueryDef(
+      (s, dir) => graft.ext.Sampling.globalOrder(
+        t(s, dir, "documents").select(col("doc_id"), col("n_chars")),
+        Seq(col("n_chars").desc, col("doc_id").asc)),
+      Some("""SELECT doc_id, n_chars,
+                     CAST(row_number() OVER (ORDER BY n_chars DESC, doc_id)
+                       - 1 AS BIGINT) AS position
+              FROM documents"""),
+      "scalable global ordering via range sort + partition-offset indexing"),
+
     // Stratified deterministic sampling: per-stratum keep rates (dominant
     // `en` cut to 20%, scarce `zh` kept whole, default 50%) — the
     // mixture-shaping knob over the same stable md5 bucket; still a pure
