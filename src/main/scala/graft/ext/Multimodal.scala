@@ -256,4 +256,37 @@ object Multimodal {
     media.withColumn("target_width", ceil(col("width") * scale).cast("int"))
       .withColumn("target_height", ceil(col("height") * scale).cast("int"))
   }
+
+  /** REAL payload resize (pure JDK — `BufferedImage` + bilinear
+   * `Graphics2D`, PNG re-encode): every image payload whose longest side
+   * exceeds `maxSide` is downscaled preserving aspect; smaller images pass
+   * through untouched (no pointless re-encode). Same `mapPartitions` seam
+   * as the decoders — payloads never cross a shuffle; the partition is the
+   * batch. Undecodable payloads pass through unchanged rather than
+   * failing the partition. */
+  def resizeImages(media: Dataset[MediaRecord], maxSide: Int)(
+      implicit spark: org.apache.spark.sql.SparkSession): Dataset[MediaRecord] = {
+    import spark.implicits._
+    media.mapPartitions(_.map { m =>
+      val img = try {
+        javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(m.payload))
+      } catch { case _: java.io.IOException => null }
+      if (img == null || math.max(img.getWidth, img.getHeight) <= maxSide) m
+      else {
+        val scale = maxSide.toDouble / math.max(img.getWidth, img.getHeight)
+        val (tw, th) = (math.max(1, math.ceil(img.getWidth * scale).toInt),
+          math.max(1, math.ceil(img.getHeight * scale).toInt))
+        val out = new java.awt.image.BufferedImage(tw, th,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val g = out.createGraphics()
+        g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+          java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+        g.drawImage(img, 0, 0, tw, th, null)
+        g.dispose()
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(out, "png", bos)
+        m.copy(payload = bos.toByteArray)
+      }
+    })
+  }
 }

@@ -26,6 +26,29 @@ class MultimodalSpec extends SparkTestBase {
     assert(out.map(_.embedding.toSeq).toSet == again.map(_.embedding.toSeq).toSet)
   }
 
+  test("resizeImages downscales real pixels, passes small/opaque payloads through") {
+    implicit val s = spark
+    def png(w: Int, h: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, 0x3070b0)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val big = MediaRecord(1L, "image", png(40, 16), 40, 16, 0, 0)
+    val small = MediaRecord(2L, "image", png(6, 4), 6, 4, 0, 0)
+    val opaque = MediaRecord(3L, "image", Array[Byte](1, 2, 3), 0, 0, 0, 0)
+    val out = Multimodal.resizeImages(Seq(big, small, opaque).toDS(), maxSide = 10)
+      .collect().map(m => m.media_id -> m).toMap
+    val resized = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(out(1L).payload))
+    assert(resized.getWidth == 10 && resized.getHeight == 4)  // ceil(16*0.25)
+    // small + undecodable payloads untouched (no re-encode)
+    assert(out(2L).payload.sameElements(small.payload))
+    assert(out(3L).payload.sameElements(opaque.payload))
+  }
+
   test("JdkCodec decodes a real PNG to its true dimensions") {
     // Encode an actual 24x10 PNG in-memory: left half black, right half white.
     val img = new java.awt.image.BufferedImage(
