@@ -459,15 +459,14 @@ object Similarity {
    * neighbor id), so the shuffle carries k rows per query per partition —
    * never the scored corpus. Queries must be registered for `topK`
    * (GraftFunctions.register). */
-  def knnPqAdc(queries: DataFrame, corpus: DataFrame, k: Int,
-      m: Int = 4, subDim: Int = 16, bits: Int = 2,
-      seed: String = "pq"): DataFrame = {
-    val cbs = pqCodebooks(corpus, m, subDim, bits, seed)
-    val enc = pqEncode(corpus, cbs, subDim)
-    val q = queries.select(col("vec_id").as("q_id"),
-      col("embedding").as("q_emb"))
-    val dist = (0 until m).map { i =>
-      val qq = quantizeMicro(subvec(col("q_emb"), i, subDim))
+  /** ADC distance expression: Σ_m d²(query subvector m, codebook_m[c_m]) —
+   * the codebook inlined as literals (a when-chain per subspace selected
+   * by the corpus row's code column `c{i}`), exact integer on the micro
+   * grid. Shared by the flat ADC search and the IVF-PQ composition. */
+  def adcDist(qEmb: Column, cbs: Array[Array[(Int, Array[Long])]],
+      subDim: Int): Column =
+    cbs.indices.map { i =>
+      val qq = quantizeMicro(subvec(qEmb, i, subDim))
       val cases = cbs(i).map { case (cell, cq) =>
         when(col(s"c$i") === cell,
           aggregate(zip_with(qq, lit(cq), (a, b) => (a - b) * (a - b)),
@@ -475,9 +474,11 @@ object Similarity {
       }
       coalesce(cases: _*)
     }.reduce(_ + _)
-    q.crossJoin(enc)
-      .filter(col("q_id") =!= col("vec_id"))
-      .select(col("q_id"), col("vec_id").as("n_id"), dist.as("dist_q"))
+
+  /** Bounded-heap top-k cut over (q_id, n_id, dist_q) — smallest distance
+   * first, ties to the smaller neighbor id. */
+  private def topKByDist(scored: DataFrame, k: Int): DataFrame =
+    scored
       .groupBy("q_id")
       .agg(graft.functions.GraftFunctions.topK(
         -col("dist_q").cast("double"), col("n_id"), k).as("top"))
@@ -485,6 +486,46 @@ object Similarity {
       .select(col("q_id"), col("col.id").as("n_id"),
         (-col("col.ord")).cast("long").as("dist_q"),
         (col("pos") + 1).cast("int").as("rank"))
+
+  def knnPqAdc(queries: DataFrame, corpus: DataFrame, k: Int,
+      m: Int = 4, subDim: Int = 16, bits: Int = 2,
+      seed: String = "pq"): DataFrame = {
+    val cbs = pqCodebooks(corpus, m, subDim, bits, seed)
+    val enc = pqEncode(corpus, cbs, subDim)
+    val q = queries.select(col("vec_id").as("q_id"),
+      col("embedding").as("q_emb"))
+    topKByDist(
+      q.crossJoin(enc)
+        .filter(col("q_id") =!= col("vec_id"))
+        .select(col("q_id"), col("vec_id").as("n_id"),
+          adcDist(col("q_emb"), cbs, subDim).as("dist_q")),
+      k)
+  }
+
+  /** IVF-PQ: the canonical production vector-index shape — candidates
+   * restrict to the query's rp cell (the IVF part: the scan prunes to
+   * ~1/2^bits of the corpus) and scoring reads ONLY the PQ codes (the PQ
+   * part: m small ints per candidate, codebook inlined). Both halves are
+   * the already-oracle-verified n3 and n11 paths composed; exact integer
+   * distances keep the ranking engine-independent. */
+  def knnIvfPq(queries: DataFrame, corpus: DataFrame, k: Int,
+      bits: Int = 4, dim: Int = 64, seed: String = "rp",
+      m: Int = 4, subDim: Int = 16, pqBits: Int = 2,
+      pqSeed: String = "pq"): DataFrame = {
+    val planes = rpPlanes(dim, bits, seed)
+    val cbs = pqCodebooks(corpus, m, subDim, pqBits, pqSeed)
+    val enc = pqEncode(corpus, cbs, subDim)
+      .join(corpus.select(col("vec_id"),
+        rpCell(col("embedding"), planes).as("cell")), "vec_id")
+    val q = queries.select(col("vec_id").as("q_id"),
+      col("embedding").as("q_emb"),
+      rpCell(col("embedding"), planes).as("cell"))
+    topKByDist(
+      q.join(enc, "cell")
+        .filter(col("q_id") =!= col("vec_id"))
+        .select(col("q_id"), col("vec_id").as("n_id"),
+          adcDist(col("q_emb"), cbs, subDim).as("dist_q")),
+      k)
   }
 
   /** Embedding near-dup pairs: same-cell blocking, cosine ≥ threshold.

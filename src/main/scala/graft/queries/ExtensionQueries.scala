@@ -346,6 +346,33 @@ object ExtensionQueries {
               FROM agg a JOIN k ON a.chunk_fp = k.chunk_fp AND k.rn = 1"""),
       "chunk-level exact dedup: duplicated spans across near-dup documents"),
 
+    // Incremental-ingest dedup (the nightly-batch shape): a NEW batch
+    // dedupes against the fingerprints of the already-ingested corpus —
+    // no re-clustering of history, just one keyed anti-join against the
+    // stored fingerprint relation (bloom/semi-prunable at scale) plus
+    // first-wins within the batch itself. History never rescans its text.
+    "d12_incremental_dedup" -> QueryDef(
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val historyFps = docs.filter(col("doc_id") < 250)
+          .select(md5(col("text")).as("fp")).distinct()
+        val batch = docs.filter(col("doc_id") >= 250)
+          .select(col("doc_id"), md5(col("text")).as("fp"))
+        val withinBatch = batch.groupBy("fp")
+          .agg(min("doc_id").as("doc_id"))
+        withinBatch.join(historyFps, Seq("fp"), "left_anti")
+          .select("doc_id", "fp")
+      },
+      Some("""WITH hist AS (
+                SELECT DISTINCT md5(text) AS fp FROM documents
+                WHERE doc_id < 250),
+              batch AS (
+                SELECT md5(text) AS fp, min(doc_id) AS doc_id
+                FROM documents WHERE doc_id >= 250 GROUP BY 1)
+              SELECT doc_id, fp FROM batch
+              WHERE NOT EXISTS (SELECT 1 FROM hist WHERE hist.fp = batch.fp)"""),
+      "incremental dedup: new batch vs stored corpus fingerprints"),
+
     // Apply the dedup: documents surviving near-dup removal = every cluster
     // keeper plus every unpaired doc.
     "d7_dedup_apply" -> QueryDef(
@@ -943,6 +970,44 @@ object ExtensionQueries {
             FROM (SELECT DISTINCT q_id FROM exact) qq
             LEFT JOIN hits h USING (q_id)"""),
       "recall@3 of PQ-ADC vs exact brute force (compression-quality gauge)"),
+
+    // IVF-PQ — the canonical production vector index: candidates restrict
+    // to the query's rp cell (scan prunes to ~1/16 of the corpus) AND
+    // scoring reads only the 4 PQ codes per candidate. Composition of the
+    // already-gated n3 (cells) and n11 (ADC) paths; the oracle composes
+    // the same two verified CTE chains.
+    "n14_knn_ivfpq" -> QueryDef(
+      (s, dir) => {
+        graft.functions.GraftFunctions.register(s)
+        val emb = t(s, dir, "embeddings")
+        Similarity.knnIvfPq(emb.filter(col("vec_id") < 8), emb, 3,
+          bits = RpBits, dim = RpDim, seed = RpSeed,
+          m = PqM, subDim = PqSubDim, pqBits = PqBits, pqSeed = PqSeed)
+      },
+      Some {
+        val cell = sqlRpCell("embedding::DOUBLE[]",
+          Similarity.rpPlanes(RpDim, RpBits, RpSeed))
+        s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb,
+                              CAST($cell AS INTEGER) AS cell
+                       FROM embeddings),
+            ${PqSubspaceCtes},
+            ${PqEncCte},
+            encc AS (SELECT enc.*, e.cell FROM enc JOIN e USING (vec_id)),
+            q AS (SELECT vec_id AS q_id, emb, cell FROM e WHERE vec_id < 8),
+            ${PqLutCtes},
+            scored AS (
+              SELECT q.q_id, encc.vec_id AS n_id,
+                     ${PqAdcDist} AS dist_q
+              FROM q JOIN encc USING (cell)
+                ${PqAdcJoins.replace("enc.c", "encc.c")}
+              WHERE q.q_id <> encc.vec_id),
+            r AS (SELECT q_id, n_id, dist_q,
+                         CAST(row_number() OVER (PARTITION BY q_id
+                           ORDER BY dist_q, n_id) AS INTEGER) AS rank
+                  FROM scored)
+            SELECT q_id, n_id, dist_q, rank FROM r WHERE rank <= 3"""
+      },
+      "IVF-PQ: rp-cell candidate pruning + code-only ADC scoring"),
 
     // kNN on the int8 codes themselves: per-vector scales cancel in
     // cosine, so the quantized corpus is searched without dequantization —

@@ -149,6 +149,35 @@ object RelationalQueries {
                 ON o_orderkey = l_orderkey"""),
       "Q18-flavored large-order filter via HAVING pre-aggregation"),
 
+    // Null-safe equality join (<=> / IS NOT DISTINCT FROM): NULL keys
+    // MATCH each other — the join-matrix variant a plain `=` can never
+    // produce (it drops NULL rows from both sides). Keys are derived with
+    // nullif so each side carries a genuine NULL group; the only
+    // cross-side match IS the null pair, which a plain equi join returns
+    // zero rows for. Plans as a hash join (null-safe equality is still an
+    // equi key to Spark).
+    "j8_nullsafe_join" -> QueryDef(
+      (s, dir) => {
+        val l = t(s, dir, "orders")
+          .groupBy(expr("nullif(o_orderpriority, '1-URGENT')").as("k"))
+          .agg(count(lit(1)).as("n_l"))
+        val r = t(s, dir, "events")
+          .groupBy(expr("nullif(event_type, 'error')").as("k2"))
+          .agg(count(lit(1)).as("n_r"))
+        l.join(r, col("k") <=> col("k2"))
+          .select(col("k"), col("n_l"), col("n_r"))
+      },
+      Some("""WITH l AS (
+                SELECT nullif(o_orderpriority, '1-URGENT') AS k,
+                       count(*) AS n_l
+                FROM orders GROUP BY 1),
+              r AS (
+                SELECT nullif(event_type, 'error') AS k2, count(*) AS n_r
+                FROM events GROUP BY 1)
+              SELECT l.k, l.n_l, r.n_r
+              FROM l JOIN r ON l.k IS NOT DISTINCT FROM r.k2"""),
+      "null-safe equality join: NULL keys match (still hash-planned)"),
+
     // Semi join (EXISTS): customers that placed at least one order, by nation.
     "j2_semi_join" -> QueryDef(
       (s, dir) => t(s, dir, "customer")
