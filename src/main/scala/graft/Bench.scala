@@ -201,7 +201,8 @@ object Bench {
       }
       // ANN/PQ family at 10× vectors through the same fresh context:
       // trained-IVF search, PQ encode, PQ-ADC search.
-      val annNames = Seq("n7_knn_ivf_trained", "n10_pq_encode", "n11_pq_adc")
+      val annNames = Seq("n7_knn_ivf_trained", "n10_pq_encode", "n11_pq_adc",
+        "n14_knn_ivfpq")
       annNames.foreach { n =>
         System.err.println(s"[bench] sf1 ann probe $n")
         try {

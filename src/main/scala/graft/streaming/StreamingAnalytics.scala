@@ -172,6 +172,54 @@ object StreamingAnalytics {
         org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update())
   }
 
+  final case class TypedEvent(user_id: Long, event_type: String)
+  final case class TypeCount(user_id: Long, event_type: String, n: Long)
+
+  /** Per-key categorical histogram on TWS `MapState` — the state primitive
+   * the running-stats (`ValueState`) and timer (`ValueState` + timers)
+   * processors don't cover: one map entry per (key, category) updated in
+   * place, upserts emitted only for the categories the batch touched (not
+   * the whole histogram — output stays proportional to the delta). */
+  class TypeHistogramProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, TypedEvent, TypeCount] {
+    @transient private var hist:
+      org.apache.spark.sql.streaming.MapState[String, Long] = _
+
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      hist = getHandle.getMapState[String, Long]("hist",
+        org.apache.spark.sql.Encoders.STRING,
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[TypedEvent],
+        tv: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[TypeCount] = {
+      val touched = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+      rows.foreach { e =>
+        val cur = touched.getOrElse(e.event_type,
+          if (hist.containsKey(e.event_type)) hist.getValue(e.event_type)
+          else 0L)
+        touched(e.event_type) = cur + 1
+      }
+      touched.foreach { case (t, n) => hist.updateValue(t, n) }
+      touched.iterator.map { case (t, n) => TypeCount(key, t, n) }
+    }
+  }
+
+  /** Streaming per-user event-type histogram through `transformWithState`
+   * MapState (RocksDB provider required). Update mode: one upsert per
+   * touched (user, type) per micro-batch. */
+  def typeHistogram(events: Dataset[TypedEvent])(
+      implicit spark: SparkSession): Dataset[TypeCount] = {
+    import spark.implicits._
+    events
+      .groupByKey(_.user_id)
+      .transformWithState(new TypeHistogramProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update())
+  }
+
   final case class TimedEvent(user_id: Long, ts: Timestamp)
   final case class IdleSession(start: Long, last: Long, n: Long)
   final case class ClosedSession(user_id: Long, session_start: Timestamp,

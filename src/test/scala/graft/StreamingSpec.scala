@@ -243,6 +243,46 @@ class StreamingSpec extends SparkTestBase {
     assert(rows == Set((1L, Some("gold")), (3L, None), (2L, Some("silver"))))
   }
 
+  test("MapState histogram upserts only touched categories per batch") {
+    implicit val s = spark
+    implicit val sqlCtx = spark.sqlContext
+    val prevProvider = spark.conf.getOption(
+      "spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val input = MemoryStream[StreamingAnalytics.TypedEvent]
+      val q = StreamingAnalytics.typeHistogram(input.toDS())
+        .writeStream.outputMode("update")
+        .format("memory").queryName("hist_out").start()
+      import StreamingAnalytics.TypedEvent
+      input.addData(TypedEvent(1L, "click"), TypedEvent(1L, "click"),
+        TypedEvent(1L, "view"))
+      q.processAllAvailable()
+      val afterB1 = spark.table("hist_out").count()
+      input.addData(TypedEvent(1L, "click"))  // touches ONLY click
+      q.processAllAvailable()
+      q.stop()
+
+      val rows = spark.table("hist_out")
+      // batch 1 emitted exactly the two touched categories
+      assert(afterB1 == 2)
+      // batch 2 upserted only click (not view) — delta-proportional output
+      assert(rows.count() == 3)
+      val latest = rows.groupBy($"user_id", $"event_type")
+        .agg(max($"n").as("n"))
+        .as[(Long, String, Long)].collect().toSet
+      assert(latest == Set((1L, "click", 3L), (1L, "view", 1L)))
+    } finally {
+      prevProvider match {
+        case Some(p) => spark.conf.set(
+          "spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset(
+          "spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("event-time timers close idle sessions when the watermark passes") {
     implicit val s = spark
     implicit val sqlCtx = spark.sqlContext
