@@ -220,6 +220,66 @@ object StreamingAnalytics {
         org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update())
   }
 
+  final case class FunnelEvent(user_id: Long, ts: Timestamp, event_type: String)
+  final case class FunnelHit(user_id: Long, t_first: Timestamp,
+      t_last: Timestamp, n_steps: Int)
+
+  /** Streaming ordered-step funnel on TWS `ListState` — the third state
+   * primitive (next to the ValueState stats and MapState histogram), doing
+   * CEP-lite sequence detection: the list holds the event-time of each
+   * funnel stage reached so far (strictly increasing times, stages in
+   * `steps` order); when the final stage lands, ONE FunnelHit emits and
+   * the key resets. The incremental counterpart of the batch s2_funnel
+   * query. State is O(|steps|) per key — appended stage timestamps, never
+   * raw events. */
+  class FunnelProcessor(steps: Seq[String])
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, FunnelEvent, FunnelHit] {
+    require(steps.nonEmpty, "need at least one funnel step")
+    @transient private var reached:
+      org.apache.spark.sql.streaming.ListState[Long] = _
+
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      reached = getHandle.getListState[Long]("reached",
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[FunnelEvent],
+        tv: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[FunnelHit] = {
+      var times = reached.get().toArray.toVector
+      var hits = List.empty[FunnelHit]
+      rows.toSeq.sortBy(_.ts.getTime).foreach { e =>
+        val stage = times.length
+        if (stage < steps.length && e.event_type == steps(stage) &&
+            (times.isEmpty || e.ts.getTime > times.last)) {
+          times :+= e.ts.getTime
+          if (times.length == steps.length) {
+            hits ::= FunnelHit(key, new Timestamp(times.head),
+              new Timestamp(times.last), steps.length)
+            times = Vector.empty
+          }
+        }
+      }
+      reached.clear()
+      if (times.nonEmpty) reached.appendList(times.toArray)
+      hits.reverseIterator
+    }
+  }
+
+  /** Streaming funnel detection through `transformWithState` ListState
+   * (RocksDB provider required); append mode, one row per completed
+   * funnel. */
+  def streamingFunnel(events: Dataset[FunnelEvent], steps: Seq[String])(
+      implicit spark: SparkSession): Dataset[FunnelHit] = {
+    import spark.implicits._
+    events
+      .groupByKey(_.user_id)
+      .transformWithState(new FunnelProcessor(steps),
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Append())
+  }
+
   final case class TimedEvent(user_id: Long, ts: Timestamp)
   final case class IdleSession(start: Long, last: Long, n: Long)
   final case class ClosedSession(user_id: Long, session_start: Timestamp,

@@ -243,6 +243,45 @@ class StreamingSpec extends SparkTestBase {
     assert(rows == Set((1L, Some("gold")), (3L, None), (2L, Some("silver"))))
   }
 
+  test("ListState streaming funnel completes across micro-batches in order") {
+    implicit val s = spark
+    implicit val sqlCtx = spark.sqlContext
+    val prevProvider = spark.conf.getOption(
+      "spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val input = MemoryStream[StreamingAnalytics.FunnelEvent]
+      val q = StreamingAnalytics.streamingFunnel(input.toDS(),
+          Seq("view", "click", "purchase"))
+        .writeStream.outputMode("append")
+        .format("memory").queryName("funnel_out").start()
+      import StreamingAnalytics.FunnelEvent
+      def ev(u: Long, m: Int, t: String) = FunnelEvent(
+        u, Timestamp.valueOf(f"2026-01-01 10:$m%02d:00"), t)
+
+      // user 1 progresses across batches; user 2 clicks without a view
+      input.addData(ev(1L, 0, "view"), ev(2L, 0, "click"))
+      q.processAllAvailable()
+      input.addData(ev(1L, 1, "click"), ev(1L, 2, "error"))
+      q.processAllAvailable()
+      input.addData(ev(1L, 3, "purchase"), ev(2L, 3, "purchase"))
+      q.processAllAvailable()
+      q.stop()
+
+      val hits = spark.table("funnel_out")
+        .select($"user_id", $"n_steps").as[(Long, Int)].collect().toSeq
+      assert(hits == Seq((1L, 3)), s"only user 1 completes the funnel: $hits")
+    } finally {
+      prevProvider match {
+        case Some(p) => spark.conf.set(
+          "spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset(
+          "spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("MapState histogram upserts only touched categories per batch") {
     implicit val s = spark
     implicit val sqlCtx = spark.sqlContext
