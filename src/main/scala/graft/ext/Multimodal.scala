@@ -268,24 +268,37 @@ object Multimodal {
       implicit spark: org.apache.spark.sql.SparkSession): Dataset[MediaRecord] = {
     import spark.implicits._
     media.mapPartitions(_.map { m =>
-      val img = try {
-        javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(m.payload))
-      } catch { case _: java.io.IOException => null }
-      if (img == null || math.max(img.getWidth, img.getHeight) <= maxSide) m
+      // non-image records never pay (or risk) a decode attempt — a stray
+      // payload ImageIO happens to parse must not be replaced by a PNG
+      if (m.kind != "image") m
       else {
-        val scale = maxSide.toDouble / math.max(img.getWidth, img.getHeight)
-        val (tw, th) = (math.max(1, math.ceil(img.getWidth * scale).toInt),
-          math.max(1, math.ceil(img.getHeight * scale).toInt))
-        val out = new java.awt.image.BufferedImage(tw, th,
-          java.awt.image.BufferedImage.TYPE_INT_RGB)
-        val g = out.createGraphics()
-        g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
-          java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
-        g.drawImage(img, 0, 0, tw, th, null)
-        g.dispose()
-        val bos = new java.io.ByteArrayOutputStream()
-        javax.imageio.ImageIO.write(out, "png", bos)
-        m.copy(payload = bos.toByteArray)
+        // NonFatal, not just IOException: truncated/corrupt bodies can
+        // surface from JDK decoders as unchecked exceptions, and the
+        // contract is pass-through, never a failed partition
+        val img = try {
+          javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(m.payload))
+        } catch { case scala.util.control.NonFatal(_) => null }
+        if (img == null || math.max(img.getWidth, img.getHeight) <= maxSide) m
+        else {
+          val scale = maxSide.toDouble / math.max(img.getWidth, img.getHeight)
+          val (tw, th) = (math.max(1, math.ceil(img.getWidth * scale).toInt),
+            math.max(1, math.ceil(img.getHeight * scale).toInt))
+          // preserve transparency: an RGB canvas composites alpha to black
+          val kind = if (img.getColorModel.hasAlpha)
+            java.awt.image.BufferedImage.TYPE_INT_ARGB
+          else java.awt.image.BufferedImage.TYPE_INT_RGB
+          val out = new java.awt.image.BufferedImage(tw, th, kind)
+          val g = out.createGraphics()
+          g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+            java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+          g.drawImage(img, 0, 0, tw, th, null)
+          g.dispose()
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(out, "png", bos)
+          // metadata follows the pixels — stale dims would re-select this
+          // row for resizing and mis-scale every downstream plan
+          m.copy(payload = bos.toByteArray, width = tw, height = th)
+        }
       }
     })
   }

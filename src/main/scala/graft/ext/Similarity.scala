@@ -449,16 +449,6 @@ object Similarity {
           nearestCell(subvec(col("embedding"), i, subDim), cbs(i))
             .as(s"c$i")): _*)
 
-  /** Asymmetric-distance (ADC) kNN over PQ codes: the query stays exact
-   * (micro grid); each corpus vector contributes only its codes, and the
-   * distance is Σ_m d²(q_m, codebook_m[c_m]) — the codebook inlined as
-   * literals, so scoring reads m SMALL INTS per corpus row instead of the
-   * full vector (the PQ scan-IO win), stays narrow/codegen'd, and every
-   * distance is an exact integer (bit-identical replay in the oracle).
-   * Top-k per query via the bounded-heap TypedTopK on -dist (ties → smaller
-   * neighbor id), so the shuffle carries k rows per query per partition —
-   * never the scored corpus. Queries must be registered for `topK`
-   * (GraftFunctions.register). */
   /** ADC distance expression: Σ_m d²(query subvector m, codebook_m[c_m]) —
    * the codebook inlined as literals (a when-chain per subspace selected
    * by the corpus row's code column `c{i}`), exact integer on the micro
@@ -487,6 +477,15 @@ object Similarity {
         (-col("col.ord")).cast("long").as("dist_q"),
         (col("pos") + 1).cast("int").as("rank"))
 
+  /** Asymmetric-distance (ADC) kNN over PQ codes: the query stays exact
+   * (micro grid); each corpus vector contributes only its codes, so
+   * scoring reads m SMALL INTS per corpus row instead of the full vector
+   * (the PQ scan-IO win), stays narrow/codegen'd, and every distance is an
+   * exact integer (bit-identical replay in the oracle). Top-k per query
+   * via the bounded-heap TypedTopK on -dist (ties → smaller neighbor id),
+   * so the shuffle carries k rows per query per partition — never the
+   * scored corpus. Queries must be registered for `topK`
+   * (GraftFunctions.register). */
   def knnPqAdc(queries: DataFrame, corpus: DataFrame, k: Int,
       m: Int = 4, subDim: Int = 16, bits: Int = 2,
       seed: String = "pq"): DataFrame = {
@@ -514,9 +513,15 @@ object Similarity {
       pqSeed: String = "pq"): DataFrame = {
     val planes = rpPlanes(dim, bits, seed)
     val cbs = pqCodebooks(corpus, m, subDim, pqBits, pqSeed)
-    val enc = pqEncode(corpus, cbs, subDim)
-      .join(corpus.select(col("vec_id"),
-        rpCell(col("embedding"), planes).as("cell")), "vec_id")
+    // codes + cell in ONE narrow projection — encoding and cell assignment
+    // are both per-row expressions over the same scan; a vec_id self-join
+    // of two projections would shuffle the whole corpus for nothing
+    val enc = corpus.select(
+      col("vec_id") +:
+        cbs.indices.map(i =>
+          nearestCell(subvec(col("embedding"), i, subDim), cbs(i))
+            .as(s"c$i")) :+
+        rpCell(col("embedding"), planes).as("cell"): _*)
     val q = queries.select(col("vec_id").as("q_id"),
       col("embedding").as("q_emb"),
       rpCell(col("embedding"), planes).as("cell"))

@@ -44,6 +44,8 @@ class MultimodalSpec extends SparkTestBase {
     val resized = javax.imageio.ImageIO.read(
       new java.io.ByteArrayInputStream(out(1L).payload))
     assert(resized.getWidth == 10 && resized.getHeight == 4)  // ceil(16*0.25)
+    // metadata follows the pixels
+    assert(out(1L).width == 10 && out(1L).height == 4)
     // small + undecodable payloads untouched (no re-encode)
     assert(out(2L).payload.sameElements(small.payload))
     assert(out(3L).payload.sameElements(opaque.payload))
