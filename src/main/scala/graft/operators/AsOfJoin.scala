@@ -31,12 +31,34 @@ object AsOfJoin {
       right: DataFrame,
       key: String,
       time: String,
-      rightVals: Seq[String]): DataFrame = {
+      rightVals: Seq[String]): DataFrame =
+    asof(left, right, key, time, rightVals, forward = false)
+
+  /** Forward as-of: for each left row, the EARLIEST right row with the same
+   * key and `rightTime >= leftTime` — "next event at or after t" (next
+   * order after a campaign touch, next error after a deploy). Same
+   * one-shuffle union/sort machinery with the scan order reversed. */
+  def asofForward(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      time: String,
+      rightVals: Seq[String]): DataFrame =
+    asof(left, right, key, time, rightVals, forward = true)
+
+  private def asof(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      time: String,
+      rightVals: Seq[String],
+      forward: Boolean): DataFrame = {
 
     val leftCols = left.columns.toSeq
     val leftStruct = StructType(left.schema.fields)
 
-    // Right rows tag 0 → sort before left rows at equal time (inclusive as-of).
+    // Right rows tag 0 → sort before left rows at equal time (inclusive
+    // as-of in both directions).
     val taggedRight = right.select(
       Seq(col(key).as("__key"), col(time).as("__time"), lit(0).as("__tag"),
         lit(null).cast(leftStruct).as("__l")) ++ rightVals.map(col): _*)
@@ -46,7 +68,12 @@ object AsOfJoin {
         struct(leftCols.map(col): _*).as("__l")) ++
         rightVals.map(c => lit(null).cast(right.schema(c).dataType).as(c)): _*)
 
-    val w = Window.partitionBy("__key").orderBy("__time", "__tag")
+    // Backward walks time ascending carrying the latest right row forward;
+    // forward walks time DESCENDING carrying the earliest following right
+    // row backward — identical cost either way (one shuffle + one sort).
+    val w = (if (forward)
+        Window.partitionBy("__key").orderBy(col("__time").desc, col("__tag"))
+      else Window.partitionBy("__key").orderBy(col("__time").asc, col("__tag")))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
     taggedRight.unionByName(taggedLeft)

@@ -905,6 +905,33 @@ object RelationalQueries {
               ON e.user_id = r.o_custkey AND e.ts >= r.o_orderdate"""),
       "backward as-of join via union/sort operator (single shuffle)"),
 
+    // Forward as-of: each event attaches the user's NEXT order at-or-after
+    // the event time — same single-shuffle union/sort machinery as x1 with
+    // the scan direction reversed; DuckDB replays via ASOF with `<=`.
+    "x4_asof_forward" -> QueryDef(
+      (s, dir) => {
+        val events = t(s, dir, "events").filter(col("user_id") >= 1)
+        val orders = t(s, dir, "orders")
+          .groupBy("o_custkey", "o_orderdate")
+          .agg(max("o_orderkey").as("next_orderkey"))
+          .select(col("o_custkey"),
+            (unix_micros(col("o_orderdate").cast("timestamp")) * 1000L).as("ts"),
+            col("next_orderkey"))
+          .withColumnRenamed("o_custkey", "user_id")
+        AsOfJoin.asofForward(
+          events.select("event_id", "user_id", "ts"), orders,
+          key = "user_id", time = "ts", rightVals = Seq("next_orderkey"))
+          .select("event_id", "user_id", "next_orderkey")
+      },
+      Some("""SELECT e.event_id, e.user_id, r.next_orderkey
+              FROM (SELECT event_id, user_id, ts FROM events WHERE user_id >= 1) e
+              ASOF LEFT JOIN (
+                SELECT o_custkey, o_orderdate,
+                       max(o_orderkey) AS next_orderkey
+                FROM orders GROUP BY 1, 2) r
+              ON e.user_id = r.o_custkey AND e.ts <= r.o_orderdate"""),
+      "forward as-of join: next right row at-or-after each event"),
+
     // Interval join with NO equality key: price-band assignment. A bare
     // `p >= lo AND p < hi` join is a BroadcastNestedLoopJoin in Spark —
     // O(|fact|·|bands|) and a full broadcast; RangeJoin.binnedRangeJoin

@@ -30,6 +30,29 @@ class AsOfJoinSpec extends SparkTestBase {
     assert(out("e5") == null)    // left row before any right row
   }
 
+  test("forward as-of picks earliest right row at-or-after left time") {
+    val left = Seq(
+      (1L, 5L, "e1"), (1L, 10L, "e2"), (1L, 20L, "e3"),
+      (2L, 10L, "e4"),
+      (3L, 99L, "e5")).toDF("k", "t", "ev")
+    val right = Seq(
+      (1L, 5L, "r@5"), (1L, 15L, "r@15"),
+      (2L, 2L, "r@2"),
+      (3L, 9L, "r@9")).toDF("k", "t", "rv")
+
+    val out = AsOfJoin.asofForward(
+      left.select($"ev", $"k".as("key"), $"t".as("ts")),
+      right.select($"k".as("key"), $"t".as("ts"), $"rv"),
+      key = "key", time = "ts", rightVals = Seq("rv"))
+      .select("ev", "rv").as[(String, String)].collect().toMap
+
+    assert(out("e1") == "r@5")   // inclusive: equal time matches
+    assert(out("e2") == "r@15")  // next following, not the earlier r@5
+    assert(out("e3") == null)    // nothing after t=20
+    assert(out("e4") == null)    // r@2 is before, never after
+    assert(out("e5") == null)    // left row after every right row
+  }
+
   test("row count preserved (left join semantics)") {
     val left = (1 to 100).map(i => (i.toLong % 5, i.toLong, s"e$i"))
       .toDF("key", "ts", "ev")
