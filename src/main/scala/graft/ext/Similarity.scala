@@ -56,10 +56,7 @@ object Similarity {
       .filter(col("q_id") =!= col("n_id"))
       .select(col("q_id"), col("n_id"),
         round(dot(col("q_emb"), col("n_emb")) / (col("q_norm") * col("n_norm")), 4).as("sim"))
-    scored
-      .withColumn("rank", row_number().over(
-        Window.partitionBy("q_id").orderBy(desc("sim"), asc("n_id"))))
-      .filter(col("rank") <= k)
+    topKBySim(scored, k, "sim")
   }
 
   /** Random-hyperplane plane matrix for in-engine cell derivation: `bits`
@@ -369,10 +366,7 @@ object Similarity {
       .filter(col("q_id") =!= col("n_id"))
       .select(col("q_id"), col("n_id"),
         round(dot(col("q_emb"), col("n_emb")) / (col("q_norm") * col("n_norm")), 4).as("sim"))
-    scored
-      .withColumn("rank", row_number().over(
-        Window.partitionBy("q_id").orderBy(desc("sim"), asc("n_id"))))
-      .filter(col("rank") <= k)
+    topKBySim(scored, k, "sim")
   }
 
   /** kNN over PRE-QUANTIZED int8 vectors (`(vec_id, q)` — e2's stored
@@ -396,15 +390,14 @@ object Similarity {
         .filter(col(nAs) > 0)
     val q = prep(queries, "q_id", "qq", "qn")
     val c = prep(corpus, "n_id", "cq", "cn")
-    q.crossJoin(c).filter(col("q_id") =!= col("n_id"))
-      .select(col("q_id"), col("n_id"),
-        round(
-          aggregate(zip_with(col("qq"), col("cq"),
-            (a, b) => (a * b).cast("long")), lit(0L), _ + _).cast("double")
-            / (sqrt(col("qn")) * sqrt(col("cn"))), 4).as("sim8"))
-      .withColumn("rank", row_number().over(
-        Window.partitionBy("q_id").orderBy(desc("sim8"), asc("n_id"))))
-      .filter(col("rank") <= k)
+    topKBySim(
+      q.crossJoin(c).filter(col("q_id") =!= col("n_id"))
+        .select(col("q_id"), col("n_id"),
+          round(
+            aggregate(zip_with(col("qq"), col("cq"),
+              (a, b) => (a * b).cast("long")), lit(0L), _ + _).cast("double")
+              / (sqrt(col("qn")) * sqrt(col("cn"))), 4).as("sim8")),
+      k, "sim8")
   }
 
   /** Convenience form over raw float embeddings: quantizes both sides
@@ -464,6 +457,25 @@ object Similarity {
       }
       coalesce(cases: _*)
     }.reduce(_ + _)
+
+  /** Bounded-heap top-k cut over (q_id, n_id, <simCol>) — LARGEST
+   * similarity first, ties to the smaller neighbor id. Replaces the
+   * `row_number() over (partition by q_id order by sim desc)` cut: the
+   * window form shuffles and sorts EVERY scored candidate pair before
+   * discarding all but k, while the TypedTopK aggregate keeps a k-bounded
+   * heap per query per partition, so only k rows/query/partition cross the
+   * wire — the cut that survives a 100× corpus (round-3 verdict #3). Same
+   * (sim DESC, n_id ASC) order, same rounded-double sim values, so the
+   * oracle hash is unchanged. */
+  private def topKBySim(scored: DataFrame, k: Int, simCol: String): DataFrame =
+    scored
+      .groupBy("q_id")
+      .agg(graft.functions.GraftFunctions.topK(
+        col(simCol).cast("double"), col("n_id"), k).as("top"))
+      .select(col("q_id"), posexplode(col("top")))
+      .select(col("q_id"), col("col.id").as("n_id"),
+        col("col.ord").as(simCol),
+        (col("pos") + 1).cast("int").as("rank"))
 
   /** Bounded-heap top-k cut over (q_id, n_id, dist_q) — smallest distance
    * first, ties to the smaller neighbor id. */

@@ -151,18 +151,32 @@ object GraftFunctions {
     HeavyHitters(exprs(0), intLit(exprs(1), "capacity"), intLit(exprs(2), "k"))
   }
 
+  /** Builder wrapper enforcing exact arity: a bare `exprs(0)` access
+   * throws IndexOutOfBounds on zero args and silently IGNORES extras —
+   * both must surface as proper analysis-time errors instead. */
+  private def withArity(name: String, n: Int)(
+      build: Seq[Expression] => Expression): Seq[Expression] => Expression =
+    exprs => {
+      require(exprs.length == n,
+        s"$name expects exactly $n argument(s), got ${exprs.length}")
+      build(exprs)
+    }
+
   /** Idempotent per-session registration (temp functions). */
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      VecDotName, exprs => FloatVecDot(exprs(0), exprs(1)), "scala_udf")
+      VecDotName,
+      withArity(VecDotName, 2)(e => FloatVecDot(e(0), e(1))), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      MinHash12Name, exprs => MinHash12(exprs(0)), "scala_udf")
+      MinHash12Name,
+      withArity(MinHash12Name, 1)(e => MinHash12(e(0))), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       TopKName, topKBuilder, "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       HeavyHittersName, heavyHittersFromExprs, "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      NfcName, exprs => NormalizeNfc(exprs(0)), "scala_udf")
+      NfcName,
+      withArity(NfcName, 1)(e => NormalizeNfc(e(0))), "scala_udf")
   }
 
   /** Column API: resolves through the function registry. */

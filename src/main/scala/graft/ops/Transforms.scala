@@ -91,31 +91,156 @@ object Transforms {
   def pseudonymize(df: DataFrame, cols: String*): DataFrame =
     cols.foldLeft(df)((d, c) => d.withColumn(c, sha2(col(c).cast(StringType), 256)))
 
-  /** Multi-label public suffixes (the common two-label entries of the
-   * Mozilla Public Suffix List — the ones covering the fixtures plus the
-   * high-traffic ccTLD families). A registrable domain sits one label LEFT
-   * of its public suffix, so `a@b.co.uk` → `b`, not `co`. */
+  /** Two-label public suffixes — a snapshot of the Mozilla Public Suffix
+   * List's high-traffic ccTLD second-level families. A registrable domain
+   * sits one label LEFT of its public suffix, so `a@b.co.uk` → `b`, not
+   * `co`. */
   private val PublicSuffix2: Seq[String] = Seq(
-    "co.uk", "org.uk", "ac.uk", "gov.uk", "me.uk", "net.uk",
-    "co.jp", "ne.jp", "or.jp", "ac.jp", "go.jp",
-    "com.au", "net.au", "org.au", "edu.au", "gov.au",
-    "com.br", "net.br", "org.br", "gov.br",
-    "co.in", "net.in", "org.in", "gen.in", "firm.in",
-    "co.nz", "net.nz", "org.nz", "govt.nz",
-    "co.za", "org.za", "web.za",
-    "com.cn", "net.cn", "org.cn", "gov.cn",
-    "com.mx", "org.mx", "com.ar", "com.tr", "com.sg", "com.my",
-    "co.kr", "or.kr", "co.th", "co.id", "com.hk", "com.tw")
+    "co.uk", "org.uk", "ac.uk", "gov.uk", "me.uk", "net.uk", "ltd.uk",
+    "plc.uk", "nhs.uk", "police.uk",
+    "co.jp", "ne.jp", "or.jp", "ac.jp", "go.jp", "ad.jp", "ed.jp", "gr.jp",
+    "lg.jp",
+    "com.au", "net.au", "org.au", "edu.au", "gov.au", "asn.au", "id.au",
+    "com.br", "net.br", "org.br", "gov.br", "edu.br", "art.br", "adv.br",
+    "co.in", "net.in", "org.in", "gen.in", "firm.in", "ind.in", "ac.in",
+    "edu.in", "gov.in", "res.in", "nic.in",
+    "co.nz", "net.nz", "org.nz", "govt.nz", "ac.nz", "school.nz", "geek.nz",
+    "maori.nz", "iwi.nz",
+    "co.za", "org.za", "web.za", "net.za", "gov.za", "ac.za", "edu.za",
+    "com.cn", "net.cn", "org.cn", "gov.cn", "edu.cn", "ac.cn",
+    "com.mx", "org.mx", "net.mx", "edu.mx", "gob.mx",
+    "com.ar", "net.ar", "org.ar", "edu.ar", "gob.ar",
+    "com.tr", "net.tr", "org.tr", "edu.tr", "gov.tr", "gen.tr", "web.tr",
+    "com.sg", "net.sg", "org.sg", "edu.sg", "gov.sg", "per.sg",
+    "com.my", "net.my", "org.my", "edu.my", "gov.my", "name.my",
+    "co.kr", "or.kr", "ne.kr", "re.kr", "pe.kr", "go.kr", "ac.kr", "hs.kr",
+    "ms.kr", "es.kr", "sc.kr", "kg.kr", "seoul.kr", "busan.kr",
+    "co.th", "in.th", "ac.th", "go.th", "or.th", "net.th", "mi.th",
+    "co.id", "or.id", "ac.id", "sch.id", "web.id", "net.id", "go.id",
+    "my.id", "biz.id", "desa.id", "ponpes.id",
+    "com.hk", "net.hk", "org.hk", "edu.hk", "gov.hk", "idv.hk",
+    "com.tw", "net.tw", "org.tw", "edu.tw", "gov.tw", "idv.tw", "club.tw",
+    "ebiz.tw", "game.tw",
+    "co.il", "org.il", "net.il", "ac.il", "gov.il", "k12.il", "muni.il",
+    "idf.il",
+    "com.ua", "net.ua", "org.ua", "edu.ua", "gov.ua", "in.ua", "kiev.ua",
+    "kyiv.ua", "lviv.ua", "odessa.ua", "kharkov.ua",
+    "com.pl", "net.pl", "org.pl", "edu.pl", "gov.pl", "info.pl", "biz.pl",
+    "waw.pl", "wroc.pl", "krakow.pl", "poznan.pl", "gda.pl", "slask.pl",
+    "com.ph", "net.ph", "org.ph", "edu.ph", "gov.ph", "ngo.ph", "mil.ph",
+    "i.ph",
+    "com.pk", "net.pk", "org.pk", "edu.pk", "gov.pk", "fam.pk", "biz.pk",
+    "web.pk", "gok.pk", "gob.pk", "gkp.pk", "gop.pk", "gos.pk",
+    "com.sa", "net.sa", "org.sa", "edu.sa", "gov.sa", "med.sa", "pub.sa",
+    "sch.sa",
+    "com.eg", "net.eg", "org.eg", "edu.eg", "gov.eg", "sci.eg", "eun.eg",
+    "name.eg", "mil.eg",
+    "com.vn", "net.vn", "org.vn", "edu.vn", "gov.vn", "int.vn", "ac.vn",
+    "biz.vn", "info.vn", "name.vn", "pro.vn", "health.vn",
+    "com.ng", "net.ng", "org.ng", "edu.ng", "gov.ng", "name.ng", "sch.ng",
+    "mobi.ng", "i.ng",
+    "co.ke", "or.ke", "ne.ke", "go.ke", "ac.ke", "sc.ke", "me.ke",
+    "mobi.ke", "info.ke",
+    "co.tz", "or.tz", "ne.tz", "go.tz", "ac.tz", "sc.tz", "me.tz",
+    "mobi.tz", "hotel.tz", "tv.tz", "info.tz",
+    "co.ug", "or.ug", "ne.ug", "go.ug", "ac.ug", "sc.ug", "com.ug",
+    "org.ug",
+    "com.gh", "edu.gh", "gov.gh", "org.gh", "mil.gh",
+    "co.zw", "org.zw", "gov.zw", "mil.zw", "ac.zw",
+    "com.np", "net.np", "org.np", "edu.np", "gov.np", "mil.np", "aero.np",
+    "asia.np", "biz.np", "coop.np", "info.np", "jobs.np", "mobi.np",
+    "museum.np", "name.np", "pro.np", "travel.np",
+    "com.bd", "net.bd", "org.bd", "edu.bd", "gov.bd", "ac.bd", "mil.bd",
+    "com.es", "nom.es", "org.es", "gob.es", "edu.es",
+    "com.pt", "net.pt", "org.pt", "edu.pt", "gov.pt", "int.pt", "publ.pt",
+    "nome.pt",
+    "com.gr", "net.gr", "org.gr", "edu.gr", "gov.gr",
+    "com.co", "net.co", "org.co", "nom.co", "edu.co", "gov.co", "mil.co",
+    "info.co", "web.co", "firm.co", "rec.co", "arts.co", "int.co",
+    "com.pe", "net.pe", "org.pe", "nom.pe", "edu.pe", "gob.pe", "mil.pe",
+    "com.ve", "net.ve", "org.ve", "co.ve", "edu.ve", "gob.ve", "mil.ve",
+    "info.ve", "web.ve", "e12.ve", "arts.ve", "firm.ve", "int.ve",
+    "rec.ve", "store.ve", "tec.ve",
+    "com.uy", "net.uy", "org.uy", "edu.uy", "gub.uy", "mil.uy",
+    "com.py", "net.py", "org.py", "edu.py", "gov.py", "mil.py", "coop.py",
+    "com.ec", "net.ec", "org.ec", "edu.ec", "gob.ec", "mil.ec", "med.ec",
+    "fin.ec", "pro.ec", "info.ec",
+    "com.bo", "net.bo", "org.bo", "edu.bo", "gob.bo", "mil.bo", "int.bo",
+    "tv.bo", "web.bo",
+    "com.do", "net.do", "org.do", "edu.do", "gob.do", "gov.do", "mil.do",
+    "sld.do", "web.do", "art.do",
+    "com.gt", "net.gt", "org.gt", "edu.gt", "gob.gt", "mil.gt", "ind.gt",
+    "com.sv", "edu.sv", "gob.sv", "org.sv", "red.sv",
+    "com.hn", "net.hn", "org.hn", "edu.hn", "gob.hn", "mil.hn",
+    "com.ni", "net.ni", "org.ni", "edu.ni", "gob.ni", "mil.ni", "co.ni",
+    "biz.ni", "info.ni", "int.ni", "web.ni",
+    "com.pa", "net.pa", "org.pa", "edu.pa", "gob.pa", "sld.pa", "ing.pa",
+    "abo.pa", "med.pa", "nom.pa", "ac.pa",
+    "com.pr", "net.pr", "org.pr", "edu.pr", "gov.pr", "isla.pr", "pro.pr",
+    "biz.pr", "info.pr", "name.pr", "est.pr", "prof.pr", "ac.pr",
+    "asso.fr", "gouv.fr", "nom.fr", "prd.fr", "tm.fr", "avocat.fr",
+    "port.fr", "cci.fr", "greta.fr",
+    "co.at", "or.at", "ac.at", "gv.at", "priv.at",
+    "com.ro", "org.ro", "tm.ro", "nt.ro", "nom.ro", "info.ro", "rec.ro",
+    "arts.ro", "firm.ro", "store.ro", "www.ro",
+    "com.ru", "net.ru", "org.ru", "int.ru", "ac.ru", "msk.ru", "spb.ru",
+    "edu.ru", "gov.ru", "mil.ru", "test.ru")
+
+  /** Three-label public suffixes — the structured PSL families:
+   * `k12/cc/lib.<state>.us`, the Japanese prefecture/designated-city
+   * blocks (`pref.hokkaido.jp`-class), and the Australian state
+   * education/government registries. Generated, not hand-typed, so each
+   * family is complete. */
+  private val PublicSuffix3: Seq[String] = {
+    val usStates = Seq(
+      "ak", "al", "ar", "as", "az", "ca", "co", "ct", "dc", "de", "fl",
+      "ga", "gu", "hi", "ia", "id", "il", "in", "ks", "ky", "la", "ma",
+      "md", "me", "mi", "mn", "mo", "ms", "mt", "nc", "nd", "ne", "nh",
+      "nj", "nm", "nv", "ny", "oh", "ok", "or", "pa", "pr", "ri", "sc",
+      "sd", "tn", "tx", "ut", "va", "vi", "vt", "wa", "wi", "wv", "wy")
+    val usFamilies =
+      for (s <- usStates; f <- Seq("k12", "cc", "lib")) yield s"$f.$s.us"
+    val jpPrefectures = Seq(
+      "aichi", "akita", "aomori", "chiba", "ehime", "fukui", "fukuoka",
+      "fukushima", "gifu", "gunma", "hiroshima", "hokkaido", "hyogo",
+      "ibaraki", "ishikawa", "iwate", "kagawa", "kagoshima", "kanagawa",
+      "kochi", "kumamoto", "kyoto", "mie", "miyagi", "miyazaki", "nagano",
+      "nagasaki", "nara", "niigata", "oita", "okayama", "okinawa", "osaka",
+      "saga", "saitama", "shiga", "shimane", "shizuoka", "tochigi",
+      "tokushima", "tokyo", "tottori", "toyama", "wakayama", "yamagata",
+      "yamaguchi", "yamanashi")
+    val jpDesignatedCities = Seq(
+      "chiba", "fukuoka", "hamamatsu", "hiroshima", "kawasaki", "kitakyushu",
+      "kobe", "kumamoto", "kyoto", "nagoya", "niigata", "okayama", "osaka",
+      "sagamihara", "saitama", "sakai", "sapporo", "sendai", "shizuoka",
+      "yokohama")
+    val jpFamilies = jpPrefectures.map(p => s"pref.$p.jp") ++
+      jpDesignatedCities.map(c => s"city.$c.jp") ++ Seq("metro.tokyo.jp")
+    val auStates = Seq("act", "nsw", "nt", "qld", "sa", "tas", "vic", "wa")
+    val auFamilies = auStates.flatMap(s => Seq(s"$s.edu.au", s"$s.gov.au"))
+    usFamilies ++ jpFamilies ++ auFamilies
+  }
+
+  /** Wildcard second-level suffixes (`*.sch.uk`-class PSL rules): EVERY
+   * third label under these forms a public suffix, so the registrable
+   * domain sits one further label left. */
+  private val WildcardSuffix2: Seq[String] = Seq("sch.uk")
 
   /** A3 helper: registered-domain extraction from an email address
    * (`user@mail.example.com` → `example`). Matches
-   * `tldextract.extract().domain` for single-label TLDs AND for the
-   * two-label public suffixes above (`a@b.co.uk` → `b`); suffix-only hosts
-   * degrade to the suffix's first label, as no registrable domain exists. */
+   * `tldextract.extract().domain` for single-label TLDs, the two-label
+   * public suffixes above (`a@b.co.uk` → `b`), the three-label PSL
+   * families (`a@b.pref.hokkaido.jp` → `b`, `a@b.k12.ca.us` → `b`) and
+   * the `*.sch.uk` wildcard rule; suffix-only hosts degrade to the
+   * suffix's first label, as no registrable domain exists. Longest
+   * suffix match wins, per the PSL algorithm. */
   def emailDomain(email: Column): Column = {
     val host = substring_index(email, "@", -1)
     val last2 = lower(substring_index(host, ".", -2))
-    when(last2.isin(PublicSuffix2: _*),
+    val last3 = lower(substring_index(host, ".", -3))
+    when(last3.isin(PublicSuffix3: _*) || last2.isin(WildcardSuffix2: _*),
+        substring_index(substring_index(host, ".", -4), ".", 1))
+      .when(last2.isin(PublicSuffix2: _*),
         substring_index(substring_index(host, ".", -3), ".", 1))
       .otherwise(substring_index(substring_index(host, ".", -2), ".", 1))
   }

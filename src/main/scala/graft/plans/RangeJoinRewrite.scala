@@ -36,21 +36,67 @@ import org.apache.spark.sql.types._
  * equi key means the join already hash-plans and the rewrite would only
  * add work.
  *
- * OPT-IN by design: `spark.graft.rangeJoinRewrite.enabled` defaults to
- * FALSE and `spark.graft.rangeJoinRewrite.binWidth` (default 1000) must be
- * sized to the workload's interval spans. Bin width is inherently
- * domain-specific — 1000 is reasonable for integer cents, absurd for
- * ns-epoch intervals (a 1-hour ns interval would replicate to 3.6e9 bins
- * and exceed Spark's sequence length limit). An optimizer rule has no
- * data statistics to derive the width from, so a library must not turn
- * this on blindly for every session; enable it per workload with a width
- * near the median interval span (replication factor ≈ span/width + 1).
+ * The ENABLE flag is opt-in (`spark.graft.rangeJoinRewrite.enabled`,
+ * default FALSE — a whole-plan rewrite should never surprise a session),
+ * but the bin width no longer needs manual sizing:
+ * `spark.graft.rangeJoinRewrite.binWidth` defaults to `auto`, which
+ * derives the width from the MEDIAN INTERVAL SPAN of a bounded sample of
+ * the interval side (first `10001` rows via `executeTake` — a few
+ * partitions scanned, driver cost one small sorted array). Median span as
+ * the width puts the replication factor of a typical interval at ≈ 2
+ * (span/width + 1), the standard sizing rule, at any domain scale —
+ * integer cents and ns-epoch intervals both land right, where any fixed
+ * default is absurd for one of them (a 1-hour ns interval against width
+ * 1000 would replicate to 3.6e9 bins and exceed Spark's sequence limit).
+ * The derivation is cached per canonicalized (interval plan, lo, hi) so
+ * optimizer fixpoint iterations don't re-sample; a streaming interval
+ * side, an empty sample, or a sampling failure stands the rule down
+ * (original join kept) rather than guessing. An explicit numeric width
+ * overrides the derivation (replication factor ≈ span/width + 1).
  */
 case class RangeJoinRewrite(spark: SparkSession)
     extends Rule[LogicalPlan] with PredicateHelper {
 
   private val EnabledConf = "spark.graft.rangeJoinRewrite.enabled"
   private val WidthConf = "spark.graft.rangeJoinRewrite.binWidth"
+  private val SampleN = 10001
+
+  /** Derived widths keyed by canonicalized (interval side, lo, hi) —
+   * fixpoint re-runs of the optimizer batch must not re-launch the
+   * sampling job. Bounded: cleared wholesale if it ever grows past 64
+   * distinct interval relations (a session-lifetime cache, not a leak). */
+  private val widthCache = new java.util.concurrent.ConcurrentHashMap[
+    (LogicalPlan, Expression, Expression), Long]()
+
+  /** Median interval span over a bounded prefix sample of the interval
+   * side. `executeTake` pulls partitions incrementally, so the cost is a
+   * few input splits regardless of relation size. Returns None (rule
+   * stands down) for streaming plans, empty/degenerate samples, or any
+   * execution failure — an optimizer rule must never fail the query. */
+  private def deriveWidth(right: LogicalPlan, lo: Expression,
+      hi: Expression): Option[Long] = {
+    if (right.isStreaming) return None
+    val key = (right.canonicalized, lo.canonicalized, hi.canonicalized)
+    val cached = widthCache.get(key)
+    if (cached != 0L) return if (cached > 0) Some(cached) else None
+    val derived: Option[Long] =
+      try {
+        val span = Subtract(Cast(hi, LongType), Cast(lo, LongType))
+        val proj = Project(Seq(Alias(span, "__graft_span")()), right)
+        val rows = spark.sessionState.executePlan(proj)
+          .executedPlan.executeTake(SampleN)
+        val spans = rows.iterator
+          .filterNot(_.isNullAt(0)).map(_.getLong(0)).filter(_ > 0).toArray
+        if (spans.isEmpty) None
+        else {
+          java.util.Arrays.sort(spans)
+          Some(math.max(1L, spans(spans.length / 2)))
+        }
+      } catch { case scala.util.control.NonFatal(_) => None }
+    if (widthCache.size > 64) widthCache.clear()
+    widthCache.put(key, derived.getOrElse(-1L))
+    derived
+  }
 
   private def integral(dt: DataType): Boolean = dt match {
     case ByteType | ShortType | IntegerType | LongType => true
@@ -72,11 +118,17 @@ case class RangeJoinRewrite(spark: SparkSession)
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
     if (!spark.conf.get(EnabledConf, "false").toBoolean) return plan
-    val width = spark.conf.get(WidthConf, "1000").toLong
-    // invalid width: the operator API raises; an optimizer rule must not
-    // fail or silently corrupt the query (IntegralDivide by 0 is NULL in
-    // non-ANSI mode -> every bin key NULL -> empty join), so stand down
-    if (width <= 0) return plan
+    // "auto" (the default) derives the width per join from sampled
+    // interval-span statistics; an explicit numeric value overrides.
+    // Invalid/non-positive width: the operator API raises; an optimizer
+    // rule must not fail or silently corrupt the query (IntegralDivide by
+    // 0 is NULL in non-ANSI mode -> every bin key NULL -> empty join), so
+    // stand down.
+    val widthConf = spark.conf.get(WidthConf, "auto")
+    val manualWidth: Option[Long] =
+      if (widthConf.equalsIgnoreCase("auto")) None
+      else scala.util.Try(widthConf.toLong).toOption.orElse(Some(-1L))
+    if (manualWidth.exists(_ <= 0)) return plan
 
     plan.transformUp {
       case j @ Join(left, right, Inner, Some(cond), hint) if j.resolved =>
@@ -119,10 +171,13 @@ case class RangeJoinRewrite(spark: SparkSession)
         }
 
         (if (hasEqui) None else lower.flatMap { case (p, lo) =>
-          upper(p).map { case (hi, inclusive) => (p, lo, hi, inclusive) }
+          upper(p).flatMap { case (hi, inclusive) =>
+            manualWidth.orElse(deriveWidth(right, lo, hi))
+              .map(w => (p, lo, hi, inclusive, w))
+          }
         }) match {
           case None => j
-          case Some((p, lo, hi, inclusive)) =>
+          case Some((p, lo, hi, inclusive, width)) =>
             val binL = Alias(binOf(p, width), "__graft_bin_l")()
             val newLeft = Project(left.output :+ binL, left)
             val hiBinArg =

@@ -319,7 +319,12 @@ object StreamingAnalytics {
         val t = e.ts.getTime
         cur match {
           case Some(s) if t - s.last <= gapMs =>
-            cur = Some(IdleSession(s.start, math.max(s.last, t), s.n + 1))
+            // A cross-batch late event (t < s.start, still within gap of
+            // s.last) must WIDEN the session start, or the emitted
+            // session_start would not bound all member events — diverging
+            // from the sort-first batch sessionization (s1/s4) this mirrors.
+            cur = Some(IdleSession(math.min(s.start, t),
+              math.max(s.last, t), s.n + 1))
           case Some(s) =>
             closed ::= ClosedSession(key,
               new Timestamp(s.start), new Timestamp(s.last), s.n)

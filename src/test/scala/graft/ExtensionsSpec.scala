@@ -194,6 +194,25 @@ class ExtensionsSpec extends SparkTestBase {
     assert(rows.forall(_ != 0L))    // self excluded
   }
 
+  test("kNN top-k cut is a bounded-heap aggregate, not a window sort") {
+    // The scored relation must reach the cut through TypedTopK (k rows per
+    // query per partition cross the wire), never a row_number window that
+    // shuffles and sorts every scored candidate (round-3 verdict). maxCell
+    // disabled so the only possible Window would be the top-k cut itself.
+    val vecs = (0 until 20)
+      .map(i => (i.toLong, Array(1f, i.toFloat), "one"))
+      .toDF("vec_id", "embedding", "label")
+    for (df <- Seq(
+        Similarity.knnCell(vecs.filter($"vec_id" === 0), vecs, "label",
+          k = 3, maxCell = Int.MaxValue),
+        Similarity.knnBrute(vecs.filter($"vec_id" === 0), vecs.drop("label"), 3),
+        Similarity.knnInt8(vecs.filter($"vec_id" === 0), vecs.drop("label"), 3))) {
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("Window"), s"unexpected window in:\n$plan")
+      assert(plan.contains("Aggregate"), s"expected aggregate in:\n$plan")
+    }
+  }
+
   test("knnBrute ranks the exact nearest first with deterministic ties") {
     val vecs = Seq(
       (0L, Array(1f, 0f, 0f)),

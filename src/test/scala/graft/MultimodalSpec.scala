@@ -106,6 +106,30 @@ class MultimodalSpec extends SparkTestBase {
     assert(wins.forall(w => w(3) > 0.9f))         // square wave: ~every step crosses
   }
 
+  test("header-only WAV (zero data frames) yields a zero-window row, not a crash") {
+    // A structurally valid 44-byte WAV — header, no data frames. The JDK
+    // parses it fine; the decode yields zero windows, and audioFeatures must
+    // emit an honest 0-window zero-vector row instead of killing the stage.
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(Array.emptyByteArray), fmt, 0)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    val emptyWav = bos.toByteArray
+
+    assert(Multimodal.JdkCodec
+      .decodeAudioWindows(emptyWav, windowMs = 250, durationMs = 0).isEmpty)
+
+    val one = Seq(MediaRecord(9L, "audio", emptyWav, width = 0, height = 0,
+      sample_rate = 8000, duration_ms = 0)).toDS()
+    val out = Multimodal.audioFeatures(one, windowMs = 250,
+      codec = Multimodal.JdkCodec).collect()
+    assert(out.length == 1)
+    assert(out.head.n_windows == 0)
+    assert(out.head.embedding.toSeq == Seq.fill(8)(0f))
+  }
+
   test("audio features: windows counted from duration, mean-pooled embedding") {
     val out = Multimodal.audioFeatures(ds, windowMs = 1000).collect()
     assert(out.length == 1)

@@ -49,6 +49,30 @@ class RangeJoinRewriteSpec extends SparkTestBase {
     }
   }
 
+  test("auto width (default) derives from sampled interval spans") {
+    val expected = withRule(enabled = false) {
+      naive.select("p", "iv_id").as[(Long, Int)].collect().toSet
+    }
+    // enabled but NO binWidth set -> the "auto" default: the rule samples
+    // the interval side (median span here = 20) and still rewrites
+    spark.conf.set("spark.graft.rangeJoinRewrite.enabled", "true")
+    try {
+      val plan = naive.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+      assert(naive.queryExecution.optimizedPlan.toString.contains("__graft_bin"))
+      val got = naive.select("p", "iv_id").as[(Long, Int)].collect()
+      assert(got.length == got.toSet.size, "rewrite must not duplicate pairs")
+      assert(got.toSet == expected)
+      // degenerate interval side (no positive span anywhere): derivation
+      // yields nothing -> rule stands down instead of guessing a width
+      val degenerate = Seq((0, 10L, 10L), (1, 30L, 20L)).toDF("iv_id", "lo", "hi")
+      val dj = points.join(degenerate,
+        col("p") >= col("lo") && col("p") < col("hi"))
+      assert(!dj.queryExecution.optimizedPlan.toString.contains("__graft_bin"))
+      assert(dj.count() == 0)
+    } finally spark.conf.unset("spark.graft.rangeJoinRewrite.enabled")
+  }
+
   test("inclusive upper bound (BETWEEN) also rewrites, bounds preserved") {
     withRule(enabled = true) {
       val between = points.join(intervals,

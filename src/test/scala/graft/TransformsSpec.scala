@@ -97,4 +97,25 @@ class TransformsSpec extends SparkTestBase {
       .select(Transforms.emailDomain($"email").as("d"))
     assert(df.as[String].collect().toSeq == cases.map(_._2))
   }
+
+  test("emailDomain honors three-label PSL families and wildcards (tldextract parity)") {
+    val cases = Seq(
+      "a@b.pref.hokkaido.jp" -> "b",     // Japanese prefecture block
+      "a@sub.b.pref.aichi.jp" -> "b",    // subdomain under it
+      "a@b.city.yokohama.jp" -> "b",     // designated-city block
+      "a@b.metro.tokyo.jp" -> "b",
+      "a@b.k12.ca.us" -> "b",            // US schools family
+      "a@b.cc.ny.us" -> "b",             // US community-college family
+      "a@b.lib.tx.us" -> "b",            // US libraries family
+      "a@b.act.edu.au" -> "b",           // AU state education registry
+      "a@b.nsw.gov.au" -> "b",           // AU state government registry
+      "a@b.little.sch.uk" -> "b",        // *.sch.uk wildcard rule
+      "a@b.co.jp" -> "b",                // 2-label still wins where no 3-label matches
+      "a@pref.example.com" -> "example", // 'pref' as an ordinary label
+      "a@city.example.org" -> "example", // 'city' as an ordinary label
+      "a@b.k12.example.com" -> "example") // k12 outside .us is ordinary
+    val df = cases.map(_._1).toDF("email")
+      .select(Transforms.emailDomain($"email").as("d"))
+    assert(df.as[String].collect().toSeq == cases.map(_._2))
+  }
 }
