@@ -228,67 +228,81 @@ object Dedup {
    * (transitively) through pairs gets the MINIMUM doc_id of its component as
    * `cluster` — the canonical keeper.
    *
-   * Iterative min-label propagation: each round joins current labels across
-   * the edge list and takes the per-node min. Labels only decrease, so the
-   * label sum is a strictly-decreasing convergence witness (one cheap agg
-   * per round, no extra join). Rounds needed = component diameter — near-dup
-   * components come from shared LSH buckets and are shallow, so this
-   * converges in a handful of one-shuffle rounds; the classic scalable CC
-   * shape (cf. large-star/small-star, which bounds rounds at log n for
-   * pathological chains). Each round's result is persisted and the previous
-   * round freed — at cluster scale these are the checkpoints. Only docs that
-   * appear in a pair are emitted. */
+   * Alternating LARGE-STAR / SMALL-STAR rounds (Kiveris et al., "Connected
+   * Components in MapReduce and Beyond", SoCC'14): large-star hangs every
+   * larger neighbor of a node onto its neighborhood minimum; small-star
+   * rewires all smaller neighbors (and the node itself) onto that minimum.
+   * At the fixpoint the edge set is exactly the disjoint union of stars,
+   * one per component, rooted at the component minimum. Provably
+   * O(log² n) rounds on ANY graph — the previous min-label-propagation +
+   * pointer-jump loop was linear on adversarial alternating-id chains
+   * (caught by the DedupPlanSpec chain property: a 115-node chain needed
+   * >12 rounds; star rounds need ≤14 even at 5000 nodes). Each round is
+   * two shuffle-bounded self-joins; per-round state is an edge relation of
+   * at most the input edge count, materialized (local or reliable
+   * checkpoint) so lineage never deepens. Only docs that appear in a pair
+   * are emitted. */
   def dupClusters(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
     // Iteration state lives in eager checkpoints (see `materialize` — local
     // by default, reliable under graft.checkpoint.reliable=true), NOT
     // persist(): persist/unpersist per round churns the shared CacheManager
-    // (every unpersist re-plans all dependent cache entries, so each
-    // successive call gets slower) and leaves the lineage growing one join
-    // deeper per round (planning cost per round grows with it).
-    // Checkpointing truncates the lineage and keeps the round state out of
-    // the cache registry.
-    val edges = materialize(pairs
-      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst"))))
-    var labels = materialize(edges.groupBy("src").agg(min("dst").as("m"))
-      .select(col("src").as("doc_id"), least(col("src"), col("m")).as("cluster")))
-    // Labels only decrease, so an unchanged label sum == converged labeling.
-    def labelSum(df: DataFrame): Long =
-      df.agg(coalesce(sum("cluster"), lit(0L))).first().getLong(0)
-    var prev = labelSum(labels)
+    // and leaves the lineage growing one join deeper per round.
+    var edges = materialize(pairs
+      .filter(col("doc_a") =!= col("doc_b"))
+      .select(greatest(col("doc_a"), col("doc_b")).as("src"),
+        least(col("doc_a"), col("doc_b")).as("dst"))
+      .distinct())
+    // Convergence witness: the edge SET is unchanged — exact count plus an
+    // order-independent 64-bit hash FOLD (bit_xor never overflows under
+    // ANSI mode, unlike a sum; collision odds ~2^-64/round, and a false
+    // positive only stops one round early on a set with equal count).
+    def witness(e: DataFrame): (Long, Long) = {
+      val r = e.select(xxhash64(col("src"), col("dst")).as("h"))
+        .agg(count(lit(1)), coalesce(bit_xor(col("h")), lit(0L))).first()
+      (r.getLong(0), r.getLong(1))
+    }
+    var prev = witness(edges)
     var it = 0
     var converged = false
     while (it < maxIter && !converged) {
-      // One neighbor-propagation hop + one pointer jump (follow the
-      // label's own label) per round: the hop alone moves the component
-      // minimum one edge per round (rounds = eccentricity — a 100-link
-      // chain needs 100 rounds); the jump doubles the distance covered,
-      // giving O(log diameter) convergence like large-star/small-star.
-      val prop = edges
-        .join(labels.withColumnRenamed("doc_id", "dst"), "dst")
-        .select(col("src").as("doc_id"), col("cluster"))
-      val hop = labels.union(prop)
-        .groupBy("doc_id").agg(min("cluster").as("cluster"))
-      val next = materialize(hop
-        .join(hop.toDF("cluster", "cluster2"), Seq("cluster"), "left")
-        .select(col("doc_id"),
-          least(col("cluster"), coalesce(col("cluster2"), col("cluster")))
-            .as("cluster")))
-      val s = labelSum(next)
-      labels = next
-      converged = s == prev
-      prev = s
+      // large-star: for each u, m = min(Γ(u) ∪ {u}); emit (v, m) for every
+      // neighbor v > u. Output edges always point strictly downward.
+      val sym = edges.union(
+        edges.select(col("dst").as("src"), col("src").as("dst")))
+      val lsMin = sym.groupBy("src").agg(min("dst").as("mn"))
+        .select(col("src"), least(col("src"), col("mn")).as("m"))
+      val ls = sym.join(lsMin, "src")
+        .filter(col("dst") > col("src"))
+        .select(col("dst").as("src"), col("m").as("dst"))
+        .distinct()
+      // small-star: for each u over its (all smaller) neighbors,
+      // m = min Γ(u); rewire every neighbor and u itself onto m.
+      val ssMin = ls.groupBy("src").agg(min("dst").as("m"))
+      val ss = ls.join(ssMin, "src")
+        .select(col("dst").as("src"), col("m").as("dst"))
+        .union(ssMin.select(col("src"), col("m").as("dst")))
+        .filter(col("src") =!= col("dst"))
+        .distinct()
+      val next = materialize(ss)
+      val w = witness(next)
+      converged = w == prev
+      prev = w
+      edges = next
       it += 1
     }
-    // A labeling that stopped on maxIter (not on the convergence witness) is
-    // PARTIAL — some docs still carry a non-minimal cluster id, and
+    // A labeling that stopped on maxIter (not on the fixpoint witness) is
+    // PARTIAL — some docs may carry a non-minimal cluster id, and
     // dedupSurvivors would silently keep members of existing clusters.
     // Surface it loudly instead of returning quietly-wrong clusters.
     if (!converged)
-      log.warn(s"dupClusters: label propagation did NOT converge after " +
-        s"$maxIter rounds (label sum still decreasing) — clusters may be " +
-        s"split; raise maxIter")
-    labels
+      log.warn(s"dupClusters: star rounds did NOT converge after " +
+        s"$maxIter rounds — clusters may be split; raise maxIter")
+    // At the star fixpoint every edge is (member, component-min); roots
+    // label themselves. The final min-agg is belt-and-braces for the
+    // non-converged case (duplicate doc_ids collapse to the best label).
+    edges.select(col("src").as("doc_id"), col("dst").as("cluster"))
+      .union(edges.select(col("dst").as("doc_id"), col("dst").as("cluster")))
+      .groupBy("doc_id").agg(min("cluster").as("cluster"))
   }
 
   /** Apply dedup: the documents that survive near-dup removal — every doc

@@ -26,25 +26,34 @@ import org.apache.spark.sql.types.StructType
  */
 object AsOfJoin {
 
+  /** `tolerance` (optional): the standard time-series as-of bound — a
+   * match farther than `tolerance` time units from the left row is
+   * DROPPED (right values null), e.g. "latest quote at most 5 minutes
+   * old". Requires a NUMERIC time column (align units before calling —
+   * the same contract the time comparison itself already imposes). */
   def asofBackward(
       left: DataFrame,
       right: DataFrame,
       key: String,
       time: String,
-      rightVals: Seq[String]): DataFrame =
-    asof(left, right, key, time, rightVals, forward = false)
+      rightVals: Seq[String],
+      tolerance: Option[Long] = None): DataFrame =
+    asof(left, right, key, time, rightVals, forward = false, tolerance)
 
   /** Forward as-of: for each left row, the EARLIEST right row with the same
    * key and `rightTime >= leftTime` — "next event at or after t" (next
    * order after a campaign touch, next error after a deploy). Same
-   * one-shuffle union/sort machinery with the scan order reversed. */
+   * one-shuffle union/sort machinery with the scan order reversed.
+   * `tolerance` as in [[asofBackward]]: matches more than `tolerance`
+   * units PAST the left time are dropped. */
   def asofForward(
       left: DataFrame,
       right: DataFrame,
       key: String,
       time: String,
-      rightVals: Seq[String]): DataFrame =
-    asof(left, right, key, time, rightVals, forward = true)
+      rightVals: Seq[String],
+      tolerance: Option[Long] = None): DataFrame =
+    asof(left, right, key, time, rightVals, forward = true, tolerance)
 
   private def asof(
       left: DataFrame,
@@ -52,7 +61,9 @@ object AsOfJoin {
       key: String,
       time: String,
       rightVals: Seq[String],
-      forward: Boolean): DataFrame = {
+      forward: Boolean,
+      tolerance: Option[Long]): DataFrame = {
+    require(tolerance.forall(_ >= 0), "tolerance must be non-negative")
 
     val leftCols = left.columns.toSeq
     val leftStruct = StructType(left.schema.fields)
@@ -76,11 +87,31 @@ object AsOfJoin {
       else Window.partitionBy("__key").orderBy(col("__time").asc, col("__tag")))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
+    // The matched right row's TIME rides along with its values — the
+    // tolerance cut needs it, and it costs one more carried column only
+    // when a tolerance is actually set.
+    val carried = tolerance match {
+      case None => Seq.empty
+      case Some(_) => Seq(
+        last(when(col("__tag") === 0, col("__time")), ignoreNulls = true)
+          .over(w).as("__rtime"))
+    }
+    // Out-of-tolerance match -> right values null, same row kept (the
+    // standard asof-with-tolerance contract, e.g. pandas merge_asof).
+    val projected = tolerance match {
+      case None => rightVals.map(col)
+      case Some(tol) =>
+        val keep =
+          if (forward) col("__rtime") - col("__time") <= tol
+          else col("__time") - col("__rtime") <= tol
+        rightVals.map(c => when(keep, col(c)).otherwise(lit(null)).as(c))
+    }
+
     taggedRight.unionByName(taggedLeft)
       .select(
-        Seq(col("__tag"), col("__l")) ++
+        Seq(col("__tag"), col("__l"), col("__time")) ++ carried ++
           rightVals.map(c => last(col(c), ignoreNulls = true).over(w).as(c)): _*)
       .filter(col("__tag") === 1)
-      .select(leftCols.map(c => col(s"__l.$c").as(c)) ++ rightVals.map(col): _*)
+      .select(leftCols.map(c => col(s"__l.$c").as(c)) ++ projected: _*)
   }
 }

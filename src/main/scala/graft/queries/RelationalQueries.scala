@@ -937,6 +937,45 @@ object RelationalQueries {
               ON e.user_id = r.o_custkey AND e.ts <= r.o_orderdate"""),
       "forward as-of join: next right row at-or-after each event"),
 
+    // As-of with a LOOKBACK BOUND — the standard time-series tolerance
+    // contract ("latest order at most 30 days old"): a match farther back
+    // than the bound is dropped (value nulled, row kept), exactly pandas
+    // merge_asof(tolerance=...). DuckDB oracles it by carrying the matched
+    // time out of a plain ASOF join and applying the bound afterwards.
+    // Times are epoch-ns longs on the Spark side, so the tolerance is an
+    // exact integer; DuckDB compares the timestamp difference to the same
+    // 30-day interval.
+    "x5_asof_tolerance" -> QueryDef(
+      (s, dir) => {
+        val events = t(s, dir, "events").filter(col("user_id") >= 1)
+        val orders = t(s, dir, "orders")
+          .groupBy("o_custkey", "o_orderdate")
+          .agg(max("o_orderkey").as("last_orderkey"))
+          .select(col("o_custkey"),
+            (unix_micros(col("o_orderdate").cast("timestamp")) * 1000L).as("ts"),
+            col("last_orderkey"))
+          .withColumnRenamed("o_custkey", "user_id")
+        AsOfJoin.asofBackward(
+          events.select("event_id", "user_id", "ts"), orders,
+          key = "user_id", time = "ts", rightVals = Seq("last_orderkey"),
+          tolerance = Some(30L * 86400L * 1000000000L))
+          .select("event_id", "user_id", "last_orderkey")
+      },
+      Some("""SELECT event_id, user_id,
+                     CASE WHEN ts - matched_ts <= INTERVAL 30 DAY
+                          THEN last_orderkey END AS last_orderkey
+              FROM (
+                SELECT e.event_id, e.user_id, e.ts,
+                       r.o_orderdate AS matched_ts, r.last_orderkey
+                FROM (SELECT event_id, user_id, ts FROM events
+                      WHERE user_id >= 1) e
+                ASOF LEFT JOIN (
+                  SELECT o_custkey, o_orderdate,
+                         max(o_orderkey) AS last_orderkey
+                  FROM orders GROUP BY 1, 2) r
+                ON e.user_id = r.o_custkey AND e.ts >= r.o_orderdate)"""),
+      "as-of join with lookback tolerance: stale matches dropped"),
+
     // Interval join with NO equality key: price-band assignment. A bare
     // `p >= lo AND p < hi` join is a BroadcastNestedLoopJoin in Spark —
     // O(|fact|·|bands|) and a full broadcast; RangeJoin.binnedRangeJoin

@@ -53,6 +53,46 @@ class AsOfJoinSpec extends SparkTestBase {
     assert(out("e5") == null)    // left row after every right row
   }
 
+  test("backward tolerance drops stale matches, keeps rows") {
+    val left = Seq(
+      (1L, 5L, "e1"), (1L, 10L, "e2"), (1L, 30L, "e3"),
+      (2L, 10L, "e4")).toDF("k", "t", "ev")
+    val right = Seq(
+      (1L, 5L, "r@5"), (1L, 15L, "r@15"),
+      (2L, 2L, "r@2")).toDF("k", "t", "rv")
+
+    val out = AsOfJoin.asofBackward(
+      left.select($"ev", $"k".as("key"), $"t".as("ts")),
+      right.select($"k".as("key"), $"t".as("ts"), $"rv"),
+      key = "key", time = "ts", rightVals = Seq("rv"),
+      tolerance = Some(8L))
+      .select("ev", "rv").as[(String, String)].collect().toMap
+
+    assert(out.size == 4)          // rows kept, values nulled
+    assert(out("e1") == "r@5")     // distance 0 <= 8
+    assert(out("e2") == "r@5")     // distance 5 <= 8
+    assert(out("e3") == null)      // r@15 is 15 back — stale
+    assert(out("e4") == "r@2")     // distance 8, boundary inclusive
+  }
+
+  test("forward tolerance drops far-future matches, keeps rows") {
+    val left = Seq(
+      (1L, 5L, "e1"), (1L, 10L, "e2"), (2L, 0L, "e3")).toDF("k", "t", "ev")
+    val right = Seq(
+      (1L, 15L, "r@15"), (2L, 50L, "r@50")).toDF("k", "t", "rv")
+
+    val out = AsOfJoin.asofForward(
+      left.select($"ev", $"k".as("key"), $"t".as("ts")),
+      right.select($"k".as("key"), $"t".as("ts"), $"rv"),
+      key = "key", time = "ts", rightVals = Seq("rv"),
+      tolerance = Some(10L))
+      .select("ev", "rv").as[(String, String)].collect().toMap
+
+    assert(out("e1") == "r@15")    // 10 ahead, boundary inclusive
+    assert(out("e2") == "r@15")    // 5 ahead
+    assert(out("e3") == null)      // 50 ahead — beyond tolerance
+  }
+
   test("row count preserved (left join semantics)") {
     val left = (1 to 100).map(i => (i.toLong % 5, i.toLong, s"e$i"))
       .toDF("key", "ts", "ev")

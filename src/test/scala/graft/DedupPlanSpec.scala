@@ -46,6 +46,63 @@ class DedupPlanSpec extends SparkTestBase {
     assert(!plan.contains("CartesianProduct"))
   }
 
+  test("reliable checkpoint mode produces identical pairs (cluster posture)") {
+    // graft.checkpoint.reliable=true switches every pipeline materialization
+    // from localCheckpoint (executor blocks) to a RELIABLE checkpoint in the
+    // session checkpoint dir — the posture a multi-hour cluster run needs.
+    // Previously untested (round-3 verdict #8).
+    val nearDup = docs.union(
+      Seq((1001L, (1 to 20).map(j => s"w${(1 + j) % 13}").mkString(" ")))
+        .toDF("doc_id", "text"))
+    val expected = Dedup.minhashDedupPairs(nearDup, 0.8)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(expected.nonEmpty)
+
+    val ckptDir = java.nio.file.Files
+      .createTempDirectory("graft_reliable_ckpt").toString
+    val priorDir = spark.sparkContext.getCheckpointDir
+    spark.sparkContext.setCheckpointDir(ckptDir)
+    spark.conf.set(Dedup.ReliableCheckpointConf, "true")
+    try {
+      val got = Dedup.minhashDedupPairs(nearDup, 0.8)
+        .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+      assert(got == expected)
+      // the reliable checkpoint actually wrote to the configured dir
+      val wrote = java.nio.file.Files.walk(java.nio.file.Paths.get(ckptDir))
+        .filter(p => java.nio.file.Files.isRegularFile(p)).count()
+      assert(wrote > 0, "no files under the reliable checkpoint dir")
+    } finally {
+      spark.conf.unset(Dedup.ReliableCheckpointConf)
+      priorDir.foreach(spark.sparkContext.setCheckpointDir)
+    }
+  }
+
+  test("property: chain graphs converge well inside the round bound") {
+    // Pathological worst case for plain label propagation: an n-link chain
+    // needs n rounds; the pointer-jumping rounds must cut that to
+    // O(log n) — a 256-node chain inside 12 rounds, nowhere near the
+    // default 25 (round-3 verdict #9). Plain ScalaCheck generators under
+    // fixed seeds, same discipline as SpineProperties.
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val genChain: Gen[Seq[Long]] = for {
+      n <- Gen.choose(2, 256)
+      ids <- Gen.pick(n, 1 to 100000)
+    } yield new scala.util.Random(n).shuffle(ids.map(_.toLong).toList)
+    val chains = (1 to 4).flatMap(i =>
+      genChain.apply(Gen.Parameters.default, Seed(i.toLong)))
+    for (chain <- chains) {
+      val edges = chain.sliding(2).collect { case Seq(a, b) => (a, b) }.toSeq
+      val pairs = edges.toDF("doc_a", "doc_b")
+      val labels = Dedup.dupClusters(pairs, maxIter = 12)
+        .as[(Long, Long)].collect()
+      val expectedMin = chain.min
+      assert(labels.length == chain.length)
+      assert(labels.forall(_._2 == expectedMin),
+        s"chain of ${chain.length} did not fully converge in 12 rounds")
+    }
+  }
+
   test("jaccard plan carries no forced broadcast hints") {
     val sh = Dedup.shingles(docs).persist()
     sh.count()
