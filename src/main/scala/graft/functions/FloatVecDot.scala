@@ -154,7 +154,7 @@ object GraftFunctions {
   /** Builder wrapper enforcing exact arity: a bare `exprs(0)` access
    * throws IndexOutOfBounds on zero args and silently IGNORES extras —
    * both must surface as proper analysis-time errors instead. */
-  private def withArity(name: String, n: Int)(
+  private[functions] def withArity(name: String, n: Int)(
       build: Seq[Expression] => Expression): Seq[Expression] => Expression =
     exprs => {
       require(exprs.length == n,
@@ -209,12 +209,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new org.apache.spark.sql.catalyst.FunctionIdentifier(GraftFunctions.VecDotName),
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[FloatVecDot].getName, GraftFunctions.VecDotName),
-      (exprs: Seq[Expression]) => FloatVecDot(exprs(0), exprs(1))))
+      GraftFunctions.withArity(GraftFunctions.VecDotName, 2)(
+        e => FloatVecDot(e(0), e(1)))))
     e.injectFunction((
       new org.apache.spark.sql.catalyst.FunctionIdentifier(GraftFunctions.MinHash12Name),
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[MinHash12].getName, GraftFunctions.MinHash12Name),
-      (exprs: Seq[Expression]) => MinHash12(exprs(0))))
+      GraftFunctions.withArity(GraftFunctions.MinHash12Name, 1)(
+        e => MinHash12(e(0)))))
     e.injectFunction((
       new org.apache.spark.sql.catalyst.FunctionIdentifier(GraftFunctions.TopKName),
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
@@ -229,7 +231,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new org.apache.spark.sql.catalyst.FunctionIdentifier(GraftFunctions.NfcName),
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[NormalizeNfc].getName, GraftFunctions.NfcName),
-      (exprs: Seq[Expression]) => NormalizeNfc(exprs(0))))
+      GraftFunctions.withArity(GraftFunctions.NfcName, 1)(
+        e => NormalizeNfc(e(0)))))
     // whole-plan rewrite: equality-free integral range joins re-plan as
     // bin-replicated hash joins (see plans.RangeJoinRewrite)
     e.injectOptimizerRule(session => graft.plans.RangeJoinRewrite(session))

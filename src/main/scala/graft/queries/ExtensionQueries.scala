@@ -373,6 +373,48 @@ object ExtensionQueries {
               WHERE NOT EXISTS (SELECT 1 FROM hist WHERE hist.fp = batch.fp)"""),
       "incremental dedup: new batch vs stored corpus fingerprints"),
 
+    // Benchmark DECONTAMINATION — the eval-set leak scan run before
+    // training (GPT-3 appendix C contract): corpus docs sharing >= 5
+    // distinct shingles with a benchmark doc are contaminated. The
+    // "benchmark" here is a deterministic slice of the corpus (doc_id
+    // % 20 == 0), so the near-dup structure of the fixtures produces real
+    // cross-doc hits; self-hits are excluded from the HITS view (a doc
+    // trivially overlaps itself).
+    "d13_decontaminate" -> QueryDef(
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val bench = docs.filter(col("doc_id") % 20 === 0)
+        Dedup.decontaminationHits(docs, bench, minOverlap = 5)
+          .filter(col("doc_id") =!= col("bench_id"))
+      },
+      Some(s"""WITH $ShinglesCte,
+               bsh AS (SELECT doc_id AS bench_id, sh FROM sh
+                       WHERE doc_id % 20 = 0)
+               SELECT s.doc_id, b.bench_id, count(*) AS n_overlap
+               FROM sh s JOIN bsh b ON s.sh = b.sh AND s.doc_id <> b.bench_id
+               GROUP BY 1, 2
+               HAVING count(*) >= 5"""),
+      "benchmark decontamination: n-gram overlap hits vs an eval slice"),
+
+    // Decontamination APPLIED: the surviving corpus. Benchmark members
+    // self-match and are correctly dropped along with their near-dups.
+    "d14_decontaminate_apply" -> QueryDef(
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val bench = docs.filter(col("doc_id") % 20 === 0)
+        Dedup.decontaminate(docs, bench, minOverlap = 5).select("doc_id")
+      },
+      Some(s"""WITH $ShinglesCte,
+               bsh AS (SELECT doc_id AS bench_id, sh FROM sh
+                       WHERE doc_id % 20 = 0),
+               hits AS (
+                 SELECT s.doc_id FROM sh s JOIN bsh b ON s.sh = b.sh
+                 GROUP BY s.doc_id, b.bench_id
+                 HAVING count(*) >= 5)
+               SELECT doc_id FROM documents
+               WHERE doc_id NOT IN (SELECT DISTINCT doc_id FROM hits)"""),
+      "decontamination applied: corpus docs clean of eval-set overlap"),
+
     // Apply the dedup: documents surviving near-dup removal = every cluster
     // keeper plus every unpaired doc.
     "d7_dedup_apply" -> QueryDef(

@@ -103,6 +103,24 @@ class ExtensionsSpec extends SparkTestBase {
     intercept[IllegalArgumentException](Dedup.simhashPairs(d, maxHamming = 4))
   }
 
+  test("decontamination flags n-gram overlap with the benchmark, apply drops it") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta"),  // near-copy of bench 10
+      (2L, "one two three four five six seven"),        // clean
+      (3L, "alpha beta gamma delta nothing else here"), // 2 shared shingles only
+      (10L, "alpha beta gamma delta epsilon zeta theta") // the benchmark doc
+    ).toDF("doc_id", "text")
+    val bench = docs.filter($"doc_id" === 10L)
+    val hits = Dedup.decontaminationHits(docs, bench, minOverlap = 3)
+      .as[(Long, Long, Long)].collect().toSet
+    // doc 1 shares shingles {abc, bcd, cde, dez} = 4 >= 3; doc 3 only 2;
+    // doc 10 self-matches with all 5 of its shingles
+    assert(hits == Set((1L, 10L, 4L), (10L, 10L, 5L)))
+    val surviving = Dedup.decontaminate(docs, bench, minOverlap = 3)
+      .select("doc_id").as[Long].collect().toSet
+    assert(surviving == Set(2L, 3L))
+  }
+
   test("dedupSurvivors keeps cluster keepers and unpaired docs") {
     val d = docs((1L, "a"), (2L, "b"), (3L, "c"), (10L, "d"), (11L, "e"), (99L, "f"))
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("doc_a", "doc_b")
