@@ -136,4 +136,24 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_terms"), sum("w_q").as("tfidf_q"))
       .withColumn("tfidf", col("tfidf_q").cast("double") / lit(1e6))
   }
+
+  /** Boilerplate fraction per document — the C4-style corpus-frequency
+   * filter: the share of a doc's distinct shingles whose corpus document
+   * frequency is at least `minDf` (navigation chrome, license headers,
+   * templated footers all light this up). Cost shape: the shingle
+   * relation aggregates once to (shingle, df) — vocabulary-sized, AQE
+   * broadcasts it when small — and joins back keyed by shingle; both
+   * sides of the join are the ALREADY-EXPLODED relation, so nothing
+   * corpus-quadratic exists. Output: (doc_id, n_sh, boiler_frac). */
+  def boilerplateFraction(docs: org.apache.spark.sql.DataFrame,
+      minDf: Int): org.apache.spark.sql.DataFrame = {
+    val sh = graft.ext.Dedup.shingles(docs)
+    val dfreq = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+    sh.join(dfreq, "sh")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_sh"),
+        sum(when(col("df") >= minDf, 1L).otherwise(0L)).as("n_boiler"))
+      .select(col("doc_id"), col("n_sh"),
+        round(col("n_boiler").cast("double") / col("n_sh"), 4).as("boiler_frac"))
+  }
 }

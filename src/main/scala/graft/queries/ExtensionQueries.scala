@@ -610,6 +610,37 @@ object ExtensionQueries {
                WHERE ${sqlCos("a.embedding::DOUBLE[]", "b.embedding::DOUBLE[]")} >= 0.4"""),
       "embedding-cosine near-dup pairs (cell-blocked)"),
 
+    // Semantic dedup END-TO-END (SemDeDup pipeline shape): the cosine
+    // near-dup pairs over embedding space feed the SAME star-rounds
+    // connected components as the text path — every vector transitively
+    // linked at >= 0.4 cosine collapses to its min-id cluster keeper.
+    // Cost: e1's cell-blocked pair scan + O(log² n) two-join rounds.
+    "e4_embed_clusters" -> QueryDef(
+      (s, dir) => {
+        graft.functions.GraftFunctions.register(s)
+        val pairs = Similarity
+          .cosineDedupPairs(t(s, dir, "embeddings"), "label", 0.4)
+          .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
+        Dedup.dupClusters(pairs)
+          .select(col("doc_id").as("vec_id"), col("cluster"))
+      },
+      Some(s"""WITH RECURSIVE cpairs AS (
+                 SELECT a.vec_id AS id_a, b.vec_id AS id_b
+                 FROM embeddings a JOIN embeddings b
+                   ON a.label = b.label AND a.vec_id < b.vec_id
+                 WHERE ${sqlCos("a.embedding::DOUBLE[]", "b.embedding::DOUBLE[]")} >= 0.4),
+               edges AS (
+                 SELECT id_a AS src, id_b AS dst FROM cpairs
+                 UNION ALL
+                 SELECT id_b, id_a FROM cpairs),
+               reach(src, dst) AS (
+                 SELECT src, dst FROM edges
+                 UNION
+                 SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
+               SELECT src AS vec_id, least(src, min(dst)) AS cluster
+               FROM reach GROUP BY src"""),
+      "semantic dedup: cosine pairs into connected-component keepers"),
+
     // Recall@3 of the derived-cell ANN (n3 path) against the exact brute
     // force (n1 path) — the governing ANN quality metric, shipped as an
     // operator. Deterministic: both sides replay in the oracle.
@@ -1348,6 +1379,21 @@ object ExtensionQueries {
                      CAST(sum(w_q) AS DOUBLE) / 1e6 AS tfidf
               FROM w GROUP BY doc_id"""),
       "document TF-IDF (micro-quantized log-idf, exact integer sums)"),
+
+    // Boilerplate fraction — the C4-style corpus-frequency filter: the
+    // share of each doc's distinct shingles with corpus document frequency
+    // >= 4 (templated chrome lights up, original prose stays near 0).
+    "t13_boilerplate" -> QueryDef(
+      (s, dir) =>
+        TextAnalysis.boilerplateFraction(t(s, dir, "documents"), minDf = 4),
+      Some(s"""WITH $ShinglesCte,
+               dfv AS (SELECT sh, count(*) AS df FROM sh GROUP BY sh)
+               SELECT s.doc_id, count(*) AS n_sh,
+                      round(CAST(sum(CASE WHEN d.df >= 4 THEN 1 ELSE 0 END)
+                              AS DOUBLE) / count(*), 4) AS boiler_frac
+               FROM sh s JOIN dfv d USING (sh)
+               GROUP BY s.doc_id"""),
+      "boilerplate fraction per doc (corpus-frequent shingle share)"),
 
     // ---- deterministic splitting / sampling / packing ----
 

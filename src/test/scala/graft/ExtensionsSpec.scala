@@ -121,6 +121,23 @@ class ExtensionsSpec extends SparkTestBase {
     assert(surviving == Set(2L, 3L))
   }
 
+  test("boilerplateFraction separates templated chrome from original prose") {
+    val boiler = "all rights reserved contact us for details"
+    val docs = Seq(
+      (1L, s"unique alpha beta gamma $boiler"),
+      (2L, s"different delta epsilon zeta $boiler"),
+      (3L, s"third eta theta iota $boiler"),
+      (4L, s"fourth kappa lambda mu $boiler"),
+      (5L, "entirely original text with no shared chrome at all")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.boilerplateFraction(docs, minDf = 4)
+      .select("doc_id", "boiler_frac").as[(Long, Double)].collect().toMap
+    // the 7-word boilerplate tail contributes 5 shared shingles to each of
+    // docs 1-4 (plus one bridge shingle unique per doc); doc 5 shares none
+    assert(out(5L) == 0.0)
+    for (d <- 1L to 4L) assert(out(d) > 0.4, s"doc $d: ${out(d)}")
+  }
+
   test("dedupSurvivors keeps cluster keepers and unpaired docs") {
     val d = docs((1L, "a"), (2L, "b"), (3L, "c"), (10L, "d"), (11L, "e"), (99L, "f"))
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("doc_a", "doc_b")
