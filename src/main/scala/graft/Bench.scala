@@ -158,7 +158,12 @@ object Bench {
       // Replica stride derives from the actual max id (one tiny agg), so the
       // "replica 0 keeps original ids" invariant holds at any input SF — a
       // fixed 10M stride would silently collide once base ids reach 10M.
-      val docStride = docs.agg(max("doc_id")).head.getLong(0) + 1L
+      // max() over an EMPTY table yields a null row — guard, don't NPE.
+      def maxIdOrZero(df: org.apache.spark.sql.DataFrame, c: String): Long = {
+        val r = df.agg(max(c)).head
+        if (r.isNullAt(0)) 0L else r.getLong(0)
+      }
+      val docStride = maxIdOrZero(docs, "doc_id") + 1L
       val docs10 = (0 until 10).map { k =>
         docs.select((col("doc_id") + lit(k * docStride)).as("doc_id"),
           regexp_replace(col("text"), "(\\S+)", "$1_" + k).as("text"))
@@ -171,7 +176,7 @@ object Bench {
       // exact positions); replica 0 keeps the original ids so the probe
       // queries (vec_id < 8/10) stay the same query set at 10× corpus.
       val embs = spark.read.parquet(s"$sfDir/embeddings.parquet")
-      val vecStride = embs.agg(max("vec_id")).head.getLong(0) + 1L
+      val vecStride = maxIdOrZero(embs, "vec_id") + 1L
       val embs10 = (0 until 10).map { k =>
         embs.select((col("vec_id") + lit(k * vecStride)).as("vec_id"),
           transform(col("embedding"),

@@ -47,7 +47,7 @@ object Dedup {
    * (`sparkContext.setCheckpointDir`), surviving executor loss — the mode
    * you want under a multi-hour 100 TB dedup where recomputing a lost
    * lineage means re-running the whole shingle+hash pipeline. */
-  private def materialize(df: DataFrame): DataFrame = {
+  private[ext] def materialize(df: DataFrame): DataFrame = {
     val reliable = df.sparkSession.conf
       .getOption(ReliableCheckpointConf).exists(_.toBoolean)
     if (reliable) df.checkpoint() else df.localCheckpoint()

@@ -466,8 +466,13 @@ object Similarity {
    * heap per query per partition, so only k rows/query/partition cross the
    * wire — the cut that survives a 100× corpus (round-3 verdict #3). Same
    * (sim DESC, n_id ASC) order, same rounded-double sim values, so the
-   * oracle hash is unchanged. */
-  private def topKBySim(scored: DataFrame, k: Int, simCol: String): DataFrame =
+   * oracle hash is unchanged. NULL similarities are dropped by the
+   * aggregate (a null dot product means malformed input, e.g. mismatched
+   * embedding lengths) — a query whose candidates ALL score null emits no
+   * rows. Registers the native functions defensively so externally-built
+   * sessions work. */
+  private def topKBySim(scored: DataFrame, k: Int, simCol: String): DataFrame = {
+    graft.functions.GraftFunctions.register(scored.sparkSession)
     scored
       .groupBy("q_id")
       .agg(graft.functions.GraftFunctions.topK(
@@ -476,10 +481,13 @@ object Similarity {
       .select(col("q_id"), col("col.id").as("n_id"),
         col("col.ord").as(simCol),
         (col("pos") + 1).cast("int").as("rank"))
+  }
 
   /** Bounded-heap top-k cut over (q_id, n_id, dist_q) — smallest distance
-   * first, ties to the smaller neighbor id. */
-  private def topKByDist(scored: DataFrame, k: Int): DataFrame =
+   * first, ties to the smaller neighbor id. Registration as in
+   * [[topKBySim]]. */
+  private def topKByDist(scored: DataFrame, k: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(scored.sparkSession)
     scored
       .groupBy("q_id")
       .agg(graft.functions.GraftFunctions.topK(
@@ -488,6 +496,7 @@ object Similarity {
       .select(col("q_id"), col("col.id").as("n_id"),
         (-col("col.ord")).cast("long").as("dist_q"),
         (col("pos") + 1).cast("int").as("rank"))
+  }
 
   /** Asymmetric-distance (ADC) kNN over PQ codes: the query stays exact
    * (micro grid); each corpus vector contributes only its codes, so

@@ -147,7 +147,10 @@ object TextAnalysis {
    * corpus-quadratic exists. Output: (doc_id, n_sh, boiler_frac). */
   def boilerplateFraction(docs: org.apache.spark.sql.DataFrame,
       minDf: Int): org.apache.spark.sql.DataFrame = {
-    val sh = graft.ext.Dedup.shingles(docs)
+    // The shingle relation feeds BOTH the df aggregation and the join-back
+    // side — materialize once (eager checkpoint) so the ~100x explode
+    // pipeline doesn't execute twice (same posture as minhashDedupPairs).
+    val sh = Dedup.materialize(Dedup.shingles(docs))
     val dfreq = sh.groupBy("sh").agg(count(lit(1)).as("df"))
     sh.join(dfreq, "sh")
       .groupBy("doc_id")

@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{StructField, StructType}
 
 /**
  * Backward as-of join: for each left row, attach the value columns of the
@@ -67,17 +67,28 @@ object AsOfJoin {
 
     val leftCols = left.columns.toSeq
     val leftStruct = StructType(left.schema.fields)
+    // The right side rides as ONE struct (matched time + value columns), so
+    // the window carries whole ROWS: value and matched-time can never come
+    // from different right rows (per-column ignoreNulls carries would let a
+    // stale non-null value pair with a newer row's time when the newer
+    // row's value column is null), and a right row whose value IS null
+    // matches as itself — row semantics, exactly DuckDB ASOF / pandas
+    // merge_asof.
+    val rightStruct = StructType(
+      StructField("__t", right.schema(time).dataType,
+        right.schema(time).nullable) +: rightVals.map(right.schema(_)))
 
     // Right rows tag 0 → sort before left rows at equal time (inclusive
     // as-of in both directions).
     val taggedRight = right.select(
-      Seq(col(key).as("__key"), col(time).as("__time"), lit(0).as("__tag"),
-        lit(null).cast(leftStruct).as("__l")) ++ rightVals.map(col): _*)
+      col(key).as("__key"), col(time).as("__time"), lit(0).as("__tag"),
+      lit(null).cast(leftStruct).as("__l"),
+      struct(col(time).as("__t") +: rightVals.map(col): _*).as("__r"))
 
     val taggedLeft = left.select(
-      Seq(col(key).as("__key"), col(time).as("__time"), lit(1).as("__tag"),
-        struct(leftCols.map(col): _*).as("__l")) ++
-        rightVals.map(c => lit(null).cast(right.schema(c).dataType).as(c)): _*)
+      col(key).as("__key"), col(time).as("__time"), lit(1).as("__tag"),
+      struct(leftCols.map(col): _*).as("__l"),
+      lit(null).cast(rightStruct).as("__r"))
 
     // Backward walks time ascending carrying the latest right row forward;
     // forward walks time DESCENDING carrying the earliest following right
@@ -87,31 +98,22 @@ object AsOfJoin {
       else Window.partitionBy("__key").orderBy(col("__time").asc, col("__tag")))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
-    // The matched right row's TIME rides along with its values — the
-    // tolerance cut needs it, and it costs one more carried column only
-    // when a tolerance is actually set.
-    val carried = tolerance match {
-      case None => Seq.empty
-      case Some(_) => Seq(
-        last(when(col("__tag") === 0, col("__time")), ignoreNulls = true)
-          .over(w).as("__rtime"))
-    }
     // Out-of-tolerance match -> right values null, same row kept (the
     // standard asof-with-tolerance contract, e.g. pandas merge_asof).
-    val projected = tolerance match {
-      case None => rightVals.map(col)
+    def projected(c: String) = tolerance match {
+      case None => col(s"__m.$c")
       case Some(tol) =>
         val keep =
-          if (forward) col("__rtime") - col("__time") <= tol
-          else col("__time") - col("__rtime") <= tol
-        rightVals.map(c => when(keep, col(c)).otherwise(lit(null)).as(c))
+          if (forward) col("__m.__t") - col("__time") <= tol
+          else col("__time") - col("__m.__t") <= tol
+        when(keep, col(s"__m.$c")).otherwise(lit(null))
     }
 
     taggedRight.unionByName(taggedLeft)
-      .select(
-        Seq(col("__tag"), col("__l"), col("__time")) ++ carried ++
-          rightVals.map(c => last(col(c), ignoreNulls = true).over(w).as(c)): _*)
+      .select(col("__tag"), col("__l"), col("__time"),
+        last(col("__r"), ignoreNulls = true).over(w).as("__m"))
       .filter(col("__tag") === 1)
-      .select(leftCols.map(c => col(s"__l.$c").as(c)) ++ projected: _*)
+      .select(leftCols.map(c => col(s"__l.$c").as(c)) ++
+        rightVals.map(c => projected(c).as(c)): _*)
   }
 }

@@ -61,12 +61,15 @@ case class RangeJoinRewrite(spark: SparkSession)
   private val WidthConf = "spark.graft.rangeJoinRewrite.binWidth"
   private val SampleN = 10001
 
-  /** Derived widths keyed by canonicalized (interval side, lo, hi) —
-   * fixpoint re-runs of the optimizer batch must not re-launch the
-   * sampling job. Bounded: cleared wholesale if it ever grows past 64
-   * distinct interval relations (a session-lifetime cache, not a leak). */
-  private val widthCache = new java.util.concurrent.ConcurrentHashMap[
-    (LogicalPlan, Expression, Expression), Long]()
+  /** Derived widths keyed by the CANONICALIZED sampling projection —
+   * QueryPlan canonicalization normalizes attribute exprIds to output
+   * positions, so the same re-submitted query (fresh exprIds every
+   * analysis) hits the cache instead of re-launching the sampling job;
+   * fixpoint re-runs within one optimization hit it too. Bounded: cleared
+   * wholesale past 64 distinct interval relations (a session-lifetime
+   * cache, not a leak). */
+  private val widthCache =
+    new java.util.concurrent.ConcurrentHashMap[LogicalPlan, Long]()
 
   /** Median interval span over a bounded prefix sample of the interval
    * side. `executeTake` pulls partitions incrementally, so the cost is a
@@ -76,13 +79,13 @@ case class RangeJoinRewrite(spark: SparkSession)
   private def deriveWidth(right: LogicalPlan, lo: Expression,
       hi: Expression): Option[Long] = {
     if (right.isStreaming) return None
-    val key = (right.canonicalized, lo.canonicalized, hi.canonicalized)
+    val span = Subtract(Cast(hi, LongType), Cast(lo, LongType))
+    val proj = Project(Seq(Alias(span, "__graft_span")()), right)
+    val key = proj.canonicalized
     val cached = widthCache.get(key)
     if (cached != 0L) return if (cached > 0) Some(cached) else None
     val derived: Option[Long] =
       try {
-        val span = Subtract(Cast(hi, LongType), Cast(lo, LongType))
-        val proj = Project(Seq(Alias(span, "__graft_span")()), right)
         val rows = spark.sessionState.executePlan(proj)
           .executedPlan.executeTake(SampleN)
         val spans = rows.iterator

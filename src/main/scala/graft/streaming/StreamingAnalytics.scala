@@ -318,11 +318,18 @@ object StreamingAnalytics {
       sorted.foreach { e =>
         val t = e.ts.getTime
         cur match {
+          case Some(s) if t < s.start - gapMs =>
+            // A cross-batch late event more than gap BEFORE the open
+            // session can never belong to it (the guard below would be
+            // vacuously true for any t <= s.last and silently over-merge,
+            // round-4 review): it forms its own, already-complete session —
+            // the open session's start bounds how far it could extend.
+            closed ::= ClosedSession(key, new Timestamp(t), new Timestamp(t), 1)
           case Some(s) if t - s.last <= gapMs =>
-            // A cross-batch late event (t < s.start, still within gap of
-            // s.last) must WIDEN the session start, or the emitted
-            // session_start would not bound all member events — diverging
-            // from the sort-first batch sessionization (s1/s4) this mirrors.
+            // A late event within gap of the session (possibly before its
+            // start) must WIDEN the start, or the emitted session_start
+            // would not bound all member events — mirroring the sort-first
+            // batch sessionization (s1/s4).
             cur = Some(IdleSession(math.min(s.start, t),
               math.max(s.last, t), s.n + 1))
           case Some(s) =>

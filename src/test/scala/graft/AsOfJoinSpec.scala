@@ -93,6 +93,24 @@ class AsOfJoinSpec extends SparkTestBase {
     assert(out("e3") == null)      // 50 ahead — beyond tolerance
   }
 
+  test("a matched right row with a NULL value yields null (row semantics)") {
+    // The latest at-or-before right ROW is the match, even when its value
+    // column is null — a stale non-null value must NOT leak through (DuckDB
+    // ASOF / pandas merge_asof row semantics; round-4 review finding).
+    val left = Seq((1L, 105L, "e1")).toDF("k", "t", "ev")
+    val right = Seq(
+      (1L, 0L, Option("old")), (1L, 100L, Option.empty[String]))
+      .toDF("k", "t", "rv")
+    for (tol <- Seq(None, Some(10L), Some(1000L))) {
+      val out = AsOfJoin.asofBackward(
+        left.select($"ev", $"k".as("key"), $"t".as("ts")),
+        right.select($"k".as("key"), $"t".as("ts"), $"rv"),
+        key = "key", time = "ts", rightVals = Seq("rv"), tolerance = tol)
+        .select("ev", "rv").as[(String, String)].collect().toMap
+      assert(out("e1") == null, s"tolerance $tol leaked a stale value")
+    }
+  }
+
   test("row count preserved (left join semantics)") {
     val left = (1 to 100).map(i => (i.toLong % 5, i.toLong, s"e$i"))
       .toDF("key", "ts", "ev")

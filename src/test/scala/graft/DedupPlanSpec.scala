@@ -103,6 +103,15 @@ class DedupPlanSpec extends SparkTestBase {
     }
   }
 
+  test("decontamination plans a shingle-keyed join, never all-pairs") {
+    val bench = docs.filter($"doc_id" % 7 === 0)
+    val plan = Dedup.decontaminationHits(docs, bench, minOverlap = 3)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoop"),
+      s"all-pairs join shape found in:\n$plan")
+  }
+
   test("jaccard plan carries no forced broadcast hints") {
     val sh = Dedup.shingles(docs).persist()
     sh.count()

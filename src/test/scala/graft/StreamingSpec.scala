@@ -322,6 +322,52 @@ class StreamingSpec extends SparkTestBase {
     }
   }
 
+  test("a late event far before the open session closes as its own singleton") {
+    // Cross-batch late event 2h BEFORE the open session (gap 60s, watermark
+    // 4h): it can never belong to that session — it must emit as its own
+    // singleton, NOT silently merge and widen session_start by 2 hours
+    // (round-4 review: `t - s.last <= gapMs` is vacuously true for t in the
+    // past).
+    implicit val s = spark
+    implicit val sqlCtx = spark.sqlContext
+    val prevProvider = spark.conf.getOption(
+      "spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val input = MemoryStream[StreamingAnalytics.TimedEvent]
+      val withWm = input.toDS().withWatermark("ts", "4 hours")
+        .as[StreamingAnalytics.TimedEvent]
+      val q = StreamingAnalytics.idleSessions(withWm, gapMs = 60000L)
+        .writeStream.outputMode("append")
+        .format("memory").queryName("idle_late").start()
+      def at(h: Int, m: Int) = StreamingAnalytics.TimedEvent(
+        7L, Timestamp.valueOf(f"2026-01-01 $h%02d:$m%02d:00"))
+      input.addData(at(12, 0))
+      q.processAllAvailable()
+      input.addData(at(10, 0)) // 2h late, inside the 4h watermark
+      q.processAllAvailable()
+      q.stop()
+      val rows = spark.table("idle_late")
+        .select($"session_start", $"session_end", $"n_events")
+        .as[(Timestamp, Timestamp, Long)].collect().toSet
+      assert(rows.contains((Timestamp.valueOf("2026-01-01 10:00:00"),
+        Timestamp.valueOf("2026-01-01 10:00:00"), 1L)),
+        s"late singleton must close on its own: $rows")
+      assert(rows.forall { case (st, en, _) =>
+        !(st.getTime == Timestamp.valueOf("2026-01-01 10:00:00").getTime &&
+          en.getTime == Timestamp.valueOf("2026-01-01 12:00:00").getTime)
+      }, s"late event must not merge across a 2h gap: $rows")
+    } finally {
+      prevProvider match {
+        case Some(p) => spark.conf.set(
+          "spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset(
+          "spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("event-time timers close idle sessions when the watermark passes") {
     implicit val s = spark
     implicit val sqlCtx = spark.sqlContext
