@@ -69,25 +69,32 @@ object Dedup {
    * d2/d3 cost at bench scale was one core). The repartition shuffle moves
    * only the raw docs (small next to the exploded output) and co-locates
    * each doc's rows for the downstream per-doc aggregations. */
-  def shingles(docs: DataFrame): DataFrame = {
+  def shingles(docs: DataFrame): DataFrame = shinglesN(docs, ShingleWidth)
+
+  /** Width-parameterized distinct word-shingles — the published
+   * decontamination scans use wide n (13-grams in the GPT-3 appendix C
+   * lineage), near-dup mining narrow n. Same machinery at any width:
+   * posexplode + (n-1) window leads + concat_ws, NOT transform/element_at
+   * over the token array (higher-order functions evaluate interpreted,
+   * while posexplode/lead/concat_ws stay inside WholeStageCodegen). The
+   * window's partitioning is the doc_id repartition above, so no extra
+   * shuffle — only a per-partition sort by (doc_id, pos). */
+  def shinglesN(docs: DataFrame, width: Int): DataFrame = {
+    require(width >= 2, s"shingle width must be >= 2, got $width")
     val w = split(col("text"), " ")
     val win = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy("pos")
-    // Shingles assemble via posexplode + window lead, NOT
-    // transform/element_at over the token array: higher-order functions
-    // evaluate interpreted (ArrayTransform has no codegen), while
-    // posexplode/lead/concat_ws all stay inside WholeStageCodegen. The
-    // window's partitioning is the doc_id repartition above, so no extra
-    // shuffle — only a per-partition sort by (doc_id, pos).
-    docs
-      .filter(size(w) >= ShingleWidth)
-      .repartition(col("doc_id"))
-      .select(col("doc_id"), posexplode(w).as(Seq("pos", "w0")))
-      .withColumn("w1", lead("w0", 1).over(win))
-      .withColumn("w2", lead("w0", 2).over(win))
-      .filter(col("w2").isNotNull)
+    val withLeads = (1 until width).foldLeft(
+      docs
+        .filter(size(w) >= width)
+        .repartition(col("doc_id"))
+        .select(col("doc_id"), posexplode(w).as(Seq("pos", "w0")))) {
+      (df, i) => df.withColumn(s"w$i", lead("w0", i).over(win))
+    }
+    withLeads
+      .filter(col(s"w${width - 1}").isNotNull)
       .select(col("doc_id"),
-        concat_ws(" ", col("w0"), col("w1"), col("w2")).as("sh"))
+        concat_ws(" ", (0 until width).map(i => col(s"w$i")): _*).as("sh"))
       .distinct()
   }
 
@@ -326,10 +333,10 @@ object Dedup {
    * overlap actually exists. Nothing is all-pairs. Returns
    * (doc_id, bench_id, n_overlap). */
   def decontaminationHits(docs: DataFrame, bench: DataFrame,
-      minOverlap: Int): DataFrame = {
+      minOverlap: Int, width: Int = ShingleWidth): DataFrame = {
     require(minOverlap >= 1, "minOverlap must be >= 1")
-    val shDocs = shingles(docs)
-    val shBench = shingles(bench).toDF("bench_id", "sh")
+    val shDocs = shinglesN(docs, width)
+    val shBench = shinglesN(bench, width).toDF("bench_id", "sh")
     shDocs.join(shBench, "sh")
       .groupBy("doc_id", "bench_id")
       .agg(count(lit(1)).as("n_overlap"))
@@ -340,9 +347,10 @@ object Dedup {
    * document at `minOverlap`. A document that itself appears in the
    * benchmark trivially self-matches and is (correctly) dropped. */
   def decontaminate(docs: DataFrame, bench: DataFrame,
-      minOverlap: Int): DataFrame =
+      minOverlap: Int, width: Int = ShingleWidth): DataFrame =
     docs.join(
-      decontaminationHits(docs, bench, minOverlap).select("doc_id").distinct(),
+      decontaminationHits(docs, bench, minOverlap, width)
+        .select("doc_id").distinct(),
       Seq("doc_id"), "left_anti")
 
   /** Near-dup pairs by SimHash Hamming distance: fingerprints within
@@ -400,6 +408,24 @@ object Dedup {
       .select(col("id_a"), col("id_b"),
         levenshtein(col("name_a"), col("name_b")).as("dist"))
       .filter(col("dist") <= maxDist)
+  }
+
+  /** Bidirectional fuzzy blocking: the prefix pass UNION a suffix pass
+   * (= the prefix pass over REVERSED strings — Levenshtein is symmetric
+   * under reversal). Closes the documented prefix-blocking gap: an edit
+   * INSIDE the first `blockPrefix` chars escapes the prefix block but
+   * leaves the suffix block intact, and vice versa — only a pair edited in
+   * BOTH its head and tail (>= 2 edits when the blocks don't overlap) can
+   * escape both passes, so the pass pair is exact for 1-edit workloads.
+   * Same bounded-bucket posture, two blocked joins + one dedup agg. */
+  def editDistancePairsBidirectional(df: DataFrame, idCol: String,
+      nameCol: String, blockPrefix: Int, maxDist: Int): DataFrame = {
+    val pre = editDistancePairs(df, idCol, nameCol, blockPrefix, maxDist)
+    val suf = editDistancePairs(
+      df.select(col(idCol), reverse(col(nameCol)).as(nameCol)),
+      idCol, nameCol, blockPrefix, maxDist)
+    pre.union(suf)
+      .groupBy("id_a", "id_b").agg(min("dist").as("dist"))
   }
 
   /** SimHash fingerprint (32-bit): per-token md5-derived hash, per-bit vote. */

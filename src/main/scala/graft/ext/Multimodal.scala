@@ -42,11 +42,16 @@ object Multimodal {
   final case class VideoFrame(
       media_id: Long, frame_no: Int, ts_ms: Long, payload: Array[Byte])
 
+  final case class ImageHash(media_id: Long, ahash: Long)
+
   /** The codec seam. Production would bind real decoders here. */
   trait Codec extends Serializable {
     def decodeImage(payload: Array[Byte]): (Int, Int, Array[Float])
     def decodeAudioWindows(payload: Array[Byte], windowMs: Int, durationMs: Long): Array[Array[Float]]
     def extractFrame(payload: Array[Byte], tsMs: Long): Array[Byte]
+    /** 8×8 mean-luma grid (row-major, 64 values in [0,1]) — the input to
+     * the perceptual average-hash. */
+    def decodeGray8(payload: Array[Byte]): Array[Double]
   }
 
   /** Deterministic fake codec: every output derives from a rolling hash of
@@ -72,6 +77,10 @@ object Multimodal {
       val seed = rollingSeed(payload) ^ tsMs
       Array.tabulate(32)(i => ((seed >> (i % 8)) & 0xff).toByte)
     }
+
+    def decodeGray8(payload: Array[Byte]): Array[Double] =
+      featureVec(rollingSeed(payload) ^ 0x9E3779B97F4A7C15L, 64)
+        .map(_.toDouble)
 
     private def featureVec(seed: Long, dim: Int): Array[Float] = {
       var s = seed
@@ -206,6 +215,52 @@ object Multimodal {
 
     def extractFrame(payload: Array[Byte], tsMs: Long): Array[Byte] =
       FakeCodec.extractFrame(payload, tsMs)
+
+    /** 8×8 area-mean luma grid from real pixels: each cell averages its
+     * region (sampled on a bounded stride — at most ~64 samples per cell,
+     * so cost is O(4096) regardless of image size). Unparseable payloads
+     * fall back to the deterministic fake, same as decodeImage. */
+    def decodeGray8(payload: Array[Byte]): Array[Double] = {
+      val img =
+        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+        catch { case _: java.io.IOException => null }
+      if (img == null) FakeCodec.decodeGray8(payload)
+      else {
+        val w = img.getWidth
+        val h = img.getHeight
+        val out = new Array[Double](64)
+        var cy = 0
+        while (cy < 8) {
+          val y0 = h * cy / 8
+          val y1 = math.max(y0 + 1, h * (cy + 1) / 8)
+          var cx = 0
+          while (cx < 8) {
+            val x0 = w * cx / 8
+            val x1 = math.max(x0 + 1, w * (cx + 1) / 8)
+            val sx = math.max(1, (x1 - x0) / 8)
+            val sy = math.max(1, (y1 - y0) / 8)
+            var s = 0.0
+            var n = 0L
+            var y = y0
+            while (y < y1) {
+              var x = x0
+              while (x < x1) {
+                val rgb = img.getRGB(x, y)
+                s += (0.299 * ((rgb >> 16) & 0xff) + 0.587 * ((rgb >> 8) & 0xff) +
+                  0.114 * (rgb & 0xff)) / 255.0
+                n += 1
+                x += sx
+              }
+              y += sy
+            }
+            out(cy * 8 + cx) = s / n
+            cx += 1
+          }
+          cy += 1
+        }
+        out
+      }
+    }
   }
 
   /** Image decode + feature extraction, batch-wise per partition. */
@@ -252,6 +307,58 @@ object Multimodal {
         VideoFrame(m.media_id, i, ts, codec.extractFrame(m.payload, ts))
       }
     }
+  }
+
+  /** Perceptual average-hash (aHash) per image: the 8×8 mean-luma grid
+   * thresholded at its own mean — bit i set iff cell i is brighter than
+   * average — packed into one 64-bit long. The standard cheap perceptual
+   * fingerprint: re-encodes, minor crops, and small edits move only a few
+   * bits, so image NEAR-DUP detection becomes small-Hamming-distance
+   * search over longs — the SAME problem shape as text SimHash, solved
+   * with the same machinery. Payloads never shuffle; 8 bytes per image
+   * flow downstream. */
+  def imageAHash(media: Dataset[MediaRecord], codec: Codec = FakeCodec)(
+      implicit spark: SparkSession): Dataset[ImageHash] = {
+    import spark.implicits._
+    media.filter(_.kind == "image").mapPartitions { it =>
+      it.map { m =>
+        val g = codec.decodeGray8(m.payload)
+        val mean = g.sum / g.length
+        var bits = 0L
+        var i = 0
+        while (i < 64) {
+          if (g(i) > mean) bits |= (1L << i)
+          i += 1
+        }
+        ImageHash(m.media_id, bits)
+      }
+    }
+  }
+
+  /** Image near-dup pairs by aHash Hamming distance — the pigeonhole
+   * blocking of `Dedup.simhashPairs` lifted to the 64-bit hash: 4 disjoint
+   * 16-bit bands; two hashes within Hamming 3 must agree EXACTLY on at
+   * least one band, so the band-equality self-join is lossless at
+   * `maxHamming <= 3` and never all-pairs. Input: `imageAHash` output. */
+  def imageDupPairs(hashes: DataFrame, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3,
+      "4-band pigeonhole blocking is only lossless up to Hamming distance 3")
+    val bandCols = (0 until 4).map(b =>
+      shiftright(col("ahash"), b * 16).bitwiseAND(lit(0xffffL)))
+    val bands = hashes.select(col("media_id"),
+      posexplode(array(bandCols: _*)).as(Seq("band", "band_val")))
+    val cands = bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") &&
+        col("a.band_val") === col("b.band_val") &&
+        col("a.media_id") < col("b.media_id"))
+      .select(col("a.media_id").as("id_a"), col("b.media_id").as("id_b"))
+      .distinct()
+    cands
+      .join(hashes.toDF("id_a", "h_a"), Seq("id_a"))
+      .join(hashes.toDF("id_b", "h_b"), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("h_a").bitwiseXOR(col("h_b"))).cast("int").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
   }
 
   /** Metadata-only resize plan: records the target geometry without touching

@@ -137,6 +137,39 @@ object TextAnalysis {
       .withColumn("tfidf", col("tfidf_q").cast("double") / lit(1e6))
   }
 
+  /** Corpus-unigram cross-entropy per document — the perplexity-filter
+   * shape of the CCNet/RedPajama quality pipelines, with the language
+   * model reduced to the corpus' own unigram distribution (no external LM
+   * in this container; the dataflow — token probabilities from one
+   * corpus-wide aggregation, per-doc mean negative log-likelihood — is
+   * identical with a real LM probability table swapped in). High score =
+   * tokens rare in the corpus (gibberish, wrong-language, OCR noise);
+   * low = templated/common text. Cost shape: one vocabulary-sized count
+   * agg + one join keyed by token (AQE broadcasts small vocabularies) + a
+   * doc-grain agg; the corpus total is a 1-row broadcast.
+   *
+   * Determinism: -ln p is quantized to integer MICROS immediately (one
+   * deterministic ln per token occurrence of identical IEEE doubles), so
+   * per-doc sums are exact BIGINTs — same micro-grid discipline as tfIdf.
+   * Output: (doc_id, n_toks, s_q, xent = s_q/1e6/n_toks). */
+  def unigramCrossEntropy(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val toks = docs.select(col("doc_id"),
+      explode(split(col("text"), " ")).as("tok"))
+    val counts = toks.groupBy("tok").agg(count(lit(1)).as("c"))
+    val total = toks.select(count(lit(1)).as("n_total"))
+    toks.join(counts, "tok")
+      .crossJoin(broadcast(total))
+      .withColumn("nll_q",
+        floor(-log(col("c").cast("double") / col("n_total")) * lit(1e6)
+          + lit(0.5)).cast("long"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_toks"), sum("nll_q").as("s_q"))
+      .select(col("doc_id"), col("n_toks"), col("s_q"),
+        round(col("s_q").cast("double") / lit(1e6) / col("n_toks"), 6)
+          .as("xent"))
+  }
+
   /** Boilerplate fraction per document — the C4-style corpus-frequency
    * filter: the share of a doc's distinct shingles whose corpus document
    * frequency is at least `minDf` (navigation chrome, license headers,

@@ -130,6 +130,20 @@ object ExtensionQueries {
          FROM words WHERE len(w) >= 3),
        sh AS (SELECT DISTINCT doc_id, sh FROM sh0)"""
 
+  /** Width-parameterized form of [[ShinglesCte]], mirroring
+   * Dedup.shinglesN: CTE `name` = distinct `width`-word shingles. */
+  private def sqlShinglesCteN(width: Int, name: String): String = {
+    val concat = (0 until width).map(i => s"w[i+$i]").mkString(" || ' ' || ")
+    s"""words_$name AS (
+          SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        ${name}0 AS (
+          SELECT doc_id,
+                 unnest([$concat
+                         for i in generate_series(1, len(w) - ${width - 1})]) AS sh
+          FROM words_$name WHERE len(w) >= $width),
+        $name AS (SELECT DISTINCT doc_id, sh FROM ${name}0)"""
+  }
+
   /** DuckDB mirror of Dedup.seededHash. */
   private def sqlHash(shExpr: String, seed: Int): String =
     s"('0x' || substr(md5('$seed:' || $shExpr), 1, 8))::BIGINT"
@@ -414,6 +428,27 @@ object ExtensionQueries {
                SELECT doc_id FROM documents
                WHERE doc_id NOT IN (SELECT DISTINCT doc_id FROM hits)"""),
       "decontamination applied: corpus docs clean of eval-set overlap"),
+
+    // The PUBLISHED decontamination contract: ANY shared 13-gram flags the
+    // doc (GPT-3 appendix C lineage uses wide n with overlap 1 — at 13
+    // words a collision is essentially never coincidence). Exercises the
+    // width-parameterized shingle path end-to-end against a matching
+    // 13-gram oracle CTE.
+    "d16_decontaminate_13gram" -> QueryDef(
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val bench = docs.filter(col("doc_id") % 20 === 0)
+        Dedup.decontaminationHits(docs, bench, minOverlap = 1, width = 13)
+          .filter(col("doc_id") =!= col("bench_id"))
+      },
+      Some(s"""WITH ${sqlShinglesCteN(13, "sh13")},
+               bsh AS (SELECT doc_id AS bench_id, sh FROM sh13
+                       WHERE doc_id % 20 = 0)
+               SELECT s.doc_id, b.bench_id, count(*) AS n_overlap
+               FROM sh13 s JOIN bsh b ON s.sh = b.sh AND s.doc_id <> b.bench_id
+               GROUP BY 1, 2
+               HAVING count(*) >= 1"""),
+      "13-gram decontamination: the published eval-leak scan contract"),
 
     // Apply the dedup: documents surviving near-dup removal = every cluster
     // keeper plus every unpaired doc.
@@ -1141,6 +1176,35 @@ object ExtensionQueries {
               WHERE levenshtein(a.nm, b.nm) <= 1"""),
       "fuzzy self-join: prefix-blocked Levenshtein near-match pairs"),
 
+    // Bidirectional fuzzy blocking: prefix pass UNION suffix pass (prefix
+    // over reversed strings) — an edit inside the prefix escapes d9's
+    // blocking but not the suffix block, so the pass pair is exact for
+    // 1-edit workloads. The dedup agg takes min(dist) per pair.
+    "d15_fuzzy_bidir" -> QueryDef(
+      (s, dir) => Dedup.editDistancePairsBidirectional(
+        t(s, dir, "customer").filter(col("c_custkey") <= 400),
+        "c_custkey", "c_name", blockPrefix = 12, maxDist = 1),
+      Some("""WITH c AS (SELECT c_custkey AS id, c_name AS nm
+                         FROM customer WHERE c_custkey <= 400),
+              p AS (SELECT a.id AS id_a, b.id AS id_b,
+                           levenshtein(a.nm, b.nm) AS dist
+                    FROM c a JOIN c b
+                      ON substr(a.nm, 1, 12) = substr(b.nm, 1, 12)
+                     AND a.id < b.id
+                     AND abs(length(a.nm) - length(b.nm)) <= 1
+                    WHERE levenshtein(a.nm, b.nm) <= 1),
+              sfx AS (SELECT a.id AS id_a, b.id AS id_b,
+                             levenshtein(a.nm, b.nm) AS dist
+                      FROM c a JOIN c b
+                        ON substr(reverse(a.nm), 1, 12) = substr(reverse(b.nm), 1, 12)
+                       AND a.id < b.id
+                       AND abs(length(a.nm) - length(b.nm)) <= 1
+                      WHERE levenshtein(a.nm, b.nm) <= 1)
+              SELECT id_a, id_b, CAST(min(dist) AS INTEGER) AS dist
+              FROM (SELECT * FROM p UNION ALL SELECT * FROM sfx)
+              GROUP BY 1, 2"""),
+      "bidirectional fuzzy blocking: prefix and suffix passes unioned"),
+
     // Data-quality profile of a table: per-column nulls, exact distinct
     // count, native-typed min/max (cast to string after aggregating). One
     // union branch per column — each branch reads exactly ONE parquet
@@ -1394,6 +1458,25 @@ object ExtensionQueries {
                FROM sh s JOIN dfv d USING (sh)
                GROUP BY s.doc_id"""),
       "boilerplate fraction per doc (corpus-frequent shingle share)"),
+
+    // Perplexity-filter shape: corpus-unigram cross-entropy per doc, -ln p
+    // micro-quantized so the gate compares exact integers around the
+    // transcendental (same discipline as t11's idf).
+    "t14_unigram_xent" -> QueryDef(
+      (s, dir) => TextAnalysis.unigramCrossEntropy(t(s, dir, "documents")),
+      Some("""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                           FROM documents),
+                c AS (SELECT tok, count(*) AS c FROM tok GROUP BY tok),
+                n AS (SELECT count(*) AS n_total FROM tok),
+                w AS (SELECT doc_id,
+                             CAST(floor(-ln(CAST(c AS DOUBLE) / n_total) * 1e6
+                               + 0.5) AS BIGINT) AS nll_q
+                      FROM tok JOIN c USING (tok) CROSS JOIN n)
+              SELECT doc_id, CAST(count(*) AS BIGINT) AS n_toks,
+                     CAST(sum(nll_q) AS BIGINT) AS s_q,
+                     round(CAST(sum(nll_q) AS DOUBLE) / 1e6 / count(*), 6) AS xent
+              FROM w GROUP BY doc_id"""),
+      "corpus-unigram cross-entropy (perplexity-filter shape)"),
 
     // ---- deterministic splitting / sampling / packing ----
 

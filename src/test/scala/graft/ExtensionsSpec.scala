@@ -138,6 +138,33 @@ class ExtensionsSpec extends SparkTestBase {
     for (d <- 1L to 4L) assert(out(d) > 0.4, s"doc $d: ${out(d)}")
   }
 
+  test("shinglesN generalizes the fixed-width path and keeps widths exact") {
+    val docs = Seq((1L, "a b c d e")).toDF("doc_id", "text")
+    val three = Dedup.shingles(docs).as[(Long, String)].collect().toSet
+    assert(three == Dedup.shinglesN(docs, 3).as[(Long, String)].collect().toSet)
+    assert(three.map(_._2) == Set("a b c", "b c d", "c d e"))
+    assert(Dedup.shinglesN(docs, 5).as[(Long, String)].collect().toSet ==
+      Set((1L, "a b c d e")))
+    // width past the doc length -> doc contributes nothing
+    assert(Dedup.shinglesN(docs, 6).isEmpty)
+  }
+
+  test("bidirectional fuzzy blocking catches edits inside the prefix") {
+    val df = Seq(
+      (1L, "XCustomer 00123"),
+      (2L, "YCustomer 00123"), // 1 edit at char 0 — escapes the prefix block
+      (3L, "XCustomer 00999")  // 3 edits — out of range either way
+    ).toDF("id", "name")
+    val pre = Dedup.editDistancePairs(df, "id", "name",
+      blockPrefix = 5, maxDist = 1)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(!pre.contains((1L, 2L)), "prefix-only blocking should miss this")
+    val bi = Dedup.editDistancePairsBidirectional(df, "id", "name",
+      blockPrefix = 5, maxDist = 1)
+      .select("id_a", "id_b", "dist").as[(Long, Long, Int)].collect().toSet
+    assert(bi == Set((1L, 2L, 1)))
+  }
+
   test("dedupSurvivors keeps cluster keepers and unpaired docs") {
     val d = docs((1L, "a"), (2L, "b"), (3L, "c"), (10L, "d"), (11L, "e"), (99L, "f"))
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("doc_a", "doc_b")

@@ -74,6 +74,41 @@ class MultimodalSpec extends SparkTestBase {
     assert(math.abs(f.embedding(7) - 2.4f) < 1e-6)  // aspect 24/10
   }
 
+  test("aHash: near-identical images within Hamming 3, different images far") {
+    implicit val s = spark
+    // A structured 64x64 gradient-with-blocks pattern; `variant` flips a
+    // single 8x8 block — a small edit that must move only a few aHash bits.
+    def png(variant: Boolean, invert: Boolean): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        64, 64, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 64; x <- 0 until 64) {
+        val bright = ((x / 8) + (y / 8)) % 2 == 0
+        val base = if (bright ^ invert) 0xe0e0e0 else 0x202020
+        img.setRGB(x, y, base)
+      }
+      if (variant)
+        for (y <- 0 until 8; x <- 0 until 8) img.setRGB(x, y, 0x808080)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    def rec(id: Long, p: Array[Byte]) =
+      MediaRecord(id, "image", p, 64, 64, 0, 0)
+    val ds2 = Seq(
+      rec(1L, png(variant = false, invert = false)),
+      rec(2L, png(variant = true, invert = false)),   // near-dup of 1
+      rec(3L, png(variant = false, invert = true))).toDS() // inverse of 1
+    val hashes = Multimodal.imageAHash(ds2, Multimodal.JdkCodec)
+    val hs = hashes.collect().map(h => h.media_id -> h.ahash).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(hs(1L), hs(2L)) <= 3, s"near-dup drifted: ${ham(hs(1L), hs(2L))}")
+    assert(ham(hs(1L), hs(3L)) > 30, s"inverse too close: ${ham(hs(1L), hs(3L))}")
+
+    val pairs = Multimodal.imageDupPairs(hashes.toDF(), maxHamming = 3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
   test("JdkCodec falls back deterministically on undecodable payloads") {
     val junk = Array.tabulate[Byte](64)(i => i.toByte)
     val a = Multimodal.JdkCodec.decodeImage(junk)

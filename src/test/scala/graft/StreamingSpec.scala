@@ -368,6 +368,41 @@ class StreamingSpec extends SparkTestBase {
     }
   }
 
+  test("streaming ingest decontaminates each micro-batch against a static benchmark") {
+    // The production shape for reference-data filtering at ingest: the
+    // micro-batch is a plain batch DataFrame inside foreachBatch, so the
+    // full decontamination machinery (shingles + overlap join) runs
+    // per-batch against the STATIC benchmark — no streaming state, no
+    // stream-stream join.
+    implicit val s = spark
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    val bench = Seq((100L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text")
+    val survivors = scala.collection.mutable.Set.empty[Long]
+    val input = MemoryStream[(Long, String)]
+    val q = input.toDF().toDF("doc_id", "text")
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        survivors ++= graft.ext.Dedup
+          .decontaminate(batch, bench, minOverlap = 3)
+          .select(col("doc_id")).collect().map(_.getLong(0))
+        ()
+      }
+      .start()
+    input.addData(
+      (1L, "the quick brown fox jumps over my fence today"), // 4 shared shingles
+      (2L, "a completely original sentence about spark engines"))
+    q.processAllAvailable()
+    input.addData(
+      (3L, "quick brown fox jumps over the hill"),           // 4 shared
+      (4L, "another clean document streaming through the pipe"))
+    q.processAllAvailable()
+    q.stop()
+    assert(survivors.toSet == Set(2L, 4L),
+      s"contaminated docs must drop per batch: $survivors")
+  }
+
   test("event-time timers close idle sessions when the watermark passes") {
     implicit val s = spark
     implicit val sqlCtx = spark.sqlContext
