@@ -31,4 +31,17 @@ object Profile {
         .select(lit(c).as("col_name"), col("n_null"), col("n_distinct"),
           col("min_s"), col("max_s"))
     }.reduce(_.unionByName(_))
+
+  /** Functional-dependency audit: the `lhs` values that map to MORE than
+   * one distinct `rhs` — violations of the expected `lhs → rhs`
+   * dependency (a natural key that stopped being one, a denormalized
+   * column that drifted). One hash-agg keyed by lhs; the violating keys
+   * relation is at most |distinct lhs| and usually tiny — exactly the
+   * audit you run before trusting a join key at 100 TB. Output:
+   * (lhs_value as string, n_rhs). */
+  def fdViolations(df: DataFrame, lhs: String, rhs: String): DataFrame =
+    df.groupBy(col(lhs))
+      .agg(countDistinct(col(rhs)).as("n_rhs"))
+      .filter(col("n_rhs") > 1)
+      .select(col(lhs).cast("string").as("lhs_value"), col("n_rhs"))
 }

@@ -674,6 +674,36 @@ object RelationalQueries {
                 (SELECT 1 FROM customer WHERE c_custkey = user_id)"""),
       "referential-integrity audit: orphan counts per FK edge"),
 
+    // Functional-dependency audit (Profile.fdViolations): the lhs values
+    // mapping to more than one distinct rhs — a declared dependency that
+    // drifted. One audits a dependency the fixtures genuinely violate
+    // (nation does not determine market segment), one a true key that
+    // must come back clean (o_orderkey -> o_custkey: zero rows).
+    "dq3_fd_audit" -> QueryDef(
+      (s, dir) => {
+        val violated = graft.ext.Profile
+          .fdViolations(t(s, dir, "customer"), "c_nationkey", "c_mktsegment")
+          .select(lit("customer: c_nationkey->c_mktsegment").as("fd"),
+            col("lhs_value"), col("n_rhs"))
+        val holds = graft.ext.Profile
+          .fdViolations(t(s, dir, "orders"), "o_orderkey", "o_custkey")
+          .select(lit("orders: o_orderkey->o_custkey").as("fd"),
+            col("lhs_value"), col("n_rhs"))
+        violated.unionByName(holds)
+      },
+      Some("""SELECT 'customer: c_nationkey->c_mktsegment' AS fd,
+                     CAST(c_nationkey AS VARCHAR) AS lhs_value,
+                     count(DISTINCT c_mktsegment) AS n_rhs
+              FROM customer GROUP BY c_nationkey
+              HAVING count(DISTINCT c_mktsegment) > 1
+              UNION ALL
+              SELECT 'orders: o_orderkey->o_custkey',
+                     CAST(o_orderkey AS VARCHAR),
+                     count(DISTINCT o_custkey)
+              FROM orders GROUP BY o_orderkey
+              HAVING count(DISTINCT o_custkey) > 1"""),
+      "functional-dependency audit: violating keys per declared FD"),
+
     // Winsorized aggregation (robust-stats cleaning): per-group P10/P90
     // computed once on the pre-aggregated group relation, broadcast back
     // onto the fact rows (AQE: the percentile relation is group-cardinality,

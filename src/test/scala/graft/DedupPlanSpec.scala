@@ -103,6 +103,18 @@ class DedupPlanSpec extends SparkTestBase {
     }
   }
 
+  test("shinglesN assembles all leads over ONE window sort at any width") {
+    // 12 leads over the same window spec must collapse into a single
+    // Window node (one per-partition sort) — 12 separate sorts would make
+    // the 13-gram scan pay 12x its sort cost.
+    val plan = Dedup.shinglesN(docs, 13).queryExecution.optimizedPlan
+    val windows = plan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(windows.length == 1, s"expected one Window node:\n$plan")
+    assert(windows.head.windowExpressions.length == 12)
+  }
+
   test("decontamination plans a shingle-keyed join, never all-pairs") {
     val bench = docs.filter($"doc_id" % 7 === 0)
     val plan = Dedup.decontaminationHits(docs, bench, minOverlap = 3)
