@@ -332,10 +332,30 @@ object Dedup {
    * corpus never shuffles; the pair aggregation only materializes where
    * overlap actually exists. Nothing is all-pairs. Returns
    * (doc_id, bench_id, n_overlap). */
+  /** `maxShingleDf` (default off): drop shingles present in more than
+   * that many CORPUS documents before the join. The join's fanout per
+   * shingle is df_corpus × df_bench, so at narrow widths a stop-shingle
+   * ("one of the") multiplies against every benchmark doc containing it —
+   * the standard mitigation is ignoring super-common n-grams, which also
+   * stops boilerplate from counting as "contamination". Wide widths (the
+   * published 13-gram contract) rarely need it: a 13-gram collision is
+   * essentially never common text. */
   def decontaminationHits(docs: DataFrame, bench: DataFrame,
-      minOverlap: Int, width: Int = ShingleWidth): DataFrame = {
+      minOverlap: Int, width: Int = ShingleWidth,
+      maxShingleDf: Int = Int.MaxValue): DataFrame = {
     require(minOverlap >= 1, "minOverlap must be >= 1")
-    val shDocs = shinglesN(docs, width)
+    require(maxShingleDf >= 1, "maxShingleDf must be >= 1")
+    val shDocsAll = shinglesN(docs, width)
+    val shDocs =
+      if (maxShingleDf == Int.MaxValue) shDocsAll
+      else {
+        // one hash-agg over the corpus shingles; the stop list is small
+        // (only over-cap shingles) so the anti-join broadcasts
+        val all = materialize(shDocsAll)
+        val stop = all.groupBy("sh").agg(count(lit(1)).as("df"))
+          .filter(col("df") > maxShingleDf).select("sh")
+        all.join(stop, Seq("sh"), "left_anti")
+      }
     val shBench = shinglesN(bench, width).toDF("bench_id", "sh")
     shDocs.join(shBench, "sh")
       .groupBy("doc_id", "bench_id")

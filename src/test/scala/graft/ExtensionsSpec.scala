@@ -121,6 +121,22 @@ class ExtensionsSpec extends SparkTestBase {
     assert(surviving == Set(2L, 3L))
   }
 
+  test("decontamination stop-shingle cap ignores corpus-common n-grams") {
+    val chrome = "all rights reserved by us"   // 4 shared shingles per doc
+    val docs = (1L to 6L).map(i => (i, s"doc number $i says $chrome"))
+      .toDF("doc_id", "text")
+    val bench = docs.filter($"doc_id" === 6L)
+    // uncapped: every doc hits the benchmark through the shared chrome
+    val uncapped = Dedup.decontaminationHits(docs, bench, minOverlap = 3)
+      .filter($"doc_id" =!= $"bench_id").count()
+    assert(uncapped == 5)
+    // capped at df 4: the chrome shingles (df 6) drop, nothing else links
+    val capped = Dedup.decontaminationHits(docs, bench, minOverlap = 3,
+      maxShingleDf = 4)
+      .filter($"doc_id" =!= $"bench_id").count()
+    assert(capped == 0)
+  }
+
   test("boilerplateFraction separates templated chrome from original prose") {
     val boiler = "all rights reserved contact us for details"
     val docs = Seq(
