@@ -367,9 +367,10 @@ object Dedup {
    * document at `minOverlap`. A document that itself appears in the
    * benchmark trivially self-matches and is (correctly) dropped. */
   def decontaminate(docs: DataFrame, bench: DataFrame,
-      minOverlap: Int, width: Int = ShingleWidth): DataFrame =
+      minOverlap: Int, width: Int = ShingleWidth,
+      maxShingleDf: Int = Int.MaxValue): DataFrame =
     docs.join(
-      decontaminationHits(docs, bench, minOverlap, width)
+      decontaminationHits(docs, bench, minOverlap, width, maxShingleDf)
         .select("doc_id").distinct(),
       Seq("doc_id"), "left_anti")
 

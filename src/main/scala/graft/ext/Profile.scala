@@ -35,13 +35,16 @@ object Profile {
   /** Functional-dependency audit: the `lhs` values that map to MORE than
    * one distinct `rhs` — violations of the expected `lhs → rhs`
    * dependency (a natural key that stopped being one, a denormalized
-   * column that drifted). One hash-agg keyed by lhs; the violating keys
-   * relation is at most |distinct lhs| and usually tiny — exactly the
-   * audit you run before trusting a join key at 100 TB. Output:
-   * (lhs_value as string, n_rhs). */
+   * column that drifted). NULL counts as its own rhs value: the most
+   * common real drift is values being LOST to null, and a bare
+   * countDistinct (which ignores nulls) would report {X, NULL} as clean.
+   * One hash-agg keyed by lhs; the violating-keys relation is at most
+   * |distinct lhs| and usually tiny — exactly the audit you run before
+   * trusting a join key at 100 TB. Output: (lhs_value as string, n_rhs). */
   def fdViolations(df: DataFrame, lhs: String, rhs: String): DataFrame =
     df.groupBy(col(lhs))
-      .agg(countDistinct(col(rhs)).as("n_rhs"))
+      .agg((countDistinct(col(rhs)) +
+        max(when(col(rhs).isNull, 1L).otherwise(0L))).as("n_rhs"))
       .filter(col("n_rhs") > 1)
       .select(col(lhs).cast("string").as("lhs_value"), col("n_rhs"))
 }

@@ -154,10 +154,14 @@ object TextAnalysis {
    * Output: (doc_id, n_toks, s_q, xent = s_q/1e6/n_toks). */
   def unigramCrossEntropy(docs: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
-    val toks = docs.select(col("doc_id"),
-      explode(split(col("text"), " ")).as("tok"))
+    // One scan total: the token relation materializes once (it feeds the
+    // vocabulary agg AND the join probe side), and the corpus total
+    // derives from the already-vocabulary-sized counts relation instead
+    // of a third pass over the corpus.
+    val toks = Dedup.materialize(docs.select(col("doc_id"),
+      explode(split(col("text"), " ")).as("tok")))
     val counts = toks.groupBy("tok").agg(count(lit(1)).as("c"))
-    val total = toks.select(count(lit(1)).as("n_total"))
+    val total = counts.agg(sum("c").as("n_total"))
     toks.join(counts, "tok")
       .crossJoin(broadcast(total))
       .withColumn("nll_q",

@@ -119,16 +119,10 @@ object ExtensionQueries {
     }.mkString(",\n")
 
   /** Shared DuckDB CTE prefix: distinct word-shingles per doc, mirroring
-   * Dedup.shingles (3-word shingles, 1-based list arithmetic). */
-  private val ShinglesCte: String =
-    """words AS (
-         SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-       sh0 AS (
-         SELECT doc_id,
-                unnest([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
-                        for i in generate_series(1, len(w) - 2)]) AS sh
-         FROM words WHERE len(w) >= 3),
-       sh AS (SELECT DISTINCT doc_id, sh FROM sh0)"""
+   * Dedup.shingles — the width-3 instance of [[sqlShinglesCteN]] (one
+   * template; a tokenization fix cannot silently diverge between the
+   * 3-gram and 13-gram oracles). */
+  private val ShinglesCte: String = sqlShinglesCteN(3, "sh")
 
   /** Width-parameterized form of [[ShinglesCte]], mirroring
    * Dedup.shinglesN: CTE `name` = distinct `width`-word shingles. */

@@ -693,15 +693,20 @@ object RelationalQueries {
       },
       Some("""SELECT 'customer: c_nationkey->c_mktsegment' AS fd,
                      CAST(c_nationkey AS VARCHAR) AS lhs_value,
-                     count(DISTINCT c_mktsegment) AS n_rhs
+                     count(DISTINCT c_mktsegment)
+                       + max(CASE WHEN c_mktsegment IS NULL THEN 1 ELSE 0 END)
+                       AS n_rhs
               FROM customer GROUP BY c_nationkey
-              HAVING count(DISTINCT c_mktsegment) > 1
+              HAVING count(DISTINCT c_mktsegment)
+                       + max(CASE WHEN c_mktsegment IS NULL THEN 1 ELSE 0 END) > 1
               UNION ALL
               SELECT 'orders: o_orderkey->o_custkey',
                      CAST(o_orderkey AS VARCHAR),
                      count(DISTINCT o_custkey)
+                       + max(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
               FROM orders GROUP BY o_orderkey
-              HAVING count(DISTINCT o_custkey) > 1"""),
+              HAVING count(DISTINCT o_custkey)
+                       + max(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) > 1"""),
       "functional-dependency audit: violating keys per declared FD"),
 
     // Winsorized aggregation (robust-stats cleaning): per-group P10/P90

@@ -306,44 +306,34 @@ object StreamingAnalytics {
     override def handleInputRows(key: Long, rows: Iterator[TimedEvent],
         tv: org.apache.spark.sql.streaming.TimerValues)
         : Iterator[ClosedSession] = {
-      // Same gap semantics as the fMGWS sessionize and s1/s4: rows sort by
-      // event time and an intra-batch (or cross-batch, pre-watermark) gap
-      // SPLITS — the older session closes immediately; only the trailing
-      // open session waits on the timer. Without the split, two events
-      // hours apart arriving before the watermark crossed last+gap would
-      // silently merge into one session.
-      val sorted = rows.toSeq.sortBy(_.ts.getTime)
-      var closed = List.empty[ClosedSession]
-      var cur = if (sess.exists()) Some(sess.get()) else None
-      sorted.foreach { e =>
-        val t = e.ts.getTime
-        cur match {
-          case Some(s) if t < s.start - gapMs =>
-            // A cross-batch late event more than gap BEFORE the open
-            // session can never belong to it (the guard below would be
-            // vacuously true for any t <= s.last and silently over-merge,
-            // round-4 review): it forms its own, already-complete session —
-            // the open session's start bounds how far it could extend.
-            closed ::= ClosedSession(key, new Timestamp(t), new Timestamp(t), 1)
-          case Some(s) if t - s.last <= gapMs =>
-            // A late event within gap of the session (possibly before its
-            // start) must WIDEN the start, or the emitted session_start
-            // would not bound all member events — mirroring the sort-first
-            // batch sessionization (s1/s4).
-            cur = Some(IdleSession(math.min(s.start, t),
-              math.max(s.last, t), s.n + 1))
-          case Some(s) =>
-            closed ::= ClosedSession(key,
-              new Timestamp(s.start), new Timestamp(s.last), s.n)
-            cur = Some(IdleSession(t, t, 1))
-          case None =>
-            cur = Some(IdleSession(t, t, 1))
-        }
-      }
+      // Same gap semantics as the fMGWS sessionize and s1/s4: the open
+      // state session plus this batch's events fold — sorted by start —
+      // into gap-merged intervals, the standard interval-merge. This
+      // handles every arrival order uniformly: late events within gap of
+      // EACH OTHER sessionize together (a per-event case analysis closed
+      // them as singletons — round-4 review), a late event within gap of
+      // the open session widens its start, and an intra-batch gap SPLITS.
+      // Every merged session except the latest closes immediately (only
+      // events later than anything seen can still extend it, and the next
+      // session's start bounds the earlier ones); the latest stays open
+      // and waits on the timer.
+      val seeds = (
+        (if (sess.exists()) List(sess.get()) else Nil) ++
+          rows.map(e => IdleSession(e.ts.getTime, e.ts.getTime, 1))
+        ).sortBy(s => (s.start, s.last))
+      val merged = seeds.foldLeft(List.empty[IdleSession]) {
+        case (h :: t, s) if s.start - h.last <= gapMs =>
+          IdleSession(math.min(h.start, s.start),
+            math.max(h.last, s.last), h.n + s.n) :: t
+        case (acc, s) => s :: acc
+      }.reverse
+      val closed = merged.dropRight(1).map(s =>
+        ClosedSession(key, new Timestamp(s.start), new Timestamp(s.last), s.n))
+      val cur = merged.lastOption
       cur.foreach(sess.update)
       getHandle.listTimers().foreach(getHandle.deleteTimer)
       cur.foreach(s => getHandle.registerTimer(s.last + gapMs))
-      closed.reverseIterator
+      closed.iterator
     }
 
     override def handleExpiredTimer(key: Long,

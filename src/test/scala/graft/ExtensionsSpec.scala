@@ -121,6 +121,18 @@ class ExtensionsSpec extends SparkTestBase {
     assert(surviving == Set(2L, 3L))
   }
 
+  test("fdViolations counts NULL as a drift value, flags only real drift") {
+    val df = Seq(
+      (1L, Option("X")), (1L, Option("X")),          // clean
+      (2L, Option("X")), (2L, Option.empty[String]), // null drift
+      (3L, Option("X")), (3L, Option("Y")),          // value drift
+      (4L, Option.empty[String])                     // all-null, single value
+    ).toDF("k", "v")
+    val out = graft.ext.Profile.fdViolations(df, "k", "v")
+      .as[(String, Long)].collect().toMap
+    assert(out == Map("2" -> 2L, "3" -> 2L))
+  }
+
   test("decontamination stop-shingle cap ignores corpus-common n-grams") {
     val chrome = "all rights reserved by us"   // 4 shared shingles per doc
     val docs = (1L to 6L).map(i => (i, s"doc number $i says $chrome"))

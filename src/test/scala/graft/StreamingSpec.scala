@@ -343,21 +343,25 @@ class StreamingSpec extends SparkTestBase {
         .format("memory").queryName("idle_late").start()
       def at(h: Int, m: Int) = StreamingAnalytics.TimedEvent(
         7L, Timestamp.valueOf(f"2026-01-01 $h%02d:$m%02d:00"))
+      def atSec(h: Int, m: Int, sec: Int) = StreamingAnalytics.TimedEvent(
+        7L, Timestamp.valueOf(f"2026-01-01 $h%02d:$m%02d:$sec%02d"))
       input.addData(at(12, 0))
       q.processAllAvailable()
-      input.addData(at(10, 0)) // 2h late, inside the 4h watermark
+      // two 2h-late events 30s apart (inside the 4h watermark): they must
+      // sessionize WITH EACH OTHER into one closed session, not merge into
+      // the open 12:00 session and not close as two singletons
+      input.addData(at(10, 0), atSec(10, 0, 30))
       q.processAllAvailable()
       q.stop()
       val rows = spark.table("idle_late")
         .select($"session_start", $"session_end", $"n_events")
         .as[(Timestamp, Timestamp, Long)].collect().toSet
       assert(rows.contains((Timestamp.valueOf("2026-01-01 10:00:00"),
-        Timestamp.valueOf("2026-01-01 10:00:00"), 1L)),
-        s"late singleton must close on its own: $rows")
+        Timestamp.valueOf("2026-01-01 10:00:30"), 2L)),
+        s"late events within gap must close as ONE session: $rows")
       assert(rows.forall { case (st, en, _) =>
-        !(st.getTime == Timestamp.valueOf("2026-01-01 10:00:00").getTime &&
-          en.getTime == Timestamp.valueOf("2026-01-01 12:00:00").getTime)
-      }, s"late event must not merge across a 2h gap: $rows")
+        en.getTime != Timestamp.valueOf("2026-01-01 12:00:00").getTime
+      }, s"late events must not merge across a 2h gap: $rows")
     } finally {
       prevProvider match {
         case Some(p) => spark.conf.set(
