@@ -149,6 +149,32 @@ object RelationalQueries {
                 ON o_orderkey = l_orderkey"""),
       "Q18-flavored large-order filter via HAVING pre-aggregation"),
 
+    // Full outer join with null extension on both sides: customers with
+    // no orders survive (n_orders coalesces to 0) and any order key with
+    // no customer row survives symmetrically — the fixture has real
+    // order-less customers (j3's anti-join finds them), so the left
+    // extension is genuinely exercised. The aggregate side pre-shrinks to
+    // one row per customer key before the join.
+    "j7_outer_join" -> QueryDef(
+      (s, dir) => {
+        val c = t(s, dir, "customer")
+          .select(col("c_custkey"), col("c_mktsegment"))
+        val o = t(s, dir, "orders")
+          .groupBy("o_custkey").agg(count(lit(1)).as("n_orders"))
+        c.join(o, col("c_custkey") === col("o_custkey"), "full_outer")
+          .select(coalesce(col("c_custkey"), col("o_custkey")).as("cust"),
+            col("c_mktsegment").as("segment"),
+            coalesce(col("n_orders"), lit(0L)).as("n_orders"))
+      },
+      Some("""SELECT coalesce(c_custkey, o_custkey) AS cust,
+                     c_mktsegment AS segment,
+                     coalesce(n_orders, 0) AS n_orders
+              FROM customer FULL OUTER JOIN
+                   (SELECT o_custkey, count(*) AS n_orders
+                    FROM orders GROUP BY 1) o
+                ON c_custkey = o_custkey"""),
+      "full outer join: null extension on both sides, zero-filled counts"),
+
     // Null-safe equality join (<=> / IS NOT DISTINCT FROM): NULL keys
     // MATCH each other — the join-matrix variant a plain `=` can never
     // produce (it drops NULL rows from both sides). Keys are derived with
