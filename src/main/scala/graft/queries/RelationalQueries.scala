@@ -175,6 +175,28 @@ object RelationalQueries {
                 ON c_custkey = o_custkey"""),
       "full outer join: null extension on both sides, zero-filled counts"),
 
+    // Z-order (Morton) clustering key — the write-layout primitive behind
+    // multi-dimensional row-group pruning (WriteLayout.writeZOrdered).
+    // Pure shift/mask integer math, so the oracle replays the interleave
+    // bit-for-bit; the gate pins engine parity of the key derivation.
+    "z1_zorder_key" -> QueryDef(
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+        li.select(col("l_orderkey"), col("l_linenumber"),
+          graft.sources.WriteLayout.zorderKey(
+            Seq(col("l_partkey") % 256, col("l_suppkey") % 256), 8).as("z"))
+      },
+      Some {
+        val terms = (for {
+          (c, j) <- Seq("l_partkey", "l_suppkey").zipWithIndex
+          i <- 0 until 8
+        } yield s"(((($c % 256) >> $i) & 1) << ${i * 2 + j})").mkString(" | ")
+        s"""SELECT l_orderkey, l_linenumber,
+                   CAST($terms AS BIGINT) AS z
+            FROM lineitem"""
+      },
+      "Morton/Z-order interleave key (bit-exact engine parity)"),
+
     // Null-safe equality join (<=> / IS NOT DISTINCT FROM): NULL keys
     // MATCH each other — the join-matrix variant a plain `=` can never
     // produce (it drops NULL rows from both sides). Keys are derived with

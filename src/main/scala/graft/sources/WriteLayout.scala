@@ -1,7 +1,7 @@
 package graft.sources
 
-import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
 
 /**
  * At-rest layout strategy for the write path — the other half of scan
@@ -45,4 +45,56 @@ object WriteLayout {
       .option("maxRecordsPerFile", maxRecordsPerFile)
       .mode("overwrite")
       .parquet(path)
+
+  /** Z-order (Morton) key: bit-interleave `cols`, each contributing
+   * `bitsPerCol` bits LSB-first round-robin — rows close in EVERY
+   * dimension land close in the one-dimensional key, so a single
+   * range-cluster + within-partition sort gives row-group min/max
+   * selectivity on ALL the interleaved columns at once (the multi-column
+   * layout a lexicographic sort can't provide: its second column prunes
+   * nothing outside runs of equal first column). Inputs must already sit
+   * in [0, 2^bitsPerCol) — scale or rank first ([[writeZOrdered]] does).
+   * Pure shift/mask builtin composition: codegen'd, deterministic,
+   * replayable in any engine with integer bit ops. */
+  def zorderKey(cols: Seq[Column], bitsPerCol: Int): Column = {
+    require(cols.nonEmpty, "need at least one column")
+    require(bitsPerCol >= 1 && bitsPerCol * cols.size <= 63,
+      s"interleaved width must fit a signed long, got ${cols.size} cols x $bitsPerCol bits")
+    val k = cols.size
+    val terms = for {
+      (c, j) <- cols.zipWithIndex
+      i <- 0 until bitsPerCol
+    } yield shiftleft(shiftright(c.cast("long"), i).bitwiseAND(lit(1L)), i * k + j)
+    terms.reduce(_.bitwiseOR(_))
+  }
+
+  /** Z-order-clustered parquet write: each clustering column min-max
+   * scales to `bitsPerCol` bits (bounds from ONE tiny agg — layout
+   * parameters on the driver, same posture as an IVF codebook), rows
+   * range-partition AND sort by the interleaved key. `numFiles` bounds
+   * output parallelism/file count. The key column itself is dropped
+   * before the write — it is layout, not data. */
+  def writeZOrdered(df: DataFrame, path: String, zCols: Seq[String],
+      bitsPerCol: Int = 16, numFiles: Int = 32,
+      compression: String = "zstd"): Unit = {
+    val bounds = df.agg(
+      min(col(zCols.head)).cast("long"),
+      (max(col(zCols.head)).cast("long") +: zCols.tail.flatMap(c =>
+        Seq(min(col(c)).cast("long"), max(col(c)).cast("long")))): _*).head
+    val maxVal = (1L << bitsPerCol) - 1
+    val scaled = zCols.zipWithIndex.map { case (c, idx) =>
+      val lo = bounds.getLong(idx * 2)
+      val hi = bounds.getLong(idx * 2 + 1)
+      val span = math.max(1L, hi - lo)
+      ((col(c).cast("long") - lit(lo)) * lit(maxVal) / lit(span)).cast("long")
+    }
+    df.withColumn("__z", zorderKey(scaled, bitsPerCol))
+      .repartitionByRange(numFiles, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+      .write
+      .option("compression", compression)
+      .mode("overwrite")
+      .parquet(path)
+  }
 }

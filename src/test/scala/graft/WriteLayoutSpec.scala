@@ -41,4 +41,46 @@ class WriteLayoutSpec extends SparkTestBase {
     val pf = plan.linesIterator.find(_.contains("PartitionFilters:")).getOrElse("")
     assert(pf.contains("o_orderpriority"), plan)
   }
+
+  test("zorderKey matches a reference bit-interleave; clustered write is z-sorted") {
+    import spark.implicits._
+    // reference Morton interleave for k=2, LSB-first round-robin
+    def morton(a: Long, b: Long, bits: Int): Long =
+      (0 until bits).foldLeft(0L) { (acc, i) =>
+        acc | (((a >> i) & 1L) << (i * 2)) | (((b >> i) & 1L) << (i * 2 + 1))
+      }
+    val pts = for (a <- 0L until 16L; b <- 0L until 16L) yield (a, b)
+    val got = pts.toDF("a", "b")
+      .select($"a", $"b",
+        WriteLayout.zorderKey(Seq(col("a"), col("b")), 4).as("z"))
+      .as[(Long, Long, Long)].collect()
+    assert(got.forall { case (a, b, z) => z == morton(a, b, 4) })
+    // z covers [0, 256) exactly once: the interleave is a bijection
+    assert(got.map(_._3).toSet == (0L until 256L).toSet)
+
+    // clustered write: rows within each output file are z-sorted
+    val zout = "/root/repo/target/test_zorder"
+    val df = pts.toDF("a", "b")
+    WriteLayout.writeZOrdered(df, zout, Seq("a", "b"),
+      bitsPerCol = 4, numFiles = 4)
+    val back = spark.read.parquet(zout)
+    assert(back.count() == 256)
+    val perFile = back
+      .select(org.apache.spark.sql.functions.input_file_name().as("f"),
+        WriteLayoutSpecHelper.z4(col("a"), col("b")).as("z"))
+      .as[(String, Long)].collect()
+      .groupBy(_._1).values
+    assert(perFile.forall { rows =>
+      val zs = rows.map(_._2)
+      zs.sameElements(zs.sorted)
+    }, "each file must be internally z-sorted")
+  }
+}
+
+/** Spec helper kept outside the test body so the closure that reaches
+ * executors does not capture the suite. */
+object WriteLayoutSpecHelper {
+  def z4(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column =
+    WriteLayout.zorderKey(Seq(a, b), 4)
 }
