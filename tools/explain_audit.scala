@@ -1,0 +1,23 @@
+// Plan-audit sweep: dump .explain("formatted") for headline queries to
+// target/plans/<name>.txt. Drive via spark-shell -I (classpath as in
+// tools/verify_local.sh). Eyeball for: PushedFilters reaching scans,
+// ReadSchema pruned to used columns, WholeStageCodegen spans, no
+// CartesianProduct/BroadcastNestedLoopJoin outside documented baselines.
+val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+val outDir = java.nio.file.Paths.get("target", "plans")
+java.nio.file.Files.createDirectories(outDir)
+val names = Seq(
+  "g1_pricing_summary", "j1_star_join", "j7_outer_join", "w4_topk_agg",
+  "x1_asof_join", "x2_range_join", "x5_asof_tolerance",
+  "d3_lsh_pairs", "d13_decontaminate", "d16_decontaminate_13gram",
+  "e4_embed_clusters", "n14_knn_ivfpq", "t14_unigram_xent",
+  "t13_boilerplate", "z1_zorder_key", "sp11_curriculum")
+for (n <- names) {
+  val df = graft.SparkEntry.queries(n)(spark, sfDir)
+  val plan = df.queryExecution.explainString(
+    org.apache.spark.sql.execution.FormattedMode)
+  java.nio.file.Files.write(outDir.resolve(s"$n.txt"),
+    plan.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  println(s"PLAN_DUMPED $n")
+}
+System.exit(0)
