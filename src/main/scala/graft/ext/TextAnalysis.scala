@@ -154,12 +154,16 @@ object TextAnalysis {
    * Output: (doc_id, n_toks, s_q, xent = s_q/1e6/n_toks). */
   def unigramCrossEntropy(docs: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
-    // One scan total: the token relation materializes once (it feeds the
-    // vocabulary agg AND the join probe side), and the corpus total
-    // derives from the already-vocabulary-sized counts relation instead
-    // of a third pass over the corpus.
-    val toks = Dedup.materialize(docs.select(col("doc_id"),
-      explode(split(col("text"), " ")).as("tok")))
+    // The token relation feeds the vocabulary agg AND the join probe side.
+    // Deliberately NOT materialized (unlike boilerplateFraction's shingle
+    // relation): token explode is ~1x amplification — recomputing it once
+    // costs one extra narrow pass, while an eager checkpoint would run a
+    // corpus job at DataFrame-CONSTRUCTION time (breaking .explain/dry
+    // plan inspection) and pin a token-grain relation in executor blocks.
+    // The corpus total derives from the vocabulary-sized counts relation,
+    // not a third corpus pass.
+    val toks = docs.select(col("doc_id"),
+      explode(split(col("text"), " ")).as("tok"))
     val counts = toks.groupBy("tok").agg(count(lit(1)).as("c"))
     val total = counts.agg(sum("c").as("n_total"))
     toks.join(counts, "tok")

@@ -77,16 +77,31 @@ object WriteLayout {
   def writeZOrdered(df: DataFrame, path: String, zCols: Seq[String],
       bitsPerCol: Int = 16, numFiles: Int = 32,
       compression: String = "zstd"): Unit = {
-    val bounds = df.agg(
-      min(col(zCols.head)).cast("long"),
-      (max(col(zCols.head)).cast("long") +: zCols.tail.flatMap(c =>
-        Seq(min(col(c)).cast("long"), max(col(c)).cast("long")))): _*).head
+    require(!df.columns.contains("__z"),
+      "input already has a __z column — rename it before z-ordering")
+    val aggs = zCols.flatMap(c =>
+      Seq(min(col(c)).cast("long"), max(col(c)).cast("long")))
+    val bounds = df.agg(aggs.head, aggs.tail: _*).head
+    if (bounds.isNullAt(0)) {
+      // empty input: nothing to cluster — write the empty dataset as-is
+      // (same behavior as writePartitioned on empty input, not an NPE)
+      df.write.option("compression", compression)
+        .mode("overwrite").parquet(path)
+      return
+    }
     val maxVal = (1L << bitsPerCol) - 1
     val scaled = zCols.zipWithIndex.map { case (c, idx) =>
       val lo = bounds.getLong(idx * 2)
       val hi = bounds.getLong(idx * 2 + 1)
       val span = math.max(1L, hi - lo)
-      ((col(c).cast("long") - lit(lo)) * lit(maxVal) / lit(span)).cast("long")
+      // scale in DOUBLE: long arithmetic overflows for spans past ~2^47
+      // ((v-lo)*maxVal wraps silently), corrupting the clustering.
+      // Rounding error at 2^53+ spans only blurs bucket edges — the key is
+      // layout, not data — and the clamp pins the documented
+      // [0, 2^bitsPerCol) precondition regardless.
+      least(lit(maxVal), greatest(lit(0L),
+        floor((col(c).cast("double") - lit(lo.toDouble)) * maxVal / span)
+          .cast("long")))
     }
     df.withColumn("__z", zorderKey(scaled, bitsPerCol))
       .repartitionByRange(numFiles, col("__z"))

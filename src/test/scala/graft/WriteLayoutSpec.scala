@@ -75,6 +75,19 @@ class WriteLayoutSpec extends SparkTestBase {
       zs.sameElements(zs.sorted)
     }, "each file must be internally z-sorted")
   }
+
+  test("writeZOrdered: empty input writes empty output, __z collision rejected") {
+    import spark.implicits._
+    val zout = "/root/repo/target/test_zorder_edge"
+    WriteLayout.writeZOrdered(
+      Seq.empty[(Long, Long)].toDF("a", "b"), zout, Seq("a", "b"),
+      bitsPerCol = 4, numFiles = 2)
+    assert(spark.read.parquet(zout).isEmpty)
+    val withZ = Seq((1L, 2L)).toDF("a", "__z")
+    intercept[IllegalArgumentException](
+      WriteLayout.writeZOrdered(withZ, zout, Seq("a"),
+        bitsPerCol = 4, numFiles = 2))
+  }
 }
 
 /** Spec helper kept outside the test body so the closure that reaches
