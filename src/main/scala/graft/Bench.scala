@@ -188,7 +188,7 @@ object Bench {
       val nVecs = spark.read.parquet(s"$dir10/embeddings.parquet").count()
       val names = Seq("d2_minhash_bands", "d3_lsh_pairs", "d4_ngram_jaccard",
         "d5_simhash", "d6_dup_clusters", "d7_dedup_apply",
-        "d13_decontaminate")
+        "d13_decontaminate", "t11_tfidf", "t14_unigram_xent")
       val walls = scala.collection.mutable.ListBuffer.empty[(String, String)]
       val ratios = scala.collection.mutable.ListBuffer.empty[(String, String)]
       // The probe gets a FRESH SparkContext: by this point ~70 queries of
