@@ -179,6 +179,27 @@ class MultimodalSpec extends SparkTestBase {
     assert(frames.forall(_.payload.length == 32))
   }
 
+  test("feature extraction composes under structured streaming (stateless map)") {
+    // imageFeatures/imageAHash are stateless per-partition maps, so the
+    // same operators run unchanged over a stream — the multimodal ingest
+    // path (decode at arrival, store features not payloads) needs no
+    // batch/stream fork.
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[MediaRecord]
+    val q = Multimodal.imageFeatures(input.toDS())
+      .writeStream.outputMode("append")
+      .format("memory").queryName("mm_stream").start()
+    input.addData(media(21, "image"), media(22, "audio"), media(23, "image"))
+    q.processAllAvailable()
+    input.addData(media(24, "image"))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("mm_stream")
+      .select("media_id").as[Long].collect().toSet
+    assert(out == Set(21L, 23L, 24L))  // images only, across batches
+  }
+
   test("resize plan preserves aspect ratio, only shrinks") {
     val plan = Multimodal.resizePlan(ds.toDF(), maxSide = 320)
       .select("media_id", "target_width", "target_height")
