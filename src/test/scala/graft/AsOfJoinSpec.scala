@@ -111,6 +111,49 @@ class AsOfJoinSpec extends SparkTestBase {
     }
   }
 
+  test("property: both directions and tolerances match a brute-force reference") {
+    // Random interleavings (duplicate left times, null right values, keys
+    // with no right rows) against an in-memory reference of the contract:
+    // match = nearest right ROW at-or-before (after), value nulled when
+    // the row is farther than the tolerance. Fixed seeds, exact replay.
+    for (seed <- 1 to 4) {
+      val rnd = new scala.util.Random(seed)
+      val left = Seq.tabulate(60)(i =>
+        (rnd.nextInt(5).toLong, rnd.nextInt(100).toLong, s"e$i"))
+      val right = Seq.tabulate(40)(i =>
+        (rnd.nextInt(6).toLong, rnd.nextInt(100).toLong,
+          if (rnd.nextInt(4) == 0) None else Some(s"v$i")))
+        .groupBy(r => (r._1, r._2)).map(_._2.head).toSeq // unique (key, time)
+      val leftDf = left.toDF("key", "ts", "ev")
+      val rightDf = right.toDF("key", "ts", "rv")
+
+      for (forward <- Seq(false, true); tol <- Seq(None, Some(7L), Some(30L))) {
+        def reference(lk: Long, lt: Long): Option[String] = {
+          val cands = right.filter(r => r._1 == lk &&
+            (if (forward) r._2 >= lt else r._2 <= lt))
+          if (cands.isEmpty) None
+          else {
+            val m = if (forward) cands.minBy(_._2) else cands.maxBy(_._2)
+            val dist = if (forward) m._2 - lt else lt - m._2
+            if (tol.exists(dist > _)) None else m._3
+          }
+        }
+        val op =
+          if (forward) AsOfJoin.asofForward(leftDf, rightDf,
+            "key", "ts", Seq("rv"), tol)
+          else AsOfJoin.asofBackward(leftDf, rightDf,
+            "key", "ts", Seq("rv"), tol)
+        val got = op.select("ev", "rv").as[(String, String)].collect().toMap
+        assert(got.size == left.size, s"seed $seed fwd=$forward tol=$tol")
+        for ((lk, lt, ev) <- left) {
+          assert(Option(got(ev)) == reference(lk, lt),
+            s"seed $seed fwd=$forward tol=$tol $ev: " +
+              s"got ${got(ev)}, want ${reference(lk, lt)}")
+        }
+      }
+    }
+  }
+
   test("row count preserved (left join semantics)") {
     val left = (1 to 100).map(i => (i.toLong % 5, i.toLong, s"e$i"))
       .toDF("key", "ts", "ev")
