@@ -115,6 +115,30 @@ class DedupPlanSpec extends SparkTestBase {
     assert(windows.head.windowExpressions.length == 12)
   }
 
+  test("property: random graphs cluster to exact union-find components") {
+    for (seed <- 1 to 3) {
+      val rnd = new scala.util.Random(seed)
+      val ids = Seq.fill(60)(rnd.nextInt(100000).toLong).distinct
+      val edges = Seq.fill(70)(
+        (ids(rnd.nextInt(ids.size)), ids(rnd.nextInt(ids.size))))
+        .filter(e => e._1 != e._2)
+      // union-find reference
+      val parent = scala.collection.mutable.Map(ids.map(i => i -> i): _*)
+      def find(x: Long): Long =
+        if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+      edges.foreach { case (a, b) => parent(find(a)) = find(b) }
+      val inPair = edges.flatMap(e => Seq(e._1, e._2)).toSet
+      val byRoot = inPair.groupBy(find)
+      val expected = byRoot.values.flatMap { comp =>
+        val m = comp.min
+        comp.map(_ -> m)
+      }.toMap
+      val got = Dedup.dupClusters(edges.toDF("doc_a", "doc_b"))
+        .as[(Long, Long)].collect().toMap
+      assert(got == expected, s"seed $seed")
+    }
+  }
+
   test("decontamination plans a shingle-keyed join, never all-pairs") {
     val bench = docs.filter($"doc_id" % 7 === 0)
     val plan = Dedup.decontaminationHits(docs, bench, minOverlap = 3)
