@@ -166,6 +166,24 @@ class ExtensionsSpec extends SparkTestBase {
     for (d <- 1L to 4L) assert(out(d) > 0.4, s"doc $d: ${out(d)}")
   }
 
+  test("property: shinglesN equals a sliding-window reference at any width") {
+    for (seed <- 1 to 3) {
+      val rnd = new scala.util.Random(seed)
+      val docs = (1L to 8L).map { id =>
+        val words = Seq.fill(2 + rnd.nextInt(20))(s"w${rnd.nextInt(9)}")
+        (id, words.mkString(" "))
+      }
+      val width = 2 + rnd.nextInt(6)
+      val expected = docs.flatMap { case (id, text) =>
+        text.split(" ").toSeq.sliding(width)
+          .filter(_.size == width).map(w => (id, w.mkString(" ")))
+      }.toSet
+      val got = Dedup.shinglesN(docs.toDF("doc_id", "text"), width)
+        .as[(Long, String)].collect().toSet
+      assert(got == expected, s"seed $seed width $width")
+    }
+  }
+
   test("shinglesN generalizes the fixed-width path and keeps widths exact") {
     val docs = Seq((1L, "a b c d e")).toDF("doc_id", "text")
     val three = Dedup.shingles(docs).as[(Long, String)].collect().toSet
