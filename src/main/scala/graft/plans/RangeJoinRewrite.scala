@@ -79,7 +79,7 @@ case class RangeJoinRewrite(spark: SparkSession)
   private def deriveWidth(right: LogicalPlan, lo: Expression,
       hi: Expression): Option[Long] = {
     if (right.isStreaming) return None
-    val span = Subtract(Cast(hi, LongType), Cast(lo, LongType))
+    val span = Subtract(castLong(hi), castLong(lo))
     val proj = Project(Seq(Alias(span, "__graft_span")()), right)
     val key = proj.canonicalized
     val cached = widthCache.get(key)
@@ -101,8 +101,15 @@ case class RangeJoinRewrite(spark: SparkSession)
     derived
   }
 
+  /** Types whose Cast-to-long is exact and ORDER-PRESERVING, making the
+   * bin arithmetic sound: the exact range predicate re-applies after the
+   * bin equi-join, so the bins only need to be monotone in the original
+   * values. Timestamps cast to epoch SECONDS — the dominant real interval
+   * domain (session windows, validity ranges) — with the auto-derived
+   * width measured in the same cast units by construction. */
   private def integral(dt: DataType): Boolean = dt match {
     case ByteType | ShortType | IntegerType | LongType => true
+    case TimestampType | TimestampNTZType => true
     case _ => false
   }
 
@@ -113,11 +120,16 @@ case class RangeJoinRewrite(spark: SparkSession)
    * (real for ns-epoch domains). `div` truncates toward zero; correct to
    * floor for negative operands via the remainder sign (width > 0). */
   private def binOf(e: Expression, width: Long): Expression = {
-    val a = Cast(e, LongType)
+    val a = castLong(e)
     val q = IntegralDivide(a, Literal(width))
     val r = Remainder(a, Literal(width))
     If(LessThan(r, Literal(0L)), Subtract(q, Literal(1L)), q)
   }
+
+  /** Cast built AFTER analysis must carry the session timezone itself —
+   * harmless for the TZ-independent numeric cases. */
+  private def castLong(e: Expression): Expression =
+    Cast(e, LongType, Some(spark.sessionState.conf.sessionLocalTimeZone))
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
     if (!spark.conf.get(EnabledConf, "false").toBoolean) return plan
@@ -185,7 +197,15 @@ case class RangeJoinRewrite(spark: SparkSession)
             val newLeft = Project(left.output :+ binL, left)
             val hiBinArg =
               if (inclusive) hi
-              else Subtract(Cast(hi, LongType), Literal(1L))
+              else hi.dataType match {
+                // timestamp cast TRUNCATES to epoch seconds: for a `< hi`
+                // bound with a sub-second component, (hi_seconds - 1)
+                // undershoots the top bin and would DROP matching pairs in
+                // hi's own second — keep hi_seconds (at worst one extra
+                // candidate bin, which the exact predicate discards)
+                case TimestampType | TimestampNTZType => hi
+                case _ => Subtract(castLong(hi), Literal(1L))
+              }
             // Sequence is TimeZoneAwareExpression: resolved only with a
             // timezone id set (the analyzer would inject it; we run after).
             // NO explicit step: with step=1 an empty/inverted interval

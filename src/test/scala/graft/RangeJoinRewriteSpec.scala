@@ -89,6 +89,40 @@ class RangeJoinRewriteSpec extends SparkTestBase {
     }
   }
 
+  test("timestamp intervals rewrite too; sub-second exclusive bounds survive") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val ivs = Seq(
+      (0, ts("2026-01-01 10:00:00.5"), ts("2026-01-01 10:00:02.5")),
+      (1, ts("2026-01-01 10:00:02.5"), ts("2026-01-01 10:01:00")),
+      (2, ts("2026-01-02 00:00:00"), ts("2026-01-02 00:00:10")))
+      .toDF("iv_id", "lo", "hi")
+    val pts = Seq(
+      ts("2026-01-01 10:00:00.4"), ts("2026-01-01 10:00:00.5"),
+      ts("2026-01-01 10:00:02.4"), ts("2026-01-01 10:00:02.5"),
+      ts("2026-01-01 10:00:59.9"), ts("2026-01-02 00:00:09.9"))
+      .toDF("p")
+    def q = pts.join(ivs, col("p") >= col("lo") && col("p") < col("hi"))
+      .select(col("p").cast("string"), col("iv_id"))
+    val expected = withRule(enabled = false) {
+      q.as[(String, Int)].collect().toSet
+    }
+    assert(expected.contains(("2026-01-01 10:00:02.4", 0)))
+    // width=1: second-granularity bins — the sub-second `< hi` bound sits
+    // INSIDE the top second, the case where an integral-style (hi_s - 1)
+    // top bin would drop the 10:00:02.4 match
+    withRule(enabled = true, width = 1L) {
+      val plan = q.queryExecution.optimizedPlan.toString
+      assert(plan.contains("__graft_bin"), plan)
+      assert(q.as[(String, Int)].collect().toSet == expected)
+    }
+    // auto width: derived from the timestamp spans in cast units (seconds)
+    spark.conf.set("spark.graft.rangeJoinRewrite.enabled", "true")
+    try {
+      assert(q.queryExecution.optimizedPlan.toString.contains("__graft_bin"))
+      assert(q.as[(String, Int)].collect().toSet == expected)
+    } finally spark.conf.unset("spark.graft.rangeJoinRewrite.enabled")
+  }
+
   test("joins with an equi key are left alone (any key type)") {
     withRule(enabled = true) {
       val l = Seq((1L, 5L), (2L, 15L)).toDF("k", "v")
