@@ -250,4 +250,15 @@ object Transforms {
     val parsed = parseEnvelope(castValueToString(raw))
     gdprFilter(flattenProfile(explodeResults(parsed), asOf), minAge)
   }
+
+  /** The spine as a TYPED dataset — `Dataset[UserProfile]` under the
+   * case-class Encoder, the type-safe handoff for downstream Scala code
+   * (compile-checked field access; the plan is identical to [[etlSpine]],
+   * the Encoder only types the boundary). */
+  def etlSpineTyped(raw: DataFrame, asOf: Date, minAge: Int = 18)
+      : org.apache.spark.sql.Dataset[graft.schema.UserProfile] = {
+    val spark = raw.sparkSession
+    import spark.implicits._
+    etlSpine(raw, asOf, minAge).as[graft.schema.UserProfile]
+  }
 }

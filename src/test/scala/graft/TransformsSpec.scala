@@ -28,7 +28,7 @@ class TransformsSpec extends SparkTestBase {
 
   private def run(docs: String*): Array[graft.schema.UserProfile] = {
     val raw = docs.toDF("value").select($"value".cast("binary").as("value"))
-    Transforms.etlSpine(raw, asOf).as[graft.schema.UserProfile].collect()
+    Transforms.etlSpineTyped(raw, asOf).collect()
   }
 
   test("full spine: one envelope → one 9-column profile row") {
