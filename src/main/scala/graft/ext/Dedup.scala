@@ -254,21 +254,32 @@ object Dedup {
     // by default, reliable under graft.checkpoint.reliable=true), NOT
     // persist(): persist/unpersist per round churns the shared CacheManager
     // and leaves the lineage growing one join deeper per round.
-    var edges = materialize(pairs
+    //
+    // Convergence witness: the edge SET is unchanged — exact count plus an
+    // order-independent 64-bit hash FOLD (bit_xor never overflows under
+    // ANSI mode, unlike a sum; collision odds ~2^-64/round, and a false
+    // positive only stops one round early on a set with equal count). The
+    // witness rides the materialize itself as OBSERVED METRICS
+    // (`CollectMetrics` over the checkpoint action): the eager checkpoint
+    // already executes the full plan, so convergence detection adds ZERO
+    // jobs per round — round 4 ran it as a separate agg over the
+    // checkpointed edges, a second materialization per round that
+    // dominated the d6/d7 10×-probe constant (round-4 verdict #2).
+    var obsId = 0
+    def materializeWitnessed(df: DataFrame): (DataFrame, (Long, Long)) = {
+      obsId += 1
+      val obs = org.apache.spark.sql.Observation(s"graft_cc_witness_$obsId")
+      val out = materialize(df.observe(obs,
+        count(lit(1)).as("n"),
+        coalesce(bit_xor(xxhash64(col("src"), col("dst"))), lit(0L)).as("h")))
+      val m = obs.get
+      (out, (m("n").asInstanceOf[Long], m("h").asInstanceOf[Long]))
+    }
+    var (edges, prev) = materializeWitnessed(pairs
       .filter(col("doc_a") =!= col("doc_b"))
       .select(greatest(col("doc_a"), col("doc_b")).as("src"),
         least(col("doc_a"), col("doc_b")).as("dst"))
       .distinct())
-    // Convergence witness: the edge SET is unchanged — exact count plus an
-    // order-independent 64-bit hash FOLD (bit_xor never overflows under
-    // ANSI mode, unlike a sum; collision odds ~2^-64/round, and a false
-    // positive only stops one round early on a set with equal count).
-    def witness(e: DataFrame): (Long, Long) = {
-      val r = e.select(xxhash64(col("src"), col("dst")).as("h"))
-        .agg(count(lit(1)), coalesce(bit_xor(col("h")), lit(0L))).first()
-      (r.getLong(0), r.getLong(1))
-    }
-    var prev = witness(edges)
     var it = 0
     var converged = false
     while (it < maxIter && !converged) {
@@ -290,8 +301,7 @@ object Dedup {
         .union(ssMin.select(col("src"), col("m").as("dst")))
         .filter(col("src") =!= col("dst"))
         .distinct()
-      val next = materialize(ss)
-      val w = witness(next)
+      val (next, w) = materializeWitnessed(ss)
       converged = w == prev
       prev = w
       edges = next
