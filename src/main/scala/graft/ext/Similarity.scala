@@ -342,12 +342,36 @@ object Similarity {
    * LSH buckets (where over-cap buckets are droppable — their docs share
    * tighter buckets), a cell here is the ONLY route to its members, so we
    * sample it down instead of dropping it: bounded cost, graceful recall
-   * degradation. `maxCell = Int.MaxValue` disables. */
+   * degradation. `maxCell = Int.MaxValue` disables.
+   *
+   * Implementation is a bounded-heap k-sample per cell (TypedTopK over the
+   * hash order), NOT `row_number() over (partition by cell)`: the window
+   * form shuffles and SORTS every cell member before the cap cut — on a
+   * dominant cell at 100× that is a multi-million-row sort to keep 10k
+   * (round-4 verdict #4, the last window sort on a corpus-sized relation).
+   * The aggregate keeps a maxCell-bounded heap per cell per partition
+   * map-side, so only capped ids cross the wire; the kept-id relation
+   * (≤ cells × maxCell rows) then semi-joins back to recover the full
+   * member rows. Order contract preserved: the heap keeps the k smallest
+   * (hash, id) — the hash's TOP 53 bits exactly representable in the
+   * aggregate's double ord (sign-flipped: TypedTopK keeps largest), ties
+   * broken by smaller id, which is the window form's (hash ASC, id ASC)
+   * front up to hashes colliding in their top 53 bits (odds ~B²/2^54 per
+   * cell — and a collision only matters when the cap binds exactly
+   * between the two collided rows). */
   private def capCell(vecs: DataFrame, idCol: String, maxCell: Int): DataFrame =
     if (maxCell == Int.MaxValue) vecs
-    else vecs.withColumn("__rn", row_number().over(
-        Window.partitionBy("cell").orderBy(xxhash64(col(idCol)), col(idCol))))
-      .filter(col("__rn") <= maxCell).drop("__rn")
+    else {
+      graft.functions.GraftFunctions.register(vecs.sparkSession)
+      val keep = vecs
+        .groupBy(col("cell"))
+        .agg(graft.functions.GraftFunctions.topK(
+          -shiftright(xxhash64(col(idCol)), 11).cast("double"),
+          col(idCol).cast("long"), maxCell).as("top"))
+        .select(col("cell"), explode(col("top")).as("t"))
+        .select(col("cell"), col("t.id").as(idCol))
+      vecs.join(keep, Seq("cell", idCol), "left_semi")
+    }
 
   /** IVF-style search: same scoring, but candidates restricted to the
    * query's cell (`cellCol`), pruning the scan by the cell partitioning.
@@ -511,7 +535,15 @@ object Similarity {
       m: Int = 4, subDim: Int = 16, bits: Int = 2,
       seed: String = "pq"): DataFrame = {
     val cbs = pqCodebooks(corpus, m, subDim, bits, seed)
-    val enc = pqEncode(corpus, cbs, subDim)
+    adcSearchEncoded(queries, pqEncode(corpus, cbs, subDim), cbs, subDim, k)
+  }
+
+  /** The ADC search body over an ALREADY-ENCODED corpus (`(vec_id,
+   * c0..c{m-1})`) — shared by the fused [[knnPqAdc]] and the prebuilt-index
+   * path ([[AnnIndex.searchPqAdc]]), so build-once/search-many returns
+   * bit-identical results to train-at-query-time. */
+  private[ext] def adcSearchEncoded(queries: DataFrame, enc: DataFrame,
+      cbs: Array[Array[(Int, Array[Long])]], subDim: Int, k: Int): DataFrame = {
     val q = queries.select(col("vec_id").as("q_id"),
       col("embedding").as("q_emb"))
     topKByDist(
@@ -543,6 +575,15 @@ object Similarity {
           nearestCell(subvec(col("embedding"), i, subDim), cbs(i))
             .as(s"c$i")) :+
         rpCell(col("embedding"), planes).as("cell"): _*)
+    ivfPqSearchEncoded(queries, enc, planes, cbs, subDim, k)
+  }
+
+  /** The IVF-PQ search body over an already cell-assigned, code-encoded
+   * corpus (`(vec_id, c0.., cell)`) — shared by the fused [[knnIvfPq]] and
+   * [[AnnIndex.searchIvfPq]]. */
+  private[ext] def ivfPqSearchEncoded(queries: DataFrame, enc: DataFrame,
+      planes: Array[Array[Double]], cbs: Array[Array[(Int, Array[Long])]],
+      subDim: Int, k: Int): DataFrame = {
     val q = queries.select(col("vec_id").as("q_id"),
       col("embedding").as("q_emb"),
       rpCell(col("embedding"), planes).as("cell"))

@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+import graft.ext.{AnnIndex, Similarity}
+
+/** Build→save→load→search round trips for the persisted ANN indexes: the
+ * prebuilt-index search paths must return BIT-IDENTICAL rows to the fused
+ * train-at-query-time paths (all arithmetic is exact-integer micro-grid, so
+ * the parquet round trip has no representation loss to hide behind). */
+class AnnIndexSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private lazy val embs =
+    spark.read.parquet(s"$Sf/embeddings.parquet").select("vec_id", "embedding")
+  private lazy val queries = embs.filter($"vec_id" < 8)
+
+  private def rows(df: DataFrame): Seq[String] =
+    df.collect().map(_.toString).sorted.toSeq
+
+  private def tmp(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  test("IVF index round-trips: prebuilt search equals the fused path") {
+    val dir = tmp("ann_ivf")
+    AnnIndex.buildIvf(embs, dir, rounds = 2)
+    assert(rows(AnnIndex.searchIvf(queries, spark, dir, 3)) ==
+      rows(Similarity.knnIvfTrained(queries, embs, 3, rounds = 2)))
+    // the stored codebook IS the trained codebook
+    val stored = AnnIndex.loadCodebook(spark, s"$dir/codebook.parquet")
+    val trained = Similarity.trainCodebook(embs, rounds = 2)
+    assert(stored.map(_._1).toSeq == trained.map(_._1).toSeq)
+    assert(stored.zip(trained).forall { case ((_, a), (_, b)) =>
+      a.toSeq == b.toSeq })
+  }
+
+  test("PQ index round-trips: prebuilt ADC search equals the fused path") {
+    val dir = tmp("ann_pq")
+    AnnIndex.buildPq(embs, dir)
+    assert(rows(AnnIndex.searchPqAdc(queries, spark, dir, 3)) ==
+      rows(Similarity.knnPqAdc(queries, embs, 3)))
+  }
+
+  test("IVF-PQ index round-trips: prebuilt search equals the fused path") {
+    val dir = tmp("ann_ivfpq")
+    AnnIndex.buildIvfPq(embs, dir)
+    assert(rows(AnnIndex.searchIvfPq(queries, spark, dir, 3)) ==
+      rows(Similarity.knnIvfPq(queries, embs, 3)))
+  }
+
+  test("search needs only the directory: params round-trip the geometry") {
+    // A non-default geometry — search must pick it up from params.parquet,
+    // not from defaults.
+    val dir = tmp("ann_pq_geom")
+    AnnIndex.buildPq(embs, dir, m = 8, subDim = 8, bits = 2, seed = "alt")
+    assert(rows(AnnIndex.searchPqAdc(queries, spark, dir, 3)) ==
+      rows(Similarity.knnPqAdc(queries, embs, 3, m = 8, subDim = 8,
+        bits = 2, seed = "alt")))
+  }
+}

@@ -305,20 +305,69 @@ class ExtensionsSpec extends SparkTestBase {
   test("kNN top-k cut is a bounded-heap aggregate, not a window sort") {
     // The scored relation must reach the cut through TypedTopK (k rows per
     // query per partition cross the wire), never a row_number window that
-    // shuffles and sorts every scored candidate (round-3 verdict). maxCell
-    // disabled so the only possible Window would be the top-k cut itself.
+    // shuffles and sorts every scored candidate (round-3 verdict). The
+    // ACTIVE-cap path is included: capCell is likewise a bounded-heap
+    // k-sample + semi-join, not a per-cell row_number — the last window
+    // sort on a corpus-sized relation (round-4 verdict #4).
     val vecs = (0 until 20)
       .map(i => (i.toLong, Array(1f, i.toFloat), "one"))
       .toDF("vec_id", "embedding", "label")
     for (df <- Seq(
         Similarity.knnCell(vecs.filter($"vec_id" === 0), vecs, "label",
           k = 3, maxCell = Int.MaxValue),
+        Similarity.knnCell(vecs.filter($"vec_id" === 0), vecs, "label",
+          k = 3, maxCell = 5),
         Similarity.knnBrute(vecs.filter($"vec_id" === 0), vecs.drop("label"), 3),
         Similarity.knnInt8(vecs.filter($"vec_id" === 0), vecs.drop("label"), 3))) {
       val plan = df.queryExecution.executedPlan.toString
       assert(!plan.contains("Window"), s"unexpected window in:\n$plan")
       assert(plan.contains("Aggregate"), s"expected aggregate in:\n$plan")
     }
+  }
+
+  test("capCell keeps exactly the window-form front (hash ASC, id ASC)") {
+    // The bounded-heap cap must select the SAME members the replaced
+    // row_number window selected: per cell, the maxCell smallest by
+    // (xxhash64(id), id). Verified through cosineDedupPairs on a corpus
+    // where the cap binds in two different cells.
+    import org.apache.spark.sql.expressions.Window
+    val vecs = (0 until 40)
+      .map(i => (i.toLong, Array(1f, (i % 7).toFloat),
+        if (i % 2 == 0) "even" else "odd"))
+      .toDF("vec_id", "embedding", "label")
+    val keptRef = vecs
+      .withColumn("__rn", row_number().over(Window.partitionBy("label")
+        .orderBy(xxhash64($"vec_id"), $"vec_id")))
+      .filter($"__rn" <= 8)
+      .select($"label", $"vec_id")
+      .as[(String, Long)].collect().toSet
+    val expectedPairs = (for {
+      (_, ids) <- keptRef.groupBy(_._1).toSeq
+      a <- ids.map(_._2); b <- ids.map(_._2) if a < b
+    } yield (a, b)).toSet
+    val got = Similarity.cosineDedupPairs(vecs, "label", -1.0, maxCell = 8)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(got == expectedPairs)
+  }
+
+  test("topK cut drops null-sim candidates: fewer than k rows, never null") {
+    // Documented contract (round-4 advice): a null similarity means
+    // malformed input (here: mismatched embedding lengths -> null dot
+    // product), and the bounded-heap cut DROPS such candidates — unlike
+    // the replaced row_number window (desc NULLS LAST), which padded the
+    // top-k with null-sim rows when fewer than k candidates scored. A
+    // query whose candidate set is mostly malformed emits only its
+    // non-null rows; all-null emits nothing.
+    val corpus = Seq(
+      (0L, Array(1f, 0f)),        // query
+      (1L, Array(0.5f, 0.5f)),    // the one well-formed candidate
+      (2L, Array(1f, 0f, 1f)),    // wrong dimension -> null sim
+      (3L, Array(0f, 1f, 1f)))    // wrong dimension -> null sim
+      .toDF("vec_id", "embedding")
+    val got = Similarity.knnBrute(corpus.filter($"vec_id" === 0), corpus, 3)
+      .select($"n_id", $"sim").collect()
+    assert(got.length == 1, s"expected only the non-null candidate: ${got.toSeq}")
+    assert(got.head.getLong(0) == 1L && !got.head.isNullAt(1))
   }
 
   test("knnBrute ranks the exact nearest first with deterministic ties") {
