@@ -209,11 +209,14 @@ object Transforms {
       "saga", "saitama", "shiga", "shimane", "shizuoka", "tochigi",
       "tokushima", "tokyo", "tottori", "toyama", "wakayama", "yamagata",
       "yamaguchi", "yamanashi")
+    // The SEVEN wildcard designated cities (PSL `*.kobe.jp`-class rules)
+    // are handled by WildcardParent2/ExceptionSuffix3 below, not listed
+    // here; the remaining designated cities stay literal 3-label entries
+    // (snapshot approximation, as before).
     val jpDesignatedCities = Seq(
-      "chiba", "fukuoka", "hamamatsu", "hiroshima", "kawasaki", "kitakyushu",
-      "kobe", "kumamoto", "kyoto", "nagoya", "niigata", "okayama", "osaka",
-      "sagamihara", "saitama", "sakai", "sapporo", "sendai", "shizuoka",
-      "yokohama")
+      "chiba", "fukuoka", "hamamatsu", "hiroshima", "kumamoto", "kyoto",
+      "niigata", "okayama", "osaka", "sagamihara", "saitama", "sakai",
+      "shizuoka")
     val jpFamilies = jpPrefectures.map(p => s"pref.$p.jp") ++
       jpDesignatedCities.map(c => s"city.$c.jp") ++ Seq("metro.tokyo.jp")
     val auStates = Seq("act", "nsw", "nt", "qld", "sa", "tas", "vic", "wa")
@@ -221,24 +224,46 @@ object Transforms {
     usFamilies ++ jpFamilies ++ auFamilies
   }
 
-  /** Wildcard second-level suffixes (`*.sch.uk`-class PSL rules): EVERY
-   * third label under these forms a public suffix, so the registrable
-   * domain sits one further label left. */
-  private val WildcardSuffix2: Seq[String] = Seq("sch.uk")
+  /** PSL wildcard cities: the seven Japanese designated cities the PSL
+   * covers with a `*.<city>.jp` rule (every third label forms a public
+   * suffix) plus a paired `!city.<city>.jp` EXCEPTION (see
+   * [[ExceptionSuffix3]]). */
+  private val JpWildcardCities: Seq[String] = Seq(
+    "kawasaki", "kitakyushu", "kobe", "nagoya", "sapporo", "sendai",
+    "yokohama")
+
+  /** Wildcard-parent suffixes (`*.sch.uk` / `*.kobe.jp`-class PSL rules):
+   * EVERY third label under these forms a public suffix, so the
+   * registrable domain sits one further label left. */
+  private val WildcardParent2: Seq[String] =
+    "sch.uk" +: JpWildcardCities.map(c => s"$c.jp")
+
+  /** PSL `!`-EXCEPTION rules: hosts matching a wildcard whose 3-label tail
+   * is listed here are REGISTRABLE after all — the exception cancels the
+   * wildcard, the public suffix is the exception minus its leftmost label,
+   * and that leftmost label is the domain (`a@www.city.kobe.jp` → `city`,
+   * the registered domain being `city.kobe.jp`). This is the PSL
+   * algorithm's "exception rules win over all other matching rules". */
+  private val ExceptionSuffix3: Seq[String] =
+    JpWildcardCities.map(c => s"city.$c.jp")
 
   /** A3 helper: registered-domain extraction from an email address
    * (`user@mail.example.com` → `example`). Matches
    * `tldextract.extract().domain` for single-label TLDs, the two-label
    * public suffixes above (`a@b.co.uk` → `b`), the three-label PSL
-   * families (`a@b.pref.hokkaido.jp` → `b`, `a@b.k12.ca.us` → `b`) and
-   * the `*.sch.uk` wildcard rule; suffix-only hosts degrade to the
-   * suffix's first label, as no registrable domain exists. Longest
-   * suffix match wins, per the PSL algorithm. */
+   * families (`a@b.pref.hokkaido.jp` → `b`, `a@b.k12.ca.us` → `b`), the
+   * `*.sch.uk`/`*.kobe.jp` wildcard rules, and the `!city.kobe.jp`-class
+   * exception rules (exception wins: the host's `city` label IS the
+   * domain); suffix-only hosts degrade to the suffix's first label, as no
+   * registrable domain exists. Longest suffix match wins, exceptions
+   * first, per the PSL algorithm. */
   def emailDomain(email: Column): Column = {
     val host = substring_index(email, "@", -1)
     val last2 = lower(substring_index(host, ".", -2))
     val last3 = lower(substring_index(host, ".", -3))
-    when(last3.isin(PublicSuffix3: _*) || last2.isin(WildcardSuffix2: _*),
+    when(last3.isin(ExceptionSuffix3: _*),
+        substring_index(substring_index(host, ".", -3), ".", 1))
+      .when(last3.isin(PublicSuffix3: _*) || last2.isin(WildcardParent2: _*),
         substring_index(substring_index(host, ".", -4), ".", 1))
       .when(last2.isin(PublicSuffix2: _*),
         substring_index(substring_index(host, ".", -3), ".", 1))

@@ -102,7 +102,7 @@ class TransformsSpec extends SparkTestBase {
     val cases = Seq(
       "a@b.pref.hokkaido.jp" -> "b",     // Japanese prefecture block
       "a@sub.b.pref.aichi.jp" -> "b",    // subdomain under it
-      "a@b.city.yokohama.jp" -> "b",     // designated-city block
+      "a@b.city.osaka.jp" -> "b",        // designated-city literal block
       "a@b.metro.tokyo.jp" -> "b",
       "a@b.k12.ca.us" -> "b",            // US schools family
       "a@b.cc.ny.us" -> "b",             // US community-college family
@@ -114,6 +114,26 @@ class TransformsSpec extends SparkTestBase {
       "a@pref.example.com" -> "example", // 'pref' as an ordinary label
       "a@city.example.org" -> "example", // 'city' as an ordinary label
       "a@b.k12.example.com" -> "example") // k12 outside .us is ordinary
+    val df = cases.map(_._1).toDF("email")
+      .select(Transforms.emailDomain($"email").as("d"))
+    assert(df.as[String].collect().toSeq == cases.map(_._2))
+  }
+
+  test("emailDomain honors PSL !-exception rules (tldextract parity)") {
+    // `*.kobe.jp` makes every third label under kobe.jp a public suffix —
+    // EXCEPT `!city.kobe.jp`, which the exception rule makes registrable:
+    // the registered domain of anything under city.kobe.jp is city.kobe.jp
+    // itself, so the extracted domain label is `city`.
+    val cases = Seq(
+      "a@www.city.kobe.jp" -> "city",    // exception wins over the wildcard
+      "a@city.kobe.jp" -> "city",        // the registrable domain itself
+      "a@x.y.city.sendai.jp" -> "city",  // deep subdomain under an exception
+      "a@b.foo.kobe.jp" -> "b",          // wildcard: foo.kobe.jp is a suffix
+      "a@sub.b.bar.yokohama.jp" -> "b",  // subdomain under a wildcard suffix
+      "a@foo.kobe.jp" -> "foo",          // suffix-only host degrades
+      "a@b.city.osaka.jp" -> "b",        // literal city.<x>.jp family (no
+                                         // wildcard/exception for osaka)
+      "a@city.example.org" -> "example") // 'city' as an ordinary label
     val df = cases.map(_._1).toDF("email")
       .select(Transforms.emailDomain($"email").as("d"))
     assert(df.as[String].collect().toSeq == cases.map(_._2))
