@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.Inner
-import org.apache.spark.sql.catalyst.plans.logical.{Generate, Join, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, Generate, Join, LogicalPlan, Project, Union}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types._
 
@@ -29,6 +29,12 @@ import org.apache.spark.sql.types._
  *  - the join becomes `bin_l = bin_r AND <original condition>`, and a
  *    final Project restores the original output. Each qualifying (L, R)
  *    pair meets in exactly one bin — the point's — so no dedup is needed.
+ *  - HYBRID guard: only intervals with `span <= w · MaxReplication` take
+ *    the binned join; wider outliers stay on the original nested-loop
+ *    form in a unioned second branch, so replication is bounded by
+ *    construction no matter how badly the sampled width underestimates
+ *    (a corpus-spanning interval matches ~every point anyway — binning
+ *    it replicates without pruning).
  *
  * Fires only when: inner join; both bounds on the same left-side integral
  * expression with right-side integral bounds; all expressions
@@ -60,44 +66,97 @@ case class RangeJoinRewrite(spark: SparkSession)
   private val EnabledConf = "spark.graft.rangeJoinRewrite.enabled"
   private val WidthConf = "spark.graft.rangeJoinRewrite.binWidth"
   private val SampleN = 10001
+  /** Partition-spread bound for the sampling job: at most this many tasks,
+   * evenly strided across the relation's partitions. */
+  private val SamplePartitions = 64
+  /** Width clamp: the widest SAMPLED span may replicate to at most this
+   * many bins. Bounds the worst case a mis-sampled median can produce
+   * (bin replication is span/width + 1; the exact predicate re-applies, so
+   * a larger width only trades hash-bucket selectivity, never
+   * correctness). */
+  private val MaxReplication = 10000L
 
   /** Derived widths keyed by the CANONICALIZED sampling projection —
    * QueryPlan canonicalization normalizes attribute exprIds to output
    * positions, so the same re-submitted query (fresh exprIds every
    * analysis) hits the cache instead of re-launching the sampling job;
-   * fixpoint re-runs within one optimization hit it too. Bounded: cleared
-   * wholesale past 64 distinct interval relations (a session-lifetime
-   * cache, not a leak). */
-  private val widthCache =
-    new java.util.concurrent.ConcurrentHashMap[LogicalPlan, Long]()
+   * fixpoint re-runs within one optimization hit it too. Size-bounded
+   * true LRU (access-ordered LinkedHashMap): the 65th distinct interval
+   * relation evicts the least-recently-USED entry, not the whole cache —
+   * a long-lived session with >64 live interval tables keeps its hot
+   * widths (round-4 advice). Staleness note: entries live for the
+   * session; a table overwritten with differently-scaled intervals keeps
+   * its old width until eviction — performance-only, the exact predicate
+   * preserves correctness. */
+  private val widthCache = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[LogicalPlan, java.lang.Long](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[LogicalPlan, java.lang.Long]): Boolean =
+        size() > 64
+    })
 
-  /** Median interval span over a bounded prefix sample of the interval
-   * side. `executeTake` pulls partitions incrementally, so the cost is a
-   * few input splits regardless of relation size. Returns None (rule
-   * stands down) for streaming plans, empty/degenerate samples, or any
-   * execution failure — an optimizer rule must never fail the query. */
+  /** Re-entrancy latch: deriving a width EXECUTES a plan, and executing a
+   * plan runs the optimizer — on this same thread, on a plan that may
+   * itself contain an equality-free range join (self-join of an interval
+   * table; a cached plan being re-optimized at lookup). Without the latch
+   * that inner optimization would launch a nested sampling job from inside
+   * the outer one's derivation — unbounded recursion in the worst case.
+   * Inside a derivation the rule simply stands down (the inner join keeps
+   * its original plan; only sampled rows flow through it, so the NL form
+   * is harmless there). */
+  private val deriving: ThreadLocal[java.lang.Boolean] =
+    ThreadLocal.withInitial(() => java.lang.Boolean.FALSE)
+
+  /** Median interval span over a bounded, PARTITION-SPREAD sample of the
+   * interval side: up to [[SamplePartitions]] evenly-strided partitions
+   * contribute `SampleN / partitions` rows each (one `runJob` over just
+   * those partitions — bounded task count at any relation size). The
+   * spread matters: a prefix `executeTake` sample of a relation ORDERED or
+   * clustered by span reads only one end of the distribution, and a
+   * too-small median then replicates wide outliers into thousands of bins
+   * (round-4 advice, medium). The derived width is additionally clamped so
+   * the widest sampled span replicates to at most [[MaxReplication]] bins.
+   * Returns None (rule stands down) for streaming plans, empty/degenerate
+   * samples, re-entrant derivations, or any execution failure — an
+   * optimizer rule must never fail the query. */
   private def deriveWidth(right: LogicalPlan, lo: Expression,
       hi: Expression): Option[Long] = {
-    if (right.isStreaming) return None
+    if (right.isStreaming || deriving.get()) return None
     val span = Subtract(castLong(hi), castLong(lo))
     val proj = Project(Seq(Alias(span, "__graft_span")()), right)
     val key = proj.canonicalized
     val cached = widthCache.get(key)
-    if (cached != 0L) return if (cached > 0) Some(cached) else None
+    if (cached != null) return if (cached > 0) Some(cached.longValue) else None
+    deriving.set(true)
     val derived: Option[Long] =
       try {
-        val rows = spark.sessionState.executePlan(proj)
-          .executedPlan.executeTake(SampleN)
-        val spans = rows.iterator
-          .filterNot(_.isNullAt(0)).map(_.getLong(0)).filter(_ > 0).toArray
+        val rdd = spark.sessionState.executePlan(proj).executedPlan.execute()
+        val parts = rdd.getNumPartitions
+        val chosen =
+          if (parts <= SamplePartitions) 0 until parts
+          else 0 until parts by math.max(1, parts / SamplePartitions)
+        val perPart = math.max(1, SampleN / math.max(1, chosen.size))
+        val spans = spark.sparkContext
+          .runJob(rdd,
+            (it: Iterator[org.apache.spark.sql.catalyst.InternalRow]) =>
+              it.take(perPart)
+                .map(r => if (r.isNullAt(0)) 0L else r.getLong(0)).toArray,
+            chosen)
+          .flatten.filter(_ > 0)
         if (spans.isEmpty) None
         else {
           java.util.Arrays.sort(spans)
-          Some(math.max(1L, spans(spans.length / 2)))
+          val median = math.max(1L, spans(spans.length / 2))
+          val widest = spans.last
+          // ceil-div: width w guarantees <= MaxReplication+1 bins for the
+          // widest SAMPLED span; unsampled outliers stay bounded by the
+          // same factor relative to their own span
+          Some(math.max(median,
+            (widest + MaxReplication - 1) / MaxReplication))
         }
       } catch { case scala.util.control.NonFatal(_) => None }
-    if (widthCache.size > 64) widthCache.clear()
-    widthCache.put(key, derived.getOrElse(-1L))
+      finally deriving.set(false)
+    widthCache.put(key, java.lang.Long.valueOf(derived.getOrElse(-1L)))
     derived
   }
 
@@ -185,9 +244,21 @@ case class RangeJoinRewrite(spark: SparkSession)
             (hi, true)
         }
 
+        // The wide-residual branch this rule itself emits keeps the
+        // original (equality-free) range condition — recognize it by its
+        // span filter and stand down, or the fixpoint batch would re-split
+        // it forever (each pass launching a fresh sampling job).
+        def isWideResidual(r: LogicalPlan, lo: Expression,
+            hi: Expression): Boolean = r match {
+          case Filter(GreaterThan(Subtract(h, l, _), Literal(_, LongType)), _) =>
+            h.semanticEquals(castLong(hi)) && l.semanticEquals(castLong(lo))
+          case _ => false
+        }
+
         (if (hasEqui) None else lower.flatMap { case (p, lo) =>
           upper(p).flatMap { case (hi, inclusive) =>
-            manualWidth.orElse(deriveWidth(right, lo, hi))
+            if (isWideResidual(right, lo, hi)) None
+            else manualWidth.orElse(deriveWidth(right, lo, hi))
               .map(w => (p, lo, hi, inclusive, w))
           }
         }) match {
@@ -218,11 +289,38 @@ case class RangeJoinRewrite(spark: SparkSession)
               None, Some(spark.sessionState.conf.sessionLocalTimeZone))
             val binR = AttributeReference("__graft_bin_r", LongType,
               nullable = false)()
+            // HYBRID split (round-4 advice, medium): NO sampled width can
+            // promise the widest UNSAMPLED interval stays boundedly
+            // replicated — any bounded sample of an adversarially ordered
+            // relation misses outliers, and one missed 1e9-span interval
+            // under a span-1 width is a runtime Sequence-length failure.
+            // So over-wide intervals never reach the bin Generate at all:
+            // intervals with span <= width·MaxReplication take the binned
+            // hash join; the (rare, by the width derivation) wider ones
+            // keep the original nested-loop form, which for a handful of
+            // corpus-spanning intervals is also the RIGHT plan — they match
+            // nearly every point, so binning them would replicate without
+            // pruning anything. Bounded replication by CONSTRUCTION; the
+            // width only tunes the constant. Null bounds drop from both
+            // branches (an inner range join can never match them). The two
+            // branches partition the interval rows, so no dedup is needed;
+            // the left side is scanned once per branch (exchange reuse
+            // collapses the scans when the planner can).
+            val spanExpr = Subtract(castLong(hi), castLong(lo))
+            val maxSpan =
+              if (width > Long.MaxValue / MaxReplication) Long.MaxValue
+              else width * MaxReplication
+            val narrow = Filter(
+              LessThanOrEqual(spanExpr, Literal(maxSpan)), right)
+            val wide = Filter(
+              GreaterThan(spanExpr, Literal(maxSpan)), right)
             val gen = Generate(Explode(seq), unrequiredChildIndex = Nil,
               outer = false, qualifier = None,
-              generatorOutput = Seq(binR), child = right)
+              generatorOutput = Seq(binR), child = narrow)
             val newCond = And(EqualTo(binL.toAttribute, binR), cond)
-            Project(j.output, Join(newLeft, gen, Inner, Some(newCond), hint))
+            val binned =
+              Project(j.output, Join(newLeft, gen, Inner, Some(newCond), hint))
+            Union(Seq(binned, Join(left, wide, Inner, Some(cond), hint)))
         }
     }
   }

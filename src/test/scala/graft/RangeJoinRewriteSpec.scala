@@ -184,4 +184,61 @@ class RangeJoinRewriteSpec extends SparkTestBase {
       }
     }
   }
+
+  test("auto width survives a span-ORDERED relation with a wide outlier") {
+    // The round-4 advice failure mode: 20k intervals sorted by span, all
+    // narrow except a 2e9-wide outlier at the very end. A prefix
+    // executeTake(10001) sample sees only span-1 rows -> width 1 -> the
+    // outlier would replicate into 2e9 bins (runtime Sequence-length
+    // failure). The partition-spread sample + the max-replication clamp
+    // must keep the rewrite both ALIVE and correct.
+    val ivs = spark.range(20000).selectExpr("cast(id as int) as iv_id",
+        "id * 3 as lo",
+        // last row: span 2_000_000_000; everything else span 1
+        "case when id = 19999 then id * 3 + 2000000000 else id * 3 + 1 end as hi")
+      .orderBy("hi")
+    val pts = Seq(0L, 3L, 4L, 30000L, 59998L, 1000000000L).toDF("p")
+    val expected = withRule(enabled = false) {
+      pts.join(ivs, col("p") >= col("lo") && col("p") < col("hi"))
+        .select("p", "iv_id").as[(Long, Int)].collect().toSet
+    }
+    spark.conf.set("spark.graft.rangeJoinRewrite.enabled", "true")
+    try {
+      val j = pts.join(ivs, col("p") >= col("lo") && col("p") < col("hi"))
+      assert(j.queryExecution.optimizedPlan.toString.contains("__graft_bin"))
+      assert(j.select("p", "iv_id").as[(Long, Int)].collect().toSet == expected)
+    } finally spark.conf.unset("spark.graft.rangeJoinRewrite.enabled")
+  }
+
+  test("rule fires twice on one session with a CACHED interval side") {
+    // Cached-plan re-optimization is the re-entrancy path the derivation
+    // latch guards: width sampling executes a plan during optimization,
+    // and with an InMemoryRelation child that execution re-enters the
+    // optimizer on this same thread. Two consecutive runs must both
+    // rewrite, return identical results, and hit the width cache (no
+    // second sampling job is observable as: same plan, same results).
+    val expected = withRule(enabled = false) {
+      naive.select("p", "iv_id").as[(Long, Int)].collect().toSet
+    }
+    intervals.persist()
+    try {
+      intervals.count()
+      spark.conf.set("spark.graft.rangeJoinRewrite.enabled", "true")
+      try {
+        for (run <- 1 to 2) {
+          val j = naive
+          assert(j.queryExecution.optimizedPlan.toString.contains("__graft_bin"),
+            s"run $run did not rewrite")
+          // NOTE the hybrid's wide-outlier branch legitimately remains a
+          // nested-loop join over the cached relation (runtime-empty here;
+          // over a plain LocalRelation Catalyst folds the span filter and
+          // drops the branch entirely, which is what the uncached tests
+          // assert) — so the check is the binned branch's presence plus
+          // results, not BNLJ absence.
+          assert(j.select("p", "iv_id").as[(Long, Int)].collect().toSet
+            == expected, s"run $run")
+        }
+      } finally spark.conf.unset("spark.graft.rangeJoinRewrite.enabled")
+    } finally intervals.unpersist()
+  }
 }
