@@ -64,6 +64,16 @@ object AsOfJoin {
       forward: Boolean,
       tolerance: Option[Long]): DataFrame = {
     require(tolerance.forall(_ >= 0), "tolerance must be non-negative")
+    // `__t` is the matched-time field INSIDE the right-side struct (built
+    // below): a right value column literally named `__t` would sit next to
+    // it in the same struct, making `col("__m.__t")` ambiguous and the
+    // tolerance comparison wrong (round-4 advice). The other scaffold
+    // names (`__key/__time/__tag/__l/__r/__m`) cannot collide: user
+    // columns only ever travel INSIDE the `__l`/`__r` structs, never
+    // alongside the scaffold columns themselves.
+    require(!rightVals.contains("__t"),
+      "rightVals may not contain a column named '__t' (reserved for the " +
+        "matched-time field of the as-of struct) — rename it before joining")
 
     val leftCols = left.columns.toSeq
     val leftStruct = StructType(left.schema.fields)

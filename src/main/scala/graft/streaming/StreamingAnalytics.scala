@@ -317,6 +317,20 @@ object StreamingAnalytics {
       // events later than anything seen can still extend it, and the next
       // session's start bounds the earlier ones); the latest stays open
       // and waits on the timer.
+      //
+      // EARLY-CLOSE APPROXIMATION (documented contract, round-4 advice): a
+      // pre-watermark late event whose timestamp falls in the gap BETWEEN
+      // two already-merged sessions — within gapMs of one that just closed
+      // — arrives in a later batch, finds the closed session gone from
+      // state, and emits separately, where a batch run over the same
+      // events would have bridged them into one session. The alternative
+      // (hold every session whose last+gap is above the watermark, close
+      // only on timer expiry) trades that for O(open-sessions) state per
+      // key and emission delayed by the full watermark lag even for
+      // sessions no on-time event can ever reopen. This operator
+      // deliberately keeps the O(1)-state prompt-emission side of that
+      // trade; exact late-merge semantics at batch parity are available
+      // from the batch sessionize (s1/s4) over the landed events.
       val seeds = (
         (if (sess.exists()) List(sess.get()) else Nil) ++
           rows.map(e => IdleSession(e.ts.getTime, e.ts.getTime, 1))
