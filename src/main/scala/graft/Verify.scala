@@ -7,15 +7,12 @@ object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      // events.parquet carries TIMESTAMP(NANOS) which the vectorized reader
-      // rejects; read as long nanos and convert explicitly where needed.
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .getOrCreate()
+    // The engine's canonical session factory: same confs as before (UTC,
+    // shuffle=cpus, nanos-as-long, no UI) PLUS GraftExtensions — the gate
+    // must run the session a library user gets, including the injected
+    // native functions and the range-join optimizer rule (x6 plan-locks
+    // on the latter).
+    val spark = GraftSession.builder(s"local[$cpus]", cpus.toInt).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     // Materialize the deterministic producer envelopes (same seed/count as

@@ -1088,6 +1088,59 @@ object RelationalQueries {
                GROUP BY band_id"""),
       "equality-free interval join via bin-replication blocking (no BNLJ)"),
 
+    // The same interval join written NAIVELY (plain `p >= lo AND p < hi`
+    // condition, no operator API) with the RangeJoinRewrite optimizer rule
+    // enabled: the rule must re-plan it as the bin-replicated hash join —
+    // auto-derived width, hybrid outlier branch — and produce oracle-exact
+    // results. The plan is REQUIRED to carry the rewrite's bin key, so the
+    // gate fails loudly if the rule ever silently stops firing; the result
+    // materializes eagerly under the conf (set/restore around the build)
+    // so the enable flag never leaks into the rest of the gate.
+    "x6_range_rewrite" -> QueryDef(
+      (s, dir) => {
+        // Defensive rule injection for externally-built sessions (mirrors
+        // the GraftFunctions.register pattern): sessions built without
+        // GraftExtensions get the rule via experimental.extraOptimizations.
+        // Safe when the extension-injected copy IS present: the rewrite is
+        // idempotent (the binned join gains an equi key, the wide residual
+        // is shape-guarded), so a second pass is a no-op.
+        if (!s.experimental.extraOptimizations
+            .exists(_.isInstanceOf[graft.plans.RangeJoinRewrite]))
+          s.experimental.extraOptimizations ++=
+            Seq(graft.plans.RangeJoinRewrite(s))
+        val prev = s.conf.getOption("spark.graft.rangeJoinRewrite.enabled")
+        s.conf.set("spark.graft.rangeJoinRewrite.enabled", "true")
+        try {
+          val pts = t(s, dir, "lineitem")
+            .select(floor(col("l_extendedprice") * 100).cast("long").as("p"))
+          val bands = s.createDataFrame(PriceBands)
+            .toDF("band_id", "lo", "hi")
+          val joined = pts.join(bands,
+              col("p") >= col("lo") && col("p") < col("hi"))
+            .groupBy("band_id")
+            .agg(count(lit(1)).as("n_items"),
+              sum("p").cast("long").as("sum_cents"))
+          require(joined.queryExecution.optimizedPlan.toString
+              .contains("__graft_bin"),
+            "RangeJoinRewrite did not fire on the naive interval join")
+          val rows = joined.collect()
+          s.createDataFrame(
+            java.util.Arrays.asList(rows: _*), joined.schema)
+        } finally prev match {
+          case Some(v) => s.conf.set("spark.graft.rangeJoinRewrite.enabled", v)
+          case None => s.conf.unset("spark.graft.rangeJoinRewrite.enabled")
+        }
+      },
+      Some(s"""WITH pts AS (SELECT CAST(floor(l_extendedprice * 100) AS BIGINT) AS p
+                            FROM lineitem),
+                    bands(band_id, lo, hi) AS (VALUES ${PriceBands.map {
+                      case (b, lo, hi) => s"($b, $lo, $hi)" }.mkString(", ")})
+               SELECT band_id, count(*) AS n_items,
+                      CAST(sum(p) AS BIGINT) AS sum_cents
+               FROM pts JOIN bands ON p >= lo AND p < hi
+               GROUP BY band_id"""),
+      "naive interval join re-planned by the optimizer rule (oracle-gated)"),
+
     // Time-series densification: per-user daily event series with missing
     // days zero-filled and a gauge column carried forward. Grid generated
     // per key by sequence()+explode (narrow, bounded by per-key span), 1:1
