@@ -314,6 +314,9 @@ object Dedup {
     if (!converged)
       log.warn(s"dupClusters: star rounds did NOT converge after " +
         s"$maxIter rounds — clusters may be split; raise maxIter")
+    else
+      log.info(s"dupClusters: converged in $it star rounds " +
+        s"(${prev._1} star edges)")
     // At the star fixpoint every edge is (member, component-min); roots
     // label themselves. The final min-agg is belt-and-braces for the
     // non-converged case (duplicate doc_ids collapse to the best label).

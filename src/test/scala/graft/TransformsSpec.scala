@@ -119,6 +119,48 @@ class TransformsSpec extends SparkTestBase {
     assert(df.as[String].collect().toSeq == cases.map(_._2))
   }
 
+  test("emailDomain matches a reference PSL evaluator on generated hosts") {
+    // Independent implementation of the same PSL semantics (string-split
+    // arithmetic vs the column's substring_index expressions — the target
+    // is an off-by-one in the nested substring_index counts) over a
+    // representative sample of every rule category. Random labels are 5-8
+    // chars so they can never collide with a rule label ('city', 'k12', …).
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val exceptions = Set("city.kobe.jp", "city.yokohama.jp")
+    val wildcardParents = Set("sch.uk", "kobe.jp", "yokohama.jp")
+    val lit3 = Set("pref.hokkaido.jp", "k12.ca.us", "city.osaka.jp",
+      "metro.tokyo.jp")
+    val lit2 = Set("co.uk", "com.au", "ne.jp", "gouv.fr")
+    def ref(host: String): String = {
+      val ls = host.split('.')
+      def tail(n: Int) = ls.takeRight(n).mkString(".")
+      def at(i: Int) = ls(math.max(i, 0))
+      if (ls.length >= 3 && exceptions(tail(3))) at(ls.length - 3)
+      else if ((ls.length >= 3 && lit3(tail(3))) ||
+          (ls.length >= 2 && wildcardParents(tail(2)))) at(ls.length - 4)
+      else if (ls.length >= 2 && lit2(tail(2))) at(ls.length - 3)
+      else at(ls.length - 2)
+    }
+    val suffixes = Seq("com", "org", "io") ++ lit2 ++ lit3 ++
+      wildcardParents ++ exceptions
+    val genLabel = Gen.choose(5, 8)
+      .flatMap(n => Gen.listOfN(n, Gen.alphaLowerChar).map(_.mkString))
+    val genHost = for {
+      sfx <- Gen.oneOf(suffixes)
+      extra <- Gen.choose(0, 3)
+      labels <- Gen.listOfN(extra, genLabel)
+    } yield (labels :+ sfx).mkString(".")
+    val hosts = (1 to 300).flatMap(i =>
+      genHost.apply(Gen.Parameters.default, Seed(i.toLong))).distinct
+    val got = hosts.map(h => s"u@$h").toDF("email")
+      .select($"email", Transforms.emailDomain($"email").as("d"))
+      .as[(String, String)].collect().toMap
+    hosts.foreach { h =>
+      assert(got(s"u@$h") == ref(h), s"host $h")
+    }
+  }
+
   test("emailDomain honors PSL !-exception rules (tldextract parity)") {
     // `*.kobe.jp` makes every third label under kobe.jp a public suffix —
     // EXCEPT `!city.kobe.jp`, which the exception rule makes registrable:

@@ -10,7 +10,7 @@ val names = Seq(
   "g1_pricing_summary", "j1_star_join", "j7_outer_join", "w4_topk_agg",
   "x1_asof_join", "x2_range_join", "x5_asof_tolerance",
   "d3_lsh_pairs", "d13_decontaminate", "d16_decontaminate_13gram",
-  "e4_embed_clusters", "n14_knn_ivfpq", "t14_unigram_xent",
+  "e4_embed_clusters", "n2_knn_ivf", "n14_knn_ivfpq", "t14_unigram_xent",
   "t13_boilerplate", "z1_zorder_key", "sp11_curriculum")
 for (n <- names) {
   val df = graft.SparkEntry.queries(n)(spark, sfDir)
