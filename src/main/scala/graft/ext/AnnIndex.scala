@@ -45,9 +45,15 @@ object AnnIndex {
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/params.parquet")
     cb.toSeq.map { case (cell, cq) => (cell, cq.toSeq) }.toDF("cell", "cq")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/codebook.parquet")
+    // Cell-partitioned at-rest layout (exactly how an IVF index stores its
+    // lists): one directory per cell, rows co-located. A search that knows
+    // its query cells scans only those directories — partition pruning
+    // does the IVF probe's list selection at the FILE level.
     corpus
       .withColumn("cell", Similarity.nearestCell(col("embedding"), cb))
-      .write.mode("overwrite").parquet(s"$dir/corpus.parquet")
+      .repartition(col("cell"))
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$dir/corpus.parquet")
   }
 
   /** Search a [[buildIvf]] index: assign each query its trained cell and
@@ -108,6 +114,9 @@ object AnnIndex {
       .toDF("bits", "dim", "seed", "m", "sub_dim", "pq_bits", "pq_seed")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/params.parquet")
     writePqCodebooks(spark, cbs, s"$dir/pq_codebooks.parquet")
+    // Cell-partitioned like buildIvf: the IVF half of IVF-PQ prunes to the
+    // query's cell, so the stored codes live one directory per cell and
+    // partition pruning skips every other list's files.
     corpus.select(
       col("vec_id") +:
         cbs.indices.map(i =>
@@ -115,7 +124,9 @@ object AnnIndex {
             Similarity.subvec(col("embedding"), i, subDim), cbs(i))
             .as(s"c$i")) :+
         Similarity.rpCell(col("embedding"), planes).as("cell"): _*)
-      .write.mode("overwrite").parquet(s"$dir/encoded.parquet")
+      .repartition(col("cell"))
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$dir/encoded.parquet")
   }
 
   /** Search a [[buildIvfPq]] index: queries re-derive their rp cell from

@@ -34,6 +34,19 @@ class AnnIndexSpec extends SparkTestBase {
       a.toSeq == b.toSeq })
   }
 
+  test("IVF corpus is cell-partitioned at rest (one directory per list)") {
+    val dir = tmp("ann_ivf_layout")
+    AnnIndex.buildIvf(embs, dir)
+    val cellDirs = new java.io.File(s"$dir/corpus.parquet")
+      .listFiles.filter(_.isDirectory).map(_.getName).filter(_.startsWith("cell="))
+    assert(cellDirs.nonEmpty, "expected cell=<id> partition directories")
+    // a literal-cell read prunes to that directory's files at plan time
+    val one = spark.read.parquet(s"$dir/corpus.parquet")
+      .filter($"cell" === cellDirs.head.stripPrefix("cell=").toInt)
+    val scan = one.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters"), scan)
+  }
+
   test("PQ index round-trips: prebuilt ADC search equals the fused path") {
     val dir = tmp("ann_pq")
     AnnIndex.buildPq(embs, dir)
