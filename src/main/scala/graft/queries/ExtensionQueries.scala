@@ -247,6 +247,26 @@ object ExtensionQueries {
                SELECT doc_id, band, band_hash FROM bands"""),
       "MinHash signatures + LSH band hashes (md5-replayable)"),
 
+    // The maxBucket tuning diagnostic: bucket-size distribution + the
+    // candidate-pair upper bound (sum sz*(sz-1)/2) of the band self-join —
+    // the numbers that decide the cap BEFORE the join runs. All exact
+    // integers (bit-for-bit oracle replay).
+    "d17_lsh_bucket_stats" -> QueryDef(
+      (s, dir) => Dedup.lshBucketStats(t(s, dir, "documents")),
+      Some(s"""WITH $ShinglesCte, $BandsCte,
+               b AS (SELECT band, band_hash, count(*) AS sz
+                     FROM bands GROUP BY 1, 2)
+               SELECT count(*) AS n_buckets,
+                      CAST(sum(sz) AS BIGINT) AS n_rows,
+                      CAST(max(sz) AS BIGINT) AS max_bucket,
+                      CAST(sum(CASE WHEN sz = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                        AS n_singleton,
+                      CAST(sum(CASE WHEN sz > 100 THEN 1 ELSE 0 END) AS BIGINT)
+                        AS n_over_cap,
+                      CAST(sum(sz * (sz - 1) // 2) AS BIGINT) AS pair_bound
+               FROM b"""),
+      "LSH bucket-size distribution + candidate-pair bound (cap tuning)"),
+
     // maxBucket is disabled here because the DuckDB oracle joins bands with
     // no bucket cap — a bucket over the default cap would silently diverge
     // the two sides. Production paths keep the default cap.
