@@ -292,23 +292,32 @@ object Bench {
           setup: org.apache.spark.sql.SparkSession => Unit = _ => ()): Unit = {
         val ps = GraftSession.builder(s"local[$cpus]", cpus).getOrCreate()
         ps.sparkContext.setLogLevel("ERROR")
-        setup(ps)
-        probes.foreach { case (label, mk) =>
-          System.err.println(s"[bench] sf1 probe $label")
-          try {
-            // min-of-2 with cpu/wall, same steal discipline as the queries
-            val samples = (1 to 2).map(_ => timed(mk(ps).count()))
-            val (w, c) = samples.minBy(_._1)
-            walls += (label -> w.toString)
-            ratios += (label -> f2(c / w))
-          } catch { case e: Throwable =>
-            System.err.println(s"[bench] sf1 $label FAILED: ${e.getMessage}")
-            walls += (label -> "-1")
-            ratios += (label -> "-1")
+        try {
+          // a setup failure must not abort the artifact: the probes that
+          // depended on it fail individually to their -1 sentinels, every
+          // other family's numbers survive, and the JSON line still prints
+          try setup(ps)
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] sf1 family setup FAILED: ${e.getMessage}")
           }
+          probes.foreach { case (label, mk) =>
+            System.err.println(s"[bench] sf1 probe $label")
+            try {
+              // min-of-2 with cpu/wall, same steal discipline as the queries
+              val samples = (1 to 2).map(_ => timed(mk(ps).count()))
+              val (w, c) = samples.minBy(_._1)
+              walls += (label -> w.toString)
+              ratios += (label -> f2(c / w))
+            } catch { case e: Throwable =>
+              System.err.println(s"[bench] sf1 $label FAILED: ${e.getMessage}")
+              walls += (label -> "-1")
+              ratios += (label -> "-1")
+            }
+          }
+        } finally {
+          ps.stop()
+          System.gc()
         }
-        ps.stop()
-        System.gc()
       }
       runFamily(
         dedupNames.map(n => n -> ((ps: org.apache.spark.sql.SparkSession) =>

@@ -122,7 +122,12 @@ case class RangeJoinRewrite(spark: SparkSession)
   private def deriveWidth(right: LogicalPlan, lo: Expression,
       hi: Expression): Option[Long] = {
     if (right.isStreaming || deriving.get()) return None
-    val span = Subtract(castLong(hi), castLong(lo))
+    // TRY-mode: one overflow-span row under ANSI would otherwise throw the
+    // whole sampling job and stand the rule down for the entire relation;
+    // as NULL it is simply excluded from the sample (and the hybrid split
+    // routes such rows to the NL branch at runtime anyway).
+    val span = Subtract(castLong(hi), castLong(lo),
+      NumericEvalContext(EvalMode.TRY, allowDecimalPrecisionLoss = true))
     val proj = Project(Seq(Alias(span, "__graft_span")()), right)
     val key = proj.canonicalized
     val cached = widthCache.get(key)
@@ -132,9 +137,12 @@ case class RangeJoinRewrite(spark: SparkSession)
       try {
         val rdd = spark.sessionState.executePlan(proj).executedPlan.execute()
         val parts = rdd.getNumPartitions
+        // ceil-div stride: a floor stride of parts/64 breaks the task
+        // bound for 65..127 partitions (stride 1 -> every partition)
         val chosen =
           if (parts <= SamplePartitions) 0 until parts
-          else 0 until parts by math.max(1, parts / SamplePartitions)
+          else 0 until parts by
+            ((parts + SamplePartitions - 1) / SamplePartitions)
         val perPart = math.max(1, SampleN / math.max(1, chosen.size))
         val spans = spark.sparkContext
           .runJob(rdd,
@@ -247,11 +255,28 @@ case class RangeJoinRewrite(spark: SparkSession)
         // The wide-residual branch this rule itself emits keeps the
         // original (equality-free) range condition — recognize it by its
         // span filter and stand down, or the fixpoint batch would re-split
-        // it forever (each pass launching a fresh sampling job).
+        // it forever (each pass launching a fresh sampling job). The check
+        // is CAST-INSENSITIVE and searches every sub-predicate: this rule
+        // shares the operator-optimization fixpoint with SimplifyCasts,
+        // which strips the same-type Cast the filter was built with — a
+        // literal-shape match would stop recognizing the residual after
+        // one iteration for long-typed bounds and re-derive/re-split it
+        // (caught in review; the old exact-shape guard only actually held
+        // for timestamp bounds, whose Cast survives). A user's own
+        // `hi - lo > k` filter under an un-rewritten range join matches
+        // too — conservative stand-down, the join keeps its original plan.
+        def stripCast(e: Expression): Expression = e match {
+          case c: Cast => stripCast(c.child)
+          case _ => e
+        }
         def isWideResidual(r: LogicalPlan, lo: Expression,
             hi: Expression): Boolean = r match {
-          case Filter(GreaterThan(Subtract(h, l, _), Literal(_, LongType)), _) =>
-            h.semanticEquals(castLong(hi)) && l.semanticEquals(castLong(lo))
+          case Filter(cond, _) => cond.exists {
+            case GreaterThan(Subtract(h, l, _), Literal(_, LongType)) =>
+              stripCast(h).semanticEquals(stripCast(hi)) &&
+                stripCast(l).semanticEquals(stripCast(lo))
+            case _ => false
+          }
           case _ => false
         }
 
@@ -306,14 +331,25 @@ case class RangeJoinRewrite(spark: SparkSession)
             // branches partition the interval rows, so no dedup is needed;
             // the left side is scanned once per branch (exchange reuse
             // collapses the scans when the planner can).
-            val spanExpr = Subtract(castLong(hi), castLong(lo))
+            // Span filters evaluate in TRY mode: hi − lo overflows Long for
+            // extreme domains (rows the original NL join handles fine), and
+            // under ANSI — the Spark 4 default — a plain Subtract would
+            // THROW at runtime inside the rewritten query. TRY yields NULL
+            // on overflow, and null spans route to the WIDE branch: an
+            // overflow-wide interval is by definition wider than any cap
+            // (null BOUNDS also land there and correctly match nothing
+            // through the original condition).
+            def trySpan = Subtract(castLong(hi), castLong(lo),
+              NumericEvalContext(EvalMode.TRY,
+                allowDecimalPrecisionLoss = true))
             val maxSpan =
               if (width > Long.MaxValue / MaxReplication) Long.MaxValue
               else width * MaxReplication
             val narrow = Filter(
-              LessThanOrEqual(spanExpr, Literal(maxSpan)), right)
+              LessThanOrEqual(trySpan, Literal(maxSpan)), right)
             val wide = Filter(
-              GreaterThan(spanExpr, Literal(maxSpan)), right)
+              Or(GreaterThan(trySpan, Literal(maxSpan)), IsNull(trySpan)),
+              right)
             val gen = Generate(Explode(seq), unrequiredChildIndex = Nil,
               outer = false, qualifier = None,
               generatorOutput = Seq(binR), child = narrow)

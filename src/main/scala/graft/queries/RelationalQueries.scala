@@ -1101,11 +1101,20 @@ object RelationalQueries {
         // Defensive rule injection for externally-built sessions (mirrors
         // the GraftFunctions.register pattern): sessions built without
         // GraftExtensions get the rule via experimental.extraOptimizations.
-        // Safe when the extension-injected copy IS present: the rewrite is
-        // idempotent (the binned join gains an equi key, the wide residual
-        // is shape-guarded), so a second pass is a no-op.
-        if (!s.experimental.extraOptimizations
-            .exists(_.isInstanceOf[graft.plans.RangeJoinRewrite]))
+        // The presence check covers BOTH registration surfaces — the
+        // extension-injected copy lives in the optimizer's
+        // extendedOperatorOptimizationRules, not in experimental, so a
+        // GraftSession would otherwise accrete a duplicate instance with
+        // its own width cache (extra sampling jobs whenever the rule is
+        // enabled; caught in review). A duplicate would still be
+        // RESULT-safe: the rewrite is idempotent (the binned join gains an
+        // equi key, the wide residual is shape-guarded).
+        val hasRule =
+          s.sessionState.optimizer.extendedOperatorOptimizationRules
+            .exists(_.isInstanceOf[graft.plans.RangeJoinRewrite]) ||
+          s.experimental.extraOptimizations
+            .exists(_.isInstanceOf[graft.plans.RangeJoinRewrite])
+        if (!hasRule)
           s.experimental.extraOptimizations ++=
             Seq(graft.plans.RangeJoinRewrite(s))
         val prev = s.conf.getOption("spark.graft.rangeJoinRewrite.enabled")

@@ -84,6 +84,39 @@ class ExtensionsSpec extends SparkTestBase {
     } finally spark.conf.unset(Dedup.ReliableCheckpointConf)
   }
 
+  test("observed-metrics witness accumulates exactly once per checkpoint mode") {
+    // dupClusters' convergence witness rides the per-round checkpoint as
+    // observed metrics; its correctness ASSUMES the checkpoint action
+    // evaluates the CollectMetrics accumulator exactly once. That held
+    // empirically for both localCheckpoint and reliable checkpoint on this
+    // Spark version — this test pins it, because a checkpoint
+    // implementation that recomputed the plan (historical Spark behavior)
+    // would double-accumulate: count doubles and the XOR hash folds to 0,
+    // silently degrading convergence detection to count-only. If this test
+    // starts failing after a Spark upgrade, dupClusters must go back to a
+    // separate witness job for the affected mode.
+    val ckpt = java.nio.file.Files.createTempDirectory("obs_ckpt").toString
+    spark.sparkContext.setCheckpointDir(ckpt)
+    val df = spark.range(100)
+      .select(($"id" % 50).as("src"), ($"id" % 7).as("dst")).distinct()
+    val expected = {
+      import org.apache.spark.sql.functions.{bit_xor, xxhash64}
+      val r = df.select(xxhash64($"src", $"dst").as("h"))
+        .agg(count(lit(1)), coalesce(bit_xor($"h"), lit(0L))).head
+      (r.getLong(0), r.getLong(1))
+    }
+    for (reliable <- Seq(false, true)) {
+      val obs = org.apache.spark.sql.Observation(s"w_once_$reliable")
+      val observed = df.observe(obs, count(lit(1)).as("n"),
+        coalesce(bit_xor(xxhash64($"src", $"dst")), lit(0L)).as("h"))
+      if (reliable) observed.checkpoint() else observed.localCheckpoint()
+      val m = obs.get
+      assert((m("n"), m("h")) == expected, s"reliable=$reliable")
+      assert(m("h") != 0L, s"reliable=$reliable: XOR folded to zero " +
+        "(double accumulation?)")
+    }
+  }
+
   test("simhashPairs: band blocking finds exactly the brute-force pairs") {
     val d = docs(
       (1L, "alpha beta gamma delta epsilon"),

@@ -210,6 +210,33 @@ class RangeJoinRewriteSpec extends SparkTestBase {
     } finally spark.conf.unset("spark.graft.rangeJoinRewrite.enabled")
   }
 
+  test("overflow-wide interval (hi - lo > Long.MaxValue) stays correct") {
+    // A legal interval whose span overflows Long: under ANSI (the Spark 4
+    // default) a plain hi - lo in the hybrid's span filters would THROW at
+    // runtime, and a wrapped negative span would misroute the row into the
+    // binned Generate (a ~1e19-bin sequence). The TRY-mode span must send
+    // it to the nested-loop branch, where it simply matches every point in
+    // range, exactly like the un-rewritten join.
+    val wild = Seq((0, -6000000000000000000L, 6000000000000000000L),
+      (1, 0L, 10L)).toDF("iv_id", "lo", "hi")
+    val pts = Seq(-100L, 0L, 5L, 100L).toDF("p")
+    def j = pts.join(wild, col("p") >= col("lo") && col("p") < col("hi"))
+    val expected = withRule(enabled = false) {
+      j.select("p", "iv_id").as[(Long, Int)].collect().toSet
+    }
+    withRule(enabled = true, width = 5L) {
+      assert(j.select("p", "iv_id").as[(Long, Int)].collect().toSet
+        == expected)
+    }
+    // auto-width path too (derivation samples the overflow span in TRY
+    // mode server-side; a thrown sampling job would stand the rule down,
+    // which is also acceptable — correctness is what is asserted)
+    spark.conf.set("spark.graft.rangeJoinRewrite.enabled", "true")
+    try assert(j.select("p", "iv_id").as[(Long, Int)].collect().toSet
+      == expected)
+    finally spark.conf.unset("spark.graft.rangeJoinRewrite.enabled")
+  }
+
   test("rule fires twice on one session with a CACHED interval side") {
     // Cached-plan re-optimization is the re-entrancy path the derivation
     // latch guards: width sampling executes a plan during optimization,
