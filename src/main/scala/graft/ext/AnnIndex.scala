@@ -58,15 +58,34 @@ object AnnIndex {
 
   /** Search a [[buildIvf]] index: assign each query its trained cell and
    * run the cell-restricted top-k against the stored corpus. Identical
-   * results to [[Similarity.knnIvfTrained]] with the build's parameters. */
+   * results to [[Similarity.knnIvfTrained]] with the build's parameters.
+   *
+   * IVF list selection happens at the FILE level: the batch's probed
+   * cells are collected first (one job over the query batch — bounded by
+   * its size, the documented small-query-set posture) and pushed as a
+   * literal partition filter, so the scan reads ONLY the probed lists'
+   * directories. The cell join alone would scan every list and discard
+   * rows post-read. */
   def searchIvf(queries: DataFrame, spark: SparkSession, dir: String, k: Int,
       maxCell: Int = 10000): DataFrame = {
     val cb = loadCodebook(spark, s"$dir/codebook.parquet")
-    Similarity.knnCell(
-      queries.withColumn("__tc", Similarity.nearestCell(col("embedding"), cb)),
+    val q = queries.withColumn("__tc",
+      Similarity.nearestCell(col("embedding"), cb))
+    Similarity.knnCell(q,
       spark.read.parquet(s"$dir/corpus.parquet")
-        .withColumnRenamed("cell", "__tc"),
+        .withColumnRenamed("cell", "__tc")
+        .where(probedFilter(q, "__tc")),
       "__tc", k, maxCell)
+  }
+
+  /** Literal IN-filter over the batch's distinct probed cells — the
+   * partition-pruning push of the IVF probe. Empty query batch → `false`
+   * (nothing scanned, nothing returned — same as the join). */
+  private def probedFilter(q: DataFrame, cellCol: String)
+      : org.apache.spark.sql.Column = {
+    val cells = q.select(cellCol).distinct().collect().map(_.getInt(0))
+    if (cells.isEmpty) lit(false)
+    else col(cellCol).isin(cells.toSeq: _*)
   }
 
   // ---- PQ (per-subspace codebooks + code-encoded corpus) ----
@@ -137,9 +156,14 @@ object AnnIndex {
       k: Int): DataFrame = {
     val p = spark.read.parquet(s"$dir/params.parquet")
       .select("bits", "dim", "seed", "sub_dim").head
+    val planes = Similarity.rpPlanes(p.getInt(1), p.getInt(0), p.getString(2))
+    // probed-list selection as a literal partition filter (see searchIvf)
+    val qCells = queries
+      .select(Similarity.rpCell(col("embedding"), planes).as("cell"))
     Similarity.ivfPqSearchEncoded(queries,
-      spark.read.parquet(s"$dir/encoded.parquet"),
-      Similarity.rpPlanes(p.getInt(1), p.getInt(0), p.getString(2)),
+      spark.read.parquet(s"$dir/encoded.parquet")
+        .where(probedFilter(qCells, "cell")),
+      planes,
       loadPqCodebooks(spark, s"$dir/pq_codebooks.parquet"),
       p.getInt(3), k)
   }

@@ -45,6 +45,16 @@ class AnnIndexSpec extends SparkTestBase {
       .filter($"cell" === cellDirs.head.stripPrefix("cell=").toInt)
     val scan = one.queryExecution.executedPlan.toString
     assert(scan.contains("PartitionFilters"), scan)
+    // ... and the SEARCH path itself pushes the probed cells as literal
+    // partition filters (IVF list selection at the file level): its scan
+    // of the stored corpus must carry a non-empty partition IN-filter
+    val searchScan = AnnIndex.searchIvf(queries, spark, dir, 3)
+      .queryExecution.executedPlan.toString
+    // the filter names the scan's physical column (`cell`; the __tc rename
+    // sits above the scan) and must be a literal IN over the probed cells
+    assert(searchScan.contains("PartitionFilters: [cell"), searchScan)
+    assert(searchScan.matches("(?s).*PartitionFilters: \\[cell#\\d+ IN \\(.*"),
+      searchScan)
   }
 
   test("PQ index round-trips: prebuilt ADC search equals the fused path") {
