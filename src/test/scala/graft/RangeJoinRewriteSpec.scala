@@ -210,6 +210,58 @@ class RangeJoinRewriteSpec extends SparkTestBase {
     } finally spark.conf.unset("spark.graft.rangeJoinRewrite.enabled")
   }
 
+  test("property: rewrite equals the naive join on random interval relations") {
+    // Seeded randomized equivalence (SpineProperties pattern — plain
+    // ScalaCheck generators, deterministic replay): random points and
+    // random intervals including negatives, empties, inversions,
+    // duplicates and the occasional huge span, across manual widths AND
+    // the auto-derivation path.
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    def sample[T](gen: Gen[T], seed: Long): T =
+      gen.apply(Gen.Parameters.default, Seed(seed)).get
+    val genIv = for {
+      lo <- Gen.chooseNum(-1000L, 1000L)
+      span <- Gen.frequency(
+        5 -> Gen.chooseNum(0L, 50L),       // typical
+        2 -> Gen.const(0L),                // empty
+        2 -> Gen.chooseNum(-40L, -1L),     // inverted
+        1 -> Gen.chooseNum(100000L, 500000L)) // huge outlier
+    } yield (lo, lo + span)
+    val genCase = for {
+      n <- Gen.chooseNum(1, 40)
+      ivs <- Gen.listOfN(n, genIv)
+      m <- Gen.chooseNum(1, 60)
+      pts <- Gen.listOfN(m, Gen.chooseNum(-1200L, 1200L))
+    } yield (ivs, pts)
+    for (seed <- 1L to 8L) {
+      val (ivs, ptsList) = sample(genCase, seed)
+      val intervals = ivs.zipWithIndex
+        .map { case ((lo, hi), i) => (i, lo, hi) }.toDF("iv_id", "lo", "hi")
+      val pts = ptsList.toDF("p")
+      def j = pts.join(intervals,
+        col("p") >= col("lo") && col("p") < col("hi"))
+      val expected = withRule(enabled = false) {
+        j.select("p", "iv_id").as[(Long, Int)].collect().sorted.toSeq
+      }
+      for (width <- Seq(Some(1L), Some(17L), None)) {
+        width match {
+          case Some(w) => withRule(enabled = true, width = w) {
+            assert(j.select("p", "iv_id").as[(Long, Int)].collect().sorted.toSeq
+              == expected, s"seed=$seed width=$w")
+          }
+          case None =>
+            spark.conf.set("spark.graft.rangeJoinRewrite.enabled", "true")
+            try assert(
+              j.select("p", "iv_id").as[(Long, Int)].collect().sorted.toSeq
+                == expected, s"seed=$seed width=auto")
+            finally spark.conf
+              .unset("spark.graft.rangeJoinRewrite.enabled")
+        }
+      }
+    }
+  }
+
   test("overflow-wide interval (hi - lo > Long.MaxValue) stays correct") {
     // A legal interval whose span overflows Long: under ANSI (the Spark 4
     // default) a plain hi - lo in the hybrid's span filters would THROW at
