@@ -286,6 +286,13 @@ object Dedup {
     // checkpointed edges, a second materialization per round that
     // dominated the d6/d7 10×-probe constant (round-4 verdict #2).
     var obsId = 0
+    // Runtime tripwire (round-5 advice #3): the witness assumes the
+    // checkpoint action accumulates CollectMetrics exactly once (pinned by
+    // the ExtensionsSpec canary). A Spark whose reliable checkpoint
+    // recomputed the plan would double-accumulate, XOR-folding every h to 0
+    // and silently degrading convergence detection to count-only — make
+    // that state loud at runtime, not just in the test suite.
+    var sawNonZeroHash = false
     def materializeWitnessed(df: DataFrame): (DataFrame, (Long, Long)) = {
       obsId += 1
       val obs = org.apache.spark.sql.Observation(s"graft_cc_witness_$obsId")
@@ -293,7 +300,9 @@ object Dedup {
         count(lit(1)).as("n"),
         coalesce(bit_xor(xxhash64(col("src"), col("dst"))), lit(0L)).as("h")))
       val m = obs.get
-      (out, (m("n").asInstanceOf[Long], m("h").asInstanceOf[Long]))
+      val w = (m("n").asInstanceOf[Long], m("h").asInstanceOf[Long])
+      if (w._1 == 0L || w._2 != 0L) sawNonZeroHash = true
+      (out, w)
     }
     var (edges, prev) = materializeWitnessed(pairs
       .filter(col("doc_a") =!= col("doc_b"))
@@ -302,23 +311,43 @@ object Dedup {
       .distinct())
     var it = 0
     var converged = false
+    // Both star phases run as WINDOW minima (min over partitionBy(src),
+    // unbounded frame) rather than groupBy + join-back: the join-back form
+    // re-derives its child subtree for every consumer — the large-star
+    // relation was computed 2-3× inside each round's single plan — and
+    // pays an exchange per aggregate AND per join. The window form computes
+    // each phase in ONE pass over its input (one exchange + one
+    // per-partition sort), so a round is exactly 3 exchanges: large-star
+    // window over the symmetric relation, small-star window over the
+    // large-star output, and the final dedup hash-agg. Large-star output
+    // skips its dedup entirely: the symmetric relation contributes exactly
+    // one row per undirected edge to the dst>src filter, so the relation is
+    // |E|-bounded without it, and duplicate (v, m) pairs collapse in the
+    // round's final distinct anyway.
+    val bySrc = org.apache.spark.sql.expressions.Window.partitionBy("src")
     while (it < maxIter && !converged) {
       // large-star: for each u, m = min(Γ(u) ∪ {u}); emit (v, m) for every
       // neighbor v > u. Output edges always point strictly downward.
       val sym = edges.union(
         edges.select(col("dst").as("src"), col("src").as("dst")))
-      val lsMin = sym.groupBy("src").agg(min("dst").as("mn"))
-        .select(col("src"), least(col("src"), col("mn")).as("m"))
-      val ls = sym.join(lsMin, "src")
+      val ls = sym
+        .select(col("src"), col("dst"),
+          least(col("src"), min("dst").over(bySrc)).as("m"))
         .filter(col("dst") > col("src"))
         .select(col("dst").as("src"), col("m").as("dst"))
-        .distinct()
       // small-star: for each u over its (all smaller) neighbors,
-      // m = min Γ(u); rewire every neighbor and u itself onto m.
-      val ssMin = ls.groupBy("src").agg(min("dst").as("m"))
-      val ss = ls.join(ssMin, "src")
-        .select(col("dst").as("src"), col("m").as("dst"))
-        .union(ssMin.select(col("src"), col("m").as("dst")))
+      // m = min Γ(u); rewire every neighbor and u itself onto m. The
+      // (u, m) self-edge is emitted from the rows attaining the minimum
+      // (dst = m always exists in the group), so one window pass yields
+      // both emission kinds with no second aggregate over ls.
+      val ss = ls
+        .select(col("src"), col("dst"), min("dst").over(bySrc).as("m"))
+        .select(explode(when(col("dst") === col("m"),
+            array(struct(col("dst").as("s"), col("m").as("d")),
+              struct(col("src").as("s"), col("m").as("d"))))
+          .otherwise(array(struct(col("dst").as("s"), col("m").as("d")))))
+          .as("e"))
+        .select(col("e.s").as("src"), col("e.d").as("dst"))
         .filter(col("src") =!= col("dst"))
         .distinct()
       val (next, w) = materializeWitnessed(ss)
@@ -327,6 +356,11 @@ object Dedup {
       edges = next
       it += 1
     }
+    if (!sawNonZeroHash && it > 0)
+      log.warn("dupClusters: every round's edge-set hash observed as 0 on " +
+        "non-empty rounds — the CollectMetrics witness may be " +
+        "double-accumulating (see ExtensionsSpec canary); convergence " +
+        "detection degraded to count-only this run")
     // A labeling that stopped on maxIter (not on the fixpoint witness) is
     // PARTIAL — some docs may carry a non-minimal cluster id, and
     // dedupSurvivors would silently keep members of existing clusters.
