@@ -120,17 +120,27 @@ object Similarity {
    * top-k cut. */
   def knnRpMultiProbe(queries: DataFrame, corpus: DataFrame, k: Int,
       bits: Int = 4, dim: Int = 64, seed: String = "rp",
-      maxCell: Int = 10000): DataFrame = {
-    val planes = rpPlanes(dim, bits, seed)
+      maxCell: Int = 10000): DataFrame =
+    knnCell(multiProbeCells(queries, rpPlanes(dim, bits, seed), "__rp_cell"),
+      corpus.withColumn("__rp_cell",
+        rpCell(col("embedding"), rpPlanes(dim, bits, seed))),
+      "__rp_cell", k, maxCell)
+
+  /** The multi-probe query expansion: each query row explodes to its base
+   * rp cell plus the `bits` Hamming-1 flips, under `cellCol`. Shared by the
+   * fused [[knnRpMultiProbe]]/[[knnIvfPqMultiProbe]] and the prebuilt-index
+   * searches ([[AnnIndex.searchRpMultiProbe]]/
+   * [[AnnIndex.searchIvfPqMultiProbe]]), so the index round-trip probes
+   * EXACTLY the cells the fused form does. */
+  private[ext] def multiProbeCells(queries: DataFrame,
+      planes: Array[Array[Double]], cellCol: String): DataFrame = {
+    val bits = planes.length
     val flips = array((lit(0) +: (0 until bits).map(p => lit(1 << p))): _*)
-    val probed = queries
+    queries
       .withColumn("__rp_base", rpCell(col("embedding"), planes))
       .withColumn("__flip", explode(flips))
-      .withColumn("__rp_cell", col("__rp_base").bitwiseXOR(col("__flip")))
+      .withColumn(cellCol, col("__rp_base").bitwiseXOR(col("__flip")))
       .drop("__rp_base", "__flip")
-    knnCell(probed,
-      corpus.withColumn("__rp_cell", rpCell(col("embedding"), planes)),
-      "__rp_cell", k, maxCell)
   }
 
   /** Per-cell centroids — the M-step of Lloyd's k-means over the
@@ -583,16 +593,48 @@ object Similarity {
    * [[AnnIndex.searchIvfPq]]. */
   private[ext] def ivfPqSearchEncoded(queries: DataFrame, enc: DataFrame,
       planes: Array[Array[Double]], cbs: Array[Array[(Int, Array[Long])]],
-      subDim: Int, k: Int): DataFrame = {
-    val q = queries.select(col("vec_id").as("q_id"),
-      col("embedding").as("q_emb"),
-      rpCell(col("embedding"), planes).as("cell"))
+      subDim: Int, k: Int): DataFrame =
+    ivfPqSearchAssigned(
+      queries.select(col("vec_id").as("q_id"),
+        col("embedding").as("q_emb"),
+        rpCell(col("embedding"), planes).as("cell")),
+      enc, cbs, subDim, k)
+
+  /** As [[ivfPqSearchEncoded]] but over queries that ALREADY carry their
+   * probe cell(s) (`(q_id, q_emb, cell)`, possibly several rows per query
+   * under multi-probe — corpus vectors hold exactly one cell, so probe
+   * candidate sets are disjoint and the top-k cut needs no dedup). */
+  private[ext] def ivfPqSearchAssigned(q: DataFrame, enc: DataFrame,
+      cbs: Array[Array[(Int, Array[Long])]], subDim: Int, k: Int): DataFrame =
     topKByDist(
       q.join(enc, "cell")
         .filter(col("q_id") =!= col("vec_id"))
         .select(col("q_id"), col("vec_id").as("n_id"),
           adcDist(col("q_emb"), cbs, subDim).as("dist_q")),
       k)
+
+  /** Multi-probe IVF-PQ: the [[knnRpMultiProbe]] recall repair applied to
+   * the production IVF-PQ composition — each query scores its own rp cell
+   * plus the `bits` Hamming-1 flips, still over PQ codes only. Bounded
+   * (bits+1)× candidate cost, and the index round-trip
+   * ([[AnnIndex.searchIvfPqMultiProbe]]) returns bit-identical rows. */
+  def knnIvfPqMultiProbe(queries: DataFrame, corpus: DataFrame, k: Int,
+      bits: Int = 4, dim: Int = 64, seed: String = "rp",
+      m: Int = 4, subDim: Int = 16, pqBits: Int = 2,
+      pqSeed: String = "pq"): DataFrame = {
+    val planes = rpPlanes(dim, bits, seed)
+    val cbs = pqCodebooks(corpus, m, subDim, pqBits, pqSeed)
+    val enc = corpus.select(
+      col("vec_id") +:
+        cbs.indices.map(i =>
+          nearestCell(subvec(col("embedding"), i, subDim), cbs(i))
+            .as(s"c$i")) :+
+        rpCell(col("embedding"), planes).as("cell"): _*)
+    ivfPqSearchAssigned(
+      multiProbeCells(queries, planes, "cell")
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+          col("cell")),
+      enc, cbs, subDim, k)
   }
 
   /** Embedding near-dup pairs: same-cell blocking, cosine ≥ threshold.

@@ -71,6 +71,60 @@ class AnnIndexSpec extends SparkTestBase {
       rows(Similarity.knnIvfPq(queries, embs, 3)))
   }
 
+  test("RP index round-trips: single- and multi-probe equal the fused paths") {
+    val dir = tmp("ann_rp")
+    AnnIndex.buildRp(embs, dir)
+    assert(rows(AnnIndex.searchRp(queries, spark, dir, 3)) ==
+      rows(Similarity.knnRp(queries, embs, 3)))
+    assert(rows(AnnIndex.searchRpMultiProbe(queries, spark, dir, 3)) ==
+      rows(Similarity.knnRpMultiProbe(queries, embs, 3)))
+  }
+
+  test("IVF-PQ multi-probe round-trips bit-identical to the fused path") {
+    val dir = tmp("ann_ivfpq_mp")
+    AnnIndex.buildIvfPq(embs, dir)
+    assert(rows(AnnIndex.searchIvfPqMultiProbe(queries, spark, dir, 3)) ==
+      rows(Similarity.knnIvfPqMultiProbe(queries, embs, 3)))
+  }
+
+  test("index multi-probe recall is >= index single-probe recall") {
+    // the round-5 verdict's recall cliff: the recall repair must SURVIVE
+    // the index round-trip, not just exist on the fused path
+    val dir = tmp("ann_rp_recall")
+    AnnIndex.buildRp(embs, dir)
+    val exact = Similarity.knnBrute(queries, embs, 3)
+    def avgRecall(approx: DataFrame): Double =
+      Similarity.recallAtK(approx, exact, 3)
+        .agg(org.apache.spark.sql.functions.avg("recall")).head.getDouble(0)
+    val single = avgRecall(AnnIndex.searchRp(queries, spark, dir, 3))
+    val multi = avgRecall(AnnIndex.searchRpMultiProbe(queries, spark, dir, 3))
+    assert(multi >= single, s"multi-probe recall $multi < single-probe $single")
+  }
+
+  test("over-threshold probed-cell batches fall back to the cell semi-join") {
+    val dir = tmp("ann_ivfpq_fallback")
+    AnnIndex.buildIvfPq(embs, dir)
+    // maxInList = 0 forces the join fallback regardless of batch size
+    val fallback = AnnIndex.searchIvfPq(queries, spark, dir, 3, maxInList = 0)
+    // identical rows to the IN-list path...
+    assert(rows(fallback) == rows(AnnIndex.searchIvfPq(queries, spark, dir, 3)))
+    // ...and the plan carries NO literal partition IN-filter (the unbounded
+    // IN-list is exactly what the fallback exists to avoid)
+    val plan = fallback.queryExecution.executedPlan.toString
+    assert(!plan.matches("(?s).*PartitionFilters: \\[cell#\\d+ IN \\(.*"), plan)
+  }
+
+  test("a null-embedding query degrades gracefully instead of failing the search") {
+    val dir = tmp("ann_ivf_nullq")
+    AnnIndex.buildIvf(embs, dir)
+    val withNull = queries.unionByName(
+      Seq((999L, null.asInstanceOf[Array[Float]])).toDF("vec_id", "embedding"))
+    // must not throw; the valid queries' rows are unaffected
+    val got = rows(AnnIndex.searchIvf(withNull, spark, dir, 3)
+      .filter($"q_id" < 8))
+    assert(got == rows(AnnIndex.searchIvf(queries, spark, dir, 3)))
+  }
+
   test("search needs only the directory: params round-trip the geometry") {
     // A non-default geometry — search must pick it up from params.parquet,
     // not from defaults.
