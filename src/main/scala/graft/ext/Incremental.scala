@@ -89,6 +89,38 @@ object Incremental {
       merged.write.mode("overwrite").parquet(s"$baseDir/v=$batchId")
     })
 
+  /** Retention for the merge-sink version chain: delete all but the newest
+   * `keepLast` version directories and return the removed version ids. The
+   * compaction job the [[mergeSink]] Scaladoc promises — without it the
+   * immutable `v=<batchId>` chain grows without bound at streaming cadence
+   * (round-5 verdict #5, the last 100-TB-posture gap in the sink layer).
+   *
+   * `keepLast >= 2` is enforced, not just advised: a checkpoint replay
+   * re-runs the LAST batch, which re-derives its version from the
+   * PREDECESSOR version — if vacuum kept only the latest, a replay would
+   * rebuild it from an empty base and silently truncate the table. Keeping
+   * the latest version plus its predecessor preserves replay idempotence
+   * exactly.
+   *
+   * AS-OF semantics after vacuum: retained versions are a contiguous
+   * suffix of the history, so any `baseAsOf` within the retained horizon
+   * resolves to exactly the version it did before the vacuum; a read
+   * below the horizon fails loudly (`no version <= asOf`) instead of
+   * silently serving a different snapshot. */
+  def vacuum(spark: SparkSession, baseDir: String, keepLast: Int): Seq[Long] = {
+    require(keepLast >= 2,
+      s"keepLast must be >= 2 (latest version + its predecessor must " +
+        s"survive for checkpoint-replay idempotence), got $keepLast")
+    val drop = versions(spark, baseDir).dropRight(keepLast)
+    if (drop.nonEmpty) {
+      val path = new org.apache.hadoop.fs.Path(baseDir)
+      val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      drop.foreach(v =>
+        fs.delete(new org.apache.hadoop.fs.Path(s"$baseDir/v=$v"), true))
+    }
+    drop
+  }
+
   /** Latest committed version of a merge-sink table. */
   def currentBase(spark: SparkSession, baseDir: String): DataFrame =
     baseAsOf(spark, baseDir, Long.MaxValue)

@@ -79,6 +79,39 @@ class IncrementalSpec extends SparkTestBase {
       Incremental.baseAsOf(spark, dir, -1L))
   }
 
+  test("vacuum: old versions go, retained horizon and replay stay exact") {
+    val dir = java.nio.file.Files.createTempDirectory("merge_vacuum").toString
+    val sink = Incremental.mergeSink(dir, "k", "ver", "op", Seq("val"))
+    sink.write(Seq((1L, 1L, "I", "one"), (2L, 1L, "I", "two"))
+      .toDF("k", "ver", "op", "val"), 0)
+    sink.write(Seq((3L, 2L, "I", "three")).toDF("k", "ver", "op", "val"), 1)
+    sink.write(Seq((2L, 3L, "D", "x")).toDF("k", "ver", "op", "val"), 2)
+    sink.write(Seq((1L, 4L, "U", "ONE")).toDF("k", "ver", "op", "val"), 3)
+    def current = Incremental.currentBase(spark, dir)
+      .as[(Long, String)].collect().toMap
+    val expected = Map(1L -> "ONE", 3L -> "three")
+    assert(current == expected)
+
+    assert(Incremental.vacuum(spark, dir, keepLast = 2) == Seq(0L, 1L))
+    assert(Incremental.listVersions(spark, dir) == Seq(2L, 3L))
+    // current and in-horizon AS-OF reads resolve exactly as before
+    assert(current == expected)
+    assert(Incremental.baseAsOf(spark, dir, 2L)
+      .as[(Long, String)].collect().toMap
+      == Map(1L -> "one", 3L -> "three"))
+    // below-horizon reads fail loudly instead of serving a wrong snapshot
+    assertThrows[IllegalArgumentException](Incremental.baseAsOf(spark, dir, 1L))
+    // checkpoint replay of the last batch after vacuum: v=3 re-derives from
+    // the surviving v=2 predecessor — identical result (idempotent)
+    sink.write(Seq((1L, 4L, "U", "ONE")).toDF("k", "ver", "op", "val"), 3)
+    assert(current == expected)
+    // keeping only the latest would break replay idempotence — rejected
+    assertThrows[IllegalArgumentException](
+      Incremental.vacuum(spark, dir, keepLast = 1))
+    // idempotent vacuum: nothing left to remove
+    assert(Incremental.vacuum(spark, dir, keepLast = 2).isEmpty)
+  }
+
   test("mergeSink end-to-end through a real streaming query") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
