@@ -79,7 +79,16 @@ object Dedup {
    * while posexplode/lead/concat_ws stay inside WholeStageCodegen). The
    * window's partitioning is the doc_id repartition above, so no extra
    * shuffle — only a per-partition sort by (doc_id, pos). */
-  def shinglesN(docs: DataFrame, width: Int): DataFrame = {
+  def shinglesN(docs: DataFrame, width: Int): DataFrame =
+    positionedShingles(docs, width).select("doc_id", "sh").distinct()
+
+  /** Every-position w-token windows WITH their start position:
+   * (doc_id, pos, sh). The shared body of [[shinglesN]] (which drops pos
+   * and dedups) and [[removeDuplicateSpans]] (which needs the positions to
+   * cut). Same machinery as before: posexplode + (width−1) window leads +
+   * concat_ws, one per-partition sort, no interpreted higher-order
+   * functions. */
+  private[ext] def positionedShingles(docs: DataFrame, width: Int): DataFrame = {
     require(width >= 2, s"shingle width must be >= 2, got $width")
     val w = split(col("text"), " ")
     val win = org.apache.spark.sql.expressions.Window
@@ -93,9 +102,8 @@ object Dedup {
     }
     withLeads
       .filter(col(s"w${width - 1}").isNotNull)
-      .select(col("doc_id"),
+      .select(col("doc_id"), col("pos"),
         concat_ws(" ", (0 until width).map(i => col(s"w$i")): _*).as("sh"))
-      .distinct()
   }
 
   /** md5-derived 32-bit hash of a shingle under a seed — replayable in any
@@ -378,6 +386,90 @@ object Dedup {
       .union(edges.select(col("dst").as("doc_id"), col("dst").as("cluster")))
       .groupBy("doc_id").agg(min("cluster").as("cluster"))
   }
+
+  /** ExactSubstr-style duplicated-SPAN removal (the published LLM-data
+   * contract behind d11's flagging: Lee et al. 2022, "Deduplicating
+   * Training Data Makes Language Models Better" — a duplicated substring
+   * of ≥ `width` tokens is REMOVED from all-but-one occurrence while the
+   * rest of each document survives).
+   *
+   * Derivation, nothing all-pairs:
+   *  1. every-position `width`-token windows with md5 fingerprints
+   *     ([[positionedShingles]] — strided chunks cannot serve here: a
+   *     shared span at different offsets in two docs lands on different
+   *     chunk boundaries, so only step-1 windows make "any duplicated
+   *     ≥ width-token span contains a flagged window" true);
+   *  2. one hash-agg over the fingerprints finds duplicated windows and
+   *     the global keeper occurrence (min (doc_id, pos));
+   *  3. every NON-keeper occurrence is a cut window; overlapping/adjacent
+   *     equal-width windows merge into maximal spans with a per-doc
+   *     gaps-and-islands pass (window lag + running sum — sorts only the
+   *     CUT windows, a small fraction of the corpus);
+   *  4. each doc removes its spans by substring arithmetic over the token
+   *     array (an `aggregate` fold over the ≤ n_toks/(width+1)+1 merged
+   *     spans — bounded per doc, no second corpus pass).
+   *
+   * Guarantee: no ≥ width-token span survives in two places, up to spans
+   * newly CREATED by cut-boundary adjacency (re-joined text can make
+   * previously non-adjacent tokens adjacent — the published single-pass
+   * implementations share this; a second pass converges it). Keeper
+   * occurrences keep their tokens unless an overlapping different
+   * duplicated window cuts into them (over-deletion, never
+   * under-deletion). Returns (doc_id, n_kept, text_dedup) for every input
+   * document — fully-duplicated docs come back with empty text, not
+   * dropped rows. */
+  def removeDuplicateSpans(docs: DataFrame, width: Int): DataFrame = {
+    val wins = materialize(positionedShingles(docs, width)
+      .select(col("doc_id"), col("pos"), md5(col("sh")).as("fp")))
+    val dupFps = wins.groupBy("fp")
+      .agg(count(lit(1)).as("n"),
+        min(struct(col("doc_id"), col("pos"))).as("k"))
+      .filter(col("n") > 1)
+    val cut = wins.join(dupFps, "fp")
+      .filter(!(col("doc_id") === col("k.doc_id") &&
+        col("pos") === col("k.pos")))
+      .select("doc_id", "pos")
+    // gaps-and-islands over equal-width windows: a window starts a new
+    // span iff it begins more than `width` past the previous start (equal
+    // widths ⇒ starts ordered ⇒ ends ordered, so lag(pos) is the running
+    // max end − width + 1 and the merge test needs no running max)
+    val byDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos")
+    val spans = cut
+      .withColumn("island",
+        sum(when(col("pos") - coalesce(lag("pos", 1).over(byDoc),
+            lit(-width - 1)) > width, 1).otherwise(0))
+          .over(byDoc.rowsBetween(
+            org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .groupBy("doc_id", "island")
+      .agg(min("pos").as("s"), (max("pos") + lit(width - 1)).as("e"))
+    val spanList = spans.groupBy("doc_id")
+      .agg(array_sort(collect_list(struct(col("s"), col("e")))).as("spans"))
+    val toks = split(col("text"), " ")
+    docs.select(col("doc_id"), toks.as("toks"))
+      .join(spanList, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("spans").isNull, col("toks"))
+          .otherwise(cutSpans(col("toks"), col("spans"))).as("kept"))
+      .select(col("doc_id"), size(col("kept")).as("n_kept"),
+        concat_ws(" ", col("kept")).as("text_dedup"))
+  }
+
+  /** Token array minus the sorted disjoint spans — an `aggregate` fold
+   * carrying (kept-so-far, next-uncut-position), finished by the tail
+   * slice. Pure substring arithmetic, one pass over the span list. */
+  private def cutSpans(toks: Column, spans: Column): Column =
+    aggregate(
+      spans,
+      struct(slice(toks, 1, 0).as("acc"), lit(0).as("prev")),
+      (st, sp) => struct(
+        concat(st.getField("acc"),
+          slice(toks, st.getField("prev") + 1,
+            sp.getField("s") - st.getField("prev"))).as("acc"),
+        (sp.getField("e") + 1).as("prev")),
+      st => concat(st.getField("acc"),
+        slice(toks, st.getField("prev") + 1,
+          greatest(size(toks) - st.getField("prev"), lit(0)))))
 
   /** Apply dedup: the documents that survive near-dup removal — every doc
    * that is its own cluster keeper plus every doc in no pair at all. */

@@ -32,6 +32,9 @@ object ExtensionQueries {
   private val ChunkOverlap = 8
   private val ChunkStep = ChunkSize - ChunkOverlap
 
+  /** Window width (tokens) for the d18 ExactSubstr span-removal contract. */
+  private val SpanW = 8
+
   /** DuckDB chunking CTE chain (sp7's arithmetic), ending in
    * `c(doc_id, chunk_id, ct)`. Shared by sp7 and d11 so the two oracles
    * can never drift onto different chunk configurations. */
@@ -373,6 +376,48 @@ object ExtensionQueries {
                      k.keeper_doc, k.keeper_chunk
               FROM agg a JOIN k ON a.chunk_fp = k.chunk_fp AND k.rn = 1"""),
       "chunk-level exact dedup: duplicated spans across near-dup documents"),
+
+    // ExactSubstr span REMOVAL (the contract d11 only flags): duplicated
+    // >= SpanW-token spans are cut from all-but-one occurrence while the
+    // rest of each document survives. The oracle replays the whole
+    // fingerprint -> keeper -> cut derivation, rebuilding kept text from
+    // the uncovered token positions (a different but value-identical
+    // formulation of the engine's merged-span substring arithmetic).
+    "d18_span_dedup" -> QueryDef(
+      (s, dir) => Dedup.removeDuplicateSpans(t(s, dir, "documents"), SpanW),
+      Some(s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS toks
+                          FROM documents),
+               s AS (SELECT doc_id, toks,
+                            unnest(generate_series(0, len(toks) - $SpanW)) AS pos
+                     FROM w),
+               wins AS (SELECT doc_id, pos,
+                               md5(array_to_string(
+                                 toks[pos + 1 : pos + $SpanW], ' ')) AS fp
+                        FROM s),
+               r AS (SELECT doc_id, pos,
+                            count(*) OVER (PARTITION BY fp) AS n,
+                            row_number() OVER (PARTITION BY fp
+                              ORDER BY doc_id, pos) AS rn
+                     FROM wins),
+               cut AS (SELECT doc_id, pos FROM r WHERE n > 1 AND rn > 1),
+               cov AS (SELECT DISTINCT doc_id, pos + d AS cp
+                       FROM cut,
+                            (SELECT unnest(generate_series(0, ${SpanW - 1})) AS d)),
+               tok AS (SELECT doc_id, toks,
+                              unnest(generate_series(1, len(toks))) AS i
+                       FROM w),
+               kept AS (SELECT t.doc_id, t.i, t.toks[t.i] AS tk
+                        FROM tok t LEFT JOIN cov c
+                          ON c.doc_id = t.doc_id AND c.cp = t.i - 1
+                        WHERE c.doc_id IS NULL),
+               agg AS (SELECT doc_id, count(*) AS n_kept,
+                              string_agg(tk, ' ' ORDER BY i) AS text_dedup
+                       FROM kept GROUP BY doc_id)
+               SELECT w.doc_id,
+                      CAST(coalesce(a.n_kept, 0) AS INTEGER) AS n_kept,
+                      coalesce(a.text_dedup, '') AS text_dedup
+               FROM w LEFT JOIN agg a USING (doc_id)"""),
+      "ExactSubstr span removal: duplicated spans cut from all-but-one occurrence"),
 
     // Incremental-ingest dedup (the nightly-batch shape): a NEW batch
     // dedupes against the fingerprints of the already-ingested corpus —

@@ -139,6 +139,59 @@ class DedupPlanSpec extends SparkTestBase {
     }
   }
 
+  test("removeDuplicateSpans cuts the non-keeper span, keeps the rest") {
+    val in = Seq(
+      (1L, "a b c d e f g h"),          // keeper of the shared span
+      (2L, "x y a b c d e z"),          // loses "a b c d e", keeps the rest
+      (3L, "p q r s t u"))              // untouched
+      .toDF("doc_id", "text")
+    val out = graft.ext.Dedup.removeDuplicateSpans(in, 4)
+      .as[(Long, Int, String)].collect()
+      .map { case (k, n, t) => k -> ((n, t)) }.toMap
+    assert(out(1L) == ((8, "a b c d e f g h")))
+    assert(out(2L) == ((3, "x y z")))
+    assert(out(3L) == ((6, "p q r s t u")))
+  }
+
+  test("removeDuplicateSpans: a fully-duplicated doc comes back empty, not dropped") {
+    val in = Seq((1L, "a b c d e"), (2L, "a b c d e")).toDF("doc_id", "text")
+    val out = graft.ext.Dedup.removeDuplicateSpans(in, 5)
+      .as[(Long, Int, String)].collect()
+      .map { case (k, n, t) => k -> ((n, t)) }.toMap
+    assert(out(1L) == ((5, "a b c d e")))
+    assert(out(2L) == ((0, "")))
+  }
+
+  test("property: no duplicated >=w-token span survives across any two docs") {
+    val w = 5
+    for (seed <- Seq(7, 21, 42)) {
+      val rnd = new scala.util.Random(seed)
+      val base = Array.tabulate(30) { i =>
+        Seq.fill(20 + rnd.nextInt(40))(s"v${rnd.nextInt(50)}")
+      }
+      // plant cross-doc duplicates: splice a >=w-token slice of doc a into b
+      for (_ <- 0 until 10) {
+        val a = rnd.nextInt(base.length)
+        val b = (a + 1 + rnd.nextInt(base.length - 1)) % base.length
+        val len = w + rnd.nextInt(8)
+        val from = rnd.nextInt(math.max(1, base(a).length - len))
+        val span = base(a).slice(from, from + len)
+        val at = rnd.nextInt(base(b).length + 1)
+        base(b) = base(b).take(at) ++ span ++ base(b).drop(at)
+      }
+      val in = base.zipWithIndex
+        .map { case (toks, i) => (i.toLong, toks.mkString(" ")) }
+        .toSeq.toDF("doc_id", "text")
+      val out = graft.ext.Dedup.removeDuplicateSpans(in, w)
+      val crossDocDups = graft.ext.Dedup.shinglesN(
+          out.select($"doc_id", $"text_dedup".as("text")), w)
+        .groupBy("sh")
+        .agg(org.apache.spark.sql.functions.countDistinct("doc_id").as("nd"))
+        .filter($"nd" > 1).count()
+      assert(crossDocDups == 0, s"seed $seed: duplicated $w-token span survived")
+    }
+  }
+
   test("decontamination plans a shingle-keyed join, never all-pairs") {
     val bench = docs.filter($"doc_id" % 7 === 0)
     val plan = Dedup.decontaminationHits(docs, bench, minOverlap = 3)
