@@ -269,6 +269,12 @@ case class RangeJoinRewrite(spark: SparkSession)
           case c: Cast => stripCast(c.child)
           case _ => e
         }
+        // Recurse through interposed Project/SubqueryAlias nodes before the
+        // Filter match (round-5 advice): ColumnPruning can push a Project
+        // between the wide Join and its span Filter during the fixpoint,
+        // and a top-level-only match would stop recognizing the residual —
+        // re-deriving and re-splitting it each iteration (extra
+        // optimize-time sampling jobs; correctness unaffected).
         def isWideResidual(r: LogicalPlan, lo: Expression,
             hi: Expression): Boolean = r match {
           case Filter(cond, _) => cond.exists {
@@ -277,6 +283,9 @@ case class RangeJoinRewrite(spark: SparkSession)
                 stripCast(l).semanticEquals(stripCast(lo))
             case _ => false
           }
+          case Project(_, child) => isWideResidual(child, lo, hi)
+          case org.apache.spark.sql.catalyst.plans.logical
+            .SubqueryAlias(_, child) => isWideResidual(child, lo, hi)
           case _ => false
         }
 

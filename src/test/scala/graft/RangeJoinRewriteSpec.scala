@@ -210,6 +210,39 @@ class RangeJoinRewriteSpec extends SparkTestBase {
     } finally spark.conf.unset("spark.graft.rangeJoinRewrite.enabled")
   }
 
+  test("narrow projection over a hybrid rewrite does not re-split the residual") {
+    // The residual guard recurses through interposed Project/SubqueryAlias
+    // nodes (round-5 advice) so a fixpoint where ColumnPruning separates
+    // the wide Join from its span Filter cannot re-derive and re-split the
+    // residual. This shape does not currently provoke the interposition
+    // (pruning lands BELOW the Filter), so the recursion is
+    // belt-and-braces; the test pins the observable invariant either way:
+    // exactly one hybrid Union in the optimized plan under a narrow
+    // projection, with results unchanged.
+    val ivs = spark.range(2000).selectExpr("cast(id as int) as iv_id",
+        "id * 3 as lo",
+        "case when id = 1999 then id * 3 + 2000000000 else id * 3 + 1 end as hi")
+    val pts = Seq(0L, 3L, 4L, 3000L, 5998L, 1000000000L).toDF("p")
+    val expected = withRule(enabled = false) {
+      pts.join(ivs, col("p") >= col("lo") && col("p") < col("hi"))
+        .select("iv_id").as[Int].collect().sorted.toSeq
+    }
+    spark.conf.set("spark.graft.rangeJoinRewrite.enabled", "true")
+    try {
+      // the narrow projection is what invites ColumnPruning in
+      val j = pts.join(ivs, col("p") >= col("lo") && col("p") < col("hi"))
+        .select("iv_id")
+      val optimized = j.queryExecution.optimizedPlan
+      assert(optimized.toString.contains("__graft_bin"))
+      val unions = optimized.collect {
+        case u: org.apache.spark.sql.catalyst.plans.logical.Union => u
+      }
+      assert(unions.length == 1,
+        s"expected exactly one hybrid Union, got ${unions.length}:\n$optimized")
+      assert(j.as[Int].collect().sorted.toSeq == expected)
+    } finally spark.conf.unset("spark.graft.rangeJoinRewrite.enabled")
+  }
+
   test("property: rewrite equals the naive join on random interval relations") {
     // Seeded randomized equivalence (SpineProperties pattern — plain
     // ScalaCheck generators, deterministic replay): random points and
