@@ -1176,6 +1176,49 @@ object ExtensionQueries {
       },
       "IVF-PQ: rp-cell candidate pruning + code-only ADC scoring"),
 
+    // Multi-probe IVF-PQ: n14's production composition with the n4 recall
+    // repair — each query scores its own rp cell plus the RpBits Hamming-1
+    // flips, still over PQ codes only. The oracle expands the probe cells
+    // in a SEPARATE CTE (qp) so the per-query ADC LUTs stay one-row-per-
+    // query (expanding q itself would multiply every candidate by the
+    // probe count and corrupt the ranking).
+    "n15_knn_ivfpq_multiprobe" -> QueryDef(
+      (s, dir) => {
+        graft.functions.GraftFunctions.register(s)
+        val emb = t(s, dir, "embeddings")
+        Similarity.knnIvfPqMultiProbe(emb.filter(col("vec_id") < 8), emb, 3,
+          bits = RpBits, dim = RpDim, seed = RpSeed,
+          m = PqM, subDim = PqSubDim, pqBits = PqBits, pqSeed = PqSeed)
+      },
+      Some {
+        val cell = sqlRpCell("embedding::DOUBLE[]",
+          Similarity.rpPlanes(RpDim, RpBits, RpSeed))
+        val flips = (Seq(0) ++ (0 until RpBits).map(1 << _)).mkString(", ")
+        s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb,
+                              CAST($cell AS INTEGER) AS cell
+                       FROM embeddings),
+            ${PqSubspaceCtes},
+            ${PqEncCte},
+            encc AS (SELECT enc.*, e.cell FROM enc JOIN e USING (vec_id)),
+            q AS (SELECT vec_id AS q_id, emb, cell FROM e WHERE vec_id < 8),
+            qp AS (SELECT q_id, CAST(xor(cell, f) AS INTEGER) AS cell
+                   FROM q, (SELECT unnest([$flips]) AS f)),
+            ${PqLutCtes},
+            scored AS (
+              SELECT qp.q_id, encc.vec_id AS n_id,
+                     ${PqAdcDist} AS dist_q
+              FROM qp JOIN encc USING (cell)
+                ${PqAdcJoins.replace("enc.c", "encc.c")
+                  .replace("= q.q_id", "= qp.q_id")}
+              WHERE qp.q_id <> encc.vec_id),
+            r AS (SELECT q_id, n_id, dist_q,
+                         CAST(row_number() OVER (PARTITION BY q_id
+                           ORDER BY dist_q, n_id) AS INTEGER) AS rank
+                  FROM scored)
+            SELECT q_id, n_id, dist_q, rank FROM r WHERE rank <= 3"""
+      },
+      "multi-probe IVF-PQ: Hamming-1 cell flips + code-only ADC scoring"),
+
     // kNN on the int8 codes themselves: per-vector scales cancel in
     // cosine, so the quantized corpus is searched without dequantization —
     // 4× less scan IO at query time, exact integer dots, one
