@@ -72,6 +72,60 @@ object TextAnalysis {
   def fingerprint(text: Column): Column =
     md5(regexp_replace(lower(text), "\\s+", " "))
 
+  /** The Gopher stop-word panel (Rae et al. 2021, appendix A quality
+   * filtering): a document must contain at least two of these words. */
+  val GopherStops: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** Gopher-style WORD-LEVEL quality rule panel (Rae et al. 2021,
+   * appendix A — the published pre-training quality filter): per-document
+   * exact rule statistics plus the pass verdict under the paper's
+   * thresholds (parameterized). Rules carried: word count in
+   * [minWords, maxWords]; mean word length in [minMeanWordLen,
+   * maxMeanWordLen]; hash and ellipsis symbol-to-word ratios ≤
+   * maxSymbolRatio each; ≥ minAlphaWordFrac of words contain an
+   * alphabetic character; ≥ minStopKinds distinct [[GopherStops]] words
+   * present. The paper's LINE-level rules (bullet/ellipsis line
+   * fractions) need newline structure this document model does not carry;
+   * within-doc repetition lives in [[repetitionStats]].
+   *
+   * One narrow projection over the scan — no shuffle, linear at any
+   * corpus size. Ratios round to 4 decimals and the verdict compares the
+   * ROUNDED values, so the whole panel replays bit-for-bit in the
+   * oracle. */
+  def gopherRules(docs: org.apache.spark.sql.DataFrame,
+      minWords: Int = 50, maxWords: Int = 100000,
+      minMeanWordLen: Double = 3.0, maxMeanWordLen: Double = 10.0,
+      maxSymbolRatio: Double = 0.1, minAlphaWordFrac: Double = 0.8,
+      minStopKinds: Int = 2): org.apache.spark.sql.DataFrame = {
+    val text = col("text")
+    val toks = split(text, " ")
+    val n = size(toks)
+    val meanLen =
+      round(length(translate(text, " ", "")).cast("double") / n, 4)
+    val hashRatio = round(
+      (length(text) - length(translate(text, "#", ""))).cast("double") / n, 4)
+    val ellipsisRatio = round(
+      ((length(text) - length(replace(text, lit("..."), lit("")))) / lit(3))
+        .cast("double") / n, 4)
+    val alphaFrac = round(
+      size(filter(toks, t => t.rlike("[A-Za-z]"))).cast("double") / n, 4)
+    val stopKinds = size(filter(
+      array(GopherStops.map(lit): _*), s => array_contains(toks, s)))
+    docs.select(col("doc_id"),
+      n.as("n_words"), meanLen.as("mean_word_len"),
+      hashRatio.as("hash_ratio"), ellipsisRatio.as("ellipsis_ratio"),
+      alphaFrac.as("alpha_word_frac"), stopKinds.as("n_stop_kinds"))
+      .withColumn("pass",
+        col("n_words") >= minWords && col("n_words") <= maxWords &&
+        col("mean_word_len") >= minMeanWordLen &&
+        col("mean_word_len") <= maxMeanWordLen &&
+        col("hash_ratio") <= maxSymbolRatio &&
+        col("ellipsis_ratio") <= maxSymbolRatio &&
+        col("alpha_word_frac") >= minAlphaWordFrac &&
+        col("n_stop_kinds") >= minStopKinds)
+  }
+
   /** Within-document 3-gram repetition: total vs distinct shingle counts
    * and the repetition ratio `1 - distinct/total` — the canonical "looping
    * text" quality signal (high ratio = the document repeats itself).

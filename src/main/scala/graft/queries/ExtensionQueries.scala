@@ -1580,6 +1580,47 @@ object ExtensionQueries {
               FROM w GROUP BY doc_id"""),
       "corpus-unigram cross-entropy (perplexity-filter shape)"),
 
+    // The published Gopher word-level quality filter (Rae et al. 2021
+    // appendix A): per-doc rule statistics + the pass verdict. The verdict
+    // compares the ROUNDED ratios on both sides, so the boolean replays
+    // exactly.
+    "t15_gopher_rules" -> QueryDef(
+      (s, dir) => TextAnalysis.gopherRules(t(s, dir, "documents"),
+        minWords = 50),
+      Some {
+        val stops = TextAnalysis.GopherStops.map(w => s"'$w'").mkString(", ")
+        s"""WITH tk AS (SELECT doc_id, text,
+                               string_split(text, ' ') AS toks
+                        FROM documents),
+             m AS (SELECT doc_id,
+                          CAST(len(toks) AS INTEGER) AS n_words,
+                          round(CAST(length(replace(text, ' ', '')) AS DOUBLE)
+                                / len(toks), 4) AS mean_word_len,
+                          round(CAST(length(text)
+                                  - length(replace(text, '#', '')) AS DOUBLE)
+                                / len(toks), 4) AS hash_ratio,
+                          round(CAST((length(text)
+                                  - length(replace(text, '...', ''))) / 3
+                                  AS DOUBLE)
+                                / len(toks), 4) AS ellipsis_ratio,
+                          round(CAST(len(list_filter(toks,
+                                  w -> regexp_matches(w, '[A-Za-z]')))
+                                  AS DOUBLE)
+                                / len(toks), 4) AS alpha_word_frac,
+                          CAST(len(list_filter([$stops],
+                                 s -> list_contains(toks, s)))
+                               AS INTEGER) AS n_stop_kinds
+                   FROM tk)
+             SELECT *,
+                    (n_words >= 50 AND n_words <= 100000
+                     AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+                     AND hash_ratio <= 0.1 AND ellipsis_ratio <= 0.1
+                     AND alpha_word_frac >= 0.8
+                     AND n_stop_kinds >= 2) AS pass
+             FROM m"""
+      },
+      "Gopher word-level quality rules: exact stats + pass verdict"),
+
     // ---- deterministic splitting / sampling / packing ----
 
     // Decontamination audit: every verified near-dup pair with both sides'

@@ -432,6 +432,30 @@ class ExtensionsSpec extends SparkTestBase {
     assert(fps(0) == fps(1))
   }
 
+  test("gopherRules: each word-level rule flips the verdict at its boundary") {
+    // 50 words, mean len 3.94, all alphabetic, two stop kinds — passes
+    val good = ("the of " + Seq.fill(48)("data").mkString(" "))
+    val d = Seq(
+      (1L, good),
+      (2L, "the of data"),                                  // < 50 words
+      (3L, good + " " + Seq.fill(6)("#").mkString(" ")),    // hash ratio > 0.1
+      (4L, good + " " + Seq.fill(7)("...").mkString(" ")),  // ellipsis > 0.1
+      (5L, "the of " + Seq.fill(50)("1234").mkString(" ")), // alpha frac < 0.8
+      (6L, "the " + Seq.fill(49)("data").mkString(" ")),    // 1 stop kind
+      (7L, "the of " + Seq.fill(48)("abcdefghijklmnop").mkString(" ")))
+      .toDF("doc_id", "text")                               // mean len > 10
+    val out = TextAnalysis.gopherRules(d)
+      .select($"doc_id", $"pass").as[(Long, Boolean)].collect().toMap
+    assert(out == Map(1L -> true, 2L -> false, 3L -> false, 4L -> false,
+      5L -> false, 6L -> false, 7L -> false))
+    // the stats themselves are exact
+    val row = TextAnalysis.gopherRules(d).filter($"doc_id" === 1).head
+    assert(row.getAs[Int]("n_words") == 50)
+    assert(row.getAs[Double]("mean_word_len") == 3.94)
+    assert(row.getAs[Double]("alpha_word_frac") == 1.0)
+    assert(row.getAs[Int]("n_stop_kinds") == 2)
+  }
+
   test("stratifiedSample honors per-stratum rates and the default") {
     val df = (1 to 300).map(i => (i.toLong, Seq("a", "b", "c")(i % 3)))
       .toDF("doc_id", "stratum")
