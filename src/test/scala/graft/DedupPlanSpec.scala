@@ -201,6 +201,29 @@ class DedupPlanSpec extends SparkTestBase {
       s"all-pairs join shape found in:\n$plan")
   }
 
+  test("property: rareShingleCandidates equals the brute-force reference") {
+    // The single-exchange rewrite (join + same-key groupBy + in-group pair
+    // expansion) must emit EXACTLY the naive inverted-index pairs: all
+    // (a, b), a < b, sharing at least one shingle with df in [2, maxDf].
+    for (seed <- Seq(3, 17, 99); maxDf <- Seq(2, 3, 5)) {
+      val rnd = new scala.util.Random(seed)
+      val corpus = (1 to 40).map { i =>
+        (i.toLong, Seq.fill(8 + rnd.nextInt(12))(s"w${rnd.nextInt(60)}").mkString(" "))
+      }.toDF("doc_id", "text")
+      val sh = Dedup.shingles(corpus)
+      val rows = sh.as[(Long, String)].collect()
+      val byShingle = rows.groupBy(_._2).values
+        .map(g => g.map(_._1).distinct.toSeq).toSeq
+      val expected = byShingle
+        .filter(d => d.length >= 2 && d.length <= maxDf)
+        .flatMap(d => for (a <- d; b <- d if a < b) yield (a, b))
+        .toSet
+      val got = Dedup.rareShingleCandidates(sh, maxDf)
+        .as[(Long, Long)].collect().toSet
+      assert(got == expected, s"seed $seed maxDf $maxDf")
+    }
+  }
+
   test("jaccard plan carries no forced broadcast hints") {
     val sh = Dedup.shingles(docs).persist()
     sh.count()
