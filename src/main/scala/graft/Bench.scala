@@ -371,7 +371,15 @@ object Bench {
             graft.ext.AnnIndex.searchIvfPqMultiProbe(
               ps.read.parquet(s"$dir10/embeddings.parquet")
                 .filter(col("vec_id") < 8),
-              ps, idxDir, 3))),
+              ps, idxDir, 3))) :+
+        // IVFADC+R: code-only retrieval of 10 candidates, exact cosine
+        // re-rank from the index's cell-partitioned raw-vector copy
+        ("ann_index_search_ivfpq_rerank" ->
+          ((ps: org.apache.spark.sql.SparkSession) =>
+            graft.ext.AnnIndex.searchIvfPqRerank(
+              ps.read.parquet(s"$dir10/embeddings.parquet")
+                .filter(col("vec_id") < 8),
+              ps, idxDir, 3, rerank = 10))),
         setup = ps => {
           // the build is the amortized deployment cost — timed and sized
           // (round-5 verdict #7), so the artifact carries the search win

@@ -153,16 +153,49 @@ object AnnIndex {
     // Cell-partitioned like buildIvf: the IVF half of IVF-PQ prunes to the
     // query's cell, so the stored codes live one directory per cell and
     // partition pruning skips every other list's files.
-    corpus.select(
-      col("vec_id") +:
-        cbs.indices.map(i =>
-          Similarity.nearestCell(
-            Similarity.subvec(col("embedding"), i, subDim), cbs(i))
-            .as(s"c$i")) :+
-        Similarity.rpCell(col("embedding"), planes).as("cell"): _*)
+    writeIvfPqRows(corpus, dir, planes, cbs, subDim, "overwrite")
+  }
+
+  /** Append new vectors to an existing [[buildIvfPq]] index WITHOUT
+   * retraining: rp geometry and PQ codebooks come from the stored params,
+   * the new rows encode through the shared
+   * [[Similarity.encodeIvfPq]] projection (bit-identical to built rows),
+   * and both at-rest copies append new files into their cell directories —
+   * dynamic-partition APPEND never rewrites an existing list file. This is
+   * index MAINTENANCE: at 100 TB you retrain the codebooks rarely (a
+   * scheduled heavy pass) but ingest continuously, and an append is one
+   * narrow pass over the new batch only. Works at streaming cadence from a
+   * `foreachBatch` sink. Quantization drift is the documented trade: rows
+   * appended under stale codebooks keep exact SEARCH semantics (distances
+   * are always computed against the stored codebooks) but their codes may
+   * fit new data less well — re-train and rebuild when recall decays. */
+  def appendIvfPq(newVecs: DataFrame, dir: String): Unit = {
+    val spark = newVecs.sparkSession
+    val p = spark.read.parquet(s"$dir/params.parquet")
+      .select("bits", "dim", "seed", "sub_dim").head
+    val planes = Similarity.rpPlanes(p.getInt(1), p.getInt(0), p.getString(2))
+    writeIvfPqRows(newVecs, dir, planes,
+      loadPqCodebooks(spark, s"$dir/pq_codebooks.parquet"),
+      p.getInt(3), "append")
+  }
+
+  private def writeIvfPqRows(vecs: DataFrame, dir: String,
+      planes: Array[Array[Double]], cbs: Array[Array[(Int, Array[Long])]],
+      subDim: Int, mode: String): Unit = {
+    Similarity.encodeIvfPq(vecs, planes, cbs, subDim)
       .repartition(col("cell"))
-      .write.mode("overwrite").partitionBy("cell")
+      .write.mode(mode).partitionBy("cell")
       .parquet(s"$dir/encoded.parquet")
+    // Raw vectors, cell-partitioned under the SAME rp assignment — the
+    // re-rank fetch ([[searchIvfPqRerank]]): candidates only ever come
+    // from probed cells, so the exact re-score reads raw embeddings from
+    // exactly the probed lists' directories and nothing else. (FAISS
+    // IVFADC+R keeps this same second copy beside the codes.)
+    vecs.select(col("vec_id"), col("embedding"),
+        Similarity.rpCell(col("embedding"), planes).as("cell"))
+      .repartition(col("cell"))
+      .write.mode(mode).partitionBy("cell")
+      .parquet(s"$dir/corpus.parquet")
   }
 
   /** Search a [[buildIvfPq]] index: queries re-derive their rp cell from
@@ -206,6 +239,29 @@ object AnnIndex {
         q, "cell", maxInList),
       loadPqCodebooks(spark, s"$dir/pq_codebooks.parquet"),
       p.getInt(3), k)
+  }
+
+  /** IVFADC+R over a [[buildIvfPq]] index: ADC retrieves `rerank`
+   * candidates per query from the stored codes (probed-list pruning as in
+   * [[searchIvfPq]]), then ONLY those candidates fetch their raw vectors
+   * from the index's cell-partitioned `corpus.parquet` — pruned to the
+   * same probed cells, so the exact re-score reads raw embeddings from the
+   * probed lists' files and nowhere else. Bit-identical to the fused
+   * [[Similarity.knnIvfPqRerank]] with the build's parameters. */
+  def searchIvfPqRerank(queries: DataFrame, spark: SparkSession,
+      dir: String, k: Int, rerank: Int = 10,
+      maxInList: Int = DefaultMaxInList): DataFrame = {
+    val p = spark.read.parquet(s"$dir/params.parquet")
+      .select("bits", "dim", "seed").head
+    val planes = Similarity.rpPlanes(p.getInt(1), p.getInt(0), p.getString(2))
+    val qCells = queries
+      .select(Similarity.rpCell(col("embedding"), planes).as("cell"))
+    Similarity.rerankExact(
+      searchIvfPq(queries, spark, dir, rerank, maxInList),
+      queries,
+      pruneProbed(spark.read.parquet(s"$dir/corpus.parquet"),
+        qCells, "cell", maxInList),
+      k)
   }
 
   // ---- RP (seed-derived cells, full embeddings at rest) ----

@@ -576,17 +576,26 @@ object Similarity {
       pqSeed: String = "pq"): DataFrame = {
     val planes = rpPlanes(dim, bits, seed)
     val cbs = pqCodebooks(corpus, m, subDim, pqBits, pqSeed)
-    // codes + cell in ONE narrow projection — encoding and cell assignment
-    // are both per-row expressions over the same scan; a vec_id self-join
-    // of two projections would shuffle the whole corpus for nothing
-    val enc = corpus.select(
+    ivfPqSearchEncoded(queries, encodeIvfPq(corpus, planes, cbs, subDim),
+      planes, cbs, subDim, k)
+  }
+
+  /** The IVF-PQ at-rest projection — codes + rp cell in ONE narrow pass:
+   * encoding and cell assignment are both per-row expressions over the
+   * same scan; a vec_id self-join of two projections would shuffle the
+   * whole corpus for nothing. Shared by the fused paths, the index build
+   * ([[AnnIndex.buildIvfPq]]), and incremental maintenance
+   * ([[AnnIndex.appendIvfPq]]), so appended rows encode EXACTLY as
+   * built rows do. */
+  private[ext] def encodeIvfPq(corpus: DataFrame,
+      planes: Array[Array[Double]], cbs: Array[Array[(Int, Array[Long])]],
+      subDim: Int): DataFrame =
+    corpus.select(
       col("vec_id") +:
         cbs.indices.map(i =>
           nearestCell(subvec(col("embedding"), i, subDim), cbs(i))
             .as(s"c$i")) :+
         rpCell(col("embedding"), planes).as("cell"): _*)
-    ivfPqSearchEncoded(queries, enc, planes, cbs, subDim, k)
-  }
 
   /** The IVF-PQ search body over an already cell-assigned, code-encoded
    * corpus (`(vec_id, c0.., cell)`) — shared by the fused [[knnIvfPq]] and
@@ -624,17 +633,55 @@ object Similarity {
       pqSeed: String = "pq"): DataFrame = {
     val planes = rpPlanes(dim, bits, seed)
     val cbs = pqCodebooks(corpus, m, subDim, pqBits, pqSeed)
-    val enc = corpus.select(
-      col("vec_id") +:
-        cbs.indices.map(i =>
-          nearestCell(subvec(col("embedding"), i, subDim), cbs(i))
-            .as(s"c$i")) :+
-        rpCell(col("embedding"), planes).as("cell"): _*)
     ivfPqSearchAssigned(
       multiProbeCells(queries, planes, "cell")
         .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
           col("cell")),
-      enc, cbs, subDim, k)
+      encodeIvfPq(corpus, planes, cbs, subDim), cbs, subDim, k)
+  }
+
+  /** IVF-PQ search with exact re-ranking — the IVFADC+R composition
+   * (Jégou/Douze/Schmid's PQ paper, §re-ranking): the ADC pass
+   * retrieves `rerank` candidates per query on CODES only (narrow scan,
+   * integer distances), then exactly those k·rerank rows — never the
+   * corpus — fetch their raw vectors for an exact cosine re-score. Repairs
+   * the PQ quantization error in the final ranking at a bounded extra
+   * cost: the raw-vector join touches |queries|·rerank rows, so the wide
+   * embedding column is read only behind the candidate semi-join. Output
+   * matches [[knnBrute]]'s shape (`sim` rounded to the same 4-decimal
+   * grid), making recall directly comparable via [[recallAtK]]. */
+  def knnIvfPqRerank(queries: DataFrame, corpus: DataFrame, k: Int,
+      rerank: Int = 10, bits: Int = 4, dim: Int = 64, seed: String = "rp",
+      m: Int = 4, subDim: Int = 16, pqBits: Int = 2,
+      pqSeed: String = "pq"): DataFrame =
+    rerankExact(
+      knnIvfPq(queries, corpus, rerank, bits, dim, seed, m, subDim, pqBits,
+        pqSeed),
+      queries, corpus, k)
+
+  /** Exact cosine re-score of an ANN candidate list: join the (q_id, n_id)
+   * candidates back to raw vectors on BOTH sides, score, and cut to k by
+   * the bounded heap. The candidate relation is |queries|·rerank rows —
+   * AQE broadcasts it against the corpus scan, so the corpus is read once,
+   * filtered by the broadcast join, and no corpus-sized shuffle exists on
+   * the re-rank path. Shared by the fused [[knnIvfPqRerank]] and the
+   * prebuilt-index [[AnnIndex.searchIvfPqRerank]] (bit-identical rows). */
+  private[ext] def rerankExact(cands: DataFrame, queries: DataFrame,
+      corpus: DataFrame, k: Int): DataFrame = {
+    val q = queries.select(col("vec_id").as("q_id"),
+      col("embedding").as("q_emb"),
+      sqrt(dot(col("embedding"), col("embedding"))).as("q_norm"))
+    val c = corpus.select(col("vec_id").as("n_id"),
+      col("embedding").as("n_emb"),
+      sqrt(dot(col("embedding"), col("embedding"))).as("n_norm"))
+    topKBySim(
+      cands.select("q_id", "n_id")
+        .join(c, "n_id")
+        .join(q, "q_id")
+        .select(col("q_id"), col("n_id"),
+          round(dot(col("q_emb"), col("n_emb")) /
+            (col("q_norm") * col("n_norm")), 4).as("sim")),
+      k, "sim")
   }
 
   /** Embedding near-dup pairs: same-cell blocking, cosine ≥ threshold.

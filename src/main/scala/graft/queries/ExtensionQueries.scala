@@ -1219,6 +1219,57 @@ object ExtensionQueries {
       },
       "multi-probe IVF-PQ: Hamming-1 cell flips + code-only ADC scoring"),
 
+    // IVFADC+R: n14's code-only retrieval widened to 10 candidates, then
+    // an exact cosine re-score of ONLY those candidates decides the final
+    // top-3 — the quantization-error repair that reads raw vectors behind
+    // the candidate semi-join instead of scanning them. The oracle replays
+    // the ADC ranking CTE verbatim, cuts at the rerank width, and re-ranks
+    // on the same 4-decimal cosine grid as n1.
+    "n16_knn_ivfpq_rerank" -> QueryDef(
+      (s, dir) => {
+        graft.functions.GraftFunctions.register(s)
+        val emb = t(s, dir, "embeddings")
+        Similarity.knnIvfPqRerank(emb.filter(col("vec_id") < 8), emb, 3,
+          rerank = 10, bits = RpBits, dim = RpDim, seed = RpSeed,
+          m = PqM, subDim = PqSubDim, pqBits = PqBits, pqSeed = PqSeed)
+      },
+      Some {
+        val cell = sqlRpCell("embedding::DOUBLE[]",
+          Similarity.rpPlanes(RpDim, RpBits, RpSeed))
+        s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb,
+                              CAST($cell AS INTEGER) AS cell
+                       FROM embeddings),
+            ${PqSubspaceCtes},
+            ${PqEncCte},
+            encc AS (SELECT enc.*, e.cell FROM enc JOIN e USING (vec_id)),
+            q AS (SELECT vec_id AS q_id, emb, cell FROM e WHERE vec_id < 8),
+            ${PqLutCtes},
+            scored AS (
+              SELECT q.q_id, encc.vec_id AS n_id,
+                     ${PqAdcDist} AS dist_q
+              FROM q JOIN encc USING (cell)
+                ${PqAdcJoins.replace("enc.c", "encc.c")}
+              WHERE q.q_id <> encc.vec_id),
+            cand AS (
+              SELECT q_id, n_id FROM (
+                SELECT q_id, n_id,
+                       row_number() OVER (PARTITION BY q_id
+                         ORDER BY dist_q, n_id) AS adc_rank
+                FROM scored)
+              WHERE adc_rank <= 10),
+            ex AS (
+              SELECT c.q_id, c.n_id, ${sqlCos("qe.emb", "ne.emb")} AS sim
+              FROM cand c
+              JOIN e qe ON qe.vec_id = c.q_id
+              JOIN e ne ON ne.vec_id = c.n_id),
+            rr AS (SELECT q_id, n_id, sim,
+                          CAST(row_number() OVER (PARTITION BY q_id
+                            ORDER BY sim DESC, n_id) AS INTEGER) AS rank
+                   FROM ex)
+            SELECT q_id, n_id, sim, rank FROM rr WHERE rank <= 3"""
+      },
+      "IVFADC+R: code-only retrieval, exact cosine re-rank of candidates"),
+
     // kNN on the int8 codes themselves: per-vector scales cancel in
     // cosine, so the quantized corpus is searched without dequantization —
     // 4× less scan IO at query time, exact integer dots, one

@@ -87,6 +87,29 @@ class AnnIndexSpec extends SparkTestBase {
       rows(Similarity.knnIvfPqMultiProbe(queries, embs, 3)))
   }
 
+  test("IVFADC+R round-trips bit-identical to the fused rerank path") {
+    val dir = tmp("ann_ivfpq_rr")
+    AnnIndex.buildIvfPq(embs, dir)
+    assert(rows(AnnIndex.searchIvfPqRerank(queries, spark, dir, 3, rerank = 10)) ==
+      rows(Similarity.knnIvfPqRerank(queries, embs, 3, rerank = 10)))
+    // the raw-vector second copy is cell-partitioned like the codes
+    val cellDirs = new java.io.File(s"$dir/corpus.parquet")
+      .listFiles.filter(_.isDirectory).map(_.getName).filter(_.startsWith("cell="))
+    assert(cellDirs.nonEmpty, "expected cell=<id> partition directories")
+  }
+
+  test("exact re-rank recall is >= code-only ADC recall") {
+    // the point of IVFADC+R: repairing PQ quantization error in the final
+    // ranking must not LOSE recall vs ranking on codes alone
+    val exact = Similarity.knnBrute(queries, embs, 3)
+    def avgRecall(approx: DataFrame): Double =
+      Similarity.recallAtK(approx, exact, 3)
+        .agg(org.apache.spark.sql.functions.avg("recall")).head.getDouble(0)
+    val adcOnly = avgRecall(Similarity.knnIvfPq(queries, embs, 3))
+    val reranked = avgRecall(Similarity.knnIvfPqRerank(queries, embs, 3))
+    assert(reranked >= adcOnly, s"rerank recall $reranked < ADC-only $adcOnly")
+  }
+
   test("index multi-probe recall is >= index single-probe recall") {
     // the round-5 verdict's recall cliff: the recall repair must SURVIVE
     // the index round-trip, not just exist on the fused path
