@@ -407,6 +407,57 @@ class StreamingSpec extends SparkTestBase {
       s"contaminated docs must drop per batch: $survivors")
   }
 
+  test("foreachBatch maintains a live ANN index across micro-batches") {
+    // Index MAINTENANCE at streaming cadence: new vectors append into the
+    // prebuilt IVF-PQ index per micro-batch (stored codebooks, no
+    // retraining). The gate: the streamed index is byte-for-byte
+    // SEARCH-equivalent to appending the same vectors in one batch call —
+    // composed with AnnIndexAppendSpec (batch append ≡ one-shot encode),
+    // streamed ingest inherits the full equivalence chain.
+    implicit val sqlCtx = spark.sqlContext
+    val embs = spark.read.parquet(s"$Sf/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val base = embs.filter($"vec_id" % 2 === 0)
+    val newer = embs.filter($"vec_id" % 2 =!= 0)
+      .as[(Long, Array[Float])].collect()
+    val (b1, b2) = newer.splitAt(newer.length / 2)
+
+    val streamDir = Files.createTempDirectory("ann_stream").toString
+    val batchDir = Files.createTempDirectory("ann_batch").toString
+    graft.ext.AnnIndex.buildIvfPq(base, streamDir)
+    graft.ext.AnnIndex.buildIvfPq(base, batchDir)
+    graft.ext.AnnIndex.appendIvfPq(
+      newer.toSeq.toDF("vec_id", "embedding"), batchDir)
+
+    val input = MemoryStream[(Long, Array[Float])]
+    val q = input.toDF().toDF("vec_id", "embedding")
+      .writeStream.outputMode("append")
+      .option("checkpointLocation",
+        Files.createTempDirectory("ann_stream_cp").toString)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        graft.ext.AnnIndex.appendIvfPq(batch, streamDir)
+        ()
+      }
+      .start()
+    input.addData(b1.toSeq: _*)
+    q.processAllAvailable()
+    input.addData(b2.toSeq: _*)
+    q.processAllAvailable()
+    q.stop()
+
+    val queries = embs.filter($"vec_id" < 8)
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(_.toString).sorted.toSeq
+    assert(spark.read.parquet(s"$streamDir/encoded.parquet")
+      .select("vec_id").distinct().count() == embs.count())
+    assert(
+      rows(graft.ext.AnnIndex.searchIvfPq(queries, spark, streamDir, 3)) ==
+      rows(graft.ext.AnnIndex.searchIvfPq(queries, spark, batchDir, 3)))
+    assert(
+      rows(graft.ext.AnnIndex.searchIvfPqRerank(queries, spark, streamDir, 3)) ==
+      rows(graft.ext.AnnIndex.searchIvfPqRerank(queries, spark, batchDir, 3)))
+  }
+
   test("event-time timers close idle sessions when the watermark passes") {
     implicit val s = spark
     implicit val sqlCtx = spark.sqlContext
