@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
-import graft.ext.{Dedup, Similarity, TextAnalysis}
+import graft.ext.{Curation, Dedup, Similarity, TextAnalysis}
 import Tables.t
 
 /**
@@ -175,6 +175,44 @@ object ExtensionQueries {
         h AS (SELECT doc_id, ${sqlHash("w", 0)} AS h FROM tok),
         votes AS (SELECT doc_id, $votes FROM h GROUP BY doc_id),
         fp AS (SELECT doc_id, CAST($assemble AS BIGINT) AS simhash FROM votes)"""
+  }
+
+  /** Shared DuckDB CTE chain ending in `gq(doc_id, n_words, mean_word_len,
+   * hash_ratio, ellipsis_ratio, alpha_word_frac, n_stop_kinds, pass)` —
+   * the exact Gopher rule panel of t15, reused verbatim by the composed
+   * pipeline oracle so a rule change cannot silently diverge between
+   * them. */
+  private lazy val GopherCtes: String = {
+    val stops = TextAnalysis.GopherStops.map(w => s"'$w'").mkString(", ")
+    s"""tk AS (SELECT doc_id, text,
+                      string_split(text, ' ') AS toks
+               FROM documents),
+        m AS (SELECT doc_id,
+                     CAST(len(toks) AS INTEGER) AS n_words,
+                     round(CAST(length(replace(text, ' ', '')) AS DOUBLE)
+                           / len(toks), 4) AS mean_word_len,
+                     round(CAST(length(text)
+                             - length(replace(text, '#', '')) AS DOUBLE)
+                           / len(toks), 4) AS hash_ratio,
+                     round(CAST((length(text)
+                             - length(replace(text, '...', ''))) / 3
+                             AS DOUBLE)
+                           / len(toks), 4) AS ellipsis_ratio,
+                     round(CAST(len(list_filter(toks,
+                             w -> regexp_matches(w, '[A-Za-z]')))
+                             AS DOUBLE)
+                           / len(toks), 4) AS alpha_word_frac,
+                     CAST(len(list_filter([$stops],
+                            s -> list_contains(toks, s)))
+                          AS INTEGER) AS n_stop_kinds
+              FROM tk),
+        gq AS (SELECT *,
+                      (n_words >= 50 AND n_words <= 100000
+                       AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+                       AND hash_ratio <= 0.1 AND ellipsis_ratio <= 0.1
+                       AND alpha_word_frac >= 0.8
+                       AND n_stop_kinds >= 2) AS pass
+               FROM m)"""
   }
 
   /** DuckDB mirror of TextAnalysis.langId: stopword-coverage CASE over the
@@ -1638,39 +1676,72 @@ object ExtensionQueries {
     "t15_gopher_rules" -> QueryDef(
       (s, dir) => TextAnalysis.gopherRules(t(s, dir, "documents"),
         minWords = 50),
-      Some {
-        val stops = TextAnalysis.GopherStops.map(w => s"'$w'").mkString(", ")
-        s"""WITH tk AS (SELECT doc_id, text,
-                               string_split(text, ' ') AS toks
-                        FROM documents),
-             m AS (SELECT doc_id,
-                          CAST(len(toks) AS INTEGER) AS n_words,
-                          round(CAST(length(replace(text, ' ', '')) AS DOUBLE)
-                                / len(toks), 4) AS mean_word_len,
-                          round(CAST(length(text)
-                                  - length(replace(text, '#', '')) AS DOUBLE)
-                                / len(toks), 4) AS hash_ratio,
-                          round(CAST((length(text)
-                                  - length(replace(text, '...', ''))) / 3
-                                  AS DOUBLE)
-                                / len(toks), 4) AS ellipsis_ratio,
-                          round(CAST(len(list_filter(toks,
-                                  w -> regexp_matches(w, '[A-Za-z]')))
-                                  AS DOUBLE)
-                                / len(toks), 4) AS alpha_word_frac,
-                          CAST(len(list_filter([$stops],
-                                 s -> list_contains(toks, s)))
-                               AS INTEGER) AS n_stop_kinds
-                   FROM tk)
-             SELECT *,
-                    (n_words >= 50 AND n_words <= 100000
-                     AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
-                     AND hash_ratio <= 0.1 AND ellipsis_ratio <= 0.1
-                     AND alpha_word_frac >= 0.8
-                     AND n_stop_kinds >= 2) AS pass
-             FROM m"""
-      },
+      Some(s"""WITH $GopherCtes
+               SELECT * FROM gq"""),
       "Gopher word-level quality rules: exact stats + pass verdict"),
+
+    // ---- the composed pipeline: every curation stage as ONE DAG ----
+    // Each signal below is individually oracle-gated elsewhere (t3, t15,
+    // d1, d3/d6/d7, d13, sp1); this entry gates their COMPOSITION — the
+    // per-document disposition audit a production curation run reports.
+    // The oracle assembles the same proven CTE chains (LshPairsCtes,
+    // GopherCtes, LangPredSql, the sp1 bucket expression) into one
+    // statement, so a divergence in any stage OR in the assembly fails the
+    // hash.
+    "pipe1_curation_report" -> QueryDef(
+      (s, dir) => {
+        graft.functions.GraftFunctions.register(s)
+        val docs = t(s, dir, "documents")
+        Curation.curationReport(docs,
+          bench = docs.filter(col("doc_id") % 20 === 0))
+      },
+      Some(s"""WITH RECURSIVE $LshPairsCtes,
+               edges AS (
+                 SELECT doc_a AS src, doc_b AS dst FROM lsh_pairs
+                 UNION ALL
+                 SELECT doc_b, doc_a FROM lsh_pairs),
+               reach(src, dst) AS (
+                 SELECT src, dst FROM edges
+                 UNION
+                 SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+               clusters AS (
+                 SELECT src AS doc_id, least(src, min(dst)) AS cluster
+                 FROM reach GROUP BY src),
+               neardup_losers AS (
+                 SELECT doc_id FROM clusters WHERE doc_id <> cluster),
+               exact_keepers AS (
+                 SELECT min(doc_id) AS doc_id FROM documents GROUP BY text),
+               bsh AS (SELECT doc_id AS bench_id, sh FROM sh
+                       WHERE doc_id % 20 = 0),
+               hits AS (
+                 SELECT s.doc_id, b.bench_id, count(*) AS n
+                 FROM sh s JOIN bsh b ON s.sh = b.sh AND s.doc_id <> b.bench_id
+                 GROUP BY 1, 2
+                 HAVING count(*) >= 5),
+               contaminated_ids AS (SELECT DISTINCT doc_id FROM hits),
+               $GopherCtes,
+               l AS (SELECT doc_id, $LangPredSql AS lang_pred FROM documents),
+               flags AS (
+                 SELECT d.doc_id,
+                        (l.lang_pred = 'en') AS lang_ok,
+                        gq.pass AS quality_ok,
+                        (d.doc_id IN (SELECT doc_id FROM exact_keepers))
+                          AS exact_keeper,
+                        (d.doc_id NOT IN (SELECT doc_id FROM neardup_losers))
+                          AS neardup_keeper,
+                        (d.doc_id IN (SELECT doc_id FROM contaminated_ids))
+                          AS contaminated,
+                        CASE WHEN ('0x' || substr(md5('split:' || d.doc_id::VARCHAR), 1, 8))::BIGINT % 100 < 80 THEN 'train'
+                             WHEN ('0x' || substr(md5('split:' || d.doc_id::VARCHAR), 1, 8))::BIGINT % 100 < 90 THEN 'val'
+                             ELSE 'test' END AS split
+                 FROM documents d
+                 JOIN l USING (doc_id)
+                 JOIN gq USING (doc_id))
+               SELECT *,
+                      (lang_ok AND quality_ok AND exact_keeper
+                       AND neardup_keeper AND NOT contaminated) AS keep
+               FROM flags"""),
+      "composed curation pipeline: per-doc disposition audit (all gates)"),
 
     // ---- deterministic splitting / sampling / packing ----
 
