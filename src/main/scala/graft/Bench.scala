@@ -353,7 +353,7 @@ object Bench {
       // that is the amortized deployment cost), so ann_index_search vs
       // ann_n14 is the measured build-once/search-many win at 10×.
       val annNames = Seq("n7_knn_ivf_trained", "n10_pq_encode", "n11_pq_adc",
-        "n14_knn_ivfpq")
+        "n14_knn_ivfpq", "e5_proto_prune")
       val idxDir = s"$dir10/ann_ivfpq_index"
       runFamily(
         annNames.map(n =>

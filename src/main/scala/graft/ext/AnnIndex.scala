@@ -264,6 +264,30 @@ object AnnIndex {
       k)
   }
 
+  /** Multi-probe IVFADC+R over a [[buildIvfPq]] index — the production
+   * read path in full: multi-probe ADC retrieval of `rerank` candidates
+   * from the (bits+1) probed lists ([[searchIvfPqMultiProbe]]), then the
+   * exact cosine re-score fetching raw vectors ONLY from those same
+   * probed cells' `corpus.parquet` directories (candidates can only come
+   * from probed lists, so the wider probe set prunes the re-rank fetch
+   * identically). Bit-identical to the fused
+   * [[Similarity.knnIvfPqMultiProbeRerank]]. */
+  def searchIvfPqMultiProbeRerank(queries: DataFrame, spark: SparkSession,
+      dir: String, k: Int, rerank: Int = 10,
+      maxInList: Int = DefaultMaxInList): DataFrame = {
+    val p = spark.read.parquet(s"$dir/params.parquet")
+      .select("bits", "dim", "seed").head
+    val planes = Similarity.rpPlanes(p.getInt(1), p.getInt(0), p.getString(2))
+    val qCells = Similarity.multiProbeCells(queries, planes, "cell")
+      .select(col("cell"))
+    Similarity.rerankExact(
+      searchIvfPqMultiProbe(queries, spark, dir, rerank, maxInList),
+      queries,
+      pruneProbed(spark.read.parquet(s"$dir/corpus.parquet"),
+        qCells, "cell", maxInList),
+      k)
+  }
+
   // ---- RP (seed-derived cells, full embeddings at rest) ----
 
   /** Persist the untrained rp-cell index: params + the corpus stored

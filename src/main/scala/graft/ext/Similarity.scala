@@ -291,6 +291,47 @@ object Similarity {
       .agg(count(lit(1)).as("n"), sum("dq").as("inertia_q"))
   }
 
+  /** SSL-prototypes diversification pruning (Sorscher et al. 2022, "Beyond
+   * neural scaling laws"; applied to LLM pre-training data as the second
+   * half of D4, Tirumala et al. 2023): within each trained k-means cell,
+   * drop the most PROTOTYPICAL vectors — those nearest their cell centroid,
+   * the redundant "easy" mass — and keep the far tail that carries the
+   * cluster's diversity. Returns the kept rows (vec_id, cell, dq).
+   *
+   * Threshold semantics, deterministic and rank-free: per cell,
+   * `thr` = the smallest distance whose cumulative member count over the
+   * cell's distance HISTOGRAM reaches ceil(dropFrac·n); rows with
+   * dq <= thr drop, boundary ties dropping together (so at least
+   * ceil(dropFrac·n) members drop — a whole cell, if every member sits at
+   * one distance). Scale posture: the published per-cluster-rank form sorts
+   * every member within its cluster — a hot cell is a hot sort partition.
+   * Here members are never sorted: assignment is the narrow codegen'd
+   * `nearestCellStruct` pass, the histogram is one hash-agg keyed
+   * (cell, dq), and the running sum orders only DISTINCT distance rows per
+   * cell (bounded by member count, in practice far smaller). Distances are
+   * exact micro-grid integers, so the oracle replays every drop decision
+   * bit-for-bit. */
+  def protoPrune(vecs: DataFrame, dropFrac: Double, bits: Int = 4,
+      dim: Int = 64, seed: String = "rp", rounds: Int = 1): DataFrame = {
+    require(dropFrac >= 0.0 && dropFrac < 1.0,
+      s"dropFrac must be in [0, 1), got $dropFrac")
+    val cb = trainCodebook(vecs, bits, dim, seed, rounds)
+    val assigned = vecs
+      .select(col("vec_id"), nearestCellStruct(col("embedding"), cb).as("a"))
+      .select(col("vec_id"), col("a.cell").as("cell"), col("a.d").as("dq"))
+    if (dropFrac == 0.0) return assigned
+    val hist = assigned.groupBy("cell", "dq").agg(count(lit(1)).as("c"))
+    val thr = hist
+      .withColumn("cum", sum("c").over(
+        Window.partitionBy("cell").orderBy("dq")
+          .rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("n", sum("c").over(Window.partitionBy("cell")))
+      .filter(col("cum") >= ceil(lit(dropFrac) * col("n")))
+      .groupBy("cell").agg(min("dq").as("thr"))
+    assigned.join(thr, Seq("cell")).filter(col("dq") > col("thr"))
+      .select("vec_id", "cell", "dq")
+  }
+
   /** Trained-IVF kNN: one full Lloyd iteration in-engine — rp sign buckets
    * seed the assignment, `cellCentroids` trains the codebook, `nearestCell`
    * re-assigns corpus AND queries to their trained cell — then the same
@@ -657,6 +698,24 @@ object Similarity {
     rerankExact(
       knnIvfPq(queries, corpus, rerank, bits, dim, seed, m, subDim, pqBits,
         pqSeed),
+      queries, corpus, k)
+
+  /** Multi-probe IVFADC+R — the production read path in FULL: the
+   * multi-probe ADC pass ([[knnIvfPqMultiProbe]]) retrieves `rerank`
+   * candidates per query from the (bits+1) probed lists (recall repair at
+   * the CANDIDATE stage — a dropped true neighbor cannot be re-ranked
+   * back), then exactly those candidates fetch raw vectors for the exact
+   * cosine re-score (quantization-error repair at the RANKING stage).
+   * The two repairs are orthogonal and both bounded: (bits+1)× candidate
+   * cost, |queries|·rerank re-score rows. Index round-trip:
+   * [[AnnIndex.searchIvfPqMultiProbeRerank]] returns bit-identical rows. */
+  def knnIvfPqMultiProbeRerank(queries: DataFrame, corpus: DataFrame,
+      k: Int, rerank: Int = 10, bits: Int = 4, dim: Int = 64,
+      seed: String = "rp", m: Int = 4, subDim: Int = 16, pqBits: Int = 2,
+      pqSeed: String = "pq"): DataFrame =
+    rerankExact(
+      knnIvfPqMultiProbe(queries, corpus, rerank, bits, dim, seed, m,
+        subDim, pqBits, pqSeed),
       queries, corpus, k)
 
   /** Exact cosine re-score of an ANN candidate list: join the (q_id, n_id)

@@ -247,6 +247,63 @@ object ExtensionQueries {
       s"(CASE WHEN list_dot_product($embExpr, $lits::DOUBLE[]) > 0 THEN ${1 << p} ELSE 0 END)"
     }.mkString(" + ")
 
+  /** DuckDB CTE chain replaying `Similarity.trainCodebook(rounds = 1)` +
+   * the per-vector nearest-centroid assignment over a source relation
+   * `src(vec_id, embedding)`: seeds cells by rp sign buckets, trains the
+   * exact-integer centroid codebook, assigns every vector by squared
+   * micro-grid distance (ties to the smaller cell). Ends in
+   * `asg(vec_id, cell, dist)`. Shared by n8 and e5 so their oracles can
+   * never drift onto different codebooks. */
+  private def sqlAsg1Ctes(src: String): String = {
+    val cell = sqlRpCell("embedding::DOUBLE[]",
+      Similarity.rpPlanes(RpDim, RpBits, RpSeed))
+    s"""e AS (SELECT vec_id, embedding::DOUBLE[] AS emb,
+                     CAST($cell AS INTEGER) AS cell
+              FROM $src),
+        x AS (SELECT cell,
+                     unnest([{'pos': i - 1, 'v': emb[i]}
+                             for i in generate_series(1, len(emb))]) AS u
+              FROM e),
+        g AS (SELECT cell, CAST(u.pos AS INTEGER) AS pos, count(*) AS n,
+                     CAST(sum(CAST(floor(u.v * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS s
+              FROM x GROUP BY 1, 2),
+        cb AS (SELECT cell,
+                      list(CAST(floor(s / n + 0.5) AS BIGINT)::DOUBLE ORDER BY pos) AS cq
+               FROM g GROUP BY cell),
+        v AS (SELECT vec_id,
+                     list_transform(emb, x -> CAST(floor(x * 1e6 + 0.5) AS BIGINT)::DOUBLE) AS vq
+              FROM e),
+        d AS (SELECT v.vec_id, cb.cell,
+                     list_dot_product(v.vq, v.vq)
+                       - 2 * list_dot_product(v.vq, cb.cq)
+                       + list_dot_product(cb.cq, cb.cq) AS dist
+              FROM v CROSS JOIN cb),
+        asg AS (SELECT vec_id, cell, dist FROM (
+                  SELECT vec_id, cell, dist,
+                         row_number() OVER (PARTITION BY vec_id
+                           ORDER BY dist, cell) AS rn
+                  FROM d) WHERE rn = 1)"""
+  }
+
+  /** DuckDB replay of `Similarity.protoPrune` given a WITH-prefix whose
+   * chain ends in `asg(vec_id, cell, dist)` (see [[sqlAsg1Ctes]]): the
+   * per-cell distance histogram, its running count, the dropFrac-quantile
+   * threshold, and the kept rows (boundary ties drop together). Shared by
+   * e5 and e6 so the two prune derivations cannot drift. */
+  private def sqlProtoPruneSql(withCtes: String, frac: Double): String =
+    s"""$withCtes,
+        hist AS (SELECT cell, CAST(dist AS BIGINT) AS dq, count(*) AS c
+                 FROM asg GROUP BY 1, 2),
+        cum AS (SELECT cell, dq,
+                       sum(c) OVER (PARTITION BY cell ORDER BY dq) AS cum,
+                       sum(c) OVER (PARTITION BY cell) AS n
+                FROM hist),
+        thr AS (SELECT cell, min(dq) AS thr FROM cum
+                WHERE cum >= ceil($frac * n) GROUP BY cell)
+        SELECT a.vec_id, a.cell, CAST(a.dist AS BIGINT) AS dq
+        FROM asg a JOIN thr t USING (cell)
+        WHERE CAST(a.dist AS BIGINT) > t.thr"""
+
   /** Shared CTE chain ending in `lsh_pairs` (the verified near-dup pairs at
    * Jaccard >= 0.5) — the d3 result, reused by the cluster queries d6/d7. */
   private val LshPairsCtes: String =
@@ -977,39 +1034,75 @@ object ExtensionQueries {
           bits = RpBits, dim = RpDim, seed = RpSeed)
       },
       Some {
-        val cell = sqlRpCell("embedding::DOUBLE[]",
-          Similarity.rpPlanes(RpDim, RpBits, RpSeed))
-        s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb,
-                              CAST($cell AS INTEGER) AS cell
-                       FROM embeddings),
-            x AS (SELECT cell,
-                         unnest([{'pos': i - 1, 'v': emb[i]}
-                                 for i in generate_series(1, len(emb))]) AS u
-                  FROM e),
-            g AS (SELECT cell, CAST(u.pos AS INTEGER) AS pos, count(*) AS n,
-                         CAST(sum(CAST(floor(u.v * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS s
-                  FROM x GROUP BY 1, 2),
-            cb AS (SELECT cell,
-                          list(CAST(floor(s / n + 0.5) AS BIGINT)::DOUBLE ORDER BY pos) AS cq
-                   FROM g GROUP BY cell),
-            v AS (SELECT vec_id,
-                         list_transform(emb, x -> CAST(floor(x * 1e6 + 0.5) AS BIGINT)::DOUBLE) AS vq
-                  FROM e),
-            d AS (SELECT v.vec_id, cb.cell,
-                         list_dot_product(v.vq, v.vq)
-                           - 2 * list_dot_product(v.vq, cb.cq)
-                           + list_dot_product(cb.cq, cb.cq) AS dist
-                  FROM v CROSS JOIN cb),
-            asg AS (SELECT vec_id, cell, dist FROM (
-                      SELECT vec_id, cell, dist,
-                             row_number() OVER (PARTITION BY vec_id
-                               ORDER BY dist, cell) AS rn
-                      FROM d) WHERE rn = 1)
+        s"""WITH ${sqlAsg1Ctes("embeddings")}
             SELECT cell, count(*) AS n,
                    CAST(sum(CAST(dist AS BIGINT)) AS BIGINT) AS inertia_q
             FROM asg GROUP BY cell"""
       },
       "per-cell member count + exact inertia after the Lloyd round"),
+
+    // SSL-prototypes diversification pruning (Sorscher et al. 2022; the
+    // non-dedup half of D4, Tirumala et al. 2023): per trained cell, drop
+    // the vectors nearest their centroid — the redundant prototypical
+    // mass — keeping the diverse tail. Threshold = the cell's dropFrac
+    // histogram quantile over EXACT integer distances, boundary ties
+    // dropping together: rank-free (members are never sorted; only the
+    // per-cell distance histogram takes a running sum), deterministic,
+    // and replayed bit-for-bit by the oracle.
+    "e5_proto_prune" -> QueryDef(
+      (s, dir) => {
+        graft.functions.GraftFunctions.register(s)
+        Similarity.protoPrune(t(s, dir, "embeddings"), dropFrac = 0.25,
+          bits = RpBits, dim = RpDim, seed = RpSeed)
+      },
+      Some(sqlProtoPruneSql(s"WITH ${sqlAsg1Ctes("embeddings")}", 0.25)),
+      "SSL-prototypes pruning: drop the near-centroid quantile per trained cell"),
+
+    // The full D4 pipeline (Tirumala et al. 2023): SemDeDup first (e4's
+    // cosine components, non-keepers dropped), then SSL-prototypes pruning
+    // RETRAINED on the survivor set — dedup changes the density the
+    // k-means codebook sees, so D4 retrains after removal rather than
+    // reusing the pre-dedup centroids. Composes two gated pieces; the
+    // oracle replays CC via recursive SQL and the whole retrain+prune
+    // chain over the survivors.
+    "e6_d4_diversify" -> QueryDef(
+      (s, dir) => {
+        graft.functions.GraftFunctions.register(s)
+        val emb = t(s, dir, "embeddings")
+        val pairs = Similarity.cosineDedupPairs(emb, "label", 0.4)
+          .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
+        val dropped = Dedup.dupClusters(pairs)
+          .filter(col("doc_id") =!= col("cluster"))
+          .select(col("doc_id").as("vec_id"))
+        val survivors = emb.join(dropped, Seq("vec_id"), "left_anti")
+        Similarity.protoPrune(survivors, dropFrac = 0.25,
+          bits = RpBits, dim = RpDim, seed = RpSeed)
+      },
+      Some {
+        val prefix =
+          s"""WITH RECURSIVE cpairs AS (
+                SELECT a.vec_id AS id_a, b.vec_id AS id_b
+                FROM embeddings a JOIN embeddings b
+                  ON a.label = b.label AND a.vec_id < b.vec_id
+                WHERE ${sqlCos("a.embedding::DOUBLE[]", "b.embedding::DOUBLE[]")} >= 0.4),
+              edges AS (
+                SELECT id_a AS src, id_b AS dst FROM cpairs
+                UNION ALL
+                SELECT id_b, id_a FROM cpairs),
+              reach(src, dst) AS (
+                SELECT src, dst FROM edges
+                UNION
+                SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+              clus AS (SELECT src AS vec_id, least(src, min(dst)) AS cluster
+                       FROM reach GROUP BY src),
+              surv AS (SELECT em.vec_id, em.embedding
+                       FROM embeddings em LEFT JOIN clus
+                         ON em.vec_id = clus.vec_id
+                       WHERE clus.vec_id IS NULL OR clus.vec_id = clus.cluster),
+              ${sqlAsg1Ctes("surv")}"""
+        sqlProtoPruneSql(prefix, 0.25)
+      },
+      "D4: SemDeDup keepers, then SSL-prototypes pruning retrained on survivors"),
 
     // Round-2 Lloyd diagnostics: the engine re-assigns with the round-1
     // codebook, re-trains, re-assigns again — a REAL iterative k-means on
@@ -1307,6 +1400,60 @@ object ExtensionQueries {
             SELECT q_id, n_id, sim, rank FROM rr WHERE rank <= 3"""
       },
       "IVFADC+R: code-only retrieval, exact cosine re-rank of candidates"),
+
+    // Multi-probe IVFADC+R — the full production read path: n15's
+    // multi-probe candidate retrieval (recall repair: a true neighbor in
+    // a flipped cell CAN be retrieved) composed with n16's exact re-rank
+    // (quantization repair: the final order is true cosine). The oracle
+    // is exactly n15's scored CTE feeding n16's cand/ex/rr tail.
+    "n17_knn_ivfpq_mp_rerank" -> QueryDef(
+      (s, dir) => {
+        graft.functions.GraftFunctions.register(s)
+        val emb = t(s, dir, "embeddings")
+        Similarity.knnIvfPqMultiProbeRerank(emb.filter(col("vec_id") < 8),
+          emb, 3, rerank = 10, bits = RpBits, dim = RpDim, seed = RpSeed,
+          m = PqM, subDim = PqSubDim, pqBits = PqBits, pqSeed = PqSeed)
+      },
+      Some {
+        val cell = sqlRpCell("embedding::DOUBLE[]",
+          Similarity.rpPlanes(RpDim, RpBits, RpSeed))
+        val flips = (Seq(0) ++ (0 until RpBits).map(1 << _)).mkString(", ")
+        s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb,
+                              CAST($cell AS INTEGER) AS cell
+                       FROM embeddings),
+            ${PqSubspaceCtes},
+            ${PqEncCte},
+            encc AS (SELECT enc.*, e.cell FROM enc JOIN e USING (vec_id)),
+            q AS (SELECT vec_id AS q_id, emb, cell FROM e WHERE vec_id < 8),
+            qp AS (SELECT q_id, CAST(xor(cell, f) AS INTEGER) AS cell
+                   FROM q, (SELECT unnest([$flips]) AS f)),
+            ${PqLutCtes},
+            scored AS (
+              SELECT qp.q_id, encc.vec_id AS n_id,
+                     ${PqAdcDist} AS dist_q
+              FROM qp JOIN encc USING (cell)
+                ${PqAdcJoins.replace("enc.c", "encc.c")
+                  .replace("= q.q_id", "= qp.q_id")}
+              WHERE qp.q_id <> encc.vec_id),
+            cand AS (
+              SELECT q_id, n_id FROM (
+                SELECT q_id, n_id,
+                       row_number() OVER (PARTITION BY q_id
+                         ORDER BY dist_q, n_id) AS adc_rank
+                FROM scored)
+              WHERE adc_rank <= 10),
+            ex AS (
+              SELECT c.q_id, c.n_id, ${sqlCos("qe.emb", "ne.emb")} AS sim
+              FROM cand c
+              JOIN e qe ON qe.vec_id = c.q_id
+              JOIN e ne ON ne.vec_id = c.n_id),
+            rr AS (SELECT q_id, n_id, sim,
+                          CAST(row_number() OVER (PARTITION BY q_id
+                            ORDER BY sim DESC, n_id) AS INTEGER) AS rank
+                   FROM ex)
+            SELECT q_id, n_id, sim, rank FROM rr WHERE rank <= 3"""
+      },
+      "multi-probe IVFADC+R: flip-cell retrieval, exact cosine re-rank"),
 
     // kNN on the int8 codes themselves: per-vector scales cancel in
     // cosine, so the quantized corpus is searched without dequantization —

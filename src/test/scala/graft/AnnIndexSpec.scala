@@ -98,6 +98,14 @@ class AnnIndexSpec extends SparkTestBase {
     assert(cellDirs.nonEmpty, "expected cell=<id> partition directories")
   }
 
+  test("multi-probe IVFADC+R round-trips bit-identical to the fused path") {
+    val dir = tmp("ann_ivfpq_mprr")
+    AnnIndex.buildIvfPq(embs, dir)
+    assert(rows(
+      AnnIndex.searchIvfPqMultiProbeRerank(queries, spark, dir, 3, rerank = 10)) ==
+      rows(Similarity.knnIvfPqMultiProbeRerank(queries, embs, 3, rerank = 10)))
+  }
+
   test("exact re-rank recall is >= code-only ADC recall") {
     // the point of IVFADC+R: repairing PQ quantization error in the final
     // ranking must not LOSE recall vs ranking on codes alone

@@ -560,6 +560,42 @@ class ExtensionsSpec extends SparkTestBase {
     assert(inertia(2) <= inertia(1))
   }
 
+  test("protoPrune drops exactly the near-centroid quantile, ties together") {
+    val emb = spark.read.parquet(s"$Sf/embeddings.parquet")
+    val frac = 0.25
+    // reference: same trained assignment, then per cell the threshold is
+    // the target-th smallest member distance (= the histogram form: the
+    // smallest dq whose cumulative count reaches ceil(frac*n))
+    val cb = Similarity.trainCodebook(emb)
+    val asg = emb.select($"vec_id",
+        Similarity.nearestCellStruct($"embedding", cb).as("a"))
+      .select($"vec_id", $"a.cell".as("cell"), $"a.d".as("dq"))
+      .as[(Long, Int, Long)].collect()
+    val expect = asg.groupBy(_._2).values.flatMap { ms =>
+      val target = math.ceil(frac * ms.length).toInt
+      val thr = ms.map(_._3).sorted.apply(target - 1)
+      ms.filter(_._3 > thr)
+    }.toSet
+    val got = Similarity.protoPrune(emb, frac)
+      .as[(Long, Int, Long)].collect().toSet
+    assert(got == expect)
+    assert(got.size < asg.length)            // the quantile actually dropped
+    // dropFrac = 0 keeps every assignment untouched
+    assert(Similarity.protoPrune(emb, 0.0).count() == asg.length)
+  }
+
+  test("protoPrune: a cell whose members all tie on distance drops whole") {
+    // cluster A: five IDENTICAL vectors (every dq ties at the centroid),
+    // cluster B: a spread cluster that keeps its far tail
+    val vecs = ((1L to 5L).map(i => (i, Array(1f, 0.3f))) ++
+      (11L to 15L).map(i => (i, Array(-1f - (i - 10) * 0.01f, -0.3f))))
+      .toDF("vec_id", "embedding")
+    val kept = Similarity.protoPrune(vecs, 0.2, bits = 2, dim = 2)
+      .select("vec_id").as[Long].collect().toSet
+    assert(kept.intersect((1L to 5L).toSet).isEmpty)  // boundary ties drop together
+    assert(kept.nonEmpty && kept.subsetOf((11L to 15L).toSet))
+  }
+
   test("tfIdf: ubiquitous terms weigh zero, rare terms ln(N/df), exact sums") {
     val d = docs((1L, "a a b"), (2L, "a c"))
     val out = TextAnalysis.tfIdf(d)
