@@ -379,6 +379,14 @@ object Bench {
             graft.ext.AnnIndex.searchIvfPqRerank(
               ps.read.parquet(s"$dir10/embeddings.parquet")
                 .filter(col("vec_id") < 8),
+              ps, idxDir, 3, rerank = 10))) :+
+        // the FULL production read path: multi-probe retrieval + exact
+        // re-rank over the same prebuilt index
+        ("ann_index_search_ivfpq_mp_rerank" ->
+          ((ps: org.apache.spark.sql.SparkSession) =>
+            graft.ext.AnnIndex.searchIvfPqMultiProbeRerank(
+              ps.read.parquet(s"$dir10/embeddings.parquet")
+                .filter(col("vec_id") < 8),
               ps, idxDir, 3, rerank = 10))),
         setup = ps => {
           // the build is the amortized deployment cost — timed and sized

@@ -567,14 +567,29 @@ object Dedup {
    * with the same scale posture (one shuffle on (band, value), verification
    * only on candidates). The exact Hamming check on candidates is a single
    * codegen'd bit_count(xor). */
-  def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+  /** `maxBucket` (default off): drop band buckets larger than the cap
+   * before the self-join — the [[lshCandidates]] trade carried over: a hot
+   * band value (skewed fingerprints — short or boilerplate-dominated docs
+   * collapse to few distinct simhashes) contributes B² candidate rows, and
+   * one degenerate bucket can dwarf the job at corpus scale. Capping costs
+   * recall ONLY for pairs whose every other shared band is also over-cap
+   * (the pigeonhole guarantee needs just one surviving shared band), and
+   * [[simhashBucketStats]] measures whether a corpus needs it BEFORE the
+   * join runs. Default `Int.MaxValue` keeps the blocking lossless (and the
+   * d8 oracle exact). */
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 3,
+      maxBucket: Int = Int.MaxValue): DataFrame = {
     require(maxHamming <= 3,
       "4-band pigeonhole blocking is only lossless up to Hamming distance 3")
     val fp = materialize(simhash(docs))
-    val bandCols = (0 until 4).map(b =>
-      shiftright(col("simhash"), b * 8).bitwiseAND(lit(255L)))
-    val bands = fp.select(col("doc_id"),
-      posexplode(array(bandCols: _*)).as(Seq("band", "band_val")))
+    val allBands = simhashBands(fp)
+    val bands =
+      if (maxBucket == Int.MaxValue) allBands  // cap disabled: skip the window
+      else allBands.withColumn("__bucket_n",
+          count(lit(1)).over(org.apache.spark.sql.expressions.Window
+            .partitionBy("band", "band_val")))
+        .filter(col("__bucket_n") <= maxBucket)
+        .drop("__bucket_n")
     val cands = bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") &&
         col("a.band_val") === col("b.band_val") &&
@@ -588,6 +603,34 @@ object Dedup {
         bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("int").as("hamming"))
       .filter(col("hamming") <= maxHamming)
   }
+
+  /** The 4 disjoint 8-bit bands of each fingerprint: (doc_id, band,
+   * band_val) — the pigeonhole blocking key, shared by [[simhashPairs]]
+   * and [[simhashBucketStats]]. */
+  private def simhashBands(fp: DataFrame): DataFrame = {
+    val bandCols = (0 until 4).map(b =>
+      shiftright(col("simhash"), b * 8).bitwiseAND(lit(255L)))
+    fp.select(col("doc_id"),
+      posexplode(array(bandCols: _*)).as(Seq("band", "band_val")))
+  }
+
+  /** SimHash band-bucket distribution — [[lshBucketStats]]' analog for the
+   * pigeonhole blocking: per (band, band_val) bucket sizes summarized to
+   * one row of exact integers, including the candidate-pair bound
+   * Σ sz·(sz−1)/2 that ceilings [[simhashPairs]]' self-join cost. THE
+   * number that says whether a corpus's fingerprint skew needs a
+   * `maxBucket` cap before the join runs. One hash-agg over the bands plus
+   * a single-row fold; nothing corpus-sized reaches the driver. */
+  def simhashBucketStats(docs: DataFrame, overCap: Int = 100): DataFrame =
+    simhashBands(simhash(docs))
+      .groupBy("band", "band_val").agg(count(lit(1)).as("sz"))
+      .agg(
+        count(lit(1)).as("n_buckets"),
+        sum("sz").as("n_rows"),
+        max("sz").as("max_bucket"),
+        sum(when(col("sz") === 1, 1L).otherwise(0L)).as("n_singleton"),
+        sum(when(col("sz") > overCap, 1L).otherwise(0L)).as("n_over_cap"),
+        sum(expr("sz * (sz - 1) DIV 2")).as("pair_bound"))
 
   /** Edit-distance near-match pairs with prefix blocking: candidate pairs
    * share a `blockPrefix`-char prefix (a length band is applied first as a

@@ -681,6 +681,30 @@ object ExtensionQueries {
                WHERE bit_count(xor(a.simhash, b.simhash)) <= 3"""),
       "SimHash near-dup pairs via lossless band blocking (Hamming <= 3)"),
 
+    // SimHash band-bucket distribution — d17's cap-tuning diagnostic for
+    // the pigeonhole blocking: exact bucket-size summary + the candidate-
+    // pair bound that ceilings d8's self-join cost. Measures whether a
+    // corpus's fingerprint skew needs simhashPairs' maxBucket cap BEFORE
+    // the join runs.
+    "d19_simhash_bucket_stats" -> QueryDef(
+      (s, dir) => Dedup.simhashBucketStats(t(s, dir, "documents")),
+      Some(s"""WITH $SimhashCte,
+               bands AS (SELECT doc_id, b.band,
+                                (simhash >> (b.band * 8)) & 255 AS band_val
+                         FROM fp, (SELECT unnest([0, 1, 2, 3]) AS band) b),
+               sz AS (SELECT band, band_val, count(*) AS sz
+                      FROM bands GROUP BY 1, 2)
+               SELECT count(*) AS n_buckets,
+                      CAST(sum(sz) AS BIGINT) AS n_rows,
+                      CAST(max(sz) AS BIGINT) AS max_bucket,
+                      CAST(sum(CASE WHEN sz = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                        AS n_singleton,
+                      CAST(sum(CASE WHEN sz > 100 THEN 1 ELSE 0 END) AS BIGINT)
+                        AS n_over_cap,
+                      CAST(sum(sz * (sz - 1) // 2) AS BIGINT) AS pair_bound
+               FROM sz"""),
+      "SimHash band-bucket distribution + candidate-pair bound (cap tuning)"),
+
     // ---- similarity search ----
 
     "n1_knn_brute" -> QueryDef(

@@ -136,6 +136,20 @@ class ExtensionsSpec extends SparkTestBase {
     intercept[IllegalArgumentException](Dedup.simhashPairs(d, maxHamming = 4))
   }
 
+  test("simhashBucketStats measures the skew the simhashPairs cap bounds") {
+    // 5 identical docs: every band bucket holds all 5 fingerprints, so the
+    // pair bound is 4 buckets x C(5,2) = 40 and a cap below 5 empties the
+    // candidate set entirely (no under-cap shared band survives)
+    val d = docs((1L to 5L).map(i => (i, "alpha beta gamma delta epsilon")): _*)
+    val st = Dedup.simhashBucketStats(d, overCap = 4)
+      .as[(Long, Long, Long, Long, Long, Long)].head()
+    assert(st == ((4L, 20L, 5L, 0L, 4L, 40L)),
+      s"(n_buckets, n_rows, max_bucket, n_singleton, n_over_cap, pair_bound) = $st")
+    assert(Dedup.simhashPairs(d, maxBucket = 4).count() == 0L)
+    // uncapped (default) finds all C(5,2) identical pairs — unchanged
+    assert(Dedup.simhashPairs(d).count() == 10L)
+  }
+
   test("decontamination flags n-gram overlap with the benchmark, apply drops it") {
     val docs = Seq(
       (1L, "alpha beta gamma delta epsilon zeta eta"),  // near-copy of bench 10
