@@ -700,6 +700,42 @@ object Similarity {
         pqSeed),
       queries, corpus, k)
 
+  /** Semantic (embedding-space) decontamination — the eval-set leak scan
+   * in EMBEDDING space: a corpus vector within `minCos` cosine of ANY
+   * eval-set vector is contaminated (paraphrased or re-formatted eval
+   * leakage that the n-gram scans of `Dedup.decontaminationHits` cannot
+   * see — the semantic-dedup idea pointed across corpora, the
+   * decontamination stage of recent embedding-curated datasets). Blocked
+   * on `cellCol` like [[cosineDedupPairs]] (both sides must share a cell
+   * to compare — documented recall trade of every blocked scan; use
+   * trained cells or multi-probe assignment upstream to tighten it).
+   *
+   * Cost shape at 100 TB: the eval side is MBs (eval suites), so AQE
+   * broadcasts it and the corpus never shuffles; the per-corpus-row work
+   * is |eval ∩ cell| fused cosines inside codegen. Returns
+   * (vec_id, n_hits, max_sim) per CONTAMINATED corpus vector — feed an
+   * anti-join to apply, mirroring decontaminationHits/decontaminate. */
+  def embedDecontaminationHits(corpus: DataFrame, eval: DataFrame,
+      minCos: Double, cellCol: String): DataFrame =
+    corpus.select(col(cellCol).as("cell"), col("vec_id"),
+        col("embedding").as("c_emb"))
+      .join(eval.select(col(cellCol).as("cell"),
+        col("embedding").as("e_emb")), Seq("cell"))
+      .select(col("vec_id"), round(cosine(col("c_emb"), col("e_emb")), 4).as("sim"))
+      .filter(col("sim") >= minCos)
+      .groupBy("vec_id")
+      .agg(count(lit(1)).as("n_hits"), max("sim").as("max_sim"))
+
+  /** Apply semantic decontamination: corpus rows hitting NO eval vector at
+   * `minCos`. An eval vector present in the corpus trivially self-matches
+   * at cosine 1 and is (correctly) dropped. */
+  def embedDecontaminate(corpus: DataFrame, eval: DataFrame,
+      minCos: Double, cellCol: String): DataFrame =
+    corpus.join(
+      embedDecontaminationHits(corpus, eval, minCos, cellCol)
+        .select("vec_id"),
+      Seq("vec_id"), "left_anti")
+
   /** Multi-probe IVFADC+R — the production read path in FULL: the
    * multi-probe ADC pass ([[knnIvfPqMultiProbe]]) retrieves `rerank`
    * candidates per query from the (bits+1) probed lists (recall repair at

@@ -1128,6 +1128,53 @@ object ExtensionQueries {
       },
       "D4: SemDeDup keepers, then SSL-prototypes pruning retrained on survivors"),
 
+    // Semantic decontamination (embedding-space eval-leak scan): d13's
+    // contract pointed at paraphrase leakage the n-gram scans can't see —
+    // a corpus vector within cosine 0.4 of any eval vector (here the
+    // vec_id < 10 slice) is contaminated. Cell-blocked like e1; the eval
+    // side broadcasts. e7 = the hits report, e8 = the applied survivor set
+    // (the d13/d14 split).
+    "e7_embed_decon_hits" -> QueryDef(
+      (s, dir) => {
+        graft.functions.GraftFunctions.register(s)
+        val emb = t(s, dir, "embeddings")
+        Similarity.embedDecontaminationHits(
+          emb.filter(col("vec_id") >= 10), emb.filter(col("vec_id") < 10),
+          minCos = 0.4, cellCol = "label")
+      },
+      Some(s"""WITH ev AS (SELECT label, embedding::DOUBLE[] AS e_emb
+                           FROM embeddings WHERE vec_id < 10),
+               c AS (SELECT vec_id, label, embedding::DOUBLE[] AS c_emb
+                     FROM embeddings WHERE vec_id >= 10),
+               hits AS (SELECT c.vec_id,
+                               ${sqlCos("c.c_emb", "ev.e_emb")} AS sim
+                        FROM c JOIN ev USING (label)
+                        WHERE ${sqlCos("c.c_emb", "ev.e_emb")} >= 0.4)
+               SELECT vec_id, CAST(count(*) AS BIGINT) AS n_hits,
+                      max(sim) AS max_sim
+               FROM hits GROUP BY vec_id"""),
+      "embedding-space decontamination hits: cosine match vs the eval slice"),
+
+    "e8_embed_decon_apply" -> QueryDef(
+      (s, dir) => {
+        graft.functions.GraftFunctions.register(s)
+        val emb = t(s, dir, "embeddings")
+        Similarity.embedDecontaminate(
+          emb.filter(col("vec_id") >= 10), emb.filter(col("vec_id") < 10),
+          minCos = 0.4, cellCol = "label")
+          .select("vec_id", "label")
+      },
+      Some(s"""WITH ev AS (SELECT label, embedding::DOUBLE[] AS e_emb
+                           FROM embeddings WHERE vec_id < 10),
+               c AS (SELECT vec_id, label, embedding::DOUBLE[] AS c_emb
+                     FROM embeddings WHERE vec_id >= 10),
+               hits AS (SELECT DISTINCT c.vec_id
+                        FROM c JOIN ev USING (label)
+                        WHERE ${sqlCos("c.c_emb", "ev.e_emb")} >= 0.4)
+               SELECT vec_id, label FROM c
+               WHERE vec_id NOT IN (SELECT vec_id FROM hits)"""),
+      "embedding-space decontamination applied: surviving corpus vectors"),
+
     // Round-2 Lloyd diagnostics: the engine re-assigns with the round-1
     // codebook, re-trains, re-assigns again — a REAL iterative k-means on
     // DataFrames (2 shuffle-light jobs per round, driver state = codebook

@@ -574,6 +574,21 @@ class ExtensionsSpec extends SparkTestBase {
     assert(inertia(2) <= inertia(1))
   }
 
+  test("embedDecontaminate drops cosine-matched vectors, keeps the rest") {
+    val eval = Seq((1L, Array(1f, 0f), 0)).toDF("vec_id", "embedding", "label")
+    val corpus = Seq(
+      (10L, Array(0.99f, 0.01f), 0),  // near-copy of an eval vector -> drops
+      (11L, Array(-1f, 0.1f), 0),     // dissimilar -> survives
+      (12L, Array(1f, 0f), 1)         // identical but other cell: the
+    ).toDF("vec_id", "embedding", "label")  // documented blocking trade
+    val hits = Similarity.embedDecontaminationHits(corpus, eval, 0.4, "label")
+      .as[(Long, Long, Double)].collect()
+    assert(hits.map(_._1).toSet == Set(10L) && hits.head._2 == 1L)
+    val kept = Similarity.embedDecontaminate(corpus, eval, 0.4, "label")
+      .select("vec_id").as[Long].collect().toSet
+    assert(kept == Set(11L, 12L))
+  }
+
   test("protoPrune drops exactly the near-centroid quantile, ties together") {
     val emb = spark.read.parquet(s"$Sf/embeddings.parquet")
     val frac = 0.25
