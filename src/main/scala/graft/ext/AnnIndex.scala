@@ -73,7 +73,7 @@ object AnnIndex {
       Similarity.nearestCell(col("embedding"), cb))
     Similarity.knnCell(q,
       pruneProbed(
-        spark.read.parquet(s"$dir/corpus.parquet")
+        listing(spark, dir, "corpus")
           .withColumnRenamed("cell", "__tc"),
         q, "__tc", maxInList),
       "__tc", k, maxCell)
@@ -82,6 +82,68 @@ object AnnIndex {
   /** Above this many distinct probed cells the literal IN-list gives way to
    * a cell semi-join (see [[pruneProbed]]). */
   val DefaultMaxInList = 256
+
+  // ---- deletion (tombstones) ----
+
+  /** Delete vectors from a persisted index WITHOUT touching the stored
+   * lists: the ids (`vec_id` column) append to a tombstone set that every
+   * search path anti-joins out — the FAISS `remove_ids` contract, and the
+   * right-to-be-forgotten lever a 100-TB deployment needs at a cost
+   * proportional to the DELETION, not the index (rewriting a cell's
+   * parquet per delete would be the index-sized cost this avoids; the
+   * tombstone side stays small and broadcasts under the anti-join).
+   * A tombstoned id stays deleted even if re-appended later —
+   * [[vacuumDeletes]] folds tombstones into the lists and clears them,
+   * after which the id may be re-ingested. */
+  def deleteIds(ids: DataFrame, dir: String): Unit =
+    ids.select("vec_id").coalesce(1)
+      .write.mode("append").parquet(tombPath(dir))
+
+  /** Fold tombstones into the stored lists: rewrite `corpus.parquet` /
+   * `encoded.parquet` without deleted rows (staged to a sibling directory,
+   * then swapped — a reader never sees a half-rewritten listing) and clear
+   * the tombstone set. Run at maintenance cadence, like the codebook
+   * retrain: deletes are served from tombstones immediately; vacuum just
+   * reclaims space and re-opens the ids for ingest. */
+  def vacuumDeletes(spark: SparkSession, dir: String): Unit = {
+    if (!pathExists(spark, tombPath(dir))) return
+    for (name <- Seq("corpus", "encoded")
+         if pathExists(spark, s"$dir/$name.parquet")) {
+      val kept = listing(spark, dir, name)
+      val writer =
+        if (kept.columns.contains("cell"))
+          kept.repartition(col("cell")).write.partitionBy("cell")
+        else kept.write
+      writer.mode("overwrite").parquet(s"$dir/$name.parquet.tmp")
+      val conf = spark.sparkContext.hadoopConfiguration
+      val oldP = new org.apache.hadoop.fs.Path(s"$dir/$name.parquet")
+      val fs = oldP.getFileSystem(conf)
+      fs.delete(oldP, true)
+      fs.rename(new org.apache.hadoop.fs.Path(s"$dir/$name.parquet.tmp"), oldP)
+    }
+    val tp = new org.apache.hadoop.fs.Path(tombPath(dir))
+    tp.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(tp, true)
+  }
+
+  private def tombPath(dir: String): String = s"$dir/tombstones.parquet"
+
+  private def pathExists(spark: SparkSession, p: String): Boolean = {
+    val hp = new org.apache.hadoop.fs.Path(p)
+    hp.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(hp)
+  }
+
+  /** Read an index listing (`corpus`/`encoded`) with deletions applied:
+   * tombstoned vec_ids anti-join out ABOVE the scan, so partition pruning
+   * below is untouched and every search path observes deletions
+   * immediately. */
+  private def listing(spark: SparkSession, dir: String,
+      name: String): DataFrame = {
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    if (pathExists(spark, tombPath(dir)))
+      df.join(spark.read.parquet(tombPath(dir)).select("vec_id"),
+        Seq("vec_id"), "left_anti")
+    else df
+  }
 
   /** Prune the stored corpus to the batch's probed cells — the IVF probe's
    * list selection. Small batches (≤ `maxInList` distinct cells) push a
@@ -129,7 +191,7 @@ object AnnIndex {
     val subDim = spark.read.parquet(s"$dir/params.parquet")
       .select("sub_dim").head.getInt(0)
     Similarity.adcSearchEncoded(queries,
-      spark.read.parquet(s"$dir/encoded.parquet"),
+      listing(spark, dir, "encoded"),
       loadPqCodebooks(spark, s"$dir/pq_codebooks.parquet"), subDim, k)
   }
 
@@ -211,7 +273,7 @@ object AnnIndex {
     val qCells = queries
       .select(Similarity.rpCell(col("embedding"), planes).as("cell"))
     Similarity.ivfPqSearchEncoded(queries,
-      pruneProbed(spark.read.parquet(s"$dir/encoded.parquet"),
+      pruneProbed(listing(spark, dir, "encoded"),
         qCells, "cell", maxInList),
       planes,
       loadPqCodebooks(spark, s"$dir/pq_codebooks.parquet"),
@@ -235,7 +297,7 @@ object AnnIndex {
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
         col("cell"))
     Similarity.ivfPqSearchAssigned(q,
-      pruneProbed(spark.read.parquet(s"$dir/encoded.parquet"),
+      pruneProbed(listing(spark, dir, "encoded"),
         q, "cell", maxInList),
       loadPqCodebooks(spark, s"$dir/pq_codebooks.parquet"),
       p.getInt(3), k)
@@ -259,7 +321,7 @@ object AnnIndex {
     Similarity.rerankExact(
       searchIvfPq(queries, spark, dir, rerank, maxInList),
       queries,
-      pruneProbed(spark.read.parquet(s"$dir/corpus.parquet"),
+      pruneProbed(listing(spark, dir, "corpus"),
         qCells, "cell", maxInList),
       k)
   }
@@ -283,7 +345,7 @@ object AnnIndex {
     Similarity.rerankExact(
       searchIvfPqMultiProbe(queries, spark, dir, rerank, maxInList),
       queries,
-      pruneProbed(spark.read.parquet(s"$dir/corpus.parquet"),
+      pruneProbed(listing(spark, dir, "corpus"),
         qCells, "cell", maxInList),
       k)
   }
@@ -317,7 +379,7 @@ object AnnIndex {
     val q = queries.withColumn("cell",
       Similarity.rpCell(col("embedding"), planes))
     Similarity.knnCell(q,
-      pruneProbed(spark.read.parquet(s"$dir/corpus.parquet"), q, "cell",
+      pruneProbed(listing(spark, dir, "corpus"), q, "cell",
         maxInList),
       "cell", k, maxCell)
   }
@@ -330,7 +392,7 @@ object AnnIndex {
     val planes = rpParams(spark, dir)
     val q = Similarity.multiProbeCells(queries, planes, "cell")
     Similarity.knnCell(q,
-      pruneProbed(spark.read.parquet(s"$dir/corpus.parquet"), q, "cell",
+      pruneProbed(listing(spark, dir, "corpus"), q, "cell",
         maxInList),
       "cell", k, maxCell)
   }

@@ -477,6 +477,44 @@ object Dedup {
         concat_ws(" ", col("kept")).as("text_dedup"))
   }
 
+  /** [[removeDuplicateSpans]] iterated to its FIXPOINT: re-joined text can
+   * make previously non-adjacent tokens adjacent, creating a duplicated
+   * ≥ width-token span the single pass never saw (the documented caveat
+   * the published one-pass implementations share). Each round re-derives
+   * windows over the PREVIOUS round's output and cuts again; convergence =
+   * a round that found zero duplicated windows, witnessed by the same
+   * zero-extra-jobs observe-on-materialize trick as [[dupClusters]] (the
+   * round's checkpoint already executes the plan). Rounds in practice: 2 —
+   * boundary-created spans are rare — so the fixpoint costs one extra
+   * no-op derivation over the corpus; each round's state is
+   * lineage-truncated, never deeper than one round. Returns the converged
+   * (doc_id, n_kept, text_dedup). */
+  def removeDuplicateSpansToFixpoint(docs: DataFrame, width: Int,
+      maxPasses: Int = 5): DataFrame = {
+    var cur = docs.select("doc_id", "text")
+    var pass = 0
+    var converged = false
+    while (pass < maxPasses && !converged) {
+      val obs = org.apache.spark.sql.Observation(s"graft_span_fix_$pass")
+      val next = materialize(
+        removeDuplicateSpans(cur, width)
+          .join(cur.select(col("doc_id"), col("text").as("__in_text")),
+            Seq("doc_id"))
+          .observe(obs, sum(when(col("text_dedup") =!= col("__in_text"), 1L)
+            .otherwise(0L)).as("n_changed"))
+          .select(col("doc_id"), col("n_kept"), col("text_dedup")))
+      converged = obs.get("n_changed").asInstanceOf[Long] == 0L
+      cur = next.select(col("doc_id"), col("text_dedup").as("text"))
+      pass += 1
+      if (converged) return next
+    }
+    log.warn(s"removeDuplicateSpansToFixpoint: no fixpoint after " +
+      s"$maxPasses passes — returning the last round's output")
+    cur.select(col("doc_id"),
+      size(split(col("text"), " ")).as("n_kept"),
+      col("text").as("text_dedup"))
+  }
+
   /** Token array minus the sorted disjoint spans — an `aggregate` fold
    * carrying (kept-so-far, next-uncut-position), finished by the tail
    * slice. Pure substring arithmetic, one pass over the span list. */

@@ -132,6 +132,40 @@ class AnnIndexSpec extends SparkTestBase {
     assert(multi >= single, s"multi-probe recall $multi < single-probe $single")
   }
 
+  test("deleteIds tombstones every search path; vacuum folds and re-opens") {
+    val dir = tmp("ann_del")
+    AnnIndex.buildIvfPq(embs, dir)
+    val before = rows(AnnIndex.searchIvfPq(queries, spark, dir, 3))
+    // victim: a vector actually returned as a neighbor pre-delete
+    val victim = AnnIndex.searchIvfPq(queries, spark, dir, 3)
+      .select("n_id").as[Long].head()
+    AnnIndex.deleteIds(Seq(victim).toDF("vec_id"), dir)
+    def neighborIds(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      df.select("n_id").as[Long].collect().toSet
+    // gone from the code path, the multi-probe path, AND the rerank path
+    // (the raw-vector copy is tombstoned too, not just the codes)
+    assert(!neighborIds(AnnIndex.searchIvfPq(queries, spark, dir, 50))
+      .contains(victim))
+    assert(!neighborIds(AnnIndex.searchIvfPqMultiProbe(queries, spark, dir, 50))
+      .contains(victim))
+    assert(!neighborIds(
+        AnnIndex.searchIvfPqRerank(queries, spark, dir, 5, rerank = 50))
+      .contains(victim))
+    // a tombstoned id stays deleted even if re-appended
+    AnnIndex.appendIvfPq(embs.filter($"vec_id" === victim), dir)
+    assert(!neighborIds(AnnIndex.searchIvfPq(queries, spark, dir, 50))
+      .contains(victim))
+    // vacuum folds tombstones into the lists and clears them...
+    AnnIndex.vacuumDeletes(spark, dir)
+    assert(!new java.io.File(s"$dir/tombstones.parquet").exists)
+    assert(!neighborIds(AnnIndex.searchIvfPq(queries, spark, dir, 50))
+      .contains(victim))
+    // ...re-opening the id for ingest: re-appending the same row restores
+    // the exact pre-delete results (same stored codebooks -> same codes)
+    AnnIndex.appendIvfPq(embs.filter($"vec_id" === victim), dir)
+    assert(rows(AnnIndex.searchIvfPq(queries, spark, dir, 3)) == before)
+  }
+
   test("over-threshold probed-cell batches fall back to the cell semi-join") {
     val dir = tmp("ann_ivfpq_fallback")
     AnnIndex.buildIvfPq(embs, dir)

@@ -162,6 +162,29 @@ class DedupPlanSpec extends SparkTestBase {
     assert(out(2L) == ((0, "")))
   }
 
+  test("removeDuplicateSpansToFixpoint catches spans created by cut adjacency") {
+    // cutting "D1 D2 D3" out of doc 3 makes "a b" adjacent to "c" — a NEW
+    // 3-token span duplicating doc 1 that the single pass cannot see
+    val in = Seq(
+      (1L, "a b c"),
+      (2L, "D1 D2 D3"),
+      (3L, "a b D1 D2 D3 c z1 z2"))
+      .toDF("doc_id", "text")
+    val once = graft.ext.Dedup.removeDuplicateSpans(in, 3)
+      .as[(Long, Int, String)].collect().map(r => r._1 -> r._3).toMap
+    assert(once(3L) == "a b c z1 z2")       // boundary-created dup survives
+    val fixed = graft.ext.Dedup.removeDuplicateSpansToFixpoint(in, 3)
+      .as[(Long, Int, String)].collect().map(r => r._1 -> r._3).toMap
+    assert(fixed == Map(1L -> "a b c", 2L -> "D1 D2 D3", 3L -> "z1 z2"))
+    // the fixpoint guarantee: no 3-token span appears in two output docs
+    val wins = fixed.toSeq.flatMap { case (id, t) =>
+      t.split(" ").filter(_.nonEmpty).sliding(3).filter(_.length == 3)
+        .map(w => (w.mkString(" "), id))
+    }
+    wins.groupBy(_._1).foreach { case (sh, occ) =>
+      assert(occ.map(_._2).distinct.size == 1, s"span '$sh' in two docs") }
+  }
+
   test("property: no duplicated >=w-token span survives across any two docs") {
     val w = 5
     for (seed <- Seq(7, 21, 42)) {

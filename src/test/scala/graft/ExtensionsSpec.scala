@@ -605,12 +605,17 @@ class ExtensionsSpec extends SparkTestBase {
       val thr = ms.map(_._3).sorted.apply(target - 1)
       ms.filter(_._3 > thr)
     }.toSet
-    val got = Similarity.protoPrune(emb, frac)
-      .as[(Long, Int, Long)].collect().toSet
+    val pruned = Similarity.protoPrune(emb, frac)
+    val got = pruned.as[(Long, Int, Long)].collect().toSet
     assert(got == expect)
     assert(got.size < asg.length)            // the quantile actually dropped
     // dropFrac = 0 keeps every assignment untouched
     assert(Similarity.protoPrune(emb, 0.0).count() == asg.length)
+    // plan lock on the scale shape: the per-cell thresholds (<= 2^bits
+    // rows) broadcast to the assignment side — the corpus never shuffles
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
   }
 
   test("protoPrune: a cell whose members all tie on distance drops whole") {
