@@ -1130,7 +1130,7 @@ object ExtensionQueries {
 
     // Semantic decontamination (embedding-space eval-leak scan): d13's
     // contract pointed at paraphrase leakage the n-gram scans can't see —
-    // a corpus vector within cosine 0.4 of any eval vector (here the
+    // a corpus vector within cosine 0.3 of any eval vector (here the
     // vec_id < 10 slice) is contaminated. Cell-blocked like e1; the eval
     // side broadcasts. e7 = the hits report, e8 = the applied survivor set
     // (the d13/d14 split).
@@ -1140,7 +1140,7 @@ object ExtensionQueries {
         val emb = t(s, dir, "embeddings")
         Similarity.embedDecontaminationHits(
           emb.filter(col("vec_id") >= 10), emb.filter(col("vec_id") < 10),
-          minCos = 0.4, cellCol = "label")
+          minCos = 0.3, cellCol = "label")
       },
       Some(s"""WITH ev AS (SELECT label, embedding::DOUBLE[] AS e_emb
                            FROM embeddings WHERE vec_id < 10),
@@ -1149,7 +1149,7 @@ object ExtensionQueries {
                hits AS (SELECT c.vec_id,
                                ${sqlCos("c.c_emb", "ev.e_emb")} AS sim
                         FROM c JOIN ev USING (label)
-                        WHERE ${sqlCos("c.c_emb", "ev.e_emb")} >= 0.4)
+                        WHERE ${sqlCos("c.c_emb", "ev.e_emb")} >= 0.3)
                SELECT vec_id, CAST(count(*) AS BIGINT) AS n_hits,
                       max(sim) AS max_sim
                FROM hits GROUP BY vec_id"""),
@@ -1161,7 +1161,7 @@ object ExtensionQueries {
         val emb = t(s, dir, "embeddings")
         Similarity.embedDecontaminate(
           emb.filter(col("vec_id") >= 10), emb.filter(col("vec_id") < 10),
-          minCos = 0.4, cellCol = "label")
+          minCos = 0.3, cellCol = "label")
           .select("vec_id", "label")
       },
       Some(s"""WITH ev AS (SELECT label, embedding::DOUBLE[] AS e_emb
@@ -1170,7 +1170,7 @@ object ExtensionQueries {
                      FROM embeddings WHERE vec_id >= 10),
                hits AS (SELECT DISTINCT c.vec_id
                         FROM c JOIN ev USING (label)
-                        WHERE ${sqlCos("c.c_emb", "ev.e_emb")} >= 0.4)
+                        WHERE ${sqlCos("c.c_emb", "ev.e_emb")} >= 0.3)
                SELECT vec_id, label FROM c
                WHERE vec_id NOT IN (SELECT vec_id FROM hits)"""),
       "embedding-space decontamination applied: surviving corpus vectors"),
