@@ -218,6 +218,10 @@ object Bench {
     // sample is self-identifying. Gated to the sf0.1 bench dir (driver run).
     val sf1Mode = sys.env.getOrElse("SPARK_GRAFT_SF1_DEDUP", "auto")
     val runSf1 = sf1Mode == "1" || (sf1Mode == "auto" && sfDir.contains("sf0.1"))
+    // On-disk byte counts (index size, vacuum reclaim) live in their own
+    // JSON field, NOT the sf1_dedup walls map — a consumer aggregating that
+    // map must never misread a multi-MB byte count as seconds (r6 advice).
+    val sf1Bytes = scala.collection.mutable.ListBuffer.empty[(String, String)]
     val (sf1Walls, sf1Ratios, sf1Samples, sf1Docs, sf1Vecs) =
       if (!runSf1) (Nil, Nil, Nil, 0L, 0L) else {
       import org.apache.spark.sql.functions._
@@ -395,7 +399,7 @@ object Bench {
           val (bw, _) = timed(graft.ext.AnnIndex.buildIvfPq(
             ps.read.parquet(s"$dir10/embeddings.parquet"), idxDir))
           walls += ("ann_index_build_ivfpq" -> f2(bw))
-          walls += ("ann_index_bytes_ivfpq" -> dirBytes(idxDir).toString)
+          sf1Bytes += ("ann_index_bytes_ivfpq" -> dirBytes(idxDir).toString)
         })
       // Multimodal family — real PNG decode (JdkCodec) + aHash pigeonhole
       // near-dup pairs over 20k images, in its own fresh context.
@@ -413,7 +417,7 @@ object Bench {
     }
     val sf1Fields =
       if (!runSf1) ""
-      else s""","sf1_dedup":${jsonMap(sf1Walls)},"sf1_dedup_cpu_per_wall":${jsonMap(sf1Ratios)},"sf1_dedup_samples":${jsonMap(sf1Samples)},"sf1_docs":$sf1Docs,"sf1_vecs":$sf1Vecs"""
+      else s""","sf1_dedup":${jsonMap(sf1Walls)},"sf1_dedup_cpu_per_wall":${jsonMap(sf1Ratios)},"sf1_dedup_samples":${jsonMap(sf1Samples)},"sf1_bytes":${jsonMap(sf1Bytes)},"sf1_docs":$sf1Docs,"sf1_vecs":$sf1Vecs"""
 
     val ratios = jsonMap(cpuRatios.map { case (k, v) => k -> f2(v) })
     val note = "r3 small-query regressions (t4/sp1/p5/st1) were shared-" +
@@ -428,7 +432,6 @@ object Bench {
       "ForeachBatchSink (probed), and the whole 0.5s is fixed cost that " +
       "amortizes at real batch volumes"
     val line = s"""{"metric":"total","value":$total,"unit":"sec","note":"$note","queries":$qs,"failed":$fs,"cpu_per_wall":$ratios,"spine_envelopes_per_sec":${spineRate.round},"spine_cpu_per_wall":${f2(spineCpuRatio)},"spine_streaming_envelopes_per_sec":${streamRate.round},"spine_streaming_batches":$streamBatches,"spine_streaming_batches_per_sec":${f2(streamBatchesPerSec)},"spine_streaming_cpu_per_wall":${f2(streamCpuRatio)},"spine_streaming_batch_ms":${jsonMap(streamBatchMs)}$sf1Fields,"sf":"$sfDir"}"""
-    println(line)
     // The stdout line can overflow the driver's tail capture (round-3
     // verdict: "parsed": null two rounds running) — persist the full JSON
     // to a file so the artifact is always complete and auditable.
@@ -436,6 +439,12 @@ object Bench {
     java.nio.file.Files.createDirectories(outPath.getParent)
     java.nio.file.Files.write(outPath,
       (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // The JSON line is the LAST thing on stdout (r6 verdict #3: the driver's
+    // "parsed" field was null while the numbers survived only in its tail
+    // scrape): stop Spark first so no shutdown logging can land after it,
+    // then print exactly one line and flush.
     spark.stop()
+    println(line)
+    System.out.flush()
   }
 }

@@ -278,6 +278,12 @@ object Dedup {
           |  transform(slice(ds, i + 2, size(ds) - i - 1), b ->
           |    struct(a AS doc_a, b AS doc_b))))""".stripMargin)).as("p"))
       .select(col("p.doc_a"), col("p.doc_b"))
+      // Defensive: correctness of the strict a < b expansion assumes the
+      // input has distinct (doc_id, sh) rows; a caller passing a
+      // non-deduped shingle relation (e.g. positionedShingles output)
+      // would otherwise emit (a, a) self-pairs from repeated ids in the
+      // sorted group array.
+      .filter(col("doc_a") =!= col("doc_b"))
       .distinct()
   }
 
@@ -510,8 +516,12 @@ object Dedup {
     }
     log.warn(s"removeDuplicateSpansToFixpoint: no fixpoint after " +
       s"$maxPasses passes — returning the last round's output")
+    // n_kept must match removeDuplicateSpans' convention for a fully-cut
+    // document: split("", " ") yields [""] (size 1), while the per-pass
+    // output reports 0 — guard so the non-converged path agrees.
     cur.select(col("doc_id"),
-      size(split(col("text"), " ")).as("n_kept"),
+      when(col("text") === "", 0)
+        .otherwise(size(split(col("text"), " "))).as("n_kept"),
       col("text").as("text_dedup"))
   }
 

@@ -517,6 +517,25 @@ object Similarity {
           nearestCell(subvec(col("embedding"), i, subDim), cbs(i))
             .as(s"c$i")): _*)
 
+  /** Per-vector ADC reconstruction error: the exact integer micro-grid
+   * distance between a vector and its own PQ codes' centroids — the
+   * quantization error the codes carry into every ADC search. ONE narrow
+   * codegen'd pass (encode + distance over the same scan, no join). This
+   * is the drift signal for no-retrain index maintenance
+   * ([[AnnIndex.appendIvfPq]]): rows appended under frozen codebooks that
+   * no longer fit the data show a rising mean error, and the per-batch
+   * log of this statistic is what tells an operator the index needs a
+   * rebuild (round-6 verdict #2). Exact integers end-to-end, so the
+   * oracle replays it bit-for-bit. */
+  def adcSelfError(vecs: DataFrame, cbs: Array[Array[(Int, Array[Long])]],
+      subDim: Int): DataFrame =
+    vecs.select(
+        col("vec_id") +: col("embedding") +:
+          cbs.indices.map(i =>
+            nearestCell(subvec(col("embedding"), i, subDim), cbs(i))
+              .as(s"c$i")): _*)
+      .select(col("vec_id"), adcDist(col("embedding"), cbs, subDim).as("adc_err"))
+
   /** ADC distance expression: Σ_m d²(query subvector m, codebook_m[c_m]) —
    * the codebook inlined as literals (a when-chain per subspace selected
    * by the corpus row's code column `c{i}`), exact integer on the micro

@@ -1175,6 +1175,31 @@ object ExtensionQueries {
                WHERE vec_id NOT IN (SELECT vec_id FROM hits)"""),
       "embedding-space decontamination applied: surviving corpus vectors"),
 
+    // ADC reconstruction (dequantization) error per vector under the n10
+    // PQ codebooks — the quantization-drift statistic AnnIndex.driftLog
+    // records per append batch (r6 verdict #2): rising means the frozen
+    // no-retrain codebooks stopped fitting the data and the index needs a
+    // rebuild. Exact integer micro-grid distances end-to-end, so the
+    // oracle replays the error itself, not a tolerance band.
+    "e9_adc_self_error" -> QueryDef(
+      (s, dir) => {
+        graft.functions.GraftFunctions.register(s)
+        val emb = t(s, dir, "embeddings")
+        Similarity.adcSelfError(emb,
+          Similarity.pqCodebooks(emb, m = PqM, subDim = PqSubDim,
+            bits = PqBits, seed = PqSeed), PqSubDim)
+      },
+      Some(s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb
+                          FROM embeddings),
+               ${PqSubspaceCtes},
+               ${PqEncCte},
+               q AS (SELECT vec_id AS q_id, emb FROM e),
+               ${PqLutCtes}
+               SELECT q.q_id AS vec_id, ${PqAdcDist} AS adc_err
+               FROM q JOIN enc ON enc.vec_id = q.q_id
+                 ${PqAdcJoins}"""),
+      "per-vector ADC reconstruction error: the index-drift statistic"),
+
     // Round-2 Lloyd diagnostics: the engine re-assigns with the round-1
     // codebook, re-trains, re-assigns again — a REAL iterative k-means on
     // DataFrames (2 shuffle-light jobs per round, driver state = codebook

@@ -152,7 +152,7 @@ class AnnIndexSpec extends SparkTestBase {
         AnnIndex.searchIvfPqRerank(queries, spark, dir, 5, rerank = 50))
       .contains(victim))
     // a tombstoned id stays deleted even if re-appended
-    AnnIndex.appendIvfPq(embs.filter($"vec_id" === victim), dir)
+    AnnIndex.appendIvfPq(embs.filter($"vec_id" === victim), dir, batchId = 10L)
     assert(!neighborIds(AnnIndex.searchIvfPq(queries, spark, dir, 50))
       .contains(victim))
     // vacuum folds tombstones into the lists and clears them...
@@ -161,8 +161,9 @@ class AnnIndexSpec extends SparkTestBase {
     assert(!neighborIds(AnnIndex.searchIvfPq(queries, spark, dir, 50))
       .contains(victim))
     // ...re-opening the id for ingest: re-appending the same row restores
-    // the exact pre-delete results (same stored codebooks -> same codes)
-    AnnIndex.appendIvfPq(embs.filter($"vec_id" === victim), dir)
+    // the exact pre-delete results (same stored codebooks -> same codes;
+    // fresh batch id — the folded batch 10's marker was cleared by vacuum)
+    AnnIndex.appendIvfPq(embs.filter($"vec_id" === victim), dir, batchId = 11L)
     assert(rows(AnnIndex.searchIvfPq(queries, spark, dir, 3)) == before)
   }
 

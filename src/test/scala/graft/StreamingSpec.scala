@@ -427,15 +427,17 @@ class StreamingSpec extends SparkTestBase {
     graft.ext.AnnIndex.buildIvfPq(base, streamDir)
     graft.ext.AnnIndex.buildIvfPq(base, batchDir)
     graft.ext.AnnIndex.appendIvfPq(
-      newer.toSeq.toDF("vec_id", "embedding"), batchDir)
+      newer.toSeq.toDF("vec_id", "embedding"), batchDir, batchId = 0L)
 
     val input = MemoryStream[(Long, Array[Float])]
     val q = input.toDF().toDF("vec_id", "embedding")
       .writeStream.outputMode("append")
       .option("checkpointLocation",
         Files.createTempDirectory("ann_stream_cp").toString)
-      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
-        graft.ext.AnnIndex.appendIvfPq(batch, streamDir)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        // batchId keys the commit marker: an at-least-once replay of a
+        // micro-batch is a no-op instead of a double-append (r6 advice #1)
+        graft.ext.AnnIndex.appendIvfPq(batch, streamDir, batchId)
         ()
       }
       .start()
@@ -448,7 +450,7 @@ class StreamingSpec extends SparkTestBase {
     val queries = embs.filter($"vec_id" < 8)
     def rows(df: org.apache.spark.sql.DataFrame): Seq[String] =
       df.collect().map(_.toString).sorted.toSeq
-    assert(spark.read.parquet(s"$streamDir/encoded.parquet")
+    assert(graft.ext.AnnIndex.listing(spark, streamDir, "encoded")
       .select("vec_id").distinct().count() == embs.count())
     assert(
       rows(graft.ext.AnnIndex.searchIvfPq(queries, spark, streamDir, 3)) ==

@@ -22,7 +22,7 @@ class AnnIndexAppendSpec extends graft.SparkTestBase {
     val half = embs.filter($"vec_id" % 2 === 0)
     val rest = embs.filter($"vec_id" % 2 =!= 0)
     AnnIndex.buildIvfPq(half, dir)
-    AnnIndex.appendIvfPq(rest, dir)
+    AnnIndex.appendIvfPq(rest, dir, batchId = 0L)
 
     // expected: the shared search body over the FULL corpus, encoded with
     // the codebooks trained on `half` only (append never retrains)
@@ -39,10 +39,79 @@ class AnnIndexAppendSpec extends graft.SparkTestBase {
     assert(rows(AnnIndex.searchIvfPqRerank(queries, spark, dir, 3, rerank = 10)) ==
       rows(expectedRr))
 
-    // append added files into cell directories; it did not rewrite the base
+    // the append landed as a published leg; it did not rewrite the base
     // build's rows (total searchable ids = full corpus, each exactly once)
-    val stored = spark.read.parquet(s"$dir/encoded.parquet")
+    val stored = AnnIndex.listing(spark, dir, "encoded")
     assert(stored.count() == embs.count())
     assert(stored.select("vec_id").distinct().count() == embs.count())
+    assert(spark.read.parquet(s"$dir/encoded.parquet").count() == half.count())
+  }
+
+  test("a replayed append batch is a no-op; an unpublished leg is invisible") {
+    val dir = java.nio.file.Files.createTempDirectory("ann_ivfpq_replay").toString
+    val half = embs.filter($"vec_id" % 2 === 0)
+    val rest = embs.filter($"vec_id" % 2 =!= 0)
+    AnnIndex.buildIvfPq(half, dir)
+    AnnIndex.appendIvfPq(rest, dir, batchId = 0L)
+    val once = rows(AnnIndex.searchIvfPq(queries, spark, dir, 3))
+    val onceRr = rows(AnnIndex.searchIvfPqRerank(queries, spark, dir, 3,
+      rerank = 10))
+    // foreachBatch is at-least-once: the SAME batch id re-running must not
+    // double-append (r6 advice #1)
+    AnnIndex.appendIvfPq(rest, dir, batchId = 0L)
+    assert(AnnIndex.listing(spark, dir, "encoded").count() == embs.count())
+    assert(rows(AnnIndex.searchIvfPq(queries, spark, dir, 3)) == once)
+    // a leg without its marker (mid-batch crash) never reaches a reader:
+    // stage data for batch 1 by hand-copying batch 0's layout, no marker
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    org.apache.hadoop.fs.FileUtil.copy(fs,
+      new org.apache.hadoop.fs.Path(s"$dir/appends/b=0"), fs,
+      new org.apache.hadoop.fs.Path(s"$dir/appends/b=1"), false,
+      spark.sparkContext.hadoopConfiguration)
+    assert(AnnIndex.committedAppendIds(spark, dir) == Seq(0L))
+    assert(AnnIndex.listing(spark, dir, "encoded").count() == embs.count())
+    // vacuum sweeps the dead staging and folds the published leg
+    AnnIndex.vacuumDeletes(spark, dir)
+    assert(AnnIndex.committedAppendIds(spark, dir).isEmpty)
+    assert(!new java.io.File(s"$dir/appends/b=1").exists)
+    assert(spark.read.parquet(s"$dir/encoded.parquet").count() == embs.count())
+    assert(rows(AnnIndex.searchIvfPq(queries, spark, dir, 3)) == once)
+    assert(rows(AnnIndex.searchIvfPqRerank(queries, spark, dir, 3,
+      rerank = 10)) == onceRr)
+  }
+
+  test("drift log: same-distribution appends stay flat, shifted ones rise") {
+    val dir = java.nio.file.Files.createTempDirectory("ann_ivfpq_drift").toString
+    val half = embs.filter($"vec_id" % 2 === 0)
+    val rest = embs.filter($"vec_id" % 2 =!= 0)
+    AnnIndex.buildIvfPq(half, dir)
+    val maxId = embs.agg(org.apache.spark.sql.functions.max($"vec_id"))
+      .head.getLong(0)
+    // batch 0: held-out rows from the SAME distribution the codebooks
+    // trained on; batch 1: the same vectors shifted far off-distribution
+    AnnIndex.appendIvfPq(rest, dir, batchId = 0L)
+    AnnIndex.appendIvfPq(
+      rest.select(($"vec_id" + maxId + 1).as("vec_id"),
+        org.apache.spark.sql.functions.transform($"embedding",
+          v => (v + org.apache.spark.sql.functions.lit(5.0f)).cast("float"))
+          .as("embedding")),
+      dir, batchId = 1L)
+    val log = AnnIndex.driftLog(spark, dir)
+      .select("batch_id", "err_mean").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(log.keySet == Set(-1L, 0L, 1L))
+    // same-distribution: mean reconstruction error within 2x of build time
+    assert(log(0L) <= 2 * log(-1L),
+      s"same-distribution drift ${log(0L)} vs build ${log(-1L)}")
+    // off-distribution: the rebuild signal — error far above the baseline
+    assert(log(1L) > 10 * log(-1L),
+      s"shifted drift ${log(1L)} not above build ${log(-1L)}")
+    // the history survives compaction
+    AnnIndex.vacuumDeletes(spark, dir)
+    val folded = AnnIndex.driftLog(spark, dir)
+      .select("batch_id", "err_mean").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(folded == log)
   }
 }
