@@ -86,6 +86,20 @@ object ExtensionQueries {
   private lazy val PqAdcDist: String =
     (0 until PqM).map(i => s"l$i.d").mkString(" + ")
 
+  /** Self-ADC (reconstruction-error) joins + distance for e9: every vector
+   * scores against its OWN codes, so the pairing is 1:1 by vec_id and the
+   * `v{i}`/`cb{i}` relations join directly — no per-query LUTs. */
+  private lazy val PqSelfAdcJoins: String =
+    (0 until PqM).map(i =>
+      s"JOIN v$i USING (vec_id) JOIN cb$i ON cb$i.cell = enc.c$i")
+      .mkString("\n                 ")
+  private lazy val PqSelfAdcDist: String =
+    (0 until PqM).map(i =>
+      s"""CAST(list_dot_product(v$i.vq, v$i.vq)
+            - 2 * list_dot_product(v$i.vq, cb$i.cq)
+            + list_dot_product(cb$i.cq, cb$i.cq) AS BIGINT)""")
+      .mkString(" + ")
+
   /** DuckDB mirror of Similarity.pqCodebooks + pqEncode, one CTE chain per
    * subspace (expects a prior `e(vec_id, emb)` CTE): rp-cell seed over the
    * subvector slice, exact-integer M-step, micro-grid snap, argmin
@@ -305,12 +319,24 @@ object ExtensionQueries {
         WHERE CAST(a.dist AS BIGINT) > t.thr"""
 
   /** Shared CTE chain ending in `lsh_pairs` (the verified near-dup pairs at
-   * Jaccard >= 0.5) — the d3 result, reused by the cluster queries d6/d7. */
-  private val LshPairsCtes: String =
-    s"""$ShinglesCte, $BandsCte,
+   * Jaccard >= 0.5), parameterized by the LSH bucket cap so the CAPPED
+   * production default of `Dedup.lshCandidates` is itself oracle-replayable
+   * (pipe1), while the uncapped variant keeps serving d3/d6/d7/sp4. One
+   * shared derivation — the two variants cannot drift. */
+  private def lshPairsCtesWithCap(cap: Option[Int]): String = {
+    val bnd = cap match {
+      case Some(c) =>
+        s"""bnd AS (SELECT doc_id, band, band_hash FROM (
+              SELECT doc_id, band, band_hash,
+                     count(*) OVER (PARTITION BY band, band_hash) AS bsz
+              FROM bands) WHERE bsz <= $c)"""
+      case None =>
+        "bnd AS (SELECT doc_id, band, band_hash FROM bands)"
+    }
+    s"""$ShinglesCte, $BandsCte, $bnd,
         cands AS (
           SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-          FROM bands a JOIN bands b
+          FROM bnd a JOIN bnd b
             ON a.band = b.band AND a.band_hash = b.band_hash
            AND a.doc_id < b.doc_id),
         sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
@@ -327,6 +353,56 @@ object ExtensionQueries {
           JOIN sizes na ON na.doc_id = i.doc_a
           JOIN sizes nb ON nb.doc_id = i.doc_b
           WHERE round(CAST(n_inter AS DOUBLE) / (na.n + nb.n - n_inter), 4) >= 0.5)"""
+  }
+
+  private val LshPairsCtes: String = lshPairsCtesWithCap(None)
+
+  /** The capped chain at the production default (`maxBucket = 100`) —
+   * what a real curation run executes ([[graft.ext.Curation]]). */
+  private val LshPairsCappedCtes: String =
+    lshPairsCtesWithCap(Some(100))
+
+  /** DuckDB replay of `Dedup.removeDuplicateSpans(_, w)` reduced to the
+   * per-doc survivor count: CTE chain ending in `span_agg(doc_id,
+   * n_kept)` covering EVERY document (uncut docs report their full token
+   * count). `_sp`-suffixed names so the chain composes into statements
+   * that already use the Gopher/LSH CTE families (pipe1). Shares the d18
+   * derivation shape: every-position fingerprint windows, global keeper =
+   * first (doc_id, pos), kept token = one not covered by any non-keeper
+   * window. */
+  private def sqlSpanKeptCtes(w: Int): String =
+    s"""w_sp AS (SELECT doc_id, string_split(text, ' ') AS toks
+                 FROM documents),
+        s_sp AS (SELECT doc_id, toks,
+                        unnest(generate_series(0, len(toks) - $w)) AS pos
+                 FROM w_sp),
+        wins_sp AS (SELECT doc_id, pos,
+                           md5(array_to_string(
+                             toks[pos + 1 : pos + $w], ' ')) AS fp
+                    FROM s_sp),
+        r_sp AS (SELECT doc_id, pos,
+                        count(*) OVER (PARTITION BY fp) AS n,
+                        row_number() OVER (PARTITION BY fp
+                          ORDER BY doc_id, pos) AS rn
+                 FROM wins_sp),
+        cut_sp AS (SELECT doc_id, pos FROM r_sp WHERE n > 1 AND rn > 1),
+        cov_sp AS (SELECT DISTINCT doc_id, pos + d AS cp
+                   FROM cut_sp,
+                        (SELECT unnest(generate_series(0, ${w - 1})) AS d)),
+        tok_sp AS (SELECT doc_id, toks,
+                          unnest(generate_series(1, len(toks))) AS i
+                   FROM w_sp),
+        kept_sp AS (SELECT t.doc_id, t.i, t.toks[t.i] AS tk
+                    FROM tok_sp t LEFT JOIN cov_sp c
+                      ON c.doc_id = t.doc_id AND c.cp = t.i - 1
+                    WHERE c.doc_id IS NULL),
+        span_agg AS (SELECT w.doc_id,
+                            CAST(coalesce(k.n_kept, 0) AS INTEGER) AS n_kept,
+                            coalesce(k.text_dedup, '') AS text_dedup
+                     FROM w_sp w LEFT JOIN
+                       (SELECT doc_id, count(*) AS n_kept,
+                               string_agg(tk, ' ' ORDER BY i) AS text_dedup
+                        FROM kept_sp GROUP BY doc_id) k USING (doc_id))"""
 
   val defs: Map[String, QueryDef] = Map(
 
@@ -480,38 +556,8 @@ object ExtensionQueries {
     // formulation of the engine's merged-span substring arithmetic).
     "d18_span_dedup" -> QueryDef(
       (s, dir) => Dedup.removeDuplicateSpans(t(s, dir, "documents"), SpanW),
-      Some(s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS toks
-                          FROM documents),
-               s AS (SELECT doc_id, toks,
-                            unnest(generate_series(0, len(toks) - $SpanW)) AS pos
-                     FROM w),
-               wins AS (SELECT doc_id, pos,
-                               md5(array_to_string(
-                                 toks[pos + 1 : pos + $SpanW], ' ')) AS fp
-                        FROM s),
-               r AS (SELECT doc_id, pos,
-                            count(*) OVER (PARTITION BY fp) AS n,
-                            row_number() OVER (PARTITION BY fp
-                              ORDER BY doc_id, pos) AS rn
-                     FROM wins),
-               cut AS (SELECT doc_id, pos FROM r WHERE n > 1 AND rn > 1),
-               cov AS (SELECT DISTINCT doc_id, pos + d AS cp
-                       FROM cut,
-                            (SELECT unnest(generate_series(0, ${SpanW - 1})) AS d)),
-               tok AS (SELECT doc_id, toks,
-                              unnest(generate_series(1, len(toks))) AS i
-                       FROM w),
-               kept AS (SELECT t.doc_id, t.i, t.toks[t.i] AS tk
-                        FROM tok t LEFT JOIN cov c
-                          ON c.doc_id = t.doc_id AND c.cp = t.i - 1
-                        WHERE c.doc_id IS NULL),
-               agg AS (SELECT doc_id, count(*) AS n_kept,
-                              string_agg(tk, ' ' ORDER BY i) AS text_dedup
-                       FROM kept GROUP BY doc_id)
-               SELECT w.doc_id,
-                      CAST(coalesce(a.n_kept, 0) AS INTEGER) AS n_kept,
-                      coalesce(a.text_dedup, '') AS text_dedup
-               FROM w LEFT JOIN agg a USING (doc_id)"""),
+      Some(s"""WITH ${sqlSpanKeptCtes(SpanW)}
+               SELECT doc_id, n_kept, text_dedup FROM span_agg"""),
       "ExactSubstr span removal: duplicated spans cut from all-but-one occurrence"),
 
     // Incremental-ingest dedup (the nightly-batch shape): a NEW batch
@@ -1189,15 +1235,18 @@ object ExtensionQueries {
           Similarity.pqCodebooks(emb, m = PqM, subDim = PqSubDim,
             bits = PqBits, seed = PqSeed), PqSubDim)
       },
+      // LUT-free assembly: the SELF-error pairing is 1:1 by vec_id, so the
+      // per-subspace distances join v{i}/cb{i} directly instead of going
+      // through the n11-style (q_id, cell) LUT relations — with every
+      // vector as a query, DuckDB's optimizer never finishes planning the
+      // inlined q×LUT five-way join (observed: >45 min and 90 GB at a
+      // 500-vector sf0.01 before this rewrite; this form replays in ~10 s).
       Some(s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb
                           FROM embeddings),
                ${PqSubspaceCtes},
-               ${PqEncCte},
-               q AS (SELECT vec_id AS q_id, emb FROM e),
-               ${PqLutCtes}
-               SELECT q.q_id AS vec_id, ${PqAdcDist} AS adc_err
-               FROM q JOIN enc ON enc.vec_id = q.q_id
-                 ${PqAdcJoins}"""),
+               ${PqEncCte}
+               SELECT enc.vec_id, ${PqSelfAdcDist} AS adc_err
+               FROM enc ${PqSelfAdcJoins}"""),
       "per-vector ADC reconstruction error: the index-drift statistic"),
 
     // Round-2 Lloyd diagnostics: the engine re-assigns with the round-1
@@ -1935,10 +1984,13 @@ object ExtensionQueries {
       (s, dir) => {
         graft.functions.GraftFunctions.register(s)
         val docs = t(s, dir, "documents")
+        val emb = t(s, dir, "embeddings")
         Curation.curationReport(docs,
-          bench = docs.filter(col("doc_id") % 20 === 0))
+          bench = docs.filter(col("doc_id") % 20 === 0),
+          embeddings = Some((emb.filter(col("vec_id") >= 10),
+            emb.filter(col("vec_id") < 10))))
       },
-      Some(s"""WITH RECURSIVE $LshPairsCtes,
+      Some(s"""WITH RECURSIVE $LshPairsCappedCtes,
                edges AS (
                  SELECT doc_a AS src, doc_b AS dst FROM lsh_pairs
                  UNION ALL
@@ -1962,6 +2014,14 @@ object ExtensionQueries {
                  GROUP BY 1, 2
                  HAVING count(*) >= 5),
                contaminated_ids AS (SELECT DISTINCT doc_id FROM hits),
+               ${sqlSpanKeptCtes(SpanW)},
+               ehits AS (
+                 SELECT DISTINCT c.vec_id AS doc_id
+                 FROM (SELECT vec_id, label, embedding::DOUBLE[] AS c_emb
+                       FROM embeddings WHERE vec_id >= 10) c
+                 JOIN (SELECT label, embedding::DOUBLE[] AS e_emb
+                       FROM embeddings WHERE vec_id < 10) ev USING (label)
+                 WHERE ${sqlCos("c.c_emb", "ev.e_emb")} >= 0.3),
                $GopherCtes,
                l AS (SELECT doc_id, $LangPredSql AS lang_pred FROM documents),
                flags AS (
@@ -1974,15 +2034,20 @@ object ExtensionQueries {
                           AS neardup_keeper,
                         (d.doc_id IN (SELECT doc_id FROM contaminated_ids))
                           AS contaminated,
+                        sa.n_kept AS span_kept,
+                        (d.doc_id IN (SELECT doc_id FROM ehits))
+                          AS embed_contaminated,
                         CASE WHEN ('0x' || substr(md5('split:' || d.doc_id::VARCHAR), 1, 8))::BIGINT % 100 < 80 THEN 'train'
                              WHEN ('0x' || substr(md5('split:' || d.doc_id::VARCHAR), 1, 8))::BIGINT % 100 < 90 THEN 'val'
                              ELSE 'test' END AS split
                  FROM documents d
                  JOIN l USING (doc_id)
-                 JOIN gq USING (doc_id))
+                 JOIN gq USING (doc_id)
+                 JOIN span_agg sa USING (doc_id))
                SELECT *,
                       (lang_ok AND quality_ok AND exact_keeper
-                       AND neardup_keeper AND NOT contaminated) AS keep
+                       AND neardup_keeper AND NOT contaminated
+                       AND NOT embed_contaminated) AS keep
                FROM flags"""),
       "composed curation pipeline: per-doc disposition audit (all gates)"),
 
