@@ -288,7 +288,11 @@ object Bench {
       val dedupNames = Seq("d2_minhash_bands", "d3_lsh_pairs",
         "d4_ngram_jaccard", "d5_simhash", "d6_dup_clusters", "d7_dedup_apply",
         "d11_chunk_dedup", "d13_decontaminate", "d16_decontaminate_13gram",
-        "d18_span_dedup", "t11_tfidf", "t14_unigram_xent")
+        "d18_span_dedup", "t11_tfidf", "t14_unigram_xent",
+        // the COMPOSED curation audit (round-6 verdict #1d): every gate of
+        // pipe1 over the 10x corpus — the number that says the composition,
+        // not just its stages, holds at scale
+        "pipe1_curation_report")
       val walls = scala.collection.mutable.ListBuffer.empty[(String, String)]
       val ratios = scala.collection.mutable.ListBuffer.empty[(String, String)]
       // BOTH raw walls per probe, not just the min (round-5 verdict #2):
@@ -400,6 +404,40 @@ object Bench {
             ps.read.parquet(s"$dir10/embeddings.parquet"), idxDir))
           walls += ("ann_index_build_ivfpq" -> f2(bw))
           sf1Bytes += ("ann_index_bytes_ivfpq" -> dirBytes(idxDir).toString)
+        })
+      // Deletion lifecycle over the SAME prebuilt index (round-6 verdict
+      // #4: tombstones + vacuum were spec-proven but unmeasured). Two
+      // phases, each in its own fresh context like every family:
+      //  1. tombstone 1% of the corpus (ids disjoint from the probe's
+      //     query set), then measure the search — the per-read anti-join
+      //     overhead a deferred-delete index pays until maintenance;
+      //  2. vacuum (timed — the maintenance-cadence cost), then measure
+      //     the search again — it should land back on the no-tombstone
+      //     number — and record the bytes the fold reclaimed.
+      runFamily(Seq(
+        "ann_index_search_ivfpq_tombstoned" ->
+          ((ps: org.apache.spark.sql.SparkSession) =>
+            graft.ext.AnnIndex.searchIvfPq(
+              ps.read.parquet(s"$dir10/embeddings.parquet")
+                .filter(col("vec_id") < 8),
+              ps, idxDir, 3))),
+        setup = ps => graft.ext.AnnIndex.deleteIds(
+          ps.read.parquet(s"$dir10/embeddings.parquet")
+            .filter(col("vec_id") % 100 === 50), idxDir))
+      runFamily(Seq(
+        "ann_index_search_ivfpq_post_vacuum" ->
+          ((ps: org.apache.spark.sql.SparkSession) =>
+            graft.ext.AnnIndex.searchIvfPq(
+              ps.read.parquet(s"$dir10/embeddings.parquet")
+                .filter(col("vec_id") < 8),
+              ps, idxDir, 3))),
+        setup = ps => {
+          val before = dirBytes(idxDir)
+          val (vw, _) = timed(graft.ext.AnnIndex.vacuumDeletes(ps, idxDir))
+          walls += ("ann_index_vacuum" -> f2(vw))
+          sf1Bytes += ("ann_index_bytes_post_vacuum" -> dirBytes(idxDir).toString)
+          sf1Bytes += ("ann_index_bytes_reclaimed" ->
+            (before - dirBytes(idxDir)).toString)
         })
       // Multimodal family — real PNG decode (JdkCodec) + aHash pigeonhole
       // near-dup pairs over 20k images, in its own fresh context.

@@ -24,7 +24,14 @@ object Verify {
       graft.sources.EnvelopeGenerator.generate(
         graft.queries.StreamOracle.Count, graft.queries.StreamOracle.Seed)
         .mkString("", "\n", "\n"))
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // Optional local-iteration filter: SPARK_GRAFT_ONLY=<regex> restricts
+    // the dump (and the emitted oracle set) to matching query names, so a
+    // single query's gate replays in seconds instead of the full 134.
+    // Unset (the driver's path) = everything, unchanged.
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.r)
+    def selected(name: String): Boolean =
+      only.forall(_.findFirstIn(name).isDefined)
+    SparkEntry.queries.filter(kv => selected(kv._1)).foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
@@ -44,6 +51,7 @@ object Verify {
       case c => c.toString
     } + "\""
     val json = SparkEntry.oracleSql
+      .filter(kv => selected(kv._1))
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
