@@ -133,9 +133,17 @@ object StreamingCuration {
       val priorFps = priorLegs("fps", newFps)
       val priorTh = priorLegs("texthash", newTh)
 
-      // ---- near-dup: batch bands probe the accumulated band index
-      val allBands = priorBands.unionByName(newBands)
-      val bounded = allBands.withColumn("__n",
+      // ---- near-dup: batch bands probe the accumulated band index.
+      // Inverted-index shape: the index is first semi-joined down to the
+      // BUCKETS THIS BATCH TOUCHES, so the bucket-size window (the cap)
+      // and the candidate self-join run over probed buckets only — the
+      // per-batch cost is proportional to the batch's bucket fan-out, not
+      // the accumulated index (which at cluster scale is stored bucketed
+      // by (band, band_hash), making the probe a co-located join).
+      val probed = newBands.select("band", "band_hash").distinct()
+      val touched = priorBands.unionByName(newBands)
+        .join(probed, Seq("band", "band_hash"), "left_semi")
+      val bounded = touched.withColumn("__n",
           count(lit(1)).over(org.apache.spark.sql.expressions.Window
             .partitionBy("band", "band_hash")))
         .filter(col("__n") <= maxBucket).drop("__n")
