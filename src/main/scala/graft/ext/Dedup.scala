@@ -485,6 +485,17 @@ object Dedup {
     positionedShingles(docs, width)
       .select(md5(col("sh")).as("fp")).distinct()
 
+  /** Distinct (doc_id, md5(shingle)) at `width` — [[shinglesN]] with the
+   * shingle FINGERPRINTED before the distinct/join machinery touches it.
+   * At wide n the raw shingle is ~8·n bytes and every downstream exchange,
+   * hash-agg and join key carries it; the 32-hex md5 is width-independent
+   * and replays exactly in the oracle (DuckDB md5 = same lowercase hex),
+   * so overlap COUNTS are engine-identical including any (astronomically
+   * unlikely) collision. The d18 span machinery made the same choice. */
+  def hashedShinglesN(docs: DataFrame, width: Int): DataFrame =
+    positionedShingles(docs, width)
+      .select(col("doc_id"), md5(col("sh")).as("sh")).distinct()
+
   /** [[removeDuplicateSpans]] against an optional PRIOR fingerprint set
    * ([[windowFingerprints]] of everything ingested before this batch): a
    * window whose fingerprint is prior is cut from EVERY occurrence in
@@ -647,7 +658,20 @@ object Dedup {
    * relation of the corpus being scanned. */
   def decontaminationHitsFromShingles(shDocsAll: DataFrame, bench: DataFrame,
       minOverlap: Int, width: Int = ShingleWidth,
-      maxShingleDf: Int = Int.MaxValue): DataFrame = {
+      maxShingleDf: Int = Int.MaxValue): DataFrame =
+    decontaminationHitsShingled(shDocsAll,
+      shinglesN(bench, width).toDF("bench_id", "sh"), minOverlap,
+      maxShingleDf)
+
+  /** The leak scan with BOTH sides pre-shingled: `shDocs (doc_id, sh)` and
+   * `shBench (bench_id, sh)`, both distinct per (id, sh). The seam for a
+   * benchmark that is a SLICE OF THE CORPUS (the d13/d16 shape): derive
+   * the corpus relation once, filter the benchmark ids out of it, and
+   * neither side re-tokenizes — the same single-derivation discipline the
+   * DuckDB oracles have always used (`bsh AS (SELECT ... FROM sh WHERE
+   * ...)`). */
+  def decontaminationHitsShingled(shDocsAll: DataFrame, shBench: DataFrame,
+      minOverlap: Int, maxShingleDf: Int = Int.MaxValue): DataFrame = {
     require(minOverlap >= 1, "minOverlap must be >= 1")
     require(maxShingleDf >= 1, "maxShingleDf must be >= 1")
     val shDocs =
@@ -660,7 +684,6 @@ object Dedup {
           .filter(col("df") > maxShingleDf).select("sh")
         all.join(stop, Seq("sh"), "left_anti")
       }
-    val shBench = shinglesN(bench, width).toDF("bench_id", "sh")
     shDocs.join(shBench, "sh")
       .groupBy("doc_id", "bench_id")
       .agg(count(lit(1)).as("n_overlap"))

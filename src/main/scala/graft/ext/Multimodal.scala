@@ -343,9 +343,17 @@ object Multimodal {
   def imageDupPairs(hashes: DataFrame, maxHamming: Int = 3): DataFrame = {
     require(maxHamming <= 3,
       "4-band pigeonhole blocking is only lossless up to Hamming distance 3")
+    // The hash relation is consumed four times below (both band self-join
+    // sides + both verification joins). Its lineage usually contains the
+    // mapPartitions DECODE of every payload — without an eager
+    // materialization AQE submits the self-join's branches concurrently
+    // and each re-runs the full decode (measured 6-8x the one-pass cost on
+    // the 20k-PNG probe). Same discipline as the LSH pipelines: checkpoint
+    // the small derived relation, never re-derive it per consumer.
+    val h = Dedup.materialize(hashes)
     val bandCols = (0 until 4).map(b =>
       shiftright(col("ahash"), b * 16).bitwiseAND(lit(0xffffL)))
-    val bands = hashes.select(col("media_id"),
+    val bands = h.select(col("media_id"),
       posexplode(array(bandCols: _*)).as(Seq("band", "band_val")))
     val cands = bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") &&
@@ -354,8 +362,8 @@ object Multimodal {
       .select(col("a.media_id").as("id_a"), col("b.media_id").as("id_b"))
       .distinct()
     cands
-      .join(hashes.toDF("id_a", "h_a"), Seq("id_a"))
-      .join(hashes.toDF("id_b", "h_b"), Seq("id_b"))
+      .join(h.toDF("id_a", "h_a"), Seq("id_a"))
+      .join(h.toDF("id_b", "h_b"), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         bit_count(col("h_a").bitwiseXOR(col("h_b"))).cast("int").as("hamming"))
       .filter(col("hamming") <= maxHamming)
