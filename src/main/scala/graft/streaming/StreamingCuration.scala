@@ -78,6 +78,72 @@ object StreamingCuration {
     "neardup_keeper", "contaminated", "span_kept", "embed_contaminated",
     "split", "keep")
 
+  /** Bound the state-leg fan-out (the maintenance job the batch-keyed legs
+   * need, exactly as [[Incremental.vacuum]] bounds the merge-sink version
+   * chain): per state kind, fold every leg EXCEPT the newest into a single
+   * leg at the fold boundary. The newest leg never folds, so a checkpoint
+   * replay of the last micro-batch — the only batch that can replay —
+   * still overwrites only its own leg and the fold can never be clobbered
+   * by a replay. `clusters` legs are full relabelings, not deltas, so
+   * folding there means deleting all but the newest labeling.
+   *
+   * Same exclusive-access contract and staged-swap discipline as
+   * [[graft.ext.AnnIndex.vacuumDeletes]]: stage to a `.tmp` dir (invisible
+   * to the `b=` listing), rename the boundary leg to `.bak`, rename the
+   * staged fold in, then delete `.bak` and the folded legs; a crash at any
+   * point leaves either the old legs or the complete fold on disk (the
+   * `.bak`/`.tmp` survivors are swept by the recovery pass at the start of
+   * the next compaction). Run at maintenance cadence with no in-flight
+   * batch. Returns the per-kind number of legs folded. */
+  def compactState(spark: SparkSession, stateDir: String): Map[String, Int] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val root = new org.apache.hadoop.fs.Path(stateDir)
+    val fs = root.getFileSystem(conf)
+    if (!fs.exists(root)) return Map.empty
+    val kinds = fs.listStatus(root).toSeq.filter(_.isDirectory)
+      .map(_.getPath.getName)
+    kinds.map { kind =>
+      val kindPath = new org.apache.hadoop.fs.Path(s"$stateDir/$kind")
+      // recovery: a .bak with no live boundary leg is a crash between the
+      // two renames — restore it; orphaned .tmp is a dead stage — drop it
+      fs.listStatus(kindPath).toSeq.map(_.getPath).foreach { p =>
+        if (p.getName.endsWith(".bak")) {
+          val live = new org.apache.hadoop.fs.Path(kindPath,
+            p.getName.stripSuffix(".bak"))
+          if (!fs.exists(live)) fs.rename(p, live) else fs.delete(p, true)
+        } else if (p.getName.endsWith(".tmp")) fs.delete(p, true)
+      }
+      val ids = fs.listStatus(kindPath).toSeq
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("b="))
+        .map(_.getPath.getName.stripPrefix("b=").toLong).sorted
+      val fold = ids.dropRight(1)
+      kind -> (if (fold.size < 2) 0
+      else if (kind == "clusters") {
+        // full relabelings: only the newest folded leg has meaning
+        fold.init.foreach(id => fs.delete(
+          new org.apache.hadoop.fs.Path(s"$stateDir/$kind/b=$id"), true))
+        fold.size - 1
+      } else {
+        val target = fold.last
+        val merged = fold.map(id =>
+            spark.read.parquet(s"$stateDir/$kind/b=$id"))
+          .reduce(_ unionByName _).distinct()
+        val tmp = new org.apache.hadoop.fs.Path(
+          s"$stateDir/$kind/b=$target.tmp")
+        val live = new org.apache.hadoop.fs.Path(s"$stateDir/$kind/b=$target")
+        val bak = new org.apache.hadoop.fs.Path(
+          s"$stateDir/$kind/b=$target.bak")
+        merged.write.mode("overwrite").parquet(tmp.toString)
+        fs.rename(live, bak)
+        fs.rename(tmp, live)
+        fs.delete(bak, true)
+        fold.init.foreach(id => fs.delete(
+          new org.apache.hadoop.fs.Path(s"$stateDir/$kind/b=$id"), true))
+        fold.size - 1
+      })
+    }.toMap
+  }
+
   /** The foreachBatch sink: maintains `tableDir` (an
    * [[Incremental.mergeSink]]-versioned table of curation dispositions,
    * newest version = the current report) and `stateDir` (the incremental

@@ -129,4 +129,42 @@ class StreamingCurationSpec extends SparkTestBase {
     assert(rows(Incremental.currentBase(spark, tableDir))
       .sameElements(rows(expected)))
   }
+
+  test("state-leg compaction mid-stream preserves the maintained table") {
+    implicit val sqlCtx = spark.sqlContext
+    val tableDir = Files.createTempDirectory("curation_table_c").toString
+    val stateDir = Files.createTempDirectory("curation_state_c").toString
+    val cp = Files.createTempDirectory("curation_cp_c").toString
+    val sink = StreamingCuration.curationSink(tableDir, stateDir, bench,
+      minJaccard = 0.3)
+
+    val input = MemoryStream[(Long, String)]
+    val docsStream = input.toDF()
+      .select(col("_1").as("doc_id"), col("_2").as("text"))
+    val q = StreamingEtl.start(docsStream, cp, Seq(sink))
+    Seq(b1, b2).foreach { b => input.addData(b: _*); q.processAllAvailable() }
+
+    // maintenance between batches: legs b=0,b=1 exist per kind; the fold
+    // boundary (all but the newest) is a single leg, so nothing folds yet —
+    // then after batch 3 the b=0..1 prefix folds into one leg per kind
+    val none = StreamingCuration.compactState(spark, stateDir)
+    assert(none.values.forall(_ == 0), s"two legs -> nothing to fold: $none")
+    input.addData(b3: _*); q.processAllAvailable()
+    q.stop()
+    val folded = StreamingCuration.compactState(spark, stateDir)
+    assert(folded("sh") == 1 && folded("fps") == 1 && folded("clusters") == 1,
+      s"b=0 must fold into b=1 per kind: $folded")
+
+    // the compacted state still serves: replay the last batch (the only
+    // batch that can replay — its leg was NOT folded) and the table must
+    // land on the one-shot report of the union
+    sink.write(b3.toDF("doc_id", "text"), 2L)
+    val expected = Curation.curationReport(
+      (b1 ++ b2 ++ b3).toDF("doc_id", "text"), bench, minJaccard = 0.3)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).sortBy(_.toString)
+    assert(rows(Incremental.currentBase(spark, tableDir))
+      .sameElements(rows(expected)),
+      "post-compaction replay diverged from the one-shot report")
+  }
 }
