@@ -47,7 +47,7 @@ object Dedup {
    * (`sparkContext.setCheckpointDir`), surviving executor loss — the mode
    * you want under a multi-hour 100 TB dedup where recomputing a lost
    * lineage means re-running the whole shingle+hash pipeline. */
-  private[ext] def materialize(df: DataFrame): DataFrame = {
+  private[graft] def materialize(df: DataFrame): DataFrame = {
     val reliable = df.sparkSession.conf
       .getOption(ReliableCheckpointConf).exists(_.toBoolean)
     if (reliable) df.checkpoint() else df.localCheckpoint()
@@ -482,8 +482,17 @@ object Dedup {
    * keeper). One column `fp` (md5 of the window), the same fingerprint
    * [[removeDuplicateSpans]] keys on. */
   def windowFingerprints(docs: DataFrame, width: Int): DataFrame =
+    positionedFingerprints(docs, width).select("fp").distinct()
+
+  /** Every-position window fingerprints `(doc_id, pos, fp)` at `width` —
+   * the ONE tokenization-derived relation both the ExactSubstr span cut
+   * ([[removeDuplicateSpansFromWins]]) and the fingerprint state
+   * ([[windowFingerprints]]) consume. A caller needing both derives (and
+   * materializes) this once; the window derivation is the per-byte cost
+   * that must never run twice per batch over the same corpus. */
+  def positionedFingerprints(docs: DataFrame, width: Int): DataFrame =
     positionedShingles(docs, width)
-      .select(md5(col("sh")).as("fp")).distinct()
+      .select(col("doc_id"), col("pos"), md5(col("sh")).as("fp"))
 
   /** Distinct (doc_id, md5(shingle)) at `width` — [[shinglesN]] with the
    * shingle FINGERPRINTED before the distinct/join machinery touches it.
@@ -508,9 +517,16 @@ object Dedup {
    * ExactSubstr incrementally maintainable (see
    * [[graft.streaming.StreamingCuration]]). */
   def removeDuplicateSpansVs(docs: DataFrame, width: Int,
-      priorFps: Option[DataFrame]): DataFrame = {
-    val wins = materialize(positionedShingles(docs, width)
-      .select(col("doc_id"), col("pos"), md5(col("sh")).as("fp")))
+      priorFps: Option[DataFrame]): DataFrame =
+    removeDuplicateSpansFromWins(docs, width,
+      materialize(positionedFingerprints(docs, width)), priorFps)
+
+  /** [[removeDuplicateSpansVs]] over an ALREADY-DERIVED (and materialized)
+   * `(doc_id, pos, fp)` window relation ([[positionedFingerprints]]) — the
+   * seam for callers that also persist the fingerprint state and must not
+   * pay the window tokenization twice ([[graft.streaming.StreamingCuration]]). */
+  def removeDuplicateSpansFromWins(docs: DataFrame, width: Int,
+      wins: DataFrame, priorFps: Option[DataFrame]): DataFrame = {
     val dupFps = wins.groupBy("fp")
       .agg(count(lit(1)).as("n"),
         min(struct(col("doc_id"), col("pos"))).as("k"))

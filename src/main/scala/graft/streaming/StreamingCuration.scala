@@ -187,11 +187,15 @@ object StreamingCuration {
             .reduce(_ unionByName _)
         }
 
-      // ---- batch-local index state
+      // ---- batch-local index state. The width-`spanWidth` window relation
+      // is derived ONCE and feeds both the fingerprint leg and the span
+      // cut below (it is the batch's dominant per-byte derivation).
       val newSh = putLeg("sh", Dedup.shingles(batch))
       val newBands = putLeg("bands",
         Dedup.lshBands(Dedup.minhashSignature(newSh)))
-      val newFps = putLeg("fps", Dedup.windowFingerprints(batch, spanWidth))
+      val wins = Dedup.materialize(
+        Dedup.positionedFingerprints(batch, spanWidth))
+      val newFps = putLeg("fps", wins.select("fp").distinct())
       val newTh = putLeg("texthash",
         batch.select(md5(col("text")).as("th")).distinct())
       val priorSh = priorLegs("sh", newSh)
@@ -242,13 +246,26 @@ object StreamingCuration {
         .join(priorTh, Seq("th"), "left_anti")
         .groupBy("th").agg(min("doc_id").as("doc_id"))
         .select(col("doc_id"), lit(true).as("exact_keeper"))
+      // the benchmark is STATIC (sink contract): its shingle relation is
+      // derived once, persisted beside the state, and re-read by every
+      // later batch instead of re-tokenizing the benchmark per batch. The
+      // _SUCCESS marker guards a crashed partial write (rewritten then).
+      val benchShPath = s"$stateDir/bench_sh"
+      val benchSh = {
+        val ok = new org.apache.hadoop.fs.Path(s"$benchShPath/_SUCCESS")
+        if (!ok.getFileSystem(spark.sparkContext.hadoopConfiguration)
+            .exists(ok))
+          Dedup.shingles(bench).toDF("bench_id", "sh")
+            .write.mode("overwrite").parquet(benchShPath)
+        spark.read.parquet(benchShPath)
+      }
       val contaminated =
-        Dedup.decontaminationHitsFromShingles(newSh, bench, minOverlap)
+        Dedup.decontaminationHitsShingled(newSh, benchSh, minOverlap)
           .filter(col("doc_id") =!= col("bench_id"))
           .select("doc_id").distinct()
           .withColumn("contaminated", lit(true))
-      val spanKept = Dedup.removeDuplicateSpansVs(batch, spanWidth,
-          Some(priorFps))
+      val spanKept = Dedup.removeDuplicateSpansFromWins(batch, spanWidth,
+          wins, Some(priorFps))
         .select(col("doc_id"), col("n_kept").as("span_kept"))
       val embedHits = embeddings.map { case (corpus, eval) =>
         Similarity.embedDecontaminationHits(
