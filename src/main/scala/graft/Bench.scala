@@ -289,6 +289,10 @@ object Bench {
         "d4_ngram_jaccard", "d5_simhash", "d6_dup_clusters", "d7_dedup_apply",
         "d11_chunk_dedup", "d13_decontaminate", "d16_decontaminate_13gram",
         "d18_span_dedup", "t11_tfidf", "t14_unigram_xent",
+        // round-7 additions: bigram-LM perplexity, BM25 retrieval, DSIR
+        // selection — the corpus-scale text/selection ops get at-scale
+        // numbers from day one
+        "t16_bigram_xent", "t17_bm25_topk", "sp12_dsir_weights",
         // the COMPOSED curation audit (round-6 verdict #1d): every gate of
         // pipe1 over the 10x corpus — the number that says the composition,
         // not just its stages, holds at scale

@@ -1,0 +1,68 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Lexical retrieval over the corpus: Okapi BM25 (Robertson et al., TREC-3;
+ * the Lucene `ln(1 + (N − df + 0.5)/(df + 0.5))` idf variant) — the
+ * standard first-stage ranker a training-data pipeline runs to pull
+ * task-relevant documents from a web-scale pool (and the lexical half of
+ * every hybrid lexical+ANN retrieval stack; the ANN half is
+ * [[Similarity]]/[[AnnIndex]]).
+ *
+ * Determinism discipline: idf is micro-quantized to an integer the moment
+ * it leaves `ln`; the per-(doc, term) score re-quantizes after the tf
+ * saturation (one double multiply + divide chain on identical IEEE inputs
+ * in both engines), so per-document totals are exact BIGINT sums and the
+ * top-k cut (`bm25_q DESC, doc_id`) is engine-independent.
+ *
+ * Scale shape: the token scan filters to the query vocabulary BEFORE any
+ * aggregation (a `terms`-sized IN-list inside the codegen'd scan stage —
+ * the corpus never aggregates at full vocabulary grain for a query), doc
+ * length rides the same projection (no second corpus pass, no doc-grain
+ * join), df/avgdl are term-count-sized broadcasts, and the final ranking
+ * is `TakeOrderedAndProject`: k rows per partition cross the wire. One
+ * corpus-keyed exchange total (the (doc, term) tf partial-agg).
+ */
+object Retrieval {
+
+  /** BM25 top-k documents for a bag-of-terms query. Output:
+   * (doc_id, n_terms, bm25_q, bm25), ranked by bm25_q DESC, doc_id. */
+  def bm25TopK(docs: DataFrame, terms: Seq[String], k: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty, "BM25 needs at least one query term")
+    val w = split(col("text"), " ")
+    // Corpus stats: one narrow length projection → 1-row broadcast.
+    val lens = docs.select(col("doc_id"), size(w).cast("long").as("dl"))
+    val stats = lens.agg(sum("dl").as("sum_dl"), count(lit(1)).as("n_docs"))
+    // (doc, term) term frequencies; dl carried through the explode so no
+    // doc-grain join is ever needed (dl is functionally determined by
+    // doc_id, so adding it to the grouping key changes nothing).
+    val tf = docs
+      .select(col("doc_id"), size(w).cast("long").as("dl"),
+        explode(w).as("tok"))
+      .filter(col("tok").isin(terms: _*))
+      .groupBy("doc_id", "dl", "tok")
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+    val avgdl = col("sum_dl").cast("double") / col("n_docs").cast("double")
+    val idfQ = floor(log(lit(1.0) +
+      (col("n_docs").cast("double") - col("df").cast("double") + lit(0.5)) /
+        (col("df").cast("double") + lit(0.5))) * lit(1e6) + lit(0.5))
+      .cast("long")
+    val tfNorm = col("tf").cast("double") * lit(k1 + 1.0) /
+      (col("tf").cast("double") +
+        lit(k1) * (lit(1.0 - b) + lit(b) * col("dl").cast("double") / avgdl))
+    tf.join(broadcast(dfreq), "tok")
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"),
+        floor(idfQ.cast("double") * tfNorm + lit(0.5)).cast("long").as("s_q"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_terms"), sum("s_q").as("bm25_q"))
+      .select(col("doc_id"), col("n_terms"), col("bm25_q"),
+        (col("bm25_q").cast("double") / lit(1e6)).as("bm25"))
+      .orderBy(col("bm25_q").desc, col("doc_id").asc)
+      .limit(k)
+  }
+}

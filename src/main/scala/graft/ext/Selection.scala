@@ -1,0 +1,107 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * DSIR — Data Selection via Importance Resampling (Xie et al., NeurIPS
+ * 2023): pick pretraining documents from a large raw pool so the SELECTED
+ * set's distribution matches a small high-quality target corpus. The
+ * published recipe, exactly as three dataflow steps:
+ *
+ *  1. fit hashed n-gram bag-of-words models of the target and the raw
+ *     pool (feature hashing into `NumBuckets` buckets — the same trick as
+ *     [[QualityModel]]; collisions are part of the method, not a bug);
+ *  2. per raw document, the log importance weight
+ *     `log w(x) = Σ_tok log p_target(b(tok)) − log p_raw(b(tok))`
+ *     (add-1 smoothed over the bucket count);
+ *  3. Gumbel top-k: sample k documents WITHOUT replacement with
+ *     probability ∝ w(x) by ranking on `log w + Gumbel noise`.
+ *
+ * Determinism discipline (the repo-wide gate contract): each bucket's
+ * log-ratio is quantized to integer MICROS the moment it leaves `ln`
+ * (identical IEEE doubles in, one correctly-behaved `ln` each engine), so
+ * per-document sums are exact BIGINTs — partitioning cannot perturb a
+ * weight, and the DuckDB oracle replays every weight bit-for-bit. The
+ * Gumbel draw derives from an md5 uniform (`u = (h mod 1e6 + 0.5)/1e6`,
+ * `g = −ln(−ln u)`, micro-quantized) — "noise" that is a pure function of
+ * doc_id, so the sample is the same on any cluster, any run.
+ *
+ * Scale shape (the 100-TB posture): ONE corpus token pass feeds a
+ * bucket-grain conditional count (`NumBuckets` rows out — KB-scale
+ * regardless of corpus size), the ratio table broadcasts back onto the
+ * raw-side token relation (narrow join, no corpus shuffle), and the only
+ * corpus-keyed exchange is the final doc-grain partial-agg sum. The
+ * top-k select is `TakeOrderedAndProject` — k rows per partition cross
+ * the wire, never the pool.
+ */
+object Selection {
+
+  /** Feature-hash buckets. 10⁴ in the paper for unigrams+bigrams; 1024
+   * here to keep bucket collisions exercised at test scale. */
+  val NumBuckets = 1024
+
+  private def md5u32(s: Column): Column =
+    conv(substring(md5(s), 1, 8), 16, 10).cast("long")
+
+  /** Feature bucket of a token (seed-domain "ds:" — distinct from the
+   * quality model's "qw:" so the two hashed feature spaces differ). */
+  def featureBucket(token: Column): Column =
+    pmod(md5u32(concat(lit("ds:"), token)), lit(NumBuckets.toLong))
+
+  /** Per-bucket micro-quantized log importance ratio
+   * `floor((ln((ct+1)/(Nt+B)) − ln((cr+1)/(Nr+B)))·1e6 + 0.5)`
+   * from ONE pass over the corpus tokens (conditional counts; target and
+   * raw totals derive from the same bucket-grain relation, not a second
+   * scan). Output: (b, ct, cr, lr_q) — `NumBuckets` rows. */
+  def dsirBucketLogRatios(docs: DataFrame, isTarget: Column): DataFrame = {
+    val toks = docs
+      .select(isTarget.as("is_t"), explode(split(col("text"), " ")).as("tok"))
+      .select(col("is_t"), featureBucket(col("tok")).as("b"))
+    val counts = toks.groupBy("b").agg(
+      sum(when(col("is_t"), 1L).otherwise(0L)).as("ct"),
+      sum(when(col("is_t"), 0L).otherwise(1L)).as("cr"))
+    val totals = counts.agg(sum("ct").as("nt"), sum("cr").as("nr"))
+    counts.crossJoin(broadcast(totals))
+      .select(col("b"), col("ct"), col("cr"),
+        floor((log((col("ct") + lit(1L)).cast("double") /
+                 (col("nt") + lit(NumBuckets.toLong)).cast("double")) -
+               log((col("cr") + lit(1L)).cast("double") /
+                 (col("nr") + lit(NumBuckets.toLong)).cast("double"))) * lit(1e6)
+          + lit(0.5)).cast("long").as("lr_q"))
+  }
+
+  /** Log importance weight of every RAW-side document (target docs define
+   * the distribution; they are not candidates). Output:
+   * (doc_id, n_toks, logw_q, logw = logw_q/1e6). */
+  def dsirWeights(docs: DataFrame, isTarget: Column): DataFrame = {
+    val lr = dsirBucketLogRatios(docs, isTarget)
+    docs.filter(!isTarget)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .select(col("doc_id"), featureBucket(col("tok")).as("b"))
+      .join(broadcast(lr.select("b", "lr_q")), "b")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_toks"), sum("lr_q").as("logw_q"))
+      .select(col("doc_id"), col("n_toks"), col("logw_q"),
+        (col("logw_q").cast("double") / lit(1e6)).as("logw"))
+  }
+
+  /** Micro-quantized deterministic Gumbel draw for a document id. */
+  def gumbelQ(docId: Column): Column = {
+    val u = (pmod(md5u32(concat(lit("dg:"), docId.cast("string"))),
+      lit(1000000L)).cast("double") + lit(0.5)) / lit(1e6)
+    floor(-log(-log(u)) * lit(1e6) + lit(0.5)).cast("long")
+  }
+
+  /** Gumbel top-k over `logw_q`: the k raw documents sampled without
+   * replacement with probability ∝ importance weight. Ties (exact-integer
+   * keys can collide) break on doc_id, so the selected SET is unique.
+   * Output: (doc_id, n_toks, logw_q, g_q, key_q) — k rows. */
+  def dsirResample(docs: DataFrame, isTarget: Column, k: Int): DataFrame =
+    dsirWeights(docs, isTarget)
+      .withColumn("g_q", gumbelQ(col("doc_id")))
+      .withColumn("key_q", col("logw_q") + col("g_q"))
+      .select("doc_id", "n_toks", "logw_q", "g_q", "key_q")
+      .orderBy(col("key_q").desc, col("doc_id").asc)
+      .limit(k)
+}

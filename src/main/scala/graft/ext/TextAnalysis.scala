@@ -254,4 +254,63 @@ object TextAnalysis {
       .select(col("doc_id"), col("n_sh"),
         round(col("n_boiler").cast("double") / col("n_sh"), 4).as("boiler_frac"))
   }
+
+  /** Bigram-LM cross-entropy per document — the CCNet/RedPajama perplexity
+   * filter with its KenLM replaced by a bigram model TRAINED IN-ENGINE on a
+   * reference subset (`isRef`, e.g. a trusted high-quality slice): score
+   * every document by `−(1/n) Σ ln p(w_i | w_{i−1})` under add-1-smoothed
+   * bigram probabilities `p(w2|w1) = (c(w1 w2)+1)/(c(w1)+V)` fit on the
+   * reference. Unlike [[unigramCrossEntropy]] (corpus-self unigram), this
+   * is the two-corpus shape of the published filter: a model fit on the
+   * distribution you want, applied to the pool you're cleaning — word
+   * order now matters (scrambled text scores high even when its unigrams
+   * are common).
+   *
+   * Determinism: `−ln p` quantizes to integer MICROS per bigram
+   * occurrence; per-doc sums are exact BIGINTs (the repo's micro-grid
+   * discipline), so the oracle replays bit-for-bit.
+   *
+   * Scale shape: bigrams derive NARROWLY (`zip_with` over two array
+   * slices — no window, no positional self-join); the model is one
+   * bigram-vocabulary-sized count agg + one unigram-sized agg over the
+   * REFERENCE slice only; scoring joins the pool's bigram relation keyed
+   * by bigram (AQE broadcasts small models; a web-scale model shuffles
+   * both sides on the bigram key — still linear); V and the doc-grain sum
+   * are the only other exchanges. Output: (doc_id, n_bg, s_q, xent),
+   * pool docs with ≥ 1 bigram. */
+  def bigramCrossEntropy(docs: org.apache.spark.sql.DataFrame,
+      isRef: Column): org.apache.spark.sql.DataFrame = {
+    val w = split(col("text"), " ")
+    def bigrams(df: org.apache.spark.sql.DataFrame) = df
+      .filter(size(w) >= 2)
+      .select(col("doc_id"),
+        explode(zip_with(
+          slice(w, lit(1), size(w) - 1), slice(w, lit(2), size(w) - 1),
+          (a, b) => concat(a, lit(" "), b))).as("bg"))
+    val ref = docs.filter(isRef)
+    val c2 = bigrams(ref).groupBy("bg").agg(count(lit(1)).as("c2"))
+    // Context (first-word) counts and vocabulary size from the same
+    // reference token relation — one explode feeds both aggregates.
+    val refToks = ref.select(explode(w).as("tok"))
+    val c1 = refToks.groupBy("tok").agg(count(lit(1)).as("c1"))
+    val vocab = c1.agg(count(lit(1)).as("v"))
+    bigrams(docs.filter(!isRef))
+      .join(c2, Seq("bg"), "left")
+      .select(col("doc_id"), col("bg"),
+        coalesce(col("c2"), lit(0L)).as("c2"),
+        split(col("bg"), " ").getItem(0).as("tok"))
+      .join(c1, Seq("tok"), "left")
+      .select(col("doc_id"), col("c2"),
+        coalesce(col("c1"), lit(0L)).as("c1"))
+      .crossJoin(broadcast(vocab))
+      .select(col("doc_id"),
+        floor(-log((col("c2") + lit(1L)).cast("double") /
+            (col("c1") + col("v")).cast("double")) * lit(1e6) + lit(0.5))
+          .cast("long").as("nll_q"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bg"), sum("nll_q").as("s_q"))
+      .select(col("doc_id"), col("n_bg"), col("s_q"),
+        round(col("s_q").cast("double") / lit(1e6) / col("n_bg"), 6)
+          .as("xent"))
+  }
 }

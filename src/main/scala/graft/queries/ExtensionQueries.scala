@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
-import graft.ext.{Curation, Dedup, Similarity, TextAnalysis}
+import graft.ext.{Curation, Dedup, Retrieval, Selection, Similarity, TextAnalysis}
 import Tables.t
 
 /**
@@ -2331,5 +2331,180 @@ object ExtensionQueries {
               SELECT doc_id, n_tokens, bucket,
                      CAST(cum // 512 AS BIGINT) AS pack_id
               FROM c"""),
-      "token-budget sequence packing (per-bucket contiguous fill)"))
+      "token-budget sequence packing (per-bucket contiguous fill)"),
+
+    // DSIR importance weights (Xie et al. 2023): hashed-unigram log ratio
+    // of the en target slice vs the non-en pool, per pool document. One
+    // corpus token pass → 1024-bucket conditional counts (KB-scale), the
+    // log-ratio table broadcasts back onto the pool tokens, one doc-grain
+    // agg — nothing corpus-sized leaves its partition except that sum.
+    "sp12_dsir_weights" -> QueryDef(
+      (s, dir) => Selection.dsirWeights(
+        t(s, dir, "documents"), col("lang") === "en"),
+      Some(s"""WITH tok AS (SELECT doc_id, lang = 'en' AS is_t,
+                            unnest(string_split(text, ' ')) AS tok
+                     FROM documents),
+              tb AS (SELECT is_t,
+                            ('0x' || substr(md5('ds:' || tok), 1, 8))::BIGINT
+                              % ${Selection.NumBuckets} AS b
+                     FROM tok),
+              counts AS (SELECT b,
+                                sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS ct,
+                                sum(CASE WHEN is_t THEN 0 ELSE 1 END) AS cr
+                         FROM tb GROUP BY b),
+              tot AS (SELECT CAST(sum(ct) AS BIGINT) AS nt,
+                             CAST(sum(cr) AS BIGINT) AS nr
+                      FROM counts),
+              lr AS (SELECT b,
+                            CAST(floor((ln(CAST(ct + 1 AS DOUBLE)
+                                   / CAST(nt + ${Selection.NumBuckets} AS DOUBLE))
+                                 - ln(CAST(cr + 1 AS DOUBLE)
+                                   / CAST(nr + ${Selection.NumBuckets} AS DOUBLE)))
+                              * 1e6 + 0.5) AS BIGINT) AS lr_q
+                     FROM counts CROSS JOIN tot),
+              pool AS (SELECT doc_id,
+                              ('0x' || substr(md5('ds:' || tok), 1, 8))::BIGINT
+                                % ${Selection.NumBuckets} AS b
+                       FROM (SELECT doc_id,
+                                    unnest(string_split(text, ' ')) AS tok
+                             FROM documents WHERE NOT (lang = 'en')))
+              SELECT doc_id, CAST(count(*) AS BIGINT) AS n_toks,
+                     CAST(sum(lr_q) AS BIGINT) AS logw_q,
+                     CAST(sum(lr_q) AS DOUBLE) / 1e6 AS logw
+              FROM pool JOIN lr USING (b)
+              GROUP BY doc_id"""),
+      "DSIR hashed-unigram log importance weights (target=en vs pool)"),
+
+    // DSIR Gumbel top-k resample: 100 pool docs drawn without replacement
+    // with probability ∝ importance weight — the deterministic-Gumbel form
+    // (noise is an md5 function of doc_id), so the selected set replays on
+    // any cluster. TakeOrderedAndProject: k rows per partition move.
+    "sp13_dsir_resample" -> QueryDef(
+      (s, dir) => Selection.dsirResample(
+        t(s, dir, "documents"), col("lang") === "en", k = 100),
+      Some(s"""WITH tok AS (SELECT doc_id, lang = 'en' AS is_t,
+                            unnest(string_split(text, ' ')) AS tok
+                     FROM documents),
+              tb AS (SELECT is_t,
+                            ('0x' || substr(md5('ds:' || tok), 1, 8))::BIGINT
+                              % ${Selection.NumBuckets} AS b
+                     FROM tok),
+              counts AS (SELECT b,
+                                sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS ct,
+                                sum(CASE WHEN is_t THEN 0 ELSE 1 END) AS cr
+                         FROM tb GROUP BY b),
+              tot AS (SELECT CAST(sum(ct) AS BIGINT) AS nt,
+                             CAST(sum(cr) AS BIGINT) AS nr
+                      FROM counts),
+              lr AS (SELECT b,
+                            CAST(floor((ln(CAST(ct + 1 AS DOUBLE)
+                                   / CAST(nt + ${Selection.NumBuckets} AS DOUBLE))
+                                 - ln(CAST(cr + 1 AS DOUBLE)
+                                   / CAST(nr + ${Selection.NumBuckets} AS DOUBLE)))
+                              * 1e6 + 0.5) AS BIGINT) AS lr_q
+                     FROM counts CROSS JOIN tot),
+              pool AS (SELECT doc_id,
+                              ('0x' || substr(md5('ds:' || tok), 1, 8))::BIGINT
+                                % ${Selection.NumBuckets} AS b
+                       FROM (SELECT doc_id,
+                                    unnest(string_split(text, ' ')) AS tok
+                             FROM documents WHERE NOT (lang = 'en'))),
+              wts AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_toks,
+                             CAST(sum(lr_q) AS BIGINT) AS logw_q
+                      FROM pool JOIN lr USING (b)
+                      GROUP BY doc_id),
+              g AS (SELECT doc_id, n_toks, logw_q,
+                           CAST(floor(-ln(-ln(
+                                 ((('0x' || substr(md5('dg:' || doc_id::VARCHAR), 1, 8))::BIGINT
+                                     % 1000000) + 0.5) / 1e6))
+                               * 1e6 + 0.5) AS BIGINT) AS g_q
+                    FROM wts)
+              SELECT doc_id, n_toks, logw_q, g_q,
+                     logw_q + g_q AS key_q
+              FROM g
+              ORDER BY key_q DESC, doc_id
+              LIMIT 100"""),
+      "DSIR Gumbel top-k importance resample (k=100, deterministic noise)"),
+
+    // Bigram-LM cross-entropy (the CCNet perplexity filter, model trained
+    // in-engine on the en reference slice, scoring the non-en pool).
+    "t16_bigram_xent" -> QueryDef(
+      (s, dir) => TextAnalysis.bigramCrossEntropy(
+        t(s, dir, "documents"), col("lang") === "en"),
+      Some("""WITH wref AS (SELECT doc_id, string_split(text, ' ') AS w
+                     FROM documents WHERE lang = 'en'),
+              bgref AS (SELECT doc_id,
+                               unnest([w[i] || ' ' || w[i+1]
+                                       for i in generate_series(1, len(w) - 1)]) AS bg
+                        FROM wref WHERE len(w) >= 2),
+              c2 AS (SELECT bg, count(*) AS c2 FROM bgref GROUP BY bg),
+              c1 AS (SELECT tok, count(*) AS c1
+                     FROM (SELECT unnest(w) AS tok FROM wref)
+                     GROUP BY tok),
+              vocab AS (SELECT count(*) AS v FROM c1),
+              wpool AS (SELECT doc_id, string_split(text, ' ') AS w
+                        FROM documents WHERE NOT (lang = 'en')),
+              bgpool AS (SELECT doc_id,
+                                unnest([w[i] || ' ' || w[i+1]
+                                        for i in generate_series(1, len(w) - 1)]) AS bg
+                         FROM wpool WHERE len(w) >= 2),
+              j AS (SELECT doc_id,
+                           coalesce(c2.c2, 0) AS c2,
+                           coalesce(c1.c1, 0) AS c1
+                    FROM bgpool b
+                    LEFT JOIN c2 USING (bg)
+                    LEFT JOIN c1 ON c1.tok = string_split(b.bg, ' ')[1]),
+              n AS (SELECT doc_id,
+                           CAST(floor(-ln(CAST(c2 + 1 AS DOUBLE)
+                                 / CAST(c1 + v AS DOUBLE)) * 1e6 + 0.5)
+                             AS BIGINT) AS nll_q
+                    FROM j CROSS JOIN vocab)
+              SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bg,
+                     CAST(sum(nll_q) AS BIGINT) AS s_q,
+                     round(CAST(sum(nll_q) AS DOUBLE) / 1e6 / count(*), 6) AS xent
+              FROM n GROUP BY doc_id"""),
+      "bigram-LM cross-entropy vs the en reference slice (CCNet shape)"),
+
+    // Okapi BM25 top-20 for a 3-term query — the lexical retrieval ranker
+    // (Lucene idf variant). The token scan filters to the query vocabulary
+    // before aggregating, df/avgdl broadcast, TakeOrderedAndProject cut.
+    "t17_bm25_topk" -> QueryDef(
+      (s, dir) => Retrieval.bm25TopK(
+        t(s, dir, "documents"), Seq("spark", "vector", "stream"), k = 20),
+      Some("""WITH dl AS (SELECT doc_id,
+                           CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+                    FROM documents),
+              stats AS (SELECT CAST(sum(dl) AS BIGINT) AS sum_dl,
+                               count(*) AS n_docs
+                        FROM dl),
+              tok AS (SELECT doc_id,
+                             CAST(len(string_split(text, ' ')) AS BIGINT) AS dl,
+                             unnest(string_split(text, ' ')) AS tok
+                      FROM documents),
+              tf AS (SELECT doc_id, dl, tok, count(*) AS tf
+                     FROM tok
+                     WHERE tok IN ('spark', 'vector', 'stream')
+                     GROUP BY 1, 2, 3),
+              dfreq AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+              sc AS (SELECT doc_id,
+                            CAST(floor(
+                              CAST(CAST(floor(ln(1e0
+                                    + (CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+                                      / (CAST(df AS DOUBLE) + 0.5))
+                                  * 1e6 + 0.5) AS BIGINT) AS DOUBLE)
+                              * (CAST(tf AS DOUBLE) * 2.2e0
+                                  / (CAST(tf AS DOUBLE)
+                                     + 1.2e0 * (0.25e0
+                                         + 0.75e0 * CAST(dl AS DOUBLE)
+                                           / (CAST(sum_dl AS DOUBLE)
+                                              / CAST(n_docs AS DOUBLE)))))
+                              + 0.5) AS BIGINT) AS s_q
+                     FROM tf JOIN dfreq USING (tok) CROSS JOIN stats)
+              SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms,
+                     CAST(sum(s_q) AS BIGINT) AS bm25_q,
+                     CAST(sum(s_q) AS DOUBLE) / 1e6 AS bm25
+              FROM sc GROUP BY doc_id
+              ORDER BY bm25_q DESC, doc_id
+              LIMIT 20"""),
+      "Okapi BM25 top-20 lexical retrieval (3-term query, Lucene idf)"))
 }

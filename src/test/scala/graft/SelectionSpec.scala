@@ -1,0 +1,109 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ext.{Retrieval, Selection, TextAnalysis}
+
+/** Behavior locks for the round-7 selection/retrieval additions (their
+ * VALUES are oracle-gated by sp12/sp13/t16/t17; these pin the semantics
+ * the oracles can't express — ranking direction, determinism under
+ * repartitioning, and the published methods' qualitative contracts). */
+class SelectionSpec extends SparkTestBase {
+  import spark.implicits._
+
+  // Target-vocabulary docs (0-9, "a*" words), pool docs drawn either from
+  // the target vocabulary (10-14) or from a disjoint one (15-19, "b*").
+  private def docs = (0 until 20).map { i =>
+    val vocab = if (i < 15) "a" else "b"
+    val txt = (0 until 30).map(j => s"$vocab${(i * 3 + j) % 7}").mkString(" ")
+    (i.toLong, txt, if (i < 10) "tgt" else "pool")
+  }.toDF("doc_id", "text", "role")
+
+  test("DSIR: pool docs matching the target vocabulary outweigh disjoint ones") {
+    val w = Selection.dsirWeights(docs, col("role") === "tgt")
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(w.keySet == (10L until 20L).toSet, "weights cover exactly the pool")
+    val likeTarget = (10L until 15L).map(w)
+    val disjoint = (15L until 20L).map(w)
+    assert(likeTarget.min > disjoint.max,
+      s"target-vocab pool docs must all outweigh disjoint-vocab ones: " +
+        s"$likeTarget vs $disjoint")
+  }
+
+  test("DSIR weights are partition-independent") {
+    val a = Selection.dsirWeights(docs, col("role") === "tgt")
+      .orderBy("doc_id").collect().toSeq
+    val b = Selection.dsirWeights(docs.repartition(7), col("role") === "tgt")
+      .orderBy("doc_id").collect().toSeq
+    assert(a == b)
+  }
+
+  test("DSIR Gumbel resample: k distinct pool docs, same set every run") {
+    val s1 = Selection.dsirResample(docs, col("role") === "tgt", k = 4)
+      .select("doc_id").as[Long].collect().toSeq
+    val s2 = Selection.dsirResample(docs.repartition(5), col("role") === "tgt", k = 4)
+      .select("doc_id").as[Long].collect().toSeq
+    assert(s1 == s2, "resample must be deterministic under repartitioning")
+    assert(s1.distinct.size == 4, "without replacement: k distinct ids")
+    assert(s1.forall(id => id >= 10L && id < 20L), "only pool docs are candidates")
+  }
+
+  test("BM25: higher query-term frequency ranks higher at equal length") {
+    val d = Seq(
+      (1L, "x x x x q q q q"),   // tf(q)=4
+      (2L, "x x x x x x q q"),   // tf(q)=2
+      (3L, "x x x x x x x x")    // no hit
+    ).toDF("doc_id", "text")
+    val top = Retrieval.bm25TopK(d, Seq("q"), k = 10)
+      .select("doc_id").as[Long].collect().toSeq
+    assert(top == Seq(1L, 2L), s"tf order with the no-hit doc absent, got $top")
+  }
+
+  test("BM25: at equal tf the shorter document ranks higher (length norm)") {
+    val d = Seq(
+      (1L, "q q " + Seq.fill(30)("x").mkString(" ")),
+      (2L, "q q x x")
+    ).toDF("doc_id", "text")
+    val top = Retrieval.bm25TopK(d, Seq("q"), k = 2)
+      .select("doc_id").as[Long].collect().toSeq
+    assert(top == Seq(2L, 1L), s"shorter doc first, got $top")
+  }
+
+  test("BM25 is partition-independent") {
+    val base = docs.select(col("doc_id"), col("text"))
+    val a = Retrieval.bm25TopK(base, Seq("a1", "a2"), k = 8).collect().toSeq
+    val b = Retrieval.bm25TopK(base.repartition(7), Seq("a1", "a2"), k = 8)
+      .collect().toSeq
+    assert(a == b)
+  }
+
+  test("bigram xent: in-distribution word ORDER scores below scrambled order") {
+    // Reference: a strongly-patterned bigram chain. Pool doc 10 repeats the
+    // chain (every bigram seen); doc 11 has identical UNIGRAMS reversed so
+    // its bigrams are unseen — a unigram model can't separate them.
+    val chain = (0 until 20).map(j => s"c${j % 5}")
+    val d = ((0 until 10).map(i => (i.toLong, chain.mkString(" "), true)) ++
+      Seq((10L, chain.mkString(" "), false),
+        (11L, chain.reverse.mkString(" "), false)))
+      .toDF("doc_id", "text", "is_ref")
+    val x = TextAnalysis.bigramCrossEntropy(d, col("is_ref"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(3))).toMap
+    assert(x.keySet == Set(10L, 11L), "scores cover exactly the pool")
+    assert(x(10L)._1 == 19L && x(11L)._1 == 19L, "n_bg = tokens - 1")
+    assert(x(10L)._2 < x(11L)._2,
+      s"in-order doc must score lower xent: ${x(10L)._2} vs ${x(11L)._2}")
+  }
+
+  test("bigram xent is partition-independent and skips sub-bigram docs") {
+    val d = (0 until 12).map { i =>
+      val txt = if (i == 11) "solo" else (0 until 10).map(j => s"t${(i + j) % 4}").mkString(" ")
+      (i.toLong, txt, i < 6)
+    }.toDF("doc_id", "text", "is_ref")
+    val a = TextAnalysis.bigramCrossEntropy(d, col("is_ref"))
+      .orderBy("doc_id").collect().toSeq
+    val b = TextAnalysis.bigramCrossEntropy(d.repartition(5), col("is_ref"))
+      .orderBy("doc_id").collect().toSeq
+    assert(a == b)
+    assert(!a.map(_.getLong(0)).contains(11L), "a 1-token doc has no bigrams")
+  }
+}
