@@ -39,12 +39,15 @@ object Retrieval {
     // (doc, term) term frequencies; dl carried through the explode so no
     // doc-grain join is ever needed (dl is functionally determined by
     // doc_id, so adding it to the grouping key changes nothing).
-    val tf = docs
+    // Materialized: tf feeds both the df aggregation and the scoring join
+    // — un-checkpointed, the df reference re-derives it from a second full
+    // corpus scan. Post-filter it holds only (matching-doc, term) rows.
+    val tf = Dedup.materialize(docs
       .select(col("doc_id"), size(w).cast("long").as("dl"),
         explode(w).as("tok"))
       .filter(col("tok").isin(terms: _*))
       .groupBy("doc_id", "dl", "tok")
-      .agg(count(lit(1)).as("tf"))
+      .agg(count(lit(1)).as("tf")))
     val dfreq = tf.groupBy("tok").agg(count(lit(1)).as("df"))
     val avgdl = col("sum_dl").cast("double") / col("n_docs").cast("double")
     val idfQ = floor(log(lit(1.0) +

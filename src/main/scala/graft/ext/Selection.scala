@@ -58,9 +58,13 @@ object Selection {
     val toks = docs
       .select(isTarget.as("is_t"), explode(split(col("text"), " ")).as("tok"))
       .select(col("is_t"), featureBucket(col("tok")).as("b"))
-    val counts = toks.groupBy("b").agg(
+    // Materialized: `counts` feeds BOTH the totals and the ratio projection
+    // — without the checkpoint each reference re-derives it from its own
+    // full corpus token scan (the plan showed 2 corpus passes for a
+    // 1024-row relation). KB-scale, so the checkpoint is free.
+    val counts = Dedup.materialize(toks.groupBy("b").agg(
       sum(when(col("is_t"), 1L).otherwise(0L)).as("ct"),
-      sum(when(col("is_t"), 0L).otherwise(1L)).as("cr"))
+      sum(when(col("is_t"), 0L).otherwise(1L)).as("cr")))
     val totals = counts.agg(sum("ct").as("nt"), sum("cr").as("nr"))
     counts.crossJoin(broadcast(totals))
       .select(col("b"), col("ct"), col("cr"),

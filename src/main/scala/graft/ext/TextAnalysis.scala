@@ -292,7 +292,11 @@ object TextAnalysis {
     // Context (first-word) counts and vocabulary size from the same
     // reference token relation — one explode feeds both aggregates.
     val refToks = ref.select(explode(w).as("tok"))
-    val c1 = refToks.groupBy("tok").agg(count(lit(1)).as("c1"))
+    // Materialized: c1 feeds both the vocabulary count and the scoring
+    // join — un-checkpointed, the vocab reference re-derives it from a
+    // second full reference scan. Unigram-vocabulary-sized, so cheap.
+    val c1 = Dedup.materialize(
+      refToks.groupBy("tok").agg(count(lit(1)).as("c1")))
     val vocab = c1.agg(count(lit(1)).as("v"))
     bigrams(docs.filter(!isRef))
       .join(c2, Seq("bg"), "left")
