@@ -238,7 +238,11 @@ object Bench {
       val docStride = maxIdOrZero(docs, "doc_id") + 1L
       val docs10 = (0 until 10).map { k =>
         docs.select((col("doc_id") + lit(k * docStride)).as("doc_id"),
-          regexp_replace(col("text"), "(\\S+)", "$1_" + k).as("text"))
+          regexp_replace(col("text"), "(\\S+)", "$1_" + k).as("text"),
+          // lang rides along for the selection/perplexity probes
+          // (t16/sp12 partition the corpus on it); replicas keep the
+          // original's language so the en/non-en mix scales with the data.
+          col("lang"))
       }.reduce(_ union _)
       docs10.repartition(16).write.mode("overwrite")
         .parquet(s"$dir10/documents.parquet")

@@ -798,6 +798,147 @@ object Similarity {
       k, "sim")
   }
 
+  // ---- residual PQ: IVFADC in its published form ----
+
+  /** Integer-MILLIS rp plane weights (the [[rpPlanes]] derivation without
+   * the /1000 — same md5 seeds, same signs). Residual vectors live on the
+   * exact integer micro grid, so dotting them with INTEGER plane weights
+   * keeps the whole projection an exact BIGINT: the sign — and therefore
+   * the training-cell assignment — cannot be perturbed by summation order
+   * in ANY engine. (The float [[rpCell]] needs double dots because raw
+   * embeddings are floats; residuals don't.) */
+  def rpPlanesMillis(dim: Int, bits: Int, seed: String): Array[Array[Long]] =
+    Array.tabulate(bits) { p =>
+      Array.tabulate(dim) { d => md5u32(s"rp:$seed:$p:$d") % 2001 - 1000 }
+    }
+
+  /** Exact integer dot of a micro-grid vector with integer plane weights. */
+  private def dotQ(vq: Column, w: Array[Long]): Column =
+    aggregate(zip_with(vq, lit(w), (a, b) => a * b), lit(0L), _ + _)
+
+  /** Sign-bucket cell of a micro-grid (integer) vector — [[rpCell]] for
+   * residuals, with exact-integer projections throughout. */
+  def rpCellQ(vq: Column, planes: Array[Array[Long]]): Column =
+    planes.zipWithIndex.map { case (w, p) =>
+      when(dotQ(vq, w) > 0, lit(1 << p)).otherwise(lit(0))
+    }.reduce(_ + _)
+
+  /** Residual of an embedding vs its assigned coarse centroid, on the
+   * micro grid: `quantizeMicro(emb) − coarse[cell]` — an exact BIGINT
+   * vector (both operands are micro-grid integers; no float subtraction
+   * anywhere). The codebook inlines as a when-chain keyed by the row's
+   * cell column, so the derivation stays a narrow codegen'd map. */
+  private[ext] def residualQ(emb: Column, cellCol: Column,
+      coarse: Array[(Int, Array[Long])]): Column = {
+    val vq = quantizeMicro(emb)
+    coalesce(coarse.map { case (cell, cq) =>
+      when(cellCol === cell, zip_with(vq, lit(cq), (a, b) => a - b))
+    }: _*)
+  }
+
+  /** Nearest centroid for an ALREADY-integer (micro-grid) subvector —
+   * [[nearestCellStruct]] minus the quantization step. Exact integer
+   * squared distances, ties to the smaller cell id. */
+  def nearestCellQ(sq: Column, cb: Array[(Int, Array[Long])]): Column = {
+    require(cb.nonEmpty, "empty codebook")
+    val scored = cb.map { case (cell, cq) =>
+      struct(
+        aggregate(zip_with(sq, lit(cq), (a, b) => (a - b) * (a - b)),
+          lit(0L), _ + _).as("d"),
+        lit(cell).as("cell"))
+    }
+    (if (scored.length == 1) scored.head else least(scored: _*))
+      .getField("cell")
+  }
+
+  /** Per-subspace PQ codebooks over RESIDUAL vectors (`(vec_id, rq)` with
+   * `rq` exact micro-grid integers): integer-plane sign buckets seed the
+   * assignment, the M-step sums the already-integer values (no
+   * re-quantization) and snaps means to the grid. Same driver-state
+   * posture as [[pqCodebooks]] — a few KB of model parameters. */
+  def pqCodebooksResidual(residuals: DataFrame, m: Int = 4,
+      subDim: Int = 16, bits: Int = 2,
+      seed: String = "pqr"): Array[Array[(Int, Array[Long])]] =
+    Array.tabulate(m) { i =>
+      val sub = slice(col("rq"), i * subDim + 1, subDim)
+      val planes = rpPlanesMillis(subDim, bits, s"$seed$i")
+      fetchCodebook(centroidArrays(
+        residuals.select(rpCellQ(sub, planes).as("cell"), sub.as("sq"))
+          .select(col("cell"), posexplode(col("sq")).as(Seq("pos", "vq")))
+          .groupBy("cell", "pos")
+          .agg(count(lit(1)).as("n"), sum("vq").as("s"))))
+    }
+
+  /** Residual ADC distance: Σ_m d²(query-residual subvector m,
+   * residual-codebook_m[c_m]) — [[adcDist]] with the query side already an
+   * exact integer residual (no quantization at score time). */
+  def adcDistResidual(qr: Column, cbs: Array[Array[(Int, Array[Long])]],
+      subDim: Int): Column =
+    cbs.indices.map { i =>
+      val qs = slice(qr, i * subDim + 1, subDim)
+      val cases = cbs(i).map { case (cell, cq) =>
+        when(col(s"c$i") === cell,
+          aggregate(zip_with(qs, lit(cq), (a, b) => (a - b) * (a - b)),
+            lit(0L), _ + _))
+      }
+      coalesce(cases: _*)
+    }.reduce(_ + _)
+
+  /** IVFADC in its PUBLISHED form (Jégou, Douze, Schmid, PAMI 2011, §IVFADC):
+   * PQ codes encode the RESIDUAL `x − c(cell)` of each vector against its
+   * trained coarse centroid, not the raw vector — residual energy is far
+   * below vector energy, so the same code budget quantizes much finer (the
+   * reason FAISS' IVFPQ defaults to residual encoding). [[knnIvfPq]] is
+   * kept as the cheaper no-residual variant (one fewer training pass, rp
+   * cells need no centroids); this is the full composition:
+   *
+   *  1. coarse quantizer = the n7 trained codebook (rp-seeded Lloyd round,
+   *     exact-integer E-step);
+   *  2. residuals on the exact micro grid (integer subtraction);
+   *  3. per-subspace residual codebooks ([[pqCodebooksResidual]]);
+   *  4. search: the query assigns to its coarse cell, forms its OWN
+   *     residual against that centroid, and ADC-scores candidates of the
+   *     same cell on codes only ([[adcDistResidual]]).
+   *
+   * Everything stays exact integers end-to-end — training assignments,
+   * encodings, and search distances all replay bit-for-bit in the oracle.
+   *
+   * Scale shape: one corpus pass assigns + derives residuals
+   * (materialized — the relation feeds PQ training AND encoding, the same
+   * two consumers FAISS makes two passes for); training aggregates are
+   * cells×subDim-sized; the search joins on the coarse cell so candidates
+   * prune to ~1/2^bits of the corpus, scored on m small ints per row;
+   * bounded-heap top-k. At 100 TB you'd train the codebooks on a hash
+   * sample ([[graft.ext.Sampling.hashSample]]) and encode the full corpus —
+   * the dataflow is unchanged. */
+  def knnIvfAdcResidual(queries: DataFrame, corpus: DataFrame, k: Int,
+      bits: Int = 4, dim: Int = 64, seed: String = "rp",
+      m: Int = 4, subDim: Int = 16, pqBits: Int = 2,
+      pqSeed: String = "pqr"): DataFrame = {
+    val coarse = codebook(corpus, bits, dim, seed)
+    val residuals = Dedup.materialize(
+      corpus.select(col("vec_id"), col("embedding"),
+        nearestCell(col("embedding"), coarse).as("cell"))
+        .select(col("vec_id"), col("cell"),
+          residualQ(col("embedding"), col("cell"), coarse).as("rq")))
+    val cbs = pqCodebooksResidual(residuals, m, subDim, pqBits, pqSeed)
+    val enc = residuals.select(
+      col("vec_id") +: col("cell") +:
+        cbs.indices.map(i =>
+          nearestCellQ(slice(col("rq"), i * subDim + 1, subDim), cbs(i))
+            .as(s"c$i")): _*)
+    val q = queries
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      .withColumn("cell", nearestCell(col("q_emb"), coarse))
+      .withColumn("qr", residualQ(col("q_emb"), col("cell"), coarse))
+    topKByDist(
+      q.join(enc, "cell")
+        .filter(col("q_id") =!= col("vec_id"))
+        .select(col("q_id"), col("vec_id").as("n_id"),
+          adcDistResidual(col("qr"), cbs, subDim).as("dist_q")),
+      k)
+  }
+
   /** Embedding near-dup pairs: same-cell blocking, cosine ≥ threshold.
    * Cells are capped at `maxCell` members before the self-join, bounding
    * the within-cell cost at maxCell²/2 pairs (see capCell). */

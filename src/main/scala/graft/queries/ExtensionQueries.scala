@@ -26,6 +26,10 @@ object ExtensionQueries {
   private val PqBits = 2
   private val PqSeed = "pq"
 
+  /** Seed family for the RESIDUAL PQ codebooks (n18) — distinct from the
+   * raw-vector PQ seed so the two quantizers train independent cells. */
+  private val ResPqSeed = "pqr"
+
   /** Sliding-window chunking parameters shared by sp7/d11 and their
    * oracles (step = size − overlap). */
   private val ChunkSize = 32
@@ -134,6 +138,59 @@ object ExtensionQueries {
                                + list_dot_product(cb.cq, cb.cq), cb.cell) AS rn
                     FROM v$i v CROSS JOIN cb$i cb) WHERE rn = 1)"""
     }.mkString(",\n")
+
+  /** DuckDB mirror of the residual-PQ chain (n18): expects the
+   * [[sqlAsg1Ctes]] relations (`v(vec_id, vq)`, `cb(cell, cq)`,
+   * `asg(vec_id, cell, dist)`) in scope. Emits `rq` (exact-BIGINT
+   * residuals vs the assigned coarse centroid), per-subspace residual
+   * codebooks `rcb{i}` (integer-millis plane seeding — exact-integer
+   * sign projections — then the snap-to-grid M-step), code assignments
+   * `ra{i}`, and the encoded relation `renc(vec_id, cell, c0..)`. */
+  private lazy val ResidualPqCtes: String = {
+    val subs = (0 until PqM).map { i =>
+      val lo = i * PqSubDim + 1
+      val hi = (i + 1) * PqSubDim
+      val planes = Similarity.rpPlanesMillis(PqSubDim, PqBits, s"$ResPqSeed$i")
+      val cellExpr = planes.zipWithIndex.map { case (w, p) =>
+        val lits = w.mkString("[", ", ", "]")
+        s"""(CASE WHEN list_dot_product(rs::DOUBLE[], $lits::DOUBLE[]) > 0
+                  THEN ${1 << p} ELSE 0 END)"""
+      }.mkString(" + ")
+      s"""rc$i AS (SELECT vec_id, rq[$lo:$hi] AS rs,
+                          CAST($cellExpr AS INTEGER) AS cell
+                   FROM rq),
+          rx$i AS (SELECT cell,
+                          unnest([{'pos': j - 1, 'v': rs[j]}
+                                  for j in generate_series(1, len(rs))]) AS u
+                   FROM rc$i),
+          rg$i AS (SELECT cell, CAST(u.pos AS INTEGER) AS pos, count(*) AS n,
+                          CAST(sum(u.v) AS BIGINT) AS s
+                   FROM rx$i GROUP BY 1, 2),
+          rcb$i AS (SELECT cell,
+                           list(CAST(floor(s / n + 0.5) AS BIGINT)::DOUBLE
+                             ORDER BY pos) AS cq
+                    FROM rg$i GROUP BY cell),
+          ra$i AS (SELECT vec_id, cell AS c$i FROM (
+                     SELECT rc.vec_id, rcb.cell,
+                            row_number() OVER (PARTITION BY rc.vec_id
+                              ORDER BY list_dot_product(rc.rsd, rc.rsd)
+                                - 2 * list_dot_product(rc.rsd, rcb.cq)
+                                + list_dot_product(rcb.cq, rcb.cq),
+                                rcb.cell) AS rn
+                     FROM (SELECT vec_id, rs::DOUBLE[] AS rsd FROM rc$i) rc
+                     CROSS JOIN rcb$i rcb) WHERE rn = 1)"""
+    }.mkString(",\n")
+    val encJoins = (1 until PqM).map(i => s"JOIN ra$i USING (vec_id)")
+      .mkString(" ")
+    val encCols = (0 until PqM).map(i => s"ra$i.c$i").mkString(", ")
+    s"""rq AS (SELECT a.vec_id, a.cell,
+                      [CAST(v.vq[j] AS BIGINT) - CAST(cb.cq[j] AS BIGINT)
+                       for j in generate_series(1, len(v.vq))] AS rq
+               FROM asg a JOIN v USING (vec_id) JOIN cb ON cb.cell = a.cell),
+        $subs,
+        renc AS (SELECT rq.vec_id, rq.cell, $encCols
+                 FROM rq JOIN ra0 USING (vec_id) $encJoins)"""
+  }
 
   /** Shared DuckDB CTE prefix: distinct word-shingles per doc, mirroring
    * Dedup.shingles — the width-3 instance of [[sqlShinglesCteN]] (one
@@ -1614,6 +1671,55 @@ object ExtensionQueries {
             SELECT q_id, n_id, sim, rank FROM rr WHERE rank <= 3"""
       },
       "multi-probe IVFADC+R: flip-cell retrieval, exact cosine re-rank"),
+
+    // IVFADC in its PUBLISHED (residual) form: PQ codes quantize the
+    // residual x − c(cell) against the TRAINED coarse centroid (n7's
+    // codebook), not the raw vector — the FAISS IVFPQ default. Exact
+    // integers end-to-end: micro-grid residual subtraction, integer-millis
+    // plane seeding for the residual codebooks, integer code assignment
+    // and ADC distances, so the full train→encode→search chain replays
+    // bit-for-bit.
+    "n18_knn_ivfadc_residual" -> QueryDef(
+      (s, dir) => {
+        graft.functions.GraftFunctions.register(s)
+        val emb = t(s, dir, "embeddings")
+        Similarity.knnIvfAdcResidual(emb.filter(col("vec_id") < 10), emb, 3,
+          bits = RpBits, dim = RpDim, seed = RpSeed,
+          m = PqM, subDim = PqSubDim, pqBits = PqBits, pqSeed = ResPqSeed)
+      },
+      Some {
+        val luts = (0 until PqM).map { i =>
+          val lo = i * PqSubDim + 1
+          val hi = (i + 1) * PqSubDim
+          s"""lq$i AS (SELECT q_id, qs::DOUBLE[] AS qsd
+                       FROM (SELECT q_id, rq[$lo:$hi] AS qs FROM q)),
+              lut$i AS (SELECT q_id, rcb.cell,
+                               CAST(list_dot_product(qsd, qsd)
+                                 - 2 * list_dot_product(qsd, rcb.cq)
+                                 + list_dot_product(rcb.cq, rcb.cq)
+                                 AS BIGINT) AS d
+                        FROM lq$i CROSS JOIN rcb$i rcb)"""
+        }.mkString(",\n")
+        val lutJoins = (0 until PqM).map(i =>
+          s"JOIN lut$i l$i ON l$i.q_id = q.q_id AND l$i.cell = e.c$i")
+          .mkString("\n                ")
+        val dist = (0 until PqM).map(i => s"l$i.d").mkString(" + ")
+        s"""WITH ${sqlAsg1Ctes("embeddings")},
+            $ResidualPqCtes,
+            q AS (SELECT vec_id AS q_id, cell, rq FROM rq WHERE vec_id < 10),
+            $luts,
+            scored AS (
+              SELECT q.q_id, e.vec_id AS n_id, $dist AS dist_q
+              FROM q JOIN renc e ON e.cell = q.cell AND e.vec_id <> q.q_id
+                $lutJoins),
+            r AS (SELECT q_id, n_id, dist_q,
+                         CAST(row_number() OVER (PARTITION BY q_id
+                           ORDER BY dist_q, n_id) AS INTEGER) AS rank
+                  FROM scored)
+            SELECT q_id, n_id, CAST(dist_q AS BIGINT) AS dist_q, rank
+            FROM r WHERE rank <= 3"""
+      },
+      "IVFADC, residual form (Jegou et al. 2011): trained coarse cells, exact-integer residual codes"),
 
     // kNN on the int8 codes themselves: per-vector scales cancel in
     // cosine, so the quantized corpus is searched without dequantization —

@@ -1,0 +1,79 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+
+/** Residual IVFADC (n18) behavior locks. The VALUES are oracle-gated by
+ * `n18_knn_ivfadc_residual`; these pin the published method's qualitative
+ * contract and the determinism the oracle can't express. Lives in
+ * `graft.ext` for the `private[ext]` residual helpers. */
+class ResidualPqSpec extends graft.SparkTestBase {
+  import spark.implicits._
+
+  private val SubDim = 16
+  private lazy val embs =
+    spark.read.parquet(s"$Sf/embeddings.parquet").select("vec_id", "embedding")
+
+  test("residual PQ reconstructs finer than raw-vector PQ at the same code budget") {
+    // The reason IVFADC encodes residuals (Jégou et al. 2011): residual
+    // energy is far below vector energy once the coarse centroid is
+    // subtracted, so the same (m, bits) quantizes with smaller error.
+    val coarse = Similarity.codebook(embs)
+    val residuals = embs
+      .select(col("vec_id"),
+        Similarity.nearestCell(col("embedding"), coarse).as("cell"),
+        col("embedding"))
+      .select(col("vec_id"), col("cell"),
+        Similarity.residualQ(col("embedding"), col("cell"), coarse).as("rq"))
+    val cbs = Similarity.pqCodebooksResidual(residuals)
+    val enc = residuals.select(
+      col("vec_id") +: col("rq") +:
+        cbs.indices.map(i =>
+          Similarity.nearestCellQ(
+            slice(col("rq"), lit(i * SubDim + 1), lit(SubDim)), cbs(i))
+            .as(s"c$i")): _*)
+    val resErr = enc
+      .select(Similarity.adcDistResidual(col("rq"), cbs, SubDim).as("e"))
+      .agg(avg("e")).head.getDouble(0)
+    val rawErr = Similarity
+      .adcSelfError(embs, Similarity.pqCodebooks(embs), SubDim)
+      .agg(avg("adc_err")).head.getDouble(0)
+    assert(resErr < rawErr,
+      s"mean residual ADC error $resErr must undercut raw-PQ $rawErr")
+  }
+
+  test("residual IVFADC search is partition-independent and exactly ranked") {
+    val q = embs.filter($"vec_id" < 6)
+    val a = Similarity.knnIvfAdcResidual(q, embs, 3)
+      .collect().map(_.toString).sorted.toSeq
+    val b = Similarity.knnIvfAdcResidual(
+        q.repartition(5), embs.repartition(7), 3)
+      .collect().map(_.toString).sorted.toSeq
+    assert(a == b, "repartitioning must not change any neighbor or distance")
+    assert(a.nonEmpty)
+  }
+
+  test("integer-millis plane projections assign like their float twins' signs") {
+    // rpCellQ on micro-grid integers with millis weights must equal the
+    // sign pattern of the exact real projection: scaling by 1000·1e6 > 0
+    // preserves signs, and the integer dot is exact — so the assignment
+    // can never sit on a rounding boundary.
+    val planes = Similarity.rpPlanesMillis(4, 2, "t")
+    val vecs = Seq(
+      (1L, Seq(1000000L, -2000000L, 3000000L, -500000L)),
+      (2L, Seq(-1L, 1L, -1L, 1L)),
+      (3L, Seq(0L, 0L, 0L, 0L))).toDF("vec_id", "rq")
+    val got = vecs.select(col("vec_id"),
+      Similarity.rpCellQ(col("rq"), planes).as("cell"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val want = Seq(
+      (1L, Seq(1000000L, -2000000L, 3000000L, -500000L)),
+      (2L, Seq(-1L, 1L, -1L, 1L)),
+      (3L, Seq(0L, 0L, 0L, 0L))).map { case (id, v) =>
+      id -> planes.zipWithIndex.map { case (w, p) =>
+        val d = v.zip(w).map { case (a, b) => a * b }.sum
+        if (d > 0) 1 << p else 0
+      }.sum
+    }.toMap
+    assert(got == want)
+  }
+}
