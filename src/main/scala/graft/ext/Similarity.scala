@@ -914,7 +914,8 @@ object Similarity {
   def knnIvfAdcResidual(queries: DataFrame, corpus: DataFrame, k: Int,
       bits: Int = 4, dim: Int = 64, seed: String = "rp",
       m: Int = 4, subDim: Int = 16, pqBits: Int = 2,
-      pqSeed: String = "pqr"): DataFrame = {
+      pqSeed: String = "pqr", nprobe: Int = 1): DataFrame = {
+    require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
     val coarse = codebook(corpus, bits, dim, seed)
     val residuals = Dedup.materialize(
       corpus.select(col("vec_id"), col("embedding"),
@@ -927,9 +928,17 @@ object Similarity {
         cbs.indices.map(i =>
           nearestCellQ(slice(col("rq"), i * subDim + 1, subDim), cbs(i))
             .as(s"c$i")): _*)
+    // Each query probes its `nprobe` nearest coarse centroids (the FAISS
+    // `nprobe` knob — trained cells have no Hamming structure, so the
+    // rp-cell flip heuristic doesn't apply) and forms a PER-PROBE residual
+    // against the probed centroid: IVFADC's ADC distance is only defined
+    // relative to the cell the candidate is stored under. Corpus rows hold
+    // exactly one cell, so probe candidate sets are disjoint — no dedup
+    // before the top-k cut.
     val q = queries
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
-      .withColumn("cell", nearestCell(col("q_emb"), coarse))
+      .withColumn("cell",
+        explode(nearestCells(col("q_emb"), coarse, nprobe)))
       .withColumn("qr", residualQ(col("q_emb"), col("cell"), coarse))
     topKByDist(
       q.join(enc, "cell")
@@ -937,6 +946,23 @@ object Similarity {
         .select(col("q_id"), col("vec_id").as("n_id"),
           adcDistResidual(col("qr"), cbs, subDim).as("dist_q")),
       k)
+  }
+
+  /** The `nprobe` nearest coarse centroids of an embedding, closest first
+   * — exact integer distances, (d, cell) struct sort so ties break to the
+   * smaller cell id in any engine. A pure narrow expression (the codebook
+   * inlines as literals), like [[nearestCell]] = the nprobe-1 case. */
+  def nearestCells(emb: Column, cb: Array[(Int, Array[Long])],
+      nprobe: Int): Column = {
+    require(cb.nonEmpty, "empty codebook")
+    val vq = quantizeMicro(emb)
+    val scored = array(cb.map { case (cell, cq) =>
+      struct(
+        aggregate(zip_with(vq, lit(cq), (a, b) => (a - b) * (a - b)),
+          lit(0L), _ + _).as("d"),
+        lit(cell).as("cell"))
+    }: _*)
+    transform(slice(array_sort(scored), 1, nprobe), s => s.getField("cell"))
   }
 
   /** Embedding near-dup pairs: same-cell blocking, cosine ≥ threshold.

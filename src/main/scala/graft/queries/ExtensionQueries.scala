@@ -1721,6 +1721,66 @@ object ExtensionQueries {
       },
       "IVFADC, residual form (Jegou et al. 2011): trained coarse cells, exact-integer residual codes"),
 
+    // The FAISS `nprobe` knob on residual IVFADC: each query probes its 2
+    // nearest TRAINED centroids (trained cells have no Hamming structure,
+    // so the rp flip heuristic doesn't apply) and forms a per-probe
+    // residual — ADC distance is only defined relative to the cell a
+    // candidate is stored under. Probe sets are disjoint (a corpus row
+    // has one cell), so no dedup precedes the top-k cut.
+    "n19_knn_ivfadc_nprobe" -> QueryDef(
+      (s, dir) => {
+        graft.functions.GraftFunctions.register(s)
+        val emb = t(s, dir, "embeddings")
+        Similarity.knnIvfAdcResidual(emb.filter(col("vec_id") < 10), emb, 3,
+          bits = RpBits, dim = RpDim, seed = RpSeed,
+          m = PqM, subDim = PqSubDim, pqBits = PqBits, pqSeed = ResPqSeed,
+          nprobe = 2)
+      },
+      Some {
+        val luts = (0 until PqM).map { i =>
+          val lo = i * PqSubDim + 1
+          val hi = (i + 1) * PqSubDim
+          s"""lq$i AS (SELECT q_id, pcell, qs::DOUBLE[] AS qsd
+                       FROM (SELECT q_id, pcell, qr[$lo:$hi] AS qs FROM qr)),
+              lut$i AS (SELECT q_id, pcell, rcb.cell AS ccell,
+                               CAST(list_dot_product(qsd, qsd)
+                                 - 2 * list_dot_product(qsd, rcb.cq)
+                                 + list_dot_product(rcb.cq, rcb.cq)
+                                 AS BIGINT) AS d
+                        FROM lq$i CROSS JOIN rcb$i rcb)"""
+        }.mkString(",\n")
+        val lutJoins = (0 until PqM).map(i =>
+          s"""JOIN lut$i l$i ON l$i.q_id = qr.q_id
+                AND l$i.pcell = qr.pcell AND l$i.ccell = e.c$i""")
+          .mkString("\n                ")
+        val dist = (0 until PqM).map(i => s"l$i.d").mkString(" + ")
+        s"""WITH ${sqlAsg1Ctes("embeddings")},
+            $ResidualPqCtes,
+            qp AS (SELECT vec_id AS q_id, cell AS pcell FROM (
+                     SELECT vec_id, cell,
+                            row_number() OVER (PARTITION BY vec_id
+                              ORDER BY dist, cell) AS rn
+                     FROM d WHERE vec_id < 10) WHERE rn <= 2),
+            qr AS (SELECT qp.q_id, qp.pcell,
+                          [CAST(v.vq[j] AS BIGINT) - CAST(cb.cq[j] AS BIGINT)
+                           for j in generate_series(1, len(v.vq))] AS qr
+                   FROM qp JOIN v ON v.vec_id = qp.q_id
+                   JOIN cb ON cb.cell = qp.pcell),
+            $luts,
+            scored AS (
+              SELECT qr.q_id, e.vec_id AS n_id, $dist AS dist_q
+              FROM qr JOIN renc e ON e.cell = qr.pcell
+                AND e.vec_id <> qr.q_id
+                $lutJoins),
+            r AS (SELECT q_id, n_id, dist_q,
+                         CAST(row_number() OVER (PARTITION BY q_id
+                           ORDER BY dist_q, n_id) AS INTEGER) AS rank
+                  FROM scored)
+            SELECT q_id, n_id, CAST(dist_q AS BIGINT) AS dist_q, rank
+            FROM r WHERE rank <= 3"""
+      },
+      "residual IVFADC at nprobe=2: nearest-centroid probe list, per-probe residuals"),
+
     // kNN on the int8 codes themselves: per-vector scales cancel in
     // cosine, so the quantized corpus is searched without dequantization —
     // 4× less scan IO at query time, exact integer dots, one

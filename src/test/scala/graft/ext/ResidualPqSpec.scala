@@ -52,6 +52,23 @@ class ResidualPqSpec extends graft.SparkTestBase {
     assert(a.nonEmpty)
   }
 
+  test("nprobe=2 never ranks a worse neighbor at any position than nprobe=1") {
+    // More probed lists = a superset of candidates, so the distance at
+    // every (query, rank) slot is monotone non-increasing in nprobe.
+    val q = embs.filter($"vec_id" < 6)
+    def byRank(nprobe: Int): Map[(Long, Int), Long] =
+      Similarity.knnIvfAdcResidual(q, embs, 3, nprobe = nprobe)
+        .collect()
+        .map(r => (r.getLong(0), r.getInt(3)) -> r.getLong(2)).toMap
+    val one = byRank(1)
+    val two = byRank(2)
+    assert(one.nonEmpty)
+    one.foreach { case (key, d1) =>
+      val d2 = two(key)
+      assert(d2 <= d1, s"slot $key regressed: nprobe2 $d2 > nprobe1 $d1")
+    }
+  }
+
   test("integer-millis plane projections assign like their float twins' signs") {
     // rpCellQ on micro-grid integers with millis weights must equal the
     // sign pattern of the exact real projection: scaling by 1000·1e6 > 0
