@@ -337,6 +337,66 @@ object AnnIndex {
     writeDriftRow(corpus, dir, cbs, subDim, batchId = -1L)
   }
 
+  /** Build a residual-IVFADC index ([[Similarity.knnIvfAdcResidual]]'s
+   * published Jégou-et-al form): persist the TRAINED coarse codebook, the
+   * residual PQ codebooks, and the residual-code-encoded corpus — cell-
+   * partitioned like [[buildIvfPq]], so `nprobe` list selection happens as
+   * FILE-level partition pruning. The training residual relation is
+   * materialized once and feeds codebook training AND encoding (the two
+   * passes FAISS makes), then nothing residual-sized persists: the at-rest
+   * representation is (vec_id, cell, m codes) — the same compression as
+   * IVF-PQ, now carrying residual precision. */
+  def buildIvfAdcResidual(corpus: DataFrame, dir: String, bits: Int = 4,
+      dim: Int = 64, seed: String = "rp", m: Int = 4, subDim: Int = 16,
+      pqBits: Int = 2, pqSeed: String = "pqr"): Unit = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val coarse = Similarity.codebook(corpus, bits, dim, seed)
+    val residuals = Dedup.materialize(
+      corpus.select(col("vec_id"), col("embedding"),
+        Similarity.nearestCell(col("embedding"), coarse).as("cell"))
+        .select(col("vec_id"), col("cell"),
+          Similarity.residualQ(col("embedding"), col("cell"), coarse)
+            .as("rq")))
+    val cbs = Similarity.pqCodebooksResidual(residuals, m, subDim, pqBits,
+      pqSeed)
+    Seq((bits, dim, seed, m, subDim, pqBits, pqSeed))
+      .toDF("bits", "dim", "seed", "m", "sub_dim", "pq_bits", "pq_seed")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/params.parquet")
+    coarse.toSeq.map { case (cell, cq) => (cell, cq.toSeq) }
+      .toDF("cell", "cq")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/codebook.parquet")
+    writePqCodebooks(spark, cbs, s"$dir/pq_codebooks.parquet")
+    Similarity.encodeResidual(residuals, cbs, subDim)
+      .repartition(col("cell"))
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$dir/encoded.parquet")
+  }
+
+  /** Search a [[buildIvfAdcResidual]] index at `nprobe`: geometry and both
+   * codebook families come from the stored artifact; each query's probed
+   * cells prune the scan to their lists' directories ([[pruneProbed]] —
+   * literal IN below `maxInList` distinct cells, semi-join fallback
+   * above); the search body is the fused path's own
+   * ([[Similarity.ivfAdcResidualSearch]]), so results are bit-identical
+   * to [[Similarity.knnIvfAdcResidual]] with training amortized away. */
+  def searchIvfAdcResidual(queries: DataFrame, spark: SparkSession,
+      dir: String, k: Int, nprobe: Int = 1,
+      maxInList: Int = DefaultMaxInList): DataFrame = {
+    val subDim = spark.read.parquet(s"$dir/params.parquet")
+      .select("sub_dim").head.getInt(0)
+    val coarse = loadCodebook(spark, s"$dir/codebook.parquet")
+    val cbs = loadPqCodebooks(spark, s"$dir/pq_codebooks.parquet")
+    val qCells = queries
+      .select(explode(
+        Similarity.nearestCells(col("embedding"), coarse, nprobe))
+        .as("cell"))
+    Similarity.ivfAdcResidualSearch(queries,
+      pruneProbed(spark.read.parquet(s"$dir/encoded.parquet"),
+        qCells, "cell", maxInList),
+      coarse, cbs, subDim, k, nprobe)
+  }
+
   /** Append new vectors to an existing [[buildIvfPq]] index WITHOUT
    * retraining: rp geometry and PQ codebooks come from the stored params
    * and the new rows encode through the shared [[Similarity.encodeIvfPq]]

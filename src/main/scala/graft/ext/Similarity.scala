@@ -923,18 +923,34 @@ object Similarity {
         .select(col("vec_id"), col("cell"),
           residualQ(col("embedding"), col("cell"), coarse).as("rq")))
     val cbs = pqCodebooksResidual(residuals, m, subDim, pqBits, pqSeed)
-    val enc = residuals.select(
+    ivfAdcResidualSearch(queries,
+      encodeResidual(residuals, cbs, subDim), coarse, cbs, subDim, k, nprobe)
+  }
+
+  /** Residual code assignment over a `(vec_id, cell, rq)` relation — one
+   * narrow pass; shared by the fused path and [[AnnIndex
+   * .buildIvfAdcResidual]] so built rows encode exactly as fused rows. */
+  private[ext] def encodeResidual(residuals: DataFrame,
+      cbs: Array[Array[(Int, Array[Long])]], subDim: Int): DataFrame =
+    residuals.select(
       col("vec_id") +: col("cell") +:
         cbs.indices.map(i =>
           nearestCellQ(slice(col("rq"), i * subDim + 1, subDim), cbs(i))
             .as(s"c$i")): _*)
-    // Each query probes its `nprobe` nearest coarse centroids (the FAISS
-    // `nprobe` knob — trained cells have no Hamming structure, so the
-    // rp-cell flip heuristic doesn't apply) and forms a PER-PROBE residual
-    // against the probed centroid: IVFADC's ADC distance is only defined
-    // relative to the cell the candidate is stored under. Corpus rows hold
-    // exactly one cell, so probe candidate sets are disjoint — no dedup
-    // before the top-k cut.
+
+  /** The residual-IVFADC search body over an already-encoded corpus
+   * (`(vec_id, cell, c0..)`): each query probes its `nprobe` nearest
+   * coarse centroids (the FAISS `nprobe` knob — trained cells have no
+   * Hamming structure, so the rp-cell flip heuristic doesn't apply) and
+   * forms a PER-PROBE residual against the probed centroid, since ADC
+   * distance is only defined relative to the cell the candidate is stored
+   * under. Corpus rows hold exactly one cell, so probe candidate sets are
+   * disjoint — no dedup before the top-k cut. Shared by the fused
+   * [[knnIvfAdcResidual]] and [[AnnIndex.searchIvfAdcResidual]]. */
+  private[ext] def ivfAdcResidualSearch(queries: DataFrame, enc: DataFrame,
+      coarse: Array[(Int, Array[Long])],
+      cbs: Array[Array[(Int, Array[Long])]], subDim: Int, k: Int,
+      nprobe: Int): DataFrame = {
     val q = queries
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
       .withColumn("cell",

@@ -69,6 +69,21 @@ class ResidualPqSpec extends graft.SparkTestBase {
     }
   }
 
+  test("index round-trip is bit-identical to the fused path, at nprobe 1 and 2") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("ann_ivfadc_residual").toString
+    AnnIndex.buildIvfAdcResidual(embs, dir)
+    val q = embs.filter($"vec_id" < 6)
+    for (np <- Seq(1, 2)) {
+      val fused = Similarity.knnIvfAdcResidual(q, embs, 3, nprobe = np)
+        .collect().map(_.toString).sorted.toSeq
+      val stored = AnnIndex.searchIvfAdcResidual(q, spark, dir, 3, nprobe = np)
+        .collect().map(_.toString).sorted.toSeq
+      assert(stored == fused, s"index search must equal fused at nprobe=$np")
+      assert(stored.nonEmpty)
+    }
+  }
+
   test("integer-millis plane projections assign like their float twins' signs") {
     // rpCellQ on micro-grid integers with millis weights must equal the
     // sign pattern of the exact real projection: scaling by 1000·1e6 > 0
