@@ -369,12 +369,23 @@ object Bench {
       // that is the amortized deployment cost), so ann_index_search vs
       // ann_n14 is the measured build-once/search-many win at 10×.
       val annNames = Seq("n7_knn_ivf_trained", "n10_pq_encode", "n11_pq_adc",
-        "n14_knn_ivfpq", "e5_proto_prune")
+        "n14_knn_ivfpq", "e5_proto_prune",
+        // round 7: residual IVFADC (published form) — fused train+search
+        "n18_knn_ivfadc_residual")
       val idxDir = s"$dir10/ann_ivfpq_index"
+      val residualIdxDir = s"$dir10/ann_ivfadc_residual_index"
       runFamily(
         annNames.map(n =>
           s"ann_$n" -> ((ps: org.apache.spark.sql.SparkSession) =>
             SparkEntry.queries(n)(ps, dir10))) :+
+        // residual-index search at nprobe=2 over the prebuilt artifact
+        // (built untimed in setup alongside the IVF-PQ index)
+        ("ann_index_search_ivfadc_residual_np2" ->
+          ((ps: org.apache.spark.sql.SparkSession) =>
+            graft.ext.AnnIndex.searchIvfAdcResidual(
+              ps.read.parquet(s"$dir10/embeddings.parquet")
+                .filter(col("vec_id") < 8),
+              ps, residualIdxDir, 3, nprobe = 2))) :+
         ("ann_index_search_ivfpq" -> ((ps: org.apache.spark.sql.SparkSession) =>
           graft.ext.AnnIndex.searchIvfPq(
             ps.read.parquet(s"$dir10/embeddings.parquet")
@@ -412,6 +423,11 @@ object Bench {
             ps.read.parquet(s"$dir10/embeddings.parquet"), idxDir))
           walls += ("ann_index_build_ivfpq" -> f2(bw))
           sf1Bytes += ("ann_index_bytes_ivfpq" -> dirBytes(idxDir).toString)
+          val (rbw, _) = timed(graft.ext.AnnIndex.buildIvfAdcResidual(
+            ps.read.parquet(s"$dir10/embeddings.parquet"), residualIdxDir))
+          walls += ("ann_index_build_ivfadc_residual" -> f2(rbw))
+          sf1Bytes += ("ann_index_bytes_ivfadc_residual" ->
+            dirBytes(residualIdxDir).toString)
         })
       // Deletion lifecycle over the SAME prebuilt index (round-6 verdict
       // #4: tombstones + vacuum were spec-proven but unmeasured). Two
