@@ -391,8 +391,12 @@ object AnnIndex {
       .select(explode(
         Similarity.nearestCells(col("embedding"), coarse, nprobe))
         .as("cell"))
+    // read through listing(): tombstoned ids anti-join out ABOVE the
+    // pruned scan, so deleteIds applies to this family exactly like the
+    // IVF/IVF-PQ searches (no appends exist for residual indexes yet, so
+    // the leg union is just the base).
     Similarity.ivfAdcResidualSearch(queries,
-      pruneProbed(spark.read.parquet(s"$dir/encoded.parquet"),
+      pruneProbed(listing(spark, dir, "encoded"),
         qCells, "cell", maxInList),
       coarse, cbs, subDim, k, nprobe)
   }

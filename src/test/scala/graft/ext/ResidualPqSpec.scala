@@ -84,6 +84,22 @@ class ResidualPqSpec extends graft.SparkTestBase {
     }
   }
 
+  test("a tombstoned id disappears from residual-index search results") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("ann_ivfadc_residual_del").toString
+    AnnIndex.buildIvfAdcResidual(embs, dir)
+    val q = embs.filter($"vec_id" < 6)
+    val before = AnnIndex.searchIvfAdcResidual(q, spark, dir, 3, nprobe = 2)
+      .select("n_id").as[Long].collect().toSet
+    assert(before.nonEmpty)
+    val victim = before.max
+    AnnIndex.deleteIds(Seq(victim).toDF("vec_id"), dir)
+    val after = AnnIndex.searchIvfAdcResidual(q, spark, dir, 3, nprobe = 2)
+      .select("n_id").as[Long].collect().toSet
+    assert(!after.contains(victim),
+      s"deleted id $victim still surfaced: $after")
+  }
+
   test("integer-millis plane projections assign like their float twins' signs") {
     // rpCellQ on micro-grid integers with millis weights must equal the
     // sign pattern of the exact real projection: scaling by 1000·1e6 > 0
