@@ -78,7 +78,8 @@ object Curation {
       minOverlap: Int = 5, maxBucket: Int = 100,
       spanWidth: Int = 8,
       embeddings: Option[(DataFrame, DataFrame)] = None,
-      minCos: Double = 0.3, embedCellCol: String = "label"): DataFrame = {
+      minCos: Double = 0.3, embedCellCol: String = "label",
+      withSignals: Boolean = false): DataFrame = {
     // ONE corpus tokenization, shared by near-dup mining and the n-gram
     // leak scan (the two shingle consumers). Materialized eagerly for the
     // same reasons minhashDedupPairs always did — multiple consumers, and
@@ -116,7 +117,7 @@ object Curation {
           .join(spanKept, Seq("doc_id")))(
         (df, hits) => df.join(hits, Seq("doc_id"), "left")),
       "doc_id")
-    joined
+    val base = joined
       .select(col("doc_id"), col("lang_ok"), col("quality_ok"),
         coalesce(col("exact_keeper"), lit(false)).as("exact_keeper"),
         coalesce(col("neardup_keeper"), lit(false)).as("neardup_keeper"),
@@ -130,5 +131,22 @@ object Curation {
         col("lang_ok") && col("quality_ok") && col("exact_keeper") &&
           col("neardup_keeper") && !col("contaminated") &&
           !col("embed_contaminated"))
+    if (!withSignals) base
+    else
+      // The graded signal panel on top of the boolean gates: the hashed
+      // linear quality-model score ([[QualityModel.score]], t8) and the
+      // corpus-unigram cross-entropy ([[TextAnalysis.unigramCrossEntropy]],
+      // t14) — the two numbers a curation run thresholds AFTER auditing
+      // their distributions. OPTIONAL (and absent from the streaming
+      // curation table) deliberately: both are corpus-level statistics — a
+      // document's xent shifts as the corpus distribution grows, so they
+      // cannot be maintained incrementally under the append-only contract
+      // the streaming table proves; the batch audit is where they belong.
+      base
+        .join(QualityModel.score(docs)
+          .select(col("doc_id"), col("score").as("quality_score")),
+          Seq("doc_id"))
+        .join(TextAnalysis.unigramCrossEntropy(docs)
+          .select(col("doc_id"), col("xent")), Seq("doc_id"))
   }
 }

@@ -2169,7 +2169,8 @@ object ExtensionQueries {
         Curation.curationReport(docs,
           bench = docs.filter(col("doc_id") % 20 === 0),
           embeddings = Some((emb.filter(col("vec_id") >= 10),
-            emb.filter(col("vec_id") < 10))))
+            emb.filter(col("vec_id") < 10))),
+          withSignals = true)
       },
       Some(s"""WITH RECURSIVE $LshPairsCappedCtes,
                edges AS (
@@ -2205,6 +2206,30 @@ object ExtensionQueries {
                  WHERE ${sqlCos("c.c_emb", "ev.e_emb")} >= 0.3),
                $GopherCtes,
                l AS (SELECT doc_id, $LangPredSql AS lang_pred FROM documents),
+               qm_w AS (
+                 SELECT doc_id,
+                        ('0x' || substr(md5('qv:' ||
+                           (('0x' || substr(md5('qw:' || tok), 1, 8))::BIGINT % ${graft.ext.QualityModel.NumBuckets})::VARCHAR
+                         ), 1, 8))::BIGINT % 2001 - 1000 AS w_m
+                 FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                       FROM documents)),
+               qm AS (
+                 SELECT doc_id,
+                        CAST(CAST(sum(w_m) AS BIGINT) AS DOUBLE) / 1000.0
+                          / count(*) AS quality_score
+                 FROM qm_w GROUP BY doc_id),
+               ux_tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                          FROM documents),
+               ux_c AS (SELECT tok, count(*) AS c FROM ux_tok GROUP BY tok),
+               ux_n AS (SELECT count(*) AS n_total FROM ux_tok),
+               ux_w AS (SELECT doc_id,
+                               CAST(floor(-ln(CAST(c AS DOUBLE) / n_total) * 1e6
+                                 + 0.5) AS BIGINT) AS nll_q
+                        FROM ux_tok JOIN ux_c USING (tok) CROSS JOIN ux_n),
+               ux AS (SELECT doc_id,
+                             round(CAST(sum(nll_q) AS DOUBLE) / 1e6 / count(*), 6)
+                               AS xent
+                      FROM ux_w GROUP BY doc_id),
                flags AS (
                  SELECT d.doc_id,
                         (l.lang_pred = 'en') AS lang_ok,
@@ -2220,17 +2245,24 @@ object ExtensionQueries {
                           AS embed_contaminated,
                         CASE WHEN ('0x' || substr(md5('split:' || d.doc_id::VARCHAR), 1, 8))::BIGINT % 100 < 80 THEN 'train'
                              WHEN ('0x' || substr(md5('split:' || d.doc_id::VARCHAR), 1, 8))::BIGINT % 100 < 90 THEN 'val'
-                             ELSE 'test' END AS split
+                             ELSE 'test' END AS split,
+                        qm.quality_score,
+                        ux.xent
                  FROM documents d
                  JOIN l USING (doc_id)
                  JOIN gq USING (doc_id)
-                 JOIN span_agg sa USING (doc_id))
-               SELECT *,
+                 JOIN span_agg sa USING (doc_id)
+                 JOIN qm USING (doc_id)
+                 JOIN ux USING (doc_id))
+               SELECT doc_id, lang_ok, quality_ok, exact_keeper,
+                      neardup_keeper, contaminated, span_kept,
+                      embed_contaminated, split,
                       (lang_ok AND quality_ok AND exact_keeper
                        AND neardup_keeper AND NOT contaminated
-                       AND NOT embed_contaminated) AS keep
+                       AND NOT embed_contaminated) AS keep,
+                      quality_score, xent
                FROM flags"""),
-      "composed curation pipeline: per-doc disposition audit (all gates)"),
+      "composed curation pipeline: per-doc disposition audit (gates + graded signal panel)"),
 
     // ---- deterministic splitting / sampling / packing ----
 
