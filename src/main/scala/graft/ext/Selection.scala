@@ -49,14 +49,34 @@ object Selection {
   def featureBucket(token: Column): Column =
     pmod(md5u32(concat(lit("ds:"), token)), lit(NumBuckets.toLong))
 
+  /** The hashed feature stream of a document relation: unigrams always;
+   * with `ngrams = 2` also the word bigrams (`"w1 w2"` strings into the
+   * same hashed bucket space) — the paper's full feature set. Bigrams
+   * derive NARROWLY (`zip_with` over two array slices); the explode is the
+   * only amplification, ~2× the token count. */
+  private def featureStream(docs: DataFrame, isTarget: Column,
+      ngrams: Int): DataFrame = {
+    require(ngrams == 1 || ngrams == 2, s"ngrams must be 1 or 2, got $ngrams")
+    val w = split(col("text"), " ")
+    val uni = docs.select(col("doc_id"), isTarget.as("is_t"),
+      explode(w).as("tok"))
+    if (ngrams == 1) uni
+    else uni.unionByName(docs
+      .filter(size(w) >= 2)
+      .select(col("doc_id"), isTarget.as("is_t"),
+        explode(zip_with(
+          slice(w, lit(1), size(w) - 1), slice(w, lit(2), size(w) - 1),
+          (a, b) => concat(a, lit(" "), b))).as("tok")))
+  }
+
   /** Per-bucket micro-quantized log importance ratio
    * `floor((ln((ct+1)/(Nt+B)) − ln((cr+1)/(Nr+B)))·1e6 + 0.5)`
    * from ONE pass over the corpus tokens (conditional counts; target and
    * raw totals derive from the same bucket-grain relation, not a second
    * scan). Output: (b, ct, cr, lr_q) — `NumBuckets` rows. */
-  def dsirBucketLogRatios(docs: DataFrame, isTarget: Column): DataFrame = {
-    val toks = docs
-      .select(isTarget.as("is_t"), explode(split(col("text"), " ")).as("tok"))
+  def dsirBucketLogRatios(docs: DataFrame, isTarget: Column,
+      ngrams: Int = 1): DataFrame = {
+    val toks = featureStream(docs, isTarget, ngrams)
       .select(col("is_t"), featureBucket(col("tok")).as("b"))
     // Materialized: `counts` feeds BOTH the totals and the ratio projection
     // — without the checkpoint each reference re-derives it from its own
@@ -76,12 +96,13 @@ object Selection {
   }
 
   /** Log importance weight of every RAW-side document (target docs define
-   * the distribution; they are not candidates). Output:
+   * the distribution; they are not candidates). `ngrams = 2` scores over
+   * hashed unigrams+bigrams, the paper's configuration. Output:
    * (doc_id, n_toks, logw_q, logw = logw_q/1e6). */
-  def dsirWeights(docs: DataFrame, isTarget: Column): DataFrame = {
-    val lr = dsirBucketLogRatios(docs, isTarget)
-    docs.filter(!isTarget)
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+  def dsirWeights(docs: DataFrame, isTarget: Column,
+      ngrams: Int = 1): DataFrame = {
+    val lr = dsirBucketLogRatios(docs, isTarget, ngrams)
+    featureStream(docs, isTarget, ngrams).filter(!col("is_t"))
       .select(col("doc_id"), featureBucket(col("tok")).as("b"))
       .join(broadcast(lr.select("b", "lr_q")), "b")
       .groupBy("doc_id")
@@ -101,8 +122,9 @@ object Selection {
    * replacement with probability ∝ importance weight. Ties (exact-integer
    * keys can collide) break on doc_id, so the selected SET is unique.
    * Output: (doc_id, n_toks, logw_q, g_q, key_q) — k rows. */
-  def dsirResample(docs: DataFrame, isTarget: Column, k: Int): DataFrame =
-    dsirWeights(docs, isTarget)
+  def dsirResample(docs: DataFrame, isTarget: Column, k: Int,
+      ngrams: Int = 1): DataFrame =
+    dsirWeights(docs, isTarget, ngrams)
       .withColumn("g_q", gumbelQ(col("doc_id")))
       .withColumn("key_q", col("logw_q") + col("g_q"))
       .select("doc_id", "n_toks", "logw_q", "g_q", "key_q")

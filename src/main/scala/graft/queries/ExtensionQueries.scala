@@ -2624,6 +2624,53 @@ object ExtensionQueries {
               LIMIT 100"""),
       "DSIR Gumbel top-k importance resample (k=100, deterministic noise)"),
 
+    // DSIR with the paper's FULL feature set — hashed unigrams + bigrams
+    // into the same bucket space. Bigram features see word order, so
+    // paraphrase-vs-scramble distinctions the unigram weights (sp12) are
+    // blind to shift the ratios; cost is ~2x the token stream, still one
+    // corpus pass + a KB-scale ratio broadcast.
+    "sp14_dsir_weights_bigram" -> QueryDef(
+      (s, dir) => Selection.dsirWeights(
+        t(s, dir, "documents"), col("lang") === "en", ngrams = 2),
+      Some(s"""WITH w0 AS (SELECT doc_id, lang = 'en' AS is_t,
+                           string_split(text, ' ') AS w
+                    FROM documents),
+              feat AS (
+                SELECT doc_id, is_t, unnest(w) AS tok FROM w0
+                UNION ALL
+                SELECT doc_id, is_t,
+                       unnest([w[i] || ' ' || w[i+1]
+                               for i in generate_series(1, len(w) - 1)]) AS tok
+                FROM w0 WHERE len(w) >= 2),
+              tb AS (SELECT is_t,
+                            ('0x' || substr(md5('ds:' || tok), 1, 8))::BIGINT
+                              % ${Selection.NumBuckets} AS b
+                     FROM feat),
+              counts AS (SELECT b,
+                                sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS ct,
+                                sum(CASE WHEN is_t THEN 0 ELSE 1 END) AS cr
+                         FROM tb GROUP BY b),
+              tot AS (SELECT CAST(sum(ct) AS BIGINT) AS nt,
+                             CAST(sum(cr) AS BIGINT) AS nr
+                      FROM counts),
+              lr AS (SELECT b,
+                            CAST(floor((ln(CAST(ct + 1 AS DOUBLE)
+                                   / CAST(nt + ${Selection.NumBuckets} AS DOUBLE))
+                                 - ln(CAST(cr + 1 AS DOUBLE)
+                                   / CAST(nr + ${Selection.NumBuckets} AS DOUBLE)))
+                              * 1e6 + 0.5) AS BIGINT) AS lr_q
+                     FROM counts CROSS JOIN tot),
+              pool AS (SELECT doc_id,
+                              ('0x' || substr(md5('ds:' || tok), 1, 8))::BIGINT
+                                % ${Selection.NumBuckets} AS b
+                       FROM feat WHERE NOT is_t)
+              SELECT doc_id, CAST(count(*) AS BIGINT) AS n_toks,
+                     CAST(sum(lr_q) AS BIGINT) AS logw_q,
+                     CAST(sum(lr_q) AS DOUBLE) / 1e6 AS logw
+              FROM pool JOIN lr USING (b)
+              GROUP BY doc_id"""),
+      "DSIR weights over hashed unigrams+bigrams (the paper's feature set)"),
+
     // Bigram-LM cross-entropy (the CCNet perplexity filter, model trained
     // in-engine on the en reference slice, scoring the non-en pool).
     "t16_bigram_xent" -> QueryDef(

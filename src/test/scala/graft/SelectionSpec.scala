@@ -48,6 +48,25 @@ class SelectionSpec extends SparkTestBase {
     assert(s1.forall(id => id >= 10L && id < 20L), "only pool docs are candidates")
   }
 
+  test("DSIR bigram features separate word order where unigram features can't") {
+    // Target repeats one bigram chain; pool doc 10 matches the chain, doc
+    // 11 has the SAME unigrams reversed. Unigram buckets are identical for
+    // both, so sp12-style weights tie; bigram features split them.
+    val chain = (0 until 24).map(j => s"c${j % 6}")
+    val d = ((0 until 8).map(i => (i.toLong, chain.mkString(" "), "tgt")) ++
+      Seq((10L, chain.mkString(" "), "pool"),
+        (11L, chain.reverse.mkString(" "), "pool")))
+      .toDF("doc_id", "text", "role")
+    def w(ngrams: Int): Map[Long, Long] =
+      Selection.dsirWeights(d, col("role") === "tgt", ngrams)
+        .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val uni = w(1)
+    assert(uni(10L) == uni(11L), "unigram weights cannot see order")
+    val bi = w(2)
+    assert(bi(10L) > bi(11L),
+      s"bigram weights must favor the in-order doc: ${bi(10L)} vs ${bi(11L)}")
+  }
+
   test("BM25: higher query-term frequency ranks higher at equal length") {
     val d = Seq(
       (1L, "x x x x q q q q"),   // tf(q)=4
