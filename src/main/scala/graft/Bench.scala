@@ -542,7 +542,11 @@ object Bench {
       "corpus-proportional on the increment path); the absolute wall at " +
       "this probe scale is fixed-cost dominated (8 state-leg write/read " +
       "round-trips + CC relabel + versioned merge per batch) and " +
-      "amortizes at real batch volumes like the spine's per-batch cost"
+      "amortizes at real batch volumes like the spine's per-batch cost. " +
+      "ann_index_bytes_ivfadc_residual is expected ~40x below " +
+      "ann_index_bytes_ivfpq: the residual index persists codes only " +
+      "(vec_id, cell, m codes) with no raw-vector corpus copy — exact " +
+      "re-rank is the IVF-PQ family's path, not (yet) the residual one"
     val line = s"""{"metric":"total","value":$total,"unit":"sec","note":"$note","queries":$qs,"failed":$fs,"cpu_per_wall":$ratios,"spine_envelopes_per_sec":${spineRate.round},"spine_cpu_per_wall":${f2(spineCpuRatio)},"spine_streaming_envelopes_per_sec":${streamRate.round},"spine_streaming_batches":$streamBatches,"spine_streaming_batches_per_sec":${f2(streamBatchesPerSec)},"spine_streaming_cpu_per_wall":${f2(streamCpuRatio)},"spine_streaming_batch_ms":${jsonMap(streamBatchMs)}$sf1Fields,"sf":"$sfDir"}"""
     // The stdout line can overflow the driver's tail capture (round-3
     // verdict: "parsed": null two rounds running) — persist the full JSON
