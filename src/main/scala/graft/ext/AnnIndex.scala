@@ -401,6 +401,26 @@ object AnnIndex {
       coarse, cbs, subDim, k, nprobe)
   }
 
+  /** Residual-index search with exact re-rank (the +R read path on the
+   * codes-only index): [[searchIvfAdcResidual]] retrieves `rerank`
+   * candidates per query — tombstones already anti-joined out — then the
+   * candidates alone join back to the caller's `corpus` relation for the
+   * exact cosine re-score ([[Similarity.rerankExact]]). The residual
+   * index deliberately persists NO raw-vector copy (the at-rest artifact
+   * is codebooks + codes, ~40× below the IVF-PQ family's corpus-carrying
+   * layout), so the +R stage reads the wide embedding column from the
+   * SOURCE table that already exists — once, behind the broadcast
+   * candidate semi-join. At 100 TB that is the difference between
+   * doubling the corpus at rest and reading |queries|·rerank rows of it
+   * at query time. Bit-identical to [[Similarity.knnIvfAdcResidualRerank]]
+   * when `corpus` is the indexed relation. */
+  def searchIvfAdcResidualRerank(queries: DataFrame, spark: SparkSession,
+      dir: String, corpus: DataFrame, k: Int, rerank: Int = 10,
+      nprobe: Int = 1, maxInList: Int = DefaultMaxInList): DataFrame =
+    Similarity.rerankExact(
+      searchIvfAdcResidual(queries, spark, dir, rerank, nprobe, maxInList),
+      queries, corpus, k)
+
   /** Append new vectors to an existing [[buildIvfPq]] index WITHOUT
    * retraining: rp geometry and PQ codebooks come from the stored params
    * and the new rows encode through the shared [[Similarity.encodeIvfPq]]

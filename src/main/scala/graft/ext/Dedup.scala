@@ -706,6 +706,44 @@ object Dedup {
       .filter(col("n_overlap") >= minOverlap)
   }
 
+  /** Benchmark DIRTINESS report — the leak scan pointed the OTHER way:
+   * for each EVAL document, what fraction of its distinct shingles appear
+   * anywhere in the training corpus (the per-benchmark contamination
+   * tables of the PaLM/GPT-4 reports: an eval example whose n-grams are
+   * mostly "seen" can't witness generalization, whether or not any single
+   * training doc crossed the d13 overlap bar). Complements
+   * [[decontaminationHitsShingled]]: that scan attributes leaks to corpus
+   * docs for REMOVAL; this one grades the eval set itself so clean/dirty
+   * splits can be reported per benchmark.
+   *
+   * Both sides arrive pre-shingled (distinct per (id, sh)) — the same
+   * composition seam as the other scans; pass a corpus relation with the
+   * eval ids excluded or a bench doc trivially self-matches to 1.0.
+   *
+   * Cost shape at 100 TB: the bench side is MBs, so the semi-join
+   * (corpus ⋉ bench shingles) broadcasts the bench side under AQE — the
+   * corpus is scanned once, never shuffled, and only matching shingles
+   * (bounded by the bench vocabulary) survive to the distinct. Everything
+   * after is benchmark-sized. Returns
+   * (bench_id, n_shingles, n_seen, frac_seen, dirty). */
+  def benchContaminationReport(shDocs: DataFrame, shBench: DataFrame,
+      minFrac: Double): DataFrame = {
+    require(minFrac >= 0.0 && minFrac <= 1.0,
+      s"minFrac must be in [0,1], got $minFrac")
+    val seen = shDocs
+      .join(shBench.select("sh").distinct(), Seq("sh"), "left_semi")
+      .select("sh").distinct()
+      .withColumn("seen", lit(1L))
+    shBench.join(seen, Seq("sh"), "left")
+      .groupBy("bench_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        coalesce(sum("seen"), lit(0L)).as("n_seen"))
+      .select(col("bench_id"), col("n_shingles"), col("n_seen"),
+        round(col("n_seen").cast("double") / col("n_shingles"), 4)
+          .as("frac_seen"))
+      .withColumn("dirty", col("frac_seen") >= minFrac)
+  }
+
   /** Apply decontamination: corpus documents that hit NO benchmark
    * document at `minOverlap`. A document that itself appears in the
    * benchmark trivially self-matches and is (correctly) dropped. */

@@ -196,6 +196,38 @@ object Sampling {
       .withColumn("frac", round(col("n_docs") / sum("n_docs").over(w), 4))
   }
 
+  /** Token-budget epoch planner — the mixture table a pretraining run pins
+   * before launch (the LLaMA-report shape: per source, tokens available,
+   * sampling weight, tokens drawn at the budget, and the implied epoch
+   * count — epochs > 1 means repeating that source's data, the number the
+   * repeated-data scaling results say to audit). Weights are
+   * sqrt-smoothed over available tokens (`w_s ∝ √tokens_s`, the same
+   * dominant-source damping as [[sqrtMixtureSample]]), carried as exact
+   * integer milliweights so the plan replays bit-for-bit in any engine:
+   * `drawn_s = budget · w_s DIV Σw` is pure BIGINT arithmetic and
+   * `epochs_s` is one deterministic double division of two exact
+   * integers. One hash-agg over a narrow (source, token-count)
+   * projection; everything after is sources-sized. */
+  def tokenBudgetPlan(docs: DataFrame, budget: Long,
+      sourceCol: String = "source"): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    val per = docs.filter(col(sourceCol).isNotNull)
+      .groupBy(col(sourceCol).as("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(TextAnalysis.wsTokenCount(col("text")).cast("long"))
+          .as("tokens"))
+      .withColumn("w_millis",
+        floor(lit(1000.0) * sqrt(col("tokens").cast("double")))
+          .cast("long"))
+    per.crossJoin(broadcast(per.agg(sum("w_millis").as("__wsum"))))
+      .withColumn("drawn_tokens",
+        expr(s"($budget * w_millis) div __wsum"))
+      .select(col("source"), col("n_docs"), col("tokens"), col("w_millis"),
+        col("drawn_tokens"),
+        round(col("drawn_tokens").cast("double") / col("tokens"), 4)
+          .as("epochs"))
+  }
+
   /** Sequence packing: assign documents to fixed-token-budget packs — the
    * contiguous-fill approximation of bin packing used when concatenating
    * documents into training sequences.

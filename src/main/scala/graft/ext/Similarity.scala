@@ -927,6 +927,26 @@ object Similarity {
       encodeResidual(residuals, cbs, subDim), coarse, cbs, subDim, k, nprobe)
   }
 
+  /** Residual IVFADC with exact re-ranking — the +R stage on the RESIDUAL
+   * family ([[knnIvfPqRerank]]'s composition over [[knnIvfAdcResidual]]):
+   * the residual-ADC pass retrieves `rerank` candidates per query on codes
+   * only, then exactly those |queries|·rerank rows fetch raw vectors for
+   * the exact cosine re-score via [[rerankExact]]. Unlike the raw-PQ
+   * family, the residual index persists NO raw-vector copy — the re-rank
+   * joins back to the SOURCE corpus relation, which is the posture you
+   * want at 100 TB: the index stays codes-only (~40× smaller at rest) and
+   * the wide embedding column is read once, behind the broadcast
+   * candidate semi-join, from the table that already exists. Output
+   * matches [[knnBrute]]'s shape for [[recallAtK]]. */
+  def knnIvfAdcResidualRerank(queries: DataFrame, corpus: DataFrame,
+      k: Int, rerank: Int = 10, bits: Int = 4, dim: Int = 64,
+      seed: String = "rp", m: Int = 4, subDim: Int = 16, pqBits: Int = 2,
+      pqSeed: String = "pqr", nprobe: Int = 1): DataFrame =
+    rerankExact(
+      knnIvfAdcResidual(queries, corpus, rerank, bits, dim, seed, m,
+        subDim, pqBits, pqSeed, nprobe),
+      queries, corpus, k)
+
   /** Residual code assignment over a `(vec_id, cell, rq)` relation — one
    * narrow pass; shared by the fused path and [[AnnIndex
    * .buildIvfAdcResidual]] so built rows encode exactly as fused rows. */

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
-import graft.ext.{Curation, Dedup, Retrieval, Selection, Similarity, TextAnalysis}
+import graft.ext.{Curation, Dedup, Retrieval, Sampling, Selection, Similarity, TextAnalysis}
 import Tables.t
 
 /**
@@ -721,6 +721,34 @@ object ExtensionQueries {
                GROUP BY 1, 2
                HAVING count(*) >= 1"""),
       "13-gram decontamination: the published eval-leak scan contract"),
+
+    // The leak scan pointed the OTHER way (PaLM/GPT-4 contamination
+    // tables): per EVAL doc, the fraction of its distinct shingles seen
+    // anywhere in the (bench-excluded) training corpus — the graded
+    // benchmark-dirtiness report behind published clean/dirty eval splits.
+    "d20_bench_contamination" -> QueryDef(
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val sh = Dedup.shingles(docs).localCheckpoint()
+        Dedup.benchContaminationReport(
+          sh.filter(col("doc_id") % 20 =!= 0),
+          sh.filter(col("doc_id") % 20 === 0).toDF("bench_id", "sh"),
+          minFrac = 0.05)
+      },
+      Some(s"""WITH $ShinglesCte,
+               bsh AS (SELECT doc_id AS bench_id, sh FROM sh
+                       WHERE doc_id % 20 = 0),
+               csh AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 20 <> 0),
+               j AS (SELECT b.bench_id, b.sh,
+                            CASE WHEN c.sh IS NULL THEN 0 ELSE 1 END AS seen
+                     FROM bsh b LEFT JOIN csh c ON b.sh = c.sh)
+               SELECT bench_id,
+                      CAST(count(*) AS BIGINT) AS n_shingles,
+                      CAST(sum(seen) AS BIGINT) AS n_seen,
+                      round(sum(seen)::DOUBLE / count(*), 4) AS frac_seen,
+                      round(sum(seen)::DOUBLE / count(*), 4) >= 0.05 AS dirty
+               FROM j GROUP BY 1"""),
+      "benchmark dirtiness: per-eval-doc fraction of shingles seen in the corpus"),
 
     // Apply the dedup: documents surviving near-dup removal = every cluster
     // keeper plus every unpaired doc.
@@ -1781,6 +1809,64 @@ object ExtensionQueries {
       },
       "residual IVFADC at nprobe=2: nearest-centroid probe list, per-probe residuals"),
 
+    // The +R stage on the RESIDUAL family: n18's codes-only ADC retrieval
+    // feeding n16's exact-cosine re-rank tail. The residual index carries
+    // no raw-vector copy, so the re-rank joins the candidates back to the
+    // SOURCE embeddings table — the 100-TB posture: codes-only at rest,
+    // |queries|·rerank wide-column reads at query time.
+    "n20_knn_ivfadc_rerank" -> QueryDef(
+      (s, dir) => {
+        graft.functions.GraftFunctions.register(s)
+        val emb = t(s, dir, "embeddings")
+        Similarity.knnIvfAdcResidualRerank(emb.filter(col("vec_id") < 10),
+          emb, 3, rerank = 10, bits = RpBits, dim = RpDim, seed = RpSeed,
+          m = PqM, subDim = PqSubDim, pqBits = PqBits, pqSeed = ResPqSeed)
+      },
+      Some {
+        val luts = (0 until PqM).map { i =>
+          val lo = i * PqSubDim + 1
+          val hi = (i + 1) * PqSubDim
+          s"""lq$i AS (SELECT q_id, qs::DOUBLE[] AS qsd
+                       FROM (SELECT q_id, rq[$lo:$hi] AS qs FROM q)),
+              lut$i AS (SELECT q_id, rcb.cell,
+                               CAST(list_dot_product(qsd, qsd)
+                                 - 2 * list_dot_product(qsd, rcb.cq)
+                                 + list_dot_product(rcb.cq, rcb.cq)
+                                 AS BIGINT) AS d
+                        FROM lq$i CROSS JOIN rcb$i rcb)"""
+        }.mkString(",\n")
+        val lutJoins = (0 until PqM).map(i =>
+          s"JOIN lut$i l$i ON l$i.q_id = q.q_id AND l$i.cell = re.c$i")
+          .mkString("\n                ")
+        val dist = (0 until PqM).map(i => s"l$i.d").mkString(" + ")
+        s"""WITH ${sqlAsg1Ctes("embeddings")},
+            $ResidualPqCtes,
+            q AS (SELECT vec_id AS q_id, cell, rq FROM rq WHERE vec_id < 10),
+            $luts,
+            scored AS (
+              SELECT q.q_id, re.vec_id AS n_id, $dist AS dist_q
+              FROM q JOIN renc re ON re.cell = q.cell AND re.vec_id <> q.q_id
+                $lutJoins),
+            cand AS (
+              SELECT q_id, n_id FROM (
+                SELECT q_id, n_id,
+                       row_number() OVER (PARTITION BY q_id
+                         ORDER BY dist_q, n_id) AS adc_rank
+                FROM scored)
+              WHERE adc_rank <= 10),
+            ex AS (
+              SELECT c.q_id, c.n_id, ${sqlCos("qe.emb", "ne.emb")} AS sim
+              FROM cand c
+              JOIN e qe ON qe.vec_id = c.q_id
+              JOIN e ne ON ne.vec_id = c.n_id),
+            rr AS (SELECT q_id, n_id, sim,
+                          CAST(row_number() OVER (PARTITION BY q_id
+                            ORDER BY sim DESC, n_id) AS INTEGER) AS rank
+                   FROM ex)
+            SELECT q_id, n_id, sim, rank FROM rr WHERE rank <= 3"""
+      },
+      "residual IVFADC+R: codes-only retrieval, exact re-rank vs the source corpus (no raw copy in the index)"),
+
     // kNN on the int8 codes themselves: per-vector scales cancel in
     // cosine, so the quantized corpus is searched without dequantization —
     // 4× less scan IO at query time, exact integer dots, one
@@ -2670,6 +2756,33 @@ object ExtensionQueries {
               FROM pool JOIN lr USING (b)
               GROUP BY doc_id"""),
       "DSIR weights over hashed unigrams+bigrams (the paper's feature set)"),
+
+    // The pre-launch mixture table (LLaMA-report shape): per source, tokens
+    // available, sqrt-smoothed integer milliweight, tokens drawn at a 1M
+    // budget, and the implied epoch count (epochs > 1 = repeating data).
+    // Exact BIGINT weights/draws; epochs is one double division.
+    "sp15_token_budget" -> QueryDef(
+      (s, dir) => Sampling.tokenBudgetPlan(
+        t(s, dir, "documents"), budget = 1000000L),
+      Some("""WITH per AS (
+                SELECT source,
+                       CAST(count(*) AS BIGINT) AS n_docs,
+                       CAST(sum(len(string_split(text, ' '))) AS BIGINT)
+                         AS tokens
+                FROM documents WHERE source IS NOT NULL
+                GROUP BY source),
+              w AS (SELECT *,
+                           CAST(floor(1000.0 * sqrt(tokens)) AS BIGINT)
+                             AS w_millis
+                    FROM per),
+              t AS (SELECT CAST(sum(w_millis) AS BIGINT) AS wsum FROM w)
+              SELECT source, n_docs, tokens, w_millis,
+                     CAST((1000000 * w_millis) // wsum AS BIGINT)
+                       AS drawn_tokens,
+                     round(((1000000 * w_millis) // wsum)::DOUBLE / tokens,
+                       4) AS epochs
+              FROM w CROSS JOIN t"""),
+      "token-budget epoch planner: sqrt-smoothed source mixture at a fixed budget"),
 
     // Bigram-LM cross-entropy (the CCNet perplexity filter, model trained
     // in-engine on the en reference slice, scoring the non-en pool).

@@ -100,6 +100,61 @@ class ResidualPqSpec extends graft.SparkTestBase {
       s"deleted id $victim still surfaced: $after")
   }
 
+  test("residual +R: index rerank is bit-identical to the fused rerank path") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("ann_ivfadc_residual_rr").toString
+    AnnIndex.buildIvfAdcResidual(embs, dir)
+    val q = embs.filter($"vec_id" < 6)
+    for (np <- Seq(1, 2)) {
+      val fused = Similarity
+        .knnIvfAdcResidualRerank(q, embs, 3, rerank = 10, nprobe = np)
+        .collect().map(_.toString).sorted.toSeq
+      val stored = AnnIndex
+        .searchIvfAdcResidualRerank(q, spark, dir, embs, 3, rerank = 10,
+          nprobe = np)
+        .collect().map(_.toString).sorted.toSeq
+      assert(stored == fused, s"index rerank must equal fused at nprobe=$np")
+      assert(stored.nonEmpty)
+    }
+  }
+
+  test("residual +R recall is >= residual code-only recall") {
+    // same claim as the IVF-PQ family's rerank test: repairing residual-PQ
+    // quantization error in the final ranking must not LOSE recall
+    val q = embs.filter($"vec_id" < 6)
+    val exact = Similarity.knnBrute(q, embs, 3)
+    def avgRecall(approx: org.apache.spark.sql.DataFrame): Double =
+      Similarity.recallAtK(approx, exact, 3)
+        .agg(avg("recall")).head.getDouble(0)
+    // the ADC result ranks by integer distance; recallAtK only needs the
+    // (q_id, n_id, rank) triple, so both shapes feed it directly
+    val adcOnly = avgRecall(Similarity.knnIvfAdcResidual(q, embs, 3))
+    val reranked =
+      avgRecall(Similarity.knnIvfAdcResidualRerank(q, embs, 3, rerank = 10))
+    assert(reranked >= adcOnly, s"rerank recall $reranked < ADC-only $adcOnly")
+  }
+
+  test("a tombstoned id cannot be resurrected by the rerank corpus join") {
+    // the +R stage joins back to the SOURCE corpus, which still contains
+    // the deleted vector — the tombstone must hold because deletion
+    // filters the CANDIDATE stage, and rerank only rescores candidates
+    val dir = java.nio.file.Files
+      .createTempDirectory("ann_ivfadc_residual_rr_del").toString
+    AnnIndex.buildIvfAdcResidual(embs, dir)
+    val q = embs.filter($"vec_id" < 6)
+    val before = AnnIndex
+      .searchIvfAdcResidualRerank(q, spark, dir, embs, 3, rerank = 10)
+      .select("n_id").as[Long].collect().toSet
+    assert(before.nonEmpty)
+    val victim = before.max
+    AnnIndex.deleteIds(Seq(victim).toDF("vec_id"), dir)
+    val after = AnnIndex
+      .searchIvfAdcResidualRerank(q, spark, dir, embs, 5, rerank = 50)
+      .select("n_id").as[Long].collect().toSet
+    assert(!after.contains(victim),
+      s"deleted id $victim resurfaced through the corpus re-rank join")
+  }
+
   test("integer-millis plane projections assign like their float twins' signs") {
     // rpCellQ on micro-grid integers with millis weights must equal the
     // sign pattern of the exact real projection: scaling by 1000·1e6 > 0
