@@ -297,6 +297,11 @@ object Bench {
         // selection — the corpus-scale text/selection ops get at-scale
         // numbers from day one
         "t16_bigram_xent", "t17_bm25_topk", "sp12_dsir_weights",
+        // round-7 additions: Gopher repetition panel (corpus-scale n-gram
+        // aggs + coverage expansion) and frozen-table BPE tokenization
+        // (pure narrow projection — its number is the codegen'd
+        // 48-replace-deep expression at 10x)
+        "t19_gopher_repetition", "sp16_bpe_tokenize",
         // the COMPOSED curation audit (round-6 verdict #1d): every gate of
         // pipe1 over the 10x corpus — the number that says the composition,
         // not just its stages, holds at scale
@@ -361,7 +366,15 @@ object Bench {
         ("d15_fuzzy_bidir" -> ((ps: org.apache.spark.sql.SparkSession) =>
           graft.ext.Dedup.editDistancePairsBidirectional(
             ps.read.parquet(s"$dir10/fuzzy_names.parquet"),
-            "id", "nm", blockPrefix = 12, maxDist = 1))))
+            "id", "nm", blockPrefix = 12, maxDist = 1))) :+
+        // LSH banding recall at the SCALE default (20% sample) — the d21
+        // gate runs 50% only because sf0.01 holds too few truth pairs;
+        // this is the sampled-quadratic diagnostic cost you'd pay on a
+        // real corpus slice
+        ("d21_lsh_recall_p20" -> ((ps: org.apache.spark.sql.SparkSession) =>
+          graft.ext.Dedup.lshRecall(
+            ps.read.parquet(s"$dir10/documents.parquet"),
+            minJaccard = 0.5, samplePct = 20))))
       // ANN/PQ family at 10× vectors — its OWN fresh context (see above):
       // trained-IVF search, PQ encode, PQ-ADC search, IVF-PQ. The last
       // probe times the PREBUILT-INDEX search path (AnnIndex.searchIvfPq,

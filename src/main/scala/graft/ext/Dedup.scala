@@ -279,6 +279,52 @@ object Dedup {
         sum(when(col("sz") > overCap, 1L).otherwise(0L)).as("n_over_cap"),
         sum(expr("sz * (sz - 1) DIV 2")).as("pair_bound"))
 
+  /** LSH recall/precision diagnostic on a deterministic corpus sample —
+   * the measurement that VALIDATES the banding scheme (b bands × r rows)
+   * for a target Jaccard threshold, the way [[lshBucketStats]] validates
+   * the bucket cap. Ground truth needs all-pairs Jaccard, which no one can
+   * afford corpus-wide; the published practice is to compute it exactly on
+   * a sample and read the empirical S-curve off that. The truth side here
+   * is COMPLETE on the sample: any pair with Jaccard > 0 shares at least
+   * one shingle, so the uncapped shared-shingle expansion
+   * ([[rareShingleCandidates]] with the df cap disabled) generates every
+   * pair a ≥ `minJaccard` verdict could reach — group sizes are bounded by
+   * the SAMPLE's cardinality, which is what makes the quadratic corner
+   * affordable here and nowhere else.
+   *
+   * `maxBucket` defaults to UNCAPPED so the number isolates the banding
+   * scheme's recall; pass the production cap (100) to measure the deployed
+   * configuration instead (cap-induced loss then shows up here, priced by
+   * d17's pair-bound).
+   *
+   * One row: sampled doc count, true ≥ `minJaccard` pairs, LSH candidate
+   * pairs, their intersection, recall (hit/truth) and candidate precision
+   * (hit/cand) — the two ends of the b×r trade-off. Counts are exact
+   * integers; ratios round to 4 decimals (oracle replays bit-for-bit). */
+  def lshRecall(docs: DataFrame, minJaccard: Double = 0.5,
+      samplePct: Int = 20, maxBucket: Int = Int.MaxValue): DataFrame = {
+    val sample = Sampling.hashSample(docs, "doc_id", samplePct)
+    val sh = materialize(shingles(sample))
+    val truth = materialize(
+      jaccard(rareShingleCandidates(sh, maxDf = Int.MaxValue), sh)
+        .filter(col("jac") >= minJaccard)
+        .select("doc_a", "doc_b"))
+    val cand = materialize(lshCandidates(lshBands(minhashSignature(sh)),
+      maxBucket))
+    val hits = truth.join(cand, Seq("doc_a", "doc_b"), "left_semi")
+    sample.agg(count(lit(1)).as("n_sample"))
+      .crossJoin(truth.agg(count(lit(1)).as("n_truth")))
+      .crossJoin(cand.agg(count(lit(1)).as("n_cand")))
+      .crossJoin(hits.agg(count(lit(1)).as("n_hit")))
+      .select(col("n_sample"), col("n_truth"), col("n_cand"), col("n_hit"),
+        when(col("n_truth") > 0,
+          round(col("n_hit").cast("double") / col("n_truth"), 4))
+          .as("recall"),
+        when(col("n_cand") > 0,
+          round(col("n_hit").cast("double") / col("n_cand"), 4))
+          .as("cand_precision"))
+  }
+
   /** Candidate pairs by rare-shingle blocking: docs sharing a shingle whose
    * document frequency is in [2, maxDf]. The classic inverted-index pruning —
    * common shingles never join (bounded bucket size by construction), so the

@@ -68,4 +68,35 @@ object Retrieval {
       .orderBy(col("bm25_q").desc, col("doc_id").asc)
       .limit(k)
   }
+
+  /** Reciprocal-rank fusion (Cormack et al., SIGIR 2009): fuse N ranked
+   * retrieval lists by `Σ_lists 1/(k0 + rank)` — the standard glue of a
+   * hybrid lexical+dense stack (BM25 top-k ∪ ANN top-k), rank-only so no
+   * cross-system score calibration is needed. Each input must carry
+   * `(doc_id, rank)` with rank 1-based; a doc missing from a list simply
+   * contributes nothing (the published formulation).
+   *
+   * Determinism: each reciprocal quantizes to integer MICROS
+   * (`floor(1e6/(k0+rank))` — one double divide of exact integers, same
+   * IEEE result in any engine), so fused totals are exact BIGINT sums and
+   * the final cut (`rrf_q DESC, doc_id`) is engine-independent.
+   *
+   * Scale shape: the inputs are top-k lists — k·N rows TOTAL regardless of
+   * corpus size — so the union, the doc-keyed agg, and the
+   * `TakeOrderedAndProject` cut all run on bounded relations; the heavy
+   * lifting stays inside the upstream retrievers. Output:
+   * (doc_id, n_lists, rrf_q, rrf), ranked by rrf_q DESC, doc_id. */
+  def rrfFuse(lists: Seq[DataFrame], k: Int, k0: Int = 60): DataFrame = {
+    require(lists.nonEmpty, "rrfFuse needs at least one ranked list")
+    lists
+      .map(_.select(col("doc_id"),
+        floor(lit(1e6) / (lit(k0) + col("rank"))).cast("long").as("rrf_q")))
+      .reduce(_ unionByName _)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_lists"), sum("rrf_q").as("rrf_q"))
+      .select(col("doc_id"), col("n_lists"), col("rrf_q"),
+        (col("rrf_q").cast("double") / lit(1e6)).as("rrf"))
+      .orderBy(col("rrf_q").desc, col("doc_id").asc)
+      .limit(k)
+  }
 }

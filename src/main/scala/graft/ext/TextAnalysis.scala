@@ -126,6 +126,103 @@ object TextAnalysis {
         col("n_stop_kinds") >= minStopKinds)
   }
 
+  /** Positional word n-grams as an array column (one entry per start
+   * position, NOT distinct — counts matter here): built by folding
+   * `zip_with` over shifted slices of the token array, the same narrow
+   * derivation as [[bigramCrossEntropy]]'s bigrams generalized to width n.
+   * No window, no positional self-join, no explode amplification beyond
+   * the final consumer's own. */
+  private[ext] def wordNgrams(text: Column, n: Int): Column = {
+    require(n >= 1, "n-gram width must be >= 1")
+    val w = split(text, " ")
+    (2 to n).foldLeft(w: Column)((acc, i) =>
+      zip_with(
+        slice(acc, lit(1), size(w) - (i - 1)),
+        slice(w, lit(i), size(w) - (i - 1)),
+        (a, b) => concat(a, lit(" "), b)))
+  }
+
+  /** The Gopher REPETITION rule panel (Rae et al. 2021, appendix A —
+   * the within-document repetition filters that complement the word-level
+   * panel of [[gopherRules]]): per document,
+   *
+   *  - `top{2,3,4}_frac` — fraction of characters in the most common
+   *    word n-gram: `count(top gram) · chars(top gram) / chars(doc)`
+   *    (the public datatrove formulation; gram chars include its internal
+   *    spaces; ties break to the lexicographically smallest gram so the
+   *    argmax is deterministic);
+   *  - `dup{dupN}_frac` — fraction of TOKENS covered by any word
+   *    `dupN`-gram that occurs more than once in the document, ALL
+   *    occurrences included (overlaps counted once — exact coverage via
+   *    the same positions→covered-index expansion as the d18 span
+   *    machinery, not the count·len over-estimate). The paper states this
+   *    family at character grain; this document model is space-tokenized,
+   *    so token grain is the faithful equivalent;
+   *  - `rep_pass` — the panel verdict at the paper's thresholds
+   *    (top-2 ≤ 0.20, top-3 ≤ 0.18, top-4 ≤ 0.16, dup-5 ≤ 0.15),
+   *    compared on the ROUNDED fractions so the verdict replays
+   *    bit-for-bit in the oracle.
+   *
+   * Scale shape: one n-gram explode per width feeding a (doc, gram)
+   * hash-agg with map-side partial combine, per-doc argmax as a struct-min
+   * agg (no window sort anywhere), and a bounded ×dupN coverage expansion
+   * on duplicated-gram positions only. Everything is doc-keyed after the
+   * first agg, so the assembly joins reuse one hash partitioning; nothing
+   * corpus-quadratic, nothing driver-side. Docs shorter than a width score
+   * 0.0 for that signal (nothing can repeat). */
+  def gopherRepetition(docs: org.apache.spark.sql.DataFrame,
+      topNs: Seq[Int] = Seq(2, 3, 4), dupN: Int = 5,
+      topMax: Map[Int, Double] = Map(2 -> 0.20, 3 -> 0.18, 4 -> 0.16),
+      dupMax: Double = 0.15): org.apache.spark.sql.DataFrame = {
+    require(topNs.nonEmpty && topNs.forall(_ >= 2),
+      "top-gram widths must be >= 2")
+    require(topNs.forall(topMax.contains), "every top width needs a threshold")
+    val base = docs.select(col("doc_id"), length(col("text")).as("n_chars"),
+      wsTokenCount(col("text")).as("n_tokens"))
+    val topCols = topNs.map { n =>
+      val frac = docs
+        .filter(size(split(col("text"), " ")) >= n)
+        .select(col("doc_id"), length(col("text")).as("n_chars"),
+          explode(wordNgrams(col("text"), n)).as("g"))
+        .groupBy("doc_id", "n_chars", "g")
+        .agg(count(lit(1)).as("c"))
+        .groupBy("doc_id")
+        .agg(min(struct((-col("c")).as("neg"), col("g"),
+          col("n_chars"))).as("m"))
+        .select(col("doc_id"),
+          round((-col("m.neg")).cast("double") * length(col("m.g")) /
+            col("m.n_chars"), 4).as(s"top${n}_frac"))
+      frac
+    }
+    val dupPos = docs
+      .filter(size(split(col("text"), " ")) >= dupN)
+      .select(col("doc_id"), posexplode(wordNgrams(col("text"), dupN)))
+      .toDF("doc_id", "pos", "g")
+    val dupGrams = dupPos.groupBy("doc_id", "g")
+      .agg(count(lit(1)).as("c")).filter(col("c") > 1)
+      .select("doc_id", "g")
+    val covered = dupPos.join(dupGrams, Seq("doc_id", "g"), "left_semi")
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + lit(dupN - 1))).as("ti"))
+      .distinct()
+      .groupBy("doc_id").agg(count(lit(1)).as("n_cov"))
+    val dupCol = base.select(col("doc_id"), col("n_tokens"))
+      .join(covered, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        round(coalesce(col("n_cov"), lit(0L)).cast("double") /
+          col("n_tokens"), 4).as(s"dup${dupN}_frac"))
+    val joined = (topCols :+ dupCol).foldLeft(base)(
+      (acc, c) => acc.join(c, Seq("doc_id"), "left"))
+    val filled = topNs.foldLeft(joined)((acc, n) =>
+      acc.withColumn(s"top${n}_frac",
+        coalesce(col(s"top${n}_frac"), lit(0.0))))
+      .withColumn(s"dup${dupN}_frac",
+        coalesce(col(s"dup${dupN}_frac"), lit(0.0)))
+    filled.withColumn("rep_pass",
+      topNs.map(n => col(s"top${n}_frac") <= topMax(n))
+        .reduce(_ && _) && col(s"dup${dupN}_frac") <= dupMax)
+  }
+
   /** Within-document 3-gram repetition: total vs distinct shingle counts
    * and the repetition ratio `1 - distinct/total` — the canonical "looping
    * text" quality signal (high ratio = the document repeats itself).
@@ -315,6 +412,78 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_bg"), sum("nll_q").as("s_q"))
       .select(col("doc_id"), col("n_bg"), col("s_q"),
         round(col("s_q").cast("double") / lit(1e6) / col("n_bg"), 6)
+          .as("xent"))
+  }
+
+  /** Trigram Stupid Backoff scorer (Brants et al., EMNLP 2007 — "Large
+   * Language Models in Machine Translation", the score built FOR
+   * distributed count tables: no discounting, no normalization, just
+   * relative frequencies with a fixed backoff factor α = 0.4):
+   *
+   *   S(w3|w1 w2) = c(w1 w2 w3)/c(w1 w2)            if the trigram is seen
+   *               = α · c(w2 w3)/c(w2)              else if the bigram is
+   *               = α² · max(c(w3), 1)/N            else (the 1-clamp keeps
+   *                                                  OOV finite — log(0)
+   *                                                  has no place in a
+   *                                                  filter score)
+   *
+   * fit on the `isRef` slice, scoring every pool document by the mean
+   * −ln S over its trigram positions — the next step up from
+   * [[bigramCrossEntropy]] on the same two-corpus CCNet shape, now seeing
+   * two words of context.
+   *
+   * Scale shape: pool trigrams derive narrowly ([[wordNgrams]] — zip_with
+   * folds, no window); the context/backoff keys (both bigrams, w2, w3)
+   * re-derive from the trigram STRING after the one explode, so the
+   * corpus explodes once. The model is four reference-sized count aggs;
+   * scoring joins are all keyed on model-sized relations (AQE broadcasts
+   * small models, shuffles keyed joins for web-scale ones — still
+   * linear); N is a 1-row broadcast. Micro-quantized NLL ⇒ exact BIGINT
+   * doc sums, bit-for-bit oracle replay. Output: (doc_id, n_tri, s_q,
+   * xent), pool docs with ≥ 1 trigram. */
+  def stupidBackoffXent(docs: org.apache.spark.sql.DataFrame,
+      isRef: Column, alpha: Double = 0.4)
+      : org.apache.spark.sql.DataFrame = {
+    val ref = docs.filter(isRef)
+    def grams(df: org.apache.spark.sql.DataFrame, n: Int) = df
+      .filter(size(split(col("text"), " ")) >= n)
+      .select(col("doc_id"), explode(wordNgrams(col("text"), n)).as("g"))
+    val c3 = grams(ref, 3).groupBy("g").agg(count(lit(1)).as("c3"))
+      .withColumnRenamed("g", "tri")
+    val c2 = Dedup.materialize(
+      grams(ref, 2).groupBy("g").agg(count(lit(1)).as("c")))
+    val c1 = Dedup.materialize(
+      ref.select(explode(split(col("text"), " ")).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("c")))
+    val n = c1.agg(sum("c").as("n_total"))
+    val a = lit(alpha)
+    grams(docs.filter(!isRef), 3)
+      .select(col("doc_id"), col("g").as("tri"),
+        regexp_replace(col("g"), " [^ ]+$", "").as("bg12"),
+        regexp_replace(col("g"), "^[^ ]+ ", "").as("bg23"),
+        split(col("g"), " ").getItem(1).as("w2"),
+        split(col("g"), " ").getItem(2).as("w3"))
+      .join(c3, Seq("tri"), "left")
+      .join(c2.toDF("bg12", "c2a"), Seq("bg12"), "left")
+      .join(c2.toDF("bg23", "c2b"), Seq("bg23"), "left")
+      .join(c1.toDF("w2", "c1w2"), Seq("w2"), "left")
+      .join(c1.toDF("w3", "c1w3"), Seq("w3"), "left")
+      .crossJoin(broadcast(n))
+      .select(col("doc_id"),
+        when(coalesce(col("c3"), lit(0L)) > 0,
+          col("c3").cast("double") / col("c2a"))
+          .when(coalesce(col("c2b"), lit(0L)) > 0,
+            a * (col("c2b").cast("double") / col("c1w2")))
+          .otherwise(a * a *
+            (greatest(coalesce(col("c1w3"), lit(0L)), lit(1L)).cast("double")
+              / col("n_total")))
+          .as("s"))
+      .select(col("doc_id"),
+        floor(-log(col("s")) * lit(1e6) + lit(0.5)).cast("long").as("nll_q"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tri"), sum("nll_q").as("s_q"))
+      .select(col("doc_id"), col("n_tri"), col("s_q"),
+        round(col("s_q").cast("double") / lit(1e6) / col("n_tri"), 6)
           .as("xent"))
   }
 }

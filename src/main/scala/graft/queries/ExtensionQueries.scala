@@ -199,11 +199,14 @@ object ExtensionQueries {
   private val ShinglesCte: String = sqlShinglesCteN(3, "sh")
 
   /** Width-parameterized form of [[ShinglesCte]], mirroring
-   * Dedup.shinglesN: CTE `name` = distinct `width`-word shingles. */
-  private def sqlShinglesCteN(width: Int, name: String): String = {
+   * Dedup.shinglesN: CTE `name` = distinct `width`-word shingles over the
+   * `src` relation (default: the documents table; d21 passes its sampled
+   * CTE). */
+  private def sqlShinglesCteN(width: Int, name: String,
+      src: String = "documents"): String = {
     val concat = (0 until width).map(i => s"w[i+$i]").mkString(" || ' ' || ")
     s"""words_$name AS (
-          SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+          SELECT doc_id, string_split(text, ' ') AS w FROM $src),
         ${name}0 AS (
           SELECT doc_id,
                  unnest([$concat
@@ -414,6 +417,59 @@ object ExtensionQueries {
 
   private val LshPairsCtes: String = lshPairsCtesWithCap(None)
 
+  /** DuckDB mirror of `Bpe.encodeWordExpr(w, FrozenMerges)` — generated
+   * from the SAME Scala merge list as the Spark expression (a model edit
+   * cannot reach one side only): char-spaced start, then each merge as a
+   * doubled whole-symbol replace. Evaluates over a lambda variable `w`. */
+  private lazy val BpeEncodeSql: String = {
+    val start = """' ' || regexp_replace(w, '(.)', '\1 ', 'g') || '</w> '"""
+    graft.ext.Bpe.FrozenMerges.foldLeft(start) { case (s, (a, b)) =>
+      val from = s" $a $b "
+      val to = s" $a$b "
+      s"replace(replace($s, '$from', '$to'), '$from', '$to')"
+    }
+  }
+
+  /** DuckDB replay of `Retrieval.bm25TopK`'s scoring for the 3-term demo
+   * query, ending in `bm(doc_id, n_terms, bm25_q, bm25)` — every matching
+   * doc, no top-k cut (each consumer cuts). Shared by t17 and the t18
+   * hybrid fusion so the two oracles cannot drift onto different BM25
+   * arithmetic. */
+  private lazy val Bm25Ctes: String =
+    """dl AS (SELECT doc_id,
+                     CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+              FROM documents),
+       stats AS (SELECT CAST(sum(dl) AS BIGINT) AS sum_dl,
+                        count(*) AS n_docs
+                 FROM dl),
+       tok AS (SELECT doc_id,
+                      CAST(len(string_split(text, ' ')) AS BIGINT) AS dl,
+                      unnest(string_split(text, ' ')) AS tok
+               FROM documents),
+       tf AS (SELECT doc_id, dl, tok, count(*) AS tf
+              FROM tok
+              WHERE tok IN ('spark', 'vector', 'stream')
+              GROUP BY 1, 2, 3),
+       dfreq AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+       sc AS (SELECT doc_id,
+                     CAST(floor(
+                       CAST(CAST(floor(ln(1e0
+                             + (CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+                               / (CAST(df AS DOUBLE) + 0.5))
+                           * 1e6 + 0.5) AS BIGINT) AS DOUBLE)
+                       * (CAST(tf AS DOUBLE) * 2.2e0
+                           / (CAST(tf AS DOUBLE)
+                              + 1.2e0 * (0.25e0
+                                  + 0.75e0 * CAST(dl AS DOUBLE)
+                                    / (CAST(sum_dl AS DOUBLE)
+                                       / CAST(n_docs AS DOUBLE)))))
+                       + 0.5) AS BIGINT) AS s_q
+              FROM tf JOIN dfreq USING (tok) CROSS JOIN stats),
+       bm AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms,
+                     CAST(sum(s_q) AS BIGINT) AS bm25_q,
+                     CAST(sum(s_q) AS DOUBLE) / 1e6 AS bm25
+              FROM sc GROUP BY doc_id)"""
+
   /** The capped chain at the production default (`maxBucket = 100`) —
    * what a real curation run executes ([[graft.ext.Curation]]). */
   private val LshPairsCappedCtes: String =
@@ -497,6 +553,59 @@ object ExtensionQueries {
                       CAST(sum(sz * (sz - 1) // 2) AS BIGINT) AS pair_bound
                FROM b"""),
       "LSH bucket-size distribution + candidate-pair bound (cap tuning)"),
+
+    // The OTHER banding diagnostic: empirical recall/precision of the LSH
+    // candidate stage against complete ground truth on a deterministic
+    // hash-sample (complete because any Jaccard > 0 pair shares a shingle,
+    // so the uncapped shared-shingle expansion reaches every pair; the
+    // quadratic corner is affordable only because it is sample-bounded —
+    // the published way to read the b×r S-curve off a real corpus). 50%
+    // here: near-dup PAIRS survive a p-sample at ~p², and the sf0.01
+    // corpus holds only 25 truth pairs — 20% would gate the arithmetic on
+    // a 1-pair truth set. The sf1 bench probe runs the scale-default 20%.
+    "d21_lsh_recall" -> QueryDef(
+      (s, dir) => Dedup.lshRecall(t(s, dir, "documents"), minJaccard = 0.5,
+        samplePct = 50),
+      Some(s"""WITH ds AS (
+                 SELECT doc_id, text FROM documents
+                 WHERE ('0x' || substr(md5('sample:' || doc_id::VARCHAR), 1, 8))::BIGINT % 100 < 50),
+               ${sqlShinglesCteN(3, "sh", "ds")},
+               $BandsCte,
+               sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+               tc AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                      FROM sh a JOIN sh b
+                        ON a.sh = b.sh AND a.doc_id < b.doc_id),
+               inter AS (SELECT t.doc_a, t.doc_b, count(*) AS n_inter
+                         FROM tc t
+                         JOIN sh sa ON sa.doc_id = t.doc_a
+                         JOIN sh sb ON sb.doc_id = t.doc_b AND sb.sh = sa.sh
+                         GROUP BY 1, 2),
+               truth AS (SELECT i.doc_a, i.doc_b
+                         FROM inter i
+                         JOIN sizes na ON na.doc_id = i.doc_a
+                         JOIN sizes nb ON nb.doc_id = i.doc_b
+                         WHERE round(CAST(n_inter AS DOUBLE)
+                                 / (na.n + nb.n - n_inter), 4) >= 0.5),
+               cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                        FROM bands a JOIN bands b
+                          ON a.band = b.band AND a.band_hash = b.band_hash
+                         AND a.doc_id < b.doc_id),
+               hit AS (SELECT t.doc_a FROM truth t
+                       JOIN cand c
+                         ON c.doc_a = t.doc_a AND c.doc_b = t.doc_b),
+               n AS (SELECT (SELECT count(*) FROM ds) AS n_sample,
+                            (SELECT count(*) FROM truth) AS n_truth,
+                            (SELECT count(*) FROM cand) AS n_cand,
+                            (SELECT count(*) FROM hit) AS n_hit)
+               SELECT n_sample, n_truth, n_cand, n_hit,
+                      CASE WHEN n_truth > 0
+                           THEN round(CAST(n_hit AS DOUBLE) / n_truth, 4)
+                      END AS recall,
+                      CASE WHEN n_cand > 0
+                           THEN round(CAST(n_hit AS DOUBLE) / n_cand, 4)
+                      END AS cand_precision
+               FROM n"""),
+      "LSH banding recall/precision vs exact Jaccard truth on a 20% sample"),
 
     // maxBucket is disabled here because the DuckDB oracle joins bands with
     // no bucket cap — a bucket over the default cap would silently diverge
@@ -2239,6 +2348,84 @@ object ExtensionQueries {
                SELECT * FROM gq"""),
       "Gopher word-level quality rules: exact stats + pass verdict"),
 
+    // The Gopher REPETITION rule family (within-document): fraction of
+    // characters in the most common word {2,3,4}-gram, plus the fraction
+    // of tokens covered by ANY duplicated 5-gram (exact coverage — the
+    // d18-style positions→covered-index expansion, all occurrences, no
+    // double counting), with the panel verdict at the paper's thresholds
+    // compared on ROUNDED fractions so it replays bit-for-bit.
+    "t19_gopher_repetition" -> QueryDef(
+      (s, dir) => TextAnalysis.gopherRepetition(t(s, dir, "documents")),
+      Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS toks,
+                                CAST(length(text) AS INTEGER) AS n_chars,
+                                CAST(len(string_split(text, ' ')) AS INTEGER)
+                                  AS n_tokens
+                         FROM documents),
+              g2 AS (SELECT doc_id, n_chars,
+                            unnest([toks[i] || ' ' || toks[i+1]
+                                    for i in generate_series(1, len(toks) - 1)]) AS g
+                     FROM w WHERE len(toks) >= 2),
+              c2 AS (SELECT doc_id, n_chars, g, count(*) AS c
+                     FROM g2 GROUP BY 1, 2, 3),
+              t2 AS (SELECT doc_id,
+                            round(CAST(c AS DOUBLE) * length(g) / n_chars, 4)
+                              AS top2_frac
+                     FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                             ORDER BY c DESC, g) AS rn FROM c2)
+                     WHERE rn = 1),
+              g3 AS (SELECT doc_id, n_chars,
+                            unnest([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                                    for i in generate_series(1, len(toks) - 2)]) AS g
+                     FROM w WHERE len(toks) >= 3),
+              c3 AS (SELECT doc_id, n_chars, g, count(*) AS c
+                     FROM g3 GROUP BY 1, 2, 3),
+              t3 AS (SELECT doc_id,
+                            round(CAST(c AS DOUBLE) * length(g) / n_chars, 4)
+                              AS top3_frac
+                     FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                             ORDER BY c DESC, g) AS rn FROM c3)
+                     WHERE rn = 1),
+              g4 AS (SELECT doc_id, n_chars,
+                            unnest([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]
+                                    for i in generate_series(1, len(toks) - 3)]) AS g
+                     FROM w WHERE len(toks) >= 4),
+              c4 AS (SELECT doc_id, n_chars, g, count(*) AS c
+                     FROM g4 GROUP BY 1, 2, 3),
+              t4 AS (SELECT doc_id,
+                            round(CAST(c AS DOUBLE) * length(g) / n_chars, 4)
+                              AS top4_frac
+                     FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                             ORDER BY c DESC, g) AS rn FROM c4)
+                     WHERE rn = 1),
+              p5 AS (SELECT doc_id, u.pos AS pos, u.g AS g FROM
+                       (SELECT doc_id,
+                               unnest([{'pos': i,
+                                        'g': toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] || ' ' || toks[i+4]}
+                                       for i in generate_series(1, len(toks) - 4)]) AS u
+                        FROM w WHERE len(toks) >= 5)),
+              d5 AS (SELECT doc_id, g FROM p5
+                     GROUP BY doc_id, g HAVING count(*) > 1),
+              cov AS (SELECT DISTINCT p.doc_id, p.pos + x.d AS ti
+                      FROM p5 p JOIN d5 USING (doc_id, g)
+                      CROSS JOIN (SELECT unnest(generate_series(0, 4)) AS d) x),
+              cn AS (SELECT doc_id, count(*) AS n_cov FROM cov GROUP BY doc_id),
+              asm AS (SELECT w.doc_id, w.n_chars, w.n_tokens,
+                             coalesce(t2.top2_frac, 0.0) AS top2_frac,
+                             coalesce(t3.top3_frac, 0.0) AS top3_frac,
+                             coalesce(t4.top4_frac, 0.0) AS top4_frac,
+                             round(CAST(coalesce(cn.n_cov, 0) AS DOUBLE)
+                               / w.n_tokens, 4) AS dup5_frac
+                      FROM w
+                      LEFT JOIN t2 USING (doc_id)
+                      LEFT JOIN t3 USING (doc_id)
+                      LEFT JOIN t4 USING (doc_id)
+                      LEFT JOIN cn USING (doc_id))
+              SELECT *, (top2_frac <= 0.20 AND top3_frac <= 0.18
+                         AND top4_frac <= 0.16 AND dup5_frac <= 0.15)
+                        AS rep_pass
+              FROM asm"""),
+      "Gopher repetition rules: top-ngram char + dup-5gram coverage fracs"),
+
     // ---- the composed pipeline: every curation stage as ONE DAG ----
     // Each signal below is individually oracle-gated elsewhere (t3, t15,
     // d1, d3/d6/d7, d13, sp1); this entry gates their COMPOSITION — the
@@ -2784,6 +2971,30 @@ object ExtensionQueries {
               FROM w CROSS JOIN t"""),
       "token-budget epoch planner: sqrt-smoothed source mixture at a fixed budget"),
 
+    // BPE subword tokenization under the FROZEN 24-merge table (the
+    // deployment shape of a real tokenizer: train once, version the merge
+    // table, apply everywhere). The oracle's per-word encode expression is
+    // GENERATED from the same Scala merge list as the Spark plan, so the
+    // two sides cannot drift; training itself (iterative argmax — not SQL-
+    // expressible) is spec-gated against hand-computed merges in BpeSpec.
+    "sp16_bpe_tokenize" -> QueryDef(
+      (s, dir) => graft.ext.Bpe.tokenCounts(t(s, dir, "documents"),
+        graft.ext.Bpe.FrozenMerges),
+      Some(s"""WITH w AS (SELECT doc_id,
+                                 list_filter(string_split(text, ' '),
+                                   x -> x <> '') AS ws
+                          FROM documents),
+               e AS (SELECT doc_id,
+                            CAST(len(ws) AS INTEGER) AS n_words,
+                            CAST(list_sum(list_transform(ws,
+                              w -> len(string_split(trim($BpeEncodeSql), ' '))))
+                              AS BIGINT) AS n_bpe
+                     FROM w)
+               SELECT doc_id, n_words, n_bpe,
+                      round(CAST(n_bpe AS DOUBLE) / n_words, 4) AS fanout
+               FROM e"""),
+      "BPE subword token counts under a frozen in-engine-trained merge table"),
+
     // Bigram-LM cross-entropy (the CCNet perplexity filter, model trained
     // in-engine on the en reference slice, scoring the non-en pool).
     "t16_bigram_xent" -> QueryDef(
@@ -2823,46 +3034,137 @@ object ExtensionQueries {
               FROM n GROUP BY doc_id"""),
       "bigram-LM cross-entropy vs the en reference slice (CCNet shape)"),
 
+    // Trigram Stupid Backoff (Brants et al. 2007 — the LM score built FOR
+    // distributed count tables): S backs off trigram → bigram → unigram
+    // with fixed α = 0.4, no discounting; OOV unigrams clamp to count 1 so
+    // the filter score stays finite. Same two-corpus shape as t16, one
+    // more word of context.
+    "t20_stupid_backoff" -> QueryDef(
+      (s, dir) => TextAnalysis.stupidBackoffXent(
+        t(s, dir, "documents"), col("lang") === "en"),
+      Some("""WITH wref AS (SELECT doc_id, string_split(text, ' ') AS w
+                     FROM documents WHERE lang = 'en'),
+              tgref AS (SELECT doc_id,
+                               unnest([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                                       for i in generate_series(1, len(w) - 2)]) AS g
+                        FROM wref WHERE len(w) >= 3),
+              c3 AS (SELECT g AS tri, count(*) AS c3 FROM tgref GROUP BY g),
+              bgref AS (SELECT doc_id,
+                               unnest([w[i] || ' ' || w[i+1]
+                                       for i in generate_series(1, len(w) - 1)]) AS bg
+                        FROM wref WHERE len(w) >= 2),
+              c2 AS (SELECT bg AS g, count(*) AS c FROM bgref GROUP BY bg),
+              c1 AS (SELECT tok, count(*) AS c
+                     FROM (SELECT unnest(w) AS tok FROM wref)
+                     GROUP BY tok),
+              nt AS (SELECT CAST(sum(c) AS BIGINT) AS n_total FROM c1),
+              wpool AS (SELECT doc_id, string_split(text, ' ') AS w
+                        FROM documents WHERE NOT (lang = 'en')),
+              tgpool AS (SELECT doc_id,
+                                unnest([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                                        for i in generate_series(1, len(w) - 2)]) AS tri
+                         FROM wpool WHERE len(w) >= 3),
+              keys AS (SELECT doc_id, tri,
+                              regexp_replace(tri, ' [^ ]+$', '') AS bg12,
+                              regexp_replace(tri, '^[^ ]+ ', '') AS bg23,
+                              string_split(tri, ' ')[2] AS w2,
+                              string_split(tri, ' ')[3] AS w3
+                       FROM tgpool),
+              sc AS (SELECT doc_id,
+                            CASE WHEN coalesce(c3.c3, 0) > 0
+                                   THEN CAST(c3.c3 AS DOUBLE) / c2a.c
+                                 WHEN coalesce(c2b.c, 0) > 0
+                                   THEN 0.4e0 * (CAST(c2b.c AS DOUBLE) / c1a.c)
+                                 ELSE 0.4e0 * 0.4e0 *
+                                   (CAST(greatest(coalesce(c1b.c, 0), 1)
+                                      AS DOUBLE) / nt.n_total)
+                            END AS s
+                     FROM keys t
+                     LEFT JOIN c3 ON c3.tri = t.tri
+                     LEFT JOIN c2 c2a ON c2a.g = t.bg12
+                     LEFT JOIN c2 c2b ON c2b.g = t.bg23
+                     LEFT JOIN c1 c1a ON c1a.tok = t.w2
+                     LEFT JOIN c1 c1b ON c1b.tok = t.w3
+                     CROSS JOIN nt),
+              q AS (SELECT doc_id,
+                           CAST(floor(-ln(s) * 1e6 + 0.5) AS BIGINT) AS nll_q
+                    FROM sc)
+              SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tri,
+                     CAST(sum(nll_q) AS BIGINT) AS s_q,
+                     round(CAST(sum(nll_q) AS DOUBLE) / 1e6 / count(*), 6)
+                       AS xent
+              FROM q GROUP BY doc_id"""),
+      "trigram Stupid Backoff cross-entropy vs the en slice (Brants 2007)"),
+
     // Okapi BM25 top-20 for a 3-term query — the lexical retrieval ranker
     // (Lucene idf variant). The token scan filters to the query vocabulary
     // before aggregating, df/avgdl broadcast, TakeOrderedAndProject cut.
     "t17_bm25_topk" -> QueryDef(
       (s, dir) => Retrieval.bm25TopK(
         t(s, dir, "documents"), Seq("spark", "vector", "stream"), k = 20),
-      Some("""WITH dl AS (SELECT doc_id,
-                           CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
-                    FROM documents),
-              stats AS (SELECT CAST(sum(dl) AS BIGINT) AS sum_dl,
-                               count(*) AS n_docs
-                        FROM dl),
-              tok AS (SELECT doc_id,
-                             CAST(len(string_split(text, ' ')) AS BIGINT) AS dl,
-                             unnest(string_split(text, ' ')) AS tok
-                      FROM documents),
-              tf AS (SELECT doc_id, dl, tok, count(*) AS tf
-                     FROM tok
-                     WHERE tok IN ('spark', 'vector', 'stream')
-                     GROUP BY 1, 2, 3),
-              dfreq AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
-              sc AS (SELECT doc_id,
-                            CAST(floor(
-                              CAST(CAST(floor(ln(1e0
-                                    + (CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
-                                      / (CAST(df AS DOUBLE) + 0.5))
-                                  * 1e6 + 0.5) AS BIGINT) AS DOUBLE)
-                              * (CAST(tf AS DOUBLE) * 2.2e0
-                                  / (CAST(tf AS DOUBLE)
-                                     + 1.2e0 * (0.25e0
-                                         + 0.75e0 * CAST(dl AS DOUBLE)
-                                           / (CAST(sum_dl AS DOUBLE)
-                                              / CAST(n_docs AS DOUBLE)))))
-                              + 0.5) AS BIGINT) AS s_q
-                     FROM tf JOIN dfreq USING (tok) CROSS JOIN stats)
-              SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms,
-                     CAST(sum(s_q) AS BIGINT) AS bm25_q,
-                     CAST(sum(s_q) AS DOUBLE) / 1e6 AS bm25
-              FROM sc GROUP BY doc_id
-              ORDER BY bm25_q DESC, doc_id
-              LIMIT 20"""),
-      "Okapi BM25 top-20 lexical retrieval (3-term query, Lucene idf)"))
+      Some(s"""WITH $Bm25Ctes
+               SELECT doc_id, n_terms, bm25_q, bm25 FROM bm
+               ORDER BY bm25_q DESC, doc_id
+               LIMIT 20"""),
+      "Okapi BM25 top-20 lexical retrieval (3-term query, Lucene idf)"),
+
+    // Hybrid lexical+dense retrieval: the SAME BM25 scoring (shared CTE —
+    // the two oracles cannot drift) fused with brute-cosine dense neighbors
+    // of query vector 0 by reciprocal-rank fusion. Rank-only fusion, so the
+    // incomparable BM25/cosine score scales never meet; reciprocals
+    // quantize to integer micros (one double divide of exact integers) so
+    // the fused total is an exact BIGINT in both engines.
+    "t18_rrf_fusion" -> QueryDef(
+      (s, dir) => {
+        graft.functions.GraftFunctions.register(s)
+        val docs = t(s, dir, "documents")
+        val emb = t(s, dir, "embeddings")
+        // rank derivation runs on the ALREADY-CUT k-row list (bounded
+        // single-partition window — k rows, never the corpus)
+        val lex = Retrieval.bm25TopK(docs, Seq("spark", "vector", "stream"),
+            k = 20)
+          .withColumn("rank", row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .orderBy(col("bm25_q").desc, col("doc_id"))))
+          .select("doc_id", "rank")
+        val dense = Similarity.knnBrute(emb.filter(col("vec_id") === 0),
+            emb, 20)
+          .select(col("n_id").as("doc_id"), col("rank"))
+        Retrieval.rrfFuse(Seq(lex, dense), k = 10)
+      },
+      Some(s"""WITH $Bm25Ctes,
+               lexr AS (SELECT doc_id, rank FROM (
+                          SELECT doc_id,
+                                 CAST(row_number() OVER (
+                                   ORDER BY bm25_q DESC, doc_id) AS INTEGER)
+                                   AS rank
+                          FROM bm) WHERE rank <= 20),
+               q AS (SELECT embedding::DOUBLE[] AS qe
+                     FROM embeddings WHERE vec_id = 0),
+               c AS (SELECT vec_id AS n_id, embedding::DOUBLE[] AS ne
+                     FROM embeddings WHERE vec_id <> 0),
+               scored AS (SELECT n_id, ${sqlCos("qe", "ne")} AS sim
+                          FROM q CROSS JOIN c),
+               denser AS (SELECT n_id AS doc_id, rank FROM (
+                            SELECT n_id,
+                                   CAST(row_number() OVER (
+                                     ORDER BY sim DESC, n_id) AS INTEGER)
+                                     AS rank
+                            FROM scored) WHERE rank <= 20),
+               u AS (SELECT doc_id,
+                            CAST(floor(1e6 / (60 + rank)) AS BIGINT) AS rrf_q
+                     FROM lexr
+                     UNION ALL
+                     SELECT doc_id,
+                            CAST(floor(1e6 / (60 + rank)) AS BIGINT)
+                     FROM denser),
+               f AS (SELECT doc_id, count(*) AS n_lists,
+                            CAST(sum(rrf_q) AS BIGINT) AS rrf_q
+                     FROM u GROUP BY doc_id)
+               SELECT doc_id, n_lists, rrf_q,
+                      CAST(rrf_q AS DOUBLE) / 1e6 AS rrf
+               FROM f
+               ORDER BY rrf_q DESC, doc_id
+               LIMIT 10"""),
+      "hybrid BM25+dense retrieval fused by reciprocal rank (RRF, k0=60)"))
 }

@@ -96,6 +96,60 @@ class SelectionSpec extends SparkTestBase {
     assert(a == b)
   }
 
+  test("Stupid Backoff: a seen chain scores near zero, unseen order pays " +
+      "the double-backoff penalty") {
+    // Reference "a b c a b c ...": nearly every trigram is the only
+    // continuation of its context (S = 1; the end-of-doc dangling bigram
+    // leaves one context at 42/48), so the in-order pool doc's mean NLL
+    // is tiny. The reversed doc's trigrams AND backoff bigrams are all
+    // unseen → every position takes the α² unigram branch (−ln ≈ 2.93).
+    val chain = (0 until 24).map(j => Seq("a", "b", "c")(j % 3))
+    val d = ((0 until 6).map(i => (i.toLong, chain.mkString(" "), true)) ++
+      Seq((10L, chain.mkString(" "), false),
+        (11L, chain.reverse.mkString(" "), false)))
+      .toDF("doc_id", "text", "is_ref")
+    val x = TextAnalysis.stupidBackoffXent(d, col("is_ref"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(3))).toMap
+    assert(x.keySet == Set(10L, 11L))
+    assert(x(10L)._1 == 22L, "n_tri = tokens - 2")
+    assert(x(10L)._2 < 0.1, s"seen chain must be near-free: ${x(10L)._2}")
+    assert(x(11L)._2 > 2.0, s"all-backoff doc must pay: ${x(11L)._2}")
+  }
+
+  test("Stupid Backoff: trigram context beats the bigram model on " +
+      "two-word-history patterns") {
+    // Reference (one 3-token doc per line): "a b c"×3, "d b e"×3,
+    // "a b e"×1, "d b c"×1. Bigram counts are SYMMETRIC — (a b)=(d b)=4,
+    // (b c)=(b e)=4 — so the bigram model ties the two pool docs exactly;
+    // trigram counts are asymmetric — (a b c)=3 vs (a b e)=1 — so only
+    // the two-word context separates them.
+    val refDocs = Seq.fill(3)("a b c") ++ Seq.fill(3)("d b e") ++
+      Seq("a b e", "d b c")
+    val d = (refDocs.zipWithIndex.map { case (t, i) => (i.toLong, t, true) } ++
+      Seq((20L, "a b c", false), (21L, "a b e", false)))
+      .toDF("doc_id", "text", "is_ref")
+    val tri = TextAnalysis.stupidBackoffXent(d, col("is_ref"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(tri(20L) < tri(21L),
+      s"trigram context must separate: ${tri(20L)} vs ${tri(21L)}")
+    val bi = TextAnalysis.bigramCrossEntropy(d, col("is_ref"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(bi(20L) == bi(21L),
+      s"bigram model is blind to the swap: ${bi(20L)} vs ${bi(21L)}")
+  }
+
+  test("Stupid Backoff is partition-independent") {
+    val d = (0 until 12).map { i =>
+      (i.toLong, (0 until 12).map(j => s"t${(i + j) % 4}").mkString(" "),
+        i < 6)
+    }.toDF("doc_id", "text", "is_ref")
+    val a = TextAnalysis.stupidBackoffXent(d, col("is_ref"))
+      .orderBy("doc_id").collect().toSeq
+    val b = TextAnalysis.stupidBackoffXent(d.repartition(7), col("is_ref"))
+      .orderBy("doc_id").collect().toSeq
+    assert(a == b)
+  }
+
   test("bigram xent: in-distribution word ORDER scores below scrambled order") {
     // Reference: a strongly-patterned bigram chain. Pool doc 10 repeats the
     // chain (every bigram seen); doc 11 has identical UNIGRAMS reversed so
