@@ -149,4 +149,42 @@ object Curation {
         .join(TextAnalysis.unigramCrossEntropy(docs)
           .select(col("doc_id"), col("xent")), Seq("doc_id"))
   }
+
+  /** Training-set ASSEMBLY — the write side to [[curationReport]]'s audit
+   * side: deterministic split → temperature-smoothed source mixture →
+   * sliding-window chunking → token-budget sequence packing, composed as
+   * ONE DAG ending in the per-pack manifest
+   * `(bucket, pack_id, n_chunks, n_docs, n_tokens, fill)` — the shard
+   * schedule a training run actually reads. Each stage is the library's
+   * own gated operator ([[Sampling.hashSplit]],
+   * [[Sampling.temperatureMixtureSample]] at α = 1/2^`alphaLog2`,
+   * [[Sampling.chunkDocuments]], [[Sampling.packSequences]]); the
+   * composition adds no new corpus-sized structure.
+   *
+   * Scale shape: split and mixture are narrow md5-bucket filters against a
+   * sources-sized broadcast rate table (no shuffle); chunking is one
+   * doc-keyed repartition + narrow explode; packing's only exchange is the
+   * per-bucket window, and the final manifest aggregation groups by the
+   * SAME (bucket) partitioning the window just established, so Catalyst
+   * reuses it — one corpus exchange end-to-end after the chunk explode.
+   * Chunk ids pack into `doc_id·100000 + chunk_id` (chunk counts per doc
+   * are bounded by |doc|/step ≪ 100000 at any realistic document length),
+   * keeping the pack-order key a single BIGINT the oracle replays
+   * exactly. */
+  def trainingAssembly(docs: DataFrame, alphaLog2: Int = 2,
+      chunkSize: Int = 32, overlap: Int = 8, budget: Int = 256): DataFrame = {
+    val train = Sampling.hashSplit(docs, "doc_id")
+      .filter(col("split") === "train")
+    val mixed = Sampling.temperatureMixtureSample(
+      train, "doc_id", "source", alphaLog2)
+    val chunks = Sampling.chunkDocuments(mixed, chunkSize, overlap)
+      .withColumn("cid", col("doc_id") * lit(100000L) + col("chunk_id"))
+    Sampling.packSequences(chunks, "cid", "n_toks", budget)
+      .groupBy("bucket", "pack_id")
+      .agg(count(lit(1)).as("n_chunks"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        sum(col("n_toks").cast("long")).as("n_tokens"))
+      .withColumn("fill",
+        round(col("n_tokens").cast("double") / budget, 4))
+  }
 }

@@ -801,6 +801,61 @@ object Dedup {
         .select("doc_id").distinct(),
       Seq("doc_id"), "left_anti")
 
+  /** Cross-source overlap matrix — the mixing-stage diagnostic "how much
+   * of source A is already in source B": for every unordered source pair,
+   * each side's distinct-shingle count, the shared-shingle count, Jaccard,
+   * and containment (shared / smaller side). The audit a data-mixing stage
+   * runs BEFORE setting per-source weights
+   * ([[Sampling.sqrtMixtureRates]] / [[Sampling.tokenBudgetPlan]]): two
+   * sources with high containment are substantially the same content, and
+   * weighting them independently double-draws it — the cross-source twin
+   * of the within-source dedup the rest of this module does.
+   *
+   * Scale shape: the corpus tokenizes ONCE into a distinct `(source, sh)`
+   * relation (reuse a pipeline's existing shingle relation via
+   * [[sourceOverlapFromShingles]]); the pair counting is a groupBy on sh
+   * whose per-group source set is bounded by the source COUNT, not the
+   * corpus — so the in-group sorted-pair expansion is skew-free by
+   * construction, the [[rareShingleCandidates]] shape one level up
+   * (sources instead of docs, no df cap needed because |sources| caps the
+   * group). Per-source totals are a sources-sized broadcast; no corpus
+   * self-join anywhere. Output:
+   * (source_a, source_b, n_a, n_b, n_both, jaccard, containment), pairs
+   * with zero shared shingles omitted. */
+  def sourceOverlap(docs: DataFrame): DataFrame =
+    sourceOverlapFromShingles(materialize(shingles(docs)), docs)
+
+  /** [[sourceOverlap]] over a caller-supplied distinct `(doc_id, sh)`
+   * relation — the same no-second-tokenization seam as
+   * [[decontaminationHitsFromShingles]]. */
+  def sourceOverlapFromShingles(sh: DataFrame, docs: DataFrame): DataFrame = {
+    // distinct (source, sh): the only corpus-sized exchange on this path
+    // (the groupBy below reuses its hash partitioning on sh)
+    val srcSh = materialize(
+      sh.join(docs.select("doc_id", "source"), Seq("doc_id"))
+        .filter(col("source").isNotNull)
+        .select("source", "sh").distinct())
+    val per = srcSh.groupBy("source").agg(count(lit(1)).as("n_sh"))
+    srcSh
+      .groupBy("sh").agg(sort_array(collect_set(col("source"))).as("ss"))
+      .filter(size(col("ss")) >= 2)
+      .select(explode(expr(
+        """flatten(transform(ss, (a, i) ->
+          |  transform(slice(ss, i + 2, size(ss) - i - 1), b ->
+          |    struct(a AS source_a, b AS source_b))))""".stripMargin)).as("p"))
+      .groupBy(col("p.source_a").as("source_a"),
+        col("p.source_b").as("source_b"))
+      .agg(count(lit(1)).as("n_both"))
+      .join(broadcast(per.toDF("source_a", "n_a")), Seq("source_a"))
+      .join(broadcast(per.toDF("source_b", "n_b")), Seq("source_b"))
+      .select(col("source_a"), col("source_b"), col("n_a"), col("n_b"),
+        col("n_both"),
+        round(col("n_both").cast("double") /
+          (col("n_a") + col("n_b") - col("n_both")), 4).as("jaccard"),
+        round(col("n_both").cast("double") /
+          least(col("n_a"), col("n_b")), 4).as("containment"))
+  }
+
   /** Near-dup pairs by SimHash Hamming distance: fingerprints within
    * `maxHamming` bits of each other, found WITHOUT an all-pairs scan.
    *

@@ -32,6 +32,49 @@ object Profile {
           col("min_s"), col("max_s"))
     }.reduce(_.unionByName(_))
 
+  /** Population-stability-index (PSI) drift monitor: bucket a numeric
+   * column into fixed-width bins on BOTH relations and score the
+   * distribution shift `Σ_b (p_b − q_b)·ln(p_b/q_b)` — the standard
+   * between-snapshot drift gate a pipeline runs when a new corpus drop
+   * lands (PSI ≲ 0.1 stable, 0.1–0.25 drifting, > 0.25 shifted: the usual
+   * credit-scoring rule-of-thumb bands). Buckets are Laplace-smoothed
+   * (`p_b = (c_b + 1)/(N + B)` with `B` = observed bucket count across
+   * both sides), so one-sided buckets contribute finite, exact terms
+   * instead of ±∞ — and every input to the log is a ratio of exact
+   * integers, making the replay engine-independent. Per-bucket
+   * contributions micro-quantize the moment they leave `ln` (the same
+   * discipline as BM25's idf): totals are then exact BIGINT sums.
+   *
+   * Cost shape: one narrow scan + hash-agg per side at bucket grain
+   * (buckets-sized output), a full-outer join of two bucket relations,
+   * and a 1-row broadcast of the totals. Nothing corpus-sized survives
+   * the aggregates. Output: (bucket, n_ref, n_cur, psi_micro, psi),
+   * one row per observed bucket. */
+  def psiDrift(ref: DataFrame, cur: DataFrame, valueCol: String,
+      bucketWidth: Long): DataFrame = {
+    require(bucketWidth > 0, s"bucketWidth must be positive, got $bucketWidth")
+    def bucketed(df: DataFrame, n: String) =
+      df.select(floor(col(valueCol).cast("double") / bucketWidth)
+          .cast("long").as("bucket"))
+        .groupBy("bucket").agg(count(lit(1)).as(n))
+    val joined = bucketed(ref, "n_ref")
+      .join(bucketed(cur, "n_cur"), Seq("bucket"), "full_outer")
+      .select(col("bucket"),
+        coalesce(col("n_ref"), lit(0L)).as("n_ref"),
+        coalesce(col("n_cur"), lit(0L)).as("n_cur"))
+    val totals = joined.agg(sum("n_ref").as("__nr"), sum("n_cur").as("__nc"),
+      count(lit(1)).as("__b"))
+    val p = (col("n_ref") + lit(1L)).cast("double") /
+      (col("__nr") + col("__b")).cast("double")
+    val q = (col("n_cur") + lit(1L)).cast("double") /
+      (col("__nc") + col("__b")).cast("double")
+    joined.crossJoin(broadcast(totals))
+      .select(col("bucket"), col("n_ref"), col("n_cur"),
+        floor((p - q) * log(p / q) * lit(1e6) + lit(0.5)).cast("long")
+          .as("psi_micro"))
+      .withColumn("psi", round(col("psi_micro").cast("double") / 1e6, 6))
+  }
+
   /** Functional-dependency audit: the `lhs` values that map to MORE than
    * one distinct `rhs` — violations of the expected `lhs → rhs`
    * dependency (a natural key that stopped being one, a denormalized

@@ -84,16 +84,47 @@ object Sampling {
    * excluded on both sides: a stray NULL would otherwise set cmin and
    * deflate every real stratum's rate while its own rows vanished in the
    * equi-join. */
-  def sqrtMixtureRates(df: DataFrame, stratumCol: String): DataFrame = {
+  def sqrtMixtureRates(df: DataFrame, stratumCol: String): DataFrame =
+    temperatureMixtureRates(df, stratumCol, alphaLog2 = 1)
+
+  /** Temperature-smoothed mixture rates at α = 1/2^`alphaLog2` — the
+   * general "sampling temperature" knob of multilingual/multi-source
+   * training mixes (weights ∝ count^α: α = 1 is proportional, α → 0
+   * uniform; `alphaLog2` = 1 is [[sqrtMixtureRates]]' classic √-smoothing,
+   * 2 the flatter α = ¼ used when dominant sources must be damped harder).
+   * α is restricted to powers of ½ DELIBERATELY: `x^(1/2^k)` evaluates as
+   * k nested `sqrt` calls, and sqrt — unlike the general `pow` — is
+   * correctly rounded under IEEE 754, so every engine computes the
+   * bit-identical rate table and no stratum can flip across a rate
+   * boundary between the plan and its replay (the same argument
+   * [[sqrtMixtureRates]] always documented, now for the whole α family).
+   * Same shape as before: one stratum-cardinality aggregate, a 1-row
+   * broadcast, rates clamped at 1 % so extreme skew cannot silently drop
+   * a stratum. */
+  def temperatureMixtureRates(df: DataFrame, stratumCol: String,
+      alphaLog2: Int): DataFrame = {
+    require(alphaLog2 >= 1 && alphaLog2 <= 6,
+      s"alphaLog2 must be in [1, 6], got $alphaLog2")
     val counts = df.filter(col(stratumCol).isNotNull)
       .groupBy(stratumCol).agg(count(lit(1)).as("__c"))
+    val root = (1 to alphaLog2).foldLeft(
+      col("__cmin").cast("double") / col("__c"))((e, _) => sqrt(e))
     counts
       .crossJoin(broadcast(counts.agg(min(col("__c")).as("__cmin"))))
       .select(col(stratumCol),
         greatest(lit(1),
-          floor(lit(100.0) * sqrt(col("__cmin").cast("double") / col("__c")))
-            .cast("int")).as("rate"))
+          floor(lit(100.0) * root).cast("int")).as("rate"))
   }
+
+  /** The sampler over [[temperatureMixtureRates]] — identical filter shape
+   * to [[sqrtMixtureSample]] (stable md5 bucket vs the broadcast rate
+   * table; a narrow scan, no shuffle on the corpus side). */
+  def temperatureMixtureSample(df: DataFrame, idCol: String,
+      stratumCol: String, alphaLog2: Int): DataFrame =
+    df.join(broadcast(temperatureMixtureRates(df, stratumCol, alphaLog2)),
+        stratumCol)
+      .filter(hashBucket(col(idCol), salt = "temp") < col("rate"))
+      .drop("rate")
 
   /** Global training order (curriculum): every row gets its exact position
    * in the corpus-wide `orderCols` sort. A bare `row_number()` over an

@@ -859,6 +859,36 @@ object ExtensionQueries {
                FROM j GROUP BY 1"""),
       "benchmark dirtiness: per-eval-doc fraction of shingles seen in the corpus"),
 
+    // Cross-source overlap matrix: distinct-shingle Jaccard + containment
+    // per source pair — "are these two sources the same crawl?", the audit
+    // run before mixture weights are set (high containment ⇒ independent
+    // weights double-draw the same content). The pair expansion is an
+    // in-group sorted-set walk over per-shingle SOURCE sets (bounded by
+    // |sources|, skew-free by construction) — never a corpus self-join.
+    "d22_source_overlap" -> QueryDef(
+      (s, dir) => Dedup.sourceOverlap(t(s, dir, "documents")),
+      Some(s"""WITH $ShinglesCte,
+               ssh AS (SELECT DISTINCT d.source, s.sh
+                       FROM sh s JOIN documents d USING (doc_id)
+                       WHERE d.source IS NOT NULL),
+               per AS (SELECT source, CAST(count(*) AS BIGINT) AS n_sh
+                       FROM ssh GROUP BY source),
+               j AS (SELECT a.source AS source_a, b.source AS source_b,
+                            CAST(count(*) AS BIGINT) AS n_both
+                     FROM ssh a JOIN ssh b
+                       ON a.sh = b.sh AND a.source < b.source
+                     GROUP BY 1, 2)
+               SELECT source_a, source_b, pa.n_sh AS n_a, pb.n_sh AS n_b,
+                      n_both,
+                      round(n_both::DOUBLE / (pa.n_sh + pb.n_sh - n_both), 4)
+                        AS jaccard,
+                      round(n_both::DOUBLE / least(pa.n_sh, pb.n_sh), 4)
+                        AS containment
+               FROM j
+               JOIN per pa ON j.source_a = pa.source
+               JOIN per pb ON j.source_b = pb.source"""),
+      "cross-source shingle overlap: Jaccard + containment per source pair"),
+
     // Apply the dedup: documents surviving near-dup removal = every cluster
     // keeper plus every unpaired doc.
     "d7_dedup_apply" -> QueryDef(
@@ -2087,6 +2117,45 @@ object ExtensionQueries {
       },
       "per-column data-quality profile (nulls, distincts, min/max)"),
 
+    // PSI drift monitor between two corpus slices (en vs zh documents over
+    // 50-char length buckets): Laplace-smoothed bucket ratios, per-bucket
+    // contribution micro-quantized at the ln boundary so totals replay as
+    // exact BIGINT sums. Bucket-grain aggregates only — nothing
+    // corpus-sized survives the two hash-aggs.
+    "dq4_psi_drift" -> QueryDef(
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        graft.ext.Profile.psiDrift(
+          docs.filter(col("lang") === "en"),
+          docs.filter(col("lang") === "zh"),
+          "n_chars", bucketWidth = 50L)
+      },
+      Some("""WITH rb AS (SELECT CAST(floor(CAST(n_chars AS DOUBLE) / 50) AS BIGINT) AS bucket,
+                                 CAST(count(*) AS BIGINT) AS n_ref
+                          FROM documents WHERE lang = 'en' GROUP BY 1),
+              cb AS (SELECT CAST(floor(CAST(n_chars AS DOUBLE) / 50) AS BIGINT) AS bucket,
+                            CAST(count(*) AS BIGINT) AS n_cur
+                     FROM documents WHERE lang = 'zh' GROUP BY 1),
+              j AS (SELECT coalesce(rb.bucket, cb.bucket) AS bucket,
+                           CAST(coalesce(n_ref, 0) AS BIGINT) AS n_ref,
+                           CAST(coalesce(n_cur, 0) AS BIGINT) AS n_cur
+                    FROM rb FULL OUTER JOIN cb ON rb.bucket = cb.bucket),
+              tt AS (SELECT CAST(sum(n_ref) AS BIGINT) AS nr,
+                            CAST(sum(n_cur) AS BIGINT) AS nc,
+                            CAST(count(*) AS BIGINT) AS b
+                     FROM j),
+              pq AS (SELECT bucket, n_ref, n_cur,
+                            CAST(n_ref + 1 AS DOUBLE) / CAST(nr + b AS DOUBLE) AS p,
+                            CAST(n_cur + 1 AS DOUBLE) / CAST(nc + b AS DOUBLE) AS q
+                     FROM j CROSS JOIN tt)
+              SELECT bucket, n_ref, n_cur,
+                     CAST(floor((p - q) * ln(p / q) * 1e6 + 0.5) AS BIGINT)
+                       AS psi_micro,
+                     round(CAST(floor((p - q) * ln(p / q) * 1e6 + 0.5) AS BIGINT) / 1e6, 6)
+                       AS psi
+              FROM pq"""),
+      "PSI drift monitor: Laplace-smoothed bucket distribution shift, micro-quantized"),
+
     // ---- streaming + generator (oracle replays the spine from the same
     // materialized envelopes — see StreamOracle) ----
 
@@ -2537,6 +2606,51 @@ object ExtensionQueries {
                FROM flags"""),
       "composed curation pipeline: per-doc disposition audit (gates + graded signal panel)"),
 
+    // Flagship composition #2 — the WRITE side to pipe1's audit: split →
+    // temperature-¼ source mixture → sliding-window chunking →
+    // token-budget packing, ending in the per-pack shard manifest. Every
+    // stage is an already-gated operator; the oracle replays the identical
+    // md5/sqrt/slice/window arithmetic end-to-end.
+    "pipe2_training_assembly" -> QueryDef(
+      (s, dir) => Curation.trainingAssembly(t(s, dir, "documents"),
+        alphaLog2 = 2, chunkSize = ChunkSize, overlap = ChunkOverlap,
+        budget = 256),
+      Some(s"""WITH tr AS (SELECT doc_id, source, text FROM documents
+                           WHERE ('0x' || substr(md5('split:' || doc_id::VARCHAR), 1, 8))::BIGINT % 100 < 80),
+               cnt AS (SELECT source, count(*) AS c FROM tr
+                       WHERE source IS NOT NULL GROUP BY 1),
+               mn AS (SELECT min(c) AS cmin FROM cnt),
+               rt AS (SELECT source,
+                             greatest(1, CAST(floor(100 * sqrt(sqrt(CAST(cmin AS DOUBLE) / c))) AS INTEGER)) AS rate
+                      FROM cnt CROSS JOIN mn),
+               mx AS (SELECT tr.doc_id, tr.text FROM tr JOIN rt USING (source)
+                      WHERE ('0x' || substr(md5('temp:' || tr.doc_id::VARCHAR), 1, 8))::BIGINT % 100 < rate),
+               cw AS (SELECT doc_id, string_split(text, ' ') AS toks FROM mx),
+               cs AS (SELECT doc_id, toks,
+                             unnest(generate_series(0, len(toks) - 1, $ChunkStep)) AS start
+                      FROM cw),
+               cf AS (SELECT * FROM cs
+                      WHERE start = 0 OR start + $ChunkOverlap < len(toks)),
+               ck AS (SELECT doc_id,
+                             doc_id * 100000 + CAST(start / $ChunkStep AS INTEGER) AS cid,
+                             CAST(len(toks[start + 1 : start + $ChunkSize]) AS INTEGER) AS n_toks
+                      FROM cf),
+               pk AS (SELECT *,
+                             ('0x' || substr(md5('pack:' || cid::VARCHAR), 1, 8))::BIGINT % 100 AS bucket
+                      FROM ck),
+               cum AS (SELECT *,
+                              coalesce(sum(CAST(n_toks AS BIGINT)) OVER (
+                                PARTITION BY bucket ORDER BY cid
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumx
+                       FROM pk)
+               SELECT bucket, CAST(cumx // 256 AS BIGINT) AS pack_id,
+                      CAST(count(*) AS BIGINT) AS n_chunks,
+                      CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+                      CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+                      round(sum(n_toks)::DOUBLE / 256, 4) AS fill
+               FROM cum GROUP BY 1, 2"""),
+      "training-set assembly: split -> temperature mixture -> chunk -> pack manifest"),
+
     // ---- deterministic splitting / sampling / packing ----
 
     // Decontamination audit: every verified near-dup pair with both sides'
@@ -2662,6 +2776,36 @@ object ExtensionQueries {
               SELECT r.lang, r.rate, coalesce(k.n_kept, 0) AS n_kept
               FROM r LEFT JOIN k USING (lang)"""),
       "sqrt-smoothed mixture resampling (rates derived in-engine)"),
+
+    // The α-generalized temperature mixture at α = ¼ (two NESTED sqrts —
+    // each IEEE-correctly-rounded, so the whole α = 1/2^k family replays
+    // bit-for-bit where a general pow() cannot): dominant strata damped
+    // harder than sp9's √, the flatter mix multilingual runs reach for
+    // when the head language still dominates after √-smoothing.
+    "sp17_temperature_mix" -> QueryDef(
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val kept = graft.ext.Sampling
+          .temperatureMixtureSample(docs, "doc_id", "lang", alphaLog2 = 2)
+          .groupBy("lang").agg(count(lit(1)).as("n_kept"))
+        graft.ext.Sampling.temperatureMixtureRates(docs, "lang", alphaLog2 = 2)
+          .join(kept, Seq("lang"), "left")
+          .select(col("lang"), col("rate"),
+            coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+      },
+      Some("""WITH c AS (SELECT lang, count(*) AS c FROM documents
+                         WHERE lang IS NOT NULL GROUP BY 1),
+              m AS (SELECT min(c) AS cmin FROM c),
+              r AS (SELECT lang,
+                           greatest(1, CAST(floor(100 * sqrt(sqrt(CAST(cmin AS DOUBLE) / c))) AS INTEGER)) AS rate
+                    FROM c CROSS JOIN m),
+              k AS (SELECT d.lang, count(*) AS n_kept
+                    FROM documents d JOIN r USING (lang)
+                    WHERE ('0x' || substr(md5('temp:' || doc_id::VARCHAR), 1, 8))::BIGINT % 100 < rate
+                    GROUP BY 1)
+              SELECT r.lang, r.rate, coalesce(k.n_kept, 0) AS n_kept
+              FROM r LEFT JOIN k USING (lang)"""),
+      "temperature-1/4 mixture resampling (nested-sqrt IEEE-exact alpha family)"),
 
     // The upsampling half of mixture balance: scarce languages REPLICATE
     // toward the dominant one (rate = floor(100·√(cmax/c)) ≥ 100; full

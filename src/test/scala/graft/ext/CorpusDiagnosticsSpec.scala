@@ -1,0 +1,107 @@
+package graft.ext
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** Round-7 corpus diagnostics: cross-source overlap, PSI drift, the
+ * temperature-mixture α family, and the pipe2 training-assembly manifest. */
+class CorpusDiagnosticsSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  test("sourceOverlap: hand-built corpus with known shared shingles") {
+    // srcA doc 1 and srcB doc 2 share exactly the shingle set of the
+    // identical text; srcC is disjoint vocabulary.
+    val docs = Seq(
+      (1L, "a b c d e", "srcA"),
+      (2L, "a b c d e", "srcB"),
+      (3L, "p q r s t", "srcC")).toDF("doc_id", "text", "source")
+    val out = Dedup.sourceOverlap(docs)
+      .orderBy("source_a", "source_b").collect()
+    // only the (srcA, srcB) pair shares anything: 3 shingles each, all 3
+    // shared -> jaccard 1.0, containment 1.0
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getString(0) == "srcA" && r.getString(1) == "srcB")
+    assert(r.getLong(2) == 3L && r.getLong(3) == 3L && r.getLong(4) == 3L)
+    assert(r.getDouble(5) == 1.0 && r.getDouble(6) == 1.0)
+  }
+
+  test("sourceOverlap: containment >= jaccard, both in (0, 1]") {
+    val docs = spark.read.parquet(s"$Sf/documents.parquet")
+    val rows = Dedup.sourceOverlap(docs).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val jac = r.getDouble(5); val cont = r.getDouble(6)
+      assert(jac > 0.0 && jac <= 1.0, s"jaccard out of range: $jac")
+      assert(cont >= jac && cont <= 1.0, s"containment $cont < jaccard $jac")
+    }
+  }
+
+  test("psiDrift: identical relations score ~0, disjoint score large") {
+    val a = Seq.tabulate(200)(i => (i.toLong, (i % 7) * 10L))
+      .toDF("id", "v")
+    val same = Profile.psiDrift(a, a, "v", 10L)
+      .agg(sum("psi_micro")).first().getLong(0)
+    assert(same == 0L, s"identical distributions must give PSI 0, got $same")
+    val b = a.withColumn("v", col("v") + 1000L)
+    val far = Profile.psiDrift(a, b, "v", 10L)
+      .agg(sum(col("psi_micro").cast("double") / 1e6)).first().getDouble(0)
+    assert(far > 0.25, s"disjoint distributions must exceed 0.25, got $far")
+    // every per-bucket contribution is non-negative by construction
+    val negs = Profile.psiDrift(a, b, "v", 10L)
+      .filter(col("psi_micro") < 0).count()
+    assert(negs == 0L)
+  }
+
+  test("temperatureMixtureRates: alphaLog2=1 is sqrtMixtureRates; " +
+    "deeper alpha flattens rates monotonically") {
+    val docs = spark.read.parquet(s"$Sf/documents.parquet")
+    val viaSqrt = Sampling.sqrtMixtureRates(docs, "lang")
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    val viaTemp = Sampling.temperatureMixtureRates(docs, "lang", 1)
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(viaSqrt == viaTemp)
+    // rate_k = floor(100 * r^(1/2^k)) with r <= 1 is nondecreasing in k
+    val byAlpha = (1 to 4).map(k =>
+      Sampling.temperatureMixtureRates(docs, "lang", k)
+        .collect().map(r => r.getString(0) -> r.getInt(1)).toMap)
+    byAlpha.sliding(2).foreach { case Seq(lo, hi) =>
+      lo.keySet.foreach(k =>
+        assert(hi(k) >= lo(k), s"rates must flatten with alpha: $k"))
+    }
+  }
+
+  test("trainingAssembly: manifest conserves the packed chunk tokens") {
+    val docs = spark.read.parquet(s"$Sf/documents.parquet")
+    val budget = 256
+    val train = Sampling.hashSplit(docs, "doc_id")
+      .filter(col("split") === "train")
+    val mixed = Sampling.temperatureMixtureSample(
+      train, "doc_id", "source", alphaLog2 = 2)
+    val chunkToks = Sampling.chunkDocuments(mixed, 32, 8)
+      .agg(sum(col("n_toks").cast("long")), count(lit(1))).first()
+    val manifest = Curation.trainingAssembly(docs, alphaLog2 = 2,
+      chunkSize = 32, overlap = 8, budget = budget)
+    val agg = manifest
+      .agg(sum("n_tokens"), sum("n_chunks")).first()
+    assert(agg.getLong(0) == chunkToks.getLong(0),
+      "token totals must survive the assembly")
+    assert(agg.getLong(1) == chunkToks.getLong(1),
+      "chunk counts must survive the assembly")
+    // within a bucket, every non-final pack starts because its
+    // predecessor's exclusive running sum crossed the budget: cumulative
+    // tokens through pack p-1 must be >= p * budget
+    val viol = manifest
+      .withColumn("cum_thru",
+        sum("n_tokens").over(org.apache.spark.sql.expressions.Window
+          .partitionBy("bucket").orderBy("pack_id")))
+      .withColumn("next_exists",
+        lead("pack_id", 1).over(org.apache.spark.sql.expressions.Window
+          .partitionBy("bucket").orderBy("pack_id")).isNotNull)
+      .filter(col("next_exists") &&
+        col("cum_thru") < (col("pack_id") + 1) * budget)
+      .count()
+    assert(viol == 0L, "a pack closed before its budget filled")
+  }
+}
