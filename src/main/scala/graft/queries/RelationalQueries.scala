@@ -226,6 +226,32 @@ object RelationalQueries {
               FROM l JOIN r ON l.k IS NOT DISTINCT FROM r.k2"""),
       "null-safe equality join: NULL keys match (still hash-planned)"),
 
+    // Correlated LATERAL subquery (Spark 3.2+ lateral join): top-2
+    // customers by balance PER nation, written as the per-row subquery a
+    // SQL user reaches for. Catalyst decorrelates it into a join +
+    // per-group limit — the declarative twin of w1's window top-n — so no
+    // driver loop and no N subquery executions survive planning. Ties
+    // broken by name for a deterministic hash.
+    "j9_lateral_topn" -> QueryDef(
+      (s, dir) => withViews(s, "nation" -> t(s, dir, "nation"),
+        "customer" -> t(s, dir, "customer")) { v =>
+        s"""SELECT n.n_name, c.c_name, c.c_acctbal
+            FROM ${v("nation")} n
+            JOIN LATERAL (
+              SELECT c_name, c_acctbal FROM ${v("customer")}
+              WHERE c_nationkey = n.n_nationkey
+              ORDER BY c_acctbal DESC, c_name
+              LIMIT 2) c"""
+      },
+      Some("""SELECT n.n_name, c.c_name, c.c_acctbal
+              FROM nation n
+              JOIN LATERAL (
+                SELECT c_name, c_acctbal FROM customer
+                WHERE c_nationkey = n.n_nationkey
+                ORDER BY c_acctbal DESC, c_name
+                LIMIT 2) c ON true"""),
+      "correlated LATERAL top-n per outer row (decorrelated by Catalyst)"),
+
     // Semi join (EXISTS): customers that placed at least one order, by nation.
     "j2_semi_join" -> QueryDef(
       (s, dir) => t(s, dir, "customer")
@@ -462,6 +488,35 @@ object RelationalQueries {
                      count(*) AS n_events
               FROM flagged GROUP BY user_id, sess_id"""),
       "built-in session_window sessions == classic lag+flag-sum derivation"),
+
+    // Sweep-line peak concurrency: max simultaneous 5-minute event
+    // intervals per type + the first instant the peak is reached. Endpoint
+    // deltas pre-aggregate to per-(key, instant) NET values (half-open
+    // intervals: an end at t frees its slot before a start at t takes it),
+    // so the running sum's order key is unique per partition and one
+    // per-key window sort answers the capacity question — never an
+    // interval self-join.
+    "s5_peak_concurrency" -> QueryDef(
+      (s, dir) => graft.ext.TimeSeries.peakConcurrency(
+        t(s, dir, "events"), "event_type", "ts",
+        durationNs = 300L * 1000000000L),
+      Some("""WITH ep AS (
+                SELECT event_type, epoch_ns(ts) AS t, 1 AS delta FROM events
+                UNION ALL
+                SELECT event_type, epoch_ns(ts) + 300000000000, -1 FROM events),
+              net AS (SELECT event_type, t, CAST(sum(delta) AS BIGINT) AS net
+                      FROM ep GROUP BY 1, 2),
+              r AS (SELECT event_type, t,
+                           sum(net) OVER (PARTITION BY event_type ORDER BY t
+                             ROWS UNBOUNDED PRECEDING) AS run
+                    FROM net),
+              p AS (SELECT event_type, max(run) AS peak FROM r GROUP BY 1)
+              SELECT r.event_type, CAST(p.peak AS BIGINT) AS peak,
+                     CAST(min(r.t) FILTER (WHERE r.run = p.peak) AS BIGINT)
+                       AS first_peak_ts
+              FROM r JOIN p USING (event_type)
+              GROUP BY 1, 2"""),
+      "sweep-line peak concurrency per event type (+ first instant reached)"),
 
     // Ordered-step conversion funnel: first view, first click AFTER that
     // view, first purchase AFTER that click. Each stage is one keyed

@@ -72,6 +72,20 @@ class CorpusDiagnosticsSpec extends SparkTestBase {
     }
   }
 
+  test("peakConcurrency: half-open intervals — an end frees its slot " +
+    "before a coincident start takes it") {
+    val ev = Seq(
+      // key "a": [0,100) [100,200) [150,250) -> peak 2, first at t=150
+      ("a", 0L), ("a", 100L), ("a", 150L),
+      // key "b": [0,100) [100,200) back-to-back -> never concurrent
+      ("b", 0L), ("b", 100L)).toDF("k", "ts")
+    val out = TimeSeries.peakConcurrency(ev, "k", "ts", durationNs = 100L)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    assert(out("a") == ((2L, 150L)), s"got ${out("a")}")
+    assert(out("b") == ((1L, 0L)), s"got ${out("b")}")
+  }
+
   test("trainingAssembly: manifest conserves the packed chunk tokens") {
     val docs = spark.read.parquet(s"$Sf/documents.parquet")
     val budget = 256
