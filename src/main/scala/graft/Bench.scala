@@ -242,7 +242,10 @@ object Bench {
           // lang rides along for the selection/perplexity probes
           // (t16/sp12 partition the corpus on it); replicas keep the
           // original's language so the en/non-en mix scales with the data.
-          col("lang"))
+          // source rides along for the assembly/overlap probes (pipe2
+          // mixes on it, d22 joins it onto the shingle relation) — same
+          // per-replica copy, so each source grows 10× in docs.
+          col("lang"), col("source"))
       }.reduce(_ union _)
       docs10.repartition(16).write.mode("overwrite")
         .parquet(s"$dir10/documents.parquet")
@@ -305,7 +308,12 @@ object Bench {
         // the COMPOSED curation audit (round-6 verdict #1d): every gate of
         // pipe1 over the 10x corpus — the number that says the composition,
         // not just its stages, holds at scale
-        "pipe1_curation_report")
+        "pipe1_curation_report",
+        // round-7 additions: the training-set ASSEMBLY composition (split →
+        // temperature mixture → chunk → pack manifest) and the
+        // cross-source overlap matrix (corpus-wide shingle groupBy with
+        // |sources|-bounded pair expansion) at 10×
+        "pipe2_training_assembly", "d22_source_overlap")
       val walls = scala.collection.mutable.ListBuffer.empty[(String, String)]
       val ratios = scala.collection.mutable.ListBuffer.empty[(String, String)]
       // BOTH raw walls per probe, not just the min (round-5 verdict #2):

@@ -121,6 +121,39 @@ object Incremental {
     drop
   }
 
+  /** Snapshot diff — the reverse of [[apply]]: given two corpus snapshots
+   * (yesterday's drop, today's drop), derive the change set
+   * `(key, change ∈ added | removed | changed)` that separates them — the
+   * first question an incremental pipeline asks of a new 100-TB delivery
+   * ("what do I actually have to reprocess?"), and the input that turns a
+   * full re-run into an incremental one ([[Dedup.incrementalDedup]]-style
+   * anti-join stages downstream). Value columns compare null-safely
+   * (`<=>` per column — a column going NULL is a change, not a match);
+   * unchanged keys are dropped so the output is delta-sized. Presence is
+   * tracked by explicit markers, never inferred from payload nulls.
+   *
+   * Scale shape: ONE full-outer hash join on the key — the [[apply]]
+   * shape exactly, with the same bucketed-layout co-location at scale;
+   * the per-column comparison is a codegen'd projection on the joined
+   * row. */
+  def snapshotDiff(prev: DataFrame, cur: DataFrame, keyCol: String,
+      valueCols: Seq[String]): DataFrame = {
+    require(valueCols.nonEmpty, "snapshotDiff needs at least one value column")
+    val p = prev.select(col(keyCol) +: lit(true).as("__p") +:
+      valueCols.map(c => col(c).as(s"__p_$c")): _*)
+    val c = cur.select(col(keyCol) +: lit(true).as("__c") +:
+      valueCols.map(cc => col(cc).as(s"__c_$cc")): _*)
+    p.join(c, Seq(keyCol), "full_outer")
+      .withColumn("change",
+        when(col("__c").isNull, "removed")
+          .when(col("__p").isNull, "added")
+          .when(valueCols.map(cc =>
+            !(col(s"__p_$cc") <=> col(s"__c_$cc"))).reduce(_ || _),
+            "changed"))
+      .filter(col("change").isNotNull)
+      .select(col(keyCol), col("change"))
+  }
+
   /** Latest committed version of a merge-sink table. */
   def currentBase(spark: SparkSession, baseDir: String): DataFrame =
     baseAsOf(spark, baseDir, Long.MaxValue)

@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /**
@@ -27,6 +27,23 @@ import org.apache.spark.sql.functions._
  */
 object Retrieval {
 
+  /** Micro-quantized Lucene idf and the per-(doc, term) saturated-tf BM25
+   * score — the shared scoring core of [[bm25TopK]] and [[rm3TopK]]'s
+   * second pass (one definition, so the expansion pass cannot drift from
+   * the first-pass formula the oracle replays). Expects columns
+   * (tf, dl, df, n_docs, sum_dl) in scope. */
+  private def sQ(k1: Double, b: Double): Column = {
+    val avgdl = col("sum_dl").cast("double") / col("n_docs").cast("double")
+    val idfQ = floor(log(lit(1.0) +
+      (col("n_docs").cast("double") - col("df").cast("double") + lit(0.5)) /
+        (col("df").cast("double") + lit(0.5))) * lit(1e6) + lit(0.5))
+      .cast("long")
+    val tfNorm = col("tf").cast("double") * lit(k1 + 1.0) /
+      (col("tf").cast("double") +
+        lit(k1) * (lit(1.0 - b) + lit(b) * col("dl").cast("double") / avgdl))
+    floor(idfQ.cast("double") * tfNorm + lit(0.5)).cast("long")
+  }
+
   /** BM25 top-k documents for a bag-of-terms query. Output:
    * (doc_id, n_terms, bm25_q, bm25), ranked by bm25_q DESC, doc_id. */
   def bm25TopK(docs: DataFrame, terms: Seq[String], k: Int,
@@ -49,23 +66,100 @@ object Retrieval {
       .groupBy("doc_id", "dl", "tok")
       .agg(count(lit(1)).as("tf")))
     val dfreq = tf.groupBy("tok").agg(count(lit(1)).as("df"))
-    val avgdl = col("sum_dl").cast("double") / col("n_docs").cast("double")
-    val idfQ = floor(log(lit(1.0) +
-      (col("n_docs").cast("double") - col("df").cast("double") + lit(0.5)) /
-        (col("df").cast("double") + lit(0.5))) * lit(1e6) + lit(0.5))
-      .cast("long")
-    val tfNorm = col("tf").cast("double") * lit(k1 + 1.0) /
-      (col("tf").cast("double") +
-        lit(k1) * (lit(1.0 - b) + lit(b) * col("dl").cast("double") / avgdl))
     tf.join(broadcast(dfreq), "tok")
       .crossJoin(broadcast(stats))
-      .select(col("doc_id"),
-        floor(idfQ.cast("double") * tfNorm + lit(0.5)).cast("long").as("s_q"))
+      .select(col("doc_id"), sQ(k1, b).as("s_q"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_terms"), sum("s_q").as("bm25_q"))
       .select(col("doc_id"), col("n_terms"), col("bm25_q"),
         (col("bm25_q").cast("double") / lit(1e6)).as("bm25"))
       .orderBy(col("bm25_q").desc, col("doc_id").asc)
+      .limit(k)
+  }
+
+  /** RM3 pseudo-relevance feedback (Lavrenko & Croft's relevance model,
+   * the Anserini/Indri "RM3" composition): run BM25, treat the top
+   * `fbDocs` documents as pseudo-relevant, estimate an expansion term
+   * distribution from them, interpolate with the original query at
+   * λ = 0.5, and re-rank with the expanded weighted query — the standard
+   * one-round query expansion of a lexical retrieval stack (recall the
+   * original bag-of-words misses, without embeddings).
+   *
+   * Determinism discipline (the same exact-integer ladder as BM25): each
+   * feedback doc's relevance weight is its integer `bm25_q` share; RM1
+   * term mass quantizes per (term, doc) contribution BEFORE summation
+   * (`floor((tf·s_d)/(dl·S)·1e9 + 0.5)` — one fixed-shape double
+   * expression over exact integers, so addition order cannot drift),
+   * expansion/original weights carry as integer MICROS, and the final
+   * score `Σ_t w_mic(t)·s_q(t,d)` is an exact BIGINT sum ranked by
+   * (rm3_q DESC, doc_id).
+   *
+   * Scale shape: pass 1 is [[bm25TopK]] (one filtered corpus scan); the
+   * feedback relation is `fbDocs` rows, so expansion-term estimation
+   * scans only those docs (broadcast semi-join on doc_id — bounded rows
+   * explode); the re-rank pass is one more corpus token scan filtered by
+   * the ≤ |query|+`fbTerms` term relation (broadcast join in the scan
+   * stage), same grain as pass 1. Nothing all-pairs, nothing
+   * driver-side. */
+  def rm3TopK(docs: DataFrame, terms: Seq[String], k: Int,
+      fbDocs: Int = 5, fbTerms: Int = 5,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty, "RM3 needs at least one query term")
+    val w = split(col("text"), " ")
+    // pass 1: pseudo-relevant docs + their integer relevance mass
+    val fb = Dedup.materialize(
+      bm25TopK(docs, terms, fbDocs, k1, b).select("doc_id", "bm25_q"))
+    val sTot = fb.agg(sum("bm25_q").as("s_tot"))
+    // RM1 term mass over the feedback docs only (fbDocs-bounded explode)
+    val ftok = docs
+      .join(broadcast(fb), Seq("doc_id"))
+      .select(col("doc_id"), col("bm25_q"), size(w).cast("long").as("dl"),
+        explode(w).as("tok"))
+      .groupBy("doc_id", "bm25_q", "dl", "tok")
+      .agg(count(lit(1)).as("tf"))
+    val rmc = ftok.crossJoin(broadcast(sTot))
+      .select(col("tok"),
+        floor((col("tf").cast("double") * col("bm25_q").cast("double")) /
+          (col("dl").cast("double") * col("s_tot").cast("double")) *
+          lit(1e9) + lit(0.5)).cast("long").as("c_q"))
+      .groupBy("tok").agg(sum("c_q").as("rm_q"))
+    val exp = Dedup.materialize(
+      rmc.orderBy(col("rm_q").desc, col("tok").asc).limit(fbTerms))
+    val rmTot = exp.agg(sum("rm_q").as("rm_tot"))
+    // interpolated term weights in integer micros: λ/|Q| per original
+    // term + (1−λ)·(rm share) per expansion term, λ = 0.5
+    val spark = docs.sparkSession
+    val orig = spark.createDataFrame(terms.map(Tuple1.apply)).toDF("tok")
+      .withColumn("__o", lit(true))
+    val wterms = Dedup.materialize(orig
+      .join(exp.withColumn("__e", lit(true)), Seq("tok"), "full_outer")
+      .crossJoin(broadcast(rmTot))
+      .select(col("tok"),
+        (when(col("__o"), lit(500000L / terms.size)).otherwise(lit(0L)) +
+          when(col("__e"),
+            floor(lit(5e5) * col("rm_q").cast("double") /
+              col("rm_tot").cast("double") + lit(0.5)).cast("long"))
+            .otherwise(lit(0L))).as("w_mic")))
+    // pass 2: weighted BM25 over the expanded vocabulary — the same
+    // filtered-scan grain as pass 1, term filter now a broadcast join
+    val lens = docs.select(col("doc_id"), size(w).cast("long").as("dl"))
+    val stats = lens.agg(sum("dl").as("sum_dl"), count(lit(1)).as("n_docs"))
+    val tf2 = Dedup.materialize(docs
+      .select(col("doc_id"), size(w).cast("long").as("dl"),
+        explode(w).as("tok"))
+      .join(broadcast(wterms.select("tok")), Seq("tok"))
+      .groupBy("doc_id", "dl", "tok")
+      .agg(count(lit(1)).as("tf")))
+    val dfreq2 = tf2.groupBy("tok").agg(count(lit(1)).as("df"))
+    tf2.join(broadcast(dfreq2), "tok")
+      .join(broadcast(wterms), "tok")
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"), (col("w_mic") * sQ(k1, b)).as("ws_q"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_terms"), sum("ws_q").as("rm3_q"))
+      .select(col("doc_id"), col("n_terms"), col("rm3_q"),
+        (col("rm3_q").cast("double") / lit(1e12)).as("rm3"))
+      .orderBy(col("rm3_q").desc, col("doc_id").asc)
       .limit(k)
   }
 

@@ -3310,5 +3310,68 @@ object ExtensionQueries {
                FROM f
                ORDER BY rrf_q DESC, doc_id
                LIMIT 10"""),
-      "hybrid BM25+dense retrieval fused by reciprocal rank (RRF, k0=60)"))
+      "hybrid BM25+dense retrieval fused by reciprocal rank (RRF, k0=60)"),
+
+    // RM3 pseudo-relevance feedback: BM25 → top-5 pseudo-relevant docs →
+    // RM1 expansion-term mass (per-(term, doc) contributions quantized
+    // BEFORE summation so addition order cannot drift) → λ=0.5
+    // interpolated integer-micro term weights → weighted re-rank. The
+    // oracle extends the SHARED Bm25Ctes chain (t17/t18 discipline), so
+    // the first pass cannot drift from the gated BM25.
+    "t21_rm3_expand" -> QueryDef(
+      (s, dir) => Retrieval.rm3TopK(
+        t(s, dir, "documents"), Seq("spark", "vector", "stream"), k = 10),
+      Some(s"""WITH $Bm25Ctes,
+               fb AS (SELECT doc_id, bm25_q FROM bm
+                      ORDER BY bm25_q DESC, doc_id LIMIT 5),
+               fbs AS (SELECT CAST(sum(bm25_q) AS BIGINT) AS s_tot FROM fb),
+               ftf AS (SELECT t.doc_id, f.bm25_q, t.dl, t.tok,
+                              count(*) AS tf
+                       FROM tok t JOIN fb f USING (doc_id)
+                       GROUP BY 1, 2, 3, 4),
+               rmc AS (SELECT tok,
+                              CAST(sum(CAST(floor(
+                                (CAST(tf AS DOUBLE) * CAST(bm25_q AS DOUBLE))
+                                / (CAST(dl AS DOUBLE) * CAST(s_tot AS DOUBLE))
+                                * 1e9 + 0.5) AS BIGINT)) AS BIGINT) AS rm_q
+                       FROM ftf CROSS JOIN fbs GROUP BY tok),
+               ex AS (SELECT tok, rm_q FROM rmc
+                      ORDER BY rm_q DESC, tok LIMIT 5),
+               exs AS (SELECT CAST(sum(rm_q) AS BIGINT) AS rm_tot FROM ex),
+               ot AS (SELECT unnest(['spark', 'vector', 'stream']) AS tok),
+               wt AS (SELECT coalesce(o.tok, e.tok) AS tok,
+                             (CASE WHEN o.tok IS NOT NULL
+                                THEN 500000 // 3 ELSE 0 END)
+                             + (CASE WHEN e.tok IS NOT NULL
+                                  THEN CAST(floor(5e5 * CAST(e.rm_q AS DOUBLE)
+                                    / CAST(rm_tot AS DOUBLE) + 0.5) AS BIGINT)
+                                  ELSE 0 END) AS w_mic
+                      FROM ot o FULL OUTER JOIN ex e ON o.tok = e.tok
+                      CROSS JOIN exs),
+               tf2 AS (SELECT t.doc_id, t.dl, t.tok, count(*) AS tf
+                       FROM tok t JOIN wt USING (tok)
+                       GROUP BY 1, 2, 3),
+               df2 AS (SELECT tok, count(*) AS df FROM tf2 GROUP BY tok),
+               sc2 AS (SELECT tf2.doc_id,
+                              w_mic * CAST(floor(
+                                CAST(CAST(floor(ln(1e0
+                                      + (CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+                                        / (CAST(df AS DOUBLE) + 0.5))
+                                    * 1e6 + 0.5) AS BIGINT) AS DOUBLE)
+                                * (CAST(tf AS DOUBLE) * 2.2e0
+                                    / (CAST(tf AS DOUBLE)
+                                       + 1.2e0 * (0.25e0
+                                           + 0.75e0 * CAST(dl AS DOUBLE)
+                                             / (CAST(sum_dl AS DOUBLE)
+                                                / CAST(n_docs AS DOUBLE)))))
+                                + 0.5) AS BIGINT) AS ws_q
+                       FROM tf2 JOIN df2 USING (tok) JOIN wt USING (tok)
+                       CROSS JOIN stats)
+               SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms,
+                      CAST(sum(ws_q) AS BIGINT) AS rm3_q,
+                      CAST(CAST(sum(ws_q) AS BIGINT) AS DOUBLE) / 1e12 AS rm3
+               FROM sc2 GROUP BY doc_id
+               ORDER BY rm3_q DESC, doc_id
+               LIMIT 10"""),
+      "RM3 pseudo-relevance feedback: BM25 + RM1 expansion, weighted re-rank"))
 }

@@ -1279,6 +1279,49 @@ object RelationalQueries {
                WHERE l.op IS NULL OR l.op <> 'D'"""),
       "MERGE/CDC apply: full-outer keyed merge with delete/upsert semantics"),
 
+    // Snapshot diff — the reverse of i1: derive the added/removed/changed
+    // change set separating two corpus drops (the "what must I reprocess?"
+    // question an incremental pipeline asks of a new delivery). One
+    // full-outer keyed join, null-safe per-column compare, delta-sized
+    // output. The "current" snapshot is built from the same table by
+    // deterministic arithmetic so the oracle replays it verbatim.
+    "i4_snapshot_diff" -> QueryDef(
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val cur = docs.filter(col("doc_id") % 31 =!= 7)
+          .withColumn("text",
+            when(col("doc_id") % 17 === 3, concat(col("text"), lit(" v2")))
+              .otherwise(col("text")))
+          .unionByName(docs.filter(col("doc_id") % 50 === 0)
+            .withColumn("doc_id", col("doc_id") + 1000000L))
+        Incremental.snapshotDiff(docs, cur, "doc_id",
+          Seq("text", "lang", "source"))
+      },
+      Some("""WITH cur AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 17 = 3 THEN text || ' v2'
+                            ELSE text END AS text,
+                       lang, source
+                FROM documents WHERE doc_id % 31 <> 7
+                UNION ALL
+                SELECT doc_id + 1000000, text, lang, source
+                FROM documents WHERE doc_id % 50 = 0)
+              SELECT coalesce(p.doc_id, c.doc_id) AS doc_id,
+                     CASE WHEN c.doc_id IS NULL THEN 'removed'
+                          WHEN p.doc_id IS NULL THEN 'added'
+                          WHEN (p.text IS DISTINCT FROM c.text)
+                            OR (p.lang IS DISTINCT FROM c.lang)
+                            OR (p.source IS DISTINCT FROM c.source)
+                          THEN 'changed' END AS change
+              FROM documents p FULL OUTER JOIN cur c ON p.doc_id = c.doc_id
+              WHERE CASE WHEN c.doc_id IS NULL THEN 'removed'
+                         WHEN p.doc_id IS NULL THEN 'added'
+                         WHEN (p.text IS DISTINCT FROM c.text)
+                           OR (p.lang IS DISTINCT FROM c.lang)
+                           OR (p.source IS DISTINCT FROM c.source)
+                         THEN 'changed' END IS NOT NULL"""),
+      "snapshot diff: added/removed/changed change-set between two drops"),
+
     // SCD2 history build: every non-delete change becomes a versioned
     // dimension row with a [valid_from, valid_to) validity interval;
     // valid_to = the NEXT change's version (any op — a delete closes its

@@ -86,6 +86,39 @@ class CorpusDiagnosticsSpec extends SparkTestBase {
     assert(out("b") == ((1L, 0L)), s"got ${out("b")}")
   }
 
+  test("snapshotDiff: added/removed/changed with null-safe value compare") {
+    val prev = Seq((1L, Some("a")), (2L, Some("b")), (3L, None))
+      .toDF("doc_id", "v")
+    val cur = Seq((2L, Some("b2")), (3L, None), (4L, Some("d")))
+      .toDF("doc_id", "v")
+    val out = Incremental.snapshotDiff(prev, cur, "doc_id", Seq("v"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // key 3 (null == null) is unchanged and therefore absent
+    assert(out == Map(1L -> "removed", 2L -> "changed", 4L -> "added"))
+  }
+
+  test("rm3TopK: expansion recalls a doc the literal query cannot match") {
+    // query 'apple' matches only d1; RM1 expansion from d1 surfaces
+    // 'banana', which recalls d2 in the second pass.
+    val docs = Seq(
+      (1L, "apple banana banana"),
+      (2L, "banana cherry cherry"),
+      (3L, "date elderberry fig")).toDF("doc_id", "text")
+    val bm = Retrieval.bm25TopK(docs, Seq("apple"), 3)
+      .select("doc_id").as[Long].collect().toSet
+    assert(bm == Set(1L))
+    val rm3 = Retrieval.rm3TopK(docs, Seq("apple"), 3,
+      fbDocs = 1, fbTerms = 2)
+      .select("doc_id").as[Long].collect().toSet
+    assert(rm3.contains(1L) && rm3.contains(2L),
+      s"expansion must recall the banana doc, got $rm3")
+    assert(!rm3.contains(3L), "an unrelated doc must stay unmatched")
+    // deterministic: a second run returns the identical ranking
+    val r1 = Retrieval.rm3TopK(docs, Seq("apple"), 3).collect().toSeq
+    val r2 = Retrieval.rm3TopK(docs, Seq("apple"), 3).collect().toSeq
+    assert(r1 == r2)
+  }
+
   test("trainingAssembly: manifest conserves the packed chunk tokens") {
     val docs = spark.read.parquet(s"$Sf/documents.parquet")
     val budget = 256
