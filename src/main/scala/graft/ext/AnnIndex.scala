@@ -562,6 +562,31 @@ object AnnIndex {
       p.getInt(3), k)
   }
 
+  /** Filtered search over a [[buildIvfPq]] index — the
+   * [[Similarity.knnIvfPqFiltered]] pre-filter semantics on the stored
+   * artifact: the `allowed` metadata-predicate relation semi-joins the
+   * cell-pruned candidate lists BEFORE scoring and the top-k cut, so
+   * partition pruning (and the tombstone anti-join in [[listing]]) is
+   * untouched and each query still gets k ELIGIBLE neighbors when its
+   * probed cell holds that many. Bit-identical to the fused filtered
+   * search with the build's parameters. */
+  def searchIvfPqFiltered(queries: DataFrame, spark: SparkSession,
+      dir: String, k: Int, allowed: DataFrame,
+      maxInList: Int = DefaultMaxInList): DataFrame = {
+    val p = spark.read.parquet(s"$dir/params.parquet")
+      .select("bits", "dim", "seed", "sub_dim").head
+    val planes = Similarity.rpPlanes(p.getInt(1), p.getInt(0), p.getString(2))
+    val qCells = queries
+      .select(Similarity.rpCell(col("embedding"), planes).as("cell"))
+    Similarity.ivfPqSearchEncoded(queries,
+      pruneProbed(listing(spark, dir, "encoded"),
+        qCells, "cell", maxInList)
+        .join(allowed.select("vec_id").distinct(), Seq("vec_id"), "left_semi"),
+      planes,
+      loadPqCodebooks(spark, s"$dir/pq_codebooks.parquet"),
+      p.getInt(3), k)
+  }
+
   /** Multi-probe search over a [[buildIvfPq]] index: each query scores its
    * own rp cell PLUS the `bits` Hamming-1 flips — the recall repair of
    * [[Similarity.knnRpMultiProbe]], surviving the index round-trip

@@ -53,12 +53,32 @@ object Profile {
   def psiDrift(ref: DataFrame, cur: DataFrame, valueCol: String,
       bucketWidth: Long): DataFrame = {
     require(bucketWidth > 0, s"bucketWidth must be positive, got $bucketWidth")
-    def bucketed(df: DataFrame, n: String) =
-      df.select(floor(col(valueCol).cast("double") / bucketWidth)
-          .cast("long").as("bucket"))
-        .groupBy("bucket").agg(count(lit(1)).as(n))
-    val joined = bucketed(ref, "n_ref")
-      .join(bucketed(cur, "n_cur"), Seq("bucket"), "full_outer")
+    psiFromBuckets(
+      bucketCounts(ref, valueCol, bucketWidth).toDF("bucket", "n_ref"),
+      bucketCounts(cur, valueCol, bucketWidth).toDF("bucket", "n_cur"))
+  }
+
+  /** Fixed-width bucket histogram `(bucket, n)` of a numeric column — the
+   * input grain of [[psiFromBuckets]]. Works unchanged as a STREAMING
+   * aggregation (complete/update-mode `groupBy(bucket).count` — Spark
+   * maintains the running counts as keyed state, so the per-batch cost
+   * touches only the batch's buckets), which is how the streaming drift
+   * monitor keeps "today's" histogram current without corpus replay. */
+  def bucketCounts(df: DataFrame, valueCol: String,
+      bucketWidth: Long): DataFrame = {
+    require(bucketWidth > 0, s"bucketWidth must be positive, got $bucketWidth")
+    df.select(floor(col(valueCol).cast("double") / bucketWidth)
+        .cast("long").as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("n"))
+  }
+
+  /** [[psiDrift]] over pre-bucketed histograms `(bucket, n_ref)` /
+   * `(bucket, n_cur)` — the composition seam the streaming monitor uses
+   * (reference histogram frozen once, current histogram maintained
+   * incrementally as streaming state). */
+  def psiFromBuckets(refBuckets: DataFrame,
+      curBuckets: DataFrame): DataFrame = {
+    val joined = refBuckets.join(curBuckets, Seq("bucket"), "full_outer")
       .select(col("bucket"),
         coalesce(col("n_ref"), lit(0L)).as("n_ref"),
         coalesce(col("n_cur"), lit(0L)).as("n_cur"))

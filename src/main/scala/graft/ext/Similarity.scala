@@ -640,6 +640,33 @@ object Similarity {
       planes, cbs, subDim, k)
   }
 
+  /** Filtered ANN — the metadata-predicate + vector search every vector
+   * store advertises, in its PRE-FILTER form: the `allowed` id relation
+   * (the result of an arbitrary metadata predicate, one `vec_id` column)
+   * restricts candidates BEFORE the top-k cut, so each query still
+   * receives k eligible neighbors whenever its probed cell holds that
+   * many — the post-filter alternative (cut, then filter) silently
+   * returns fewer than k. The codebooks still train on the FULL corpus:
+   * the filter is a query-time predicate, not a different index.
+   *
+   * Scale shape: one semi-join of the cell-pruned candidate lists against
+   * the predicate relation — broadcast under AQE when the predicate is
+   * selective, shuffle otherwise; everything downstream is byte-identical
+   * to [[knnIvfPq]]. The index round-trip is
+   * [[AnnIndex.searchIvfPqFiltered]]. */
+  def knnIvfPqFiltered(queries: DataFrame, corpus: DataFrame,
+      allowed: DataFrame, k: Int,
+      bits: Int = 4, dim: Int = 64, seed: String = "rp",
+      m: Int = 4, subDim: Int = 16, pqBits: Int = 2,
+      pqSeed: String = "pq"): DataFrame = {
+    val planes = rpPlanes(dim, bits, seed)
+    val cbs = pqCodebooks(corpus, m, subDim, pqBits, pqSeed)
+    ivfPqSearchEncoded(queries,
+      encodeIvfPq(corpus, planes, cbs, subDim)
+        .join(allowed.select("vec_id").distinct(), Seq("vec_id"), "left_semi"),
+      planes, cbs, subDim, k)
+  }
+
   /** The IVF-PQ at-rest projection — codes + rp cell in ONE narrow pass:
    * encoding and cell assignment are both per-row expressions over the
    * same scan; a vec_id self-join of two projections would shuffle the

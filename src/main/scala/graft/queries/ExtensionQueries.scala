@@ -1691,6 +1691,46 @@ object ExtensionQueries {
       },
       "IVF-PQ: rp-cell candidate pruning + code-only ADC scoring"),
 
+    // Filtered ANN: n14's IVF-PQ composition under a metadata predicate
+    // (allowed = vec_id % 3 = 1) applied in PRE-FILTER position — the
+    // candidates restrict before the top-k cut, so every returned
+    // neighbor satisfies the predicate and each query still fills k from
+    // its probed cell when possible. Oracle = the same n14 CTE chain with
+    // the predicate on the candidate side.
+    "n21_knn_filtered" -> QueryDef(
+      (s, dir) => {
+        graft.functions.GraftFunctions.register(s)
+        val emb = t(s, dir, "embeddings")
+        Similarity.knnIvfPqFiltered(emb.filter(col("vec_id") < 8), emb,
+          emb.filter(col("vec_id") % 3 === 1).select("vec_id"), 3,
+          bits = RpBits, dim = RpDim, seed = RpSeed,
+          m = PqM, subDim = PqSubDim, pqBits = PqBits, pqSeed = PqSeed)
+      },
+      Some {
+        val cell = sqlRpCell("embedding::DOUBLE[]",
+          Similarity.rpPlanes(RpDim, RpBits, RpSeed))
+        s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb,
+                              CAST($cell AS INTEGER) AS cell
+                       FROM embeddings),
+            ${PqSubspaceCtes},
+            ${PqEncCte},
+            encc AS (SELECT enc.*, e.cell FROM enc JOIN e USING (vec_id)),
+            q AS (SELECT vec_id AS q_id, emb, cell FROM e WHERE vec_id < 8),
+            ${PqLutCtes},
+            scored AS (
+              SELECT q.q_id, encc.vec_id AS n_id,
+                     ${PqAdcDist} AS dist_q
+              FROM q JOIN encc USING (cell)
+                ${PqAdcJoins.replace("enc.c", "encc.c")}
+              WHERE q.q_id <> encc.vec_id AND encc.vec_id % 3 = 1),
+            r AS (SELECT q_id, n_id, dist_q,
+                         CAST(row_number() OVER (PARTITION BY q_id
+                           ORDER BY dist_q, n_id) AS INTEGER) AS rank
+                  FROM scored)
+            SELECT q_id, n_id, dist_q, rank FROM r WHERE rank <= 3"""
+      },
+      "filtered ANN: metadata predicate pre-filters IVF-PQ candidates before the cut"),
+
     // Multi-probe IVF-PQ: n14's production composition with the n4 recall
     // repair — each query scores its own rp cell plus the RpBits Hamming-1
     // flips, still over PQ codes only. The oracle expands the probe cells

@@ -80,6 +80,23 @@ class AnnIndexSpec extends SparkTestBase {
       rows(Similarity.knnRpMultiProbe(queries, embs, 3)))
   }
 
+  test("filtered search round-trips bit-identical and honors the " +
+    "pre-filter contract") {
+    val dir = tmp("ann_ivfpq_filtered")
+    AnnIndex.buildIvfPq(embs, dir)
+    val allowed = embs.filter($"vec_id" % 3 === 1).select("vec_id")
+    val idx = AnnIndex.searchIvfPqFiltered(queries, spark, dir, 3, allowed)
+    assert(rows(idx) ==
+      rows(Similarity.knnIvfPqFiltered(queries, embs, allowed, 3)))
+    // every returned neighbor satisfies the predicate
+    assert(idx.filter($"n_id" % 3 =!= 1).count() == 0L)
+    // PRE-filter, not post-filter: restricting after the cut would return
+    // strictly fewer rows whenever a top-3 neighbor was filtered out
+    val postFilter = AnnIndex.searchIvfPq(queries, spark, dir, 3)
+      .filter($"n_id" % 3 === 1)
+    assert(idx.count() >= postFilter.count())
+  }
+
   test("IVF-PQ multi-probe round-trips bit-identical to the fused path") {
     val dir = tmp("ann_ivfpq_mp")
     AnnIndex.buildIvfPq(embs, dir)

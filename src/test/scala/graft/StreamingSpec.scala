@@ -202,6 +202,47 @@ class StreamingSpec extends SparkTestBase {
     assert(streamed.nonEmpty && streamed == batch)
   }
 
+  test("streaming PSI drift monitor: incrementally maintained histogram " +
+    "matches the batch psiDrift on the accumulated stream") {
+    implicit val sqlCtx = spark.sqlContext
+    // frozen reference distribution (yesterday's drop)
+    val ref = spark.range(200).select((($"id" % 7) * 10).as("v"))
+    val refBuckets = graft.ext.Profile.bucketCounts(ref, "v", 10L)
+      .toDF("bucket", "n_ref").cache()
+    // today's stream drifts: same shape early, shifted mass later
+    val input = MemoryStream[Long]
+    val counts = graft.ext.Profile.bucketCounts(
+      input.toDF().select($"value".as("v")), "v", 10L)
+    val q = counts.writeStream.outputMode("complete")
+      .format("memory").queryName("psi_buckets").start()
+    val b1 = (0L until 200L).map(i => (i % 7) * 10)
+    val b2 = (0L until 200L).map(i => (i % 7) * 10 + 300)
+    input.addData(b1)
+    q.processAllAvailable()
+    val psiMid = graft.ext.Profile.psiFromBuckets(refBuckets,
+        spark.table("psi_buckets").toDF("bucket", "n_cur"))
+      .agg(sum($"psi_micro")).as[Long].head()
+    input.addData(b2)
+    q.processAllAvailable()
+    assert(q.recentProgress.length >= 2)
+    val streamedPsi = graft.ext.Profile.psiFromBuckets(refBuckets,
+      spark.table("psi_buckets").toDF("bucket", "n_cur"))
+    q.stop()
+    // identical early stream ⇒ ~0; the shifted second batch must register
+    val psiEnd = streamedPsi.agg(sum($"psi_micro")).as[Long].head()
+    assert(psiMid == 0L, s"identical first batch must score 0, got $psiMid")
+    assert(psiEnd > 250000L, s"post-drift PSI must exceed 0.25, got $psiEnd")
+    // and the incrementally maintained histogram is exactly the batch one
+    val batchPsi = graft.ext.Profile.psiDrift(ref,
+        (b1 ++ b2).toDF("v"), "v", 10L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    val streamSet = streamedPsi
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    assert(streamSet == batchPsi)
+  }
+
   test("stateful sessionize closes sessions on gap") {
     implicit val s = spark
     implicit val sqlCtx = spark.sqlContext
