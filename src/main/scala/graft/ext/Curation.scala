@@ -177,8 +177,17 @@ object Curation {
       .filter(col("split") === "train")
     val mixed = Sampling.temperatureMixtureSample(
       train, "doc_id", "source", alphaLog2)
+    // cid packs (doc_id, chunk_id) into one BIGINT order key; the
+    // assert_true rides INSIDE the cid expression (an unreferenced guard
+    // column would be pruned away) and fires loudly on the pathological
+    // >100000-chunk document instead of silently colliding keys.
     val chunks = Sampling.chunkDocuments(mixed, chunkSize, overlap)
-      .withColumn("cid", col("doc_id") * lit(100000L) + col("chunk_id"))
+      .withColumn("cid",
+        col("doc_id") * lit(100000L) + col("chunk_id") +
+          coalesce(assert_true(col("chunk_id") < 100000,
+            lit("trainingAssembly: chunk_id >= 100000 would collide cid — " +
+              "raise the stride or pre-chunk the document")).cast("long"),
+            lit(0L)))
     Sampling.packSequences(chunks, "cid", "n_toks", budget)
       .groupBy("bucket", "pack_id")
       .agg(count(lit(1)).as("n_chunks"),

@@ -592,10 +592,20 @@ object Dedup {
             .select("doc_id", "pos"))
           .distinct()
     }
-    // gaps-and-islands over equal-width windows: a window starts a new
-    // span iff it begins more than `width` past the previous start (equal
-    // widths ⇒ starts ordered ⇒ ends ordered, so lag(pos) is the running
-    // max end − width + 1 and the merge test needs no running max)
+    cutCoveredSpans(docs, width, cut)
+  }
+
+  /** The shared span-cut tail of [[removeDuplicateSpansFromWins]] and
+   * [[removeBoilerplate]]: merge the cut window START positions
+   * (`(doc_id, pos)`, each covering `width` tokens) into disjoint spans
+   * by gaps-and-islands, then cut them from the text in one substring
+   * fold. A window starts a new span iff it begins more than `width` past
+   * the previous start (equal widths ⇒ starts ordered ⇒ ends ordered, so
+   * lag(pos) is the running max end − width + 1 and the merge test needs
+   * no running max). Returns (doc_id, n_kept, text_dedup) for EVERY input
+   * doc. */
+  private[ext] def cutCoveredSpans(docs: DataFrame, width: Int,
+      cut: DataFrame): DataFrame = {
     val byDoc = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy("pos")
     val spans = cut
@@ -616,6 +626,31 @@ object Dedup {
           .otherwise(cutSpans(col("toks"), col("spans"))).as("kept"))
       .select(col("doc_id"), size(col("kept")).as("n_kept"),
         concat_ws(" ", col("kept")).as("text_dedup"))
+  }
+
+  /** Corpus-frequent ("boilerplate") n-gram REMOVAL — the repair form of
+   * [[TextAnalysis.boilerplateFraction]]'s diagnostic: every occurrence
+   * of a `width`-gram appearing in ≥ `minDf` DISTINCT documents is cut
+   * from every document. Unlike [[removeDuplicateSpans]] there is no
+   * keeper — nav chrome, cookie banners and license headers carry no
+   * information worth one canonical copy (the C4/RefinedWeb treatment of
+   * corpus-frequent text), so the hot grams cut everywhere.
+   *
+   * Scale shape: the positioned-window relation derives ONCE (the same
+   * ~100×-explode pipeline every span stage shares); doc-frequency is one
+   * hash-agg over its distinct (doc_id, fp) projection; the hot-gram
+   * relation holds only ≥ minDf fingerprints — tiny, so the cut-position
+   * semi-join broadcasts. The merge-and-cut tail is the shared
+   * [[cutCoveredSpans]]: one per-doc window sort, one substring fold. */
+  def removeBoilerplate(docs: DataFrame, width: Int, minDf: Int): DataFrame = {
+    require(minDf >= 2, s"minDf must be >= 2, got $minDf")
+    val wins = materialize(positionedFingerprints(docs, width))
+    val hot = wins.select("doc_id", "fp").distinct()
+      .groupBy("fp").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDf)
+      .select("fp")
+    cutCoveredSpans(docs, width,
+      wins.join(hot, Seq("fp"), "left_semi").select("doc_id", "pos"))
   }
 
   /** [[removeDuplicateSpans]] iterated to its FIXPOINT: re-joined text can

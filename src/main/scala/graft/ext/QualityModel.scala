@@ -54,4 +54,37 @@ object QualityModel {
       .select(col("doc_id"), col("n_toks"),
         (col("__s_m").cast("double") / lit(1000.0) / col("n_toks")).as("score"))
       .withColumn("keep", col("score") > minScore)
+
+  /** Per-source CALIBRATED quality gate: keep the top `keepPct`% of each
+   * source by model score — the way a production run actually sets
+   * thresholds, because one global cutoff over-prunes sources the scorer
+   * dislikes wholesale and under-prunes the ones it likes (the classifier
+   * is calibrated per domain, not globally). Rank-based rather than
+   * quantile-interpolated: the cut is `rn ≤ ⌈n_s · keepPct / 100⌉` with
+   * ties broken by doc_id, all exact integer arithmetic, so the kept set
+   * (and the reported threshold — the lowest kept score) replays
+   * bit-for-bit with no percentile-interpolation ambiguity between
+   * engines.
+   *
+   * Returns the calibration table a run pins before filtering:
+   * `(source, n_docs, n_kept, threshold)`. Cost: the scorer's one
+   * doc-grain agg + ONE per-source window sort (w1's top-n shape) + a
+   * sources-sized aggregate; the per-source count rides the same window
+   * partitioning, no join-back. */
+  def calibratedBySource(docs: DataFrame, keepPct: Int): DataFrame = {
+    require(keepPct >= 1 && keepPct <= 100,
+      s"keepPct must be in [1, 100], got $keepPct")
+    val bySrc = org.apache.spark.sql.expressions.Window.partitionBy("source")
+    val ranked = score(docs.select("doc_id", "text"))
+      .join(docs.select("doc_id", "source"), Seq("doc_id"))
+      .withColumn("rn", row_number().over(
+        bySrc.orderBy(col("score").desc, col("doc_id"))))
+      .withColumn("n_s", count(lit(1)).over(bySrc))
+      .withColumn("kept",
+        col("rn") <= expr(s"(n_s * $keepPct + 99) div 100"))
+    ranked.groupBy("source")
+      .agg(max("n_s").as("n_docs"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+        min(when(col("kept"), col("score"))).as("threshold"))
+  }
 }

@@ -726,6 +726,48 @@ object ExtensionQueries {
                SELECT doc_id, n_kept, text_dedup FROM span_agg"""),
       "ExactSubstr span removal: duplicated spans cut from all-but-one occurrence"),
 
+    // Boilerplate n-gram REMOVAL (the repair form of t13's diagnostic):
+    // every occurrence of a bigram present in >= 30 distinct documents is
+    // cut from every document - no keeper, the C4/RefinedWeb treatment of
+    // corpus-frequent chrome. Shares the d18 cut machinery; the oracle
+    // rebuilds kept text from uncovered token positions.
+    "d23_remove_boilerplate" -> QueryDef(
+      (s, dir) => Dedup.removeBoilerplate(t(s, dir, "documents"),
+        width = 2, minDf = 30),
+      Some("""WITH w_bp AS (SELECT doc_id, string_split(text, ' ') AS toks
+                            FROM documents),
+              s_bp AS (SELECT doc_id, toks,
+                              unnest(generate_series(0, len(toks) - 2)) AS pos
+                       FROM w_bp),
+              wins_bp AS (SELECT doc_id, pos,
+                                 md5(array_to_string(
+                                   toks[pos + 1 : pos + 2], ' ')) AS fp
+                          FROM s_bp),
+              hot_bp AS (SELECT fp FROM (
+                           SELECT fp, count(DISTINCT doc_id) AS df
+                           FROM wins_bp GROUP BY fp)
+                         WHERE df >= 30),
+              cut_bp AS (SELECT doc_id, pos FROM wins_bp
+                         WHERE fp IN (SELECT fp FROM hot_bp)),
+              cov_bp AS (SELECT DISTINCT doc_id, pos + d AS cp
+                         FROM cut_bp,
+                              (SELECT unnest(generate_series(0, 1)) AS d)),
+              tok_bp AS (SELECT doc_id, toks,
+                                unnest(generate_series(1, len(toks))) AS i
+                         FROM w_bp),
+              kept_bp AS (SELECT t.doc_id, t.i, t.toks[t.i] AS tk
+                          FROM tok_bp t LEFT JOIN cov_bp c
+                            ON c.doc_id = t.doc_id AND c.cp = t.i - 1
+                          WHERE c.doc_id IS NULL)
+              SELECT w.doc_id,
+                     CAST(coalesce(k.n_kept, 0) AS INTEGER) AS n_kept,
+                     coalesce(k.text_dedup, '') AS text_dedup
+              FROM w_bp w LEFT JOIN
+                (SELECT doc_id, count(*) AS n_kept,
+                        string_agg(tk, ' ' ORDER BY i) AS text_dedup
+                 FROM kept_bp GROUP BY doc_id) k USING (doc_id)"""),
+      "boilerplate bigram removal: corpus-frequent grams cut everywhere"),
+
     // Incremental-ingest dedup (the nightly-batch shape): a NEW batch
     // dedupes against the fingerprints of the already-ingested corpus —
     // no re-clustering of history, just one keyed anti-join against the
@@ -2390,6 +2432,47 @@ object ExtensionQueries {
                       (CAST(s_m AS DOUBLE) / 1000.0 / n_toks) > 0.0 AS keep
                FROM g"""),
       "hashed linear quality-model score + keep decision"),
+
+    // Per-source CALIBRATED quality gate: top-20% of each source by model
+    // score (rank cut with exact integer ceil, ties by doc_id) — a global
+    // threshold over/under-prunes per domain; the calibration table
+    // (source, n_docs, n_kept, threshold = lowest kept score) is what a
+    // run pins before filtering. No quantile interpolation anywhere, so
+    // the replay is exact.
+    "t22_calibrated_quality" -> QueryDef(
+      (s, dir) => graft.ext.QualityModel.calibratedBySource(
+        t(s, dir, "documents"), keepPct = 20),
+      Some(s"""WITH tok AS (
+                 SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                 FROM documents),
+               w AS (
+                 SELECT doc_id,
+                        ('0x' || substr(md5('qv:' ||
+                           (('0x' || substr(md5('qw:' || tok), 1, 8))::BIGINT % ${graft.ext.QualityModel.NumBuckets})::VARCHAR
+                         ), 1, 8))::BIGINT % 2001 - 1000 AS w_m
+                 FROM tok),
+               g AS (
+                 SELECT doc_id, CAST(sum(w_m) AS BIGINT) AS s_m,
+                        count(*) AS n_toks
+                 FROM w GROUP BY doc_id),
+               sc AS (
+                 SELECT d.source, g.doc_id,
+                        CAST(s_m AS DOUBLE) / 1000.0 / n_toks AS score
+                 FROM g JOIN documents d USING (doc_id)),
+               r AS (
+                 SELECT source, doc_id, score,
+                        row_number() OVER (PARTITION BY source
+                          ORDER BY score DESC, doc_id) AS rn,
+                        count(*) OVER (PARTITION BY source) AS n_s
+                 FROM sc)
+               SELECT source,
+                      CAST(max(n_s) AS BIGINT) AS n_docs,
+                      CAST(sum(CASE WHEN rn <= (n_s * 20 + 99) // 100
+                                    THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+                      min(CASE WHEN rn <= (n_s * 20 + 99) // 100
+                               THEN score END) AS threshold
+               FROM r GROUP BY source"""),
+      "per-source calibrated quality thresholds (exact rank cut, top-20%)"),
 
     // Document TF-IDF: idf snapped to integer micros right after the ln, so
     // per-term weights and the per-doc sum are exact BIGINTs — the gate

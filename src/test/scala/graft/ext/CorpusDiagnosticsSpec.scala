@@ -86,6 +86,26 @@ class CorpusDiagnosticsSpec extends SparkTestBase {
     assert(out("b") == ((1L, 0L)), s"got ${out("b")}")
   }
 
+  test("removeBoilerplate: hot grams cut everywhere (no keeper), " +
+    "rare text survives") {
+    val docs = Seq(
+      (1L, "click here a b c"),
+      (2L, "click here d e f"),
+      (3L, "click here g h i"),
+      (4L, "j k l m n")).toDF("doc_id", "text")
+    val out = Dedup.removeBoilerplate(docs, width = 2, minDf = 3)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    // 'click here' is in 3 docs -> cut from ALL of them, including the
+    // first occurrence (contrast removeDuplicateSpans, which keeps one)
+    assert(out(1L) == "a b c" && out(2L) == "d e f" && out(3L) == "g h i")
+    assert(out(4L) == "j k l m n")
+    // under-threshold grams are untouched: raising minDf past the df
+    // leaves every doc intact
+    assert(Dedup.removeBoilerplate(docs, 2, 4)
+      .join(docs, "doc_id")
+      .filter(col("text_dedup") =!= col("text")).count() == 0L)
+  }
+
   test("snapshotDiff: added/removed/changed with null-safe value compare") {
     val prev = Seq((1L, Some("a")), (2L, Some("b")), (3L, None))
       .toDF("doc_id", "v")
