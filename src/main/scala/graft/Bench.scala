@@ -313,7 +313,13 @@ object Bench {
         // temperature mixture → chunk → pack manifest) and the
         // cross-source overlap matrix (corpus-wide shingle groupBy with
         // |sources|-bounded pair expansion) at 10×
-        "pipe2_training_assembly", "d22_source_overlap")
+        "pipe2_training_assembly", "d22_source_overlap",
+        // round-7 late additions: boilerplate-gram removal (positioned
+        // windows + hot-gram semi-join + substring cut — the d18 machinery
+        // under a different span rule), RM3 (three filtered corpus scans:
+        // BM25, fbDocs-bounded expansion, weighted re-rank), and the
+        // per-source calibrated quality cut (scorer + one window sort)
+        "d23_remove_boilerplate", "t21_rm3_expand", "t22_calibrated_quality")
       val walls = scala.collection.mutable.ListBuffer.empty[(String, String)]
       val ratios = scala.collection.mutable.ListBuffer.empty[(String, String)]
       // BOTH raw walls per probe, not just the min (round-5 verdict #2):

@@ -337,6 +337,37 @@ object TextAnalysis {
    * broadcasts it when small — and joins back keyed by shingle; both
    * sides of the join are the ALREADY-EXPLODED relation, so nothing
    * corpus-quadratic exists. Output: (doc_id, n_sh, boiler_frac). */
+  /** Vocabulary-coverage audit at a `vocabSize`-token head: per document,
+   * the fraction of tokens OUTSIDE the corpus's top-`vocabSize` vocabulary
+   * (count desc, token asc ties) — the pre-tokenizer check that a frozen
+   * vocab/merge table will cover a corpus (a doc mostly OOV either isn't
+   * the target language or will explode into byte-fallback tokens).
+   * `flagged` marks docs past `maxOovFrac`.
+   *
+   * Scale shape: the vocabulary head is a partial-agg count +
+   * `TakeOrderedAndProject` (k rows per partition cross the wire — the t9
+   * plan), broadcast back onto one corpus token scan; one doc-grain
+   * hash-agg. Output: (doc_id, n_toks, n_oov, oov_frac, flagged). */
+  def vocabCoverage(docs: org.apache.spark.sql.DataFrame, vocabSize: Int,
+      maxOovFrac: Double = 0.5): org.apache.spark.sql.DataFrame = {
+    require(vocabSize >= 1, s"vocabSize must be >= 1, got $vocabSize")
+    val vocab = docs
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("__n"))
+      .orderBy(desc("__n"), asc("tok"))
+      .limit(vocabSize)
+      .select(col("tok"), lit(true).as("__in_v"))
+    docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .join(broadcast(vocab), Seq("tok"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_toks"),
+        sum(when(col("__in_v").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .select(col("doc_id"), col("n_toks"), col("n_oov"),
+        round(col("n_oov").cast("double") / col("n_toks"), 4).as("oov_frac"))
+      .withColumn("flagged", col("oov_frac") > maxOovFrac)
+  }
+
   def boilerplateFraction(docs: org.apache.spark.sql.DataFrame,
       minDf: Int): org.apache.spark.sql.DataFrame = {
     // The shingle relation feeds BOTH the df aggregation and the join-back

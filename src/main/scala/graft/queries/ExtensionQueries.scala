@@ -2474,6 +2474,28 @@ object ExtensionQueries {
                FROM r GROUP BY source"""),
       "per-source calibrated quality thresholds (exact rank cut, top-20%)"),
 
+    // Vocabulary-coverage audit: per-doc OOV fraction against the corpus
+    // top-20 vocabulary head (the pre-tokenizer coverage check). Head =
+    // t9's TakeOrdered plan broadcast onto one token scan.
+    "t23_vocab_coverage" -> QueryDef(
+      (s, dir) => TextAnalysis.vocabCoverage(t(s, dir, "documents"),
+        vocabSize = 20),
+      Some("""WITH tok AS (SELECT doc_id,
+                                  unnest(string_split(text, ' ')) AS tok
+                           FROM documents),
+              v AS (SELECT tok FROM (
+                      SELECT tok, count(*) AS n FROM tok GROUP BY tok
+                      ORDER BY n DESC, tok LIMIT 20)),
+              j AS (SELECT t.doc_id,
+                           CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END AS oov
+                    FROM tok t LEFT JOIN v ON t.tok = v.tok)
+              SELECT doc_id, count(*) AS n_toks,
+                     CAST(sum(oov) AS BIGINT) AS n_oov,
+                     round(sum(oov)::DOUBLE / count(*), 4) AS oov_frac,
+                     round(sum(oov)::DOUBLE / count(*), 4) > 0.5 AS flagged
+              FROM j GROUP BY doc_id"""),
+      "per-doc OOV fraction vs the top-20 corpus vocabulary head"),
+
     // Document TF-IDF: idf snapped to integer micros right after the ln, so
     // per-term weights and the per-doc sum are exact BIGINTs — the gate
     // compares bit-for-bit despite the transcendental in the middle.

@@ -448,6 +448,44 @@ class StreamingSpec extends SparkTestBase {
       s"contaminated docs must drop per batch: $survivors")
   }
 
+  test("streaming query vectors search the prebuilt index per micro-batch") {
+    // The serving half of the live-index story: a STREAM of query vectors
+    // runs searchIvfPq against the stored artifact per micro-batch, and
+    // the accumulated results equal the one-shot batch search over the
+    // same query set — micro-batching a query workload changes nothing.
+    implicit val sqlCtx = spark.sqlContext
+    val embs = spark.read.parquet(s"$Sf/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val dir = Files.createTempDirectory("ann_qstream").toString
+    graft.ext.AnnIndex.buildIvfPq(embs, dir)
+    val qVecs = embs.filter($"vec_id" < 8)
+      .as[(Long, Array[Float])].collect()
+    val (q1, q2) = qVecs.splitAt(qVecs.length / 2)
+    val results = scala.collection.mutable.ArrayBuffer.empty[String]
+    val input = MemoryStream[(Long, Array[Float])]
+    val q = input.toDF().toDF("vec_id", "embedding")
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        results.synchronized {
+          results ++= graft.ext.AnnIndex
+            .searchIvfPq(batch, spark, dir, 3)
+            .collect().map(_.toString)
+        }
+        ()
+      }
+      .start()
+    input.addData(q1.toSeq: _*)
+    q.processAllAvailable()
+    input.addData(q2.toSeq: _*)
+    q.processAllAvailable()
+    assert(q.recentProgress.length >= 2)
+    q.stop()
+    val batch = graft.ext.AnnIndex
+      .searchIvfPq(embs.filter($"vec_id" < 8), spark, dir, 3)
+      .collect().map(_.toString)
+    assert(results.sorted.toSeq == batch.sorted.toSeq)
+  }
+
   test("foreachBatch maintains a live ANN index across micro-batches") {
     // Index MAINTENANCE at streaming cadence: new vectors append into the
     // prebuilt IVF-PQ index per micro-batch (stored codebooks, no
