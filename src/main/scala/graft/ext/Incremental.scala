@@ -154,6 +154,33 @@ object Incremental {
       .select(col(keyCol), col("change"))
   }
 
+  /** The snapshot→CDC bridge: [[snapshotDiff]] with payloads — turn two
+   * full drops into the change relation [[apply]]/[[mergeSink]] consume
+   * (`(key, version, op ∈ I|U|D, valueCols…)`, payload = the CURRENT
+   * side's values, NULL on deletes), so a supplier that ships whole
+   * snapshots still feeds the incremental table: by construction
+   * `apply(prev, snapshotChanges(prev, cur, …)) == cur` (pinned in the
+   * spec) — ingest the delta, get the new drop, without ever rewriting
+   * the unchanged 99 %. Same one-full-outer-join cost shape as
+   * [[snapshotDiff]]. */
+  def snapshotChanges(prev: DataFrame, cur: DataFrame, keyCol: String,
+      valueCols: Seq[String], version: Long): DataFrame = {
+    require(valueCols.nonEmpty, "snapshotChanges needs a value column")
+    val p = prev.select(col(keyCol) +: lit(true).as("__p") +:
+      valueCols.map(c => col(c).as(s"__p_$c")): _*)
+    val c = cur.select(col(keyCol) +: lit(true).as("__c") +:
+      valueCols.map(cc => col(cc).as(s"__c_$cc")): _*)
+    p.join(c, Seq(keyCol), "full_outer")
+      .withColumn("op",
+        when(col("__c").isNull, "D")
+          .when(col("__p").isNull, "I")
+          .when(valueCols.map(cc =>
+            !(col(s"__p_$cc") <=> col(s"__c_$cc"))).reduce(_ || _), "U"))
+      .filter(col("op").isNotNull)
+      .select(col(keyCol) +: lit(version).as("version") +: col("op") +:
+        valueCols.map(cc => col(s"__c_$cc").as(cc)): _*)
+  }
+
   /** Latest committed version of a merge-sink table. */
   def currentBase(spark: SparkSession, baseDir: String): DataFrame =
     baseAsOf(spark, baseDir, Long.MaxValue)

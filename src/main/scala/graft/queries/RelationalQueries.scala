@@ -612,6 +612,30 @@ object RelationalQueries {
                            ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)"""),
       "trailing 7-row rolling features per key (bounded frame state)"),
 
+    // Event-TIME rolling features: RANGE frame over the raw nanos order
+    // key (trailing 1 hour), the value-based sibling of w6's ROWS frame —
+    // frame membership follows the clock, not a row count, so bursty and
+    // sparse keys window correctly. Equal-timestamp rows are peers in
+    // both engines (RANGE semantics), which ROWS could only approximate
+    // with a tie-break. Same single per-key sort as every window op.
+    "w9_time_rolling" -> QueryDef(
+      (s, dir) => {
+        val w = Window.partitionBy("user_id").orderBy("ts")
+          .rangeBetween(-3600L * 1000000000L, Window.currentRow)
+        t(s, dir, "events")
+          .select(col("event_id"), col("user_id"),
+            round(sum("value").over(w), 2).as("hr_sum"),
+            count(lit(1)).over(w).as("hr_n"))
+      },
+      Some("""SELECT event_id, user_id,
+                     round(sum(value) OVER w, 2) AS hr_sum,
+                     count(*) OVER w AS hr_n
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts)
+                           RANGE BETWEEN 3600000000000 PRECEDING
+                                 AND CURRENT ROW)"""),
+      "trailing 1-hour event-time rolling features (RANGE frame)"),
+
     // Per-key OLS trend (value-over-time slope) with EXACT integer moment
     // sums: y in cents, x in whole seconds from the key's first event, so
     // Σx, Σy, Σxy, Σx² are exact BIGINTs in both engines and the slope is
@@ -1321,6 +1345,46 @@ object RelationalQueries {
                            OR (p.source IS DISTINCT FROM c.source)
                          THEN 'changed' END IS NOT NULL"""),
       "snapshot diff: added/removed/changed change-set between two drops"),
+
+    // The snapshot->CDC bridge: i4's diff WITH payloads, shaped as the
+    // change relation i1's MERGE consumes (I/U/D + current values, NULL
+    // payload on deletes) - how a whole-drop supplier feeds an
+    // incremental table. apply(prev, these changes) == cur is pinned in
+    // the spec; the gate replays the emitted change relation itself.
+    "i5_snapshot_to_cdc" -> QueryDef(
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val cur = docs.filter(col("doc_id") % 31 =!= 7)
+          .withColumn("text",
+            when(col("doc_id") % 17 === 3, concat(col("text"), lit(" v2")))
+              .otherwise(col("text")))
+          .unionByName(docs.filter(col("doc_id") % 50 === 0)
+            .withColumn("doc_id", col("doc_id") + 1000000L))
+        Incremental.snapshotChanges(docs, cur, "doc_id",
+          Seq("text", "lang"), version = 1L)
+      },
+      Some("""WITH cur AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 17 = 3 THEN text || ' v2'
+                            ELSE text END AS text,
+                       lang
+                FROM documents WHERE doc_id % 31 <> 7
+                UNION ALL
+                SELECT doc_id + 1000000, text, lang
+                FROM documents WHERE doc_id % 50 = 0),
+              d AS (
+                SELECT coalesce(p.doc_id, c.doc_id) AS doc_id,
+                       CASE WHEN c.doc_id IS NULL THEN 'D'
+                            WHEN p.doc_id IS NULL THEN 'I'
+                            WHEN (p.text IS DISTINCT FROM c.text)
+                              OR (p.lang IS DISTINCT FROM c.lang)
+                            THEN 'U' END AS op,
+                       c.text AS text, c.lang AS lang
+                FROM documents p FULL OUTER JOIN cur c
+                  ON p.doc_id = c.doc_id)
+              SELECT doc_id, CAST(1 AS BIGINT) AS version, op, text, lang
+              FROM d WHERE op IS NOT NULL"""),
+      "snapshot-to-CDC bridge: I/U/D change relation between two drops"),
 
     // SCD2 history build: every non-delete change becomes a versioned
     // dimension row with a [valid_from, valid_to) validity interval;

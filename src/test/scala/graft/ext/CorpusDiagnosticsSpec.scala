@@ -117,6 +117,26 @@ class CorpusDiagnosticsSpec extends SparkTestBase {
     assert(out == Map(1L -> "removed", 2L -> "changed", 4L -> "added"))
   }
 
+  test("snapshotChanges: apply(prev, changes) reconstructs cur exactly") {
+    val prev = Seq((1L, "a", "x"), (2L, "b", "y"), (3L, "c", "z"))
+      .toDF("doc_id", "t", "l")
+    val cur = Seq((2L, "b2", "y"), (3L, "c", "z"), (4L, "d", "w"))
+      .toDF("doc_id", "t", "l")
+    val changes = Incremental.snapshotChanges(prev, cur, "doc_id",
+      Seq("t", "l"), version = 7L)
+    // the emitted ops are exactly the i4 classification with payloads
+    val ops = changes.select("doc_id", "op").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(ops == Map(1L -> "D", 2L -> "U", 4L -> "I"))
+    // the round-trip property that makes it a CDC bridge
+    val rebuilt = Incremental.apply(prev,
+      Incremental.latestPerKey(changes, "doc_id", "version", "op",
+        Seq("t", "l")),
+      "doc_id", "op", Seq("t", "l"))
+    assert(rebuilt.collect().map(_.toString).sorted.toSeq ==
+      cur.collect().map(_.toString).sorted.toSeq)
+  }
+
   test("rm3TopK: expansion recalls a doc the literal query cannot match") {
     // query 'apple' matches only d1; RM1 expansion from d1 surfaces
     // 'banana', which recalls d2 in the second pass.
