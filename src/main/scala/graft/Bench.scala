@@ -398,7 +398,11 @@ object Bench {
       val annNames = Seq("n7_knn_ivf_trained", "n10_pq_encode", "n11_pq_adc",
         "n14_knn_ivfpq", "e5_proto_prune",
         // round 7: residual IVFADC (published form) — fused train+search
-        "n18_knn_ivfadc_residual")
+        "n18_knn_ivfadc_residual",
+        // round 7: cross-label semantic overlap — the rp-cell-blocked
+        // sampled-quadratic diagnostic at 10× vectors (the cosine-pair
+        // cost inside cells is the number being measured)
+        "e10_label_overlap")
       val idxDir = s"$dir10/ann_ivfpq_index"
       val residualIdxDir = s"$dir10/ann_ivfadc_residual_index"
       runFamily(

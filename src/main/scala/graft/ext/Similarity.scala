@@ -1031,6 +1031,60 @@ object Similarity {
   /** Embedding near-dup pairs: same-cell blocking, cosine ≥ threshold.
    * Cells are capped at `maxCell` members before the self-join, bounding
    * the within-cell cost at maxCell²/2 pairs (see capCell). */
+  /** Cross-label semantic overlap matrix — [[graft.ext.Dedup.sourceOverlap]]'s
+   * embedding-space sibling: per label pair, the ≥ `minCos` near-dup
+   * vector pairs crossing the boundary and the distinct vectors on each
+   * side that participate, with `containment` = the larger covered
+   * fraction. Two labels whose vectors are mutual near-dups are the same
+   * content under different tags (mixture weights treating them as
+   * independent double-draw it); on a labeled eval set this is the
+   * class-confusability audit.
+   *
+   * Blocking must be label-INDEPENDENT (cross-label pairs are the point,
+   * so [[cosineDedupPairs]]'s same-cell-column trick is unavailable): rp
+   * sign cells at the given geometry — pairs split across cells are
+   * missed, the same recall trade every rp-bucketed path makes and the
+   * one [[graft.ext.Dedup.lshRecall]] prices on the text side. Within-cell
+   * work is quadratic, so on a real corpus this is a SAMPLED diagnostic
+   * (`samplePct`, d21 discipline) with `capCell` bounding any hot cell;
+   * per-label denominators count the relation actually scanned (post
+   * sample/cap), keeping the reported fractions internally consistent. */
+  def labelOverlap(vecs: DataFrame, minCos: Double,
+      bits: Int = 4, dim: Int = 64, seed: String = "rp",
+      samplePct: Int = 100, maxCell: Int = 10000): DataFrame = {
+    val sampled =
+      if (samplePct >= 100) vecs
+      else Sampling.hashSample(vecs, "vec_id", samplePct)
+    val planes = rpPlanes(dim, bits, seed)
+    val v = graft.ext.Dedup.materialize(capCell(
+      sampled.filter(col("label").isNotNull)
+        .select(rpCell(col("embedding"), planes).as("cell"),
+          col("vec_id"), col("label"), col("embedding")),
+      "vec_id", maxCell))
+    val per = v.groupBy("label").agg(countDistinct("vec_id").as("n"))
+    val a = v.select(col("cell"), col("vec_id").as("id_a"),
+      col("label").as("label_a"), col("embedding").as("emb_a"))
+    val b = v.select(col("cell"), col("vec_id").as("id_b"),
+      col("label").as("label_b"), col("embedding").as("emb_b"))
+    a.join(b, Seq("cell"))
+      .filter(col("label_a") < col("label_b"))
+      .select(col("label_a"), col("label_b"), col("id_a"), col("id_b"),
+        round(cosine(col("emb_a"), col("emb_b")), 4).as("sim"))
+      .filter(col("sim") >= minCos)
+      .groupBy("label_a", "label_b")
+      .agg(count(lit(1)).as("n_pairs"),
+        countDistinct("id_a").as("covered_a"),
+        countDistinct("id_b").as("covered_b"))
+      .join(broadcast(per.toDF("label_a", "n_a")), Seq("label_a"))
+      .join(broadcast(per.toDF("label_b", "n_b")), Seq("label_b"))
+      .select(col("label_a"), col("label_b"), col("n_a"), col("n_b"),
+        col("n_pairs"), col("covered_a"), col("covered_b"),
+        round(greatest(
+          col("covered_a").cast("double") / col("n_a"),
+          col("covered_b").cast("double") / col("n_b")), 4)
+          .as("containment"))
+  }
+
   def cosineDedupPairs(vecs: DataFrame, cellCol: String, minCos: Double,
       maxCell: Int = 10000): DataFrame = {
     val capped = capCell(

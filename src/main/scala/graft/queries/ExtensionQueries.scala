@@ -1150,6 +1150,46 @@ object ExtensionQueries {
                WHERE ${sqlCos("a.embedding::DOUBLE[]", "b.embedding::DOUBLE[]")} >= 0.4"""),
       "embedding-cosine near-dup pairs (cell-blocked)"),
 
+    // Cross-label semantic overlap matrix (d22's embedding-space sibling):
+    // per label pair, >= 0.3-cosine pairs crossing the boundary + covered
+    // vectors per side. Blocking is rp sign cells (label-independent -
+    // cross-label pairs are the point); sampled-quadratic diagnostic at
+    // scale, exact at gate scale.
+    "e10_label_overlap" -> QueryDef(
+      (s, dir) => {
+        graft.functions.GraftFunctions.register(s)
+        Similarity.labelOverlap(t(s, dir, "embeddings"), minCos = 0.3,
+          bits = RpBits, dim = RpDim, seed = RpSeed)
+      },
+      Some {
+        val cell = sqlRpCell("embedding::DOUBLE[]",
+          Similarity.rpPlanes(RpDim, RpBits, RpSeed))
+        s"""WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS emb,
+                              CAST($cell AS INTEGER) AS cell
+                       FROM embeddings WHERE label IS NOT NULL),
+            per AS (SELECT label, CAST(count(DISTINCT vec_id) AS BIGINT) AS n
+                    FROM v GROUP BY label),
+            p AS (SELECT a.label AS label_a, b.label AS label_b,
+                         a.vec_id AS id_a, b.vec_id AS id_b
+                  FROM v a JOIN v b
+                    ON a.cell = b.cell AND a.label < b.label
+                  WHERE ${sqlCos("a.emb", "b.emb")} >= 0.3),
+            g AS (SELECT label_a, label_b,
+                         CAST(count(*) AS BIGINT) AS n_pairs,
+                         CAST(count(DISTINCT id_a) AS BIGINT) AS covered_a,
+                         CAST(count(DISTINCT id_b) AS BIGINT) AS covered_b
+                  FROM p GROUP BY 1, 2)
+            SELECT label_a, label_b, pa.n AS n_a, pb.n AS n_b,
+                   n_pairs, covered_a, covered_b,
+                   round(greatest(covered_a::DOUBLE / pa.n,
+                                  covered_b::DOUBLE / pb.n), 4)
+                     AS containment
+            FROM g
+            JOIN per pa ON g.label_a = pa.label
+            JOIN per pb ON g.label_b = pb.label"""
+      },
+      "cross-label semantic overlap: rp-cell-blocked cosine containment matrix"),
+
     // Semantic dedup END-TO-END (SemDeDup pipeline shape): the cosine
     // near-dup pairs over embedding space feed the SAME star-rounds
     // connected components as the text path — every vector transitively
