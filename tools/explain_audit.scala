@@ -11,7 +11,12 @@ val names = Seq(
   "x1_asof_join", "x2_range_join", "x5_asof_tolerance",
   "d3_lsh_pairs", "d13_decontaminate", "d16_decontaminate_13gram",
   "e4_embed_clusters", "n2_knn_ivf", "n14_knn_ivfpq", "t14_unigram_xent",
-  "t13_boilerplate", "z1_zorder_key", "sp11_curriculum")
+  "t13_boilerplate", "z1_zorder_key", "sp11_curriculum",
+  // round 7 additions
+  "pipe2_training_assembly", "d22_source_overlap", "d23_remove_boilerplate",
+  "t21_rm3_expand", "s5_peak_concurrency", "j9_lateral_topn",
+  "e10_label_overlap", "n21_knn_filtered", "i5_snapshot_to_cdc",
+  "w9_time_rolling", "t22_calibrated_quality", "dq4_psi_drift")
 for (n <- names) {
   val df = graft.SparkEntry.queries(n)(spark, sfDir)
   val plan = df.queryExecution.explainString(
