@@ -163,6 +163,83 @@ object Retrieval {
       .limit(k)
   }
 
+  /** MMR diversified re-rank (Carbonell & Goldstein, SIGIR 1998) at
+   * λ = ½: greedily select `k` of the top-`fetch` dense candidates,
+   * each step taking `argmax λ·rel(c) − (1−λ)·max_{s∈S} sim(c, s)` —
+   * relevance traded against redundancy with what's already picked, the
+   * standard diversity pass between retrieval and consumption (a near-dup
+   * top-k wastes its result budget; the in-results twin of the corpus
+   * dedup stages).
+   *
+   * Determinism is ALL integer: cosines land on the 1e-4 grid
+   * (`floor(sim·1e4 + 0.5)`), λ = ½ makes the MMR objective a pure
+   * integer DIFFERENCE `rel4 − maxsim4` (the ½ cancels in argmax), and
+   * each step's argmax packs (mmr4, n_id) into one BIGINT key
+   * (`mmr4·2²¹ + (2²¹−1−n_id)` — max(key) is then argmax by score with
+   * ties to the SMALLER id, decoded by floored mod/div; requires ids
+   * < 2²¹, enforced) so both engines pick bit-identical winners with no
+   * arg_max tie ambiguity.
+   *
+   * Scale shape: the corpus-sized work is the upstream retriever
+   * ([[Similarity.knnBrute]] here; swap the ANN index paths at scale) —
+   * everything after runs on (queries × fetch)-bounded relations:
+   * pairwise sims are fetch² per query, and the k−1 greedy rounds are
+   * joins over those bounded relations (each round materialized, tiny).
+   * The greedy loop is inherently sequential in k — that is MMR — but k
+   * is the RESULT budget, not the corpus. Output: (q_id, step, n_id,
+   * mmr4), step = selection order, mmr4 = the winning integer objective
+   * (step 1 = rel4). */
+  def mmrRerank(queries: DataFrame, corpus: DataFrame, k: Int,
+      fetch: Int): DataFrame = {
+    require(k >= 1 && fetch >= k, s"need 1 <= k <= fetch, got k=$k fetch=$fetch")
+    val M = 1L << 21
+    val cand = Dedup.materialize(
+      Similarity.knnBrute(queries, corpus, fetch)
+        .select(col("q_id"), col("n_id"),
+          floor(col("sim") * lit(1e4) + lit(0.5)).cast("long").as("rel4")))
+    // ids must fit the key packing — fail loudly, never mis-decode
+    require(cand.filter(col("n_id") >= M || col("n_id") < 0).isEmpty,
+      s"mmrRerank requires 0 <= n_id < $M for key packing")
+    val emb = corpus.select(col("vec_id").as("n_id"), col("embedding"))
+    val ce = Dedup.materialize(cand.join(emb, "n_id")
+      .select(col("q_id"), col("n_id"), col("embedding")))
+    val sims = Dedup.materialize(
+      ce.toDF("q_id", "c_a", "emb_a")
+        .join(ce.toDF("q2", "c_b", "emb_b"),
+          col("q_id") === col("q2") && col("c_a") =!= col("c_b"))
+        .select(col("q_id"), col("c_a"), col("c_b"),
+          // round-to-4 FIRST (the engine-wide cosine grid), then scale:
+          // identical to rel4's derivation from the already-rounded
+          // retriever sim, and to the oracle's sqlCos-based replay
+          floor(round(Similarity.cosine(col("emb_a"), col("emb_b")), 4)
+            * lit(1e4) + lit(0.5)).cast("long").as("sim4")))
+    def pick(scored: DataFrame, step: Int): DataFrame =
+      scored
+        .select(col("q_id"),
+          (col("mmr4") * M + (lit(M) - 1 - col("n_id"))).as("key"))
+        .groupBy("q_id").agg(max("key").as("key"))
+        .select(col("q_id"), lit(step).as("step"),
+          (lit(M) - 1 - pmod(col("key"), lit(M))).as("n_id"),
+          expr(s"(key - pmod(key, $M)) div $M").as("mmr4"))
+    var result = Dedup.materialize(
+      pick(cand.withColumn("mmr4", col("rel4")), 1))
+    for (step <- 2 to k) {
+      val maxsim = sims
+        .join(result.select(col("q_id"), col("n_id").as("c_b")),
+          Seq("q_id", "c_b"))
+        .groupBy(col("q_id"), col("c_a").as("n_id"))
+        .agg(max("sim4").as("ms4"))
+      val scored = cand
+        .join(result.select("q_id", "n_id"), Seq("q_id", "n_id"),
+          "left_anti")
+        .join(maxsim, Seq("q_id", "n_id"))
+        .withColumn("mmr4", col("rel4") - col("ms4"))
+      result = Dedup.materialize(
+        result.unionByName(pick(scored, step)))
+    }
+    result
+  }
+
   /** Reciprocal-rank fusion (Cormack et al., SIGIR 2009): fuse N ranked
    * retrieval lists by `Σ_lists 1/(k0 + rank)` — the standard glue of a
    * hybrid lexical+dense stack (BM25 top-k ∪ ANN top-k), rank-only so no

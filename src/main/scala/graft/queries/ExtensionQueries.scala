@@ -3558,5 +3558,75 @@ object ExtensionQueries {
                FROM sc2 GROUP BY doc_id
                ORDER BY rm3_q DESC, doc_id
                LIMIT 10"""),
-      "RM3 pseudo-relevance feedback: BM25 + RM1 expansion, weighted re-rank"))
+      "RM3 pseudo-relevance feedback: BM25 + RM1 expansion, weighted re-rank"),
+
+    // MMR diversified re-rank at λ=½ over the dense top-10: greedy k=3
+    // selection, argmax per step packed into one BIGINT key
+    // (mmr4·2²¹ + (2²¹−1−n_id)) so both engines pick bit-identical
+    // winners with ties to the smaller id. The oracle UNROLLS the greedy
+    // loop (k is a constant of the query, so straight-line CTE stages —
+    // recursion-free and window-free in the iterated part).
+    "t24_mmr_rerank" -> QueryDef(
+      (s, dir) => {
+        graft.functions.GraftFunctions.register(s)
+        val emb = t(s, dir, "embeddings")
+        Retrieval.mmrRerank(emb.filter(col("vec_id") < 3), emb,
+          k = 3, fetch = 10)
+      },
+      Some {
+        val M = 1L << 21
+        def decode(src: String, step: Int) =
+          s"""SELECT q_id, $step AS step,
+                     $M - 1 - ((key % $M + $M) % $M) AS n_id,
+                     (key - ((key % $M + $M) % $M)) // $M AS mmr4
+              FROM $src"""
+        val steps = (2 to 3).map { i =>
+          val prev = s"res${i - 1}"
+          s"""ms$i AS (SELECT p.q_id, p.c_a, max(p.sim4) AS ms4
+                       FROM psims p JOIN $prev s
+                         ON p.q_id = s.q_id AND p.c_b = s.n_id
+                       GROUP BY 1, 2),
+              sc$i AS (SELECT c.q_id, c.n_id, c.rel4 - m.ms4 AS mmr4
+                       FROM cand c JOIN ms$i m
+                         ON c.q_id = m.q_id AND c.n_id = m.c_a
+                       WHERE NOT EXISTS (SELECT 1 FROM $prev s
+                         WHERE s.q_id = c.q_id AND s.n_id = c.n_id)),
+              k$i AS (SELECT q_id,
+                             max(mmr4 * $M + ($M - 1 - n_id)) AS key
+                      FROM sc$i GROUP BY q_id),
+              sel$i AS (${decode(s"k$i", i)}),
+              res$i AS (SELECT * FROM res${i - 1}
+                        UNION ALL SELECT * FROM sel$i)"""
+        }.mkString(",\n")
+        s"""WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qe
+                       FROM embeddings WHERE vec_id < 3),
+            c0 AS (SELECT vec_id AS n_id, embedding::DOUBLE[] AS ne
+                   FROM embeddings),
+            scored AS (SELECT q_id, n_id, ${sqlCos("qe", "ne")} AS sim
+                       FROM q CROSS JOIN c0 WHERE q_id <> n_id),
+            cand AS (SELECT q_id, n_id,
+                            CAST(floor(sim * 1e4 + 0.5) AS BIGINT) AS rel4
+                     FROM (SELECT q_id, n_id, sim,
+                                  row_number() OVER (PARTITION BY q_id
+                                    ORDER BY sim DESC, n_id) AS rn
+                           FROM scored)
+                     WHERE rn <= 10),
+            cande AS (SELECT c.q_id, c.n_id, e.embedding::DOUBLE[] AS ne
+                      FROM cand c JOIN embeddings e ON c.n_id = e.vec_id),
+            psims AS (SELECT a.q_id, a.n_id AS c_a, b.n_id AS c_b,
+                             CAST(floor(${sqlCos("a.ne", "b.ne")} * 1e4 + 0.5)
+                               AS BIGINT) AS sim4
+                      FROM cande a JOIN cande b
+                        ON a.q_id = b.q_id AND a.n_id <> b.n_id),
+            k1 AS (SELECT q_id,
+                          max(rel4 * $M + ($M - 1 - n_id)) AS key
+                   FROM cand GROUP BY q_id),
+            res1 AS (${decode("k1", 1)}),
+            $steps
+            SELECT q_id, CAST(step AS INTEGER) AS step,
+                   CAST(n_id AS BIGINT) AS n_id,
+                   CAST(mmr4 AS BIGINT) AS mmr4
+            FROM res3"""
+      },
+      "MMR diversified re-rank: greedy relevance-vs-redundancy selection, integer-exact"))
 }

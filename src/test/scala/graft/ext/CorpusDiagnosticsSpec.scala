@@ -159,6 +159,24 @@ class CorpusDiagnosticsSpec extends SparkTestBase {
     assert(r1 == r2)
   }
 
+  test("mmrRerank: the diversity step skips a near-duplicate that pure " +
+    "relevance would keep") {
+    val vecs = Seq(
+      (0L, Array(1f, 0f, 0f)),            // query
+      (1L, Array(0.99f, 0.14f, 0f)),      // top candidate
+      (2L, Array(0.98f, 0.15f, 0.01f)),   // near-dup of 1, rel #2
+      (3L, Array(0.7f, 0f, 0.7f)))        // diverse, rel #3
+      .toDF("vec_id", "embedding")
+    val brute = Similarity.knnBrute(vecs.filter($"vec_id" === 0), vecs, 2)
+      .select("n_id").as[Long].collect().toSet
+    assert(brute == Set(1L, 2L), "pure relevance keeps the near-dup pair")
+    val mmr = Retrieval.mmrRerank(vecs.filter($"vec_id" === 0), vecs,
+        k = 2, fetch = 3)
+      .orderBy("step").select("n_id").as[Long].collect().toSeq
+    assert(mmr == Seq(1L, 3L),
+      s"MMR must pick the relevant-but-diverse doc at step 2, got $mmr")
+  }
+
   test("trainingAssembly: manifest conserves the packed chunk tokens") {
     val docs = spark.read.parquet(s"$Sf/documents.parquet")
     val budget = 256
