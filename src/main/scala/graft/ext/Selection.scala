@@ -130,4 +130,67 @@ object Selection {
       .select("doc_id", "n_toks", "logw_q", "g_q", "key_q")
       .orderBy(col("key_q").desc, col("doc_id").asc)
       .limit(k)
+
+  /** k-center greedy coreset selection (Sener & Savarese, ICLR 2018 —
+   * the "Core-Set" active-learning/data-pruning selector): pick `k`
+   * embedding-space representatives by repeatedly taking the point
+   * FARTHEST from everything already selected — a 2-approximation of the
+   * optimal k-center cover, and the diversity-first complement to the
+   * density-based pruners ([[Similarity.protoPrune]]/D4): those drop
+   * redundant points, this one CHOOSES maximally-spread ones (few-shot
+   * pools, eval-subset construction, seed sets for labeling).
+   *
+   * Determinism is the [[Retrieval.mmrRerank]] integer ladder: cosine
+   * distances on the 1e-4 grid (`d4 = 10⁴ − sim4`), each step's argmax
+   * packs `(−ms4)·2²¹ + (2²¹−1−vec_id)` into one BIGINT (max = farthest
+   * point, ties to the smaller id — `argmax min-dist ≡ argmin max-sim`
+   * under the grid), and the seed is the minimum id (documented, not a
+   * random init). `radius4` per step = the winner's distance to the
+   * prior selection — the non-increasing k-center radius sequence, the
+   * audit number the selection is judged by (step 1 = 2·10⁴, the grid
+   * diameter, by convention: distance to an empty set).
+   *
+   * Scale shape: greedy k-center is quadratic in candidates, so at
+   * corpus scale it runs on a deterministic hash-SAMPLE (`samplePct`,
+   * the d21/e10 diagnostic discipline) — the published trade: the
+   * sampled greedy's cover radius degrades gracefully while the cost
+   * stays sample². Pairwise sims materialize once (sample²-bounded);
+   * the k−1 rounds are aggregates over that relation. */
+  def kcenterSelect(vecs: DataFrame, k: Int,
+      samplePct: Int = 100): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val M = 1L << 21
+    val v = graft.ext.Dedup.materialize(
+      (if (samplePct >= 100) vecs
+       else Sampling.hashSample(vecs, "vec_id", samplePct))
+        .select(col("vec_id"), col("embedding")))
+    require(v.filter(col("vec_id") >= M || col("vec_id") < 0).isEmpty,
+      s"kcenterSelect requires 0 <= vec_id < $M for key packing")
+    val sims = graft.ext.Dedup.materialize(
+      v.toDF("id_a", "emb_a")
+        .join(v.toDF("id_b", "emb_b"), col("id_a") =!= col("id_b"))
+        .select(col("id_a"), col("id_b"),
+          floor(round(Similarity.cosine(col("emb_a"), col("emb_b")), 4)
+            * lit(1e4) + lit(0.5)).cast("long").as("sim4")))
+    var result = graft.ext.Dedup.materialize(
+      v.agg(min("vec_id").as("vec_id"))
+        .select(lit(1).as("step"), col("vec_id"),
+          lit(20000L).as("radius4")))
+    for (step <- 2 to k) {
+      val ms = sims
+        .join(result.select(col("vec_id").as("id_b")), Seq("id_b"))
+        .groupBy(col("id_a")).agg(max("sim4").as("ms4"))
+        .join(result.select(col("vec_id").as("id_a")), Seq("id_a"),
+          "left_anti")
+      val next = ms
+        .select((-col("ms4") * M + (lit(M) - 1 - col("id_a"))).as("key"))
+        .agg(max("key").as("key"))
+        .select(lit(step).as("step"),
+          (lit(M) - 1 - pmod(col("key"), lit(M))).as("vec_id"),
+          (lit(10000L) + expr(s"(key - pmod(key, $M)) div $M"))
+            .as("radius4"))
+      result = graft.ext.Dedup.materialize(result.unionByName(next))
+    }
+    result
+  }
 }

@@ -3300,6 +3300,50 @@ object ExtensionQueries {
               FROM w CROSS JOIN t"""),
       "token-budget epoch planner: sqrt-smoothed source mixture at a fixed budget"),
 
+    // k-center greedy coreset over the embedding table (k=4, min-id
+    // seed): the farthest-point selector, integer-exact via the t24 key
+    // packing (argmax min-dist = argmin max-sim under the 1e-4 grid).
+    // The oracle unrolls the greedy rounds like t24's.
+    "sp18_kcenter_coreset" -> QueryDef(
+      (s, dir) => {
+        graft.functions.GraftFunctions.register(s)
+        Selection.kcenterSelect(t(s, dir, "embeddings"), k = 4)
+      },
+      Some {
+        val M = 1L << 21
+        val steps = (2 to 4).map { i =>
+          val prev = s"res${i - 1}"
+          s"""ms$i AS (SELECT s.id_a, max(s.sim4) AS ms4
+                       FROM sims s JOIN $prev r ON s.id_b = r.vec_id
+                       WHERE s.id_a NOT IN (SELECT vec_id FROM $prev)
+                       GROUP BY s.id_a),
+              k$i AS (SELECT max((-ms4) * $M + ($M - 1 - id_a)) AS key
+                      FROM ms$i),
+              sel$i AS (SELECT $i AS step,
+                               $M - 1 - ((key % $M + $M) % $M) AS vec_id,
+                               10000 + (key - ((key % $M + $M) % $M)) // $M
+                                 AS radius4
+                        FROM k$i),
+              res$i AS (SELECT * FROM res${i - 1}
+                        UNION ALL SELECT * FROM sel$i)"""
+        }.mkString(",\n")
+        s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS emb
+                       FROM embeddings),
+            sims AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                            CAST(floor(${sqlCos("a.emb", "b.emb")} * 1e4 + 0.5)
+                              AS BIGINT) AS sim4
+                     FROM v a JOIN v b ON a.vec_id <> b.vec_id),
+            res1 AS (SELECT 1 AS step, min(vec_id) AS vec_id,
+                            CAST(20000 AS BIGINT) AS radius4
+                     FROM v),
+            $steps
+            SELECT CAST(step AS INTEGER) AS step,
+                   CAST(vec_id AS BIGINT) AS vec_id,
+                   CAST(radius4 AS BIGINT) AS radius4
+            FROM res4"""
+      },
+      "k-center greedy coreset: farthest-point selection, integer-exact"),
+
     // BPE subword tokenization under the FROZEN 24-merge table (the
     // deployment shape of a real tokenizer: train once, version the merge
     // table, apply everywhere). The oracle's per-word encode expression is

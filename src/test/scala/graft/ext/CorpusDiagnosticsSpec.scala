@@ -177,6 +177,25 @@ class CorpusDiagnosticsSpec extends SparkTestBase {
       s"MMR must pick the relevant-but-diverse doc at step 2, got $mmr")
   }
 
+  test("kcenterSelect: one pick per cluster, radii non-increasing") {
+    // three tight clusters; greedy k-center must take one point from
+    // each before ever returning to a cluster
+    val vecs = Seq(
+      (1L, Array(1f, 0f, 0f)), (2L, Array(0.99f, 0.02f, 0f)),
+      (10L, Array(0f, 1f, 0f)), (11L, Array(0.02f, 0.99f, 0f)),
+      (20L, Array(0f, 0f, 1f)), (21L, Array(0f, 0.02f, 0.99f)))
+      .toDF("vec_id", "embedding")
+    val out = Selection.kcenterSelect(vecs, k = 3)
+      .orderBy("step").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    assert(out.head == ((1, 1L, 20000L)), "seed = min id, sentinel radius")
+    val clusters = out.map(_._2 / 10).toSet
+    assert(clusters == Set(0L, 1L, 2L),
+      s"k=3 must cover all three clusters, got ${out.toSeq}")
+    assert(out.map(_._3).sliding(2).forall { case Array(a, b) => b <= a },
+      "the k-center radius sequence is non-increasing")
+  }
+
   test("trainingAssembly: manifest conserves the packed chunk tokens") {
     val docs = spark.read.parquet(s"$Sf/documents.parquet")
     val budget = 256
