@@ -319,7 +319,10 @@ object Bench {
         // under a different span rule), RM3 (three filtered corpus scans:
         // BM25, fbDocs-bounded expansion, weighted re-rank), and the
         // per-source calibrated quality cut (scorer + one window sort)
-        "d23_remove_boilerplate", "t21_rm3_expand", "t22_calibrated_quality")
+        "d23_remove_boilerplate", "t21_rm3_expand", "t22_calibrated_quality",
+        // the serving-stack composition: BM25 at 10× is the corpus stage,
+        // the MMR tail is fetch-bounded
+        "pipe3_retrieval_stack")
       val walls = scala.collection.mutable.ListBuffer.empty[(String, String)]
       val ratios = scala.collection.mutable.ListBuffer.empty[(String, String)]
       // BOTH raw walls per probe, not just the min (round-5 verdict #2):
@@ -409,6 +412,14 @@ object Bench {
         annNames.map(n =>
           s"ann_$n" -> ((ps: org.apache.spark.sql.SparkSession) =>
             SparkEntry.queries(n)(ps, dir10))) :+
+        // k-center coreset at the scale posture: the DOCUMENTED sampled
+        // regime (20% of 10× vectors → ~1000² pair grid), not the exact
+        // gate regime — the cost a real corpus diagnostic pays
+        ("ann_sp18_kcenter_p20" ->
+          ((ps: org.apache.spark.sql.SparkSession) =>
+            graft.ext.Selection.kcenterSelect(
+              ps.read.parquet(s"$dir10/embeddings.parquet"), k = 4,
+              samplePct = 20))) :+
         // residual-index search at nprobe=2 over the prebuilt artifact
         // (built untimed in setup alongside the IVF-PQ index)
         ("ann_index_search_ivfadc_residual_np2" ->

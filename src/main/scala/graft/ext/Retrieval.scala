@@ -192,16 +192,27 @@ object Retrieval {
   def mmrRerank(queries: DataFrame, corpus: DataFrame, k: Int,
       fetch: Int): DataFrame = {
     require(k >= 1 && fetch >= k, s"need 1 <= k <= fetch, got k=$k fetch=$fetch")
-    val M = 1L << 21
-    val cand = Dedup.materialize(
+    mmrSelect(
       Similarity.knnBrute(queries, corpus, fetch)
         .select(col("q_id"), col("n_id"),
-          floor(col("sim") * lit(1e4) + lit(0.5)).cast("long").as("rel4")))
+          floor(col("sim") * lit(1e4) + lit(0.5)).cast("long").as("rel4")),
+      corpus.select(col("vec_id").as("n_id"), col("embedding")), k)
+  }
+
+  /** The greedy MMR core over an ALREADY-RETRIEVED candidate relation
+   * `(q_id, n_id, rel4)` plus an embedding lookup `(n_id, embedding)` —
+   * the seam [[mmrRerank]] (dense rel) and [[retrievalStack]] (lexical
+   * rel, semantic diversity) share, so the two compositions cannot drift
+   * on the selection arithmetic. */
+  private[ext] def mmrSelect(cand0: DataFrame, embById: DataFrame,
+      k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val M = 1L << 21
+    val cand = Dedup.materialize(cand0)
     // ids must fit the key packing — fail loudly, never mis-decode
     require(cand.filter(col("n_id") >= M || col("n_id") < 0).isEmpty,
-      s"mmrRerank requires 0 <= n_id < $M for key packing")
-    val emb = corpus.select(col("vec_id").as("n_id"), col("embedding"))
-    val ce = Dedup.materialize(cand.join(emb, "n_id")
+      s"MMR requires 0 <= n_id < $M for key packing")
+    val ce = Dedup.materialize(cand.join(embById, "n_id")
       .select(col("q_id"), col("n_id"), col("embedding")))
     val sims = Dedup.materialize(
       ce.toDF("q_id", "c_a", "emb_a")
@@ -238,6 +249,34 @@ object Retrieval {
         result.unionByName(pick(scored, step)))
     }
     result
+  }
+
+  /** Flagship composition #3 — the SERVING-side stack, complementing
+   * pipe1 (curation audit) and pipe2 (training assembly): retrieve
+   * LEXICALLY, diversify SEMANTICALLY. BM25 pulls the top-`fetch`
+   * candidates ([[bm25TopK]] — the corpus-scale stage), then the greedy
+   * MMR core selects `k` of them trading lexical relevance against
+   * embedding-cosine redundancy — the standard "don't return ten copies
+   * of the same page" pass between retrieval and consumption, with the
+   * relevance and diversity signals deliberately from DIFFERENT
+   * modalities (the hybrid a pure-dense or pure-lexical stack can't
+   * express).
+   *
+   * Scale mapping: BM25's integer-micro score maps onto the MMR grid by
+   * exact integer division (`rel4 = bm25_q div 1000` — micro → the
+   * 1e-4-grid magnitude the sim term lives on; the standard
+   * normalize-before-MMR step, done in exact arithmetic). Everything
+   * after the retriever runs on (fetch)-bounded relations. Output:
+   * (step, doc_id, mmr4). */
+  def retrievalStack(docs: DataFrame, embeddings: DataFrame,
+      terms: Seq[String], k: Int, fetch: Int): DataFrame = {
+    require(k >= 1 && fetch >= k, s"need 1 <= k <= fetch, got k=$k fetch=$fetch")
+    mmrSelect(
+      bm25TopK(docs, terms, fetch)
+        .select(lit(0L).as("q_id"), col("doc_id").as("n_id"),
+          expr("bm25_q div 1000").as("rel4")),
+      embeddings.select(col("vec_id").as("n_id"), col("embedding")), k)
+      .select(col("step"), col("n_id").as("doc_id"), col("mmr4"))
   }
 
   /** Reciprocal-rank fusion (Cormack et al., SIGIR 2009): fuse N ranked

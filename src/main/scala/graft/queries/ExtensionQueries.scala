@@ -470,6 +470,40 @@ object ExtensionQueries {
                      CAST(sum(s_q) AS DOUBLE) / 1e6 AS bm25
               FROM sc GROUP BY doc_id)"""
 
+  /** The t24/pipe3 greedy-MMR key decode: winner id + objective from the
+   * packed BIGINT (floored mod/div — identical arithmetic to the Spark
+   * side's pmod/div). */
+  private val MmrM: Long = 1L << 21
+  private def sqlMmrDecode(src: String, step: Int): String =
+    s"""SELECT q_id, $step AS step,
+               $MmrM - 1 - ((key % $MmrM + $MmrM) % $MmrM) AS n_id,
+               (key - ((key % $MmrM + $MmrM) % $MmrM)) // $MmrM AS mmr4
+        FROM $src"""
+
+  /** Unrolled greedy-MMR rounds 2..`kTo` over CTEs `cand (q_id, n_id,
+   * rel4)`, `psims (q_id, c_a, c_b, sim4)` and `res1` — shared by t24 and
+   * pipe3 so the two compositions replay the identical selection
+   * arithmetic. */
+  private def sqlMmrSteps(kTo: Int): String =
+    (2 to kTo).map { i =>
+      val prev = s"res${i - 1}"
+      s"""ms$i AS (SELECT p.q_id, p.c_a, max(p.sim4) AS ms4
+                   FROM psims p JOIN $prev s
+                     ON p.q_id = s.q_id AND p.c_b = s.n_id
+                   GROUP BY 1, 2),
+          sc$i AS (SELECT c.q_id, c.n_id, c.rel4 - m.ms4 AS mmr4
+                   FROM cand c JOIN ms$i m
+                     ON c.q_id = m.q_id AND c.n_id = m.c_a
+                   WHERE NOT EXISTS (SELECT 1 FROM $prev s
+                     WHERE s.q_id = c.q_id AND s.n_id = c.n_id)),
+          k$i AS (SELECT q_id,
+                         max(mmr4 * $MmrM + ($MmrM - 1 - n_id)) AS key
+                  FROM sc$i GROUP BY q_id),
+          sel$i AS (${sqlMmrDecode(s"k$i", i)}),
+          res$i AS (SELECT * FROM res${i - 1}
+                    UNION ALL SELECT * FROM sel$i)"""
+    }.mkString(",\n")
+
   /** The capped chain at the production default (`maxBucket = 100`) —
    * what a real curation run executes ([[graft.ext.Curation]]). */
   private val LshPairsCappedCtes: String =
@@ -3617,31 +3651,7 @@ object ExtensionQueries {
         Retrieval.mmrRerank(emb.filter(col("vec_id") < 3), emb,
           k = 3, fetch = 10)
       },
-      Some {
-        val M = 1L << 21
-        def decode(src: String, step: Int) =
-          s"""SELECT q_id, $step AS step,
-                     $M - 1 - ((key % $M + $M) % $M) AS n_id,
-                     (key - ((key % $M + $M) % $M)) // $M AS mmr4
-              FROM $src"""
-        val steps = (2 to 3).map { i =>
-          val prev = s"res${i - 1}"
-          s"""ms$i AS (SELECT p.q_id, p.c_a, max(p.sim4) AS ms4
-                       FROM psims p JOIN $prev s
-                         ON p.q_id = s.q_id AND p.c_b = s.n_id
-                       GROUP BY 1, 2),
-              sc$i AS (SELECT c.q_id, c.n_id, c.rel4 - m.ms4 AS mmr4
-                       FROM cand c JOIN ms$i m
-                         ON c.q_id = m.q_id AND c.n_id = m.c_a
-                       WHERE NOT EXISTS (SELECT 1 FROM $prev s
-                         WHERE s.q_id = c.q_id AND s.n_id = c.n_id)),
-              k$i AS (SELECT q_id,
-                             max(mmr4 * $M + ($M - 1 - n_id)) AS key
-                      FROM sc$i GROUP BY q_id),
-              sel$i AS (${decode(s"k$i", i)}),
-              res$i AS (SELECT * FROM res${i - 1}
-                        UNION ALL SELECT * FROM sel$i)"""
-        }.mkString(",\n")
+      Some(
         s"""WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qe
                        FROM embeddings WHERE vec_id < 3),
             c0 AS (SELECT vec_id AS n_id, embedding::DOUBLE[] AS ne
@@ -3663,14 +3673,50 @@ object ExtensionQueries {
                       FROM cande a JOIN cande b
                         ON a.q_id = b.q_id AND a.n_id <> b.n_id),
             k1 AS (SELECT q_id,
-                          max(rel4 * $M + ($M - 1 - n_id)) AS key
+                          max(rel4 * $MmrM + ($MmrM - 1 - n_id)) AS key
                    FROM cand GROUP BY q_id),
-            res1 AS (${decode("k1", 1)}),
-            $steps
+            res1 AS (${sqlMmrDecode("k1", 1)}),
+            ${sqlMmrSteps(3)}
             SELECT q_id, CAST(step AS INTEGER) AS step,
                    CAST(n_id AS BIGINT) AS n_id,
                    CAST(mmr4 AS BIGINT) AS mmr4
-            FROM res3"""
+            FROM res3"""),
+      "MMR diversified re-rank: greedy relevance-vs-redundancy selection, integer-exact"),
+
+    // Flagship composition #3 — the SERVING stack: retrieve LEXICALLY
+    // (BM25 top-8), diversify SEMANTICALLY (greedy MMR over embedding
+    // cosines, k=3). Relevance and diversity deliberately come from
+    // different modalities; the BM25 micro score maps onto the MMR grid
+    // by exact integer division. Oracle = the shared Bm25Ctes chain + the
+    // shared MMR unroll — neither stage can drift from its standalone
+    // gate (t17/t24 discipline).
+    "pipe3_retrieval_stack" -> QueryDef(
+      (s, dir) => {
+        graft.functions.GraftFunctions.register(s)
+        Retrieval.retrievalStack(t(s, dir, "documents"),
+          t(s, dir, "embeddings"), Seq("spark", "vector", "stream"),
+          k = 3, fetch = 8)
       },
-      "MMR diversified re-rank: greedy relevance-vs-redundancy selection, integer-exact"))
+      Some(
+        s"""WITH $Bm25Ctes,
+            cand AS (SELECT CAST(0 AS BIGINT) AS q_id, doc_id AS n_id,
+                            CAST(bm25_q // 1000 AS BIGINT) AS rel4
+                     FROM bm ORDER BY bm25_q DESC, doc_id LIMIT 8),
+            cande AS (SELECT c.q_id, c.n_id, e.embedding::DOUBLE[] AS ne
+                      FROM cand c JOIN embeddings e ON c.n_id = e.vec_id),
+            psims AS (SELECT a.q_id, a.n_id AS c_a, b.n_id AS c_b,
+                             CAST(floor(${sqlCos("a.ne", "b.ne")} * 1e4 + 0.5)
+                               AS BIGINT) AS sim4
+                      FROM cande a JOIN cande b
+                        ON a.q_id = b.q_id AND a.n_id <> b.n_id),
+            k1 AS (SELECT q_id,
+                          max(rel4 * $MmrM + ($MmrM - 1 - n_id)) AS key
+                   FROM cand GROUP BY q_id),
+            res1 AS (${sqlMmrDecode("k1", 1)}),
+            ${sqlMmrSteps(3)}
+            SELECT CAST(step AS INTEGER) AS step,
+                   CAST(n_id AS BIGINT) AS doc_id,
+                   CAST(mmr4 AS BIGINT) AS mmr4
+            FROM res3"""),
+      "retrieval stack: BM25 lexical retrieve -> semantic MMR diversify"))
 }
