@@ -131,6 +131,9 @@ object Incremental {
    * (`<=>` per column — a column going NULL is a change, not a match);
    * unchanged keys are dropped so the output is delta-sized. Presence is
    * tracked by explicit markers, never inferred from payload nulls.
+   * Precondition (shared with [[snapshotChanges]]): `keyCol` is unique
+   * per snapshot — a duplicated key would fan out through the join and
+   * emit one row per pairing; dedupe upstream ([[latestPerKey]]) first.
    *
    * Scale shape: ONE full-outer hash join on the key — the [[apply]]
    * shape exactly, with the same bucketed-layout co-location at scale;

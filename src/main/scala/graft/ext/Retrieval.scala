@@ -214,6 +214,11 @@ object Retrieval {
       s"MMR requires 0 <= n_id < $M for key packing")
     val ce = Dedup.materialize(cand.join(embById, "n_id")
       .select(col("q_id"), col("n_id"), col("embedding")))
+    // a candidate without an embedding row would win step 1 on relevance
+    // but silently vanish from every diversity step (the maxsim inner
+    // join) — an inconsistent hybrid; demand full coverage instead
+    require(ce.count() == cand.count(),
+      "MMR requires an embedding row for every candidate id")
     val sims = Dedup.materialize(
       ce.toDF("q_id", "c_a", "emb_a")
         .join(ce.toDF("q2", "c_b", "emb_b"),

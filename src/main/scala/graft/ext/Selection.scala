@@ -185,6 +185,9 @@ object Selection {
       val next = ms
         .select((-col("ms4") * M + (lit(M) - 1 - col("id_a"))).as("key"))
         .agg(max("key").as("key"))
+        // k > |candidates|: the global max over an EMPTY relation is one
+        // all-NULL row — drop it instead of unioning a phantom step
+        .filter(col("key").isNotNull)
         .select(lit(step).as("step"),
           (lit(M) - 1 - pmod(col("key"), lit(M))).as("vec_id"),
           (lit(10000L) + expr(s"(key - pmod(key, $M)) div $M"))

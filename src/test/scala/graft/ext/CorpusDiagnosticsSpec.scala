@@ -194,6 +194,10 @@ class CorpusDiagnosticsSpec extends SparkTestBase {
       s"k=3 must cover all three clusters, got ${out.toSeq}")
     assert(out.map(_._3).sliding(2).forall { case Array(a, b) => b <= a },
       "the k-center radius sequence is non-increasing")
+    // k past the candidate count: return what exists, never a NULL row
+    val over = Selection.kcenterSelect(vecs, k = 10).collect()
+    assert(over.length == 6 && over.forall(!_.anyNull),
+      "over-asking must cap at the candidate count with no null rows")
   }
 
   test("trainingAssembly: manifest conserves the packed chunk tokens") {
