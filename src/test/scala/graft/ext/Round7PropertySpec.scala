@@ -1,0 +1,86 @@
+package graft.ext
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** Round-7 operators vs INDEPENDENT brute-force references computed in
+ * plain Scala (the PSL-spec discipline: a second implementation nobody
+ * shares code with, over seeded random inputs). */
+class Round7PropertySpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  test("peakConcurrency equals the O(n²) interval-overlap reference") {
+    for (seed <- Seq(1, 7, 42)) {
+      val rnd = new scala.util.Random(seed)
+      val dur = 50L
+      val events = Seq.tabulate(300)(i =>
+        (s"k${rnd.nextInt(4)}", rnd.nextInt(500).toLong))
+      // reference: concurrency is maximized at some interval start; for
+      // each start s count intervals with ts <= s < ts + dur
+      val expected = events.groupBy(_._1).map { case (k, es) =>
+        val starts = es.map(_._2)
+        val atStart = starts.distinct.map(s =>
+          s -> starts.count(t => t <= s && s < t + dur))
+        val peak = atStart.map(_._2).max
+        k -> ((peak.toLong, atStart.filter(_._2 == peak).map(_._1).min))
+      }
+      val got = TimeSeries.peakConcurrency(
+          events.toDF("k", "ts"), "k", "ts", dur)
+        .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2))))
+        .toMap
+      assert(got == expected, s"seed $seed")
+    }
+  }
+
+  test("sourceOverlap equals the brute shingle-set reference") {
+    for (seed <- Seq(3, 11)) {
+      val rnd = new scala.util.Random(seed)
+      val vocab = Vector("a", "b", "c", "d", "e")
+      val docs = Seq.tabulate(60)(i => (i.toLong,
+        Seq.fill(3 + rnd.nextInt(8))(vocab(rnd.nextInt(vocab.size)))
+          .mkString(" "),
+        s"s${rnd.nextInt(3)}"))
+      val shingleSets = docs.groupBy(_._3).map { case (src, ds) =>
+        src -> ds.flatMap { case (_, text, _) =>
+          val w = text.split(" ")
+          if (w.length < 3) Nil else w.sliding(3).map(_.mkString(" ")).toSeq
+        }.toSet
+      }
+      val expected = (for {
+        (sa, setA) <- shingleSets; (sb, setB) <- shingleSets
+        if sa < sb
+        both = (setA intersect setB).size if both > 0
+      } yield (sa, sb) -> ((setA.size.toLong, setB.size.toLong,
+        both.toLong))).toMap
+      val got = Dedup.sourceOverlap(docs.toDF("doc_id", "text", "source"))
+        .collect().map(r => (r.getString(0), r.getString(1)) ->
+          ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+      assert(got == expected, s"seed $seed")
+    }
+  }
+
+  test("psiDrift totals equal the direct Laplace-smoothed formula") {
+    for (seed <- Seq(5, 13)) {
+      val rnd = new scala.util.Random(seed)
+      val ref = Seq.fill(400)(rnd.nextInt(120).toLong)
+      val cur = Seq.fill(300)(rnd.nextInt(150).toLong)
+      val width = 25L
+      def hist(xs: Seq[Long]) =
+        xs.groupBy(v => math.floor(v.toDouble / width).toLong)
+          .view.mapValues(_.size.toLong).toMap
+      val (hr, hc) = (hist(ref), hist(cur))
+      val buckets = (hr.keySet ++ hc.keySet).toSeq.sorted
+      val (nr, nc, b) = (ref.size.toLong, cur.size.toLong,
+        buckets.size.toLong)
+      val expected = buckets.map { bk =>
+        val p = (hr.getOrElse(bk, 0L) + 1).toDouble / (nr + b).toDouble
+        val q = (hc.getOrElse(bk, 0L) + 1).toDouble / (nc + b).toDouble
+        math.floor((p - q) * math.log(p / q) * 1e6 + 0.5).toLong
+      }.sum
+      val got = Profile.psiDrift(ref.toDF("v"), cur.toDF("v"), "v", width)
+        .agg(sum("psi_micro")).first().getLong(0)
+      assert(got == expected, s"seed $seed")
+    }
+  }
+}
