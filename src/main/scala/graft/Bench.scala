@@ -299,7 +299,7 @@ object Bench {
         // round-7 additions: bigram-LM perplexity, BM25 retrieval, DSIR
         // selection — the corpus-scale text/selection ops get at-scale
         // numbers from day one
-        "t16_bigram_xent", "t17_bm25_topk", "sp12_dsir_weights",
+        "t16_bigram_xent", "sp12_dsir_weights",
         // round-7 additions: Gopher repetition panel (corpus-scale n-gram
         // aggs + coverage expansion) and frozen-table BPE tokenization
         // (pure narrow projection — its number is the codegen'd
@@ -319,10 +319,7 @@ object Bench {
         // under a different span rule), RM3 (three filtered corpus scans:
         // BM25, fbDocs-bounded expansion, weighted re-rank), and the
         // per-source calibrated quality cut (scorer + one window sort)
-        "d23_remove_boilerplate", "t21_rm3_expand", "t22_calibrated_quality",
-        // the serving-stack composition: BM25 at 10× is the corpus stage,
-        // the MMR tail is fetch-bounded
-        "pipe3_retrieval_stack")
+        "d23_remove_boilerplate", "t22_calibrated_quality")
       val walls = scala.collection.mutable.ListBuffer.empty[(String, String)]
       val ratios = scala.collection.mutable.ListBuffer.empty[(String, String)]
       // BOTH raw walls per probe, not just the min (round-5 verdict #2):
@@ -391,7 +388,35 @@ object Bench {
         ("d21_lsh_recall_p20" -> ((ps: org.apache.spark.sql.SparkSession) =>
           graft.ext.Dedup.lshRecall(
             ps.read.parquet(s"$dir10/documents.parquet"),
-            minJaccard = 0.5, samplePct = 20))))
+            minJaccard = 0.5, samplePct = 20))) :++ {
+        // Retrieval probes need terms that actually MATCH the replica
+        // corpus: docs10 suffixes every token "_k" per replica, so the
+        // gate queries' literal terms hit zero documents and would time
+        // an empty pipeline (caught in the r7 self-review — t17's probe
+        // had been empty since its addition). The expanded 30-term query
+        // (3 terms × 10 replica suffixes) touches every replica: an
+        // honest 10× retrieval — wider IN-list in the scan, 10× the
+        // matching docs, per-replica df/idf.
+        val sfTerms = (0 until 10).flatMap(r =>
+          Seq(s"spark_$r", s"vector_$r", s"stream_$r"))
+        Seq(
+          "t17_bm25_topk" -> ((ps: org.apache.spark.sql.SparkSession) =>
+            graft.ext.Retrieval.bm25TopK(
+              ps.read.parquet(s"$dir10/documents.parquet"), sfTerms, 20)),
+          "t21_rm3_expand" -> ((ps: org.apache.spark.sql.SparkSession) =>
+            graft.ext.Retrieval.rm3TopK(
+              ps.read.parquet(s"$dir10/documents.parquet"), sfTerms, 10)),
+          // the serving stack at 10×: BM25 corpus stage + fetch-bounded
+          // MMR tail; candidates restrict to the embedded slice (the
+          // sf0.1 fixture embeds 2000 of 5000 docs — the partial-coverage
+          // contract the stack documents)
+          "pipe3_retrieval_stack" ->
+            ((ps: org.apache.spark.sql.SparkSession) =>
+              graft.ext.Retrieval.retrievalStack(
+                ps.read.parquet(s"$dir10/documents.parquet"),
+                ps.read.parquet(s"$dir10/embeddings.parquet"),
+                sfTerms, k = 3, fetch = 8)))
+      })
       // ANN/PQ family at 10× vectors — its OWN fresh context (see above):
       // trained-IVF search, PQ encode, PQ-ADC search, IVF-PQ. The last
       // probe times the PREBUILT-INDEX search path (AnnIndex.searchIvfPq,

@@ -140,22 +140,14 @@ object Incremental {
    * the per-column comparison is a codegen'd projection on the joined
    * row. */
   def snapshotDiff(prev: DataFrame, cur: DataFrame, keyCol: String,
-      valueCols: Seq[String]): DataFrame = {
-    require(valueCols.nonEmpty, "snapshotDiff needs at least one value column")
-    val p = prev.select(col(keyCol) +: lit(true).as("__p") +:
-      valueCols.map(c => col(c).as(s"__p_$c")): _*)
-    val c = cur.select(col(keyCol) +: lit(true).as("__c") +:
-      valueCols.map(cc => col(cc).as(s"__c_$cc")): _*)
-    p.join(c, Seq(keyCol), "full_outer")
-      .withColumn("change",
-        when(col("__c").isNull, "removed")
-          .when(col("__p").isNull, "added")
-          .when(valueCols.map(cc =>
-            !(col(s"__p_$cc") <=> col(s"__c_$cc"))).reduce(_ || _),
-            "changed"))
-      .filter(col("change").isNotNull)
-      .select(col(keyCol), col("change"))
-  }
+      valueCols: Seq[String]): DataFrame =
+    // one classification core ([[snapshotChanges]]) — the audit view just
+    // renames its ops, so the two can never drift
+    snapshotChanges(prev, cur, keyCol, valueCols, version = 0L)
+      .select(col(keyCol),
+        when(col("op") === "D", "removed")
+          .when(col("op") === "I", "added")
+          .otherwise("changed").as("change"))
 
   /** The snapshot→CDC bridge: [[snapshotDiff]] with payloads — turn two
    * full drops into the change relation [[apply]]/[[mergeSink]] consume

@@ -216,8 +216,13 @@ object Retrieval {
       .select(col("q_id"), col("n_id"), col("embedding")))
     // a candidate without an embedding row would win step 1 on relevance
     // but silently vanish from every diversity step (the maxsim inner
-    // join) — an inconsistent hybrid; demand full coverage instead
-    require(ce.count() == cand.count(),
+    // join) — an inconsistent hybrid; demand full coverage instead.
+    // Left-anti emptiness, not count equality: duplicate embById rows
+    // could balance a missing id and fool a count check (and it is one
+    // bounded action instead of two). Caller contract: embById is unique
+    // per n_id — a conflicting duplicate would make the sims relation
+    // row-dependent.
+    require(cand.join(embById, Seq("n_id"), "left_anti").isEmpty,
       "MMR requires an embedding row for every candidate id")
     val sims = Dedup.materialize(
       ce.toDF("q_id", "c_a", "emb_a")
@@ -276,11 +281,18 @@ object Retrieval {
   def retrievalStack(docs: DataFrame, embeddings: DataFrame,
       terms: Seq[String], k: Int, fetch: Int): DataFrame = {
     require(k >= 1 && fetch >= k, s"need 1 <= k <= fetch, got k=$k fetch=$fetch")
+    val embIds = embeddings.select(col("vec_id").as("n_id"), col("embedding"))
     mmrSelect(
       bm25TopK(docs, terms, fetch)
         .select(lit(0L).as("q_id"), col("doc_id").as("n_id"),
-          expr("bm25_q div 1000").as("rel4")),
-      embeddings.select(col("vec_id").as("n_id"), col("embedding")), k)
+          expr("bm25_q div 1000").as("rel4"))
+        // the stack serves from the EMBEDDED corpus: a lexical candidate
+        // without an embedding cannot be diversity-assessed, so it is
+        // excluded up front (wholly, not the silent step-1-only hybrid
+        // mmrSelect guards against) — on a partially-embedded corpus the
+        // final page may hold fewer than k docs, by contract
+        .join(embIds.select("n_id").distinct(), Seq("n_id"), "left_semi"),
+      embIds, k)
       .select(col("step"), col("n_id").as("doc_id"), col("mmr4"))
   }
 

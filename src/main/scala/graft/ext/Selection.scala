@@ -174,6 +174,9 @@ object Selection {
             * lit(1e4) + lit(0.5)).cast("long").as("sim4")))
     var result = graft.ext.Dedup.materialize(
       v.agg(min("vec_id").as("vec_id"))
+        // empty (sampled) input: the global min agg yields one all-NULL
+        // row — drop it so the selection is empty, not a phantom seed
+        .filter(col("vec_id").isNotNull)
         .select(lit(1).as("step"), col("vec_id"),
           lit(20000L).as("radius4")))
     for (step <- 2 to k) {

@@ -3699,9 +3699,11 @@ object ExtensionQueries {
       },
       Some(
         s"""WITH $Bm25Ctes,
-            cand AS (SELECT CAST(0 AS BIGINT) AS q_id, doc_id AS n_id,
-                            CAST(bm25_q // 1000 AS BIGINT) AS rel4
-                     FROM bm ORDER BY bm25_q DESC, doc_id LIMIT 8),
+            cand AS (SELECT * FROM (
+                       SELECT CAST(0 AS BIGINT) AS q_id, doc_id AS n_id,
+                              CAST(bm25_q // 1000 AS BIGINT) AS rel4
+                       FROM bm ORDER BY bm25_q DESC, doc_id LIMIT 8)
+                     WHERE n_id IN (SELECT vec_id FROM embeddings)),
             cande AS (SELECT c.q_id, c.n_id, e.embedding::DOUBLE[] AS ne
                       FROM cand c JOIN embeddings e ON c.n_id = e.vec_id),
             psims AS (SELECT a.q_id, a.n_id AS c_a, b.n_id AS c_b,
