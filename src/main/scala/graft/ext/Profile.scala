@@ -95,6 +95,31 @@ object Profile {
       .withColumn("psi", round(col("psi_micro").cast("double") / 1e6, 6))
   }
 
+  /** Join-fanout pre-flight audit: for an equi-join about to run, the
+   * top-`topN` keys by OUTPUT contribution (`n_left · n_right`) — the
+   * check that catches a multiplicative hot key BEFORE a 100-TB join
+   * fans out (the d17/d19 bucket diagnostics' relational sibling, and
+   * the number that decides whether [[graft.operators.Skew]]'s salting
+   * is needed). Exact, not sampled: two keyed counts (each a partial-agg
+   * hash-agg over one column), a count-grain join, and a
+   * `TakeOrderedAndProject` cut — the audit costs two narrow scans
+   * however large the join would have been. Output:
+   * (key as string, n_left, n_right, n_out), ordered n_out DESC with key
+   * ties ascending. */
+  def joinFanout(left: DataFrame, right: DataFrame, leftKey: String,
+      rightKey: String, topN: Int = 10): DataFrame = {
+    require(topN >= 1, s"topN must be >= 1, got $topN")
+    val lc = left.filter(col(leftKey).isNotNull)
+      .groupBy(col(leftKey).as("key")).agg(count(lit(1)).as("n_left"))
+    val rc = right.filter(col(rightKey).isNotNull)
+      .groupBy(col(rightKey).as("key")).agg(count(lit(1)).as("n_right"))
+    lc.join(rc, "key")
+      .select(col("key").cast("string").as("key"), col("n_left"),
+        col("n_right"), (col("n_left") * col("n_right")).as("n_out"))
+      .orderBy(col("n_out").desc, col("key").asc)
+      .limit(topN)
+  }
+
   /** Functional-dependency audit: the `lhs` values that map to MORE than
    * one distinct `rhs` — violations of the expected `lhs → rhs`
    * dependency (a natural key that stopped being one, a denormalized

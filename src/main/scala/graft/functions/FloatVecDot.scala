@@ -118,6 +118,7 @@ object GraftFunctions {
   val TopKName = "graft_topk"
   val HeavyHittersName = "graft_heavy_hitters"
   val NfcName = "graft_nfc"
+  val JaroWinklerName = "graft_jaro_winkler"
 
   /** Build the TypedTopK aggregate from registry args: (ord, id, k) with k a
    * foldable integer literal. Public alias for the extensions injector. */
@@ -177,6 +178,10 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       NfcName,
       withArity(NfcName, 1)(e => NormalizeNfc(e(0))), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      JaroWinklerName,
+      withArity(JaroWinklerName, 2)(e => JaroWinkler(e(0), e(1))),
+      "scala_udf")
   }
 
   /** Column API: resolves through the function registry. */
@@ -198,6 +203,10 @@ object GraftFunctions {
 
   /** Unicode NFC normalization (codegen'd; no-copy on already-NFC input). */
   def nfc(in: Column): Column = call_function(NfcName, in)
+
+  /** Jaro-Winkler similarity (codegen'd; DuckDB-identical semantics). */
+  def jaroWinkler(a: Column, b: Column): Column =
+    call_function(JaroWinklerName, a, b)
 }
 
 /** `SparkSessionExtensions` hook: injects the native functions at session
@@ -233,6 +242,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         classOf[NormalizeNfc].getName, GraftFunctions.NfcName),
       GraftFunctions.withArity(GraftFunctions.NfcName, 1)(
         e => NormalizeNfc(e(0)))))
+    e.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier(GraftFunctions.JaroWinklerName),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[JaroWinkler].getName, GraftFunctions.JaroWinklerName),
+      GraftFunctions.withArity(GraftFunctions.JaroWinklerName, 2)(
+        e => JaroWinkler(e(0), e(1)))))
     // whole-plan rewrite: equality-free integral range joins re-plan as
     // bin-replicated hash joins (see plans.RangeJoinRewrite)
     e.injectOptimizerRule(session => graft.plans.RangeJoinRewrite(session))

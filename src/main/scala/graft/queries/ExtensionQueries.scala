@@ -2221,6 +2221,29 @@ object ExtensionQueries {
               WHERE levenshtein(a.nm, b.nm) <= 1"""),
       "fuzzy self-join: prefix-blocked Levenshtein near-match pairs"),
 
+    // Jaro-Winkler fuzzy pairs: d9's blocked self-join under the
+    // record-linkage measure (front-weighted agreement), scored by the
+    // engine's native codegen'd expression; the oracle calls DuckDB's
+    // built-in jaro_winkler_similarity — an INDEPENDENT implementation
+    // of the same published measure, so the gate cross-validates the
+    // kernel over every candidate pair.
+    "d24_jw_pairs" -> QueryDef(
+      (s, dir) => {
+        graft.functions.GraftFunctions.register(s)
+        Dedup.jaroWinklerPairs(
+          t(s, dir, "customer").filter(col("c_custkey") <= 400),
+          "c_custkey", "c_name", blockPrefix = 12, minSim = 0.98)
+      },
+      Some("""WITH c AS (SELECT c_custkey AS id, c_name AS nm
+                         FROM customer WHERE c_custkey <= 400)
+              SELECT a.id AS id_a, b.id AS id_b,
+                     round(jaro_winkler_similarity(a.nm, b.nm), 4) AS jw
+              FROM c a JOIN c b
+                ON substr(a.nm, 1, 12) = substr(b.nm, 1, 12)
+               AND a.id < b.id
+              WHERE round(jaro_winkler_similarity(a.nm, b.nm), 4) >= 0.98"""),
+      "Jaro-Winkler fuzzy pairs: native codegen'd kernel vs DuckDB's built-in"),
+
     // Bidirectional fuzzy blocking: prefix pass UNION suffix pass (prefix
     // over reversed strings) — an edit inside the prefix escapes d9's
     // blocking but not the suffix block, so the pass pair is exact for

@@ -1346,6 +1346,27 @@ object RelationalQueries {
                          THEN 'changed' END IS NOT NULL"""),
       "snapshot diff: added/removed/changed change-set between two drops"),
 
+    // Join-fanout pre-flight audit: the top-10 events.user_id x
+    // orders.o_custkey keys by output contribution n_left*n_right - the
+    // exact hot-key check run BEFORE a big join (decides salting).
+    // Two narrow keyed counts + a count-grain join + TakeOrdered.
+    "dq5_join_fanout" -> QueryDef(
+      (s, dir) => graft.ext.Profile.joinFanout(
+        t(s, dir, "events"), t(s, dir, "orders"),
+        "user_id", "o_custkey", topN = 10),
+      Some("""WITH lc AS (SELECT user_id AS key, count(*) AS n_left
+                          FROM events WHERE user_id IS NOT NULL
+                          GROUP BY 1),
+              rc AS (SELECT o_custkey AS key, count(*) AS n_right
+                     FROM orders WHERE o_custkey IS NOT NULL
+                     GROUP BY 1)
+              SELECT CAST(key AS VARCHAR) AS key, n_left, n_right,
+                     CAST(n_left * n_right AS BIGINT) AS n_out
+              FROM lc JOIN rc USING (key)
+              ORDER BY n_out DESC, key
+              LIMIT 10"""),
+      "join-fanout pre-flight: top hot keys by exact output contribution"),
+
     // The snapshot->CDC bridge: i4's diff WITH payloads, shaped as the
     // change relation i1's MERGE consumes (I/U/D + current values, NULL
     // payload on deletes) - how a whole-drop supplier feeds an
