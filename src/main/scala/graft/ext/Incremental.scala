@@ -176,6 +176,48 @@ object Incremental {
         valueCols.map(cc => col(s"__c_$cc").as(cc)): _*)
   }
 
+  /** Incremental aggregate maintenance (IVM — the materialized-view
+   * algebra): produce the NEW per-group (count, sum) aggregate from the
+   * OLD aggregate plus a CDC change set, never rescanning the unaffected
+   * base. Each change contributes signed deltas — `D`/`U` subtract the
+   * OLD row's contribution (looked up keyed against the base), `I`/`U`
+   * add the new payload's — so an update that MOVES a row between groups
+   * decrements one group and increments the other in the same pass.
+   * Count/sum are the self-maintainable aggregates (min/max are not —
+   * a deleted maximum needs a rescan; that asymmetry is the published
+   * IVM boundary, not a limitation of this implementation).
+   *
+   * Scale shape: one keyed join of the (delta-sized) affected keys
+   * against the base — co-located when the base is bucketed on the key,
+   * the [[apply]] posture — one group-grain delta agg, and a
+   * groups-sized merge with the old aggregate. The base pays a scan only
+   * for old-contribution lookups; at bucketed layout that is a pruned
+   * semi-join, not a full pass, and NOTHING recomputes for untouched
+   * groups. `prevAgg` contract: (group, n, s) as produced by a previous
+   * call (or the initial groupBy). Groups maintained down to n = 0
+   * drop out. */
+  def maintainAgg(prevAgg: DataFrame, base: DataFrame, changes: DataFrame,
+      keyCol: String, opCol: String, groupCol: String,
+      valueCol: String): DataFrame = {
+    val minus = changes.filter(col(opCol).isin("U", "D"))
+      .select(col(keyCol))
+      .join(base.select(col(keyCol), col(groupCol), col(valueCol)),
+        Seq(keyCol))
+      .select(col(groupCol).as("g"), lit(-1L).as("dn"),
+        (-col(valueCol).cast("long")).as("dv"))
+    val plus = changes.filter(col(opCol).isin("U", "I"))
+      .select(col(groupCol).as("g"), lit(1L).as("dn"),
+        col(valueCol).cast("long").as("dv"))
+    val delta = minus.unionByName(plus)
+      .groupBy("g").agg(sum("dn").as("dn"), sum("dv").as("dv"))
+    prevAgg.toDF("g", "n", "s")
+      .join(delta, Seq("g"), "full_outer")
+      .select(col("g"),
+        (coalesce(col("n"), lit(0L)) + coalesce(col("dn"), lit(0L))).as("n"),
+        (coalesce(col("s"), lit(0L)) + coalesce(col("dv"), lit(0L))).as("s"))
+      .filter(col("n") > 0)
+  }
+
   /** Latest committed version of a merge-sink table. */
   def currentBase(spark: SparkSession, baseDir: String): DataFrame =
     baseAsOf(spark, baseDir, Long.MaxValue)

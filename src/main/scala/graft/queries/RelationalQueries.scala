@@ -1407,6 +1407,43 @@ object RelationalQueries {
               FROM d WHERE op IS NOT NULL"""),
       "snapshot-to-CDC bridge: I/U/D change relation between two drops"),
 
+    // Incremental aggregate maintenance (IVM): the new per-source
+    // (count, sum n_chars) aggregate derived from the OLD aggregate +
+    // the i5 change set - no rescan of unaffected rows. The oracle is
+    // the FULL RECOMPUTE over the changed table, so the gate proves
+    // incremental == recompute cross-engine. U rows here genuinely
+    // mutate the aggregated value (n_chars + 7), not just the text.
+    "i6_ivm_agg" -> QueryDef(
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val cur = docs.filter(col("doc_id") % 31 =!= 7)
+          .withColumn("n_chars",
+            when(col("doc_id") % 17 === 3, col("n_chars") + 7)
+              .otherwise(col("n_chars")))
+          .unionByName(docs.filter(col("doc_id") % 50 === 0)
+            .withColumn("doc_id", col("doc_id") + 1000000L))
+        val changes = Incremental.snapshotChanges(docs, cur, "doc_id",
+          Seq("n_chars", "source"), version = 1L)
+        val prevAgg = docs.groupBy(col("source"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("n_chars").cast("long")).as("s"))
+        Incremental.maintainAgg(prevAgg, docs, changes,
+          "doc_id", "op", "source", "n_chars")
+      },
+      Some("""WITH cur AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 17 = 3 THEN n_chars + 7
+                            ELSE n_chars END AS n_chars,
+                       source
+                FROM documents WHERE doc_id % 31 <> 7
+                UNION ALL
+                SELECT doc_id + 1000000, n_chars, source
+                FROM documents WHERE doc_id % 50 = 0)
+              SELECT source AS g, CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(n_chars) AS BIGINT) AS s
+              FROM cur GROUP BY 1"""),
+      "incremental view maintenance: old agg + CDC deltas == full recompute"),
+
     // SCD2 history build: every non-delete change becomes a versioned
     // dimension row with a [valid_from, valid_to) validity interval;
     // valid_to = the NEXT change's version (any op — a delete closes its

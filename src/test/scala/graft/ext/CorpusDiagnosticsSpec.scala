@@ -137,6 +137,34 @@ class CorpusDiagnosticsSpec extends SparkTestBase {
       cur.collect().map(_.toString).sorted.toSeq)
   }
 
+  test("maintainAgg: group-moving update, delete, insert — incremental " +
+    "equals recompute; emptied groups drop out") {
+    val base = Seq((1L, "A", 10L), (2L, "A", 20L), (3L, "B", 30L))
+      .toDF("id", "grp", "v")
+    val changes = Seq(
+      (2L, 1L, "U", Some("B"), Some(25L)), // moves A -> B, value change
+      (3L, 1L, "D", None, None),           // B loses its only other row
+      (4L, 1L, "I", Some("A"), Some(5L)))
+      .toDF("id", "version", "op", "grp", "v")
+    val prevAgg = base.groupBy("grp")
+      .agg(count(lit(1)).as("n"), sum("v").as("s"))
+    val out = Incremental.maintainAgg(prevAgg, base, changes,
+        "id", "op", "grp", "v")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    // new table: (1,A,10),(2,B,25),(4,A,5)
+    assert(out == Map("A" -> ((2L, 15L)), "B" -> ((1L, 25L))))
+    // deleting the last A rows empties the group entirely
+    val drain = Seq((1L, 1L, "D", Option.empty[String], Option.empty[Long]),
+      (2L, 1L, "D", Option.empty[String], Option.empty[Long]))
+      .toDF("id", "version", "op", "grp", "v")
+    val left = Incremental.maintainAgg(prevAgg, base, drain,
+        "id", "op", "grp", "v")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    assert(left == Map("B" -> ((1L, 30L))), "group A must drop at n = 0")
+  }
+
   test("rm3TopK: expansion recalls a doc the literal query cannot match") {
     // query 'apple' matches only d1; RM1 expansion from d1 surfaces
     // 'banana', which recalls d2 in the second pass.
