@@ -381,6 +381,17 @@ object Bench {
           graft.ext.Dedup.editDistancePairsBidirectional(
             ps.read.parquet(s"$dir10/fuzzy_names.parquet"),
             "id", "nm", blockPrefix = 12, maxDist = 1))) :+
+        // the codegen'd Jaro-Winkler kernel over the same 10× prefix
+        // blocks: every candidate pair pays one kernel call — the number
+        // that prices the native expression at scale (threshold 0.9 keeps
+        // the verify-side output bounded; the kernel cost is the same at
+        // any threshold)
+        ("d24_jw_pairs" -> ((ps: org.apache.spark.sql.SparkSession) => {
+          graft.functions.GraftFunctions.register(ps)
+          graft.ext.Dedup.jaroWinklerPairs(
+            ps.read.parquet(s"$dir10/fuzzy_names.parquet"),
+            "id", "nm", blockPrefix = 12, minSim = 0.9)
+        })) :+
         // LSH banding recall at the SCALE default (20% sample) — the d21
         // gate runs 50% only because sf0.01 holds too few truth pairs;
         // this is the sampled-quadratic diagnostic cost you'd pay on a

@@ -281,4 +281,22 @@ object Sampling {
       .withColumn("pack_id", expr(s"__cum_excl div $budget"))
       .drop("__cum_excl")
   }
+
+  /** [[packSequences]] plus each document's START OFFSET within its pack
+   * — the attention-mask / position-id metadata a trainer needs so
+   * packed documents don't attend across their boundaries (every packed
+   *-sequence format ships it: doc spans within the concatenated
+   * window). One more window over the SAME per-bucket ordering the pack
+   * assignment used (partitioned one level finer at (bucket, pack_id) —
+   * no new exchange, hashpartitioning(bucket) already clusters it; one
+   * additional per-partition sort). Output: input columns + bucket +
+   * pack_id + offset. */
+  def packOffsets(df: DataFrame, idCol: String, tokenCol: String,
+      budget: Int): DataFrame = {
+    val w = Window.partitionBy("bucket", "pack_id").orderBy(idCol)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    packSequences(df, idCol, tokenCol, budget)
+      .withColumn("offset",
+        coalesce(sum(col(tokenCol).cast("long")).over(w), lit(0L)))
+  }
 }

@@ -3190,6 +3190,38 @@ object ExtensionQueries {
               FROM c"""),
       "token-budget sequence packing (per-bucket contiguous fill)"),
 
+    // Pack layout with in-pack START OFFSETS - the attention-mask /
+    // position-id metadata of every packed-sequence format (documents
+    // must not attend across boundaries). One more window at (bucket,
+    // pack_id) grain over the same ordering; no new exchange.
+    "sp19_pack_offsets" -> QueryDef(
+      (s, dir) => graft.ext.Sampling.packOffsets(
+        t(s, dir, "documents").select(col("doc_id"),
+          TextAnalysis.wsTokenCount(col("text")).as("n_tokens")),
+        "doc_id", "n_tokens", budget = 512),
+      Some("""WITH d AS (
+                SELECT doc_id,
+                       CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+                       ('0x' || substr(md5('pack:' || doc_id::VARCHAR), 1, 8))::BIGINT % 100 AS bucket
+                FROM documents),
+              c AS (
+                SELECT doc_id, n_tokens, bucket,
+                       coalesce(sum(CAST(n_tokens AS BIGINT)) OVER (
+                         PARTITION BY bucket ORDER BY doc_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+                FROM d),
+              p AS (
+                SELECT doc_id, n_tokens, bucket,
+                       CAST(cum // 512 AS BIGINT) AS pack_id
+                FROM c)
+              SELECT doc_id, n_tokens, bucket, pack_id,
+                     CAST(coalesce(sum(CAST(n_tokens AS BIGINT)) OVER (
+                       PARTITION BY bucket, pack_id ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                       AS BIGINT) AS offset
+              FROM p"""),
+      "sequence packing with in-pack start offsets (attention-mask metadata)"),
+
     // DSIR importance weights (Xie et al. 2023): hashed-unigram log ratio
     // of the en target slice vs the non-en pool, per pool document. One
     // corpus token pass → 1024-bucket conditional counts (KB-scale), the
