@@ -2571,6 +2571,89 @@ object ExtensionQueries {
                FROM r GROUP BY source"""),
       "per-source calibrated quality thresholds (exact rank cut, top-20%)"),
 
+    // Language-label consistency audit: per source, how often the
+    // in-engine language ID disagrees with the DECLARED lang column -
+    // the metadata-trust check run before any lang-keyed stage
+    // (stratified mixing, per-lang dedup) believes supplier labels.
+    // One narrow projection + a sources-sized hash-agg.
+    "t25_lang_consistency" -> QueryDef(
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        docs.groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(TextAnalysis.langId(col("text")) =!= col("lang"), 1L)
+              .otherwise(0L)).as("n_mismatch"))
+          .withColumn("mismatch_rate",
+            round(col("n_mismatch").cast("double") / col("n_docs"), 4))
+      },
+      Some(s"""WITH p AS (SELECT source, lang, $LangPredSql AS lang_pred
+                          FROM documents)
+               SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                      CAST(sum(CASE WHEN lang_pred <> lang THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_mismatch,
+                      round(sum(CASE WHEN lang_pred <> lang THEN 1 ELSE 0 END)::DOUBLE
+                        / count(*), 4) AS mismatch_rate
+               FROM p GROUP BY source"""),
+      "language-label trust audit: langID vs declared lang, per source"),
+
+    // Embedding-table quality audit: null / wrong-dim / zero-norm /
+    // non-finite vectors plus the micro-quantized mean norm of the good
+    // ones - the dq1 analog for the vector column, run before any ANN
+    // stage trusts a new embedding drop. One narrow scan, 1-row output.
+    "dq6_embedding_audit" -> QueryDef(
+      (s, dir) => {
+        graft.functions.GraftFunctions.register(s)
+        val e = col("embedding")
+        val n2 = graft.ext.Similarity.dot(e, e)
+        val goodDim = e.isNotNull && size(e) === 64
+        val finite = goodDim && !isnan(n2) &&
+          n2 =!= lit(Double.PositiveInfinity)
+        t(s, dir, "embeddings")
+          .select(
+            lit(1L).as("one"),
+            when(e.isNull, 1L).otherwise(0L).as("is_null"),
+            when(e.isNotNull && size(e) =!= 64, 1L).otherwise(0L)
+              .as("bad_dim"),
+            when(finite && n2 === 0.0, 1L).otherwise(0L).as("zero_norm"),
+            when(goodDim && (isnan(n2) ||
+              n2 === lit(Double.PositiveInfinity)), 1L).otherwise(0L)
+              .as("nonfinite"),
+            when(finite,
+              floor(sqrt(n2) * lit(1e6) + lit(0.5)).cast("long"))
+              .as("norm_q"))
+          .agg(sum("one").as("n_vecs"), sum("is_null").as("n_null"),
+            sum("bad_dim").as("n_bad_dim"),
+            sum("zero_norm").as("n_zero_norm"),
+            sum("nonfinite").as("n_nonfinite"),
+            round((sum("norm_q").cast("double") /
+              count("norm_q")) / 1e6, 6).as("mean_norm"))
+      },
+      Some("""WITH v AS (SELECT embedding::DOUBLE[] AS e FROM embeddings),
+              s AS (SELECT
+                      CASE WHEN e IS NULL THEN 1 ELSE 0 END AS is_null,
+                      CASE WHEN e IS NOT NULL AND len(e) <> 64
+                           THEN 1 ELSE 0 END AS bad_dim,
+                      CASE WHEN e IS NOT NULL AND len(e) = 64
+                           THEN list_dot_product(e, e) END AS n2
+                    FROM v)
+              SELECT CAST(count(*) AS BIGINT) AS n_vecs,
+                     CAST(sum(is_null) AS BIGINT) AS n_null,
+                     CAST(sum(bad_dim) AS BIGINT) AS n_bad_dim,
+                     CAST(sum(CASE WHEN n2 = 0 AND isfinite(n2)
+                                   THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_zero_norm,
+                     CAST(sum(CASE WHEN n2 IS NOT NULL
+                                    AND NOT isfinite(n2)
+                                   THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_nonfinite,
+                     round((CAST(sum(CASE WHEN isfinite(n2) THEN
+                         CAST(floor(sqrt(n2) * 1e6 + 0.5) AS BIGINT) END)
+                       AS DOUBLE)
+                       / count(CASE WHEN isfinite(n2) THEN 1 END)) / 1e6, 6)
+                       AS mean_norm
+              FROM s"""),
+      "embedding-table quality audit: null/dim/zero/non-finite + mean norm"),
+
     // Vocabulary-coverage audit: per-doc OOV fraction against the corpus
     // top-20 vocabulary head (the pre-tokenizer coverage check). Head =
     // t9's TakeOrdered plan broadcast onto one token scan.
