@@ -165,6 +165,26 @@ class CorpusDiagnosticsSpec extends SparkTestBase {
     assert(left == Map("B" -> ((1L, 30L))), "group A must drop at n = 0")
   }
 
+  test("time-travel diff: snapshotDiff between two mergeSink versions " +
+    "recovers exactly the applied change set") {
+    // versions built through the sink, then diffed AS-OF: the families
+    // compose — the diff of two immutable snapshots is the change set
+    // that separated them (modulo D rows for keys absent in both).
+    val dir = java.nio.file.Files.createTempDirectory("tt_diff").toString
+    val sink = Incremental.mergeSink(dir, "id", "version", "op", Seq("v"))
+    val b0 = Seq((1L, 1L, "I", "a"), (2L, 1L, "I", "b"), (3L, 1L, "I", "c"))
+      .toDF("id", "version", "op", "v")
+    val b1 = Seq((2L, 2L, "U", "b2"), (3L, 2L, "D", null.asInstanceOf[String]),
+      (4L, 2L, "I", "d")).toDF("id", "version", "op", "v")
+    sink.write(b0, 0L)
+    sink.write(b1, 1L)
+    val diff = Incremental.snapshotDiff(
+      Incremental.baseAsOf(spark, dir, 0L),
+      Incremental.baseAsOf(spark, dir, 1L), "id", Seq("v"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(diff == Map(2L -> "changed", 3L -> "removed", 4L -> "added"))
+  }
+
   test("rm3TopK: expansion recalls a doc the literal query cannot match") {
     // query 'apple' matches only d1; RM1 expansion from d1 surfaces
     // 'banana', which recalls d2 in the second pass.
