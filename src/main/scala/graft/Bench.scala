@@ -469,6 +469,12 @@ object Bench {
             ps.read.parquet(s"$dir10/embeddings.parquet")
               .filter(col("vec_id") < 8),
             ps, idxDir, 3))) :+
+        ("ann_index_search_ivfsq8" ->
+          ((ps: org.apache.spark.sql.SparkSession) =>
+            graft.ext.AnnIndex.searchIvfSq8(
+              ps.read.parquet(s"$dir10/embeddings.parquet")
+                .filter(col("vec_id") < 8),
+              ps, s"$dir10/ann_sq8_index", 3))) :+
         // the recall-repaired search (bits+1 probed lists) over the same
         // prebuilt index — the production read path's actual cost
         ("ann_index_search_ivfpq_multiprobe" ->
@@ -517,6 +523,15 @@ object Bench {
           walls += ("ann_index_build_ivfadc_residual" -> f2(rbw))
           sf1Bytes += ("ann_index_bytes_ivfadc_residual" ->
             dirBytes(residualIdxDir).toString)
+          // IVF-SQ8: the per-dimension-resolution middle ground — its
+          // at-rest bytes sit between the residual code index and the
+          // raw-copy-carrying IVF-PQ artifact
+          val (sqw, _) = timed(graft.ext.AnnIndex.buildIvfSq8(
+            ps.read.parquet(s"$dir10/embeddings.parquet"),
+            s"$dir10/ann_sq8_index"))
+          walls += ("ann_index_build_ivfsq8" -> f2(sqw))
+          sf1Bytes += ("ann_index_bytes_ivfsq8" ->
+            dirBytes(s"$dir10/ann_sq8_index").toString)
         })
       // Deletion lifecycle over the SAME prebuilt index (round-6 verdict
       // #4: tombstones + vacuum were spec-proven but unmeasured). Two

@@ -337,6 +337,53 @@ object AnnIndex {
     writeDriftRow(corpus, dir, cbs, subDim, batchId = -1L)
   }
 
+  /** Build an IVF + SQ8 index ([[Similarity.knnIvfSq8]]'s composition,
+   * FAISS `IVF,SQ8`): rp cells for pruning + symmetric per-vector int8
+   * codes as the at-rest representation — per-DIMENSION resolution
+   * (distances far closer to exact than PQ's subspace centroids) at a
+   * byte per dimension; the code column's small-integer values take the
+   * parquet encoding + zstd path to the storage cut, measured in the
+   * bench artifact. Cell-partitioned like every other index here, so
+   * probed-list selection is file-level partition pruning. The stored
+   * per-vector `scale` is not needed at query time (scales cancel in
+   * cosine) — it is kept for dequantization/rebuild completeness. */
+  def buildIvfSq8(corpus: DataFrame, dir: String, bits: Int = 4,
+      dim: Int = 64, seed: String = "rp"): Unit = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val planes = Similarity.rpPlanes(dim, bits, seed)
+    Seq((bits, dim, seed))
+      .toDF("bits", "dim", "seed")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/params.parquet")
+    Similarity.quantizeInt8(corpus)
+      .join(corpus.select(col("vec_id"),
+        Similarity.rpCell(col("embedding"), planes).as("cell")), "vec_id")
+      .repartition(col("cell"))
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$dir/sq8.parquet")
+  }
+
+  /** Search a [[buildIvfSq8]] index: queries quantize inline (a
+   * queries-sized projection) and re-derive their rp cell from the
+   * stored geometry; candidates prune to probed cells (file-level, same
+   * [[pruneProbed]] machinery incl. the IN-list→semi-join fallback) and
+   * score on stored codes via the shared
+   * [[Similarity.ivfSq8Search]] body — bit-identical to the fused
+   * [[Similarity.knnIvfSq8]] with the build's parameters. */
+  def searchIvfSq8(queries: DataFrame, spark: SparkSession, dir: String,
+      k: Int, maxInList: Int = DefaultMaxInList): DataFrame = {
+    val p = spark.read.parquet(s"$dir/params.parquet")
+      .select("bits", "dim", "seed").head
+    val planes = Similarity.rpPlanes(p.getInt(1), p.getInt(0), p.getString(2))
+    val q = Similarity.quantizeInt8(queries)
+      .join(queries.select(col("vec_id"),
+        Similarity.rpCell(col("embedding"), planes).as("cell")), "vec_id")
+    Similarity.ivfSq8Search(q,
+      pruneProbed(spark.read.parquet(s"$dir/sq8.parquet"),
+        q, "cell", maxInList),
+      k)
+  }
+
   /** Build a residual-IVFADC index ([[Similarity.knnIvfAdcResidual]]'s
    * published Jégou-et-al form): persist the TRAINED coarse codebook, the
    * residual PQ codebooks, and the residual-code-encoded corpus — cell-

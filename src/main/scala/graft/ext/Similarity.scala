@@ -481,6 +481,49 @@ object Similarity {
   def knnInt8(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame =
     knnInt8Quantized(quantizeInt8(queries), quantizeInt8(corpus), k)
 
+  /** IVF + SQ8: rp-cell candidate pruning over int8 codes — n13's
+   * scales-cancel scoring restricted to the query's cell (the FAISS
+   * `IVF,SQ8` composition: coarse quantizer for pruning, scalar
+   * quantizer for the 4× at-rest representation; vs PQ, SQ8 keeps
+   * per-DIMENSION resolution so its distances are far closer to exact —
+   * the usual pick when memory allows a byte per dimension).
+   * Candidates prune to the cell, dots/norms stay exact integers, the
+   * one sqrt+divide per pair is IEEE-deterministic. The index round-trip
+   * is [[AnnIndex.buildIvfSq8]]/[[AnnIndex.searchIvfSq8]]. */
+  def knnIvfSq8(queries: DataFrame, corpus: DataFrame, k: Int,
+      bits: Int = 4, dim: Int = 64, seed: String = "rp"): DataFrame = {
+    val planes = rpPlanes(dim, bits, seed)
+    def withCell(vecs: DataFrame) =
+      quantizeInt8(vecs).join(
+        vecs.select(col("vec_id"),
+          rpCell(col("embedding"), planes).as("cell")), "vec_id")
+    ivfSq8Search(withCell(queries), withCell(corpus), k)
+  }
+
+  /** The shared IVF-SQ8 scoring body over `(vec_id, q, cell)`-shaped
+   * sides — [[knnIvfSq8]] (fused) and [[AnnIndex.searchIvfSq8]] (stored
+   * codes) both land here, so the round trip is bit-identical by
+   * construction. Zero vectors excluded as in [[knnInt8Quantized]]. */
+  private[ext] def ivfSq8Search(queries: DataFrame, corpus: DataFrame,
+      k: Int): DataFrame = {
+    def prep(df: DataFrame, idAs: String, qAs: String, nAs: String) =
+      df.select(col("vec_id").as(idAs), col("cell"), col("q").as(qAs),
+        aggregate(col("q"), lit(0L), (a, v) => a + (v * v).cast("long"))
+          .as(nAs))
+        .filter(col(nAs) > 0)
+    val q = prep(queries, "q_id", "qq", "qn")
+    val c = prep(corpus, "n_id", "cq", "cn")
+    topKBySim(
+      q.join(c, Seq("cell"))
+        .filter(col("q_id") =!= col("n_id"))
+        .select(col("q_id"), col("n_id"),
+          round(
+            aggregate(zip_with(col("qq"), col("cq"),
+              (a, b) => (a * b).cast("long")), lit(0L), _ + _).cast("double")
+              / (sqrt(col("qn")) * sqrt(col("cn"))), 4).as("sim8")),
+      k, "sim8")
+  }
+
   // ---- product quantization (PQ) ----
 
   /** Subvector `m` of an embedding: elements [m·subDim, (m+1)·subDim). */

@@ -2201,6 +2201,49 @@ object ExtensionQueries {
               WHERE rank <= 3"""),
       "kNN on int8 codes: scales cancel, no dequantization at query time"),
 
+    // IVF + SQ8 (FAISS 'IVF,SQ8'): n13's scales-cancel int8 scoring
+    // restricted to the query's rp cell - per-dimension resolution at a
+    // byte per dimension, coarse cells for pruning. The index round-trip
+    // (buildIvfSq8/searchIvfSq8) is spec-gated bit-identical.
+    "n22_knn_ivfsq8" -> QueryDef(
+      (s, dir) => {
+        graft.functions.GraftFunctions.register(s)
+        val emb = t(s, dir, "embeddings")
+        Similarity.knnIvfSq8(emb.filter(col("vec_id") < 6), emb, 3,
+          bits = RpBits, dim = RpDim, seed = RpSeed)
+      },
+      Some {
+        val cell = sqlRpCell("embedding::DOUBLE[]",
+          Similarity.rpPlanes(RpDim, RpBits, RpSeed))
+        s"""WITH s AS (
+              SELECT vec_id, embedding::DOUBLE[] AS e,
+                     list_max(list_transform(embedding::DOUBLE[],
+                       x -> abs(x))) AS scale,
+                     CAST($cell AS INTEGER) AS cell
+              FROM embeddings),
+            q8 AS (
+              SELECT vec_id, cell,
+                     list_transform(e, x -> CASE WHEN scale = 0 THEN 0
+                       ELSE floor(x / scale * 127 + 0.5) END) AS q
+              FROM s),
+            n AS (SELECT vec_id, cell, q, list_dot_product(q, q) AS nrm
+                  FROM q8 WHERE list_dot_product(q, q) > 0),
+            scored AS (
+              SELECT a.vec_id AS q_id, b.vec_id AS n_id,
+                     round(list_dot_product(a.q, b.q)
+                       / (sqrt(a.nrm) * sqrt(b.nrm)), 4) AS sim8
+              FROM n a JOIN n b
+                ON a.cell = b.cell AND a.vec_id < 6
+               AND a.vec_id <> b.vec_id)
+            SELECT q_id, n_id, sim8, CAST(rank AS INTEGER) AS rank
+            FROM (SELECT q_id, n_id, sim8,
+                         row_number() OVER (PARTITION BY q_id
+                           ORDER BY sim8 DESC, n_id) AS rank
+                  FROM scored)
+            WHERE rank <= 3"""
+      },
+      "IVF+SQ8: rp-cell pruning over int8 codes (per-dimension resolution)"),
+
     // Edit-distance near-match pairs (record-linkage / entity-resolution
     // shape): prefix blocking + length band bound the candidate set, only
     // candidates pay the O(len²) Levenshtein — never an all-pairs scan.

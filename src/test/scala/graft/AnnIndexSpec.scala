@@ -80,6 +80,17 @@ class AnnIndexSpec extends SparkTestBase {
       rows(Similarity.knnRpMultiProbe(queries, embs, 3)))
   }
 
+  test("IVF-SQ8 index round-trips: prebuilt search equals the fused path") {
+    val dir = tmp("ann_ivfsq8")
+    AnnIndex.buildIvfSq8(embs, dir)
+    assert(rows(AnnIndex.searchIvfSq8(queries, spark, dir, 3)) ==
+      rows(Similarity.knnIvfSq8(queries, embs, 3)))
+    // the stored codes are cell-partitioned (one directory per list)
+    val root = new java.io.File(s"$dir/sq8.parquet")
+    assert(root.listFiles().exists(f =>
+      f.isDirectory && f.getName.startsWith("cell=")))
+  }
+
   test("filtered search round-trips bit-identical and honors the " +
     "pre-filter contract") {
     val dir = tmp("ann_ivfpq_filtered")
