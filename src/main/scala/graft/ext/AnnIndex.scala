@@ -355,9 +355,7 @@ object AnnIndex {
     Seq((bits, dim, seed))
       .toDF("bits", "dim", "seed")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/params.parquet")
-    Similarity.quantizeInt8(corpus)
-      .join(corpus.select(col("vec_id"),
-        Similarity.rpCell(col("embedding"), planes).as("cell")), "vec_id")
+    Similarity.sq8Codes(corpus, planes)
       .repartition(col("cell"))
       .write.mode("overwrite").partitionBy("cell")
       .parquet(s"$dir/sq8.parquet")
@@ -375,9 +373,7 @@ object AnnIndex {
     val p = spark.read.parquet(s"$dir/params.parquet")
       .select("bits", "dim", "seed").head
     val planes = Similarity.rpPlanes(p.getInt(1), p.getInt(0), p.getString(2))
-    val q = Similarity.quantizeInt8(queries)
-      .join(queries.select(col("vec_id"),
-        Similarity.rpCell(col("embedding"), planes).as("cell")), "vec_id")
+    val q = Similarity.sq8Codes(queries, planes)
     Similarity.ivfSq8Search(q,
       pruneProbed(spark.read.parquet(s"$dir/sq8.parquet"),
         q, "cell", maxInList),

@@ -1006,6 +1006,10 @@ object Dedup {
       blockPrefix: Int, minSim: Double): DataFrame = {
     require(minSim > 0.0 && minSim <= 1.0,
       s"minSim must be in (0, 1], got $minSim")
+    // defensive self-registration (the topKBySim pattern): the measure
+    // resolves through the function registry, and a plain session
+    // without GraftExtensions would otherwise fail analysis
+    graft.functions.GraftFunctions.register(df.sparkSession)
     val a = df.select(col(idCol).as("id_a"), col(nameCol).as("name_a"),
       substring(col(nameCol), 1, blockPrefix).as("blk"))
     val b = df.select(col(idCol).as("id_b"), col(nameCol).as("name_b"),

@@ -208,13 +208,13 @@ object Incremental {
     val plus = changes.filter(col(opCol).isin("U", "I"))
       .select(col(groupCol).as("g"), lit(1L).as("dn"),
         col(valueCol).cast("long").as("dv"))
-    val delta = minus.unionByName(plus)
-      .groupBy("g").agg(sum("dn").as("dn"), sum("dv").as("dv"))
+    // merged by UNION + groupBy, NOT a full-outer equi-join: groupBy
+    // treats NULL as an ordinary group, while join-on-g would never match
+    // a NULL group across sides and leave a stale row beside a delta row
     prevAgg.toDF("g", "n", "s")
-      .join(delta, Seq("g"), "full_outer")
-      .select(col("g"),
-        (coalesce(col("n"), lit(0L)) + coalesce(col("dn"), lit(0L))).as("n"),
-        (coalesce(col("s"), lit(0L)) + coalesce(col("dv"), lit(0L))).as("s"))
+      .select(col("g"), col("n").as("dn"), col("s").as("dv"))
+      .unionByName(minus.unionByName(plus))
+      .groupBy("g").agg(sum("dn").as("n"), sum("dv").as("s"))
       .filter(col("n") > 0)
   }
 

@@ -115,7 +115,14 @@ object Profile {
       .groupBy(col(rightKey).as("key")).agg(count(lit(1)).as("n_right"))
     lc.join(rc, "key")
       .select(col("key").cast("string").as("key"), col("n_left"),
-        col("n_right"), (col("n_left") * col("n_right")).as("n_out"))
+        col("n_right"),
+        // DOUBLE product, not BIGINT: the catastrophic hot key this audit
+        // exists to catch (two multi-billion-row sides) would overflow a
+        // long and wrap NEGATIVE — sorting the worst key to the BOTTOM of
+        // the ranking. Exact below 2^53, monotonic and engine-identical
+        // above (both engines multiply the same exact longs in IEEE).
+        (col("n_left").cast("double") * col("n_right").cast("double"))
+          .as("n_out"))
       .orderBy(col("n_out").desc, col("key").asc)
       .limit(topN)
   }

@@ -377,14 +377,30 @@ object Similarity {
    * cut, and dequantization stays a narrow map. */
   def quantizeInt8(vecs: DataFrame): DataFrame =
     vecs
+      .select(col("vec_id"), col("embedding"), int8Scale.as("scale"))
+      .select(col("vec_id"), col("scale"), int8Codes.as("q"))
+
+  /** The int8 quantization EXPRESSIONS, factored so [[quantizeInt8]] and
+   * the cell-carrying SQ8 projection ([[sq8Codes]]) share one definition
+   * — the e2 oracle replays these trees, and two copies would drift. */
+  private def int8Scale: Column =
+    array_max(transform(col("embedding"), v => abs(v.cast("double"))))
+  private def int8Codes: Column =
+    transform(col("embedding"), v =>
+      when(col("scale") === 0, lit(0L))
+        .otherwise(floor(v.cast("double") / col("scale") * lit(127.0) + lit(0.5)))
+        .cast("int"))
+
+  /** ONE-PASS SQ8 + rp-cell projection `(vec_id, cell, scale, q)` — cell
+   * and codes are both pure per-row functions of the embedding, so they
+   * come out of a single narrow scan (a vec_id self-join to attach the
+   * cell would pay an extra corpus scan plus a shuffle — r7 review). */
+  private[ext] def sq8Codes(vecs: DataFrame,
+      planes: Array[Array[Double]]): DataFrame =
+    vecs
       .select(col("vec_id"), col("embedding"),
-        array_max(transform(col("embedding"), v => abs(v.cast("double"))))
-          .as("scale"))
-      .select(col("vec_id"), col("scale"),
-        transform(col("embedding"), v =>
-          when(col("scale") === 0, lit(0L))
-            .otherwise(floor(v.cast("double") / col("scale") * lit(127.0) + lit(0.5)))
-            .cast("int")).as("q"))
+        rpCell(col("embedding"), planes).as("cell"), int8Scale.as("scale"))
+      .select(col("vec_id"), col("cell"), col("scale"), int8Codes.as("q"))
 
   /** Deterministic within-cell truncation to `maxCell` members, ordered by
    * a hash of the id (a pseudo-random but replayable sample). Mirrors
@@ -458,22 +474,30 @@ object Similarity {
    * documented bounded-query-set posture as [[knnBrute]]. */
   def knnInt8Quantized(queries: DataFrame, corpus: DataFrame,
       k: Int): DataFrame = {
-    def prep(df: DataFrame, idAs: String, qAs: String, nAs: String) =
-      df.select(col("vec_id").as(idAs), col("q").as(qAs),
-        aggregate(col("q"), lit(0L), (a, v) => a + (v * v).cast("long"))
-          .as(nAs))
-        .filter(col(nAs) > 0)
-    val q = prep(queries, "q_id", "qq", "qn")
-    val c = prep(corpus, "n_id", "cq", "cn")
+    val q = int8Prep(queries, "q_id", "qq", "qn", Nil)
+    val c = int8Prep(corpus, "n_id", "cq", "cn", Nil)
     topKBySim(
       q.crossJoin(c).filter(col("q_id") =!= col("n_id"))
-        .select(col("q_id"), col("n_id"),
-          round(
-            aggregate(zip_with(col("qq"), col("cq"),
-              (a, b) => (a * b).cast("long")), lit(0L), _ + _).cast("double")
-              / (sqrt(col("qn")) * sqrt(col("cn"))), 4).as("sim8")),
+        .select(col("q_id"), col("n_id"), int8Sim.as("sim8")),
       k, "sim8")
   }
+
+  /** Shared int8 norm-prep and scales-cancel cosine EXPRESSIONS — one
+   * definition for the flat ([[knnInt8Quantized]]) and cell-pruned
+   * ([[ivfSq8Search]]) paths, so a scoring fix can never drift between
+   * them (r7 review). */
+  private def int8Prep(df: DataFrame, idAs: String, qAs: String,
+      nAs: String, carry: Seq[String]): DataFrame =
+    df.select(col("vec_id").as(idAs) +: col("q").as(qAs) +:
+        aggregate(col("q"), lit(0L), (a, v) => a + (v * v).cast("long"))
+          .as(nAs) +: carry.map(col): _*)
+      .filter(col(nAs) > 0)
+
+  private def int8Sim: Column =
+    round(
+      aggregate(zip_with(col("qq"), col("cq"),
+        (a, b) => (a * b).cast("long")), lit(0L), _ + _).cast("double")
+        / (sqrt(col("qn")) * sqrt(col("cn"))), 4)
 
   /** Convenience form over raw float embeddings: quantizes both sides
    * inline, then searches the codes. For the actual IO win, store
@@ -493,34 +517,23 @@ object Similarity {
   def knnIvfSq8(queries: DataFrame, corpus: DataFrame, k: Int,
       bits: Int = 4, dim: Int = 64, seed: String = "rp"): DataFrame = {
     val planes = rpPlanes(dim, bits, seed)
-    def withCell(vecs: DataFrame) =
-      quantizeInt8(vecs).join(
-        vecs.select(col("vec_id"),
-          rpCell(col("embedding"), planes).as("cell")), "vec_id")
-    ivfSq8Search(withCell(queries), withCell(corpus), k)
+    ivfSq8Search(sq8Codes(queries, planes), sq8Codes(corpus, planes), k)
   }
 
   /** The shared IVF-SQ8 scoring body over `(vec_id, q, cell)`-shaped
    * sides — [[knnIvfSq8]] (fused) and [[AnnIndex.searchIvfSq8]] (stored
    * codes) both land here, so the round trip is bit-identical by
-   * construction. Zero vectors excluded as in [[knnInt8Quantized]]. */
+   * construction. Prep and cosine are the SAME expressions as the flat
+   * int8 path ([[int8Prep]]/[[int8Sim]]); only the join key differs.
+   * Zero vectors excluded as in [[knnInt8Quantized]]. */
   private[ext] def ivfSq8Search(queries: DataFrame, corpus: DataFrame,
       k: Int): DataFrame = {
-    def prep(df: DataFrame, idAs: String, qAs: String, nAs: String) =
-      df.select(col("vec_id").as(idAs), col("cell"), col("q").as(qAs),
-        aggregate(col("q"), lit(0L), (a, v) => a + (v * v).cast("long"))
-          .as(nAs))
-        .filter(col(nAs) > 0)
-    val q = prep(queries, "q_id", "qq", "qn")
-    val c = prep(corpus, "n_id", "cq", "cn")
+    val q = int8Prep(queries, "q_id", "qq", "qn", Seq("cell"))
+    val c = int8Prep(corpus, "n_id", "cq", "cn", Seq("cell"))
     topKBySim(
       q.join(c, Seq("cell"))
         .filter(col("q_id") =!= col("n_id"))
-        .select(col("q_id"), col("n_id"),
-          round(
-            aggregate(zip_with(col("qq"), col("cq"),
-              (a, b) => (a * b).cast("long")), lit(0L), _ + _).cast("double")
-              / (sqrt(col("qn")) * sqrt(col("cn"))), 4).as("sim8")),
+        .select(col("q_id"), col("n_id"), int8Sim.as("sim8")),
       k, "sim8")
   }
 

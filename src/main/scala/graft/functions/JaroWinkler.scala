@@ -26,9 +26,11 @@ import org.apache.spark.unsafe.types.UTF8String
  * WholeStageCodegen like the builtin `levenshtein` (whose codegen makes
  * the identical static-call trade).
  *
- * Character-level over the UTF-16 representation (`UTF8String.toString`),
- * matching DuckDB on ASCII and the BMP; both engines see identical code
- * units for the corpus this engine gates on.
+ * Operates over UTF-8 BYTES, because that is what DuckDB's kernel
+ * compares (verified by fuzzing: a UTF-16 char-level variant diverges on
+ * every non-ASCII string — 'héllo' vs 'hello' scores 0.84 byte-wise but
+ * 0.88 char-wise). Byte-level Jaro on multi-byte text is a quirk both
+ * engines now share exactly; ASCII is unaffected.
  */
 case class JaroWinkler(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -45,14 +47,14 @@ case class JaroWinkler(left: Expression, right: Expression)
   override def nullable: Boolean = left.nullable || right.nullable
 
   override def nullSafeEval(a: Any, b: Any): Any =
-    JaroWinkler.sim(a.asInstanceOf[UTF8String].toString,
-      b.asInstanceOf[UTF8String].toString)
+    JaroWinkler.sim(a.asInstanceOf[UTF8String].getBytes,
+      b.asInstanceOf[UTF8String].getBytes)
 
   override protected def doGenCode(ctx: CodegenContext,
       ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (x, y) =>
       s"${ev.value} = graft.functions.JaroWinkler.sim(" +
-        s"$x.toString(), $y.toString());")
+        s"$x.getBytes(), $y.getBytes());")
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): JaroWinkler =
@@ -61,8 +63,14 @@ case class JaroWinkler(left: Expression, right: Expression)
 
 object JaroWinkler {
 
-  /** The scalar kernel — static so generated code calls it directly. */
-  def sim(a: String, b: String): Double = {
+  /** Test/diagnostic convenience over Strings (UTF-8 encoded). */
+  def sim(a: String, b: String): Double =
+    sim(a.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+      b.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
+  /** The scalar kernel — static so generated code calls it directly;
+   * byte-level (see class doc: DuckDB parity requires it). */
+  def sim(a: Array[Byte], b: Array[Byte]): Double = {
     val la = a.length
     val lb = b.length
     if (la == 0 || lb == 0) return 0.0 // DuckDB: '' vs anything (incl '') = 0
@@ -77,7 +85,7 @@ object JaroWinkler {
       var j = lo
       var found = false
       while (j <= hi && !found) {
-        if (!bMatch(j) && a.charAt(i) == b.charAt(j)) {
+        if (!bMatch(j) && a(i) == b(j)) {
           aMatch(i) = true; bMatch(j) = true; m += 1; found = true
         }
         j += 1
@@ -92,7 +100,7 @@ object JaroWinkler {
     while (i < la) {
       if (aMatch(i)) {
         while (!bMatch(k)) k += 1
-        if (a.charAt(i) != b.charAt(k)) t += 1
+        if (a(i) != b(k)) t += 1
         k += 1
       }
       i += 1
@@ -106,7 +114,7 @@ object JaroWinkler {
     if (jaro <= 0.7) return jaro
     var l = 0
     val maxL = math.min(4, math.min(la, lb))
-    while (l < maxL && a.charAt(l) == b.charAt(l)) l += 1
+    while (l < maxL && a(l) == b(l)) l += 1
     jaro + l * 0.1 * (1.0 - jaro)
   }
 }

@@ -1361,7 +1361,8 @@ object RelationalQueries {
                      FROM orders WHERE o_custkey IS NOT NULL
                      GROUP BY 1)
               SELECT CAST(key AS VARCHAR) AS key, n_left, n_right,
-                     CAST(n_left * n_right AS BIGINT) AS n_out
+                     CAST(n_left AS DOUBLE) * CAST(n_right AS DOUBLE)
+                       AS n_out
               FROM lc JOIN rc USING (key)
               ORDER BY n_out DESC, key
               LIMIT 10"""),

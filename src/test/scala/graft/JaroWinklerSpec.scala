@@ -31,6 +31,9 @@ class JaroWinklerSpec extends SparkTestBase {
     assert(JaroWinkler.sim("abc", "") == 0.0)
     assert(JaroWinkler.sim("", "") == 0.0)
     assert(JaroWinkler.sim("ab", "ba") == 0.0) // window excludes the swap
+    // UTF-8 BYTE-level comparison (DuckDB parity on non-ASCII too —
+    // probed: the é splits into two bytes neither matching 'e')
+    assert(close(JaroWinkler.sim("héllo", "hello"), 0.84))
     // strcmp95 integer half-transpositions (the DuckDB-parity case the
     // gate caught: 3 out-of-order matches floor to t=1)
     assert(close(
