@@ -282,6 +282,32 @@ object Sampling {
       .drop("__cum_excl")
   }
 
+  /** Deterministic per-EPOCH reshuffle: every (epoch, doc) pair gets a
+   * stable md5-derived order key and its exact position within its
+   * epoch's order — different order every epoch (the training-dynamics
+   * requirement), identical order every RUN (the reproducibility
+   * requirement), on any cluster. The scalable form is one corpus-wide
+   * range sort by (epoch, key) via [[globalOrder]] with per-epoch
+   * positions recovered by subtracting `epoch · n_docs` — NOT a
+   * per-epoch window (row_number partitioned by epoch puts an entire
+   * epoch's corpus in one partition). Keys are 60-bit md5 prefixes
+   * (fit a long, collision odds ~E·n²/2^61), ties broken by doc_id.
+   * Output: (doc_id, epoch, pos). */
+  def epochShuffles(docs: DataFrame, epochs: Int): DataFrame = {
+    require(epochs >= 1, s"epochs must be >= 1, got $epochs")
+    val keyed = docs.select("doc_id")
+      .withColumn("epoch", explode(sequence(lit(0), lit(epochs - 1))))
+      .withColumn("__okey",
+        conv(substring(md5(concat(lit("ep:"), col("epoch").cast("string"),
+          lit(":"), col("doc_id").cast("string"))), 1, 15), 16, 10)
+          .cast("long"))
+    val n = docs.select("doc_id").count()
+    globalOrder(keyed,
+      Seq(col("epoch").asc, col("__okey").asc, col("doc_id").asc))
+      .select(col("doc_id"), col("epoch"),
+        (col("position") - col("epoch").cast("long") * n).as("pos"))
+  }
+
   /** [[packSequences]] plus each document's START OFFSET within its pack
    * — the attention-mask / position-id metadata a trainer needs so
    * packed documents don't attend across their boundaries (every packed

@@ -3348,6 +3348,22 @@ object ExtensionQueries {
               FROM p"""),
       "sequence packing with in-pack start offsets (attention-mask metadata)"),
 
+    // Per-epoch deterministic reshuffle (2 epochs): different order every
+    // epoch, identical every run - one corpus range sort by (epoch, md5
+    // key), per-epoch positions recovered arithmetically (a per-epoch
+    // row_number window would put an epoch's whole corpus in ONE
+    // partition).
+    "sp20_epoch_shuffle" -> QueryDef(
+      (s, dir) => graft.ext.Sampling.epochShuffles(
+        t(s, dir, "documents"), epochs = 2),
+      Some("""SELECT doc_id, epoch,
+                     CAST(row_number() OVER (PARTITION BY epoch
+                       ORDER BY ('0x' || substr(md5('ep:' || epoch::VARCHAR || ':' || doc_id::VARCHAR), 1, 15))::BIGINT,
+                                doc_id) - 1 AS BIGINT) AS pos
+              FROM (SELECT doc_id, unnest([0, 1]) AS epoch
+                    FROM documents)"""),
+      "per-epoch deterministic reshuffle (stable md5 order, exact positions)"),
+
     // DSIR importance weights (Xie et al. 2023): hashed-unigram log ratio
     // of the en target slice vs the non-en pool, per pool document. One
     // corpus token pass → 1024-bucket conditional counts (KB-scale), the

@@ -72,6 +72,26 @@ class CorpusDiagnosticsSpec extends SparkTestBase {
     }
   }
 
+  test("epochShuffles: each epoch is a full permutation, and epochs " +
+    "genuinely differ") {
+    val docs = spark.read.parquet(s"$Sf/documents.parquet")
+    val out = Sampling.epochShuffles(docs, epochs = 2).cache()
+    val n = docs.count()
+    // every epoch holds positions 0..n-1 exactly once
+    (0 to 1).foreach { e =>
+      val pos = out.filter(col("epoch") === e).select("pos")
+        .as[Long].collect().sorted
+      assert(pos.toSeq == (0L until n), s"epoch $e not a permutation")
+    }
+    // and the two orders are not the same permutation
+    val o0 = out.filter(col("epoch") === 0).orderBy("pos")
+      .select("doc_id").as[Long].collect().toSeq
+    val o1 = out.filter(col("epoch") === 1).orderBy("pos")
+      .select("doc_id").as[Long].collect().toSeq
+    assert(o0 != o1, "epochs must reshuffle")
+    out.unpersist()
+  }
+
   test("peakConcurrency: half-open intervals — an end frees its slot " +
     "before a coincident start takes it") {
     val ev = Seq(
