@@ -3575,6 +3575,72 @@ object ExtensionQueries {
       },
       "k-center greedy coreset: farthest-point selection, integer-exact"),
 
+    // Mixture-drift audit: did the EXECUTED corpus land on the PLANNED
+    // mixture? PSI between sp15's token-budget plan (drawn tokens per
+    // source) and the observed per-source token mass of a sampled
+    // corpus — the plan→execution loop closed with two already-gated
+    // components (tokenBudgetPlan + psiFromBuckets), so neither side's
+    // arithmetic can drift from its standalone gate.
+    "sp21_mix_divergence" -> QueryDef(
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val planned = Sampling.tokenBudgetPlan(docs, budget = 1000000L)
+          .select(col("source").as("bucket"),
+            col("drawn_tokens").as("n_ref"))
+        val observed = Sampling.hashSample(docs, "doc_id", pct = 50)
+          .filter(col("source").isNotNull)
+          .groupBy(col("source").as("bucket"))
+          .agg(sum(TextAnalysis.wsTokenCount(col("text")).cast("long"))
+            .as("n_cur"))
+        graft.ext.Profile.psiFromBuckets(planned, observed)
+          .select(col("bucket").as("source"), col("n_ref").as("plan_tokens"),
+            col("n_cur").as("obs_tokens"), col("psi_micro"), col("psi"))
+      },
+      Some("""WITH per AS (
+                SELECT source,
+                       CAST(sum(len(string_split(text, ' '))) AS BIGINT)
+                         AS tokens
+                FROM documents WHERE source IS NOT NULL
+                GROUP BY source),
+              w AS (SELECT source, tokens,
+                           CAST(floor(1000.0 * sqrt(tokens)) AS BIGINT)
+                             AS w_millis
+                    FROM per),
+              t AS (SELECT CAST(sum(w_millis) AS BIGINT) AS wsum FROM w),
+              planned AS (
+                SELECT source AS bucket,
+                       CAST((1000000 * w_millis) // wsum AS BIGINT) AS n_ref
+                FROM w CROSS JOIN t),
+              observed AS (
+                SELECT source AS bucket,
+                       CAST(sum(len(string_split(text, ' '))) AS BIGINT)
+                         AS n_cur
+                FROM documents
+                WHERE source IS NOT NULL
+                  AND ('0x' || substr(md5('sample:' || doc_id::VARCHAR), 1, 8))::BIGINT % 100 < 50
+                GROUP BY source),
+              j AS (SELECT coalesce(p.bucket, o.bucket) AS bucket,
+                           CAST(coalesce(n_ref, 0) AS BIGINT) AS n_ref,
+                           CAST(coalesce(n_cur, 0) AS BIGINT) AS n_cur
+                    FROM planned p FULL OUTER JOIN observed o
+                      ON p.bucket = o.bucket),
+              tt AS (SELECT CAST(sum(n_ref) AS BIGINT) AS nr,
+                            CAST(sum(n_cur) AS BIGINT) AS nc,
+                            CAST(count(*) AS BIGINT) AS b
+                     FROM j),
+              pq AS (SELECT bucket, n_ref, n_cur,
+                            CAST(n_ref + 1 AS DOUBLE) / CAST(nr + b AS DOUBLE) AS p,
+                            CAST(n_cur + 1 AS DOUBLE) / CAST(nc + b AS DOUBLE) AS q
+                     FROM j CROSS JOIN tt)
+              SELECT bucket AS source, n_ref AS plan_tokens,
+                     n_cur AS obs_tokens,
+                     CAST(floor((p - q) * ln(p / q) * 1e6 + 0.5) AS BIGINT)
+                       AS psi_micro,
+                     round(CAST(floor((p - q) * ln(p / q) * 1e6 + 0.5) AS BIGINT) / 1e6, 6)
+                       AS psi
+              FROM pq"""),
+      "mixture-drift audit: PSI between the token-budget plan and the executed mix"),
+
     // BPE subword tokenization under the FROZEN 24-merge table (the
     // deployment shape of a real tokenizer: train once, version the merge
     // table, apply everywhere). The oracle's per-word encode expression is

@@ -16,7 +16,9 @@ val names = Seq(
   "pipe2_training_assembly", "d22_source_overlap", "d23_remove_boilerplate",
   "t21_rm3_expand", "s5_peak_concurrency", "j9_lateral_topn",
   "e10_label_overlap", "n21_knn_filtered", "i5_snapshot_to_cdc",
-  "w9_time_rolling", "t22_calibrated_quality", "dq4_psi_drift")
+  "w9_time_rolling", "t22_calibrated_quality", "dq4_psi_drift",
+  "n22_knn_ivfsq8", "i6_ivm_agg", "dq5_join_fanout", "d24_jw_pairs",
+  "sp19_pack_offsets", "sp20_epoch_shuffle", "t25_lang_consistency")
 for (n <- names) {
   val df = graft.SparkEntry.queries(n)(spark, sfDir)
   val plan = df.queryExecution.explainString(
