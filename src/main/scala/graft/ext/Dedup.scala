@@ -279,6 +279,60 @@ object Dedup {
         sum(when(col("sz") > overCap, 1L).otherwise(0L)).as("n_over_cap"),
         sum(expr("sz * (sz - 1) DIV 2")).as("pair_bound"))
 
+  /** The ANALYTIC banding planner: the LSH S-curve for every (b bands ×
+   * r rows) factorization of the signature's `numHashes`, plus each
+   * scheme's threshold similarity (1/b)^(1/r) — the number d17 measures
+   * empirically AFTER a scheme is deployed, computed here in closed form
+   * BEFORE choosing one. For a pair at Jaccard s, a single band collides
+   * with probability s^r and the pair becomes a candidate with probability
+   * 1 − (1 − s^r)^b; an operator picks the factorization whose S-curve
+   * knee sits at the dedup threshold. Pure arithmetic on a tiny literal
+   * grid — no data touched, runs identically at any corpus size.
+   *
+   * Determinism contract: powers are expanded as LEFT-ASSOCIATIVE
+   * multiplication chains (never `pow`) and the threshold root as
+   * sqrt/cbrt compositions — IEEE-exact operations an independent engine
+   * reproduces bit-for-bit, unlike libm `pow` which differs by ulps across
+   * runtimes. `r` must therefore be 2-3-smooth, which every factorization
+   * of 12 is. */
+  def lshPowerCurve(spark: org.apache.spark.sql.SparkSession,
+      numHashes: Int = NumHashes): DataFrame = {
+    val combos = (2 to numHashes / 2).filter(numHashes % _ == 0)
+      .map(b => (b, numHashes / b))
+    require(combos.nonEmpty, s"numHashes $numHashes has no b*r split")
+    def chain(x: String, n: Int) = Seq.fill(n)(x).mkString(" * ")
+    def thresholdExpr(b: Int, r: Int): String = {
+      var (a, c, m) = (0, 0, r)
+      while (m % 2 == 0) { a += 1; m /= 2 }
+      while (m % 3 == 0) { c += 1; m /= 3 }
+      require(m == 1, s"rows-per-band $r must be 2-3-smooth")
+      var t = s"1.0 / $b"
+      (1 to a).foreach(_ => t = s"sqrt($t)")
+      (1 to c).foreach(_ => t = s"cbrt($t)")
+      t
+    }
+    val rVals = combos.map(_._2).distinct.sorted
+    val bVals = combos.map(_._1).distinct.sorted
+    val srCase = "CASE r " +
+      rVals.map(r => s"WHEN $r THEN ${chain("s", r)}").mkString(" ") + " END"
+    val qbCase = "CASE b " +
+      bVals.map(b => s"WHEN $b THEN ${chain("q", b)}").mkString(" ") + " END"
+    val thrCase = "CASE " + combos.map { case (b, r) =>
+      s"WHEN b = $b AND r = $r THEN round(${thresholdExpr(b, r)}, 4)"
+    }.mkString(" ") + " END"
+
+    import spark.implicits._
+    combos.toDF("b", "r")
+      .crossJoin(spark.range(1, 20)
+        .select((col("id") * 5).cast("int").as("s_pct")))
+      .withColumn("s", col("s_pct") / lit(100.0))
+      .selectExpr("b", "r", "s_pct", s"$srCase AS sr",
+        s"$thrCase AS s_threshold")
+      .selectExpr("b", "r", "s_pct", "1.0 - sr AS q", "s_threshold")
+      .selectExpr("b", "r", "s_pct",
+        s"round(1.0 - ($qbCase), 6) AS p_candidate", "s_threshold")
+  }
+
   /** LSH recall/precision diagnostic on a deterministic corpus sample —
    * the measurement that VALIDATES the banding scheme (b bands × r rows)
    * for a target Jaccard threshold, the way [[lshBucketStats]] validates

@@ -1,0 +1,187 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * DataFrame-native graph analytics — the web/domain-graph layer of a
+ * large-scale curation pipeline. Common Crawl-class corpora carry a link
+ * graph next to the documents, and the canonical curation signals over it
+ * are PageRank-style centrality (domain quality priors for sampling weights
+ * — the reference's dashboard ranks sources by raw count at
+ * `/root/reference/dashbord/dashbord.py:99-100`; a link-aware prior is the
+ * scale-grade version of that signal) and triangle/clustering statistics
+ * (link-farm and spam-cluster detection). Here both run as pure
+ * DataFrame/Catalyst plans over an edge relation — no GraphX, no RDDs, no
+ * driver-side adjacency — so they inherit AQE, broadcast planning, and
+ * columnar shuffle like every other operator in the library.
+ *
+ * Scale posture:
+ *  - An iteration of PageRank is `edges ⋈ ranks` (one hash join keyed on
+ *    `src`) + one `groupBy(dst)` partial+final aggregation + one left join
+ *    back to the vertex set — three key shuffles, each on a key the next
+ *    iteration reuses. Out-degrees are folded into the edge relation ONCE
+ *    before the loop (not re-joined per iteration), and each iteration's
+ *    rank relation is eagerly materialized so the plan for iteration k+1
+ *    starts from a scan, not from a k-deep lineage re-derivation (on a
+ *    cluster this is the stage checkpoint you'd write between iterations).
+ *  - All rank arithmetic is FIXED-POINT (integer units of 1e-9): `div` on
+ *    BIGINT, never double sums. PageRank is a giant floating-point
+ *    summation whose low bits depend on aggregation order; integer units
+ *    make every iteration bit-deterministic on any cluster layout AND
+ *    byte-replayable by the DuckDB oracle. The truncation per edge
+ *    contribution leaks ≤ 1 unit (1e-9) of mass — it dissipates, never
+ *    accumulates, because each iteration renormalizes from the teleport
+ *    term.
+ *  - Triangle counting directs each undirected edge from its (degree, id)-
+ *    smaller endpoint to the larger (degeneracy orientation), so the wedge
+ *    self-join is bounded by Σ_v outdeg(v)² with outdeg ≤ O(√m) on any
+ *    graph — the standard guard against the high-degree-hub blowup that
+ *    makes the naive wedge join quadratic on skewed web graphs.
+ */
+object Graph {
+
+  /** Rank unit: 1 vertex of initial mass = 1e9 units, so ranks print as
+   * nano-PageRank integers. With damping 85/100 the intermediate product
+   * `rank * dampNum` stays below 2^63 for total graph mass up to ~1e17
+   * units ≈ 1e8 vertices per unit of initial mass — beyond that, raise the
+   * unit granularity down (smaller `unit`) before raising vertex count. */
+  val Unit9 = 1000000000L
+
+  /** Directed purchase graph: customer → supplier, one edge per distinct
+   * (customer, supplier) trading relation observed in the order book.
+   * Vertex ids are prefixed (`c…` / `s…`) so the two key spaces cannot
+   * collide. Suppliers have no out-edges — the dangling-mass path of
+   * [[pagerank]] is exercised by construction, not as an edge case. */
+  def purchaseEdges(orders: DataFrame, lineitem: DataFrame): DataFrame =
+    orders.join(lineitem, col("o_orderkey") === col("l_orderkey"))
+      .select(
+        concat(lit("c"), col("o_custkey")).as("src"),
+        concat(lit("s"), col("l_suppkey")).as("dst"))
+      .distinct()
+
+  /** Undirected co-purchase graph over parts: `u < v` iff parts u and v
+   * appear in the same order. Canonicalized (u < v), distinct. The
+   * "documents that share a container" graph shape — its distinct-pair
+   * cardinality is bounded by Σ_order C(items, 2), and the per-order item
+   * count is small and bounded by construction (an order has few lines),
+   * so the expansion is never quadratic in the corpus. */
+  def coPurchaseEdges(lineitem: DataFrame): DataFrame = {
+    val a = lineitem.select(col("l_orderkey").as("k"), col("l_partkey").as("u"))
+    val b = lineitem.select(col("l_orderkey").as("k"), col("l_partkey").as("v"))
+    a.join(b, Seq("k")).where(col("u") < col("v"))
+      .select("u", "v").distinct()
+  }
+
+  /**
+   * Fixed-point PageRank over a directed edge relation `(src, dst)`.
+   *
+   * Semantics (all BIGINT, deterministic):
+   *  - every vertex starts at `unit` (1e9) rank units;
+   *  - per iteration, a vertex with out-degree d sends each out-neighbor
+   *    `(rank * dampNum) div (dampDen * d)` units;
+   *  - dangling mass (ranks of vertices with no out-edges) is redistributed
+   *    uniformly: `(dampNum * danglingSum) div (dampDen * n)` per vertex;
+   *  - the teleport term is `((dampDen - dampNum) * unit) div dampDen`.
+   *
+   * The dangling sum is a one-row scalar aggregate per iteration (driver
+   * sees 8 bytes, never rows). Edge and out-degree relations are
+   * materialized once before the loop; each iteration's output is
+   * materialized so lineage stays one stage deep.
+   */
+  def pagerank(
+      edges: DataFrame,
+      iters: Int,
+      unit: Long = Unit9,
+      dampNum: Long = 85L,
+      dampDen: Long = 100L): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+
+    val e = Dedup.materialize(edges.select("src", "dst").distinct())
+    val vertices = Dedup.materialize(
+      e.select(col("src").as("vertex"))
+        .union(e.select(col("dst").as("vertex"))).distinct())
+    val n = vertices.count()
+    val outdeg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    // Fold out-degree into the edge relation once — iterations join the
+    // rank relation against this single weighted-edge table.
+    val weighted = Dedup.materialize(e.join(outdeg, "src"))
+    val base = ((dampDen - dampNum) * unit) / dampDen
+
+    var ranks = vertices.withColumn("rank", lit(unit))
+    for (_ <- 1 to iters) {
+      val dangling = ranks
+        .join(weighted.select("src").distinct(),
+          ranks("vertex") === col("src"), "left_anti")
+        .agg(coalesce(sum("rank"), lit(0L)))
+        .first().getLong(0)
+      val share = (dampNum * dangling) / (dampDen * n)
+      val contribs = weighted
+        .join(ranks, weighted("src") === ranks("vertex"))
+        .groupBy("dst")
+        .agg(sum(expr(s"(rank * ${dampNum}L) div (${dampDen}L * outdeg)"))
+          .as("contrib"))
+      ranks = Dedup.materialize(
+        vertices.join(contribs, vertices("vertex") === contribs("dst"), "left")
+          .select(
+            col("vertex"),
+            (lit(base) + coalesce(col("contrib"), lit(0L)) + lit(share))
+              .as("rank")))
+    }
+    ranks
+  }
+
+  /**
+   * Triangle + clustering summary of an undirected, canonical (`u < v`,
+   * distinct) edge relation — one output row:
+   * `(n_vertices, n_edges, n_wedges, n_triangles, global_clustering)`.
+   *
+   * Counting uses the degeneracy orientation: each edge points from its
+   * (degree, id)-lexicographically smaller endpoint to the larger, every
+   * triangle becomes exactly one directed wedge `x→y→z` closed by the
+   * directed edge `x→z`, and the wedge join's fan-out per mid-vertex is
+   * its ORIENTED out-degree (≤ O(√m)), not its raw degree — the hub guard.
+   * `n_wedges` (open + closed paths of length 2) is Σ_v C(deg v, 2),
+   * computed from the degree relation without any join;
+   * `global_clustering` = 3·triangles / wedges, the one non-integer output,
+   * rounded where double division of exact integers is reproducible.
+   */
+  def triangleStats(edges: DataFrame): DataFrame = {
+    val e = Dedup.materialize(edges.select("u", "v").distinct())
+    val deg = Dedup.materialize(
+      e.select(col("u").as("vertex"))
+        .union(e.select(col("v").as("vertex")))
+        .groupBy("vertex").agg(count(lit(1)).as("deg")))
+
+    // Orient: keep (lo, hi) by (deg, id) order.
+    val du = deg.select(col("vertex").as("u"), col("deg").as("du"))
+    val dv = deg.select(col("vertex").as("v"), col("deg").as("dv"))
+    val oriented = Dedup.materialize(
+      e.join(du, "u").join(dv, "v")
+        .select(
+          when(col("du") < col("dv") ||
+               (col("du") === col("dv") && col("u") < col("v")),
+            struct(col("u").as("lo"), col("v").as("hi")))
+            .otherwise(struct(col("v").as("lo"), col("u").as("hi")))
+            .as("d"))
+        .select(col("d.lo").as("lo"), col("d.hi").as("hi")))
+
+    val w1 = oriented.select(col("lo").as("x"), col("hi").as("y"))
+    val w2 = oriented.select(col("lo").as("y"), col("hi").as("z"))
+    val closing = oriented.select(col("lo").as("x"), col("hi").as("z"))
+    val triangles = w1.join(w2, Seq("y")).join(closing, Seq("x", "z"))
+      .agg(count(lit(1)).as("n_triangles"))
+
+    val summary = deg.agg(
+      count(lit(1)).as("n_vertices"),
+      sum(expr("(deg * (deg - 1L)) div 2L")).as("n_wedges"))
+    val nEdges = e.agg(count(lit(1)).as("n_edges"))
+
+    summary.crossJoin(nEdges).crossJoin(triangles)
+      .select(
+        col("n_vertices"), col("n_edges"), col("n_wedges"),
+        col("n_triangles"),
+        round(lit(3.0) * col("n_triangles") / col("n_wedges"), 6)
+          .as("global_clustering"))
+  }
+}

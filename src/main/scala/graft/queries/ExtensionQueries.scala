@@ -641,6 +641,46 @@ object ExtensionQueries {
                FROM n"""),
       "LSH banding recall/precision vs exact Jaccard truth on a 20% sample"),
 
+    // The third leg of the banding toolkit: d17 measures the deployed
+    // scheme's bucket skew, d21 measures its empirical recall, d25 computes
+    // the ANALYTIC S-curve for every (b × r) factorization of the 12-hash
+    // signature so the scheme is chosen before any corpus is touched.
+    // Powers expand as left-associative multiplication chains and the
+    // threshold (1/b)^(1/r) as sqrt/cbrt compositions — IEEE-reproducible
+    // arithmetic, no libm pow — so DuckDB replays every double exactly.
+    "d25_lsh_plan" -> QueryDef(
+      (s, _) => Dedup.lshPowerCurve(s),
+      Some("""WITH combos(b, r) AS (VALUES (2, 6), (3, 4), (4, 3), (6, 2)),
+              grid AS (SELECT b, r, CAST(k * 5 AS INTEGER) AS s_pct
+                       FROM combos, range(1, 20) t(k)),
+              s1 AS (SELECT b, r, s_pct, s_pct / 100.0 AS s FROM grid),
+              s2 AS (SELECT b, r, s_pct,
+                            CASE r WHEN 2 THEN s * s
+                                   WHEN 3 THEN s * s * s
+                                   WHEN 4 THEN s * s * s * s
+                                   WHEN 6 THEN s * s * s * s * s * s
+                            END AS sr,
+                            CASE WHEN b = 2 AND r = 6
+                                   THEN round(cbrt(sqrt(1.0 / 2)), 4)
+                                 WHEN b = 3 AND r = 4
+                                   THEN round(sqrt(sqrt(1.0 / 3)), 4)
+                                 WHEN b = 4 AND r = 3
+                                   THEN round(cbrt(1.0 / 4), 4)
+                                 WHEN b = 6 AND r = 2
+                                   THEN round(sqrt(1.0 / 6), 4)
+                            END AS s_threshold
+                     FROM s1),
+              s3 AS (SELECT b, r, s_pct, 1.0 - sr AS q, s_threshold FROM s2)
+              SELECT b, r, s_pct,
+                     round(1.0 - (CASE b WHEN 2 THEN q * q
+                                         WHEN 3 THEN q * q * q
+                                         WHEN 4 THEN q * q * q * q
+                                         WHEN 6 THEN q * q * q * q * q * q
+                                  END), 6) AS p_candidate,
+                     s_threshold
+              FROM s3"""),
+      "analytic LSH S-curve + threshold for every banding of the signature"),
+
     // maxBucket is disabled here because the DuckDB oracle joins bands with
     // no bucket cap — a bucket over the default cap would silently diverge
     // the two sides. Production paths keep the default cap.

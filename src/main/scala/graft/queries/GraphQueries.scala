@@ -1,0 +1,101 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.ext.Graph
+import Tables.t
+
+/**
+ * Graph analytics over relations derived from the testdata order book —
+ * the link-graph layer of a web-scale curation pipeline (domain centrality
+ * as a sampling prior, triangle/clustering stats as a link-farm signal),
+ * expressed as pure DataFrame plans (see [[graft.ext.Graph]]).
+ *
+ * Oracle notes: PageRank runs in integer fixed-point (units of 1e-9), so
+ * the DuckDB oracle replays the identical arithmetic with `//` integer
+ * division — no floating-point summation anywhere in the rank loop. The
+ * oracle unrolls the three power iterations as chained CTEs.
+ */
+object GraphQueries {
+
+  private val Iters = 3
+
+  /** One PageRank iteration as an oracle CTE block: ranks `rIn` → `rOut`.
+   * Mirrors [[Graph.pagerank]] exactly: dangling mass from vertices with
+   * no out-edges, truncating integer division on both the per-edge
+   * contribution and the dangling share. */
+  private def prIter(i: Int, rIn: String, rOut: String): String =
+    s"""d$i AS (SELECT coalesce(sum(r.rank), 0) AS dm
+       |        FROM $rIn r
+       |        WHERE r.vertex NOT IN (SELECT src FROM od)),
+       |c$i AS (SELECT e.dst AS vertex,
+       |               sum((r.rank * 85) // (100 * od.outdeg)) AS contrib
+       |        FROM e JOIN $rIn r ON e.src = r.vertex
+       |               JOIN od ON od.src = e.src
+       |        GROUP BY e.dst),
+       |$rOut AS (SELECT v.vertex,
+       |               150000000 + coalesce(c.contrib, 0)
+       |               + (85 * (SELECT dm FROM d$i))
+       |                 // (100 * (SELECT n FROM nn)) AS rank
+       |        FROM v LEFT JOIN c$i c ON v.vertex = c.vertex)"""
+      .stripMargin
+
+  def defs: Map[String, QueryDef] = Map(
+
+    // Fixed-point PageRank over the customer→supplier purchase graph,
+    // three power iterations, top-20 vertices. Suppliers are dangling by
+    // construction (no out-edges), so the uniform-redistribution path is
+    // load-bearing, not decorative.
+    "graph1_pagerank" -> QueryDef(
+      (s, dir) => Graph.pagerank(
+        Graph.purchaseEdges(t(s, dir, "orders"), t(s, dir, "lineitem")),
+        iters = Iters)
+        .orderBy(desc("rank"), asc("vertex")).limit(20),
+      Some(s"""WITH e AS (SELECT DISTINCT 'c' || o_custkey AS src,
+                                 's' || l_suppkey AS dst
+                          FROM orders JOIN lineitem
+                            ON o_orderkey = l_orderkey),
+               v AS (SELECT src AS vertex FROM e
+                     UNION SELECT dst FROM e),
+               nn AS (SELECT count(*) AS n FROM v),
+               od AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
+               r0 AS (SELECT vertex, CAST(1000000000 AS BIGINT) AS rank
+                      FROM v),
+               ${prIter(1, "r0", "r1")},
+               ${prIter(2, "r1", "r2")},
+               ${prIter(3, "r2", "r3")}
+               SELECT vertex, CAST(rank AS BIGINT) AS rank FROM r3
+               ORDER BY rank DESC, vertex LIMIT 20"""),
+      "fixed-point PageRank (3 iterations) over the purchase graph, top 20"),
+
+    // Triangle census + global clustering coefficient of the part
+    // co-purchase graph. The Spark side counts through the degeneracy
+    // orientation (hub-guarded wedge join); the oracle counts the naive
+    // ordered triple join — a green hash proves the orientation loses and
+    // invents nothing.
+    "graph2_triangles" -> QueryDef(
+      (s, dir) => Graph.triangleStats(
+        Graph.coPurchaseEdges(t(s, dir, "lineitem"))),
+      Some("""WITH e AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+                         FROM lineitem a JOIN lineitem b
+                           ON a.l_orderkey = b.l_orderkey
+                          AND a.l_partkey < b.l_partkey),
+              deg AS (SELECT vertex, CAST(count(*) AS BIGINT) AS deg
+                      FROM (SELECT u AS vertex FROM e
+                            UNION ALL SELECT v FROM e)
+                      GROUP BY vertex),
+              tri AS (SELECT CAST(count(*) AS BIGINT) AS n_triangles
+                      FROM e e1 JOIN e e2 ON e2.u = e1.v
+                                JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+              agg AS (SELECT CAST(count(*) AS BIGINT) AS n_vertices,
+                             CAST(sum((deg * (deg - 1)) // 2) AS BIGINT)
+                               AS n_wedges
+                      FROM deg),
+              ne AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM e)
+              SELECT n_vertices, n_edges, n_wedges, n_triangles,
+                     round(3.0 * n_triangles / n_wedges, 6)
+                       AS global_clustering
+              FROM agg, ne, tri"""),
+      "triangle census + clustering coefficient of the co-purchase graph")
+  )
+}

@@ -1,0 +1,112 @@
+package graft
+
+import scala.util.Random
+
+import org.apache.spark.sql.functions._
+
+import graft.ext.Graph
+
+/**
+ * Graph analytics vs independent in-memory references: fixed-point PageRank
+ * against a driver-side scalar replay of the same integer semantics, and
+ * the degeneracy-oriented triangle count against brute-force triple
+ * enumeration, both on seeded random graphs.
+ */
+class GraphSpec extends SparkTestBase {
+  import spark.implicits._
+
+  /** Driver-side replay of Graph.pagerank's fixed-point semantics. */
+  private def refPagerank(
+      edges: Seq[(String, String)], iters: Int): Map[String, Long] = {
+    val e = edges.distinct
+    val vs = (e.map(_._1) ++ e.map(_._2)).distinct
+    val n = vs.length.toLong
+    val out = e.groupBy(_._1).map { case (s, es) => s -> es.length.toLong }
+    var rank = vs.map(_ -> 1000000000L).toMap
+    for (_ <- 1 to iters) {
+      val dm = vs.filterNot(out.contains).map(rank).sum
+      val share = (85L * dm) / (100L * n)
+      val contrib = e.groupBy(_._2).map { case (d, es) =>
+        d -> es.map(t => (rank(t._1) * 85L) / (100L * out(t._1))).sum
+      }
+      rank = vs.map(v =>
+        v -> (150000000L + contrib.getOrElse(v, 0L) + share)).toMap
+    }
+    rank
+  }
+
+  test("pagerank matches the scalar fixed-point reference on random graphs") {
+    val rnd = new Random(7)
+    for (_ <- 1 to 3) {
+      val nv = 30 + rnd.nextInt(40)
+      val edges = (1 to 400).map(_ =>
+        (s"v${rnd.nextInt(nv)}", s"v${rnd.nextInt(nv)}"))
+        .filter(e => e._1 != e._2)
+      val got = Graph.pagerank(edges.toDF("src", "dst"), iters = 3)
+        .as[(String, Long)].collect().toMap
+      assert(got == refPagerank(edges, 3))
+    }
+  }
+
+  test("pagerank mass is conserved up to truncation leak") {
+    val edges = Seq(("a", "b"), ("b", "c"), ("c", "a"), ("a", "c"))
+    val ranks = Graph.pagerank(edges.toDF("src", "dst"), iters = 5)
+      .as[(String, Long)].collect()
+    val total = ranks.map(_._2).sum
+    // 3 vertices * 1e9 units initial mass; truncation only ever leaks
+    // downward, bounded by (edges + vertices) units per iteration.
+    assert(total <= 3000000000L)
+    assert(total > 3000000000L - 1000L)
+  }
+
+  test("triangleStats matches brute-force enumeration on random graphs") {
+    val rnd = new Random(13)
+    for (_ <- 1 to 3) {
+      val nv = 20 + rnd.nextInt(30)
+      val edges = (1 to 300).map { _ =>
+        val a = rnd.nextInt(nv).toLong; val b = rnd.nextInt(nv).toLong
+        (math.min(a, b), math.max(a, b))
+      }.filter(e => e._1 != e._2).distinct
+      val adj = edges.toSet
+      val vs = (edges.map(_._1) ++ edges.map(_._2)).distinct.sorted
+      val triples = for {
+        i <- vs.indices; j <- (i + 1) until vs.length
+        k <- (j + 1) until vs.length
+        if adj((vs(i), vs(j))) && adj((vs(j), vs(k))) && adj((vs(i), vs(k)))
+      } yield 1
+      val deg = (edges.map(_._1) ++ edges.map(_._2))
+        .groupBy(identity).map(_._2.length.toLong)
+      val row = Graph.triangleStats(edges.toDF("u", "v"))
+        .select("n_vertices", "n_edges", "n_wedges", "n_triangles")
+        .as[(Long, Long, Long, Long)].head()
+      assert(row == ((vs.length.toLong, edges.length.toLong,
+        deg.map(d => d * (d - 1) / 2).sum, triples.length.toLong)))
+    }
+  }
+
+  test("triangleStats on a triangle-free bipartite graph") {
+    val edges = for (a <- 0L to 4L; b <- 10L to 13L) yield (a, b)
+    val row = Graph.triangleStats(edges.toDF("u", "v"))
+      .select("n_triangles").as[Long].head()
+    assert(row == 0L)
+  }
+
+  test("purchase edges are distinct and prefixed; co-purchase canonical") {
+    val orders = Tables.ordersLike(spark)
+    val lineitem = Tables.lineitemLike(spark)
+    val pe = Graph.purchaseEdges(orders, lineitem)
+    assert(pe.count() == pe.distinct().count())
+    assert(pe.filter(!col("src").startsWith("c") ||
+      !col("dst").startsWith("s")).isEmpty)
+    val ce = Graph.coPurchaseEdges(lineitem)
+    assert(ce.filter(col("u") >= col("v")).isEmpty)
+    assert(ce.count() == ce.distinct().count())
+  }
+
+  private object Tables {
+    def ordersLike(s: org.apache.spark.sql.SparkSession) =
+      s.read.parquet(s"$Sf/orders.parquet")
+    def lineitemLike(s: org.apache.spark.sql.SparkSession) =
+      s.read.parquet(s"$Sf/lineitem.parquet")
+  }
+}
