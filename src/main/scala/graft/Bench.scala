@@ -620,6 +620,47 @@ object Bench {
               .imageAHash(media, graft.ext.Multimodal.JdkCodec)(ps).toDF(),
             maxHamming = 3)
         })))
+      // Graph family at 10×: the order book replicated as 10 DISJOINT
+      // copies (EVERY key shifted per replica) — same density per copy,
+      // 10× vertices and edges, the honest linear-scale target. A
+      // shared-key replication would instead densify one graph 10× and
+      // scale the triangle wedge join superlinearly (deg² per vertex),
+      // measuring a different workload than "10× the data". PageRank runs
+      // its full three fixed-point iterations; triangles the degeneracy-
+      // oriented census.
+      runFamily(Seq(
+        "graph1_pagerank" -> ((ps: org.apache.spark.sql.SparkSession) =>
+          graft.ext.Graph.pagerank(
+            graft.ext.Graph.purchaseEdges(
+              ps.read.parquet(s"$dir10/orders.parquet"),
+              ps.read.parquet(s"$dir10/lineitem.parquet")), iters = 3)),
+        "graph2_triangles" -> ((ps: org.apache.spark.sql.SparkSession) =>
+          graft.ext.Graph.triangleStats(
+            graft.ext.Graph.coPurchaseEdges(
+              ps.read.parquet(s"$dir10/lineitem.parquet"))))),
+        setup = ps => {
+          val o = ps.read.parquet(s"$sfDir/orders.parquet")
+            .select("o_orderkey", "o_custkey")
+          val l = ps.read.parquet(s"$sfDir/lineitem.parquet")
+            .select("l_orderkey", "l_partkey", "l_suppkey")
+          val okStride = maxIdOrZero(o, "o_orderkey") + 1L
+          val ckStride = maxIdOrZero(o, "o_custkey") + 1L
+          val pkStride = maxIdOrZero(l, "l_partkey") + 1L
+          val skStride = maxIdOrZero(l, "l_suppkey") + 1L
+          (0 until 10).map(k => o.select(
+            (col("o_orderkey") + lit(k * okStride)).as("o_orderkey"),
+            (col("o_custkey") + lit(k * ckStride)).as("o_custkey")))
+            .reduce(_ unionByName _)
+            .repartition(16).write.mode("overwrite")
+            .parquet(s"$dir10/orders.parquet")
+          (0 until 10).map(k => l.select(
+            (col("l_orderkey") + lit(k * okStride)).as("l_orderkey"),
+            (col("l_partkey") + lit(k * pkStride)).as("l_partkey"),
+            (col("l_suppkey") + lit(k * skStride)).as("l_suppkey")))
+            .reduce(_ unionByName _)
+            .repartition(16).write.mode("overwrite")
+            .parquet(s"$dir10/lineitem.parquet")
+        })
       (walls.toList, ratios.toList, rawSamples.toList, nDocs, nVecs)
     }
     val sf1Fields =

@@ -55,10 +55,11 @@ object Graph {
    * [[pagerank]] is exercised by construction, not as an edge case. */
   def purchaseEdges(orders: DataFrame, lineitem: DataFrame): DataFrame =
     orders.join(lineitem, col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("ck"), col("l_suppkey").as("sk"))
+      .distinct() // dedup the narrow long pair BEFORE widening to strings
       .select(
-        concat(lit("c"), col("o_custkey")).as("src"),
-        concat(lit("s"), col("l_suppkey")).as("dst"))
-      .distinct()
+        concat(lit("c"), col("ck")).as("src"),
+        concat(lit("s"), col("sk")).as("dst"))
 
   /** Undirected co-purchase graph over parts: `u < v` iff parts u and v
    * appear in the same order. Canonicalized (u < v), distinct. The
@@ -98,11 +99,18 @@ object Graph {
     require(iters >= 1, s"iters must be >= 1, got $iters")
 
     val e = Dedup.materialize(edges.select("src", "dst").distinct())
+    val outdeg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    // Dangling-ness is STATIC — bake it into the vertex relation once so
+    // the loop never re-derives it (the naive per-iteration anti-join is
+    // a whole extra shuffle × iterations for a property that never
+    // changes).
     val vertices = Dedup.materialize(
       e.select(col("src").as("vertex"))
-        .union(e.select(col("dst").as("vertex"))).distinct())
+        .union(e.select(col("dst").as("vertex"))).distinct()
+        .join(outdeg.select(col("src").as("vertex"),
+          lit(true).as("__has_out")), Seq("vertex"), "left")
+        .select(col("vertex"), col("__has_out").isNull.as("is_dangling")))
     val n = vertices.count()
-    val outdeg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
     // Fold out-degree into the edge relation once — iterations join the
     // rank relation against this single weighted-edge table.
     val weighted = Dedup.materialize(e.join(outdeg, "src"))
@@ -110,9 +118,8 @@ object Graph {
 
     var ranks = vertices.withColumn("rank", lit(unit))
     for (_ <- 1 to iters) {
-      val dangling = ranks
-        .join(weighted.select("src").distinct(),
-          ranks("vertex") === col("src"), "left_anti")
+      // One-row scalar off the (materialized) compact rank relation.
+      val dangling = ranks.filter(col("is_dangling"))
         .agg(coalesce(sum("rank"), lit(0L)))
         .first().getLong(0)
       val share = (dampNum * dangling) / (dampDen * n)
@@ -124,11 +131,11 @@ object Graph {
       ranks = Dedup.materialize(
         vertices.join(contribs, vertices("vertex") === contribs("dst"), "left")
           .select(
-            col("vertex"),
+            col("vertex"), col("is_dangling"),
             (lit(base) + coalesce(col("contrib"), lit(0L)) + lit(share))
               .as("rank")))
     }
-    ranks
+    ranks.select("vertex", "rank")
   }
 
   /**
@@ -137,10 +144,10 @@ object Graph {
    * `(n_vertices, n_edges, n_wedges, n_triangles, global_clustering)`.
    *
    * Counting uses the degeneracy orientation: each edge points from its
-   * (degree, id)-lexicographically smaller endpoint to the larger, every
-   * triangle becomes exactly one directed wedge `x→y→z` closed by the
-   * directed edge `x→z`, and the wedge join's fan-out per mid-vertex is
-   * its ORIENTED out-degree (≤ O(√m)), not its raw degree — the hub guard.
+   * (degree, id)-lexicographically smaller endpoint to the larger, so
+   * every vertex's ORIENTED out-degree is ≤ O(√m) whatever its raw degree
+   * — the hub guard — and each triangle is charged to exactly one edge
+   * (compact-forward: the common out-neighbors of the edge's endpoints).
    * `n_wedges` (open + closed paths of length 2) is Σ_v C(deg v, 2),
    * computed from the degree relation without any join;
    * `global_clustering` = 3·triangles / wedges, the one non-integer output,
@@ -166,11 +173,24 @@ object Graph {
             .as("d"))
         .select(col("d.lo").as("lo"), col("d.hi").as("hi")))
 
-    val w1 = oriented.select(col("lo").as("x"), col("hi").as("y"))
-    val w2 = oriented.select(col("lo").as("y"), col("hi").as("z"))
-    val closing = oriented.select(col("lo").as("x"), col("hi").as("z"))
-    val triangles = w1.join(w2, Seq("y")).join(closing, Seq("x", "z"))
-      .agg(count(lit(1)).as("n_triangles"))
+    // Compact-forward counting: a triangle {a,b,c} with orientation
+    // a→b, a→c, b→c is found exactly once, at edge (a,b), as the common
+    // out-neighbor c of both endpoints. Materializing per-vertex
+    // out-adjacency ARRAYS and intersecting per edge keeps the
+    // intermediate at |E| rows (each carrying two ≤O(√m) arrays) instead
+    // of shuffling the Σ outdeg² wedge expansion — at sf0.1 that is 880k
+    // array intersections vs a 4·10⁷-row wedge shuffle.
+    val adj = Dedup.materialize(
+      oriented.groupBy("lo").agg(collect_set("hi").as("nbr")))
+    val triangles = oriented
+      .join(adj.select(col("lo").as("__u"), col("nbr").as("__nu")),
+        col("lo") === col("__u"))
+      .join(adj.select(col("lo").as("__v"), col("nbr").as("__nv")),
+        col("hi") === col("__v"), "left")
+      .select(when(col("__nv").isNull, lit(0))
+        .otherwise(size(array_intersect(col("__nu"), col("__nv"))))
+        .as("t"))
+      .agg(sum("t").as("n_triangles"))
 
     val summary = deg.agg(
       count(lit(1)).as("n_vertices"),
