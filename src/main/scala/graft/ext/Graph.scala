@@ -95,26 +95,76 @@ object Graph {
       iters: Int,
       unit: Long = Unit9,
       dampNum: Long = 85L,
-      dampDen: Long = 100L): DataFrame = {
+      dampDen: Long = 100L): DataFrame =
+    pagerankCore(edges, None, iters, unit, dampNum, dampDen)
+
+  /**
+   * Personalized (seed-teleport) PageRank — the "expand from a trusted
+   * seed set" centrality used to grow a curation whitelist from known-good
+   * domains: teleport mass AND dangling mass land uniformly on the seed
+   * vertices instead of the whole graph, so rank concentrates in the
+   * seeds' link neighborhood. Semantics are [[pagerank]]'s fixed-point
+   * arithmetic with the teleport target narrowed; with `seeds` = all
+   * vertices the two are ARITHMETICALLY identical (the shared core below
+   * divides the same integer products), which `GraphSpec` pins.
+   *
+   * `seeds` (one `vertex` column) is intersected with the graph's vertex
+   * set — a seed with no edges carries no mass and does not count toward
+   * the teleport split. Seed membership is static, so it is baked into the
+   * vertex relation once, like dangling-ness.
+   */
+  def pagerankPersonalized(
+      edges: DataFrame,
+      seeds: DataFrame,
+      iters: Int,
+      unit: Long = Unit9,
+      dampNum: Long = 85L,
+      dampDen: Long = 100L): DataFrame =
+    pagerankCore(edges, Some(seeds), iters, unit, dampNum, dampDen)
+
+  private def pagerankCore(
+      edges: DataFrame,
+      seedsOpt: Option[DataFrame],
+      iters: Int,
+      unit: Long,
+      dampNum: Long,
+      dampDen: Long): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
 
     val e = Dedup.materialize(edges.select("src", "dst").distinct())
     val outdeg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
-    // Dangling-ness is STATIC — bake it into the vertex relation once so
-    // the loop never re-derives it (the naive per-iteration anti-join is
-    // a whole extra shuffle × iterations for a property that never
-    // changes).
-    val vertices = Dedup.materialize(
-      e.select(col("src").as("vertex"))
-        .union(e.select(col("dst").as("vertex"))).distinct()
-        .join(outdeg.select(col("src").as("vertex"),
-          lit(true).as("__has_out")), Seq("vertex"), "left")
-        .select(col("vertex"), col("__has_out").isNull.as("is_dangling")))
+    // Dangling-ness and seed membership are STATIC — bake both into the
+    // vertex relation once so the loop never re-derives them (a
+    // per-iteration anti-join would be a whole extra shuffle × iterations
+    // for properties that never change).
+    val vertBase = e.select(col("src").as("vertex"))
+      .union(e.select(col("dst").as("vertex"))).distinct()
+      .join(outdeg.select(col("src").as("vertex"),
+        lit(true).as("__has_out")), Seq("vertex"), "left")
+    val flagged = seedsOpt match {
+      case None => vertBase.withColumn("__seed", lit(true))
+      case Some(s) => vertBase.join(
+        s.select(col("vertex")).distinct()
+          .withColumn("__seed_hit", lit(true)),
+        Seq("vertex"), "left")
+        .withColumn("__seed", col("__seed_hit").isNotNull)
+    }
+    val vertices = Dedup.materialize(flagged.select(
+      col("vertex"), col("__has_out").isNull.as("is_dangling"),
+      col("__seed").as("is_seed")))
     val n = vertices.count()
+    val seedCount = seedsOpt.fold(n)(_ =>
+      vertices.filter(col("is_seed")).count())
+    require(seedCount > 0, "no seed vertex is present in the graph")
     // Fold out-degree into the edge relation once — iterations join the
     // rank relation against this single weighted-edge table.
     val weighted = Dedup.materialize(e.join(outdeg, "src"))
-    val base = ((dampDen - dampNum) * unit) / dampDen
+    // Teleport lands on seeds only: (1−d) of the INITIAL total mass
+    // (n·unit), split over the seed count. With seeds = all vertices this
+    // reduces exactly to ((dampDen−dampNum)·unit) div dampDen — the
+    // global-PageRank base — because the numerator is an exact multiple
+    // of dampDen·n by construction.
+    val seedBase = ((dampDen - dampNum) * n * unit) / (dampDen * seedCount)
 
     var ranks = vertices.withColumn("rank", lit(unit))
     for (_ <- 1 to iters) {
@@ -122,7 +172,7 @@ object Graph {
       val dangling = ranks.filter(col("is_dangling"))
         .agg(coalesce(sum("rank"), lit(0L)))
         .first().getLong(0)
-      val share = (dampNum * dangling) / (dampDen * n)
+      val seedShare = (dampNum * dangling) / (dampDen * seedCount)
       val contribs = weighted
         .join(ranks, weighted("src") === ranks("vertex"))
         .groupBy("dst")
@@ -131,8 +181,9 @@ object Graph {
       ranks = Dedup.materialize(
         vertices.join(contribs, vertices("vertex") === contribs("dst"), "left")
           .select(
-            col("vertex"), col("is_dangling"),
-            (lit(base) + coalesce(col("contrib"), lit(0L)) + lit(share))
+            col("vertex"), col("is_dangling"), col("is_seed"),
+            (when(col("is_seed"), lit(seedBase + seedShare))
+              .otherwise(lit(0L)) + coalesce(col("contrib"), lit(0L)))
               .as("rank")))
     }
     ranks.select("vertex", "rank")

@@ -40,6 +40,30 @@ object GraphQueries {
        |        FROM v LEFT JOIN c$i c ON v.vertex = c.vertex)"""
       .stripMargin
 
+  /** One PERSONALIZED-PageRank iteration: like [[prIter]] but the teleport
+   * and dangling terms land only on seed vertices (uniform over the seed
+   * count), mirroring [[Graph.pagerankPersonalized]]'s two separate
+   * integer divisions exactly. */
+  private def pprIter(i: Int, rIn: String, rOut: String): String =
+    s"""d$i AS (SELECT coalesce(sum(r.rank), 0) AS dm
+       |        FROM $rIn r
+       |        WHERE r.vertex NOT IN (SELECT src FROM od)),
+       |c$i AS (SELECT e.dst AS vertex,
+       |               sum((r.rank * 85) // (100 * od.outdeg)) AS contrib
+       |        FROM e JOIN $rIn r ON e.src = r.vertex
+       |               JOIN od ON od.src = e.src
+       |        GROUP BY e.dst),
+       |$rOut AS (SELECT v.vertex,
+       |               CASE WHEN v.is_seed
+       |                    THEN (15 * (SELECT n FROM nn) * 1000000000)
+       |                           // (100 * (SELECT sn FROM sc))
+       |                       + (85 * (SELECT dm FROM d$i))
+       |                           // (100 * (SELECT sn FROM sc))
+       |                    ELSE 0 END
+       |               + coalesce(c.contrib, 0) AS rank
+       |        FROM sv v LEFT JOIN c$i c ON v.vertex = c.vertex)"""
+      .stripMargin
+
   def defs: Map[String, QueryDef] = Map(
 
     // Fixed-point PageRank over the customer→supplier purchase graph,
@@ -67,6 +91,40 @@ object GraphQueries {
                SELECT vertex, CAST(rank AS BIGINT) AS rank FROM r3
                ORDER BY rank DESC, vertex LIMIT 20"""),
       "fixed-point PageRank (3 iterations) over the purchase graph, top 20"),
+
+    // Personalized PageRank: teleport AND dangling mass land only on the
+    // seed set (one nation's customers) — the "expand a whitelist from
+    // trusted seeds" centrality. Same fixed-point arithmetic, teleport
+    // target narrowed; the oracle unrolls the same three iterations with
+    // the seed-membership CASE.
+    "graph3_ppr_seeded" -> QueryDef(
+      (s, dir) => Graph.pagerankPersonalized(
+        Graph.purchaseEdges(t(s, dir, "orders"), t(s, dir, "lineitem")),
+        t(s, dir, "customer").filter(col("c_nationkey") === 3)
+          .select(concat(lit("c"), col("c_custkey")).as("vertex")),
+        iters = Iters)
+        .orderBy(desc("rank"), asc("vertex")).limit(20),
+      Some(s"""WITH e AS (SELECT DISTINCT 'c' || o_custkey AS src,
+                                 's' || l_suppkey AS dst
+                          FROM orders JOIN lineitem
+                            ON o_orderkey = l_orderkey),
+               v AS (SELECT src AS vertex FROM e
+                     UNION SELECT dst FROM e),
+               nn AS (SELECT count(*) AS n FROM v),
+               od AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
+               seeds AS (SELECT DISTINCT 'c' || c_custkey AS vertex
+                         FROM customer WHERE c_nationkey = 3),
+               sv AS (SELECT v.vertex, (s.vertex IS NOT NULL) AS is_seed
+                      FROM v LEFT JOIN seeds s ON v.vertex = s.vertex),
+               sc AS (SELECT count(*) AS sn FROM sv WHERE is_seed),
+               r0 AS (SELECT vertex, CAST(1000000000 AS BIGINT) AS rank
+                      FROM v),
+               ${pprIter(1, "r0", "r1")},
+               ${pprIter(2, "r1", "r2")},
+               ${pprIter(3, "r2", "r3")}
+               SELECT vertex, CAST(rank AS BIGINT) AS rank FROM r3
+               ORDER BY rank DESC, vertex LIMIT 20"""),
+      "personalized PageRank from one nation's customers, top 20"),
 
     // Triangle census + global clustering coefficient of the part
     // co-purchase graph. The Spark side counts through the degeneracy

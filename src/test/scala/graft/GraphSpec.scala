@@ -48,6 +48,58 @@ class GraphSpec extends SparkTestBase {
     }
   }
 
+  /** Driver-side replay of pagerankPersonalized's fixed-point semantics. */
+  private def refPpr(edges: Seq[(String, String)], seeds: Set[String],
+      iters: Int): Map[String, Long] = {
+    val e = edges.distinct
+    val vs = (e.map(_._1) ++ e.map(_._2)).distinct
+    val inGraphSeeds = vs.filter(seeds).toSet
+    val n = vs.length.toLong
+    val sn = inGraphSeeds.size.toLong
+    val out = e.groupBy(_._1).map { case (s, es) => s -> es.length.toLong }
+    var rank = vs.map(_ -> 1000000000L).toMap
+    for (_ <- 1 to iters) {
+      val dm = vs.filterNot(out.contains).map(rank).sum
+      val base = (15L * n * 1000000000L) / (100L * sn)
+      val share = (85L * dm) / (100L * sn)
+      val contrib = e.groupBy(_._2).map { case (d, es) =>
+        d -> es.map(t => (rank(t._1) * 85L) / (100L * out(t._1))).sum
+      }
+      rank = vs.map(v => v -> ((if (inGraphSeeds(v)) base + share else 0L)
+        + contrib.getOrElse(v, 0L))).toMap
+    }
+    rank
+  }
+
+  test("personalized pagerank matches the scalar reference; seeds outside " +
+      "the graph are ignored") {
+    val rnd = new Random(29)
+    val nv = 40
+    val edges = (1 to 300).map(_ =>
+      (s"v${rnd.nextInt(nv)}", s"v${rnd.nextInt(nv)}"))
+      .filter(e => e._1 != e._2)
+    val seeds = Set("v1", "v2", "v3", "ghost-not-in-graph")
+    val got = Graph.pagerankPersonalized(
+      edges.toDF("src", "dst"),
+      seeds.toSeq.toDF("vertex"), iters = 3)
+      .as[(String, Long)].collect().toMap
+    assert(got == refPpr(edges, seeds, 3))
+  }
+
+  test("personalized pagerank with seeds = all vertices IS global pagerank") {
+    val rnd = new Random(31)
+    val edges = (1 to 200).map(_ =>
+      (s"v${rnd.nextInt(25)}", s"v${rnd.nextInt(25)}"))
+      .filter(e => e._1 != e._2)
+    val df = edges.toDF("src", "dst")
+    val allVerts = (edges.map(_._1) ++ edges.map(_._2)).distinct.toDF("vertex")
+    val global = Graph.pagerank(df, iters = 3)
+      .as[(String, Long)].collect().toMap
+    val ppr = Graph.pagerankPersonalized(df, allVerts, iters = 3)
+      .as[(String, Long)].collect().toMap
+    assert(ppr == global)
+  }
+
   test("pagerank mass is conserved up to truncation leak") {
     val edges = Seq(("a", "b"), ("b", "c"), ("c", "a"), ("a", "c"))
     val ranks = Graph.pagerank(edges.toDF("src", "dst"), iters = 5)

@@ -18,7 +18,11 @@ val names = Seq(
   "e10_label_overlap", "n21_knn_filtered", "i5_snapshot_to_cdc",
   "w9_time_rolling", "t22_calibrated_quality", "dq4_psi_drift",
   "n22_knn_ivfsq8", "i6_ivm_agg", "dq5_join_fanout", "d24_jw_pairs",
-  "sp19_pack_offsets", "sp20_epoch_shuffle", "t25_lang_consistency")
+  "sp19_pack_offsets", "sp20_epoch_shuffle", "t25_lang_consistency",
+  // round 7 late additions: the graph family (note pagerank plans are
+  // per-iteration — the materialization barrier means the dumped plan is
+  // the FINAL iteration's join+agg, which is the repeated unit)
+  "graph1_pagerank", "graph2_triangles", "d25_lsh_plan")
 for (n <- names) {
   val df = graft.SparkEntry.queries(n)(spark, sfDir)
   val plan = df.queryExecution.explainString(
