@@ -153,6 +153,7 @@ object Graph {
       col("vertex"), col("__has_out").isNull.as("is_dangling"),
       col("__seed").as("is_seed")))
     val n = vertices.count()
+    require(n > 0, "pagerank over an empty edge relation")
     val seedCount = seedsOpt.fold(n)(_ =>
       vertices.filter(col("is_seed")).count())
     require(seedCount > 0, "no seed vertex is present in the graph")
@@ -205,7 +206,15 @@ object Graph {
    * rounded where double division of exact integers is reproducible.
    */
   def triangleStats(edges: DataFrame): DataFrame = {
-    val e = Dedup.materialize(edges.select("u", "v").distinct())
+    // Defensive canonicalization (narrow): callers SHOULD pass (u < v,
+    // distinct), but a reversed duplicate ((b,a) next to (a,b)) would
+    // silently double-count every triangle it touches, and a self-loop
+    // would corrupt the degree relation — normalize instead of trusting.
+    val e = Dedup.materialize(
+      edges.select(least(col("u"), col("v")).as("u"),
+        greatest(col("u"), col("v")).as("v"))
+        .where(col("u") =!= col("v"))
+        .distinct())
     val deg = Dedup.materialize(
       e.select(col("u").as("vertex"))
         .union(e.select(col("v").as("vertex")))

@@ -136,6 +136,14 @@ class GraphSpec extends SparkTestBase {
     }
   }
 
+  test("triangleStats canonicalizes reversed duplicates and self-loops") {
+    val clean = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L))
+    val dirty = clean ++ Seq((2L, 1L), (3L, 1L), (5L, 5L))
+    val a = Graph.triangleStats(clean.toDF("u", "v")).collect().toSeq
+    val b = Graph.triangleStats(dirty.toDF("u", "v")).collect().toSeq
+    assert(a == b)
+  }
+
   test("triangleStats on a triangle-free bipartite graph") {
     val edges = for (a <- 0L to 4L; b <- 10L to 13L) yield (a, b)
     val row = Graph.triangleStats(edges.toDF("u", "v"))
