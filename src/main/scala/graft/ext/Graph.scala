@@ -191,6 +191,35 @@ object Graph {
   }
 
   /**
+   * Degree-skew pre-flight for an undirected edge relation — the
+   * d17/d19/dq5-style "measure before you run" audit of [[triangleStats]]
+   * (and of any neighborhood join over the graph): per power-of-two degree
+   * bucket, the vertex count, degree extrema, and that bucket's share of
+   * the naive wedge bound Σ C(deg, 2) — the cost ceiling an UNORIENTED
+   * wedge join would pay, concentrated in the top buckets exactly when the
+   * graph has hubs. One shuffle (the degree aggregation); bucket-grain
+   * output. Buckets derive from the BINARY WIDTH of the degree
+   * (`length(bin(deg))` = ⌊log₂ deg⌋ + 1) — pure integer arithmetic, no
+   * floating log whose ulps could flip a power-of-two boundary
+   * cross-engine.
+   */
+  def degreeStats(edges: DataFrame): DataFrame = {
+    val e = edges.select(least(col("u"), col("v")).as("u"),
+      greatest(col("u"), col("v")).as("v"))
+      .where(col("u") =!= col("v"))
+      .distinct()
+    e.select(col("u").as("vertex"))
+      .union(e.select(col("v").as("vertex")))
+      .groupBy("vertex").agg(count(lit(1)).as("deg"))
+      .groupBy(length(expr("bin(deg)")).as("deg_bucket"))
+      .agg(
+        count(lit(1)).as("n_vertices"),
+        min("deg").as("min_deg"),
+        max("deg").as("max_deg"),
+        sum(expr("(deg * (deg - 1L)) div 2L")).as("wedge_bound"))
+  }
+
+  /**
    * Triangle + clustering summary of an undirected, canonical (`u < v`,
    * distinct) edge relation — one output row:
    * `(n_vertices, n_edges, n_wedges, n_triangles, global_clustering)`.

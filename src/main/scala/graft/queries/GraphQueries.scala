@@ -92,6 +92,31 @@ object GraphQueries {
                ORDER BY rank DESC, vertex LIMIT 20"""),
       "fixed-point PageRank (3 iterations) over the purchase graph, top 20"),
 
+    // Degree-skew pre-flight (the d17/d19/dq5 discipline applied to the
+    // graph family): per power-of-two degree bucket, vertex count, degree
+    // extrema, and the bucket's share of the naive wedge bound — the
+    // number that says whether a neighborhood join needs the degeneracy
+    // hub guard BEFORE it runs. Buckets via binary width (integer exact),
+    // never floating log2.
+    "graph0_degree_stats" -> QueryDef(
+      (s, dir) => Graph.degreeStats(
+        Graph.coPurchaseEdges(t(s, dir, "lineitem"))),
+      Some("""WITH e AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+                         FROM lineitem a JOIN lineitem b
+                           ON a.l_orderkey = b.l_orderkey
+                          AND a.l_partkey < b.l_partkey),
+              deg AS (SELECT vertex, CAST(count(*) AS BIGINT) AS deg
+                      FROM (SELECT u AS vertex FROM e
+                            UNION ALL SELECT v FROM e)
+                      GROUP BY vertex)
+              SELECT CAST(length(bin(deg)) AS INTEGER) AS deg_bucket,
+                     CAST(count(*) AS BIGINT) AS n_vertices,
+                     min(deg) AS min_deg, max(deg) AS max_deg,
+                     CAST(sum((deg * (deg - 1)) // 2) AS BIGINT)
+                       AS wedge_bound
+              FROM deg GROUP BY 1"""),
+      "degree-skew histogram + wedge-bound shares (triangle pre-flight)"),
+
     // Personalized PageRank: teleport AND dangling mass land only on the
     // seed set (one nation's customers) — the "expand a whitelist from
     // trusted seeds" centrality. Same fixed-point arithmetic, teleport

@@ -136,6 +136,26 @@ class GraphSpec extends SparkTestBase {
     }
   }
 
+  test("degreeStats matches a brute-force histogram and sums to the " +
+      "wedge bound") {
+    val rnd = new Random(17)
+    val edges = (1 to 300).map { _ =>
+      val a = rnd.nextInt(40).toLong; val b = rnd.nextInt(40).toLong
+      (math.min(a, b), math.max(a, b))
+    }.filter(e => e._1 != e._2).distinct
+    val deg = (edges.map(_._1) ++ edges.map(_._2))
+      .groupBy(identity).map { case (_, g) => g.length.toLong }.toSeq
+    val expected = deg.groupBy(d => java.lang.Long.toBinaryString(d).length)
+      .map { case (b, ds) =>
+        (b, ds.length.toLong, ds.min, ds.max, ds.map(d => d * (d - 1) / 2).sum)
+      }.toSet
+    val got = Graph.degreeStats(edges.toDF("u", "v"))
+      .as[(Int, Long, Long, Long, Long)].collect().toSet
+    assert(got == expected)
+    assert(got.toSeq.map(_._5).sum ==
+      deg.map(d => d * (d - 1) / 2).sum)
+  }
+
   test("triangleStats canonicalizes reversed duplicates and self-loops") {
     val clean = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L))
     val dirty = clean ++ Seq((2L, 1L), (3L, 1L), (5L, 5L))
