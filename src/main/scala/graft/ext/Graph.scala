@@ -41,6 +41,8 @@ import org.apache.spark.sql.functions._
  */
 object Graph {
 
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
   /** Rank unit: 1 vertex of initial mass = 1e9 units, so ranks print as
    * nano-PageRank integers. With damping 85/100 the intermediate product
    * `rank * dampNum` stays below 2^63 for total graph mass up to ~1e17
@@ -168,7 +170,7 @@ object Graph {
     val seedBase = ((dampDen - dampNum) * n * unit) / (dampDen * seedCount)
 
     var ranks = vertices.withColumn("rank", lit(unit))
-    for (_ <- 1 to iters) {
+    for (i <- 1 to iters) {
       // One-row scalar off the (materialized) compact rank relation.
       val dangling = ranks.filter(col("is_dangling"))
         .agg(coalesce(sum("rank"), lit(0L)))
@@ -179,13 +181,26 @@ object Graph {
         .groupBy("dst")
         .agg(sum(expr(s"(rank * ${dampNum}L) div (${dampDen}L * outdeg)"))
           .as("contrib"))
+      // Mass tripwire riding the materialize as observed metrics (the
+      // dupClusters zero-extra-jobs pattern): fixed-point truncation only
+      // ever LEAKS mass, so total rank must never exceed the initial
+      // n·unit — an excess means broken arithmetic (overflow, a negative
+      // rank, a double-accumulated metric), worth being loud about at
+      // runtime, not just in the spec suite.
+      val obs = org.apache.spark.sql.Observation(s"graft_pr_mass_$i")
       ranks = Dedup.materialize(
         vertices.join(contribs, vertices("vertex") === contribs("dst"), "left")
           .select(
             col("vertex"), col("is_dangling"), col("is_seed"),
             (when(col("is_seed"), lit(seedBase + seedShare))
               .otherwise(lit(0L)) + coalesce(col("contrib"), lit(0L)))
-              .as("rank")))
+              .as("rank"))
+          .observe(obs, coalesce(sum("rank"), lit(0L)).as("mass")))
+      val mass = obs.get("mass").asInstanceOf[Long]
+      if (mass > n * unit)
+        log.warn(s"pagerank iteration $i observed total mass $mass > " +
+          s"initial ${n * unit} — fixed-point arithmetic should only ever " +
+          "leak mass; suspect overflow or a double-accumulated metric")
     }
     ranks.select("vertex", "rank")
   }
