@@ -713,7 +713,12 @@ object Bench {
       "timed an empty pipeline; cross-round comparison for t17 resets " +
       "at r7 accordingly. pipe3 candidates restrict to the embedded " +
       "slice (2000 of 5000 sf0.1 docs carry embeddings - the documented " +
-      "partial-coverage contract of the serving stack)"
+      "partial-coverage contract of the serving stack). Graph probes " +
+      "(graph1/graph2) run over a 10x DISJOINT-replica order book (every " +
+      "key shifted per replica - preserves per-copy density; shared-key " +
+      "replication would densify the graph and scale the wedge work " +
+      "superlinearly, a different workload than 10x data); their first " +
+      "samples pay the replica write's cold page cache, so read the min"
     val line = s"""{"metric":"total","value":$total,"unit":"sec","note":"$note","queries":$qs,"failed":$fs,"cpu_per_wall":$ratios,"spine_envelopes_per_sec":${spineRate.round},"spine_cpu_per_wall":${f2(spineCpuRatio)},"spine_streaming_envelopes_per_sec":${streamRate.round},"spine_streaming_batches":$streamBatches,"spine_streaming_batches_per_sec":${f2(streamBatchesPerSec)},"spine_streaming_cpu_per_wall":${f2(streamCpuRatio)},"spine_streaming_batch_ms":${jsonMap(streamBatchMs)}$sf1Fields,"sf":"$sfDir"}"""
     // The stdout line can overflow the driver's tail capture (round-3
     // verdict: "parsed": null two rounds running) — persist the full JSON
