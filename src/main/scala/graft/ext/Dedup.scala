@@ -290,14 +290,19 @@ object Dedup {
    * grid — no data touched, runs identically at any corpus size.
    *
    * Determinism contract: powers are expanded as LEFT-ASSOCIATIVE
-   * multiplication chains (never `pow`) and the threshold root as
-   * sqrt/cbrt compositions — IEEE-exact operations an independent engine
-   * reproduces bit-for-bit, unlike libm `pow` which differs by ulps across
-   * runtimes. `r` must therefore be 2-3-smooth, which every factorization
-   * of 12 is. */
+   * multiplication chains (never `pow`, whose libm implementations differ
+   * by ulps across runtimes), so every `p_candidate` double replays
+   * bit-for-bit cross-engine. The threshold root composes sqrt
+   * (correctly rounded per IEEE-754) and cbrt (NOT guaranteed correctly
+   * rounded — JVM and libm may differ by an ulp); cross-engine agreement
+   * there relies on the 4-decimal rounding sitting far from a
+   * half-boundary, which holds with ≥1e-5 margin for every factorization
+   * of the shipped 12-hash signature. `r` must be 2-3-smooth. Covers the
+   * FULL divisor set including the extremes (1 band × n rows =
+   * max-precision, n bands × 1 row = max-recall). */
   def lshPowerCurve(spark: org.apache.spark.sql.SparkSession,
       numHashes: Int = NumHashes): DataFrame = {
-    val combos = (2 to numHashes / 2).filter(numHashes % _ == 0)
+    val combos = (1 to numHashes).filter(numHashes % _ == 0)
       .map(b => (b, numHashes / b))
     require(combos.nonEmpty, s"numHashes $numHashes has no b*r split")
     def chain(x: String, n: Int) = Seq.fill(n)(x).mkString(" * ")

@@ -154,11 +154,19 @@ object Graph {
     val vertices = Dedup.materialize(flagged.select(
       col("vertex"), col("__has_out").isNull.as("is_dangling"),
       col("__seed").as("is_seed")))
-    val n = vertices.count()
+    // ONE aggregate job yields every static scalar the loop needs —
+    // vertex count, seed count, and the dangling VERTEX count (initial
+    // ranks are uniform, so iteration 1's dangling mass is exactly
+    // danglingCount·unit with no extra pass).
+    val stats = vertices.agg(
+      count(lit(1)).as("n"),
+      sum(when(col("is_seed"), 1L).otherwise(0L)).as("ns"),
+      sum(when(col("is_dangling"), 1L).otherwise(0L)).as("nd")).first()
+    val n = stats.getLong(0)
     require(n > 0, "pagerank over an empty edge relation")
-    val seedCount = seedsOpt.fold(n)(_ =>
-      vertices.filter(col("is_seed")).count())
+    val seedCount = stats.getLong(1)
     require(seedCount > 0, "no seed vertex is present in the graph")
+    val danglingCount = stats.getLong(2)
     // Fold out-degree into the edge relation once — iterations join the
     // rank relation against this single weighted-edge table.
     val weighted = Dedup.materialize(e.join(outdeg, "src"))
@@ -170,23 +178,24 @@ object Graph {
     val seedBase = ((dampDen - dampNum) * n * unit) / (dampDen * seedCount)
 
     var ranks = vertices.withColumn("rank", lit(unit))
+    // Iteration 1's dangling mass follows from the uniform init; every
+    // later iteration's rides the PREVIOUS materialize as an observed
+    // metric (the dupClusters zero-extra-jobs pattern) — so the loop runs
+    // exactly ONE Spark job per iteration (the rank checkpoint), with no
+    // separate dangling-sum pass.
+    var danglingMass = danglingCount * unit
     for (i <- 1 to iters) {
-      // One-row scalar off the (materialized) compact rank relation.
-      val dangling = ranks.filter(col("is_dangling"))
-        .agg(coalesce(sum("rank"), lit(0L)))
-        .first().getLong(0)
-      val seedShare = (dampNum * dangling) / (dampDen * seedCount)
+      val seedShare = (dampNum * danglingMass) / (dampDen * seedCount)
       val contribs = weighted
         .join(ranks, weighted("src") === ranks("vertex"))
         .groupBy("dst")
         .agg(sum(expr(s"(rank * ${dampNum}L) div (${dampDen}L * outdeg)"))
           .as("contrib"))
-      // Mass tripwire riding the materialize as observed metrics (the
-      // dupClusters zero-extra-jobs pattern): fixed-point truncation only
-      // ever LEAKS mass, so total rank must never exceed the initial
-      // n·unit — an excess means broken arithmetic (overflow, a negative
-      // rank, a double-accumulated metric), worth being loud about at
-      // runtime, not just in the spec suite.
+      // Observed alongside the next dangling sum: the mass tripwire —
+      // fixed-point truncation only ever LEAKS mass, so total rank must
+      // never exceed the initial n·unit; an excess means broken
+      // arithmetic (overflow, a negative rank, a double-accumulated
+      // metric), worth being loud about at runtime, not just in specs.
       val obs = org.apache.spark.sql.Observation(s"graft_pr_mass_$i")
       ranks = Dedup.materialize(
         vertices.join(contribs, vertices("vertex") === contribs("dst"), "left")
@@ -195,8 +204,13 @@ object Graph {
             (when(col("is_seed"), lit(seedBase + seedShare))
               .otherwise(lit(0L)) + coalesce(col("contrib"), lit(0L)))
               .as("rank"))
-          .observe(obs, coalesce(sum("rank"), lit(0L)).as("mass")))
-      val mass = obs.get("mass").asInstanceOf[Long]
+          .observe(obs,
+            coalesce(sum("rank"), lit(0L)).as("mass"),
+            coalesce(sum(when(col("is_dangling"), col("rank"))
+              .otherwise(lit(0L))), lit(0L)).as("dangling_mass")))
+      val m = obs.get
+      danglingMass = m("dangling_mass").asInstanceOf[Long]
+      val mass = m("mass").asInstanceOf[Long]
       if (mass > n * unit)
         log.warn(s"pagerank iteration $i observed total mass $mass > " +
           s"initial ${n * unit} — fixed-point arithmetic should only ever " +
@@ -218,21 +232,31 @@ object Graph {
    * floating log whose ulps could flip a power-of-two boundary
    * cross-engine.
    */
-  def degreeStats(edges: DataFrame): DataFrame = {
-    val e = edges.select(least(col("u"), col("v")).as("u"),
-      greatest(col("u"), col("v")).as("v"))
-      .where(col("u") =!= col("v"))
-      .distinct()
-    e.select(col("u").as("vertex"))
-      .union(e.select(col("v").as("vertex")))
-      .groupBy("vertex").agg(count(lit(1)).as("deg"))
+  def degreeStats(edges: DataFrame): DataFrame =
+    degrees(canonicalEdges(edges))
       .groupBy(length(expr("bin(deg)")).as("deg_bucket"))
       .agg(
         count(lit(1)).as("n_vertices"),
         min("deg").as("min_deg"),
         max("deg").as("max_deg"),
         sum(expr("(deg * (deg - 1L)) div 2L")).as("wedge_bound"))
-  }
+
+  /** Canonical undirected form shared by [[degreeStats]] and
+   * [[triangleStats]]: (least, greatest), self-loops dropped, distinct.
+   * Callers SHOULD already pass this shape, but a reversed duplicate
+   * ((b,a) beside (a,b)) would double-count triangles and a self-loop
+   * would corrupt the degree relation — normalize instead of trusting. */
+  private def canonicalEdges(edges: DataFrame): DataFrame =
+    edges.select(least(col("u"), col("v")).as("u"),
+      greatest(col("u"), col("v")).as("v"))
+      .where(col("u") =!= col("v"))
+      .distinct()
+
+  /** Undirected degree per vertex of a canonical edge relation. */
+  private def degrees(e: DataFrame): DataFrame =
+    e.select(col("u").as("vertex"))
+      .union(e.select(col("v").as("vertex")))
+      .groupBy("vertex").agg(count(lit(1)).as("deg"))
 
   /**
    * Triangle + clustering summary of an undirected, canonical (`u < v`,
@@ -251,18 +275,9 @@ object Graph {
    */
   def triangleStats(edges: DataFrame): DataFrame = {
     // Defensive canonicalization (narrow): callers SHOULD pass (u < v,
-    // distinct), but a reversed duplicate ((b,a) next to (a,b)) would
-    // silently double-count every triangle it touches, and a self-loop
-    // would corrupt the degree relation — normalize instead of trusting.
-    val e = Dedup.materialize(
-      edges.select(least(col("u"), col("v")).as("u"),
-        greatest(col("u"), col("v")).as("v"))
-        .where(col("u") =!= col("v"))
-        .distinct())
-    val deg = Dedup.materialize(
-      e.select(col("u").as("vertex"))
-        .union(e.select(col("v").as("vertex")))
-        .groupBy("vertex").agg(count(lit(1)).as("deg")))
+    // distinct); [[canonicalEdges]] normalizes instead of trusting.
+    val e = Dedup.materialize(canonicalEdges(edges))
+    val deg = Dedup.materialize(degrees(e))
 
     // Orient: keep (lo, hi) by (deg, id) order.
     val du = deg.select(col("vertex").as("u"), col("deg").as("du"))
@@ -301,11 +316,20 @@ object Graph {
       sum(expr("(deg * (deg - 1L)) div 2L")).as("n_wedges"))
     val nEdges = e.agg(count(lit(1)).as("n_edges"))
 
+    // The cross joins combine three ONE-ROW aggregates into the summary
+    // row — broadcast singletons, not a data-path cartesian product.
+    // Empty-graph semantics: the integral columns coalesce to 0 (sum over
+    // zero rows is NULL in SQL) and the clustering coefficient is NULL
+    // exactly when the wedge count is 0 — 0/0 is undefined, and leaving
+    // it to engine division-by-zero behavior would let Spark (NULL) and
+    // another engine (NaN/Inf) disagree.
     summary.crossJoin(nEdges).crossJoin(triangles)
       .select(
-        col("n_vertices"), col("n_edges"), col("n_wedges"),
-        col("n_triangles"),
-        round(lit(3.0) * col("n_triangles") / col("n_wedges"), 6)
-          .as("global_clustering"))
+        col("n_vertices"), col("n_edges"),
+        coalesce(col("n_wedges"), lit(0L)).as("n_wedges"),
+        coalesce(col("n_triangles"), lit(0L)).as("n_triangles"))
+      .withColumn("global_clustering",
+        when(col("n_wedges") > 0,
+          round(lit(3.0) * col("n_triangles") / col("n_wedges"), 6)))
   }
 }

@@ -650,17 +650,23 @@ object ExtensionQueries {
     // arithmetic, no libm pow — so DuckDB replays every double exactly.
     "d25_lsh_plan" -> QueryDef(
       (s, _) => Dedup.lshPowerCurve(s),
-      Some("""WITH combos(b, r) AS (VALUES (2, 6), (3, 4), (4, 3), (6, 2)),
+      Some("""WITH combos(b, r) AS (VALUES (1, 12), (2, 6), (3, 4), (4, 3),
+                                           (6, 2), (12, 1)),
               grid AS (SELECT b, r, CAST(k * 5 AS INTEGER) AS s_pct
                        FROM combos, range(1, 20) t(k)),
               s1 AS (SELECT b, r, s_pct, s_pct / 100.0 AS s FROM grid),
               s2 AS (SELECT b, r, s_pct,
-                            CASE r WHEN 2 THEN s * s
+                            CASE r WHEN 1 THEN s
+                                   WHEN 2 THEN s * s
                                    WHEN 3 THEN s * s * s
                                    WHEN 4 THEN s * s * s * s
                                    WHEN 6 THEN s * s * s * s * s * s
+                                   WHEN 12 THEN s * s * s * s * s * s
+                                              * s * s * s * s * s * s
                             END AS sr,
-                            CASE WHEN b = 2 AND r = 6
+                            CASE WHEN b = 1 AND r = 12
+                                   THEN round(cbrt(sqrt(sqrt(1.0 / 1))), 4)
+                                 WHEN b = 2 AND r = 6
                                    THEN round(cbrt(sqrt(1.0 / 2)), 4)
                                  WHEN b = 3 AND r = 4
                                    THEN round(sqrt(sqrt(1.0 / 3)), 4)
@@ -668,14 +674,19 @@ object ExtensionQueries {
                                    THEN round(cbrt(1.0 / 4), 4)
                                  WHEN b = 6 AND r = 2
                                    THEN round(sqrt(1.0 / 6), 4)
+                                 WHEN b = 12 AND r = 1
+                                   THEN round(1.0 / 12, 4)
                             END AS s_threshold
                      FROM s1),
               s3 AS (SELECT b, r, s_pct, 1.0 - sr AS q, s_threshold FROM s2)
               SELECT b, r, s_pct,
-                     round(1.0 - (CASE b WHEN 2 THEN q * q
+                     round(1.0 - (CASE b WHEN 1 THEN q
+                                         WHEN 2 THEN q * q
                                          WHEN 3 THEN q * q * q
                                          WHEN 4 THEN q * q * q * q
                                          WHEN 6 THEN q * q * q * q * q * q
+                                         WHEN 12 THEN q * q * q * q * q * q
+                                                    * q * q * q * q * q * q
                                   END), 6) AS p_candidate,
                      s_threshold
               FROM s3"""),

@@ -20,11 +20,12 @@ object GraphQueries {
 
   private val Iters = 3
 
-  /** One PageRank iteration as an oracle CTE block: ranks `rIn` → `rOut`.
-   * Mirrors [[Graph.pagerank]] exactly: dangling mass from vertices with
-   * no out-edges, truncating integer division on both the per-edge
-   * contribution and the dangling share. */
-  private def prIter(i: Int, rIn: String, rOut: String): String =
+  /** The dangling-mass and contribution CTEs shared by every PageRank
+   * oracle iteration (global and personalized differ only in where the
+   * teleport lands — the rank-select below): dangling mass from vertices
+   * with no out-edges, truncating integer division on the per-edge
+   * contribution. Mirrors [[Graph.pagerankCore]]. */
+  private def iterCtes(i: Int, rIn: String): String =
     s"""d$i AS (SELECT coalesce(sum(r.rank), 0) AS dm
        |        FROM $rIn r
        |        WHERE r.vertex NOT IN (SELECT src FROM od)),
@@ -32,7 +33,13 @@ object GraphQueries {
        |               sum((r.rank * 85) // (100 * od.outdeg)) AS contrib
        |        FROM e JOIN $rIn r ON e.src = r.vertex
        |               JOIN od ON od.src = e.src
-       |        GROUP BY e.dst),
+       |        GROUP BY e.dst)"""
+      .stripMargin
+
+  /** One GLOBAL PageRank iteration: teleport and dangling share land on
+   * every vertex. */
+  private def prIter(i: Int, rIn: String, rOut: String): String =
+    s"""${iterCtes(i, rIn)},
        |$rOut AS (SELECT v.vertex,
        |               150000000 + coalesce(c.contrib, 0)
        |               + (85 * (SELECT dm FROM d$i))
@@ -40,19 +47,12 @@ object GraphQueries {
        |        FROM v LEFT JOIN c$i c ON v.vertex = c.vertex)"""
       .stripMargin
 
-  /** One PERSONALIZED-PageRank iteration: like [[prIter]] but the teleport
-   * and dangling terms land only on seed vertices (uniform over the seed
-   * count), mirroring [[Graph.pagerankPersonalized]]'s two separate
-   * integer divisions exactly. */
+  /** One PERSONALIZED-PageRank iteration: same [[iterCtes]] core, but the
+   * teleport and dangling terms land only on seed vertices (uniform over
+   * the seed count), mirroring [[Graph.pagerankPersonalized]]'s two
+   * separate integer divisions exactly. */
   private def pprIter(i: Int, rIn: String, rOut: String): String =
-    s"""d$i AS (SELECT coalesce(sum(r.rank), 0) AS dm
-       |        FROM $rIn r
-       |        WHERE r.vertex NOT IN (SELECT src FROM od)),
-       |c$i AS (SELECT e.dst AS vertex,
-       |               sum((r.rank * 85) // (100 * od.outdeg)) AS contrib
-       |        FROM e JOIN $rIn r ON e.src = r.vertex
-       |               JOIN od ON od.src = e.src
-       |        GROUP BY e.dst),
+    s"""${iterCtes(i, rIn)},
        |$rOut AS (SELECT v.vertex,
        |               CASE WHEN v.is_seed
        |                    THEN (15 * (SELECT n FROM nn) * 1000000000)
@@ -175,9 +175,13 @@ object GraphQueries {
                                AS n_wedges
                       FROM deg),
               ne AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM e)
-              SELECT n_vertices, n_edges, n_wedges, n_triangles,
-                     round(3.0 * n_triangles / n_wedges, 6)
-                       AS global_clustering
+              SELECT n_vertices, n_edges,
+                     coalesce(n_wedges, 0) AS n_wedges,
+                     coalesce(n_triangles, 0) AS n_triangles,
+                     CASE WHEN coalesce(n_wedges, 0) > 0
+                          THEN round(3.0 * coalesce(n_triangles, 0)
+                                       / n_wedges, 6)
+                     END AS global_clustering
               FROM agg, ne, tri"""),
       "triangle census + clustering coefficient of the co-purchase graph")
   )
