@@ -446,6 +446,57 @@ object TextAnalysis {
           .as("xent"))
   }
 
+  /** Collocation / phrase detection (the word2phrase scoring of Mikolov
+   * et al., NeurIPS 2013 — "Distributed Representations of Words and
+   * Phrases and their Compositionality" §4): score every adjacent word
+   * pair by `(c(ab) − δ) · N / (c(a) · c(b))` — the discounted lift of
+   * the bigram over independence — and keep pairs with `c(ab) ≥ minCount`.
+   * The standard pre-tokenization pass that decides which word pairs
+   * deserve a single vocabulary entry ("new", "york" → "new_york") before
+   * a tokenizer or embedding vocabulary is fit; δ discounts rare-pair
+   * noise exactly as published.
+   *
+   * Determinism: counts are exact BIGINTs; the score is ONE double
+   * expression — `(double(c_ab − δ) · N) / (double(c_a) · c_b)` — whose
+   * conversions, products, and division are all IEEE-correctly-rounded
+   * operations on exact integers, so an independent engine reproduces the
+   * double bit-for-bit at any magnitude (exactness of the PRODUCTS is not
+   * required — only identical rounding, which correctly-rounded ops
+   * guarantee). Ranking orders by the ROUNDED score with the phrase
+   * string as tiebreak.
+   *
+   * Scale shape: bigrams derive narrowly (zip_with over two array
+   * slices); the corpus explodes twice (tokens, bigrams), each feeding
+   * one vocabulary-sized count agg; the scoring joins are keyed on the
+   * unigram relation (AQE broadcasts small vocabularies; a web-scale
+   * vocabulary shuffles on the token key — still linear). Nothing
+   * corpus-sized survives past the two aggs. */
+  def phraseDetect(docs: org.apache.spark.sql.DataFrame,
+      minCount: Long = 5L, delta: Long = 5L): org.apache.spark.sql.DataFrame = {
+    val w = split(col("text"), " ")
+    val bigrams = docs.filter(size(w) >= 2)
+      .select(explode(zip_with(
+        slice(w, lit(1), size(w) - 1), slice(w, lit(2), size(w) - 1),
+        (a, b) => concat(a, lit(" "), b))).as("bg"))
+    // Materialized: feeds the total-token scalar AND both scoring joins.
+    val c1 = Dedup.materialize(
+      docs.select(explode(w).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("c1")))
+    val total = c1.agg(sum("c1").as("n"))
+    val c2 = bigrams.groupBy("bg").agg(count(lit(1)).as("c_ab"))
+      .filter(col("c_ab") >= minCount)
+    c2
+      .select(col("bg").as("phrase"), col("c_ab"),
+        split(col("bg"), " ").getItem(0).as("__a"),
+        split(col("bg"), " ").getItem(1).as("__b"))
+      .join(c1.select(col("tok").as("__a"), col("c1").as("c_a")), Seq("__a"))
+      .join(c1.select(col("tok").as("__b"), col("c1").as("c_b")), Seq("__b"))
+      .crossJoin(broadcast(total))
+      .select(col("phrase"), col("c_ab"), col("c_a"), col("c_b"),
+        round(((col("c_ab") - lit(delta)).cast("double") * col("n")) /
+          (col("c_a").cast("double") * col("c_b")), 4).as("score"))
+  }
+
   /** Trigram Stupid Backoff scorer (Brants et al., EMNLP 2007 — "Large
    * Language Models in Machine Translation", the score built FOR
    * distributed count tables: no discounting, no normalization, just

@@ -3755,6 +3755,36 @@ object ExtensionQueries {
               FROM n GROUP BY doc_id"""),
       "bigram-LM cross-entropy vs the en reference slice (CCNet shape)"),
 
+    // word2phrase collocation scoring (Mikolov et al. 2013 §4): the
+    // pre-tokenization pass that decides which adjacent word pairs
+    // deserve one vocabulary entry. Counts exact; the discounted-lift
+    // score is a single correctly-rounded double expression, so the
+    // oracle reproduces it bit-for-bit at any corpus size.
+    "t26_phrase_detect" -> QueryDef(
+      (s, dir) => TextAnalysis.phraseDetect(t(s, dir, "documents"))
+        .orderBy(desc("score"), asc("phrase")).limit(20),
+      Some("""WITH wd AS (SELECT string_split(text, ' ') AS w
+                          FROM documents),
+              toks AS (SELECT unnest(w) AS tok FROM wd),
+              c1 AS (SELECT tok, CAST(count(*) AS BIGINT) AS c1
+                     FROM toks GROUP BY tok),
+              total AS (SELECT CAST(sum(c1) AS BIGINT) AS n FROM c1),
+              bg AS (SELECT unnest([w[i] || ' ' || w[i+1]
+                                    for i in generate_series(1, len(w) - 1)])
+                              AS bg
+                     FROM wd WHERE len(w) >= 2),
+              c2 AS (SELECT bg, CAST(count(*) AS BIGINT) AS c_ab
+                     FROM bg GROUP BY bg HAVING count(*) >= 5)
+              SELECT c2.bg AS phrase, c_ab, ca.c1 AS c_a, cb.c1 AS c_b,
+                     round((CAST(c_ab - 5 AS DOUBLE) * n)
+                             / (CAST(ca.c1 AS DOUBLE) * cb.c1), 4) AS score
+              FROM c2
+              JOIN c1 ca ON ca.tok = string_split(c2.bg, ' ')[1]
+              JOIN c1 cb ON cb.tok = string_split(c2.bg, ' ')[2]
+              CROSS JOIN total
+              ORDER BY score DESC, phrase LIMIT 20"""),
+      "word2phrase discounted-lift collocations, top 20"),
+
     // Trigram Stupid Backoff (Brants et al. 2007 — the LM score built FOR
     // distributed count tables): S backs off trigram → bigram → unigram
     // with fixed α = 0.4, no discounting; OOV unigrams clamp to count 1 so

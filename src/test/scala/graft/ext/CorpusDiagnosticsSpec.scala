@@ -300,4 +300,35 @@ class CorpusDiagnosticsSpec extends SparkTestBase {
       .count()
     assert(viol == 0L, "a pack closed before its budget filled")
   }
+
+  test("phraseDetect: planted collocation outranks independent pairs and " +
+      "matches a brute-force replay") {
+    // "new york" always adjacent (a true phrase); "the cat" co-occur but
+    // also apart; filler tokens are frequent everywhere.
+    val docs = (1 to 40).map { i =>
+      (i.toLong, s"the cat new york sat on the mat t$i the cat ran new york")
+    }.toDF("doc_id", "text")
+    val out = TextAnalysis.phraseDetect(docs, minCount = 5L, delta = 2L)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+
+    // Brute-force replay on the driver.
+    val texts = (1 to 40).map(i =>
+      s"the cat new york sat on the mat t$i the cat ran new york")
+    val toks = texts.flatMap(_.split(" "))
+    val n = toks.length.toLong
+    val uni = toks.groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    val bi = texts.flatMap(t => t.split(" ").sliding(2).map(_.mkString(" ")))
+      .groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+      .filter(_._2 >= 5L)
+    val expect = bi.map { case (bg, cab) =>
+      val Array(a, b) = bg.split(" ")
+      bg -> (cab, uni(a), uni(b),
+        BigDecimal(((cab - 2L).toDouble * n) / (uni(a).toDouble * uni(b)))
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    assert(out == expect)
+    // The planted phrase scores above every pair of independent fillers.
+    assert(out("new york")._4 > out("the cat")._4)
+  }
 }
