@@ -319,7 +319,12 @@ object Bench {
         // under a different span rule), RM3 (three filtered corpus scans:
         // BM25, fbDocs-bounded expansion, weighted re-rank), and the
         // per-source calibrated quality cut (scorer + one window sort)
-        "d23_remove_boilerplate", "t22_calibrated_quality")
+        "d23_remove_boilerplate", "t22_calibrated_quality",
+        // round-7 late addition: word2phrase collocations — two
+        // vocabulary-sized count aggs over the 10× corpus (the replica
+        // suffixes multiply the bigram vocabulary 10×, the honest scaling
+        // axis for this op)
+        "t26_phrase_detect")
       val walls = scala.collection.mutable.ListBuffer.empty[(String, String)]
       val ratios = scala.collection.mutable.ListBuffer.empty[(String, String)]
       // BOTH raw walls per probe, not just the min (round-5 verdict #2):
