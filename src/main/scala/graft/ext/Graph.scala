@@ -332,4 +332,63 @@ object Graph {
         when(col("n_wedges") > 0,
           round(lit(3.0) * col("n_triangles") / col("n_wedges"), 6)))
   }
+
+  /**
+   * Link prediction over an undirected edge relation: for every NON-edge
+   * pair with at least one common neighbor, the three classic proximity
+   * scores — common-neighbor count, Adamic-Adar (Σ 1/ln deg(w) over the
+   * shared neighbors w; high-degree hubs contribute least), and the
+   * neighborhood Jaccard `cn / (deg u + deg v − cn)` — then the global
+   * top-`topK` by Adamic-Adar (deterministic `(u, v)` tie-break).
+   *
+   * Candidate generation IS the wedge expansion (unlike [[triangleStats]],
+   * which only scores existing edges and can intersect adjacency arrays,
+   * non-edges have to be discovered through their wedge centers), so its
+   * cost is Σ_w C(deg w, 2). The `maxDegree` hub guard bounds that
+   * expansion to ≤ maxDegree·|E| rows: centers above the cap are skipped,
+   * which is the standard approximation — a hub's per-wedge Adamic-Adar
+   * weight `1/ln(deg)` is the smallest in the graph, and its wedge count
+   * C(deg, 2) the largest, the worst cost/signal ratio there is. `cn` is
+   * therefore a lower bound on a graph with uncapped hubs; the full
+   * (uncapped) degrees still feed the Jaccard denominator.
+   *
+   * Determinism: Adamic-Adar is micro-quantized per CENTER
+   * (`floor(1e6/ln(deg) + 0.5)`, one deterministic double op per center —
+   * the t11 log-quantization pattern) so the per-pair score is an exact
+   * BIGINT sum; Jaccard is round-half-up integer arithmetic, no doubles.
+   */
+  def linkPredictions(edges: DataFrame, maxDegree: Int = 256,
+      topK: Int = 50): DataFrame = {
+    require(maxDegree >= 2, s"maxDegree must be >= 2, got $maxDegree")
+    val e = Dedup.materialize(canonicalEdges(edges))
+    val deg = Dedup.materialize(degrees(e))
+    val sym = e.select(col("u").as("ctr"), col("v").as("nb"))
+      .union(e.select(col("v").as("ctr"), col("u").as("nb")))
+    // deg >= 2: a degree-1 center spans no wedge, and ln(1) = 0 would
+    // poison its (unused) weight with a division by zero.
+    val ctrW = sym
+      .join(deg.filter(col("deg").between(2, maxDegree))
+        .select(col("vertex").as("ctr"), col("deg")), "ctr")
+      .withColumn("aaq",
+        floor(lit(1e6) /
+            org.apache.spark.sql.functions.log(col("deg").cast("double")) +
+            lit(0.5))
+          .cast("long"))
+      .select("ctr", "nb", "aaq")
+    val wedges = ctrW
+      .join(ctrW.select(col("ctr"), col("nb").as("nb2")), "ctr")
+      .where(col("nb") < col("nb2"))
+    val cand = wedges
+      .groupBy(col("nb").as("u"), col("nb2").as("v"))
+      .agg(count(lit(1)).as("cn"), sum("aaq").as("aa_micro"))
+      .join(e, Seq("u", "v"), "left_anti") // existing edges aren't predictions
+    cand
+      .join(deg.select(col("vertex").as("u"), col("deg").as("du")), "u")
+      .join(deg.select(col("vertex").as("v"), col("deg").as("dv")), "v")
+      .withColumn("jacc4",
+        expr("(20000 * cn + (du + dv - cn)) div (2 * (du + dv - cn))"))
+      .select("u", "v", "cn", "aa_micro", "jacc4")
+      .orderBy(col("aa_micro").desc, col("u"), col("v"))
+      .limit(topK)
+  }
 }

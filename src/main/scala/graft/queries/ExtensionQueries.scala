@@ -4064,5 +4064,59 @@ object ExtensionQueries {
                    CAST(n_id AS BIGINT) AS doc_id,
                    CAST(mmr4 AS BIGINT) AS mmr4
             FROM res3"""),
-      "retrieval stack: BM25 lexical retrieve -> semantic MMR diversify"))
+      "retrieval stack: BM25 lexical retrieve -> semantic MMR diversify"),
+
+    // Entity resolution → golden records (the MDM composition): d24's
+    // prefix-blocked native Jaro-Winkler pairs feed the star-rounds
+    // transitive closure (entity id = component-min record id), then ONE
+    // struct-min hash-agg per entity picks the highest-acctbal survivor
+    // and carries its attributes — no window sort, no join-back; unmatched
+    // customers pass through as single-record entities. The entity total
+    // sums integer cents (doubles micro-quantized BEFORE the agg) so the
+    // figure replays bit-for-bit in any engine. Oracle: blocking +
+    // jaro_winkler_similarity + recursive-CTE closure + window-ranked
+    // survivorship in one statement.
+    "pipe4_entity_resolution" -> QueryDef(
+      (s, dir) => {
+        graft.functions.GraftFunctions.register(s)
+        graft.ext.EntityResolution.resolveEntities(
+          t(s, dir, "customer").filter(col("c_custkey") <= 400),
+          idCol = "c_custkey", nameCol = "c_name", qualityCol = "c_acctbal",
+          carryCols = Seq("c_mktsegment"), blockPrefix = 12, minSim = 0.98)
+      },
+      Some("""WITH RECURSIVE c AS (SELECT c_custkey AS id, c_name AS nm,
+                                          c_mktsegment AS seg, c_acctbal AS q
+                                   FROM customer WHERE c_custkey <= 400),
+              pairs AS (SELECT a.id AS id_a, b.id AS id_b
+                        FROM c a JOIN c b
+                          ON substr(a.nm, 1, 12) = substr(b.nm, 1, 12)
+                         AND a.id < b.id
+                        WHERE round(jaro_winkler_similarity(a.nm, b.nm), 4)
+                               >= 0.98),
+              edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                        UNION ALL SELECT id_b, id_a FROM pairs),
+              reach(src, dst) AS (
+                SELECT src, dst FROM edges
+                UNION
+                SELECT r.src, e.dst FROM reach r JOIN edges e
+                  ON r.dst = e.src),
+              cl AS (SELECT src AS id, least(src, min(dst)) AS entity_id
+                     FROM reach GROUP BY src),
+              assign AS (SELECT c.id, coalesce(cl.entity_id, c.id)
+                                  AS entity_id,
+                                c.nm, c.seg, c.q
+                         FROM c LEFT JOIN cl ON c.id = cl.id),
+              scored AS (SELECT *, row_number() OVER (PARTITION BY entity_id
+                                     ORDER BY q DESC, id) AS rn
+                         FROM assign)
+              SELECT entity_id,
+                     max(CASE WHEN rn = 1 THEN id END) AS keeper_id,
+                     max(CASE WHEN rn = 1 THEN nm END) AS c_name,
+                     max(CASE WHEN rn = 1 THEN q END) AS c_acctbal,
+                     max(CASE WHEN rn = 1 THEN seg END) AS c_mktsegment,
+                     CAST(sum(CAST(floor(q * 100 + 0.5) AS BIGINT))
+                       AS BIGINT) AS total_q100,
+                     count(*) AS n_records
+              FROM scored GROUP BY entity_id"""),
+      "entity resolution: blocked JW match -> closure -> golden record"))
 }

@@ -183,6 +183,52 @@ object GraphQueries {
                                        / n_wedges, 6)
                      END AS global_clustering
               FROM agg, ne, tri"""),
-      "triangle census + clustering coefficient of the co-purchase graph")
+      "triangle census + clustering coefficient of the co-purchase graph"),
+
+    // Link prediction (common-neighbors / Adamic-Adar / Jaccard) over the
+    // high-quantity co-purchase subgraph: top-50 NON-adjacent part pairs
+    // by Adamic-Adar. The wedge expansion is the candidate generator
+    // (non-edges only surface through their wedge centers), hub-guarded
+    // at maxDegree=16 — tight enough that the cap is LIVE on this graph,
+    // and replayed identically by the oracle. Adamic-Adar micro-quantized
+    // per center (t11's ln pattern), Jaccard in round-half-up integer
+    // arithmetic — both exact BIGINTs through the aggs.
+    "graph4_link_predict" -> QueryDef(
+      (s, dir) => Graph.linkPredictions(
+        Graph.coPurchaseEdges(
+          t(s, dir, "lineitem").filter(col("l_quantity") >= 30)),
+        maxDegree = 16, topK = 50),
+      Some("""WITH e AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+                         FROM lineitem a JOIN lineitem b
+                           ON a.l_orderkey = b.l_orderkey
+                          AND a.l_partkey < b.l_partkey
+                         WHERE a.l_quantity >= 30 AND b.l_quantity >= 30),
+              sym AS (SELECT u AS ctr, v AS nb FROM e
+                      UNION ALL SELECT v, u FROM e),
+              deg AS (SELECT ctr AS vertex, CAST(count(*) AS BIGINT) AS deg
+                      FROM sym GROUP BY ctr),
+              ctrw AS (SELECT s.ctr, s.nb,
+                              CAST(floor(1e6 / ln(d.deg) + 0.5) AS BIGINT)
+                                AS aaq
+                       FROM sym s JOIN deg d ON s.ctr = d.vertex
+                       WHERE d.deg BETWEEN 2 AND 16),
+              wedges AS (SELECT a.nb AS u, b.nb AS v, a.aaq
+                         FROM ctrw a JOIN ctrw b
+                           ON a.ctr = b.ctr AND a.nb < b.nb),
+              cand AS (SELECT u, v, CAST(count(*) AS BIGINT) AS cn,
+                              CAST(sum(aaq) AS BIGINT) AS aa_micro
+                       FROM wedges GROUP BY u, v),
+              ne AS (SELECT c.* FROM cand c
+                     LEFT JOIN e ON c.u = e.u AND c.v = e.v
+                     WHERE e.u IS NULL),
+              fin AS (SELECT n.u, n.v, n.cn, n.aa_micro,
+                             (20000 * n.cn + (du.deg + dv.deg - n.cn))
+                               // (2 * (du.deg + dv.deg - n.cn)) AS jacc4
+                      FROM ne n JOIN deg du ON n.u = du.vertex
+                                JOIN deg dv ON n.v = dv.vertex)
+              SELECT u, v, cn, aa_micro, jacc4 FROM fin
+              ORDER BY aa_micro DESC, u, v LIMIT 50"""),
+      "link prediction: Adamic-Adar / common-neighbor / Jaccard top-k " +
+        "over non-edges, hub-guarded wedge expansion")
   )
 }

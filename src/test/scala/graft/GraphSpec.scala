@@ -156,6 +156,40 @@ class GraphSpec extends SparkTestBase {
       deg.map(d => d * (d - 1) / 2).sum)
   }
 
+  test("linkPredictions matches the brute-force scorer on random graphs") {
+    val rnd = new Random(29)
+    for (cap <- Seq(8, 1000)) {
+      val nv = 20 + rnd.nextInt(20)
+      val edges = (1 to 200).map { _ =>
+        val a = rnd.nextInt(nv).toLong; val b = rnd.nextInt(nv).toLong
+        (math.min(a, b), math.max(a, b))
+      }.filter(e => e._1 != e._2).distinct
+      val adj = edges.toSet
+      val nbrs = (edges ++ edges.map(e => (e._2, e._1)))
+        .groupBy(_._1).map { case (v, g) => v -> g.map(_._2).toSet }
+      val deg = nbrs.map { case (v, n) => v -> n.size.toLong }
+      val scores = collection.mutable.Map.empty[(Long, Long), (Long, Long)]
+      for ((w, n) <- nbrs if n.size >= 2 && n.size <= cap) {
+        val aaq = math.floor(1e6 / math.log(n.size.toDouble) + 0.5).toLong
+        val sn = n.toSeq.sorted
+        for (i <- sn.indices; j <- (i + 1) until sn.length) {
+          val k = (sn(i), sn(j))
+          val (c, a) = scores.getOrElse(k, (0L, 0L))
+          scores(k) = (c + 1, a + aaq)
+        }
+      }
+      val expected = scores.toSeq.collect {
+        case ((u, v), (cn, aa)) if !adj((u, v)) =>
+          val un = deg(u) + deg(v) - cn
+          (u, v, cn, aa, (20000 * cn + un) / (2 * un))
+      }.sortBy { case (u, v, _, aa, _) => (-aa, u, v) }
+      val got = Graph.linkPredictions(edges.toDF("u", "v"),
+          maxDegree = cap, topK = 100000)
+        .as[(Long, Long, Long, Long, Long)].collect().toSeq
+      assert(got == expected, s"cap=$cap")
+    }
+  }
+
   test("triangleStats canonicalizes reversed duplicates and self-loops") {
     val clean = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L))
     val dirty = clean ++ Seq((2L, 1L), (3L, 1L), (5L, 5L))
