@@ -397,6 +397,18 @@ object Bench {
             ps.read.parquet(s"$dir10/fuzzy_names.parquet"),
             "id", "nm", blockPrefix = 12, minSim = 0.9)
         })) :+
+        // the full ER composition over the same 10× name relation: blocked
+        // JW pairs + star-rounds closure + struct-min survivorship —
+        // quality/carry columns derived deterministically from the id so
+        // the probe stays pairs-dominated like d24, plus the CC rounds
+        ("pipe4_entity_resolution" -> ((ps: org.apache.spark.sql.SparkSession) => {
+          graft.functions.GraftFunctions.register(ps)
+          graft.ext.EntityResolution.resolveEntities(
+            ps.read.parquet(s"$dir10/fuzzy_names.parquet")
+              .withColumn("q", (col("id") % 997).cast("double"))
+              .withColumn("seg", (col("id") % 5).cast("string")),
+            "id", "nm", "q", Seq("seg"), blockPrefix = 12, minSim = 0.9)
+        })) :+
         // LSH banding recall at the SCALE default (20% sample) — the d21
         // gate runs 50% only because sf0.01 holds too few truth pairs;
         // this is the sampled-quadratic diagnostic cost you'd pay on a
@@ -642,12 +654,20 @@ object Bench {
         "graph2_triangles" -> ((ps: org.apache.spark.sql.SparkSession) =>
           graft.ext.Graph.triangleStats(
             graft.ext.Graph.coPurchaseEdges(
-              ps.read.parquet(s"$dir10/lineitem.parquet"))))),
+              ps.read.parquet(s"$dir10/lineitem.parquet")))),
+        // link prediction over the 10× high-quantity subgraph (the gate's
+        // own shape): capped wedge expansion + anti-join + top-k
+        "graph4_link_predict" -> ((ps: org.apache.spark.sql.SparkSession) =>
+          graft.ext.Graph.linkPredictions(
+            graft.ext.Graph.coPurchaseEdges(
+              ps.read.parquet(s"$dir10/lineitem.parquet")
+                .filter(col("l_quantity") >= 30)),
+            maxDegree = 16, topK = 50))),
         setup = ps => {
           val o = ps.read.parquet(s"$sfDir/orders.parquet")
             .select("o_orderkey", "o_custkey")
           val l = ps.read.parquet(s"$sfDir/lineitem.parquet")
-            .select("l_orderkey", "l_partkey", "l_suppkey")
+            .select("l_orderkey", "l_partkey", "l_suppkey", "l_quantity")
           val okStride = maxIdOrZero(o, "o_orderkey") + 1L
           val ckStride = maxIdOrZero(o, "o_custkey") + 1L
           val pkStride = maxIdOrZero(l, "l_partkey") + 1L
@@ -661,7 +681,8 @@ object Bench {
           (0 until 10).map(k => l.select(
             (col("l_orderkey") + lit(k * okStride)).as("l_orderkey"),
             (col("l_partkey") + lit(k * pkStride)).as("l_partkey"),
-            (col("l_suppkey") + lit(k * skStride)).as("l_suppkey")))
+            (col("l_suppkey") + lit(k * skStride)).as("l_suppkey"),
+            col("l_quantity")))
             .reduce(_ unionByName _)
             .repartition(16).write.mode("overwrite")
             .parquet(s"$dir10/lineitem.parquet")

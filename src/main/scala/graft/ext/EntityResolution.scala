@@ -38,8 +38,13 @@ object EntityResolution {
    * addition is summation-order dependent, exact BIGINT sums are not),
    * `n_records`.
    *
-   * @param qualityCol numeric column ranking records within an entity
-   *                   (highest survives; deterministic id tie-break)
+   * @param qualityCol numeric NON-NULL column ranking records within an
+   *                   entity (highest survives; deterministic id
+   *                   tie-break). Null quality would make the struct-min
+   *                   ordering engine-specific (Spark sorts null struct
+   *                   fields first, SQL engines' `ORDER BY q DESC` default
+   *                   null placement varies) — coalesce a sentinel before
+   *                   calling if the column is nullable.
    */
   def resolveEntities(
       records: DataFrame,

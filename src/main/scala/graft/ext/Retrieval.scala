@@ -313,6 +313,39 @@ object Retrieval {
    * `TakeOrderedAndProject` cut all run on bounded relations; the heavy
    * lifting stays inside the upstream retrievers. Output:
    * (doc_id, n_lists, rrf_q, rrf), ranked by rrf_q DESC, doc_id. */
+  /** Exact phrase search over positional postings — the retrieval
+   * primitive BM25's bag-of-words scoring cannot express ("spark
+   * structured streaming" as a phrase, not three independent terms).
+   * Returns `(doc_id, n_hits)` for documents containing the phrase's
+   * tokens CONSECUTIVELY, with the occurrence count.
+   *
+   * Scale shape: the positional explode filters to the phrase's (tiny)
+   * vocabulary INSIDE the scan projection — only phrase-term postings
+   * `(doc_id, pos, tok)` survive into the join graph, a |phrase|-bounded
+   * fraction of the corpus. Occurrences then assemble by position
+   * arithmetic: anchor postings of the first term equi-join the i-th
+   * term's postings on `(doc_id, pos − i)` — |phrase|−1 keyed joins on
+   * selective relations (AQE broadcasts them when the phrase is rare),
+   * never a window sort and never array re-scans of the document text.
+   * The one corpus pass is the posting derivation. */
+  def phraseSearch(docs: DataFrame, phrase: Seq[String]): DataFrame = {
+    require(phrase.nonEmpty, "phrase must have at least one token")
+    val post = docs
+      .select(col("doc_id"),
+        posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+      .where(col("tok").isin(phrase.distinct: _*))
+    val anchor = post.where(col("tok") === phrase.head)
+      .select(col("doc_id"), col("pos").as("p0"))
+    val matched = phrase.zipWithIndex.drop(1).foldLeft(anchor) {
+      case (acc, (term, i)) =>
+        acc.join(
+          post.where(col("tok") === term)
+            .select(col("doc_id"), (col("pos") - i).as("p0")),
+          Seq("doc_id", "p0"))
+    }
+    matched.groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
+  }
+
   def rrfFuse(lists: Seq[DataFrame], k: Int, k0: Int = 60): DataFrame = {
     require(lists.nonEmpty, "rrfFuse needs at least one ranked list")
     lists

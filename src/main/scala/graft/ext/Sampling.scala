@@ -325,4 +325,30 @@ object Sampling {
       .withColumn("offset",
         coalesce(sum(col(tokenCol).cast("long")).over(w), lit(0L)))
   }
+
+  /** One-row packing-efficiency audit of [[packSequences]] — the figure
+   * that says whether the chosen `budget` wastes trainer compute: pack
+   * count, document count, total tokens, min/max pack fill, the number
+   * of packs whose fill EXCEEDS the budget (a document whose cumulative
+   * start lands in-pack carries its tail over the boundary — the
+   * cross-boundary attention the offset metadata exists to mask), and
+   * the mean fill in exact permille of budget (integer `div`, no double
+   * division). Cost: the sp2 assignment + two hash-aggs (pack grain,
+   * then one row); everything after the assignment is pack-count-sized. */
+  def packEfficiency(df: DataFrame, idCol: String, tokenCol: String,
+      budget: Int): DataFrame = {
+    packSequences(df, idCol, tokenCol, budget)
+      .groupBy("bucket", "pack_id")
+      .agg(sum(col(tokenCol).cast("long")).as("fill"),
+        count(lit(1)).as("nd"))
+      .agg(
+        count(lit(1)).as("n_packs"),
+        sum("nd").as("n_docs"),
+        sum("fill").as("total_tokens"),
+        min("fill").as("min_fill"),
+        max("fill").as("max_fill"),
+        sum(when(col("fill") > budget, 1L).otherwise(0L)).as("n_over"))
+      .withColumn("mean_fill_permille",
+        expr(s"(total_tokens * 1000) div (n_packs * ${budget}L)"))
+  }
 }

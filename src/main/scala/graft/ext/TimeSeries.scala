@@ -94,4 +94,42 @@ object TimeSeries {
         min(when(col("run") === col("__peak"), col("t")))
           .as("first_peak_ts"))
   }
+
+  /** OHLC bar resampling — the downsampling classic (candlesticks,
+   * per-period gauge summaries): per `(key, bar)` the first value (open),
+   * max (high), min (low), last value (close), micro-quantized value sum
+   * and row count, with `bar = ts div barNs · barNs` on the long-nanos
+   * event time (integer division — ns-epoch magnitudes exceed double's
+   * 2^53 mantissa, the w3 lesson).
+   *
+   * Open/close are argmin/argmax by `(ts, tieCol)` carried through ONE
+   * struct-min/struct-max hash-agg — no per-bar window sort, no
+   * join-back; `tieCol` makes the ordering total so the endpoints are
+   * deterministic under timestamp collisions. The value sum quantizes to
+   * integer micros BEFORE aggregating (double addition is
+   * summation-order dependent; BIGINT sums are exact on any cluster
+   * layout). One shuffle total, partial aggregation upstream of it.
+   *
+   * Preconditions: `tsCol` is a non-negative long (epoch nanos — `div`
+   * truncates toward zero, so a negative timestamp would round its bar
+   * UP); `valCol` non-null (a null value would make open/close skip the
+   * row Spark-side while max/min skip it too, but null placement inside
+   * the endpoint structs is engine-specific). */
+  def ohlcBars(events: DataFrame, key: String, tsCol: String,
+      valCol: String, tieCol: String, barNs: Long): DataFrame = {
+    require(barNs > 0, s"barNs must be positive, got $barNs")
+    events
+      .groupBy(col(key), expr(s"$tsCol div ${barNs}L").as("__bar"))
+      .agg(
+        min(struct(col(tsCol), col(tieCol), col(valCol))).as("__o"),
+        max(struct(col(tsCol), col(tieCol), col(valCol))).as("__c"),
+        max(col(valCol)).as("high"),
+        min(col(valCol)).as("low"),
+        sum(floor(col(valCol) * lit(1e6) + lit(0.5)).cast("long"))
+          .as("v_micro"),
+        count(lit(1)).as("n"))
+      .select(col(key), (col("__bar") * lit(barNs)).as("bar_start"),
+        col(s"__o.$valCol").as("open"), col("high"), col("low"),
+        col(s"__c.$valCol").as("close"), col("v_micro"), col("n"))
+  }
 }

@@ -3399,6 +3399,43 @@ object ExtensionQueries {
               FROM p"""),
       "sequence packing with in-pack start offsets (attention-mask metadata)"),
 
+    // One-row packing-efficiency audit: pack/doc/token counts, fill
+    // bounds, over-budget pack count (boundary-crossing tails), mean
+    // fill in exact integer permille — the sp2 assignment + two
+    // hash-aggs, everything past the assignment pack-count-sized.
+    "sp22_pack_audit" -> QueryDef(
+      (s, dir) => graft.ext.Sampling.packEfficiency(
+        t(s, dir, "documents").select(col("doc_id"),
+          TextAnalysis.wsTokenCount(col("text")).as("n_tokens")),
+        "doc_id", "n_tokens", budget = 512),
+      Some("""WITH d AS (
+                SELECT doc_id,
+                       CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+                       ('0x' || substr(md5('pack:' || doc_id::VARCHAR), 1, 8))::BIGINT % 100 AS bucket
+                FROM documents),
+              c AS (
+                SELECT doc_id, n_tokens, bucket,
+                       coalesce(sum(CAST(n_tokens AS BIGINT)) OVER (
+                         PARTITION BY bucket ORDER BY doc_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+                FROM d),
+              pk AS (
+                SELECT bucket, CAST(cum // 512 AS BIGINT) AS pack_id,
+                       CAST(sum(CAST(n_tokens AS BIGINT)) AS BIGINT) AS fill,
+                       CAST(count(*) AS BIGINT) AS nd
+                FROM c GROUP BY bucket, pack_id)
+              SELECT CAST(count(*) AS BIGINT) AS n_packs,
+                     CAST(sum(nd) AS BIGINT) AS n_docs,
+                     CAST(sum(fill) AS BIGINT) AS total_tokens,
+                     min(fill) AS min_fill, max(fill) AS max_fill,
+                     CAST(sum(CASE WHEN fill > 512 THEN 1 ELSE 0 END)
+                       AS BIGINT) AS n_over,
+                     (CAST(sum(fill) AS BIGINT) * 1000)
+                       // (CAST(count(*) AS BIGINT) * 512)
+                       AS mean_fill_permille
+              FROM pk"""),
+      "packing-efficiency audit: fill bounds + over-budget packs, one row"),
+
     // Per-epoch deterministic reshuffle (2 epochs): different order every
     // epoch, identical every run - one corpus range sort by (epoch, md5
     // key), per-epoch positions recovered arithmetically (a per-epoch
@@ -3784,6 +3821,32 @@ object ExtensionQueries {
               CROSS JOIN total
               ORDER BY score DESC, phrase LIMIT 20"""),
       "word2phrase discounted-lift collocations, top 20"),
+
+    // Exact phrase search via positional postings: the postings explode
+    // filters to the phrase vocabulary inside the scan, then |phrase|-1
+    // position-arithmetic equi-joins assemble consecutive occurrences —
+    // the retrieval primitive BM25's bag-of-words cannot express. The
+    // oracle replays the same postings + offset joins.
+    "t27_phrase_search" -> QueryDef(
+      (s, dir) => Retrieval.phraseSearch(
+        t(s, dir, "documents"), Seq("slow", "hash", "batch")),
+      Some("""WITH wd AS (SELECT doc_id, string_split(text, ' ') AS w
+                          FROM documents),
+              posn AS (SELECT doc_id, w,
+                              unnest(generate_series(0, len(w) - 1)) AS p
+                       FROM wd),
+              post AS (SELECT doc_id, p, w[p + 1] AS tok FROM posn
+                       WHERE w[p + 1] IN ('slow', 'hash', 'batch')),
+              a AS (SELECT doc_id, p AS p0 FROM post WHERE tok = 'slow'),
+              m1 AS (SELECT a.doc_id, a.p0 FROM a JOIN post q
+                       ON q.doc_id = a.doc_id AND q.p = a.p0 + 1
+                      AND q.tok = 'hash'),
+              m2 AS (SELECT m1.doc_id, m1.p0 FROM m1 JOIN post q
+                       ON q.doc_id = m1.doc_id AND q.p = m1.p0 + 2
+                      AND q.tok = 'batch')
+              SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits
+              FROM m2 GROUP BY doc_id"""),
+      "exact phrase search: positional postings + offset equi-joins"),
 
     // Trigram Stupid Backoff (Brants et al. 2007 — the LM score built FOR
     // distributed count tables): S backs off trigram → bigram → unigram

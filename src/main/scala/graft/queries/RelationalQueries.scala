@@ -518,6 +518,36 @@ object RelationalQueries {
               GROUP BY 1, 2"""),
       "sweep-line peak concurrency per event type (+ first instant reached)"),
 
+    // OHLC bar resampling: per (event_type, hour) open/high/low/close +
+    // micro-quantized value sum. Open/close are struct-min/max argmin
+    // rides of ONE hash-agg (no per-bar window sort — the oracle's
+    // row_number formulation is what the operator avoids); the (ts,
+    // event_id) tie-break makes both endpoints total-ordered.
+    "x7_ohlc_resample" -> QueryDef(
+      (s, dir) => graft.ext.TimeSeries.ohlcBars(
+        t(s, dir, "events"), "event_type", "ts", "value", "event_id",
+        barNs = 3600L * 1000000000L),
+      Some("""WITH g AS (SELECT event_type,
+                     (epoch_ns(ts) // 3600000000000) * 3600000000000
+                       AS bar_start,
+                     epoch_ns(ts) AS tns, event_id, value
+                     FROM events),
+              rn AS (SELECT *,
+                       row_number() OVER (PARTITION BY event_type, bar_start
+                         ORDER BY tns, event_id) AS ro,
+                       row_number() OVER (PARTITION BY event_type, bar_start
+                         ORDER BY tns DESC, event_id DESC) AS rc
+                     FROM g)
+              SELECT event_type, bar_start,
+                     max(CASE WHEN ro = 1 THEN value END) AS open,
+                     max(value) AS high, min(value) AS low,
+                     max(CASE WHEN rc = 1 THEN value END) AS close,
+                     CAST(sum(CAST(floor(value * 1e6 + 0.5) AS BIGINT))
+                       AS BIGINT) AS v_micro,
+                     count(*) AS n
+              FROM rn GROUP BY event_type, bar_start"""),
+      "OHLC bar resampling: argmin/argmax endpoints in one hash-agg"),
+
     // Ordered-step conversion funnel: first view, first click AFTER that
     // view, first purchase AFTER that click. Each stage is one keyed
     // hash-agg over a type-filtered scan joined to the (one-row-per-user,

@@ -83,4 +83,29 @@ class Round7PropertySpec extends SparkTestBase {
       assert(got == expected, s"seed $seed")
     }
   }
+
+  test("phraseSearch equals the sliding-window brute count, " +
+    "overlaps included") {
+    // hand case: "x y x y x" holds phrase (x,y,x) at positions 0 AND 2 —
+    // overlapping occurrences both count
+    val hand = Seq((0L, "x y x y x")).toDF("doc_id", "text")
+    val handGot = Retrieval.phraseSearch(hand, Seq("x", "y", "x"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(handGot == Map(0L -> 2L))
+
+    for (seed <- Seq(3, 11)) {
+      val rnd = new scala.util.Random(seed)
+      val vocab = Vector("a", "b", "c", "d")
+      val docs = Seq.tabulate(80)(i =>
+        (i.toLong, Seq.fill(30)(vocab(rnd.nextInt(4))).mkString(" ")))
+      val phrase = Seq("a", "b", "a")
+      val expected = docs.map { case (id, text) =>
+        id -> text.split(" ").sliding(phrase.length)
+          .count(_.sameElements(phrase)).toLong
+      }.filter(_._2 > 0).toMap
+      val got = Retrieval.phraseSearch(docs.toDF("doc_id", "text"), phrase)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == expected, s"seed $seed")
+    }
+  }
 }
