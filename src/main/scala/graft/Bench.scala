@@ -739,7 +739,13 @@ object Bench {
       "timed an empty pipeline; cross-round comparison for t17 resets " +
       "at r7 accordingly. pipe3 candidates restrict to the embedded " +
       "slice (2000 of 5000 sf0.1 docs carry embeddings - the documented " +
-      "partial-coverage contract of the serving stack). Graph probes " +
+      "partial-coverage contract of the serving stack). " +
+      "r7 late probes: pipe4_entity_resolution runs the full ER " +
+      "composition (blocked JW pairs + star-rounds closure + survivorship) " +
+      "over d24's single-hot-block 10x name relation - its wall is " +
+      "JW-pair-scoring dominated, the documented blocking worst case; " +
+      "graph4_link_predict runs the capped wedge expansion over the 10x " +
+      "high-quantity co-purchase subgraph. Graph probes " +
       "(graph1/graph2) run over a 10x DISJOINT-replica order book (every " +
       "key shifted per replica - preserves per-copy density; shared-key " +
       "replication would densify the graph and scale the wedge work " +

@@ -3829,21 +3829,21 @@ object ExtensionQueries {
     // oracle replays the same postings + offset joins.
     "t27_phrase_search" -> QueryDef(
       (s, dir) => Retrieval.phraseSearch(
-        t(s, dir, "documents"), Seq("slow", "hash", "batch")),
+        t(s, dir, "documents"), Seq("part", "filter", "scan")),
       Some("""WITH wd AS (SELECT doc_id, string_split(text, ' ') AS w
                           FROM documents),
               posn AS (SELECT doc_id, w,
                               unnest(generate_series(0, len(w) - 1)) AS p
                        FROM wd),
               post AS (SELECT doc_id, p, w[p + 1] AS tok FROM posn
-                       WHERE w[p + 1] IN ('slow', 'hash', 'batch')),
-              a AS (SELECT doc_id, p AS p0 FROM post WHERE tok = 'slow'),
+                       WHERE w[p + 1] IN ('part', 'filter', 'scan')),
+              a AS (SELECT doc_id, p AS p0 FROM post WHERE tok = 'part'),
               m1 AS (SELECT a.doc_id, a.p0 FROM a JOIN post q
                        ON q.doc_id = a.doc_id AND q.p = a.p0 + 1
-                      AND q.tok = 'hash'),
+                      AND q.tok = 'filter'),
               m2 AS (SELECT m1.doc_id, m1.p0 FROM m1 JOIN post q
                        ON q.doc_id = m1.doc_id AND q.p = m1.p0 + 2
-                      AND q.tok = 'batch')
+                      AND q.tok = 'scan')
               SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits
               FROM m2 GROUP BY doc_id"""),
       "exact phrase search: positional postings + offset equi-joins"),

@@ -229,6 +229,35 @@ object GraphQueries {
               SELECT u, v, cn, aa_micro, jacc4 FROM fin
               ORDER BY aa_micro DESC, u, v LIMIT 50"""),
       "link prediction: Adamic-Adar / common-neighbor / Jaccard top-k " +
-        "over non-edges, hub-guarded wedge expansion")
+        "over non-edges, hub-guarded wedge expansion"),
+
+    // Component census of the very-high-quantity co-purchase subgraph
+    // (sparse by construction, so the oracle's recursive closure stays
+    // cheap): the size histogram that says whether the graph is one
+    // giant component or confetti. Star-rounds CC + two tiny hash-aggs.
+    "graph5_components" -> QueryDef(
+      (s, dir) => Graph.componentCensus(
+        Graph.coPurchaseEdges(
+          t(s, dir, "lineitem").filter(col("l_quantity") >= 48))),
+      Some("""WITH RECURSIVE e AS (
+                SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+                FROM lineitem a JOIN lineitem b
+                  ON a.l_orderkey = b.l_orderkey
+                 AND a.l_partkey < b.l_partkey
+                WHERE a.l_quantity >= 48 AND b.l_quantity >= 48),
+              edges AS (SELECT u AS src, v AS dst FROM e
+                        UNION ALL SELECT v, u FROM e),
+              reach(src, dst) AS (
+                SELECT src, dst FROM edges
+                UNION
+                SELECT r.src, e2.dst FROM reach r JOIN edges e2
+                  ON r.dst = e2.src),
+              cl AS (SELECT src AS vertex, least(src, min(dst)) AS cluster
+                     FROM reach GROUP BY src),
+              cs AS (SELECT cluster, CAST(count(*) AS BIGINT) AS size
+                     FROM cl GROUP BY cluster)
+              SELECT size, CAST(count(*) AS BIGINT) AS n_components
+              FROM cs GROUP BY size ORDER BY size"""),
+      "connected-component size census of a sparse co-purchase subgraph")
   )
 }

@@ -156,6 +156,32 @@ class GraphSpec extends SparkTestBase {
       deg.map(d => d * (d - 1) / 2).sum)
   }
 
+  test("componentCensus matches a union-find reference on random graphs") {
+    val rnd = new Random(31)
+    for (trial <- 1 to 3) {
+      val nv = 30 + rnd.nextInt(40)
+      val edges = (1 to (20 + rnd.nextInt(60))).map { _ =>
+        val a = rnd.nextInt(nv).toLong; val b = rnd.nextInt(nv).toLong
+        (math.min(a, b), math.max(a, b))
+      }.filter(e => e._1 != e._2).distinct
+      val parent = collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        val p = parent.getOrElse(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val verts = (edges.map(_._1) ++ edges.map(_._2)).distinct
+      val expected = verts.groupBy(find).map(_._2.size.toLong)
+        .groupBy(identity).map { case (sz, g) => (sz, g.size.toLong) }
+      val got = Graph.componentCensus(edges.toDF("u", "v"))
+        .as[(Long, Long)].collect().toMap
+      assert(got == expected, s"trial $trial")
+    }
+  }
+
   test("linkPredictions matches the brute-force scorer on random graphs") {
     val rnd = new Random(29)
     for (cap <- Seq(8, 1000)) {
