@@ -327,13 +327,16 @@ object Retrieval {
    * term's postings on `(doc_id, pos − i)` — |phrase|−1 keyed joins on
    * selective relations (AQE broadcasts them when the phrase is rare),
    * never a window sort and never array re-scans of the document text.
-   * The one corpus pass is the posting derivation. */
+   * The postings relation is MATERIALIZED before the join graph consumes
+   * it three ways (anchor + each offset side) — without that, Spark
+   * re-derives the subtree per consumer and the "one corpus pass"
+   * becomes |phrase| corpus explodes (caught in the r7 plan audit). */
   def phraseSearch(docs: DataFrame, phrase: Seq[String]): DataFrame = {
     require(phrase.nonEmpty, "phrase must have at least one token")
-    val post = docs
+    val post = Dedup.materialize(docs
       .select(col("doc_id"),
         posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
-      .where(col("tok").isin(phrase.distinct: _*))
+      .where(col("tok").isin(phrase.distinct: _*)))
     val anchor = post.where(col("tok") === phrase.head)
       .select(col("doc_id"), col("pos").as("p0"))
     val matched = phrase.zipWithIndex.drop(1).foldLeft(anchor) {

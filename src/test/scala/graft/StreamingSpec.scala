@@ -95,6 +95,42 @@ class StreamingSpec extends SparkTestBase {
     assert(rows.contains(("view", 1L, 5.0)))
   }
 
+  test("OHLC bars maintain incrementally: complete-mode streaming output " +
+    "equals the batch resample, late rows included") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Long, String, Double)]
+    val events = input.toDF().toDF("ts", "event_id", "event_type", "value")
+    val bars = graft.ext.TimeSeries.ohlcBars(
+      events, "event_type", "ts", "value", "event_id", barNs = 100L)
+    val q = bars.writeStream.outputMode("complete")
+      .format("memory").queryName("ohlc_out").start()
+
+    val b1 = Seq((10L, 1L, "a", 5.0), (20L, 2L, "a", 3.0),
+      (110L, 3L, "a", 7.0), (15L, 4L, "b", 1.0))
+    // batch 2 lands rows in ALREADY-EMITTED bars (ts 5, 30): the unbounded
+    // state of complete mode must revise open/low/close, not just append
+    val b2 = Seq((30L, 5L, "a", 9.0), (5L, 6L, "a", 4.0),
+      (120L, 7L, "a", 2.0))
+    input.addData(b1: _*)
+    q.processAllAvailable()
+    input.addData(b2: _*)
+    q.processAllAvailable()
+    q.stop()
+
+    def canon(df: org.apache.spark.sql.DataFrame) = df
+      .select($"event_type", $"bar_start", $"open", $"high", $"low",
+        $"close", $"v_micro", $"n")
+      .as[(String, Long, Double, Double, Double, Double, Long, Long)]
+      .collect().toSet
+    val got = canon(spark.table("ohlc_out"))
+    val expected = canon(graft.ext.TimeSeries.ohlcBars(
+      (b1 ++ b2).toDF("ts", "event_id", "event_type", "value"),
+      "event_type", "ts", "value", "event_id", barNs = 100L))
+    assert(got == expected)
+    // the late ts=5 row must have become bar [0,100)'s open
+    assert(got.exists(r => r._1 == "a" && r._2 == 0L && r._3 == 4.0))
+  }
+
   test("observe metrics surface per-batch spine counts without an extra pass") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[String]

@@ -22,7 +22,11 @@ val names = Seq(
   // round 7 late additions: the graph family (note pagerank plans are
   // per-iteration — the materialization barrier means the dumped plan is
   // the FINAL iteration's join+agg, which is the repeated unit)
-  "graph1_pagerank", "graph2_triangles", "d25_lsh_plan")
+  "graph1_pagerank", "graph2_triangles", "d25_lsh_plan",
+  // round 7 final additions: ER composition, link prediction, component
+  // census, OHLC resample, phrase search, packing audit
+  "pipe4_entity_resolution", "graph4_link_predict", "graph5_components",
+  "x7_ohlc_resample", "t27_phrase_search", "sp22_pack_audit")
 for (n <- names) {
   val df = graft.SparkEntry.queries(n)(spark, sfDir)
   val plan = df.queryExecution.explainString(
