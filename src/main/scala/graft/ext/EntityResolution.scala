@@ -54,6 +54,10 @@ object EntityResolution {
       carryCols: Seq[String],
       blockPrefix: Int,
       minSim: Double): DataFrame = {
+    val reserved = Set("entity_id", "k", "total_q100", "n_records",
+      "__id", "__nm", "__q")
+    require(carryCols.forall(c => !reserved(c)),
+      s"carryCols may not use the reserved names ${reserved.mkString(", ")}")
     val pairs = Dedup
       .jaroWinklerPairs(records, idCol, nameCol, blockPrefix, minSim)
       .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))

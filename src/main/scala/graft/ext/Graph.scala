@@ -333,6 +333,24 @@ object Graph {
           round(lit(3.0) * col("n_triangles") / col("n_wedges"), 6)))
   }
 
+  /** Connected-component census of an undirected edge relation: the
+   * component-size histogram `(size, n_components)` — the one-glance
+   * fragmentation readout of a graph (is it one giant component, or
+   * confetti?), and the link-farm scale signal next to
+   * [[triangleStats]]'s clustering coefficient. Components come from the
+   * star-rounds machinery ([[Dedup.dupClusters]] — O(log² n)
+   * shuffle-bounded rounds); the census is two component-count-sized
+   * hash-aggs on top. Only vertices incident to an edge participate (an
+   * edge relation carries no isolated vertices by construction). */
+  def componentCensus(edges: DataFrame): DataFrame = {
+    val e = canonicalEdges(edges)
+      .select(col("u").as("doc_a"), col("v").as("doc_b"))
+    Dedup.dupClusters(e)
+      .groupBy("cluster").agg(count(lit(1)).as("size"))
+      .groupBy("size").agg(count(lit(1)).as("n_components"))
+      .orderBy("size")
+  }
+
   /**
    * Link prediction over an undirected edge relation: for every NON-edge
    * pair with at least one common neighbor, the three classic proximity
@@ -357,24 +375,6 @@ object Graph {
    * the t11 log-quantization pattern) so the per-pair score is an exact
    * BIGINT sum; Jaccard is round-half-up integer arithmetic, no doubles.
    */
-  /** Connected-component census of an undirected edge relation: the
-   * component-size histogram `(size, n_components)` — the one-glance
-   * fragmentation readout of a graph (is it one giant component, or
-   * confetti?), and the link-farm scale signal next to
-   * [[triangleStats]]'s clustering coefficient. Components come from the
-   * star-rounds machinery ([[Dedup.dupClusters]] — O(log² n)
-   * shuffle-bounded rounds); the census is two component-count-sized
-   * hash-aggs on top. Only vertices incident to an edge participate (an
-   * edge relation carries no isolated vertices by construction). */
-  def componentCensus(edges: DataFrame): DataFrame = {
-    val e = canonicalEdges(edges)
-      .select(col("u").as("doc_a"), col("v").as("doc_b"))
-    Dedup.dupClusters(e)
-      .groupBy("cluster").agg(count(lit(1)).as("size"))
-      .groupBy("size").agg(count(lit(1)).as("n_components"))
-      .orderBy("size")
-  }
-
   def linkPredictions(edges: DataFrame, maxDegree: Int = 256,
       topK: Int = 50): DataFrame = {
     require(maxDegree >= 2, s"maxDegree must be >= 2, got $maxDegree")
