@@ -13,8 +13,11 @@ import org.apache.spark.sql.functions._
  *
  * Stages (one DAG, nothing all-pairs):
  *  1. candidate pairs — prefix blocking + the native Jaro-Winkler kernel
- *     ([[Dedup.jaroWinklerPairs]]): comparisons bounded per block, never
- *     corpus².
+ *     ([[Dedup.jaroWinklerPairs]]): comparisons bounded per block, and
+ *     the `maxBlock` hot-block cap (exposed here, NOT hard-disabled —
+ *     the round-6 pipe1 lesson) bounds the degenerate low-entropy-name
+ *     case where one block holds the corpus; [[Dedup.jwBlockStats]] is
+ *     the pre-flight that sizes it.
  *  2. transitive closure — matched pairs feed the star-rounds connected
  *     components ([[Dedup.dupClusters]]): O(log² n) shuffle-bounded
  *     rounds; the entity id is the component-minimum record id.
@@ -53,13 +56,15 @@ object EntityResolution {
       qualityCol: String,
       carryCols: Seq[String],
       blockPrefix: Int,
-      minSim: Double): DataFrame = {
+      minSim: Double,
+      maxBlock: Int = 10000): DataFrame = {
     val reserved = Set("entity_id", "k", "total_q100", "n_records",
       "__id", "__nm", "__q")
     require(carryCols.forall(c => !reserved(c)),
       s"carryCols may not use the reserved names ${reserved.mkString(", ")}")
     val pairs = Dedup
-      .jaroWinklerPairs(records, idCol, nameCol, blockPrefix, minSim)
+      .jaroWinklerPairs(records, idCol, nameCol, blockPrefix, minSim,
+        maxBlock)
       .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
     val clusters = Dedup.dupClusters(pairs)
       .select(col("doc_id").as("__id"), col("cluster").as("entity_id"))

@@ -2329,14 +2329,43 @@ object ExtensionQueries {
           "c_custkey", "c_name", blockPrefix = 12, minSim = 0.98)
       },
       Some("""WITH c AS (SELECT c_custkey AS id, c_name AS nm
-                         FROM customer WHERE c_custkey <= 400)
+                         FROM customer WHERE c_custkey <= 400),
+              ok AS (SELECT substr(nm, 1, 12) AS blk FROM c
+                     GROUP BY blk HAVING count(*) <= 10000)
               SELECT a.id AS id_a, b.id AS id_b,
                      round(jaro_winkler_similarity(a.nm, b.nm), 4) AS jw
               FROM c a JOIN c b
                 ON substr(a.nm, 1, 12) = substr(b.nm, 1, 12)
                AND a.id < b.id
-              WHERE round(jaro_winkler_similarity(a.nm, b.nm), 4) >= 0.98"""),
+              WHERE substr(a.nm, 1, 12) IN (SELECT blk FROM ok)
+                AND round(jaro_winkler_similarity(a.nm, b.nm), 4) >= 0.98"""),
       "Jaro-Winkler fuzzy pairs: native codegen'd kernel vs DuckDB's built-in"),
+
+    // Pre-flight block diagnostics for the JW family (the d17 discipline
+    // lifted to prefix blocking): block count, hottest block, the
+    // uncapped Σ C(b,2) candidate cost, and what a maxBlock=100 cap
+    // would do to it — on this corpus the single shared-prefix block
+    // EXCEEDS the cap, so the capped pair cost collapses to 0: the
+    // degenerate-blocking case measured, oracle-gated, before any join.
+    "d26_jw_block_stats" -> QueryDef(
+      (s, dir) => Dedup.jwBlockStats(
+        t(s, dir, "customer").filter(col("c_custkey") <= 400),
+        "c_name", blockPrefix = 12, maxBlock = 100),
+      Some("""WITH c AS (SELECT c_name AS nm FROM customer
+                         WHERE c_custkey <= 400),
+              b AS (SELECT substr(nm, 1, 12) AS blk,
+                           CAST(count(*) AS BIGINT) AS n
+                    FROM c GROUP BY blk)
+              SELECT CAST(count(*) AS BIGINT) AS n_blocks,
+                     max(n) AS max_block,
+                     CAST(sum((n * (n - 1)) // 2) AS BIGINT)
+                       AS candidate_pairs,
+                     CAST(sum(CASE WHEN n > 100 THEN 1 ELSE 0 END)
+                       AS BIGINT) AS blocks_over_cap,
+                     CAST(sum(CASE WHEN n <= 100 THEN (n * (n - 1)) // 2
+                              ELSE 0 END) AS BIGINT) AS pairs_after_cap
+              FROM b"""),
+      "JW blocking pre-flight: block sizes + capped/uncapped pair cost"),
 
     // Bidirectional fuzzy blocking: prefix pass UNION suffix pass (prefix
     // over reversed strings) — an edit inside the prefix escapes d9's
@@ -4150,11 +4179,14 @@ object ExtensionQueries {
       Some("""WITH RECURSIVE c AS (SELECT c_custkey AS id, c_name AS nm,
                                           c_mktsegment AS seg, c_acctbal AS q
                                    FROM customer WHERE c_custkey <= 400),
+              okb AS (SELECT substr(nm, 1, 12) AS blk FROM c
+                      GROUP BY blk HAVING count(*) <= 10000),
               pairs AS (SELECT a.id AS id_a, b.id AS id_b
                         FROM c a JOIN c b
                           ON substr(a.nm, 1, 12) = substr(b.nm, 1, 12)
                          AND a.id < b.id
-                        WHERE round(jaro_winkler_similarity(a.nm, b.nm), 4)
+                        WHERE substr(a.nm, 1, 12) IN (SELECT blk FROM okb)
+                          AND round(jaro_winkler_similarity(a.nm, b.nm), 4)
                                >= 0.98),
               edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
                         UNION ALL SELECT id_b, id_a FROM pairs),

@@ -52,6 +52,26 @@ class EntityResolutionSpec extends SparkTestBase {
       "same-block below-threshold record stays its own entity")
   }
 
+  test("the maxBlock hot-block cap is live: cap=1 suppresses every pair") {
+    val out = EntityResolution.resolveEntities(records, "id", "nm", "q",
+      carryCols = Seq("seg"), blockPrefix = 5, minSim = 0.9, maxBlock = 1)
+      .collect()
+    assert(out.length == 5)
+    assert(out.forall(_.getLong(6) == 1L),
+      "with every block over the cap, all records stay singleton entities")
+  }
+
+  test("jwBlockStats sizes the blocking decision before the join") {
+    // blocks at prefix 5: "alpha" holds 4 records, "beta-" holds 1
+    val r = graft.ext.Dedup.jwBlockStats(records, "nm",
+      blockPrefix = 5, maxBlock = 3).collect().head
+    assert(r.getLong(0) == 2L, "n_blocks")
+    assert(r.getLong(1) == 4L, "max_block")
+    assert(r.getLong(2) == 6L, "candidate_pairs = C(4,2) + C(1,2)")
+    assert(r.getLong(3) == 1L, "blocks_over_cap: the alpha block")
+    assert(r.getLong(4) == 0L, "pairs_after_cap: only the singleton block")
+  }
+
   test("a corpus with no matches at all resolves to all singletons") {
     val distinct = Seq(
       (1L, "aaaaa-one", 1.0, "x"),
