@@ -610,6 +610,61 @@ object Dedup {
     positionedShingles(docs, width)
       .select(col("doc_id"), md5(col("sh")).as("sh")).distinct()
 
+  /** Hash seed for [[winnowFingerprints]] (disjoint from the MinHash
+   * seed range 0..11 and the SimHash seed 0). */
+  val WinnowSeed = 27
+  /** Position-packing radix for the winnow argmin key: positions pack
+   * into the low 20 bits, so documents are supported up to 2^20 shingle
+   * positions (~1M tokens — beyond [[graft.ext.Sampling.chunkDocuments]]'
+   * working grain); the 32-bit [[seededHash]] rides bits 20..51. */
+  val WinnowPosPack = 1048576L
+
+  /** Winnowing fingerprint selection (Schleimer, Wilkerson & Aiken,
+   * SIGMOD 2003 — the MOSS scheme): over each document's positioned
+   * `width`-gram hashes, every window of `win` CONSECUTIVE positions
+   * selects its minimum hash, ties to the RIGHTMOST occurrence (the
+   * paper's robust-winnowing rule); the distinct selected set is the
+   * document's sketch. The local-selection guarantee the every-position
+   * family (d18's [[positionedFingerprints]]) buys with 1-per-position
+   * density: any exact token match of length >= win + width − 1 between
+   * two documents contains a full shared window, whose minimum is
+   * selected in BOTH sketches — detection floor chosen, not hoped for,
+   * at expected density 2/(win+1).
+   *
+   * Plan shape: rides [[positionedShingles]]' per-doc repartition — the
+   * selection window and the trailing full-window guard sort by the
+   * same (doc_id, pos) the lead-window tokenization already ordered, so
+   * the whole derivation costs ONE corpus exchange. The (hash, pos)
+   * rightmost-argmin packs into one BIGINT (`fp·2²⁰ + (2²⁰−1−pos)`, the
+   * t24 key trick): a plain window `min` both engines evaluate
+   * identically replaces a struct comparator the oracle could not
+   * replay. Output: (doc_id, pos, fp) — the selected fingerprints. */
+  def winnowFingerprints(docs: DataFrame, width: Int,
+      win: Int): DataFrame = {
+    require(win >= 1, s"winnow window must be >= 1, got $win")
+    val overWin = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.currentRow,
+        win - 1)
+    val perDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id")
+    positionedShingles(docs, width)
+      .withColumn("key",
+        seededHash(col("sh"), WinnowSeed) * WinnowPosPack
+          + (lit(WinnowPosPack - 1) - col("pos")))
+      .withColumn("selk", min("key").over(overWin))
+      // positionedShingles emits DENSE positions 0..n−1 per doc, so the
+      // ROWS frame is the paper's index window; only FULL windows select
+      // (a start past max(pos) − (win−1) covers fewer than win grams)
+      .withColumn("last_start", max("pos").over(perDoc) - (win - 1))
+      .filter(col("pos") <= col("last_start"))
+      .select(col("doc_id"), col("selk")).distinct()
+      .select(col("doc_id"),
+        (lit(WinnowPosPack - 1) - pmod(col("selk"), lit(WinnowPosPack)))
+          .cast("int").as("pos"),
+        expr(s"selk div $WinnowPosPack").as("fp"))
+  }
+
   /** [[removeDuplicateSpans]] against an optional PRIOR fingerprint set
    * ([[windowFingerprints]] of everything ingested before this batch): a
    * window whose fingerprint is prior is cut from EVERY occurrence in

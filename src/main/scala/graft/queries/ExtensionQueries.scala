@@ -2367,6 +2367,41 @@ object ExtensionQueries {
               FROM b"""),
       "JW blocking pre-flight: block sizes + capped/uncapped pair cost"),
 
+    // Winnowing fingerprint selection (Schleimer et al. 2003, the MOSS
+    // scheme): each window of 4 consecutive 3-gram hashes selects its
+    // minimum (ties rightmost) — the position-robust LOCAL sketch beside
+    // d18's every-position family, guaranteeing detection of any exact
+    // match of >= 4 + 3 − 1 = 6 tokens at ~2/(win+1) density. The oracle
+    // replays the packed-BIGINT rightmost-argmin window verbatim.
+    "d27_winnow_fps" -> QueryDef(
+      (s, dir) => Dedup.winnowFingerprints(t(s, dir, "documents"),
+        width = Dedup.ShingleWidth, win = 4),
+      Some(s"""WITH wn_w AS (SELECT doc_id, string_split(text, ' ') AS w
+                             FROM documents),
+               wn_p AS (SELECT doc_id, w,
+                               unnest(generate_series(0, len(w) - 3)) AS pos
+                        FROM wn_w WHERE len(w) >= 3),
+               wn_k AS (SELECT doc_id, pos,
+                          ${sqlHash(
+                            "array_to_string(w[pos + 1 : pos + 3], ' ')",
+                            Dedup.WinnowSeed)}
+                            * 1048576 + (1048575 - pos) AS key
+                        FROM wn_p),
+               wn_s AS (SELECT doc_id, pos,
+                               min(key) OVER (PARTITION BY doc_id
+                                 ORDER BY pos ROWS BETWEEN CURRENT ROW
+                                 AND 3 FOLLOWING) AS selk,
+                               max(pos) OVER (PARTITION BY doc_id)
+                                 AS maxpos
+                        FROM wn_k),
+               wn_d AS (SELECT DISTINCT doc_id, selk FROM wn_s
+                        WHERE pos <= maxpos - 3)
+               SELECT doc_id,
+                      CAST(1048575 - (selk % 1048576) AS INTEGER) AS pos,
+                      selk // 1048576 AS fp
+               FROM wn_d"""),
+      "winnowing (MOSS): window-min k-gram fingerprint sketch per doc"),
+
     // Bidirectional fuzzy blocking: prefix pass UNION suffix pass (prefix
     // over reversed strings) — an edit inside the prefix escapes d9's
     // blocking but not the suffix block, so the pass pair is exact for

@@ -115,6 +115,18 @@ class DedupPlanSpec extends SparkTestBase {
     assert(windows.head.windowExpressions.length == 12)
   }
 
+  test("winnowFingerprints rides ONE exchange end-to-end") {
+    // the selection window, the full-window guard and the distinct must
+    // all reuse positionedShingles' doc_id repartition — a second
+    // exchange would mean the sketch pays the corpus shuffle twice
+    // string-count: under AQE the adaptive root does not expose the
+    // inner plan as a child, so a node collect() sees zero exchanges
+    val plan = Dedup.winnowFingerprints(docs, 3, 4)
+      .queryExecution.executedPlan.toString
+    assert("Exchange".r.findAllIn(plan).length == 1,
+      s"expected one exchange:\n$plan")
+  }
+
   test("property: random graphs cluster to exact union-find components") {
     for (seed <- 1 to 3) {
       val rnd = new scala.util.Random(seed)

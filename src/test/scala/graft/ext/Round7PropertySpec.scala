@@ -108,4 +108,66 @@ class Round7PropertySpec extends SparkTestBase {
       assert(got == expected, s"seed $seed")
     }
   }
+
+  // independent seededHash twin for the winnowing reference (MessageDigest,
+  // no Spark expressions shared with the implementation under test)
+  private def refHash(sh: String): Long = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"${Dedup.WinnowSeed}:$sh".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex.substring(0, 8), 16)
+  }
+
+  private def refWinnow(text: String, width: Int,
+      win: Int): Set[(Int, Long)] = {
+    val toks = text.split(" ")
+    if (toks.length < width) return Set.empty
+    val keys = toks.sliding(width).zipWithIndex.map { case (g, p) =>
+      refHash(g.mkString(" ")) * Dedup.WinnowPosPack +
+        (Dedup.WinnowPosPack - 1 - p)
+    }.toVector
+    (0 to keys.length - win).map(t => keys.slice(t, t + win).min)
+      .toSet.map { k: Long =>
+        ((Dedup.WinnowPosPack - 1 - (k % Dedup.WinnowPosPack)).toInt,
+          k / Dedup.WinnowPosPack)
+      }
+  }
+
+  test("winnowFingerprints equals the brute window-min reference") {
+    for (seed <- Seq(5, 23)) {
+      val rnd = new scala.util.Random(seed)
+      val vocab = Vector("a", "b", "c", "d", "e", "f")
+      // lengths straddle the below-width / single-window / general cases
+      val docs = Seq.tabulate(60)(i => (i.toLong,
+        Seq.fill(2 + rnd.nextInt(20))(vocab(rnd.nextInt(vocab.size)))
+          .mkString(" ")))
+      val expected = docs.flatMap { case (id, text) =>
+        refWinnow(text, 3, 4).map { case (p, f) => (id, p, f) }
+      }.toSet
+      val got = Dedup.winnowFingerprints(docs.toDF("doc_id", "text"), 3, 4)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+        .toSet
+      assert(got == expected, s"seed $seed")
+    }
+  }
+
+  test("winnowing guarantee: a shared run of win+width-1 tokens " +
+      "always shares a fingerprint") {
+    for (seed <- Seq(2, 9, 31)) {
+      val rnd = new scala.util.Random(seed)
+      // disjoint private vocabularies; the planted 6-token run (win=4,
+      // width=3 → floor 4+3−1) is the ONLY cross-doc material
+      val run = Seq.fill(6)(s"r${rnd.nextInt(3)}").mkString(" ")
+      def noise(p: String, n: Int) =
+        Seq.fill(n)(s"$p${rnd.nextInt(50)}").mkString(" ")
+      val a = s"${noise("x", 1 + rnd.nextInt(10))} $run ${noise("x", 1 + rnd.nextInt(10))}"
+      val b = s"${noise("y", 1 + rnd.nextInt(10))} $run ${noise("y", 1 + rnd.nextInt(10))}"
+      val fps = Dedup.winnowFingerprints(
+          Seq((0L, a), (1L, b)).toDF("doc_id", "text"), 3, 4)
+        .collect().map(r => (r.getLong(0), r.getLong(2)))
+      val fa = fps.collect { case (0L, f) => f }.toSet
+      val fb = fps.collect { case (1L, f) => f }.toSet
+      assert((fa intersect fb).nonEmpty, s"seed $seed")
+    }
+  }
 }
