@@ -665,6 +665,42 @@ object Dedup {
         expr(s"selk div $WinnowPosPack").as("fp"))
   }
 
+  /** Near-dup candidate pairs over the [[winnowFingerprints]] sketch —
+   * the detector MOSS builds on the selection: documents sharing at
+   * least `minShared` selected fingerprint VALUES pair up, with the
+   * shared count as the match weight. `maxPostings` is the hot-posting
+   * cap (the LSH `maxBucket` discipline): a fingerprint selected in more
+   * than `maxPostings` documents is corpus-frequent boilerplate whose B²
+   * pair contribution is DROPPED, not paid — recall trades for
+   * boundedness exactly as in [[lshCandidates]]; [[removeBoilerplate]]
+   * is the repair-side answer to the same grams.
+   *
+   * Plan: the (doc_id, fp) distinct rides the sketch's doc_id
+   * partitioning; then one fp-keyed postings agg with the in-group
+   * sorted-array pair expansion (the [[rareShingleCandidates]] shape —
+   * never a corpus self-join) and one pair-keyed count. Three exchanges
+   * total, each on a different key the semantics require.
+   * Output: (doc_a, doc_b, n_shared), doc_a < doc_b. */
+  def winnowCandidates(docs: DataFrame, width: Int, win: Int,
+      minShared: Int, maxPostings: Int = 100): DataFrame = {
+    require(minShared >= 1, s"minShared must be >= 1, got $minShared")
+    require(maxPostings >= 2, s"maxPostings must be >= 2, got $maxPostings")
+    winnowFingerprints(docs, width, win)
+      .select(col("doc_id"), col("fp")).distinct()
+      .groupBy("fp").agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+      .filter(size(col("ds")).between(2, maxPostings))
+      .select(explode(expr(
+        """flatten(transform(ds, (a, i) ->
+          |  transform(slice(ds, i + 2, size(ds) - i - 1), b ->
+          |    struct(a AS doc_a, b AS doc_b))))""".stripMargin)).as("p"))
+      .select(col("p.doc_a"), col("p.doc_b"))
+      // the distinct (doc_id, fp) input makes the strict a < b expansion
+      // self-pair-free; keep the rareShingleCandidates defensive filter
+      .filter(col("doc_a") =!= col("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** [[removeDuplicateSpans]] against an optional PRIOR fingerprint set
    * ([[windowFingerprints]] of everything ingested before this batch): a
    * window whose fingerprint is prior is cut from EVERY occurrence in

@@ -2402,6 +2402,51 @@ object ExtensionQueries {
                FROM wn_d"""),
       "winnowing (MOSS): window-min k-gram fingerprint sketch per doc"),
 
+    // The detector over the d27 sketch: documents sharing >= 2 selected
+    // fingerprint VALUES pair up with the shared count as weight; a
+    // fingerprint selected in > 100 docs is corpus-frequent boilerplate
+    // whose B² pair contribution is dropped (the LSH maxBucket
+    // discipline). The oracle extends the d27 chain with the postings
+    // self-join.
+    "d28_winnow_pairs" -> QueryDef(
+      (s, dir) => Dedup.winnowCandidates(t(s, dir, "documents"),
+        width = Dedup.ShingleWidth, win = 4, minShared = 2,
+        maxPostings = 100),
+      Some(s"""WITH wn_w AS (SELECT doc_id, string_split(text, ' ') AS w
+                             FROM documents),
+               wn_p AS (SELECT doc_id, w,
+                               unnest(generate_series(0, len(w) - 3)) AS pos
+                        FROM wn_w WHERE len(w) >= 3),
+               wn_k AS (SELECT doc_id, pos,
+                          ${sqlHash(
+                            "array_to_string(w[pos + 1 : pos + 3], ' ')",
+                            Dedup.WinnowSeed)}
+                            * 1048576 + (1048575 - pos) AS key
+                        FROM wn_p),
+               wn_s AS (SELECT doc_id, pos,
+                               min(key) OVER (PARTITION BY doc_id
+                                 ORDER BY pos ROWS BETWEEN CURRENT ROW
+                                 AND 3 FOLLOWING) AS selk,
+                               max(pos) OVER (PARTITION BY doc_id)
+                                 AS maxpos
+                        FROM wn_k),
+               wn_d AS (SELECT DISTINCT doc_id, selk FROM wn_s
+                        WHERE pos <= maxpos - 3),
+               wn_f AS (SELECT DISTINCT doc_id,
+                               selk // 1048576 AS fp
+                        FROM wn_d),
+               wn_ok AS (SELECT fp FROM (
+                           SELECT fp, count(*) AS df FROM wn_f GROUP BY fp)
+                         WHERE df BETWEEN 2 AND 100)
+               SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                      count(*) AS n_shared
+               FROM wn_f a JOIN wn_f b
+                 ON a.fp = b.fp AND a.doc_id < b.doc_id
+               WHERE a.fp IN (SELECT fp FROM wn_ok)
+               GROUP BY 1, 2
+               HAVING count(*) >= 2"""),
+      "winnow candidate pairs: shared selected fingerprints, hot cap"),
+
     // Bidirectional fuzzy blocking: prefix pass UNION suffix pass (prefix
     // over reversed strings) — an edit inside the prefix escapes d9's
     // blocking but not the suffix block, so the pass pair is exact for

@@ -151,6 +151,34 @@ class Round7PropertySpec extends SparkTestBase {
     }
   }
 
+  test("winnowCandidates equals the brute shared-fingerprint reference") {
+    for (seed <- Seq(4, 17)) {
+      val rnd = new scala.util.Random(seed)
+      val vocab = Vector("a", "b", "c", "d")     // tiny vocab → shared fps
+      val docs = Seq.tabulate(50)(i => (i.toLong,
+        Seq.fill(6 + rnd.nextInt(12))(vocab(rnd.nextInt(vocab.size)))
+          .mkString(" ")))
+      val maxPostings = 10
+      val fpSets = docs.map { case (id, text) =>
+        id -> refWinnow(text, 3, 4).map(_._2)
+      }.toMap
+      val df = fpSets.toSeq.flatMap(_._2.toSeq)
+        .groupBy(identity).map { case (f, os) => f -> os.size }
+      val live = df.collect {
+        case (f, n) if n >= 2 && n <= maxPostings => f
+      }.toSet
+      val expected = (for {
+        (a, fa) <- fpSets; (b, fb) <- fpSets if a < b
+        shared = (fa intersect fb intersect live).size if shared >= 2
+      } yield (a, b) -> shared.toLong).toMap
+      val got = Dedup.winnowCandidates(docs.toDF("doc_id", "text"),
+          3, 4, minShared = 2, maxPostings = maxPostings)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+        .toMap
+      assert(got == expected, s"seed $seed")
+    }
+  }
+
   test("winnowing guarantee: a shared run of win+width-1 tokens " +
       "always shares a fingerprint") {
     for (seed <- Seq(2, 9, 31)) {
