@@ -128,12 +128,13 @@ object AnnIndex {
    * a missing path and should retry — vacuum assumes exclusive access,
    * as with any compact-in-place layout. */
   def vacuumDeletes(spark: SparkSession, dir: String): Unit = {
-    Seq("corpus", "encoded", "drift").foreach(recoverSwap(spark, dir, _))
+    Seq("corpus", "encoded", "sq8", "drift")
+      .foreach(recoverSwap(spark, dir, _))
     val foldIds = committedAppendIds(spark, dir)
     val hasTombs = pathExists(spark, tombPath(dir))
     if (!hasTombs && foldIds.isEmpty) return
     val conf = spark.sparkContext.hadoopConfiguration
-    for (name <- Seq("corpus", "encoded")
+    for (name <- Seq("corpus", "encoded", "sq8")
          if pathExists(spark, s"$dir/$name.parquet")) {
       val merged = listingOf(spark, dir, name, foldIds)
       // a fold retried after a crash between the two listing swaps finds
@@ -367,7 +368,12 @@ object AnnIndex {
    * [[pruneProbed]] machinery incl. the IN-list→semi-join fallback) and
    * score on stored codes via the shared
    * [[Similarity.ivfSq8Search]] body — bit-identical to the fused
-   * [[Similarity.knnIvfSq8]] with the build's parameters. */
+   * [[Similarity.knnIvfSq8]] with the build's parameters.
+   *
+   * Reads through [[listing]] (round-7 verdict #3): tombstoned vec_ids
+   * anti-join out ABOVE the pruned scan, so [[deleteIds]] applies to the
+   * SQ8 family immediately — the module's deletion contract — exactly as
+   * on every other search path. */
   def searchIvfSq8(queries: DataFrame, spark: SparkSession, dir: String,
       k: Int, maxInList: Int = DefaultMaxInList): DataFrame = {
     val p = spark.read.parquet(s"$dir/params.parquet")
@@ -375,7 +381,7 @@ object AnnIndex {
     val planes = Similarity.rpPlanes(p.getInt(1), p.getInt(0), p.getString(2))
     val q = Similarity.sq8Codes(queries, planes)
     Similarity.ivfSq8Search(q,
-      pruneProbed(spark.read.parquet(s"$dir/sq8.parquet"),
+      pruneProbed(listing(spark, dir, "sq8"),
         q, "cell", maxInList),
       k)
   }
@@ -414,6 +420,51 @@ object AnnIndex {
       .repartition(col("cell"))
       .write.mode("overwrite").partitionBy("cell")
       .parquet(s"$dir/encoded.parquet")
+    // build-time residual reconstruction-error stats: the drift baseline
+    // every appendIvfAdcResidual batch is compared against
+    writeResidualDriftRow(residuals, dir, cbs, subDim, batchId = -1L)
+  }
+
+  /** Append new vectors to an existing [[buildIvfAdcResidual]] index
+   * WITHOUT retraining (r7 verdict #4: the append+drift lifecycle had
+   * covered only the IVF-PQ family): the frozen COARSE codebook assigns
+   * each new vector its cell and exact-integer residual, the frozen
+   * residual-PQ codebooks encode it — bit-identical to built rows — and
+   * the leg lands under the same marker-publish commit protocol as
+   * [[appendIvfPq]] (staged overwrite, single marker create, replayed
+   * batches return at the marker check, [[vacuumDeletes]] folds published
+   * legs). The residual family persists NO raw-vector copy, so a leg is
+   * codes-only: one `encoded.parquet` plus its drift row.
+   *
+   * Drift is doubly important here: appended rows quantize against BOTH a
+   * frozen coarse codebook (their residuals grow as the distribution
+   * shifts off the trained centroids) and frozen residual codebooks — so
+   * the per-batch residual-ADC self-error ([[writeResidualDriftRow]], in
+   * [[driftLog]]) rises on EITHER drift axis, which is exactly the
+   * rebuild signal a codes-only index needs. */
+  def appendIvfAdcResidual(newVecs: DataFrame, dir: String,
+      batchId: Long): Unit = {
+    val spark = newVecs.sparkSession
+    val marker = new org.apache.hadoop.fs.Path(markerPath(dir, batchId))
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(marker)) return // replayed micro-batch: already committed
+    val subDim = spark.read.parquet(s"$dir/params.parquet")
+      .select("sub_dim").head.getInt(0)
+    val coarse = loadCodebook(spark, s"$dir/codebook.parquet")
+    val cbs = loadPqCodebooks(spark, s"$dir/pq_codebooks.parquet")
+    val leg = legDir(dir, batchId)
+    val residuals = Dedup.materialize(
+      newVecs.select(col("vec_id"), col("embedding"),
+        Similarity.nearestCell(col("embedding"), coarse).as("cell"))
+        .select(col("vec_id"), col("cell"),
+          Similarity.residualQ(col("embedding"), col("cell"), coarse)
+            .as("rq")))
+    Similarity.encodeResidual(residuals, cbs, subDim)
+      .repartition(col("cell"))
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$leg/encoded.parquet")
+    writeResidualDriftRow(residuals, leg, cbs, subDim, batchId)
+    fs.create(marker, true).close() // publish codes + drift atomically
   }
 
   /** Search a [[buildIvfAdcResidual]] index at `nprobe`: geometry and both
@@ -436,8 +487,8 @@ object AnnIndex {
         .as("cell"))
     // read through listing(): tombstoned ids anti-join out ABOVE the
     // pruned scan, so deleteIds applies to this family exactly like the
-    // IVF/IVF-PQ searches (no appends exist for residual indexes yet, so
-    // the leg union is just the base).
+    // IVF/IVF-PQ searches, and marker-published appendIvfAdcResidual legs
+    // union in below the cell pruning (per-leg partition filters intact).
     Similarity.ivfAdcResidualSearch(queries,
       pruneProbed(listing(spark, dir, "encoded"),
         qCells, "cell", maxInList),
@@ -559,8 +610,21 @@ object AnnIndex {
   private def writeDriftRow(vecs: DataFrame, outDir: String,
       cbs: Array[Array[(Int, Array[Long])]], subDim: Int,
       batchId: Long): Unit =
-    Similarity.adcSelfError(vecs, cbs, subDim)
-      .agg(count(lit(1)).as("n"), coalesce(sum("adc_err"), lit(0L)).as("err_sum"),
+    writeDriftStats(Similarity.adcSelfError(vecs, cbs, subDim), outDir,
+      batchId)
+
+  /** [[writeDriftRow]] for the residual family: the reconstruction-error
+   * statistic is the residual-ADC self-error (residual vs its own
+   * residual codes' centroids) under the index's frozen codebooks. */
+  private def writeResidualDriftRow(residuals: DataFrame, outDir: String,
+      cbs: Array[Array[(Int, Array[Long])]], subDim: Int,
+      batchId: Long): Unit =
+    writeDriftStats(Similarity.adcSelfErrorResidual(residuals, cbs, subDim),
+      outDir, batchId)
+
+  private def writeDriftStats(err: DataFrame, outDir: String,
+      batchId: Long): Unit =
+    err.agg(count(lit(1)).as("n"), coalesce(sum("adc_err"), lit(0L)).as("err_sum"),
         coalesce(max("adc_err"), lit(0L)).as("err_max"))
       .select(lit(batchId).as("batch_id"), col("n"), col("err_sum"),
         col("err_max"))

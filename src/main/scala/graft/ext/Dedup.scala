@@ -31,6 +31,63 @@ object Dedup {
 
   private val log = org.slf4j.LoggerFactory.getLogger(getClass)
 
+  /** Observation-name prefix for the hot-block-cap tripwire (below). */
+  private val CapObsPrefix = "graft_block_cap:"
+  private val capObsSeq = new java.util.concurrent.atomic.AtomicLong(0)
+  /** Sessions already carrying the cap-tripwire listener (weak keys: test
+   * suites churn sessions and the listener must not pin them). */
+  private val capListenerSessions =
+    new java.util.WeakHashMap[org.apache.spark.sql.SparkSession, java.lang.Boolean]()
+
+  /** Register (once per session) the listener that makes a binding
+   * hot-block cap LOUD: every blocked pair family rides an observed
+   * metric counting the blocks its `maxBlock` cap dropped, and this
+   * listener logs a warning when any action observes a nonzero drop —
+   * the pagerank mass-tripwire pattern (a silently-binding cap is a
+   * recall hole nobody sized; [[jwBlockStats]]/[[levBlockStats]] are the
+   * pre-flights that size it deliberately). */
+  private def ensureCapListener(
+      spark: org.apache.spark.sql.SparkSession): Unit =
+    capListenerSessions.synchronized {
+      if (!capListenerSessions.containsKey(spark)) {
+        capListenerSessions.put(spark, java.lang.Boolean.TRUE)
+        spark.listenerManager.register(
+          new org.apache.spark.sql.util.QueryExecutionListener {
+            override def onSuccess(funcName: String,
+                qe: org.apache.spark.sql.execution.QueryExecution,
+                durationNs: Long): Unit =
+              qe.observedMetrics.foreach { case (name, row) =>
+                if (name.startsWith(CapObsPrefix) && !row.isNullAt(0) &&
+                    row.getLong(0) > 0)
+                  log.warn(s"${name.stripPrefix(CapObsPrefix)}: hot-block " +
+                    s"cap dropped ${row.getLong(0)} over-cap blocks " +
+                    s"(${row.getLong(1)} rows) — no pairs were emitted from " +
+                    "them; run the block-stats pre-flight to size " +
+                    "blockPrefix/maxBlock for this corpus")
+              }
+            override def onFailure(funcName: String,
+                qe: org.apache.spark.sql.execution.QueryExecution,
+                exception: Exception): Unit = ()
+          })
+      }
+    }
+
+  /** The block set a `maxBlock`-capped pair family may expand (blocks at or
+   * under the cap), with the cap tripwire observed on the SAME job — a
+   * binding cap logs loudly (see [[ensureCapListener]]) instead of silently
+   * dropping recall. `a` must carry a `blk` column. */
+  private def allowedBlocks(a: DataFrame, maxBlock: Int,
+      family: String): DataFrame = {
+    ensureCapListener(a.sparkSession)
+    a.groupBy("blk").agg(count(lit(1)).as("__bn"))
+      .observe(s"$CapObsPrefix$family#${capObsSeq.incrementAndGet()}",
+        sum(when(col("__bn") > maxBlock, 1L).otherwise(0L))
+          .as("blocks_dropped"),
+        sum(when(col("__bn") > maxBlock, col("__bn")).otherwise(0L))
+          .as("rows_in_dropped"))
+      .filter(col("__bn") <= maxBlock).select("blk")
+  }
+
   val NumHashes = 12
   val Bands = 4
   val RowsPerBand: Int = NumHashes / Bands
@@ -650,13 +707,26 @@ object Dedup {
       .partitionBy("doc_id")
     positionedShingles(docs, width)
       .withColumn("key",
-        seededHash(col("sh"), WinnowSeed) * WinnowPosPack
-          + (lit(WinnowPosPack - 1) - col("pos")))
+        // positions beyond the 20-bit pack would silently corrupt the key
+        // (fingerprint collisions, wrong pos) — fail loudly instead (r7
+        // advice #2). assert_true is NULL on success, so the `when` wrapper
+        // costs one codegen'd branch and throws on the first overflow row.
+        when(assert_true(col("pos") < lit(WinnowPosPack),
+            lit(s"winnowFingerprints: shingle position >= $WinnowPosPack " +
+              "overflows the packed (hash, pos) key — chunk documents " +
+              "(Sampling.chunkDocuments) before sketching")).isNull,
+          seededHash(col("sh"), WinnowSeed) * WinnowPosPack
+            + (lit(WinnowPosPack - 1) - col("pos"))))
       .withColumn("selk", min("key").over(overWin))
       // positionedShingles emits DENSE positions 0..n−1 per doc, so the
-      // ROWS frame is the paper's index window; only FULL windows select
-      // (a start past max(pos) − (win−1) covers fewer than win grams)
-      .withColumn("last_start", max("pos").over(perDoc) - (win - 1))
+      // ROWS frame is the paper's index window; only FULL windows select —
+      // EXCEPT that a document with at least one shingle but fewer than
+      // `win` of them keeps its single partial window (start 0, min over
+      // everything it has): standard winnowing selects >= 1 fingerprint
+      // for every doc with >= 1 k-gram, and without the clamp short docs
+      // were invisible to [[winnowCandidates]] (r7 advice #1).
+      .withColumn("last_start",
+        greatest(max("pos").over(perDoc) - (win - 1), lit(0)))
       .filter(col("pos") <= col("last_start"))
       .select(col("doc_id"), col("selk")).distinct()
       .select(col("doc_id"),
@@ -1126,14 +1196,26 @@ object Dedup {
    * quadratic in the relation — the fuzzy-join analog of
    * [[rareShingleCandidates]]. Prefix blocking is exact for edits PAST the
    * prefix (ids/names with a stable head); edits inside the prefix need a
-   * second pass with a suffix block (same machinery, reversed column). */
+   * second pass with a suffix block (same machinery, reversed column).
+   *
+   * `maxBlock` is the hot-block guard the Jaro-Winkler sibling carries
+   * (round-7 verdict #1: the Levenshtein family had been left out):
+   * prefix blocking on low-entropy names degenerates to ONE block holding
+   * the corpus, whose B² candidate pairs are exactly the blowup blocking
+   * exists to prevent. Blocks over the cap are SKIPPED — recall trades
+   * for boundedness, loudly (the cap tripwire logs any binding drop);
+   * [[levBlockStats]] is the pre-flight that sizes the cap before the
+   * join runs. */
   def editDistancePairs(df: DataFrame, idCol: String, nameCol: String,
-      blockPrefix: Int, maxDist: Int): DataFrame = {
+      blockPrefix: Int, maxDist: Int, maxBlock: Int = 10000): DataFrame = {
+    require(maxBlock >= 1, s"maxBlock must be >= 1, got $maxBlock")
     val a = df.select(col(idCol).as("id_a"), col(nameCol).as("name_a"),
       substring(col(nameCol), 1, blockPrefix).as("blk"))
     val b = df.select(col(idCol).as("id_b"), col(nameCol).as("name_b"),
       substring(col(nameCol), 1, blockPrefix).as("blk"))
-    a.join(b, Seq("blk"))
+    a.join(allowedBlocks(a, maxBlock, "editDistancePairs"), Seq("blk"),
+        "left_semi")
+      .join(b, Seq("blk"))
       .filter(col("id_a") < col("id_b"))
       .filter(abs(length(col("name_a")) - length(col("name_b"))) <= maxDist)
       .select(col("id_a"), col("id_b"),
@@ -1164,6 +1246,21 @@ object Dedup {
    * (corpus, blockPrefix) before the join runs. */
   def jaroWinklerPairs(df: DataFrame, idCol: String, nameCol: String,
       blockPrefix: Int, minSim: Double,
+      maxBlock: Int = 10000): DataFrame =
+    jaroWinklerPairsVs(df, df, idCol, nameCol, blockPrefix, minSim, maxBlock)
+
+  /** The [[jaroWinklerPairs]] join with DISTINCT left/right relations —
+   * the incremental probe shape: `right` is a new batch, `left` the
+   * accumulated corpus (including the batch), and under monotone ids
+   * every new pair has its larger id on the right, so `left × right`
+   * with `id_a < id_b` yields exactly the pairs the batch ADDS (the
+   * [[graft.streaming.StreamingEntityResolution]] per-batch edge
+   * derivation). With `left eq right` this IS the batch self-join. The
+   * `maxBlock` cap keys on the LEFT (accumulated) side's block sizes —
+   * cap-as-of-the-probe, the StreamingCuration discipline — and rides
+   * the same loud tripwire. */
+  def jaroWinklerPairsVs(left: DataFrame, right: DataFrame, idCol: String,
+      nameCol: String, blockPrefix: Int, minSim: Double,
       maxBlock: Int = 10000): DataFrame = {
     require(minSim > 0.0 && minSim <= 1.0,
       s"minSim must be in (0, 1], got $minSim")
@@ -1171,16 +1268,17 @@ object Dedup {
     // defensive self-registration (the topKBySim pattern): the measure
     // resolves through the function registry, and a plain session
     // without GraftExtensions would otherwise fail analysis
-    graft.functions.GraftFunctions.register(df.sparkSession)
-    val a = df.select(col(idCol).as("id_a"), col(nameCol).as("name_a"),
+    graft.functions.GraftFunctions.register(left.sparkSession)
+    val a = left.select(col(idCol).as("id_a"), col(nameCol).as("name_a"),
       substring(col(nameCol), 1, blockPrefix).as("blk"))
-    val b = df.select(col(idCol).as("id_b"), col(nameCol).as("name_b"),
+    val b = right.select(col(idCol).as("id_b"), col(nameCol).as("name_b"),
       substring(col(nameCol), 1, blockPrefix).as("blk"))
     // one block-count agg + a semi-join on the a side is enough: the
-    // inner join on blk can only produce blocks the a side still holds
-    val allowed = a.groupBy("blk").agg(count(lit(1)).as("__bn"))
-      .filter(col("__bn") <= maxBlock).select("blk")
-    a.join(allowed, Seq("blk"), "left_semi")
+    // inner join on blk can only produce blocks the a side still holds.
+    // The agg rides the cap tripwire (r7 advice #4): a binding cap is
+    // logged by the session listener, never a silent recall hole.
+    a.join(allowedBlocks(a, maxBlock, "jaroWinklerPairs"), Seq("blk"),
+        "left_semi")
       .join(b, Seq("blk"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
@@ -1198,7 +1296,15 @@ object Dedup {
    * BEFORE the quadratic join runs; cost is one narrow agg. */
   def jwBlockStats(df: DataFrame, nameCol: String, blockPrefix: Int,
       maxBlock: Int = 10000): DataFrame =
-    df.select(substring(col(nameCol), 1, blockPrefix).as("blk"))
+    prefixBlockStats(df, col(nameCol), blockPrefix, maxBlock)
+
+  /** One-row prefix-block cost profile of `nameExpr` at `blockPrefix` —
+   * the family-agnostic agg behind [[jwBlockStats]]/[[levBlockStats]]
+   * (the blocking key is the same regardless of which measure the pair
+   * join will pay). */
+  private def prefixBlockStats(df: DataFrame, nameExpr: Column,
+      blockPrefix: Int, maxBlock: Int): DataFrame =
+    df.select(substring(nameExpr, 1, blockPrefix).as("blk"))
       .groupBy("blk").agg(count(lit(1)).as("n"))
       .agg(
         count(lit(1)).as("n_blocks"),
@@ -1209,6 +1315,23 @@ object Dedup {
         sum(when(col("n") <= maxBlock, expr("(n * (n - 1)) div 2"))
           .otherwise(0L)).as("pairs_after_cap"))
 
+  /** Pre-flight block diagnostics for the Levenshtein family
+   * ([[editDistancePairs]] / [[editDistancePairsBidirectional]]) — the
+   * d26 [[jwBlockStats]] discipline on BOTH the bidirectional pass's
+   * blocking keys: one row per direction (`prefix` = the head block,
+   * `suffix` = the reversed-string block the second pass keys on), each
+   * with the block count, largest block, uncapped candidate-pair cost
+   * Σ C(b, 2), and what `maxBlock` would do to it. An operator runs this
+   * to choose `blockPrefix`/`maxBlock` for a corpus BEFORE either
+   * quadratic join runs; cost is two narrow aggs over the name column. */
+  def levBlockStats(df: DataFrame, nameCol: String, blockPrefix: Int,
+      maxBlock: Int = 10000): DataFrame =
+    prefixBlockStats(df, col(nameCol), blockPrefix, maxBlock)
+      .select(lit("prefix").as("direction"), col("*"))
+      .unionByName(
+        prefixBlockStats(df, reverse(col(nameCol)), blockPrefix, maxBlock)
+          .select(lit("suffix").as("direction"), col("*")))
+
   /** Bidirectional fuzzy blocking: the prefix pass UNION a suffix pass
    * (= the prefix pass over REVERSED strings — Levenshtein is symmetric
    * under reversal). Closes the documented prefix-blocking gap: an edit
@@ -1216,13 +1339,17 @@ object Dedup {
    * leaves the suffix block intact, and vice versa — only a pair edited in
    * BOTH its head and tail (>= 2 edits when the blocks don't overlap) can
    * escape both passes, so the pass pair is exact for 1-edit workloads.
-   * Same bounded-bucket posture, two blocked joins + one dedup agg. */
+   * Same bounded-bucket posture, two blocked joins + one dedup agg; each
+   * pass carries its own `maxBlock` hot-block cap on its own blocking key
+   * ([[levBlockStats]] profiles both directions). */
   def editDistancePairsBidirectional(df: DataFrame, idCol: String,
-      nameCol: String, blockPrefix: Int, maxDist: Int): DataFrame = {
-    val pre = editDistancePairs(df, idCol, nameCol, blockPrefix, maxDist)
+      nameCol: String, blockPrefix: Int, maxDist: Int,
+      maxBlock: Int = 10000): DataFrame = {
+    val pre = editDistancePairs(df, idCol, nameCol, blockPrefix, maxDist,
+      maxBlock)
     val suf = editDistancePairs(
       df.select(col(idCol), reverse(col(nameCol)).as(nameCol)),
-      idCol, nameCol, blockPrefix, maxDist)
+      idCol, nameCol, blockPrefix, maxDist, maxBlock)
     pre.union(suf)
       .groupBy("id_a", "id_b").agg(min("dist").as("dist"))
   }

@@ -60,8 +60,19 @@ object EntityResolution {
       maxBlock: Int = 10000): DataFrame = {
     val reserved = Set("entity_id", "k", "total_q100", "n_records",
       "__id", "__nm", "__q")
-    require(carryCols.forall(c => !reserved(c)),
-      s"carryCols may not use the reserved names ${reserved.mkString(", ")}")
+    // the guard covers EVERY caller-named column, not just carryCols
+    // (r7 advice #3: an idCol named "entity_id" or a carryCol duplicating
+    // nameCol silently produced ambiguous/duplicate output columns)
+    for (c <- Seq(idCol, nameCol, qualityCol) ++ carryCols)
+      require(!reserved(c),
+        s"column name '$c' collides with the reserved output names " +
+          reserved.mkString(", "))
+    require(carryCols.distinct == carryCols,
+      s"carryCols contains duplicates: ${carryCols.mkString(", ")}")
+    for (c <- carryCols)
+      require(c != nameCol && c != qualityCol && c != idCol,
+        s"carryCol '$c' duplicates idCol/nameCol/qualityCol — those " +
+          "columns already carry through the keeper struct")
     val pairs = Dedup
       .jaroWinklerPairs(records, idCol, nameCol, blockPrefix, minSim,
         maxBlock)
@@ -75,9 +86,18 @@ object EntityResolution {
     val assigned = base
       .join(clusters, Seq("__id"), "left")
       .withColumn("entity_id", coalesce(col("entity_id"), col("__id")))
+    survivorship(assigned, nameCol, qualityCol, carryCols)
+  }
 
-    // struct-min = ORDER BY quality DESC, id ASC without a window sort;
-    // the keeper's attributes ride the same struct through the agg.
+  /** The survivorship agg over an already-ASSIGNED relation
+   * (`__id`, `__nm`, `__q`, carry…, `entity_id`) — stage 3 alone, the
+   * seam [[graft.streaming.StreamingEntityResolution]] re-runs per batch
+   * over only the TOUCHED entities' members. One struct-min hash-agg:
+   * ORDER BY quality DESC, id ASC without a window sort; the keeper's
+   * attributes ride the struct through the agg; additive facts
+   * (`total_q100`, `n_records`) aggregate in the same pass. */
+  private[graft] def survivorship(assigned: DataFrame, nameCol: String,
+      qualityCol: String, carryCols: Seq[String]): DataFrame = {
     val keeper = struct(
       (-col("__q")).as("__negq") +: col("__id").as("__kid") +:
         col("__nm").as("__knm") +:

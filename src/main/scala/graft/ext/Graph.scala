@@ -351,6 +351,66 @@ object Graph {
       .orderBy("size")
   }
 
+  /** Label-packing radix for [[labelPropagation]]'s (count, label) argmax:
+   * labels (= vertex ids) occupy the low 40 bits, neighbor-label counts
+   * ride above — one BIGINT `max` both engines evaluate identically
+   * (the t24/winnow key trick; a struct comparator would not replay in
+   * SQL). Guarded at runtime, not assumed. */
+  val LabelPackRadix = 1L << 40
+
+  /**
+   * Synchronous label propagation (Raghavan, Albert & Kumara, 2007 — the
+   * LPA community detector): every vertex starts labeled with its own id;
+   * each iteration, every vertex adopts the most frequent label among its
+   * neighbors, ties to the SMALLEST label — the deterministic synchronous
+   * variant (the published async/random-order form trades determinism for
+   * oscillation resistance; at `iters` fixed rounds the synchronous form
+   * is exactly replayable, which is what the gate needs). Densely
+   * intra-connected vertex sets converge onto one label within a couple
+   * of rounds — communities, as opposed to [[componentCensus]]'s mere
+   * connectivity and [[triangleStats]]'s local closure.
+   *
+   * Determinism: the per-vertex argmax packs `(count, label)` into one
+   * BIGINT (`cnt·2⁴⁰ + (2⁴⁰−1−label)`, max = most frequent, ties to the
+   * smaller label — guarded by an `assert_true` on the label range, the
+   * winnow-key discipline) so a plain `max` aggregate decides it
+   * identically under any partitioning AND in the oracle's unrolled CTEs.
+   *
+   * Scale shape per iteration: one join of the symmetrized edge relation
+   * against the current labeling ON the neighbor key (degree-bounded
+   * fan-out, the pagerank contrib shape), one (vertex, label)-grain
+   * hash-agg, one vertex-grain argmax agg — three exchanges, nothing
+   * quadratic; each iterate is materialized so lineage stays one stage
+   * deep (the pagerank checkpoint posture). Output: the final labeling's
+   * community census `(label, n_members)`. */
+  def labelPropagation(edges: DataFrame, iters: Int = 2): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val e = canonicalEdges(edges)
+    val sym = Dedup.materialize(
+      e.select(col("u").as("vertex"), col("v").as("nbr"))
+        .unionByName(e.select(col("v").as("vertex"), col("u").as("nbr"))))
+    var labels = Dedup.materialize(
+      sym.select("vertex").distinct()
+        .select(col("vertex"),
+          when(assert_true(col("vertex") >= 0 &&
+              col("vertex") < lit(LabelPackRadix),
+            lit(s"labelPropagation: vertex id outside [0, $LabelPackRadix)" +
+              " overflows the packed argmax key")).isNull,
+            col("vertex")).as("label")))
+    for (_ <- 1 to iters) {
+      labels = Dedup.materialize(
+        sym.join(labels.withColumnRenamed("vertex", "nbr"), Seq("nbr"))
+          .groupBy("vertex", "label").agg(count(lit(1)).as("cnt"))
+          .groupBy("vertex")
+          .agg(max(col("cnt") * lit(LabelPackRadix) +
+            (lit(LabelPackRadix - 1) - col("label"))).as("k"))
+          .select(col("vertex"),
+            (lit(LabelPackRadix - 1) - pmod(col("k"), lit(LabelPackRadix)))
+              .as("label")))
+    }
+    labels.groupBy("label").agg(count(lit(1)).as("n_members"))
+  }
+
   /**
    * Link prediction over an undirected edge relation: for every NON-edge
    * pair with at least one common neighbor, the three classic proximity

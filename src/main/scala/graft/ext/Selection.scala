@@ -151,19 +151,33 @@ object Selection {
    * diameter, by convention: distance to an empty set).
    *
    * Scale shape: greedy k-center is quadratic in candidates, so at
-   * corpus scale it runs on a deterministic hash-SAMPLE (`samplePct`,
-   * the d21/e10 diagnostic discipline) — the published trade: the
-   * sampled greedy's cover radius degrades gracefully while the cost
-   * stays sample². Pairwise sims materialize once (sample²-bounded);
-   * the k−1 rounds are aggregates over that relation. */
+   * corpus scale it runs on a deterministic hash-SAMPLE. `samplePct`
+   * alone is NOT a scale bound (round-7 verdict #2): at fixed pct the
+   * materialized pair grid still grows quadratically with the corpus —
+   * 4k sampled vecs is 16M pair rows, 40k would be 1.6G. `sampleN` is
+   * the absolute bound: when > 0, the candidate set is the `sampleN`
+   * vectors with the smallest md5 rank (a `TakeOrderedAndProject` —
+   * sampleN rows per partition cross the wire, never the corpus;
+   * deterministic under any partitioning, with vec_id as the total-order
+   * tiebreak), so the pair grid is O(sampleN²) REGARDLESS of corpus
+   * size. When both are given, `sampleN` wins. Pairwise sims materialize once
+   * (sample²-bounded); the k−1 rounds are aggregates over that
+   * relation. */
   def kcenterSelect(vecs: DataFrame, k: Int,
-      samplePct: Int = 100): DataFrame = {
+      samplePct: Int = 100, sampleN: Int = 0): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
+    require(sampleN >= 0, s"sampleN must be >= 0, got $sampleN")
     val M = 1L << 21
+    val sampled =
+      if (sampleN > 0)
+        vecs.orderBy(
+          md5(concat(lit("kcn:"), col("vec_id").cast("string"))).asc,
+          col("vec_id").asc)
+          .limit(sampleN)
+      else if (samplePct >= 100) vecs
+      else Sampling.hashSample(vecs, "vec_id", samplePct)
     val v = graft.ext.Dedup.materialize(
-      (if (samplePct >= 100) vecs
-       else Sampling.hashSample(vecs, "vec_id", samplePct))
-        .select(col("vec_id"), col("embedding")))
+      sampled.select(col("vec_id"), col("embedding")))
     require(v.filter(col("vec_id") >= M || col("vec_id") < 0).isEmpty,
       s"kcenterSelect requires 0 <= vec_id < $M for key packing")
     val sims = graft.ext.Dedup.materialize(
@@ -198,5 +212,43 @@ object Selection {
       result = graft.ext.Dedup.materialize(result.unionByName(next))
     }
     result
+  }
+
+  /** 2-D Pareto skyline (Börzsönyi et al., ICDE 2001 — the SKYLINE
+   * operator): the rows not DOMINATED in the maximize-both sense
+   * (`b` dominates `a` iff `x_b >= x_a ∧ y_b >= y_a` with at least one
+   * strict) — multi-objective data selection without scalarizing the
+   * trade-off into one weighted score first (pick documents on the
+   * quality/novelty frontier, configs on the cost/coverage frontier).
+   * Exact-duplicate `(x, y)` points do not dominate each other; ALL rows
+   * on a frontier point survive.
+   *
+   * Plan shape (the 2-D monotone-chain formulation, NOT the O(n²)
+   * dominance join): one hash-agg to per-`x` maxima (only the max-`y`
+   * point at each `x` can be non-dominated), ONE window pass over the
+   * |distinct x|-sized maxima relation (running max of `y` over strictly
+   * greater `x`; survive iff `y` strictly exceeds it), then a keyed
+   * semi-join back to recover the surviving rows. The global sort runs
+   * over the x-grain AGGREGATE, not the corpus — at 100 TB you bound
+   * |distinct x| by bucketing a continuous dimension first (the z-order
+   * grid discipline); the corpus itself is touched only by hash-agg and
+   * semi-join. Columns must be integer-valued for the exact gate replay.
+   * Output: (idCol, xCol, yCol) of every skyline row. */
+  def skyline2d(df: DataFrame, idCol: String, xCol: String,
+      yCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("__x").desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        -1)
+    val frontier = df
+      .groupBy(col(xCol).as("__x")).agg(max(col(yCol)).as("__y"))
+      // distinct __x, so every preceding row under x-desc order has
+      // STRICTLY greater x: dominated iff some such row has y >= ours
+      .withColumn("__rm", max("__y").over(w))
+      .filter(col("__rm").isNull || col("__y") > col("__rm"))
+      .select(col("__x"), col("__y"))
+    df.select(col(idCol), col(xCol), col(yCol))
+      .join(frontier,
+        col(xCol) === col("__x") && col(yCol) === col("__y"), "left_semi")
   }
 }

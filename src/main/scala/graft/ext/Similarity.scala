@@ -1030,6 +1030,23 @@ object Similarity {
         subDim, pqBits, pqSeed, nprobe),
       queries, corpus, k)
 
+  /** Per-vector residual-ADC reconstruction error over a
+   * `(vec_id, cell, rq)` relation: the exact integer distance between
+   * each residual and its own residual-PQ codes' centroids —
+   * [[adcSelfError]] for the residual family, and the drift signal
+   * [[AnnIndex.appendIvfAdcResidual]] logs per batch (r7 verdict #4: the
+   * append+drift lifecycle covered only IVF-PQ). One narrow codegen'd
+   * pass; exact integers, so the statistic is partition-independent. */
+  private[ext] def adcSelfErrorResidual(residuals: DataFrame,
+      cbs: Array[Array[(Int, Array[Long])]], subDim: Int): DataFrame =
+    residuals.select(
+        col("vec_id") +: col("rq") +:
+          cbs.indices.map(i =>
+            nearestCellQ(slice(col("rq"), i * subDim + 1, subDim), cbs(i))
+              .as(s"c$i")): _*)
+      .select(col("vec_id"),
+        adcDistResidual(col("rq"), cbs, subDim).as("adc_err"))
+
   /** Residual code assignment over a `(vec_id, cell, rq)` relation — one
    * narrow pass; shared by the fused path and [[AnnIndex
    * .buildIvfAdcResidual]] so built rows encode exactly as fused rows. */

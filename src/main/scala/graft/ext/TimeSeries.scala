@@ -132,4 +132,45 @@ object TimeSeries {
         col(s"__o.$valCol").as("open"), col("high"), col("low"),
         col(s"__c.$valCol").as("close"), col("v_micro"), col("n"))
   }
+
+  /** EWMA smoothing + spike detection over a REGULAR per-key series (one
+   * row per (key, ord) — pre-bucket with [[ohlcBars]]/[[gapFill]] first):
+   * the trailing exponentially-weighted mean with α = 1/2 truncated at
+   * `lookback` lags,
+   *
+   *   ewma_prev_n = Σ_{i=1..lookback} x_{n−i} · 2^{−i}
+   *   ewma_n      = x_n · ½ + ewma_prev_n · ½
+   *
+   * and a spike flag `x_n > spikeFactor·ewma_prev_n + minBase` once the
+   * warmup window is full — the standard streaming anomaly baseline
+   * (traffic surges, ingestion-rate monitors) in a form BOTH engines
+   * evaluate bit-identically: α = ½ makes every weight a dyadic rational,
+   * integer-valued x times 2^−i is exact in IEEE doubles, and the ≤
+   * lookback+1-term sums stay inside the 52-bit mantissa for any
+   * x < 2^40 — so the doubles (and the flag's comparison) replay exactly
+   * in the oracle, no micro-quantization needed. Missing leading lags
+   * count as 0 (the fold-from-zero truncated EWMA).
+   *
+   * Plan: `lookback`+1 `lag()` calls over ONE per-key window sort — a
+   * single exchange + sort, no self-join; at 100 TB each key's series
+   * sweeps independently (the [[peakConcurrency]] posture).
+   * Output: (key, ord, x, ewma, is_spike). */
+  def ewmaAnomaly(series: DataFrame, key: String, ordCol: String,
+      valCol: String, lookback: Int = 12, spikeFactor: Double = 2.0,
+      minBase: Double = 5.0): DataFrame = {
+    require(lookback >= 1 && lookback <= 40,
+      s"lookback must be in [1, 40] (exactness bound), got $lookback")
+    val w = Window.partitionBy(key).orderBy(ordCol)
+    val x = col(valCol).cast("double")
+    val ewmaPrev = (1 to lookback).map(i =>
+        coalesce(lag(x, i).over(w), lit(0.0)) * lit(math.pow(0.5, i)))
+      .reduce(_ + _)
+    series.select(col(key), col(ordCol), col(valCol),
+        ewmaPrev.as("__ep"),
+        (row_number().over(w) > lookback).as("__warm"))
+      .select(col(key), col(ordCol), col(valCol),
+        (x * lit(0.5) + col("__ep") * lit(0.5)).as("ewma"),
+        (col("__warm") &&
+          x > lit(spikeFactor) * col("__ep") + lit(minBase)).as("is_spike"))
+  }
 }

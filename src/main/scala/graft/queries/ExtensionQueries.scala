@@ -219,6 +219,40 @@ object ExtensionQueries {
   private def sqlHash(shExpr: String, seed: Int): String =
     s"('0x' || substr(md5('$seed:' || $shExpr), 1, 8))::BIGINT"
 
+  /** DuckDB mirror of [[graft.ext.Spectral]]'s 3-iteration fixed-point
+   * power trajectory over the `embeddings` table: micro-grid quantization,
+   * per-doc dot (su_i), dim-grain weighted sum (s_i), HUGEINT max-abs
+   * renormalization (v_i) — every integer step identical to the engine's
+   * (BIGINT `//` and HUGEINT `//` truncate toward zero exactly like
+   * Spark's `div` / Scala BigInt division). */
+  private val PcaCtes: String = {
+    val head = s"""xq AS (
+        SELECT vec_id, CAST(pos - 1 AS INTEGER) AS pos,
+               CAST(floor(x * 1000000 + 0.5) AS BIGINT) AS xq
+        FROM (SELECT vec_id, unnest(embedding::DOUBLE[]) AS x,
+                     generate_subscripts(embedding, 1) AS pos
+              FROM embeddings)),
+      su1 AS (SELECT vec_id,
+                     CAST(sum(xq * 1000000) AS BIGINT) // 1000000 AS su
+              FROM xq GROUP BY vec_id)"""
+    val iters = (1 to 3).map { i =>
+      val sv = s"""s$i AS (SELECT x.pos, CAST(sum(x.xq * u.su) AS BIGINT) AS s
+                FROM xq x JOIN su$i u USING (vec_id) GROUP BY x.pos),
+        v$i AS (SELECT pos,
+                       CAST((CAST(s AS HUGEINT) * 1000000) //
+                            (SELECT max(abs(s)) FROM s$i) AS BIGINT) AS v
+                FROM s$i)"""
+      val nextSu =
+        if (i >= 3) ""
+        else s""",
+        su${i + 1} AS (SELECT x.vec_id,
+                       CAST(sum(x.xq * v.v) AS BIGINT) // 1000000 AS su
+                FROM xq x JOIN v$i v USING (pos) GROUP BY x.vec_id)"""
+      sv + nextSu
+    }.mkString(",\n", ",\n", "")
+    head + iters
+  }
+
   /** DuckDB mirror of Dedup.minhashSignature + Dedup.lshBands. */
   private val BandsCte: String = {
     val minCols = (0 until Dedup.NumHashes)
@@ -1234,6 +1268,33 @@ object ExtensionQueries {
                  ON a.label = b.label AND a.vec_id < b.vec_id
                WHERE ${sqlCos("a.embedding::DOUBLE[]", "b.embedding::DOUBLE[]")} >= 0.4"""),
       "embedding-cosine near-dup pairs (cell-blocked)"),
+
+    // Principal component by exact fixed-point power iteration (the
+    // PageRank treatment applied to PCA): 3 iterations from the all-ones
+    // direction, each one corpus pass (per-doc dot + dim-grain weighted
+    // sum), renormalized to max|v| = 1e6 in 128-bit integer arithmetic
+    // (BigInt / HUGEINT, both truncating toward zero) — the whole
+    // trajectory replays bit-for-bit in the oracle's unrolled CTEs. No
+    // dim x dim covariance is ever materialized.
+    "e11_pca_power" -> QueryDef(
+      (s, dir) => graft.ext.Spectral.pcaPower(t(s, dir, "embeddings")),
+      Some(s"""WITH $PcaCtes
+               SELECT CAST(pos AS INTEGER) AS pos, v FROM v3"""),
+      "principal component via exact fixed-point power iteration"),
+
+    // The corpus projected onto the e11 direction: per-vector micro-grid
+    // coordinate (xq . v) div 1e6 — the 1-D axis drift monitors and
+    // binning stages key on. The projection itself is a narrow codegen'd
+    // map (corpus-safe at any n); the direction re-derives through the
+    // same exact trajectory.
+    "e12_pca_project" -> QueryDef(
+      (s, dir) => graft.ext.Spectral.pcaProject(t(s, dir, "embeddings")),
+      Some(s"""WITH $PcaCtes
+               SELECT x.vec_id,
+                      CAST(sum(x.xq * v.v) AS BIGINT) // 1000000 AS proj_q
+               FROM xq x JOIN v3 v USING (pos)
+               GROUP BY x.vec_id"""),
+      "corpus projection onto the power-iteration principal axis"),
 
     // Cross-label semantic overlap matrix (d22's embedding-space sibling):
     // per label pair, >= 0.3-cosine pairs crossing the boundary + covered
@@ -2371,7 +2432,10 @@ object ExtensionQueries {
     // scheme): each window of 4 consecutive 3-gram hashes selects its
     // minimum (ties rightmost) — the position-robust LOCAL sketch beside
     // d18's every-position family, guaranteeing detection of any exact
-    // match of >= 4 + 3 − 1 = 6 tokens at ~2/(win+1) density. The oracle
+    // match of >= 4 + 3 − 1 = 6 tokens at ~2/(win+1) density. Docs with
+    // >= 1 shingle but < 4 of them keep their single partial window
+    // (greatest(maxpos−3, 0) clamp — r8: short docs select >= 1
+    // fingerprint instead of vanishing from the sketch). The oracle
     // replays the packed-BIGINT rightmost-argmin window verbatim.
     "d27_winnow_fps" -> QueryDef(
       (s, dir) => Dedup.winnowFingerprints(t(s, dir, "documents"),
@@ -2395,7 +2459,7 @@ object ExtensionQueries {
                                  AS maxpos
                         FROM wn_k),
                wn_d AS (SELECT DISTINCT doc_id, selk FROM wn_s
-                        WHERE pos <= maxpos - 3)
+                        WHERE pos <= greatest(maxpos - 3, 0))
                SELECT doc_id,
                       CAST(1048575 - (selk % 1048576) AS INTEGER) AS pos,
                       selk // 1048576 AS fp
@@ -2431,7 +2495,7 @@ object ExtensionQueries {
                                  AS maxpos
                         FROM wn_k),
                wn_d AS (SELECT DISTINCT doc_id, selk FROM wn_s
-                        WHERE pos <= maxpos - 3),
+                        WHERE pos <= greatest(maxpos - 3, 0)),
                wn_f AS (SELECT DISTINCT doc_id,
                                selk // 1048576 AS fp
                         FROM wn_d),
@@ -2475,6 +2539,50 @@ object ExtensionQueries {
               FROM (SELECT * FROM p UNION ALL SELECT * FROM sfx)
               GROUP BY 1, 2"""),
       "bidirectional fuzzy blocking: prefix and suffix passes unioned"),
+
+    // Pre-flight block diagnostics for the Levenshtein family (r7 verdict
+    // #1: d26's discipline extended to d9/d15's blocking keys) — one row
+    // per pass direction: `prefix` profiles d9's head block, `suffix` the
+    // reversed-string block the bidirectional second pass keys on. On
+    // this corpus the shared "Customer#000" head makes the prefix
+    // direction ONE over-cap block (capped pair cost collapses to 0)
+    // while the digit-bearing reversed head splinters into small
+    // under-cap blocks — the two directions' profiles are the evidence
+    // for choosing blockPrefix/maxBlock before either join runs.
+    "d29_lev_block_stats" -> QueryDef(
+      (s, dir) => Dedup.levBlockStats(
+        t(s, dir, "customer").filter(col("c_custkey") <= 400),
+        "c_name", blockPrefix = 12, maxBlock = 100),
+      Some("""WITH c AS (SELECT c_name AS nm FROM customer
+                         WHERE c_custkey <= 400),
+              bp AS (SELECT substr(nm, 1, 12) AS blk,
+                            CAST(count(*) AS BIGINT) AS n
+                     FROM c GROUP BY blk),
+              bs AS (SELECT substr(reverse(nm), 1, 12) AS blk,
+                            CAST(count(*) AS BIGINT) AS n
+                     FROM c GROUP BY blk),
+              stat_p AS (SELECT 'prefix' AS direction,
+                     CAST(count(*) AS BIGINT) AS n_blocks,
+                     max(n) AS max_block,
+                     CAST(sum((n * (n - 1)) // 2) AS BIGINT)
+                       AS candidate_pairs,
+                     CAST(sum(CASE WHEN n > 100 THEN 1 ELSE 0 END)
+                       AS BIGINT) AS blocks_over_cap,
+                     CAST(sum(CASE WHEN n <= 100 THEN (n * (n - 1)) // 2
+                              ELSE 0 END) AS BIGINT) AS pairs_after_cap
+                     FROM bp),
+              stat_s AS (SELECT 'suffix' AS direction,
+                     CAST(count(*) AS BIGINT) AS n_blocks,
+                     max(n) AS max_block,
+                     CAST(sum((n * (n - 1)) // 2) AS BIGINT)
+                       AS candidate_pairs,
+                     CAST(sum(CASE WHEN n > 100 THEN 1 ELSE 0 END)
+                       AS BIGINT) AS blocks_over_cap,
+                     CAST(sum(CASE WHEN n <= 100 THEN (n * (n - 1)) // 2
+                              ELSE 0 END) AS BIGINT) AS pairs_after_cap
+                     FROM bs)
+              SELECT * FROM stat_p UNION ALL SELECT * FROM stat_s"""),
+      "Levenshtein blocking pre-flight: both pass directions profiled"),
 
     // Data-quality profile of a table: per-column nulls, exact distinct
     // count, native-typed min/max (cast to string after aggregating). One
@@ -3771,6 +3879,37 @@ object ExtensionQueries {
             FROM res4"""
       },
       "k-center greedy coreset: farthest-point selection, integer-exact"),
+
+    // 2-D Pareto skyline over (length, lexical diversity): the documents
+    // on the size/type-token-ratio frontier — multi-objective selection
+    // without a scalarized score. The engine runs the monotone-chain
+    // formulation (x-grain hash-agg + ONE aggregate-sized window pass +
+    // semi-join back); the oracle is the INDEPENDENT O(n²) NOT-EXISTS
+    // dominance definition — a green hash proves the chain loses and
+    // invents nothing. TTR micro-quantized by integer division (exact).
+    "sp23_pareto_skyline" -> QueryDef(
+      (s, dir) => Selection.skyline2d(
+        t(s, dir, "documents").select(col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("n_toks"),
+          expr("""(cast(size(array_distinct(split(text, ' '))) as bigint)
+                   * 1000000)
+                  div cast(size(split(text, ' ')) as bigint)""")
+            .as("ttr_q")),
+        "doc_id", "n_toks", "ttr_q"),
+      Some("""WITH f AS (SELECT doc_id,
+                     CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks,
+                     (CAST(len(list_distinct(string_split(text, ' ')))
+                        AS BIGINT) * 1000000)
+                       // CAST(len(string_split(text, ' ')) AS BIGINT)
+                       AS ttr_q
+              FROM documents)
+              SELECT d.doc_id, d.n_toks, d.ttr_q
+              FROM f d
+              WHERE NOT EXISTS (
+                SELECT 1 FROM f o
+                WHERE o.n_toks >= d.n_toks AND o.ttr_q >= d.ttr_q
+                  AND (o.n_toks > d.n_toks OR o.ttr_q > d.ttr_q))"""),
+      "2-D Pareto skyline: length / lexical-diversity frontier docs"),
 
     // Mixture-drift audit: did the EXECUTED corpus land on the PLANNED
     // mixture? PSI between sp15's token-budget plan (drawn tokens per

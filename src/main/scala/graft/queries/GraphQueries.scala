@@ -258,6 +258,44 @@ object GraphQueries {
                      FROM cl GROUP BY cluster)
               SELECT size, CAST(count(*) AS BIGINT) AS n_components
               FROM cs GROUP BY size ORDER BY size"""),
-      "connected-component size census of a sparse co-purchase subgraph")
+      "connected-component size census of a sparse co-purchase subgraph"),
+
+    // Synchronous label propagation (2 rounds) over the high-quantity
+    // co-purchase subgraph: communities (dense intra-connection), not
+    // mere connectivity (graph5) or local closure (graph2). The argmax
+    // "most frequent neighbor label, ties to the smallest" packs
+    // (count, label) into one BIGINT so a plain max decides it
+    // identically in both engines; the oracle unrolls both rounds.
+    "graph6_label_prop" -> QueryDef(
+      (s, dir) => Graph.labelPropagation(
+        Graph.coPurchaseEdges(
+          t(s, dir, "lineitem").filter(col("l_quantity") >= 40)),
+        iters = 2),
+      Some {
+        val M = Graph.LabelPackRadix // 2^40
+        def round(i: Int, lIn: String, lOut: String): String =
+          s"""i$i AS (SELECT s.vertex, l.label,
+                             CAST(count(*) AS BIGINT) AS cnt
+                      FROM sym s JOIN $lIn l ON s.nbr = l.vertex
+                      GROUP BY s.vertex, l.label),
+              $lOut AS (SELECT vertex,
+                             ${M - 1} - (max(cnt * $M + (${M - 1} - label))
+                               % $M) AS label
+                      FROM i$i GROUP BY vertex)"""
+        s"""WITH e AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+                       FROM lineitem a JOIN lineitem b
+                         ON a.l_orderkey = b.l_orderkey
+                        AND a.l_partkey < b.l_partkey
+                       WHERE a.l_quantity >= 40 AND b.l_quantity >= 40),
+            sym AS (SELECT u AS vertex, v AS nbr FROM e
+                    UNION ALL SELECT v, u FROM e),
+            l0 AS (SELECT DISTINCT vertex, vertex AS label FROM sym),
+            ${round(1, "l0", "l1")},
+            ${round(2, "l1", "l2")}
+            SELECT CAST(label AS BIGINT) AS label,
+                   CAST(count(*) AS BIGINT) AS n_members
+            FROM l2 GROUP BY label"""
+      },
+      "label-propagation communities (2 synchronous rounds), census")
   )
 }

@@ -548,6 +548,39 @@ object RelationalQueries {
               FROM rn GROUP BY event_type, bar_start"""),
       "OHLC bar resampling: argmin/argmax endpoints in one hash-agg"),
 
+    // EWMA smoothing + spike detection over per-(type, hour) counts:
+    // alpha = 1/2 truncated at 12 lags — every weight dyadic, integer
+    // counts times 2^-i exact in IEEE doubles, so the smoothed series
+    // and the spike flag replay bit-for-bit with NO quantization. One
+    // per-key window sort (a lag chain, not a self-join).
+    "x8_ewma_spike" -> QueryDef(
+      (s, dir) => graft.ext.TimeSeries.ewmaAnomaly(
+        t(s, dir, "events")
+          .groupBy(col("event_type"),
+            expr("ts div 3600000000000").as("bucket"))
+          .agg(count(lit(1)).as("n")),
+        "event_type", "bucket", "n"),
+      Some {
+        val ep = (1 to 12)
+          .map(i => s"coalesce(lag(n, $i) OVER w, 0) * power(0.5, $i)")
+          .mkString(" + ")
+        s"""WITH s AS (SELECT event_type,
+                     epoch_ns(ts) // 3600000000000 AS bucket,
+                     CAST(count(*) AS BIGINT) AS n
+              FROM events GROUP BY 1, 2),
+            e AS (SELECT event_type, bucket, n,
+                         ($ep) AS ep,
+                         row_number() OVER w AS rn
+                  FROM s
+                  WINDOW w AS (PARTITION BY event_type ORDER BY bucket))
+            SELECT event_type, bucket, n,
+                   CAST(n AS DOUBLE) * 0.5 + ep * 0.5 AS ewma,
+                   (rn > 12 AND CAST(n AS DOUBLE) > 2.0 * ep + 5.0)
+                     AS is_spike
+            FROM e"""
+      },
+      "EWMA (alpha=1/2, dyadic-exact) smoothing + spike flags per type"),
+
     // Ordered-step conversion funnel: first view, first click AFTER that
     // view, first purchase AFTER that click. Each stage is one keyed
     // hash-agg over a type-filtered scan joined to the (one-row-per-user,

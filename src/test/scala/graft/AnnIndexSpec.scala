@@ -195,6 +195,28 @@ class AnnIndexSpec extends SparkTestBase {
     assert(rows(AnnIndex.searchIvfPq(queries, spark, dir, 3)) == before)
   }
 
+  test("SQ8 searches honor tombstones immediately (r7 verdict #3)") {
+    val dir = tmp("ann_sq8_del")
+    AnnIndex.buildIvfSq8(embs, dir)
+    val victim = AnnIndex.searchIvfSq8(queries, spark, dir, 3)
+      .select("n_id").as[Long].head()
+    AnnIndex.deleteIds(Seq(victim).toDF("vec_id"), dir)
+    def neighborIds(): Set[Long] =
+      AnnIndex.searchIvfSq8(queries, spark, dir, 50)
+        .select("n_id").as[Long].collect().toSet
+    // gone PRE-vacuum: the deletion contract is immediate, not deferred
+    assert(!neighborIds().contains(victim),
+      "tombstoned id surfaced from an SQ8 search before vacuum")
+    // vacuum folds the tombstones into sq8.parquet and clears them
+    AnnIndex.vacuumDeletes(spark, dir)
+    assert(!new java.io.File(s"$dir/tombstones.parquet").exists)
+    assert(!neighborIds().contains(victim),
+      "tombstoned id resurfaced after vacuum folded the SQ8 listing")
+    // the fold preserved the cell-partitioned at-rest layout
+    assert(new java.io.File(s"$dir/sq8.parquet").listFiles().exists(f =>
+      f.isDirectory && f.getName.startsWith("cell=")))
+  }
+
   test("over-threshold probed-cell batches fall back to the cell semi-join") {
     val dir = tmp("ann_ivfpq_fallback")
     AnnIndex.buildIvfPq(embs, dir)

@@ -72,6 +72,23 @@ class EntityResolutionSpec extends SparkTestBase {
     assert(r.getLong(4) == 0L, "pairs_after_cap: only the singleton block")
   }
 
+  test("reserved-name guard covers idCol/nameCol/qualityCol and " +
+    "duplicate carryCols (r7 advice #3)") {
+    val df = records.withColumnRenamed("id", "entity_id")
+    intercept[IllegalArgumentException] {
+      EntityResolution.resolveEntities(df, "entity_id", "nm", "q",
+        carryCols = Seq("seg"), blockPrefix = 5, minSim = 0.9)
+    }
+    intercept[IllegalArgumentException] { // carryCol duplicating nameCol
+      EntityResolution.resolveEntities(records, "id", "nm", "q",
+        carryCols = Seq("nm"), blockPrefix = 5, minSim = 0.9)
+    }
+    intercept[IllegalArgumentException] { // duplicate carryCols
+      EntityResolution.resolveEntities(records, "id", "nm", "q",
+        carryCols = Seq("seg", "seg"), blockPrefix = 5, minSim = 0.9)
+    }
+  }
+
   test("a corpus with no matches at all resolves to all singletons") {
     val distinct = Seq(
       (1L, "aaaaa-one", 1.0, "x"),

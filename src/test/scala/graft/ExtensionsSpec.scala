@@ -258,6 +258,50 @@ class ExtensionsSpec extends SparkTestBase {
     assert(bi == Set((1L, 2L, 1)))
   }
 
+  test("Levenshtein maxBlock cap skips over-cap blocks (r7 verdict #1)") {
+    // hot block: 4 names sharing the 5-char head; cold pair: 2 names with
+    // a distinct head. Cap 3 must drop ONLY the hot block's pairs.
+    val df = Seq(
+      (1L, "AAAAA hot 1"), (2L, "AAAAA hot 2"),
+      (3L, "AAAAA hot 3"), (4L, "AAAAA hot 4"),
+      (10L, "BBBBB cold 1"), (11L, "BBBBB cold 2")
+    ).toDF("id", "name")
+    val uncapped = Dedup.editDistancePairs(df, "id", "name",
+      blockPrefix = 5, maxDist = 1)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(uncapped.contains((1L, 2L)) && uncapped.contains((10L, 11L)))
+    val capped = Dedup.editDistancePairs(df, "id", "name",
+      blockPrefix = 5, maxDist = 1, maxBlock = 3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(capped == Set((10L, 11L)),
+      s"cap 3 must keep only the cold block's pair, got $capped")
+    // bidirectional: each pass caps on its OWN blocking key — the hot
+    // block's names differ in their tails, so the suffix pass's blocks
+    // are small and its pairs survive the cap
+    val bi = Dedup.editDistancePairsBidirectional(df, "id", "name",
+      blockPrefix = 5, maxDist = 1, maxBlock = 3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(bi.contains((10L, 11L)) && !bi.contains((1L, 3L)), bi.toString)
+  }
+
+  test("levBlockStats profiles both pass directions") {
+    val df = Seq(
+      (1L, "AAAAA x1"), (2L, "AAAAA x2"), (3L, "AAAAA x3"),
+      (10L, "CCCCC y1"), (11L, "DDDDD y2")
+    ).toDF("id", "name")
+    val stats = Dedup.levBlockStats(df, "name", blockPrefix = 5, maxBlock = 2)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toMap
+    assert(stats.keySet == Set("prefix", "suffix"))
+    // prefix direction: blocks {AAAAA:3, CCCCC:1, DDDDD:1} -> 3 pairs
+    // uncapped, the size-3 block over cap 2, 0 pairs surviving
+    assert(stats("prefix") == ((3L, 3L, 3L, 1L, 0L)), stats.toString)
+    // suffix direction: reversed names "1x AA...", "2x AA..." all have
+    // distinct 5-char heads -> 5 singleton blocks, no pairs either way
+    assert(stats("suffix") == ((5L, 1L, 0L, 0L, 0L)), stats.toString)
+  }
+
   test("dedupSurvivors keeps cluster keepers and unpaired docs") {
     val d = docs((1L, "a"), (2L, "b"), (3L, "c"), (10L, "d"), (11L, "e"), (99L, "f"))
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("doc_a", "doc_b")

@@ -81,6 +81,95 @@ class AnnIndexAppendSpec extends graft.SparkTestBase {
       rerank = 10)) == onceRr)
   }
 
+  test("residual appends search identically to a one-shot encode under " +
+    "frozen coarse + residual codebooks (r7 verdict #4)") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("ann_ivfadc_res_append").toString
+    val half = embs.filter($"vec_id" % 2 === 0)
+    val rest = embs.filter($"vec_id" % 2 =!= 0)
+    AnnIndex.buildIvfAdcResidual(half, dir)
+    AnnIndex.appendIvfAdcResidual(rest, dir, batchId = 0L)
+
+    // expected: the shared residual search body over the FULL corpus,
+    // with coarse AND residual codebooks trained on `half` only
+    import org.apache.spark.sql.functions.col
+    val coarse = Similarity.codebook(half)
+    def residualsOf(v: DataFrame) =
+      v.select(col("vec_id"), col("embedding"),
+        Similarity.nearestCell(col("embedding"), coarse).as("cell"))
+        .select(col("vec_id"), col("cell"),
+          Similarity.residualQ(col("embedding"), col("cell"), coarse)
+            .as("rq"))
+    val cbs = Similarity.pqCodebooksResidual(residualsOf(half))
+    val expected = Similarity.ivfAdcResidualSearch(queries,
+      Similarity.encodeResidual(residualsOf(embs), cbs, 16),
+      coarse, cbs, 16, 3, 2)
+    assert(rows(AnnIndex.searchIvfAdcResidual(queries, spark, dir, 3,
+      nprobe = 2)) == rows(expected))
+
+    // the append landed as a published codes-only leg (no raw-vector
+    // copy anywhere in the artifact), base untouched
+    val stored = AnnIndex.listing(spark, dir, "encoded")
+    assert(stored.count() == embs.count())
+    assert(stored.select("vec_id").distinct().count() == embs.count())
+    assert(spark.read.parquet(s"$dir/encoded.parquet").count() == half.count())
+    assert(!new java.io.File(s"$dir/corpus.parquet").exists)
+    assert(!new java.io.File(s"$dir/appends/b=0/corpus.parquet").exists)
+
+    // +R reads legs too: appended candidates re-rank from the SOURCE table
+    val expectedRr = Similarity.rerankExact(
+      Similarity.ivfAdcResidualSearch(queries,
+        Similarity.encodeResidual(residualsOf(embs), cbs, 16),
+        coarse, cbs, 16, 10, 2),
+      queries, embs, 3)
+    assert(rows(AnnIndex.searchIvfAdcResidualRerank(queries, spark, dir,
+      embs, 3, rerank = 10, nprobe = 2)) == rows(expectedRr))
+
+    // replay safety: the same batch id re-running is a no-op
+    AnnIndex.appendIvfAdcResidual(rest, dir, batchId = 0L)
+    assert(AnnIndex.listing(spark, dir, "encoded").count() == embs.count())
+
+    // vacuum folds the leg into the base; results unchanged
+    val before = rows(AnnIndex.searchIvfAdcResidual(queries, spark, dir, 3,
+      nprobe = 2))
+    AnnIndex.vacuumDeletes(spark, dir)
+    assert(AnnIndex.committedAppendIds(spark, dir).isEmpty)
+    assert(spark.read.parquet(s"$dir/encoded.parquet").count() == embs.count())
+    assert(rows(AnnIndex.searchIvfAdcResidual(queries, spark, dir, 3,
+      nprobe = 2)) == before)
+  }
+
+  test("residual drift log: baseline at build, per-append rows, shifted " +
+    "batches rise; history survives vacuum") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("ann_ivfadc_res_drift").toString
+    val half = embs.filter($"vec_id" % 2 === 0)
+    val rest = embs.filter($"vec_id" % 2 =!= 0)
+    AnnIndex.buildIvfAdcResidual(half, dir)
+    val maxId = embs.agg(org.apache.spark.sql.functions.max($"vec_id"))
+      .head.getLong(0)
+    AnnIndex.appendIvfAdcResidual(rest, dir, batchId = 0L)
+    AnnIndex.appendIvfAdcResidual(
+      rest.select(($"vec_id" + maxId + 1).as("vec_id"),
+        org.apache.spark.sql.functions.transform($"embedding",
+          v => (v + org.apache.spark.sql.functions.lit(5.0f)).cast("float"))
+          .as("embedding")),
+      dir, batchId = 1L)
+    val log = AnnIndex.driftLog(spark, dir)
+      .select("batch_id", "err_mean").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(log.keySet == Set(-1L, 0L, 1L))
+    assert(log(0L) <= 2 * log(-1L),
+      s"same-distribution drift ${log(0L)} vs build ${log(-1L)}")
+    assert(log(1L) > 10 * log(-1L),
+      s"shifted drift ${log(1L)} not above build ${log(-1L)}")
+    AnnIndex.vacuumDeletes(spark, dir)
+    val folded = AnnIndex.driftLog(spark, dir)
+      .select("batch_id", "err_mean").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(folded == log)
+  }
+
   test("drift log: same-distribution appends stay flat, shifted ones rise") {
     val dir = java.nio.file.Files.createTempDirectory("ann_ivfpq_drift").toString
     val half = embs.filter($"vec_id" % 2 === 0)

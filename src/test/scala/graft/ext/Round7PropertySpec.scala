@@ -126,7 +126,10 @@ class Round7PropertySpec extends SparkTestBase {
       refHash(g.mkString(" ")) * Dedup.WinnowPosPack +
         (Dedup.WinnowPosPack - 1 - p)
     }.toVector
-    (0 to keys.length - win).map(t => keys.slice(t, t + win).min)
+    // short-doc clamp (r7 advice #1): a doc with >= 1 shingle but fewer
+    // than `win` of them selects the min of its single partial window
+    (0 to math.max(keys.length - win, 0))
+      .map(t => keys.slice(t, t + win).min)
       .toSet.map { k: Long =>
         ((Dedup.WinnowPosPack - 1 - (k % Dedup.WinnowPosPack)).toInt,
           k / Dedup.WinnowPosPack)
@@ -149,6 +152,22 @@ class Round7PropertySpec extends SparkTestBase {
         .toSet
       assert(got == expected, s"seed $seed")
     }
+  }
+
+  test("short docs select at least one fingerprint (r7 advice #1)") {
+    // 4 tokens at width 3 = 2 shingles < win 4: before the clamp these
+    // docs had NO full window and vanished from the sketch entirely —
+    // two identical short docs could never pair in winnowCandidates
+    val docs = Seq((0L, "p q r s"), (1L, "p q r s"), (2L, "u v w"))
+      .toDF("doc_id", "text")
+    val fps = Dedup.winnowFingerprints(docs, 3, 4)
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    assert(Set(0L, 1L, 2L).forall(id => fps.exists(_._1 == id)),
+      s"every doc with >= 1 shingle selects >= 1 fingerprint, got ${fps.toSeq}")
+    // the partial window selects its MIN, so identical docs share it
+    val pairs = Dedup.winnowCandidates(docs, 3, 4, minShared = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSeq == Seq((0L, 1L)), pairs.toSeq.toString)
   }
 
   test("winnowCandidates equals the brute shared-fingerprint reference") {

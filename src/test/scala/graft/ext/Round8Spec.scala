@@ -1,0 +1,122 @@
+package graft.ext
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** Behavior locks for the round-8 additions: PCA power iteration,
+ * 2-D skyline, EWMA anomaly, label propagation. Their VALUES are
+ * oracle-gated (e11/e12, sp23, x8, graph6); these pin the semantics the
+ * oracles can't express — qualitative contracts and partition
+ * independence. */
+class Round8Spec extends SparkTestBase {
+  import spark.implicits._
+
+  test("pcaPower recovers a planted dominant direction") {
+    // corpus concentrated along axis 2 of 8 dims (plus small fixed noise
+    // on axis 5): the principal direction must put its max weight there
+    val vecs = (0 until 40).map { i =>
+      val sign = if (i % 2 == 0) 1f else -1f
+      val e = Array.fill(8)(0f)
+      e(2) = sign * 1f
+      e(5) = 0.05f * (i % 3)
+      (i.toLong, e)
+    }.toDF("vec_id", "embedding")
+    val v = Spectral.pcaPowerDirection(vecs, dim = 8)
+    val top = v.map(math.abs).zipWithIndex.maxBy(_._1)._2
+    assert(top == 2, s"dominant axis must be 2, got ${v.toSeq}")
+    assert(v.map(math.abs).max == 1000000L, "renormalized to max|v| = 1e6")
+  }
+
+  test("pcaPower and pcaProject are partition-independent") {
+    val vecs = spark.read.parquet(s"$Sf/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val a = Spectral.pcaPowerDirection(vecs).toSeq
+    val b = Spectral.pcaPowerDirection(vecs.repartition(13)).toSeq
+    assert(a == b, "identical integer trajectory under any partitioning")
+    val pa = Spectral.pcaProject(vecs).orderBy("vec_id").collect().toSeq
+    val pb = Spectral.pcaProject(vecs.repartition(7)).orderBy("vec_id")
+      .collect().toSeq
+    assert(pa == pb)
+  }
+
+  test("skyline2d equals the brute dominance definition; duplicate " +
+    "frontier points all survive") {
+    val rnd = new scala.util.Random(11)
+    val pts = Seq.tabulate(200)(i =>
+      (i.toLong, rnd.nextInt(30).toLong, rnd.nextInt(30).toLong)) :+
+      (990L, 29L, 29L) :+ (991L, 29L, 29L) // duplicate frontier point
+    val df = pts.toDF("id", "x", "y")
+    val expected = pts.filter { case (_, x, y) =>
+      !pts.exists { case (_, ox, oy) =>
+        ox >= x && oy >= y && (ox > x || oy > y) }
+    }.map(_._1).toSet
+    val got = Selection.skyline2d(df, "id", "x", "y")
+      .select("id").as[Long].collect().toSet
+    assert(got == expected)
+    assert(got.contains(990L) && got.contains(991L),
+      "equal frontier points do not dominate each other")
+  }
+
+  test("ewmaAnomaly: dyadic weights, warmup suppression, spike fires on " +
+    "a surge only") {
+    // flat series of 4s, one 100-surge late, one early outlier inside the
+    // warmup window (must NOT flag)
+    val rows = (0 until 30).map { i =>
+      val v = if (i == 5) 100L else if (i == 25) 100L else 4L
+      ("k", i.toLong, v)
+    }.toDF("grp", "ord", "n")
+    val out = TimeSeries.ewmaAnomaly(rows, "grp", "ord", "n")
+      .collect().map(r => r.getLong(1) -> (r.getDouble(3), r.getBoolean(4)))
+      .toMap
+    assert(!out(5L)._2, "warmup rows never flag")
+    assert(out(25L)._2, "the late surge must flag")
+    assert(out.filterKeys(k => k != 25L).forall(!_._2._2),
+      s"only the surge flags: ${out.filter(_._2._2)}")
+    // steady state: EWMA of a constant-4 series converges to 4 exactly
+    // (dyadic sums: 4·(1/2 + ... + 1/2^13) = 4 − 2^-11·4... near 4)
+    assert(math.abs(out(24L)._1 - 4.0) < 0.01, out(24L)._1.toString)
+  }
+
+  test("ewmaAnomaly is partition-independent") {
+    val rows = (0 until 40).map(i =>
+      (s"g${i % 3}", i.toLong / 3, (i % 7).toLong)).toDF("grp", "ord", "n")
+      .groupBy("grp", "ord").agg(max("n").as("n"))
+    val a = TimeSeries.ewmaAnomaly(rows, "grp", "ord", "n")
+      .orderBy("grp", "ord").collect().toSeq
+    val b = TimeSeries.ewmaAnomaly(rows.repartition(5), "grp", "ord", "n")
+      .orderBy("grp", "ord").collect().toSeq
+    assert(a == b)
+  }
+
+  test("labelPropagation: two dense cliques joined by one bridge edge " +
+    "converge to two communities") {
+    // cliques {1..4} and {10..13}, bridge 4-10: after 2 synchronous
+    // rounds each clique coalesces onto its minimum label; the census is
+    // two 4-communities (connected components would report ONE of 8)
+    def clique(ids: Seq[Long]) =
+      for (a <- ids; b <- ids if a < b) yield (a, b)
+    val edges = (clique(Seq(1L, 2L, 3L, 4L)) ++
+      clique(Seq(10L, 11L, 12L, 13L)) :+ ((4L, 10L)))
+      .toDF("u", "v")
+    val census = Graph.labelPropagation(edges, iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(census.values.sum == 8L, s"all vertices labeled: $census")
+    assert(census.size == 2, s"two communities, got $census")
+    // sanity vs components: the same graph is ONE connected component
+    val cc = Graph.componentCensus(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc == Map(8L -> 1L))
+  }
+
+  test("labelPropagation is partition-independent") {
+    val rnd = new scala.util.Random(3)
+    val edges = Seq.tabulate(120)(_ =>
+      (rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+      .filter(e => e._1 != e._2).toDF("u", "v")
+    val a = Graph.labelPropagation(edges, iters = 2)
+      .orderBy("label").collect().toSeq
+    val b = Graph.labelPropagation(edges.repartition(7), iters = 2)
+      .orderBy("label").collect().toSeq
+    assert(a == b)
+  }
+}
