@@ -1,9 +1,11 @@
 package graft
 
 /** Benchmark main — runs every registered query against
- * `SPARK_GRAFT_SF_DIR` and prints ONE JSON line for the driver
- * (`BENCH_r{N}.json`). Failures are NOT silent: failed queries get value -1
- * and are listed under "failed". */
+ * `SPARK_GRAFT_SF_DIR` and prints the full JSON artifact line followed by
+ * a < 500-byte compact summary as the LAST stdout line (the driver's tail
+ * window truncated the full line two rounds running — r7 verdict #3; the
+ * complete artifact also persists to `target/bench.json`). Failures are
+ * NOT silent: failed queries get value -1 and are listed under "failed". */
 object Bench {
 
   private val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
@@ -320,6 +322,12 @@ object Bench {
         // BM25, fbDocs-bounded expansion, weighted re-rank), and the
         // per-source calibrated quality cut (scorer + one window sort)
         "d23_remove_boilerplate", "t22_calibrated_quality",
+        // round-8 additions (r7 verdict #5): the winnowing family at 10× —
+        // the MOSS sketch (rides positionedShingles' one exchange) and its
+        // shared-fingerprint detector (postings df-capped at 100; the cap
+        // is the knob that keeps the pair expansion bounded when replica
+        // suffixes multiply the fingerprint vocabulary)
+        "d27_winnow_fps", "d28_winnow_pairs",
         // round-7 late addition: word2phrase collocations — two
         // vocabulary-sized count aggs over the 10× corpus (the replica
         // suffixes multiply the bigram vocabulary 10×, the honest scaling
@@ -382,33 +390,6 @@ object Bench {
       runFamily(
         dedupNames.map(n => n -> ((ps: org.apache.spark.sql.SparkSession) =>
           SparkEntry.queries(n)(ps, dir10))) :+
-        ("d15_fuzzy_bidir" -> ((ps: org.apache.spark.sql.SparkSession) =>
-          graft.ext.Dedup.editDistancePairsBidirectional(
-            ps.read.parquet(s"$dir10/fuzzy_names.parquet"),
-            "id", "nm", blockPrefix = 12, maxDist = 1))) :+
-        // the codegen'd Jaro-Winkler kernel over the same 10× prefix
-        // blocks: every candidate pair pays one kernel call — the number
-        // that prices the native expression at scale (threshold 0.9 keeps
-        // the verify-side output bounded; the kernel cost is the same at
-        // any threshold)
-        ("d24_jw_pairs" -> ((ps: org.apache.spark.sql.SparkSession) => {
-          graft.functions.GraftFunctions.register(ps)
-          graft.ext.Dedup.jaroWinklerPairs(
-            ps.read.parquet(s"$dir10/fuzzy_names.parquet"),
-            "id", "nm", blockPrefix = 12, minSim = 0.9)
-        })) :+
-        // the full ER composition over the same 10× name relation: blocked
-        // JW pairs + star-rounds closure + struct-min survivorship —
-        // quality/carry columns derived deterministically from the id so
-        // the probe stays pairs-dominated like d24, plus the CC rounds
-        ("pipe4_entity_resolution" -> ((ps: org.apache.spark.sql.SparkSession) => {
-          graft.functions.GraftFunctions.register(ps)
-          graft.ext.EntityResolution.resolveEntities(
-            ps.read.parquet(s"$dir10/fuzzy_names.parquet")
-              .withColumn("q", (col("id") % 997).cast("double"))
-              .withColumn("seg", (col("id") % 5).cast("string")),
-            "id", "nm", "q", Seq("seg"), blockPrefix = 12, minSim = 0.9)
-        })) :+
         // LSH banding recall at the SCALE default (20% sample) — the d21
         // gate runs 50% only because sf0.01 holds too few truth pairs;
         // this is the sampled-quadratic diagnostic cost you'd pay on a
@@ -445,6 +426,53 @@ object Bench {
                 ps.read.parquet(s"$dir10/embeddings.parquet"),
                 sfTerms, k = 3, fetch = 8)))
       })
+      // Fuzzy-name family in its OWN fresh context (r7 verdict #1: d15's
+      // sf1 wall jumped 3.70 -> 21.95 s at an identical probe + identical
+      // code; the r7 run had six MORE checkpointing probes ahead of it in
+      // the shared dedup context than r6 — the same block-manager-crowding
+      // mechanism behind the r2->r3 and r4 "regressions" above. A fresh
+      // context measures the operator: 5.3-8.4 s over 3 clean samples
+      // (min 5.3) for the bidirectional pass, i.e. ~2 independent 8M-pair
+      // Levenshtein joins over the documented single-hot-block relation.)
+      runFamily(Seq(
+        ("d15_fuzzy_bidir" -> ((ps: org.apache.spark.sql.SparkSession) =>
+          graft.ext.Dedup.editDistancePairsBidirectional(
+            ps.read.parquet(s"$dir10/fuzzy_names.parquet"),
+            "id", "nm", blockPrefix = 12, maxDist = 1))),
+        ("d9_fuzzy_pairs" -> ((ps: org.apache.spark.sql.SparkSession) =>
+          graft.ext.Dedup.editDistancePairs(
+            ps.read.parquet(s"$dir10/fuzzy_names.parquet"),
+            "id", "nm", blockPrefix = 12, maxDist = 1))),
+        // the d29 pre-flight that SIZES the family's maxBlock cap: two
+        // narrow aggs over the name column — the at-scale price of
+        // measuring before running either quadratic join
+        ("d29_lev_block_stats" -> ((ps: org.apache.spark.sql.SparkSession) =>
+          graft.ext.Dedup.levBlockStats(
+            ps.read.parquet(s"$dir10/fuzzy_names.parquet"),
+            "nm", blockPrefix = 12))),
+        // the codegen'd Jaro-Winkler kernel over the same 10× prefix
+        // blocks: every candidate pair pays one kernel call — the number
+        // that prices the native expression at scale (threshold 0.9 keeps
+        // the verify-side output bounded; the kernel cost is the same at
+        // any threshold)
+        ("d24_jw_pairs" -> ((ps: org.apache.spark.sql.SparkSession) => {
+          graft.functions.GraftFunctions.register(ps)
+          graft.ext.Dedup.jaroWinklerPairs(
+            ps.read.parquet(s"$dir10/fuzzy_names.parquet"),
+            "id", "nm", blockPrefix = 12, minSim = 0.9)
+        })),
+        // the full ER composition over the same 10× name relation: blocked
+        // JW pairs + star-rounds closure + struct-min survivorship —
+        // quality/carry columns derived deterministically from the id so
+        // the probe stays pairs-dominated like d24, plus the CC rounds
+        ("pipe4_entity_resolution" -> ((ps: org.apache.spark.sql.SparkSession) => {
+          graft.functions.GraftFunctions.register(ps)
+          graft.ext.EntityResolution.resolveEntities(
+            ps.read.parquet(s"$dir10/fuzzy_names.parquet")
+              .withColumn("q", (col("id") % 997).cast("double"))
+              .withColumn("seg", (col("id") % 5).cast("string")),
+            "id", "nm", "q", Seq("seg"), blockPrefix = 12, minSim = 0.9)
+        }))))
       // ANN/PQ family at 10× vectors — its OWN fresh context (see above):
       // trained-IVF search, PQ encode, PQ-ADC search, IVF-PQ. The last
       // probe times the PREBUILT-INDEX search path (AnnIndex.searchIvfPq,
@@ -465,14 +493,17 @@ object Bench {
         annNames.map(n =>
           s"ann_$n" -> ((ps: org.apache.spark.sql.SparkSession) =>
             SparkEntry.queries(n)(ps, dir10))) :+
-        // k-center coreset at the scale posture: the DOCUMENTED sampled
-        // regime (20% of 10× vectors → ~1000² pair grid), not the exact
-        // gate regime — the cost a real corpus diagnostic pays
-        ("ann_sp18_kcenter_p20" ->
+        // k-center coreset at the scale posture: the ABSOLUTE-bound
+        // sampled regime (sampleN = 1000 of the 10× vectors → exactly a
+        // 1000² = 1M-row pair grid, O(sampleN²) at ANY corpus size) — r7
+        // verdict #2: the old samplePct=20 probe materialized 4000² = 16M
+        // pair rows, quadratic in the corpus and 16× what its comment
+        // claimed; sampleN is the fix and this probe prices it
+        ("ann_sp18_kcenter_n1000" ->
           ((ps: org.apache.spark.sql.SparkSession) =>
             graft.ext.Selection.kcenterSelect(
               ps.read.parquet(s"$dir10/embeddings.parquet"), k = 4,
-              samplePct = 20))) :+
+              sampleN = 1000))) :+
         // residual-index search at nprobe=2 over the prebuilt artifact
         // (built untimed in setup alongside the IVF-PQ index)
         ("ann_index_search_ivfadc_residual_np2" ->
@@ -750,7 +781,19 @@ object Bench {
       "key shifted per replica - preserves per-copy density; shared-key " +
       "replication would densify the graph and scale the wedge work " +
       "superlinearly, a different workload than 10x data); their first " +
-      "samples pay the replica write's cold page cache, so read the min"
+      "samples pay the replica write's cold page cache, so read the min. " +
+      "r8: the fuzzy-name family (d9/d15/d24/d29/pipe4) moved to its OWN " +
+      "fresh context — r7's d15 3.70->21.95s 'regression' was the shared " +
+      "dedup context again (6 more checkpointing probes ahead of it than " +
+      "r6); a fresh context measures 5.3-8.4s for the unchanged operator, " +
+      "so cross-round comparison for the family resets at r8. " +
+      "ann_sp18_kcenter_n1000 replaces _p20: the absolute sampleN bound " +
+      "(1000^2 = 1M pair rows at any corpus size) instead of the " +
+      "pct-sampled grid that grew quadratically with the corpus (4000^2 = " +
+      "16M rows at sf1). d27/d28 winnow probes are new; d28's " +
+      "maxPostings=100 cap binds harder at 10x (replica suffixes multiply " +
+      "the fingerprint vocabulary, so per-fp postings stay replica-local " +
+      "and the pair expansion scales linearly in replicas)"
     val line = s"""{"metric":"total","value":$total,"unit":"sec","note":"$note","queries":$qs,"failed":$fs,"cpu_per_wall":$ratios,"spine_envelopes_per_sec":${spineRate.round},"spine_cpu_per_wall":${f2(spineCpuRatio)},"spine_streaming_envelopes_per_sec":${streamRate.round},"spine_streaming_batches":$streamBatches,"spine_streaming_batches_per_sec":${f2(streamBatchesPerSec)},"spine_streaming_cpu_per_wall":${f2(streamCpuRatio)},"spine_streaming_batch_ms":${jsonMap(streamBatchMs)}$sf1Fields,"sf":"$sfDir"}"""
     // The stdout line can overflow the driver's tail capture (round-3
     // verdict: "parsed": null two rounds running) — persist the full JSON
@@ -759,12 +802,25 @@ object Bench {
     java.nio.file.Files.createDirectories(outPath.getParent)
     java.nio.file.Files.write(outPath,
       (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    // The JSON line is the LAST thing on stdout (r6 verdict #3: the driver's
-    // "parsed" field was null while the numbers survived only in its tail
-    // scrape): stop Spark first so no shutdown logging can land after it,
-    // then print exactly one line and flush.
+    // r7 verdict #3: even with the full line printed last, the driver's
+    // tail window truncated the ~2 KB line and "parsed" stayed null. The
+    // LAST stdout line is therefore a COMPACT summary (< 500 bytes — the
+    // total, the failure list, and the headline sf1 probe minimums) that
+    // no tail window can truncate; the full detail precedes it on stdout
+    // and lives completely in target/bench.json.
+    val headline = Seq("d15_fuzzy_bidir", "pipe1_curation_report",
+      "graph1_pagerank", "ann_sp18_kcenter_n1000", "d27_winnow_fps",
+      "d28_winnow_pairs")
+    val sf1MinCompact = jsonMap(sf1Walls
+      .filter(kv => headline.contains(kv._1))
+      .map { case (k, v) =>
+        k -> (try f2(v.toDouble) catch { case _: Throwable => v }) })
+    val compact = s"""{"metric":"total","value":${f2(total)},"unit":"sec","n_queries":${results.size},"failed":$fs,"sf1_min":$sf1MinCompact,"spine_eps":${spineRate.round},"stream_eps":${streamRate.round},"full":"target/bench.json","sf":"$sfDir"}"""
+    // stop Spark first so no shutdown logging can land after the lines,
+    // then print full detail followed by the compact summary and flush.
     spark.stop()
     println(line)
+    println(compact)
     System.out.flush()
   }
 }
