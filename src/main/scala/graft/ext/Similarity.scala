@@ -59,6 +59,25 @@ object Similarity {
     topKBySim(scored, k, "sim")
   }
 
+  /** k-NN-distance outliers over ANY (q_id, n_id, sim, rank) neighbor
+   * relation: each vector's k-th-neighbor similarity is its local-density
+   * proxy (the classic kNN outlier score, Ramaswamy et al. 2000 — the
+   * embedding-curation step that drops mislabeled/garbage vectors BEFORE
+   * they seed codebooks or prototypes); the `topN` lowest k-th-sims are
+   * the outliers, ties to the smaller id. Compositional by design: feed
+   * [[knnBrute]] for the exact gate form, or any [[AnnIndex]] search for
+   * the 100-TB form — the cut is one filter + TakeOrderedAndProject over
+   * a relation the search already bounded to k rows per vector. */
+  def knnOutliersFrom(knn: DataFrame, k: Int, topN: Int): DataFrame =
+    knn.filter(col("rank") === k)
+      .select(col("q_id").as("vec_id"), col("sim").as("kth_sim"))
+      .orderBy(col("kth_sim").asc, col("vec_id").asc)
+      .limit(topN)
+
+  /** [[knnOutliersFrom]] over the exact brute-force neighbors. */
+  def knnOutliers(vecs: DataFrame, k: Int, topN: Int): DataFrame =
+    knnOutliersFrom(knnBrute(vecs, vecs, k), k, topN)
+
   /** Random-hyperplane plane matrix for in-engine cell derivation: `bits`
    * planes × `dim` weights, every weight derived from md5 of
    * `"rp:<seed>:<plane>:<dim>"` and quantized to the 1/1000 grid

@@ -1172,6 +1172,32 @@ object ExtensionQueries {
                SELECT q_id, n_id, sim, rank FROM r WHERE rank <= 5"""),
       "brute-force cosine top-5 (exact ANN baseline)"),
 
+    // k-NN-distance outliers (Ramaswamy et al. 2000): each vector's
+    // 5th-neighbor cosine is its local-density proxy; the 20 lowest are
+    // the outliers — the embedding-curation cut that drops garbage
+    // vectors before codebook/prototype training. Compositional: the
+    // gate runs the exact brute form, the scale form feeds any AnnIndex
+    // search into knnOutliersFrom (the cut is a filter + TakeOrdered
+    // over an already-k-bounded relation).
+    "n23_knn_outlier" -> QueryDef(
+      (s, dir) => {
+        graft.functions.GraftFunctions.register(s)
+        Similarity.knnOutliers(t(s, dir, "embeddings"), k = 5, topN = 20)
+      },
+      Some(s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS emb
+                          FROM embeddings),
+               p AS (SELECT a.vec_id AS q_id, b.vec_id AS n_id,
+                            ${sqlCos("a.emb", "b.emb")} AS sim
+                     FROM v a JOIN v b ON a.vec_id <> b.vec_id),
+               r AS (SELECT q_id, n_id, sim,
+                            row_number() OVER (PARTITION BY q_id
+                              ORDER BY sim DESC, n_id) AS rk
+                     FROM p)
+               SELECT q_id AS vec_id, sim AS kth_sim FROM r
+               WHERE rk = 5
+               ORDER BY kth_sim ASC, vec_id ASC LIMIT 20"""),
+      "k-NN-distance embedding outliers: 20 lowest 5th-neighbor cosines"),
+
     "n2_knn_ivf" -> QueryDef(
       (s, dir) => {
         graft.functions.GraftFunctions.register(s)
@@ -2584,6 +2610,56 @@ object ExtensionQueries {
               SELECT * FROM stat_p UNION ALL SELECT * FROM stat_s"""),
       "Levenshtein blocking pre-flight: both pass directions profiled"),
 
+    // Bloom candidate pre-filter for the decontamination join (the d13
+    // shape): the benchmark's shingles compress to their Bloom bit image
+    // (<= 32768 rows REGARDLESS of benchmark size — the broadcast side is
+    // bounded by the bit space, not the reference), and each corpus doc
+    // counts its shingles passing all 3 bits. No false negatives, so
+    // n_bloom >= n_exact per doc and non-surfacing docs provably skip
+    // the exact join; the output carries both counts, making the FP
+    // margin visible. All bit arithmetic is seeded-md5 mod 2^15 — the
+    // oracle replays it exactly.
+    "d30_bloom_prefilter" -> QueryDef(
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val sh = Dedup.shingles(docs).localCheckpoint()
+        val benchSh = sh.filter(col("doc_id") % 20 === 0)
+          .select("sh").distinct()
+        val bits = graft.ext.Sketches.bloomBits(benchSh, "sh")
+        val nb = graft.ext.Sketches.bloomPrefilterHits(sh, bits, "sh")
+        val ne = sh.join(benchSh, Seq("sh"), "left_semi")
+          .groupBy("doc_id").agg(count(lit(1)).as("n_exact"))
+        nb.join(ne, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("n_bloom"),
+            coalesce(col("n_exact"), lit(0L)).as("n_exact"))
+      },
+      Some {
+        val m = graft.ext.Sketches.BloomBits
+        val bitSel = (0 until graft.ext.Sketches.BloomHashes).map(i =>
+          s"SELECT (${sqlHash("sh", graft.ext.Sketches.BloomSeedBase + i)})" +
+            s" % $m AS bit FROM bsh").mkString(" UNION ALL ")
+        val kbSel = (0 until graft.ext.Sketches.BloomHashes).map(i =>
+          s"SELECT doc_id, sh, $i AS i, " +
+            s"(${sqlHash("sh", graft.ext.Sketches.BloomSeedBase + i)})" +
+            s" % $m AS bit FROM sh").mkString(" UNION ALL ")
+        s"""WITH $ShinglesCte,
+            bsh AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 20 = 0),
+            bits AS (SELECT DISTINCT bit FROM ($bitSel)),
+            kb AS ($kbSel),
+            pass AS (SELECT doc_id, sh FROM kb
+                     WHERE bit IN (SELECT bit FROM bits)
+                     GROUP BY doc_id, sh HAVING count(*) = 3),
+            nb AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bloom
+                   FROM pass GROUP BY doc_id),
+            ne AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_exact
+                   FROM sh WHERE sh IN (SELECT sh FROM bsh)
+                   GROUP BY doc_id)
+            SELECT nb.doc_id, nb.n_bloom,
+                   coalesce(ne.n_exact, CAST(0 AS BIGINT)) AS n_exact
+            FROM nb LEFT JOIN ne USING (doc_id)"""
+      },
+      "Bloom pre-filter for decontamination: bit-space-bounded broadcast"),
+
     // Data-quality profile of a table: per-column nulls, exact distinct
     // count, native-typed min/max (cast to string after aggregating). One
     // union branch per column — each branch reads exactly ONE parquet
@@ -3561,7 +3637,51 @@ object ExtensionQueries {
                     GROUP BY tok)
               ORDER BY n DESC, tok
               LIMIT 10"""),
-      "SpaceSaving heavy-hitter sketch top-10 (exact regime under the gate)"),
+      "SpaceSaving heavy hitters (exact regime at gate scale)"),
+
+    // Count-Min frequency sketch beside t10's SpaceSaving: depth×width
+    // counter rows (4×1024 TOTAL, regardless of vocabulary) built in one
+    // hash-agg with map-side combine; point estimates = min over rows
+    // via a broadcast join. The gate queries the exact top-20 tokens and
+    // outputs exact vs estimate side by side — CMS never underestimates
+    // (collisions only add), and the collision margin is visible in the
+    // artifact. All bucket hashing is seeded-md5 mod width, replayed
+    // exactly by the oracle.
+    "t28_cms_counts" -> QueryDef(
+      (s, dir) => {
+        val toks = t(s, dir, "documents")
+          .select(explode(split(col("text"), " ")).as("tok"))
+        val counters = graft.ext.Sketches.cmsCounters(toks, "tok")
+        val keys = toks.groupBy("tok").agg(count(lit(1)).as("exact_n"))
+          .orderBy(desc("exact_n"), asc("tok")).limit(20)
+        graft.ext.Sketches.cmsEstimate(counters, keys.select("tok"), "tok")
+          .join(keys, Seq("tok"))
+          .select("tok", "exact_n", "cms_n")
+      },
+      Some {
+        val w = graft.ext.Sketches.CmsWidth
+        val cntSel = (0 until graft.ext.Sketches.CmsDepth).map(r =>
+          s"SELECT $r AS r, " +
+            s"(${sqlHash("tok", graft.ext.Sketches.CmsSeedBase + r)})" +
+            s" % $w AS b FROM tok").mkString(" UNION ALL ")
+        val kbSel = (0 until graft.ext.Sketches.CmsDepth).map(r =>
+          s"SELECT tok, exact_n, $r AS r, " +
+            s"(${sqlHash("tok", graft.ext.Sketches.CmsSeedBase + r)})" +
+            s" % $w AS b FROM keys").mkString(" UNION ALL ")
+        s"""WITH tok AS (SELECT unnest(string_split(text, ' ')) AS tok
+                         FROM documents),
+            cnt AS (SELECT r, b, CAST(count(*) AS BIGINT) AS c
+                    FROM ($cntSel) GROUP BY r, b),
+            keys AS (SELECT tok, CAST(count(*) AS BIGINT) AS exact_n
+                     FROM tok GROUP BY tok
+                     ORDER BY exact_n DESC, tok LIMIT 20),
+            kb AS ($kbSel)
+            SELECT kb.tok, kb.exact_n,
+                   min(coalesce(c.c, CAST(0 AS BIGINT))) AS cms_n
+            FROM kb LEFT JOIN cnt c ON kb.r = c.r AND kb.b = c.b
+            GROUP BY kb.tok, kb.exact_n"""
+      },
+      "Count-Min sketch estimates vs exact counts for the top-20 tokens"),
 
     "sp2_seq_pack" -> QueryDef(
       (s, dir) => graft.ext.Sampling.packSequences(

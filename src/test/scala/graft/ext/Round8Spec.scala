@@ -108,6 +108,62 @@ class Round8Spec extends SparkTestBase {
     assert(cc == Map(8L -> 1L))
   }
 
+  test("CMS never underestimates; exact in the no-collision regime; " +
+    "counters merge by (r, b) sum") {
+    val toks = (0 until 300).map(i => Tuple1(s"tok${i % 17}")).toDF("tok")
+    val counters = Sketches.cmsCounters(toks, "tok")
+    assert(counters.count() <= Sketches.CmsDepth.toLong * Sketches.CmsWidth)
+    val exact = toks.groupBy("tok").agg(count(lit(1)).as("n"))
+    val est = Sketches.cmsEstimate(counters, exact.select("tok"), "tok")
+      .join(exact, Seq("tok"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(est.forall { case (_, cms, n) => cms >= n },
+      s"CMS must never underestimate: ${est.filter(e => e._2 < e._3).toSeq}")
+    // 17 distinct keys into 1024 buckets × 4 rows: the min row is
+    // collision-free here, so estimates are exact
+    assert(est.forall { case (_, cms, n) => cms == n }, est.toSeq.toString)
+    // mergeability: counters of two halves summed == counters of the whole
+    val h1 = Sketches.cmsCounters(toks.limit(150), "tok")
+    val h2 = Sketches.cmsCounters(toks.exceptAll(toks.limit(150)), "tok")
+    val merged = h1.unionByName(h2).groupBy("r", "b")
+      .agg(org.apache.spark.sql.functions.sum("c").as("c"))
+      .orderBy("r", "b").collect().toSeq
+    assert(merged == counters.orderBy("r", "b").collect().toSeq)
+  }
+
+  test("Bloom pre-filter: no false negatives, bit image bounded by the " +
+    "bit space") {
+    val ref = (0 until 200).map(i => Tuple1(s"ref$i")).toDF("k")
+    val bits = Sketches.bloomBits(ref, "k")
+    assert(bits.count() <= Sketches.BloomBits.toLong)
+    // every reference key itself passes (no false negatives by
+    // construction); disjoint keys mostly don't (FP rate small at this
+    // density: 600 bits of 32768)
+    val docKeys = ((0 until 200).map(i => (1L, s"ref$i")) ++
+      (0 until 200).map(i => (2L, s"other$i"))).toDF("doc_id", "k")
+    val hits = Sketches.bloomPrefilterHits(docKeys, bits, "k")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hits(1L) == 200L, s"all reference keys must pass: $hits")
+    assert(hits.getOrElse(2L, 0L) < 20L,
+      s"disjoint keys should rarely pass at this density: $hits")
+  }
+
+  test("knnOutliers: a planted isolated vector ranks as the top outlier") {
+    val rnd = new scala.util.Random(7)
+    // a tight cluster near axis 0 ... and one vector on axis 3, alone
+    val vecs = ((0 until 30).map { i =>
+      val e = Array.tabulate(4)(j =>
+        if (j == 0) 1f else rnd.nextFloat() * 0.1f)
+      (i.toLong, e)
+    } :+ (99L, Array(0f, 0f, 0f, 1f))).toDF("vec_id", "embedding")
+    val out = Similarity.knnOutliers(vecs, k = 3, topN = 5)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(out.head._1 == 99L,
+      s"the isolated vector must be the top outlier, got ${out.toSeq}")
+    assert(out.map(_._2).sliding(2).forall { case Array(a, b) => a <= b },
+      "outliers come lowest-kth-sim first")
+  }
+
   test("labelPropagation is partition-independent") {
     val rnd = new scala.util.Random(3)
     val edges = Seq.tabulate(120)(_ =>
