@@ -335,6 +335,37 @@ object Multimodal {
     }
   }
 
+  /** Perceptual difference-hash (dHash) per image: horizontal-gradient
+   * bits over the same 8×8 grid — bit `row·7+col` set iff cell (row, col)
+   * is darker than its right neighbor; 56 bits packed in one long
+   * (returned in [[ImageHash]] — the field carries whichever perceptual
+   * hash was computed, and [[imageDupPairs]] consumes either). The
+   * gradient complement to [[imageAHash]]: comparisons are PER-ROW, so
+   * any row-constant luma offset (vignettes, vertical gradients, exposure
+   * ramps) leaves dHash untouched while flipping aHash's global-mean
+   * thresholds — pinned in `MultimodalSpec` on real PNG pixels. Same
+   * mapPartitions seam: payloads never shuffle, 8 bytes/image flow on. */
+  def imageDHash(media: Dataset[MediaRecord], codec: Codec = FakeCodec)(
+      implicit spark: SparkSession): Dataset[ImageHash] = {
+    import spark.implicits._
+    media.filter(_.kind == "image").mapPartitions { it =>
+      it.map { m =>
+        val g = codec.decodeGray8(m.payload)
+        var bits = 0L
+        var r = 0
+        while (r < 8) {
+          var c = 0
+          while (c < 7) {
+            if (g(r * 8 + c) < g(r * 8 + c + 1)) bits |= (1L << (r * 7 + c))
+            c += 1
+          }
+          r += 1
+        }
+        ImageHash(m.media_id, bits)
+      }
+    }
+  }
+
   /** Image near-dup pairs by aHash Hamming distance — the pigeonhole
    * blocking of `Dedup.simhashPairs` lifted to the 64-bit hash: 4 disjoint
    * 16-bit bands; two hashes within Hamming 3 must agree EXACTLY on at

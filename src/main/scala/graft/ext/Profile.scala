@@ -142,4 +142,48 @@ object Profile {
         max(when(col(rhs).isNull, 1L).otherwise(0L))).as("n_rhs"))
       .filter(col("n_rhs") > 1)
       .select(col(lhs).cast("string").as("lhs_value"), col("n_rhs"))
+
+  /** Zone-map pruning audit — the number that PROVES a clustering layout
+   * earns its write cost: for each candidate layout (a name + a total
+   * ordering), rows land in simulated `fileRows`-row files in that
+   * order, each file keeps per-column min/max (exactly the parquet
+   * row-group / Delta file statistics a scan prunes on), and the audit
+   * counts how many files a conjunctive range predicate could NOT skip.
+   * `files_hit / n_files` is the scan fraction the layout buys — run it
+   * on (natural, z-ordered) before committing a 100-TB rewrite (the
+   * write side is [[graft.sources.WriteLayout.writeZOrdered]]; z1 gates
+   * the key, THIS gates the benefit).
+   *
+   * `preds` are inclusive ranges per column; a file is hit iff every
+   * predicate's range intersects the file's [min, max] — the standard
+   * zone-map test, false positives by design (min/max boxes overcover),
+   * never false negatives.
+   *
+   * Plan shape per layout: one range-partitioned global sort
+   * ([[Sampling.globalOrder]] — partition-offset indexing, no
+   * single-partition window), one file-grain hash-agg, one file-count-
+   * sized fold. Output: (layout, n_files, files_hit), one row per
+   * layout. */
+  def zonemapPruneAudit(df: DataFrame,
+      layouts: Seq[(String, Seq[org.apache.spark.sql.Column])],
+      fileRows: Int, preds: Seq[(String, Long, Long)]): DataFrame = {
+    require(fileRows >= 1, s"fileRows must be >= 1, got $fileRows")
+    require(preds.nonEmpty, "zonemapPruneAudit needs at least one predicate")
+    require(layouts.nonEmpty, "zonemapPruneAudit needs at least one layout")
+    val hit = preds.map { case (c, lo, hi) =>
+      col(s"__min_$c") <= lit(hi) && col(s"__max_$c") >= lit(lo)
+    }.reduce(_ && _)
+    layouts.map { case (name, orderCols) =>
+      Sampling.globalOrder(df, orderCols)
+        .select(col("position") +: preds.map(p => col(p._1)): _*)
+        .groupBy(expr(s"position div $fileRows").as("__f"))
+        .agg(
+          min(col(preds.head._1)).as(s"__min_${preds.head._1}"),
+          (preds.tail.map(p => min(col(p._1)).as(s"__min_${p._1}")) ++
+            preds.map(p => max(col(p._1)).as(s"__max_${p._1}"))): _*)
+        .agg(count(lit(1)).as("n_files"),
+          sum(when(hit, 1L).otherwise(0L)).as("files_hit"))
+        .select(lit(name).as("layout"), col("n_files"), col("files_hit"))
+    }.reduce(_ unionByName _)
+  }
 }

@@ -67,16 +67,52 @@ object Similarity {
    * the outliers, ties to the smaller id. Compositional by design: feed
    * [[knnBrute]] for the exact gate form, or any [[AnnIndex]] search for
    * the 100-TB form — the cut is one filter + TakeOrderedAndProject over
-   * a relation the search already bounded to k rows per vector. */
-  def knnOutliersFrom(knn: DataFrame, k: Int, topN: Int): DataFrame =
+   * a relation the search already bounded to k rows per vector.
+   * `scoreCol`/`higherIsCloser` adapt to the relation's score: the brute
+   * paths emit cosine `sim` (higher = closer → outliers have the LOWEST
+   * k-th score), the index ADC paths emit `dist_q` (lower = closer →
+   * outliers have the HIGHEST). */
+  def knnOutliersFrom(knn: DataFrame, k: Int, topN: Int,
+      scoreCol: String = "sim", higherIsCloser: Boolean = true): DataFrame =
     knn.filter(col("rank") === k)
-      .select(col("q_id").as("vec_id"), col("sim").as("kth_sim"))
-      .orderBy(col("kth_sim").asc, col("vec_id").asc)
+      .select(col("q_id").as("vec_id"), col(scoreCol).as(s"kth_$scoreCol"))
+      .orderBy(
+        if (higherIsCloser) col(s"kth_$scoreCol").asc
+        else col(s"kth_$scoreCol").desc,
+        col("vec_id").asc)
       .limit(topN)
 
   /** [[knnOutliersFrom]] over the exact brute-force neighbors. */
   def knnOutliers(vecs: DataFrame, k: Int, topN: Int): DataFrame =
     knnOutliersFrom(knnBrute(vecs, vecs, k), k, topN)
+
+  /** Contrastive hard-negative mining: per query, the `k` most-similar
+   * corpus vectors carrying a DIFFERENT `labelCol` — the negatives that
+   * actually teach a contrastive/embedding model (same-label neighbors
+   * are positives; random negatives are too easy to carry gradient). The
+   * label predicate applies BEFORE the top-k cut, so every query gets k
+   * eligible negatives when the corpus holds that many — the
+   * [[knnIvfPqFiltered]] pre-filter contract with a per-query predicate.
+   * Exact brute form (the gate); at corpus scale mine per label stratum
+   * through the [[AnnIndex]] filtered searches (allowed = the complement
+   * of the stratum), batching queries by label so the filter relation
+   * stays one broadcast per batch. Output: (q_id, n_id, sim, rank). */
+  def hardNegatives(queries: DataFrame, corpus: DataFrame,
+      labelCol: String, k: Int): DataFrame = {
+    val q = queries.select(col("vec_id").as("q_id"),
+      col("embedding").as("q_emb"), col(labelCol).as("__ql"),
+      sqrt(dot(col("embedding"), col("embedding"))).as("q_norm"))
+    val c = corpus.select(col("vec_id").as("n_id"),
+      col("embedding").as("n_emb"), col(labelCol).as("__nl"),
+      sqrt(dot(col("embedding"), col("embedding"))).as("n_norm"))
+    val scored = q.crossJoin(c)
+      .filter(col("q_id") =!= col("n_id"))
+      .filter(!(col("__ql") <=> col("__nl")))
+      .select(col("q_id"), col("n_id"),
+        round(dot(col("q_emb"), col("n_emb")) /
+          (col("q_norm") * col("n_norm")), 4).as("sim"))
+    topKBySim(scored, k, "sim")
+  }
 
   /** Random-hyperplane plane matrix for in-engine cell derivation: `bits`
    * planes × `dim` weights, every weight derived from md5 of

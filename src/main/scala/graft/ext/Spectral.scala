@@ -98,4 +98,44 @@ object Spectral {
           lit(v), _ * _), lit(0L), _ + _).as("dot"))
       .select(col("vec_id"), expr(s"dot div $Unit").as("proj_q"))
   }
+
+  /** Per-dimension first/second moments of the micro-grid corpus — the
+   * whitening statistics ([[standardize]]'s parameters) as exact
+   * integers: `mean_q = Σx div n` and `std_q = round(√((n·Σx² − (Σx)²)
+   * div n²))` — the variance numerator is an exact BIGINT, the single
+   * integer division lands the micro²-unit variance back under 2⁵³, and
+   * IEEE sqrt of an exactly-representable double is correctly rounded in
+   * every engine, so the stats replay bit-for-bit. One posexplode +
+   * dim-grain hash-agg; output (pos, n, mean_q, std_q) — `dim` rows. */
+  def dimStats(vecs: DataFrame): DataFrame =
+    vecs.select(posexplode(Similarity.quantizeMicro(col("embedding")))
+        .as(Seq("pos", "xq")))
+      .groupBy("pos")
+      .agg(count(lit(1)).as("n"), sum("xq").as("s"),
+        sum(col("xq") * col("xq")).as("ss"))
+      .select(col("pos"), col("n"),
+        expr("s div n").as("mean_q"),
+        floor(sqrt(expr("((n * ss - s * s) div (n * n))").cast("double"))
+          + lit(0.5)).cast("long").as("std_q"))
+
+  /** Z-score standardization of the embedding column against `stats`
+   * (a [[dimStats]] collect — dim rows of driver-held
+   * (mean_q, std_q) parameters, the codebook posture): each element maps
+   * to `(xq − mean_q) / std_q` — the micro units cancel, so `z` is in
+   * standard-deviation units; zero-variance dims map to 0. Exact integer
+   * subtraction followed by ONE IEEE double division per element —
+   * deterministic under any partitioning. A narrow codegen'd map,
+   * corpus-safe at any n (the whitening preprocessor ahead of
+   * [[pcaPower]]/codebook training). */
+  def standardize(vecs: DataFrame, stats: Array[(Long, Long)]): DataFrame = {
+    val means = stats.map(_._1)
+    val stds = stats.map(_._2)
+    vecs.select(col("vec_id"),
+      zip_with(
+        zip_with(Similarity.quantizeMicro(col("embedding")), lit(means),
+          (x, m) => x - m),
+        lit(stds),
+        (d, sd) => when(sd === lit(0L), lit(0.0))
+          .otherwise(d.cast("double") / sd.cast("double"))).as("z"))
+  }
 }

@@ -585,6 +585,100 @@ object ExtensionQueries {
                                string_agg(tk, ' ' ORDER BY i) AS text_dedup
                         FROM kept_sp GROUP BY doc_id) k USING (doc_id))"""
 
+  /** The pipe1 oracle statement — shared verbatim by `pipe1_curation_report`
+   * and wrapped in one outer aggregate by `pipe5_data_card` (the corpus-grain
+   * report over the same per-doc dispositions — one derivation, two gates). */
+  private lazy val Pipe1Sql: String = s"""WITH RECURSIVE $LshPairsCappedCtes,
+               edges AS (
+                 SELECT doc_a AS src, doc_b AS dst FROM lsh_pairs
+                 UNION ALL
+                 SELECT doc_b, doc_a FROM lsh_pairs),
+               reach(src, dst) AS (
+                 SELECT src, dst FROM edges
+                 UNION
+                 SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+               clusters AS (
+                 SELECT src AS doc_id, least(src, min(dst)) AS cluster
+                 FROM reach GROUP BY src),
+               neardup_losers AS (
+                 SELECT doc_id FROM clusters WHERE doc_id <> cluster),
+               exact_keepers AS (
+                 SELECT min(doc_id) AS doc_id FROM documents GROUP BY text),
+               bsh AS (SELECT doc_id AS bench_id, sh FROM sh
+                       WHERE doc_id % 20 = 0),
+               hits AS (
+                 SELECT s.doc_id, b.bench_id, count(*) AS n
+                 FROM sh s JOIN bsh b ON s.sh = b.sh AND s.doc_id <> b.bench_id
+                 GROUP BY 1, 2
+                 HAVING count(*) >= 5),
+               contaminated_ids AS (SELECT DISTINCT doc_id FROM hits),
+               ${sqlSpanKeptCtes(SpanW)},
+               ehits AS (
+                 SELECT DISTINCT c.vec_id AS doc_id
+                 FROM (SELECT vec_id, label, embedding::DOUBLE[] AS c_emb
+                       FROM embeddings WHERE vec_id >= 10) c
+                 JOIN (SELECT label, embedding::DOUBLE[] AS e_emb
+                       FROM embeddings WHERE vec_id < 10) ev USING (label)
+                 WHERE ${sqlCos("c.c_emb", "ev.e_emb")} >= 0.3),
+               $GopherCtes,
+               l AS (SELECT doc_id, $LangPredSql AS lang_pred FROM documents),
+               qm_w AS (
+                 SELECT doc_id,
+                        ('0x' || substr(md5('qv:' ||
+                           (('0x' || substr(md5('qw:' || tok), 1, 8))::BIGINT % ${graft.ext.QualityModel.NumBuckets})::VARCHAR
+                         ), 1, 8))::BIGINT % 2001 - 1000 AS w_m
+                 FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                       FROM documents)),
+               qm AS (
+                 SELECT doc_id,
+                        CAST(CAST(sum(w_m) AS BIGINT) AS DOUBLE) / 1000.0
+                          / count(*) AS quality_score
+                 FROM qm_w GROUP BY doc_id),
+               ux_tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                          FROM documents),
+               ux_c AS (SELECT tok, count(*) AS c FROM ux_tok GROUP BY tok),
+               ux_n AS (SELECT count(*) AS n_total FROM ux_tok),
+               ux_w AS (SELECT doc_id,
+                               CAST(floor(-ln(CAST(c AS DOUBLE) / n_total) * 1e6
+                                 + 0.5) AS BIGINT) AS nll_q
+                        FROM ux_tok JOIN ux_c USING (tok) CROSS JOIN ux_n),
+               ux AS (SELECT doc_id,
+                             round(CAST(sum(nll_q) AS DOUBLE) / 1e6 / count(*), 6)
+                               AS xent
+                      FROM ux_w GROUP BY doc_id),
+               flags AS (
+                 SELECT d.doc_id,
+                        (l.lang_pred = 'en') AS lang_ok,
+                        gq.pass AS quality_ok,
+                        (d.doc_id IN (SELECT doc_id FROM exact_keepers))
+                          AS exact_keeper,
+                        (d.doc_id NOT IN (SELECT doc_id FROM neardup_losers))
+                          AS neardup_keeper,
+                        (d.doc_id IN (SELECT doc_id FROM contaminated_ids))
+                          AS contaminated,
+                        sa.n_kept AS span_kept,
+                        (d.doc_id IN (SELECT doc_id FROM ehits))
+                          AS embed_contaminated,
+                        CASE WHEN ('0x' || substr(md5('split:' || d.doc_id::VARCHAR), 1, 8))::BIGINT % 100 < 80 THEN 'train'
+                             WHEN ('0x' || substr(md5('split:' || d.doc_id::VARCHAR), 1, 8))::BIGINT % 100 < 90 THEN 'val'
+                             ELSE 'test' END AS split,
+                        qm.quality_score,
+                        ux.xent
+                 FROM documents d
+                 JOIN l USING (doc_id)
+                 JOIN gq USING (doc_id)
+                 JOIN span_agg sa USING (doc_id)
+                 JOIN qm USING (doc_id)
+                 JOIN ux USING (doc_id))
+               SELECT doc_id, lang_ok, quality_ok, exact_keeper,
+                      neardup_keeper, contaminated, span_kept,
+                      embed_contaminated, split,
+                      (lang_ok AND quality_ok AND exact_keeper
+                       AND neardup_keeper AND NOT contaminated
+                       AND NOT embed_contaminated) AS keep,
+                      quality_score, xent
+               FROM flags"""
+
   val defs: Map[String, QueryDef] = Map(
 
     // ---- deduplication ----
@@ -1321,6 +1415,29 @@ object ExtensionQueries {
                FROM xq x JOIN v3 v USING (pos)
                GROUP BY x.vec_id"""),
       "corpus projection onto the power-iteration principal axis"),
+
+    // Per-dimension whitening statistics (Spectral.standardize's
+    // parameters): exact-integer mean + correctly-rounded integer std per
+    // dimension — the variance numerator n·Σx²−(Σx)² is an exact BIGINT
+    // and the one integer division lands it back under 2^53 before the
+    // IEEE sqrt, so both engines round identically.
+    "e13_dim_stats" -> QueryDef(
+      (s, dir) => graft.ext.Spectral.dimStats(t(s, dir, "embeddings")),
+      Some("""WITH xq AS (
+                SELECT vec_id, CAST(pos - 1 AS INTEGER) AS pos,
+                       CAST(floor(x * 1000000 + 0.5) AS BIGINT) AS xq
+                FROM (SELECT vec_id, unnest(embedding::DOUBLE[]) AS x,
+                             generate_subscripts(embedding, 1) AS pos
+                      FROM embeddings)),
+              st AS (SELECT pos, CAST(count(*) AS BIGINT) AS n,
+                            CAST(sum(xq) AS BIGINT) AS s,
+                            CAST(sum(xq * xq) AS BIGINT) AS ss
+                     FROM xq GROUP BY pos)
+              SELECT pos, n, s // n AS mean_q,
+                     CAST(floor(sqrt(CAST((n * ss - s * s) // (n * n)
+                       AS DOUBLE)) + 0.5) AS BIGINT) AS std_q
+              FROM st"""),
+      "per-dimension embedding whitening stats (exact mean, rounded std)"),
 
     // Cross-label semantic overlap matrix (d22's embedding-space sibling):
     // per label pair, >= 0.3-cosine pairs crossing the boundary + covered
@@ -3226,97 +3343,71 @@ object ExtensionQueries {
             emb.filter(col("vec_id") < 10))),
           withSignals = true)
       },
-      Some(s"""WITH RECURSIVE $LshPairsCappedCtes,
-               edges AS (
-                 SELECT doc_a AS src, doc_b AS dst FROM lsh_pairs
-                 UNION ALL
-                 SELECT doc_b, doc_a FROM lsh_pairs),
-               reach(src, dst) AS (
-                 SELECT src, dst FROM edges
-                 UNION
-                 SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
-               clusters AS (
-                 SELECT src AS doc_id, least(src, min(dst)) AS cluster
-                 FROM reach GROUP BY src),
-               neardup_losers AS (
-                 SELECT doc_id FROM clusters WHERE doc_id <> cluster),
-               exact_keepers AS (
-                 SELECT min(doc_id) AS doc_id FROM documents GROUP BY text),
-               bsh AS (SELECT doc_id AS bench_id, sh FROM sh
-                       WHERE doc_id % 20 = 0),
-               hits AS (
-                 SELECT s.doc_id, b.bench_id, count(*) AS n
-                 FROM sh s JOIN bsh b ON s.sh = b.sh AND s.doc_id <> b.bench_id
-                 GROUP BY 1, 2
-                 HAVING count(*) >= 5),
-               contaminated_ids AS (SELECT DISTINCT doc_id FROM hits),
-               ${sqlSpanKeptCtes(SpanW)},
-               ehits AS (
-                 SELECT DISTINCT c.vec_id AS doc_id
-                 FROM (SELECT vec_id, label, embedding::DOUBLE[] AS c_emb
-                       FROM embeddings WHERE vec_id >= 10) c
-                 JOIN (SELECT label, embedding::DOUBLE[] AS e_emb
-                       FROM embeddings WHERE vec_id < 10) ev USING (label)
-                 WHERE ${sqlCos("c.c_emb", "ev.e_emb")} >= 0.3),
-               $GopherCtes,
-               l AS (SELECT doc_id, $LangPredSql AS lang_pred FROM documents),
-               qm_w AS (
-                 SELECT doc_id,
-                        ('0x' || substr(md5('qv:' ||
-                           (('0x' || substr(md5('qw:' || tok), 1, 8))::BIGINT % ${graft.ext.QualityModel.NumBuckets})::VARCHAR
-                         ), 1, 8))::BIGINT % 2001 - 1000 AS w_m
-                 FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
-                       FROM documents)),
-               qm AS (
-                 SELECT doc_id,
-                        CAST(CAST(sum(w_m) AS BIGINT) AS DOUBLE) / 1000.0
-                          / count(*) AS quality_score
-                 FROM qm_w GROUP BY doc_id),
-               ux_tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
-                          FROM documents),
-               ux_c AS (SELECT tok, count(*) AS c FROM ux_tok GROUP BY tok),
-               ux_n AS (SELECT count(*) AS n_total FROM ux_tok),
-               ux_w AS (SELECT doc_id,
-                               CAST(floor(-ln(CAST(c AS DOUBLE) / n_total) * 1e6
-                                 + 0.5) AS BIGINT) AS nll_q
-                        FROM ux_tok JOIN ux_c USING (tok) CROSS JOIN ux_n),
-               ux AS (SELECT doc_id,
-                             round(CAST(sum(nll_q) AS DOUBLE) / 1e6 / count(*), 6)
-                               AS xent
-                      FROM ux_w GROUP BY doc_id),
-               flags AS (
-                 SELECT d.doc_id,
-                        (l.lang_pred = 'en') AS lang_ok,
-                        gq.pass AS quality_ok,
-                        (d.doc_id IN (SELECT doc_id FROM exact_keepers))
-                          AS exact_keeper,
-                        (d.doc_id NOT IN (SELECT doc_id FROM neardup_losers))
-                          AS neardup_keeper,
-                        (d.doc_id IN (SELECT doc_id FROM contaminated_ids))
-                          AS contaminated,
-                        sa.n_kept AS span_kept,
-                        (d.doc_id IN (SELECT doc_id FROM ehits))
-                          AS embed_contaminated,
-                        CASE WHEN ('0x' || substr(md5('split:' || d.doc_id::VARCHAR), 1, 8))::BIGINT % 100 < 80 THEN 'train'
-                             WHEN ('0x' || substr(md5('split:' || d.doc_id::VARCHAR), 1, 8))::BIGINT % 100 < 90 THEN 'val'
-                             ELSE 'test' END AS split,
-                        qm.quality_score,
-                        ux.xent
-                 FROM documents d
-                 JOIN l USING (doc_id)
-                 JOIN gq USING (doc_id)
-                 JOIN span_agg sa USING (doc_id)
-                 JOIN qm USING (doc_id)
-                 JOIN ux USING (doc_id))
-               SELECT doc_id, lang_ok, quality_ok, exact_keeper,
-                      neardup_keeper, contaminated, span_kept,
-                      embed_contaminated, split,
-                      (lang_ok AND quality_ok AND exact_keeper
-                       AND neardup_keeper AND NOT contaminated
-                       AND NOT embed_contaminated) AS keep,
-                      quality_score, xent
-               FROM flags"""),
+      Some(Pipe1Sql),
       "composed curation pipeline: per-doc disposition audit (gates + graded signal panel)"),
+
+    // The data card: pipe1's per-doc dispositions rolled into the ONE-ROW
+    // corpus report every dataset release ships — gate pass counts, split
+    // sizes, surviving span tokens, keep rate in exact integer permille.
+    // Same derivation as pipe1 (the oracle literally wraps Pipe1Sql in
+    // one outer aggregate), so the two can never drift.
+    "pipe5_data_card" -> QueryDef(
+      (s, dir) => {
+        graft.functions.GraftFunctions.register(s)
+        val docs = t(s, dir, "documents")
+        val emb = t(s, dir, "embeddings")
+        Curation.curationReport(docs,
+          bench = docs.filter(col("doc_id") % 20 === 0),
+          embeddings = Some((emb.filter(col("vec_id") >= 10),
+            emb.filter(col("vec_id") < 10))))
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(when(col("keep"), 1L).otherwise(0L)).as("n_keep"),
+            sum(when(col("lang_ok"), 1L).otherwise(0L)).as("n_lang_ok"),
+            sum(when(col("quality_ok"), 1L).otherwise(0L))
+              .as("n_quality_ok"),
+            sum(when(col("exact_keeper"), 1L).otherwise(0L))
+              .as("n_exact_keeper"),
+            sum(when(col("neardup_keeper"), 1L).otherwise(0L))
+              .as("n_neardup_keeper"),
+            sum(when(col("contaminated"), 1L).otherwise(0L))
+              .as("n_contaminated"),
+            sum(when(col("embed_contaminated"), 1L).otherwise(0L))
+              .as("n_embed_contaminated"),
+            sum(col("span_kept").cast("long")).as("span_tokens_kept"),
+            sum(when(col("split") === "train", 1L).otherwise(0L))
+              .as("n_train"),
+            sum(when(col("split") === "val", 1L).otherwise(0L)).as("n_val"),
+            sum(when(col("split") === "test", 1L).otherwise(0L))
+              .as("n_test"))
+          .withColumn("keep_permille", expr("n_keep * 1000 div n_docs"))
+      },
+      Some(s"""SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                 CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_keep,
+                 CAST(sum(CASE WHEN lang_ok THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_lang_ok,
+                 CAST(sum(CASE WHEN quality_ok THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_quality_ok,
+                 CAST(sum(CASE WHEN exact_keeper THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_exact_keeper,
+                 CAST(sum(CASE WHEN neardup_keeper THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_neardup_keeper,
+                 CAST(sum(CASE WHEN contaminated THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_contaminated,
+                 CAST(sum(CASE WHEN embed_contaminated THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_embed_contaminated,
+                 CAST(sum(span_kept) AS BIGINT) AS span_tokens_kept,
+                 CAST(sum(CASE WHEN split = 'train' THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_train,
+                 CAST(sum(CASE WHEN split = 'val' THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_val,
+                 CAST(sum(CASE WHEN split = 'test' THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_test,
+                 CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) * 1000
+                   // count(*) AS BIGINT) AS keep_permille
+               FROM ($Pipe1Sql)"""),
+      "one-row corpus data card: gate counts, splits, keep rate"),
 
     // Flagship composition #2 — the WRITE side to pipe1's audit: split →
     // temperature-¼ source mixture → sliding-window chunking →
@@ -4030,6 +4121,32 @@ object ExtensionQueries {
                 WHERE o.n_toks >= d.n_toks AND o.ttr_q >= d.ttr_q
                   AND (o.n_toks > d.n_toks OR o.ttr_q > d.ttr_q))"""),
       "2-D Pareto skyline: length / lexical-diversity frontier docs"),
+
+    // Contrastive hard-negative mining: per query the top-5 most-similar
+    // CROSS-label vectors — the pre-filter-before-top-k contract (every
+    // query gets k eligible negatives), exact brute form at the gate; at
+    // scale mine per label stratum through the filtered index searches.
+    "sp24_hard_negatives" -> QueryDef(
+      (s, dir) => {
+        graft.functions.GraftFunctions.register(s)
+        val emb = t(s, dir, "embeddings")
+        Similarity.hardNegatives(emb.filter(col("vec_id") < 10), emb,
+          "label", 5)
+      },
+      Some(s"""WITH q AS (SELECT vec_id AS q_id, label AS ql,
+                                 embedding::DOUBLE[] AS qe
+                          FROM embeddings WHERE vec_id < 10),
+               c AS (SELECT vec_id AS n_id, label AS nl,
+                            embedding::DOUBLE[] AS ne FROM embeddings),
+               scored AS (SELECT q_id, n_id, ${sqlCos("qe", "ne")} AS sim
+                          FROM q CROSS JOIN c
+                          WHERE q_id <> n_id AND ql IS DISTINCT FROM nl),
+               r AS (SELECT q_id, n_id, sim,
+                            CAST(row_number() OVER (PARTITION BY q_id
+                              ORDER BY sim DESC, n_id) AS INTEGER) AS rank
+                     FROM scored)
+               SELECT q_id, n_id, sim, rank FROM r WHERE rank <= 5"""),
+      "contrastive hard negatives: top-5 cross-label neighbors per query"),
 
     // Mixture-drift audit: did the EXECUTED corpus land on the PLANNED
     // mixture? PSI between sp15's token-budget plan (drawn tokens per

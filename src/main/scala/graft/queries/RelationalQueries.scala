@@ -197,6 +197,58 @@ object RelationalQueries {
       },
       "Morton/Z-order interleave key (bit-exact engine parity)"),
 
+    // Zone-map pruning audit: z1 gates the KEY, this gates the BENEFIT —
+    // simulated 1000-row files under the natural vs z-ordered layout,
+    // per-file min/max stats (the parquet row-group zone maps), and the
+    // file count a 2-D box predicate cannot skip in each. The z-ordered
+    // layout keeps both dimensions' ranges tight per file, so its
+    // files_hit collapses while the natural layout scans nearly
+    // everything — the measured case for paying the clustering write.
+    "z2_zonemap_prune" -> QueryDef(
+      (s, dir) => {
+        val base = t(s, dir, "lineitem").select(
+          col("l_orderkey"), col("l_linenumber"),
+          (col("l_partkey") % 256).as("pk"),
+          (col("l_suppkey") % 256).as("sk"),
+          graft.sources.WriteLayout.zorderKey(
+            Seq(col("l_partkey") % 256, col("l_suppkey") % 256), 8).as("z"))
+        graft.ext.Profile.zonemapPruneAudit(base,
+          Seq(
+            "natural" -> Seq(col("l_orderkey"), col("l_linenumber")),
+            "zorder" -> Seq(col("z"), col("l_orderkey"),
+              col("l_linenumber"))),
+          fileRows = 1000,
+          preds = Seq(("pk", 16L, 23L), ("sk", 40L, 47L)))
+      },
+      Some {
+        val terms = (for {
+          (c, j) <- Seq("l_partkey", "l_suppkey").zipWithIndex
+          i <- 0 until 8
+        } yield s"(((($c % 256) >> $i) & 1) << ${i * 2 + j})").mkString(" | ")
+        def side(name: String, order: String): String =
+          s"""${name}_p AS (SELECT pk, sk,
+                   (row_number() OVER (ORDER BY $order) - 1) // 1000 AS f
+                 FROM b),
+              ${name}_f AS (SELECT f, min(pk) AS mpk, max(pk) AS xpk,
+                                  min(sk) AS msk, max(sk) AS xsk
+                            FROM ${name}_p GROUP BY f),
+              ${name}_s AS (SELECT '$name' AS layout,
+                     CAST(count(*) AS BIGINT) AS n_files,
+                     CAST(sum(CASE WHEN mpk <= 23 AND xpk >= 16
+                                    AND msk <= 47 AND xsk >= 40
+                                   THEN 1 ELSE 0 END) AS BIGINT)
+                       AS files_hit
+                     FROM ${name}_f)"""
+        s"""WITH b AS (SELECT l_orderkey, l_linenumber,
+                   l_partkey % 256 AS pk, l_suppkey % 256 AS sk,
+                   CAST($terms AS BIGINT) AS z
+                 FROM lineitem),
+            ${side("natural", "l_orderkey, l_linenumber")},
+            ${side("zorder", "z, l_orderkey, l_linenumber")}
+            SELECT * FROM natural_s UNION ALL SELECT * FROM zorder_s"""
+      },
+      "zone-map skip audit: files hit by a 2-D box, natural vs z-order"),
+
     // Null-safe equality join (<=> / IS NOT DISTINCT FROM): NULL keys
     // MATCH each other — the join-matrix variant a plain `=` can never
     // produce (it drops NULL rows from both sides). Keys are derived with

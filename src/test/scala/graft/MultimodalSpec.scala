@@ -109,6 +109,57 @@ class MultimodalSpec extends SparkTestBase {
     assert(pairs == Set((1L, 2L)))
   }
 
+  test("dHash survives a vertical luma gradient that flips aHash; " +
+    "a real edit moves both") {
+    implicit val s = spark
+    // base: an 8-col alternating stripe pattern; `ramp` adds a row-constant
+    // vertical luma gradient (a vignette/exposure ramp) — per-row
+    // horizontal ordering is untouched, so dHash must be identical while
+    // aHash's global-mean thresholds flip; `edit` swaps the stripe phase
+    // of the top row block — a real content change both hashes must see.
+    def png(ramp: Boolean, edit: Boolean): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        64, 64, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 64; x <- 0 until 64) {
+        val phase = if (edit && y < 8) 1 else 0
+        val bright = ((x / 8) + phase) % 2 == 0
+        // moderate stripe contrast (0x60 vs 0x30) + a strong row ramp
+        // (+18/block-row): the ramp dwarfs the global mean shift, so
+        // top bright cells sink below it and bottom dark cells rise
+        // above — many aHash bits flip while every in-row comparison
+        // (hence every dHash bit) is untouched
+        var lum = if (bright) 0x60 else 0x30
+        if (ramp) lum = lum + (y / 8) * 18
+        img.setRGB(x, y, (lum << 16) | (lum << 8) | lum)
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    def rec(id: Long, p: Array[Byte]) =
+      MediaRecord(id, "image", p, 64, 64, 0, 0)
+    val ds = Seq(
+      rec(1L, png(ramp = false, edit = false)),
+      rec(2L, png(ramp = true, edit = false)),  // graded copy of 1
+      rec(3L, png(ramp = false, edit = true))   // edited copy of 1
+    ).toDS()
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    val dh = Multimodal.imageDHash(ds, Multimodal.JdkCodec)
+      .collect().map(h => h.media_id -> h.ahash).toMap
+    val ah = Multimodal.imageAHash(ds, Multimodal.JdkCodec)
+      .collect().map(h => h.media_id -> h.ahash).toMap
+    assert(dh(1L) == dh(2L), "dHash must be invariant to the row ramp")
+    assert(ham(ah(1L), ah(2L)) > 3,
+      s"the ramp must flip aHash bits: ${ham(ah(1L), ah(2L))}")
+    assert(dh(1L) != dh(3L), "a content edit must move dHash")
+    // the dup-pair machinery consumes dHash rows unchanged
+    val pairs = Multimodal.imageDupPairs(
+        Multimodal.imageDHash(ds, Multimodal.JdkCodec).toDF(),
+        maxHamming = 3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)), pairs.toString)
+  }
+
   test("JdkCodec falls back deterministically on undecodable payloads") {
     val junk = Array.tabulate[Byte](64)(i => i.toByte)
     val a = Multimodal.JdkCodec.decodeImage(junk)

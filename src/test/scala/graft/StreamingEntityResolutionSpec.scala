@@ -81,6 +81,31 @@ class StreamingEntityResolutionSpec extends SparkTestBase {
     assert(tableRows(tableDir) == batchResolve(u123))
   }
 
+  test("state-leg compaction mid-stream preserves the table and later " +
+    "increments (the curation compactState generalizes to ER state)") {
+    val root = java.nio.file.Files.createTempDirectory("ser_compact").toString
+    val tableDir = s"$root/table"
+    val stateDir = s"$root/state"
+    val sink = StreamingEntityResolution.goldenSink(tableDir, stateDir,
+      "id", "nm", "q", carry, blockPrefix = 5, minSim = 0.85)
+    sink.write(batch1, 0L)
+    sink.write(batch2, 1L)
+    sink.write(batch3, 2L)
+    val before = tableRows(tableDir)
+    val folded = graft.streaming.StreamingCuration
+      .compactState(spark, stateDir)
+    assert(folded.values.sum > 0, s"expected legs to fold, got $folded")
+    assert(tableRows(tableDir) == before, "compaction must not touch the table")
+    // a further batch over the compacted state still equals the batch
+    // resolve on the full accumulated corpus (joins entity 6, flips its
+    // keeper: jw(gammaZZ-06, gammaZZ-08) = 0.96)
+    val batch4 = recs((8L, "gammaZZ-08", 77.0, "g"))
+    sink.write(batch4, 3L)
+    val all = batch1.unionByName(batch2).unionByName(batch3)
+      .unionByName(batch4)
+    assert(tableRows(tableDir) == batchResolve(all))
+  }
+
   test("jw geometry sanity: the bridge pairs exist, the direct pair " +
     "does not") {
     val pairs = graft.ext.Dedup.jaroWinklerPairs(

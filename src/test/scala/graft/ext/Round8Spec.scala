@@ -164,6 +164,43 @@ class Round8Spec extends SparkTestBase {
       "outliers come lowest-kth-sim first")
   }
 
+  test("zonemapPruneAudit: clustering on the predicate column collapses " +
+    "files_hit; row-scrambled layout scans everything") {
+    // scr is a pseudo-random row permutation key (37 coprime to 4001), so
+    // ordering by it scatters `a` uniformly across every file
+    val df = (0 until 4000).map { i =>
+      (i.toLong, (i % 64).toLong, ((i * 37L) % 4001).toLong)
+    }.toDF("id", "a", "scr")
+    val out = Profile.zonemapPruneAudit(df,
+      Seq("by_a" -> Seq(col("a"), col("id")),
+        "by_scr" -> Seq(col("scr"), col("id"))),
+      fileRows = 500, preds = Seq(("a", 10L, 11L)))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    assert(out("by_a")._1 == 8L && out("by_scr")._1 == 8L)
+    assert(out("by_a")._2 <= 2L,
+      s"a-clustered layout must prune to the predicate's files: $out")
+    assert(out("by_scr")._2 == 8L,
+      s"scrambled layout cannot skip anything: $out")
+  }
+
+  test("standardize: per-dimension mean ~0 and std ~1 under dimStats " +
+    "parameters") {
+    val vecs = spark.read.parquet(s"$Sf/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val stats = Spectral.dimStats(vecs).orderBy("pos")
+      .collect().map(r => (r.getLong(2), r.getLong(3)))
+    val z = Spectral.standardize(vecs, stats)
+      .select(posexplode(col("z")).as(Seq("pos", "z")))
+      .groupBy("pos")
+      .agg(avg("z").as("m"), stddev_pop(col("z")).as("sd"))
+      .collect()
+    assert(z.forall(r => math.abs(r.getDouble(1)) < 0.01),
+      "standardized mean must be ~0 per dim")
+    assert(z.forall(r => math.abs(r.getDouble(2) - 1.0) < 0.01),
+      "standardized std must be ~1 per dim")
+  }
+
   test("labelPropagation is partition-independent") {
     val rnd = new scala.util.Random(3)
     val edges = Seq.tabulate(120)(_ =>
