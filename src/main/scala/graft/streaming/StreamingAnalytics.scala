@@ -220,6 +220,73 @@ object StreamingAnalytics {
         org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update())
   }
 
+  final case class SeriesPoint(key: String, ord: Long, x: Double)
+  final case class EwmaPoint(key: String, ord: Long, x: Double,
+      ewma: Double, is_spike: Boolean)
+  final case class EwmaState(lags: Seq[Double], n_seen: Long)
+
+  /** Streaming EWMA spike detection on TWS `ValueState` — the incremental
+   * form of [[graft.ext.TimeSeries.ewmaAnomaly]]: per key, the state is
+   * the trailing ≤ `lookback` values (most recent first) plus the seen
+   * count; each arriving point folds the SAME dyadic weights
+   * (Σ lag_i·2^−i, α = ½) the batch operator evaluates, so under the
+   * monotone-ingest contract (batches arrive in non-decreasing `ord`; the
+   * processor sorts within a batch) the streamed output is
+   * BIT-IDENTICAL to the batch pass over the accumulated series — every
+   * term is an exact dyadic double, pinned in `StreamingSpec`. State is
+   * O(lookback) doubles per key; output appends one row per point. */
+  class EwmaSpikeProcessor(lookback: Int, spikeFactor: Double,
+      minBase: Double)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        String, SeriesPoint, EwmaPoint] {
+    @transient private var st:
+      org.apache.spark.sql.streaming.ValueState[EwmaState] = _
+
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      st = getHandle.getValueState[EwmaState]("ewma",
+        org.apache.spark.sql.Encoders.product[EwmaState],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(key: String, rows: Iterator[SeriesPoint],
+        tv: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[EwmaPoint] = {
+      var s = if (st.exists()) st.get() else EwmaState(Seq.empty, 0L)
+      val out = scala.collection.mutable.ArrayBuffer.empty[EwmaPoint]
+      rows.toSeq.sortBy(_.ord).foreach { r =>
+        // identical association to the batch lag chain: term i=1..lookback
+        // summed left to right (all dyadic-exact, so this is belt and
+        // braces, not a numerical necessity)
+        var ep = 0.0
+        var i = 0
+        while (i < math.min(s.lags.length, lookback)) {
+          ep += s.lags(i) * math.pow(0.5, i + 1)
+          i += 1
+        }
+        val ew = r.x * 0.5 + ep * 0.5
+        val spike = s.n_seen >= lookback &&
+          r.x > spikeFactor * ep + minBase
+        out += EwmaPoint(key, r.ord, r.x, ew, spike)
+        s = EwmaState((r.x +: s.lags).take(lookback), s.n_seen + 1)
+      }
+      st.update(s)
+      out.iterator
+    }
+  }
+
+  /** Streaming EWMA spike flags through `transformWithState` (RocksDB
+   * provider required). Append mode: one row per arriving point. */
+  def ewmaSpikes(points: Dataset[SeriesPoint], lookback: Int = 12,
+      spikeFactor: Double = 2.0, minBase: Double = 5.0)(
+      implicit spark: SparkSession): Dataset[EwmaPoint] = {
+    import spark.implicits._
+    points
+      .groupByKey(_.key)
+      .transformWithState(
+        new EwmaSpikeProcessor(lookback, spikeFactor, minBase),
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Append())
+  }
+
   final case class FunnelEvent(user_id: Long, ts: Timestamp, event_type: String)
   final case class FunnelHit(user_id: Long, t_first: Timestamp,
       t_last: Timestamp, n_steps: Int)

@@ -621,6 +621,52 @@ class StreamingSpec extends SparkTestBase {
     }
   }
 
+  test("streaming EWMA spikes across micro-batches are bit-identical to " +
+    "the batch ewmaAnomaly on the accumulated series") {
+    implicit val s = spark
+    implicit val sqlCtx = spark.sqlContext
+    val prevProvider = spark.conf.getOption(
+      "spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      // flat 4s with one warmup outlier and one post-warmup surge (the
+      // Round8Spec series), split mid-stream across two micro-batches
+      def pt(i: Int): StreamingAnalytics.SeriesPoint =
+        StreamingAnalytics.SeriesPoint("k", i.toLong,
+          if (i == 5 || i == 25) 100.0 else 4.0)
+      val input = MemoryStream[StreamingAnalytics.SeriesPoint]
+      val q = StreamingAnalytics.ewmaSpikes(input.toDS())
+        .writeStream.outputMode("append")
+        .format("memory").queryName("ewma_out").start()
+      input.addData((0 until 14).map(pt): _*)
+      q.processAllAvailable()
+      input.addData((14 until 30).map(pt): _*)
+      q.processAllAvailable()
+      q.stop()
+
+      val streamed = spark.table("ewma_out")
+        .select($"key", $"ord", $"x", $"ewma", $"is_spike")
+        .orderBy($"ord").collect().toSeq
+      val batch = graft.ext.TimeSeries.ewmaAnomaly(
+          (0 until 30).map(i => ("k", i.toLong,
+            if (i == 5 || i == 25) 100.0 else 4.0)).toDF("key", "ord", "x"),
+          "key", "ord", "x")
+        .orderBy($"ord").collect().toSeq
+      assert(streamed.map(_.toString) == batch.map(_.toString),
+        s"streamed:\n${streamed.mkString("\n")}\nbatch:\n${batch.mkString("\n")}")
+      assert(streamed.count(_.getBoolean(4)) == 1 &&
+        streamed.find(_.getBoolean(4)).get.getLong(1) == 25L)
+    } finally {
+      prevProvider match {
+        case Some(p) => spark.conf.set(
+          "spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset(
+          "spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("transformWithState running stats accumulate across micro-batches") {
     implicit val s = spark
     implicit val sqlCtx = spark.sqlContext
