@@ -334,6 +334,11 @@ object Bench {
         // Bloom pre-filter (bit-space-bounded broadcast vs a 10× larger
         // benchmark shingle relation)
         "sp23_pareto_skyline", "t28_cms_counts", "d30_bloom_prefilter",
+        // round-8 addition: EXACT prefix-filtered similarity join + its
+        // pre-flight at 10× — the replica suffixes grow the shingle
+        // vocabulary 10×, so the prefix inverted lists stay short (the
+        // algorithm's own scale claim) while true pairs grow linearly
+        "d31_ppjoin", "d32_ppjoin_stats",
         // round-7 late addition: word2phrase collocations — two
         // vocabulary-sized count aggs over the 10× corpus (the replica
         // suffixes multiply the bigram vocabulary 10×, the honest scaling

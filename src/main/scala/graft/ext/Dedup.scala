@@ -1354,6 +1354,150 @@ object Dedup {
       .groupBy("id_a", "id_b").agg(min("dist").as("dist"))
   }
 
+  // ──────────────── Prefix-filtering similarity join (AllPairs/PPJoin) ──
+
+  /** Distinct word tokens per doc as (doc_id, sh) — the word-grain set
+   * relation, an alternative input for [[ppjoinPairsFromSets]]. Column
+   * named `sh` so [[jaccard]] consumes it unchanged. Same re-split
+   * discipline as [[shinglesN]]: the explode multiplies rows ~|doc|×
+   * per input byte, so byte-proportional file splits would mis-size the
+   * stage. Grain choice matters: on a tiny-vocabulary corpus the word
+   * grain degenerates (the gate corpus has a 31-word vocabulary — EVERY
+   * doc pair overlaps), which is exactly what [[ppjoinStats]] measures
+   * before the join runs; the gate queries therefore run the shingle
+   * grain, where the same corpus has 16k+ distinct set elements. */
+  def wordSets(docs: DataFrame): DataFrame =
+    docs.repartition(col("doc_id"))
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("sh"))
+      .distinct()
+
+  /** Double-rounding slack for the PPJoin bound arithmetic: every bound
+   * is loosened by this in the SAFE direction (more candidates, never
+   * fewer), so IEEE rounding of `t·sz` at an exact integer boundary can
+   * never shorten a prefix or raise a required-overlap floor past its
+   * real value — the exact verify pays for at most a few extra boundary
+   * candidates. The oracle SQL subtracts the same literal so both
+   * engines compute identical prefixes. */
+  private[ext] val PpEps = 1e-9
+
+  /** Per-doc frequency-ordered prefix relation at threshold `t`:
+   * (doc_id, sh, pos, sz), keeping each doc's first
+   * p = sz − ⌈t·sz⌉ + 1 tokens under the canonical AllPairs global
+   * order (ascending document frequency, ties by token). ANY total
+   * order is lossless here; rarest-first is the one that makes the
+   * prefix inverted lists the SHORT ones, which is what bounds the
+   * candidate join. One agg (df), one join (rank lookup — vocab-sized,
+   * never broadcast), one window pass keyed by doc_id for both the
+   * rank and the set size. */
+  private[ext] def prefixRelation(sets: DataFrame, t: Double): DataFrame = {
+    val dfRel = sets.groupBy("sh").agg(count(lit(1)).as("df"))
+    val byDoc = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+    sets.join(dfRel, Seq("sh"))
+      .withColumn("pos",
+        row_number().over(byDoc.orderBy(col("df"), col("sh"))))
+      .withColumn("sz", count(lit(1)).over(byDoc))
+      .filter(col("pos") <=
+        col("sz") - ceil(lit(t) * col("sz") - lit(PpEps)) + 1)
+      .select("doc_id", "sh", "pos", "sz")
+  }
+
+  /** EXACT set-similarity self-join by prefix filtering — every document
+   * pair with word-set Jaccard ≥ `minJaccard`, with neither LSH's false
+   * negatives (d3) nor the all-pairs grid (d4's fallback): AllPairs
+   * (Bayardo/Ma/Srikant, WWW'07) prefix + length filters plus PPJoin's
+   * (Xiao/Wang/Lin/Yu, WWW'08) positional filter, verified by the exact
+   * [[jaccard]] pass over survivors only.
+   *
+   * Why it is lossless: two sets with Jaccard ≥ t must share a token
+   * among the first |x| − ⌈t·|x|⌉ + 1 of EACH side under any agreed
+   * total order (else the possible overlap is too small), so joining
+   * prefixes on the token finds every qualifying pair; the length
+   * filter (min ≥ t·max) and positional filter
+   * (1 + min(|x|−i, |y|−j) ≥ ⌈t/(1+t)·(|x|+|y|)⌉, the required overlap
+   * rewritten from jac ≥ t) only discard pairs those necessary
+   * conditions already exclude. All three bounds carry [[PpEps]] slack
+   * so double rounding can only widen them.
+   *
+   * Scale shape (100 TB): token df agg + one vocab-keyed rank join +
+   * one doc-keyed window pass, then a self-join whose inverted lists
+   * hold only RARE tokens by construction — the frequency order exists
+   * exactly so the hot tokens fall outside every prefix. A corpus where
+   * a rare-in-name-only token still floods a list (adversarial dups)
+   * is what `maxBlock` guards: over-cap prefix tokens are SKIPPED with
+   * the same loud [[allowedBlocks]] tripwire as the JW/Levenshtein
+   * families (default uncapped — the join is exact unless a cap is
+   * explicitly chosen; [[ppjoinStats]] is the pre-flight that sizes
+   * whether one is needed). Verification touches candidates only.
+   *
+   * This convenience form runs at the family's standard shingle grain
+   * ([[shingles]] — same sets as d3/d4, so its output is comparable to
+   * the LSH pipeline it exactifies); [[ppjoinPairsFromSets]] takes any
+   * (doc_id, sh) set relation, e.g. [[wordSets]]. */
+  def ppjoinPairs(docs: DataFrame, minJaccard: Double,
+      maxBlock: Int = Int.MaxValue): DataFrame =
+    ppjoinPairsFromSets(materialize(shingles(docs)), minJaccard, maxBlock)
+
+  /** [[ppjoinPairs]] over a caller-supplied (doc_id, sh) set relation.
+   * `sets` feeds the rank join, both prefix join sides, and the verify
+   * pass — pass a MATERIALIZED relation (the
+   * [[minhashDedupPairsFromShingles]] contract) so the tokenization is
+   * paid once. */
+  def ppjoinPairsFromSets(sets: DataFrame, minJaccard: Double,
+      maxBlock: Int = Int.MaxValue): DataFrame = {
+    require(minJaccard > 0.0 && minJaccard <= 1.0,
+      s"minJaccard must be in (0, 1], got $minJaccard")
+    require(maxBlock >= 1, s"maxBlock must be >= 1, got $maxBlock")
+    val t = minJaccard
+    // feeds the cap agg and both join sides — materialize once
+    val pre = materialize(prefixRelation(sets, t))
+    val aAll = pre.toDF("doc_a", "blk", "pos_a", "sz_a")
+    val a =
+      if (maxBlock == Int.MaxValue) aAll
+      else aAll.join(allowedBlocks(aAll, maxBlock, "ppjoinPairs"),
+        Seq("blk"), "left_semi")
+    val b = pre.toDF("doc_b", "blk", "pos_b", "sz_b")
+    val cands = a.join(b, Seq("blk"))
+      .filter(col("doc_a") < col("doc_b"))
+      .filter(least(col("sz_a"), col("sz_b")).cast("double") >=
+        lit(t) * greatest(col("sz_a"), col("sz_b")).cast("double")
+          - lit(PpEps))
+      .filter((lit(1L) + least(col("sz_a") - col("pos_a"),
+          col("sz_b") - col("pos_b"))).cast("double") >=
+        ceil(lit(t / (1.0 + t)) * (col("sz_a") + col("sz_b")).cast("double")
+          - lit(PpEps)).cast("double"))
+      .select("doc_a", "doc_b").distinct()
+    jaccard(cands, sets).filter(col("jac") >= minJaccard)
+  }
+
+  /** Pre-flight profile of the [[ppjoinPairs]] candidate join at
+   * threshold `t` — the [[jwBlockStats]] discipline on the PREFIX
+   * inverted index (the join's actual blocking key, which depends on t
+   * through the prefix length): one row with the prefix-token count,
+   * the largest inverted list, the uncapped candidate-pair cost
+   * Σ C(b, 2), and what `maxBlock` would drop. Runs the same
+   * tokenize + rank machinery as the join but stops at a narrow agg —
+   * the measure-before-you-run step for choosing grain/t/maxBlock on a
+   * new corpus (shingle grain here, matching [[ppjoinPairs]]; run it on
+   * [[wordSets]] output via [[ppjoinStatsFromSets]] to size the word
+   * grain). */
+  def ppjoinStats(docs: DataFrame, minJaccard: Double,
+      maxBlock: Int = Int.MaxValue): DataFrame =
+    ppjoinStatsFromSets(shingles(docs), minJaccard, maxBlock)
+
+  /** [[ppjoinStats]] over a caller-supplied (doc_id, sh) set relation. */
+  def ppjoinStatsFromSets(sets: DataFrame, minJaccard: Double,
+      maxBlock: Int = Int.MaxValue): DataFrame =
+    prefixRelation(sets, minJaccard)
+      .groupBy("sh").agg(count(lit(1)).as("n"))
+      .agg(
+        count(lit(1)).as("n_blocks"),
+        max("n").as("max_block"),
+        sum(expr("(n * (n - 1)) div 2")).as("candidate_pairs"),
+        sum(when(col("n") > maxBlock, 1L).otherwise(0L))
+          .as("blocks_over_cap"),
+        sum(when(col("n") <= maxBlock, expr("(n * (n - 1)) div 2"))
+          .otherwise(0L)).as("pairs_after_cap"))
+
   /** SimHash fingerprint (32-bit): per-token md5-derived hash, per-bit vote. */
   def simhash(docs: DataFrame): DataFrame = {
     val tok = docs.select(col("doc_id"),

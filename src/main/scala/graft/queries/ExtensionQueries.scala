@@ -2777,6 +2777,64 @@ object ExtensionQueries {
       },
       "Bloom pre-filter for decontamination: bit-space-bounded broadcast"),
 
+    // EXACT set-similarity self-join by prefix filtering (AllPairs/PPJoin):
+    // every doc pair with shingle-Jaccard >= 0.5, no LSH false negatives,
+    // no all-pairs grid. The oracle is deliberately NOT the prefix
+    // algorithm — it is the independent brute-force Jaccard over all
+    // joined pairs, so a lossy filter bound (the algorithm's whole risk)
+    // fails the gate rather than replaying its own mistake.
+    "d31_ppjoin" -> QueryDef(
+      (s, dir) => Dedup.ppjoinPairs(t(s, dir, "documents"), 0.5),
+      Some(s"""WITH $ShinglesCte,
+               pp_sizes AS (SELECT doc_id, count(*) AS n
+                            FROM sh GROUP BY doc_id),
+               pp_inter AS (
+                 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                        count(*) AS n_inter
+                 FROM sh a JOIN sh b
+                   ON a.sh = b.sh AND a.doc_id < b.doc_id
+                 GROUP BY 1, 2)
+               SELECT i.doc_a, i.doc_b,
+                      round(CAST(n_inter AS DOUBLE)
+                            / (na.n + nb.n - n_inter), 4) AS jac
+               FROM pp_inter i
+               JOIN pp_sizes na ON na.doc_id = i.doc_a
+               JOIN pp_sizes nb ON nb.doc_id = i.doc_b
+               WHERE round(CAST(n_inter AS DOUBLE)
+                           / (na.n + nb.n - n_inter), 4) >= 0.5"""),
+      "exact prefix-filtered similarity self-join (AllPairs/PPJoin)"),
+
+    // Pre-flight for d31: the prefix inverted-index profile at t=0.5 —
+    // block count, largest list, uncapped candidate cost, what a
+    // maxBlock=100 cap would drop. The oracle replays the frequency
+    // ranking + prefix selection in SQL window functions (same 1e-9
+    // slack literal, so both engines cut identical prefixes).
+    "d32_ppjoin_stats" -> QueryDef(
+      (s, dir) => Dedup.ppjoinStats(t(s, dir, "documents"), 0.5,
+        maxBlock = 100),
+      Some(s"""WITH $ShinglesCte,
+               pp_df AS (SELECT sh, count(*) AS df FROM sh GROUP BY sh),
+               pp_rank AS (
+                 SELECT tk.doc_id, tk.sh,
+                        row_number() OVER (PARTITION BY tk.doc_id
+                                           ORDER BY d.df, tk.sh) AS pos,
+                        count(*) OVER (PARTITION BY tk.doc_id) AS sz
+                 FROM sh tk JOIN pp_df d USING (sh)),
+               pp_pre AS (SELECT doc_id, sh FROM pp_rank
+                          WHERE pos <= sz - ceil(0.5 * sz - 0.000000001) + 1),
+               pp_blk AS (SELECT sh, CAST(count(*) AS BIGINT) AS n
+                          FROM pp_pre GROUP BY sh)
+               SELECT CAST(count(*) AS BIGINT) AS n_blocks,
+                      max(n) AS max_block,
+                      CAST(sum((n * (n - 1)) // 2) AS BIGINT)
+                        AS candidate_pairs,
+                      CAST(sum(CASE WHEN n > 100 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS blocks_over_cap,
+                      CAST(sum(CASE WHEN n <= 100 THEN (n * (n - 1)) // 2
+                               ELSE 0 END) AS BIGINT) AS pairs_after_cap
+               FROM pp_blk"""),
+      "PPJoin pre-flight: prefix inverted-index block profile at t"),
+
     // Data-quality profile of a table: per-column nulls, exact distinct
     // count, native-typed min/max (cast to string after aggregating). One
     // union branch per column — each branch reads exactly ONE parquet

@@ -212,4 +212,94 @@ class Round8Spec extends SparkTestBase {
       .orderBy("label").collect().toSeq
     assert(a == b)
   }
+
+  // ─────────────────────── PPJoin (d31/d32) ─────────────────────────
+
+  /** Brute-force reference: every pair with set-Jaccard ≥ t, computed
+   * in plain Scala from the (doc_id, sh) relation — fully independent
+   * of the prefix machinery under test. */
+  private def bruteJaccardPairs(sets: Seq[(Long, String)], t: Double)
+      : Set[(Long, Long, Double)] = {
+    val byDoc = sets.groupBy(_._1).map { case (d, xs) =>
+      d -> xs.map(_._2).toSet }
+    val ids = byDoc.keys.toSeq.sorted
+    (for {
+      i <- ids.indices; j <- (i + 1) until ids.size
+      a = byDoc(ids(i)); b = byDoc(ids(j))
+      inter = (a & b).size
+      jac = BigDecimal(inter.toDouble / (a.size + b.size - inter))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      if jac >= t
+    } yield (ids(i), ids(j), jac)).toSet
+  }
+
+  test("ppjoinPairs (shingle grain) equals brute-force Jaccard on the " +
+    "real corpus at two thresholds") {
+    val docs = spark.read.parquet(s"$Sf/documents.parquet")
+    for (t <- Seq(0.5, 0.35)) {
+      val sh = Dedup.shinglesN(docs, 3).localCheckpoint()
+      val brute = Dedup.jaccard(
+          Dedup.rareShingleCandidates(sh, maxDf = Int.MaxValue), sh)
+        .filter(col("jac") >= t)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .toSet
+      val got = Dedup.ppjoinPairs(docs, t)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .toSet
+      assert(got == brute,
+        s"t=$t: missing=${(brute -- got).take(5)} extra=${(got -- brute).take(5)}")
+      assert(got.nonEmpty, s"t=$t must find the corpus near-dups")
+    }
+  }
+
+  test("ppjoinPairsFromSets equals brute force on random word sets, " +
+    "including exact-boundary pairs") {
+    val rnd = new scala.util.Random(17)
+    val vocab = (0 until 40).map(i => f"w$i%02d")
+    val random = (0L until 60L).flatMap { d =>
+      rnd.shuffle(vocab).take(3 + rnd.nextInt(12)).map(w => (d, w))
+    }
+    // planted boundary pair at jac exactly 0.5: {a,b,c} vs {b,c,d}
+    val planted = Seq((100L, "a"), (100L, "b"), (100L, "c"),
+      (101L, "b"), (101L, "c"), (101L, "d"),
+      (102L, "c"), (102L, "x"), (102L, "y"), (102L, "z"), (102L, "q"))
+    val rows = random ++ planted
+    val sets = rows.toDF("doc_id", "sh").localCheckpoint()
+    val brute = bruteJaccardPairs(rows, 0.5)
+    val got = Dedup.ppjoinPairsFromSets(sets, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    assert(got == brute,
+      s"missing=${(brute -- got).take(5)} extra=${(got -- brute).take(5)}")
+    assert(got.contains((100L, 101L, 0.5)),
+      "the exact-boundary jac=0.5 pair must survive the prefix bounds")
+    assert(!got.exists(p => p._1 == 102L || p._2 == 102L))
+  }
+
+  test("ppjoin maxBlock cap only removes pairs (subset), never corrupts") {
+    val docs = spark.read.parquet(s"$Sf/documents.parquet")
+    val all = Dedup.ppjoinPairs(docs, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val capped = Dedup.ppjoinPairs(docs, 0.5, maxBlock = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped.subsetOf(all))
+  }
+
+  test("ppjoinPairs is partition-independent") {
+    val docs = spark.read.parquet(s"$Sf/documents.parquet")
+    val a = Dedup.ppjoinPairs(docs, 0.5)
+      .orderBy("doc_a", "doc_b").collect().toSeq
+    val b = Dedup.ppjoinPairs(docs.repartition(13), 0.5)
+      .orderBy("doc_a", "doc_b").collect().toSeq
+    assert(a == b)
+  }
+
+  test("ppjoinStats profiles the prefix index the join would pay") {
+    val docs = spark.read.parquet(s"$Sf/documents.parquet")
+    val r = Dedup.ppjoinStats(docs, 0.5, maxBlock = 100).collect()(0)
+    assert(r.getLong(0) > 0, "prefix index must have blocks")
+    assert(r.getLong(1) >= 1, "max block at least 1")
+    assert(r.getLong(2) >= r.getLong(4),
+      "uncapped candidate cost >= capped cost")
+  }
 }
