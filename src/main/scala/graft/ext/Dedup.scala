@@ -1354,6 +1354,67 @@ object Dedup {
       .groupBy("id_a", "id_b").agg(min("dist").as("dist"))
   }
 
+  // ──────────────── Sorted-neighborhood method (Hernández–Stolfo) ───────
+
+  /** Sorted-neighborhood candidate pairs (Hernández & Stolfo 1995): sort
+   * the relation by `sortKey` (ties broken by id — a total order, so the
+   * ranking is deterministic on any cluster), slide a `window`-record
+   * window down the sorted order, verify every in-window pair with the
+   * codegen'd Jaro-Winkler kernel, keep those at `jw >= minSim`. The
+   * OTHER classic ER blocking scheme beside [[jaroWinklerPairs]]' equality
+   * blocking — and its complement on cost: equality blocking can
+   * degenerate to one corpus-sized block (hence `maxBlock`), while SNM's
+   * candidate count is EXACTLY n·(window−1) by construction, skew-proof
+   * with no cap or pre-flight needed. The trade is recall topology:
+   * equality blocking catches pairs that share a key no matter how far
+   * apart they sort; SNM catches pairs the sort brings near, no matter
+   * what any fixed prefix looks like. Multi-pass SNM (one pass per key in
+   * `sortKeys`, pairs unioned then deduped) is Hernández-Stolfo's own
+   * answer to single-key sort sensitivity.
+   *
+   * Scale shape: each pass is one range-partitioned sort
+   * ([[Sampling.globalOrder]] — positions from partition offsets, never a
+   * single-partition window), a narrow (window−1)-way position explode,
+   * and ONE equi-join on the dense position key — uniformly distributed by
+   * construction, no hot key possible. The verify kernel runs once per
+   * deduped candidate pair. Output: (id_a, id_b, jw), id_a < id_b. */
+  def sortedNeighborPairs(df: DataFrame, idCol: String, nameCol: String,
+      sortKeys: Seq[Column], window: Int, minSim: Double): DataFrame = {
+    require(window >= 2, s"window must be >= 2, got $window")
+    require(minSim > 0.0 && minSim <= 1.0,
+      s"minSim must be in (0, 1], got $minSim")
+    require(sortKeys.nonEmpty, "at least one sort key required")
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    val passes = sortKeys.map { key =>
+      val pos = Sampling.globalOrder(
+        df.select(col(idCol).as("id"), col(nameCol).as("nm"),
+          key.as("__k")),
+        Seq(col("__k"), col("id")))
+        .select(col("id"), col("nm"), col("position").as("__pos"))
+      // each record probes the window-1 positions AFTER its own: the
+      // probe side explodes to a dense integer key, the join is 1:1 per
+      // (record, offset) — candidates are exactly n·(window-1) rows less
+      // the tail that runs off the end of the order
+      val probe = pos.select(col("id").as("id_p"), col("nm").as("nm_p"),
+        explode(sequence(col("__pos") + 1,
+          col("__pos") + lit(window - 1).cast("long"))).as("__pos"))
+      probe.join(pos, Seq("__pos"))
+        .select(least(col("id_p"), col("id")).as("id_a"),
+          greatest(col("id_p"), col("id")).as("id_b"),
+          when(col("id_p") < col("id"), col("nm_p")).otherwise(col("nm"))
+            .as("nm_a"),
+          when(col("id_p") < col("id"), col("nm")).otherwise(col("nm_p"))
+            .as("nm_b"))
+    }
+    // dedup ACROSS passes before the kernel runs — a pair two sorts both
+    // bring near pays Jaro-Winkler once
+    passes.reduce(_ unionByName _).distinct()
+      .select(col("id_a"), col("id_b"),
+        round(graft.functions.GraftFunctions.jaroWinkler(
+          col("nm_a"), col("nm_b")), 4).as("jw"))
+      .filter(col("jw") >= minSim)
+  }
+
   // ──────────────── Prefix-filtering similarity join (AllPairs/PPJoin) ──
 
   /** Distinct word tokens per doc as (doc_id, sh) — the word-grain set

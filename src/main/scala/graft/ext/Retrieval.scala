@@ -362,4 +362,53 @@ object Retrieval {
       .orderBy(col("rrf_q").desc, col("doc_id").asc)
       .limit(k)
   }
+
+  /** Ranking-quality evaluation at cutoff `k` — the metrics harness every
+   * retrieval stack is judged by (TREC-style binary relevance):
+   * per query, hits@k, recall@k, MRR, and nDCG@k against a gold relevance
+   * relation. `ranking` is any (q_id, doc_id, rank) relation (the shape
+   * [[bm25TopK]]-derived lists, [[rrfFuse]], [[mmrRerank]] and the
+   * [[Similarity]] kNN searches all produce); `gold` is (q_id, doc_id)
+   * relevant pairs. The evaluation universe is the queries present in
+   * `gold` — a ranking for an ungold query has no defined metric.
+   *
+   * Determinism (the BM25/RM3 integer ladder): each DCG discount
+   * 1/log₂(r+1) = ln2/ln(r+1) quantizes to integer micros PER TERM before
+   * the sum (the PSI ln discipline — both engines IEEE-divide then floor,
+   * so addition order cannot drift), IDCG folds the same quantized
+   * discounts over ranks 1..min(n_rel, k) with `aggregate` (no explode),
+   * MRR is floor(1e6/first_rank + 0.5) — one exact-integer divide. Ratios
+   * (recall, ndcg) round to the 1e-4 grid.
+   *
+   * Scale shape: `ranking` is |Q|·k rows by construction (the searches
+   * already cut), `gold` |Q|·rel — both query-grain. One semi-join
+   * (gold broadcast when dims allow), two hash-aggs, everything
+   * downstream query-count-sized. Nothing corpus-grain. */
+  def rankEval(ranking: DataFrame, gold: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val discount = (r: Column) =>
+      floor(lit(1e6) * log(lit(2.0)) / log(r.cast("double") + lit(1.0))
+        + lit(0.5)).cast("long")
+    val g = gold.select("q_id", "doc_id").distinct()
+    val nRel = g.groupBy("q_id").agg(count(lit(1)).as("n_rel"))
+    val perQ = ranking.filter(col("rank") <= k)
+      .join(g, Seq("q_id", "doc_id"), "left_semi")
+      .groupBy("q_id").agg(
+        count(lit(1)).as("hits"),
+        min("rank").as("__first"),
+        sum(discount(col("rank"))).as("dcg_micro"))
+    nRel.join(perQ, Seq("q_id"), "left")
+      .select(col("q_id"), col("n_rel"),
+        coalesce(col("hits"), lit(0L)).as("hits"),
+        round(coalesce(col("hits"), lit(0L)).cast("double") /
+          col("n_rel").cast("double"), 4).as("recall"),
+        coalesce(floor(lit(1e6) / col("__first").cast("double") + lit(0.5))
+          .cast("long"), lit(0L)).as("mrr_micro"),
+        coalesce(col("dcg_micro"), lit(0L)).as("dcg_micro"),
+        aggregate(sequence(lit(1L), least(col("n_rel"), lit(k.toLong))),
+          lit(0L), (acc, i) => acc + discount(i)).as("idcg_micro"))
+      .withColumn("ndcg",
+        round(col("dcg_micro").cast("double") /
+          col("idcg_micro").cast("double"), 4))
+  }
 }

@@ -173,6 +173,38 @@ object Sampling {
       .drop("__rate", "__n_copies")
   }
 
+  /** Weighted sample WITHOUT replacement (Efraimidis & Spirakis 2006,
+   * algorithm A-ES): each row draws an exponential arrival
+   * r_i = −ln(u_i)/w_i and the k SMALLEST arrivals win — the one-pass
+   * formulation whose inclusion law is exactly successive
+   * weight-proportional draws without replacement. Everything this
+   * family's charter demands falls out of the shape: u_i comes from the
+   * stable md5 bucket ((h32+1)/2^32 ∈ (0,1], no `rand()`), so the sample
+   * is the same on any cluster and any run; the arrival is
+   * micro-quantized at the ln boundary (the PSI discipline) with ties
+   * broken by id, so the DuckDB oracle replays the selection
+   * bit-for-bit; and the top-k by (arrival, id) plans as
+   * TakeOrderedAndProject — k rows per partition cross the wire, nothing
+   * corpus-sized moves, which is also WHY A-ES is the distributed
+   * weighted sampler: top-k of a union is the top-k of per-part top-ks.
+   * Rows with non-positive or null weight are excluded (they have no
+   * inclusion probability). Output: input columns + `pri_micro`. */
+  def weightedSample(df: DataFrame, idCol: String, weightCol: String,
+      k: Int, salt: String = "ws"): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val h = conv(substring(
+      md5(concat(lit(s"$salt:"), col(idCol).cast("string"))), 1, 8),
+      16, 10).cast("long")
+    val u = (h + lit(1L)).cast("double") / lit(4294967296.0)
+    df.filter(col(weightCol).isNotNull &&
+        col(weightCol).cast("double") > 0)
+      .withColumn("pri_micro",
+        floor(lit(1e6) * -log(u) / col(weightCol).cast("double")
+          + lit(0.5)).cast("long"))
+      .orderBy(col("pri_micro"), col(idCol))
+      .limit(k)
+  }
+
   /** Sliding-window document chunking: fixed `chunkSize`-token windows every
    * `chunkSize - overlap` tokens — the context-window prep step between
    * cleaning and packing in a pretraining pipeline. Pure narrow

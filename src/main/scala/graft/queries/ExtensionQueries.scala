@@ -2835,6 +2835,54 @@ object ExtensionQueries {
                FROM pp_blk"""),
       "PPJoin pre-flight: prefix inverted-index block profile at t"),
 
+    // Sorted-neighborhood ER blocking (Hernández-Stolfo): two-pass SNM
+    // (name order + reversed-name order), 5-record window, Jaro-Winkler
+    // verify. The oracle replays both row_number orderings and calls
+    // DuckDB's INDEPENDENT jaro_winkler_similarity — blocking topology
+    // AND kernel cross-validated in one gate.
+    "d33_snm_pairs" -> QueryDef(
+      (s, dir) => {
+        graft.functions.GraftFunctions.register(s)
+        Dedup.sortedNeighborPairs(
+          t(s, dir, "customer").filter(col("c_custkey") <= 400),
+          "c_custkey", "c_name",
+          sortKeys = Seq(col("c_name"), reverse(col("c_name"))),
+          window = 5, minSim = 0.95)
+      },
+      Some("""WITH c AS (SELECT c_custkey AS id, c_name AS nm
+                         FROM customer WHERE c_custkey <= 400),
+              r1 AS (SELECT id, nm,
+                            row_number() OVER (ORDER BY nm, id) AS pos
+                     FROM c),
+              r2 AS (SELECT id, nm,
+                            row_number() OVER (ORDER BY reverse(nm), id)
+                              AS pos
+                     FROM c),
+              p1 AS (SELECT least(a.id, b.id) AS id_a,
+                            greatest(a.id, b.id) AS id_b,
+                            CASE WHEN a.id < b.id THEN a.nm ELSE b.nm END
+                              AS nm_a,
+                            CASE WHEN a.id < b.id THEN b.nm ELSE a.nm END
+                              AS nm_b
+                     FROM r1 a JOIN r1 b
+                       ON b.pos BETWEEN a.pos + 1 AND a.pos + 4),
+              p2 AS (SELECT least(a.id, b.id) AS id_a,
+                            greatest(a.id, b.id) AS id_b,
+                            CASE WHEN a.id < b.id THEN a.nm ELSE b.nm END
+                              AS nm_a,
+                            CASE WHEN a.id < b.id THEN b.nm ELSE a.nm END
+                              AS nm_b
+                     FROM r2 a JOIN r2 b
+                       ON b.pos BETWEEN a.pos + 1 AND a.pos + 4),
+              u AS (SELECT DISTINCT id_a, id_b, nm_a, nm_b
+                    FROM (SELECT * FROM p1 UNION ALL SELECT * FROM p2))
+              SELECT id_a, id_b,
+                     round(jaro_winkler_similarity(nm_a, nm_b), 4) AS jw
+              FROM u
+              WHERE round(jaro_winkler_similarity(nm_a, nm_b), 4)
+                      >= 0.95"""),
+      "sorted-neighborhood ER blocking: 2-pass SNM + JW verify"),
+
     // Data-quality profile of a table: per-column nulls, exact distinct
     // count, native-typed min/max (cast to string after aggregating). One
     // union branch per column — each branch reads exactly ONE parquet
@@ -3832,6 +3880,77 @@ object ExtensionQueries {
       },
       "Count-Min sketch estimates vs exact counts for the top-20 tokens"),
 
+    // Ranking-quality evaluation (TREC-style binary relevance): the kNN
+    // neighborhoods of query vectors 0..7 scored against a label-match
+    // gold — hits@10, recall@10, MRR, nDCG@10 per query. DCG discounts
+    // micro-quantize PER TERM before summation (the PSI ln discipline),
+    // so both engines sum identical integers; the oracle replays the
+    // cosine ranking AND every metric independently.
+    "t29_rank_eval" -> QueryDef(
+      (s, dir) => {
+        graft.functions.GraftFunctions.register(s)
+        val emb = t(s, dir, "embeddings")
+        val qs = emb.filter(col("vec_id") < 8)
+        val ranking = Similarity.knnBrute(qs, emb, 20)
+          .select(col("q_id"), col("n_id").as("doc_id"), col("rank"))
+        val gold = qs.select(col("vec_id").as("q_id"),
+            col("label").as("__ql"))
+          .join(emb.select(col("vec_id").as("doc_id"), col("label")),
+            col("label") === col("__ql") && col("doc_id") =!= col("q_id"))
+          .select("q_id", "doc_id")
+        Retrieval.rankEval(ranking, gold, 10)
+      },
+      Some(s"""WITH q AS (SELECT vec_id AS q_id, label AS ql,
+                                 embedding::DOUBLE[] AS qe
+                          FROM embeddings WHERE vec_id < 8),
+               c AS (SELECT vec_id AS n_id, label AS nl,
+                            embedding::DOUBLE[] AS ne FROM embeddings),
+               scored AS (SELECT q_id, n_id,
+                                 ${sqlCos("qe", "ne")} AS sim
+                          FROM q CROSS JOIN c WHERE q_id <> n_id),
+               r AS (SELECT q_id, n_id AS doc_id,
+                            row_number() OVER (PARTITION BY q_id
+                              ORDER BY sim DESC, n_id) AS rank
+                     FROM scored),
+               gold AS (SELECT q.q_id, c.n_id AS doc_id
+                        FROM q JOIN c ON c.nl = q.ql AND c.n_id <> q.q_id),
+               nrel AS (SELECT q_id, CAST(count(*) AS BIGINT) AS n_rel
+                        FROM gold GROUP BY q_id),
+               hit AS (SELECT r.q_id, r.rank
+                       FROM r JOIN gold USING (q_id, doc_id)
+                       WHERE r.rank <= 10),
+               perq AS (SELECT q_id, CAST(count(*) AS BIGINT) AS hits,
+                               min(rank) AS first_rank,
+                               CAST(sum(CAST(floor(1e6 * ln(2)
+                                   / ln(rank + 1.0) + 0.5) AS BIGINT))
+                                 AS BIGINT) AS dcg_micro
+                        FROM hit GROUP BY q_id),
+               idcg AS (SELECT q_id,
+                               CAST(sum(CAST(floor(1e6 * ln(2)
+                                   / ln(i + 1.0) + 0.5) AS BIGINT))
+                                 AS BIGINT) AS idcg_micro
+                        FROM (SELECT q_id,
+                                     unnest(generate_series(1,
+                                       CAST(least(n_rel, 10) AS BIGINT)))
+                                       AS i
+                              FROM nrel)
+                        GROUP BY q_id)
+               SELECT n.q_id, n.n_rel,
+                      coalesce(p.hits, CAST(0 AS BIGINT)) AS hits,
+                      round(CAST(coalesce(p.hits, CAST(0 AS BIGINT))
+                          AS DOUBLE) / n.n_rel, 4) AS recall,
+                      coalesce(CAST(floor(1e6 / p.first_rank + 0.5)
+                          AS BIGINT), CAST(0 AS BIGINT)) AS mrr_micro,
+                      coalesce(p.dcg_micro, CAST(0 AS BIGINT))
+                        AS dcg_micro,
+                      i.idcg_micro,
+                      round(CAST(coalesce(p.dcg_micro, CAST(0 AS BIGINT))
+                          AS DOUBLE) / i.idcg_micro, 4) AS ndcg
+               FROM nrel n
+               JOIN idcg i USING (q_id)
+               LEFT JOIN perq p USING (q_id)"""),
+      "ranking eval: hits/recall/MRR/nDCG@10 vs label-match gold"),
+
     "sp2_seq_pack" -> QueryDef(
       (s, dir) => graft.ext.Sampling.packSequences(
         t(s, dir, "documents").select(col("doc_id"),
@@ -4205,6 +4324,27 @@ object ExtensionQueries {
                      FROM scored)
                SELECT q_id, n_id, sim, rank FROM r WHERE rank <= 5"""),
       "contrastive hard negatives: top-5 cross-label neighbors per query"),
+
+    // Weighted sample without replacement (Efraimidis-Spirakis A-ES):
+    // 50 documents drawn weight-proportionally by n_chars, arrivals
+    // -ln(u)/w micro-quantized from the stable md5 u — the oracle
+    // replays hash, ln, quantization, and the (pri, id) top-k exactly.
+    "sp25_weighted_sample" -> QueryDef(
+      (s, dir) => Sampling.weightedSample(
+        t(s, dir, "documents").select("doc_id", "n_chars"),
+        "doc_id", "n_chars", k = 50),
+      Some("""WITH p AS (SELECT doc_id, n_chars,
+                     CAST(floor(1e6 * (-ln(
+                         (('0x' || substr(md5('ws:' ||
+                             CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT + 1)
+                           / 4294967296.0))
+                         / CAST(n_chars AS DOUBLE) + 0.5) AS BIGINT)
+                       AS pri_micro
+                     FROM documents
+                     WHERE n_chars IS NOT NULL AND n_chars > 0)
+              SELECT doc_id, n_chars, pri_micro FROM p
+              ORDER BY pri_micro, doc_id LIMIT 50"""),
+      "Efraimidis-Spirakis weighted sample without replacement (k=50)"),
 
     // Mixture-drift audit: did the EXECUTED corpus land on the PLANNED
     // mixture? PSI between sp15's token-budget plan (drawn tokens per

@@ -249,6 +249,126 @@ object RelationalQueries {
       },
       "zone-map skip audit: files hit by a 2-D box, natural vs z-order"),
 
+    // Hilbert-curve clustering key: the oracle replays the identical
+    // top-down quadrant fold as 8 chained CTEs (rotate/reflect per bit
+    // level, exact integer arithmetic) — bit-exact engine parity on the
+    // full relation, the z1 discipline for the better curve.
+    "z3_hilbert_key" -> QueryDef(
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+        li.select(col("l_orderkey"), col("l_linenumber"),
+          graft.sources.WriteLayout.hilbertKey(
+            col("l_partkey") % 256, col("l_suppkey") % 256, 8).as("h"))
+      },
+      Some {
+        val levels = (7 to 0 by -1).map { i =>
+          val sv = 1L << i
+          val prev = if (i == 7) "hb" else s"h${i + 1}"
+          s"""h$i AS (SELECT l_orderkey, l_linenumber,
+                 CASE WHEN (hy & $sv) > 0 THEN hx
+                      ELSE CASE WHEN (hx & $sv) > 0 THEN ${sv - 1} - hy
+                           ELSE hy END
+                 END AS hx,
+                 CASE WHEN (hy & $sv) > 0 THEN hy
+                      ELSE CASE WHEN (hx & $sv) > 0 THEN ${sv - 1} - hx
+                           ELSE hx END
+                 END AS hy,
+                 hd + $sv * $sv *
+                   xor(3 * (CASE WHEN (hx & $sv) > 0 THEN 1 ELSE 0 END),
+                       (CASE WHEN (hy & $sv) > 0 THEN 1 ELSE 0 END))
+                   AS hd
+               FROM $prev)"""
+        }.mkString(",\n")
+        s"""WITH hb AS (SELECT l_orderkey, l_linenumber,
+                CAST(l_partkey % 256 AS BIGINT) AS hx,
+                CAST(l_suppkey % 256 AS BIGINT) AS hy,
+                CAST(0 AS BIGINT) AS hd
+              FROM lineitem),
+            $levels
+            SELECT l_orderkey, l_linenumber, CAST(hd AS BIGINT) AS h
+            FROM h0"""
+      },
+      "Hilbert-curve clustering key (bit-exact engine parity)"),
+
+    // Morton vs Hilbert at the same file size: z2's benefit audit run
+    // over the two curves head-to-head. Hilbert's consecutive keys are
+    // always adjacent cells (no power-of-two diagonal jumps), so its
+    // per-file bounding boxes are at least as tight — the measured case
+    // for preferring it as the clustering write's key.
+    "z4_hilbert_prune" -> QueryDef(
+      (s, dir) => {
+        val base = t(s, dir, "lineitem").select(
+          col("l_orderkey"), col("l_linenumber"),
+          (col("l_partkey") % 256).as("pk"),
+          (col("l_suppkey") % 256).as("sk"),
+          graft.sources.WriteLayout.zorderKey(
+            Seq(col("l_partkey") % 256, col("l_suppkey") % 256), 8)
+            .as("z"),
+          graft.sources.WriteLayout.hilbertKey(
+            col("l_partkey") % 256, col("l_suppkey") % 256, 8).as("h"))
+        graft.ext.Profile.zonemapPruneAudit(base,
+          Seq(
+            "zorder" -> Seq(col("z"), col("l_orderkey"),
+              col("l_linenumber")),
+            "hilbert" -> Seq(col("h"), col("l_orderkey"),
+              col("l_linenumber"))),
+          fileRows = 1000,
+          preds = Seq(("pk", 16L, 23L), ("sk", 40L, 47L)))
+      },
+      Some {
+        val zterms = (for {
+          (c, j) <- Seq("l_partkey", "l_suppkey").zipWithIndex
+          i <- 0 until 8
+        } yield s"(((($c % 256) >> $i) & 1) << ${i * 2 + j})")
+          .mkString(" | ")
+        val levels = (7 to 0 by -1).map { i =>
+          val sv = 1L << i
+          val prev = if (i == 7) "hb" else s"h${i + 1}"
+          s"""h$i AS (SELECT l_orderkey, l_linenumber, pk, sk, z,
+                 CASE WHEN (hy & $sv) > 0 THEN hx
+                      ELSE CASE WHEN (hx & $sv) > 0 THEN ${sv - 1} - hy
+                           ELSE hy END
+                 END AS hx,
+                 CASE WHEN (hy & $sv) > 0 THEN hy
+                      ELSE CASE WHEN (hx & $sv) > 0 THEN ${sv - 1} - hx
+                           ELSE hx END
+                 END AS hy,
+                 hd + $sv * $sv *
+                   xor(3 * (CASE WHEN (hx & $sv) > 0 THEN 1 ELSE 0 END),
+                       (CASE WHEN (hy & $sv) > 0 THEN 1 ELSE 0 END))
+                   AS hd
+               FROM $prev)"""
+        }.mkString(",\n")
+        def side(name: String, order: String): String =
+          s"""${name}_p AS (SELECT pk, sk,
+                   (row_number() OVER (ORDER BY $order) - 1) // 1000 AS f
+                 FROM hf),
+              ${name}_f AS (SELECT f, min(pk) AS mpk, max(pk) AS xpk,
+                                  min(sk) AS msk, max(sk) AS xsk
+                            FROM ${name}_p GROUP BY f),
+              ${name}_s AS (SELECT '$name' AS layout,
+                     CAST(count(*) AS BIGINT) AS n_files,
+                     CAST(sum(CASE WHEN mpk <= 23 AND xpk >= 16
+                                    AND msk <= 47 AND xsk >= 40
+                                   THEN 1 ELSE 0 END) AS BIGINT)
+                       AS files_hit
+                     FROM ${name}_f)"""
+        s"""WITH hb AS (SELECT l_orderkey, l_linenumber,
+                l_partkey % 256 AS pk, l_suppkey % 256 AS sk,
+                CAST($zterms AS BIGINT) AS z,
+                CAST(l_partkey % 256 AS BIGINT) AS hx,
+                CAST(l_suppkey % 256 AS BIGINT) AS hy,
+                CAST(0 AS BIGINT) AS hd
+              FROM lineitem),
+            $levels,
+            hf AS (SELECT l_orderkey, l_linenumber, pk, sk, z,
+                          hd AS h FROM h0),
+            ${side("zorder", "z, l_orderkey, l_linenumber")},
+            ${side("hilbert", "h, l_orderkey, l_linenumber")}
+            SELECT * FROM zorder_s UNION ALL SELECT * FROM hilbert_s"""
+      },
+      "zone-map skip audit: Morton vs Hilbert at the same file size"),
+
     // Null-safe equality join (<=> / IS NOT DISTINCT FROM): NULL keys
     // MATCH each other — the join-matrix variant a plain `=` can never
     // produce (it drops NULL rows from both sides). Keys are derived with

@@ -279,6 +279,36 @@ class StreamingSpec extends SparkTestBase {
     assert(streamSet == batchPsi)
   }
 
+  test("streaming Count-Min sketch: the complete-mode counter relation " +
+    "equals the batch sketch on the accumulated stream") {
+    implicit val sqlCtx = spark.sqlContext
+    // the CMS counter table IS a streaming aggregate: groupBy (r, b) sum
+    // keeps keyed state bounded by depth*width rows at ANY vocabulary —
+    // the sketch-sized-state claim, in streaming form, for free
+    val input = MemoryStream[String]
+    val counters = graft.ext.Sketches.cmsCounters(
+      input.toDF().select($"value".as("tok")), "tok",
+      depth = 4, width = 64)
+    val q = counters.writeStream.outputMode("complete")
+      .format("memory").queryName("cms_out").start()
+    val b1 = (0 until 300).map(i => s"tok${i % 17}")
+    val b2 = (0 until 300).map(i => s"zz${i % 29}")
+    input.addData(b1)
+    q.processAllAvailable()
+    input.addData(b2)
+    q.processAllAvailable()
+    assert(q.recentProgress.length >= 2)
+    q.stop()
+    val streamed = spark.table("cms_out")
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+    assert(streamed.size <= 4 * 64, "state bounded by depth*width")
+    val batch = graft.ext.Sketches.cmsCounters(
+        (b1 ++ b2).toDF("tok"), "tok", depth = 4, width = 64)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+    assert(streamed == batch,
+      "incrementally maintained counters must equal the batch sketch")
+  }
+
   test("stateful sessionize closes sessions on gap") {
     implicit val s = spark
     implicit val sqlCtx = spark.sqlContext

@@ -302,4 +302,200 @@ class Round8Spec extends SparkTestBase {
     assert(r.getLong(2) >= r.getLong(4),
       "uncapped candidate cost >= capped cost")
   }
+
+  // ──────────────── Sorted-neighborhood (d33) ───────────────────────
+
+  /** Brute SNM candidate set: sort in plain Scala (ASCII inputs, so
+   * String order == the engine's binary UTF-8 order), window pairs —
+   * independent of the globalOrder/explode/join machinery under test. */
+  private def snmBrute(rows: Seq[(Long, String)],
+      keys: Seq[String => String], w: Int): Set[(Long, Long)] =
+    keys.flatMap { k =>
+      val sorted = rows.sortBy { case (id, nm) => (k(nm), id) }
+      for {
+        i <- sorted.indices
+        j <- (i + 1) until math.min(i + w, sorted.size)
+      } yield (math.min(sorted(i)._1, sorted(j)._1),
+        math.max(sorted(i)._1, sorted(j)._1))
+    }.toSet
+
+  test("sortedNeighborPairs candidate topology equals brute 2-pass SNM " +
+    "on the real customer relation") {
+    val cust = spark.read.parquet(s"$Sf/customer.parquet")
+      .filter(col("c_custkey") <= 300)
+    val rows = cust.select("c_custkey", "c_name")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    val brute = snmBrute(rows,
+      Seq(identity[String], (s: String) => s.reverse), w = 5)
+    // customer names all share the "Customer#" head, so every candidate
+    // has jw far above the tiny floor: the filter keeps the whole set
+    // and the comparison pins pure adjacency logic
+    val got = Dedup.sortedNeighborPairs(cust, "c_custkey", "c_name",
+        Seq(col("c_name"), reverse(col("c_name"))),
+        window = 5, minSim = 0.0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == brute,
+      s"missing=${(brute -- got).take(5)} extra=${(got -- brute).take(5)}")
+    assert(got.size <= 2 * rows.size * 4, "n*(w-1) per pass bound")
+  }
+
+  test("a head-edited pair escapes the name-order pass but is caught " +
+    "by the reversed-name pass") {
+    val rows = Seq((1L, "abcdef9"), (2L, "zbcdef9")) ++
+      (3L to 14L).map(i => (i, s"${('b' + i).toChar}x${i}000"))
+    val df = rows.toDF("id", "nm")
+    val onePass = Dedup.sortedNeighborPairs(df, "id", "nm",
+        Seq(col("nm")), window = 2, minSim = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!onePass.contains((1L, 2L)),
+      "w=2 single name-order pass must miss the head-edited pair")
+    val twoPass = Dedup.sortedNeighborPairs(df, "id", "nm",
+        Seq(col("nm"), reverse(col("nm"))), window = 2, minSim = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(twoPass.contains((1L, 2L)),
+      "the reversed-name pass sorts 9fedcba|9fedcbz adjacent")
+  }
+
+  test("sortedNeighborPairs is partition-independent and threshold-" +
+    "monotone") {
+    val cust = spark.read.parquet(s"$Sf/customer.parquet")
+      .filter(col("c_custkey") <= 300)
+    def run(d: org.apache.spark.sql.DataFrame, t: Double) =
+      Dedup.sortedNeighborPairs(d, "c_custkey", "c_name",
+          Seq(col("c_name"), reverse(col("c_name"))), window = 4,
+          minSim = t)
+        .orderBy("id_a", "id_b").collect().toSeq
+    assert(run(cust, 0.9) == run(cust.repartition(11), 0.9))
+    val strict = run(cust, 0.99).map(r => (r.getLong(0), r.getLong(1)))
+    val loose = run(cust, 0.9).map(r => (r.getLong(0), r.getLong(1)))
+    assert(strict.toSet.subsetOf(loose.toSet))
+  }
+
+  // ──────────────── Weighted sampling (sp25) ────────────────────────
+
+  test("weightedSample is deterministic, partition-independent, and " +
+    "without replacement") {
+    val docs = spark.read.parquet(s"$Sf/documents.parquet")
+      .select("doc_id", "n_chars")
+    val a = Sampling.weightedSample(docs, "doc_id", "n_chars", 40)
+      .collect().map(_.getLong(0)).toSeq
+    val b = Sampling.weightedSample(docs.repartition(13), "doc_id",
+        "n_chars", 40)
+      .collect().map(_.getLong(0)).toSeq
+    assert(a.sorted == b.sorted,
+      "A-ES top-k must not depend on partitioning")
+    assert(a.distinct.size == 40, "without replacement: 40 distinct ids")
+  }
+
+  test("weightedSample: overwhelming weight always selected; " +
+    "non-positive weights never") {
+    val rows = (1L to 200L).map(i => (i, 10L)) ++
+      Seq((999L, 1000000000000L), (998L, 0L), (997L, -5L))
+    val df = rows.toDF("id", "w")
+    val got = Sampling.weightedSample(df, "id", "w", 5)
+      .collect().map(_.getLong(0)).toSet
+    assert(got.contains(999L),
+      "a weight 10^11x the rest has arrival ~0: always in the sample")
+    assert(!got.contains(998L) && !got.contains(997L),
+      "zero/negative weights have no inclusion probability")
+    assert(got.size == 5)
+  }
+
+  // ──────────────── Hilbert curve key (z3/z4) ───────────────────────
+
+  /** The classic scalar top-down Hilbert d-index — the independent
+   * reference for the engine's aggregate-fold expression. */
+  private def hilbertRef(bits: Int, x0: Long, y0: Long): Long = {
+    var x = x0; var y = y0; var d = 0L
+    var s = 1L << (bits - 1)
+    while (s > 0) {
+      val rx = if ((x & s) > 0) 1L else 0L
+      val ry = if ((y & s) > 0) 1L else 0L
+      d += s * s * ((3 * rx) ^ ry)
+      if (ry == 0) {
+        if (rx == 1) { x = s - 1 - x; y = s - 1 - y }
+        val t = x; x = y; y = t
+      }
+      s >>= 1
+    }
+    d
+  }
+
+  test("hilbertKey matches the scalar reference, is a bijection, and " +
+    "steps one grid cell at a time") {
+    val bits = 5
+    val n = 1 << bits
+    val pts = for { x <- 0 until n; y <- 0 until n }
+      yield (x.toLong, y.toLong)
+    val got = pts.toDF("x", "y")
+      .select(col("x"), col("y"),
+        graft.sources.WriteLayout.hilbertKey(col("x"), col("y"), bits)
+          .as("d"))
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2)))
+      .toMap
+    pts.foreach { case (x, y) =>
+      assert(got((x, y)) == hilbertRef(bits, x, y),
+        s"($x, $y): got ${got((x, y))}, want ${hilbertRef(bits, x, y)}") }
+    assert(got.values.toSet == (0L until n.toLong * n).toSet,
+      "the curve visits every cell exactly once")
+    val byD = got.toSeq.map { case ((x, y), d) => (d, (x, y)) }
+      .sortBy(_._1).map(_._2)
+    byD.sliding(2).foreach { case Seq((x1, y1), (x2, y2)) =>
+      assert(math.abs(x1 - x2) + math.abs(y1 - y2) == 1,
+        s"consecutive keys must be grid neighbors: ($x1,$y1)->($x2,$y2)")
+    case _ => ()
+    }
+  }
+
+  // ──────────────── Ranking evaluation (t29) ────────────────────────
+
+  test("rankEval matches hand-computed metrics on a fixture") {
+    val ranking = Seq(
+      (1L, 10L, 1), (1L, 11L, 2), (1L, 12L, 3),
+      (2L, 20L, 1), (2L, 21L, 2), (2L, 22L, 3),
+      (3L, 30L, 1), (3L, 31L, 2))
+      .toDF("q_id", "doc_id", "rank")
+    val gold = Seq((1L, 10L), (1L, 12L), (1L, 14L), (2L, 99L), (3L, 30L))
+      .toDF("q_id", "doc_id")
+    val got = Retrieval.rankEval(ranking, gold, 3)
+      .orderBy("q_id").collect()
+    // q=1: hits {10@1, 12@3}; disc(1)=1000000, disc(2)=630930,
+    // disc(3)=500000 -> dcg 1500000, idcg(3 rel) 2130930
+    val r1 = got(0)
+    assert(r1.getLong(1) == 3 && r1.getLong(2) == 2)
+    assert(r1.getDouble(3) == 0.6667, "recall 2/3")
+    assert(r1.getLong(4) == 1000000L, "first hit at rank 1")
+    assert(r1.getLong(5) == 1500000L, s"dcg ${r1.getLong(5)}")
+    assert(r1.getLong(6) == 2130930L, s"idcg ${r1.getLong(6)}")
+    assert(r1.getDouble(7) == 0.7039)
+    // q=2: nothing relevant retrieved
+    val r2 = got(1)
+    assert(r2.getLong(2) == 0 && r2.getDouble(3) == 0.0 &&
+      r2.getLong(4) == 0L && r2.getLong(5) == 0L &&
+      r2.getDouble(7) == 0.0)
+    // q=3: perfect single-relevant ranking
+    val r3 = got(2)
+    assert(r3.getDouble(3) == 1.0 && r3.getLong(4) == 1000000L &&
+      r3.getDouble(7) == 1.0)
+  }
+
+  test("rankEval is partition-independent and ignores ranks past k") {
+    val emb = spark.read.parquet(s"$Sf/embeddings.parquet")
+    val qs = emb.filter(col("vec_id") < 5)
+    val ranking = Similarity.knnBrute(qs, emb, 20)
+      .select(col("q_id"), col("n_id").as("doc_id"), col("rank"))
+    val gold = qs.select(col("vec_id").as("q_id"), col("label").as("__ql"))
+      .join(emb.select(col("vec_id").as("doc_id"), col("label")),
+        col("label") === col("__ql") && col("doc_id") =!= col("q_id"))
+      .select("q_id", "doc_id")
+    val a = Retrieval.rankEval(ranking, gold, 10)
+      .orderBy("q_id").collect().toSeq
+    val b = Retrieval.rankEval(ranking.repartition(9), gold.repartition(5),
+        10).orderBy("q_id").collect().toSeq
+    assert(a == b)
+    // metrics at k=10 must not see ranks 11..20
+    val cut = Retrieval.rankEval(ranking.filter(col("rank") <= 10), gold,
+        10).orderBy("q_id").collect().toSeq
+    assert(a == cut)
+  }
 }
