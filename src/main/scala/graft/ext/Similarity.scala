@@ -663,6 +663,35 @@ object Similarity {
       coalesce(cases: _*)
     }.reduce(_ + _)
 
+  // ──────────── ADC distance tables (per-QUERY, not per-pair) ─────────
+
+  /** Per-query ADC distance-table columns — the PQ paper's precomputed-
+   * table trick (Jégou et al., §ADC): for each subspace i and codebook
+   * cell c, the exact integer distance d²(q_i, codebook_i[c]) as column
+   * `__dt_{i}_{c}`, projected ONCE PER QUERY ROW before the candidate
+   * join. [[adcDist]] evaluates the same subDim-element fold per
+   * CANDIDATE PAIR — ~|cells|× redundant once a query meets more than a
+   * handful of candidates (the n23 probe meets ~|cell| ≈ corpus/2^bits
+   * of them). `qSub(i)` supplies subspace i of the query on the exact
+   * micro grid, so the zip/fold arithmetic — and therefore every
+   * distance — is bit-identical to [[adcDist]]; only the evaluation
+   * point moves from pair grain to query grain. */
+  private def adcTableCols(qSub: Int => Column,
+      cbs: Array[Array[(Int, Array[Long])]]): Seq[Column] =
+    for { i <- cbs.indices; (cell, cq) <- cbs(i) } yield
+      aggregate(zip_with(qSub(i), lit(cq), (a, b) => (a - b) * (a - b)),
+        lit(0L), _ + _).as(s"__dt_${i}_$cell")
+
+  /** The per-pair side of the table trick: Σ_i a scalar when-chain
+   * selecting `__dt_{i}_{c_i}` by the candidate's code column — pure
+   * codegen'd comparisons, no array touched per pair. */
+  private def adcTableLookup(
+      cbs: Array[Array[(Int, Array[Long])]]): Column =
+    cbs.indices.map { i =>
+      coalesce(cbs(i).map { case (cell, _) =>
+        when(col(s"c$i") === cell, col(s"__dt_${i}_$cell")) }: _*)
+    }.reduce(_ + _)
+
   /** Bounded-heap top-k cut over (q_id, n_id, <simCol>) — LARGEST
    * similarity first, ties to the smaller neighbor id. Replaces the
    * `row_number() over (partition by q_id order by sim desc)` cut: the
@@ -725,13 +754,15 @@ object Similarity {
    * bit-identical results to train-at-query-time. */
   private[ext] def adcSearchEncoded(queries: DataFrame, enc: DataFrame,
       cbs: Array[Array[(Int, Array[Long])]], subDim: Int, k: Int): DataFrame = {
-    val q = queries.select(col("vec_id").as("q_id"),
-      col("embedding").as("q_emb"))
+    val q = queries.select(
+      col("vec_id").as("q_id") +:
+        adcTableCols(i => quantizeMicro(subvec(col("embedding"), i,
+          subDim)), cbs): _*)
     topKByDist(
       q.crossJoin(enc)
         .filter(col("q_id") =!= col("vec_id"))
         .select(col("q_id"), col("vec_id").as("n_id"),
-          adcDist(col("q_emb"), cbs, subDim).as("dist_q")),
+          adcTableLookup(cbs).as("dist_q")),
       k)
   }
 
@@ -814,10 +845,14 @@ object Similarity {
   private[ext] def ivfPqSearchAssigned(q: DataFrame, enc: DataFrame,
       cbs: Array[Array[(Int, Array[Long])]], subDim: Int, k: Int): DataFrame =
     topKByDist(
-      q.join(enc, "cell")
+      q.select(
+          col("q_id") +: col("cell") +:
+            adcTableCols(i => quantizeMicro(subvec(col("q_emb"), i,
+              subDim)), cbs): _*)
+        .join(enc, "cell")
         .filter(col("q_id") =!= col("vec_id"))
         .select(col("q_id"), col("vec_id").as("n_id"),
-          adcDist(col("q_emb"), cbs, subDim).as("dist_q")),
+          adcTableLookup(cbs).as("dist_q")),
       k)
 
   /** Multi-probe IVF-PQ: the [[knnRpMultiProbe]] recall repair applied to
@@ -1132,10 +1167,14 @@ object Similarity {
         explode(nearestCells(col("q_emb"), coarse, nprobe)))
       .withColumn("qr", residualQ(col("q_emb"), col("cell"), coarse))
     topKByDist(
-      q.join(enc, "cell")
+      q.select(
+          col("q_id") +: col("cell") +:
+            adcTableCols(i => slice(col("qr"), i * subDim + 1, subDim),
+              cbs): _*)
+        .join(enc, "cell")
         .filter(col("q_id") =!= col("vec_id"))
         .select(col("q_id"), col("vec_id").as("n_id"),
-          adcDistResidual(col("qr"), cbs, subDim).as("dist_q")),
+          adcTableLookup(cbs).as("dist_q")),
       k)
   }
 

@@ -138,4 +138,108 @@ object Spectral {
         (d, sd) => when(sd === lit(0L), lit(0.0))
           .otherwise(d.cast("double") / sd.cast("double"))).as("z"))
   }
+
+  // ─────────── Exact normal-equations linear probe (ridge) ───────────
+
+  /** Sign of a permutation by inversion count. */
+  private def permSign(p: Seq[Int]): Int = {
+    var inv = 0
+    for (i <- p.indices; j <- (i + 1) until p.size)
+      if (p(i) > p(j)) inv += 1
+    if (inv % 2 == 0) 1 else -1
+  }
+
+  /** Leibniz determinant over BigInt — d ≤ 6 keeps the d! expansion
+   * trivial, and the expansion is exactly what the oracle unrolls in
+   * HUGEINT, so both engines sum identical integer terms. */
+  private[ext] def detLeibniz(m: IndexedSeq[IndexedSeq[BigInt]]): BigInt =
+    m.indices.permutations.map { p =>
+      val prod = p.zipWithIndex.map { case (c, r) => m(r)(c) }.product
+      if (permSign(p) > 0) prod else -prod
+    }.sum
+
+  /** Closed-form ridge-regression probe over embedding features, trained
+   * IN-ENGINE with the PageRank/PCA exact-integer discipline: features
+   * are the first `dims` embedding coordinates on the CENTI grid plus an
+   * intercept, the target is the one-vs-rest indicator of `targetLabel`,
+   * and the weights solve (XᵀX + λI)·w = Xᵀy EXACTLY — the Gram/moment
+   * sums are ONE corpus-pass hash-agg to a single (d²+d)-column row; the
+   * tiny d×d solve is Cramer's rule over Leibniz determinants in BigInt
+   * (HUGEINT in the oracle), so each weight is an exact rational
+   * `w_num/w_den`, identical in any engine, under any partitioning, at
+   * any parallelism. No gradient loop, no learning rate, no float
+   * drift — the trained-weights counterpart to [[QualityModel]]'s fixed
+   * hashed-feature scorer.
+   *
+   * Scale shape: the corpus pass is a narrow projection + one hash-agg
+   * (model-parameter posture — like every codebook, the solve input is
+   * a single row on the driver). Train on a deterministic hash sample at
+   * corpus scale ([[Sampling.hashSample]]); determinant magnitudes grow
+   * as (n·maxx²)^d·d!, so the 128-bit oracle replay holds to n ≈ 10³ at
+   * d = 4 — BigInt here never overflows regardless.
+   * Output: (feature, w_num, w_den) with the exact integers as STRINGS
+   * (they exceed BIGINT; both engines print identical digits). */
+  def linearProbe(vecs: DataFrame, dims: Int = 3, lambdaInt: Long = 100L,
+      targetLabel: Int = 0): DataFrame = {
+    require(dims >= 1 && dims <= 5, s"dims must be in [1, 5], got $dims")
+    require(lambdaInt >= 0, s"lambda must be >= 0, got $lambdaInt")
+    val d = dims + 1
+    val spark = vecs.sparkSession
+    val feats = (0 until dims).map(j =>
+      floor(element_at(col("embedding"), j + 1).cast("double") * 100
+        + 0.5).cast("long").as(s"x$j")) :+ lit(1L).as(s"x$dims")
+    val rows = vecs.select(feats :+
+      when(col("label") === targetLabel, 1L).otherwise(0L).as("y"): _*)
+    val sums =
+      (for { i <- 0 until d; j <- i until d } yield
+        sum(col(s"x$i") * col(s"x$j")).as(s"a_${i}_$j")) ++
+        (0 until d).map(i => sum(col(s"x$i") * col("y")).as(s"b_$i"))
+    val g = rows.agg(sums.head, sums.tail: _*).head()
+    def gv(n: String) = BigInt(g.getLong(g.fieldIndex(n)))
+    val a = IndexedSeq.tabulate(d, d) { (i, j) =>
+      gv(s"a_${math.min(i, j)}_${math.max(i, j)}") +
+        (if (i == j) BigInt(lambdaInt) else BigInt(0))
+    }
+    val b = IndexedSeq.tabulate(d)(i => gv(s"b_$i"))
+    val den = detLeibniz(a)
+    require(den > 0,
+      "normal matrix must be positive definite: raise lambda")
+    val out = (0 until d).map { i =>
+      val ai = IndexedSeq.tabulate(d, d)((r, c) =>
+        if (c == i) b(r) else a(r)(c))
+      (i, detLeibniz(ai).toString, den.toString)
+    }
+    import spark.implicits._
+    out.toDF("feature", "w_num", "w_den")
+  }
+
+  /** The probe's weights on the integer MICRO grid, rounded half away
+   * from zero — `sign·((2·|num|·10⁶ + den) div (2·den))`, exact BigInt
+   * arithmetic with den > 0, replayed identically by the oracle's
+   * HUGEINT `//` (truncation = floor on non-negatives). The driver-held
+   * parameter vector [[linearProbeScores]] consumes. */
+  def probeWeightsMicro(probe: DataFrame): Array[Long] =
+    probe.orderBy("feature").collect().map { r =>
+      val num = BigInt(r.getString(1))
+      val den = BigInt(r.getString(2))
+      val q = (num.abs * 2000000 + den) / (den * 2)
+      (if (num < 0) -q else q).toLong
+    }
+
+  /** Score the corpus with micro-grid probe weights: `score_cmicro =
+   * Σ_j w_micro_j·x_j + w_micro_d` over the same centi-grid features —
+   * exact integer per row (micro·centi units), a narrow codegen'd map at
+   * any n; the top-`k` cut is a TakeOrderedAndProject. The
+   * train-on-sample / score-everything split of the probe pipeline. */
+  def linearProbeScores(vecs: DataFrame, wMicro: Array[Long],
+      k: Int = 20): DataFrame = {
+    val dims = wMicro.length - 1
+    val score = (0 until dims).map(j =>
+      lit(wMicro(j)) * floor(element_at(col("embedding"), j + 1)
+        .cast("double") * 100 + 0.5).cast("long"))
+      .reduce(_ + _) + lit(wMicro(dims))
+    vecs.select(col("vec_id"), score.as("score_cmicro"))
+      .orderBy(col("score_cmicro").desc, col("vec_id"))
+      .limit(k)
+  }
 }

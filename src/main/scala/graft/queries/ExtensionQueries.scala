@@ -344,6 +344,58 @@ object ExtensionQueries {
   private def sqlCos(a: String, b: String): String =
     s"round(list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b))), 4)"
 
+  /** DuckDB mirror of Spectral.linearProbe's training arithmetic (d = 4,
+   * λ = 100, target label 0, the 10% `sample`-salt hash sample): the
+   * centi-grid feature projection, the Gram/moment hash-agg (HUGEINT
+   * sums), and the five Cramer determinants as fully-unrolled Leibniz
+   * expansions — the 24-term sums of 4-entry products the engine
+   * computes in BigInt, generated here with the same permutation
+   * enumeration so both engines add identical integers. */
+  private def probeDetsSql: String = {
+    val d = 4
+    def sign(p: Seq[Int]): Int = {
+      var inv = 0
+      for (i <- p.indices; j <- (i + 1) until p.size)
+        if (p(i) > p(j)) inv += 1
+      if (inv % 2 == 0) 1 else -1
+    }
+    def detSql(m: IndexedSeq[IndexedSeq[String]]): String =
+      (0 until d).permutations.map { p =>
+        val prod = p.zipWithIndex.map { case (c, r) => m(r)(c) }
+          .mkString(" * ")
+        s"${if (sign(p) > 0) "+" else "-"} ($prod)"
+      }.mkString(" ")
+    val a = IndexedSeq.tabulate(d, d) { (i, j) =>
+      val base = s"a_${math.min(i, j)}_${math.max(i, j)}"
+      if (i == j) s"($base + 100)" else base
+    }
+    val den = detSql(a)
+    val nums = (0 until d).map { i =>
+      detSql(IndexedSeq.tabulate(d, d)((r, c) =>
+        if (c == i) s"b_$r" else a(r)(c)))
+    }
+    val gramCols =
+      (for { i <- 0 until d; j <- i until d }
+        yield s"sum(x$i * x$j) AS a_${i}_$j") ++
+        (0 until d).map(i => s"sum(x$i * y) AS b_$i")
+    s"""f AS (SELECT
+            CAST(floor(CAST(embedding[1] AS DOUBLE) * 100 + 0.5)
+              AS BIGINT) AS x0,
+            CAST(floor(CAST(embedding[2] AS DOUBLE) * 100 + 0.5)
+              AS BIGINT) AS x1,
+            CAST(floor(CAST(embedding[3] AS DOUBLE) * 100 + 0.5)
+              AS BIGINT) AS x2,
+            CAST(1 AS BIGINT) AS x3,
+            CAST(CASE WHEN label = 0 THEN 1 ELSE 0 END AS BIGINT) AS y
+          FROM embeddings
+          WHERE ('0x' || substr(md5('sample:' || vec_id::VARCHAR), 1, 8))::BIGINT % 100 < 10),
+        g AS (SELECT ${gramCols.mkString(", ")} FROM f),
+        dets AS (SELECT ($den) AS den,
+                 ${nums.zipWithIndex.map { case (n, i) => s"($n) AS n$i" }
+          .mkString(", ")}
+                 FROM g)"""
+  }
+
   /** DuckDB mirror of Similarity.rpCell: the same quantized plane weights
    * (exact 3-decimal literals → identical IEEE doubles) dotted in index
    * order, sign bits assembled into the cell id. */
@@ -1438,6 +1490,57 @@ object ExtensionQueries {
                        AS DOUBLE)) + 0.5) AS BIGINT) AS std_q
               FROM st"""),
       "per-dimension embedding whitening stats (exact mean, rounded std)"),
+
+    // Exact normal-equations ridge probe (e14) + train-on-sample /
+    // score-everything split (e15): the oracle unrolls the SAME Leibniz
+    // determinant expansions in HUGEINT that the engine sums in BigInt —
+    // closed-form training replayed exactly, no float drift anywhere.
+    "e14_linear_probe" -> QueryDef(
+      (s, dir) => graft.ext.Spectral.linearProbe(
+        Sampling.hashSample(t(s, dir, "embeddings"), "vec_id", 10)),
+      Some(s"""WITH ${probeDetsSql}
+               SELECT * FROM (
+                 SELECT CAST(0 AS INTEGER) AS feature,
+                        CAST(n0 AS VARCHAR) AS w_num,
+                        CAST(den AS VARCHAR) AS w_den FROM dets
+                 UNION ALL SELECT CAST(1 AS INTEGER), CAST(n1 AS VARCHAR),
+                        CAST(den AS VARCHAR) FROM dets
+                 UNION ALL SELECT CAST(2 AS INTEGER), CAST(n2 AS VARCHAR),
+                        CAST(den AS VARCHAR) FROM dets
+                 UNION ALL SELECT CAST(3 AS INTEGER), CAST(n3 AS VARCHAR),
+                        CAST(den AS VARCHAR) FROM dets)"""),
+      "exact ridge probe: Cramer/Leibniz weights as integer rationals"),
+
+    "e15_probe_scores" -> QueryDef(
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val probe = graft.ext.Spectral.linearProbe(
+          Sampling.hashSample(emb, "vec_id", 10))
+        graft.ext.Spectral.linearProbeScores(emb,
+          graft.ext.Spectral.probeWeightsMicro(probe), 20)
+      },
+      Some {
+        def wExpr(n: String): String =
+          s"""CASE WHEN $n < 0
+                THEN -(((-($n)) * 2000000 + den) // (2 * den))
+                ELSE (($n) * 2000000 + den) // (2 * den) END"""
+        s"""WITH ${probeDetsSql},
+            w AS (SELECT ${wExpr("n0")} AS w0, ${wExpr("n1")} AS w1,
+                         ${wExpr("n2")} AS w2, ${wExpr("n3")} AS w3
+                  FROM dets),
+            sc AS (SELECT e.vec_id,
+                          w.w0 * CAST(floor(CAST(e.embedding[1] AS DOUBLE)
+                            * 100 + 0.5) AS BIGINT) +
+                          w.w1 * CAST(floor(CAST(e.embedding[2] AS DOUBLE)
+                            * 100 + 0.5) AS BIGINT) +
+                          w.w2 * CAST(floor(CAST(e.embedding[3] AS DOUBLE)
+                            * 100 + 0.5) AS BIGINT) +
+                          w.w3 AS score
+                   FROM embeddings e CROSS JOIN w)
+            SELECT vec_id, CAST(score AS BIGINT) AS score_cmicro
+            FROM sc ORDER BY score DESC, vec_id LIMIT 20"""
+      },
+      "probe scoring: micro-grid weights over the full corpus, top-20"),
 
     // Cross-label semantic overlap matrix (d22's embedding-space sibling):
     // per label pair, >= 0.3-cosine pairs crossing the boundary + covered

@@ -447,6 +447,56 @@ class Round8Spec extends SparkTestBase {
     }
   }
 
+  // ──────────────── Exact linear probe (e14/e15) ────────────────────
+
+  test("linearProbe solution satisfies the normal equations exactly") {
+    val emb = spark.read.parquet(s"$Sf/embeddings.parquet")
+    val train = Sampling.hashSample(emb, "vec_id", 10)
+    val probe = Spectral.linearProbe(train).orderBy("feature").collect()
+    val nums = probe.map(r => BigInt(r.getString(1)))
+    val den = BigInt(probe(0).getString(2))
+    assert(den > 0)
+    // recompute A, b independently in plain Scala from the raw rows
+    val rows = train.select("embedding", "label").collect().map { r =>
+      val e = r.getSeq[Float](0)
+      val x = Array.tabulate(3)(j =>
+        math.floor(e(j).toDouble * 100 + 0.5).toLong) :+ 1L
+      (x, if (r.getInt(1) == 0) 1L else 0L)
+    }
+    val d = 4
+    val A = Array.tabulate(d, d) { (i, j) =>
+      BigInt(rows.map(r => r._1(i) * r._1(j)).sum) +
+        (if (i == j) BigInt(100) else BigInt(0))
+    }
+    val b = Array.tabulate(d)(i => BigInt(rows.map(r => r._1(i) * r._2).sum))
+    // A·num == den·b componentwise — the Cramer guarantee, checked exact
+    for (i <- 0 until d) {
+      val lhs = (0 until d).map(j => A(i)(j) * nums(j))
+        .foldLeft(BigInt(0))(_ + _)
+      assert(lhs == den * b(i), s"normal-equation row $i violated")
+    }
+  }
+
+  test("linearProbe recovers a planted linear signal and scores rank it") {
+    val vecs = (0 until 120).map { i =>
+      val x0 = if (i % 2 == 0) 0.8f else -0.8f
+      (i.toLong, Array(x0, 0.1f * (i % 5), 0.05f * (i % 3), 0f),
+        if (i % 2 == 0) 0 else 1)
+    }.toDF("vec_id", "embedding", "label")
+    val probe = Spectral.linearProbe(vecs, dims = 3, lambdaInt = 100,
+      targetLabel = 0)
+    val wm = Spectral.probeWeightsMicro(probe)
+    assert(wm(0) > 0, s"x0 carries the signal: ${wm.toSeq}")
+    val top = Spectral.linearProbeScores(vecs, wm, 10)
+      .collect().map(_.getLong(0))
+    assert(top.length == 10 && top.forall(_ % 2 == 0),
+      "top-scored rows must be the planted positives")
+    val wp = Spectral.probeWeightsMicro(
+      Spectral.linearProbe(vecs.repartition(7), dims = 3,
+        lambdaInt = 100, targetLabel = 0))
+    assert(wm.toSeq == wp.toSeq, "weights partition-independent")
+  }
+
   // ──────────────── Ranking evaluation (t29) ────────────────────────
 
   test("rankEval matches hand-computed metrics on a fixture") {
