@@ -339,6 +339,11 @@ object Bench {
         // vocabulary 10×, so the prefix inverted lists stay short (the
         // algorithm's own scale claim) while true pairs grow linearly
         "d31_ppjoin", "d32_ppjoin_stats",
+        // round-8 session 2: HLL registers + estimate at 10× the shingle
+        // stream — the cardinality sibling of t28's invariance claim
+        // (≤ 1024 register rows whatever the corpus; the estimate adds
+        // one register-grain agg)
+        "t32_hll_registers", "t33_hll_estimate",
         // round-7 late addition: word2phrase collocations — two
         // vocabulary-sized count aggs over the 10× corpus (the replica
         // suffixes multiply the bigram vocabulary 10×, the honest scaling
@@ -483,6 +488,19 @@ object Bench {
               .withColumn("q", (col("id") % 997).cast("double"))
               .withColumn("seg", (col("id") % 5).cast("string")),
             "id", "nm", "q", Seq("seg"), blockPrefix = 12, minSim = 0.9)
+        })),
+        // sorted-neighborhood blocking over the same 10× name relation:
+        // two range-partitioned total-order sorts (name + reversed name),
+        // a dense-position equi-join, JW verify — candidates EXACTLY
+        // n·(w−1) per pass regardless of how skewed the prefix blocks
+        // are, the claim that distinguishes SNM from d24's equality
+        // blocking on exactly this single-hot-block relation
+        ("d33_snm_pairs" -> ((ps: org.apache.spark.sql.SparkSession) => {
+          graft.functions.GraftFunctions.register(ps)
+          graft.ext.Dedup.sortedNeighborPairs(
+            ps.read.parquet(s"$dir10/fuzzy_names.parquet"),
+            "id", "nm", Seq(col("nm"), reverse(col("nm"))),
+            window = 5, minSim = 0.95)
         }))))
       // ANN/PQ family at 10× vectors — its OWN fresh context (see above):
       // trained-IVF search, PQ encode, PQ-ADC search, IVF-PQ. The last
@@ -501,7 +519,12 @@ object Bench {
         // round 8: the fixed-point power-iteration trajectory (3 corpus
         // passes + dim-grain aggs) and the per-dimension whitening stats
         // (one posexplode + hash-agg) at 10× vectors
-        "e11_pca_power", "e13_dim_stats")
+        "e11_pca_power", "e13_dim_stats",
+        // round-8 session 2: closed-form ridge training (one Gram/moment
+        // hash-agg over the 10% sample + the driver-side exact solve) and
+        // the TREC ranking eval (8 kNN neighborhoods against a
+        // 10×-corpus label gold — ranking and gold both query-grain)
+        "e14_linear_probe", "t29_rank_eval")
       val idxDir = s"$dir10/ann_ivfpq_index"
       val residualIdxDir = s"$dir10/ann_ivfadc_residual_index"
       runFamily(

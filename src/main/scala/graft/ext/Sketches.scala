@@ -72,6 +72,92 @@ object Sketches {
       .groupBy(keyCol)
       .agg(min(coalesce(col("c"), lit(0L))).as("cms_n"))
 
+  /** Equi-join SIZE estimate from two CMS counter tables (Cormode &
+   * Muthukrishnan §4.2, the AMS inner-product estimate carried by CMS):
+   * |A ⋈_k B| = Σ_k f_A(k)·f_B(k), estimated per hash row as the bucket
+   * inner product Σ_b cA[r][b]·cB[r][b] and min'd across rows. Hash
+   * collisions only ADD cross terms, so — like the point estimates — the
+   * estimate NEVER undershoots the true join size; the min over depth
+   * independent rows bounds the overshoot. The pre-flight completing
+   * [[graft.ext.Profile.joinFanout]]: that one prices a join's top hot
+   * keys EXACTLY by scanning both sides; this one prices the TOTAL at
+   * sketch cost — two depth·width relations that may have been
+   * maintained incrementally (streamed, merged across shards) with the
+   * sides never co-located at all. Inputs are [[cmsCounters]] outputs
+   * over the two key columns (same depth/width/seeds — enforced by the
+   * shared bucket hash); cost is a (r, b)-keyed join of two sketch-sized
+   * relations. Output: one row (join_size_est). */
+  def cmsJoinSizeEstimate(countersA: DataFrame,
+      countersB: DataFrame): DataFrame =
+    countersA.toDF("r", "b", "ca")
+      .join(countersB.toDF("r", "b", "cb"), Seq("r", "b"))
+      .groupBy("r").agg(sum(col("ca") * col("cb")).as("ip"))
+      .agg(min("ip").as("join_size_est"))
+
+  /** HLL register count exponent: m = 2^p = 1024 registers. */
+  val HllP = 10
+  /** seededHash seed domain 61 (disjoint from CMS 41..44, Bloom 51..53). */
+  val HllSeed = 61
+
+  /** rho(w) = (leading-zero count of the `width`-bit word) + 1, as a
+   * when-chain over the 2^i thresholds — the only log2 both engines
+   * replay exactly (no float log in the SKETCH; floats appear only in
+   * the final estimate formula). w = 0 → width+1. */
+  private def rhoChain(w: Column, width: Int): Column =
+    coalesce((width - 1 to 0 by -1).map(i =>
+      when(w >= lit(1L << i), lit((width - i).toLong))) :+
+      lit((width + 1).toLong): _*)
+
+  /** HyperLogLog register relation (Flajolet et al. 2007): key → register
+   * `reg` (low p hash bits) with `max_rho` = max over keys of the
+   * leading-zero rank of the remaining bits. ≤ 2^p rows at ANY key
+   * cardinality — the distinct-count sibling of [[cmsCounters]]'
+   * frequency sketch, and like it a plain hash-agg: map-side partials,
+   * mergeable across batches/shards/streams by (reg, MAX), maintainable
+   * as a complete-mode streaming agg with register-bounded state.
+   * Spark's own `approx_count_distinct` is HLL++ behind an opaque binary
+   * blob; this relation IS the sketch, persistable/joinable/replayable
+   * (the g6 estimate gets an artifact you can audit). */
+  def hllRegisters(keys: DataFrame, keyCol: String,
+      p: Int = HllP): DataFrame = {
+    require(p >= 4 && p <= 16, s"p must be in [4, 16], got $p")
+    val m = 1L << p
+    val h = Dedup.seededHash(col(keyCol), HllSeed)
+    keys.select(pmod(h, lit(m)).as("reg"),
+        rhoChain(shiftright(h, p), 32 - p).as("rho"))
+      .groupBy("reg").agg(max("rho").as("max_rho"))
+  }
+
+  /** The HLL estimate from a register relation: raw =
+   * α_m·m²/Σ_j 2^(−M_j) with the harmonic mass held EXACT — every
+   * 2^(−M_j) term carries the common denominator 2^(width+1), so the
+   * mass numerator is an exact BIGINT sum (untouched registers
+   * contribute 2^(width+1) each); the only floats are the final α/ln
+   * expressions, written with identical literal structure in the oracle.
+   * Flajolet's small-range linear-counting correction applies below
+   * 2.5m with empty registers present. Output: one row (n_regs, est). */
+  def hllEstimate(registers: DataFrame, p: Int = HllP): DataFrame = {
+    require(p >= 4 && p <= 16, s"p must be in [4, 16], got $p")
+    val m = 1L << p
+    val wp1 = 32 - p + 1
+    val agg = registers.agg(
+      count(lit(1)).as("n_regs"),
+      coalesce(sum(pow(lit(2.0),
+        lit(wp1.toDouble) - col("max_rho").cast("double")).cast("long")),
+        lit(0L)).as("n_touched"))
+    val nTot = (col("n_touched") +
+      (lit(m) - col("n_regs")) * lit(1L << wp1)).cast("double")
+    val raw = lit(0.7213) / (lit(1.0) + lit(1.079) / lit(m.toDouble)) *
+      lit(m.toDouble) * lit(m.toDouble) * lit((1L << wp1).toDouble) / nTot
+    val v = lit(m) - col("n_regs")
+    agg.select(col("n_regs"),
+      when(raw <= lit(2.5) * lit(m.toDouble) && v > 0,
+        floor(lit(m.toDouble) *
+          log(lit(m.toDouble) / v.cast("double")) + lit(0.5)))
+        .otherwise(floor(raw + lit(0.5)))
+        .cast("long").as("hll_est"))
+  }
+
   private def bloomBit(key: Column, i: Int): Column =
     pmod(Dedup.seededHash(key, BloomSeedBase + i), lit(BloomBits.toLong))
 

@@ -119,6 +119,7 @@ object GraftFunctions {
   val HeavyHittersName = "graft_heavy_hitters"
   val NfcName = "graft_nfc"
   val JaroWinklerName = "graft_jaro_winkler"
+  val HilbertName = "graft_hilbert"
 
   /** Build the TypedTopK aggregate from registry args: (ord, id, k) with k a
    * foldable integer literal. Public alias for the extensions injector. */
@@ -182,6 +183,22 @@ object GraftFunctions {
       JaroWinklerName,
       withArity(JaroWinklerName, 2)(e => JaroWinkler(e(0), e(1))),
       "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      HilbertName, hilbertFromExprs, "scala_udf")
+  }
+
+  /** Build the HilbertKey expression from registry args: (x, y, bits)
+   * with bits a foldable integer literal. */
+  def hilbertFromExprs(exprs: Seq[Expression]): Expression = {
+    require(exprs.length == 3, s"$HilbertName expects (x, y, bits)")
+    require(exprs(2).foldable, s"$HilbertName bits must be a literal")
+    val bits = exprs(2).eval() match {
+      case i: Int => i
+      case l: Long => l.toInt
+      case other => throw new IllegalArgumentException(
+        s"$HilbertName bits must be integral, got $other")
+    }
+    HilbertKey(exprs(0), exprs(1), bits)
   }
 
   /** Column API: resolves through the function registry. */
@@ -207,6 +224,12 @@ object GraftFunctions {
   /** Jaro-Winkler similarity (codegen'd; DuckDB-identical semantics). */
   def jaroWinkler(a: Column, b: Column): Column =
     call_function(JaroWinklerName, a, b)
+
+  /** 2-D Hilbert-curve index (codegen'd quadrant walk); inputs BIGINT in
+   * [0, 2^bits). */
+  def hilbert(x: Column, y: Column, bits: Int): Column =
+    call_function(HilbertName, x, y,
+      org.apache.spark.sql.functions.lit(bits))
 }
 
 /** `SparkSessionExtensions` hook: injects the native functions at session
@@ -248,6 +271,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         classOf[JaroWinkler].getName, GraftFunctions.JaroWinklerName),
       GraftFunctions.withArity(GraftFunctions.JaroWinklerName, 2)(
         e => JaroWinkler(e(0), e(1)))))
+    e.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier(GraftFunctions.HilbertName),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[HilbertKey].getName, GraftFunctions.HilbertName),
+      GraftFunctions.hilbertFromExprs _))
     // whole-plan rewrite: equality-free integral range joins re-plan as
     // bin-replicated hash joins (see plans.RangeJoinRewrite)
     e.injectOptimizerRule(session => graft.plans.RangeJoinRewrite(session))

@@ -3983,6 +3983,118 @@ object ExtensionQueries {
       },
       "Count-Min sketch estimates vs exact counts for the top-20 tokens"),
 
+    // Join-size pre-flight from sketches alone (AMS/CMS inner product):
+    // |orders JOIN customer| estimated from the two key sketches beside
+    // the exact size — never an underestimate, computed without the
+    // sides ever meeting (dq5 prices the top hot keys exactly; this
+    // prices the TOTAL at sketch cost, mergeable/streamable state).
+    "dq7_join_size_sketch" -> QueryDef(
+      (s, dir) => {
+        val o = t(s, dir, "orders")
+          .select(col("o_custkey").cast("string").as("k"))
+        val c = t(s, dir, "customer")
+          .select(col("c_custkey").cast("string").as("k"))
+        graft.ext.Sketches.cmsJoinSizeEstimate(
+            graft.ext.Sketches.cmsCounters(o, "k"),
+            graft.ext.Sketches.cmsCounters(c, "k"))
+          .crossJoin(o.join(c, "k")
+            .agg(count(lit(1)).as("join_size_true")))
+      },
+      Some {
+        val w = graft.ext.Sketches.CmsWidth
+        def side(name: String, src: String): String =
+          (0 until graft.ext.Sketches.CmsDepth).map(r =>
+            s"SELECT $r AS r, " +
+              s"(${sqlHash("k", graft.ext.Sketches.CmsSeedBase + r)})" +
+              s" % $w AS b FROM $src").mkString(" UNION ALL ")
+        s"""WITH ko AS (SELECT CAST(o_custkey AS VARCHAR) AS k
+                        FROM orders),
+            kc AS (SELECT CAST(c_custkey AS VARCHAR) AS k FROM customer),
+            ca AS (SELECT r, b, CAST(count(*) AS BIGINT) AS c
+                   FROM (${side("a", "ko")}) GROUP BY r, b),
+            cb AS (SELECT r, b, CAST(count(*) AS BIGINT) AS c
+                   FROM (${side("b", "kc")}) GROUP BY r, b),
+            ip AS (SELECT ca.r, CAST(sum(ca.c * cb.c) AS BIGINT) AS ip
+                   FROM ca JOIN cb ON ca.r = cb.r AND ca.b = cb.b
+                   GROUP BY ca.r),
+            est AS (SELECT min(ip) AS join_size_est FROM ip),
+            tru AS (SELECT CAST(count(*) AS BIGINT) AS join_size_true
+                    FROM ko JOIN kc ON ko.k = kc.k)
+            SELECT est.join_size_est, tru.join_size_true
+            FROM est CROSS JOIN tru"""
+      },
+      "CMS inner-product join-size estimate beside the exact size"),
+
+    // HyperLogLog register relation over the corpus shingle stream: the
+    // sketch IS a relation (reg, max_rho) — ≤ 2^p rows at any
+    // cardinality, mergeable by (reg, MAX), auditable/persistable where
+    // approx_count_distinct is an opaque blob. rho comes from a
+    // when-chain over 2^i thresholds, so the SKETCH has zero float ops
+    // and the oracle replays it exactly.
+    "t32_hll_registers" -> QueryDef(
+      (s, dir) => graft.ext.Sketches.hllRegisters(
+        Dedup.shingles(t(s, dir, "documents")), "sh"),
+      Some {
+        val chain = (21 to 0 by -1).map(i =>
+          s"WHEN (h // 1024) >= ${1L << i} THEN ${22 - i}")
+          .mkString(" ")
+        s"""WITH $ShinglesCte,
+            hb AS (SELECT ${sqlHash("sh", graft.ext.Sketches.HllSeed)}
+                     AS h FROM sh),
+            rr AS (SELECT h % 1024 AS reg,
+                          CAST(CASE $chain ELSE 23 END AS BIGINT) AS rho
+                   FROM hb)
+            SELECT reg, max(rho) AS max_rho FROM rr GROUP BY reg"""
+      },
+      "HyperLogLog register relation (exact-replay sketch, no floats)"),
+
+    // The HLL estimate beside the exact distinct count: harmonic mass
+    // exact (common-denominator BIGINT sum, untouched registers
+    // included), floats only in the final alpha/ln formula — written
+    // with identical literal structure in both engines.
+    "t33_hll_estimate" -> QueryDef(
+      (s, dir) => {
+        val sh = Dedup.shingles(t(s, dir, "documents"))
+        graft.ext.Sketches.hllEstimate(
+            graft.ext.Sketches.hllRegisters(sh, "sh"))
+          .crossJoin(sh.agg(countDistinct(col("sh")).as("n_exact")))
+      },
+      Some {
+        val chain = (21 to 0 by -1).map(i =>
+          s"WHEN (h // 1024) >= ${1L << i} THEN ${22 - i}")
+          .mkString(" ")
+        val raw = "0.7213 / (1.0 + 1.079 / 1024.0) * 1024.0 * 1024.0 " +
+          "* 8388608.0 / CAST(n_touched + (1024 - n_regs) * 8388608 " +
+          "AS DOUBLE)"
+        s"""WITH $ShinglesCte,
+            hb AS (SELECT ${sqlHash("sh", graft.ext.Sketches.HllSeed)}
+                     AS h FROM sh),
+            rr AS (SELECT h % 1024 AS reg,
+                          CAST(CASE $chain ELSE 23 END AS BIGINT) AS rho
+                   FROM hb),
+            regs AS (SELECT reg, max(rho) AS max_rho FROM rr
+                     GROUP BY reg),
+            ag AS (SELECT CAST(count(*) AS BIGINT) AS n_regs,
+                          CAST(coalesce(sum(CAST(power(2.0,
+                              23 - max_rho) AS BIGINT)),
+                            CAST(0 AS BIGINT)) AS BIGINT) AS n_touched
+                   FROM regs),
+            est AS (SELECT n_regs,
+                   CASE WHEN ($raw) <= 2.5 * 1024.0
+                             AND (1024 - n_regs) > 0
+                        THEN CAST(floor(1024.0 * ln(1024.0 /
+                               CAST(1024 - n_regs AS DOUBLE)) + 0.5)
+                             AS BIGINT)
+                        ELSE CAST(floor(($raw) + 0.5) AS BIGINT)
+                   END AS hll_est
+                   FROM ag),
+            ex AS (SELECT CAST(count(DISTINCT sh) AS BIGINT) AS n_exact
+                   FROM sh)
+            SELECT est.n_regs, est.hll_est, ex.n_exact
+            FROM est CROSS JOIN ex"""
+      },
+      "HLL estimate beside the exact distinct count"),
+
     // Ranking-quality evaluation (TREC-style binary relevance): the kNN
     // neighborhoods of query vectors 0..7 scored against a label-match
     // gold — hits@10, recall@10, MRR, nDCG@10 per query. DCG discounts

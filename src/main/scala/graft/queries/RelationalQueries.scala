@@ -255,6 +255,7 @@ object RelationalQueries {
     // full relation, the z1 discipline for the better curve.
     "z3_hilbert_key" -> QueryDef(
       (s, dir) => {
+        graft.functions.GraftFunctions.register(s)
         val li = t(s, dir, "lineitem")
         li.select(col("l_orderkey"), col("l_linenumber"),
           graft.sources.WriteLayout.hilbertKey(
@@ -297,15 +298,20 @@ object RelationalQueries {
     // for preferring it as the clustering write's key.
     "z4_hilbert_prune" -> QueryDef(
       (s, dir) => {
-        val base = t(s, dir, "lineitem").select(
-          col("l_orderkey"), col("l_linenumber"),
-          (col("l_partkey") % 256).as("pk"),
-          (col("l_suppkey") % 256).as("sk"),
-          graft.sources.WriteLayout.zorderKey(
-            Seq(col("l_partkey") % 256, col("l_suppkey") % 256), 8)
-            .as("z"),
-          graft.sources.WriteLayout.hilbertKey(
-            col("l_partkey") % 256, col("l_suppkey") % 256, 8).as("h"))
+        graft.functions.GraftFunctions.register(s)
+        // materialized: each layout's globalOrder re-evaluates its input
+        // through range-sampling + sort + zipWithIndex — pay the key
+        // computation ONCE per row
+        val base = graft.ext.Dedup.materialize(
+          t(s, dir, "lineitem").select(
+            col("l_orderkey"), col("l_linenumber"),
+            (col("l_partkey") % 256).as("pk"),
+            (col("l_suppkey") % 256).as("sk"),
+            graft.sources.WriteLayout.zorderKey(
+              Seq(col("l_partkey") % 256, col("l_suppkey") % 256), 8)
+              .as("z"),
+            graft.sources.WriteLayout.hilbertKey(
+              col("l_partkey") % 256, col("l_suppkey") % 256, 8).as("h")))
         graft.ext.Profile.zonemapPruneAudit(base,
           Seq(
             "zorder" -> Seq(col("z"), col("l_orderkey"),

@@ -79,37 +79,23 @@ object WriteLayout {
    * exactly this, natural vs Morton vs Hilbert, in the z4 gate).
    *
    * The classic top-down bit algorithm (quadrant index + rotate/reflect
-   * per level), expressed as ONE `aggregate` fold over the bit levels
-   * with a (x, y, d) struct accumulator — linear expression size (an
-   * unrolled fold would duplicate x/y subtrees ~3^bits times), one
-   * narrow pass, no shuffle, deterministic; the oracle replays the same
-   * fold as `bits` chained CTEs. Inputs must already sit in
-   * [0, 2^bits) — scale or rank first, as with [[zorderKey]]. */
+   * per level) as the engine's native codegen'd
+   * [[graft.functions.HilbertKey]] expression — the walk is a loop
+   * carrying (x, y, d) state, which as builtins costs `bits` interpreted
+   * lambda frames + a struct allocation per level PER EVALUATION, and a
+   * clustering write evaluates the key through range-sampling AND the
+   * sort (z4's fold form measured ~24× the one-pass price at sf0.1); the
+   * native loop is ~6 long ops per level inside WholeStageCodegen. The
+   * oracle replays the identical walk as `bits` chained CTEs. Inputs
+   * must already sit in [0, 2^bits) — scale or rank first, as with
+   * [[zorderKey]]. Sessions not built with `GraftExtensions` need
+   * `GraftFunctions.register` before analysis (the jaroWinkler
+   * contract). */
   def hilbertKey(x: Column, y: Column, bits: Int): Column = {
     require(bits >= 1 && 2 * bits <= 62,
       s"2*bits must fit a signed long, got $bits")
-    aggregate(
-      sequence(lit(bits - 1), lit(0), lit(-1)),
-      struct(x.cast("long").as("x"), y.cast("long").as("y"),
-        lit(0L).as("d")),
-      (acc, i) => {
-        // s = 2^i: pow is exact for i <= 52; shiftleft takes only a
-        // literal shift so it cannot express a per-element width
-        val s = pow(lit(2.0), i.cast("double")).cast("long")
-        val ax = acc.getField("x")
-        val ay = acc.getField("y")
-        val rx = when(ax.bitwiseAND(s) =!= 0L, lit(1L)).otherwise(lit(0L))
-        val ry = when(ay.bitwiseAND(s) =!= 0L, lit(1L)).otherwise(lit(0L))
-        val d2 = acc.getField("d") +
-          s * s * (lit(3L) * rx).bitwiseXOR(ry)
-        // quadrant normalization: lower-right flips, lower half swaps
-        val xN = when(ry === 1L, ax)
-          .otherwise(when(rx === 1L, s - 1 - ay).otherwise(ay))
-        val yN = when(ry === 1L, ay)
-          .otherwise(when(rx === 1L, s - 1 - ax).otherwise(ax))
-        struct(xN.as("x"), yN.as("y"), d2.as("d"))
-      },
-      acc => acc.getField("d"))
+    graft.functions.GraftFunctions.hilbert(
+      x.cast("long"), y.cast("long"), bits)
   }
 
   /** Z-order-clustered parquet write: each clustering column min-max

@@ -447,6 +447,61 @@ class Round8Spec extends SparkTestBase {
     }
   }
 
+  // ──────────────── CMS join-size estimate (dq7) ────────────────────
+
+  test("cmsJoinSizeEstimate never underestimates; collision overshoot " +
+    "stays sketch-bounded") {
+    val rnd = new scala.util.Random(7)
+    val as = (0 until 500).map(_ => s"k${rnd.nextInt(40)}").toDF("k")
+    val bs = (0 until 300).map(_ => s"k${rnd.nextInt(60)}").toDF("k")
+    val est = graft.ext.Sketches.cmsJoinSizeEstimate(
+        graft.ext.Sketches.cmsCounters(as, "k"),
+        graft.ext.Sketches.cmsCounters(bs, "k"))
+      .head().getLong(0)
+    val tru = as.join(bs, "k").count()
+    assert(est >= tru, s"AMS/CMS inner product must not undershoot: " +
+      s"est=$est true=$tru")
+    // expected collision mass per row is |A|·|B|/width ≈ 146; the min
+    // over 4 independent rows stays well under 2× at this scale
+    assert(est <= 2 * tru, s"overshoot out of family: est=$est true=$tru")
+    // disjoint key spaces: the true size is 0, the estimate is pure
+    // collision mass — small, and never negative
+    val cs = (0 until 300).map(i => s"zz$i").toDF("k")
+    val dEst = graft.ext.Sketches.cmsJoinSizeEstimate(
+        graft.ext.Sketches.cmsCounters(as, "k"),
+        graft.ext.Sketches.cmsCounters(cs, "k"))
+      .head().getLong(0)
+    assert(dEst >= 0 && dEst <= 2000, s"disjoint estimate $dEst")
+  }
+
+  // ──────────────── HyperLogLog registers (t32/t33) ─────────────────
+
+  test("hllRegisters merge by (reg, max); the estimate tracks exact " +
+    "counts in both regimes") {
+    val docs = spark.read.parquet(s"$Sf/documents.parquet")
+    val sh = Dedup.shingles(docs).localCheckpoint()
+    val exact = sh.select(countDistinct(col("sh"))).head().getLong(0)
+    val est = graft.ext.Sketches.hllEstimate(
+      graft.ext.Sketches.hllRegisters(sh, "sh")).head().getLong(1)
+    assert(math.abs(est - exact).toDouble / exact < 0.1,
+      s"raw-regime estimate est=$est exact=$exact")
+    // shard merge: registers of the union == (reg, MAX) of the parts
+    val p1 = sh.filter(col("doc_id") % 2 === 0)
+    val p2 = sh.filter(col("doc_id") % 2 =!= 0)
+    val merged = graft.ext.Sketches.hllRegisters(p1, "sh")
+      .unionByName(graft.ext.Sketches.hllRegisters(p2, "sh"))
+      .groupBy("reg").agg(max("max_rho").as("max_rho"))
+      .orderBy("reg").collect().toSeq
+    val whole = graft.ext.Sketches.hllRegisters(sh, "sh")
+      .orderBy("reg").collect().toSeq
+    assert(merged == whole)
+    // linear-counting regime: 40 distinct keys, nearly-empty registers
+    val smalls = (0 until 40).map(i => s"s$i").toDF("sh")
+    val se = graft.ext.Sketches.hllEstimate(
+      graft.ext.Sketches.hllRegisters(smalls, "sh")).head().getLong(1)
+    assert(math.abs(se - 40) <= 6, s"LC estimate $se for 40 distinct")
+  }
+
   // ──────────────── Exact linear probe (e14/e15) ────────────────────
 
   test("linearProbe solution satisfies the normal equations exactly") {
