@@ -42,6 +42,34 @@ object Sampling {
   def hashSample(df: DataFrame, idCol: String, pct: Int): DataFrame =
     df.filter(hashBucket(col(idCol), salt = "sample") < pct)
 
+  /** Leakage-PROOF grouped split — [[hashSplit]] keyed on a GROUP
+   * instead of the row: every member of a group (a near-dup cluster, a
+   * source domain, a conversation thread) draws the SAME bucket, so
+   * group mates can never straddle train/test. [[splitLeakage]] AUDITS
+   * the leakage a row-keyed split allows; this prevents it by
+   * construction (scikit-learn's GroupShuffleSplit, as a narrow
+   * deterministic projection). `groups` maps `groupIdCol` → `groupCol`
+   * (e.g. [[graft.ext.Dedup.dupClusters]] output — delta-sized, only
+   * clustered rows need appear); rows absent from it are their own
+   * group, and because the bucket salt matches [[hashSplit]], UNGROUPED
+   * rows keep exactly the assignment the row-keyed split gives them —
+   * adopting the grouped form moves only the rows that had the leakage
+   * problem. One left join against the group relation (broadcast when
+   * small) + the same md5 bucket arithmetic. */
+  def groupedSplit(df: DataFrame, idCol: String, groups: DataFrame,
+      groupIdCol: String, groupCol: String,
+      trainPct: Int = 80, valPct: Int = 10): DataFrame = {
+    val g = groups.select(col(groupIdCol).as(idCol),
+      col(groupCol).as("__grp"))
+    val b = hashBucket(coalesce(col("__grp"), col(idCol)))
+    df.join(g, Seq(idCol), "left")
+      .withColumn("split",
+        when(b < trainPct, "train")
+          .when(b < trainPct + valPct, "val")
+          .otherwise("test"))
+      .drop("__grp")
+  }
+
   /** Stratified deterministic sample: per-stratum keep-rates (percent) over
    * the same stable hash bucket — the knob a data-mixing stage turns to hit
    * a target source/language mixture (up-weight scarce strata, down-sample

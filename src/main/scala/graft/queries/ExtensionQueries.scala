@@ -4561,6 +4561,44 @@ object ExtensionQueries {
               ORDER BY pri_micro, doc_id LIMIT 50"""),
       "Efraimidis-Spirakis weighted sample without replacement (k=50)"),
 
+    // Leakage-PROOF grouped split: hashSplit keyed on the near-dup
+    // CLUSTER, so cluster mates can never straddle train/test (sp4
+    // audits that leakage; this prevents it by construction). Ungrouped
+    // docs keep exactly the row-keyed assignment (same salt).
+    "sp26_grouped_split" -> QueryDef(
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val clusters = Dedup.dupClusters(
+          Dedup.minhashDedupPairs(docs, 0.5, maxBucket = Int.MaxValue)
+            .select("doc_a", "doc_b"))
+        Sampling.groupedSplit(docs.select("doc_id"), "doc_id",
+          clusters, "doc_id", "cluster")
+      },
+      Some(s"""WITH RECURSIVE $LshPairsCtes,
+               edges AS (
+                 SELECT doc_a AS src, doc_b AS dst FROM lsh_pairs
+                 UNION ALL
+                 SELECT doc_b, doc_a FROM lsh_pairs),
+               reach(src, dst) AS (
+                 SELECT src, dst FROM edges
+                 UNION
+                 SELECT r.src, e.dst FROM reach r JOIN edges e
+                   ON r.dst = e.src),
+               cl AS (SELECT src AS doc_id, least(src, min(dst)) AS cluster
+                      FROM reach GROUP BY src),
+               bk AS (SELECT d.doc_id,
+                             ('0x' || substr(md5('split:' ||
+                                 CAST(coalesce(cl.cluster, d.doc_id)
+                                   AS VARCHAR)), 1, 8))::BIGINT % 100 AS b
+                      FROM documents d
+                      LEFT JOIN cl ON d.doc_id = cl.doc_id)
+               SELECT doc_id,
+                      CASE WHEN b < 80 THEN 'train'
+                           WHEN b < 90 THEN 'val'
+                           ELSE 'test' END AS split
+               FROM bk"""),
+      "leakage-proof grouped split (whole near-dup clusters per split)"),
+
     // Mixture-drift audit: did the EXECUTED corpus land on the PLANNED
     // mixture? PSI between sp15's token-budget plan (drawn tokens per
     // source) and the observed per-source token mass of a sampled

@@ -375,6 +375,31 @@ object RelationalQueries {
       },
       "zone-map skip audit: Morton vs Hilbert at the same file size"),
 
+    // Small-file compaction PLAN (the Delta-OPTIMIZE bin-packing
+    // arithmetic, relationally): per-dir running-byte fill to the
+    // target — path order preserved so a clustered layout's sort
+    // survives the rewrite; the audit "files before vs after" is one
+    // agg over this plan. WriteLayout.compactTable EXECUTES the same
+    // arithmetic with the staged-swap publish (spec-gated — filesystem
+    // semantics have no SQL oracle).
+    "z5_compaction_plan" -> QueryDef(
+      (s, dir) => graft.sources.WriteLayout.compactionPlan(
+        t(s, dir, "orders").select(
+          col("o_orderpriority").as("dir"),
+          lpad(col("o_orderkey").cast("string"), 12, "0").as("path"),
+          floor(col("o_totalprice") * 100).cast("long").as("bytes")),
+        targetBytes = 1000000L),
+      Some("""WITH f AS (SELECT o_orderpriority AS dir,
+                     lpad(CAST(o_orderkey AS VARCHAR), 12, '0') AS path,
+                     CAST(floor(o_totalprice * 100) AS BIGINT) AS bytes
+                   FROM orders)
+              SELECT dir, path, bytes,
+                     CAST((sum(bytes) OVER (PARTITION BY dir
+                             ORDER BY path)
+                           - bytes) // 1000000 AS BIGINT) AS out_file
+              FROM f"""),
+      "small-file compaction plan: per-dir running-byte bin fill"),
+
     // Null-safe equality join (<=> / IS NOT DISTINCT FROM): NULL keys
     // MATCH each other — the join-matrix variant a plain `=` can never
     // produce (it drops NULL rows from both sides). Keys are derived with

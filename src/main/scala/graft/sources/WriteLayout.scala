@@ -98,6 +98,108 @@ object WriteLayout {
       x.cast("long"), y.cast("long"), bits)
   }
 
+  /** Small-file compaction PLAN over a (dir, path, bytes) file-listing
+   * relation: contiguous running-sum bin fill to `targetBytes` — the
+   * sp2 token-packing arithmetic on byte grain, path order preserved
+   * inside each dir so a clustered layout's sort survives the rewrite.
+   * The window partitions by `dir` (per-partition-directory planning,
+   * parallel across a partitioned table's directories — file listings
+   * are metadata-grain, but a 100-TB table still has millions of them
+   * spread over thousands of dirs). Output: input + `out_file` (the
+   * compacted file ordinal within its dir). The "should I pay the
+   * rewrite?" audit is one agg over this plan: files before vs
+   * `max(out_file)+1` after. */
+  def compactionPlan(files: DataFrame, targetBytes: Long): DataFrame = {
+    require(targetBytes >= 1, s"targetBytes must be >= 1, got $targetBytes")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("dir").orderBy("path")
+    files
+      .withColumn("__cum", sum(col("bytes")).over(w) - col("bytes"))
+      .withColumn("out_file", expr(s"__cum div ${targetBytes}L"))
+      .drop("__cum")
+  }
+
+  /** Execute a compaction of a FLAT parquet table directory: group the
+   * part files by the [[compactionPlan]] arithmetic (name order,
+   * running-byte fill), rewrite each group as one file, and publish with
+   * the engine's staged-swap discipline (`AnnIndex.stageAndSwap` at
+   * DIRECTORY grain): stage the full rewrite under `$dir.tmp`, rename
+   * live→`.bak`, `.tmp`→live, drop `.bak` — readers see the old table
+   * or the new one, never a mix, and [[recoverCompaction]] repairs any
+   * crash point. One read+write job per OUTPUT file (the Delta OPTIMIZE
+   * shape — each job's input is bounded by `targetBytes`); row content
+   * is preserved exactly, file count drops to ⌈bytes/target⌉. Returns
+   * (files before, files after); a table already at ≤ 1 file per
+   * target-bin is left untouched. */
+  def compactTable(spark: org.apache.spark.sql.SparkSession, dir: String,
+      targetBytes: Long): (Int, Int) = {
+    require(targetBytes >= 1, s"targetBytes must be >= 1, got $targetBytes")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val live = new org.apache.hadoop.fs.Path(dir)
+    val fs = live.getFileSystem(conf)
+    val parts = fs.listStatus(live)
+      .filter(s => s.isFile && s.getPath.getName.startsWith("part-"))
+      .sortBy(_.getPath.getName)
+    // the plan, driver-side over metadata: contiguous name-order fill —
+    // the same running-sum-div arithmetic compactionPlan speaks
+    // relationally, applied to this one directory
+    val groups = scala.collection.mutable.ArrayBuffer
+      .empty[scala.collection.mutable.ArrayBuffer[org.apache.hadoop.fs.FileStatus]]
+    var cum = 0L
+    var lastBin = -1L
+    parts.foreach { f =>
+      val bin = cum / targetBytes
+      cum += f.getLen
+      if (bin != lastBin) { groups +=
+        scala.collection.mutable.ArrayBuffer(f); lastBin = bin }
+      else groups.last += f
+    }
+    if (groups.size >= parts.length) return (parts.length, parts.length)
+    val tmp = new org.apache.hadoop.fs.Path(s"$dir.tmp")
+    val bak = new org.apache.hadoop.fs.Path(s"$dir.bak")
+    fs.delete(tmp, true)
+    fs.mkdirs(tmp)
+    groups.zipWithIndex.foreach { case (g, i) =>
+      val stage = s"$dir.tmp/_g$i"
+      spark.read.parquet(g.map(_.getPath.toString).toSeq: _*)
+        .coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = fs.listStatus(new org.apache.hadoop.fs.Path(stage))
+        .filter(s => s.isFile && s.getPath.getName.startsWith("part-"))
+      require(part.length == 1, s"coalesce(1) must yield one file, got ${part.length}")
+      fs.rename(part(0).getPath,
+        new org.apache.hadoop.fs.Path(f"$dir.tmp/part-compact-$i%05d.parquet"))
+      fs.delete(new org.apache.hadoop.fs.Path(stage), true)
+    }
+    if (!fs.rename(live, bak))
+      throw new java.io.IOException(s"compact: rename $live -> $bak failed")
+    if (!fs.rename(tmp, live))
+      throw new java.io.IOException(s"compact: rename $tmp -> $live failed")
+    fs.delete(bak, true)
+    (parts.length, groups.size)
+  }
+
+  /** Repair a crashed [[compactTable]] — the `recoverSwap` three-case
+   * logic at directory grain: live present → drop leftovers (swap never
+   * started or fully completed); no live but `.tmp` → the crash hit
+   * between the renames, the staged rewrite is complete: promote it;
+   * only `.bak` → restore it. */
+  def recoverCompaction(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val live = new org.apache.hadoop.fs.Path(dir)
+    val tmp = new org.apache.hadoop.fs.Path(s"$dir.tmp")
+    val bak = new org.apache.hadoop.fs.Path(s"$dir.bak")
+    val fs = live.getFileSystem(conf)
+    if (fs.exists(live)) {
+      fs.delete(tmp, true); fs.delete(bak, true)
+    } else if (fs.exists(tmp) &&
+        !fs.listStatus(tmp).exists(_.getPath.getName.startsWith("_g"))) {
+      fs.rename(tmp, live); fs.delete(bak, true)
+    } else if (fs.exists(bak)) {
+      fs.delete(tmp, true); fs.rename(bak, live)
+    }
+  }
+
   /** Z-order-clustered parquet write: each clustering column min-max
    * scales to `bitsPerCol` bits (bounds from ONE tiny agg — layout
    * parameters on the driver, same posture as an IVF codebook), rows

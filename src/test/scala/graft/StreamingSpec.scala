@@ -309,6 +309,35 @@ class StreamingSpec extends SparkTestBase {
       "incrementally maintained counters must equal the batch sketch")
   }
 
+  test("streaming HyperLogLog: the complete-mode register relation " +
+    "equals the batch sketch on the accumulated stream") {
+    implicit val sqlCtx = spark.sqlContext
+    // registers are a groupBy-MAX streaming agg: keyed state bounded by
+    // 2^p rows at any cardinality — the cardinality sibling of the
+    // streaming CMS claim
+    val input = MemoryStream[String]
+    val regs = graft.ext.Sketches.hllRegisters(
+      input.toDF().select($"value".as("k")), "k")
+    val q = regs.writeStream.outputMode("complete")
+      .format("memory").queryName("hll_out").start()
+    val b1 = (0 until 400).map(i => s"key${i % 150}")
+    val b2 = (0 until 400).map(i => s"other${i % 250}")
+    input.addData(b1)
+    q.processAllAvailable()
+    input.addData(b2)
+    q.processAllAvailable()
+    assert(q.recentProgress.length >= 2)
+    q.stop()
+    val streamed = spark.table("hll_out")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamed.size <= 1024, "state bounded by 2^p registers")
+    val batch = graft.ext.Sketches.hllRegisters(
+        (b1 ++ b2).toDF("k"), "k")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamed == batch,
+      "incrementally maintained registers must equal the batch sketch")
+  }
+
   test("stateful sessionize closes sessions on gap") {
     implicit val s = spark
     implicit val sqlCtx = spark.sqlContext

@@ -88,6 +88,54 @@ class WriteLayoutSpec extends SparkTestBase {
       WriteLayout.writeZOrdered(withZ, zout, Seq("a"),
         bitsPerCol = 4, numFiles = 2))
   }
+
+  test("compactTable merges small files exactly; second run is a no-op; " +
+    "recovery promotes a completed stage") {
+    val dir = "/root/repo/target/test_compact/t"
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path("/root/repo/target/test_compact"), true)
+    val docs = spark.read.parquet(s"$Sf/documents.parquet")
+    docs.repartition(20).write.parquet(dir)
+    val before = docs.orderBy("doc_id").collect().toSeq
+    val (nb, na) = WriteLayout.compactTable(spark, dir, targetBytes = 256 * 1024)
+    assert(nb == 20 && na < nb, s"before=$nb after=$na")
+    val after = spark.read.parquet(dir).orderBy("doc_id").collect().toSeq
+    assert(after == before, "row content preserved exactly")
+    assert(fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+      .count(s => s.isFile && s.getPath.getName.startsWith("part-")) == na)
+    // a compacted table (every file its own target bin) is untouched
+    val (nb2, na2) = WriteLayout.compactTable(spark, dir, 256 * 1024)
+    assert(nb2 == na && na2 == na, "no-gain compaction must not rewrite")
+    // crash between the two renames: live gone, stage complete -> the
+    // recovery promotes the staged rewrite
+    fs.rename(new org.apache.hadoop.fs.Path(dir),
+      new org.apache.hadoop.fs.Path(s"$dir.tmp"))
+    WriteLayout.recoverCompaction(spark, dir)
+    assert(spark.read.parquet(dir).orderBy("doc_id").collect().toSeq == before)
+    // crash before any rename: only .bak -> restored
+    fs.rename(new org.apache.hadoop.fs.Path(dir),
+      new org.apache.hadoop.fs.Path(s"$dir.bak"))
+    WriteLayout.recoverCompaction(spark, dir)
+    assert(spark.read.parquet(dir).orderBy("doc_id").collect().toSeq == before)
+  }
+
+  test("compactionPlan groups contiguously per dir and matches the " +
+    "executor's bin arithmetic") {
+    import spark.implicits._
+    val files = Seq(
+      ("a", "f1", 60L), ("a", "f2", 60L), ("a", "f3", 60L),
+      ("a", "f4", 200L), ("a", "f5", 10L),
+      ("b", "f1", 10L)).toDF("dir", "path", "bytes")
+    val plan = WriteLayout.compactionPlan(files, 100L)
+      .collect().map(r => ((r.getString(0), r.getString(1)), r.getLong(3)))
+      .toMap
+    // a: cum-before 0,60,120,180,380 -> bins 0,0,1,1,3
+    assert(plan(("a", "f1")) == 0 && plan(("a", "f2")) == 0)
+    assert(plan(("a", "f3")) == 1 && plan(("a", "f4")) == 1)
+    assert(plan(("a", "f5")) == 3, "an oversized file advances the bin")
+    assert(plan(("b", "f1")) == 0, "dirs plan independently")
+  }
 }
 
 /** Spec helper kept outside the test body so the closure that reaches

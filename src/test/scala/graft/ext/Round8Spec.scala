@@ -447,6 +447,32 @@ class Round8Spec extends SparkTestBase {
     }
   }
 
+  // ──────────────── Leakage-proof grouped split (sp26) ──────────────
+
+  test("groupedSplit keeps every group in one split and leaves " +
+    "ungrouped rows on their hashSplit assignment") {
+    val docs = spark.read.parquet(s"$Sf/documents.parquet")
+    val clusters = Dedup.dupClusters(
+      Dedup.minhashDedupPairs(docs, 0.5, maxBucket = Int.MaxValue)
+        .select("doc_a", "doc_b")).localCheckpoint()
+    val out = Sampling.groupedSplit(docs.select("doc_id"), "doc_id",
+      clusters, "doc_id", "cluster").localCheckpoint()
+    // no cluster straddles two splits — the leakage sp4 audits, gone
+    val straddling = out.join(clusters, "doc_id")
+      .groupBy("cluster")
+      .agg(countDistinct(col("split")).as("k"))
+      .filter(col("k") > 1).count()
+    assert(straddling == 0L, "every cluster must live in ONE split")
+    assert(clusters.count() > 0, "fixture must actually have clusters")
+    // rows outside any cluster keep the plain hashSplit assignment
+    val plain = Sampling.hashSplit(docs.select("doc_id"), "doc_id")
+      .withColumnRenamed("split", "plain_split")
+    val moved = out.join(clusters, Seq("doc_id"), "left_anti")
+      .join(plain, "doc_id")
+      .filter(col("split") =!= col("plain_split")).count()
+    assert(moved == 0L, "ungrouped rows must not move")
+  }
+
   // ──────────────── CMS join-size estimate (dq7) ────────────────────
 
   test("cmsJoinSizeEstimate never underestimates; collision overshoot " +
