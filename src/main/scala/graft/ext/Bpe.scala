@@ -196,4 +196,25 @@ object Bpe {
       nBpe.as("n_bpe"),
       round(nBpe.cast("double") / size(words), 4).as("fanout"))
   }
+
+  /** Tokenizer-fertility audit at (source, lang) grain: subword tokens
+   * per whitespace word, in exact integer PERMILLE
+   * (`1000·Σn_bpe div Σn_words` — one integer division over exact group
+   * sums, no float drift). THE number a tokenizer review reads per
+   * corpus slice: fertility far above the corpus norm means the merge
+   * table under-serves that source/language (script not in the training
+   * slice, boilerplate markup, transliteration) and its token BUDGET —
+   * and so its effective mixture weight after packing — is silently
+   * inflated. One [[tokenCounts]] pass + a doc-grain join for the group
+   * keys + one hash-agg; output is slice-count-sized. */
+  def fertilityBySource(docs: DataFrame,
+      merges: Seq[(String, String)]): DataFrame =
+    tokenCounts(docs, merges)
+      .join(docs.select("doc_id", "source", "lang"), "doc_id")
+      .groupBy("source", "lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_words").as("n_words"),
+        sum("n_bpe").as("n_bpe"))
+      .withColumn("fertility_permille",
+        expr("(1000 * n_bpe) div n_words"))
 }

@@ -351,6 +351,47 @@ object Graph {
       .orderBy("size")
   }
 
+  /** k-core extraction (Seidman 1983): the maximal subgraph in which
+   * every vertex keeps degree ≥ k, by iterative peeling — drop all
+   * vertices under k, recompute degrees, repeat. The link-analysis
+   * density filter (spam/link-farm cores, "is this domain embedded in a
+   * dense cluster or hanging off one hub?") beside
+   * [[triangleStats]]' closure and [[componentCensus]]' connectivity.
+   *
+   * The k-core is UNIQUE and peel-order-independent, so any round count
+   * at or past the fixpoint yields the same subgraph — the engine runs
+   * to a WITNESSED fixpoint (edge sets only shrink, so an unchanged
+   * count IS convergence — no hash needed), while the oracle unrolls a
+   * fixed round budget (idempotent once converged). Per round: one
+   * degree hash-agg + two semi-joins; every iterate is materialized (the
+   * pagerank checkpoint posture), rounds are O(peel depth) ≤ O(max
+   * degeneracy), each shuffle-bounded — nothing quadratic, nothing
+   * driver-side but the scalar witness. Output: (vertex, core_deg) —
+   * the k-core members with their core-internal degree (all ≥ k by
+   * construction). */
+  def kCore(edges: DataFrame, k: Int, maxIter: Int = 30): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(maxIter >= 1, s"maxIter must be >= 1, got $maxIter")
+    var e = Dedup.materialize(canonicalEdges(edges))
+    var prev = e.count()
+    var converged = prev == 0L
+    var it = 0
+    while (!converged && it < maxIter) {
+      val keep = degrees(e).filter(col("deg") >= k).select("vertex")
+      val next = Dedup.materialize(
+        e.join(keep.select(col("vertex").as("u")), Seq("u"), "left_semi")
+          .join(keep.select(col("vertex").as("v")), Seq("v"), "left_semi"))
+      val c = next.count()
+      converged = c == prev
+      prev = c
+      e = next
+      it += 1
+    }
+    if (!converged)
+      log.warn(s"kCore: peeling did NOT converge after $maxIter rounds")
+    degrees(e).select(col("vertex"), col("deg").as("core_deg"))
+  }
+
   /** Label-packing radix for [[labelPropagation]]'s (count, label) argmax:
    * labels (= vertex ids) occupy the low 40 bits, neighbor-label counts
    * ride above — one BIGINT `max` both engines evaluate identically

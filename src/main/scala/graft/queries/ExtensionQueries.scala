@@ -4689,6 +4689,33 @@ object ExtensionQueries {
                FROM e"""),
       "BPE subword token counts under a frozen in-engine-trained merge table"),
 
+    // Tokenizer-fertility audit per (source, lang): subword tokens per
+    // word in exact integer permille — the slice whose fertility is far
+    // above the norm has its token budget (and so its effective mixture
+    // weight) silently inflated by the merge table. Rides the sp16
+    // encode expression; group sums exact, one integer division.
+    "t31_fertility_audit" -> QueryDef(
+      (s, dir) => graft.ext.Bpe.fertilityBySource(
+        t(s, dir, "documents"), graft.ext.Bpe.FrozenMerges),
+      Some(s"""WITH w AS (SELECT doc_id, source, lang,
+                                 list_filter(string_split(text, ' '),
+                                   x -> x <> '') AS ws
+                          FROM documents),
+               e AS (SELECT doc_id, source, lang,
+                            CAST(len(ws) AS INTEGER) AS n_words,
+                            CAST(list_sum(list_transform(ws,
+                              w -> len(string_split(trim($BpeEncodeSql),
+                                ' ')))) AS BIGINT) AS n_bpe
+                     FROM w)
+               SELECT source, lang,
+                      CAST(count(*) AS BIGINT) AS n_docs,
+                      CAST(sum(n_words) AS BIGINT) AS n_words,
+                      CAST(sum(n_bpe) AS BIGINT) AS n_bpe,
+                      CAST((1000 * sum(n_bpe)) // sum(n_words) AS BIGINT)
+                        AS fertility_permille
+               FROM e GROUP BY source, lang"""),
+      "tokenizer-fertility audit per (source, lang), exact permille"),
+
     // Bigram-LM cross-entropy (the CCNet perplexity filter, model trained
     // in-engine on the en reference slice, scoring the non-en pool).
     "t16_bigram_xent" -> QueryDef(

@@ -262,6 +262,40 @@ object GraphQueries {
 
     // Synchronous label propagation (2 rounds) over the high-quantity
     // co-purchase subgraph: communities (dense intra-connection), not
+    // k-core extraction over the co-purchase graph: iterative peel to
+    // the UNIQUE fixpoint (the engine witnesses convergence by the
+    // monotone edge count; the oracle unrolls 12 rounds — idempotent
+    // once converged, so any budget at or past the fixpoint agrees).
+    "graph7_kcore" -> QueryDef(
+      (s, dir) => Graph.kCore(
+        Graph.coPurchaseEdges(t(s, dir, "lineitem")), k = 3),
+      Some {
+        // MATERIALIZED is load-bearing: each round references its
+        // predecessor three times, so inlined CTEs would re-derive the
+        // chain ~3^12 times (measured as a too-many-open-files blowup)
+        val rounds = (1 to 12).map { i =>
+          val p = s"e${i - 1}"
+          s"""k$i AS MATERIALIZED (SELECT vertex FROM (
+                 SELECT u AS vertex FROM $p
+                 UNION ALL SELECT v FROM $p)
+               GROUP BY vertex HAVING count(*) >= 3),
+             e$i AS MATERIALIZED (SELECT u, v FROM $p
+                     WHERE u IN (SELECT vertex FROM k$i)
+                       AND v IN (SELECT vertex FROM k$i))"""
+        }.mkString(",\n")
+        s"""WITH e0 AS MATERIALIZED (SELECT DISTINCT a.l_partkey AS u,
+                    b.l_partkey AS v
+                 FROM lineitem a JOIN lineitem b
+                   ON a.l_orderkey = b.l_orderkey
+                  AND a.l_partkey < b.l_partkey),
+            $rounds
+            SELECT vertex, CAST(count(*) AS BIGINT) AS core_deg
+            FROM (SELECT u AS vertex FROM e12
+                  UNION ALL SELECT v FROM e12)
+            GROUP BY vertex"""
+      },
+      "k-core (k=3): iterative peel to the unique density fixpoint"),
+
     // mere connectivity (graph5) or local closure (graph2). The argmax
     // "most frequent neighbor label, ties to the smallest" packs
     // (count, label) into one BIGINT so a plain max decides it

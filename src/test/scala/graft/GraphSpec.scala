@@ -231,6 +231,49 @@ class GraphSpec extends SparkTestBase {
     assert(row == 0L)
   }
 
+  test("kCore matches an iterative-peel reference on random graphs; " +
+    "cores nest") {
+    val rnd = new Random(57)
+    for (trial <- 1 to 3) {
+      val nv = 25 + rnd.nextInt(30)
+      val edges = (1 to (60 + rnd.nextInt(120))).map { _ =>
+        val a = rnd.nextInt(nv).toLong; val b = rnd.nextInt(nv).toLong
+        (math.min(a, b), math.max(a, b))
+      }.filter(e => e._1 != e._2).distinct
+      def peel(k: Int): Map[Long, Long] = {
+        var e = edges
+        var changed = true
+        while (changed) {
+          val deg = (e.map(_._1) ++ e.map(_._2))
+            .groupBy(identity).map { case (v, g) => v -> g.size }
+          val keep = deg.filter(_._2 >= k).keySet
+          val e2 = e.filter(p => keep(p._1) && keep(p._2))
+          changed = e2.size != e.size
+          e = e2
+        }
+        (e.map(_._1) ++ e.map(_._2)).groupBy(identity)
+          .map { case (v, g) => v -> g.size.toLong }
+      }
+      for (k <- Seq(2, 3)) {
+        val got = Graph.kCore(edges.toDF("u", "v"), k)
+          .as[(Long, Long)].collect().toMap
+        assert(got == peel(k), s"trial $trial k=$k")
+      }
+      // nesting: the (k+1)-core is a subgraph of the k-core
+      assert(peel(3).keySet.subsetOf(peel(2).keySet), s"trial $trial")
+    }
+  }
+
+  test("kCore is partition-independent and empty below the peel floor") {
+    val e = (0L to 5L).combinations(2).map(p => (p(0), p(1))).toSeq
+      .toDF("u", "v") // K6: every vertex degree 5
+    val a = Graph.kCore(e, 5).orderBy("vertex").collect().toSeq
+    val b = Graph.kCore(e.repartition(7), 5).orderBy("vertex")
+      .collect().toSeq
+    assert(a == b && a.size == 6, "K6 is its own 5-core")
+    assert(Graph.kCore(e, 6).count() == 0L, "no 6-core in K6")
+  }
+
   test("purchase edges are distinct and prefixed; co-purchase canonical") {
     val orders = Tables.ordersLike(spark)
     val lineitem = Tables.lineitemLike(spark)

@@ -447,6 +447,29 @@ class Round8Spec extends SparkTestBase {
     }
   }
 
+  // ──────────────── Tokenizer fertility audit (t31) ─────────────────
+
+  test("fertilityBySource: word totals match a raw recount and the " +
+    "permille is the exact floor ratio") {
+    val docs = spark.read.parquet(s"$Sf/documents.parquet")
+    val audit = Bpe.fertilityBySource(docs, Bpe.FrozenMerges)
+      .collect().map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(audit.nonEmpty)
+    // independent word recount for every group from the raw text
+    val raw = docs.select("source", "lang", "text").collect()
+      .groupBy(r => (r.getString(0), r.getString(1)))
+      .map { case (k, rows) => k ->
+        rows.map(_.getString(2).split(" ").count(_.nonEmpty).toLong).sum }
+    audit.foreach { case (k, (nDocs, nWords, nBpe, permille)) =>
+      assert(nWords == raw(k), s"$k word recount")
+      assert(permille == 1000 * nBpe / nWords, s"$k permille formula")
+      assert(nBpe >= nWords, "BPE can only split words, never merge " +
+        "across whitespace")
+      assert(nDocs > 0)
+    }
+  }
+
   // ──────────────── Leakage-proof grouped split (sp26) ──────────────
 
   test("groupedSplit keeps every group in one split and leaves " +
