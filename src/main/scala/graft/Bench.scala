@@ -542,6 +542,22 @@ object Bench {
             graft.ext.Selection.kcenterSelect(
               ps.read.parquet(s"$dir10/embeddings.parquet"), k = 4,
               sampleN = 1000))) :+
+        // graph-based ANN at 10×: the kNN graph comes from the PREBUILT
+        // IVF-PQ index (whole-corpus search — the n23 shape, priced by
+        // the ADC distance tables), then 20 queries walk it 3 hops at
+        // beam 16 — the walk's vector reads are O(queries·hops·beam·deg),
+        // never the 20k corpus
+        ("ann_n24_nsw_ivfpq_graph" ->
+          ((ps: org.apache.spark.sql.SparkSession) => {
+            graft.functions.GraftFunctions.register(ps)
+            val emb = ps.read.parquet(s"$dir10/embeddings.parquet")
+            val graphRel = graft.ext.Dedup.materialize(
+              graft.ext.AnnIndex.searchIvfPq(emb, ps, idxDir, 6)
+                .select("q_id", "n_id"))
+            graft.ext.Similarity.nswSearch(
+              emb.filter(col("vec_id") < 20), emb, graphRel,
+              (0L to 4L).toSeq, k = 5, beam = 16, hops = 3)
+          })) :+
         // residual-index search at nprobe=2 over the prebuilt artifact
         // (built untimed in setup alongside the IVF-PQ index)
         ("ann_index_search_ivfadc_residual_np2" ->

@@ -59,6 +59,62 @@ object Similarity {
     topKBySim(scored, k, "sim")
   }
 
+  /** Graph-based ANN: greedy BEAM search over a k-NN neighbor graph —
+   * the NSW/HNSW search paradigm (Malkov & Yashunin) in its flat,
+   * deterministic form, completing the engine's ANN inventory beside
+   * the space-partitioning families (IVF cells) and the code-compression
+   * families (PQ/SQ): each query starts at fixed `entryPoints`, and for
+   * `hops` rounds expands its current beam's out-neighbors in `graph`,
+   * re-scores the candidates exactly, and keeps the `beam` best
+   * (sim DESC, id — the TypedTopK order, so the walk is bit-deterministic
+   * and oracle-replayable round by round). Output: top-`k` of the final
+   * beam, [[knnBrute]]'s shape.
+   *
+   * Why it scales: per round each query touches ≤ beam·outdeg + beam
+   * candidates — the vectors READ are O(queries·hops·beam·outdeg),
+   * never the corpus, and unlike IVF there is no cell-boundary recall
+   * cliff (the walk crosses cells by construction). `graph` is any
+   * (q_id → src, n_id → dst) neighbor relation: [[knnBrute]] output at
+   * gate scale, an [[AnnIndex]] search at build scale — the kNN-graph
+   * build composes with every existing search path. Plan shape per
+   * round: one bounded join into the graph, one join to fetch candidate
+   * vectors (candidate-sized, behind the distinct), one top-k agg;
+   * each round's beam is materialized (the pagerank posture — the next
+   * round's join must not re-derive the whole walk). */
+  def nswSearch(queries: DataFrame, corpus: DataFrame, graph: DataFrame,
+      entryPoints: Seq[Long], k: Int, beam: Int = 8,
+      hops: Int = 3): DataFrame = {
+    require(entryPoints.nonEmpty, "nswSearch needs at least one entry point")
+    require(beam >= k, s"beam ($beam) must be >= k ($k)")
+    require(hops >= 1, s"hops must be >= 1, got $hops")
+    val q = queries.select(col("vec_id").as("q_id"),
+      col("embedding").as("q_emb"),
+      sqrt(dot(col("embedding"), col("embedding"))).as("q_norm"))
+    val c = corpus.select(col("vec_id").as("n_id"),
+      col("embedding").as("n_emb"),
+      sqrt(dot(col("embedding"), col("embedding"))).as("n_norm"))
+    val g = graph.select(col("q_id").as("src"), col("n_id").as("dst"))
+    def score(cand: DataFrame): DataFrame =
+      cand.join(c, "n_id").join(q, "q_id")
+        .filter(col("q_id") =!= col("n_id"))
+        .select(col("q_id"), col("n_id"),
+          round(dot(col("q_emb"), col("n_emb")) /
+            (col("q_norm") * col("n_norm")), 4).as("sim"))
+    val session = queries.sparkSession
+    import session.implicits._
+    val entry = q.select(col("q_id"))
+      .crossJoin(broadcast(entryPoints.toDF("n_id")))
+    var beamDf = Dedup.materialize(topKBySim(score(entry), beam, "sim"))
+    for (_ <- 1 to hops) {
+      val cand = beamDf.join(g, beamDf("n_id") === g("src"))
+        .select(col("q_id"), col("dst").as("n_id"))
+        .union(beamDf.select(col("q_id"), col("n_id")))
+        .distinct()
+      beamDf = Dedup.materialize(topKBySim(score(cand), beam, "sim"))
+    }
+    topKBySim(beamDf.select("q_id", "n_id", "sim"), k, "sim")
+  }
+
   /** k-NN-distance outliers over ANY (q_id, n_id, sim, rank) neighbor
    * relation: each vector's k-th-neighbor similarity is its local-density
    * proxy (the classic kNN outlier score, Ramaswamy et al. 2000 — the

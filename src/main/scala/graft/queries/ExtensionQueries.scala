@@ -1344,6 +1344,68 @@ object ExtensionQueries {
                ORDER BY kth_sim ASC, vec_id ASC LIMIT 20"""),
       "k-NN-distance embedding outliers: 20 lowest 5th-neighbor cosines"),
 
+    // Graph-based ANN (the NSW/HNSW search paradigm, flat deterministic
+    // form): greedy beam walk over an exact kNN graph — entry points
+    // (0, 1), 2 hops, beam 6, top-3. The oracle replays the graph build
+    // AND every round of the walk (MATERIALIZED — each round references
+    // its beam multiple times); both engines keep (sim DESC, id) beams,
+    // so the walk is bit-identical round by round.
+    "n24_nsw_search" -> QueryDef(
+      (s, dir) => {
+        graft.functions.GraftFunctions.register(s)
+        val emb = t(s, dir, "embeddings").filter(col("vec_id") < 800)
+        val qs = emb.filter(col("vec_id") < 5)
+        val graphRel = graft.ext.Dedup.materialize(
+          Similarity.knnBrute(emb, emb, 4).select("q_id", "n_id"))
+        Similarity.nswSearch(qs, emb, graphRel, Seq(0L, 1L),
+          k = 3, beam = 6, hops = 2)
+      },
+      Some {
+        def beamCte(s: String, b: String, lim: Int): String =
+          s"""$b AS MATERIALIZED (SELECT q_id, n_id, sim FROM (
+                 SELECT q_id, n_id, sim,
+                        row_number() OVER (PARTITION BY q_id
+                          ORDER BY sim DESC, n_id) AS rk
+                 FROM $s) WHERE rk <= $lim)"""
+        def roundCtes(i: Int, prevBeam: String): String =
+          s"""cand$i AS (SELECT DISTINCT q_id, n_id FROM (
+                 SELECT b.q_id, g.dst AS n_id
+                 FROM $prevBeam b JOIN g ON b.n_id = g.src
+                 UNION ALL SELECT q_id, n_id FROM $prevBeam)),
+              s$i AS (SELECT d.q_id, d.n_id,
+                             ${sqlCos("q.qe", "c.ne")} AS sim
+                      FROM cand$i d JOIN c ON c.n_id = d.n_id
+                           JOIN q ON q.q_id = d.q_id
+                      WHERE d.q_id <> d.n_id),
+              ${beamCte(s"s$i", s"b$i", 6)}"""
+        s"""WITH c AS MATERIALIZED (
+                SELECT vec_id AS n_id, embedding::DOUBLE[] AS ne
+                FROM embeddings WHERE vec_id < 800),
+            q AS MATERIALIZED (
+                SELECT vec_id AS q_id, embedding::DOUBLE[] AS qe
+                FROM embeddings WHERE vec_id < 5),
+            gs AS MATERIALIZED (
+                SELECT a.n_id AS src, b.n_id AS dst,
+                       row_number() OVER (PARTITION BY a.n_id
+                         ORDER BY ${sqlCos("a.ne", "b.ne")} DESC, b.n_id)
+                         AS rk
+                FROM c a JOIN c b ON a.n_id <> b.n_id),
+            g AS MATERIALIZED (SELECT src, dst FROM gs WHERE rk <= 4),
+            s0 AS (SELECT q.q_id, e.n_id,
+                          ${sqlCos("q.qe", "c.ne")} AS sim
+                   FROM q CROSS JOIN (VALUES (0), (1)) e(n_id)
+                        JOIN c ON c.n_id = e.n_id
+                   WHERE q.q_id <> e.n_id),
+            ${beamCte("s0", "b0", 6)},
+            ${roundCtes(1, "b0")},
+            ${roundCtes(2, "b1")}
+            SELECT q_id, n_id, sim,
+                   CAST(row_number() OVER (PARTITION BY q_id
+                     ORDER BY sim DESC, n_id) AS INTEGER) AS rank
+            FROM b2 QUALIFY rank <= 3"""
+      },
+      "graph-based ANN: NSW beam walk over an exact kNN graph"),
+
     "n2_knn_ivf" -> QueryDef(
       (s, dir) => {
         graft.functions.GraftFunctions.register(s)

@@ -447,6 +447,39 @@ class Round8Spec extends SparkTestBase {
     }
   }
 
+  // ──────────────── Graph-ANN beam search (n24) ─────────────────────
+
+  test("nswSearch: the beam walk reaches past the entry neighborhood, " +
+    "recalls well on the exact kNN graph, and is partition-independent") {
+    val emb = spark.read.parquet(s"$Sf/embeddings.parquet")
+    val qs = emb.filter(col("vec_id") < 10)
+    val graphRel = Similarity.knnBrute(emb, emb, 6)
+      .select("q_id", "n_id").localCheckpoint()
+    val got = Similarity.nswSearch(qs, emb, graphRel,
+      Seq(0L, 1L, 2L, 3L, 4L), k = 3, beam = 16, hops = 4)
+      .localCheckpoint()
+    val brute = Similarity.knnBrute(qs, emb, 3)
+    val recall = Similarity.recallAtK(got, brute, 3)
+      .agg(avg(col("recall"))).head().getDouble(0)
+    // the fixture's embeddings are random (no manifold for the graph to
+    // follow — the hard case for greedy walks); the 4-hop/beam-16 walk
+    // still has to beat entry-neighborhood chance by a wide margin
+    assert(recall >= 0.5,
+      s"4-hop beam over the exact 6-NN graph must recall >= 0.5: $recall")
+    // the walk must actually walk: some returned neighbor is neither an
+    // entry point nor a direct graph neighbor of one
+    val near = Set(0L, 1L, 2L) ++ graphRel
+      .filter(col("q_id") < 3).select("n_id")
+      .collect().map(_.getLong(0))
+    val returned = got.select("n_id").collect().map(_.getLong(0)).toSet
+    assert((returned -- near).nonEmpty,
+      "beam search stuck in the entry neighborhood")
+    val b = Similarity.nswSearch(qs.repartition(5), emb.repartition(7),
+        graphRel, Seq(0L, 1L, 2L, 3L, 4L), k = 3, beam = 16, hops = 4)
+      .orderBy("q_id", "rank").collect().toSeq
+    assert(got.orderBy("q_id", "rank").collect().toSeq == b)
+  }
+
   // ──────────────── Tokenizer fertility audit (t31) ─────────────────
 
   test("fertilityBySource: word totals match a raw recount and the " +
