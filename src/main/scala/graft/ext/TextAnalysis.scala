@@ -568,4 +568,45 @@ object TextAnalysis {
         round(col("s_q").cast("double") / lit(1e6) / col("n_tri"), 6)
           .as("xent"))
   }
+
+  /** Conversation assembly — the chat/SFT data-prep step that turns an
+   * event stream into per-session training DOCUMENTS: gap-sessionize per
+   * user (the s1 lag+flag-sum derivation — a `gapNs` quiet period starts
+   * a new session), then serialize each session's turns in
+   * (ts, event_id) order as one newline-joined `type:props` text.
+   * The serialized transcript feeds the SAME downstream the `documents`
+   * table does — dedup, quality panels, chunking, packing — which is the
+   * point: interaction logs become corpus documents inside the engine.
+   *
+   * Determinism: the turn order is the total (ts, event_id) order, and
+   * the ordered concat rides an `array_sort(collect_list(struct(...)))`
+   * (struct field order = sort key) so the text is identical under any
+   * partitioning; the oracle replays it with an ORDER BY string_agg.
+   * Scale shape: one per-user window pass (lag + running flag-sum share
+   * the partition sort) + one (user, session) hash-agg; per-group state
+   * is one session's turns — nothing corpus-sized anywhere. Output:
+   * (user_id, session_id, n_turns, ts_start, ts_end, text). */
+  def conversationAssembly(events: org.apache.spark.sql.DataFrame,
+      gapNs: Long = 3600L * 1000000000L): org.apache.spark.sql.DataFrame = {
+    require(gapNs >= 1, s"gapNs must be >= 1, got $gapNs")
+    val wOrd = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("ts", "event_id")
+    events
+      .withColumn("__new",
+        when(lag("ts", 1).over(wOrd).isNull ||
+          col("ts") - lag("ts", 1).over(wOrd) > gapNs, 1L)
+          .otherwise(0L))
+      .withColumn("session_id", sum("__new").over(wOrd))
+      .groupBy("user_id", "session_id")
+      .agg(count(lit(1)).as("n_turns"),
+        min("ts").as("ts_start"),
+        max("ts").as("ts_end"),
+        array_sort(collect_list(struct(col("ts"), col("event_id"),
+          concat(col("event_type"), lit(":"),
+            coalesce(col("props"), lit(""))).as("turn")))).as("__t"))
+      .select(col("user_id"), col("session_id"), col("n_turns"),
+        col("ts_start"), col("ts_end"),
+        concat_ws("\n", transform(col("__t"), t => t.getField("turn")))
+          .as("text"))
+  }
 }

@@ -659,6 +659,39 @@ object RelationalQueries {
               FROM g GROUP BY user_id"""),
       "gap-based sessionization via lag + flag-sum"),
 
+    // Conversation assembly: s1's sessions serialized into per-session
+    // training DOCUMENTS (ordered type:props turns, newline-joined) —
+    // the chat/SFT prep step that makes interaction logs feed the same
+    // dedup/quality/packing machinery the documents table does. The
+    // ordered concat is an array_sort(collect_list(struct)) in the
+    // engine and an ORDER BY string_agg in the oracle.
+    "s6_conversation" -> QueryDef(
+      (s, dir) => graft.ext.TextAnalysis.conversationAssembly(
+        t(s, dir, "events")),
+      Some("""WITH g AS (
+                SELECT user_id, epoch_ns(ts) AS tsn, event_id,
+                       event_type || ':' || coalesce(props, '') AS turn,
+                       lag(epoch_ns(ts)) OVER (PARTITION BY user_id
+                         ORDER BY epoch_ns(ts), event_id) AS prev_ts
+                FROM events),
+              sx AS (
+                SELECT user_id, tsn, event_id, turn,
+                       sum(CASE WHEN prev_ts IS NULL
+                                 OR tsn - prev_ts > 3600000000000
+                                THEN 1 ELSE 0 END)
+                         OVER (PARTITION BY user_id
+                               ORDER BY tsn, event_id) AS session_id
+                FROM g)
+              SELECT user_id,
+                     CAST(session_id AS BIGINT) AS session_id,
+                     CAST(count(*) AS BIGINT) AS n_turns,
+                     min(tsn) AS ts_start,
+                     max(tsn) AS ts_end,
+                     string_agg(turn, chr(10) ORDER BY tsn, event_id)
+                       AS text
+              FROM sx GROUP BY user_id, session_id"""),
+      "conversation assembly: sessions serialized as training documents"),
+
     // Spark's declarative session_window (gap-merged event-time sessions)
     // in batch form — same semantics as s1's lag+flag-sum derivation, and
     // the oracle IS that derivation, so the built-in operator is

@@ -447,6 +447,32 @@ class Round8Spec extends SparkTestBase {
     }
   }
 
+  // ──────────────── Conversation assembly (s6) ──────────────────────
+
+  test("conversationAssembly orders turns (event_id breaks ts ties), " +
+    "splits on the gap, and is partition-independent") {
+    val ns = 1000000000L
+    val rows = Seq(
+      (1L, 10L * ns, 7L, "click", "a"),
+      (2L, 20L * ns, 7L, "view", "b"),
+      (3L, 20L * ns, 7L, "view", "c"),
+      (4L, 10000L * ns, 7L, "buy", "d"),
+      (5L, 30L * ns, 8L, "click", "e"))
+    val events = rows.toDF("event_id", "ts", "user_id", "event_type",
+      "props")
+    val got = TextAnalysis.conversationAssembly(events)
+      .orderBy("user_id", "session_id").collect()
+    assert(got.length == 3)
+    assert(got(0).getLong(2) == 3 &&
+      got(0).getString(5) == "click:a\nview:b\nview:c",
+      s"turn order: ${got(0).getString(5)}")
+    assert(got(1).getString(5) == "buy:d", "the 2h gap starts session 2")
+    assert(got(2).getString(5) == "click:e")
+    val b = TextAnalysis.conversationAssembly(events.repartition(5))
+      .orderBy("user_id", "session_id").collect().toSeq
+    assert(got.toSeq == b)
+  }
+
   // ──────────────── Graph-ANN beam search (n24) ─────────────────────
 
   test("nswSearch: the beam walk reaches past the entry neighborhood, " +

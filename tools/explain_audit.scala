@@ -26,7 +26,17 @@ val names = Seq(
   // round 7 final additions: ER composition, link prediction, component
   // census, OHLC resample, phrase search, packing audit
   "pipe4_entity_resolution", "graph4_link_predict", "graph5_components",
-  "x7_ohlc_resample", "t27_phrase_search", "sp22_pack_audit")
+  "x7_ohlc_resample", "t27_phrase_search", "sp22_pack_audit",
+  // round 8 session-2 additions: SNM (two range sorts + dense-position
+  // equi-join, no cartesian), PPJoin (prefix inverted-index join), NSW
+  // walk (final beam round: bounded joins + top-k agg), weighted sample
+  // (TakeOrderedAndProject), rank eval (query-grain semi-join + aggs),
+  // HLL registers (one hash-agg), compaction plan (per-dir window),
+  // grouped split (broadcast-able left join + narrow projection),
+  // k-core (final round: degree agg + semi-joins)
+  "d33_snm_pairs", "d31_ppjoin", "n24_nsw_search",
+  "sp25_weighted_sample", "t29_rank_eval", "t32_hll_registers",
+  "z5_compaction_plan", "sp26_grouped_split", "graph7_kcore")
 for (n <- names) {
   val df = graft.SparkEntry.queries(n)(spark, sfDir)
   val plan = df.queryExecution.explainString(
