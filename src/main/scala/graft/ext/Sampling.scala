@@ -220,6 +220,16 @@ object Sampling {
   def weightedSample(df: DataFrame, idCol: String, weightCol: String,
       k: Int, salt: String = "ws"): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
+    weightedArrivals(df, idCol, weightCol, salt)
+      .orderBy(col("pri_micro"), col(idCol))
+      .limit(k)
+  }
+
+  /** The A-ES arrival relation without the cut: every positive-weight
+   * row with its quantized exponential arrival `pri_micro` — the
+   * mergeable half of [[weightedSample]]. */
+  def weightedArrivals(df: DataFrame, idCol: String, weightCol: String,
+      salt: String = "ws"): DataFrame = {
     val h = conv(substring(
       md5(concat(lit(s"$salt:"), col(idCol).cast("string"))), 1, 8),
       16, 10).cast("long")
@@ -229,6 +239,24 @@ object Sampling {
       .withColumn("pri_micro",
         floor(lit(1e6) * -log(u) / col(weightCol).cast("double")
           + lit(0.5)).cast("long"))
+  }
+
+  /** Fold a new batch into a MAINTAINED weighted sample — the streaming
+   * form A-ES was designed for: because the k smallest arrivals of a
+   * union are the k smallest of (top-k of A) ∪ (arrivals of B), the
+   * maintained state is just the current k-row sample, and each
+   * micro-batch pays arrivals(batch) + a (k + batch)-row top-k. Arrivals
+   * are content-deterministic (md5), so REPLAYING a batch is a no-op
+   * (the distinct collapses re-seen rows) — checkpoint-recovery
+   * idempotence for free. `prior` is a previous [[weightedSample]] /
+   * [[weightedSampleMerge]] output (same columns + `pri_micro`); `batch`
+   * carries the original columns. */
+  def weightedSampleMerge(prior: DataFrame, batch: DataFrame,
+      idCol: String, weightCol: String, k: Int,
+      salt: String = "ws"): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    prior.unionByName(weightedArrivals(batch, idCol, weightCol, salt))
+      .distinct()
       .orderBy(col("pri_micro"), col(idCol))
       .limit(k)
   }

@@ -338,6 +338,43 @@ class StreamingSpec extends SparkTestBase {
       "incrementally maintained registers must equal the batch sketch")
   }
 
+  test("streaming weighted sample: per-batch A-ES merge equals the " +
+    "batch sample on the accumulated stream; replay is a no-op") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.ext.Sampling
+    val input = MemoryStream[(Long, Long)]
+    // foreachBatch maintains the k-row sample — the merge is the
+    // operator under test; the sink state is just its last output
+    var state = Sampling.weightedSample(
+      Seq.empty[(Long, Long)].toDF("id", "w"), "id", "w", 10)
+      .localCheckpoint()
+    val q = input.toDF().selectExpr("_1 as id", "_2 as w")
+      .writeStream.outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        state = Sampling.weightedSampleMerge(state, b, "id", "w", 10)
+          .localCheckpoint()
+      }.start()
+    val b1 = (1L to 300L).map(i => (i, 5L + i % 7))
+    val b2 = (301L to 600L).map(i => (i, 5L + i % 11))
+    input.addData(b1)
+    q.processAllAvailable()
+    val mid = state.collect().map(_.getLong(0)).toSeq
+    assert(mid == Sampling.weightedSample(b1.toDF("id", "w"), "id", "w",
+      10).collect().map(_.getLong(0)).toSeq, "after batch 1")
+    input.addData(b2)
+    q.processAllAvailable()
+    q.stop()
+    val fin = state.collect().map(_.getLong(0)).toSeq
+    val batch = Sampling.weightedSample((b1 ++ b2).toDF("id", "w"),
+      "id", "w", 10).collect().map(_.getLong(0)).toSeq
+    assert(fin == batch, "2-batch merge == one-shot sample on the union")
+    // checkpoint-replay: folding batch 2 in AGAIN changes nothing
+    val replayed = Sampling.weightedSampleMerge(state,
+      b2.toDF("id", "w"), "id", "w", 10)
+      .collect().map(_.getLong(0)).toSeq
+    assert(replayed == fin, "re-seen rows collapse: replay idempotent")
+  }
+
   test("stateful sessionize closes sessions on gap") {
     implicit val s = spark
     implicit val sqlCtx = spark.sqlContext
