@@ -250,7 +250,10 @@ object Sampling {
    * (the distinct collapses re-seen rows) — checkpoint-recovery
    * idempotence for free. `prior` is a previous [[weightedSample]] /
    * [[weightedSampleMerge]] output (same columns + `pri_micro`); `batch`
-   * carries the original columns. */
+   * carries the original columns. Ids are content keys: a re-seen id
+   * must carry the same weight (else its two arrivals are distinct rows
+   * and both can place — the usual sketch-state contract, same as a
+   * CMS key's identity). */
   def weightedSampleMerge(prior: DataFrame, batch: DataFrame,
       idCol: String, weightCol: String, k: Int,
       salt: String = "ws"): DataFrame = {

@@ -158,6 +158,51 @@ object Sketches {
         .cast("long").as("hll_est"))
   }
 
+  /** GROUPED HyperLogLog registers: one sketch per `groupCol` value in a
+   * single hash-agg — (group, reg, max_rho), ≤ 2^p rows PER GROUP at any
+   * per-group cardinality. The "distinct shingles per source" /
+   * "distinct users per domain" shape at 100 TB, where
+   * `count(DISTINCT ...)` per group shuffles a row per distinct value
+   * and this shuffles at most groups·2^p counters. Same hash/rho as
+   * [[hllRegisters]] (a single-group relation is byte-identical), same
+   * (group, reg, MAX) mergeability. */
+  def hllRegistersBy(keys: DataFrame, groupCol: String, keyCol: String,
+      p: Int = HllP): DataFrame = {
+    require(p >= 4 && p <= 16, s"p must be in [4, 16], got $p")
+    val m = 1L << p
+    val h = Dedup.seededHash(col(keyCol), HllSeed)
+    keys.select(col(groupCol), pmod(h, lit(m)).as("reg"),
+        rhoChain(shiftright(h, p), 32 - p).as("rho"))
+      .groupBy(groupCol, "reg").agg(max("rho").as("max_rho"))
+  }
+
+  /** Per-group HLL estimates from a [[hllRegistersBy]] relation — the
+   * [[hllEstimate]] formula evaluated at group grain (exact harmonic-
+   * mass numerator per group, α/ln floats only in the final expression).
+   * Output: (group, n_regs, hll_est), one row per group. */
+  def hllEstimateBy(registers: DataFrame, groupCol: String,
+      p: Int = HllP): DataFrame = {
+    require(p >= 4 && p <= 16, s"p must be in [4, 16], got $p")
+    val m = 1L << p
+    val wp1 = 32 - p + 1
+    val agg = registers.groupBy(groupCol).agg(
+      count(lit(1)).as("n_regs"),
+      sum(pow(lit(2.0),
+        lit(wp1.toDouble) - col("max_rho").cast("double")).cast("long"))
+        .as("n_touched"))
+    val nTot = (col("n_touched") +
+      (lit(m) - col("n_regs")) * lit(1L << wp1)).cast("double")
+    val raw = lit(0.7213) / (lit(1.0) + lit(1.079) / lit(m.toDouble)) *
+      lit(m.toDouble) * lit(m.toDouble) * lit((1L << wp1).toDouble) / nTot
+    val v = lit(m) - col("n_regs")
+    agg.select(col(groupCol), col("n_regs"),
+      when(raw <= lit(2.5) * lit(m.toDouble) && v > 0,
+        floor(lit(m.toDouble) *
+          log(lit(m.toDouble) / v.cast("double")) + lit(0.5)))
+        .otherwise(floor(raw + lit(0.5)))
+        .cast("long").as("hll_est"))
+  }
+
   private def bloomBit(key: Column, i: Int): Column =
     pmod(Dedup.seededHash(key, BloomSeedBase + i), lit(BloomBits.toLong))
 

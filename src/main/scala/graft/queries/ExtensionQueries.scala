@@ -4157,6 +4157,60 @@ object ExtensionQueries {
       },
       "HLL estimate beside the exact distinct count"),
 
+    // GROUPED HLL: one sketch per source in a single hash-agg — the
+    // "distinct shingles per source" shape where count(DISTINCT) per
+    // group shuffles a row per distinct value and this shuffles at most
+    // groups * 2^p counters. Estimates beside exacts, per group.
+    "t34_hll_by_source" -> QueryDef(
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val keyed = Dedup.materialize(Dedup.shingles(docs)
+          .join(docs.select("doc_id", "source"), "doc_id"))
+        graft.ext.Sketches.hllEstimateBy(
+            graft.ext.Sketches.hllRegistersBy(keyed, "source", "sh"),
+            "source")
+          .join(keyed.groupBy("source")
+            .agg(countDistinct(col("sh")).as("n_exact")), "source")
+      },
+      Some {
+        val chain = (21 to 0 by -1).map(i =>
+          s"WHEN (h // 1024) >= ${1L << i} THEN ${22 - i}")
+          .mkString(" ")
+        val raw = "0.7213 / (1.0 + 1.079 / 1024.0) * 1024.0 * 1024.0 " +
+          "* 8388608.0 / CAST(n_touched + (1024 - n_regs) * 8388608 " +
+          "AS DOUBLE)"
+        s"""WITH $ShinglesCte,
+            ks AS (SELECT d.source, s.sh
+                   FROM sh s JOIN documents d ON s.doc_id = d.doc_id),
+            hb AS (SELECT source,
+                          ${sqlHash("sh", graft.ext.Sketches.HllSeed)}
+                            AS h FROM ks),
+            rr AS (SELECT source, h % 1024 AS reg,
+                          CAST(CASE $chain ELSE 23 END AS BIGINT) AS rho
+                   FROM hb),
+            regs AS (SELECT source, reg, max(rho) AS max_rho FROM rr
+                     GROUP BY source, reg),
+            ag AS (SELECT source, CAST(count(*) AS BIGINT) AS n_regs,
+                          CAST(sum(CAST(power(2.0, 23 - max_rho)
+                              AS BIGINT)) AS BIGINT) AS n_touched
+                   FROM regs GROUP BY source),
+            est AS (SELECT source, n_regs,
+                   CASE WHEN ($raw) <= 2.5 * 1024.0
+                             AND (1024 - n_regs) > 0
+                        THEN CAST(floor(1024.0 * ln(1024.0 /
+                               CAST(1024 - n_regs AS DOUBLE)) + 0.5)
+                             AS BIGINT)
+                        ELSE CAST(floor(($raw) + 0.5) AS BIGINT)
+                   END AS hll_est
+                   FROM ag),
+            ex AS (SELECT source,
+                          CAST(count(DISTINCT sh) AS BIGINT) AS n_exact
+                   FROM ks GROUP BY source)
+            SELECT est.source, est.n_regs, est.hll_est, ex.n_exact
+            FROM est JOIN ex USING (source)"""
+      },
+      "grouped HLL: per-source distinct-shingle estimates beside exacts"),
+
     // Ranking-quality evaluation (TREC-style binary relevance): the kNN
     // neighborhoods of query vectors 0..7 scored against a label-match
     // gold — hits@10, recall@10, MRR, nDCG@10 per query. DCG discounts

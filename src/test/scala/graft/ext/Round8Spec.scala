@@ -610,6 +610,33 @@ class Round8Spec extends SparkTestBase {
     assert(math.abs(se - 40) <= 6, s"LC estimate $se for 40 distinct")
   }
 
+  test("hllRegistersBy: a single-group relation is byte-identical to " +
+    "hllRegisters; per-group estimates track per-group exacts") {
+    val docs = spark.read.parquet(s"$Sf/documents.parquet")
+    val sh = Dedup.shingles(docs).localCheckpoint()
+    val one = sh.withColumn("g", lit("all"))
+    val grouped = graft.ext.Sketches.hllRegistersBy(one, "g", "sh")
+      .select("reg", "max_rho").orderBy("reg").collect().toSeq
+    val flat = graft.ext.Sketches.hllRegisters(sh, "sh")
+      .orderBy("reg").collect().toSeq
+    assert(grouped == flat, "single group == the flat sketch")
+    // per-group accuracy on the real source split
+    val keyed = sh.join(docs.select("doc_id", "source"), "doc_id")
+      .localCheckpoint()
+    val est = graft.ext.Sketches.hllEstimateBy(
+        graft.ext.Sketches.hllRegistersBy(keyed, "source", "sh"),
+        "source")
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    val exact = keyed.groupBy("source")
+      .agg(countDistinct(col("sh")).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (srcKey, n) =>
+      val e = est(srcKey)
+      assert(math.abs(e - n).toDouble / n < 0.15,
+        s"$srcKey: est=$e exact=$n")
+    }
+  }
+
   // ──────────────── Exact linear probe (e14/e15) ────────────────────
 
   test("linearProbe solution satisfies the normal equations exactly") {
