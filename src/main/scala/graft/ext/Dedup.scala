@@ -1385,9 +1385,13 @@ object Dedup {
       s"minSim must be in (0, 1], got $minSim")
     require(sortKeys.nonEmpty, "at least one sort key required")
     graft.functions.GraftFunctions.register(df.sparkSession)
+    // null names are excluded up front: they have no meaningful sort
+    // position (and engines disagree on null placement — Spark sorts
+    // nulls first, most SQL engines last), and no Jaro-Winkler value
+    val named = df.filter(col(nameCol).isNotNull)
     val passes = sortKeys.map { key =>
       val pos = Sampling.globalOrder(
-        df.select(col(idCol).as("id"), col(nameCol).as("nm"),
+        named.select(col(idCol).as("id"), col(nameCol).as("nm"),
           key.as("__k")),
         Seq(col("__k"), col("id")))
         .select(col("id"), col("nm"), col("position").as("__pos"))

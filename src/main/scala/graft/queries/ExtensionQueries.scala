@@ -225,13 +225,18 @@ object ExtensionQueries {
    * renormalization (v_i) — every integer step identical to the engine's
    * (BIGINT `//` and HUGEINT `//` truncate toward zero exactly like
    * Spark's `div` / Scala BigInt division). */
-  private val PcaCtes: String = {
+  private val PcaCtes: String = pcaCtesWhere("TRUE")
+
+  /** [[PcaCtes]] with a WHERE predicate on the TRAINING slice — the
+   * direction trains on the filtered vectors (e16 trains on the
+   * reference slice only, then projects both slices with it). */
+  private def pcaCtesWhere(pred: String): String = {
     val head = s"""xq AS (
         SELECT vec_id, CAST(pos - 1 AS INTEGER) AS pos,
                CAST(floor(x * 1000000 + 0.5) AS BIGINT) AS xq
         FROM (SELECT vec_id, unnest(embedding::DOUBLE[]) AS x,
                      generate_subscripts(embedding, 1) AS pos
-              FROM embeddings)),
+              FROM embeddings WHERE $pred)),
       su1 AS (SELECT vec_id,
                      CAST(sum(xq * 1000000) AS BIGINT) // 1000000 AS su
               FROM xq GROUP BY vec_id)"""
@@ -1529,6 +1534,76 @@ object ExtensionQueries {
                FROM xq x JOIN v3 v USING (pos)
                GROUP BY x.vec_id"""),
       "corpus projection onto the power-iteration principal axis"),
+
+    // Embedding-drop drift monitor: train the principal axis on the
+    // REFERENCE slice only, project BOTH slices with that frozen
+    // direction, PSI over the 1-D projection histogram — "is the new
+    // embedding drop distributed like the last one?" closed from three
+    // already-gated components (e11 direction, e12 projection, dq4 PSI)
+    // so no arithmetic is new; the oracle replays the whole composition.
+    "e16_embedding_drift" -> QueryDef(
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val ref = emb.filter(col("label") % 2 === 0)
+        val cur = emb.filter(col("label") % 2 =!= 0)
+        val width = 1000000L
+        graft.ext.Profile.psiFromBuckets(
+          graft.ext.Profile.bucketCounts(
+            graft.ext.Spectral.pcaProject(ref, trainVecs = Some(ref)),
+            "proj_q", width).toDF("bucket", "n_ref"),
+          graft.ext.Profile.bucketCounts(
+            graft.ext.Spectral.pcaProject(cur, trainVecs = Some(ref)),
+            "proj_q", width).toDF("bucket", "n_cur"))
+      },
+      Some(s"""WITH ${pcaCtesWhere("label % 2 = 0")},
+               xqa AS (SELECT vec_id, CAST(pos - 1 AS INTEGER) AS pos,
+                              CAST(floor(x * 1000000 + 0.5) AS BIGINT)
+                                AS xq
+                       FROM (SELECT vec_id,
+                                    unnest(embedding::DOUBLE[]) AS x,
+                                    generate_subscripts(embedding, 1)
+                                      AS pos
+                             FROM embeddings)),
+               pra AS (SELECT x.vec_id,
+                              CAST(sum(x.xq * v.v) AS BIGINT) // 1000000
+                                AS proj_q
+                       FROM xqa x JOIN v3 v USING (pos)
+                       GROUP BY x.vec_id),
+               pr AS (SELECT p.proj_q FROM pra p
+                      JOIN embeddings e ON e.vec_id = p.vec_id
+                      WHERE e.label % 2 = 0),
+               pc AS (SELECT p.proj_q FROM pra p
+                      JOIN embeddings e ON e.vec_id = p.vec_id
+                      WHERE e.label % 2 = 1),
+               rb AS (SELECT CAST(floor(CAST(proj_q AS DOUBLE) / 1000000)
+                               AS BIGINT) AS bucket,
+                             CAST(count(*) AS BIGINT) AS n_ref
+                      FROM pr GROUP BY 1),
+               cb AS (SELECT CAST(floor(CAST(proj_q AS DOUBLE) / 1000000)
+                               AS BIGINT) AS bucket,
+                             CAST(count(*) AS BIGINT) AS n_cur
+                      FROM pc GROUP BY 1),
+               j AS (SELECT coalesce(rb.bucket, cb.bucket) AS bucket,
+                            CAST(coalesce(n_ref, 0) AS BIGINT) AS n_ref,
+                            CAST(coalesce(n_cur, 0) AS BIGINT) AS n_cur
+                     FROM rb FULL OUTER JOIN cb
+                       ON rb.bucket = cb.bucket),
+               tt AS (SELECT CAST(sum(n_ref) AS BIGINT) AS nr,
+                             CAST(sum(n_cur) AS BIGINT) AS nc,
+                             CAST(count(*) AS BIGINT) AS b FROM j),
+               pq AS (SELECT bucket, n_ref, n_cur,
+                             CAST(n_ref + 1 AS DOUBLE)
+                               / CAST(nr + b AS DOUBLE) AS p,
+                             CAST(n_cur + 1 AS DOUBLE)
+                               / CAST(nc + b AS DOUBLE) AS q
+                      FROM j CROSS JOIN tt)
+               SELECT bucket, n_ref, n_cur,
+                      CAST(floor((p - q) * ln(p / q) * 1e6 + 0.5)
+                        AS BIGINT) AS psi_micro,
+                      round(CAST(floor((p - q) * ln(p / q) * 1e6 + 0.5)
+                        AS BIGINT) / 1e6, 6) AS psi
+               FROM pq"""),
+      "embedding-drop drift: PSI over a frozen-axis 1-D projection"),
 
     // Per-dimension whitening statistics (Spectral.standardize's
     // parameters): exact-integer mean + correctly-rounded integer std per

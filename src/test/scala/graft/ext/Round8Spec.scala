@@ -637,6 +637,40 @@ class Round8Spec extends SparkTestBase {
     }
   }
 
+  // ──────────────── Embedding-drop drift (e16) ──────────────────────
+
+  test("embedding drift: identical slices score ~0, a planted shift " +
+    "along the frozen axis registers loudly") {
+    def drift(ref: org.apache.spark.sql.DataFrame,
+        cur: org.apache.spark.sql.DataFrame): Long = {
+      val width = 1000000L
+      graft.ext.Profile.psiFromBuckets(
+          graft.ext.Profile.bucketCounts(
+            Spectral.pcaProject(ref, dim = 8, trainVecs = Some(ref)),
+            "proj_q", width).toDF("bucket", "n_ref"),
+          graft.ext.Profile.bucketCounts(
+            Spectral.pcaProject(cur, dim = 8, trainVecs = Some(ref)),
+            "proj_q", width).toDF("bucket", "n_cur"))
+        .agg(sum(col("psi_micro"))).head().getLong(0)
+    }
+    val base = (0 until 200).map { i =>
+      val e = Array.tabulate(8)(j =>
+        (math.sin(i * 0.37 + j) * 0.9).toFloat)
+      (i.toLong, e)
+    }
+    val ref = base.toDF("vec_id", "embedding")
+    val same = base.map { case (id, e) => (id + 1000L, e) }
+      .toDF("vec_id", "embedding")
+    val shifted = base.map { case (id, e) =>
+      (id + 2000L, e.zipWithIndex.map { case (v, j) =>
+        if (j == 0) v + 2.0f else v }) }
+      .toDF("vec_id", "embedding")
+    assert(drift(ref, same) == 0L,
+      "an identical distribution must score exactly 0")
+    assert(drift(ref, shifted) > 250000L,
+      "a +2.0 shift on one axis must exceed PSI 0.25")
+  }
+
   // ──────────────── Exact linear probe (e14/e15) ────────────────────
 
   test("linearProbe solution satisfies the normal equations exactly") {
