@@ -569,6 +569,51 @@ object TextAnalysis {
           .as("xent"))
   }
 
+  /** Frequent co-occurring word pairs (Apriori 2-itemsets, Agrawal &
+   * Srikant): pairs of words appearing together in ≥ `minSup` documents
+   * at ANY distance — the market-basket view of a corpus, beside
+   * [[phraseDetect]]'s ADJACENT-bigram collocations (a phrase is a
+   * syntax signal; an any-distance pair is a topical one — the
+   * template/boilerplate fingerprint that survives reordering). Support
+   * pruning IS the scale guard, exactly as published: only words
+   * individually frequent (≥ minSup docs — the Apriori monotonicity
+   * bound) enter the per-document pair expansion, which is then bounded
+   * by (frequent items per doc)² — document-length-bounded, and the
+   * minSup knob shrinks it further on a heavy-tailed vocabulary. `lift`
+   * (support·N / (sup_a·sup_b), micro-quantized) separates genuinely
+   * associated pairs from two-popular-words coincidence. Output:
+   * top-`k` pairs by (support DESC, a, b):
+   * (a, b, sup_ab, sup_a, sup_b, lift_micro). */
+  def itemsetPairs(docs: org.apache.spark.sql.DataFrame, minSup: Int,
+      k: Int): org.apache.spark.sql.DataFrame = {
+    require(minSup >= 1, s"minSup must be >= 1, got $minSup")
+    require(k >= 1, s"k must be >= 1, got $k")
+    val items = Dedup.materialize(Dedup.wordSets(docs))
+    val nDocs = docs.select(countDistinct(col("doc_id")).as("n_docs"))
+    val freq = Dedup.materialize(items.groupBy("sh")
+      .agg(count(lit(1)).as("sup")).filter(col("sup") >= minSup))
+    val fi = items.join(broadcast(freq.select("sh")), Seq("sh"),
+      "left_semi")
+    fi.select(col("doc_id"), col("sh").as("a"))
+      .join(fi.select(col("doc_id"), col("sh").as("b")), Seq("doc_id"))
+      .filter(col("a") < col("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("sup_ab"))
+      .filter(col("sup_ab") >= minSup)
+      .join(broadcast(freq.select(col("sh").as("a"),
+        col("sup").as("sup_a"))), Seq("a"))
+      .join(broadcast(freq.select(col("sh").as("b"),
+        col("sup").as("sup_b"))), Seq("b"))
+      .crossJoin(broadcast(nDocs))
+      .select(col("a"), col("b"), col("sup_ab"), col("sup_a"),
+        col("sup_b"),
+        floor(lit(1e6) * col("sup_ab").cast("double") *
+          col("n_docs").cast("double") /
+          (col("sup_a").cast("double") * col("sup_b").cast("double"))
+          + lit(0.5)).cast("long").as("lift_micro"))
+      .orderBy(col("sup_ab").desc, col("a"), col("b"))
+      .limit(k)
+  }
+
   /** Conversation assembly — the chat/SFT data-prep step that turns an
    * event stream into per-session training DOCUMENTS: gap-sessionize per
    * user (the s1 lag+flag-sum derivation — a `gapNs` quiet period starts

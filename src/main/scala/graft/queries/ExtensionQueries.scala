@@ -4907,6 +4907,43 @@ object ExtensionQueries {
                FROM e GROUP BY source, lang"""),
       "tokenizer-fertility audit per (source, lang), exact permille"),
 
+    // Apriori 2-itemsets: words co-occurring in >= 40 documents at ANY
+    // distance (the market-basket view beside t26's adjacent-bigram
+    // phrases), with micro-quantized lift separating association from
+    // two-popular-words coincidence. Support pruning bounds the pair
+    // expansion exactly as published.
+    "t35_itemset_pairs" -> QueryDef(
+      (s, dir) => graft.ext.TextAnalysis.itemsetPairs(
+        t(s, dir, "documents"), minSup = 40, k = 20),
+      Some("""WITH it AS (SELECT DISTINCT doc_id, tok FROM (
+                   SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                   FROM documents)),
+              nd AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT)
+                       AS n_docs FROM documents),
+              fr AS (SELECT tok, CAST(count(*) AS BIGINT) AS sup
+                     FROM it GROUP BY tok HAVING count(*) >= 40),
+              fi AS (SELECT it.doc_id, it.tok FROM it
+                     JOIN fr ON fr.tok = it.tok),
+              pr AS (SELECT x.tok AS a, y.tok AS b,
+                            CAST(count(*) AS BIGINT) AS sup_ab
+                     FROM fi x JOIN fi y
+                       ON x.doc_id = y.doc_id AND x.tok < y.tok
+                     GROUP BY x.tok, y.tok
+                     HAVING count(*) >= 40)
+              SELECT pr.a, pr.b, pr.sup_ab,
+                     fa.sup AS sup_a, fb.sup AS sup_b,
+                     CAST(floor(1e6 * CAST(pr.sup_ab AS DOUBLE)
+                         * nd.n_docs
+                         / (CAST(fa.sup AS DOUBLE)
+                            * CAST(fb.sup AS DOUBLE)) + 0.5) AS BIGINT)
+                       AS lift_micro
+              FROM pr JOIN fr fa ON fa.tok = pr.a
+                   JOIN fr fb ON fb.tok = pr.b
+                   CROSS JOIN nd
+              ORDER BY pr.sup_ab DESC, pr.a, pr.b
+              LIMIT 20"""),
+      "Apriori 2-itemsets: co-occurring word pairs with lift"),
+
     // Bigram-LM cross-entropy (the CCNet perplexity filter, model trained
     // in-engine on the en reference slice, scoring the non-en pool).
     "t16_bigram_xent" -> QueryDef(

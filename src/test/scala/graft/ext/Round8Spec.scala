@@ -447,6 +447,36 @@ class Round8Spec extends SparkTestBase {
     }
   }
 
+  // ──────────────── Apriori 2-itemsets (t35) ────────────────────────
+
+  test("itemsetPairs matches a brute co-occurrence count and prunes " +
+    "below-support pairs") {
+    // docs: {x y}, {x y z}, {x z}, {y q}, {x y} -> sup(x)=4 sup(y)=4
+    // sup(z)=2 sup(q)=1; pairs: xy=3, xz=2, yz=1, yq=1
+    val docs = Seq(
+      (1L, "x y"), (2L, "x y z"), (3L, "x z"), (4L, "y q"),
+      (5L, "y x"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.itemsetPairs(docs, minSup = 2, k = 10)
+      .collect().map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(got.keySet == Set(("x", "y"), ("x", "z")),
+      s"yz and yq are below support 2: ${got.keySet}")
+    val (supXy, supX, supY, liftXy) = got(("x", "y"))
+    assert(supXy == 3 && supX == 4 && supY == 4)
+    // lift = 3 * 5 / (4 * 4) = 0.9375
+    assert(liftXy == 937500L, s"lift $liftXy")
+    val (supXz, _, supZ, liftXz) = got(("x", "z"))
+    assert(supXz == 2 && supZ == 2)
+    // lift = 2 * 5 / (4 * 2) = 1.25 -> genuinely associated
+    assert(liftXz == 1250000L)
+    // partition independence
+    val b = TextAnalysis.itemsetPairs(docs.repartition(5), 2, 10)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .toSet
+    assert(b == got.map { case (k2, v) => (k2._1, k2._2, v._1) }.toSet)
+  }
+
   // ──────────────── Conversation assembly (s6) ──────────────────────
 
   test("conversationAssembly orders turns (event_id breaks ts ties), " +
