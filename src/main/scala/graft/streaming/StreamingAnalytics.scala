@@ -123,6 +123,51 @@ object StreamingAnalytics {
       }
   }
 
+  final case class TurnEvent(user_id: Long, ts: Timestamp, event_id: Long,
+      event_type: String, props: String)
+  final case class TranscriptOut(user_id: Long, n_turns: Long,
+      ts_start: Timestamp, ts_end: Timestamp, text: String)
+
+  /** Streaming [[graft.ext.TextAnalysis.conversationAssembly]]: sessions
+   * accumulate their ordered turns in per-user state and EMIT the full
+   * serialized transcript the moment a `gapMillis` quiet period closes
+   * them — the chat/SFT prep step as an append-mode stream, so closed
+   * conversations flow into the curation pipeline while open ones keep
+   * accumulating. Same turn format (`type:props`, newline-joined) and
+   * the same (ts, event_id) order as the batch operator, so under
+   * monotone per-user ingest a closed session's transcript is
+   * IDENTICAL to the batch row (spec-proven). State per user is one
+   * open session's turns — gap-bounded, never the history. */
+  def conversationTranscripts(events: Dataset[TurnEvent],
+      gapMillis: Long)(implicit spark: SparkSession)
+      : Dataset[TranscriptOut] = {
+    import spark.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[Seq[(Long, Long, String)], TranscriptOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[TurnEvent],
+            state: GroupState[Seq[(Long, Long, String)]]) =>
+          val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          var closed = List.empty[TranscriptOut]
+          var cur = state.getOption.getOrElse(Seq.empty)
+          def emit(s: Seq[(Long, Long, String)]): TranscriptOut =
+            TranscriptOut(user, s.size.toLong,
+              new Timestamp(s.head._1), new Timestamp(s.last._1),
+              s.map(_._3).mkString("\n"))
+          sorted.foreach { e =>
+            val t = e.ts.getTime
+            val turn = s"${e.event_type}:${Option(e.props).getOrElse("")}"
+            if (cur.nonEmpty && t - cur.last._1 > gapMillis) {
+              closed ::= emit(cur)
+              cur = Seq((t, e.event_id, turn))
+            } else cur = cur :+ ((t, e.event_id, turn))
+          }
+          if (cur.nonEmpty) state.update(cur)
+          closed.reverseIterator
+      }
+  }
+
   // ---- custom state v2: transformWithState (the arbitrary-state API that
   // replaces flatMapGroupsWithState — typed per-key state handles, TTL,
   // timers; requires the RocksDB state store provider) ----

@@ -375,6 +375,51 @@ class StreamingSpec extends SparkTestBase {
     assert(replayed == fin, "re-seen rows collapse: replay idempotent")
   }
 
+  test("streaming conversation transcripts: a closed session's text is " +
+    "identical to the batch conversationAssembly row") {
+    implicit val s = spark
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[StreamingAnalytics.TurnEvent]
+    val q = StreamingAnalytics.conversationTranscripts(input.toDS(),
+        gapMillis = 60000)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("transcripts").start()
+    def ev(id: Long, m: Int, sec: Int, t: String, p: String) =
+      StreamingAnalytics.TurnEvent(9L,
+        Timestamp.valueOf(f"2026-01-01 10:$m%02d:$sec%02d"), id, t, p)
+    // batch 1: three turns inside the gap (one has a ts tie broken by
+    // event_id); batch 2: a turn past the gap closes the session
+    input.addData(ev(1, 0, 0, "click", "a"), ev(3, 0, 30, "view", "c"),
+      ev(2, 0, 30, "view", "b"))
+    q.processAllAvailable()
+    input.addData(ev(4, 30, 0, "buy", "d"))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("transcripts")
+      .select("user_id", "n_turns", "text").collect()
+    assert(out.length == 1, "exactly the closed session is emitted")
+    assert(out(0).getLong(1) == 3 &&
+      out(0).getString(2) == "click:a\nview:b\nview:c",
+      s"got ${out(0).getString(2)}")
+    // identical to the batch operator on the same events (ns grain)
+    val ns = 1000000L // ms -> ns
+    val batchEvents = Seq(
+      (1L, Timestamp.valueOf("2026-01-01 10:00:00").getTime * ns, 9L,
+        "click", "a"),
+      (3L, Timestamp.valueOf("2026-01-01 10:00:30").getTime * ns, 9L,
+        "view", "c"),
+      (2L, Timestamp.valueOf("2026-01-01 10:00:30").getTime * ns, 9L,
+        "view", "b"),
+      (4L, Timestamp.valueOf("2026-01-01 10:30:00").getTime * ns, 9L,
+        "buy", "d"))
+      .toDF("event_id", "ts", "user_id", "event_type", "props")
+    val batch = graft.ext.TextAnalysis.conversationAssembly(batchEvents,
+        gapNs = 60000L * ns)
+      .orderBy("session_id").collect()
+    assert(batch(0).getString(5) == out(0).getString(2),
+      "streamed transcript == batch text for the closed session")
+  }
+
   test("stateful sessionize closes sessions on gap") {
     implicit val s = spark
     implicit val sqlCtx = spark.sqlContext
