@@ -1390,11 +1390,14 @@ object Dedup {
     // nulls first, most SQL engines last), and no Jaro-Winkler value
     val named = df.filter(col(nameCol).isNotNull)
     val passes = sortKeys.map { key =>
-      val pos = Sampling.globalOrder(
+      // materialized: the ranked relation feeds BOTH join sides, and
+      // globalOrder is an uncached zipWithIndex lineage — un-pinned, each
+      // pass would pay the range-partitioned sort twice (the z4 lesson)
+      val pos = materialize(Sampling.globalOrder(
         named.select(col(idCol).as("id"), col(nameCol).as("nm"),
           key.as("__k")),
         Seq(col("__k"), col("id")))
-        .select(col("id"), col("nm"), col("position").as("__pos"))
+        .select(col("id"), col("nm"), col("position").as("__pos")))
       // each record probes the window-1 positions AFTER its own: the
       // probe side explodes to a dense integer key, the join is 1:1 per
       // (record, offset) — candidates are exactly n·(window-1) rows less

@@ -102,8 +102,17 @@ object Similarity {
             (col("q_norm") * col("n_norm")), 4).as("sim"))
     val session = queries.sparkSession
     import session.implicits._
+    // seeds: the fixed entry points PLUS each query's own out-neighbors
+    // when it is a graph vertex — the HNSW ep∪N(q) convention. Besides
+    // the recall bump, this closes an edge: a query that IS the sole
+    // entry point would otherwise start with an empty beam (self-scores
+    // are excluded) and silently vanish from the output.
     val entry = q.select(col("q_id"))
       .crossJoin(broadcast(entryPoints.toDF("n_id")))
+      .union(q.select(col("q_id"))
+        .join(g, col("q_id") === col("src"))
+        .select(col("q_id"), col("dst").as("n_id")))
+      .distinct()
     var beamDf = Dedup.materialize(topKBySim(score(entry), beam, "sim"))
     for (_ <- 1 to hops) {
       val cand = beamDf.join(g, beamDf("n_id") === g("src"))

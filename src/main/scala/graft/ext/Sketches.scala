@@ -87,12 +87,24 @@ object Sketches {
    * over the two key columns (same depth/width/seeds — enforced by the
    * shared bucket hash); cost is a (r, b)-keyed join of two sketch-sized
    * relations. Output: one row (join_size_est). */
-  def cmsJoinSizeEstimate(countersA: DataFrame,
-      countersB: DataFrame): DataFrame =
-    countersA.toDF("r", "b", "ca")
-      .join(countersB.toDF("r", "b", "cb"), Seq("r", "b"))
-      .groupBy("r").agg(sum(col("ca") * col("cb")).as("ip"))
-      .agg(min("ip").as("join_size_est"))
+  def cmsJoinSizeEstimate(countersA: DataFrame, countersB: DataFrame,
+      depth: Int = CmsDepth): DataFrame = {
+    val session = countersA.sparkSession
+    import session.implicits._
+    // every depth row participates in the min, including rows whose
+    // touched buckets are disjoint: their inner product is 0, which is
+    // both VALID (no shared bucket ⇒ no shared key ⇒ the true join is
+    // empty on that row's evidence) and the tightest bound — dropping
+    // them (the inner join alone) would inflate the estimate and leave
+    // a fully-disjoint pair with a NULL instead of 0
+    (0 until depth).toDF("r")
+      .join(
+        countersA.toDF("r", "b", "ca")
+          .join(countersB.toDF("r", "b", "cb"), Seq("r", "b"))
+          .groupBy("r").agg(sum(col("ca") * col("cb")).as("ip")),
+        Seq("r"), "left")
+      .agg(min(coalesce(col("ip"), lit(0L))).as("join_size_est"))
+  }
 
   /** HLL register count exponent: m = 2^p = 1024 registers. */
   val HllP = 10

@@ -91,13 +91,20 @@ object Spectral {
    * sample at scale); projecting itself is a narrow codegen'd map —
    * corpus-safe at any n. */
   def pcaProject(vecs: DataFrame, dim: Int = 64, iters: Int = 3,
-      trainVecs: Option[DataFrame] = None): DataFrame = {
-    val v = pcaPowerDirection(trainVecs.getOrElse(vecs), dim, iters)
+      trainVecs: Option[DataFrame] = None): DataFrame =
+    pcaProjectWith(vecs,
+      pcaPowerDirection(trainVecs.getOrElse(vecs), dim, iters))
+
+  /** Projection onto a HELD direction vector — the frozen-axis form:
+   * train once ([[pcaPowerDirection]]), project many corpora/slices
+   * with the same axis (e16 scores reference and candidate drops
+   * against one direction; re-deriving it per slice would both double
+   * the training cost and let the axes drift apart). */
+  def pcaProjectWith(vecs: DataFrame, v: Array[Long]): DataFrame =
     vecs.select(col("vec_id"),
         aggregate(zip_with(Similarity.quantizeMicro(col("embedding")),
           lit(v), _ * _), lit(0L), _ + _).as("dot"))
       .select(col("vec_id"), expr(s"dot div $Unit").as("proj_q"))
-  }
 
   /** Per-dimension first/second moments of the micro-grid corpus — the
    * whitening statistics ([[standardize]]'s parameters) as exact

@@ -1396,11 +1396,17 @@ object ExtensionQueries {
                          AS rk
                 FROM c a JOIN c b ON a.n_id <> b.n_id),
             g AS MATERIALIZED (SELECT src, dst FROM gs WHERE rk <= 4),
-            s0 AS (SELECT q.q_id, e.n_id,
-                          ${sqlCos("q.qe", "c.ne")} AS sim
+            c0 AS (SELECT DISTINCT q_id, n_id FROM (
+                   SELECT q.q_id, e.n_id
                    FROM q CROSS JOIN (VALUES (0), (1)) e(n_id)
-                        JOIN c ON c.n_id = e.n_id
-                   WHERE q.q_id <> e.n_id),
+                   UNION ALL
+                   SELECT q.q_id, g.dst AS n_id
+                   FROM q JOIN g ON g.src = q.q_id)),
+            s0 AS (SELECT d0.q_id, d0.n_id,
+                          ${sqlCos("q.qe", "c.ne")} AS sim
+                   FROM c0 d0 JOIN c ON c.n_id = d0.n_id
+                        JOIN q ON q.q_id = d0.q_id
+                   WHERE d0.q_id <> d0.n_id),
             ${beamCte("s0", "b0", 6)},
             ${roundCtes(1, "b0")},
             ${roundCtes(2, "b1")}
@@ -1547,12 +1553,15 @@ object ExtensionQueries {
         val ref = emb.filter(col("label") % 2 === 0)
         val cur = emb.filter(col("label") % 2 =!= 0)
         val width = 1000000L
+        // train ONCE on the reference slice; both projections share the
+        // held axis (re-training per slice doubles the 3-pass cost)
+        val v = graft.ext.Spectral.pcaPowerDirection(ref)
         graft.ext.Profile.psiFromBuckets(
           graft.ext.Profile.bucketCounts(
-            graft.ext.Spectral.pcaProject(ref, trainVecs = Some(ref)),
+            graft.ext.Spectral.pcaProjectWith(ref, v),
             "proj_q", width).toDF("bucket", "n_ref"),
           graft.ext.Profile.bucketCounts(
-            graft.ext.Spectral.pcaProject(cur, trainVecs = Some(ref)),
+            graft.ext.Spectral.pcaProjectWith(cur, v),
             "proj_q", width).toDF("bucket", "n_cur"))
       },
       Some(s"""WITH ${pcaCtesWhere("label % 2 = 0")},
@@ -4154,7 +4163,10 @@ object ExtensionQueries {
             ip AS (SELECT ca.r, CAST(sum(ca.c * cb.c) AS BIGINT) AS ip
                    FROM ca JOIN cb ON ca.r = cb.r AND ca.b = cb.b
                    GROUP BY ca.r),
-            est AS (SELECT min(ip) AS join_size_est FROM ip),
+            est AS (SELECT min(coalesce(ip.ip, CAST(0 AS BIGINT)))
+                      AS join_size_est
+                    FROM (VALUES (0), (1), (2), (3)) sp(r)
+                    LEFT JOIN ip ON ip.r = sp.r),
             tru AS (SELECT CAST(count(*) AS BIGINT) AS join_size_true
                     FROM ko JOIN kc ON ko.k = kc.k)
             SELECT est.join_size_est, tru.join_size_true

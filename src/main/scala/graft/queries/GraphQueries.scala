@@ -260,8 +260,6 @@ object GraphQueries {
               FROM cs GROUP BY size ORDER BY size"""),
       "connected-component size census of a sparse co-purchase subgraph"),
 
-    // Synchronous label propagation (2 rounds) over the high-quantity
-    // co-purchase subgraph: communities (dense intra-connection), not
     // k-core extraction over the co-purchase graph: iterative peel to
     // the UNIQUE fixpoint (the engine witnesses convergence by the
     // monotone edge count; the oracle unrolls 12 rounds — idempotent
@@ -296,6 +294,8 @@ object GraphQueries {
       },
       "k-core (k=3): iterative peel to the unique density fixpoint"),
 
+    // Synchronous label propagation (2 rounds) over the high-quantity
+    // co-purchase subgraph: communities (dense intra-connection), not
     // mere connectivity (graph5) or local closure (graph2). The argmax
     // "most frequent neighbor label, ties to the smallest" packs
     // (count, label) into one BIGINT so a plain max decides it

@@ -160,15 +160,36 @@ object WriteLayout {
     fs.delete(tmp, true)
     fs.mkdirs(tmp)
     groups.zipWithIndex.foreach { case (g, i) =>
-      val stage = s"$dir.tmp/_g$i"
-      spark.read.parquet(g.map(_.getPath.toString).toSeq: _*)
-        .coalesce(1).write.mode("overwrite").parquet(stage)
-      val part = fs.listStatus(new org.apache.hadoop.fs.Path(stage))
-        .filter(s => s.isFile && s.getPath.getName.startsWith("part-"))
-      require(part.length == 1, s"coalesce(1) must yield one file, got ${part.length}")
-      fs.rename(part(0).getPath,
-        new org.apache.hadoop.fs.Path(f"$dir.tmp/part-compact-$i%05d.parquet"))
-      fs.delete(new org.apache.hadoop.fs.Path(stage), true)
+      val dest = new org.apache.hadoop.fs.Path(
+        f"$dir.tmp/part-compact-$i%05d.parquet")
+      if (g.size == 1) {
+        // singleton bin: nothing to merge — byte-copy instead of a
+        // decode/re-encode job (a mostly-compacted table costs only its
+        // genuinely mergeable bins, the Delta OPTIMIZE contract)
+        org.apache.hadoop.fs.FileUtil.copy(fs, g(0).getPath, fs, dest,
+          false, conf)
+      } else {
+        // union of per-file single-partition reads, NOT one multi-file
+        // read: Spark scans parquet splits in SIZE order (descending),
+        // so a bare read would interleave the name order and destroy
+        // the clustering sort this op promises to preserve; union
+        // children keep their order and the final coalesce(1)
+        // concatenates child partitions in that order. (Residual
+        // caveat: a single input file bigger than
+        // spark.sql.files.maxPartitionBytes can still reorder its OWN
+        // row groups — small-file compaction inputs are below that by
+        // definition of the problem.)
+        val stage = s"$dir.tmp/_g$i"
+        g.map(f => spark.read.parquet(f.getPath.toString).coalesce(1))
+          .reduce(_ union _)
+          .coalesce(1).write.mode("overwrite").parquet(stage)
+        val part = fs.listStatus(new org.apache.hadoop.fs.Path(stage))
+          .filter(s => s.isFile && s.getPath.getName.startsWith("part-"))
+        require(part.length == 1,
+          s"coalesce(1) must yield one file, got ${part.length}")
+        fs.rename(part(0).getPath, dest)
+        fs.delete(new org.apache.hadoop.fs.Path(stage), true)
+      }
     }
     if (!fs.rename(live, bak))
       throw new java.io.IOException(s"compact: rename $live -> $bak failed")

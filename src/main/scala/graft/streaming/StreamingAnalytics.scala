@@ -148,20 +148,27 @@ object StreamingAnalytics {
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (user: Long, rows: Iterator[TurnEvent],
             state: GroupState[Seq[(Long, Long, String)]]) =>
-          val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          // MERGE-then-resegment, never append: a batch boundary can
+          // split a (ts, event_id) tie (batch 1 delivers id 5 at T,
+          // batch 2 delivers id 3 at the same T — still monotone
+          // ingest), and only re-sorting the open session's turns with
+          // the batch reproduces the batch operator's global order. The
+          // sort is over ONE open session + one batch — gap-bounded.
+          val batchTurns = rows.map(e => (e.ts.getTime, e.event_id,
+            s"${e.event_type}:${Option(e.props).getOrElse("")}")).toSeq
+          val all = (state.getOption.getOrElse(Seq.empty) ++ batchTurns)
+            .sortBy(t => (t._1, t._2))
           var closed = List.empty[TranscriptOut]
-          var cur = state.getOption.getOrElse(Seq.empty)
           def emit(s: Seq[(Long, Long, String)]): TranscriptOut =
             TranscriptOut(user, s.size.toLong,
               new Timestamp(s.head._1), new Timestamp(s.last._1),
               s.map(_._3).mkString("\n"))
-          sorted.foreach { e =>
-            val t = e.ts.getTime
-            val turn = s"${e.event_type}:${Option(e.props).getOrElse("")}"
-            if (cur.nonEmpty && t - cur.last._1 > gapMillis) {
+          var cur = Seq.empty[(Long, Long, String)]
+          all.foreach { t =>
+            if (cur.nonEmpty && t._1 - cur.last._1 > gapMillis) {
               closed ::= emit(cur)
-              cur = Seq((t, e.event_id, turn))
-            } else cur = cur :+ ((t, e.event_id, turn))
+              cur = Seq(t)
+            } else cur = cur :+ t
           }
           if (cur.nonEmpty) state.update(cur)
           closed.reverseIterator

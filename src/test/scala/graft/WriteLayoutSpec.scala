@@ -120,6 +120,35 @@ class WriteLayoutSpec extends SparkTestBase {
     assert(spark.read.parquet(dir).orderBy("doc_id").collect().toSeq == before)
   }
 
+  test("compactTable preserves the clustering sort: each output file " +
+    "holds a contiguous name-order run") {
+    val dir = "/root/repo/target/test_compact_order/t"
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(
+      "/root/repo/target/test_compact_order"), true)
+    val docs = spark.read.parquet(s"$Sf/documents.parquet")
+      .select("doc_id", "text")
+    // many SMALL ordered files: a sorted single-partition write chunked
+    // by maxRecordsPerFile emits name-ascending, id-ascending parts —
+    // the shape a clustered write leaves behind
+    docs.orderBy("doc_id").coalesce(1).write
+      .option("maxRecordsPerFile", 30).parquet(dir)
+    val (nb, na) = WriteLayout.compactTable(spark, dir, 64 * 1024)
+    assert(na < nb, s"must merge: $nb -> $na")
+    val ids = docs.select("doc_id").collect().map(_.getLong(0)).sorted
+    val outFiles = fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+      .filter(s => s.isFile && s.getPath.getName.startsWith("part-"))
+      .sortBy(_.getPath.getName)
+    val runs = outFiles.map(f =>
+      spark.read.parquet(f.getPath.toString).select("doc_id")
+        .collect().map(_.getLong(0)).toSeq)
+    runs.foreach(r => assert(r == r.sorted,
+      "rows inside an output file must stay in clustering order"))
+    assert(runs.flatten.toSeq == ids.toSeq,
+      "name-ordered concatenation reproduces the global sort")
+  }
+
   test("compactionPlan groups contiguously per dir and matches the " +
     "executor's bin arithmetic") {
     import spark.implicits._

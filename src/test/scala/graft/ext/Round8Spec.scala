@@ -674,12 +674,13 @@ class Round8Spec extends SparkTestBase {
     def drift(ref: org.apache.spark.sql.DataFrame,
         cur: org.apache.spark.sql.DataFrame): Long = {
       val width = 1000000L
+      val v = Spectral.pcaPowerDirection(ref, dim = 8)
       graft.ext.Profile.psiFromBuckets(
           graft.ext.Profile.bucketCounts(
-            Spectral.pcaProject(ref, dim = 8, trainVecs = Some(ref)),
+            Spectral.pcaProjectWith(ref, v),
             "proj_q", width).toDF("bucket", "n_ref"),
           graft.ext.Profile.bucketCounts(
-            Spectral.pcaProject(cur, dim = 8, trainVecs = Some(ref)),
+            Spectral.pcaProjectWith(cur, v),
             "proj_q", width).toDF("bucket", "n_cur"))
         .agg(sum(col("psi_micro"))).head().getLong(0)
     }
