@@ -186,4 +186,41 @@ object Profile {
         .select(lit(name).as("layout"), col("n_files"), col("files_hit"))
     }.reduce(_ unionByName _)
   }
+
+  /** File-grain Bloom data-skipping audit — [[zonemapPruneAudit]]'s
+   * EQUALITY-predicate complement (parquet column bloom filters /
+   * Delta's per-file skipping stats): min/max zones prune RANGE
+   * predicates but pass everything for a scattered point lookup (every
+   * file's min..max covers the probe), while a per-file Bloom image
+   * prunes it to ~the files that truly contain the key plus the bit-
+   * collision margin. Simulates `fileRows`-row files under the given
+   * layout order, builds one Bloom image per file
+   * ([[graft.ext.Sketches.bloomBitsBy]]), and probes one key: output is
+   * one row (n_files, files_bloom_pass, files_true_hit) — no false
+   * negatives (`bloom_pass ⊇ true_hit` by construction), and the gap to
+   * n_files is the measured case for paying the index write. Key values
+   * hash as strings (the d30 convention). */
+  def fileBloomPruneAudit(df: DataFrame,
+      orderCols: Seq[org.apache.spark.sql.Column], fileRows: Int,
+      keyCol: String, probe: String): DataFrame = {
+    require(fileRows >= 1, s"fileRows must be >= 1, got $fileRows")
+    val filed = graft.ext.Dedup.materialize(
+      Sampling.globalOrder(df, orderCols)
+        .select(expr(s"position div $fileRows").as("f"),
+          col(keyCol).cast("string").as("__k")))
+    val fileBits = graft.ext.Sketches.bloomBitsBy(filed, "f", "__k")
+    val probeBits = graft.ext.Sketches.bloomBits(
+      filed.sparkSession.range(1).select(lit(probe).as("__k")), "__k")
+    // a file passes iff it holds EVERY distinct probe bit (the probe's
+    // hashes can collide with each other, so the required count is the
+    // distinct-bit count, not BloomHashes)
+    val nProbeBits = probeBits.count()
+    val pass = fileBits.join(broadcast(probeBits), Seq("bit"), "left_semi")
+      .groupBy("f").agg(count(lit(1)).as("nb"))
+      .filter(col("nb") === nProbeBits)
+    val hit = filed.filter(col("__k") === probe).select("f").distinct()
+    filed.select(countDistinct(col("f")).as("n_files"))
+      .crossJoin(pass.agg(count(lit(1)).as("files_bloom_pass")))
+      .crossJoin(hit.agg(count(lit(1)).as("files_true_hit")))
+  }
 }

@@ -226,6 +226,17 @@ object Sketches {
         bloomBit(col(keyCol), i)): _*)).as("bit"))
       .distinct()
 
+  /** GROUPED Bloom images: one bit set per `groupCol` value in a single
+   * distinct — (group, bit), ≤ [[BloomBits]] rows per group. The
+   * file-grain Bloom index shape (parquet bloom filters / Delta's
+   * per-file skipping stats): group = file ordinal, keys = that file's
+   * column values. A single-group relation matches [[bloomBits]]. */
+  def bloomBitsBy(keys: DataFrame, groupCol: String,
+      keyCol: String): DataFrame =
+    keys.select(col(groupCol), explode(array((0 until BloomHashes).map(
+        i => bloomBit(col(keyCol), i)): _*)).as("bit"))
+      .distinct()
+
   /** Bloom candidate pre-filter for decontamination-shaped joins: per
    * document, the number of its distinct keys (shingles) whose
    * [[BloomHashes]] bits are ALL set in `bits` — a SUPERSET count of the

@@ -400,6 +400,52 @@ object RelationalQueries {
               FROM f"""),
       "small-file compaction plan: per-dir running-byte bin fill"),
 
+    // File-grain Bloom data-skipping audit: z2/z4 prune RANGE boxes via
+    // min/max zones; a scattered POINT lookup passes every zone, and
+    // only a per-file Bloom image (parquet column bloom filters) prunes
+    // it. Natural-order files, probe l_partkey = 17: bloom_pass
+    // collapses to ~the true-hit files while zones would scan 60/60.
+    "z6_file_bloom_prune" -> QueryDef(
+      (s, dir) => graft.ext.Profile.fileBloomPruneAudit(
+        t(s, dir, "lineitem"),
+        Seq(col("l_orderkey"), col("l_linenumber")),
+        fileRows = 1000, keyCol = "l_partkey", probe = "17"),
+      Some {
+        val b = graft.ext.Sketches.BloomBits
+        // local mirror of Dedup.seededHash's SQL form (the d30 oracle's
+        // hash expression)
+        def sqlH(expr0: String, seed: Int): String =
+          s"('0x' || substr(md5('$seed:' || $expr0), 1, 8))::BIGINT"
+        def bitExprs(src: String): String =
+          (0 until graft.ext.Sketches.BloomHashes).map(i =>
+            s"SELECT f, (${sqlH(src,
+              graft.ext.Sketches.BloomSeedBase + i)}) % $b AS bit " +
+              "FROM fl").mkString(" UNION ALL ")
+        val probeExprs =
+          (0 until graft.ext.Sketches.BloomHashes).map(i =>
+            s"SELECT (${sqlH("'17'",
+              graft.ext.Sketches.BloomSeedBase + i)}) % $b AS bit")
+            .mkString(" UNION ALL ")
+        s"""WITH fl AS (
+                SELECT (row_number() OVER (ORDER BY l_orderkey,
+                          l_linenumber) - 1) // 1000 AS f,
+                       CAST(l_partkey AS VARCHAR) AS k
+                FROM lineitem),
+            fb AS (SELECT DISTINCT f, bit FROM (${bitExprs("k")})),
+            pb AS (SELECT DISTINCT bit FROM ($probeExprs)),
+            pass AS (SELECT f FROM fb JOIN pb USING (bit)
+                     GROUP BY f
+                     HAVING count(*) = (SELECT count(*) FROM pb)),
+            hit AS (SELECT DISTINCT f FROM fl WHERE k = '17')
+            SELECT (SELECT CAST(count(DISTINCT f) AS BIGINT) FROM fl)
+                     AS n_files,
+                   (SELECT CAST(count(*) AS BIGINT) FROM pass)
+                     AS files_bloom_pass,
+                   (SELECT CAST(count(*) AS BIGINT) FROM hit)
+                     AS files_true_hit"""
+      },
+      "file-grain Bloom skipping: point-lookup pruning zones cannot do"),
+
     // Null-safe equality join (<=> / IS NOT DISTINCT FROM): NULL keys
     // MATCH each other — the join-matrix variant a plain `=` can never
     // produce (it drops NULL rows from both sides). Keys are derived with

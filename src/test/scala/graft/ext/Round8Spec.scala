@@ -447,6 +447,27 @@ class Round8Spec extends SparkTestBase {
     }
   }
 
+  // ──────────────── File-grain Bloom skipping (z6) ──────────────────
+
+  test("fileBloomPruneAudit: pass set covers the true hits and prunes; " +
+    "a key-clustered layout concentrates the key into ~one file") {
+    val li = spark.read.parquet(s"$Sf/lineitem.parquet")
+    val scattered = graft.ext.Profile.fileBloomPruneAudit(li,
+      Seq(col("l_orderkey"), col("l_linenumber")), 500,
+      "l_partkey", "17").head()
+    assert(scattered.getLong(1) >= scattered.getLong(2),
+      "Bloom never false-negatives")
+    assert(scattered.getLong(2) >= 1, "probe key must exist in fixture")
+    assert(scattered.getLong(1) < scattered.getLong(0),
+      "the index must prune files zones cannot")
+    val clustered = graft.ext.Profile.fileBloomPruneAudit(li,
+      Seq(col("l_partkey"), col("l_orderkey"), col("l_linenumber")), 500,
+      "l_partkey", "17").head()
+    assert(clustered.getLong(2) <= 2,
+      "a partkey-sorted layout holds the key in ~one file")
+    assert(clustered.getLong(1) >= clustered.getLong(2))
+  }
+
   // ──────────────── Apriori 2-itemsets (t35) ────────────────────────
 
   test("itemsetPairs matches a brute co-occurrence count and prunes " +
