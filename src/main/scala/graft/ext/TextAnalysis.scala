@@ -569,6 +569,93 @@ object TextAnalysis {
           .as("xent"))
   }
 
+  /** Interpolated Kneser-Ney bigram cross-entropy (Kneser & Ney, ICASSP
+   * 1995; the interpolated form of Chen & Goodman, 1998 §2.7) — the
+   * smoothing every production n-gram LM ships with (KenLM, and through
+   * it the CCNet perplexity filter that curates web corpora for LLM
+   * pretraining). Fit on the `isRef` slice, score every pool document:
+   *
+   *   P(w2|w1) = max(c(w1 w2) − D, 0)/c(w1·)
+   *            + (D · N1+(w1 ·)/c(w1·)) · (N1+(· w2)/T)      [seen w1]
+   *            = max(N1+(· w2), 1)/T                          [unseen w1]
+   *
+   * with D = 0.75 (exactly representable in binary), c(w1·) the context
+   * total (sum of bigram counts starting with w1), N1+(w1 ·) the distinct-
+   * successor count, N1+(· w2) the CONTINUATION count — how many distinct
+   * contexts w2 follows, the KN insight ("Francisco" is frequent but
+   * follows only "San") — and T the total distinct bigram types. The
+   * 1-clamp on the continuation count keeps unseen-continuation scores
+   * finite (log 0 has no place in a filter score), same OOV discipline as
+   * [[stupidBackoffXent]]; it binds only where standard KN would hand the
+   * mass to an explicit <unk> token.
+   *
+   * Determinism: all five model statistics are exact BIGINTs; the score
+   * is one fixed-shape double expression over exact integers (every
+   * conversion, product, quotient, and the single sum IEEE-correctly
+   * rounded), so an independent engine replays it bit-for-bit.
+   * Per-position NLLs micro-quantize to BIGINT before the doc-grain sum —
+   * partitioning-independent totals.
+   *
+   * Scale shape: identical to [[bigramCrossEntropy]] — bigrams derive
+   * narrowly (zip_with over two array slices), the model is ONE
+   * bigram-vocabulary count agg (c2) from which contexts, successor
+   * counts, continuation counts, and T all re-derive by vocabulary-sized
+   * aggs (the corpus is scanned once per side); scoring joins are keyed
+   * on model-sized relations (AQE broadcasts small models, a web-scale
+   * model shuffles on the token key — still linear). Output: (doc_id,
+   * n_bg, s_q, xent), pool docs with ≥ 1 bigram. */
+  def kneserNeyXent(docs: org.apache.spark.sql.DataFrame,
+      isRef: Column, discount: Double = 0.75)
+      : org.apache.spark.sql.DataFrame = {
+    val w = split(col("text"), " ")
+    def bigrams(df: org.apache.spark.sql.DataFrame) = df
+      .filter(size(w) >= 2)
+      .select(col("doc_id"),
+        explode(zip_with(
+          slice(w, lit(1), size(w) - 1), slice(w, lit(2), size(w) - 1),
+          (a, b) => concat(a, lit(" "), b))).as("bg"))
+    // ONE bigram-type relation feeds every model statistic (materialized:
+    // four consumers would otherwise each re-scan the reference corpus).
+    val c2 = Dedup.materialize(
+      bigrams(docs.filter(isRef)).groupBy("bg")
+        .agg(count(lit(1)).as("c2"))
+        .select(col("bg"), col("c2"),
+          split(col("bg"), " ").getItem(0).as("w1"),
+          split(col("bg"), " ").getItem(1).as("w2")))
+    val ctx = c2.groupBy("w1").agg(
+      sum("c2").as("c_ctx"), count(lit(1)).as("n1p"))
+    val cont = c2.groupBy("w2").agg(count(lit(1)).as("ncont"))
+    val types = c2.agg(count(lit(1)).as("t_types"))
+    val d = lit(discount)
+    bigrams(docs.filter(!isRef))
+      .select(col("doc_id"),
+        split(col("bg"), " ").getItem(0).as("w1"),
+        split(col("bg"), " ").getItem(1).as("w2"),
+        col("bg"))
+      .join(c2.select(col("bg"), col("c2")), Seq("bg"), "left")
+      .join(ctx, Seq("w1"), "left")
+      .join(cont, Seq("w2"), "left")
+      .crossJoin(broadcast(types))
+      .select(col("doc_id"),
+        when(coalesce(col("c_ctx"), lit(0L)) > 0,
+          greatest(coalesce(col("c2"), lit(0L)).cast("double") - d, lit(0.0))
+              / col("c_ctx") +
+            ((d * col("n1p").cast("double")) / col("c_ctx")) *
+              (greatest(coalesce(col("ncont"), lit(0L)), lit(1L))
+                .cast("double") / col("t_types")))
+          .otherwise(
+            greatest(coalesce(col("ncont"), lit(0L)), lit(1L)).cast("double")
+              / col("t_types"))
+          .as("s"))
+      .select(col("doc_id"),
+        floor(-log(col("s")) * lit(1e6) + lit(0.5)).cast("long").as("nll_q"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bg"), sum("nll_q").as("s_q"))
+      .select(col("doc_id"), col("n_bg"), col("s_q"),
+        round(col("s_q").cast("double") / lit(1e6) / col("n_bg"), 6)
+          .as("xent"))
+  }
+
   /** Frequent co-occurring word pairs (Apriori 2-itemsets, Agrawal &
    * Srikant): pairs of words appearing together in ≥ `minSup` documents
    * at ANY distance — the market-basket view of a corpus, beside

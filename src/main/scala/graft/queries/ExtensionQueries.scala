@@ -5113,6 +5113,67 @@ object ExtensionQueries {
               FROM q GROUP BY doc_id"""),
       "trigram Stupid Backoff cross-entropy vs the en slice (Brants 2007)"),
 
+    // Interpolated Kneser-Ney bigram cross-entropy (Kneser & Ney 1995;
+    // Chen & Goodman 1998 §2.7) — the KenLM/CCNet perplexity-filter
+    // smoothing: absolute discounting D=0.75 plus a continuation-count
+    // backoff ("Francisco" is frequent but follows only "San"). All five
+    // model statistics are exact BIGINTs from ONE bigram-type relation;
+    // the score is a fixed-shape correctly-rounded double expression, so
+    // the oracle replays it bit-for-bit.
+    "t30_kneser_ney" -> QueryDef(
+      (s, dir) => TextAnalysis.kneserNeyXent(
+        t(s, dir, "documents"), col("lang") === "en"),
+      Some("""WITH wref AS (SELECT doc_id, string_split(text, ' ') AS w
+                     FROM documents WHERE lang = 'en'),
+              bgref AS (SELECT unnest([w[i] || ' ' || w[i+1]
+                                       for i in generate_series(1, len(w) - 1)]) AS bg
+                        FROM wref WHERE len(w) >= 2),
+              c2 AS (SELECT bg, CAST(count(*) AS BIGINT) AS c2,
+                            string_split(bg, ' ')[1] AS w1,
+                            string_split(bg, ' ')[2] AS w2
+                     FROM bgref GROUP BY bg),
+              ctx AS (SELECT w1, CAST(sum(c2) AS BIGINT) AS c_ctx,
+                             CAST(count(*) AS BIGINT) AS n1p
+                      FROM c2 GROUP BY w1),
+              cont AS (SELECT w2, CAST(count(*) AS BIGINT) AS ncont
+                       FROM c2 GROUP BY w2),
+              tt AS (SELECT CAST(count(*) AS BIGINT) AS t_types FROM c2),
+              wpool AS (SELECT doc_id, string_split(text, ' ') AS w
+                        FROM documents WHERE NOT (lang = 'en')),
+              bgpool AS (SELECT doc_id,
+                                unnest([w[i] || ' ' || w[i+1]
+                                        for i in generate_series(1, len(w) - 1)]) AS bg
+                         FROM wpool WHERE len(w) >= 2),
+              keys AS (SELECT doc_id, bg,
+                              string_split(bg, ' ')[1] AS w1,
+                              string_split(bg, ' ')[2] AS w2
+                       FROM bgpool),
+              sc AS (SELECT doc_id,
+                            CASE WHEN coalesce(ctx.c_ctx, 0) > 0 THEN
+                              greatest(CAST(coalesce(c2.c2, 0) AS DOUBLE)
+                                         - 0.75e0, 0.0e0) / ctx.c_ctx
+                              + ((0.75e0 * CAST(ctx.n1p AS DOUBLE))
+                                   / ctx.c_ctx)
+                                * (CAST(greatest(coalesce(cont.ncont, 0), 1)
+                                     AS DOUBLE) / tt.t_types)
+                            ELSE CAST(greatest(coalesce(cont.ncont, 0), 1)
+                                   AS DOUBLE) / tt.t_types
+                            END AS s
+                     FROM keys k
+                     LEFT JOIN c2 ON c2.bg = k.bg
+                     LEFT JOIN ctx ON ctx.w1 = k.w1
+                     LEFT JOIN cont ON cont.w2 = k.w2
+                     CROSS JOIN tt),
+              q AS (SELECT doc_id,
+                           CAST(floor(-ln(s) * 1e6 + 0.5) AS BIGINT) AS nll_q
+                    FROM sc)
+              SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bg,
+                     CAST(sum(nll_q) AS BIGINT) AS s_q,
+                     round(CAST(sum(nll_q) AS DOUBLE) / 1e6 / count(*), 6)
+                       AS xent
+              FROM q GROUP BY doc_id"""),
+      "interpolated Kneser-Ney bigram cross-entropy vs the en slice"),
+
     // Okapi BM25 top-20 for a 3-term query — the lexical retrieval ranker
     // (Lucene idf variant). The token scan filters to the query vocabulary
     // before aggregating, df/avgdl broadcast, TakeOrderedAndProject cut.

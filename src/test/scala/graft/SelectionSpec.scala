@@ -179,4 +179,51 @@ class SelectionSpec extends SparkTestBase {
     assert(a == b)
     assert(!a.map(_.getLong(0)).contains(11L), "a 1-token doc has no bigrams")
   }
+
+  test("Kneser-Ney: hand-computed interpolated score on a tiny model") {
+    // Ref "a b a b a c": c2 = {ab:2, ba:2, ac:1}; ctx a = (3, 2 succ),
+    // ctx b = (2, 1); cont(b) = 1; T = 3. Pool "a b":
+    //   s = (2 - 0.75)/3 + ((0.75·2)/3)·(1/3)
+    val d = Seq((0L, "a b a b a c", true), (10L, "a b", false))
+      .toDF("doc_id", "text", "is_ref")
+    val r = TextAnalysis.kneserNeyXent(d, col("is_ref")).collect()
+    assert(r.length == 1 && r(0).getLong(0) == 10L && r(0).getLong(1) == 1L)
+    val s = math.max(2.0 - 0.75, 0.0) / 3.0 + ((0.75 * 2.0) / 3.0) * (1.0 / 3.0)
+    val nllQ = math.floor(-math.log(s) * 1e6 + 0.5).toLong
+    assert(r(0).getLong(2) == nllQ, s"s_q must replay the hand score: " +
+      s"${r(0).getLong(2)} vs $nllQ")
+  }
+
+  test("Kneser-Ney: continuation count separates equal-frequency words " +
+      "(the 'Francisco' property)") {
+    // "francisco" occurs 4× but ALWAYS after "san" (1 continuation
+    // context); "cat" occurs 4× after 4 DISTINCT contexts. A unigram (or
+    // Stupid-Backoff-to-unigram) model scores them identically after a
+    // novel context; KN's continuation count makes "cat" the likelier
+    // continuation — exactly Kneser & Ney's motivating example.
+    val ref = Seq("san francisco", "san francisco", "san francisco",
+      "san francisco", "big cat", "fat cat", "old cat", "red cat")
+    val d = (ref.zipWithIndex.map { case (t, i) => (i.toLong, t, true) } ++
+      Seq((20L, "zzz francisco", false), (21L, "zzz cat", false)))
+      .toDF("doc_id", "text", "is_ref")
+    val x = TextAnalysis.kneserNeyXent(d, col("is_ref"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(x(21L) < x(20L),
+      s"many-context word must outscore one-context word after a novel " +
+        s"context: cat=${x(21L)} vs francisco=${x(20L)}")
+  }
+
+  test("Kneser-Ney is partition-independent and skips sub-bigram docs") {
+    val d = (0 until 12).map { i =>
+      val txt = if (i == 11) "solo"
+        else (0 until 10).map(j => s"t${(i + j) % 4}").mkString(" ")
+      (i.toLong, txt, i < 6)
+    }.toDF("doc_id", "text", "is_ref")
+    val a = TextAnalysis.kneserNeyXent(d, col("is_ref"))
+      .orderBy("doc_id").collect().toSeq
+    val b = TextAnalysis.kneserNeyXent(d.repartition(5), col("is_ref"))
+      .orderBy("doc_id").collect().toSeq
+    assert(a == b)
+    assert(!a.map(_.getLong(0)).contains(11L), "a 1-token doc has no bigrams")
+  }
 }
