@@ -151,6 +151,76 @@ object Similarity {
   def knnOutliers(vecs: DataFrame, k: Int, topN: Int): DataFrame =
     knnOutliersFrom(knnBrute(vecs, vecs, k), k, topN)
 
+  /** Local Outlier Factor (Breunig et al., SIGMOD 2000) over ANY
+   * (q_id, n_id, sim, rank) neighbor relation — the DENSITY-NORMALIZED
+   * outlier score [[knnOutliersFrom]]'s raw k-th-distance cannot express:
+   * a point at the edge of a tight cluster and a point inside a diffuse
+   * one can share the same k-distance, but only the first has neighbors
+   * whose own densities dwarf its own (LOF ≫ 1). The embedding-curation
+   * cut for corpora with clusters of very different density.
+   *
+   *   reach_k(p,o) = max(kdist(o), d(p,o))
+   *   lrd(p)       = |N(p)| / Σ_{o∈N(p)} reach_k(p,o)
+   *   LOF(p)       = (Σ_{o∈N(p)} lrd(o)) / lrd(p) / |N(p)|
+   *
+   * N(p) here is the EXACTLY-k neighbor set the relation carries
+   * (rank ≤ k under the deterministic (sim DESC, id) order) — the
+   * practical fixed-k variant; ties beyond rank k do not expand the set
+   * as in the paper's Def. 4 (documented deviation, standard in
+   * implementations).
+   *
+   * Determinism: distances quantize to 4-decimal integers (the relation's
+   * own `sim` rounding), reach distances are integer max's, and lrd
+   * micro-quantizes to a BIGINT (1e12/avg-reach scale) BEFORE the
+   * neighbor sum — so the only double chain is one fixed-shape
+   * (sum / lrd / n) expression over exact integers, bit-replayable by an
+   * independent engine at any partitioning. Duplicate pile-ups (Σ reach
+   * = 0, k+1 coincident vectors) clamp the denominator to 1 instead of
+   * emitting ∞ — those points score maximally dense, LOF ≈ 1.
+   *
+   * Scale shape: three joins keyed on the vector id + two hash-aggs over
+   * the k·|V|-row neighbor relation — everything is |V|- or k·|V|-sized,
+   * nothing quadratic. Compositional like [[knnOutliersFrom]]: feed
+   * [[knnBrute]] at gate scale or an [[AnnIndex]] search at corpus scale
+   * (any recall loss degrades the DIAGNOSTIC smoothly — LOF only reads
+   * the relation it is given). Output: top-`topN` by (lof DESC, vec_id):
+   * (vec_id, kdist_q, lrd_q, lof). */
+  def lofFrom(knn: DataFrame, k: Int, topN: Int): DataFrame = {
+    // 4-decimal cosine distance as an exact integer: sim is already
+    // round(·, 4), so (1 − sim)·1e4 recovers the integer exactly.
+    val dQ = round((lit(1.0) - col("sim")) * lit(1e4), 0).cast("long")
+    val kd = knn.filter(col("rank") === k)
+      .select(col("q_id").as("id"), dQ.as("kdist_q"))
+    val reach = knn
+      .select(col("q_id"), col("n_id"), dQ.as("d_q"))
+      .join(kd.select(col("id").as("n_id"), col("kdist_q").as("n_kdist_q")),
+        Seq("n_id"))
+      .select(col("q_id"),
+        greatest(col("n_kdist_q"), col("d_q")).as("reach_q"))
+    val lrd = Dedup.materialize(reach.groupBy("q_id")
+      .agg(count(lit(1)).as("n_nb"), sum("reach_q").as("s_reach"))
+      .select(col("q_id").as("id"), col("n_nb"),
+        floor((col("n_nb").cast("double") * lit(1e12)) /
+          greatest(col("s_reach"), lit(1L)) + lit(0.5)).cast("long")
+          .as("lrd_q")))
+    knn.select(col("q_id"), col("n_id"))
+      .join(lrd.select(col("id").as("n_id"), col("lrd_q").as("n_lrd_q")),
+        Seq("n_id"))
+      .groupBy("q_id")
+      .agg(sum("n_lrd_q").as("s_lrd"), count(lit(1)).as("n_nb"))
+      .join(lrd.select(col("id").as("q_id"), col("lrd_q")), Seq("q_id"))
+      .join(kd.select(col("id").as("q_id"), col("kdist_q")), Seq("q_id"))
+      .select(col("q_id").as("vec_id"), col("kdist_q"), col("lrd_q"),
+        round(col("s_lrd").cast("double") / col("lrd_q") / col("n_nb"), 6)
+          .as("lof"))
+      .orderBy(desc("lof"), asc("vec_id"))
+      .limit(topN)
+  }
+
+  /** [[lofFrom]] over the exact brute-force neighbors. */
+  def lofOutliers(vecs: DataFrame, k: Int, topN: Int): DataFrame =
+    lofFrom(Dedup.materialize(knnBrute(vecs, vecs, k)), k, topN)
+
   /** Contrastive hard-negative mining: per query, the `k` most-similar
    * corpus vectors carrying a DIFFERENT `labelCol` — the negatives that
    * actually teach a contrastive/embedding model (same-label neighbors

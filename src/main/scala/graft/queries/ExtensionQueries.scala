@@ -1349,6 +1349,58 @@ object ExtensionQueries {
                ORDER BY kth_sim ASC, vec_id ASC LIMIT 20"""),
       "k-NN-distance embedding outliers: 20 lowest 5th-neighbor cosines"),
 
+    // Local Outlier Factor (Breunig et al., SIGMOD 2000): the density-
+    // NORMALIZED outlier score — reach-distances are integer max's over
+    // the 4-decimal distance grid, lrd micro-quantizes to BIGINT before
+    // the neighbor sum, so the only double chain is one fixed-shape
+    // (sum / lrd / n) expression both engines replay bit-for-bit.
+    // Fixed-k neighbor sets (rank <= 5 under (sim DESC, id)); duplicate
+    // pile-ups clamp the reach denominator to 1 instead of emitting inf.
+    "n25_lof" -> QueryDef(
+      (s, dir) => {
+        graft.functions.GraftFunctions.register(s)
+        Similarity.lofOutliers(t(s, dir, "embeddings"), k = 5, topN = 20)
+      },
+      Some(s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS emb
+                          FROM embeddings),
+               p AS (SELECT a.vec_id AS q_id, b.vec_id AS n_id,
+                            ${sqlCos("a.emb", "b.emb")} AS sim
+                     FROM v a JOIN v b ON a.vec_id <> b.vec_id),
+               r AS MATERIALIZED (
+                 SELECT q_id, n_id, sim,
+                        row_number() OVER (PARTITION BY q_id
+                          ORDER BY sim DESC, n_id) AS rk
+                 FROM p),
+               knn AS (SELECT q_id, n_id,
+                              CAST(round((1.0e0 - sim) * 1e4, 0) AS BIGINT)
+                                AS d_q
+                       FROM r WHERE rk <= 5),
+               kd AS (SELECT q_id AS id,
+                             CAST(round((1.0e0 - sim) * 1e4, 0) AS BIGINT)
+                               AS kdist_q
+                      FROM r WHERE rk = 5),
+               reach AS (SELECT k.q_id,
+                                greatest(kd.kdist_q, k.d_q) AS reach_q
+                         FROM knn k JOIN kd ON kd.id = k.n_id),
+               lrd AS (SELECT q_id AS id,
+                              CAST(count(*) AS BIGINT) AS n_nb,
+                              CAST(floor((CAST(count(*) AS DOUBLE) * 1e12)
+                                  / greatest(sum(reach_q), 1) + 0.5)
+                                AS BIGINT) AS lrd_q
+                       FROM reach GROUP BY q_id),
+               sl AS (SELECT k.q_id,
+                             CAST(sum(l.lrd_q) AS BIGINT) AS s_lrd,
+                             CAST(count(*) AS BIGINT) AS n_nb
+                      FROM knn k JOIN lrd l ON l.id = k.n_id
+                      GROUP BY k.q_id)
+               SELECT sl.q_id AS vec_id, kd.kdist_q, lp.lrd_q,
+                      round(CAST(sl.s_lrd AS DOUBLE) / lp.lrd_q / sl.n_nb, 6)
+                        AS lof
+               FROM sl JOIN lrd lp ON lp.id = sl.q_id
+                       JOIN kd ON kd.id = sl.q_id
+               ORDER BY lof DESC, vec_id LIMIT 20"""),
+      "Local Outlier Factor: density-normalized embedding outliers, top 20"),
+
     // Graph-based ANN (the NSW/HNSW search paradigm, flat deterministic
     // form): greedy beam walk over an exact kNN graph — entry points
     // (0, 1), 2 hops, beam 6, top-3. The oracle replays the graph build

@@ -461,6 +461,41 @@ class ExtensionsSpec extends SparkTestBase {
     assert(got.head.getLong(0) == 1L && !got.head.isNullAt(1))
   }
 
+  test("LOF: isolated point scores far above tight-cluster members") {
+    // A tight angular cluster around (1, 0) plus one isolated vector near
+    // (0, 1): cluster members' neighbors share their density (LOF ~ 1);
+    // the outlier's neighbors are ALL in the dense cluster, so its lrd is
+    // dwarfed by theirs (LOF >> 1) — the density-normalization the raw
+    // kNN-distance score only expresses absolutely, not relatively.
+    val cluster = (0 until 8).map(i =>
+      (i.toLong, Array(1f, 0.01f * i, 0f)))
+    val vecs = (cluster :+ (99L, Array(0f, 1f, 0.05f)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.lofOutliers(vecs, k = 3, topN = 9)
+      .select($"vec_id", $"lof").collect()
+    val lof = out.map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(out.head.getLong(0) == 99L, s"outlier must rank first: ${out.toSeq}")
+    assert(lof(99L) > 1.5, s"outlier LOF must be >> 1: ${lof(99L)}")
+    assert(cluster.map(c => lof(c._1)).max < 1.3,
+      s"cluster members must score near 1: $lof")
+  }
+
+  test("LOF is partition-independent and clamps duplicate pile-ups") {
+    // Four coincident vectors (reach sums hit the 1-clamp) plus a spread
+    // tail; values must be identical under any input partitioning.
+    val vecs = ((0 until 4).map(i => (i.toLong, Array(1f, 0f, 0f))) ++
+      (4 until 10).map(i => (i.toLong, Array(1f, 0.1f * i, 0.02f * i))))
+      .toDF("vec_id", "embedding")
+    val a = Similarity.lofOutliers(vecs, k = 3, topN = 10)
+      .collect().toSeq
+    val b = Similarity.lofOutliers(vecs.repartition(7), k = 3, topN = 10)
+      .collect().toSeq
+    assert(a == b)
+    val dupLof = a.filter(_.getLong(0) < 4L).map(_.getDouble(3))
+    assert(dupLof.forall(v => v <= 1.1),
+      s"coincident vectors must score maximally dense, not inf: $dupLof")
+  }
+
   test("knnBrute ranks the exact nearest first with deterministic ties") {
     val vecs = Seq(
       (0L, Array(1f, 0f, 0f)),
