@@ -452,6 +452,64 @@ object Graph {
     labels.groupBy("label").agg(count(lit(1)).as("n_members"))
   }
 
+  /** Transitive closure with BFS depths by SEMI-NAIVE evaluation (the
+   * Datalog Δ-iteration, Bancilhon 1985): each round joins only the
+   * FRONTIER — pairs first derived last round — against the edge
+   * relation, anti-joins the accumulated closure to keep the genuinely
+   * new pairs, and stops when a round derives nothing. The naive
+   * alternative re-joins the ENTIRE closure every round — O(closure)
+   * redundant work per iteration that semi-naive provably skips; at
+   * 100 TB the frontier is the only relation that shuffles per round,
+   * and it SHRINKS as the reachability saturates. The hierarchy /
+   * BOM-explosion / org-chart primitive (`WITH RECURSIVE` in engines
+   * that have it — the oracle replays exactly that).
+   *
+   * `edges`: directed (parent, child); self-loops dropped. Output:
+   * (ancestor, descendant, depth) with depth = SHORTEST hop count (BFS
+   * rounds guarantee minimality: a pair always appears first at its
+   * shortest depth; later, longer derivations die in the anti-join).
+   * Cycles are safe — a cycle's pairs saturate (including self-
+   * reachability (v, v, |cycle|)) and the frontier empties; `maxIter`
+   * only backstops pathological diameters, with the kCore warn-not-fail
+   * contract.
+   *
+   * Scale shape per round: one frontier ⋈ edges equi-join (frontier-
+   * sized fan-out), one distinct, one anti-join against the closure —
+   * all keyed exchanges, nothing quadratic in the graph; every iterate
+   * is materialized (the pagerank checkpoint posture) and the only
+   * driver traffic is the scalar frontier count that witnesses the
+   * fixpoint. */
+  def reachability(edges: DataFrame, maxIter: Int = 30): DataFrame = {
+    require(maxIter >= 1, s"maxIter must be >= 1, got $maxIter")
+    val e = Dedup.materialize(
+      edges.select(col("parent"), col("child"))
+        .filter(col("parent") =!= col("child")).distinct())
+    var closure = Dedup.materialize(
+      e.select(col("parent").as("ancestor"), col("child").as("descendant"),
+        lit(1).as("depth")))
+    var frontier = closure
+    var remaining = maxIter - 1
+    var done = frontier.count() == 0L
+    while (!done && remaining > 0) {
+      val fresh = Dedup.materialize(
+        frontier.join(e, frontier("descendant") === e("parent"))
+          .select(frontier("ancestor"), e("child").as("descendant"),
+            (frontier("depth") + lit(1)).as("depth"))
+          .distinct()
+          .join(closure.select("ancestor", "descendant"),
+            Seq("ancestor", "descendant"), "left_anti"))
+      done = fresh.count() == 0L
+      if (!done) {
+        closure = Dedup.materialize(closure.unionByName(fresh))
+        frontier = fresh
+      }
+      remaining -= 1
+    }
+    if (!done)
+      log.warn(s"reachability: frontier non-empty after $maxIter rounds")
+    closure
+  }
+
   /**
    * Link prediction over an undirected edge relation: for every NON-edge
    * pair with at least one common neighbor, the three classic proximity

@@ -330,6 +330,35 @@ object GraphQueries {
                    CAST(count(*) AS BIGINT) AS n_members
             FROM l2 GROUP BY label"""
       },
-      "label-propagation communities (2 synchronous rounds), census")
+      "label-propagation communities (2 synchronous rounds), census"),
+
+    // Semi-naive transitive closure (the Datalog Δ-iteration) over a
+    // part-key forest (parent = child // 4): every (ancestor, descendant)
+    // pair with its BFS depth. The engine iterates frontier-only joins to
+    // a witnessed fixpoint; the oracle is DuckDB's native WITH RECURSIVE
+    // — two entirely different evaluation strategies, same relation. The
+    // min(depth) group-by makes the oracle's all-paths recursion match
+    // the engine's shortest-depth BFS contract on any DAG (on this
+    // forest, paths are unique and it is the identity).
+    "graph8_reachability" -> QueryDef(
+      (s, dir) => Graph.reachability(
+        t(s, dir, "part").select(
+          floor(col("p_partkey") / 4).cast("long").as("parent"),
+          col("p_partkey").cast("long").as("child"))
+          .filter(col("parent") >= 1)),
+      Some("""WITH RECURSIVE e AS (
+                SELECT p_partkey // 4 AS parent, p_partkey AS child
+                FROM part WHERE p_partkey // 4 >= 1),
+              rr AS (
+                SELECT parent AS ancestor, child AS descendant, 1 AS depth
+                FROM e
+                UNION
+                SELECT rr.ancestor, e.child, rr.depth + 1
+                FROM rr JOIN e ON e.parent = rr.descendant)
+              SELECT CAST(ancestor AS BIGINT) AS ancestor,
+                     CAST(descendant AS BIGINT) AS descendant,
+                     min(depth) AS depth
+              FROM rr GROUP BY 1, 2"""),
+      "semi-naive transitive closure w/ BFS depths vs WITH RECURSIVE")
   )
 }

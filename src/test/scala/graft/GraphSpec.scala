@@ -274,6 +274,40 @@ class GraphSpec extends SparkTestBase {
     assert(Graph.kCore(e, 6).count() == 0L, "no 6-core in K6")
   }
 
+  test("reachability: exact closure with BFS depths on a branching chain") {
+    import spark.implicits._
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 5L))
+      .toDF("parent", "child")
+    val got = Graph.reachability(e)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got == Set(
+      (1L, 2L, 1), (2L, 3L, 1), (3L, 4L, 1), (1L, 5L, 1),
+      (1L, 3L, 2), (2L, 4L, 2), (1L, 4L, 3)))
+  }
+
+  test("reachability: diamond DAG keeps one pair at the SHORTEST depth") {
+    import spark.implicits._
+    // 1→2→4 and 1→3→4 (two depth-2 paths) plus a direct 1→4 edge: the
+    // pair (1,4) must surface once at depth 1, the BFS-minimal, and the
+    // longer derivations must die in the anti-join.
+    val e = Seq((1L, 2L), (1L, 3L), (2L, 4L), (3L, 4L), (1L, 4L))
+      .toDF("parent", "child")
+    val got = Graph.reachability(e)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(got((1L, 4L)) == 1, s"shortest depth must win: $got")
+    assert(got.count(_._1._1 == 1L) == 3, "ancestor 1 reaches {2,3,4} once each")
+  }
+
+  test("reachability: cycles saturate and terminate (self-reachability)") {
+    import spark.implicits._
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("parent", "child")
+    val got = Graph.reachability(e)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(got.size == 9, s"3-cycle closure is all 9 ordered pairs: $got")
+    assert(got((1L, 1L)) == 3 && got((1L, 3L)) == 2,
+      s"cycle depths must be walk lengths: $got")
+  }
+
   test("purchase edges are distinct and prefixed; co-purchase canonical") {
     val orders = Tables.ordersLike(spark)
     val lineitem = Tables.lineitemLike(spark)
