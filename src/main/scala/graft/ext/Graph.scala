@@ -219,6 +219,61 @@ object Graph {
     ranks.select("vertex", "rank")
   }
 
+  /** HITS hubs & authorities (Kleinberg, JACM 1999) in integer fixed
+   * point: the mutually-recursive pair — a good hub points at good
+   * authorities, a good authority is pointed at by good hubs — that
+   * separates the two roles PageRank's single score conflates (on the
+   * purchase graph: broad-basket customers vs widely-bought-from
+   * suppliers). Per round, authority(v) = Σ_{u→v} hub(u) then
+   * hub(v) = Σ_{v→w} authority(w), each rescaled to ≈`unit` by L∞
+   * (divide by `max div unit` — one truncating integer division, NO
+   * product, so the arithmetic never overflows: sums are bounded by
+   * n·unit, not n·unit²; both engines replay `div`/`//` identically on
+   * the non-negative domain). L∞ in place of the paper's L2 keeps the
+   * iteration rational — the direction converges to the same principal
+   * eigenvectors, only the scale convention differs, and an irrational
+   * L2 norm has no bit-replayable form.
+   *
+   * Scale shape per round: two keyed joins of the edge relation against
+   * the current score (the pagerank contrib shape), two vertex-grain
+   * hash-aggs, two 1-row broadcast maxima; each iterate materialized
+   * (the pagerank checkpoint posture). Output: (vertex, hub_q, auth_q)
+   * over all vertices — 0 for roles a vertex never plays (no out-edges
+   * ⇒ hub 0, no in-edges ⇒ authority 0). */
+  def hits(edges: DataFrame, iters: Int = 2,
+      unit: Long = 1000000L): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    require(unit >= 1L, s"unit must be >= 1, got $unit")
+    val e = Dedup.materialize(edges.select("src", "dst").distinct())
+    val verts = Dedup.materialize(
+      e.select(col("src").as("vertex"))
+        .union(e.select(col("dst").as("vertex"))).distinct())
+    var hubs = verts.withColumn("h", lit(unit))
+    var auths: DataFrame = verts.withColumn("a", lit(0L))
+    for (_ <- 1 to iters) {
+      val aRaw = e.join(hubs, e("src") === hubs("vertex"))
+        .groupBy("dst").agg(sum("h").as("a_raw"))
+      val am = aRaw.agg(max("a_raw").as("am"))
+      auths = Dedup.materialize(
+        aRaw.crossJoin(broadcast(am))
+          .select(col("dst").as("vertex"),
+            expr(s"a_raw div greatest(am div ${unit}L, 1L)").as("a")))
+      val hRaw = e.join(auths, e("dst") === auths("vertex"))
+        .groupBy("src").agg(sum("a").as("h_raw"))
+      val hm = hRaw.agg(max("h_raw").as("hm"))
+      hubs = Dedup.materialize(
+        verts.join(hRaw.withColumnRenamed("src", "vertex"),
+          Seq("vertex"), "left")
+          .crossJoin(broadcast(hm))
+          .select(col("vertex"),
+            coalesce(expr(s"h_raw div greatest(hm div ${unit}L, 1L)"),
+              lit(0L)).as("h")))
+    }
+    hubs.join(auths, Seq("vertex"), "left")
+      .select(col("vertex"), col("h").as("hub_q"),
+        coalesce(col("a"), lit(0L)).as("auth_q"))
+  }
+
   /**
    * Degree-skew pre-flight for an undirected edge relation — the
    * d17/d19/dq5-style "measure before you run" audit of [[triangleStats]]

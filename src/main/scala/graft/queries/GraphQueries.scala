@@ -359,6 +359,52 @@ object GraphQueries {
                      CAST(descendant AS BIGINT) AS descendant,
                      min(depth) AS depth
               FROM rr GROUP BY 1, 2"""),
-      "semi-naive transitive closure w/ BFS depths vs WITH RECURSIVE")
+      "semi-naive transitive closure w/ BFS depths vs WITH RECURSIVE"),
+
+    // HITS hubs & authorities (Kleinberg 1999) over the purchase graph:
+    // broad-basket customers are hubs, widely-bought-from suppliers are
+    // authorities — the two roles PageRank's single score conflates. L∞
+    // rescaling by ONE truncating integer division per half-step (no
+    // product — sums bound by n·unit, overflow-free); the oracle unrolls
+    // both rounds with `//` on the same non-negative domain.
+    "graph9_hits" -> QueryDef(
+      (s, dir) => Graph.hits(
+        Graph.purchaseEdges(t(s, dir, "orders"), t(s, dir, "lineitem")),
+        iters = 2),
+      Some {
+        def round(i: Int, hIn: String): String =
+          s"""a${i}r AS (SELECT e.dst AS vertex,
+                                CAST(sum(h.h) AS BIGINT) AS a_raw
+                         FROM e JOIN $hIn h ON h.vertex = e.src
+                         GROUP BY e.dst),
+              a${i}m AS (SELECT max(a_raw) AS m FROM a${i}r),
+              a$i AS (SELECT vertex,
+                             a_raw // greatest(
+                               (SELECT m FROM a${i}m) // 1000000, 1) AS a
+                      FROM a${i}r),
+              h${i}r AS (SELECT e.src AS vertex,
+                                CAST(sum(a$i.a) AS BIGINT) AS h_raw
+                         FROM e JOIN a$i ON a$i.vertex = e.dst
+                         GROUP BY e.src),
+              h${i}m AS (SELECT max(h_raw) AS m FROM h${i}r),
+              h$i AS (SELECT v.vertex,
+                             coalesce(h${i}r.h_raw // greatest(
+                               (SELECT m FROM h${i}m) // 1000000, 1), 0)
+                               AS h
+                      FROM v LEFT JOIN h${i}r ON h${i}r.vertex = v.vertex)"""
+        s"""WITH e AS (SELECT DISTINCT 'c' || o_custkey AS src,
+                              's' || l_suppkey AS dst
+                       FROM orders JOIN lineitem
+                         ON o_orderkey = l_orderkey),
+            v AS (SELECT src AS vertex FROM e UNION SELECT dst FROM e),
+            h0 AS (SELECT vertex, CAST(1000000 AS BIGINT) AS h FROM v),
+            ${round(1, "h0")},
+            ${round(2, "h1")}
+            SELECT v.vertex, CAST(h2.h AS BIGINT) AS hub_q,
+                   CAST(coalesce(a2.a, 0) AS BIGINT) AS auth_q
+            FROM v JOIN h2 ON h2.vertex = v.vertex
+                 LEFT JOIN a2 ON a2.vertex = v.vertex"""
+      },
+      "HITS hubs & authorities, 2 rounds of integer L-inf fixed point")
   )
 }

@@ -308,6 +308,38 @@ class GraphSpec extends SparkTestBase {
       s"cycle depths must be walk lengths: $got")
   }
 
+  test("HITS: better-connected hub and authority dominate; roles zero out") {
+    import spark.implicits._
+    // h1 points at both authorities, h2 at one; a1 is cited by both hubs,
+    // a2 by one. After any number of rounds h1 > h2 and a1 > a2; pure
+    // hubs carry authority 0 and pure authorities hub 0.
+    val e = Seq(("h1", "a1"), ("h1", "a2"), ("h2", "a1"))
+      .toDF("src", "dst")
+    val r = Graph.hits(e, iters = 2)
+      .collect().map(x => x.getString(0) -> (x.getLong(1), x.getLong(2)))
+      .toMap
+    assert(r("h1")._1 > r("h2")._1, s"two-authority hub must lead: $r")
+    assert(r("a1")._2 > r("a2")._2, s"two-hub authority must lead: $r")
+    assert(r("h1")._2 == 0L && r("a1")._1 == 0L,
+      s"pure roles must zero the other score: $r")
+    // rescale divides by (max div unit), so the max lands in [unit, 2·unit)
+    assert(r("h1")._1 >= 1000000L && r("h1")._1 < 2000000L &&
+      r("a1")._2 >= 1000000L && r("a1")._2 < 2000000L,
+      s"L-inf rescale keeps the max of each role within [unit, 2*unit): $r")
+  }
+
+  test("HITS is partition-independent") {
+    import spark.implicits._
+    val rnd = new Random(7)
+    val e = (0 until 60).map(_ =>
+      (s"u${rnd.nextInt(10)}", s"v${rnd.nextInt(10)}")).distinct
+      .toDF("src", "dst")
+    val a = Graph.hits(e, iters = 3).orderBy("vertex").collect().toSeq
+    val b = Graph.hits(e.repartition(7), iters = 3).orderBy("vertex")
+      .collect().toSeq
+    assert(a == b)
+  }
+
   test("purchase edges are distinct and prefixed; co-purchase canonical") {
     val orders = Tables.ordersLike(spark)
     val lineitem = Tables.lineitemLike(spark)
