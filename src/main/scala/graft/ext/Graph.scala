@@ -479,7 +479,14 @@ object Graph {
    * quadratic; each iterate is materialized so lineage stays one stage
    * deep (the pagerank checkpoint posture). Output: the final labeling's
    * community census `(label, n_members)`. */
-  def labelPropagation(edges: DataFrame, iters: Int = 2): DataFrame = {
+  def labelPropagation(edges: DataFrame, iters: Int = 2): DataFrame =
+    labelAssignments(edges, iters)
+      .groupBy("label").agg(count(lit(1)).as("n_members"))
+
+  /** [[labelPropagation]]'s underlying (vertex, label) assignment — the
+   * relation [[modularity]] scores. Same synchronous rounds, packed
+   * argmax, and per-iterate materialization. */
+  def labelAssignments(edges: DataFrame, iters: Int = 2): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     val e = canonicalEdges(edges)
     val sym = Dedup.materialize(
@@ -504,7 +511,48 @@ object Graph {
             (lit(LabelPackRadix - 1) - pmod(col("k"), lit(LabelPackRadix)))
               .as("label")))
     }
-    labels.groupBy("label").agg(count(lit(1)).as("n_members"))
+    labels
+  }
+
+  /** Newman modularity of a vertex partition (Newman & Girvan, Phys.
+   * Rev. E 2004), per community: Q_c = e_c/m − (d_c/2m)² — intra-edge
+   * share minus the share a degree-preserving random rewiring would
+   * produce. Σ_c Q_c ∈ [−1/2, 1) is THE partition-quality number for a
+   * community detector: it turns [[labelPropagation]] (which always
+   * outputs SOME labeling) into a measured claim, and lets two
+   * labelings be compared on equal terms.
+   *
+   * `labels`: (vertex, label) — [[labelAssignments]] or any other
+   * partition of the edge relation's vertices. Determinism: e_c, d_c,
+   * and m are exact BIGINTs; Q_c is one fixed-shape double expression
+   * over them, micro-quantized to `q_micro` (1e9 units) so the
+   * per-community rows — and any sum over them — replay bit-for-bit.
+   * Scale shape: one degree agg, one label-keyed degree-sum agg, one
+   * double label join on the edge relation + equality filter + count —
+   * all keyed exchanges on |E| or |V| rows; m broadcasts as a 1-row
+   * scalar. Output: (label, n_members, e_intra, d_total, q_micro). */
+  def modularity(edges: DataFrame, labels: DataFrame): DataFrame = {
+    val e = Dedup.materialize(canonicalEdges(edges))
+    val lab = labels.select("vertex", "label")
+    val m = e.agg(count(lit(1)).as("m"))
+    val dTot = degrees(e)
+      .join(lab, Seq("vertex"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_members"), sum("deg").as("d_total"))
+    val eIntra = e
+      .join(lab.select(col("vertex").as("u"), col("label").as("lu")), Seq("u"))
+      .join(lab.select(col("vertex").as("v"), col("label").as("lv")), Seq("v"))
+      .filter(col("lu") === col("lv"))
+      .groupBy(col("lu").as("label"))
+      .agg(count(lit(1)).as("e_intra"))
+    dTot.join(eIntra, Seq("label"), "left")
+      .crossJoin(broadcast(m))
+      .select(col("label"), col("n_members"),
+        coalesce(col("e_intra"), lit(0L)).as("e_intra"), col("d_total"),
+        floor((coalesce(col("e_intra"), lit(0L)).cast("double") / col("m") -
+          (col("d_total").cast("double") * col("d_total")) /
+            ((lit(4.0) * col("m")) * col("m"))) * lit(1e9) + lit(0.5))
+          .cast("long").as("q_micro"))
   }
 
   /** Transitive closure with BFS depths by SEMI-NAIVE evaluation (the

@@ -405,6 +405,63 @@ object GraphQueries {
             FROM v JOIN h2 ON h2.vertex = v.vertex
                  LEFT JOIN a2 ON a2.vertex = v.vertex"""
       },
-      "HITS hubs & authorities, 2 rounds of integer L-inf fixed point")
+      "HITS hubs & authorities, 2 rounds of integer L-inf fixed point"),
+
+    // Newman modularity of the label-propagation partition: Q_c = e_c/m
+    // − (d_c/2m)² per community — the partition-quality number that
+    // turns LPA's always-some-labeling into a measured claim. The oracle
+    // replays both LP rounds (graph6's CTEs) and the modularity formula;
+    // e_c/d_c/m exact BIGINTs, Q_c one fixed-shape double micro-
+    // quantized to 1e9 units.
+    "graph10_modularity" -> QueryDef(
+      (s, dir) => {
+        val edges = Graph.coPurchaseEdges(
+          t(s, dir, "lineitem").filter(col("l_quantity") >= 40))
+        Graph.modularity(edges, Graph.labelAssignments(edges, iters = 2))
+      },
+      Some {
+        val M = Graph.LabelPackRadix
+        def round(i: Int, lIn: String, lOut: String): String =
+          s"""i$i AS (SELECT s.vertex, l.label,
+                             CAST(count(*) AS BIGINT) AS cnt
+                      FROM sym s JOIN $lIn l ON s.nbr = l.vertex
+                      GROUP BY s.vertex, l.label),
+              $lOut AS (SELECT vertex,
+                             ${M - 1} - (max(cnt * $M + (${M - 1} - label))
+                               % $M) AS label
+                      FROM i$i GROUP BY vertex)"""
+        s"""WITH e AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+                       FROM lineitem a JOIN lineitem b
+                         ON a.l_orderkey = b.l_orderkey
+                        AND a.l_partkey < b.l_partkey
+                       WHERE a.l_quantity >= 40 AND b.l_quantity >= 40),
+            sym AS (SELECT u AS vertex, v AS nbr FROM e
+                    UNION ALL SELECT v, u FROM e),
+            l0 AS (SELECT DISTINCT vertex, vertex AS label FROM sym),
+            ${round(1, "l0", "l1")},
+            ${round(2, "l1", "l2")},
+            deg AS (SELECT vertex, CAST(count(*) AS BIGINT) AS deg
+                    FROM (SELECT u AS vertex FROM e
+                          UNION ALL SELECT v FROM e)
+                    GROUP BY vertex),
+            mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM e),
+            dt AS (SELECT l.label, CAST(count(*) AS BIGINT) AS n_members,
+                          CAST(sum(deg.deg) AS BIGINT) AS d_total
+                   FROM deg JOIN l2 l ON l.vertex = deg.vertex
+                   GROUP BY l.label),
+            ei AS (SELECT a.label, CAST(count(*) AS BIGINT) AS e_intra
+                   FROM e JOIN l2 a ON a.vertex = e.u
+                          JOIN l2 b ON b.vertex = e.v
+                   WHERE a.label = b.label GROUP BY a.label)
+            SELECT CAST(dt.label AS BIGINT) AS label, dt.n_members,
+                   coalesce(ei.e_intra, 0) AS e_intra, dt.d_total,
+                   CAST(floor((CAST(coalesce(ei.e_intra, 0) AS DOUBLE)
+                       / mm.m
+                     - (CAST(dt.d_total AS DOUBLE) * dt.d_total)
+                       / ((4.0e0 * mm.m) * mm.m)) * 1e9 + 0.5) AS BIGINT)
+                     AS q_micro
+            FROM dt LEFT JOIN ei ON ei.label = dt.label CROSS JOIN mm"""
+      },
+      "Newman modularity per LP community (exact counts, 1e9-unit Q)")
   )
 }

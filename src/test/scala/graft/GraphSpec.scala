@@ -340,6 +340,40 @@ class GraphSpec extends SparkTestBase {
     assert(a == b)
   }
 
+  test("modularity: two clean cliques score exactly 0.5; one blob scores 0") {
+    import spark.implicits._
+    // Two disjoint K4s: m = 12, per community e_c = 6, d_c = 12 →
+    // Q_c = 6/12 − (12/24)² = 0.25 each, ΣQ = 0.5 exactly.
+    def k4(off: Long) = (off until off + 4).toSeq.combinations(2)
+      .map(p => (p(0), p(1))).toSeq
+    val e = (k4(0) ++ k4(10)).toDF("u", "v")
+    val labels = (0L until 4L).map(v => (v, 0L))
+      .++((10L until 14L).map(v => (v, 1L))).toDF("vertex", "label")
+    val rows = Graph.modularity(e, labels).collect()
+    assert(rows.map(_.getLong(4)).sum == 500000000L,
+      s"two-clique partition must score Q = 0.5: ${rows.toSeq}")
+    val one = Graph.modularity(e, labels.withColumn("label", lit(7L)))
+      .collect()
+    assert(one.length == 1 && one(0).getLong(4) == 0L,
+      s"the all-in-one partition must score Q = 0: ${one.toSeq}")
+  }
+
+  test("modularity: LP labels on two bridged cliques recover the split") {
+    import spark.implicits._
+    def k4(off: Long) = (off until off + 4).toSeq.combinations(2)
+      .map(p => (p(0), p(1))).toSeq
+    val e = (k4(0) ++ k4(10) :+ (3L, 10L)).toDF("u", "v")
+    val q = Graph.modularity(e, Graph.labelAssignments(e, iters = 2))
+      .collect()
+    assert(q.length == 2, s"LP must find the two communities: ${q.toSeq}")
+    assert(q.map(_.getLong(4)).sum > 300000000L,
+      s"bridged-clique Q must stay high: ${q.toSeq}")
+    val q2 = Graph.modularity(e.repartition(7),
+      Graph.labelAssignments(e.repartition(5), iters = 2))
+      .orderBy("label").collect().toSeq
+    assert(q2 == q.sortBy(_.getLong(0)).toSeq, "partition-independent")
+  }
+
   test("purchase edges are distinct and prefixed; co-purchase canonical") {
     val orders = Tables.ordersLike(spark)
     val lineitem = Tables.lineitemLike(spark)
