@@ -155,6 +155,41 @@ object TimeSeries {
    * single exchange + sort, no self-join; at 100 TB each key's series
    * sweeps independently (the [[peakConcurrency]] posture).
    * Output: (key, ord, x, ewma, is_spike). */
+  /** One-sided (upper) CUSUM change-point detection (Page, Biometrika
+   * 1954) over a per-key ordered integer series — the sequential test
+   * that catches a SUSTAINED small mean shift long before
+   * [[ewmaAnomaly]]'s single-point spike rule (a +σ/2 drift never
+   * trips a 2×-EWMA spike but accumulates linearly in CUSUM):
+   *
+   *   S_n = max(0, S_{n−1} + (x_n − target − slack)),  alarm at S_n > h
+   *
+   * The recurrence looks inherently sequential, but it folds into
+   * windowed form through the prefix-sum identity: with
+   * y_t = x_t − target − slack and C_n = Σ_{t≤n} y_t,
+   *
+   *   S_n = C_n − min(0, min_{t≤n} C_t)
+   *
+   * (the best restart point is the running minimum of the drift-adjusted
+   * prefix) — so the whole detector is ONE per-key window sort carrying
+   * two frames (running sum, running min), no self-join, no iteration,
+   * exactly the [[ewmaAnomaly]] plan shape. All arithmetic is BIGINT on
+   * the caller's units — pre-quantize fractional targets into the value
+   * column's scale; the oracle replays `sum`/`min`/`least` on identical
+   * integers. Output: (key, ord, x, s_stat, is_alarm). */
+  def cusum(series: DataFrame, key: String, ordCol: String,
+      valCol: String, target: Long, slack: Long,
+      threshold: Long): DataFrame = {
+    require(threshold > 0, s"threshold must be positive, got $threshold")
+    val w = Window.partitionBy(key).orderBy(ordCol)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val withC = series.select(col(key), col(ordCol), col(valCol),
+      sum(col(valCol).cast("long") - lit(target) - lit(slack)).over(w)
+        .as("__c"))
+    withC.select(col(key), col(ordCol), col(valCol),
+        (col("__c") - least(lit(0L), min(col("__c")).over(w))).as("s_stat"))
+      .withColumn("is_alarm", col("s_stat") > lit(threshold))
+  }
+
   def ewmaAnomaly(series: DataFrame, key: String, ordCol: String,
       valCol: String, lookback: Int = 12, spikeFactor: Double = 2.0,
       minBase: Double = 5.0): DataFrame = {

@@ -863,6 +863,36 @@ object RelationalQueries {
       },
       "EWMA (alpha=1/2, dyadic-exact) smoothing + spike flags per type"),
 
+    // One-sided CUSUM change detection (Page 1954) over the same
+    // per-(type, hour) counts as x8: the sequential small-shift detector,
+    // folded into ONE window sort via the prefix-sum identity
+    // S_n = C_n − min(0, min_{t≤n} C_t). Pure BIGINT arithmetic — the
+    // oracle replays sum/min/least on identical integers.
+    "x9_cusum" -> QueryDef(
+      (s, dir) => graft.ext.TimeSeries.cusum(
+        t(s, dir, "events")
+          .groupBy(col("event_type"),
+            expr("ts div 3600000000000").as("bucket"))
+          .agg(count(lit(1)).as("n")),
+        "event_type", "bucket", "n",
+        target = 10L, slack = 2L, threshold = 50L),
+      Some("""WITH s AS (SELECT event_type,
+                     epoch_ns(ts) // 3600000000000 AS bucket,
+                     CAST(count(*) AS BIGINT) AS n
+                     FROM events GROUP BY 1, 2),
+              c AS (SELECT event_type, bucket, n,
+                           CAST(sum(n - 10 - 2) OVER w AS BIGINT) AS c
+                    FROM s
+                    WINDOW w AS (PARTITION BY event_type ORDER BY bucket
+                                 ROWS UNBOUNDED PRECEDING))
+              SELECT event_type, bucket, n,
+                     c - least(0, min(c) OVER w) AS s_stat,
+                     (c - least(0, min(c) OVER w)) > 50 AS is_alarm
+              FROM c
+              WINDOW w AS (PARTITION BY event_type ORDER BY bucket
+                           ROWS UNBOUNDED PRECEDING)"""),
+      "one-sided CUSUM drift detector via the prefix-sum identity"),
+
     // Ordered-step conversion funnel: first view, first click AFTER that
     // view, first purchase AFTER that click. Each stage is one keyed
     // hash-agg over a type-filtered scan joined to the (one-row-per-user,

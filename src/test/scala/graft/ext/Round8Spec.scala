@@ -824,4 +824,40 @@ class Round8Spec extends SparkTestBase {
         10).orderBy("q_id").collect().toSeq
     assert(a == cut)
   }
+
+  test("cusum: sustained small drift alarms; a single spike resets") {
+    // In-control mean 10, target 10, slack 2, threshold 12. Key "drift"
+    // shifts to 15 from ord 10 (excess +3/step -> S crosses 12 within 5
+    // steps and stays up); key "spike" has ONE +30 excursion (S jumps
+    // but a spike that large trips once) then decays back to 0 at rate
+    // -2/step below target. Key "flat" never alarms.
+    val flat = (0 until 20).map(i => ("flat", i, 10L))
+    val drift = (0 until 20).map(i => ("drift", i, if (i < 10) 10L else 15L))
+    val spike = (0 until 20).map(i => ("spike", i, if (i == 5) 40L else 10L))
+    val rows = (flat ++ drift ++ spike).toDF("grp", "ord", "n")
+    val out = TimeSeries.cusum(rows, "grp", "ord", "n",
+        target = 10L, slack = 2L, threshold = 12L)
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1)) -> (r.getLong(3), r.getBoolean(4)))
+      .toMap
+    assert((0 until 20).forall(i => !out(("flat", i))._2), "flat never alarms")
+    assert(out(("drift", 14))._2 && out(("drift", 19))._2,
+      s"sustained +3 excess must alarm by ord 14 and stay: $out")
+    assert(!out(("drift", 9))._2, "no alarm before the shift")
+    assert(out(("spike", 5))._1 == 28L && out(("spike", 5))._2,
+      "one +30 excursion trips once (S = 40-12)")
+    assert(!out(("spike", 19))._2 && out(("spike", 19))._1 == 0L,
+      s"S must decay back to 0 after the spike: ${out(("spike", 19))}")
+  }
+
+  test("cusum is partition-independent") {
+    val rows = (0 until 40).map(i =>
+      (s"g${i % 3}", i / 3, (i % 7).toLong)).toDF("grp", "ord", "n")
+    val a = TimeSeries.cusum(rows, "grp", "ord", "n", 3L, 1L, 5L)
+      .orderBy("grp", "ord").collect().toSeq
+    val b = TimeSeries.cusum(rows.repartition(7), "grp", "ord", "n",
+        3L, 1L, 5L)
+      .orderBy("grp", "ord").collect().toSeq
+    assert(a == b)
+  }
 }
