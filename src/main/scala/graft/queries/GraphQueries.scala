@@ -462,6 +462,50 @@ object GraphQueries {
                      AS q_micro
             FROM dt LEFT JOIN ei ON ei.label = dt.label CROSS JOIN mm"""
       },
-      "Newman modularity per LP community (exact counts, 1e9-unit Q)")
+      "Newman modularity per LP community (exact counts, 1e9-unit Q)"),
+
+    // TextRank keyword extraction (Mihalcea & Tarau, EMNLP 2004):
+    // PageRank over the ADJACENT-word co-occurrence graph (window 2,
+    // unweighted, symmetrized — the paper's keyword configuration), the
+    // graph-centrality alternative to t11's tf-idf: a word matters when
+    // it co-occurs with words that matter. Pure composition — the word
+    // graph feeds the SAME fixed-point integer pagerank the purchase
+    // graph does, and the oracle the same unrolled prIter CTEs over a
+    // word-edge base.
+    "t38_textrank" -> QueryDef(
+      (s, dir) => {
+        val w = split(col("text"), " ")
+        val bg = t(s, dir, "documents").filter(size(w) >= 2)
+          .select(explode(zip_with(
+            slice(w, lit(1), size(w) - 1), slice(w, lit(2), size(w) - 1),
+            (a, b) => concat(a, lit(" "), b))).as("bg"))
+          .select(split(col("bg"), " ").getItem(0).as("w1"),
+            split(col("bg"), " ").getItem(1).as("w2"))
+        val edges = bg.select(col("w1").as("src"), col("w2").as("dst"))
+          .unionByName(
+            bg.select(col("w2").as("src"), col("w1").as("dst")))
+          .distinct()
+        Graph.pagerank(edges, iters = Iters)
+          .orderBy(desc("rank"), asc("vertex")).limit(20)
+      },
+      Some(s"""WITH wd AS (SELECT string_split(text, ' ') AS w
+                           FROM documents),
+               bg AS (SELECT unnest([[w[i], w[i+1]]
+                                     for i in generate_series(1, len(w) - 1)])
+                               AS pr
+                      FROM wd WHERE len(w) >= 2),
+               e AS (SELECT DISTINCT pr[1] AS src, pr[2] AS dst FROM bg
+                     UNION SELECT DISTINCT pr[2], pr[1] FROM bg),
+               v AS (SELECT src AS vertex FROM e UNION SELECT dst FROM e),
+               nn AS (SELECT count(*) AS n FROM v),
+               od AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
+               r0 AS (SELECT vertex, CAST(1000000000 AS BIGINT) AS rank
+                      FROM v),
+               ${prIter(1, "r0", "r1")},
+               ${prIter(2, "r1", "r2")},
+               ${prIter(3, "r2", "r3")}
+               SELECT vertex, CAST(rank AS BIGINT) AS rank FROM r3
+               ORDER BY rank DESC, vertex LIMIT 20"""),
+      "TextRank keywords: PageRank over the adjacent-word graph, top 20")
   )
 }

@@ -374,6 +374,19 @@ class GraphSpec extends SparkTestBase {
     assert(q2 == q.sortBy(_.getLong(0)).toSeq, "partition-independent")
   }
 
+  test("TextRank shape: a hub word outranks peripheral words") {
+    import spark.implicits._
+    // Star-shaped co-occurrence: "core" is adjacent to every satellite,
+    // satellites only to core. PageRank over the symmetrized word graph
+    // must put the hub first — the TextRank keyword contract.
+    val bg = (0 until 8).map(i => ("core", s"sat$i"))
+    val edges = (bg ++ bg.map(_.swap)).toDF("src", "dst")
+    val top = Graph.pagerank(edges, iters = 3)
+      .orderBy(desc("rank"), asc("vertex")).limit(1)
+      .collect()(0).getString(0)
+    assert(top == "core", s"hub word must rank first, got $top")
+  }
+
   test("purchase edges are distinct and prefixed; co-purchase canonical") {
     val orders = Tables.ordersLike(spark)
     val lineitem = Tables.lineitemLike(spark)
