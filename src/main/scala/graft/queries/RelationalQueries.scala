@@ -738,6 +738,43 @@ object RelationalQueries {
               FROM sx GROUP BY user_id, session_id"""),
       "conversation assembly: sessions serialized as training documents"),
 
+    // First-order Markov next-event model: per-user lead() pairs (one
+    // window sort, (ts, event_id) total order) -> transition counts ->
+    // row-normalized probabilities in EXACT integer micro-units
+    // ((c*1e6) div row_total — no doubles anywhere). The behavioral
+    // transition matrix that prices "what follows a view?" for session
+    // simulation and next-event prediction.
+    "s7_markov_transitions" -> QueryDef(
+      (s, dir) => {
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        val pairs = t(s, dir, "events")
+          .select(col("user_id"), col("ts"), col("event_id"),
+            col("event_type").as("from_type"),
+            lead(col("event_type"), 1).over(w).as("to_type"))
+          .filter(col("to_type").isNotNull)
+          .groupBy("from_type", "to_type").agg(count(lit(1)).as("n"))
+        val totals = pairs.groupBy("from_type")
+          .agg(sum("n").as("n_from"))
+        pairs.join(totals, Seq("from_type"))
+          .select(col("from_type"), col("to_type"), col("n"), col("n_from"),
+            expr("(n * 1000000L) div n_from").as("p_micro"))
+      },
+      Some("""WITH g AS (
+                SELECT event_type AS from_type,
+                       lead(event_type) OVER (PARTITION BY user_id
+                         ORDER BY epoch_ns(ts), event_id) AS to_type
+                FROM events),
+              c AS (SELECT from_type, to_type,
+                           CAST(count(*) AS BIGINT) AS n
+                    FROM g WHERE to_type IS NOT NULL
+                    GROUP BY from_type, to_type),
+              tot AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS n_from
+                      FROM c GROUP BY from_type)
+              SELECT c.from_type, c.to_type, c.n, tot.n_from,
+                     (c.n * 1000000) // tot.n_from AS p_micro
+              FROM c JOIN tot ON tot.from_type = c.from_type"""),
+      "first-order Markov transition matrix, exact integer probabilities"),
+
     // Spark's declarative session_window (gap-merged event-time sessions)
     // in batch form — same semantics as s1's lag+flag-sum derivation, and
     // the oracle IS that derivation, so the built-in operator is
