@@ -339,6 +339,60 @@ object StreamingAnalytics {
         org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Append())
   }
 
+  final case class CountPoint(key: String, ord: Long, x: Long)
+  final case class CusumPoint(key: String, ord: Long, x: Long,
+      s_stat: Long, is_alarm: Boolean)
+  final case class CusumState(c: Long, c_min: Long, seen: Boolean)
+
+  /** Streaming one-sided CUSUM on TWS `ValueState` — the incremental form
+   * of [[graft.ext.TimeSeries.cusum]]: the batch operator's prefix-sum
+   * identity S_n = C_n − min(0, min_{t≤n} C_t) needs exactly TWO longs
+   * of state per key (the running prefix C and its running minimum), so
+   * the drift detector streams with O(1) state where the windowed batch
+   * form sorts — same integers, and under the monotone-ingest contract
+   * (batches arrive in non-decreasing `ord`; the processor sorts within
+   * a batch) the streamed rows are BIT-IDENTICAL to the batch pass over
+   * the accumulated series, pinned in `StreamingSpec`. */
+  class CusumProcessor(target: Long, slack: Long, threshold: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        String, CountPoint, CusumPoint] {
+    @transient private var st:
+      org.apache.spark.sql.streaming.ValueState[CusumState] = _
+
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      st = getHandle.getValueState[CusumState]("cusum",
+        org.apache.spark.sql.Encoders.product[CusumState],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(key: String, rows: Iterator[CountPoint],
+        tv: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[CusumPoint] = {
+      var s = if (st.exists()) st.get() else CusumState(0L, 0L, false)
+      val out = scala.collection.mutable.ArrayBuffer.empty[CusumPoint]
+      rows.toSeq.sortBy(_.ord).foreach { r =>
+        val c = s.c + (r.x - target - slack)
+        val cMin = if (s.seen) math.min(s.c_min, c) else c
+        val sStat = c - math.min(0L, cMin)
+        out += CusumPoint(key, r.ord, r.x, sStat, sStat > threshold)
+        s = CusumState(c, cMin, seen = true)
+      }
+      st.update(s)
+      out.iterator
+    }
+  }
+
+  /** Streaming CUSUM alarms through `transformWithState` (RocksDB
+   * provider required). Append mode: one row per arriving point. */
+  def cusumAlarms(points: Dataset[CountPoint], target: Long, slack: Long,
+      threshold: Long)(implicit spark: SparkSession): Dataset[CusumPoint] = {
+    import spark.implicits._
+    points
+      .groupByKey(_.key)
+      .transformWithState(new CusumProcessor(target, slack, threshold),
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Append())
+  }
+
   final case class FunnelEvent(user_id: Long, ts: Timestamp, event_type: String)
   final case class FunnelHit(user_id: Long, t_first: Timestamp,
       t_last: Timestamp, n_steps: Int)

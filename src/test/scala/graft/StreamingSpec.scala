@@ -808,6 +808,55 @@ class StreamingSpec extends SparkTestBase {
     }
   }
 
+  test("streaming CUSUM across micro-batches is bit-identical to the " +
+    "batch cusum on the accumulated series") {
+    implicit val s = spark
+    implicit val sqlCtx = spark.sqlContext
+    val prevProvider = spark.conf.getOption(
+      "spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      // the Round8Spec drift series: mean 10 shifting to 15 at ord 10,
+      // split mid-DRIFT across two micro-batches so the alarm decision
+      // depends on state carried over the batch boundary
+      def x(i: Int): Long = if (i < 10) 10L else 15L
+      val input = MemoryStream[StreamingAnalytics.CountPoint]
+      val q = StreamingAnalytics.cusumAlarms(input.toDS(),
+          target = 10L, slack = 2L, threshold = 12L)
+        .writeStream.outputMode("append")
+        .format("memory").queryName("cusum_out").start()
+      input.addData((0 until 12).map(i =>
+        StreamingAnalytics.CountPoint("k", i.toLong, x(i))): _*)
+      q.processAllAvailable()
+      input.addData((12 until 20).map(i =>
+        StreamingAnalytics.CountPoint("k", i.toLong, x(i))): _*)
+      q.processAllAvailable()
+      q.stop()
+
+      val streamed = spark.table("cusum_out")
+        .select($"key", $"ord", $"x", $"s_stat", $"is_alarm")
+        .orderBy($"ord").collect().toSeq
+      val batch = graft.ext.TimeSeries.cusum(
+          (0 until 20).map(i => ("k", i.toLong, x(i))).toDF("key", "ord", "x"),
+          "key", "ord", "x", target = 10L, slack = 2L, threshold = 12L)
+        .orderBy($"ord").collect().toSeq
+      assert(streamed.map(_.toString) == batch.map(_.toString),
+        s"streamed:\n${streamed.mkString("\n")}\nbatch:\n${batch.mkString("\n")}")
+      // +3 excess/step from ord 10: S first exceeds 12 at ord 14 —
+      // a decision that depends on state carried over the batch boundary
+      assert(streamed.filter(_.getBoolean(4)).map(_.getLong(1)).min == 14L,
+        s"alarm onset: ${streamed.mkString("\n")}")
+    } finally {
+      prevProvider match {
+        case Some(p) => spark.conf.set(
+          "spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset(
+          "spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("transformWithState running stats accumulate across micro-batches") {
     implicit val s = spark
     implicit val sqlCtx = spark.sqlContext
