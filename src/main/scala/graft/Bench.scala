@@ -302,6 +302,9 @@ object Bench {
         // selection — the corpus-scale text/selection ops get at-scale
         // numbers from day one
         "t16_bigram_xent", "sp12_dsir_weights",
+        // round-8 session 3: interpolated Kneser-Ney — the same two-corpus
+        // CCNet shape as t16 plus the continuation-count model aggs
+        "t30_kneser_ney",
         // round-7 additions: Gopher repetition panel (corpus-scale n-gram
         // aggs + coverage expansion) and frozen-table BPE tokenization
         // (pure narrow projection — its number is the codegen'd
@@ -616,6 +619,17 @@ object Bench {
               // k-th distance
               k = 5, topN = 20, scoreCol = "dist_q",
               higherIsCloser = false))) :+
+        // round-8 session 3: LOF over the SAME whole-corpus index search —
+        // the density-normalized outlier cut in its compositional scale
+        // form (three keyed joins + two hash-aggs on the k-bounded
+        // relation; the 20k² brute grid is what it avoids)
+        ("ann_n25_lof_ivfpq" ->
+          ((ps: org.apache.spark.sql.SparkSession) =>
+            graft.ext.Similarity.lofFrom(
+              graft.ext.Dedup.materialize(graft.ext.AnnIndex.searchIvfPq(
+                ps.read.parquet(s"$dir10/embeddings.parquet"),
+                ps, idxDir, 5)),
+              k = 5, topN = 20, distQCol = Some("dist_q")))) :+
         // residual +R: codes-only retrieval from the 40x-smaller residual
         // index, exact re-rank joining the candidates back to the SOURCE
         // embeddings table (no raw-vector copy at rest — the wide column
@@ -815,7 +829,34 @@ object Bench {
             graft.ext.Graph.coPurchaseEdges(
               ps.read.parquet(s"$dir10/lineitem.parquet")
                 .filter(col("l_quantity") >= 40)),
-            iters = 2))),
+            iters = 2)),
+        // round-8 session 3: semi-naive closure over the 10× part forest
+        // (10× roots, same depth — the frontier shrinks per round; walls
+        // price the per-round join+distinct+anti-join at 10× frontier
+        // width times ~6 rounds)
+        "graph8_reachability" -> ((ps: org.apache.spark.sql.SparkSession) =>
+          graft.ext.Graph.reachability(
+            ps.read.parquet(s"$dir10/part.parquet").select(
+              floor(col("p_partkey") / 4).cast("long").as("parent"),
+              col("p_partkey").cast("long").as("child"))
+              .filter(col("parent") >= 1))),
+        // HITS at 10× purchase graph: two edge-joins + two hash-aggs +
+        // two broadcast maxima per round, 2 rounds
+        "graph9_hits" -> ((ps: org.apache.spark.sql.SparkSession) =>
+          graft.ext.Graph.hits(
+            graft.ext.Graph.purchaseEdges(
+              ps.read.parquet(s"$dir10/orders.parquet"),
+              ps.read.parquet(s"$dir10/lineitem.parquet")),
+            iters = 2)),
+        // modularity of the 10× LP partition: LP's three exchanges/round
+        // plus one degree agg + one double label join on the edges
+        "graph10_modularity" -> ((ps: org.apache.spark.sql.SparkSession) => {
+          val ed = graft.ext.Graph.coPurchaseEdges(
+            ps.read.parquet(s"$dir10/lineitem.parquet")
+              .filter(col("l_quantity") >= 40))
+          graft.ext.Graph.modularity(ed,
+            graft.ext.Graph.labelAssignments(ed, iters = 2))
+        })),
         setup = ps => {
           val o = ps.read.parquet(s"$sfDir/orders.parquet")
             .select("o_orderkey", "o_custkey")
@@ -839,6 +880,17 @@ object Bench {
             .reduce(_ unionByName _)
             .repartition(16).write.mode("overwrite")
             .parquet(s"$dir10/lineitem.parquet")
+          // part keys for graph8's forest: 10 strided replicas widen the
+          // key range 10× and the p//4 forest re-derives over it — 10×
+          // the vertices at depth +log4(10), the closure scaling target
+          val pt = ps.read.parquet(s"$sfDir/part.parquet")
+            .select("p_partkey")
+          val ptStride = maxIdOrZero(pt, "p_partkey") + 1L
+          (0 until 10).map(k => pt.select(
+            (col("p_partkey") + lit(k * ptStride)).as("p_partkey")))
+            .reduce(_ unionByName _)
+            .repartition(8).write.mode("overwrite")
+            .parquet(s"$dir10/part.parquet")
         })
       (walls.toList, ratios.toList, rawSamples.toList, nDocs, nVecs)
     }

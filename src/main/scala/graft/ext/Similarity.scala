@@ -185,10 +185,14 @@ object Similarity {
    * (any recall loss degrades the DIAGNOSTIC smoothly — LOF only reads
    * the relation it is given). Output: top-`topN` by (lof DESC, vec_id):
    * (vec_id, kdist_q, lrd_q, lof). */
-  def lofFrom(knn: DataFrame, k: Int, topN: Int): DataFrame = {
-    // 4-decimal cosine distance as an exact integer: sim is already
-    // round(·, 4), so (1 − sim)·1e4 recovers the integer exactly.
-    val dQ = round((lit(1.0) - col("sim")) * lit(1e4), 0).cast("long")
+  def lofFrom(knn: DataFrame, k: Int, topN: Int,
+      distQCol: Option[String] = None): DataFrame = {
+    // LOF consumes integer DISTANCES: by default the 4-decimal cosine
+    // distance recovered exactly from the relation's round(·, 4) `sim`;
+    // an AnnIndex search passes its own ADC integer distance column
+    // (`distQCol = Some("dist_q")`) — same math, index-scale source.
+    val dQ = distQCol.map(col).getOrElse(
+      round((lit(1.0) - col("sim")) * lit(1e4), 0).cast("long"))
     val kd = knn.filter(col("rank") === k)
       .select(col("q_id").as("id"), dQ.as("kdist_q"))
     val reach = knn
