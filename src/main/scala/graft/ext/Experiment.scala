@@ -1,0 +1,89 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Experimentation analytics: variance-reduced A/B readouts over the
+ * event stream. Reference scope: the dashboard layer's aggregate
+ * analytics (`/root/reference/dashbord/dashbord.py`) reads counts and
+ * distributions; an experimentation readout is the same scan shape with
+ * a pre-period covariate folded in.
+ */
+object Experiment {
+
+  /** CUPED variance reduction (Deng, Xu, Kohavi & Walker, WSDM 2013 —
+   * "Improving the Sensitivity of Online Controlled Experiments by
+   * Utilizing Pre-Experiment Data"): adjust each user's experiment-period
+   * metric y by their PRE-period metric x,
+   *
+   *   θ        = cov(x, y) / var(x)          (pooled, as published)
+   *   y_cuped  = y − θ·(x − mean(x))
+   *
+   * which removes the x-explained variance component (1 − ρ²) and leaves
+   * every arm's MEAN unbiased (the θ·mean-centering cancels in
+   * expectation). The experiment split point is self-calibrating — the
+   * midpoint of the observed time range — so the operator has no
+   * data-dependent constants to tune.
+   *
+   * Determinism: per-event values centi-quantize to BIGINT
+   * (`floor(100·v + 0.5)`), so every per-user x/y and every pooled sum
+   * (Σx, Σy, Σx², Σxy) is an exact integer; θ and the arm means are
+   * fixed-shape double expressions over those exact sums (n·Σxy − Σx·Σy
+   * over n·Σx² − Σx·Σx, each product taken AFTER the int→double
+   * conversion so nothing overflows and both engines round identically).
+   * Arms derive as `user_id % 2` — the deterministic hash-assignment
+   * stand-in for a real arm column.
+   *
+   * Scale shape: one scan + crossJoin of the broadcast 1-row midpoint,
+   * ONE user-grain conditional agg (pre/post in the same pass — no
+   * second scan, no join of two period aggregates), one 1-row pooled
+   * agg, one arm-grain agg. Everything after the user grain is
+   * arm-cardinality-sized. Output: (arm, n_users, mean_y, mean_y_cuped,
+   * theta) — mean_y in the value column's units, rounded to 6. */
+  def cuped(events: DataFrame, userCol: String = "user_id",
+      tsCol: String = "ts", valCol: String = "value"): DataFrame = {
+    val vQ = floor(col(valCol) * lit(100) + lit(0.5)).cast("long")
+    // integer midpoint — a double (min+max)/2 would round off nanosecond
+    // epochs (3.4e18 needs 62 mantissa bits)
+    val mid = events.agg(
+      expr(s"(min($tsCol) + max($tsCol)) div 2").as("t_mid"))
+    val users = Dedup.materialize(
+      events.crossJoin(broadcast(mid))
+        .groupBy(col(userCol).as("user"))
+        .agg(
+          sum(when(col(tsCol) < col("t_mid"), vQ).otherwise(lit(0L)))
+            .as("x"),
+          sum(when(col(tsCol) >= col("t_mid"), vQ).otherwise(lit(0L)))
+            .as("y")))
+    val pooled = users.agg(
+      count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+      sum(col("x") * col("x")).as("sxx"),
+      sum(col("x") * col("y")).as("sxy"))
+    // θ and mean(x) as fixed-shape doubles over the exact pooled sums;
+    // a zero variance (every user identical in the pre-period) degrades
+    // to θ = 0, i.e. the unadjusted readout, rather than NaN.
+    val theta = when(
+      col("n").cast("double") * col("sxx") -
+        col("sx").cast("double") * col("sx") === 0.0, lit(0.0))
+      .otherwise(
+        (col("n").cast("double") * col("sxy") -
+          col("sx").cast("double") * col("sy")) /
+        (col("n").cast("double") * col("sxx") -
+          col("sx").cast("double") * col("sx")))
+    users
+      .groupBy(pmod(col("user"), lit(2L)).as("arm"))
+      .agg(count(lit(1)).as("n_users"),
+        sum("x").as("asx"), sum("y").as("asy"))
+      .crossJoin(broadcast(pooled.select(
+        col("n"), col("sx"), theta.as("th"))))
+      .select(col("arm"), col("n_users"),
+        round(col("asy").cast("double") / col("n_users") / lit(100.0), 6)
+          .as("mean_y"),
+        round((col("asy").cast("double") / col("n_users") -
+          col("th") * (col("asx").cast("double") / col("n_users") -
+            col("sx").cast("double") / col("n"))) / lit(100.0), 6)
+          .as("mean_y_cuped"),
+        round(col("th"), 6).as("theta"))
+  }
+}

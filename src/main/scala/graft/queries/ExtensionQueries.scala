@@ -4181,6 +4181,56 @@ object ExtensionQueries {
       },
       "Count-Min sketch estimates vs exact counts for the top-20 tokens"),
 
+    // CUPED variance-reduced A/B readout (Deng, Xu, Kohavi & Walker,
+    // WSDM 2013): adjust each user's experiment-period metric by their
+    // pre-period covariate (θ = cov/var, pooled), self-calibrating
+    // midpoint split, arms = user_id % 2. Centi-quantized per-event
+    // values make every pooled sum an exact BIGINT; θ and the arm means
+    // are fixed-shape doubles over those sums.
+    "ab1_cuped" -> QueryDef(
+      (s, dir) => graft.ext.Experiment.cuped(t(s, dir, "events")),
+      Some("""WITH ev AS (SELECT user_id, epoch_ns(ts) AS tn,
+                     CAST(floor(value * 100 + 0.5) AS BIGINT) AS vq
+                     FROM events),
+              mid AS (SELECT (min(tn) + max(tn)) // 2 AS t_mid FROM ev),
+              u AS (SELECT user_id AS usr,
+                           CAST(sum(CASE WHEN tn < t_mid THEN vq
+                                         ELSE 0 END) AS BIGINT) AS x,
+                           CAST(sum(CASE WHEN tn >= t_mid THEN vq
+                                         ELSE 0 END) AS BIGINT) AS y
+                    FROM ev CROSS JOIN mid GROUP BY user_id),
+              p AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                           CAST(sum(x) AS BIGINT) AS sx,
+                           CAST(sum(y) AS BIGINT) AS sy,
+                           CAST(sum(x * x) AS BIGINT) AS sxx,
+                           CAST(sum(x * y) AS BIGINT) AS sxy
+                    FROM u),
+              th AS (SELECT n, sx,
+                            CASE WHEN CAST(n AS DOUBLE) * sxx
+                                        - CAST(sx AS DOUBLE) * sx = 0.0e0
+                                 THEN 0.0e0
+                                 ELSE (CAST(n AS DOUBLE) * sxy
+                                         - CAST(sx AS DOUBLE) * sy)
+                                      / (CAST(n AS DOUBLE) * sxx
+                                         - CAST(sx AS DOUBLE) * sx)
+                            END AS th
+                     FROM p),
+              a AS (SELECT usr % 2 AS arm,
+                           CAST(count(*) AS BIGINT) AS n_users,
+                           CAST(sum(x) AS BIGINT) AS asx,
+                           CAST(sum(y) AS BIGINT) AS asy
+                    FROM u GROUP BY usr % 2)
+              SELECT arm, n_users,
+                     round(CAST(asy AS DOUBLE) / n_users / 100.0e0, 6)
+                       AS mean_y,
+                     round((CAST(asy AS DOUBLE) / n_users
+                            - th * (CAST(asx AS DOUBLE) / n_users
+                                    - CAST(sx AS DOUBLE) / n)) / 100.0e0, 6)
+                       AS mean_y_cuped,
+                     round(th, 6) AS theta
+              FROM a CROSS JOIN th"""),
+      "CUPED variance-reduced A/B readout (pooled theta, exact sums)"),
+
     // Join-size pre-flight from sketches alone (AMS/CMS inner product):
     // |orders JOIN customer| estimated from the two key sketches beside
     // the exact size — never an underestimate, computed without the

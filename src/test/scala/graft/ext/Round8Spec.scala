@@ -850,6 +850,35 @@ class Round8Spec extends SparkTestBase {
       s"S must decay back to 0 after the spike: ${out(("spike", 19))}")
   }
 
+  test("CUPED: removes covariate imbalance exactly when y tracks x; " +
+      "zero pre-variance degrades to the raw readout") {
+    // y = x for every user and x is arm-imbalanced (odd users, arm 1,
+    // have systematically larger pre-period x): the RAW arm means differ
+    // by construction, but θ = 1 exactly, so the CUPED means must
+    // coincide — the covariate-imbalance removal, isolated.
+    def ev(u: Long, ts: Long, v: Double) = (ts, u, v)
+    val rows = (0L until 20L).flatMap { u =>
+      val x = 10.0 * (u + 1)
+      Seq(ev(u, u, x), ev(u, 1000L + u, x))
+    }.toDF("ts", "user_id", "value")
+    val r = Experiment.cuped(rows)
+      .collect().map(x => x.getLong(0) ->
+        (x.getDouble(2), x.getDouble(3), x.getDouble(4))).toMap
+    assert(r(0L)._1 != r(1L)._1, s"raw means must show the imbalance: $r")
+    assert(r(0L)._3 == 1.0 && r(1L)._3 == 1.0, s"theta must be 1: $r")
+    assert(math.abs(r(0L)._2 - r(1L)._2) < 1e-6,
+      s"CUPED means must coincide when y = x: $r")
+
+    // constant pre-period -> var(x) = 0 -> θ = 0 and CUPED = raw
+    val flat = (0L until 10L).flatMap { u =>
+      Seq(ev(u, u, 7.0), ev(u, 1000L + u, (u % 3).toDouble))
+    }.toDF("ts", "user_id", "value")
+    val f = Experiment.cuped(flat).collect()
+    assert(f.forall(_.getDouble(4) == 0.0), "theta must degrade to 0")
+    assert(f.forall(x => x.getDouble(2) == x.getDouble(3)),
+      "CUPED must equal the raw mean under zero pre-variance")
+  }
+
   test("cusum is partition-independent") {
     val rows = (0 until 40).map(i =>
       (s"g${i % 3}", i / 3, (i % 7).toLong)).toDF("grp", "ord", "n")
