@@ -223,4 +223,42 @@ object Profile {
       .crossJoin(pass.agg(count(lit(1)).as("files_bloom_pass")))
       .crossJoin(hit.agg(count(lit(1)).as("files_true_hit")))
   }
+
+  /** Benford's-law expected first-digit shares in exact 1e6 units —
+   * PRE-quantized Scala constants (floor(log10(1 + 1/d)·1e6 + 0.5)), so
+   * the oracle inlines the identical nine integers instead of trusting
+   * two libms to round log10 the same way. */
+  val BenfordMicro: Seq[(Int, Long)] = (1 to 9).map(d =>
+    d -> math.floor(math.log10(1.0 + 1.0 / d) * 1e6 + 0.5).toLong)
+
+  /** Benford first-digit audit of a positive numeric column — the
+   * fabricated-data / unit-mixup tripwire (naturally occurring
+   * multiplicative magnitudes follow P(d) = log10(1 + 1/d); uniform
+   * synthetic fills, capped fields, and unit mixups do not). The first
+   * digit derives through STRING arithmetic on the truncated integer
+   * part (never `floor(log10 v)`, whose ulp at exact powers of ten can
+   * flip the digit cross-engine); rows with integer part 0 are excluded
+   * (their leading digit lives below the decimal point). Shares are
+   * exact integer micro-units ((n·1e6) div total); the expected shares
+   * are the pre-quantized [[BenfordMicro]] constants; `dev_micro` the
+   * absolute gap. One scan + one 9-bucket agg.
+   * Output: (digit, n, share_micro, expected_micro, dev_micro). */
+  def benfordAudit(df: DataFrame, valCol: String): DataFrame = {
+    val session = df.sparkSession
+    import session.implicits._
+    val expected = broadcast(
+      BenfordMicro.toDF("digit", "expected_micro"))
+    val digits = df
+      .filter(col(valCol) >= 1)
+      .select(substring(floor(col(valCol)).cast("long").cast("string"),
+        1, 1).cast("int").as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("n"))
+    val total = digits.agg(sum("n").as("total"))
+    digits.crossJoin(broadcast(total))
+      .select(col("digit"), col("n"),
+        expr("(n * 1000000L) div total").as("share_micro"))
+      .join(expected, Seq("digit"))
+      .withColumn("dev_micro",
+        abs(col("share_micro") - col("expected_micro")))
+  }
 }

@@ -4181,6 +4181,35 @@ object ExtensionQueries {
       },
       "Count-Min sketch estimates vs exact counts for the top-20 tokens"),
 
+    // Benford first-digit audit: the fabricated-data / unit-mixup
+    // tripwire. First digits via string arithmetic on the truncated
+    // integer part (never floor(log10) — its ulp at powers of ten can
+    // flip digits cross-engine); expected shares are PRE-quantized
+    // Scala constants inlined into both plans, so no libm is trusted.
+    "dq8_benford" -> QueryDef(
+      (s, dir) => graft.ext.Profile.benfordAudit(
+        t(s, dir, "lineitem"), "l_extendedprice"),
+      Some {
+        val exp = graft.ext.Profile.BenfordMicro
+          .map { case (d, m) => s"($d, $m)" }.mkString(", ")
+        s"""WITH d AS (SELECT CAST(substring(CAST(CAST(floor(
+                         l_extendedprice) AS BIGINT) AS VARCHAR), 1, 1)
+                         AS INTEGER) AS digit
+                       FROM lineitem WHERE l_extendedprice >= 1),
+            c AS (SELECT digit, CAST(count(*) AS BIGINT) AS n
+                  FROM d GROUP BY digit),
+            tt AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM c),
+            ex(digit, em) AS (VALUES $exp)
+            SELECT c.digit, c.n,
+                   CAST((c.n * 1000000) // tt.total AS BIGINT)
+                     AS share_micro,
+                   CAST(ex.em AS BIGINT) AS expected_micro,
+                   CAST(abs((c.n * 1000000) // tt.total - ex.em) AS BIGINT)
+                     AS dev_micro
+            FROM c CROSS JOIN tt JOIN ex ON ex.digit = c.digit"""
+      },
+      "Benford first-digit audit of extended price (pre-quantized law)"),
+
     // CUPED variance-reduced A/B readout (Deng, Xu, Kohavi & Walker,
     // WSDM 2013): adjust each user's experiment-period metric by their
     // pre-period covariate (θ = cov/var, pooled), self-calibrating

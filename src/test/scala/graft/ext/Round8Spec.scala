@@ -879,6 +879,29 @@ class Round8Spec extends SparkTestBase {
       "CUPED must equal the raw mean under zero pre-variance")
   }
 
+  test("Benford audit: geometric data hugs the law, uniform data flags; " +
+      "power-of-ten boundaries keep exact digits") {
+    // 1.5^k spans magnitudes multiplicatively -> near-Benford; uniform
+    // 100..999 puts every digit at ~1/9 (111111 micro) -> digit 1
+    // deviates by ~190k micro. Exact powers of ten (10, 100, 1000) must
+    // land on digit 1 — the floor(log10) ulp trap the string path avoids.
+    val geo = (0 until 200).map(k => math.pow(1.5, (k % 40) + 1))
+      .toDF("v")
+    val g = Profile.benfordAudit(geo, "v")
+      .collect().map(r => r.getInt(0) -> r.getLong(4)).toMap
+    assert(g(1) < 60000L, s"geometric digit-1 deviation must be small: $g")
+    val uni = (100 until 1000).map(_.toDouble).toDF("v")
+    val u = Profile.benfordAudit(uni, "v")
+      .collect().map(r => r.getInt(0) -> (r.getLong(2), r.getLong(4))).toMap
+    assert(u(1)._1 == 111111L && u(1)._2 > 150000L,
+      s"uniform data must deviate on digit 1: $u")
+    val pow = Seq(10.0, 100.0, 1000.0, 0.5, 9.999).toDF("v")
+    val p = Profile.benfordAudit(pow, "v")
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(p == Map(1 -> 3L, 9 -> 1L),
+      s"powers of ten are digit 1, sub-1 rows drop, 9.999 is digit 9: $p")
+  }
+
   test("cusum is partition-independent") {
     val rows = (0 until 40).map(i =>
       (s"g${i % 3}", i / 3, (i % 7).toLong)).toDF("grp", "ord", "n")
