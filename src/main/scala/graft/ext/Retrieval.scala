@@ -384,6 +384,59 @@ object Retrieval {
    * already cut), `gold` |Q|·rel — both query-grain. One semi-join
    * (gold broadcast when dims allow), two hash-aggs, everything
    * downstream query-count-sized. Nothing corpus-grain. */
+  /** Per-item rank-biased-overlap weights in exact 1e9 units: an item
+   * whose worse rank across the two lists is `m` contributes
+   * W(m) = Σ_{d=m..k} (1−p)·p^{d−1}/d to truncated RBO@k. Pre-quantized
+   * Scala constants (the Benford discipline) — both engines join the
+   * identical integers instead of each summing a geometric tail. */
+  def rboWeightsMicro(k: Int, p: Double): Seq[(Int, Long)] =
+    (1 to k).map { m =>
+      val w = (m to k).map(d => (1 - p) * math.pow(p, d - 1) / d).sum
+      m -> math.floor(w * 1e9 + 0.5).toLong
+    }
+
+  /** Truncated rank-biased overlap RBO@k (Webber, Moffat & Zobel, TOIS
+   * 2010) between two top-k rankings of the same query set — the
+   * top-weighted similarity measure for comparing a cheap ranking
+   * against an expensive one (IVF-PQ vs brute force, truncated-dim
+   * proxy vs full embedding): unlike [[Similarity]]-style set recall it
+   * penalizes a disagreement at rank 1 far more than one at rank k.
+   *
+   *   RBO@k = (1−p) Σ_{d=1..k} p^{d−1} · |A_{≤d} ∩ B_{≤d}| / d
+   *
+   * re-grouped PER ITEM: an item shared by both lists with worse rank
+   * m = max(r_A, r_B) is inside the overlap for every depth d ≥ m, so it
+   * contributes the closed tail W(m) — a [[rboWeightsMicro]] constant —
+   * and the whole measure collapses to ONE integer sum of joined
+   * constants: no per-depth pass, no doubles, bit-replayable anywhere.
+   * Truncated form (no extrapolation term — documented; identical lists
+   * score Σ_d W(d) = 1 − p^k up to quantization). Queries with empty
+   * intersection emit 0. Scale shape: one (q_id, n_id) equi-join of two
+   * k-bounded relations + a broadcast 10-row weight join + one hash-agg.
+   * Output: (q_id, n_shared, rbo_micro). */
+  def rbo(a: DataFrame, b: DataFrame, k: Int,
+      p: Double = 0.9): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(p > 0 && p < 1, s"p must be in (0,1), got $p")
+    val session = a.sparkSession
+    import session.implicits._
+    val wts = broadcast(rboWeightsMicro(k, p).toDF("m", "w_micro"))
+    val shared = a.filter(col("rank") <= k)
+      .select(col("q_id"), col("n_id"), col("rank").as("ra"))
+      .join(b.filter(col("rank") <= k)
+        .select(col("q_id"), col("n_id"), col("rank").as("rb")),
+        Seq("q_id", "n_id"))
+      .select(col("q_id"), greatest(col("ra"), col("rb")).as("m"))
+      .join(wts, Seq("m"))
+      .groupBy("q_id")
+      .agg(count(lit(1)).as("n_shared"), sum("w_micro").as("rbo_micro"))
+    a.select("q_id").distinct()
+      .join(shared, Seq("q_id"), "left")
+      .select(col("q_id"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+        coalesce(col("rbo_micro"), lit(0L)).as("rbo_micro"))
+  }
+
   def rankEval(ranking: DataFrame, gold: DataFrame, k: Int): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     val discount = (r: Column) =>

@@ -4500,6 +4500,57 @@ object ExtensionQueries {
                LEFT JOIN perq p USING (q_id)"""),
       "ranking eval: hits/recall/MRR/nDCG@10 vs label-match gold"),
 
+    // Truncated rank-biased overlap RBO@10 (Webber et al. 2010) between
+    // the full-embedding brute ranking and the 32-dim TRUNCATED proxy
+    // ranking — the Matryoshka-style "how much retrieval quality does
+    // dimension truncation cost, rank-sensitively" eval that set recall
+    // (n5) cannot express. The per-item regrouping collapses RBO to one
+    // integer sum of pre-quantized tail weights joined on
+    // max(rank_a, rank_b) — no doubles anywhere in either engine.
+    "t39_rbo" -> QueryDef(
+      (s, dir) => {
+        graft.functions.GraftFunctions.register(s)
+        val emb = t(s, dir, "embeddings")
+        val full = Similarity.knnBrute(
+          emb.filter(col("vec_id") < 10), emb, 10)
+        val sliced = emb.select(col("vec_id"),
+          slice(col("embedding"), 1, 32).as("embedding"))
+        val proxy = Similarity.knnBrute(
+          sliced.filter(col("vec_id") < 10), sliced, 10)
+        Retrieval.rbo(full, proxy, 10)
+      },
+      Some {
+        val wts = Retrieval.rboWeightsMicro(10, 0.9)
+          .map { case (m, w) => s"($m, $w)" }.mkString(", ")
+        def ranked(src: String, emb: String, out: String): String =
+          s"""$out AS (SELECT q_id, n_id,
+                              CAST(row_number() OVER (PARTITION BY q_id
+                                ORDER BY sim DESC, n_id) AS INTEGER) AS rank
+                       FROM (SELECT a.vec_id AS q_id, b.vec_id AS n_id,
+                                    ${sqlCos(s"a.$emb", s"b.$emb")} AS sim
+                             FROM $src a JOIN $src b
+                               ON a.vec_id <> b.vec_id
+                             WHERE a.vec_id < 10))"""
+        s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS emb,
+                              (embedding[1:32])::DOUBLE[] AS emb32
+                       FROM embeddings),
+            ${ranked("v", "emb", "ra")},
+            ${ranked("v", "emb32", "rb")},
+            w(m, w_micro) AS (VALUES $wts),
+            shared AS (SELECT ra.q_id,
+                              greatest(ra.rank, rb.rank) AS m
+                       FROM ra JOIN rb USING (q_id, n_id)
+                       WHERE ra.rank <= 10 AND rb.rank <= 10),
+            agg AS (SELECT s.q_id, CAST(count(*) AS BIGINT) AS n_shared,
+                           CAST(sum(w.w_micro) AS BIGINT) AS rbo_micro
+                    FROM shared s JOIN w ON w.m = s.m GROUP BY s.q_id)
+            SELECT q.q_id, coalesce(a.n_shared, 0) AS n_shared,
+                   coalesce(a.rbo_micro, 0) AS rbo_micro
+            FROM (SELECT DISTINCT q_id FROM ra) q
+            LEFT JOIN agg a USING (q_id)"""
+      },
+      "RBO@10: full vs 32-dim-truncated embedding rankings (integer-exact)"),
+
     "sp2_seq_pack" -> QueryDef(
       (s, dir) => graft.ext.Sampling.packSequences(
         t(s, dir, "documents").select(col("doc_id"),

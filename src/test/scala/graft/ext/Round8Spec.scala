@@ -902,6 +902,30 @@ class Round8Spec extends SparkTestBase {
       s"powers of ten are digit 1, sub-1 rows drop, 9.999 is digit 9: $p")
   }
 
+  test("RBO: identical lists score the exact truncated mass; top " +
+      "disagreements cost more than tail ones; disjoint lists score 0") {
+    def rk(q: Long, ids: Seq[Long]) =
+      ids.zipWithIndex.map { case (n, i) => (q, n, i + 1) }
+    val base = rk(0L, 1L to 10L)
+    val a = base.toDF("q_id", "n_id", "rank")
+    // swap OUT rank 1 vs swap out rank 10 (replace with an unshared id)
+    val swapTop = rk(0L, 99L +: (2L to 10L)).toDF("q_id", "n_id", "rank")
+    val swapTail = rk(0L, (1L to 9L) :+ 99L).toDF("q_id", "n_id", "rank")
+    val ident = Retrieval.rbo(a, a, 10).collect()(0)
+    val exact = Retrieval.rboWeightsMicro(10, 0.9).map(_._2).sum
+    assert(ident.getLong(1) == 10L && ident.getLong(2) == exact,
+      s"identical lists must score the exact truncated mass: $ident")
+    val top = Retrieval.rbo(a, swapTop, 10).collect()(0).getLong(2)
+    val tail = Retrieval.rbo(a, swapTail, 10).collect()(0).getLong(2)
+    assert(top < tail,
+      s"a rank-1 disagreement must cost more than a rank-10 one: " +
+        s"$top vs $tail")
+    val disjoint = rk(0L, 11L to 20L).toDF("q_id", "n_id", "rank")
+    val z = Retrieval.rbo(a, disjoint, 10).collect()(0)
+    assert(z.getLong(1) == 0L && z.getLong(2) == 0L,
+      s"disjoint lists must appear with 0: $z")
+  }
+
   test("cusum is partition-independent") {
     val rows = (0 until 40).map(i =>
       (s"g${i % 3}", i / 3, (i % 7).toLong)).toDF("grp", "ord", "n")
