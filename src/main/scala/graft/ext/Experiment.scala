@@ -86,4 +86,32 @@ object Experiment {
           .as("mean_y_cuped"),
         round(col("th"), 6).as("theta"))
   }
+
+  /** Sample-ratio-mismatch guardrail (the first check any experiment
+   * readout must pass — Fabijan et al., "Diagnosing Sample Ratio
+   * Mismatch", KDD 2019): a Pearson χ² of the observed arm counts
+   * against the intended 50/50 split. An SRM means the assignment or
+   * logging pipeline is broken and EVERY downstream metric (including
+   * [[cuped]]'s) is untrustworthy — which is why the flag rides the
+   * same readout rather than living in a notebook. Counts are exact
+   * BIGINTs (users counted once each, first-seen arm); χ² is one
+   * fixed-shape double over them; the 3.841 cutoff (95th percentile of
+   * χ²₁) is a literal both plans share. One user-grain distinct + one
+   * 2-row agg. Output: (n_arm0, n_arm1, chi2, srm_flag). */
+  def srmCheck(events: DataFrame, userCol: String = "user_id"): DataFrame =
+    events.select(col(userCol).as("user")).distinct()
+      .agg(
+        sum(when(pmod(col("user"), lit(2L)) === 0L, 1L).otherwise(0L))
+          .as("n_arm0"),
+        sum(when(pmod(col("user"), lit(2L)) === 1L, 1L).otherwise(0L))
+          .as("n_arm1"))
+      .select(col("n_arm0"), col("n_arm1"),
+        round(
+          (col("n_arm0").cast("double") -
+            (col("n_arm0") + col("n_arm1")).cast("double") / 2) *
+          (col("n_arm0").cast("double") -
+            (col("n_arm0") + col("n_arm1")).cast("double") / 2) /
+            ((col("n_arm0") + col("n_arm1")).cast("double") / 2) * 2, 6)
+          .as("chi2"))
+      .withColumn("srm_flag", col("chi2") > lit(3.841))
 }

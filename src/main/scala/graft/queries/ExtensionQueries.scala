@@ -4260,6 +4260,37 @@ object ExtensionQueries {
               FROM a CROSS JOIN th"""),
       "CUPED variance-reduced A/B readout (pooled theta, exact sums)"),
 
+    // Sample-ratio-mismatch guardrail (Fabijan et al. 2019): Pearson χ²
+    // of observed arm counts vs the intended 50/50 — the first check any
+    // experiment readout must pass; an SRM invalidates every downstream
+    // metric including ab1's. For two arms the statistic collapses to
+    // 2·(n0−E)²/E, one fixed-shape double over exact counts.
+    "ab2_srm" -> QueryDef(
+      (s, dir) => graft.ext.Experiment.srmCheck(t(s, dir, "events")),
+      Some("""WITH u AS (SELECT DISTINCT user_id FROM events),
+              c AS (SELECT CAST(sum(CASE WHEN user_id % 2 = 0
+                                         THEN 1 ELSE 0 END) AS BIGINT)
+                             AS n_arm0,
+                           CAST(sum(CASE WHEN user_id % 2 = 1
+                                         THEN 1 ELSE 0 END) AS BIGINT)
+                             AS n_arm1
+                    FROM u)
+              SELECT n_arm0, n_arm1,
+                     round((CAST(n_arm0 AS DOUBLE)
+                              - CAST(n_arm0 + n_arm1 AS DOUBLE) / 2)
+                           * (CAST(n_arm0 AS DOUBLE)
+                              - CAST(n_arm0 + n_arm1 AS DOUBLE) / 2)
+                           / (CAST(n_arm0 + n_arm1 AS DOUBLE) / 2) * 2, 6)
+                       AS chi2,
+                     (round((CAST(n_arm0 AS DOUBLE)
+                              - CAST(n_arm0 + n_arm1 AS DOUBLE) / 2)
+                           * (CAST(n_arm0 AS DOUBLE)
+                              - CAST(n_arm0 + n_arm1 AS DOUBLE) / 2)
+                           / (CAST(n_arm0 + n_arm1 AS DOUBLE) / 2) * 2, 6)
+                       > 3.841e0) AS srm_flag
+              FROM c"""),
+      "sample-ratio-mismatch chi-square guardrail over distinct users"),
+
     // Join-size pre-flight from sketches alone (AMS/CMS inner product):
     // |orders JOIN customer| estimated from the two key sketches beside
     // the exact size — never an underestimate, computed without the

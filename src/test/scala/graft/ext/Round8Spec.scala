@@ -926,6 +926,22 @@ class Round8Spec extends SparkTestBase {
       s"disjoint lists must appear with 0: $z")
   }
 
+  test("SRM: balanced arms pass, a 60/40 split at n=1000 flags") {
+    // users 0..999 -> exactly 500/500, chi2 = 0; dropping 100 even users
+    // (the "arm-0 logging loss" failure mode) -> 400/500, chi2 ~ 11.1
+    def evs(users: Seq[Long]) =
+      users.map(u => (u, u)).toDF("user_id", "ts")
+    val ok = Experiment.srmCheck(evs(0L until 1000L)).collect()(0)
+    assert(ok.getLong(0) == 500L && ok.getDouble(2) == 0.0 &&
+      !ok.getBoolean(3), s"balanced arms must pass: $ok")
+    val bad = Experiment.srmCheck(
+      evs((0L until 1000L).filterNot(u => u % 2 == 0 && u < 200L)))
+      .collect()(0)
+    assert(bad.getLong(0) == 400L && bad.getLong(1) == 500L &&
+      bad.getBoolean(3) && bad.getDouble(2) > 10.0,
+      s"60/40-ish split must flag: $bad")
+  }
+
   test("cusum is partition-independent") {
     val rows = (0 until 40).map(i =>
       (s"g${i % 3}", i / 3, (i % 7).toLong)).toDF("grp", "ord", "n")
