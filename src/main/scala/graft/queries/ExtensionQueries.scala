@@ -5387,6 +5387,92 @@ object ExtensionQueries {
               FROM q GROUP BY doc_id"""),
       "interpolated Kneser-Ney bigram cross-entropy vs the en slice"),
 
+    // Perplexity-ordered curriculum (the CCNet/Gopher curation move,
+    // composed end-to-end): Kneser-Ney-score the pool against the en
+    // reference (t30's model), join token counts, globally order
+    // easy→hard (xent ASC — the scalable two-pass sort, not a
+    // single-partition window), and cut the order into 4 equal-position
+    // training stages. Every piece is individually gated (t30, sp11);
+    // this gates the COMPOSITION.
+    "pipe6_perplexity_curriculum" -> QueryDef(
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val scored = TextAnalysis.kneserNeyXent(docs, col("lang") === "en")
+        val withTok = scored.join(
+          docs.select(col("doc_id"),
+            TextAnalysis.wsTokenCount(col("text")).as("n_tokens")),
+          Seq("doc_id"))
+        val ordered = graft.ext.Sampling.globalOrder(
+          withTok.select(col("doc_id"), col("xent"), col("n_tokens")),
+          Seq(col("xent").asc, col("doc_id").asc))
+        ordered
+          .crossJoin(broadcast(ordered.agg(count(lit(1)).as("n"))))
+          .select(col("doc_id"), col("xent"), col("n_tokens"),
+            col("position"), expr("(position * 4) div n").as("stage"))
+      },
+      Some("""WITH wref AS (SELECT doc_id, string_split(text, ' ') AS w
+                     FROM documents WHERE lang = 'en'),
+              bgref AS (SELECT unnest([w[i] || ' ' || w[i+1]
+                                       for i in generate_series(1, len(w) - 1)]) AS bg
+                        FROM wref WHERE len(w) >= 2),
+              c2 AS (SELECT bg, CAST(count(*) AS BIGINT) AS c2,
+                            string_split(bg, ' ')[1] AS w1,
+                            string_split(bg, ' ')[2] AS w2
+                     FROM bgref GROUP BY bg),
+              ctx AS (SELECT w1, CAST(sum(c2) AS BIGINT) AS c_ctx,
+                             CAST(count(*) AS BIGINT) AS n1p
+                      FROM c2 GROUP BY w1),
+              cont AS (SELECT w2, CAST(count(*) AS BIGINT) AS ncont
+                       FROM c2 GROUP BY w2),
+              tt AS (SELECT CAST(count(*) AS BIGINT) AS t_types FROM c2),
+              wpool AS (SELECT doc_id, string_split(text, ' ') AS w
+                        FROM documents WHERE NOT (lang = 'en')),
+              bgpool AS (SELECT doc_id,
+                                unnest([w[i] || ' ' || w[i+1]
+                                        for i in generate_series(1, len(w) - 1)]) AS bg
+                         FROM wpool WHERE len(w) >= 2),
+              keys AS (SELECT doc_id, bg,
+                              string_split(bg, ' ')[1] AS w1,
+                              string_split(bg, ' ')[2] AS w2
+                       FROM bgpool),
+              sc AS (SELECT doc_id,
+                            CASE WHEN coalesce(ctx.c_ctx, 0) > 0 THEN
+                              greatest(CAST(coalesce(c2.c2, 0) AS DOUBLE)
+                                         - 0.75e0, 0.0e0) / ctx.c_ctx
+                              + ((0.75e0 * CAST(ctx.n1p AS DOUBLE))
+                                   / ctx.c_ctx)
+                                * (CAST(greatest(coalesce(cont.ncont, 0), 1)
+                                     AS DOUBLE) / tt.t_types)
+                            ELSE CAST(greatest(coalesce(cont.ncont, 0), 1)
+                                   AS DOUBLE) / tt.t_types
+                            END AS s
+                     FROM keys k
+                     LEFT JOIN c2 ON c2.bg = k.bg
+                     LEFT JOIN ctx ON ctx.w1 = k.w1
+                     LEFT JOIN cont ON cont.w2 = k.w2
+                     CROSS JOIN tt),
+              q AS (SELECT doc_id,
+                           CAST(floor(-ln(s) * 1e6 + 0.5) AS BIGINT) AS nll_q
+                    FROM sc),
+              x AS (SELECT doc_id,
+                           round(CAST(sum(nll_q) AS DOUBLE) / 1e6
+                             / count(*), 6) AS xent
+                    FROM q GROUP BY doc_id),
+              tok AS (SELECT doc_id,
+                             CAST(len(string_split(text, ' ')) AS INTEGER)
+                               AS n_tokens
+                      FROM documents),
+              ord AS (SELECT x.doc_id, x.xent, tok.n_tokens,
+                             CAST(row_number() OVER (
+                               ORDER BY x.xent, x.doc_id) - 1 AS BIGINT)
+                               AS position
+                      FROM x JOIN tok ON tok.doc_id = x.doc_id),
+              nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM ord)
+              SELECT doc_id, xent, n_tokens, position,
+                     (position * 4) // nn.n AS stage
+              FROM ord CROSS JOIN nn"""),
+      "perplexity curriculum: KN scores -> global order -> 4 stages"),
+
     // Okapi BM25 top-20 for a 3-term query — the lexical retrieval ranker
     // (Lucene idf variant). The token scan filters to the query vocabulary
     // before aggregating, df/avgdl broadcast, TakeOrderedAndProject cut.
