@@ -366,6 +366,72 @@ object Multimodal {
     }
   }
 
+  /** 1-D DCT-II basis for the 8-point transform, precomputed once:
+   * basis(u)(x) = cos((2x+1)·u·π/16). JVM-deterministic constants — the
+   * pHash path is spec-gated behind the codec seam (no SQL oracle), so
+   * cross-engine replay is not a requirement here. */
+  private lazy val Dct8: Array[Array[Double]] =
+    Array.tabulate(8, 8)((u, x) =>
+      math.cos((2 * x + 1) * u * math.Pi / 16.0))
+
+  /** Perceptual DCT-hash (pHash): 2-D DCT-II of the 8×8 gray grid, keep
+   * the 6×6 LOW-FREQUENCY block minus the DC term (35 coefficients),
+   * threshold each against their median — bit k set iff coefficient k
+   * exceeds it. The spectral member of the perceptual-hash family: aHash
+   * thresholds raw pixels (fragile to any local edit), dHash row
+   * gradients (fragile to high-frequency texture); pHash compares
+   * low-frequency STRUCTURE only, so pixel-grain noise — compression
+   * artifacts, dithering, a checkerboard watermark — leaves it untouched
+   * (pinned in `MultimodalSpec` against aHash on the same pixels).
+   * Median thresholding also makes it invariant to any affine luma map
+   * a·g+b with a>0 (DCT is linear; the DC-free coefficients shift by 0
+   * and scale by a, and the median scales with them). Same mapPartitions
+   * seam as its siblings: payloads never shuffle, 8 bytes/image flow on;
+   * [[imageDupPairs]] consumes the output unchanged (35 bits ⇒ the
+   * banded blocking stays lossless at maxHamming ≤ 3). */
+  def imagePHash(media: Dataset[MediaRecord], codec: Codec = FakeCodec)(
+      implicit spark: SparkSession): Dataset[ImageHash] = {
+    import spark.implicits._
+    media.filter(_.kind == "image").mapPartitions { it =>
+      it.map { m =>
+        val g = codec.decodeGray8(m.payload)
+        val coeffs = new Array[Double](36)
+        var v = 0
+        while (v < 6) {
+          var u = 0
+          while (u < 6) {
+            var s = 0.0
+            var r = 0
+            while (r < 8) {
+              var c = 0
+              while (c < 8) {
+                s += g(r * 8 + c) * Dct8(v)(r) * Dct8(u)(c)
+                c += 1
+              }
+              r += 1
+            }
+            coeffs(v * 6 + u) = s
+            u += 1
+          }
+          v += 1
+        }
+        // micro-quantize the 35 DC-free coefficients BEFORE the median
+        // threshold: near-zero coefficients (flat regions produce many)
+        // would otherwise let summation-order ulps flip bits
+        val ac = coeffs.drop(1)
+          .map(c => math.floor(c * 1e6 + 0.5).toLong)
+        val median = ac.sorted.apply(17)
+        var bits = 0L
+        var k = 0
+        while (k < 35) {
+          if (ac(k) > median) bits |= (1L << k)
+          k += 1
+        }
+        ImageHash(m.media_id, bits)
+      }
+    }
+  }
+
   /** Image near-dup pairs by aHash Hamming distance — the pigeonhole
    * blocking of `Dedup.simhashPairs` lifted to the 64-bit hash: 4 disjoint
    * 16-bit bands; two hashes within Hamming 3 must agree EXACTLY on at

@@ -160,6 +160,51 @@ class MultimodalSpec extends SparkTestBase {
     assert(pairs.contains((1L, 2L)), pairs.toString)
   }
 
+  test("pHash ignores pixel-grain noise that flips aHash; low-frequency " +
+    "structure changes move it") {
+    implicit val s = spark
+    // base: left half bright, right half dark (pure low-frequency
+    // structure). `noisy` overlays a per-pixel checkerboard (+/-10 luma)
+    // — the highest spatial frequency there is: every 8x8 grid cell's
+    // mean is unchanged on average but cell samples jitter enough to
+    // flip aHash threshold bits, while the 6x6 low-frequency DCT block
+    // barely moves. `flipped` swaps the bright side — a structural
+    // change pHash must see.
+    def png(noise: Boolean, flip: Boolean): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        64, 64, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 64; x <- 0 until 64) {
+        val bright = if (flip) x >= 32 else x < 32
+        var lum = if (bright) 0x90 else 0x50
+        if (noise) lum += (if ((x + y) % 2 == 0) 10 else -10)
+        img.setRGB(x, y, (lum << 16) | (lum << 8) | lum)
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    def rec(id: Long, p: Array[Byte]) =
+      MediaRecord(id, "image", p, 64, 64, 0, 0)
+    val ds = Seq(
+      rec(1L, png(noise = false, flip = false)),
+      rec(2L, png(noise = true, flip = false)),
+      rec(3L, png(noise = false, flip = true))).toDS()
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    val ph = Multimodal.imagePHash(ds, Multimodal.JdkCodec)
+      .collect().map(h => h.media_id -> h.ahash).toMap
+    // the per-pixel checkerboard cancels exactly inside every 8x8 block
+    // mean, and coefficient micro-quantization absorbs the remaining
+    // summation-order ulps — the hash must be IDENTICAL
+    assert(ham(ph(1L), ph(2L)) == 0,
+      s"checkerboard noise must not move pHash: ${ham(ph(1L), ph(2L))}")
+    assert(ph(1L) != ph(3L), "mirrored structure must move pHash")
+    assert(ph.values.forall(b => (b >> 35) == 0L), "35-bit domain")
+    // determinism across partitionings
+    val ph2 = Multimodal.imagePHash(ds.repartition(3), Multimodal.JdkCodec)
+      .collect().map(h => h.media_id -> h.ahash).toMap
+    assert(ph2 == ph)
+  }
+
   test("JdkCodec falls back deterministically on undecodable payloads") {
     val junk = Array.tabulate[Byte](64)(i => i.toByte)
     val a = Multimodal.JdkCodec.decodeImage(junk)
