@@ -155,6 +155,42 @@ object TimeSeries {
    * single exchange + sort, no self-join; at 100 TB each key's series
    * sweeps independently (the [[peakConcurrency]] posture).
    * Output: (key, ord, x, ewma, is_spike). */
+  /** Seasonal-baseline deviation: per (key, hour-of-day) the all-days
+   * mean count is the BASELINE, and each (key, day, hour-of-day) cell is
+   * scored against it — the anomaly detector for traffic with a daily
+   * rhythm, where [[ewmaAnomaly]]'s trailing mean would chase the cycle
+   * itself (every morning ramp looks like a spike to a flat-history
+   * smoother; to a seasonal baseline it IS the baseline). Day and
+   * hour-of-day derive by pure integer division on the epoch-ns column
+   * — never calendar functions, whose week/zone conventions differ
+   * cross-engine. The baseline divides by the FULL day span
+   * (max_day − min_day + 1, one broadcast scalar), so hours that are
+   * silent on most days get an honestly small baseline instead of a
+   * present-rows-only inflated one. All integer micro-units; the flag
+   * is `n·1e6 > factor·baseline_micro AND n ≥ minBase` (the EWMA
+   * spike-rule shape). One count agg + one (key, hod) agg + one keyed
+   * join. Output: (key, day, hod, n, baseline_micro, is_anomaly). */
+  def seasonalDeviation(events: DataFrame, key: String, tsCol: String,
+      factor: Long = 3L, minBase: Long = 5L): DataFrame = {
+    val cells = Dedup.materialize(events
+      .groupBy(col(key),
+        expr(s"$tsCol div ${86400L * 1000000000L}L").as("day"),
+        expr(s"($tsCol div ${3600L * 1000000000L}L) % 24").as("hod"))
+      .agg(count(lit(1)).as("n")))
+    val span = cells.agg(
+      (max("day") - min("day") + lit(1L)).as("n_days"))
+    val base = cells.groupBy(col(key), col("hod"))
+      .agg(sum("n").as("tot"))
+      .crossJoin(broadcast(span))
+      .select(col(key), col("hod"),
+        expr("(tot * 1000000L) div n_days").as("baseline_micro"))
+    cells.join(base, Seq(key, "hod"))
+      .select(col(key), col("day"), col("hod"), col("n"),
+        col("baseline_micro"),
+        (col("n") * lit(1000000L) > lit(factor) * col("baseline_micro") &&
+          col("n") >= lit(minBase)).as("is_anomaly"))
+  }
+
   /** One-sided (upper) CUSUM change-point detection (Page, Biometrika
    * 1954) over a per-key ordered integer series — the sequential test
    * that catches a SUSTAINED small mean shift long before

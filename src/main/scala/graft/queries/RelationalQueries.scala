@@ -930,6 +930,34 @@ object RelationalQueries {
                            ROWS UNBOUNDED PRECEDING)"""),
       "one-sided CUSUM drift detector via the prefix-sum identity"),
 
+    // Seasonal-baseline deviations: per (type, hour-of-day) all-days mean
+    // as the baseline, each (type, day, hour) cell scored against it —
+    // the detector for daily-rhythm traffic where a trailing smoother
+    // chases the cycle itself. Day/hod by pure integer division on epoch
+    // ns (no calendar functions — their week/zone conventions differ
+    // cross-engine); baseline over the FULL day span.
+    "x10_seasonal_baseline" -> QueryDef(
+      (s, dir) => graft.ext.TimeSeries.seasonalDeviation(
+        t(s, dir, "events"), "event_type", "ts"),
+      Some("""WITH cells AS (SELECT event_type,
+                     epoch_ns(ts) // 86400000000000 AS day,
+                     (epoch_ns(ts) // 3600000000000) % 24 AS hod,
+                     CAST(count(*) AS BIGINT) AS n
+                     FROM events GROUP BY 1, 2, 3),
+              span AS (SELECT max(day) - min(day) + 1 AS n_days
+                       FROM cells),
+              base AS (SELECT event_type, hod,
+                              (CAST(sum(n) AS BIGINT) * 1000000) //
+                                (SELECT n_days FROM span)
+                                AS baseline_micro
+                       FROM cells GROUP BY event_type, hod)
+              SELECT c.event_type, c.day, c.hod, c.n, b.baseline_micro,
+                     (c.n * 1000000 > 3 * b.baseline_micro AND c.n >= 5)
+                       AS is_anomaly
+              FROM cells c JOIN base b
+                ON b.event_type = c.event_type AND b.hod = c.hod"""),
+      "seasonal-baseline anomaly cells (integer day/hod, full-span mean)"),
+
     // Ordered-step conversion funnel: first view, first click AFTER that
     // view, first purchase AFTER that click. Each stage is one keyed
     // hash-agg over a type-filtered scan joined to the (one-row-per-user,

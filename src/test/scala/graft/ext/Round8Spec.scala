@@ -942,6 +942,29 @@ class Round8Spec extends SparkTestBase {
       s"60/40-ish split must flag: $bad")
   }
 
+  test("seasonal baseline: a habitual daily peak never flags; the same " +
+      "count at a normally-quiet hour does") {
+    // 10 days; hour 9 carries 20 events EVERY day (the habitual peak);
+    // hour 3 is silent except day 7, which carries the same 20 events.
+    // A trailing smoother would flag every morning ramp; the seasonal
+    // baseline flags only the off-rhythm burst.
+    val h = 3600L * 1000000000L
+    val rows = (0 until 10).flatMap { day =>
+      val nine = (0 until 20).map(i =>
+        ("view", day * 24L * h + 9L * h + i, 1L))
+      val three = if (day == 7) (0 until 20).map(i =>
+        ("view", day * 24L * h + 3L * h + i, 1L)) else Seq.empty
+      nine ++ three
+    }.toDF("event_type", "ts", "x")
+    val out = TimeSeries.seasonalDeviation(rows, "event_type", "ts")
+      .collect().map(r => (r.getLong(1), r.getLong(2)) ->
+        (r.getLong(3), r.getBoolean(5))).toMap
+    assert((0 until 10).forall(d => !out((d.toLong, 9L))._2),
+      s"the habitual peak must never flag: $out")
+    assert(out((7L, 3L)) == ((20L, true)),
+      s"the off-rhythm burst must flag: $out")
+  }
+
   test("cusum is partition-independent") {
     val rows = (0 until 40).map(i =>
       (s"g${i % 3}", i / 3, (i % 7).toLong)).toDF("grp", "ord", "n")
