@@ -224,6 +224,55 @@ object Profile {
       .crossJoin(hit.agg(count(lit(1)).as("files_true_hit")))
   }
 
+  /** Exact LOWER median of a centi-quantized value relation by
+   * value-grain selection: counts per distinct value, cumulative count
+   * in value order, first value whose cumulative count reaches
+   * (n+1) div 2. The window runs at DISTINCT-VALUE grain — for a price
+   * or score column that is orders of magnitude smaller than the row
+   * count, which is what makes an EXACT median scalable where a
+   * row-grain global sort would not be. Never interpolates: an
+   * order-statistic median is an integer both engines agree on, where
+   * interpolating quantile implementations differ in double op shape. */
+  private def lowerMedianQ(vq: DataFrame): DataFrame = {
+    val counts = vq.groupBy("vq").agg(count(lit(1)).as("c"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy("vq")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    counts
+      .crossJoin(broadcast(counts.agg(sum("c").as("n"))))
+      .withColumn("cum", sum("c").over(w))
+      .filter(col("cum") >= expr("(n + 1) div 2"))
+      .agg(min("vq").as("med_q"), max("n").as("n"))
+  }
+
+  /** Robust (median/MAD) outlier audit of a numeric column — the
+   * heavy-tail-safe alternative to mean/stddev z-scores, whose own
+   * inputs the outliers corrupt: median and MAD (median absolute
+   * deviation) have 50% breakdown, so the fences hold even when half
+   * the column is garbage. Values centi-quantize to BIGINT; both
+   * medians are exact lower order statistics ([[lowerMedianQ]] — no
+   * interpolation, no doubles); the flag is the classic
+   * 0.6745·|x−m|/MAD > 3.5 cross-multiplied into pure integers
+   * (6745·dev > 35000·MAD). Two value-grain selection passes + one
+   * final count. Output: (n, median_q, mad_q, n_outliers) — one row. */
+  def madOutlierStats(df: DataFrame, valCol: String): DataFrame = {
+    val vq = Dedup.materialize(
+      df.filter(col(valCol).isNotNull)
+        .select(floor(col(valCol) * lit(100) + lit(0.5)).cast("long")
+          .as("vq")))
+    val med = lowerMedianQ(vq)
+    val dev = vq.crossJoin(broadcast(med))
+      .select(abs(col("vq") - col("med_q")).as("vq"), col("med_q"),
+        col("n"))
+    val mad = lowerMedianQ(dev.select("vq"))
+      .select(col("med_q").as("mad_q"))
+    dev.crossJoin(broadcast(mad))
+      .agg(max("n").as("n"), max("med_q").as("median_q"),
+        max("mad_q").as("mad_q"),
+        sum(when(lit(6745L) * col("vq") > lit(35000L) * col("mad_q"), 1L)
+          .otherwise(0L)).as("n_outliers"))
+  }
+
   /** Benford's-law expected first-digit shares in exact 1e6 units —
    * PRE-quantized Scala constants (floor(log10(1 + 1/d)·1e6 + 0.5)), so
    * the oracle inlines the identical nine integers instead of trusting

@@ -4210,6 +4210,44 @@ object ExtensionQueries {
       },
       "Benford first-digit audit of extended price (pre-quantized law)"),
 
+    // Robust median/MAD outlier audit: 50%-breakdown fences (mean/stddev
+    // z-scores are corrupted by the very outliers they hunt). Both
+    // medians are exact LOWER order statistics selected at distinct-
+    // value grain (no interpolation, no row-grain global sort); the
+    // 0.6745·dev/MAD > 3.5 flag cross-multiplies into pure integers.
+    "dq9_mad_outliers" -> QueryDef(
+      (s, dir) => graft.ext.Profile.madOutlierStats(
+        t(s, dir, "lineitem"), "l_extendedprice"),
+      Some("""WITH vq AS (SELECT CAST(floor(l_extendedprice * 100 + 0.5)
+                              AS BIGINT) AS vq
+                          FROM lineitem
+                          WHERE l_extendedprice IS NOT NULL),
+              c1 AS (SELECT vq, CAST(count(*) AS BIGINT) AS c
+                     FROM vq GROUP BY vq),
+              n1 AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM c1),
+              m1 AS (SELECT min(vq) AS med_q FROM (
+                       SELECT vq, sum(c) OVER (ORDER BY vq
+                         ROWS UNBOUNDED PRECEDING) AS cum
+                       FROM c1) CROSS JOIN n1
+                     WHERE cum >= (n + 1) // 2),
+              dev AS (SELECT abs(vq.vq - m1.med_q) AS dv
+                      FROM vq CROSS JOIN m1),
+              c2 AS (SELECT dv, CAST(count(*) AS BIGINT) AS c
+                     FROM dev GROUP BY dv),
+              m2 AS (SELECT min(dv) AS mad_q FROM (
+                       SELECT dv, sum(c) OVER (ORDER BY dv
+                         ROWS UNBOUNDED PRECEDING) AS cum
+                       FROM c2) CROSS JOIN n1
+                     WHERE cum >= (n + 1) // 2)
+              SELECT (SELECT n FROM n1) AS n,
+                     (SELECT med_q FROM m1) AS median_q,
+                     (SELECT mad_q FROM m2) AS mad_q,
+                     CAST(sum(CASE WHEN 6745 * dv >
+                            35000 * (SELECT mad_q FROM m2)
+                          THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+              FROM dev"""),
+      "median/MAD robust outlier audit (exact order-statistic medians)"),
+
     // CUPED variance-reduced A/B readout (Deng, Xu, Kohavi & Walker,
     // WSDM 2013): adjust each user's experiment-period metric by their
     // pre-period covariate (θ = cov/var, pooled), self-calibrating

@@ -965,6 +965,29 @@ class Round8Spec extends SparkTestBase {
       s"the off-rhythm burst must flag: $out")
   }
 
+  test("MAD outliers: 50% breakdown — fences hold with 40% garbage " +
+      "where mean/stddev fences collapse") {
+    // 60 clean values at 10.00 +/- 0.30 and 40 garbage at 1000.0: the
+    // median stays in the clean mass, MAD stays tiny, and all 40 garbage
+    // rows flag. A mean/stddev z-score would put the mean near 406 and
+    // the stddev near 487 — z(1000) ~ 1.2, NOTHING flags.
+    val clean = (0 until 60).map(i => 10.0 + 0.01 * (i % 61 - 30))
+    val junk = Seq.fill(40)(1000.0)
+    val r = Profile.madOutlierStats((clean ++ junk).toDF("v"), "v")
+      .collect()(0)
+    assert(r.getLong(0) == 100L)
+    assert(r.getLong(1) >= 970L && r.getLong(1) <= 1029L,
+      s"median must sit in the clean mass (centi-units): ${r.getLong(1)}")
+    assert(r.getLong(3) == 40L,
+      s"exactly the garbage must flag: ${r.getLong(3)}")
+    // exact order-statistic median on a tiny hand case: values 1,2,2,9
+    // -> lower median 2.00, MAD of |v-2| = {1,0,0,7} -> lower median 0
+    val tiny = Profile.madOutlierStats(
+      Seq(1.0, 2.0, 2.0, 9.0).toDF("v"), "v").collect()(0)
+    assert(tiny.getLong(1) == 200L && tiny.getLong(2) == 0L,
+      s"hand-computed medians: $tiny")
+  }
+
   test("cusum is partition-independent") {
     val rows = (0 until 40).map(i =>
       (s"g${i % 3}", i / 3, (i % 7).toLong)).toDF("grp", "ord", "n")
