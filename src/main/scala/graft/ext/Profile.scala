@@ -224,6 +224,38 @@ object Profile {
       .crossJoin(hit.agg(count(lit(1)).as("files_true_hit")))
   }
 
+  /** k-anonymity / l-diversity audit (Sweeney 2002; Machanavajjhala et
+   * al. 2007) — the privacy pre-flight a training-data release needs
+   * BEFORE pseudonymization is trusted: group rows by their
+   * quasi-identifier combination and report, per equivalence-class-size
+   * bucket, how many classes and rows sit there and the MINIMUM
+   * sensitive-value diversity. A hashed id does not help the one person
+   * in a (nation, segment) class of size 1 — re-identification is the
+   * class size, which is why the size-1/size<k mass is the headline
+   * number. l-diversity guards the complementary leak: a size-50 class
+   * whose sensitive value is constant reveals it for all 50 without
+   * identifying anyone.
+   *
+   * Size buckets are exact powers of two by binary width (the
+   * degreeStats convention — integer, never floating log2). Two keyed
+   * hash-aggs (class grain, then bucket grain); everything after the
+   * first agg is class-count-sized. Output per bucket:
+   * (size_bucket, n_classes, n_rows, min_size, max_size,
+   * min_l_diversity). */
+  def kAnonymityAudit(df: DataFrame, quasiCols: Seq[String],
+      sensitiveCol: String): DataFrame = {
+    require(quasiCols.nonEmpty, "need at least one quasi-identifier")
+    val classes = df
+      .groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("sz"),
+        countDistinct(col(sensitiveCol)).as("l_div"))
+    classes
+      .groupBy(length(bin(col("sz"))).cast("int").as("size_bucket"))
+      .agg(count(lit(1)).as("n_classes"), sum("sz").as("n_rows"),
+        min("sz").as("min_size"), max("sz").as("max_size"),
+        min("l_div").as("min_l_diversity"))
+  }
+
   /** Exact LOWER median of a centi-quantized value relation by
    * value-grain selection: counts per distinct value, cumulative count
    * in value order, first value whose cumulative count reaches

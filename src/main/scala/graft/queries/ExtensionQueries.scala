@@ -4210,6 +4210,31 @@ object ExtensionQueries {
       },
       "Benford first-digit audit of extended price (pre-quantized law)"),
 
+    // k-anonymity / l-diversity audit: equivalence-class sizes over the
+    // (nation, segment) quasi-identifiers with account-balance cents as
+    // the sensitive attribute — the privacy pre-flight that says whether
+    // pseudonymization is even meaningful (a hashed id does not help the
+    // one person in a class of size 1). Power-of-two size buckets by
+    // binary width, min l-diversity per bucket.
+    "dq10_kanonymity" -> QueryDef(
+      (s, dir) => graft.ext.Profile.kAnonymityAudit(
+        t(s, dir, "customer")
+          .withColumn("bal_cents",
+            floor(col("c_acctbal") * lit(100) + lit(0.5)).cast("long")),
+        Seq("c_nationkey", "c_mktsegment"), "bal_cents"),
+      Some("""WITH cls AS (SELECT c_nationkey, c_mktsegment,
+                     CAST(count(*) AS BIGINT) AS sz,
+                     CAST(count(DISTINCT CAST(floor(c_acctbal * 100 + 0.5)
+                       AS BIGINT)) AS BIGINT) AS l_div
+                     FROM customer GROUP BY 1, 2)
+              SELECT CAST(length(bin(sz)) AS INTEGER) AS size_bucket,
+                     CAST(count(*) AS BIGINT) AS n_classes,
+                     CAST(sum(sz) AS BIGINT) AS n_rows,
+                     min(sz) AS min_size, max(sz) AS max_size,
+                     min(l_div) AS min_l_diversity
+              FROM cls GROUP BY 1"""),
+      "k-anonymity/l-diversity audit over (nation, segment) classes"),
+
     // Robust median/MAD outlier audit: 50%-breakdown fences (mean/stddev
     // z-scores are corrupted by the very outliers they hunt). Both
     // medians are exact LOWER order statistics selected at distinct-

@@ -988,6 +988,24 @@ class Round8Spec extends SparkTestBase {
       s"hand-computed medians: $tiny")
   }
 
+  test("k-anonymity audit: singleton classes and constant-sensitive " +
+      "classes both surface") {
+    // class (1,a): size 1 (the re-identifiable row); class (2,b): size 4
+    // but l-diversity 1 (the homogeneity leak); class (3,c): size 4,
+    // diverse.
+    val rows = (Seq((1, "a", 10L)) ++
+      (0 until 4).map(_ => (2, "b", 99L)) ++
+      (0 until 4).map(i => (3, "c", 50L + i)))
+      .toDF("nat", "seg", "sens")
+    val out = Profile.kAnonymityAudit(rows, Seq("nat", "seg"), "sens")
+      .collect().map(r => r.getInt(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(5))).toMap
+    assert(out(1) == ((1L, 1L, 1L)), s"size-1 bucket: $out")
+    // both size-4 classes land in bucket 3 (binary width of 4);
+    // min l-diversity there must expose the constant-sensitive class
+    assert(out(3) == ((2L, 8L, 1L)), s"size-4 bucket: $out")
+  }
+
   test("cusum is partition-independent") {
     val rows = (0 until 40).map(i =>
       (s"g${i % 3}", i / 3, (i % 7).toLong)).toDF("grp", "ord", "n")
