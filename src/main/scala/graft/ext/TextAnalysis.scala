@@ -656,6 +656,54 @@ object TextAnalysis {
           .as("xent"))
   }
 
+  /** Zipf rank-frequency fit (Zipf 1949): OLS slope of ln(freq) against
+   * ln(rank) over the top-`k` vocabulary — natural language sits near
+   * slope −1, and a corpus that drifts from it is telling on itself
+   * (template/boilerplate floods flatten the head, OCR noise and
+   * tokenizer breakage fatten the tail), which makes the slope a
+   * one-number vocabulary-health audit beside [[vocabCoverage]].
+   *
+   * Determinism: ranks are exact ((freq DESC, token) total order);
+   * ln(rank) and ln(freq) micro-quantize per value (the t11 idf
+   * discipline — one libm call on an exact integer input, empirically
+   * engine-agreeing, then floor+0.5); all regression sums are exact
+   * BIGINTs; slope and intercept are the CUPED-shape fixed double
+   * expressions over them (products taken AFTER int→double so nothing
+   * overflows). Scale shape: one vocabulary-sized count agg, a
+   * TakeOrderedAndProject cut to `k`, then a k-row window + 1-row agg —
+   * the corpus is scanned once. Output: (n_points, slope, intercept). */
+  def zipfFit(docs: org.apache.spark.sql.DataFrame,
+      k: Int = 500): org.apache.spark.sql.DataFrame = {
+    require(k >= 3, s"k must be >= 3, got $k")
+    val freqs = docs
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("c"))
+      .orderBy(desc("c"), asc("tok")).limit(k)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(desc("c"), asc("tok"))
+    val pts = freqs
+      .select(row_number().over(w).as("rank"), col("c"))
+      .select(
+        floor(log(col("rank").cast("double")) * lit(1e6) + lit(0.5))
+          .cast("long").as("xq"),
+        floor(log(col("c").cast("double")) * lit(1e6) + lit(0.5))
+          .cast("long").as("yq"))
+    pts.agg(count(lit(1)).as("n"), sum("xq").as("sx"), sum("yq").as("sy"),
+        sum(col("xq") * col("xq")).as("sxx"),
+        sum(col("xq") * col("yq")).as("sxy"))
+      .select(col("n").as("n_points"),
+        round((col("n").cast("double") * col("sxy") -
+          col("sx").cast("double") * col("sy")) /
+          (col("n").cast("double") * col("sxx") -
+            col("sx").cast("double") * col("sx")), 6).as("slope"),
+        round((col("sy").cast("double") -
+          ((col("n").cast("double") * col("sxy") -
+            col("sx").cast("double") * col("sy")) /
+           (col("n").cast("double") * col("sxx") -
+            col("sx").cast("double") * col("sx"))) * col("sx")) /
+          col("n") / lit(1e6), 6).as("intercept"))
+  }
+
   /** Frequent co-occurring word pairs (Apriori 2-itemsets, Agrawal &
    * Srikant): pairs of words appearing together in ≥ `minSup` documents
    * at ANY distance — the market-basket view of a corpus, beside

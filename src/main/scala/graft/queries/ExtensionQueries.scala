@@ -5389,6 +5389,45 @@ object ExtensionQueries {
               FROM q GROUP BY doc_id"""),
       "trigram Stupid Backoff cross-entropy vs the en slice (Brants 2007)"),
 
+    // Zipf rank-frequency fit: OLS slope of ln(freq) vs ln(rank) over
+    // the top-500 vocabulary — natural text sits near −1; template
+    // floods flatten the head, OCR/tokenizer breakage fattens the tail.
+    // Exact ranks, micro-quantized logs, exact regression sums, the
+    // CUPED-shape double combination.
+    "t40_zipf" -> QueryDef(
+      (s, dir) => TextAnalysis.zipfFit(t(s, dir, "documents")),
+      Some("""WITH f AS (SELECT tok, CAST(count(*) AS BIGINT) AS c
+                         FROM (SELECT unnest(string_split(text, ' ')) AS tok
+                               FROM documents)
+                         GROUP BY tok ORDER BY c DESC, tok LIMIT 500),
+              r AS (SELECT CAST(row_number() OVER (ORDER BY c DESC, tok)
+                      AS INTEGER) AS rank, c
+                    FROM f),
+              p AS (SELECT CAST(floor(ln(CAST(rank AS DOUBLE)) * 1e6 + 0.5)
+                             AS BIGINT) AS xq,
+                           CAST(floor(ln(CAST(c AS DOUBLE)) * 1e6 + 0.5)
+                             AS BIGINT) AS yq
+                    FROM r),
+              st AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                            CAST(sum(xq) AS BIGINT) AS sx,
+                            CAST(sum(yq) AS BIGINT) AS sy,
+                            CAST(sum(xq * xq) AS BIGINT) AS sxx,
+                            CAST(sum(xq * yq) AS BIGINT) AS sxy
+                     FROM p)
+              SELECT n AS n_points,
+                     round((CAST(n AS DOUBLE) * sxy
+                              - CAST(sx AS DOUBLE) * sy)
+                           / (CAST(n AS DOUBLE) * sxx
+                              - CAST(sx AS DOUBLE) * sx), 6) AS slope,
+                     round((CAST(sy AS DOUBLE)
+                            - ((CAST(n AS DOUBLE) * sxy
+                                 - CAST(sx AS DOUBLE) * sy)
+                               / (CAST(n AS DOUBLE) * sxx
+                                  - CAST(sx AS DOUBLE) * sx)) * sx)
+                           / n / 1e6, 6) AS intercept
+              FROM st"""),
+      "Zipf slope/intercept over the top-500 vocabulary (exact sums)"),
+
     // Interpolated Kneser-Ney bigram cross-entropy (Kneser & Ney 1995;
     // Chen & Goodman 1998 §2.7) — the KenLM/CCNet perplexity-filter
     // smoothing: absolute discounting D=0.75 plus a continuation-count

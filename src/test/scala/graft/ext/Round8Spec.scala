@@ -1006,6 +1006,28 @@ class Round8Spec extends SparkTestBase {
     assert(out(3) == ((2L, 8L, 1L)), s"size-4 bucket: $out")
   }
 
+  test("Zipf fit: a planted power law recovers its exponent; a uniform " +
+      "vocabulary fits slope ~ 0") {
+    // frequencies c(r) = round(2000 / r^0.8) for ranks 1..40: the OLS in
+    // log-log space must recover ~ -0.8. Build the corpus by repeating
+    // token t_r c(r) times.
+    val zipfDocs = (1 to 40).flatMap { r =>
+      val c = math.round(2000.0 / math.pow(r, 0.8)).toInt
+      Seq.fill(c)(f"t$r%03d")
+    }.grouped(50).zipWithIndex
+      .map { case (ws, i) => (i.toLong, ws.mkString(" ")) }.toSeq
+      .toDF("doc_id", "text")
+    val z = TextAnalysis.zipfFit(zipfDocs, k = 40).collect()(0)
+    assert(math.abs(z.getDouble(1) - (-0.8)) < 0.05,
+      s"planted exponent must recover: ${z.getDouble(1)}")
+    val flatDocs = (0 until 50).map(i =>
+      (i.toLong, (0 until 40).map(j => f"u$j%03d").mkString(" ")))
+      .toDF("doc_id", "text")
+    val fz = TextAnalysis.zipfFit(flatDocs, k = 40).collect()(0)
+    assert(math.abs(fz.getDouble(1)) < 0.01,
+      s"uniform vocabulary must fit ~ 0: ${fz.getDouble(1)}")
+  }
+
   test("cusum is partition-independent") {
     val rows = (0 until 40).map(i =>
       (s"g${i % 3}", i / 3, (i % 7).toLong)).toDF("grp", "ord", "n")
