@@ -1580,4 +1580,32 @@ object Dedup {
       .reduce(_ + _)
     voted.select(col("doc_id"), fp.as("simhash"))
   }
+
+  /** Cross-detector agreement matrix: given several candidate-pair
+   * relations (each tagged with a distinct power-of-two bit), the count
+   * of pairs per detector-membership MASK — the Venn diagram that says
+   * whether the near-dup detectors corroborate each other (mask 7 =
+   * found by all three) or each lives in its own blind spot (pure
+   * single-bit masks dominate). The tuning diagnostic ABOVE the
+   * per-detector ones (d17/d19/d21 measure one family's recall; this
+   * measures their JOINT coverage — a pair found only by the
+   * positional winnow sketch and never by bag-of-shingles LSH is
+   * exactly the reordered-boilerplate case).
+   *
+   * Each input is distinct-projected to canonical (doc_a, doc_b) before
+   * tagging, so detector-internal weights/multiplicity don't skew the
+   * mask sum. Scale shape: a union of k-bounded pair relations + two
+   * hash-aggs (pair grain, then mask grain — ≤ 2^|detectors| rows out). */
+  def detectorAgreement(detectors: Seq[(Int, DataFrame)]): DataFrame = {
+    require(detectors.nonEmpty, "need at least one detector")
+    require(detectors.map(_._1).distinct.size == detectors.size &&
+      detectors.forall(d => d._1 > 0 && (d._1 & (d._1 - 1)) == 0),
+      s"bits must be distinct powers of two: ${detectors.map(_._1)}")
+    detectors.map { case (bit, df) =>
+      df.select(col("doc_a"), col("doc_b")).distinct()
+        .select(col("doc_a"), col("doc_b"), lit(bit.toLong).as("bit"))
+    }.reduce(_ unionByName _)
+      .groupBy("doc_a", "doc_b").agg(sum("bit").as("mask"))
+      .groupBy("mask").agg(count(lit(1)).as("n_pairs"))
+  }
 }

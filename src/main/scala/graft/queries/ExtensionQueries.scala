@@ -290,6 +290,44 @@ object ExtensionQueries {
         fp AS (SELECT doc_id, CAST($assemble AS BIGINT) AS simhash FROM votes)"""
   }
 
+  /** DuckDB mirror of Dedup.winnowCandidates (width 3, win 4, minShared
+   * 2, maxPostings 100), ending in `wn_pairs(doc_a, doc_b, n_shared)` —
+   * shared by d28 and the d34 detector-Venn so the detector and its
+   * agreement entry can never silently diverge. */
+  private lazy val WinnowPairsCtes: String =
+    s"""wn_w AS (SELECT doc_id, string_split(text, ' ') AS w
+                 FROM documents),
+        wn_p AS (SELECT doc_id, w,
+                        unnest(generate_series(0, len(w) - 3)) AS pos
+                 FROM wn_w WHERE len(w) >= 3),
+        wn_k AS (SELECT doc_id, pos,
+                   ${sqlHash(
+                     "array_to_string(w[pos + 1 : pos + 3], ' ')",
+                     Dedup.WinnowSeed)}
+                     * 1048576 + (1048575 - pos) AS key
+                 FROM wn_p),
+        wn_s AS (SELECT doc_id, pos,
+                        min(key) OVER (PARTITION BY doc_id
+                          ORDER BY pos ROWS BETWEEN CURRENT ROW
+                          AND 3 FOLLOWING) AS selk,
+                        max(pos) OVER (PARTITION BY doc_id) AS maxpos
+                 FROM wn_k),
+        wn_d AS (SELECT DISTINCT doc_id, selk FROM wn_s
+                 WHERE pos <= greatest(maxpos - 3, 0)),
+        wn_f AS (SELECT DISTINCT doc_id, selk // 1048576 AS fp
+                 FROM wn_d),
+        wn_ok AS (SELECT fp FROM (
+                    SELECT fp, count(*) AS df FROM wn_f GROUP BY fp)
+                  WHERE df BETWEEN 2 AND 100),
+        wn_pairs AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 count(*) AS n_shared
+          FROM wn_f a JOIN wn_f b
+            ON a.fp = b.fp AND a.doc_id < b.doc_id
+          WHERE a.fp IN (SELECT fp FROM wn_ok)
+          GROUP BY 1, 2
+          HAVING count(*) >= 2)"""
+
   /** Shared DuckDB CTE chain ending in `gq(doc_id, n_words, mean_word_len,
    * hash_ratio, ellipsis_ratio, alpha_word_frac, n_stop_kinds, pass)` —
    * the exact Gopher rule panel of t15, reused verbatim by the composed
@@ -2920,40 +2958,41 @@ object ExtensionQueries {
       (s, dir) => Dedup.winnowCandidates(t(s, dir, "documents"),
         width = Dedup.ShingleWidth, win = 4, minShared = 2,
         maxPostings = 100),
-      Some(s"""WITH wn_w AS (SELECT doc_id, string_split(text, ' ') AS w
-                             FROM documents),
-               wn_p AS (SELECT doc_id, w,
-                               unnest(generate_series(0, len(w) - 3)) AS pos
-                        FROM wn_w WHERE len(w) >= 3),
-               wn_k AS (SELECT doc_id, pos,
-                          ${sqlHash(
-                            "array_to_string(w[pos + 1 : pos + 3], ' ')",
-                            Dedup.WinnowSeed)}
-                            * 1048576 + (1048575 - pos) AS key
-                        FROM wn_p),
-               wn_s AS (SELECT doc_id, pos,
-                               min(key) OVER (PARTITION BY doc_id
-                                 ORDER BY pos ROWS BETWEEN CURRENT ROW
-                                 AND 3 FOLLOWING) AS selk,
-                               max(pos) OVER (PARTITION BY doc_id)
-                                 AS maxpos
-                        FROM wn_k),
-               wn_d AS (SELECT DISTINCT doc_id, selk FROM wn_s
-                        WHERE pos <= greatest(maxpos - 3, 0)),
-               wn_f AS (SELECT DISTINCT doc_id,
-                               selk // 1048576 AS fp
-                        FROM wn_d),
-               wn_ok AS (SELECT fp FROM (
-                           SELECT fp, count(*) AS df FROM wn_f GROUP BY fp)
-                         WHERE df BETWEEN 2 AND 100)
-               SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-                      count(*) AS n_shared
-               FROM wn_f a JOIN wn_f b
-                 ON a.fp = b.fp AND a.doc_id < b.doc_id
-               WHERE a.fp IN (SELECT fp FROM wn_ok)
-               GROUP BY 1, 2
-               HAVING count(*) >= 2"""),
+      Some(s"""WITH $WinnowPairsCtes
+               SELECT doc_a, doc_b, n_shared FROM wn_pairs"""),
       "winnow candidate pairs: shared selected fingerprints, hot cap"),
+
+    // Cross-detector agreement matrix: LSH (bit 1), SimHash (bit 2), and
+    // winnowing (bit 4) candidate pairs rolled into one Venn census —
+    // the joint-coverage diagnostic above the per-detector ones (a pair
+    // only the positional winnow sketch finds is the reordered-
+    // boilerplate blind spot of bag-of-shingles LSH). The oracle
+    // composes the three detectors' own shared CTE chains verbatim, so
+    // a detector change cannot silently diverge from its Venn entry.
+    "d34_detector_agreement" -> QueryDef(
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        Dedup.detectorAgreement(Seq(
+          1 -> Dedup.minhashDedupPairs(docs, 0.5, maxBucket = Int.MaxValue),
+          2 -> Dedup.simhashPairs(docs),
+          4 -> Dedup.winnowCandidates(docs, width = Dedup.ShingleWidth,
+            win = 4, minShared = 2, maxPostings = 100)))
+      },
+      Some(s"""WITH $LshPairsCtes,
+               $SimhashCte,
+               sh_pairs AS (
+                 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+                 FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+                 WHERE bit_count(xor(a.simhash, b.simhash)) <= 3),
+               $WinnowPairsCtes,
+               u AS (SELECT doc_a, doc_b, 1 AS bit FROM lsh_pairs
+                     UNION ALL SELECT doc_a, doc_b, 2 FROM sh_pairs
+                     UNION ALL SELECT doc_a, doc_b, 4 FROM wn_pairs),
+               m AS (SELECT doc_a, doc_b, CAST(sum(bit) AS BIGINT) AS mask
+                     FROM u GROUP BY doc_a, doc_b)
+               SELECT mask, CAST(count(*) AS BIGINT) AS n_pairs
+               FROM m GROUP BY mask"""),
+      "near-dup detector Venn: LSH/SimHash/winnow joint-coverage census"),
 
     // Bidirectional fuzzy blocking: prefix pass UNION suffix pass (prefix
     // over reversed strings) — an edit inside the prefix escapes d9's

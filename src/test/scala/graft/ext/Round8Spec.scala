@@ -1028,6 +1028,23 @@ class Round8Spec extends SparkTestBase {
       s"uniform vocabulary must fit ~ 0: ${fz.getDouble(1)}")
   }
 
+  test("detectorAgreement: masks partition the pair universe and ignore " +
+      "detector-internal multiplicity") {
+    val d1 = Seq((1L, 2L), (1L, 3L), (2L, 3L)).toDF("doc_a", "doc_b")
+    // d2 carries a duplicate row and a weight-like extra column — the
+    // distinct projection must neutralize both
+    val d2 = Seq((1L, 2L, 9), (1L, 2L, 9), (4L, 5L, 1))
+      .toDF("doc_a", "doc_b", "w")
+    val d4 = Seq((1L, 2L), (4L, 5L)).toDF("doc_a", "doc_b")
+    val out = Dedup.detectorAgreement(Seq(1 -> d1, 2 -> d2, 4 -> d4))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(7L -> 1L, 1L -> 2L, 6L -> 1L),
+      s"masks: (1,2) all three; (1,3),(2,3) LSH-only; (4,5) 2+4: $out")
+    intercept[IllegalArgumentException] {
+      Dedup.detectorAgreement(Seq(3 -> d1))
+    }
+  }
+
   test("cusum is partition-independent") {
     val rows = (0 until 40).map(i =>
       (s"g${i % 3}", i / 3, (i % 7).toLong)).toDF("grp", "ord", "n")
