@@ -303,8 +303,10 @@ object Bench {
         // numbers from day one
         "t16_bigram_xent", "sp12_dsir_weights",
         // round-8 session 3: interpolated Kneser-Ney — the same two-corpus
-        // CCNet shape as t16 plus the continuation-count model aggs
-        "t30_kneser_ney",
+        // CCNet shape as t16 plus the continuation-count model aggs —
+        // and the three-detector agreement Venn (LSH + SimHash + winnow
+        // all run at 10×; the price of the joint-coverage diagnostic)
+        "t30_kneser_ney", "d34_detector_agreement",
         // round-7 additions: Gopher repetition panel (corpus-scale n-gram
         // aggs + coverage expansion) and frozen-table BPE tokenization
         // (pure narrow projection — its number is the codegen'd

@@ -277,6 +277,39 @@ object Profile {
       .agg(min("vq").as("med_q"), max("n").as("n"))
   }
 
+  /** Exact equi-depth quantiles (generalizing [[lowerMedianQ]] to k
+   * cuts): the j-th decile/percentile as the exact LOWER order statistic
+   * at rank ⌈j·n/k⌉, selected at distinct-value grain — one count agg,
+   * ONE cumulative window over distinct values, a broadcast join of the
+   * k rank targets, one min-agg. The profiling primitive behind
+   * equi-depth histograms and latency SLO reports that
+   * `approx_percentile` only approximates and interpolating exact
+   * percentiles render engine-dependent (their double op shapes differ);
+   * an order statistic is an integer every engine agrees on. Input
+   * centi-quantizes like [[madOutlierStats]]. Output: (q, rank, vq) —
+   * one row per cut j = 1..k, vq in centi-units. */
+  def orderStatQuantiles(df: DataFrame, valCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val session = df.sparkSession
+    import session.implicits._
+    val counts = df.filter(col(valCol).isNotNull)
+      .select(floor(col(valCol) * lit(100) + lit(0.5)).cast("long")
+        .as("vq"))
+      .groupBy("vq").agg(count(lit(1)).as("c"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy("vq")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val cum = counts
+      .crossJoin(broadcast(counts.agg(sum("c").as("n"))))
+      .withColumn("cum", sum("c").over(w))
+    cum.crossJoin(broadcast((1 to k).toDF("q")))
+      // rank_j = ceil(j*n/k) in integer arithmetic: (j*n + k - 1) div k
+      .withColumn("rank", expr(s"(q * n + $k - 1) div ${k}L"))
+      .filter(col("cum") >= col("rank"))
+      .groupBy("q").agg(max("rank").as("rank"), min("vq").as("vq"))
+  }
+
   /** Robust (median/MAD) outlier audit of a numeric column — the
    * heavy-tail-safe alternative to mean/stddev z-scores, whose own
    * inputs the outliers corrupt: median and MAD (median absolute

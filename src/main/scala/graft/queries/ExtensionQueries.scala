@@ -4249,6 +4249,33 @@ object ExtensionQueries {
       },
       "Benford first-digit audit of extended price (pre-quantized law)"),
 
+    // Exact equi-depth deciles: lower order statistics at ceil(j*n/10),
+    // selected at distinct-value grain (one cumulative window over
+    // distinct values) — what approx_percentile approximates and
+    // interpolating percentiles render engine-dependent; an order
+    // statistic is an integer every engine agrees on.
+    "dq11_equidepth" -> QueryDef(
+      (s, dir) => graft.ext.Profile.orderStatQuantiles(
+        t(s, dir, "lineitem"), "l_extendedprice", k = 10),
+      Some("""WITH vq AS (SELECT CAST(floor(l_extendedprice * 100 + 0.5)
+                              AS BIGINT) AS vq
+                          FROM lineitem
+                          WHERE l_extendedprice IS NOT NULL),
+              c1 AS (SELECT vq, CAST(count(*) AS BIGINT) AS c
+                     FROM vq GROUP BY vq),
+              n1 AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM c1),
+              cum AS (SELECT vq, CAST(sum(c) OVER (ORDER BY vq
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+                      FROM c1),
+              qs AS (SELECT CAST(unnest(generate_series(1, 10)) AS INTEGER)
+                              AS q)
+              SELECT q, max(rank) AS rank, min(vq) AS vq
+              FROM (SELECT qs.q, (qs.q * n1.n + 9) // 10 AS rank,
+                           cum.vq, cum.cum
+                    FROM cum CROSS JOIN n1 CROSS JOIN qs)
+              WHERE cum >= rank GROUP BY q"""),
+      "exact equi-depth deciles via distinct-value-grain order statistics"),
+
     // k-anonymity / l-diversity audit: equivalence-class sizes over the
     // (nation, segment) quasi-identifiers with account-balance cents as
     // the sensitive attribute — the privacy pre-flight that says whether
