@@ -1045,6 +1045,23 @@ class Round8Spec extends SparkTestBase {
     }
   }
 
+  test("equi-depth quantiles: exact order statistics on 1..100; the " +
+      "5th decile equals the MAD audit's lower median") {
+    val df = (1 to 100).map(_.toDouble).toDF("v")
+    val q = Profile.orderStatQuantiles(df, "v", 10)
+      .collect().map(r => r.getInt(0) -> r.getLong(2)).toMap
+    assert(q == (1 to 10).map(j => j -> j * 1000L).toMap,
+      s"decile j of 1..100 is exactly 10j (centi-units): $q")
+    // duplicates collapse to the same distinct value but keep their mass
+    val dup = (Seq.fill(99)(1.0) ++ Seq(5.0)).toDF("v")
+    val qd = Profile.orderStatQuantiles(dup, "v", 4)
+      .collect().map(r => r.getInt(0) -> r.getLong(2)).toMap
+    assert(qd == Map(1 -> 100L, 2 -> 100L, 3 -> 100L, 4 -> 500L),
+      s"99x mass holds three quartiles, the max takes the last: $qd")
+    val med = Profile.madOutlierStats(df, "v").collect()(0).getLong(1)
+    assert(q(5) == med, "q5 of k=10 must equal the lower median")
+  }
+
   test("cusum is partition-independent") {
     val rows = (0 until 40).map(i =>
       (s"g${i % 3}", i / 3, (i % 7).toLong)).toDF("grp", "ord", "n")
