@@ -325,12 +325,15 @@ object Profile {
       df.filter(col(valCol).isNotNull)
         .select(floor(col(valCol) * lit(100) + lit(0.5)).cast("long")
           .as("vq")))
-    val med = lowerMedianQ(vq)
+    // both selection results are 1-row model scalars consumed by several
+    // downstream subtrees — materialized so the plan computes each
+    // value-grain selection window ONCE, not per consumer
+    val med = Dedup.materialize(lowerMedianQ(vq))
     val dev = vq.crossJoin(broadcast(med))
       .select(abs(col("vq") - col("med_q")).as("vq"), col("med_q"),
         col("n"))
-    val mad = lowerMedianQ(dev.select("vq"))
-      .select(col("med_q").as("mad_q"))
+    val mad = Dedup.materialize(lowerMedianQ(dev.select("vq"))
+      .select(col("med_q").as("mad_q")))
     dev.crossJoin(broadcast(mad))
       .agg(max("n").as("n"), max("med_q").as("median_q"),
         max("mad_q").as("mad_q"),

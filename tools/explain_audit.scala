@@ -36,7 +36,22 @@ val names = Seq(
   // k-core (final round: degree agg + semi-joins)
   "d33_snm_pairs", "d31_ppjoin", "n24_nsw_search",
   "sp25_weighted_sample", "t29_rank_eval", "t32_hll_registers",
-  "z5_compaction_plan", "sp26_grouped_split", "graph7_kcore")
+  "z5_compaction_plan", "sp26_grouped_split", "graph7_kcore",
+  // round 8 session-3 additions: KN model joins (AQE-broadcast model
+  // relations), LOF (keyed joins + hash-aggs over the k-bounded
+  // relation), reachability (final frontier round: equi-join + distinct
+  // + anti-join), HITS (final half-step: edge join + agg + broadcast
+  // max), modularity (degree agg + double label join), CUSUM (ONE
+  // window sort, two frames), CUPED (conditional user agg + broadcast
+  // scalars), RBO (two k-bounded joins + broadcast weights), MAD /
+  // equi-depth (distinct-value-grain windows), detector Venn (union of
+  // pair relations + two aggs), Markov (one window sort + vocab aggs)
+  "t30_kneser_ney", "n25_lof", "graph8_reachability", "graph9_hits",
+  "graph10_modularity", "x9_cusum", "x10_seasonal_baseline", "ab1_cuped",
+  "t39_rbo", "dq9_mad_outliers", "dq11_equidepth",
+  "d34_detector_agreement", "s7_markov_transitions", "t38_textrank",
+  "pipe6_perplexity_curriculum", "t40_zipf", "dq8_benford",
+  "dq10_kanonymity", "ab2_srm")
 for (n <- names) {
   val df = graft.SparkEntry.queries(n)(spark, sfDir)
   val plan = df.queryExecution.explainString(
