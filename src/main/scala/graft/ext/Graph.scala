@@ -76,6 +76,50 @@ object Graph {
       .select("u", "v").distinct()
   }
 
+  /** Item-item cosine similarity over a (basket, item) relation — the
+   * memory-based collaborative-filtering kernel (Sarwar et al., WWW
+   * 2001): sim(u, v) = c_uv / √(c_u·c_v), with c_uv the number of
+   * baskets containing both items and c_u/c_v each item's basket count
+   * (binary-rating cosine). The "customers who bought X also bought Y"
+   * primitive, one density step past [[coPurchaseEdges]]' mere
+   * adjacency.
+   *
+   * The co-occurrence expansion is Σ_basket C(items, 2); `maxBasket`
+   * skips baskets above the cap (the maxBucket/maxDegree discipline —
+   * a mega-basket contributes C(n,2) pairs of the WEAKEST signal, since
+   * co-occurrence inside a huge basket carries little affinity), so the
+   * expansion is bounded by maxBasket·|rows|. Counts are exact BIGINTs;
+   * the score is one fixed-shape double (int-exact product under the
+   * IEEE sqrt, one divide — the n13 discipline) micro-quantized for the
+   * deterministic top-k cut. Output: top-`topK` by (sim_micro DESC,
+   * u, v): (u, v, c_uv, c_u, c_v, sim_micro). */
+  def itemSimilarity(baskets: DataFrame, maxBasket: Int = 64,
+      topK: Int = 50): DataFrame = {
+    require(maxBasket >= 2, s"maxBasket must be >= 2, got $maxBasket")
+    val bi = Dedup.materialize(
+      baskets.select(col("basket"), col("item")).distinct())
+    val sized = bi.groupBy("basket").agg(count(lit(1)).as("bsz"))
+      .filter(col("bsz") <= maxBasket).select("basket")
+    val kept = bi.join(sized, Seq("basket"), "left_semi")
+    val cuv = kept.select(col("basket"), col("item").as("u"))
+      .join(kept.select(col("basket"), col("item").as("v")), Seq("basket"))
+      .where(col("u") < col("v"))
+      .groupBy("u", "v").agg(count(lit(1)).as("c_uv"))
+    // item degrees over the UNCAPPED relation — the cap bounds the pair
+    // expansion, not the marginals (same contract as linkPredictions'
+    // Jaccard denominator)
+    val deg = bi.groupBy(col("item")).agg(count(lit(1)).as("c"))
+    cuv
+      .join(deg.select(col("item").as("u"), col("c").as("c_u")), Seq("u"))
+      .join(deg.select(col("item").as("v"), col("c").as("c_v")), Seq("v"))
+      .select(col("u"), col("v"), col("c_uv"), col("c_u"), col("c_v"),
+        floor(col("c_uv").cast("double") /
+            sqrt((col("c_u") * col("c_v")).cast("double")) * lit(1e6) +
+            lit(0.5)).cast("long").as("sim_micro"))
+      .orderBy(desc("sim_micro"), asc("u"), asc("v"))
+      .limit(topK)
+  }
+
   /**
    * Fixed-point PageRank over a directed edge relation `(src, dst)`.
    *

@@ -506,6 +506,41 @@ object GraphQueries {
                ${prIter(3, "r2", "r3")}
                SELECT vertex, CAST(rank AS BIGINT) AS rank FROM r3
                ORDER BY rank DESC, vertex LIMIT 20"""),
-      "TextRank keywords: PageRank over the adjacent-word graph, top 20")
+      "TextRank keywords: PageRank over the adjacent-word graph, top 20"),
+
+    // Item-item cosine similarity (Sarwar et al. 2001): the "bought X
+    // also bought Y" collaborative-filtering kernel over order baskets —
+    // binary-rating cosine c_uv/sqrt(c_u*c_v), basket-size cap bounding
+    // the pair expansion, marginals over the uncapped relation. Exact
+    // counts; one fixed-shape double under the IEEE sqrt, micro-
+    // quantized for the deterministic top-k.
+    "graph11_item_sim" -> QueryDef(
+      (s, dir) => Graph.itemSimilarity(
+        t(s, dir, "lineitem").select(
+          col("l_orderkey").as("basket"), col("l_partkey").as("item")),
+        maxBasket = 64, topK = 50),
+      Some("""WITH bi AS (SELECT DISTINCT l_orderkey AS basket,
+                                 l_partkey AS item
+                          FROM lineitem),
+              ok AS (SELECT basket FROM bi GROUP BY basket
+                     HAVING count(*) <= 64),
+              kept AS (SELECT bi.basket, bi.item FROM bi
+                       JOIN ok ON ok.basket = bi.basket),
+              cuv AS (SELECT a.item AS u, b.item AS v,
+                             CAST(count(*) AS BIGINT) AS c_uv
+                      FROM kept a JOIN kept b
+                        ON a.basket = b.basket AND a.item < b.item
+                      GROUP BY 1, 2),
+              deg AS (SELECT item, CAST(count(*) AS BIGINT) AS c
+                      FROM bi GROUP BY item)
+              SELECT cuv.u, cuv.v, cuv.c_uv,
+                     du.c AS c_u, dv.c AS c_v,
+                     CAST(floor(CAST(c_uv AS DOUBLE)
+                         / sqrt(CAST(du.c * dv.c AS DOUBLE)) * 1e6 + 0.5)
+                       AS BIGINT) AS sim_micro
+              FROM cuv JOIN deg du ON du.item = cuv.u
+                       JOIN deg dv ON dv.item = cuv.v
+              ORDER BY sim_micro DESC, u, v LIMIT 50"""),
+      "item-item cosine (bought-X-also-bought-Y), capped baskets, top 50")
   )
 }

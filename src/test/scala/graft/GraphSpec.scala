@@ -387,6 +387,37 @@ class GraphSpec extends SparkTestBase {
     assert(top == "core", s"hub word must rank first, got $top")
   }
 
+  test("itemSimilarity: perfect co-occurrence scores 1e6; popularity " +
+      "normalization demotes the ubiquitous item; cap binds pairs only") {
+    import spark.implicits._
+    // items 1,2 always together (4 baskets); item 9 in EVERY basket
+    // (degree 8). Raw co-count ties (1,9) with (1,2) at 4, but cosine
+    // divides by sqrt(deg): sim(1,2) = 4/sqrt(16) = 1.0 while
+    // sim(1,9) = 4/sqrt(4*8) ~ 0.707 — the popularity correction that
+    // raw co-purchase counts miss.
+    val baskets = (0L until 4L).flatMap(b =>
+      Seq((b, 1L), (b, 2L), (b, 9L))) ++
+      (4L until 8L).flatMap(b => Seq((b, 3L + b % 2), (b, 9L)))
+    val out = Graph.itemSimilarity(baskets.toDF("basket", "item"),
+        maxBasket = 64, topK = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(5))
+      .toMap
+    assert(out((1L, 2L)) == 1000000L, s"always-together = exactly 1: $out")
+    assert(out((1L, 9L)) == 707107L, s"popularity-demoted: $out")
+    // a mega-basket above the cap adds NO pairs but still counts in
+    // the marginals: adding one 70-item basket containing 1 must not
+    // create new pairs for its exclusive items
+    val mega = (0L until 70L).map(i => (99L, 100L + i)) :+ ((99L, 1L))
+    val capped = Graph.itemSimilarity(
+      (baskets ++ mega).toDF("basket", "item"), maxBasket = 64, topK = 100)
+      .collect()
+    assert(!capped.exists(r => r.getLong(0) >= 100L),
+      "over-cap basket items must not pair")
+    val s12 = capped.find(r => r.getLong(0) == 1L && r.getLong(1) == 2L).get
+    assert(s12.getLong(3) == 5L,
+      s"marginals stay uncapped (item 1 now in 5 baskets): $s12")
+  }
+
   test("purchase edges are distinct and prefixed; co-purchase canonical") {
     val orders = Tables.ordersLike(spark)
     val lineitem = Tables.lineitemLike(spark)
