@@ -133,28 +133,41 @@ object TimeSeries {
         col(s"__c.$valCol").as("close"), col("v_micro"), col("n"))
   }
 
-  /** EWMA smoothing + spike detection over a REGULAR per-key series (one
-   * row per (key, ord) — pre-bucket with [[ohlcBars]]/[[gapFill]] first):
-   * the trailing exponentially-weighted mean with α = 1/2 truncated at
-   * `lookback` lags,
-   *
-   *   ewma_prev_n = Σ_{i=1..lookback} x_{n−i} · 2^{−i}
-   *   ewma_n      = x_n · ½ + ewma_prev_n · ½
-   *
-   * and a spike flag `x_n > spikeFactor·ewma_prev_n + minBase` once the
-   * warmup window is full — the standard streaming anomaly baseline
-   * (traffic surges, ingestion-rate monitors) in a form BOTH engines
-   * evaluate bit-identically: α = ½ makes every weight a dyadic rational,
-   * integer-valued x times 2^−i is exact in IEEE doubles, and the ≤
-   * lookback+1-term sums stay inside the 52-bit mantissa for any
-   * x < 2^40 — so the doubles (and the flag's comparison) replay exactly
-   * in the oracle, no micro-quantization needed. Missing leading lags
-   * count as 0 (the fold-from-zero truncated EWMA).
-   *
-   * Plan: `lookback`+1 `lag()` calls over ONE per-key window sort — a
-   * single exchange + sort, no self-join; at 100 TB each key's series
-   * sweeps independently (the [[peakConcurrency]] posture).
-   * Output: (key, ord, x, ewma, is_spike). */
+  /** Recency-decayed value aggregate: per key, Σ value·2^(−⌊age_days /
+   * halfLifeDays⌋) — the "recent activity matters more" rollup behind
+   * user-value scores, decayed counters, and freshness-weighted
+   * sampling priors. Decay is a STAIRCASE dyadic: the exponent is an
+   * integer (age bucketed by half-lives), so each weight is an exact
+   * power of two and `value / 2^k` is pure exponent arithmetic — the
+   * product never rounds, the EWMA dyadic-exactness argument applied to
+   * an aggregate. Ages ≥ 63 half-lives weigh exactly 0 (below one ulp
+   * of any practical sum anyway); per-event terms micro-quantize to
+   * BIGINT before the sum, so totals are partitioning-independent and
+   * oracle-exact. The reference instant is the observed max timestamp
+   * (self-calibrating, one broadcast scalar). One scan + one keyed
+   * hash-agg. Output: (key, n_events, decayed_micro, raw_micro). */
+  def decayedValue(events: DataFrame, key: String, tsCol: String,
+      valCol: String, halfLifeDays: Int = 7): DataFrame = {
+    require(halfLifeDays >= 1, s"halfLifeDays must be >= 1, got $halfLifeDays")
+    val dayNs = 86400L * 1000000000L
+    val ref = events.agg(max(col(tsCol)).as("t_ref"))
+    // pure integer division end-to-end: ⌊⌊age_ns/day⌋ / halfLife⌋ — no
+    // float quotient anywhere near an integer boundary to replay
+    val kSql = s"((t_ref - $tsCol) div ${dayNs}L div $halfLifeDays)"
+    val k = expr(kSql)
+    val term = when(k < 63,
+      floor((col(valCol) /
+          expr(s"cast(shiftleft(1L, cast($kSql as int)) as double)"))
+        * lit(1e6) + lit(0.5)).cast("long"))
+      .otherwise(lit(0L))
+    events.crossJoin(broadcast(ref))
+      .groupBy(col(key))
+      .agg(count(lit(1)).as("n_events"),
+        sum(term).as("decayed_micro"),
+        sum(floor(col(valCol) * lit(1e6) + lit(0.5)).cast("long"))
+          .as("raw_micro"))
+  }
+
   /** Seasonal-baseline deviation: per (key, hour-of-day) the all-days
    * mean count is the BASELINE, and each (key, day, hour-of-day) cell is
    * scored against it — the anomaly detector for traffic with a daily
@@ -226,6 +239,28 @@ object TimeSeries {
       .withColumn("is_alarm", col("s_stat") > lit(threshold))
   }
 
+  /** EWMA smoothing + spike detection over a REGULAR per-key series (one
+   * row per (key, ord) — pre-bucket with [[ohlcBars]]/[[gapFill]] first):
+   * the trailing exponentially-weighted mean with α = 1/2 truncated at
+   * `lookback` lags,
+   *
+   *   ewma_prev_n = Σ_{i=1..lookback} x_{n−i} · 2^{−i}
+   *   ewma_n      = x_n · ½ + ewma_prev_n · ½
+   *
+   * and a spike flag `x_n > spikeFactor·ewma_prev_n + minBase` once the
+   * warmup window is full — the standard streaming anomaly baseline
+   * (traffic surges, ingestion-rate monitors) in a form BOTH engines
+   * evaluate bit-identically: α = ½ makes every weight a dyadic rational,
+   * integer-valued x times 2^−i is exact in IEEE doubles, and the ≤
+   * lookback+1-term sums stay inside the 52-bit mantissa for any
+   * x < 2^40 — so the doubles (and the flag's comparison) replay exactly
+   * in the oracle, no micro-quantization needed. Missing leading lags
+   * count as 0 (the fold-from-zero truncated EWMA).
+   *
+   * Plan: `lookback`+1 `lag()` calls over ONE per-key window sort — a
+   * single exchange + sort, no self-join; at 100 TB each key's series
+   * sweeps independently (the [[peakConcurrency]] posture).
+   * Output: (key, ord, x, ewma, is_spike). */
   def ewmaAnomaly(series: DataFrame, key: String, ordCol: String,
       valCol: String, lookback: Int = 12, spikeFactor: Double = 2.0,
       minBase: Double = 5.0): DataFrame = {

@@ -958,6 +958,31 @@ object RelationalQueries {
                 ON b.event_type = c.event_type AND b.hod = c.hod"""),
       "seasonal-baseline anomaly cells (integer day/hod, full-span mean)"),
 
+    // Recency-decayed per-user value: Σ value·2^(−⌊age_days/7⌋), age from
+    // the observed max timestamp (one broadcast scalar). The staircase
+    // dyadic decay keeps every weight an exact power of two — value/2^k
+    // is pure exponent arithmetic — and per-event micro-quantization
+    // makes the keyed sums partitioning-independent. One scan + one
+    // hash-agg; at 100 TB this is a map-side-combined groupBy, nothing
+    // iterative, nothing windowed.
+    "x11_decayed_value" -> QueryDef(
+      (s, dir) => graft.ext.TimeSeries.decayedValue(
+        t(s, dir, "events"), "user_id", "ts", "value", halfLifeDays = 7),
+      Some("""WITH r AS (SELECT max(epoch_ns(ts)) AS t_ref FROM events),
+              g AS (SELECT user_id, value,
+                      ((r.t_ref - epoch_ns(ts)) // 86400000000000) // 7 AS k
+                    FROM events, r)
+              SELECT user_id,
+                     CAST(count(*) AS BIGINT) AS n_events,
+                     CAST(sum(CASE WHEN k < 63 THEN
+                         CAST(floor(value / (CAST(1 AS BIGINT) << k)
+                           * 1e6 + 0.5) AS BIGINT)
+                       ELSE 0 END) AS BIGINT) AS decayed_micro,
+                     CAST(sum(CAST(floor(value * 1e6 + 0.5) AS BIGINT))
+                       AS BIGINT) AS raw_micro
+              FROM g GROUP BY user_id"""),
+      "recency-decayed value rollup (staircase dyadic half-life decay)"),
+
     // Ordered-step conversion funnel: first view, first click AFTER that
     // view, first purchase AFTER that click. Each stage is one keyed
     // hash-agg over a type-filtered scan joined to the (one-row-per-user,
