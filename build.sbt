@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked `run` output must reach stdout undecorated — the bench driver
+// parses the LAST line of `sbt run` output as compact JSON, and sbt's
+// default logger prefixes forked stdout with "[info] ", defeating the
+// parse (BENCH "parsed": null in r7/r8).
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -697,6 +697,16 @@ object Dedup {
    * identically replaces a struct comparator the oracle could not
    * replay. Output: (doc_id, pos, fp) — the selected fingerprints. */
   def winnowFingerprints(docs: DataFrame, width: Int,
+      win: Int): DataFrame =
+    winnowFingerprintsFromShingles(positionedShingles(docs, width), win)
+
+  /** [[winnowFingerprints]] over an ALREADY-DERIVED positioned-shingle
+   * relation `(doc_id, pos, sh)` — the composition seam (the
+   * [[minhashDedupPairsFromShingles]] pattern): a pipeline that runs
+   * several shingle consumers (d34's detector Venn, a curation report)
+   * derives the corpus tokenization ONCE and feeds each stage, instead
+   * of re-paying the dominant per-byte cost per detector. */
+  def winnowFingerprintsFromShingles(posSh: DataFrame,
       win: Int): DataFrame = {
     require(win >= 1, s"winnow window must be >= 1, got $win")
     val overWin = org.apache.spark.sql.expressions.Window
@@ -705,7 +715,7 @@ object Dedup {
         win - 1)
     val perDoc = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id")
-    positionedShingles(docs, width)
+    posSh
       .withColumn("key",
         // positions beyond the 20-bit pack would silently corrupt the key
         // (fingerprint collisions, wrong pos) — fail loudly instead (r7
@@ -752,10 +762,18 @@ object Dedup {
    * total, each on a different key the semantics require.
    * Output: (doc_a, doc_b, n_shared), doc_a < doc_b. */
   def winnowCandidates(docs: DataFrame, width: Int, win: Int,
+      minShared: Int, maxPostings: Int = 100): DataFrame =
+    winnowCandidatesFromFingerprints(winnowFingerprints(docs, width, win),
+      minShared, maxPostings)
+
+  /** The [[winnowCandidates]] detector over an already-derived
+   * `(doc_id, pos, fp)` sketch — pairs with [[winnowFingerprintsFromShingles]]
+   * to complete the tokenize-once seam. */
+  def winnowCandidatesFromFingerprints(fps: DataFrame,
       minShared: Int, maxPostings: Int = 100): DataFrame = {
     require(minShared >= 1, s"minShared must be >= 1, got $minShared")
     require(maxPostings >= 2, s"maxPostings must be >= 2, got $maxPostings")
-    winnowFingerprints(docs, width, win)
+    fps
       .select(col("doc_id"), col("fp")).distinct()
       .groupBy("fp").agg(sort_array(collect_list(col("doc_id"))).as("ds"))
       .filter(size(col("ds")).between(2, maxPostings))
@@ -1607,5 +1625,33 @@ object Dedup {
     }.reduce(_ unionByName _)
       .groupBy("doc_a", "doc_b").agg(sum("bit").as("mask"))
       .groupBy("mask").agg(count(lit(1)).as("n_pairs"))
+  }
+
+  /** The standard three-detector Venn ([[detectorAgreement]] over LSH =
+   * bit 1, SimHash = bit 2, winnowing = bit 4) with the tokenize-once
+   * composition built in (round-8 verdict #1): the width-`width`
+   * positioned-shingle relation is derived and materialized ONCE, the
+   * distinct bag-of-shingles view is projected from it (riding the same
+   * doc_id partitioning — no second corpus scan) and feeds MinHash
+   * banding, the positions feed the winnow selection, and SimHash runs
+   * its own WORD-grain tokenize (a different grain by definition — it
+   * votes per token, not per shingle). Building the three detectors
+   * independently re-tokenized the corpus three times; the per-byte
+   * tokenization cost is the dominant term of every detector, so the
+   * composed form removes ~2/3 of the corpus-sized work
+   * (CurationSpec-pattern composition lock: DetectorVennSpec pins the
+   * width-3 construction count at 1). */
+  def nearDupDetectorVenn(docs: DataFrame, width: Int = ShingleWidth,
+      minJaccard: Double = 0.5, lshMaxBucket: Int = Int.MaxValue,
+      maxHamming: Int = 3, win: Int = 4, minShared: Int = 2,
+      maxPostings: Int = 100): DataFrame = {
+    val posSh = materialize(positionedShingles(docs, width))
+    val sh = materialize(posSh.select("doc_id", "sh").distinct())
+    detectorAgreement(Seq(
+      1 -> minhashDedupPairsFromShingles(sh, minJaccard, lshMaxBucket),
+      2 -> simhashPairs(docs, maxHamming),
+      4 -> winnowCandidatesFromFingerprints(
+        winnowFingerprintsFromShingles(posSh, win), minShared,
+        maxPostings)))
   }
 }

@@ -28,10 +28,18 @@ object Experiment {
    *
    * Determinism: per-event values centi-quantize to BIGINT
    * (`floor(100·v + 0.5)`), so every per-user x/y and every pooled sum
-   * (Σx, Σy, Σx², Σxy) is an exact integer; θ and the arm means are
-   * fixed-shape double expressions over those exact sums (n·Σxy − Σx·Σy
-   * over n·Σx² − Σx·Σx, each product taken AFTER the int→double
-   * conversion so nothing overflows and both engines round identically).
+   * (Σx, Σy, Σx², Σxy) is an exact integer. The per-user products x·x
+   * and x·y are taken IN BIGINT — that is what makes the pooled moments
+   * exact and the DuckDB replay bit-identical — which bounds the
+   * per-user period totals at |x|,|y| ≤ 3 037 000 499 centi-units
+   * (≈30.4M metric units per user per period, √Long.MaxValue). The
+   * bound is ENFORCED with an `assert_true` on the user-grain relation:
+   * a corpus that exceeds it fails loudly on both engines (DuckDB
+   * raises on BIGINT overflow natively) instead of corrupting θ via
+   * silent non-ANSI wraparound. θ and the arm means are then
+   * fixed-shape double expressions over the exact integer sums
+   * (n·Σxy − Σx·Σy over n·Σx² − Σx·Σx, with the int→double conversion
+   * at the final ratio so both engines round identically).
    * Arms derive as `user_id % 2` — the deterministic hash-assignment
    * stand-in for a real arm column.
    *
@@ -48,6 +56,10 @@ object Experiment {
     // epochs (3.4e18 needs 62 mantissa bits)
     val mid = events.agg(
       expr(s"(min($tsCol) + max($tsCol)) div 2").as("t_mid"))
+    // √Long.MaxValue: the largest |total| whose square still fits a
+    // BIGINT. Enforced so the exact-integer-moment contract can never
+    // silently wrap (see docstring).
+    val maxAbs = 3037000499L
     val users = Dedup.materialize(
       events.crossJoin(broadcast(mid))
         .groupBy(col(userCol).as("user"))
@@ -55,7 +67,12 @@ object Experiment {
           sum(when(col(tsCol) < col("t_mid"), vQ).otherwise(lit(0L)))
             .as("x"),
           sum(when(col(tsCol) >= col("t_mid"), vQ).otherwise(lit(0L)))
-            .as("y")))
+            .as("y"))
+        .withColumn("_bound", assert_true(
+          abs(col("x")) <= maxAbs && abs(col("y")) <= maxAbs,
+          lit(s"cuped: per-user period total exceeds ±$maxAbs " +
+            "centi-units; integer moments would overflow")))
+        .where(col("_bound").isNull).drop("_bound"))
     val pooled = users.agg(
       count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
       sum(col("x") * col("x")).as("sxx"),

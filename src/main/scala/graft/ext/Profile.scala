@@ -256,26 +256,57 @@ object Profile {
         min("l_div").as("min_l_diversity"))
   }
 
+  /** GRAIN CONTRACT for the order-statistic selections below: the
+   * cumulative window (`Window.orderBy("vq")` with no partitionBy) runs
+   * on a SINGLE partition over the DISTINCT values. That is
+   * corpus-independent for the intended inputs — centi-quantized
+   * metric columns (prices, scores, latencies) whose distinct
+   * cardinality is bounded by value RANGE, not row count — and
+   * corpus-SIZED for high-cardinality columns (ids, raw nanosecond
+   * timestamps), where it degenerates to exactly the row-grain global
+   * sort this design exists to avoid. The contract is ENFORCED, not
+   * assumed: the same 1-row total agg that feeds `n` also counts the
+   * distinct values and `assert_true`s the `maxDistinct` bound, so a
+   * caller pointing this at an id column fails loudly on the same job
+   * instead of silently single-threading a terabyte sort. (A
+   * range-partitioned two-level prefix sum would lift the bound; no
+   * current caller needs it, so the loud bound is the honest shape.) */
+  private def boundedTotal(counts: DataFrame, maxDistinct: Long): DataFrame =
+    counts.agg(sum("c").as("n"), count(lit(1)).as("nd"))
+      .withColumn("_g", assert_true(col("nd") <= maxDistinct,
+        lit(s"order-stat selection: distinct-value cardinality exceeds " +
+          s"$maxDistinct — this column violates the bounded-grain " +
+          "contract (see Profile.boundedTotal)")))
+      .where(col("_g").isNull).select("n")
+
   /** Exact LOWER median of a centi-quantized value relation by
    * value-grain selection: counts per distinct value, cumulative count
    * in value order, first value whose cumulative count reaches
    * (n+1) div 2. The window runs at DISTINCT-VALUE grain — for a price
    * or score column that is orders of magnitude smaller than the row
    * count, which is what makes an EXACT median scalable where a
-   * row-grain global sort would not be. Never interpolates: an
-   * order-statistic median is an integer both engines agree on, where
-   * interpolating quantile implementations differ in double op shape. */
-  private def lowerMedianQ(vq: DataFrame): DataFrame = {
+   * row-grain global sort would not be ([[boundedTotal]] enforces the
+   * grain contract). Never interpolates: an order-statistic median is
+   * an integer both engines agree on, where interpolating quantile
+   * implementations differ in double op shape. */
+  private def lowerMedianQ(vq: DataFrame,
+      maxDistinct: Long = MaxOrderStatDistinct): DataFrame = {
     val counts = vq.groupBy("vq").agg(count(lit(1)).as("c"))
     val w = org.apache.spark.sql.expressions.Window.orderBy("vq")
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
         org.apache.spark.sql.expressions.Window.currentRow)
     counts
-      .crossJoin(broadcast(counts.agg(sum("c").as("n"))))
+      .crossJoin(broadcast(boundedTotal(counts, maxDistinct)))
       .withColumn("cum", sum("c").over(w))
       .filter(col("cum") >= expr("(n + 1) div 2"))
       .agg(min("vq").as("med_q"), max("n").as("n"))
   }
+
+  /** Default distinct-value bound for the single-partition cumulative
+   * window: 4M distinct values ≈ a ~100 MB one-partition sort — cheap
+   * on any executor, and far above any genuinely centi-quantized
+   * metric's range. */
+  val MaxOrderStatDistinct: Long = 4L * 1000 * 1000
 
   /** Exact equi-depth quantiles (generalizing [[lowerMedianQ]] to k
    * cuts): the j-th decile/percentile as the exact LOWER order statistic
@@ -286,10 +317,11 @@ object Profile {
    * `approx_percentile` only approximates and interpolating exact
    * percentiles render engine-dependent (their double op shapes differ);
    * an order statistic is an integer every engine agrees on. Input
-   * centi-quantizes like [[madOutlierStats]]. Output: (q, rank, vq) —
+   * centi-quantizes like [[madOutlierStats]]; the distinct-value grain
+   * contract is enforced by [[boundedTotal]]. Output: (q, rank, vq) —
    * one row per cut j = 1..k, vq in centi-units. */
   def orderStatQuantiles(df: DataFrame, valCol: String,
-      k: Int): DataFrame = {
+      k: Int, maxDistinct: Long = MaxOrderStatDistinct): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     val session = df.sparkSession
     import session.implicits._
@@ -301,7 +333,7 @@ object Profile {
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
         org.apache.spark.sql.expressions.Window.currentRow)
     val cum = counts
-      .crossJoin(broadcast(counts.agg(sum("c").as("n"))))
+      .crossJoin(broadcast(boundedTotal(counts, maxDistinct)))
       .withColumn("cum", sum("c").over(w))
     cum.crossJoin(broadcast((1 to k).toDF("q")))
       // rank_j = ceil(j*n/k) in integer arithmetic: (j*n + k - 1) div k

@@ -55,12 +55,16 @@ object Sampling {
    * rows keep exactly the assignment the row-keyed split gives them —
    * adopting the grouped form moves only the rows that had the leakage
    * problem. One left join against the group relation (broadcast when
-   * small) + the same md5 bucket arithmetic. */
+   * small) + the same md5 bucket arithmetic. The group projection is
+   * deduplicated on `groupIdCol` (min group wins, deterministic) before
+   * the join — a `groups` relation carrying an id twice (an id in two
+   * clusters, or a non-dupClusters source) must not fan out input rows
+   * or hand one row two different split assignments. */
   def groupedSplit(df: DataFrame, idCol: String, groups: DataFrame,
       groupIdCol: String, groupCol: String,
       trainPct: Int = 80, valPct: Int = 10): DataFrame = {
-    val g = groups.select(col(groupIdCol).as(idCol),
-      col(groupCol).as("__grp"))
+    val g = groups.groupBy(col(groupIdCol).as(idCol))
+      .agg(min(col(groupCol)).as("__grp"))
     val b = hashBucket(coalesce(col("__grp"), col(idCol)))
     df.join(g, Seq(idCol), "left")
       .withColumn("split",

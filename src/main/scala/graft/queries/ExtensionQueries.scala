@@ -2966,18 +2966,17 @@ object ExtensionQueries {
     // winnowing (bit 4) candidate pairs rolled into one Venn census —
     // the joint-coverage diagnostic above the per-detector ones (a pair
     // only the positional winnow sketch finds is the reordered-
-    // boilerplate blind spot of bag-of-shingles LSH). The oracle
-    // composes the three detectors' own shared CTE chains verbatim, so
-    // a detector change cannot silently diverge from its Venn entry.
+    // boilerplate blind spot of bag-of-shingles LSH). The composed
+    // operator tokenizes the corpus ONCE for both shingle consumers
+    // (r8 verdict #1; DetectorVennSpec pins the construction count).
+    // The oracle composes the three detectors' own shared CTE chains
+    // verbatim, so a detector change cannot silently diverge from its
+    // Venn entry.
     "d34_detector_agreement" -> QueryDef(
-      (s, dir) => {
-        val docs = t(s, dir, "documents")
-        Dedup.detectorAgreement(Seq(
-          1 -> Dedup.minhashDedupPairs(docs, 0.5, maxBucket = Int.MaxValue),
-          2 -> Dedup.simhashPairs(docs),
-          4 -> Dedup.winnowCandidates(docs, width = Dedup.ShingleWidth,
-            win = 4, minShared = 2, maxPostings = 100)))
-      },
+      (s, dir) => Dedup.nearDupDetectorVenn(t(s, dir, "documents"),
+        width = Dedup.ShingleWidth, minJaccard = 0.5,
+        lshMaxBucket = Int.MaxValue, maxHamming = 3, win = 4,
+        minShared = 2, maxPostings = 100),
       Some(s"""WITH $LshPairsCtes,
                $SimhashCte,
                sh_pairs AS (

@@ -93,33 +93,59 @@ object StreamingAnalytics {
 
   /** Emits one row per CLOSED session (gap > timeout) — arbitrary stateful
    * logic the SQL surface can't express incrementally. Batch equivalent:
-   * the s1_sessionize inventory query (lag + flag-sum). */
+   * the s1_sessionize inventory query (lag + flag-sum).
+   *
+   * `flushAfterMillis` (None = never, preserving the original
+   * append-only contract): when set, a PROCESSING-time timeout fires
+   * for any user quiet that long, closing and emitting their open
+   * session — without it a quiescent user's LAST session sits in state
+   * forever and never reaches the sink (the batch operator emits it;
+   * the stream would not). Processing time, not event time, because
+   * the quiet user by definition sends no more events to advance a
+   * watermark. */
   def sessionize(
       events: Dataset[SessionEvent],
-      gapMillis: Long)(implicit spark: SparkSession): Dataset[SessionOut] = {
+      gapMillis: Long,
+      flushAfterMillis: Option[Long] = None)(
+      implicit spark: SparkSession): Dataset[SessionOut] = {
     import spark.implicits._
+    val timeoutConf =
+      if (flushAfterMillis.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
     events
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[SessionState, SessionOut](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        OutputMode.Append, timeoutConf) {
         (user: Long, rows: Iterator[SessionEvent], state: GroupState[SessionState]) =>
-          val sorted = rows.toSeq.sortBy(_.ts.getTime)
-          var closed = List.empty[SessionOut]
-          var cur = state.getOption
-          sorted.foreach { e =>
-            val t = e.ts.getTime
-            cur match {
-              case Some(s) if t - s.last <= gapMillis =>
-                cur = Some(s.copy(last = t, n = s.n + 1))
-              case Some(s) =>
-                closed ::= SessionOut(user, new Timestamp(s.start), new Timestamp(s.last), s.n)
-                cur = Some(SessionState(t, t, 1))
-              case None =>
-                cur = Some(SessionState(t, t, 1))
+          if (state.hasTimedOut) {
+            // quiet period elapsed with zero new events: the open
+            // session is closed by definition of the gap rule.
+            val s = state.get
+            state.remove()
+            Iterator.single(
+              SessionOut(user, new Timestamp(s.start), new Timestamp(s.last), s.n))
+          } else {
+            val sorted = rows.toSeq.sortBy(_.ts.getTime)
+            var closed = List.empty[SessionOut]
+            var cur = state.getOption
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.last <= gapMillis =>
+                  cur = Some(s.copy(last = t, n = s.n + 1))
+                case Some(s) =>
+                  closed ::= SessionOut(user, new Timestamp(s.start), new Timestamp(s.last), s.n)
+                  cur = Some(SessionState(t, t, 1))
+                case None =>
+                  cur = Some(SessionState(t, t, 1))
+              }
             }
+            cur.foreach { s =>
+              state.update(s)
+              flushAfterMillis.foreach(ms => state.setTimeoutDuration(ms))
+            }
+            closed.reverseIterator
           }
-          cur.foreach(state.update)
-          closed.reverseIterator
       }
   }
 
@@ -137,41 +163,62 @@ object StreamingAnalytics {
    * the same (ts, event_id) order as the batch operator, so under
    * monotone per-user ingest a closed session's transcript is
    * IDENTICAL to the batch row (spec-proven). State per user is one
-   * open session's turns — gap-bounded, never the history. */
+   * open session's turns — gap-bounded, never the history.
+   *
+   * `flushAfterMillis` (None = never): when set, a processing-time
+   * timeout closes and emits the open session of any user quiet that
+   * long — mirroring the batch operator's completeness, which emits
+   * every session including each user's last. Without it a quiescent
+   * user's final transcript is held in state forever (the same trade
+   * [[sessionize]] documents; processing time because the quiet user
+   * sends nothing to advance a watermark). */
   def conversationTranscripts(events: Dataset[TurnEvent],
-      gapMillis: Long)(implicit spark: SparkSession)
+      gapMillis: Long,
+      flushAfterMillis: Option[Long] = None)(implicit spark: SparkSession)
       : Dataset[TranscriptOut] = {
     import spark.implicits._
+    val timeoutConf =
+      if (flushAfterMillis.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
     events
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[Seq[(Long, Long, String)], TranscriptOut](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        OutputMode.Append, timeoutConf) {
         (user: Long, rows: Iterator[TurnEvent],
             state: GroupState[Seq[(Long, Long, String)]]) =>
-          // MERGE-then-resegment, never append: a batch boundary can
-          // split a (ts, event_id) tie (batch 1 delivers id 5 at T,
-          // batch 2 delivers id 3 at the same T — still monotone
-          // ingest), and only re-sorting the open session's turns with
-          // the batch reproduces the batch operator's global order. The
-          // sort is over ONE open session + one batch — gap-bounded.
-          val batchTurns = rows.map(e => (e.ts.getTime, e.event_id,
-            s"${e.event_type}:${Option(e.props).getOrElse("")}")).toSeq
-          val all = (state.getOption.getOrElse(Seq.empty) ++ batchTurns)
-            .sortBy(t => (t._1, t._2))
-          var closed = List.empty[TranscriptOut]
           def emit(s: Seq[(Long, Long, String)]): TranscriptOut =
             TranscriptOut(user, s.size.toLong,
               new Timestamp(s.head._1), new Timestamp(s.last._1),
               s.map(_._3).mkString("\n"))
-          var cur = Seq.empty[(Long, Long, String)]
-          all.foreach { t =>
-            if (cur.nonEmpty && t._1 - cur.last._1 > gapMillis) {
-              closed ::= emit(cur)
-              cur = Seq(t)
-            } else cur = cur :+ t
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(emit(s))
+          } else {
+            // MERGE-then-resegment, never append: a batch boundary can
+            // split a (ts, event_id) tie (batch 1 delivers id 5 at T,
+            // batch 2 delivers id 3 at the same T — still monotone
+            // ingest), and only re-sorting the open session's turns with
+            // the batch reproduces the batch operator's global order. The
+            // sort is over ONE open session + one batch — gap-bounded.
+            val batchTurns = rows.map(e => (e.ts.getTime, e.event_id,
+              s"${e.event_type}:${Option(e.props).getOrElse("")}")).toSeq
+            val all = (state.getOption.getOrElse(Seq.empty) ++ batchTurns)
+              .sortBy(t => (t._1, t._2))
+            var closed = List.empty[TranscriptOut]
+            var cur = Seq.empty[(Long, Long, String)]
+            all.foreach { t =>
+              if (cur.nonEmpty && t._1 - cur.last._1 > gapMillis) {
+                closed ::= emit(cur)
+                cur = Seq(t)
+              } else cur = cur :+ t
+            }
+            if (cur.nonEmpty) {
+              state.update(cur)
+              flushAfterMillis.foreach(ms => state.setTimeoutDuration(ms))
+            }
+            closed.reverseIterator
           }
-          if (cur.nonEmpty) state.update(cur)
-          closed.reverseIterator
       }
   }
 
