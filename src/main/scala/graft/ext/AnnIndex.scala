@@ -360,6 +360,46 @@ object AnnIndex {
       .repartition(col("cell"))
       .write.mode("overwrite").partitionBy("cell")
       .parquet(s"$dir/sq8.parquet")
+    // build-time reconstruction-error baseline for [[appendIvfSq8]]'s
+    // drift rows ([[Similarity.sq8SelfError]] — dynamic-range drift)
+    writeDriftStats(Similarity.sq8SelfError(corpus), dir, batchId = -1L)
+  }
+
+  /** Append new vectors to an existing [[buildIvfSq8]] index (r8 verdict
+   * #5: the last asymmetry in the lifecycle matrix — IVF-PQ and residual
+   * already shared the marker-leg protocol; SQ8 built one-shot only).
+   * Same staged-leg + single-marker publish: a leg stages invisibly,
+   * the marker create commits it, a replayed `foreachBatch` batch id
+   * returns at the marker check, [[vacuumDeletes]] folds published legs
+   * (the `sq8` listing is already in its fold set) and sweeps dead
+   * staging, and [[searchIvfSq8]] reads through [[listing]] so appended
+   * rows are searchable immediately with tombstones honored.
+   *
+   * SQ8 has NO trained codebook — the cell geometry is seed-derived and
+   * the codes are pure per-row functions of the embedding — so appended
+   * rows are unconditionally bit-identical to a one-shot build
+   * containing them (the append ≡ one-shot equivalence the other
+   * families only get under frozen codebooks, here by construction).
+   * The drift row still earns its place on a different axis: the
+   * absolute reconstruction error tracks the batch's DYNAMIC RANGE
+   * (an outlier dimension inflates the per-vector scale and coarsens
+   * every dimension's resolution — [[Similarity.sq8SelfError]]), which
+   * is the rebuild/re-chunk signal a scalar-quantized index needs. */
+  def appendIvfSq8(newVecs: DataFrame, dir: String, batchId: Long): Unit = {
+    val spark = newVecs.sparkSession
+    val marker = new org.apache.hadoop.fs.Path(markerPath(dir, batchId))
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(marker)) return // replayed micro-batch: already committed
+    val p = spark.read.parquet(s"$dir/params.parquet")
+      .select("bits", "dim", "seed").head
+    val planes = Similarity.rpPlanes(p.getInt(1), p.getInt(0), p.getString(2))
+    val leg = legDir(dir, batchId)
+    Similarity.sq8Codes(newVecs, planes)
+      .repartition(col("cell"))
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$leg/sq8.parquet")
+    writeDriftStats(Similarity.sq8SelfError(newVecs), leg, batchId)
+    fs.create(marker, true).close() // publish codes + drift atomically
   }
 
   /** Search a [[buildIvfSq8]] index: queries quantize inline (a

@@ -596,6 +596,30 @@ object Similarity {
         rpCell(col("embedding"), planes).as("cell"), int8Scale.as("scale"))
       .select(col("vec_id"), col("cell"), col("scale"), int8Codes.as("q"))
 
+  /** Exact SQ8 reconstruction self-error per vector, for the drift log
+   * ([[AnnIndex.appendIvfSq8]]): Σ_dims |127·vμ_i − q_i·scaleμ| — the
+   * absolute quantization error on the micro grid, scaled by 127 so the
+   * whole statistic is a pure BIGINT (no division). SQ8 has no trained
+   * codebook, so the drift axis here is DYNAMIC RANGE, not centroid
+   * fit: per-dim resolution is scale/254, and a batch whose vectors
+   * carry an outlier dimension inflates `scale` and coarsens every
+   * other dimension's reconstruction — which this absolute error
+   * surfaces exactly (error grows ∝ scale), where a scale-RELATIVE
+   * error would be bounded by construction and blind to it. Emitted
+   * under the shared drift column name so [[AnnIndex.driftLog]]'s
+   * schema covers all three index families. */
+  private[ext] def sq8SelfError(vecs: DataFrame): DataFrame =
+    vecs
+      .select(col("vec_id"), col("embedding"), int8Scale.as("scale"))
+      .select(col("vec_id"), quantizeMicro(col("embedding")).as("vmu"),
+        floor(col("scale") * lit(1e6) + lit(0.5)).cast("long").as("smu"),
+        int8Codes.as("q"))
+      .select(col("vec_id"),
+        aggregate(
+          zip_with(col("vmu"), col("q"),
+            (vm, qi) => abs(vm * lit(127L) - qi.cast("long") * col("smu"))),
+          lit(0L), _ + _).as("adc_err"))
+
   /** Deterministic within-cell truncation to `maxCell` members, ordered by
    * a hash of the id (a pseudo-random but replayable sample). Mirrors
    * `Dedup.lshCandidates`'s bucket cap: one degenerate cell (a dominant

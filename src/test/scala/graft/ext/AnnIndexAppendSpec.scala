@@ -170,6 +170,89 @@ class AnnIndexAppendSpec extends graft.SparkTestBase {
     assert(folded == log)
   }
 
+  test("sq8 appends search identically to a one-shot build; replay is a " +
+    "no-op; vacuum folds; drift history survives (r8 verdict #5)") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("ann_ivfsq8_append").toString
+    val oneShotDir = java.nio.file.Files
+      .createTempDirectory("ann_ivfsq8_oneshot").toString
+    val half = embs.filter($"vec_id" % 2 === 0)
+    val rest = embs.filter($"vec_id" % 2 =!= 0)
+    AnnIndex.buildIvfSq8(half, dir)
+    AnnIndex.appendIvfSq8(rest, dir, batchId = 0L)
+
+    // SQ8 has no trained codebook, so append ≡ one-shot holds against a
+    // FULL-corpus build, not just a frozen-codebook re-encode
+    AnnIndex.buildIvfSq8(embs, oneShotDir)
+    val expected = rows(AnnIndex.searchIvfSq8(queries, spark, oneShotDir, 3))
+    assert(rows(AnnIndex.searchIvfSq8(queries, spark, dir, 3)) == expected)
+
+    // the append landed as a published leg; base untouched
+    val stored = AnnIndex.listing(spark, dir, "sq8")
+    assert(stored.count() == embs.count())
+    assert(stored.select("vec_id").distinct().count() == embs.count())
+    assert(spark.read.parquet(s"$dir/sq8.parquet").count() == half.count())
+
+    // replay safety: the same batch id re-running is a no-op
+    AnnIndex.appendIvfSq8(rest, dir, batchId = 0L)
+    assert(AnnIndex.listing(spark, dir, "sq8").count() == embs.count())
+
+    // tombstones are honored on the appended rows too
+    val victim = rest.select("vec_id").orderBy("vec_id").limit(1)
+    AnnIndex.deleteIds(victim, dir)
+    val victimId = victim.head.getLong(0)
+    assert(AnnIndex.listing(spark, dir, "sq8")
+      .filter($"vec_id" === victimId).count() == 0)
+
+    // vacuum folds the leg + tombstone into the base; results match a
+    // one-shot build over the surviving corpus
+    AnnIndex.vacuumDeletes(spark, dir)
+    assert(AnnIndex.committedAppendIds(spark, dir).isEmpty)
+    assert(spark.read.parquet(s"$dir/sq8.parquet").count() == embs.count() - 1)
+    val survivorDir = java.nio.file.Files
+      .createTempDirectory("ann_ivfsq8_survivor").toString
+    AnnIndex.buildIvfSq8(embs.filter($"vec_id" =!= victimId), survivorDir)
+    assert(rows(AnnIndex.searchIvfSq8(queries, spark, dir, 3)) ==
+      rows(AnnIndex.searchIvfSq8(queries, spark, survivorDir, 3)))
+
+    // drift history: build baseline + the append row, surviving the fold
+    val log = AnnIndex.driftLog(spark, dir)
+      .select("batch_id", "err_mean").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(log.keySet == Set(-1L, 0L))
+    assert(log(0L) <= 2 * log(-1L),
+      s"same-distribution sq8 drift ${log(0L)} vs build ${log(-1L)}")
+  }
+
+  test("sq8 drift log: dynamic-range blowup rises (the scalar-quantizer " +
+    "rebuild signal — no codebook to drift off, so scale IS the axis)") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("ann_ivfsq8_drift").toString
+    val half = embs.filter($"vec_id" % 2 === 0)
+    val rest = embs.filter($"vec_id" % 2 =!= 0)
+    AnnIndex.buildIvfSq8(half, dir)
+    val maxId = embs.agg(org.apache.spark.sql.functions.max($"vec_id"))
+      .head.getLong(0)
+    AnnIndex.appendIvfSq8(rest, dir, batchId = 0L)
+    // batch 1: one dimension blown up 20× — the per-vector scale
+    // inflates, coarsening EVERY dimension's int8 resolution
+    AnnIndex.appendIvfSq8(
+      rest.select(($"vec_id" + maxId + 1).as("vec_id"),
+        org.apache.spark.sql.functions.transform($"embedding",
+          (v, i) => org.apache.spark.sql.functions
+            .when(i === 0, v * 20.0f).otherwise(v).cast("float"))
+          .as("embedding")),
+      dir, batchId = 1L)
+    val log = AnnIndex.driftLog(spark, dir)
+      .select("batch_id", "err_mean").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(log.keySet == Set(-1L, 0L, 1L))
+    assert(log(0L) <= 2 * log(-1L),
+      s"same-distribution sq8 drift ${log(0L)} vs build ${log(-1L)}")
+    assert(log(1L) > 3 * log(-1L),
+      s"range-blown sq8 drift ${log(1L)} not above build ${log(-1L)}")
+  }
+
   test("drift log: same-distribution appends stay flat, shifted ones rise") {
     val dir = java.nio.file.Files.createTempDirectory("ann_ivfpq_drift").toString
     val half = embs.filter($"vec_id" % 2 === 0)
