@@ -106,6 +106,20 @@ object Bench {
       // t4/sp1/p5/st1 were exactly this: 0.2 s queries measuring 1.4-7 s;
       // a fresh-context probe reproduces the 0.2 s — see
       // tools/probe_regressions.scala).
+      // Gate-session hygiene (r8 verdict #3): every sample rebuilds its
+      // plan from scratch, so the PREVIOUS query's localCheckpoint blocks
+      // are dead by the time this one starts — evict them NOW instead of
+      // waiting for driver GC to let ContextCleaner run. Without this,
+      // ~250 queries of accumulated blocks crowd the block manager and
+      // storage memory, and mid-alphabet walls inflate to 3× their
+      // fresh-context cost (d4: 14.6 s in the r8 gate vs 4.4 s warm in a
+      // fresh context) — at which point per-query walls stop tracking
+      // operator cost and real regressions hide. Safe by construction:
+      // no query def shares a materialized relation across invocations
+      // (all cross-query state is SQL strings), so nothing can recompute
+      // from an evicted checkpoint.
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = true))
       sinceGc += 1
       if (sinceGc >= 8) { sinceGc = 0; System.gc() }
       def run(): (Double, Double) = timed(fn(spark, sfDir).count())
@@ -284,6 +298,21 @@ object Bench {
           concat(col("c_name"), lit("_"), col("k")).as("nm"))
         .repartition(16).write.mode("overwrite")
         .parquet(s"$dir10/fuzzy_names.parquet")
+      // Block-SEPARATING ER relation (r8 verdict #3): the favorable case
+      // the er_stream probes never priced. 2000 distinct 12-char prefix
+      // blocks (vs fuzzy_names' ONE shared "Customer#000" head), each
+      // picking up ~2 members per 4000-id batch (block = id % 2000), so
+      // the accumulated×batch pair probe stays ~constant per batch while
+      // a one-shot re-resolve pays the growing corpus every time. Names
+      // within a block share the 13-char prefix+stem and differ only in
+      // the member index (JW ≈ 0.97 ≥ 0.9 → every block resolves to one
+      // entity); cross-block names never meet (prefix blocking).
+      spark.range(12000)
+        .select(col("id"),
+          format_string("B%08d nm%02d", expr("id % 2000"),
+            expr("id div 2000")).as("nm"))
+        .repartition(16).write.mode("overwrite")
+        .parquet(s"$dir10/er_sep_names.parquet")
       // 20k real PNGs for the image-dedup probe (r4 verdict #5: the aHash
       // pair path had no at-scale number). Generated in executors — see
       // mkImageRecord — and landed as a media parquet with the standard
@@ -353,7 +382,12 @@ object Bench {
         // vocabulary-sized count aggs over the 10× corpus (the replica
         // suffixes multiply the bigram vocabulary 10×, the honest scaling
         // axis for this op)
-        "t26_phrase_detect")
+        "t26_phrase_detect",
+        // round-9 (r8 verdict #4): the composed KN-scoring curriculum —
+        // the heaviest r8 pipeline (Kneser-Ney xent per doc + token count
+        // + deterministic global order + cumulative-token phase cut) at
+        // 10× docs and 10× the bigram vocabulary
+        "pipe6_perplexity_curriculum")
       val walls = scala.collection.mutable.ListBuffer.empty[(String, String)]
       val ratios = scala.collection.mutable.ListBuffer.empty[(String, String)]
       // BOTH raw walls per probe, not just the min (round-5 verdict #2):
@@ -785,6 +819,63 @@ object Bench {
           System.gc()
         }
       }
+      // Streaming ER favorable case (r8 verdict #3): the SAME sink over
+      // the block-SEPARATING relation — 2000 small prefix blocks, so the
+      // accumulated×batch probe is tiny — with a one-shot re-resolve of
+      // everything ingested so far timed at each cut as the alternative
+      // the increment replaces. The claim being priced: er_stream_sep
+      // per-batch walls stay ~flat while er_oneshot_sep walls grow with
+      // the accumulated corpus.
+      locally {
+        val ps = GraftSession.builder(s"local[$cpus]", cpus).getOrCreate()
+        ps.sparkContext.setLogLevel("ERROR")
+        try {
+          graft.functions.GraftFunctions.register(ps)
+          val recs = ps.read.parquet(s"$dir10/er_sep_names.parquet")
+            .withColumn("q", (col("id") % 997).cast("double"))
+            .withColumn("seg", (col("id") % 5).cast("string"))
+          val tableDir = s"$dir10/er_sep_table"
+          val stateDir = s"$dir10/er_sep_state"
+          val conf = ps.sparkContext.hadoopConfiguration
+          Seq(tableDir, stateDir).foreach { d =>
+            val p = new org.apache.hadoop.fs.Path(d)
+            p.getFileSystem(conf).delete(p, true)
+          }
+          val sink = graft.streaming.StreamingEntityResolution.goldenSink(
+            tableDir, stateDir, "id", "nm", "q", Seq("seg"),
+            blockPrefix = 12, minSim = 0.9)
+          val cuts = Seq(0L -> 4000L, 4000L -> 8000L, 8000L -> 12000L)
+          for ((k, (lo, hi)) <- cuts.zipWithIndex.map(_.swap)) {
+            val b = recs.filter(col("id") >= lo && col("id") < hi)
+            try {
+              val (w, c) = timed(sink.write(b, k.toLong))
+              walls += (s"er_stream_sep_b$k" -> w.toString)
+              ratios += (s"er_stream_sep_b$k" -> f2(c / w))
+              rawSamples += (s"er_stream_sep_b$k" -> s"[${f2(w)}]")
+            } catch { case e: Throwable =>
+              System.err.println(
+                s"[bench] er_stream_sep_b$k FAILED: ${e.getMessage}")
+              walls += (s"er_stream_sep_b$k" -> "-1")
+            }
+            try {
+              val (w, c) = timed(
+                graft.ext.EntityResolution.resolveEntities(
+                  recs.filter(col("id") < hi), "id", "nm", "q",
+                  Seq("seg"), blockPrefix = 12, minSim = 0.9).count())
+              walls += (s"er_oneshot_sep_b$k" -> w.toString)
+              ratios += (s"er_oneshot_sep_b$k" -> f2(c / w))
+              rawSamples += (s"er_oneshot_sep_b$k" -> s"[${f2(w)}]")
+            } catch { case e: Throwable =>
+              System.err.println(
+                s"[bench] er_oneshot_sep_b$k FAILED: ${e.getMessage}")
+              walls += (s"er_oneshot_sep_b$k" -> "-1")
+            }
+          }
+        } finally {
+          ps.stop()
+          System.gc()
+        }
+      }
       // Multimodal family — real PNG decode (JdkCodec) + aHash pigeonhole
       // near-dup pairs over 20k images, in its own fresh context.
       runFamily(Seq(
@@ -858,12 +949,29 @@ object Bench {
               .filter(col("l_quantity") >= 40))
           graft.ext.Graph.modularity(ed,
             graft.ext.Graph.labelAssignments(ed, iters = 2))
-        })),
+        }),
+        // round-9 (r8 verdict #4): item-item CF at 10× baskets — the
+        // Σ C(basket,2) pair expansion under maxBasket=64 with uncapped
+        // marginals; the registered gate query over the 10× lineitem
+        "graph11_item_sim" -> ((ps: org.apache.spark.sql.SparkSession) =>
+          SparkEntry.queries("graph11_item_sim")(ps, dir10)),
+        // round-9 (r8 verdict #4): exact equi-depth quantiles at 10×
+        // DISTINCT values (~5.8M — per-replica cent shifts multiply the
+        // 583k sf0.1 price vocabulary), not just 10× rows. The default
+        // 4M grain bound would correctly REFUSE this input; the probe
+        // raises maxDistinct explicitly — the contract's own knob — to
+        // price the single-partition cumulative window at its documented
+        // degenerate grain.
+        "dq11_equidepth" -> ((ps: org.apache.spark.sql.SparkSession) =>
+          graft.ext.Profile.orderStatQuantiles(
+            ps.read.parquet(s"$dir10/lineitem.parquet"),
+            "l_extendedprice", k = 10, maxDistinct = 8L * 1000 * 1000))),
         setup = ps => {
           val o = ps.read.parquet(s"$sfDir/orders.parquet")
             .select("o_orderkey", "o_custkey")
           val l = ps.read.parquet(s"$sfDir/lineitem.parquet")
-            .select("l_orderkey", "l_partkey", "l_suppkey", "l_quantity")
+            .select("l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+              "l_extendedprice")
           val okStride = maxIdOrZero(o, "o_orderkey") + 1L
           val ckStride = maxIdOrZero(o, "o_custkey") + 1L
           val pkStride = maxIdOrZero(l, "l_partkey") + 1L
@@ -878,7 +986,11 @@ object Bench {
             (col("l_orderkey") + lit(k * okStride)).as("l_orderkey"),
             (col("l_partkey") + lit(k * pkStride)).as("l_partkey"),
             (col("l_suppkey") + lit(k * skStride)).as("l_suppkey"),
-            col("l_quantity")))
+            col("l_quantity"),
+            // per-replica cent shift: the price vocabulary grows ~10×
+            // (the dq11 window's honest scaling axis), exact on the
+            // centi-quantized grid
+            (col("l_extendedprice") + lit(k * 0.01)).as("l_extendedprice")))
             .reduce(_ unionByName _)
             .repartition(16).write.mode("overwrite")
             .parquet(s"$dir10/lineitem.parquet")
@@ -984,6 +1096,25 @@ object Bench {
       "claim, proven for semantics in StreamingEntityResolutionSpec, is " +
       "equivalence, with cost proportional to accumulated-x-batch pairs " +
       "plus fixed per-batch overhead. " +
+      "r9: er_stream_sep_b0..b2 price exactly that favorable case (r8 " +
+      "verdict #3) - the same sink over a block-SEPARATING relation " +
+      "(2000 distinct 12-char prefix blocks, ~2 new members each per " +
+      "batch, so accumulated-x-batch pairs stay ~constant), with " +
+      "er_oneshot_sep_b0..b2 timing the alternative (a full re-resolve " +
+      "of everything ingested so far) at each cut: the incremental " +
+      "walls should read ~flat while the one-shot walls grow with the " +
+      "accumulated corpus. " +
+      "r9 probes (r8 verdict #4): graph11_item_sim at 10x baskets " +
+      "(maxBasket=64 pair expansion, uncapped marginals); dq11_equidepth " +
+      "at ~10x DISTINCT price values (per-replica cent shifts; the probe " +
+      "raises maxDistinct to 8M - the default 4M grain bound would " +
+      "correctly refuse, which is the contract working); " +
+      "pipe6_perplexity_curriculum at 10x docs + 10x bigram vocabulary. " +
+      "r9 gate hygiene (r8 verdict #3/weak-drift): the main query loop " +
+      "now unpersists all dead localCheckpoint blocks before each query, " +
+      "so per-query sf0.1 walls track operator cost instead of block-" +
+      "manager crowding; mid-alphabet walls (d4 etc) reset DOWN vs r8 " +
+      "accordingly. " +
       "ann_n23_outliers_ivfpq runs the outlier cut over the " +
       "prebuilt index (the compositional scale form; 20k-query brute " +
       "force is what it avoids). t28 at 10x prices the " +
