@@ -16,7 +16,7 @@ object SparkEntry {
   /** All inventory modules, merged. Keys must be unique across modules. */
   private def allDefs: Map[String, QueryDef] =
     CoreQueries.defs ++ RelationalQueries.defs ++ ExtensionQueries.defs ++
-      GraphQueries.defs
+      GraphQueries.defs ++ AnalyticsQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

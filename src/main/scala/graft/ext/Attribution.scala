@@ -1,0 +1,172 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Marketing / conversion attribution and customer-value segmentation —
+ * the analytics a user-profile pipeline feeds into a growth dashboard.
+ * The reference's dashboard stops at per-source counts
+ * (`dashbord/dashbord.py:104-119`); these are the standard next questions
+ * over the same event stream: WHICH touch drove each conversion, and how
+ * do customers segment by recency/frequency/monetary value.
+ *
+ * Scale posture (100 TB): every operator here is one per-key window pass
+ * (state bounded by the frame, never the corpus) followed by a
+ * channel- or segment-grain hash-agg whose output is at most a few
+ * hundred rows. No self-joins, no corpus-sized state, no driver-side
+ * collection. Money is micro-quantized (`floor(v·1e6 + 0.5)` on a
+ * 2-decimal-exact input) so every sum is an exact integer and the
+ * cross-engine hash cannot be flipped by double summation order; split
+ * shares use integer division so fractional attribution is exact
+ * rational arithmetic, not floating point.
+ */
+object Attribution {
+
+  private val TouchTypes = Seq("view", "click")
+
+  private def microCents(c: Column): Column =
+    floor(c * lit(1e6) + lit(0.5)).cast("long")
+
+  /**
+   * Last-touch attribution: each `purchase` is credited to the most
+   * recent preceding touch (`view`/`click`) by the same user within
+   * `lookbackDays`, at MICROsecond event-time grain with `event_id` as
+   * the deterministic equal-timestamp tie-break. Purchases with no touch
+   * in the window report channel `"(none)"` — the unattributed mass must
+   * stay visible or the channel split silently over-claims.
+   *
+   * One window pass per user (running `last(..., ignoreNulls)` over the
+   * merged stream — O(1) state per row) + one 3-row hash-agg. The classic
+   * alternative — an as-of join of purchases against touches — costs a
+   * second shuffle of the touch relation; the merged-stream form reuses
+   * the single per-user sort for both sides.
+   *
+   * Output: `channel, n_conversions, attributed_micro` (micro-units of
+   * the purchase `value`).
+   */
+  def lastTouch(events: DataFrame, lookbackDays: Int = 7): DataFrame = {
+    require(lookbackDays >= 1, s"lookbackDays must be >= 1, got $lookbackDays")
+    val w = Window.partitionBy("user_id").orderBy("tsu", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val isTouch = col("event_type").isin(TouchTypes: _*)
+    val stream = events
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("value"), expr("ts div 1000").as("tsu"))
+      .withColumn("lt_type",
+        last(when(isTouch, col("event_type")), ignoreNulls = true).over(w))
+      .withColumn("lt_tsu",
+        last(when(isTouch, col("tsu")), ignoreNulls = true).over(w))
+    val horizonUs = lookbackDays * 86400000000L
+    stream.filter(col("event_type") === "purchase")
+      .select(
+        when(col("lt_tsu").isNotNull &&
+             col("lt_tsu") >= col("tsu") - lit(horizonUs), col("lt_type"))
+          .otherwise(lit("(none)")).as("channel"),
+        col("value"))
+      .groupBy("channel")
+      .agg(count(lit(1)).as("n_conversions"),
+        sum(microCents(col("value"))).as("attributed_micro"))
+  }
+
+  /**
+   * Linear (equal-share) multi-touch attribution: each purchase's value
+   * is split equally across ALL touches in the strictly-preceding
+   * `lookbackDays` window, using integer division on micro-units
+   * (`value_micro · n_channel / n_total`) so the split is exact rational
+   * arithmetic with the sub-micro remainder reported as
+   * `remainder_micro` — the books balance to the cent by construction,
+   * which a float split cannot promise.
+   *
+   * Per-channel touch counts come from conditional RANGE-frame counts
+   * over event-time micros (`[-lookback, -1us]` — the purchase instant
+   * itself is excluded in both engines), so frame membership follows the
+   * clock, not a row count. One window sort per user, frame state O(1)
+   * per conditional count, then a ≤3-row agg.
+   */
+  def linearTouch(events: DataFrame, lookbackDays: Int = 7): DataFrame = {
+    require(lookbackDays >= 1, s"lookbackDays must be >= 1, got $lookbackDays")
+    val horizonUs = lookbackDays * 86400000000L
+    val w = Window.partitionBy("user_id").orderBy("tsu")
+      .rangeBetween(-horizonUs, -1L)
+    def nTouch(t: String): Column =
+      count(when(col("event_type") === t, lit(1))).over(w)
+    val stream = events
+      .select(col("user_id"), col("event_type"), col("value"),
+        expr("ts div 1000").as("tsu"))
+      .withColumn("n_view", nTouch("view"))
+      .withColumn("n_click", nTouch("click"))
+    // `div` (true BIGINT division) keeps every share an exact integer;
+    // vm ≤ ~1e12 micro-units times a per-user-per-window touch count
+    // stays far inside Long, and the per-purchase remainder
+    // vm − Σ shares < n_tot micro-units is carried on its own row.
+    val p = stream.filter(col("event_type") === "purchase")
+      .select(microCents(col("value")).as("vm"),
+        col("n_view"), col("n_click"),
+        (col("n_view") + col("n_click")).as("n_tot"))
+      .withColumn("share_view", expr("vm * n_view div n_tot"))
+      .withColumn("share_click", expr("vm * n_click div n_tot"))
+    val perChannel = Seq("view" -> "share_view", "click" -> "share_click")
+      .map { case (ch, shareCol) =>
+        p.filter(col("n_tot") > 0).agg(
+          coalesce(sum(col(shareCol)), lit(0L)).as("attributed_micro"),
+          count(lit(1)).as("n_conversions_touched"))
+          .select(lit(ch).as("channel"),
+            col("attributed_micro"), col("n_conversions_touched"))
+      }.reduce(_ unionByName _)
+    // the integer-division remainder + the fully-untouched purchases,
+    // kept on the books as their own rows
+    val remainder = p.filter(col("n_tot") > 0).agg(
+      coalesce(sum(col("vm") - col("share_view") - col("share_click")),
+        lit(0L)).as("attributed_micro"),
+      count(lit(1)).as("n_conversions_touched"))
+      .select(lit("(remainder)").as("channel"),
+        col("attributed_micro"), col("n_conversions_touched"))
+    val untouched = p.filter(col("n_tot") === 0).agg(
+      coalesce(sum(col("vm")), lit(0L)).as("attributed_micro"),
+      count(lit(1)).as("n_conversions_touched"))
+      .select(lit("(none)").as("channel"),
+        col("attributed_micro"), col("n_conversions_touched"))
+    perChannel.unionByName(remainder).unionByName(untouched)
+  }
+
+  /**
+   * RFM segmentation (Hughes 1994, the retail standard): per customer,
+   * Recency = days from last order to the frozen as-of date, Frequency =
+   * order count, Monetary = lifetime order value; each scored into
+   * quintiles with `ntile(5)` under a fully deterministic order
+   * (metric, then customer key — `ntile` over a total order is identical
+   * across engines and partitionings). Score 5 is always "best"
+   * (most recent / most frequent / highest value).
+   *
+   * Returns the SEGMENT-grain rollup (≤125 rows: `r_score, f_score,
+   * m_score, n_customers, monetary_micro`), not the per-customer frame —
+   * at 100 TB the per-customer relation is an intermediate you aggregate
+   * away, and the three global `ntile`s each run on the already-reduced
+   * one-row-per-customer relation (a single-partition sort of N_customers
+   * rows is the documented cost of exact global quantile ranks; for
+   * billions of customers swap in [[Profile.orderStatQuantiles]]-style
+   * range partitioning).
+   */
+  def rfmSegments(orders: DataFrame,
+      asOf: java.sql.Date = graft.queries.Tables.AsOfDate): DataFrame = {
+    val perCust = orders.groupBy("o_custkey")
+      .agg(datediff(lit(asOf), max(to_date(col("o_orderdate"))))
+             .as("recency_days"),
+        count(lit(1)).as("n_orders"),
+        sum(microCents(col("o_totalprice"))).as("monetary_micro"))
+    val r = ntile(5).over(
+      Window.orderBy(col("recency_days").desc, col("o_custkey")))
+    val f = ntile(5).over(
+      Window.orderBy(col("n_orders").asc, col("o_custkey")))
+    val m = ntile(5).over(
+      Window.orderBy(col("monetary_micro").asc, col("o_custkey")))
+    perCust
+      .select(col("o_custkey"), col("monetary_micro"),
+        r.as("r_score"), f.as("f_score"), m.as("m_score"))
+      .groupBy("r_score", "f_score", "m_score")
+      .agg(count(lit(1)).as("n_customers"),
+        sum("monetary_micro").as("monetary_micro"))
+  }
+}

@@ -110,6 +110,64 @@ object Dedup {
     if (reliable) df.checkpoint() else df.localCheckpoint()
   }
 
+  /** Pair-counting clustering agreement (Rand 1971; the pairwise P/R/F1
+   * of record-linkage evaluation): compare a DETECTOR clustering against
+   * a TRUTH clustering over a shared universe, on the pair relation each
+   * induces. Docs missing from either assignment are singletons (their
+   * own cluster) — a detector only emits docs that appear in some pair,
+   * and leaving the rest out would silently inflate precision.
+   *
+   * Everything reduces to four exact integers computed WITHOUT
+   * materializing any pair relation (the standard contingency shortcut:
+   * pairs within a clustering = Σ C(sz,2) over cluster sizes; pairs in
+   * BOTH = Σ C(n_ab,2) over the (cluster_a, cluster_b) contingency
+   * counts) — three hash-aggs over doc-count-sized relations, so the
+   * evaluation costs a fraction of the detector it grades at any corpus
+   * size. Precision/recall/F1/Rand in exact ppm (BIGINT floor division;
+   * F1 = 2·TP/(P_a + P_b) needs no floating point).
+   *
+   * Output: one row (n_docs, pairs_a, pairs_b, pairs_both,
+   * precision_ppm, recall_ppm, f1_ppm, rand_ppm) — precision treats `a`
+   * as the prediction and `b` as truth; null ppm when a denominator is
+   * zero (e.g. a pairless truth has no recall to speak of). */
+  def clusterAgreement(universe: DataFrame, a: DataFrame,
+      b: DataFrame): DataFrame = {
+    val u = universe.select(col("doc_id")).distinct()
+    def full(assign: DataFrame): DataFrame =
+      u.join(assign.select(col("doc_id"), col("cluster")), Seq("doc_id"),
+          "left")
+        .select(col("doc_id"),
+          coalesce(col("cluster"), col("doc_id")).as("cluster"))
+    val fa = full(a)
+    val fb = full(b)
+    def pairSum(assign: DataFrame, out: String): DataFrame =
+      assign.groupBy("cluster").agg(count(lit(1)).as("sz"))
+        .agg(coalesce(sum(expr("sz * (sz - 1) DIV 2")), lit(0L)).as(out))
+    val pa = pairSum(fa, "pairs_a")
+    val pb = pairSum(fb, "pairs_b")
+    val both = fa.join(fb.select(col("doc_id"), col("cluster").as("cb")),
+        Seq("doc_id"))
+      .groupBy(col("cluster"), col("cb")).agg(count(lit(1)).as("n"))
+      .agg(coalesce(sum(expr("n * (n - 1) DIV 2")), lit(0L))
+        .as("pairs_both"))
+    val n = u.agg(count(lit(1)).as("n_docs"))
+    n.crossJoin(broadcast(pa)).crossJoin(broadcast(pb))
+      .crossJoin(broadcast(both))
+      .withColumn("total_pairs", expr("n_docs * (n_docs - 1) DIV 2"))
+      .select(col("n_docs"), col("pairs_a"), col("pairs_b"),
+        col("pairs_both"),
+        when(col("pairs_a") > 0,
+          expr("(1000000 * pairs_both) div pairs_a")).as("precision_ppm"),
+        when(col("pairs_b") > 0,
+          expr("(1000000 * pairs_both) div pairs_b")).as("recall_ppm"),
+        when(col("pairs_a") + col("pairs_b") > 0,
+          expr("(2000000 * pairs_both) div (pairs_a + pairs_b)"))
+          .as("f1_ppm"),
+        when(col("total_pairs") > 0,
+          expr("(1000000 * (total_pairs - pairs_a - pairs_b " +
+            "+ 2 * pairs_both)) div total_pairs")).as("rand_ppm"))
+  }
+
   /** Exact dedup: canonical row per distinct text, deterministic keeper. */
   def exactDedup(docs: DataFrame): DataFrame =
     docs.groupBy("text")
@@ -1239,6 +1297,36 @@ object Dedup {
       .select(col("id_a"), col("id_b"),
         levenshtein(col("name_a"), col("name_b")).as("dist"))
       .filter(col("dist") <= maxDist)
+  }
+
+  /** [[editDistancePairs]] with TRANSPOSITION-aware edits: unrestricted
+   * Damerau-Levenshtein (the engine's codegen'd
+   * [[graft.functions.DamerauLevenshtein]], DuckDB-identical byte-level
+   * semantics) — the better typo model for name matching, where a plain
+   * edit distance double-charges the most common human error (Damerau
+   * 1964: >80% of misspellings are one insert/delete/substitute/swap,
+   * and `teh`→`the` is 1 here, 2 under d9's measure). Same
+   * prefix-blocked, length-banded, `maxBlock`-capped self-join shape as
+   * d9 — the length band stays valid because a transposition preserves
+   * length and every other unit edit changes it by ≤ 1. Output:
+   * (id_a, id_b, dl). */
+  def damerauPairs(df: DataFrame, idCol: String, nameCol: String,
+      blockPrefix: Int, maxDist: Int, maxBlock: Int = 10000): DataFrame = {
+    require(maxBlock >= 1, s"maxBlock must be >= 1, got $maxBlock")
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    val a = df.select(col(idCol).as("id_a"), col(nameCol).as("name_a"),
+      substring(col(nameCol), 1, blockPrefix).as("blk"))
+    val b = df.select(col(idCol).as("id_b"), col(nameCol).as("name_b"),
+      substring(col(nameCol), 1, blockPrefix).as("blk"))
+    a.join(allowedBlocks(a, maxBlock, "damerauPairs"), Seq("blk"),
+        "left_semi")
+      .join(b, Seq("blk"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(abs(length(col("name_a")) - length(col("name_b"))) <= maxDist)
+      .select(col("id_a"), col("id_b"),
+        graft.functions.GraftFunctions.damerau(
+          col("name_a"), col("name_b")).as("dl"))
+      .filter(col("dl") <= maxDist)
   }
 
   /** Fuzzy pairs by Jaro-Winkler similarity — the record-linkage measure

@@ -115,6 +115,79 @@ object Experiment {
    * fixed-shape double over them; the 3.841 cutoff (95th percentile of
    * χ²₁) is a literal both plans share. One user-grain distinct + one
    * 2-row agg. Output: (n_arm0, n_arm1, chi2, srm_flag). */
+  /** Poisson-bootstrap thresholds for the deterministic resample weights:
+   * `PoissonCdf48(k)` = ⌊CDF_Poisson(1)(k) · 2^48⌋, so a 48-bit uniform
+   * `u` draws weight `w = min{k : u < PoissonCdf48(k)}` (capped at 8 —
+   * P(w > 8) ≈ 1e-6). Shared verbatim by the Spark expression and the
+   * oracle SQL so the two engines draw the SAME weights. */
+  val PoissonCdf48: Array[Long] = {
+    val pdf = (0 to 7).scanLeft(math.exp(-1.0)) { case (p, k) =>
+      p / (k + 1)
+    }.take(8) // pdf(k) = e^-1 / k!
+    pdf.scanLeft(0.0)(_ + _).tail
+      .map(c => math.floor(c * (1L << 48).toDouble).toLong).toArray
+  }
+
+  /**
+   * Poisson bootstrap confidence interval (Chamandy, Muralidharan,
+   * Najmi & Naidu 2012 — the bootstrap that works on massive data: each
+   * unit receives an independent Poisson(1) resample WEIGHT instead of
+   * the classical with-replacement draw, so one scan serves all `b`
+   * resamples and no resample ever materializes). Weights are
+   * deterministic — a seeded 48-bit md5 uniform inverted through the
+   * exact [[PoissonCdf48]] thresholds — so the whole release replays
+   * byte-for-byte (the [[Privacy]] discipline).
+   *
+   * Metric: per-user sum of `valueCol` (micro-quantized). Each resample
+   * mean is the exact integer ratio `Σ w·x div Σ w` (floor); the interval
+   * is the (⌊α·b⌋, ⌊(1−α)·b⌋) order statistics of the `b` resample means
+   * — b is a constant (default 40), so the final sort is b rows.
+   *
+   * Shape: one user-grain agg, a ×b narrow explode of the USER-grain
+   * relation (never the event grain), one (replicate)-grain agg, one
+   * b-row fold. Output: one row (n_users, mean_micro, lo_micro,
+   * hi_micro, b_resamples).
+   */
+  def bootstrapCi(events: DataFrame, userCol: String, valueCol: String,
+      b: Int = 40, alphaPct: Int = 5, seed: Long = 0L): DataFrame = {
+    require(b >= 4, s"b must be >= 4, got $b")
+    require(alphaPct >= 1 && alphaPct < 50,
+      s"alphaPct must be in [1, 50), got $alphaPct")
+    val perUser = events.groupBy(col(userCol).as("u"))
+      .agg(sum(floor(col(valueCol) * lit(1e6) + lit(0.5)).cast("long"))
+        .as("x"))
+    val replicated = perUser
+      .select(col("u"), col("x"),
+        explode(sequence(lit(0), lit(b - 1))).as("r"))
+    val u48 = conv(substring(md5(
+      concat(lit(s"boot:$seed:"), col("u").cast("string"),
+        lit(":"), col("r").cast("string"))), 1, 12), 16, 10).cast("long")
+    // w = number of thresholds the uniform clears (exact CASE-free form:
+    // sum of indicator comparisons against the 8 shared constants)
+    val w = PoissonCdf48.map(t => when(u48 >= t, 1L).otherwise(0L))
+      .reduce(_ + _)
+    val means = replicated
+      .withColumn("w", w)
+      .groupBy("r")
+      .agg(sum(col("w") * col("x")).as("num"), sum("w").as("den"))
+      .select(col("r"),
+        when(col("den") > 0, expr("num div den")).otherwise(lit(0L))
+          .as("mean_micro"))
+    val loIdx = math.max(1, alphaPct * b / 100)
+    val hiIdx = math.min(b, b - alphaPct * b / 100 + 1)
+    val ranked = means.select(col("mean_micro"),
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .orderBy(col("mean_micro"), col("r"))).as("rk"))
+    val ci = ranked.agg(
+      max(when(col("rk") === loIdx, col("mean_micro"))).as("lo_micro"),
+      max(when(col("rk") === hiIdx, col("mean_micro"))).as("hi_micro"))
+    val point = perUser.agg(count(lit(1)).as("n_users"),
+      expr("sum(x) div count(1)").as("mean_micro"))
+    point.crossJoin(broadcast(ci))
+      .select(col("n_users"), col("mean_micro"), col("lo_micro"),
+        col("hi_micro"), lit(b).as("b_resamples"))
+  }
+
   def srmCheck(events: DataFrame, userCol: String = "user_id"): DataFrame =
     events.select(col(userCol).as("user")).distinct()
       .agg(

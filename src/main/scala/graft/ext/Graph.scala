@@ -681,6 +681,70 @@ object Graph {
    * the t11 log-quantization pattern) so the per-pair score is an exact
    * BIGINT sum; Jaccard is round-half-up integer arithmetic, no doubles.
    */
+  /**
+   * Bounded-hop weighted single-source shortest paths (Bellman-Ford with
+   * the frontier optimization — only vertices IMPROVED in round k relax
+   * their out-edges in round k+1, the same semi-naive discipline as
+   * [[reachability]]). `edges` carries `(src, dst, w)` with non-negative
+   * BIGINT weights; `seeds` carries `(node)` rows that start at distance
+   * 0. Returns `(node, dist, hops)` — the weight-minimal distance within
+   * `maxHops` relaxation rounds and the hop count of that minimal path
+   * (hops as the deterministic tie-break among equal-weight paths).
+   *
+   * Scale posture: each round is frontier ⋈ edges (keyed on `src`) + a
+   * `(node)` min-agg + a join against the settled relation to keep only
+   * strict improvements — three keyed shuffles on a frontier that SHRINKS
+   * as distances settle, never the full vertex set after the early
+   * rounds. Every iterate is eagerly materialized ([[Dedup.materialize]])
+   * so round k+1 plans from a scan, not a k-deep lineage. Distances are
+   * exact BIGINT sums — no floating point anywhere, so the result is
+   * partitioning-independent and byte-replayable by a recursive-CTE
+   * oracle. The loop exits early the first round no vertex improves.
+   */
+  def sssp(edges: DataFrame, seeds: DataFrame, maxHops: Int = 6): DataFrame = {
+    require(maxHops >= 1, s"maxHops must be >= 1, got $maxHops")
+    val e = Dedup.materialize(
+      edges.select(col("src"), col("dst"), col("w").cast("long").as("w"))
+        .filter(col("src") =!= col("dst"))
+        .groupBy("src", "dst").agg(min("w").as("w")))
+    var settled = Dedup.materialize(
+      seeds.select(col("node")).distinct()
+        .select(col("node"), lit(0L).as("dist"), lit(0).as("hops")))
+    var frontier = settled
+    var round = 0
+    var done = frontier.isEmpty
+    while (!done && round < maxHops) {
+      // candidate relaxations from the frontier, reduced to the best
+      // (dist, hops) per target before comparing against settled
+      val cand = frontier.join(e, frontier("node") === e("src"))
+        .select(e("dst").as("node"),
+          (frontier("dist") + e("w")).as("dist"),
+          (frontier("hops") + lit(1)).as("hops"))
+        .groupBy("node")
+        .agg(min(struct(col("dist"), col("hops"))).as("best"))
+        .select(col("node"), col("best.dist").as("dist"),
+          col("best.hops").as("hops"))
+      val improved = Dedup.materialize(
+        cand.join(settled.select(col("node"), col("dist").as("old_dist"),
+            col("hops").as("old_hops")), Seq("node"), "left")
+          .filter(col("old_dist").isNull || col("dist") < col("old_dist") ||
+            (col("dist") === col("old_dist") && col("hops") < col("old_hops")))
+          .select("node", "dist", "hops"))
+      done = improved.isEmpty
+      if (!done) {
+        settled = Dedup.materialize(
+          settled.join(improved.select("node"), Seq("node"), "left_anti")
+            .unionByName(improved))
+        frontier = improved
+      }
+      round += 1
+    }
+    if (!done)
+      log.warn(s"sssp: frontier non-empty after $maxHops rounds — " +
+        "distances are exact only for paths within the hop bound")
+    settled
+  }
+
   def linkPredictions(edges: DataFrame, maxDegree: Int = 256,
       topK: Int = 50): DataFrame = {
     require(maxDegree >= 2, s"maxDegree must be >= 2, got $maxDegree")

@@ -74,6 +74,35 @@ object Sampling {
       .drop("__grp")
   }
 
+  /** Temporal train/test split with an EMBARGO gap (the purged split of
+   * de Prado 2018 §7, the leakage control a time-series model needs that
+   * [[hashSplit]] cannot give): the cutoff sits at `trainPct`% of the
+   * observed time span, rows inside `embargo` time units BEFORE the
+   * cutoff are assigned to neither side (a trailing-window feature
+   * computed at test time reaches back across the boundary; the embargo
+   * absorbs exactly that reach), train is strictly before the embargo,
+   * test at/after the cutoff. All arithmetic in the integer time unit of
+   * `tsCol` (BIGINT — exact, replayable).
+   *
+   * One min/max agg (broadcast 1-row scalar) + a narrow projection: no
+   * shuffle of the data, assignment reproducible on any partitioning.
+   * Output: input columns + `split` ∈ {train, embargo, test}. */
+  def timeSplit(df: DataFrame, tsCol: String, trainPct: Int = 80,
+      embargo: Long = 0L): DataFrame = {
+    require(trainPct >= 1 && trainPct <= 99,
+      s"trainPct must be in [1, 99], got $trainPct")
+    require(embargo >= 0L, s"embargo must be >= 0, got $embargo")
+    val bounds = df.agg(min(col(tsCol)).as("__t0"), max(col(tsCol)).as("__t1"))
+      .select((col("__t0") +
+        expr(s"(__t1 - __t0) * $trainPct div 100")).as("__cut"))
+    df.crossJoin(broadcast(bounds))
+      .withColumn("split",
+        when(col(tsCol) >= col("__cut"), "test")
+          .when(col(tsCol) < col("__cut") - lit(embargo), "train")
+          .otherwise("embargo"))
+      .drop("__cut")
+  }
+
   /** Stratified deterministic sample: per-stratum keep-rates (percent) over
    * the same stable hash bucket — the knob a data-mixing stage turns to hit
    * a target source/language mixture (up-weight scarce strata, down-sample

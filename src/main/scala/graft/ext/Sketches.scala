@@ -215,6 +215,91 @@ object Sketches {
         .cast("long").as("hll_est"))
   }
 
+  /** KMV hash width: 48 bits (12 md5 hex chars). Narrow enough that the
+   * estimator's `(k−1)·2^48` numerator stays exact in BIGINT on both
+   * engines (k ≤ 2^14 headroom); wide enough that hash ties are
+   * negligible at any realistic sketch size. */
+  val KmvBits = 48
+  val KmvK = 512
+
+  /** The KMV element hash: uniform on [0, 2^48). Distinct by construction
+   * of md5; the `kmv:` salt keeps the domain disjoint from every other
+   * seeded-hash family in the repo. */
+  private def kmvHash(key: Column): Column =
+    conv(substring(md5(concat(lit("kmv:"), key)), 1, KmvBits / 4), 16, 10)
+      .cast("long")
+
+  /**
+   * K-Minimum-Values distinct sketch (Bar-Yossef et al. 2002; Beyer et
+   * al. 2007): the `k` smallest distinct hash values of a key stream.
+   * The whole sketch is a k-row RELATION — mergeable with any other KMV
+   * sketch by "union, keep k smallest", and (unlike HLL) supporting SET
+   * OPERATIONS: intersections and differences estimate from one merged
+   * sketch (see [[kmvSetOps]]), which register sketches cannot do.
+   *
+   * Estimator: `(k−1)·2^48 / h_k` with `h_k` the k-th smallest hash —
+   * integer division on an exactly-representable numerator, so the
+   * cross-engine replay is bit-exact. Cost: one distinct-agg then a
+   * bounded top-k (`TakeOrderedAndProject` — never a global sort); the
+   * driver never holds more than k rows.
+   *
+   * Returns `(pos, h)`, pos = 1..k ascending.
+   */
+  def kmvSketch(keys: DataFrame, keyCol: String, k: Int = KmvK): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    keys.select(kmvHash(col(keyCol)).as("h"))
+      .distinct()
+      .orderBy("h").limit(k)
+      .select(row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy("h")).cast("long")
+          .as("pos"),
+        col("h"))
+  }
+
+  /** Distinct-count estimate from a [[kmvSketch]]: one row
+   * `(k_used, kth_hash, est_distinct)`. When the stream held fewer than
+   * `k` distinct keys the sketch IS the exact answer (`est = k_used`). */
+  def kmvEstimate(sketch: DataFrame, k: Int = KmvK): DataFrame =
+    sketch.agg(count(lit(1)).as("k_used"), max("h").as("kth_hash"))
+      .select(col("k_used"), col("kth_hash"),
+        when(col("k_used") < k, col("k_used"))
+          .otherwise(expr(s"(${k - 1} * ${1L << KmvBits}L) div kth_hash"))
+          .as("est_distinct"))
+
+  /**
+   * KMV set operations (Beyer et al. 2007 §4): merge two sketches, keep
+   * the k smallest of the union — that is EXACTLY the KMV sketch of
+   * A ∪ B, so `est_union` follows from [[kmvEstimate]]'s estimator; the
+   * Jaccard of the two sets is estimated by the fraction `K/k` of the
+   * merged sketch's elements present in BOTH input sketches, and
+   * `est_inter = K · est_union / k` (integer division — exact replay).
+   *
+   * Everything is arithmetic over two k-row relations: the merge is a
+   * union + top-k, the membership test two broadcast-sized semi-joins.
+   * Output: one row `(k_used, est_union, k_both, est_inter,
+   * jaccard_milli)` with the Jaccard in exact milli-units.
+   */
+  def kmvSetOps(sketchA: DataFrame, sketchB: DataFrame,
+      k: Int = KmvK): DataFrame = {
+    val merged = sketchA.select("h").unionByName(sketchB.select("h"))
+      .distinct().orderBy("h").limit(k)
+    val inBoth = merged
+      .join(sketchA.select(col("h")), Seq("h"), "left_semi")
+      .join(sketchB.select(col("h")), Seq("h"), "left_semi")
+      .agg(count(lit(1)).as("k_both"))
+    merged.agg(count(lit(1)).as("k_used"), max("h").as("kth_hash"))
+      .select(col("k_used"), col("kth_hash"),
+        when(col("k_used") < k, col("k_used"))
+          .otherwise(expr(s"(${k - 1} * ${1L << KmvBits}L) div kth_hash"))
+          .as("est_union"))
+      .crossJoin(broadcast(inBoth))
+      .select(col("k_used"),
+        col("est_union"),
+        col("k_both"),
+        expr("k_both * est_union div k_used").as("est_inter"),
+        expr("k_both * 1000 div k_used").as("jaccard_milli"))
+  }
+
   private def bloomBit(key: Column, i: Int): Column =
     pmod(Dedup.seededHash(key, BloomSeedBase + i), lit(BloomBits.toLong))
 

@@ -749,6 +749,55 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** Association rules (Agrawal & Srikant 1994) over the [[itemsetPairs]]
+   * co-occurrence relation: each frequent unordered pair {a, b} yields
+   * BOTH directed rules a→b and b→a, scored by confidence
+   * `sup_ab/sup_antecedent` (kept in exact parts-per-million via BIGINT
+   * floor division — no doubles) and the same micro-quantized lift as
+   * t35 (direction-independent). Rules below `minConfPpm` drop; output
+   * is the top-`k` by (conf DESC, antecedent, consequent) — the rule
+   * mining layer on top of the support counting, same bounded-expansion
+   * scale shape (minSup prunes the item set BEFORE the pair join; the
+   * directed doubling is a 2× union of an already-small relation). */
+  def assocRules(docs: org.apache.spark.sql.DataFrame, minSup: Int,
+      minConfPpm: Long, k: Int): org.apache.spark.sql.DataFrame = {
+    require(minSup >= 1, s"minSup must be >= 1, got $minSup")
+    require(minConfPpm >= 0 && minConfPpm <= 1000000L,
+      s"minConfPpm must be in [0, 1e6], got $minConfPpm")
+    require(k >= 1, s"k must be >= 1, got $k")
+    val items = Dedup.materialize(Dedup.wordSets(docs))
+    val nDocs = docs.select(countDistinct(col("doc_id")).as("n_docs"))
+    val freq = Dedup.materialize(items.groupBy("sh")
+      .agg(count(lit(1)).as("sup")).filter(col("sup") >= minSup))
+    val fi = items.join(broadcast(freq.select("sh")), Seq("sh"),
+      "left_semi")
+    val pairs = fi.select(col("doc_id"), col("sh").as("a"))
+      .join(fi.select(col("doc_id"), col("sh").as("b")), Seq("doc_id"))
+      .filter(col("a") < col("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("sup_ab"))
+      .filter(col("sup_ab") >= minSup)
+      .join(broadcast(freq.select(col("sh").as("a"),
+        col("sup").as("sup_a"))), Seq("a"))
+      .join(broadcast(freq.select(col("sh").as("b"),
+        col("sup").as("sup_b"))), Seq("b"))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("lift_micro",
+        floor(lit(1e6) * col("sup_ab").cast("double") *
+          col("n_docs").cast("double") /
+          (col("sup_a").cast("double") * col("sup_b").cast("double"))
+          + lit(0.5)).cast("long"))
+    val fwd = pairs.select(col("a").as("ant"), col("b").as("cons"),
+      col("sup_ab"), col("sup_a").as("sup_ant"), col("lift_micro"))
+    val bwd = pairs.select(col("b").as("ant"), col("a").as("cons"),
+      col("sup_ab"), col("sup_b").as("sup_ant"), col("lift_micro"))
+    fwd.unionByName(bwd)
+      .withColumn("conf_ppm", expr("(1000000 * sup_ab) div sup_ant"))
+      .filter(col("conf_ppm") >= minConfPpm)
+      .select("ant", "cons", "sup_ab", "sup_ant", "conf_ppm", "lift_micro")
+      .orderBy(col("conf_ppm").desc, col("ant"), col("cons"))
+      .limit(k)
+  }
+
   /** Conversation assembly — the chat/SFT data-prep step that turns an
    * event stream into per-session training DOCUMENTS: gap-sessionize per
    * user (the s1 lag+flag-sum derivation — a `gapNs` quiet period starts

@@ -261,6 +261,51 @@ object TimeSeries {
    * single exchange + sort, no self-join; at 100 TB each key's series
    * sweeps independently (the [[peakConcurrency]] posture).
    * Output: (key, ord, x, ewma, is_spike). */
+  /**
+   * Sweep-line interval merge (the classic "merge overlapping intervals"
+   * at per-key grain): every input row is an interval `[startCol, endCol)`
+   * in the same integer time unit; touching or overlapping intervals per
+   * key coalesce into islands, and the result is ONE row per key with the
+   * island inventory — `n_intervals` (input), `n_islands` (merged),
+   * `covered` (Σ island lengths — the de-overlapped activity footprint),
+   * `span` (last end − first start) and `idle` (span − covered, the
+   * between-island dead time).
+   *
+   * Shape: one per-key window sort; the island boundary test compares
+   * each start against the running `max(end)` over STRICTLY preceding
+   * rows (ROWS frame ending at −1 — `[1,10) [2,3) [4,20)` must stay one
+   * island even though `[4,20)` starts after its immediate predecessor's
+   * end), and island ids are the running sum of boundary flags. Island
+   * extents then reduce by (key, island) and again by key — two hash-aggs
+   * whose output is bounded by island count, never corpus size. State per
+   * row is O(1); nothing is collected.
+   *
+   * All arithmetic stays in the input's integer unit (micros in the gate
+   * query), so the cross-engine replay is exact.
+   */
+  def mergedIntervals(intervals: DataFrame, key: String,
+      startCol: String, endCol: String): DataFrame = {
+    val ord = Window.partitionBy(key).orderBy(col(startCol), col(endCol))
+    val prevMaxEnd = max(col(endCol)).over(
+      ord.rowsBetween(Window.unboundedPreceding, -1))
+    val isNew = when(prevMaxEnd.isNull || col(startCol) > prevMaxEnd, 1L)
+      .otherwise(0L)
+    val withIsland = intervals
+      .withColumn("__new", isNew)
+      .withColumn("__island",
+        sum(col("__new")).over(
+          ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val islands = withIsland.groupBy(col(key), col("__island"))
+      .agg(min(startCol).as("i_start"), max(endCol).as("i_end"),
+        count(lit(1)).as("i_n"))
+    islands.groupBy(key)
+      .agg(sum("i_n").as("n_intervals"),
+        count(lit(1)).as("n_islands"),
+        sum(col("i_end") - col("i_start")).as("covered"),
+        (max("i_end") - min("i_start")).as("span"))
+      .withColumn("idle", col("span") - col("covered"))
+  }
+
   def ewmaAnomaly(series: DataFrame, key: String, ordCol: String,
       valCol: String, lookback: Int = 12, spikeFactor: Double = 2.0,
       minBase: Double = 5.0): DataFrame = {

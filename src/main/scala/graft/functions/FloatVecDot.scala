@@ -120,6 +120,7 @@ object GraftFunctions {
   val NfcName = "graft_nfc"
   val JaroWinklerName = "graft_jaro_winkler"
   val HilbertName = "graft_hilbert"
+  val DamerauName = "graft_damerau"
 
   /** Build the TypedTopK aggregate from registry args: (ord, id, k) with k a
    * foldable integer literal. Public alias for the extensions injector. */
@@ -185,6 +186,10 @@ object GraftFunctions {
       "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       HilbertName, hilbertFromExprs, "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      DamerauName,
+      withArity(DamerauName, 2)(e => DamerauLevenshtein(e(0), e(1))),
+      "scala_udf")
   }
 
   /** Build the HilbertKey expression from registry args: (x, y, bits)
@@ -224,6 +229,11 @@ object GraftFunctions {
   /** Jaro-Winkler similarity (codegen'd; DuckDB-identical semantics). */
   def jaroWinkler(a: Column, b: Column): Column =
     call_function(JaroWinklerName, a, b)
+
+  /** Unrestricted Damerau-Levenshtein distance (codegen'd;
+   * DuckDB-identical byte-level semantics). */
+  def damerau(a: Column, b: Column): Column =
+    call_function(DamerauName, a, b)
 
   /** 2-D Hilbert-curve index (codegen'd quadrant walk); inputs BIGINT in
    * [0, 2^bits). */

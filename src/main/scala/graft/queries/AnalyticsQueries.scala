@@ -1,0 +1,472 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.ext.{Attribution, Privacy, Sketches, TimeSeries}
+import graft.queries.Tables.t
+
+/**
+ * Round-9 analytics families: conversion attribution + RFM segmentation
+ * (the growth-dashboard layer above the reference's per-source counts,
+ * `dashbord/dashbord.py:104-119`), sweep-line interval algebra, and the
+ * KMV distinct sketch with set operations.
+ *
+ * Oracle conventions follow QueryDef's contract: event time compared at
+ * MICROsecond grain (`ts div 1000` ↔ `epoch_us(ts)` — DuckDB's parquet
+ * reader truncates ns), money micro-quantized before summation, splits
+ * in BIGINT integer division, `count`/`sum` results cast to BIGINT where
+ * DuckDB widens.
+ */
+object AnalyticsQueries {
+
+  val defs: Map[String, QueryDef] = Map(
+
+    // ---- conversion attribution / customer segmentation ----
+
+    "at1_last_touch" -> QueryDef(
+      (s, dir) => Attribution.lastTouch(t(s, dir, "events")),
+      Some("""WITH s AS (
+                SELECT user_id, event_type, value, epoch_us(ts) AS tsu,
+                       last_value(CASE WHEN event_type IN ('view','click')
+                                  THEN event_type END IGNORE NULLS)
+                         OVER w AS lt_type,
+                       last_value(CASE WHEN event_type IN ('view','click')
+                                  THEN epoch_us(ts) END IGNORE NULLS)
+                         OVER w AS lt_tsu
+                FROM events
+                WINDOW w AS (PARTITION BY user_id
+                             ORDER BY epoch_us(ts), event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW))
+              SELECT CASE WHEN lt_tsu IS NOT NULL
+                           AND lt_tsu >= tsu - 604800000000
+                          THEN lt_type ELSE '(none)' END AS channel,
+                     CAST(count(*) AS BIGINT) AS n_conversions,
+                     CAST(sum(CAST(floor(value * 1e6 + 0.5) AS BIGINT))
+                       AS BIGINT) AS attributed_micro
+              FROM s WHERE event_type = 'purchase'
+              GROUP BY 1"""),
+      "last-touch attribution: one merged-stream window pass per user"),
+
+    "at2_linear_attrib" -> QueryDef(
+      (s, dir) => Attribution.linearTouch(t(s, dir, "events")),
+      Some("""WITH s AS (
+                SELECT event_type, value,
+                       count(CASE WHEN event_type = 'view' THEN 1 END)
+                         OVER w AS n_view,
+                       count(CASE WHEN event_type = 'click' THEN 1 END)
+                         OVER w AS n_click
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                             RANGE BETWEEN 604800000000 PRECEDING
+                                   AND 1 PRECEDING)),
+              p AS (
+                SELECT CAST(floor(value * 1e6 + 0.5) AS BIGINT) AS vm,
+                       n_view, n_click, n_view + n_click AS n_tot
+                FROM s WHERE event_type = 'purchase'),
+              p2 AS (
+                SELECT vm, n_view, n_click, n_tot,
+                       vm * n_view // n_tot AS share_view,
+                       vm * n_click // n_tot AS share_click
+                FROM p)
+              SELECT 'view' AS channel,
+                     CAST(coalesce(sum(share_view), 0) AS BIGINT)
+                       AS attributed_micro,
+                     CAST(count(*) AS BIGINT) AS n_conversions_touched
+              FROM p2 WHERE n_tot > 0
+              UNION ALL
+              SELECT 'click',
+                     CAST(coalesce(sum(share_click), 0) AS BIGINT),
+                     CAST(count(*) AS BIGINT)
+              FROM p2 WHERE n_tot > 0
+              UNION ALL
+              SELECT '(remainder)',
+                     CAST(coalesce(sum(vm - share_view - share_click), 0)
+                       AS BIGINT),
+                     CAST(count(*) AS BIGINT)
+              FROM p2 WHERE n_tot > 0
+              UNION ALL
+              SELECT '(none)',
+                     CAST(coalesce(sum(vm), 0) AS BIGINT),
+                     CAST(count(*) AS BIGINT)
+              FROM p2 WHERE n_tot = 0"""),
+      "linear multi-touch attribution: exact integer value split"),
+
+    "at3_rfm_segments" -> QueryDef(
+      (s, dir) => Attribution.rfmSegments(t(s, dir, "orders")),
+      Some("""WITH pc AS (
+                SELECT o_custkey,
+                       date_diff('day', CAST(max(o_orderdate) AS DATE),
+                                 DATE '2026-01-01') AS recency_days,
+                       count(*) AS n_orders,
+                       CAST(sum(CAST(floor(o_totalprice * 1e6 + 0.5)
+                         AS BIGINT)) AS BIGINT) AS monetary_micro
+                FROM orders GROUP BY 1),
+              sc AS (
+                SELECT monetary_micro,
+                       CAST(ntile(5) OVER (ORDER BY recency_days DESC,
+                         o_custkey) AS INTEGER) AS r_score,
+                       CAST(ntile(5) OVER (ORDER BY n_orders ASC,
+                         o_custkey) AS INTEGER) AS f_score,
+                       CAST(ntile(5) OVER (ORDER BY monetary_micro ASC,
+                         o_custkey) AS INTEGER) AS m_score
+                FROM pc)
+              SELECT r_score, f_score, m_score,
+                     CAST(count(*) AS BIGINT) AS n_customers,
+                     CAST(sum(monetary_micro) AS BIGINT) AS monetary_micro
+              FROM sc GROUP BY 1, 2, 3"""),
+      "RFM quintile segmentation (Hughes): segment-grain rollup"),
+
+    // ---- interval algebra ----
+
+    // Events expand to 30-minute activity intervals; the merge is the
+    // de-overlapped per-user footprint (covered/idle time) — session
+    // stitching by interval algebra rather than s1's gap rule.
+    "x12_interval_merge" -> QueryDef(
+      (s, dir) => TimeSeries.mergedIntervals(
+        t(s, dir, "events").select(col("user_id"),
+          expr("ts div 1000").as("iv_start"),
+          (expr("ts div 1000") + lit(1800000000L)).as("iv_end")),
+        "user_id", "iv_start", "iv_end"),
+      Some("""WITH iv AS (
+                SELECT user_id, epoch_us(ts) AS s,
+                       epoch_us(ts) + 1800000000 AS e
+                FROM events),
+              w1 AS (
+                SELECT user_id, s, e,
+                       CASE WHEN max(e) OVER pre IS NULL
+                              OR s > max(e) OVER pre THEN 1 ELSE 0 END AS nw
+                FROM iv
+                WINDOW pre AS (PARTITION BY user_id ORDER BY s, e
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING)),
+              w2 AS (
+                SELECT user_id, s, e,
+                       sum(nw) OVER (PARTITION BY user_id ORDER BY s, e
+                                     ROWS BETWEEN UNBOUNDED PRECEDING
+                                          AND CURRENT ROW) AS island
+                FROM w1),
+              isl AS (
+                SELECT user_id, island, min(s) AS i_start, max(e) AS i_end,
+                       count(*) AS i_n
+                FROM w2 GROUP BY 1, 2)
+              SELECT user_id,
+                     CAST(sum(i_n) AS BIGINT) AS n_intervals,
+                     CAST(count(*) AS BIGINT) AS n_islands,
+                     CAST(sum(i_end - i_start) AS BIGINT) AS covered,
+                     CAST(max(i_end) - min(i_start) AS BIGINT) AS span,
+                     CAST(max(i_end) - min(i_start) - sum(i_end - i_start)
+                       AS BIGINT) AS idle
+              FROM isl GROUP BY 1"""),
+      "sweep-line interval merge: per-user islands, covered/idle time"),
+
+    // ---- KMV distinct sketch + set operations ----
+
+    // The estimation-regime demonstration: ~59.8k distinct price points
+    // sketched at k=512 (est lands within a few percent); the exact
+    // count rides in-row as the hard gate. Keys are hashed from the
+    // CENTS integer (not the double's string form) so the cross-engine
+    // key rendering is unambiguous.
+    "t36_kmv_distinct" -> QueryDef(
+      (s, dir) => {
+        val cents = t(s, dir, "lineitem").select(
+          floor(col("l_extendedprice") * 100 + lit(0.5)).cast("long")
+            .cast("string").as("k"))
+        val est = Sketches.kmvEstimate(Sketches.kmvSketch(cents, "k"))
+        val exact = cents.agg(countDistinct("k").as("exact_distinct"))
+        est.crossJoin(broadcast(exact))
+      },
+      Some(s"""WITH ks AS (
+                 SELECT CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                        ::VARCHAR AS k
+                 FROM lineitem),
+               h AS (
+                 SELECT DISTINCT ('0x' || substr(md5('kmv:' || k), 1, 12))
+                        ::BIGINT AS h
+                 FROM ks),
+               sk AS (SELECT h FROM h ORDER BY h LIMIT 512),
+               agg AS (SELECT CAST(count(*) AS BIGINT) AS k_used,
+                              CAST(max(h) AS BIGINT) AS kth_hash FROM sk),
+               ex AS (SELECT CAST(count(DISTINCT k) AS BIGINT)
+                        AS exact_distinct FROM ks)
+               SELECT k_used, kth_hash,
+                      CAST(CASE WHEN k_used < 512 THEN k_used
+                           ELSE (511 * 281474976710656) // kth_hash END
+                        AS BIGINT) AS est_distinct,
+                      exact_distinct
+               FROM agg, ex"""),
+      "KMV distinct sketch (Bar-Yossef/Beyer): k smallest hashes, exact gate"),
+
+    // Set operations HLL cannot do: union AND intersection estimates from
+    // one merged sketch. The two sets are the distinct price points of
+    // low- vs high-quantity lineitems (~30k each, ~1.2k shared at
+    // sf0.01) — a real partial-overlap regime. Exact union/intersection
+    // ride in-row as the gate.
+    "t37_kmv_setops" -> QueryDef(
+      (s, dir) => {
+        val cents = t(s, dir, "lineitem").select(
+          col("l_quantity"),
+          floor(col("l_extendedprice") * 100 + lit(0.5)).cast("long")
+            .cast("string").as("k"))
+        val a = cents.filter(col("l_quantity") <= 25).select("k")
+        val b = cents.filter(col("l_quantity") >= 25).select("k")
+        val ops = Sketches.kmvSetOps(
+          Sketches.kmvSketch(a, "k"), Sketches.kmvSketch(b, "k"))
+        val exact = a.intersect(b).agg(count(lit(1)).as("exact_inter"))
+          .crossJoin(a.unionByName(b).distinct()
+            .agg(count(lit(1)).as("exact_union")))
+        ops.crossJoin(broadcast(exact))
+      },
+      Some(s"""WITH ks AS (
+                 SELECT l_quantity,
+                        CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                        ::VARCHAR AS k
+                 FROM lineitem),
+               ta AS (SELECT DISTINCT ('0x' || substr(md5('kmv:' || k), 1, 12))
+                        ::BIGINT AS h FROM ks WHERE l_quantity <= 25),
+               tb AS (SELECT DISTINCT ('0x' || substr(md5('kmv:' || k), 1, 12))
+                        ::BIGINT AS h FROM ks WHERE l_quantity >= 25),
+               ska AS (SELECT h FROM ta ORDER BY h LIMIT 512),
+               skb AS (SELECT h FROM tb ORDER BY h LIMIT 512),
+               mg AS (SELECT DISTINCT h FROM
+                        (SELECT h FROM ska UNION ALL SELECT h FROM skb)
+                      ORDER BY h LIMIT 512),
+               ag AS (SELECT CAST(count(*) AS BIGINT) AS k_used,
+                             max(h) AS kth_hash FROM mg),
+               ib AS (SELECT CAST(count(*) AS BIGINT) AS k_both FROM mg
+                      WHERE h IN (SELECT h FROM ska)
+                        AND h IN (SELECT h FROM skb)),
+               eu AS (SELECT CAST(count(DISTINCT k) AS BIGINT) AS exact_union
+                      FROM ks),
+               ei AS (SELECT CAST(count(*) AS BIGINT) AS exact_inter FROM
+                        (SELECT DISTINCT k FROM ks WHERE l_quantity <= 25
+                         INTERSECT
+                         SELECT DISTINCT k FROM ks WHERE l_quantity >= 25)),
+               es AS (SELECT k_used,
+                             CAST(CASE WHEN k_used < 512 THEN k_used
+                                  ELSE (511 * 281474976710656) // kth_hash END
+                               AS BIGINT) AS est_union
+                      FROM ag)
+               SELECT es.k_used, es.est_union, ib.k_both,
+                      CAST(ib.k_both * es.est_union // es.k_used AS BIGINT)
+                        AS est_inter,
+                      CAST(ib.k_both * 1000 // es.k_used AS BIGINT)
+                        AS jaccard_milli,
+                      ei.exact_inter, eu.exact_union
+               FROM es, ib, ei, eu"""),
+      "KMV set ops (Beyer 2007): union + intersection from merged sketch"),
+
+    // ---- privacy release ----
+
+    // ε-DP Laplace counts with seeded deterministic noise (see
+    // Privacy.scala header for the seed-secrecy contract). ε = 1.0,
+    // release seed 42; the oracle replays the exact inverse-CDF draw.
+    "dp1_noisy_counts" -> QueryDef(
+      (s, dir) => Privacy.noisyCounts(t(s, dir, "events"),
+        Seq("event_type"), epsilonMicro = 1000000L, seed = 42L),
+      Some("""WITH g AS (SELECT event_type, count(*) AS n
+                         FROM events GROUP BY 1),
+              u AS (SELECT event_type, n,
+                      ((('0x' || substr(md5('dp:42:' || event_type), 1, 12))
+                        ::BIGINT + 0.5) / 281474976710656.0 - 0.5) AS u
+                    FROM g),
+              m AS (SELECT event_type, n, u,
+                      CAST(floor(-ln(1 - 2 * abs(u)) * 1000000.0 + 0.5)
+                        AS BIGINT) AS mag
+                    FROM u)
+              SELECT event_type,
+                     CAST(CASE WHEN u < 0 THEN -mag ELSE mag END AS BIGINT)
+                       AS noise_micro,
+                     CAST(n * 1000000 +
+                          CASE WHEN u < 0 THEN -mag ELSE mag END AS BIGINT)
+                       AS n_released_micro
+              FROM m"""),
+      "ε-DP Laplace count release (seeded inverse-CDF, exact replay)"),
+
+    // ---- leakage-safe temporal split ----
+
+    // Purged time split (de Prado): cutoff at 80% of the span, 1-day
+    // embargo before it absorbing trailing-window feature reach. Event
+    // time at micros grain (the s2 convention).
+    "sp27_time_split" -> QueryDef(
+      (s, dir) => graft.ext.Sampling.timeSplit(
+        t(s, dir, "events").select(col("event_id"),
+          expr("ts div 1000").as("tsu")),
+        "tsu", trainPct = 80, embargo = 86400000000L)
+        .select(col("event_id"), col("split")),
+      Some("""WITH b AS (SELECT min(epoch_us(ts)) AS t0,
+                                max(epoch_us(ts)) AS t1 FROM events),
+              c AS (SELECT t0 + (t1 - t0) * 80 // 100 AS cut FROM b)
+              SELECT event_id,
+                     CASE WHEN epoch_us(ts) >= cut THEN 'test'
+                          WHEN epoch_us(ts) < cut - 86400000000
+                            THEN 'train'
+                          ELSE 'embargo' END AS split
+              FROM events, c"""),
+      "temporal split with embargo gap (purged split, leakage-safe)"),
+
+    // ---- in-engine supervised classifier ----
+
+    // Multinomial Naive Bayes language-ID: train on even doc_ids, score
+    // odd, confusion matrix out. Training is exact counting; every log
+    // term micro-quantizes BEFORE the document sum, so scores are exact
+    // BIGINT and the argmax replays byte-for-byte.
+    "ml1_naive_bayes" -> QueryDef(
+      (s, dir) => graft.ext.NaiveBayes.confusion(
+        t(s, dir, "documents"), "lang", col("doc_id") % 2 === 0),
+      Some("""WITH tok AS (SELECT doc_id, lang, doc_id % 2 = 0 AS is_train,
+                     unnest(string_split(text, ' ')) AS tok
+                   FROM documents),
+              ntc AS (SELECT lang AS cls, tok,
+                             CAST(count(*) AS BIGINT) AS n_tc
+                      FROM tok WHERE is_train GROUP BY 1, 2),
+              nc AS (SELECT cls, CAST(sum(n_tc) AS BIGINT) AS n_c
+                     FROM ntc GROUP BY 1),
+              vv AS (SELECT CAST(count(DISTINCT tok) AS BIGINT) AS v
+                     FROM tok WHERE is_train),
+              pri AS (SELECT lang AS cls, count(*) AS d_c
+                      FROM documents WHERE doc_id % 2 = 0 GROUP BY 1),
+              dt AS (SELECT count(*) AS d
+                     FROM documents WHERE doc_id % 2 = 0),
+              grid AS (SELECT nc.cls, nc.n_c, vv.v,
+                              CAST(floor(ln(CAST(pri.d_c AS DOUBLE) / dt.d)
+                                * 1e6 + 0.5) AS BIGINT) AS prior_q
+                       FROM nc JOIN pri ON pri.cls = nc.cls, vv, dt),
+              tt AS (SELECT doc_id, lang, tok FROM tok WHERE NOT is_train),
+              ts AS (SELECT tt.doc_id, tt.lang, g.cls,
+                            CAST(floor(ln(CAST(coalesce(n.n_tc, 0) + 1
+                              AS DOUBLE) / (g.n_c + g.v)) * 1e6 + 0.5)
+                              AS BIGINT) AS q
+                     FROM tt CROSS JOIN grid g
+                     LEFT JOIN ntc n ON n.cls = g.cls AND n.tok = tt.tok),
+              ds AS (SELECT doc_id, lang, cls, sum(q) AS ll
+                     FROM ts GROUP BY 1, 2, 3),
+              sc AS (SELECT ds.doc_id, ds.lang, ds.cls,
+                            ds.ll + g.prior_q AS score
+                     FROM ds JOIN grid g ON g.cls = ds.cls),
+              pr2 AS (SELECT doc_id, lang AS label_true,
+                             cls AS label_pred,
+                             row_number() OVER (PARTITION BY doc_id
+                               ORDER BY score DESC, cls) AS rn
+                      FROM sc)
+              SELECT label_true, label_pred,
+                     CAST(count(*) AS BIGINT) AS n_docs
+              FROM pr2 WHERE rn = 1 GROUP BY 1, 2"""),
+      "multinomial Naive Bayes language-ID: exact-integer confusion matrix"),
+
+    // Feature hashing (Weinberger 2009): vocabulary-free sparse
+    // featurization into 1024 signed buckets — exact integer weights.
+    "ml2_hash_features" -> QueryDef(
+      (s, dir) => graft.ext.NaiveBayes.hashFeatures(
+        t(s, dir, "documents"), numBuckets = 1024),
+      Some("""WITH tok AS (SELECT doc_id,
+                     unnest(string_split(text, ' ')) AS tok
+                   FROM documents),
+              f AS (SELECT doc_id,
+                           ('0x' || substr(md5('61:' || tok), 1, 8))
+                             ::BIGINT % 1024 AS bucket,
+                           CASE WHEN ('0x' || substr(md5('62:' || tok), 1, 8))
+                             ::BIGINT % 2 = 0 THEN 1 ELSE -1 END AS s
+                    FROM tok),
+              g AS (SELECT doc_id, bucket, CAST(sum(s) AS BIGINT) AS w
+                    FROM f GROUP BY 1, 2)
+              SELECT doc_id, bucket, w FROM g WHERE w <> 0"""),
+      "feature hashing (signed hashing trick): vocabulary-free featurizer"),
+
+    // ---- massive-data bootstrap ----
+
+    // Poisson bootstrap CI (Chamandy 2012) on per-user purchase value:
+    // deterministic seeded Poisson(1) weights (thresholds interpolated
+    // from the SAME PoissonCdf48 array on both sides), exact integer
+    // resample means, order-statistic interval over b=40 resamples.
+    "ab3_bootstrap_ci" -> QueryDef(
+      (s, dir) => graft.ext.Experiment.bootstrapCi(
+        t(s, dir, "events").filter(col("event_type") === "purchase"),
+        "user_id", "value", b = 40, alphaPct = 5, seed = 0L),
+      Some {
+        val wExpr = graft.ext.Experiment.PoissonCdf48
+          .map(t => s"(CASE WHEN h >= $t THEN 1 ELSE 0 END)")
+          .mkString(" + ")
+        s"""WITH pu AS (SELECT user_id AS u,
+                   CAST(sum(CAST(floor(value * 1e6 + 0.5) AS BIGINT))
+                     AS BIGINT) AS x
+                 FROM events WHERE event_type = 'purchase' GROUP BY 1),
+            rep AS (SELECT u, x, r
+                    FROM pu, generate_series(0, 39) AS g(r)),
+            uw AS (SELECT u, x, r,
+                          ('0x' || substr(md5('boot:0:' || u::VARCHAR
+                            || ':' || r::VARCHAR), 1, 12))::BIGINT AS h
+                   FROM rep),
+            ww AS (SELECT r, x, ($wExpr) AS w FROM uw),
+            mn AS (SELECT r,
+                          CASE WHEN sum(w) > 0 THEN
+                            CAST(sum(w * x) // sum(w) AS BIGINT)
+                          ELSE 0 END AS mean_micro
+                   FROM ww GROUP BY r),
+            rk AS (SELECT mean_micro,
+                          row_number() OVER (ORDER BY mean_micro, r) AS rk
+                   FROM mn),
+            ci AS (SELECT max(CASE WHEN rk = 2 THEN mean_micro END)
+                            AS lo_micro,
+                          max(CASE WHEN rk = 39 THEN mean_micro END)
+                            AS hi_micro
+                   FROM rk),
+            pt AS (SELECT CAST(count(*) AS BIGINT) AS n_users,
+                          CAST(sum(x) // count(*) AS BIGINT) AS mean_micro
+                   FROM pu)
+            SELECT n_users, mean_micro, lo_micro, hi_micro,
+                   CAST(40 AS INTEGER) AS b_resamples
+            FROM pt, ci"""
+      },
+      "Poisson-bootstrap CI (deterministic weights, exact replay)"),
+
+    // ---- write-layout planning ----
+
+    // Iceberg-style partition-transform menu evaluated against the data
+    // in ONE scan: partition count / skew / mean occupancy per candidate
+    // — the numbers that pick a 100-TB layout before anything is written.
+    "z7_partition_plan" -> QueryDef(
+      (s, dir) => graft.sources.WriteLayout.partitionPlan(
+        t(s, dir, "events"),
+        Seq(
+          "bucket16_user" -> pmod(graft.ext.Dedup.seededHash(
+            col("user_id").cast("string"), 63), lit(16L)),
+          "bucket256_user" -> pmod(graft.ext.Dedup.seededHash(
+            col("user_id").cast("string"), 63), lit(256L)),
+          "day_ts" -> expr("(ts div 1000) div 86400000000"),
+          "hour_ts" -> expr("(ts div 1000) div 3600000000"),
+          "identity_type" -> col("event_type"))),
+      Some("""WITH k AS (
+                SELECT 'bucket16_user' AS transform,
+                       ((('0x' || substr(md5('63:' || user_id::VARCHAR),
+                         1, 8))::BIGINT) % 16)::VARCHAR AS key
+                FROM events
+                UNION ALL
+                SELECT 'bucket256_user',
+                       ((('0x' || substr(md5('63:' || user_id::VARCHAR),
+                         1, 8))::BIGINT) % 256)::VARCHAR
+                FROM events
+                UNION ALL
+                SELECT 'day_ts',
+                       (epoch_us(ts) // 86400000000)::VARCHAR
+                FROM events
+                UNION ALL
+                SELECT 'hour_ts',
+                       (epoch_us(ts) // 3600000000)::VARCHAR
+                FROM events
+                UNION ALL
+                SELECT 'identity_type', event_type FROM events),
+              g AS (SELECT transform, key, count(*) AS cnt
+                    FROM k GROUP BY 1, 2),
+              a AS (SELECT transform,
+                           CAST(count(*) AS BIGINT) AS n_partitions,
+                           CAST(sum(cnt) AS BIGINT) AS n_rows,
+                           CAST(max(cnt) AS BIGINT) AS max_rows
+                    FROM g GROUP BY 1)
+              SELECT transform, n_partitions, n_rows, max_rows,
+                     CAST((1000000 * max_rows) // n_rows AS BIGINT)
+                       AS top_share_ppm,
+                     CAST(n_rows // n_partitions AS BIGINT) AS mean_rows
+              FROM a"""),
+      "partition-transform planner: count/skew/occupancy per candidate"))
+}

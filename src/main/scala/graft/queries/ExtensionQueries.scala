@@ -2993,6 +2993,99 @@ object ExtensionQueries {
                FROM m GROUP BY mask"""),
       "near-dup detector Venn: LSH/SimHash/winnow joint-coverage census"),
 
+    // Transposition-aware fuzzy pairs: unrestricted Damerau-Levenshtein
+    // via the engine's codegen'd expression (DuckDB-identical byte
+    // semantics — the oracle calls its native damerau_levenshtein). On
+    // this corpus the measure admits 241 swapped-digit pairs that d9's
+    // plain Levenshtein double-charges past the threshold — the typo
+    // class the measure exists for. Same prefix block + length band +
+    // maxBlock shape as d9.
+    "d35_damerau_pairs" -> QueryDef(
+      (s, dir) => Dedup.damerauPairs(
+        t(s, dir, "customer").filter(col("c_custkey") <= 400),
+        "c_custkey", "c_name", blockPrefix = 12, maxDist = 1),
+      Some("""WITH c AS (SELECT c_custkey AS id, c_name AS nm
+                         FROM customer WHERE c_custkey <= 400)
+              SELECT a.id AS id_a, b.id AS id_b,
+                     CAST(damerau_levenshtein(a.nm, b.nm) AS INTEGER) AS dl
+              FROM c a JOIN c b
+                ON substr(a.nm, 1, 12) = substr(b.nm, 1, 12)
+               AND a.id < b.id
+               AND abs(length(a.nm) - length(b.nm)) <= 1
+              WHERE damerau_levenshtein(a.nm, b.nm) <= 1"""),
+      "Damerau-Levenshtein fuzzy pairs (native codegen'd expression)"),
+
+    // Detector-vs-truth clustering agreement (pairwise P/R/F1 + Rand):
+    // the MinHash-LSH near-dup clustering graded against exact-text
+    // truth via the contingency shortcut — no pair relation ever
+    // materializes. The oracle recomposes d6's full recursive-CTE
+    // clustering plus the truth assignment, so a detector change cannot
+    // silently diverge from its own evaluation.
+    "d36_cluster_agreement" -> QueryDef(
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val det = Dedup.dupClusters(
+          Dedup.minhashDedupPairs(docs, 0.5, maxBucket = Int.MaxValue)
+            .select("doc_a", "doc_b"))
+        val truth = docs
+          .join(docs.groupBy("text").agg(min("doc_id").as("cluster")),
+            Seq("text"))
+          .select(col("doc_id"), col("cluster"))
+        Dedup.clusterAgreement(docs.select("doc_id"), det, truth)
+      },
+      Some(s"""WITH RECURSIVE $LshPairsCtes,
+               edges AS (
+                 SELECT doc_a AS src, doc_b AS dst FROM lsh_pairs
+                 UNION ALL
+                 SELECT doc_b, doc_a FROM lsh_pairs),
+               reach(src, dst) AS (
+                 SELECT src, dst FROM edges
+                 UNION
+                 SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+               det AS (
+                 SELECT src AS doc_id, least(src, min(dst)) AS cluster
+                 FROM reach GROUP BY src),
+               fa AS (
+                 SELECT d.doc_id,
+                        coalesce(det.cluster, d.doc_id) AS cluster
+                 FROM documents d LEFT JOIN det ON det.doc_id = d.doc_id),
+               tr AS (
+                 SELECT d.doc_id, m.cluster
+                 FROM documents d
+                 JOIN (SELECT text, min(doc_id) AS cluster
+                       FROM documents GROUP BY text) m ON m.text = d.text),
+               pa AS (SELECT CAST(coalesce(sum(sz * (sz - 1) // 2), 0)
+                        AS BIGINT) AS pairs_a
+                      FROM (SELECT count(*) AS sz FROM fa GROUP BY cluster)),
+               pb AS (SELECT CAST(coalesce(sum(sz * (sz - 1) // 2), 0)
+                        AS BIGINT) AS pairs_b
+                      FROM (SELECT count(*) AS sz FROM tr GROUP BY cluster)),
+               bo AS (SELECT CAST(coalesce(sum(n * (n - 1) // 2), 0)
+                        AS BIGINT) AS pairs_both
+                      FROM (SELECT count(*) AS n
+                            FROM fa JOIN tr ON fa.doc_id = tr.doc_id
+                            GROUP BY fa.cluster, tr.cluster)),
+               nn AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                             CAST(count(*) * (count(*) - 1) // 2 AS BIGINT)
+                               AS total_pairs
+                      FROM documents)
+               SELECT n_docs, pairs_a, pairs_b, pairs_both,
+                      CAST(CASE WHEN pairs_a > 0 THEN
+                        (1000000 * pairs_both) // pairs_a END AS BIGINT)
+                        AS precision_ppm,
+                      CAST(CASE WHEN pairs_b > 0 THEN
+                        (1000000 * pairs_both) // pairs_b END AS BIGINT)
+                        AS recall_ppm,
+                      CAST(CASE WHEN pairs_a + pairs_b > 0 THEN
+                        (2000000 * pairs_both) // (pairs_a + pairs_b) END
+                        AS BIGINT) AS f1_ppm,
+                      CAST(CASE WHEN total_pairs > 0 THEN
+                        (1000000 * (total_pairs - pairs_a - pairs_b
+                                    + 2 * pairs_both)) // total_pairs END
+                        AS BIGINT) AS rand_ppm
+               FROM nn, pa, pb, bo"""),
+      "pairwise P/R/F1 + Rand: detector clustering vs exact-dup truth"),
+
     // Bidirectional fuzzy blocking: prefix pass UNION suffix pass (prefix
     // over reversed strings) — an edit inside the prefix escapes d9's
     // blocking but not the suffix block, so the pass pair is exact for
@@ -5296,6 +5389,53 @@ object ExtensionQueries {
               ORDER BY pr.sup_ab DESC, pr.a, pr.b
               LIMIT 20"""),
       "Apriori 2-itemsets: co-occurring word pairs with lift"),
+
+    // The rule-mining layer over t35's support counting: directed rules
+    // with exact ppm confidence (BIGINT floor division) + the shared
+    // lift. minConf 30% keeps both directions of asymmetric pairs
+    // visible; top-30 by (conf DESC, ant, cons).
+    "t42_assoc_rules" -> QueryDef(
+      (s, dir) => graft.ext.TextAnalysis.assocRules(
+        t(s, dir, "documents"), minSup = 40, minConfPpm = 300000L, k = 30),
+      Some("""WITH it AS (SELECT DISTINCT doc_id, tok FROM (
+                   SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                   FROM documents)),
+              nd AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT)
+                       AS n_docs FROM documents),
+              fr AS (SELECT tok, CAST(count(*) AS BIGINT) AS sup
+                     FROM it GROUP BY tok HAVING count(*) >= 40),
+              fi AS (SELECT it.doc_id, it.tok FROM it
+                     JOIN fr ON fr.tok = it.tok),
+              pr AS (SELECT x.tok AS a, y.tok AS b,
+                            CAST(count(*) AS BIGINT) AS sup_ab
+                     FROM fi x JOIN fi y
+                       ON x.doc_id = y.doc_id AND x.tok < y.tok
+                     GROUP BY x.tok, y.tok
+                     HAVING count(*) >= 40),
+              pl AS (SELECT pr.a, pr.b, pr.sup_ab,
+                            fa.sup AS sup_a, fb.sup AS sup_b,
+                            CAST(floor(1e6 * CAST(pr.sup_ab AS DOUBLE)
+                                * nd.n_docs
+                                / (CAST(fa.sup AS DOUBLE)
+                                   * CAST(fb.sup AS DOUBLE)) + 0.5)
+                              AS BIGINT) AS lift_micro
+                     FROM pr JOIN fr fa ON fa.tok = pr.a
+                          JOIN fr fb ON fb.tok = pr.b
+                          CROSS JOIN nd),
+              ru AS (SELECT a AS ant, b AS cons, sup_ab, sup_a AS sup_ant,
+                            lift_micro
+                     FROM pl
+                     UNION ALL
+                     SELECT b, a, sup_ab, sup_b, lift_micro FROM pl)
+              SELECT ant, cons, sup_ab, sup_ant,
+                     CAST((1000000 * sup_ab) // sup_ant AS BIGINT)
+                       AS conf_ppm,
+                     lift_micro
+              FROM ru
+              WHERE (1000000 * sup_ab) // sup_ant >= 300000
+              ORDER BY conf_ppm DESC, ant, cons
+              LIMIT 30"""),
+      "association rules (Agrawal-Srikant): directed confidence + lift"),
 
     // Bigram-LM cross-entropy (the CCNet perplexity filter, model trained
     // in-engine on the en reference slice, scoring the non-en pool).

@@ -541,6 +541,41 @@ object GraphQueries {
               FROM cuv JOIN deg du ON du.item = cuv.u
                        JOIN deg dv ON dv.item = cuv.v
               ORDER BY sim_micro DESC, u, v LIMIT 50"""),
-      "item-item cosine (bought-X-also-bought-Y), capped baskets, top 50")
+      "item-item cosine (bought-X-also-bought-Y), capped baskets, top 50"),
+
+    // Bounded-hop weighted SSSP (Bellman-Ford, frontier-only relaxation —
+    // the semi-naive sibling of graph8's closure) over the part forest
+    // with deterministic integer weights, seeds {1,2,3}. Exact BIGINT
+    // distances, (dist, hops) lexicographic tie-break; the oracle replays
+    // the same bounded walk as a recursive CTE (linear on a forest).
+    "graph12_sssp" -> QueryDef(
+      (s, dir) => Graph.sssp(
+        t(s, dir, "part").select(
+          floor(col("p_partkey") / 4).cast("long").as("src"),
+          col("p_partkey").cast("long").as("dst"),
+          (col("p_partkey") % 97 + 1).cast("long").as("w"))
+          .filter(col("src") >= 1),
+        seeds = {
+          import s.implicits._
+          Seq(1L, 2L, 3L).toDF("node")
+        },
+        maxHops = 8),
+      Some("""WITH RECURSIVE e AS (
+                SELECT p_partkey // 4 AS src, p_partkey AS dst,
+                       p_partkey % 97 + 1 AS w
+                FROM part WHERE p_partkey // 4 >= 1),
+              walk(node, dist, hops) AS (
+                SELECT CAST(node AS BIGINT), CAST(0 AS BIGINT), 0
+                FROM (VALUES (1), (2), (3)) s(node)
+                UNION ALL
+                SELECT e.dst, walk.dist + e.w, walk.hops + 1
+                FROM walk JOIN e ON e.src = walk.node
+                WHERE walk.hops < 8),
+              g AS (SELECT node, min(dist) AS dist FROM walk GROUP BY 1)
+              SELECT g.node, CAST(g.dist AS BIGINT) AS dist,
+                     CAST(min(w.hops) AS INTEGER) AS hops
+              FROM g JOIN walk w ON w.node = g.node AND w.dist = g.dist
+              GROUP BY 1, 2"""),
+      "bounded-hop weighted SSSP (frontier Bellman-Ford) vs recursive CTE")
   )
 }

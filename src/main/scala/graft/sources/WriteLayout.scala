@@ -28,6 +28,47 @@ import org.apache.spark.sql.functions._
  */
 object WriteLayout {
 
+  /**
+   * Partition-transform planner (the Iceberg-style transform menu —
+   * year/month/day/hour/bucket/truncate/identity — evaluated AGAINST THE
+   * DATA before anything is written): for each candidate transform,
+   * one row of the numbers that decide a partition layout at 100 TB —
+   * partition count (too many = metadata storm + small files; too few =
+   * no pruning), the largest partition's row count and its exact ppm
+   * share of the table (skew: one hot partition serializes every
+   * downstream scan of it), and the mean rows per partition.
+   *
+   * ONE scan: every candidate's key is emitted per row via a narrow
+   * posexplode, then a single (transform, key) hash-agg and a
+   * transform-grain rollup — evaluating k candidates costs one pass,
+   * not k. Exact integers throughout.
+   *
+   * Output: (transform, n_partitions, n_rows, max_rows, top_share_ppm,
+   * mean_rows) ordered by transform name.
+   */
+  def partitionPlan(df: DataFrame,
+      candidates: Seq[(String, Column)]): DataFrame = {
+    require(candidates.nonEmpty, "partitionPlan needs >= 1 candidate")
+    val keyed = df.select(posexplode(array(
+      candidates.map { case (_, c) => c.cast("string") }: _*))
+      .as(Seq("tix", "key")))
+    val names = candidates.map(_._1)
+    val nameCol = names.zipWithIndex.foldLeft(lit(null).cast("string")) {
+      case (acc, (n, i)) => when(col("tix") === i, lit(n)).otherwise(acc)
+    }
+    keyed.groupBy(col("tix"), col("key"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("tix"))
+      .agg(count(lit(1)).as("n_partitions"),
+        sum("cnt").as("n_rows"),
+        max("cnt").as("max_rows"))
+      .select(nameCol.as("transform"), col("n_partitions"), col("n_rows"),
+        col("max_rows"),
+        expr("(1000000 * max_rows) div n_rows").as("top_share_ppm"),
+        expr("n_rows div n_partitions").as("mean_rows"))
+      .orderBy("transform")
+  }
+
   /** Write `df` as a pruning-friendly partitioned parquet table. */
   def writePartitioned(df: DataFrame, path: String,
       partitionCols: Seq[String], sortCols: Seq[String],

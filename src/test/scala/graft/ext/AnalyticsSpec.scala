@@ -1,0 +1,292 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+/** Hand-computed micro-cases for the round-9 analytics operators:
+ * attribution (last-touch / linear split), RFM quintiles, sweep-line
+ * interval merge, KMV sketch estimator + set ops, bounded-hop SSSP. The
+ * gate cross-validates each against DuckDB at sf0.01; these pin the
+ * semantics a hash-compare can't explain when it breaks. */
+class AnalyticsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val us = 1000L // helper: micros -> the nanos the events carry
+
+  // one user: view@1s, click@2s, purchase@3s (value 10.00),
+  // purchase@4s (no touch after — click@2s still within window),
+  // second user: purchase with NO preceding touch
+  private def mkEvents(rows: Seq[(Long, Long, String, Double)]) =
+    rows.zipWithIndex.map { case ((uid, tsSec, typ, v), i) =>
+      (i.toLong, tsSec * 1000000L * us, uid, typ, v)
+    }.toDF("event_id", "ts", "user_id", "event_type", "value")
+
+  test("lastTouch credits the most recent in-window touch, else (none)") {
+    val ev = mkEvents(Seq(
+      (1L, 1L, "view", 0.0),
+      (1L, 2L, "click", 0.0),
+      (1L, 3L, "purchase", 10.0),  // last touch = click@2
+      (1L, 4L, "purchase", 5.0),   // still click@2
+      (2L, 1L, "purchase", 7.0),   // no touch at all
+      (3L, 1L, "view", 0.0),
+      (3L, 2L, "purchase", 1.0)))  // view wins for user 3
+    val m = Attribution.lastTouch(ev, lookbackDays = 7)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(m("click") == ((2L, 15000000L)))
+    assert(m("view") == ((1L, 1000000L)))
+    assert(m("(none)") == ((1L, 7000000L)))
+    assert(m.size == 3)
+  }
+
+  test("lastTouch honors the lookback horizon") {
+    // touch 8 days before the purchase -> outside a 7-day window
+    val ev = mkEvents(Seq(
+      (1L, 1000L, "click", 0.0),
+      (1L, 1000L + 8L * 86400, "purchase", 3.0)))
+    val m = Attribution.lastTouch(ev, lookbackDays = 7)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(m == Map("(none)" -> 1L))
+  }
+
+  test("linearTouch splits exactly and the books balance") {
+    // 2 views + 1 click before a 10.00 purchase: shares 2/3 and 1/3 of
+    // 10,000,000 micro = 6,666,666 + 3,333,333, remainder 1
+    val ev = mkEvents(Seq(
+      (1L, 1L, "view", 0.0),
+      (1L, 2L, "view", 0.0),
+      (1L, 3L, "click", 0.0),
+      (1L, 4L, "purchase", 10.0),
+      (2L, 1L, "purchase", 7.0))) // untouched
+    val m = Attribution.linearTouch(ev, lookbackDays = 7)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(m("view") == ((6666666L, 1L)))
+    assert(m("click") == ((3333333L, 1L)))
+    assert(m("(remainder)") == ((1L, 1L)))
+    assert(m("(none)") == ((7000000L, 1L)))
+    // conservation: every micro of every purchase lands somewhere
+    assert(m.values.map(_._1).sum == 17000000L)
+  }
+
+  test("rfmSegments: quintiles deterministic, segment rollup conserves") {
+    val orders = (1 to 10).map { k =>
+      (k.toLong, k.toLong, // one order per customer, custkey = orderkey
+        java.sql.Timestamp.valueOf(f"2025-01-${k}%02d 00:00:00"),
+        k * 10.0)
+    }.toDF("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+    val out = Attribution.rfmSegments(orders).collect()
+    assert(out.map(_.getLong(3)).sum == 10L) // all customers present
+    // monotone metrics + one order each: r,f ties broken by custkey;
+    // m_score follows value: customer 10 (highest spend, most recent)
+    // must land in (5, f, 5)
+    val top = out.filter(r => r.getInt(0) == 5 && r.getInt(2) == 5)
+    assert(top.map(_.getLong(4)).sum >= 9000000L * 10 / 100)
+    // micro conservation
+    assert(out.map(_.getLong(4)).sum == (1 to 10).map(_ * 10000000L).sum)
+  }
+
+  test("mergedIntervals: islands, coverage, idle — the bridged case") {
+    // [1,10) [2,3) [4,20): one island (the 3rd starts before max-end 10)
+    // then [30,40): second island. covered = 19+10, span = 39, idle = 10
+    val iv = Seq((1L, 1L, 10L), (1L, 2L, 3L), (1L, 4L, 20L),
+      (1L, 30L, 40L)).toDF("user_id", "iv_start", "iv_end")
+    val r = TimeSeries.mergedIntervals(iv, "user_id", "iv_start", "iv_end")
+      .collect().head
+    assert(r.getAs[Long]("n_intervals") == 4L)
+    assert(r.getAs[Long]("n_islands") == 2L)
+    assert(r.getAs[Long]("covered") == 29L)
+    assert(r.getAs[Long]("span") == 39L)
+    assert(r.getAs[Long]("idle") == 10L)
+  }
+
+  test("kmv: under-k sketches are exact; estimator formula otherwise") {
+    val small = (1 to 100).map(i => s"k$i").toDF("k")
+    val est = Sketches.kmvEstimate(Sketches.kmvSketch(small, "k"))
+      .collect().head
+    assert(est.getAs[Long]("k_used") == 100L)
+    assert(est.getAs[Long]("est_distinct") == 100L) // exact under k
+    val big = (1 to 5000).map(i => s"k$i").toDF("k")
+    val sketch = Sketches.kmvSketch(big, "k")
+    assert(sketch.count() == Sketches.KmvK)
+    val e2 = Sketches.kmvEstimate(sketch).collect().head
+    val est2 = e2.getAs[Long]("est_distinct")
+    // (k-1)*2^48 / h_k replay + estimator accuracy at k=512 (se ~ 4.4%)
+    val expected = (Sketches.KmvK - 1L) * (1L << 48) /
+      e2.getAs[Long]("kth_hash")
+    assert(est2 == expected)
+    assert(math.abs(est2 - 5000L) < 1000L, s"estimate $est2 too far")
+  }
+
+  test("kmvSetOps: disjoint sets estimate zero intersection; self is full") {
+    val a = (1 to 2000).map(i => s"a$i").toDF("k")
+    val b = (1 to 2000).map(i => s"b$i").toDF("k")
+    val ska = Sketches.kmvSketch(a, "k")
+    val skb = Sketches.kmvSketch(b, "k")
+    val disjoint = Sketches.kmvSetOps(ska, skb).collect().head
+    assert(disjoint.getAs[Long]("k_both") == 0L)
+    assert(disjoint.getAs[Long]("est_inter") == 0L)
+    val self = Sketches.kmvSetOps(ska, ska).collect().head
+    assert(self.getAs[Long]("jaccard_milli") == 1000L)
+    val estU = disjoint.getAs[Long]("est_union")
+    assert(math.abs(estU - 4000L) < 800L, s"union estimate $estU")
+  }
+
+  test("clusterAgreement: contingency arithmetic on a hand case") {
+    // universe 1..6; detector clusters {1,2,3} {4,5}; truth {1,2} {4,5}
+    // pairs_a = 3+1 = 4, pairs_b = 1+1 = 2, both = C(2,2 in same both):
+    // (1,2) in both; (4,5) in both -> 2. total = 15.
+    val u = Seq(1L, 2L, 3L, 4L, 5L, 6L).toDF("doc_id")
+    val a = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L), (5L, 4L))
+      .toDF("doc_id", "cluster")
+    val b = Seq((1L, 1L), (2L, 1L), (4L, 4L), (5L, 4L))
+      .toDF("doc_id", "cluster")
+    val r = Dedup.clusterAgreement(u, a, b).collect().head
+    assert(r.getAs[Long]("n_docs") == 6L)
+    assert(r.getAs[Long]("pairs_a") == 4L)
+    assert(r.getAs[Long]("pairs_b") == 2L)
+    assert(r.getAs[Long]("pairs_both") == 2L)
+    assert(r.getAs[Long]("precision_ppm") == 500000L)
+    assert(r.getAs[Long]("recall_ppm") == 1000000L)
+    assert(r.getAs[Long]("f1_ppm") == 666666L)
+    // rand = (15 - 4 - 2 + 4)/15 = 13/15
+    assert(r.getAs[Long]("rand_ppm") == 1000000L * 13 / 15)
+    // identical clusterings: perfect scores
+    val p = Dedup.clusterAgreement(u, a, a).collect().head
+    assert(p.getAs[Long]("precision_ppm") == 1000000L)
+    assert(p.getAs[Long]("recall_ppm") == 1000000L)
+    assert(p.getAs[Long]("rand_ppm") == 1000000L)
+  }
+
+  test("assocRules: direction asymmetry and confidence filter") {
+    // 'a' appears in 10 docs, 'b' in 5, together in 5: conf(b->a)=100%,
+    // conf(a->b)=50%
+    val docs = (1 to 10).map { i =>
+      (i.toLong, if (i <= 5) "a b" else "a x")
+    }.toDF("doc_id", "text")
+    val rules = TextAnalysis.assocRules(docs, minSup = 5,
+      minConfPpm = 0L, k = 100)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getAs[Long]("conf_ppm"), r.getAs[Long]("sup_ant"))).toMap
+    assert(rules(("b", "a")) == ((1000000L, 5L)))
+    assert(rules(("a", "b")) == ((500000L, 10L)))
+    // minConf filter drops the weak direction
+    // (a,x) is also frequent: x->a is the other 100% rule; both weak
+    // a->* directions (50%) must drop
+    val strict = TextAnalysis.assocRules(docs, minSup = 5,
+      minConfPpm = 600000L, k = 100).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(strict == Set(("b", "a"), ("x", "a")))
+  }
+
+  test("timeSplit: cutoff, embargo band, exhaustive cover") {
+    val df = (0L to 100L).map(t => (t, t)).toDF("id", "tsu")
+    // span 0..100, cut = 80; embargo 10 -> train < 70, embargo [70,80)
+    val out = Sampling.timeSplit(df, "tsu", trainPct = 80, embargo = 10L)
+      .collect().map(r => r.getAs[Long]("tsu") -> r.getAs[String]("split"))
+      .toMap
+    assert(out(69L) == "train")
+    assert(out(70L) == "embargo")
+    assert(out(79L) == "embargo")
+    assert(out(80L) == "test")
+    assert(out(100L) == "test")
+    assert(out.size == 101)
+  }
+
+  test("noisyCounts: deterministic replay, zero-centered-ish, exact grid") {
+    val df = (1 to 1000).map(i => ("g" + (i % 10), i)).toDF("g", "v")
+    val r1 = Privacy.noisyCounts(df, Seq("g"), epsilonMicro = 1000000L,
+      seed = 7L).collect()
+      .map(r => r.getString(0) -> (r.getAs[Long]("noise_micro"),
+        r.getAs[Long]("n_released_micro"))).toMap
+    val r2 = Privacy.noisyCounts(df, Seq("g"), epsilonMicro = 1000000L,
+      seed = 7L).collect()
+      .map(r => r.getString(0) -> (r.getAs[Long]("noise_micro"),
+        r.getAs[Long]("n_released_micro"))).toMap
+    assert(r1 == r2, "same seed must replay the same release")
+    val r3 = Privacy.noisyCounts(df, Seq("g"), epsilonMicro = 1000000L,
+      seed = 8L).collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("noise_micro")).toMap
+    assert(r3 != r1.map { case (k, v) => k -> v._1 },
+      "a fresh seed must draw fresh noise")
+    // released = true*1e6 + noise, exactly
+    r1.foreach { case (_, (noise, rel)) =>
+      assert(rel == 100L * 1000000L + noise)
+    }
+    // at eps=1 the expected |noise| is 1e6 micro; all draws should sit
+    // well inside 15x that (p ~ 3e-7 per group otherwise)
+    assert(r1.values.forall { case (n, _) => math.abs(n) < 15000000L })
+  }
+
+  test("bootstrapCi: deterministic, brackets the mean, orders correctly") {
+    val ev = (1 to 200).map { i =>
+      (i.toLong, i.toLong * 1000000L, i.toLong % 50, "purchase",
+        10.0 + (i % 7))
+    }.toDF("event_id", "ts", "user_id", "event_type", "value")
+    def run() = Experiment.bootstrapCi(ev, "user_id", "value").collect().head
+    val r1 = run()
+    val r2 = run()
+    assert(r1 == r2, "same seed must replay the identical interval")
+    val (n, mean, lo, hi) = (r1.getAs[Long]("n_users"),
+      r1.getAs[Long]("mean_micro"), r1.getAs[Long]("lo_micro"),
+      r1.getAs[Long]("hi_micro"))
+    assert(n == 50L)
+    assert(lo <= hi)
+    assert(lo <= mean && mean <= hi,
+      s"interval [$lo, $hi] must bracket the point mean $mean")
+    // the interval is non-degenerate on heterogeneous users
+    assert(hi > lo)
+    // Poisson thresholds: monotone; last = CDF(7)·2^48, whose deficit is
+    // P(X ≥ 8) ≈ 1.02e-5 of the 48-bit space (≈ 2.9e9 < 2^33)
+    val t = Experiment.PoissonCdf48
+    assert(t.sliding(2).forall(p => p(0) < p(1)))
+    assert(t.last > (1L << 48) - (1L << 33))
+  }
+
+  test("naiveBayes: separable corpora classify diagonally; ties break low") {
+    // classes with disjoint vocabularies train/test perfectly
+    val docs = (0 until 40).map { i =>
+      val lang = if (i % 2 == 0) "aa" else "bb"
+      val text = if (lang == "aa") "apple apple pie" else "zebra zoo zebra"
+      (i.toLong, text, lang)
+    }.toDF("doc_id", "text", "lang")
+    val m = NaiveBayes.confusion(docs, "lang", col("doc_id") % 4 < 2)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(m.keySet == Set(("aa", "aa"), ("bb", "bb")),
+      s"separable corpora must classify diagonally, got $m")
+    assert(m.values.sum == 20L) // every test doc predicted exactly once
+    // a test doc of pure OOV tokens: every class scores only smoothing
+    // floors + prior; identical totals tie -> lexicographically smallest
+    val withOov = docs.unionByName(
+      Seq((100L, "qq qq", "bb")).toDF("doc_id", "text", "lang"))
+    val m2 = NaiveBayes.confusion(withOov, "lang",
+        col("doc_id") % 4 < 2 && col("doc_id") < 100)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    // both classes have 10 training docs (equal priors) and equal token
+    // totals, so the OOV doc ties exactly and "aa" < "bb" wins
+    assert(m2(("bb", "aa")) == 1L, s"OOV tie must break to 'aa', got $m2")
+  }
+
+  test("sssp: weighted distances, hop tie-break, early exit") {
+    // 1 -> 2 (w 5), 1 -> 3 (w 1), 3 -> 2 (w 1): best dist to 2 is 2 via
+    // 2 hops; 2 -> 4 (w 1) extends. Also a strictly-worse longer path
+    // 1 -> 4 direct (w 10) must lose.
+    val e = Seq((1L, 2L, 5L), (1L, 3L, 1L), (3L, 2L, 1L), (2L, 4L, 1L),
+      (1L, 4L, 10L)).toDF("src", "dst", "w")
+    val seeds = Seq(1L).toDF("node")
+    val m = Graph.sssp(e, seeds, maxHops = 6)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getInt(2))).toMap
+    assert(m(1L) == ((0L, 0)))
+    assert(m(3L) == ((1L, 1)))
+    assert(m(2L) == ((2L, 2)))
+    assert(m(4L) == ((3L, 3)))
+    // equal-weight paths: fewer hops wins the tie-break
+    val e2 = Seq((1L, 9L, 2L), (1L, 8L, 1L), (8L, 9L, 1L))
+      .toDF("src", "dst", "w")
+    val m2 = Graph.sssp(e2, Seq(1L).toDF("node"), maxHops = 6)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getInt(2))).toMap
+    assert(m2(9L) == ((2L, 1)), "equal dist must keep the 1-hop path")
+  }
+}
