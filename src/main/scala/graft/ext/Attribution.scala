@@ -105,30 +105,31 @@ object Attribution {
       .select(microCents(col("value")).as("vm"),
         col("n_view"), col("n_click"),
         (col("n_view") + col("n_click")).as("n_tot"))
-      .withColumn("share_view", expr("vm * n_view div n_tot"))
-      .withColumn("share_click", expr("vm * n_click div n_tot"))
-    val perChannel = Seq("view" -> "share_view", "click" -> "share_click")
-      .map { case (ch, shareCol) =>
-        p.filter(col("n_tot") > 0).agg(
-          coalesce(sum(col(shareCol)), lit(0L)).as("attributed_micro"),
-          count(lit(1)).as("n_conversions_touched"))
-          .select(lit(ch).as("channel"),
-            col("attributed_micro"), col("n_conversions_touched"))
-      }.reduce(_ unionByName _)
-    // the integer-division remainder + the fully-untouched purchases,
-    // kept on the books as their own rows
-    val remainder = p.filter(col("n_tot") > 0).agg(
-      coalesce(sum(col("vm") - col("share_view") - col("share_click")),
-        lit(0L)).as("attributed_micro"),
-      count(lit(1)).as("n_conversions_touched"))
-      .select(lit("(remainder)").as("channel"),
-        col("attributed_micro"), col("n_conversions_touched"))
-    val untouched = p.filter(col("n_tot") === 0).agg(
-      coalesce(sum(col("vm")), lit(0L)).as("attributed_micro"),
-      count(lit(1)).as("n_conversions_touched"))
-      .select(lit("(none)").as("channel"),
-        col("attributed_micro"), col("n_conversions_touched"))
-    perChannel.unionByName(remainder).unionByName(untouched)
+      .withColumn("share_view",
+        when(col("n_tot") > 0, expr("vm * n_view div n_tot"))
+          .otherwise(lit(0L)))
+      .withColumn("share_click",
+        when(col("n_tot") > 0, expr("vm * n_click div n_tot"))
+          .otherwise(lit(0L)))
+    // ONE conditional agg computes all four rows' numbers, then `stack`
+    // unpivots — a 4-branch union of per-branch aggs would re-run the
+    // scan + per-user window sort once per branch (plan-audited: 16
+    // exchanges vs this shape's 4). The remainder and untouched masses
+    // stay on their own rows so the books balance visibly.
+    val touched = col("n_tot") > 0
+    val agg = p.agg(
+      coalesce(sum(when(touched, col("share_view"))), lit(0L)).as("sv"),
+      coalesce(sum(when(touched, col("share_click"))), lit(0L)).as("sc"),
+      coalesce(sum(when(touched,
+        col("vm") - col("share_view") - col("share_click"))), lit(0L))
+        .as("sr"),
+      coalesce(sum(when(!touched, col("vm"))), lit(0L)).as("su"),
+      count(when(touched, lit(1))).as("nt"),
+      count(when(!touched, lit(1))).as("nu"))
+    agg.select(expr(
+      "stack(4, 'view', sv, nt, 'click', sc, nt, " +
+        "'(remainder)', sr, nt, '(none)', su, nu) " +
+        "AS (channel, attributed_micro, n_conversions_touched)"))
   }
 
   /**

@@ -51,7 +51,25 @@ val names = Seq(
   "t39_rbo", "dq9_mad_outliers", "dq11_equidepth",
   "d34_detector_agreement", "s7_markov_transitions", "t38_textrank",
   "pipe6_perplexity_curriculum", "t40_zipf", "dq8_benford",
-  "dq10_kanonymity", "ab2_srm")
+  "dq10_kanonymity", "ab2_srm",
+  // round 9 additions: attribution (per-user window sorts + channel
+  // aggs), RFM (customer agg + documented single-partition ntiles),
+  // interval merge (one per-key window sort + two hash-aggs), KMV
+  // (distinct agg + TakeOrderedAndProject, never a global sort), SSSP
+  // (final frontier round: equi-join + min-agg + anti-ish improvement
+  // join), Damerau pairs (prefix-block join, codegen'd kernel in the
+  // filter), cluster agreement (three doc-grain hash-aggs), assoc rules
+  // (broadcast freq joins), NB (class-grid broadcast cross + model left
+  // join + two aggs), feature hashing (narrow projection + one agg),
+  // bootstrap (user agg + x40 explode + 40-row fold), noisy counts
+  // (group agg + per-row scalar noise), time split (broadcast bounds +
+  // narrow projection), partition plan (posexplode + two aggs)
+  "at1_last_touch", "at2_linear_attrib", "at3_rfm_segments",
+  "x12_interval_merge", "t36_kmv_distinct", "t37_kmv_setops",
+  "graph12_sssp", "d35_damerau_pairs", "d36_cluster_agreement",
+  "t42_assoc_rules", "ml1_naive_bayes", "ml2_hash_features",
+  "ab3_bootstrap_ci", "dp1_noisy_counts", "sp27_time_split",
+  "z7_partition_plan")
 for (n <- names) {
   val df = graft.SparkEntry.queries(n)(spark, sfDir)
   val plan = df.queryExecution.explainString(
