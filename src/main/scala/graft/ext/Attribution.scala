@@ -133,6 +133,99 @@ object Attribution {
   }
 
   /**
+   * Windowed strict-order funnel (ClickHouse `windowFunnel` semantics):
+   * the deepest step chain view → click → purchase per user where every
+   * step's event time is STRICTLY after the previous step's and the
+   * whole chain fits inside `windowUs` of its own first step — unlike
+   * [[s2's|graft.queries.RelationalQueries]] unbounded funnel, a chain
+   * that takes a month does not count as conversion. Every view event is
+   * a candidate chain start (first-touch-only funnels undercount users
+   * whose first view went nowhere but whose second converted).
+   *
+   * Shape: ONE per-user window sort computes, at every event, the
+   * earliest strictly-later click and purchase times (a RANGE frame over
+   * negated event-time micros — `[unbounded, -1]` on the negated axis is
+   * exactly "strictly after" on the real one, O(1) frame state); chain
+   * step 3 needs the purchase-after-THE-CLICK, which is the click row's
+   * own lookahead — one keyed join of views to the (user, click-time)-
+   * deduped click relation, never a per-pair expansion. Output:
+   * `(user_id, best_level)` over users with ≥ 1 view; levels 1/2/3.
+   */
+  def windowFunnel(events: DataFrame, windowUs: Long): DataFrame = {
+    require(windowUs >= 1, s"windowUs must be >= 1, got $windowUs")
+    val e = events.select(col("user_id"), col("event_type"),
+      expr("ts div 1000").as("tsu"))
+      .withColumn("neg", -col("tsu"))
+    val after = Window.partitionBy("user_id").orderBy("neg")
+      .rangeBetween(Window.unboundedPreceding, -1L)
+    val looked = e
+      .withColumn("next_click",
+        min(when(col("event_type") === "click", col("tsu"))).over(after))
+      .withColumn("next_purchase",
+        min(when(col("event_type") === "purchase", col("tsu"))).over(after))
+    val clicks = looked.filter(col("event_type") === "click")
+      .select(col("user_id"), col("tsu").as("click_tsu"),
+        col("next_purchase").as("purchase_after_click"))
+      .distinct()
+    val views = looked.filter(col("event_type") === "view")
+      .select(col("user_id"), col("tsu"), col("next_click"))
+    val levels = views
+      .join(clicks, views("user_id") === clicks("user_id") &&
+        views("next_click") === clicks("click_tsu"), "left")
+      .select(views("user_id"),
+        when(col("next_click").isNotNull &&
+             col("next_click") <= col("tsu") + lit(windowUs),
+          when(col("purchase_after_click").isNotNull &&
+               col("purchase_after_click") <= col("tsu") + lit(windowUs),
+            lit(3)).otherwise(lit(2)))
+          .otherwise(lit(1)).as("level"))
+    levels.groupBy("user_id").agg(max("level").as("best_level"))
+  }
+
+  /**
+   * Growth accounting (the MAU-accounting framework popularized by
+   * Social Capital): every (user, active-day) classifies as NEW (first
+   * day ever), RETAINED (also active the immediately preceding day) or
+   * RESURRECTED (a gap of ≥ 2 days since the last active day); CHURNED
+   * counts on day d+1 for users active on d but not d+1 — the identity
+   * `active(d) = active(d−1) + new − churned + resurrected` holds row by
+   * row, which is the framework's whole point (growth decomposes into
+   * named, auditable flows).
+   *
+   * One distinct to (user, day) grain, one per-user window (lag + lead,
+   * O(1) frame state), one day-grain agg over a union of the activity
+   * rows and the shifted churn rows. Days are integer epoch days —
+   * exact. Output: (day, n_new, n_retained, n_resurrected, n_churned).
+   */
+  def growthAccounting(events: DataFrame): DataFrame = {
+    val act = events
+      .select(col("user_id"), expr("(ts div 1000) div 86400000000")
+        .as("day"))
+      .distinct()
+    val w = Window.partitionBy("user_id").orderBy("day")
+    val classified = act
+      .withColumn("prev", lag("day", 1).over(w))
+      .withColumn("next", lead("day", 1).over(w))
+    val activity = classified.select(col("day"),
+      when(col("prev").isNull, 1L).otherwise(0L).as("n_new"),
+      when(col("prev") === col("day") - 1, 1L).otherwise(0L)
+        .as("n_retained"),
+      when(col("prev").isNotNull && col("prev") < col("day") - 1, 1L)
+        .otherwise(0L).as("n_resurrected"),
+      lit(0L).as("n_churned"))
+    val churn = classified
+      .filter(col("next").isNull || col("next") > col("day") + 1)
+      .select((col("day") + 1).as("day"), lit(0L).as("n_new"),
+        lit(0L).as("n_retained"), lit(0L).as("n_resurrected"),
+        lit(1L).as("n_churned"))
+    activity.unionByName(churn)
+      .groupBy("day")
+      .agg(sum("n_new").as("n_new"), sum("n_retained").as("n_retained"),
+        sum("n_resurrected").as("n_resurrected"),
+        sum("n_churned").as("n_churned"))
+  }
+
+  /**
    * RFM segmentation (Hughes 1994, the retail standard): per customer,
    * Recency = days from last order to the frozen as-of date, Frequency =
    * order count, Monetary = lifetime order value; each scored into

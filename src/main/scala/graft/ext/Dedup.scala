@@ -340,6 +340,34 @@ object Dedup {
           (col("n_a") + col("n_b") - col("n_inter")), 4).as("jac"))
   }
 
+  /** Shingle CONTAINMENT over candidate pairs — the asymmetric measure
+   * Jaccard structurally misses: a short document quoted whole inside a
+   * long one has `inter/|small| = 1` but Jaccard ≈ |small|/|big| → 0, so
+   * a Jaccard-thresholded dedup keeps both copies (Broder 1997 defines
+   * both measures for exactly this reason; quote/inclusion detection
+   * needs this one). Same candidate-semi-join discipline and join shape
+   * as [[jaccard]]; `cont_ppm = 1e6·inter div min(|A|,|B|)` in exact
+   * integers. Output: (doc_a, doc_b, n_a, n_b, n_inter, cont_ppm). */
+  def containmentPairs(pairs: DataFrame, sh: DataFrame): DataFrame = {
+    val p = materialize(pairs)
+    val pairDocs = p.select(col("doc_a").as("doc_id"))
+      .union(p.select(col("doc_b").as("doc_id")))
+      .distinct()
+    val shP = sh.join(pairDocs, Seq("doc_id"), "left_semi")
+    val sizes = shP.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val shA = shP.toDF("doc_a", "sh")
+    val shB = shP.toDF("doc_b", "sh")
+    shA
+      .join(p, Seq("doc_a"))
+      .join(shB, Seq("doc_b", "sh"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_inter"))
+      .join(sizes.toDF("doc_a", "n_a"), Seq("doc_a"))
+      .join(sizes.toDF("doc_b", "n_b"), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("n_a"), col("n_b"),
+        col("n_inter"),
+        expr("(1000000 * n_inter) div least(n_a, n_b)").as("cont_ppm"))
+  }
+
   /** Full MinHash-LSH near-dup pipeline: candidates verified at `minJaccard`.
    *
    * The shingle and band relations are materialized once via EAGER

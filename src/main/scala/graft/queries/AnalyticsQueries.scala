@@ -117,6 +117,76 @@ object AnalyticsQueries {
               FROM sc GROUP BY 1, 2, 3"""),
       "RFM quintile segmentation (Hughes): segment-grain rollup"),
 
+    // Windowed strict-order funnel (ClickHouse windowFunnel semantics):
+    // deepest view->click->purchase chain fitting in 1 hour of its own
+    // first step, every view a candidate start.
+    "s8_window_funnel" -> QueryDef(
+      (s, dir) => Attribution.windowFunnel(t(s, dir, "events"),
+        windowUs = 3600000000L),
+      Some("""WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS tsu,
+                                -epoch_us(ts) AS neg
+                         FROM events),
+              lk AS (SELECT user_id, event_type, tsu,
+                            min(CASE WHEN event_type = 'click'
+                                THEN tsu END) OVER w AS next_click,
+                            min(CASE WHEN event_type = 'purchase'
+                                THEN tsu END) OVER w AS next_purchase
+                     FROM e
+                     WINDOW w AS (PARTITION BY user_id ORDER BY neg
+                                  RANGE BETWEEN UNBOUNDED PRECEDING
+                                        AND 1 PRECEDING)),
+              ck AS (SELECT DISTINCT user_id, tsu AS click_tsu,
+                            next_purchase AS purchase_after_click
+                     FROM lk WHERE event_type = 'click'),
+              vw AS (SELECT user_id, tsu, next_click FROM lk
+                     WHERE event_type = 'view'),
+              lv AS (SELECT vw.user_id,
+                            CASE WHEN vw.next_click IS NOT NULL
+                                  AND vw.next_click <= vw.tsu + 3600000000
+                                 THEN CASE WHEN ck.purchase_after_click
+                                            IS NOT NULL
+                                        AND ck.purchase_after_click
+                                            <= vw.tsu + 3600000000
+                                      THEN 3 ELSE 2 END
+                                 ELSE 1 END AS level
+                     FROM vw LEFT JOIN ck
+                       ON ck.user_id = vw.user_id
+                      AND ck.click_tsu = vw.next_click)
+              SELECT user_id, CAST(max(level) AS INTEGER) AS best_level
+              FROM lv GROUP BY 1"""),
+      "windowed strict-order funnel (windowFunnel semantics, 1h window)"),
+
+    // Growth accounting: per-day new/retained/resurrected/churned flows
+    // whose identity active(d) = active(d-1) + new - churned + resurrected
+    // decomposes growth into auditable parts.
+    "s9_growth_accounting" -> QueryDef(
+      (s, dir) => Attribution.growthAccounting(t(s, dir, "events")),
+      Some("""WITH act AS (SELECT DISTINCT user_id,
+                     epoch_us(ts) // 86400000000 AS day
+                   FROM events),
+              cl AS (SELECT user_id, day,
+                            lag(day) OVER w AS prev,
+                            lead(day) OVER w AS next
+                     FROM act
+                     WINDOW w AS (PARTITION BY user_id ORDER BY day)),
+              a AS (SELECT day,
+                           CASE WHEN prev IS NULL THEN 1 ELSE 0 END AS n_new,
+                           CASE WHEN prev = day - 1 THEN 1 ELSE 0 END
+                             AS n_retained,
+                           CASE WHEN prev IS NOT NULL AND prev < day - 1
+                                THEN 1 ELSE 0 END AS n_resurrected,
+                           0 AS n_churned
+                    FROM cl
+                    UNION ALL
+                    SELECT day + 1, 0, 0, 0, 1
+                    FROM cl WHERE next IS NULL OR next > day + 1)
+              SELECT day, CAST(sum(n_new) AS BIGINT) AS n_new,
+                     CAST(sum(n_retained) AS BIGINT) AS n_retained,
+                     CAST(sum(n_resurrected) AS BIGINT) AS n_resurrected,
+                     CAST(sum(n_churned) AS BIGINT) AS n_churned
+              FROM a GROUP BY 1"""),
+      "growth accounting: daily new/retained/resurrected/churned flows"),
+
     // ---- interval algebra ----
 
     // Events expand to 30-minute activity intervals; the merge is the

@@ -1297,6 +1297,43 @@ object ExtensionQueries {
                WHERE round(CAST(n_inter AS DOUBLE) / (na.n + nb.n - n_inter), 4) >= 0.3"""),
       "exact n-gram Jaccard with rare-shingle candidate blocking"),
 
+    // The asymmetric sibling d4 can't see: containment inter/min(|A|,|B|)
+    // catches a short doc quoted whole inside a long one (Jaccard ->
+    // |small|/|big| -> under any threshold). Same rare-shingle candidate
+    // blocking, exact ppm integers.
+    "d37_containment" -> QueryDef(
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val sh = Dedup.shingles(docs).localCheckpoint()
+        Dedup.containmentPairs(
+          Dedup.rareShingleCandidates(sh, maxDf = 5), sh)
+          .filter(col("cont_ppm") >= 500000L)
+      },
+      Some(s"""WITH $ShinglesCte,
+               rare AS (
+                 SELECT sh FROM (SELECT sh, count(*) AS df FROM sh GROUP BY sh)
+                 WHERE df BETWEEN 2 AND 5),
+               pairs AS (
+                 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                 FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+                 WHERE a.sh IN (SELECT sh FROM rare)),
+               sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n
+                         FROM sh GROUP BY doc_id),
+               inter AS (
+                 SELECT p.doc_a, p.doc_b, CAST(count(*) AS BIGINT) AS n_inter
+                 FROM pairs p
+                 JOIN sh sa ON sa.doc_id = p.doc_a
+                 JOIN sh sb ON sb.doc_id = p.doc_b AND sb.sh = sa.sh
+                 GROUP BY 1, 2)
+               SELECT i.doc_a, i.doc_b, na.n AS n_a, nb.n AS n_b, n_inter,
+                      CAST((1000000 * n_inter) // least(na.n, nb.n)
+                        AS BIGINT) AS cont_ppm
+               FROM inter i
+               JOIN sizes na ON na.doc_id = i.doc_a
+               JOIN sizes nb ON nb.doc_id = i.doc_b
+               WHERE (1000000 * n_inter) // least(na.n, nb.n) >= 500000"""),
+      "shingle containment pairs (asymmetric quote/inclusion detection)"),
+
     "d5_simhash" -> QueryDef(
       (s, dir) => Dedup.simhash(t(s, dir, "documents")),
       Some(s"""WITH $SimhashCte

@@ -218,6 +218,64 @@ class AnalyticsSpec extends SparkTestBase {
     assert(r1.values.forall { case (n, _) => math.abs(n) < 15000000L })
   }
 
+  test("containmentPairs: full inclusion scores 1e6 where Jaccard dilutes") {
+    // doc 2 is a verbatim prefix of doc 1: every doc-2 shingle is in
+    // doc 1, so containment = 1e6 while Jaccard = 4/13
+    val docs = Seq(
+      (1L, "a b c d e f g h i j k l m n o"),
+      (2L, "a b c d e f")).toDF("doc_id", "text")
+    val sh = Dedup.shingles(docs)
+    val pairs = Seq((1L, 2L)).toDF("doc_a", "doc_b")
+    val r = Dedup.containmentPairs(pairs, sh).collect().head
+    assert(r.getAs[Long]("n_inter") == 4L)
+    assert(r.getAs[Long]("cont_ppm") == 1000000L)
+    val jac = Dedup.jaccard(pairs, sh).collect().head.getAs[Double]("jac")
+    assert(jac < 0.5, s"Jaccard must dilute on containment, got $jac")
+  }
+
+  test("windowFunnel: window binds, any view can start, strict order") {
+    def ev(uid: Long, tSec: Long, typ: String, i: Long) =
+      (i, tSec * 1000000000L, uid, typ, 0.0)
+    val rows = Seq(
+      // user 1: view@0, click@10s, purchase@20s -> level 3 (window 60s)
+      ev(1, 0, "view", 1), ev(1, 10, "click", 2), ev(1, 20, "purchase", 3),
+      // user 2: view@0, click@100s (outside 60s) -> level 1
+      ev(2, 0, "view", 4), ev(2, 100, "click", 5),
+      // user 3: FIRST view@0 never converts in-window, but second
+      // view@200 -> click@210 -> purchase@215 does -> level 3
+      ev(3, 0, "view", 6), ev(3, 100, "click", 7),
+      ev(3, 200, "view", 8), ev(3, 210, "click", 9),
+      ev(3, 215, "purchase", 10),
+      // user 4: purchase BEFORE the click -> only level 2
+      ev(4, 0, "view", 11), ev(4, 5, "purchase", 12), ev(4, 10, "click", 13))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val m = Attribution.windowFunnel(rows, windowUs = 60000000L)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(m == Map(1L -> 3, 2L -> 1, 3L -> 3, 4L -> 2), s"got $m")
+  }
+
+  test("growthAccounting: flows and the accounting identity") {
+    // user 1 active days 0,1,3; user 2 active day 1 only
+    val rows = Seq((1L, 0L), (1L, 1L), (1L, 3L), (2L, 1L))
+      .zipWithIndex.map { case ((u, d), i) =>
+        (i.toLong, d * 86400000000000L, u, "view", 0.0)
+      }.toDF("event_id", "ts", "user_id", "event_type", "value")
+    val m = Attribution.growthAccounting(rows).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toMap
+    assert(m(0L) == ((1L, 0L, 0L, 0L)))            // u1 new
+    assert(m(1L) == ((1L, 1L, 0L, 0L)))            // u2 new, u1 retained
+    assert(m(2L) == ((0L, 0L, 0L, 2L)))            // both churn off day 1
+    assert(m(3L) == ((0L, 0L, 1L, 0L)))            // u1 resurrects
+    assert(m(4L) == ((0L, 0L, 0L, 1L)))            // u1 churns after end
+    // identity: active(d) = active(d-1) + new - churned + resurrected
+    val active = Map(0L -> 1L, 1L -> 2L, 2L -> 0L, 3L -> 1L, 4L -> 0L)
+    for (d <- 1L to 4L) {
+      val (nw, _, rs, ch) = m.getOrElse(d, (0L, 0L, 0L, 0L))
+      assert(active(d) == active(d - 1) + nw - ch + rs, s"identity at $d")
+    }
+  }
+
   test("bootstrapCi: deterministic, brackets the mean, orders correctly") {
     val ev = (1 to 200).map { i =>
       (i.toLong, i.toLong * 1000000L, i.toLong % 50, "purchase",
