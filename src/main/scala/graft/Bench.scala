@@ -313,6 +313,24 @@ object Bench {
             expr("id div 2000")).as("nm"))
         .repartition(16).write.mode("overwrite")
         .parquet(s"$dir10/er_sep_names.parquet")
+      // Events at 10×: 10 DISJOINT user populations over the same time
+      // span (user/event ids shifted per replica, timestamps unchanged) —
+      // the honest axis for the round-9 per-user window analytics: 10×
+      // the users and events, identical per-user history shape, so
+      // linear walls are the pass criterion.
+      locally {
+        val ev = spark.read.parquet(s"$sfDir/events.parquet")
+        val uStride = ev.agg(max("user_id")).head.getLong(0) + 1L
+        val eStride = ev.agg(max("event_id")).head.getLong(0) + 1L
+        (0 until 10).map(k => ev.select(
+          (col("event_id") + lit(k * eStride)).as("event_id"),
+          col("ts"),
+          (col("user_id") + lit(k * uStride)).as("user_id"),
+          col("event_type"), col("value"), col("props")))
+          .reduce(_ unionByName _)
+          .repartition(16).write.mode("overwrite")
+          .parquet(s"$dir10/events.parquet")
+      }
       // 20k real PNGs for the image-dedup probe (r4 verdict #5: the aHash
       // pair path had no at-scale number). Generated in executors — see
       // mkImageRecord — and landed as a media parquet with the standard
@@ -387,7 +405,13 @@ object Bench {
         // the heaviest r8 pipeline (Kneser-Ney xent per doc + token count
         // + deterministic global order + cumulative-token phase cut) at
         // 10× docs and 10× the bigram vocabulary
-        "pipe6_perplexity_curriculum")
+        "pipe6_perplexity_curriculum",
+        // round-9 additions: containment pairs (the d4 blocking under
+        // the asymmetric measure) and the detector-vs-truth agreement
+        // eval (the full MinHash detector + CC at 10× plus three
+        // doc-grain hash-aggs — the at-scale price of grading a dedup
+        // run against exact truth)
+        "d37_containment", "d36_cluster_agreement")
       val walls = scala.collection.mutable.ListBuffer.empty[(String, String)]
       val ratios = scala.collection.mutable.ListBuffer.empty[(String, String)]
       // BOTH raw walls per probe, not just the min (round-5 verdict #2):
@@ -515,6 +539,17 @@ object Bench {
           graft.ext.Dedup.jaroWinklerPairs(
             ps.read.parquet(s"$dir10/fuzzy_names.parquet"),
             "id", "nm", blockPrefix = 12, minSim = 0.9)
+        })),
+        // round-9: the codegen'd unrestricted Damerau-Levenshtein kernel
+        // over the SAME 10× prefix blocks as d9/d24 — the three fuzzy
+        // kernels priced on one relation (the DL kernel pays the full
+        // (la+2)·(lb+2) DP per candidate vs Levenshtein's two rows; this
+        // wall is that constant at scale)
+        ("d35_damerau_pairs" -> ((ps: org.apache.spark.sql.SparkSession) => {
+          graft.functions.GraftFunctions.register(ps)
+          graft.ext.Dedup.damerauPairs(
+            ps.read.parquet(s"$dir10/fuzzy_names.parquet"),
+            "id", "nm", blockPrefix = 12, maxDist = 1)
         })),
         // the full ER composition over the same 10× name relation: blocked
         // JW pairs + star-rounds closure + struct-min survivorship —
@@ -965,7 +1000,21 @@ object Bench {
         "dq11_equidepth" -> ((ps: org.apache.spark.sql.SparkSession) =>
           graft.ext.Profile.orderStatQuantiles(
             ps.read.parquet(s"$dir10/lineitem.parquet"),
-            "l_extendedprice", k = 10, maxDistinct = 8L * 1000 * 1000))),
+            "l_extendedprice", k = 10, maxDistinct = 8L * 1000 * 1000)),
+        // round-9: frontier Bellman-Ford over the 10× part forest — 10×
+        // roots/vertices, depth +log4(10) ≈ +2 relaxation rounds (the
+        // hop bound rises to match); the wall prices per-round frontier
+        // join + min-agg + improvement join at 10× frontier width
+        "graph12_sssp" -> ((ps: org.apache.spark.sql.SparkSession) => {
+          import ps.implicits._
+          graft.ext.Graph.sssp(
+            ps.read.parquet(s"$dir10/part.parquet").select(
+              floor(col("p_partkey") / 4).cast("long").as("src"),
+              col("p_partkey").cast("long").as("dst"),
+              (col("p_partkey") % 97 + 1).cast("long").as("w"))
+              .filter(col("src") >= 1),
+            Seq(1L, 2L, 3L).toDF("node"), maxHops = 10)
+        })),
         setup = ps => {
           val o = ps.read.parquet(s"$sfDir/orders.parquet")
             .select("o_orderkey", "o_custkey")
@@ -1006,6 +1055,23 @@ object Bench {
             .repartition(8).write.mode("overwrite")
             .parquet(s"$dir10/part.parquet")
         })
+      // Round-9 events-analytics family at 10× (disjoint user replicas
+      // written in the main setup above): per-user window operators whose
+      // pass criterion is LINEAR walls — 10× users, identical per-user
+      // history, so the window sorts shuffle 10× the rows into 10× the
+      // (independent) partitions and nothing is superlinear by shape.
+      runFamily(Seq(
+        "at2_linear_attrib" -> ((ps: org.apache.spark.sql.SparkSession) =>
+          SparkEntry.queries("at2_linear_attrib")(ps, dir10)),
+        "s8_window_funnel" -> ((ps: org.apache.spark.sql.SparkSession) =>
+          SparkEntry.queries("s8_window_funnel")(ps, dir10)),
+        "s9_growth_accounting" -> ((ps: org.apache.spark.sql.SparkSession) =>
+          SparkEntry.queries("s9_growth_accounting")(ps, dir10)),
+        // the massive-data bootstrap at 10× users: the ×40 replicate
+        // explode rides the USER-grain relation, so this wall is 40× a
+        // user-grain agg, not 40× the event scan
+        "ab3_bootstrap_ci" -> ((ps: org.apache.spark.sql.SparkSession) =>
+          SparkEntry.queries("ab3_bootstrap_ci")(ps, dir10))))
       (walls.toList, ratios.toList, rawSamples.toList, nDocs, nVecs)
     }
     val sf1Fields =
@@ -1110,6 +1176,15 @@ object Bench {
       "raises maxDistinct to 8M - the default 4M grain bound would " +
       "correctly refuse, which is the contract working); " +
       "pipe6_perplexity_curriculum at 10x docs + 10x bigram vocabulary. " +
+      "r9 new-operator probes: d35 prices the unrestricted DL kernel on " +
+      "the same 10x blocks as d9/d24 (three fuzzy kernels, one " +
+      "relation); d37/d36 ride the docs10 corpus (containment = d4's " +
+      "blocking under the asymmetric measure; agreement = detector + CC " +
+      "+ three doc-grain aggs); graph12 runs frontier Bellman-Ford on " +
+      "the 10x forest at hop bound 10; the events-analytics family " +
+      "(at2/s8/s9/ab3) runs over 10 DISJOINT user replicas of events - " +
+      "per-user windows partition independently, so LINEAR walls are " +
+      "the pass criterion. " +
       "r9 gate hygiene (r8 verdict #3/weak-drift): the main query loop " +
       "now unpersists all dead localCheckpoint blocks before each query, " +
       "so per-query sf0.1 walls track operator cost instead of block-" +

@@ -218,6 +218,35 @@ object Incremental {
       .filter(col("n") > 0)
   }
 
+  /** Incremental JOIN view maintenance (the delta-join rule of the IVM
+   * literature — Blakeley/Larson/Tompa 1986's counting algorithm
+   * specialized to a key-FK equi-join with left-side deltas): maintain a
+   * materialized `A ⋈ B` under a CDC change set on A, never rescanning
+   * the unaffected A rows:
+   *
+   *   J_new = (J_old ⊖ rows whose A-key is touched) ⊕ (ΔA(I/U) ⋈ B)
+   *
+   * `prevJoin`'s contract: the join view as previously materialized,
+   * carrying A's primary key `idCol` and NO column name collisions with
+   * `right` (the view you wrote last time). `changes` carries `idCol`,
+   * `opCol` ∈ {I,U,D} and the new A payload (the [[snapshotChanges]]
+   * shape). Deletes and update-olds leave by ONE anti-join on the
+   * delta-sized touched-key set; inserts and update-news pay a
+   * delta-sized join against B — at bucketed layout both are co-located,
+   * and nothing recomputes for untouched keys. Update-moves (the FK
+   * itself changes) are just remove+add here, no special case. */
+  def maintainJoin(prevJoin: DataFrame, right: DataFrame,
+      changes: DataFrame, idCol: String, opCol: String,
+      joinKey: String): DataFrame = {
+    val touched = changes.select(col(idCol)).distinct()
+    val kept = prevJoin.join(touched, Seq(idCol), "left_anti")
+    val added = changes.filter(col(opCol).isin("I", "U"))
+      .drop(opCol)
+      .join(right, Seq(joinKey))
+      .select(kept.columns.map(col): _*)
+    kept.unionByName(added)
+  }
+
   /** Latest committed version of a merge-sink table. */
   def currentBase(spark: SparkSession, baseDir: String): DataFrame =
     baseAsOf(spark, baseDir, Long.MaxValue)

@@ -392,6 +392,59 @@ object Profile {
    * are the pre-quantized [[BenfordMicro]] constants; `dev_micro` the
    * absolute gap. One scan + one 9-bucket agg.
    * Output: (digit, n, share_micro, expected_micro, dev_micro). */
+  /**
+   * Join-key skew audit — the pre-flight for a salted join (the
+   * [[graft.operators.Skew]] `k1` discipline: MEASURE the distribution
+   * before paying for mitigation): one row with the key count, row
+   * count, hottest key's count and its exact ppm share, and the GINI
+   * coefficient of the key-frequency distribution in ppm (0 = perfectly
+   * uniform keys, → 1e6 = all rows on one key — the single number that
+   * says whether AQE skew-split/salting is worth wiring in).
+   *
+   * Gini is computed at COUNT-HISTOGRAM grain (count-of-counts): after
+   * the key-grain agg, keys collapse to (count c, multiplicity m) rows —
+   * Zipfian key distributions have FAR fewer distinct counts than keys —
+   * and a group of m keys at count c occupying ascending ranks
+   * (K, K+m] contributes `c·(m·K + m(m+1)/2)` to the rank-weighted sum
+   * Σ i·x_i, all in exact BIGINT. The single-partition cumulative window
+   * runs at that histogram grain under the same `maxGrain` contract as
+   * [[orderStatQuantiles]] (assert_true, loud refusal).
+   *
+   * Output: (n_keys, n_rows, max_count, top1_ppm, gini_ppm).
+   */
+  def keySkewAudit(df: DataFrame, keyCol: String,
+      maxGrain: Long = 4000000L): DataFrame = {
+    val counts = df.groupBy(col(keyCol)).agg(count(lit(1)).as("c"))
+    // grain guard at the histogram grain (rows the window will sort):
+    // same loud-refusal contract as boundedTotal
+    val guard = counts.groupBy("c").agg(count(lit(1)).as("m"))
+      .agg(count(lit(1)).as("nh"))
+      .withColumn("_g", assert_true(col("nh") <= maxGrain,
+        lit(s"keySkewAudit: count-histogram grain exceeds $maxGrain — " +
+          "this key's frequency profile violates the bounded-grain " +
+          "contract (see Profile.keySkewAudit)")))
+      .where(col("_g").isNull).select("_g")
+    val hist = counts.groupBy("c").agg(count(lit(1)).as("m"))
+      .crossJoin(broadcast(guard)).drop("_g")
+    val w = org.apache.spark.sql.expressions.Window.orderBy("c")
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, -1)
+    val ranked = hist
+      .withColumn("k_before", coalesce(sum("m").over(w), lit(0L)))
+      .select(col("c"), col("m"), col("k_before"),
+        (col("c") * (col("m") * col("k_before") +
+          expr("m * (m + 1) div 2"))).as("rank_mass"))
+    ranked.agg(
+      sum("m").as("n_keys"),
+      sum(col("c") * col("m")).as("n_rows"),
+      max("c").as("max_count"),
+      sum("rank_mass").as("s_rank"))
+      .select(col("n_keys"), col("n_rows"), col("max_count"),
+        expr("(1000000 * max_count) div n_rows").as("top1_ppm"),
+        (expr("(2 * s_rank * 1000000) div (n_keys * n_rows)") -
+          expr("((n_keys + 1) * 1000000) div n_keys")).as("gini_ppm"))
+  }
+
   def benfordAudit(df: DataFrame, valCol: String): DataFrame = {
     val session = df.sparkSession
     import session.implicits._

@@ -326,6 +326,47 @@ object AnalyticsQueries {
                FROM es, ib, ei, eu"""),
       "KMV set ops (Beyer 2007): union + intersection from merged sketch"),
 
+    // Incremental JOIN view maintenance: J_old, minus touched keys, plus
+    // delta-joined news == full recompute of cur ⋈ customer (the oracle
+    // IS the recompute, so a green hash proves the delta rule).
+    "i7_join_ivm" -> QueryDef(
+      (s, dir) => {
+        val orders = t(s, dir, "orders").select(col("o_orderkey"),
+          col("o_custkey"),
+          floor(col("o_totalprice") * 100 + lit(0.5)).cast("long")
+            .as("price_cents"))
+        val cust = t(s, dir, "customer")
+          .select(col("c_custkey").as("o_custkey"), col("c_name"))
+        val prevJoin = orders.join(cust, "o_custkey")
+          .select("o_orderkey", "o_custkey", "price_cents", "c_name")
+        val cur = orders.filter(col("o_orderkey") % 31 =!= 7)
+          .withColumn("price_cents",
+            when(col("o_orderkey") % 17 === 3, col("price_cents") + 1)
+              .otherwise(col("price_cents")))
+          .unionByName(orders.filter(col("o_orderkey") % 50 === 0)
+            .withColumn("o_orderkey", col("o_orderkey") + 1000000L))
+        val changes = graft.ext.Incremental.snapshotChanges(orders, cur,
+          "o_orderkey", Seq("o_custkey", "price_cents"), version = 1L)
+        graft.ext.Incremental.maintainJoin(prevJoin, cust, changes,
+          "o_orderkey", "op", "o_custkey")
+      },
+      Some("""WITH o AS (SELECT o_orderkey, o_custkey,
+                     CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+                       AS price_cents
+                   FROM orders),
+              cur AS (
+                SELECT o_orderkey, o_custkey,
+                       CASE WHEN o_orderkey % 17 = 3 THEN price_cents + 1
+                            ELSE price_cents END AS price_cents
+                FROM o WHERE o_orderkey % 31 <> 7
+                UNION ALL
+                SELECT o_orderkey + 1000000, o_custkey, price_cents
+                FROM o WHERE o_orderkey % 50 = 0)
+              SELECT cur.o_orderkey, cur.o_custkey, cur.price_cents,
+                     c.c_name
+              FROM cur JOIN customer c ON c.c_custkey = cur.o_custkey"""),
+      "join IVM: delta-maintained A⋈B == full recompute (delta-join rule)"),
+
     // ---- privacy release ----
 
     // ε-DP Laplace counts with seeded deterministic noise (see
@@ -489,6 +530,37 @@ object AnalyticsQueries {
             FROM pt, ci"""
       },
       "Poisson-bootstrap CI (deterministic weights, exact replay)"),
+
+    // Join-key skew audit — k1's pre-flight: Gini of the key-frequency
+    // distribution (count-histogram grain) + hottest-key share, the
+    // numbers that decide whether salting/AQE-skew-split is worth wiring
+    // in BEFORE the join runs.
+    "dq12_key_skew" -> QueryDef(
+      (s, dir) => graft.ext.Profile.keySkewAudit(
+        t(s, dir, "lineitem"), "l_partkey"),
+      Some("""WITH counts AS (SELECT l_partkey, count(*) AS c
+                              FROM lineitem GROUP BY 1),
+              hist AS (SELECT c, CAST(count(*) AS BIGINT) AS m
+                       FROM counts GROUP BY c),
+              rk AS (SELECT c, m,
+                            coalesce(sum(m) OVER (ORDER BY c
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND 1 PRECEDING), 0) AS k_before
+                     FROM hist),
+              agg AS (SELECT CAST(sum(m) AS BIGINT) AS n_keys,
+                             CAST(sum(c * m) AS BIGINT) AS n_rows,
+                             CAST(max(c) AS BIGINT) AS max_count,
+                             CAST(sum(c * (m * k_before
+                               + m * (m + 1) // 2)) AS BIGINT) AS s_rank
+                      FROM rk)
+              SELECT n_keys, n_rows, max_count,
+                     CAST((1000000 * max_count) // n_rows AS BIGINT)
+                       AS top1_ppm,
+                     CAST((2 * s_rank * 1000000) // (n_keys * n_rows)
+                          - ((n_keys + 1) * 1000000) // n_keys AS BIGINT)
+                       AS gini_ppm
+              FROM agg"""),
+      "join-key skew audit: Gini + hottest-key share (salting pre-flight)"),
 
     // ---- write-layout planning ----
 

@@ -276,6 +276,49 @@ class AnalyticsSpec extends SparkTestBase {
     }
   }
 
+  test("keySkewAudit: hand Gini, uniform floor, hot-key ceiling") {
+    // keys a,a,a,b,c: sorted counts [1,1,3], S = 1+2+9 = 12,
+    // G = 2*12/(3*5) - 4/3 -> ppm 1600000 - 1333333 = 266667
+    val df = Seq("a", "a", "a", "b", "c").toDF("k")
+    val r = Profile.keySkewAudit(df, "k").collect().head
+    assert(r.getAs[Long]("n_keys") == 3L)
+    assert(r.getAs[Long]("n_rows") == 5L)
+    assert(r.getAs[Long]("max_count") == 3L)
+    assert(r.getAs[Long]("top1_ppm") == 600000L)
+    assert(r.getAs[Long]("gini_ppm") == 266667L)
+    // perfectly uniform -> 0
+    val u = Seq("a", "b", "c", "d").toDF("k")
+    assert(Profile.keySkewAudit(u, "k").collect().head
+      .getAs[Long]("gini_ppm") == 0L)
+    // extreme: one key holds nearly everything -> approaches 1e6
+    val hot = (Seq.fill(1000)("hot") ++ Seq("x", "y", "z")).toDF("k")
+    assert(Profile.keySkewAudit(hot, "k").collect().head
+      .getAs[Long]("gini_ppm") > 700000L)
+  }
+
+  test("maintainJoin: delta-maintained view equals full recompute") {
+    val a0 = Seq((1L, 10L, 100L), (2L, 10L, 200L), (3L, 20L, 300L))
+      .toDF("id", "fk", "v")
+    val b = Seq((10L, "ten"), (20L, "twenty"), (30L, "thirty"))
+      .toDF("fk", "nm")
+    val view0 = a0.join(b, "fk").select("id", "fk", "v", "nm")
+    // delete id 1, update id 2 (value + FK MOVE 10 -> 30), insert id 4
+    val a1 = Seq((2L, 30L, 201L), (3L, 20L, 300L), (4L, 20L, 400L))
+      .toDF("id", "fk", "v")
+    val changes = Incremental.snapshotChanges(a0, a1, "id",
+      Seq("fk", "v"), version = 1L)
+    val maintained = Incremental.maintainJoin(view0, b, changes,
+      "id", "op", "fk")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3))).toSet
+    val recomputed = a1.join(b, "fk").select("id", "fk", "v", "nm")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3))).toSet
+    assert(maintained == recomputed)
+    assert(maintained.exists(_ == ((2L, 30L, 201L, "thirty"))),
+      "the FK-move row must land in its new group")
+  }
+
   test("bootstrapCi: deterministic, brackets the mean, orders correctly") {
     val ev = (1 to 200).map { i =>
       (i.toLong, i.toLong * 1000000L, i.toLong % 50, "purchase",
