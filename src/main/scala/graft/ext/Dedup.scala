@@ -168,6 +168,28 @@ object Dedup {
             "+ 2 * pairs_both)) div total_pairs")).as("rand_ppm"))
   }
 
+  /** Per-document n-gram NOVELTY panel (the memorization-risk signal of
+   * Lee et al. 2022's dedup study, doc-grain): for each document, how
+   * many of its width-`width` shingles appear in at least one OTHER
+   * document, and the ppm share that are unique to it. Low novelty =
+   * the document is assembled from corpus-repeated spans — the
+   * memorization-amplifying class training-set curation caps.
+   *
+   * One distinct-shingle derivation, one shingle-grain df agg joined
+   * back on the shingle key (the d22 shape), one doc-grain agg. Exact
+   * integers. Documents shorter than `width` tokens have no shingles
+   * and are absent — the caller's length filter owns that band. */
+  def noveltyPanel(docs: DataFrame, width: Int = 13): DataFrame = {
+    val sh = materialize(shinglesN(docs, width))
+    val df = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+    sh.join(df, Seq("sh"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_shared"))
+      .withColumn("novelty_ppm",
+        expr("(1000000 * (n_grams - n_shared)) div n_grams"))
+  }
+
   /** Exact dedup: canonical row per distinct text, deterministic keeper. */
   def exactDedup(docs: DataFrame): DataFrame =
     docs.groupBy("text")

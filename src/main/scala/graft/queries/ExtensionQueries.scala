@@ -1334,6 +1334,26 @@ object ExtensionQueries {
                WHERE (1000000 * n_inter) // least(na.n, nb.n) >= 500000"""),
       "shingle containment pairs (asymmetric quote/inclusion detection)"),
 
+    // Doc-grain memorization-risk panel (Lee et al. 2022): the ppm of a
+    // document's 13-grams unique to it. Low novelty = assembled from
+    // corpus-repeated spans.
+    "d38_novelty_panel" -> QueryDef(
+      (s, dir) => Dedup.noveltyPanel(t(s, dir, "documents"), width = 13),
+      Some(s"""WITH ${sqlShinglesCteN(13, "sh13")},
+               df AS (SELECT sh, CAST(count(*) AS BIGINT) AS df
+                      FROM sh13 GROUP BY sh),
+               d AS (SELECT s.doc_id,
+                            CAST(count(*) AS BIGINT) AS n_grams,
+                            CAST(sum(CASE WHEN df.df >= 2 THEN 1 ELSE 0 END)
+                              AS BIGINT) AS n_shared
+                     FROM sh13 s JOIN df ON df.sh = s.sh
+                     GROUP BY s.doc_id)
+               SELECT doc_id, n_grams, n_shared,
+                      CAST((1000000 * (n_grams - n_shared)) // n_grams
+                        AS BIGINT) AS novelty_ppm
+               FROM d"""),
+      "per-doc 13-gram novelty (memorization-risk panel)"),
+
     "d5_simhash" -> QueryDef(
       (s, dir) => Dedup.simhash(t(s, dir, "documents")),
       Some(s"""WITH $SimhashCte

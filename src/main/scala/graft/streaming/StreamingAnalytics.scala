@@ -440,6 +440,65 @@ object StreamingAnalytics {
         org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Append())
   }
 
+  final case class DayActive(user_id: Long, day: Long)
+  final case class GrowthEvent(user_id: Long, day: Long, flow: String)
+  final case class GrowthState(last: Long, seen: Boolean)
+
+  /** Streaming growth accounting on TWS `ValueState` — the incremental
+   * twin of [[graft.ext.Attribution.growthAccounting]]: per user, TWO
+   * fields of state (last active day + seen flag) emit the new /
+   * retained / resurrected flow on each fresh active day, and the
+   * CHURNED flow for day `last+1` the moment a gap becomes observable
+   * (the user reappears past it). Under the monotone-ingest contract
+   * (per-user days arrive non-decreasing across batches; the processor
+   * sorts and dedups within a batch) the emitted flows are EXACTLY the
+   * batch operator's rows MINUS each user's trailing churn — the one
+   * flow that needs tomorrow's absence, which a stream cannot observe
+   * until the horizon passes (same honest boundary as the session
+   * flush; pinned in StreamingSpec). */
+  class GrowthProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, DayActive, GrowthEvent] {
+    @transient private var st:
+      org.apache.spark.sql.streaming.ValueState[GrowthState] = _
+
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      st = getHandle.getValueState[GrowthState]("growth",
+        org.apache.spark.sql.Encoders.product[GrowthState],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[DayActive],
+        tv: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[GrowthEvent] = {
+      var s = if (st.exists()) st.get() else GrowthState(0L, false)
+      val out = scala.collection.mutable.ArrayBuffer.empty[GrowthEvent]
+      rows.map(_.day).toSeq.distinct.sorted.foreach { d =>
+        if (!s.seen) out += GrowthEvent(key, d, "new")
+        else if (d == s.last) ()          // repeat activity, no flow
+        else if (d == s.last + 1) out += GrowthEvent(key, d, "retained")
+        else if (d > s.last + 1) {
+          out += GrowthEvent(key, s.last + 1, "churned")
+          out += GrowthEvent(key, d, "resurrected")
+        }
+        if (!s.seen || d > s.last) s = GrowthState(d, seen = true)
+      }
+      st.update(s)
+      out.iterator
+    }
+  }
+
+  /** Streaming growth flows through `transformWithState` (RocksDB
+   * provider required). Append mode: one row per observable flow. */
+  def growthFlows(days: Dataset[DayActive])(
+      implicit spark: SparkSession): Dataset[GrowthEvent] = {
+    import spark.implicits._
+    days
+      .groupByKey(_.user_id)
+      .transformWithState(new GrowthProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Append())
+  }
+
   final case class FunnelEvent(user_id: Long, ts: Timestamp, event_type: String)
   final case class FunnelHit(user_id: Long, t_first: Timestamp,
       t_last: Timestamp, n_steps: Int)

@@ -857,6 +857,75 @@ class StreamingSpec extends SparkTestBase {
     }
   }
 
+  test("streaming growth accounting equals batch minus trailing churn") {
+    implicit val s = spark
+    implicit val sqlCtx = spark.sqlContext
+    val prevProvider = spark.conf.getOption(
+      "spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      // user 1: days 0,1,3 (retained then a gap); user 2: day 1 only —
+      // the resurrect/churn decisions cross the micro-batch boundary
+      val input = MemoryStream[StreamingAnalytics.DayActive]
+      val q = StreamingAnalytics.growthFlows(input.toDS())
+        .writeStream.outputMode("append")
+        .format("memory").queryName("growth_out").start()
+      input.addData(StreamingAnalytics.DayActive(1L, 0L),
+        StreamingAnalytics.DayActive(1L, 1L),
+        StreamingAnalytics.DayActive(2L, 1L))
+      q.processAllAvailable()
+      input.addData(StreamingAnalytics.DayActive(1L, 3L),
+        StreamingAnalytics.DayActive(1L, 3L)) // dup day: no extra flow
+      q.processAllAvailable()
+      q.stop()
+      val streamed = spark.table("growth_out")
+        .groupBy($"day")
+        .agg(
+          sum(when($"flow" === "new", 1L).otherwise(0L)).as("n_new"),
+          sum(when($"flow" === "retained", 1L).otherwise(0L))
+            .as("n_retained"),
+          sum(when($"flow" === "resurrected", 1L).otherwise(0L))
+            .as("n_resurrected"),
+          sum(when($"flow" === "churned", 1L).otherwise(0L))
+            .as("n_churned"))
+        .collect().map(r => r.getLong(0) ->
+          (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+      // batch over the accumulated activity, as events
+      val ev = Seq((1L, 0L), (1L, 1L), (2L, 1L), (1L, 3L))
+        .zipWithIndex.map { case ((u, d), i) =>
+          (i.toLong, d * 86400000000000L, u, "view", 0.0)
+        }.toDF("event_id", "ts", "user_id", "event_type", "value")
+      val batch = graft.ext.Attribution.growthAccounting(ev)
+        .collect().map(r => r.getLong(0) ->
+          (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+      // trailing churn (knowable only past the horizon): u2 churns on
+      // day 2 ONLY if no later activity ever arrives — but u2's absence
+      // on day 3 IS observable batch-side. Streaming-side it is not
+      // (u2 never reappeared), so the delta is exactly u2's and u1's
+      // trailing churn rows: batch day2 n_churned includes u2, day4
+      // includes u1.
+      assert(streamed(0L) == ((1L, 0L, 0L, 0L)))
+      assert(streamed(1L) == ((1L, 1L, 0L, 0L)))
+      assert(streamed(2L) == ((0L, 0L, 0L, 1L))) // u1's observable gap
+      assert(streamed(3L) == ((0L, 0L, 1L, 0L)))
+      // batch matches everywhere except the trailing-churn rows
+      assert(batch(0L) == streamed(0L))
+      assert(batch(1L) == streamed(1L))
+      assert(batch(2L) == ((0L, 0L, 0L, 2L))) // + u2's trailing churn
+      assert(batch(3L) == streamed(3L))
+      assert(batch(4L) == ((0L, 0L, 0L, 1L))) // u1's trailing churn
+      assert(!streamed.contains(4L))
+    } finally {
+      prevProvider match {
+        case Some(p) => spark.conf.set(
+          "spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset(
+          "spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("transformWithState running stats accumulate across micro-batches") {
     implicit val s = spark
     implicit val sqlCtx = spark.sqlContext
