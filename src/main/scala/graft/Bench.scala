@@ -411,7 +411,10 @@ object Bench {
         // eval (the full MinHash detector + CC at 10× plus three
         // doc-grain hash-aggs — the at-scale price of grading a dedup
         // run against exact truth)
-        "d37_containment", "d36_cluster_agreement")
+        "d37_containment", "d36_cluster_agreement",
+        // round-9: the 13-gram novelty panel — d16's shingle derivation
+        // plus a shingle-grain df agg joined back at the shingle key
+        "d38_novelty_panel")
       val walls = scala.collection.mutable.ListBuffer.empty[(String, String)]
       val ratios = scala.collection.mutable.ListBuffer.empty[(String, String)]
       // BOTH raw walls per probe, not just the min (round-5 verdict #2):

@@ -206,19 +206,27 @@ object Attribution {
     val classified = act
       .withColumn("prev", lag("day", 1).over(w))
       .withColumn("next", lead("day", 1).over(w))
-    val activity = classified.select(col("day"),
-      when(col("prev").isNull, 1L).otherwise(0L).as("n_new"),
-      when(col("prev") === col("day") - 1, 1L).otherwise(0L)
-        .as("n_retained"),
-      when(col("prev").isNotNull && col("prev") < col("day") - 1, 1L)
-        .otherwise(0L).as("n_resurrected"),
-      lit(0L).as("n_churned"))
-    val churn = classified
-      .filter(col("next").isNull || col("next") > col("day") + 1)
-      .select((col("day") + 1).as("day"), lit(0L).as("n_new"),
+    // ONE pass: each classified row explodes into its activity flow row
+    // and (when the gap is observable) its churn row for day+1 — a
+    // two-branch union would re-run the distinct + window sort per
+    // branch (the at2 lesson). All-zero churn structs are filtered so
+    // no spurious day appears.
+    val flows = classified.select(explode(array(
+      struct(col("day"),
+        when(col("prev").isNull, 1L).otherwise(0L).as("n_new"),
+        when(col("prev") === col("day") - 1, 1L).otherwise(0L)
+          .as("n_retained"),
+        when(col("prev").isNotNull && col("prev") < col("day") - 1, 1L)
+          .otherwise(0L).as("n_resurrected"),
+        lit(0L).as("n_churned")),
+      struct((col("day") + 1).as("day"), lit(0L).as("n_new"),
         lit(0L).as("n_retained"), lit(0L).as("n_resurrected"),
-        lit(1L).as("n_churned"))
-    activity.unionByName(churn)
+        when(col("next").isNull || col("next") > col("day") + 1, 1L)
+          .otherwise(0L).as("n_churned")))).as("f"))
+      .select(col("f.*"))
+      .filter(col("n_new") + col("n_retained") + col("n_resurrected") +
+        col("n_churned") > 0)
+    flows
       .groupBy("day")
       .agg(sum("n_new").as("n_new"), sum("n_retained").as("n_retained"),
         sum("n_resurrected").as("n_resurrected"),

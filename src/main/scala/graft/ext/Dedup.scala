@@ -190,6 +190,52 @@ object Dedup {
         expr("(1000000 * (n_grams - n_shared)) div n_grams"))
   }
 
+  /** Blocking-quality metrics (the record-linkage evaluation pair of
+   * Christen 2012 §7: REDUCTION RATIO — how much of the quadratic pair
+   * space the blocking scheme removes — and PAIRS COMPLETENESS — how
+   * many TRUE matching pairs survive it): grades a prefix-blocking
+   * scheme against transposition-aware ground truth (Damerau ≤
+   * `maxDist`) on a deliberately-bounded slice. The truth side is the
+   * full quadratic comparison — that is WHAT A BLOCKING EVALUATION IS
+   * (you can only measure recall against truth you enumerated), so this
+   * runs on an audit sample, never the corpus: the d21 sample-bounded
+   * discipline. Candidate counts come from block sizes (Σ C(b,2)), no
+   * candidate pair materializes.
+   *
+   * Output: one row (n_records, total_pairs, cand_pairs, true_pairs,
+   * covered_pairs, reduction_ppm, completeness_ppm). */
+  def blockingQuality(df: DataFrame, idCol: String, nameCol: String,
+      blockPrefix: Int, maxDist: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    val base = materialize(df.select(col(idCol).as("id"),
+      col(nameCol).as("nm"),
+      substring(col(nameCol), 1, blockPrefix).as("blk")))
+    val n = base.agg(count(lit(1)).as("n_records"))
+      .withColumn("total_pairs", expr("n_records * (n_records - 1) div 2"))
+    val cand = base.groupBy("blk").agg(count(lit(1)).as("bsz"))
+      .agg(coalesce(sum(expr("bsz * (bsz - 1) div 2")), lit(0L))
+        .as("cand_pairs"))
+    val truth = base.as("a").join(base.as("b"),
+        col("a.id") < col("b.id"))
+      .select(
+        (graft.functions.GraftFunctions.damerau(col("a.nm"), col("b.nm"))
+          <= maxDist).as("is_true"),
+        (col("a.blk") === col("b.blk")).as("same_blk"))
+      .agg(coalesce(sum(when(col("is_true"), 1L).otherwise(0L)), lit(0L))
+        .as("true_pairs"),
+        coalesce(sum(when(col("is_true") && col("same_blk"), 1L)
+          .otherwise(0L)), lit(0L)).as("covered_pairs"))
+    n.crossJoin(broadcast(cand)).crossJoin(broadcast(truth))
+      .select(col("n_records"), col("total_pairs"), col("cand_pairs"),
+        col("true_pairs"), col("covered_pairs"),
+        when(col("total_pairs") > 0,
+          expr("(1000000 * (total_pairs - cand_pairs)) div total_pairs"))
+          .as("reduction_ppm"),
+        when(col("true_pairs") > 0,
+          expr("(1000000 * covered_pairs) div true_pairs"))
+          .as("completeness_ppm"))
+  }
+
   /** Exact dedup: canonical row per distinct text, deterministic keeper. */
   def exactDedup(docs: DataFrame): DataFrame =
     docs.groupBy("text")

@@ -1354,6 +1354,45 @@ object ExtensionQueries {
                FROM d"""),
       "per-doc 13-gram novelty (memorization-risk panel)"),
 
+    // Blocking-quality evaluation (Christen 2012): reduction ratio +
+    // pairs completeness of d35's prefix-12 blocking against full
+    // quadratic Damerau<=1 truth on the bounded 300-customer audit
+    // slice (the d21 sample-bounded discipline: truth must be
+    // enumerated to be truth).
+    "d39_blocking_quality" -> QueryDef(
+      (s, dir) => Dedup.blockingQuality(
+        t(s, dir, "customer").filter(col("c_custkey") <= 300),
+        "c_custkey", "c_name", blockPrefix = 12, maxDist = 1),
+      Some("""WITH c AS (SELECT c_custkey AS id, c_name AS nm,
+                                substr(c_name, 1, 12) AS blk
+                         FROM customer WHERE c_custkey <= 300),
+              n AS (SELECT CAST(count(*) AS BIGINT) AS n_records,
+                           CAST(count(*) * (count(*) - 1) // 2 AS BIGINT)
+                             AS total_pairs
+                    FROM c),
+              cd AS (SELECT CAST(coalesce(sum(bsz * (bsz - 1) // 2), 0)
+                       AS BIGINT) AS cand_pairs
+                     FROM (SELECT count(*) AS bsz FROM c GROUP BY blk)),
+              tr AS (SELECT
+                       CAST(coalesce(sum(CASE WHEN
+                         damerau_levenshtein(a.nm, b.nm) <= 1
+                         THEN 1 ELSE 0 END), 0) AS BIGINT) AS true_pairs,
+                       CAST(coalesce(sum(CASE WHEN
+                         damerau_levenshtein(a.nm, b.nm) <= 1
+                         AND a.blk = b.blk THEN 1 ELSE 0 END), 0)
+                         AS BIGINT) AS covered_pairs
+                     FROM c a JOIN c b ON a.id < b.id)
+              SELECT n_records, total_pairs, cand_pairs, true_pairs,
+                     covered_pairs,
+                     CAST(CASE WHEN total_pairs > 0 THEN
+                       (1000000 * (total_pairs - cand_pairs)) // total_pairs
+                       END AS BIGINT) AS reduction_ppm,
+                     CAST(CASE WHEN true_pairs > 0 THEN
+                       (1000000 * covered_pairs) // true_pairs END
+                       AS BIGINT) AS completeness_ppm
+              FROM n, cd, tr"""),
+      "blocking quality: reduction ratio + pairs completeness vs truth"),
+
     "d5_simhash" -> QueryDef(
       (s, dir) => Dedup.simhash(t(s, dir, "documents")),
       Some(s"""WITH $SimhashCte
