@@ -181,8 +181,19 @@ object Experiment {
     val ci = ranked.agg(
       max(when(col("rk") === loIdx, col("mean_micro"))).as("lo_micro"),
       max(when(col("rk") === hiIdx, col("mean_micro"))).as("hi_micro"))
+    // bound tripwire (the cuped discipline): every replicate numerator is
+    // Σ w·x with w ≤ 8, so the weighted sums stay exact iff the plain
+    // metric total stays under Long.Max/16 — asserted on the same agg
+    // that feeds the point estimate, loud on both engines (ANSI overflow
+    // raises anyway; this names the contract before arithmetic trips it)
     val point = perUser.agg(count(lit(1)).as("n_users"),
-      expr("sum(x) div count(1)").as("mean_micro"))
+      expr("sum(x) div count(1)").as("mean_micro"),
+      sum("x").as("__tot"))
+      .withColumn("__g", assert_true(
+        abs(col("__tot")) <= lit(Long.MaxValue / 16),
+        lit("bootstrapCi: metric total exceeds the exact-weighted-sum " +
+          "bound (Long.Max/16 micro-units) — quantize coarser")))
+      .where(col("__g").isNull).drop("__tot", "__g")
     point.crossJoin(broadcast(ci))
       .select(col("n_users"), col("mean_micro"), col("lo_micro"),
         col("hi_micro"), lit(b).as("b_resamples"))

@@ -411,6 +411,13 @@ object Profile {
    * [[orderStatQuantiles]] (assert_true, loud refusal).
    *
    * Output: (n_keys, n_rows, max_count, top1_ppm, gini_ppm).
+   *
+   * Arithmetic bound: the Gini numerator `2·S·1e6` with S ≤ n_keys·n_rows
+   * stays inside BIGINT while `n_keys·n_rows ≤ ~4.6e12` (e.g. a million
+   * keys over a few million rows). Past that, Spark's ANSI mode raises
+   * loudly (and DuckDB widens to HUGEINT — the replay contract ends at
+   * the same boundary); audit a key sample rather than the full fact
+   * table, which is also the cheaper measurement.
    */
   def keySkewAudit(df: DataFrame, keyCol: String,
       maxGrain: Long = 4000000L): DataFrame = {
