@@ -103,6 +103,46 @@ object Sampling {
       .drop("__cut")
   }
 
+  /** Water-filling budget allocation across strata (the cap-and-
+   * redistribute rule every data-mixture budget ends up needing: give
+   * every source up to a common cap C, chosen as the largest integer
+   * with Σ min(count_s, C) ≤ budget — small sources keep everything,
+   * dominant sources are capped, and no source is starved to feed
+   * another). Returns per-stratum `(stratum, n_docs, cap, alloc)` with
+   * `alloc = min(n_docs, cap)`; Σ alloc lands within #capped-strata of
+   * the budget (the floor allocation — distributing the sub-cap
+   * remainder is the caller's policy decision, not silently ours).
+   *
+   * The search runs at STRATUM grain: one count agg, one window over the
+   * (tiny, |strata|-sized) count relation sorted ascending — candidate
+   * cap at row i is `(budget − cum_before) div (n − i + 1)`, valid iff
+   * it undercuts that row's count; the first valid row's candidate is C
+   * (when none is valid the budget covers everything and alloc = count).
+   * Exact integers throughout. */
+  def waterfillBudget(df: DataFrame, stratumCol: String,
+      budget: Long): DataFrame = {
+    require(budget >= 0, s"budget must be >= 0, got $budget")
+    val counts = df.groupBy(col(stratumCol).as("stratum"))
+      .agg(count(lit(1)).as("n_docs"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("n_docs"), col("stratum"))
+    val ranked = counts
+      .withColumn("idx", row_number().over(w).cast("long"))
+      .withColumn("cum_before", coalesce(sum("n_docs").over(
+        w.rowsBetween(org.apache.spark.sql.expressions.Window
+          .unboundedPreceding, -1)), lit(0L)))
+      .crossJoin(broadcast(counts.agg(count(lit(1)).as("n_strata"))))
+      .withColumn("cand",
+        expr(s"($budget - cum_before) div (n_strata - idx + 1)"))
+    val cap = ranked.filter(col("cand") < col("n_docs"))
+      .agg(min(struct(col("idx"), col("cand"))).as("first"))
+      .select(col("first.cand").as("cap"))
+    counts.crossJoin(broadcast(cap))
+      .select(col("stratum"), col("n_docs"), col("cap"),
+        when(col("cap").isNotNull, least(col("n_docs"), col("cap")))
+          .otherwise(col("n_docs")).as("alloc"))
+  }
+
   /** Stratified deterministic sample: per-stratum keep-rates (percent) over
    * the same stable hash bucket — the knob a data-mixing stage turns to hit
    * a target source/language mixture (up-weight scarce strata, down-sample

@@ -749,6 +749,42 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** Corpus distinct-n diversity (the distinct-1/distinct-2 metrics of
+   * Li et al. 2016, the standard generation-diversity panel applied to
+   * training data: a corpus whose n-gram mass concentrates on few
+   * distinct n-grams is template-heavy): for n = 1..3, total n-gram
+   * occurrences vs distinct n-grams and the exact ppm ratio. ONE
+   * tokenization serves all three widths (posexplode + two leads over
+   * the per-doc position sort, then a 3-way explode — the pipe1
+   * tokenize-once discipline); two aggs. Output: (ngram_n, n_total,
+   * n_distinct, distinct_ppm). */
+  def distinctNgramDiversity(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos")
+    val toks = docs
+      .select(col("doc_id"),
+        posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+      .withColumn("l1", lead("tok", 1).over(w))
+      .withColumn("l2", lead("tok", 2).over(w))
+    toks.select(explode(array(
+        struct(lit(1).as("ngram_n"), col("tok").as("gram")),
+        struct(lit(2).as("ngram_n"),
+          when(col("l1").isNotNull,
+            concat_ws(" ", col("tok"), col("l1"))).as("gram")),
+        struct(lit(3).as("ngram_n"),
+          when(col("l2").isNotNull,
+            concat_ws(" ", col("tok"), col("l1"), col("l2"))).as("gram"))))
+        .as("g"))
+      .select(col("g.ngram_n"), col("g.gram"))
+      .filter(col("gram").isNotNull)
+      .groupBy("ngram_n")
+      .agg(count(lit(1)).as("n_total"),
+        countDistinct("gram").as("n_distinct"))
+      .withColumn("distinct_ppm",
+        expr("(1000000 * n_distinct) div n_total"))
+  }
+
   /** Association rules (Agrawal & Srikant 1994) over the [[itemsetPairs]]
    * co-occurrence relation: each frequent unordered pair {a, b} yields
    * BOTH directed rules a→b and b→a, scored by confidence

@@ -394,6 +394,66 @@ object AnalyticsQueries {
               FROM m"""),
       "ε-DP Laplace count release (seeded inverse-CDF, exact replay)"),
 
+    // Water-filling budget allocation across language strata: cap C =
+    // largest integer with sum(min(count, C)) <= budget (450 here — the
+    // mixed regime: en capped at 168, the rest kept whole).
+    "sp28_waterfill_budget" -> QueryDef(
+      (s, dir) => graft.ext.Sampling.waterfillBudget(
+        t(s, dir, "documents"), "lang", budget = 450L),
+      Some("""WITH c AS (SELECT lang AS stratum,
+                                CAST(count(*) AS BIGINT) AS n_docs
+                         FROM documents GROUP BY 1),
+              r AS (SELECT stratum, n_docs,
+                           CAST(row_number() OVER (ORDER BY n_docs,
+                             stratum) AS BIGINT) AS idx,
+                           CAST(coalesce(sum(n_docs) OVER (
+                             ORDER BY n_docs, stratum
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND 1 PRECEDING), 0) AS BIGINT)
+                             AS cum_before,
+                           (SELECT CAST(count(*) AS BIGINT) FROM c)
+                             AS n_strata
+                    FROM c),
+              cd AS (SELECT idx, n_docs,
+                            CAST((450 - cum_before) //
+                              (n_strata - idx + 1) AS BIGINT) AS cand
+                     FROM r),
+              cap AS (SELECT cand AS cap FROM cd WHERE cand < n_docs
+                      ORDER BY idx LIMIT 1)
+              SELECT c.stratum, c.n_docs, cap.cap,
+                     CAST(CASE WHEN cap.cap IS NOT NULL
+                          THEN least(c.n_docs, cap.cap)
+                          ELSE c.n_docs END AS BIGINT) AS alloc
+              FROM c LEFT JOIN cap ON TRUE"""),
+      "water-filling budget allocator: common cap, small strata whole"),
+
+    // Distinct-n diversity panel (Li et al. 2016) over the corpus: one
+    // tokenization serves n = 1..3.
+    "t44_distinct_ngrams" -> QueryDef(
+      (s, dir) => graft.ext.TextAnalysis.distinctNgramDiversity(
+        t(s, dir, "documents")),
+      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w
+                         FROM documents),
+              g1 AS (SELECT 1 AS ngram_n, unnest(w) AS gram FROM t),
+              g2 AS (SELECT 2 AS ngram_n,
+                       unnest([w[i] || ' ' || w[i+1]
+                               for i in generate_series(1, len(w) - 1)])
+                         AS gram
+                     FROM t WHERE len(w) >= 2),
+              g3 AS (SELECT 3 AS ngram_n,
+                       unnest([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                               for i in generate_series(1, len(w) - 2)])
+                         AS gram
+                     FROM t WHERE len(w) >= 3),
+              g AS (SELECT * FROM g1 UNION ALL SELECT * FROM g2
+                    UNION ALL SELECT * FROM g3)
+              SELECT ngram_n, CAST(count(*) AS BIGINT) AS n_total,
+                     CAST(count(DISTINCT gram) AS BIGINT) AS n_distinct,
+                     CAST((1000000 * count(DISTINCT gram)) // count(*)
+                       AS BIGINT) AS distinct_ppm
+              FROM g GROUP BY 1"""),
+      "distinct-n diversity: n-gram mass vs distinct n-grams, n=1..3"),
+
     // ---- leakage-safe temporal split ----
 
     // Purged time split (de Prado): cutoff at 80% of the span, 1-day
