@@ -271,4 +271,62 @@ object Attribution {
       .agg(count(lit(1)).as("n_customers"),
         sum("monetary_micro").as("monetary_micro"))
   }
+
+  /** Kaplan-Meier product-limit survival estimator (Kaplan & Meier 1958)
+   * over ANY lifetime relation — the right-censoring-aware retention
+   * curve (session durations, subscription lifetimes, time-to-churn)
+   * that a naive "fraction still alive at t" gets WRONG the moment
+   * observation windows truncate lifetimes: censored subjects leave the
+   * risk set without counting as deaths.
+   *
+   * Input: one row per subject — `tCol` (integer lifetime in any unit)
+   * and `deathCol` (1 = the terminal event was OBSERVED, 0 = censored:
+   * still alive when observation ended). Output per distinct lifetime t:
+   * the risk set n_risk = |{T ≥ t}|, observed deaths / censorings at t,
+   * and the product limit S(t) = Π_{u ≤ t, d_u>0} (1 − d_u/n_u) carried
+   * as `log_surv_nano` — each factor's ln micro-quantized to nano units
+   * the moment it leaves `ln` (the PSI per-term discipline) so the
+   * cumulative sum is an exact BIGINT both engines agree on — plus the
+   * human-readable `surv` derived from that integer. Total extinction
+   * (n_risk = d_t, necessarily the last row) carries the −1e15-nano
+   * sentinel: exp underflows to exactly 0.0 in both engines, never NaN.
+   *
+   * Scale shape: one subject-grain hash-agg to distinct-lifetime grain,
+   * then one cumulative window over DISTINCT lifetimes — a single
+   * partition at that grain, corpus-independent for bucketed lifetimes
+   * (minutes, days) and ENFORCED by the same loud `assert_true` bound as
+   * `Profile.boundedTotal`: a caller feeding raw-nanosecond lifetimes
+   * fails on the job, not in a post-mortem. */
+  def kaplanMeier(lifetimes: DataFrame, tCol: String, deathCol: String,
+      maxDistinctT: Long = 100000L): DataFrame = {
+    val byT = lifetimes.groupBy(col(tCol).as("t"))
+      .agg(sum(col(deathCol)).as("n_events"),
+        sum(lit(1L) - col(deathCol)).as("n_censored"),
+        count(lit(1)).as("__nt"))
+    val total = byT.agg(sum("__nt").as("__N"), count(lit(1)).as("__nd"))
+      .withColumn("__g", assert_true(col("__nd") <= maxDistinctT,
+        lit(s"kaplanMeier: distinct-lifetime cardinality exceeds " +
+          s"$maxDistinctT — bucket lifetimes coarser (bounded-grain " +
+          "contract, see Profile.boundedTotal)")))
+      .where(col("__g").isNull).select("__N")
+    val wPre = Window.orderBy("t")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wCum = Window.orderBy("t")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val risk = byT.crossJoin(broadcast(total))
+      .withColumn("n_risk",
+        col("__N") - coalesce(sum("__nt").over(wPre), lit(0L)))
+    val term = when(col("n_events") === 0L, lit(0L))
+      .when(col("n_risk") === col("n_events"), lit(-1000000000000000L))
+      .otherwise(floor(
+        log((col("n_risk") - col("n_events")).cast("double") /
+          col("n_risk").cast("double")) * lit(1e9) + lit(0.5))
+        .cast("long"))
+    risk.withColumn("__term", term)
+      .withColumn("log_surv_nano", sum("__term").over(wCum))
+      .select(col("t"), col("n_risk"), col("n_events"), col("n_censored"),
+        col("log_surv_nano"),
+        round(exp(col("log_surv_nano").cast("double") / lit(1e9)), 6)
+          .as("surv"))
+  }
 }

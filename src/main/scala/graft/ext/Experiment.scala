@@ -199,6 +199,64 @@ object Experiment {
         col("hi_micro"), lit(b).as("b_resamples"))
   }
 
+  /** Welch two-sample t readout (the unequal-variance t-test — the
+   * default experiment significance readout; Student's equal-variance
+   * form is wrong the moment a treatment changes variance, which
+   * treatments do): per-user value totals (the experiment unit — never
+   * event-grain, events within a user are correlated), arms by
+   * `user % 2` (the [[cuped]]/[[srmCheck]] assignment convention),
+   * then t = (m̄₀−m̄₁)/√(s₀²/n₀+s₁²/n₁) and the Welch–Satterthwaite
+   * effective df. All corpus-sized sums are exact BIGINTs under the
+   * same ±√Long.Max per-user bound as [[cuped]]; t and df are ONE
+   * fixed-shape double expression each over those sums (micro-quantized
+   * half-up), means ride along in value units. Degenerate inputs
+   * (an arm with < 2 users, or zero pooled variance) yield NULL t/df,
+   * never NaN/Inf. One user-grain agg + one 2-row agg + one 1-row
+   * reshape — nothing beyond user grain ever crosses the wire.
+   * Output: (n0, n1, mean0, mean1, t_micro, df_micro). */
+  def welch(events: DataFrame, userCol: String = "user_id",
+      valCol: String = "value"): DataFrame = {
+    val vQ = floor(col(valCol) * lit(100) + lit(0.5)).cast("long")
+    val maxAbs = 3037000499L // √Long.Max, the cuped bound
+    val users = events.groupBy(col(userCol).as("user"))
+      .agg(sum(vQ).as("x"))
+      .withColumn("_b", assert_true(abs(col("x")) <= maxAbs,
+        lit(s"welch: per-user total exceeds ±$maxAbs centi-units; " +
+          "integer moments would overflow")))
+      .where(col("_b").isNull).drop("_b")
+    val arms = users.groupBy(pmod(col("user"), lit(2L)).as("arm"))
+      .agg(count(lit(1)).as("n"), sum("x").as("sx"),
+        sum(col("x") * col("x")).as("sxx"))
+    val one = arms.agg(
+      max(when(col("arm") === 0L, col("n"))).as("n0"),
+      max(when(col("arm") === 0L, col("sx"))).as("sx0"),
+      max(when(col("arm") === 0L, col("sxx"))).as("sxx0"),
+      max(when(col("arm") === 1L, col("n"))).as("n1"),
+      max(when(col("arm") === 1L, col("sx"))).as("sx1"),
+      max(when(col("arm") === 1L, col("sxx"))).as("sxx1"))
+    // fixed-shape doubles over the exact sums (the cuped discipline);
+    // every sub-expression below is written with the literally identical
+    // shape in the oracle SQL
+    def nD(i: Int) = col(s"n$i").cast("double")
+    def m(i: Int) = col(s"sx$i").cast("double") / nD(i)
+    def v(i: Int) =
+      (col(s"sxx$i").cast("double") - nD(i) * m(i) * m(i)) /
+        (nD(i) - lit(1.0))
+    val se2 = v(0) / nD(0) + v(1) / nD(1)
+    val t = (m(0) - m(1)) / sqrt(se2)
+    val df = se2 * se2 /
+      (v(0) / nD(0) * (v(0) / nD(0)) / (nD(0) - lit(1.0)) +
+        v(1) / nD(1) * (v(1) / nD(1)) / (nD(1) - lit(1.0)))
+    val ok = col("n0") >= 2L && col("n1") >= 2L && !(se2 === 0.0)
+    one.select(col("n0"), col("n1"),
+      round(m(0) / lit(100.0), 6).as("mean0"),
+      round(m(1) / lit(100.0), 6).as("mean1"),
+      when(ok, floor(t * lit(1e6) + lit(0.5)).cast("long"))
+        .otherwise(lit(null).cast("long")).as("t_micro"),
+      when(ok, floor(df * lit(1e6) + lit(0.5)).cast("long"))
+        .otherwise(lit(null).cast("long")).as("df_micro"))
+  }
+
   def srmCheck(events: DataFrame, userCol: String = "user_id"): DataFrame =
     events.select(col(userCol).as("user")).distinct()
       .agg(

@@ -225,6 +225,86 @@ object Similarity {
   def lofOutliers(vecs: DataFrame, k: Int, topN: Int): DataFrame =
     lofFrom(Dedup.materialize(knnBrute(vecs, vecs, k)), k, topN)
 
+  /** ε-neighborhood relation for density clustering: all ordered pairs
+   * (a_id, b_id), a ≠ b, with round-4 cosine ≥ `simEps` (the e7
+   * cross-engine rounding convention). Symmetric by construction. This
+   * brute form is the GATE/oracle baseline (the documented bounded brute
+   * pattern, like [[knnBrute]]); at corpus scale feed [[dbscanFrom]]
+   * from a blocked candidate relation instead — IVF cell co-residents
+   * ([[knnCell]]), LSH buckets, or an [[AnnIndex]] search — DBSCAN's
+   * semantics only need the neighbor SET, not how it was enumerated. */
+  def epsNeighbors(vecs: DataFrame, simEps: Double): DataFrame = {
+    val a = vecs.select(col("vec_id").as("a_id"),
+      col("embedding").as("a_emb"),
+      sqrt(dot(col("embedding"), col("embedding"))).as("a_norm"))
+    val b = vecs.select(col("vec_id").as("b_id"),
+      col("embedding").as("b_emb"),
+      sqrt(dot(col("embedding"), col("embedding"))).as("b_norm"))
+    a.crossJoin(b).filter(col("a_id") =!= col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        round(dot(col("a_emb"), col("b_emb")) /
+          (col("a_norm") * col("b_norm")), 4).as("sim"))
+      .filter(col("sim") >= simEps)
+  }
+
+  /** DBSCAN (Ester et al. 1996) over ANY symmetric neighbor relation —
+   * the density clustering that needs NO cluster count and leaves
+   * low-density points unclustered (vs k-means-style cells, which
+   * conscript every point): core points have ≥ `minPts` neighbors
+   * INCLUDING themselves (degree ≥ minPts−1); clusters are the
+   * connected components of the core-core subgraph (min-core-id
+   * labeled, via the same O(log² n) star-rounds machinery as
+   * [[Dedup.dupClusters]]); border points (non-core with a core
+   * neighbor) adopt the MINIMUM cluster id among their core neighbors
+   * — a deterministic refinement of the paper's arrival-order tie —
+   * and everything else is noise.
+   *
+   * `nbrs` must be symmetric ordered pairs without self-pairs
+   * ([[epsNeighbors]] at gate scale; any blocked candidate relation at
+   * corpus scale). Scale shape: one degree hash-agg, two semi-joins to
+   * cut the core-core subgraph, star-rounds CC (shuffle-bounded), one
+   * min hash-agg for borders — nothing corpus² beyond what the caller's
+   * neighbor enumeration already paid.
+   * Output: (vec_id, role ∈ core|border|noise, cluster — null on noise). */
+  def dbscanFrom(points: DataFrame, nbrs: DataFrame,
+      minPts: Int): DataFrame = {
+    require(minPts >= 2, s"minPts must be >= 2, got $minPts")
+    val deg = nbrs.groupBy(col("a_id").as("vec_id"))
+      .agg(count(lit(1)).as("__deg"))
+    val cores = deg.filter(col("__deg") >= minPts - 1).select("vec_id")
+    val ccEdges = nbrs
+      .join(cores.select(col("vec_id").as("a_id")), "a_id")
+      .join(cores.select(col("vec_id").as("b_id")), "b_id")
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id").as("doc_a"), col("b_id").as("doc_b"))
+    val comp = Dedup.dupClusters(ccEdges)
+      .select(col("doc_id").as("vec_id"), col("cluster"))
+    // isolated cores (dense but no core neighbor) root their own cluster
+    val coreClusters = cores.join(comp, Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("cluster"), col("vec_id")).as("cluster"))
+    val viaCore = nbrs
+      .join(coreClusters.select(col("vec_id").as("b_id"),
+        col("cluster").as("__nc")), "b_id")
+      .groupBy(col("a_id").as("vec_id"))
+      .agg(min("__nc").as("__bc"))
+    points.select(col("vec_id"))
+      .join(coreClusters.select(col("vec_id"),
+        col("cluster").as("__cc")), Seq("vec_id"), "left")
+      .join(viaCore, Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        when(col("__cc").isNotNull, lit("core"))
+          .when(col("__bc").isNotNull, lit("border"))
+          .otherwise(lit("noise")).as("role"),
+        coalesce(col("__cc"), col("__bc")).as("cluster"))
+  }
+
+  /** [[dbscanFrom]] over the exact brute ε-neighborhood — the gate
+   * composition. */
+  def dbscan(vecs: DataFrame, simEps: Double, minPts: Int): DataFrame =
+    dbscanFrom(vecs, Dedup.materialize(epsNeighbors(vecs, simEps)),
+      minPts)
+
   /** Contrastive hard-negative mining: per query, the `k` most-similar
    * corpus vectors carrying a DIFFERENT `labelCol` — the negatives that
    * actually teach a contrastive/embedding model (same-label neighbors

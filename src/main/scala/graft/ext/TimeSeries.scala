@@ -306,6 +306,70 @@ object TimeSeries {
       .withColumn("idle", col("span") - col("covered"))
   }
 
+  /** Sample autocorrelation function at lags 1..`maxLag` over a REGULAR
+   * per-key integer series (one row per (key, ord) — pre-bucket with a
+   * keyed count/[[ohlcBars]] first): the one-number-per-lag seasonality
+   * detector (a daily rhythm in hourly counts shows as a positive lag-24
+   * spike; an alternating load balancer as a negative lag-1) that tells
+   * a pipeline WHICH period [[seasonalDeviation]] should baseline on,
+   * instead of assuming 24.
+   *
+   * Estimator: the standard full-mean form
+   *   r_k = Σ_{t≤n−k} (x_t − x̄)(x_{t+k} − x̄) / Σ (x_t − x̄)²
+   * regrouped so every corpus-sized sum is an exact BIGINT — per key
+   * (n, Σx, Σx²), per (key, lag) (m, Σx_t, Σx_{t+k}, Σx_t·x_{t+k}) —
+   * and the combination is ONE fixed-shape double expression over those
+   * exact sums (the CUPED discipline: both engines evaluate the
+   * identical IEEE shape), micro-quantized half-up to ppm. A constant
+   * series (zero variance) yields NULL, not NaN.
+   *
+   * Lags are ROW lags over the per-key ord sort — on a gap-free
+   * bucketed series that is exactly time-lag k; gaps are the caller's
+   * contract ([[gapFill]] exists for precisely that).
+   *
+   * Plan: `maxLag` lead()s over ONE per-key window sort (single
+   * exchange + sort, no self-join), a `maxLag`-way narrow explode, one
+   * (key, lag)-grain hash-agg joined to the broadcast key-grain stats —
+   * at 100 TB each key's series sweeps independently and everything
+   * after the window is (keys·maxLag)-sized. */
+  def autocorrelation(series: DataFrame, key: String, ordCol: String,
+      valCol: String, maxLag: Int = 5): DataFrame = {
+    require(maxLag >= 1 && maxLag <= 64,
+      s"maxLag must be in [1, 64], got $maxLag")
+    val w = Window.partitionBy(key).orderBy(ordCol)
+    val x = col(valCol).cast("long")
+    val withLeads = series.select(
+      col(key) +: x.as("__x") +:
+        (1 to maxLag).map(k => lead(x, k).over(w).as(s"__l$k")): _*)
+    val pairs = withLeads.select(col(key), col("__x"),
+        explode(array((1 to maxLag).map(k =>
+          struct(lit(k).as("lag_k"), col(s"__l$k").as("y"))): _*)).as("__p"))
+      .select(col(key), col("__x").as("__xv"),
+        col("__p.lag_k").as("lag_k"), col("__p.y").as("__y"))
+      .filter(col("__y").isNotNull)
+    val perLag = pairs.groupBy(col(key), col("lag_k"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum("__xv").as("__sa"), sum("__y").as("__sb"),
+        sum(col("__xv") * col("__y")).as("__sxy"))
+    val perKey = series.groupBy(col(key))
+      .agg(count(lit(1)).as("__n"), sum(x).as("__sx"),
+        sum(x * x).as("__sxx"))
+    // fixed-shape double combination over the exact sums; xbar appears
+    // as the same (Σx/n) sub-expression everywhere so the oracle can
+    // write the literally identical shape
+    val xbar = col("__sx").cast("double") / col("__n").cast("double")
+    val num = col("__sxy").cast("double") -
+      xbar * (col("__sa") + col("__sb")).cast("double") +
+      col("n_pairs").cast("double") * xbar * xbar
+    val den = col("__sxx").cast("double") -
+      col("__n").cast("double") * xbar * xbar
+    perLag.join(broadcast(perKey), key)
+      .select(col(key), col("lag_k"), col("n_pairs"),
+        when(den === 0.0, lit(null).cast("long"))
+          .otherwise(floor(num / den * lit(1e6) + lit(0.5)).cast("long"))
+          .as("acf_micro"))
+  }
+
   def ewmaAnomaly(series: DataFrame, key: String, ordCol: String,
       valCol: String, lookback: Int = 12, spikeFactor: Double = 2.0,
       minBase: Double = 5.0): DataFrame = {

@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.ext.{Attribution, Privacy, Sketches, TimeSeries}
@@ -187,6 +188,82 @@ object AnalyticsQueries {
               FROM a GROUP BY 1"""),
       "growth accounting: daily new/retained/resurrected/churned flows"),
 
+    // Kaplan-Meier retention curve over session lifetimes (s1's gap
+    // rule): duration in whole minutes, death = the session ENDED (its
+    // last event sits more than one gap before the corpus end — the
+    // same observability rule s9 uses for churn), else censored. The
+    // product limit rides as an exact BIGINT of per-term nano-quantized
+    // ln factors (PSI discipline) so both engines agree bit-for-bit.
+    "s10_retention_km" -> QueryDef(
+      (s, dir) => {
+        val gapNs = 3600L * 1000000000L
+        val wOrd = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        val sess = t(s, dir, "events")
+          .withColumn("prev_ts", lag("ts", 1).over(wOrd))
+          .withColumn("nw", when(col("prev_ts").isNull ||
+            col("ts") - col("prev_ts") > gapNs, 1L).otherwise(0L))
+          .withColumn("sid", sum("nw").over(
+            wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .groupBy("user_id", "sid")
+          .agg(min("ts").as("t0"), max("ts").as("t1"))
+        val end = sess.agg(max("t1").as("t_end"))
+        val lifetimes = sess.crossJoin(broadcast(end))
+          .select(expr("(t1 - t0) div 60000000000").as("t_min"),
+            when(col("t_end") - col("t1") > gapNs, 1L).otherwise(0L)
+              .as("death"))
+        Attribution.kaplanMeier(lifetimes, "t_min", "death")
+      },
+      Some("""WITH g AS (SELECT user_id, epoch_ns(ts) AS tsn, event_id,
+                     lag(epoch_ns(ts)) OVER w AS prev_ts
+                   FROM events
+                   WINDOW w AS (PARTITION BY user_id
+                                ORDER BY epoch_ns(ts), event_id)),
+              f AS (SELECT user_id, tsn, event_id,
+                           CASE WHEN prev_ts IS NULL
+                                  OR tsn - prev_ts > 3600000000000
+                                THEN 1 ELSE 0 END AS nw
+                    FROM g),
+              sx AS (SELECT user_id, tsn,
+                            sum(nw) OVER (PARTITION BY user_id
+                              ORDER BY tsn, event_id
+                              ROWS UNBOUNDED PRECEDING) AS sid
+                     FROM f),
+              se AS (SELECT user_id, sid, min(tsn) AS t0, max(tsn) AS t1
+                     FROM sx GROUP BY 1, 2),
+              en AS (SELECT max(t1) AS t_end FROM se),
+              lt AS (SELECT (t1 - t0) // 60000000000 AS t,
+                            CASE WHEN en.t_end - t1 > 3600000000000
+                                 THEN 1 ELSE 0 END AS death
+                     FROM se, en),
+              bt AS (SELECT t, CAST(sum(death) AS BIGINT) AS n_events,
+                            CAST(sum(1 - death) AS BIGINT) AS n_censored,
+                            CAST(count(*) AS BIGINT) AS nt
+                     FROM lt GROUP BY 1),
+              rk AS (SELECT t, n_events, n_censored,
+                            (SELECT CAST(sum(nt) AS BIGINT) FROM bt)
+                            - CAST(coalesce(sum(nt) OVER (ORDER BY t
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND 1 PRECEDING), 0) AS BIGINT)
+                              AS n_risk
+                     FROM bt),
+              tm AS (SELECT t, n_risk, n_events, n_censored,
+                            CASE WHEN n_events = 0 THEN 0
+                                 WHEN n_risk = n_events
+                                   THEN -1000000000000000
+                                 ELSE CAST(floor(
+                                   ln(CAST(n_risk - n_events AS DOUBLE)
+                                      / CAST(n_risk AS DOUBLE))
+                                   * 1e9 + 0.5) AS BIGINT)
+                            END AS term
+                     FROM rk)
+              SELECT t, n_risk, n_events, n_censored,
+                     CAST(sum(term) OVER wc AS BIGINT) AS log_surv_nano,
+                     round(exp(CAST(sum(term) OVER wc AS DOUBLE) / 1e9), 6)
+                       AS surv
+              FROM tm
+              WINDOW wc AS (ORDER BY t ROWS UNBOUNDED PRECEDING)"""),
+      "Kaplan-Meier session-lifetime retention with right-censoring"),
+
     // ---- interval algebra ----
 
     // Events expand to 30-minute activity intervals; the merge is the
@@ -229,6 +306,61 @@ object AnalyticsQueries {
                        AS BIGINT) AS idle
               FROM isl GROUP BY 1"""),
       "sweep-line interval merge: per-user islands, covered/idle time"),
+
+    // Sample autocorrelation at lags 1..26 over the x9 per-(type, hour)
+    // count series — the seasonality detector that tells x10 WHICH
+    // period to baseline on. Exact BIGINT moments per key and per
+    // (key, lag); one fixed-shape double combination (CUPED discipline)
+    // micro-quantized half-up, so both engines replay bit-for-bit.
+    "x13_acf" -> QueryDef(
+      (s, dir) => TimeSeries.autocorrelation(
+        t(s, dir, "events")
+          .groupBy(col("event_type"),
+            expr("ts div 3600000000000").as("bucket"))
+          .agg(count(lit(1)).as("n")),
+        "event_type", "bucket", "n", maxLag = 26),
+      Some("""WITH s AS (SELECT event_type,
+                     epoch_ns(ts) // 3600000000000 AS bucket,
+                     CAST(count(*) AS BIGINT) AS n
+                     FROM events GROUP BY 1, 2),
+              r AS (SELECT event_type, bucket, n,
+                           CAST(row_number() OVER (PARTITION BY event_type
+                             ORDER BY bucket) AS BIGINT) AS rn
+                    FROM s),
+              lags AS (SELECT CAST(unnest(generate_series(1, 26)) AS INT)
+                         AS lag_k),
+              p AS (SELECT a.event_type, l.lag_k, a.n AS xv, b.n AS yv
+                    FROM r a CROSS JOIN lags l
+                    JOIN r b ON b.event_type = a.event_type
+                            AND b.rn = a.rn + l.lag_k),
+              pl AS (SELECT event_type, lag_k,
+                            CAST(count(*) AS BIGINT) AS n_pairs,
+                            CAST(sum(xv) AS BIGINT) AS sa,
+                            CAST(sum(yv) AS BIGINT) AS sb,
+                            CAST(sum(xv * yv) AS BIGINT) AS sxy
+                     FROM p GROUP BY 1, 2),
+              pk AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                            CAST(sum(n) AS BIGINT) AS sx,
+                            CAST(sum(n * n) AS BIGINT) AS sxx
+                     FROM s GROUP BY 1),
+              j AS (SELECT pl.event_type, pl.lag_k, pl.n_pairs, pl.sa,
+                           pl.sb, pl.sxy, pk.n, pk.sx, pk.sxx,
+                           CAST(pk.sx AS DOUBLE) / CAST(pk.n AS DOUBLE)
+                             AS xbar
+                    FROM pl JOIN pk ON pk.event_type = pl.event_type)
+              SELECT event_type, lag_k, n_pairs,
+                     CASE WHEN CAST(sxx AS DOUBLE) -
+                               CAST(n AS DOUBLE) * xbar * xbar = 0.0
+                          THEN NULL
+                          ELSE CAST(floor((CAST(sxy AS DOUBLE)
+                            - xbar * CAST(sa + sb AS DOUBLE)
+                            + CAST(n_pairs AS DOUBLE) * xbar * xbar)
+                            / (CAST(sxx AS DOUBLE)
+                               - CAST(n AS DOUBLE) * xbar * xbar)
+                            * 1e6 + 0.5) AS BIGINT)
+                     END AS acf_micro
+              FROM j"""),
+      "autocorrelation function at row-lags 1..26 per event type"),
 
     // ---- KMV distinct sketch + set operations ----
 

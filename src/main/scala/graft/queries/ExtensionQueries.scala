@@ -1914,6 +1914,61 @@ object ExtensionQueries {
       },
       "cross-label semantic overlap: rp-cell-blocked cosine containment matrix"),
 
+    // DBSCAN density clustering over the embedding corpus: ε = 0.3
+    // round-4 cosine, minPts = 5. The cluster-count-free companion to
+    // e4's threshold components — cores need DENSITY (≥ 4 neighbors),
+    // so chains of sparse one-off matches stay noise instead of
+    // daisy-chaining clusters together. Oracle replays neighbor
+    // enumeration, degree cut, recursive-CTE components over core-core
+    // edges (the d6 pattern), and the min-cluster border adoption.
+    "e17_dbscan" -> QueryDef(
+      (s, dir) => {
+        graft.functions.GraftFunctions.register(s)
+        Similarity.dbscan(t(s, dir, "embeddings"), simEps = 0.3,
+          minPts = 5)
+      },
+      Some("""WITH RECURSIVE
+              v AS (SELECT vec_id, embedding::DOUBLE[] AS e
+                    FROM embeddings),
+              nb AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id
+                     FROM v a, v b
+                     WHERE a.vec_id <> b.vec_id
+                       AND round(list_dot_product(a.e, b.e)
+                             / (sqrt(list_dot_product(a.e, a.e))
+                                * sqrt(list_dot_product(b.e, b.e))), 4)
+                           >= 0.3),
+              dg AS (SELECT a_id AS vec_id,
+                            CAST(count(*) AS BIGINT) AS deg
+                     FROM nb GROUP BY 1),
+              co AS (SELECT vec_id FROM dg WHERE deg >= 4),
+              ce AS (SELECT n.a_id AS src, n.b_id AS dst
+                     FROM nb n
+                     JOIN co x ON x.vec_id = n.a_id
+                     JOIN co y ON y.vec_id = n.b_id),
+              reach(src, dst) AS (
+                SELECT src, dst FROM ce
+                UNION
+                SELECT r.src, e.dst FROM reach r JOIN ce e
+                  ON r.dst = e.src),
+              comp AS (SELECT src AS vec_id,
+                              least(src, min(dst)) AS cluster
+                       FROM reach GROUP BY src),
+              cc AS (SELECT co.vec_id,
+                            coalesce(comp.cluster, co.vec_id) AS cluster
+                     FROM co LEFT JOIN comp ON comp.vec_id = co.vec_id),
+              bc AS (SELECT n.a_id AS vec_id, min(cc.cluster) AS bcl
+                     FROM nb n JOIN cc ON cc.vec_id = n.b_id
+                     GROUP BY 1)
+              SELECT v.vec_id,
+                     CASE WHEN cc.cluster IS NOT NULL THEN 'core'
+                          WHEN bc.bcl IS NOT NULL THEN 'border'
+                          ELSE 'noise' END AS role,
+                     coalesce(cc.cluster, bc.bcl) AS cluster
+              FROM v
+              LEFT JOIN cc ON cc.vec_id = v.vec_id
+              LEFT JOIN bc ON bc.vec_id = v.vec_id"""),
+      "DBSCAN over embeddings: density cores, border adoption, noise"),
+
     // Semantic dedup END-TO-END (SemDeDup pipeline shape): the cosine
     // near-dup pairs over embedding space feed the SAME star-rounds
     // connected components as the text path — every vector transitively
@@ -4607,6 +4662,61 @@ object ExtensionQueries {
                        > 3.841e0) AS srm_flag
               FROM c"""),
       "sample-ratio-mismatch chi-square guardrail over distinct users"),
+
+    // Welch unequal-variance t readout over per-user value totals —
+    // the significance number beside ab1's variance-reduced means.
+    // Exact BIGINT user-grain moments; t and Welch–Satterthwaite df as
+    // fixed-shape doubles replayed verbatim in the oracle CTE.
+    "ab3_welch" -> QueryDef(
+      (s, dir) => graft.ext.Experiment.welch(t(s, dir, "events")),
+      Some("""WITH u AS (SELECT user_id % 2 AS arm,
+                     CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+                       AS BIGINT) AS x
+                   FROM events GROUP BY user_id),
+              a AS (SELECT arm, CAST(count(*) AS BIGINT) AS n,
+                           CAST(sum(x) AS BIGINT) AS sx,
+                           CAST(sum(x * x) AS BIGINT) AS sxx
+                    FROM u GROUP BY arm),
+              o AS (SELECT
+                      max(CASE WHEN arm = 0 THEN n END) AS n0,
+                      max(CASE WHEN arm = 0 THEN sx END) AS sx0,
+                      max(CASE WHEN arm = 0 THEN sxx END) AS sxx0,
+                      max(CASE WHEN arm = 1 THEN n END) AS n1,
+                      max(CASE WHEN arm = 1 THEN sx END) AS sx1,
+                      max(CASE WHEN arm = 1 THEN sxx END) AS sxx1
+                    FROM a),
+              d AS (SELECT n0, n1, sx0, sx1,
+                      CAST(sx0 AS DOUBLE) / CAST(n0 AS DOUBLE) AS m0,
+                      CAST(sx1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS m1,
+                      (CAST(sxx0 AS DOUBLE) - CAST(n0 AS DOUBLE)
+                        * (CAST(sx0 AS DOUBLE) / CAST(n0 AS DOUBLE))
+                        * (CAST(sx0 AS DOUBLE) / CAST(n0 AS DOUBLE)))
+                        / (CAST(n0 AS DOUBLE) - 1.0) AS v0,
+                      (CAST(sxx1 AS DOUBLE) - CAST(n1 AS DOUBLE)
+                        * (CAST(sx1 AS DOUBLE) / CAST(n1 AS DOUBLE))
+                        * (CAST(sx1 AS DOUBLE) / CAST(n1 AS DOUBLE)))
+                        / (CAST(n1 AS DOUBLE) - 1.0) AS v1
+                    FROM o),
+              e AS (SELECT n0, n1, m0, m1, v0, v1,
+                      v0 / CAST(n0 AS DOUBLE)
+                        + v1 / CAST(n1 AS DOUBLE) AS se2
+                    FROM d)
+              SELECT n0, n1,
+                     round(m0 / 100.0, 6) AS mean0,
+                     round(m1 / 100.0, 6) AS mean1,
+                     CASE WHEN n0 >= 2 AND n1 >= 2 AND NOT se2 = 0.0
+                       THEN CAST(floor((m0 - m1) / sqrt(se2) * 1e6 + 0.5)
+                         AS BIGINT) END AS t_micro,
+                     CASE WHEN n0 >= 2 AND n1 >= 2 AND NOT se2 = 0.0
+                       THEN CAST(floor(se2 * se2 /
+                         (v0 / CAST(n0 AS DOUBLE) * (v0 / CAST(n0 AS DOUBLE))
+                            / (CAST(n0 AS DOUBLE) - 1.0)
+                          + v1 / CAST(n1 AS DOUBLE)
+                            * (v1 / CAST(n1 AS DOUBLE))
+                            / (CAST(n1 AS DOUBLE) - 1.0))
+                         * 1e6 + 0.5) AS BIGINT) END AS df_micro
+              FROM e"""),
+      "Welch unequal-variance t + effective df over per-user totals"),
 
     // Join-size pre-flight from sketches alone (AMS/CMS inner product):
     // |orders JOIN customer| estimated from the two key sketches beside

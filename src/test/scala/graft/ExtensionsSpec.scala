@@ -792,4 +792,49 @@ class ExtensionsSpec extends SparkTestBase {
     assert(byId(1L) == byId(2L))  // content-determined
     byId.values.foreach(v => assert(v >= -1.0 && v <= 1.0))
   }
+
+  test("dbscanFrom: cores by density, border adoption, chains stay noise") {
+    // blob {1,2,3,4} fully connected (deg 3); 5 hangs off 1 only;
+    // 6 isolated; triangle {7,8,9} (deg 2) — too sparse at minPts=4
+    def sym(ps: (Long, Long)*) =
+      (ps ++ ps.map(p => (p._2, p._1))).toDF("a_id", "b_id")
+    val pts = (1L to 9L).map(Tuple1(_)).toDF("vec_id")
+    val nbrs = sym((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (1L, 5L), (7L, 8L), (7L, 9L), (8L, 9L))
+    val out = Similarity.dbscanFrom(pts, nbrs, minPts = 4)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getAs[java.lang.Long]("cluster")))).toMap
+    for (i <- 1L to 4L) assert(out(i) == (("core", 1L)), s"$i: ${out(i)}")
+    assert(out(5L) == (("border", 1L)))
+    assert(out(6L) == (("noise", null)))
+    for (i <- 7L to 9L) assert(out(i) == (("noise", null)),
+      "a sparse triangle must not form a cluster at minPts=4")
+    // minPts=3: the triangle becomes its own cluster rooted at 7
+    val out3 = Similarity.dbscanFrom(pts, nbrs, minPts = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getAs[java.lang.Long]("cluster")))).toMap
+    for (i <- 7L to 9L) assert(out3(i) == (("core", 7L)))
+    assert(out3(5L) == (("border", 1L)))
+    // an isolated dense pair at minPts=2 roots its own cluster
+    val pts2 = Seq(Tuple1(10L), Tuple1(11L)).toDF("vec_id")
+    val out2 = Similarity.dbscanFrom(pts2, sym((10L, 11L)), minPts = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2)))).toMap
+    assert(out2(10L) == (("core", 10L)) && out2(11L) == (("core", 10L)))
+    // a two-cluster bridge through a BORDER point must not merge them:
+    // 4-cliques {20..23} and {30..33}; 25 neighbors one core of each
+    // (deg 2 < minPts−1 = 3, so 25 stays border)
+    val pts3 = (Seq(20L, 21L, 22L, 23L, 25L, 30L, 31L, 32L, 33L))
+      .map(Tuple1(_)).toDF("vec_id")
+    def clique(ids: Seq[Long]) =
+      for (a <- ids; b <- ids if a < b) yield (a, b)
+    val nb3 = sym(clique(Seq(20L, 21L, 22L, 23L)) ++
+      clique(Seq(30L, 31L, 32L, 33L)) ++ Seq((25L, 20L), (25L, 30L)): _*)
+    val o3 = Similarity.dbscanFrom(pts3, nb3, minPts = 4)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getAs[java.lang.Long]("cluster")))).toMap
+    assert(o3(20L) == (("core", 20L)) && o3(30L) == (("core", 30L)),
+      "clusters bridged only by a border point must stay separate")
+    assert(o3(25L) == (("border", 20L)), "border adopts the MIN cluster")
+  }
 }

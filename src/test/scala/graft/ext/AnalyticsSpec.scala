@@ -390,4 +390,154 @@ class AnalyticsSpec extends SparkTestBase {
       .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getInt(2))).toMap
     assert(m2(9L) == ((2L, 1)), "equal dist must keep the 1-hop path")
   }
+
+  test("kaplanMeier: textbook table, censoring excluded from deaths") {
+    // lifetimes: deaths at t=1 (1 of 5) and t=3 (1 of 3); censorings at
+    // t=2 and t=5; one more subject survives to t=5 censored.
+    //   t=1: n=5, d=1 -> S = 4/5
+    //   t=2: n=4, d=0, c=1 -> S unchanged
+    //   t=3: n=3, d=1 -> S = 4/5 * 2/3 = 8/15
+    //   t=5: n=2, d=0, c=2 -> S unchanged
+    val lt = Seq((1L, 1L), (2L, 0L), (3L, 1L), (5L, 0L), (5L, 0L))
+      .toDF("t", "death")
+    val rows = Attribution.kaplanMeier(lt, "t", "death")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getDouble(5)))).toMap
+    assert(rows(1L)._1 == 5L && rows(1L)._2 == 1L)
+    assert(rows(2L)._1 == 4L && rows(2L)._2 == 0L && rows(2L)._3 == 1L)
+    assert(rows(3L)._1 == 3L && rows(3L)._2 == 1L)
+    assert(rows(5L)._1 == 2L && rows(5L)._3 == 2L)
+    assert(rows(1L)._5 == 0.8)
+    assert(rows(2L)._5 == 0.8, "pure censoring must not move S")
+    assert(math.abs(rows(3L)._5 - 8.0 / 15.0) < 2e-6)
+    assert(rows(5L)._5 == rows(3L)._5)
+    // log_surv is monotone nonincreasing
+    val logs = Attribution.kaplanMeier(lt, "t", "death")
+      .orderBy("t").collect().map(_.getLong(4))
+    assert(logs.sliding(2).forall(p => p(1) <= p(0)))
+    // total extinction: sentinel drives S to exactly 0.0, never NaN
+    val ext = Seq((1L, 1L), (2L, 1L)).toDF("t", "death")
+    val er = Attribution.kaplanMeier(ext, "t", "death")
+      .orderBy("t").collect()
+    assert(er.last.getDouble(5) == 0.0)
+    assert(er.head.getDouble(5) == 0.5)
+    // bounded-grain contract: too many distinct lifetimes fails LOUDLY
+    val wide = (1 to 50).map(i => (i.toLong, 1L)).toDF("t", "death")
+    val ex = intercept[Exception] {
+      Attribution.kaplanMeier(wide, "t", "death", maxDistinctT = 10L)
+        .collect()
+    }
+    assert(ex.getMessage != null)
+  }
+
+  test("welch: hand t/df, zero-diff case, degenerate guards") {
+    // users 0,2 -> arm0 (totals 100, 300 centi); users 1,3 -> arm1
+    def ev(vals: (Long, Double)*) = vals.zipWithIndex.map {
+      case ((uid, v), i) => (i.toLong, 1000000L + i, uid, "purchase", v)
+    }.toDF("event_id", "ts", "user_id", "event_type", "value")
+    // equal means: v0=20000, v1=0, se2=10000 -> t=0, df = 1e8/1e8 = 1
+    val r1 = Experiment.welch(ev((0L, 1.0), (2L, 3.0), (1L, 2.0),
+      (3L, 2.0))).collect().head
+    assert(r1.getLong(0) == 2L && r1.getLong(1) == 2L)
+    assert(r1.getDouble(2) == 2.0 && r1.getDouble(3) == 2.0)
+    assert(r1.getLong(4) == 0L)
+    assert(r1.getLong(5) == 1000000L)
+    // shifted arm1 (400, 600 centi): v0=v1=20000, se2=20000,
+    // t = -300/sqrt(20000) = -2.1213203..., df = 4e8/2e8 = 2
+    val r2 = Experiment.welch(ev((0L, 1.0), (2L, 3.0), (1L, 4.0),
+      (3L, 6.0))).collect().head
+    assert(r2.getLong(4) == -2121320L, s"t_micro was ${r2.getLong(4)}")
+    assert(r2.getLong(5) == 2000000L)
+    // an arm with a single user: guarded to NULL, never a 0/0 NaN
+    val r3 = Experiment.welch(ev((0L, 1.0), (2L, 3.0), (1L, 4.0)))
+      .collect().head
+    assert(r3.get(4) == null && r3.get(5) == null)
+    // both arms constant: zero pooled variance -> NULL
+    val r4 = Experiment.welch(ev((0L, 5.0), (2L, 5.0), (1L, 5.0),
+      (3L, 5.0))).collect().head
+    assert(r4.get(4) == null && r4.get(5) == null)
+  }
+
+  test("autocorrelation: alternating series, constant series, partitions") {
+    // x = 0,10,0,10,... (n=8): x̄=5, den = 8·25 = 200.
+    // lag 1: 7 pairs, each (x−5)(y−5) = −25 → r = −175/200 = −0.875
+    // lag 2: 6 pairs, each +25 → r = 150/200 = 0.75
+    val alt = (1 to 8).map(i => ("k", i.toLong, if (i % 2 == 1) 0L else 10L))
+      .toDF("key", "ord", "v")
+    val m = TimeSeries.autocorrelation(alt, "key", "ord", "v", maxLag = 2)
+      .collect().map(r => r.getInt(1) ->
+        (r.getLong(2), r.getAs[java.lang.Long]("acf_micro"))).toMap
+    assert(m(1) == ((7L, -875000L)))
+    assert(m(2) == ((6L, 750000L)))
+    // constant series: zero variance -> NULL, never NaN
+    val const = (1 to 6).map(i => ("c", i.toLong, 4L)).toDF("key", "ord", "v")
+    val c = TimeSeries.autocorrelation(const, "key", "ord", "v", maxLag = 2)
+      .collect()
+    assert(c.forall(_.get(3) == null))
+    // partition independence: repartitioned input, identical panel
+    val m2 = TimeSeries.autocorrelation(alt.repartition(5), "key", "ord",
+        "v", maxLag = 2)
+      .collect().map(r => r.getInt(1) ->
+        (r.getLong(2), r.getAs[java.lang.Long]("acf_micro"))).toMap
+    assert(m2 == m)
+  }
+
+  test("waterfillBudget: caps dominant strata, keeps small strata whole") {
+    val docs = ((1 to 10).map(i => (i.toLong, "a")) ++
+      (1 to 20).map(i => (100L + i, "b")) ++
+      (1 to 100).map(i => (1000L + i, "c")))
+      .toDF("doc_id", "lang")
+    // budget 50: a(10) and b(20) fit whole; cap lands at
+    // (50 - 30) div 1 = 20 on c -> allocs 10/20/20, exactly the budget
+    val m = Sampling.waterfillBudget(docs, "lang", budget = 50L)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getAs[java.lang.Long]("cap"), r.getLong(3))).toMap
+    assert(m("a") == ((10L, 20L, 10L)))
+    assert(m("b") == ((20L, 20L, 20L)))
+    assert(m("c") == ((100L, 20L, 20L)))
+    // budget covers everything: cap is null, every stratum kept whole
+    val whole = Sampling.waterfillBudget(docs, "lang", budget = 1000L)
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[java.lang.Long]("cap"), r.getLong(3))).toMap
+    assert(whole("a") == ((null, 10L)))
+    assert(whole("c") == ((null, 100L)))
+    // budget 0: cap 0, nothing allocated
+    val zero = Sampling.waterfillBudget(docs, "lang", budget = 0L)
+      .collect().map(r => r.getLong(3))
+    assert(zero.forall(_ == 0L))
+    // property: sum(alloc) never exceeds the budget; when a cap binds,
+    // the undershoot is strictly less than the number of capped strata
+    // (C maximal => raising it by 1 would overshoot, and each capped
+    // stratum absorbs at most 1 of that raise)
+    for (b <- Seq(1L, 7L, 29L, 50L, 99L, 130L, 500L)) {
+      val rows = Sampling.waterfillBudget(docs, "lang", b).collect()
+      val total = rows.map(_.getLong(3)).sum
+      val capped = rows.count(r => r.getLong(1) > r.getLong(3))
+      assert(total <= b, s"budget $b: allocated $total overshoots")
+      if (capped > 0)
+        assert(b - total < capped,
+          s"budget $b: allocated $total, slack exceeds $capped capped strata")
+      else assert(total == 130L,
+        s"budget $b: uncapped run must keep every doc, got $total")
+    }
+  }
+
+  test("distinctNgramDiversity: hand counts over a template-heavy corpus") {
+    // doc 1: "x y x y"  -> unigrams 4 (distinct 2), bigrams 3
+    //   ("x y","y x","x y" -> distinct 2), trigrams 2 (distinct 2)
+    // doc 2: "x y"      -> unigrams 2 (distinct 2), bigram "x y", no tri
+    val docs = Seq((1L, "x y x y"), (2L, "x y")).toDF("doc_id", "text")
+    val m = TextAnalysis.distinctNgramDiversity(docs)
+      .collect().map(r => r.getInt(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(m(1) == ((6L, 2L, 333333L)))
+    assert(m(2) == ((4L, 2L, 500000L)))
+    assert(m(3) == ((2L, 2L, 1000000L)))
+    // partition independence: repartitioned input, identical panel
+    val m2 = TextAnalysis.distinctNgramDiversity(docs.repartition(7))
+      .collect().map(r => r.getInt(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(m2 == m)
+  }
 }
