@@ -272,6 +272,37 @@ object Attribution {
         sum("monetary_micro").as("monetary_micro"))
   }
 
+  /** Cohort retention matrix (the classic triangle): users cohorted by
+   * FIRST-activity day, each later active day counted as (cohort, age)
+   * cell activity; retention = active-users / cohort-size in exact ppm.
+   * The complement to [[growthAccounting]]'s daily flows: flows say how
+   * many came back TODAY, the cohort matrix says which acquisition
+   * vintage they came from — the decay curve per vintage is the
+   * product-health readout ([[kaplanMeier]]'s aggregate cousin, without
+   * the censoring model).
+   *
+   * Scale shape: one distinct to (user, day) grain, one user-grain min
+   * (the cohort), one join back on user (user-grain × 1), two hash-aggs
+   * to (cohort, age) grain — output is at most span² cells. All integer
+   * day arithmetic (epoch_us div day), exact ppm division. */
+  def cohortRetention(events: DataFrame): DataFrame = {
+    val act = events
+      .select(col("user_id"),
+        expr("(ts div 1000) div 86400000000").as("day"))
+      .distinct()
+    val cohorts = act.groupBy("user_id").agg(min("day").as("cohort_day"))
+    val sizes = cohorts.groupBy("cohort_day")
+      .agg(count(lit(1)).as("n_cohort"))
+    act.join(cohorts, "user_id")
+      .groupBy(col("cohort_day"), (col("day") - col("cohort_day"))
+        .as("age_days"))
+      .agg(count(lit(1)).as("n_active"))
+      .join(sizes, "cohort_day")
+      .select(col("cohort_day"), col("age_days"), col("n_cohort"),
+        col("n_active"),
+        expr("(n_active * 1000000) div n_cohort").as("ret_ppm"))
+  }
+
   /** Kaplan-Meier product-limit survival estimator (Kaplan & Meier 1958)
    * over ANY lifetime relation — the right-censoring-aware retention
    * curve (session durations, subscription lifetimes, time-to-churn)

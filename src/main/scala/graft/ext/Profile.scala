@@ -470,4 +470,56 @@ object Profile {
       .withColumn("dev_micro",
         abs(col("share_micro") - col("expected_micro")))
   }
+
+  /** Snapshot profile-drift audit: per column, the shape statistics
+   * whose movement between two snapshots of "the same" feed is how
+   * upstream breakage actually announces itself — null rate (a field
+   * the producer stopped populating), distinct count (an enum that
+   * grew, an id column that collapsed), and mode concentration (a
+   * default value flooding in). [[psiDrift]] prices the DISTRIBUTION
+   * shift of one numeric column; this is the wide-and-shallow
+   * complement: every column, three integers each, exact.
+   *
+   * Columns are profiled as STRINGS — callers must pre-project
+   * non-string columns through a deterministic rendering (integers are
+   * safe; cast raw doubles to a quantized integer first, since
+   * double→string formatting is engine-specific). Mode ties break to
+   * the lexicographically smallest value.
+   *
+   * Scale shape: one |cols|-way narrow explode per snapshot, two
+   * hash-aggs (value grain, then column grain) + a column-grain join —
+   * nothing wider than the value-frequency relation, output |cols|
+   * rows. Output: (col_name, n_ref, n_cur, null_ppm_ref, null_ppm_cur,
+   * distinct_ref, distinct_cur, top_share_ppm_ref, top_share_ppm_cur). */
+  def snapshotDrift(ref: DataFrame, cur: DataFrame,
+      cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "snapshotDrift needs at least one column")
+    def melt(df: DataFrame) =
+      df.select(explode(array(cols.map(c =>
+          struct(lit(c).as("col_name"), col(c).cast("string").as("v")))
+          : _*)).as("m"))
+        .select(col("m.col_name"), col("m.v"))
+    def prof(df: DataFrame, sfx: String) = {
+      val m = melt(df)
+      val base = m.groupBy("col_name").agg(
+        count(lit(1)).as(s"n_$sfx"),
+        sum(when(col("v").isNull, 1L).otherwise(0L)).as("__nn"),
+        countDistinct("v").as(s"distinct_$sfx"))
+      val mode = m.filter(col("v").isNotNull)
+        .groupBy("col_name", "v").agg(count(lit(1)).as("__c"))
+        .groupBy("col_name")
+        .agg(min(struct((-col("__c")).as("neg"), col("v"))).as("__t"))
+        .select(col("col_name"), (-col("__t.neg")).as("__top"))
+      base.join(mode, Seq("col_name"), "left")
+        .select(col("col_name"), col(s"n_$sfx"), col(s"distinct_$sfx"),
+          expr(s"(__nn * 1000000L) div n_$sfx").as(s"null_ppm_$sfx"),
+          coalesce(expr(s"(__top * 1000000L) div n_$sfx"), lit(0L))
+            .as(s"top_share_ppm_$sfx"))
+    }
+    prof(ref, "ref").join(prof(cur, "cur"), "col_name")
+      .select(col("col_name"), col("n_ref"), col("n_cur"),
+        col("null_ppm_ref"), col("null_ppm_cur"),
+        col("distinct_ref"), col("distinct_cur"),
+        col("top_share_ppm_ref"), col("top_share_ppm_cur"))
+  }
 }

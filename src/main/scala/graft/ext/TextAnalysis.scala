@@ -785,6 +785,35 @@ object TextAnalysis {
         expr("(1000000 * n_distinct) div n_total"))
   }
 
+  /** Vocabulary richness estimators: bias-corrected Chao1 and the
+   * Good-Turing unseen mass. Chao1 (Chao 1984, the species-richness
+   * classic) estimates how many word TYPES the corpus's source actually
+   * has — observed types + f₁(f₁−1)/(2(f₂+1)) from the singleton/
+   * doubleton counts: a corpus still discovering its vocabulary (f₁
+   * large vs f₂) is far from covering its domain, one whose estimate ≈
+   * observed has converged. The Good-Turing mass f₁/N is the
+   * probability the NEXT token is an unseen type — the number a
+   * sampling-more-data decision actually needs ([[zipfFit]] reads the
+   * distribution's slope; these read its open end).
+   *
+   * All exact integers (floor division). One tokenize + one vocab-grain
+   * hash-agg + one 1-row agg; nothing beyond vocabulary size shuffles.
+   * Output 1 row: (n_tokens, n_types, f1, f2, chao1_est,
+   * gt_unseen_ppm, singleton_ppm). */
+  def vocabRichness(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val freq = docs.select(explode(split(col("text"), " ")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("c"))
+    freq.agg(sum("c").as("n_tokens"), count(lit(1)).as("n_types"),
+        sum(when(col("c") === 1L, 1L).otherwise(0L)).as("f1"),
+        sum(when(col("c") === 2L, 1L).otherwise(0L)).as("f2"))
+      .select(col("n_tokens"), col("n_types"), col("f1"), col("f2"),
+        expr("n_types + (f1 * (f1 - 1)) div (2 * (f2 + 1))")
+          .as("chao1_est"),
+        expr("(f1 * 1000000) div n_tokens").as("gt_unseen_ppm"),
+        expr("(f1 * 1000000) div n_types").as("singleton_ppm"))
+  }
+
   /** Association rules (Agrawal & Srikant 1994) over the [[itemsetPairs]]
    * co-occurrence relation: each frequent unordered pair {a, b} yields
    * BOTH directed rules a→b and b→a, scored by confidence

@@ -754,6 +754,113 @@ object AnalyticsQueries {
               FROM agg"""),
       "join-key skew audit: Gini + hottest-key share (salting pre-flight)"),
 
+    // Cohort retention matrix: users cohorted by first-activity day,
+    // per-(cohort, age) active share in exact ppm — the vintage decay
+    // triangle behind s9's daily flows.
+    "s12_cohort_retention" -> QueryDef(
+      (s, dir) => Attribution.cohortRetention(t(s, dir, "events")),
+      Some("""WITH act AS (SELECT DISTINCT user_id,
+                     epoch_us(ts) // 86400000000 AS day FROM events),
+              ch AS (SELECT user_id, min(day) AS cohort_day
+                     FROM act GROUP BY 1),
+              sz AS (SELECT cohort_day,
+                            CAST(count(*) AS BIGINT) AS n_cohort
+                     FROM ch GROUP BY 1),
+              cell AS (SELECT ch.cohort_day,
+                              act.day - ch.cohort_day AS age_days,
+                              CAST(count(*) AS BIGINT) AS n_active
+                       FROM act JOIN ch ON ch.user_id = act.user_id
+                       GROUP BY 1, 2)
+              SELECT cell.cohort_day, cell.age_days, sz.n_cohort,
+                     cell.n_active,
+                     CAST((cell.n_active * 1000000) // sz.n_cohort
+                       AS BIGINT) AS ret_ppm
+              FROM cell JOIN sz ON sz.cohort_day = cell.cohort_day"""),
+      "cohort retention triangle: per-vintage active share by age"),
+
+    // Snapshot profile drift: even- vs odd-day snapshots of the event
+    // feed profiled column-by-column (null rate / distinct count / mode
+    // concentration, exact ppm integers) — the wide-and-shallow
+    // upstream-breakage tripwire beside dq4's single-column PSI. The
+    // value column pre-quantizes to centi-units: double→string
+    // rendering is engine-specific, integers are not.
+    "dq13_snapshot_drift" -> QueryDef(
+      (s, dir) => {
+        val ev = t(s, dir, "events").select(
+          col("event_type"), col("props"),
+          floor(col("value") * 100 + lit(0.5)).cast("long")
+            .cast("string").as("value_centi"),
+          expr("((ts div 1000) div 86400000000) % 2").as("__par"))
+        graft.ext.Profile.snapshotDrift(
+          ev.filter(col("__par") === 0L).drop("__par"),
+          ev.filter(col("__par") === 1L).drop("__par"),
+          Seq("event_type", "props", "value_centi"))
+      },
+      Some("""WITH ev AS (SELECT event_type, props,
+                     CAST(CAST(floor(value * 100 + 0.5) AS BIGINT)
+                       AS VARCHAR) AS value_centi,
+                     (epoch_us(ts) // 86400000000) % 2 AS par
+                   FROM events),
+              m AS (SELECT par, 'event_type' AS col_name, event_type AS v
+                    FROM ev
+                    UNION ALL SELECT par, 'props', props FROM ev
+                    UNION ALL SELECT par, 'value_centi', value_centi
+                    FROM ev),
+              base AS (SELECT par, col_name,
+                              CAST(count(*) AS BIGINT) AS n,
+                              CAST(sum(CASE WHEN v IS NULL THEN 1
+                                       ELSE 0 END) AS BIGINT) AS nn,
+                              CAST(count(DISTINCT v) AS BIGINT) AS nd
+                       FROM m GROUP BY 1, 2),
+              f AS (SELECT par, col_name, v, count(*) AS c
+                    FROM m WHERE v IS NOT NULL GROUP BY 1, 2, 3),
+              mx AS (SELECT par, col_name, CAST(max(c) AS BIGINT) AS cmax
+                     FROM f GROUP BY 1, 2),
+              pr AS (SELECT b.par, b.col_name, b.n, b.nd,
+                            CAST((b.nn * 1000000) // b.n AS BIGINT)
+                              AS null_ppm,
+                            CAST(coalesce((mx.cmax * 1000000) // b.n, 0)
+                              AS BIGINT) AS top_ppm
+                     FROM base b LEFT JOIN mx
+                       ON mx.par = b.par AND mx.col_name = b.col_name)
+              SELECT r.col_name, r.n AS n_ref, c.n AS n_cur,
+                     r.null_ppm AS null_ppm_ref,
+                     c.null_ppm AS null_ppm_cur,
+                     r.nd AS distinct_ref, c.nd AS distinct_cur,
+                     r.top_ppm AS top_share_ppm_ref,
+                     c.top_ppm AS top_share_ppm_cur
+              FROM pr r JOIN pr c ON r.col_name = c.col_name
+                AND r.par = 0 AND c.par = 1"""),
+      "per-column snapshot drift: null rate, distinct count, mode share"),
+
+    // Vocabulary richness: bias-corrected Chao1 type estimate +
+    // Good-Turing unseen mass from singleton/doubleton counts — how
+    // much vocabulary the corpus has NOT yet seen (t40's Zipf slope
+    // reads the distribution; this reads its open end).
+    "t45_vocab_richness" -> QueryDef(
+      (s, dir) => graft.ext.TextAnalysis.vocabRichness(
+        t(s, dir, "documents")),
+      Some("""WITH f AS (SELECT unnest(string_split(text, ' ')) AS tok
+                         FROM documents),
+              c AS (SELECT tok, CAST(count(*) AS BIGINT) AS c
+                    FROM f GROUP BY 1),
+              a AS (SELECT CAST(sum(c) AS BIGINT) AS n_tokens,
+                           CAST(count(*) AS BIGINT) AS n_types,
+                           CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)
+                             AS BIGINT) AS f1,
+                           CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END)
+                             AS BIGINT) AS f2
+                    FROM c)
+              SELECT n_tokens, n_types, f1, f2,
+                     CAST(n_types + (f1 * (f1 - 1)) // (2 * (f2 + 1))
+                       AS BIGINT) AS chao1_est,
+                     CAST((f1 * 1000000) // n_tokens AS BIGINT)
+                       AS gt_unseen_ppm,
+                     CAST((f1 * 1000000) // n_types AS BIGINT)
+                       AS singleton_ppm
+              FROM a"""),
+      "Chao1 + Good-Turing vocabulary-richness estimators"),
+
     // ---- write-layout planning ----
 
     // Iceberg-style partition-transform menu evaluated against the data

@@ -391,6 +391,58 @@ class AnalyticsSpec extends SparkTestBase {
     assert(m2(9L) == ((2L, 1)), "equal dist must keep the 1-hop path")
   }
 
+  test("cohortRetention: hand triangle, ppm exactness") {
+    val day = 86400L * 1000000L * us // one day of event-ts nanos
+    // users 1,2 start day 0; user 1 returns day 1; user 3 starts day 1
+    // and returns day 2
+    val ev = Seq((1L, 0L), (2L, 0L), (1L, 1L), (3L, 1L), (3L, 2L),
+      (1L, 1L)) // duplicate same-day activity must not double count
+      .zipWithIndex.map { case ((u, d), i) =>
+        (i.toLong, d * day + i, u, "view", 0.0)
+      }.toDF("event_id", "ts", "user_id", "event_type", "value")
+    val m = Attribution.cohortRetention(ev)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(m((0L, 0L)) == ((2L, 2L, 1000000L)))
+    assert(m((0L, 1L)) == ((2L, 1L, 500000L)))
+    assert(m((1L, 0L)) == ((1L, 1L, 1000000L)))
+    assert(m((1L, 1L)) == ((1L, 1L, 1000000L)))
+    assert(m.size == 4, "no empty cells, no day-0 double counting")
+  }
+
+  test("snapshotDrift: null rate, distinct, mode share per column") {
+    val ref = Seq(("a", "x"), ("a", "y"), ("b", null))
+      .toDF("k", "p")
+    val cur = Seq(("a", null), ("c", null), ("c", null), ("c", "z"))
+      .toDF("k", "p")
+    val m = Profile.snapshotDrift(ref, cur, Seq("k", "p"))
+      .collect().map(r => r.getString(0) -> r.toSeq.drop(1)).toMap
+    // k: ref n=3 nulls=0 distinct=2 mode a(2/3); cur n=4 distinct=2
+    // mode c(3/4)
+    assert(m("k") == Seq(3L, 4L, 0L, 0L, 2L, 2L, 666666L, 750000L))
+    // p: ref 1 null of 3, distinct 2, mode share 1/3; cur 3 nulls of 4,
+    // distinct 1, mode z (1/4)
+    assert(m("p") == Seq(3L, 4L, 333333L, 750000L, 2L, 1L, 333333L,
+      250000L))
+  }
+
+  test("vocabRichness: hand f1/f2, all-singleton and converged corpora") {
+    // tokens: a a a b b c d -> N=7, D=4, f1=2 (c,d), f2=1 (b)
+    // chao1 = 4 + 2*1 div (2*2) = 4; gt = 2e6 div 7 = 285714
+    val d = Seq((1L, "a a a b"), (2L, "b c d")).toDF("doc_id", "text")
+    val r = TextAnalysis.vocabRichness(d).collect().head
+    assert(r.toSeq == Seq(7L, 4L, 2L, 1L, 4L, 285714L, 500000L))
+    // all singletons: chao1 = D + D(D-1)/2 — far above observed
+    val s = Seq((1L, "p q r s")).toDF("doc_id", "text")
+    val rs = TextAnalysis.vocabRichness(s).collect().head
+    assert(rs.getLong(4) == 4L + 6L)
+    assert(rs.getLong(5) == 1000000L)
+    // converged corpus (no singletons): estimate equals observed
+    val c = Seq((1L, "m m n n")).toDF("doc_id", "text")
+    val rc = TextAnalysis.vocabRichness(c).collect().head
+    assert(rc.getLong(4) == rc.getLong(1) && rc.getLong(5) == 0L)
+  }
+
   test("kaplanMeier: textbook table, censoring excluded from deaths") {
     // lifetimes: deaths at t=1 (1 of 5) and t=3 (1 of 3); censorings at
     // t=2 and t=5; one more subject survives to t=5 censored.
