@@ -657,6 +657,42 @@ object Graph {
     closure
   }
 
+  /** Strongly connected components by mutual reachability: node u and v
+   * share an SCC iff each reaches the other, so the component relation
+   * is the transitive closure intersected with its own transpose — one
+   * self-join of [[reachability]]'s output on swapped keys, then a
+   * min-label hash-agg (component id = smallest member, the
+   * [[graft.ext.Dedup.dupClusters]] keeper convention) and a
+   * component-grain size join. The directed complement to the
+   * undirected component census: cycles (mutual dependency, retry
+   * loops, circular references) become components, DAG nodes stay
+   * singletons.
+   *
+   * Cost is closure-bounded: Σ|reach(v)| pairs — the audit-slice grain
+   * of graph8 (bounded subgraphs, lineage/dependency graphs), NOT a
+   * 100-TB social graph; the closure itself runs semi-naive
+   * (frontier-only joins, shrinking rounds). Nodes appear iff they
+   * carry a non-self edge. Output: (node, scc_id, scc_size). */
+  def scc(edges: DataFrame, maxIter: Int = 30): DataFrame = {
+    val e = Dedup.materialize(
+      edges.select(col("parent"), col("child"))
+        .filter(col("parent") =!= col("child")).distinct())
+    val r = reachability(e, maxIter)
+      .select(col("ancestor").as("u"), col("descendant").as("v"))
+    val mutual = r.join(
+      r.select(col("v").as("u"), col("u").as("v")), Seq("u", "v"))
+    val nodes = e.select(col("parent").as("u"))
+      .unionByName(e.select(col("child").as("u"))).distinct()
+    val assign = nodes.join(mutual, Seq("u"), "left")
+      .groupBy("u").agg(min("v").as("__mv"))
+      .select(col("u").as("node"),
+        least(coalesce(col("__mv"), col("u")), col("u")).as("scc_id"))
+    val sizes = assign.groupBy("scc_id")
+      .agg(count(lit(1)).as("scc_size"))
+    assign.join(sizes, "scc_id")
+      .select(col("node"), col("scc_id"), col("scc_size"))
+  }
+
   /**
    * Link prediction over an undirected edge relation: for every NON-edge
    * pair with at least one common neighbor, the three classic proximity

@@ -576,6 +576,53 @@ object GraphQueries {
                      CAST(min(w.hops) AS INTEGER) AS hops
               FROM g JOIN walk w ON w.node = g.node AND w.dist = g.dist
               GROUP BY 1, 2"""),
-      "bounded-hop weighted SSSP (frontier Bellman-Ford) vs recursive CTE")
+      "bounded-hop weighted SSSP (frontier Bellman-Ford) vs recursive CTE"),
+
+    // Strongly connected components over a deterministic directed graph
+    // on part keys < 1024: block-local 8-cycles (k → next key in its
+    // block of 8 — every block is one SCC with closure depth ≤ 7) plus
+    // ONE-WAY bridge edges k → k+64 for k < 64 (reach without return —
+    // the non-mutual pairs the intersection must reject).
+    // Mutual-reachability semantics: closure ∩ transpose, min-label
+    // keeper, size join; the oracle recomputes the closure with a
+    // structurally different evaluation (DuckDB's recursive CTE) and
+    // the same intersection.
+    "graph13_scc" -> QueryDef(
+      (s, dir) => {
+        val keys = t(s, dir, "part")
+          .select(col("p_partkey").cast("long").as("parent"))
+          .filter(col("parent") < 1024)
+        val cyc = keys.select(col("parent"),
+          expr("(parent div 8) * 8 + (parent % 8 + 1) % 8").as("child"))
+        val bridge = keys.filter(col("parent") < 64)
+          .select(col("parent"), (col("parent") + 64).as("child"))
+        Graph.scc(cyc.unionByName(bridge))
+      },
+      Some("""WITH RECURSIVE e AS (
+                SELECT p_partkey AS parent,
+                       (p_partkey // 8) * 8 + (p_partkey % 8 + 1) % 8
+                         AS child
+                FROM part WHERE p_partkey < 1024
+                UNION ALL
+                SELECT p_partkey, p_partkey + 64
+                FROM part WHERE p_partkey < 64),
+              e2 AS (SELECT DISTINCT parent, child FROM e
+                     WHERE parent <> child),
+              r(u, v) AS (
+                SELECT parent, child FROM e2
+                UNION
+                SELECT r.u, e2.child FROM r JOIN e2 ON r.v = e2.parent),
+              m AS (SELECT r.u, r.v FROM r
+                    JOIN r r2 ON r2.u = r.v AND r2.v = r.u),
+              n AS (SELECT parent AS u FROM e2
+                    UNION SELECT child FROM e2),
+              a AS (SELECT n.u AS node,
+                           least(coalesce(min(m.v), n.u), n.u) AS scc_id
+                    FROM n LEFT JOIN m ON m.u = n.u GROUP BY n.u),
+              sz AS (SELECT scc_id, CAST(count(*) AS BIGINT) AS scc_size
+                     FROM a GROUP BY 1)
+              SELECT a.node, a.scc_id, sz.scc_size
+              FROM a JOIN sz USING (scc_id)"""),
+      "strongly connected components: closure ∩ transpose, min-label")
   )
 }

@@ -430,6 +430,26 @@ class GraphSpec extends SparkTestBase {
     assert(ce.count() == ce.distinct().count())
   }
 
+  test("scc: cycles form components, DAG tails stay singletons") {
+    // 3-cycle 1→2→3→1, tail 4→1 (reaches the cycle, never returns),
+    // 2-cycle 5↔6 bridged one-way from the 3-cycle (3→5), chain 7→8
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 1L), (4L, 1L), (5L, 6L),
+      (6L, 5L), (3L, 5L), (7L, 8L)).toDF("parent", "child")
+    val out = Graph.scc(e).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    for (i <- 1L to 3L) assert(out(i) == ((1L, 3L)), s"$i: ${out(i)}")
+    assert(out(4L) == ((4L, 1L)), "a tail into a cycle is NOT in it")
+    assert(out(5L) == ((5L, 2L)) && out(6L) == ((5L, 2L)))
+    assert(out(7L) == ((7L, 1L)) && out(8L) == ((8L, 1L)))
+    // self-loops alone create no component and no node
+    val selfOnly = Seq((9L, 9L)).toDF("parent", "child")
+    assert(Graph.scc(selfOnly).isEmpty)
+    // partition independence
+    val out2 = Graph.scc(e.repartition(7)).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out2 == out)
+  }
+
   private object Tables {
     def ordersLike(s: org.apache.spark.sql.SparkSession) =
       s.read.parquet(s"$Sf/orders.parquet")
