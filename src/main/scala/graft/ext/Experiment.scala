@@ -104,6 +104,39 @@ object Experiment {
         round(col("th"), 6).as("theta"))
   }
 
+  /** Reliability-diagram calibration bins: equal-width bins over an
+   * integer score's observed range, per bin the exact mean score and
+   * positive rate — the readout that tells you whether a score's
+   * MAGNITUDE means anything (a ranking metric like AUC can be perfect
+   * while the probabilities are nonsense). Bin index
+   * `((score − lo)·nBins) div (hi − lo + 1)` lands in [0, nBins) by
+   * construction with pure integer arithmetic; a constant score
+   * degenerates to one bin, not a division by zero. Mean score is the
+   * floor of an exact integer division; positive rate is exact ppm.
+   * One 1-row bounds agg (broadcast) + one bin-grain hash-agg; output ≤
+   * nBins rows. Output: (bin, n, mean_score, pos_ppm). */
+  def calibrationBins(df: DataFrame, scoreCol: String, labelCol: String,
+      nBins: Int = 10): DataFrame = {
+    require(nBins >= 1 && nBins <= 100000,
+      s"nBins must be in [1, 100000], got $nBins")
+    val bounds = df.agg(min(col(scoreCol)).as("__lo"),
+      max(col(scoreCol)).as("__hi"))
+    df.select(col(scoreCol).cast("long").as("__s"),
+        col(labelCol).cast("long").as("__y"))
+      .crossJoin(broadcast(bounds))
+      .select(
+        when(col("__hi") === col("__lo"), lit(0L))
+          .otherwise(expr(s"((__s - __lo) * $nBins) div (__hi - __lo + 1)"))
+          .as("bin"),
+        col("__s"), col("__y"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"), sum("__s").as("__ss"),
+        sum("__y").as("__pos"))
+      .select(col("bin"), col("n"),
+        expr("__ss div n").as("mean_score"),
+        expr("(__pos * 1000000) div n").as("pos_ppm"))
+  }
+
   /** Sample-ratio-mismatch guardrail (the first check any experiment
    * readout must pass — Fabijan et al., "Diagnosing Sample Ratio
    * Mismatch", KDD 2019): a Pearson χ² of the observed arm counts

@@ -471,6 +471,46 @@ object Profile {
         abs(col("share_micro") - col("expected_micro")))
   }
 
+  /** Mutual information between two categorical columns — the
+   * dependence audit that catches what a correlation coefficient
+   * cannot (any non-linear association) and what an FD audit
+   * ([[fdViolations]]) treats as binary: HOW MUCH one column tells you
+   * about another, in nats. High lang↔source MI in a corpus means the
+   * mixture is confounded (sampling by source silently samples by
+   * language); near-zero MI between an id and a label is the sanity
+   * floor. MI = Σ p(x,y)·ln(p(x,y)/(p(x)p(y))) with every per-cell
+   * term a fixed-shape double over exact BIGINT counts, nano-quantized
+   * the moment it leaves ln (the [[psiFromBuckets]] discipline) so the
+   * total is an exact integer sum. Null categories are the CALLER's
+   * contract: pre-coalesce them to a sentinel — a null key would drop
+   * its cells at the marginal join (null ≠ null in any engine).
+   *
+   * Scale shape: one joint hash-agg (cell grain), marginals REDUCED
+   * FROM the joint relation (cell grain, never a second corpus scan),
+   * broadcast 1-row total, two cell-grain joins, one 1-row agg.
+   * Output: (n_rows, n_x, n_y, n_cells, mi_nano). */
+  def mutualInfo(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val joint = df.groupBy(col(xCol).as("__x"), col(yCol).as("__y"))
+      .agg(count(lit(1)).as("n_xy"))
+    val mx = joint.groupBy("__x").agg(sum("n_xy").as("n_x"))
+    val my = joint.groupBy("__y").agg(sum("n_xy").as("n_y"))
+    val total = joint.agg(sum("n_xy").as("n"))
+    val term = floor(
+      col("n_xy").cast("double") / col("n").cast("double") *
+        log(col("n_xy").cast("double") * col("n").cast("double") /
+          (col("n_x").cast("double") * col("n_y").cast("double"))) *
+        lit(1e9) + lit(0.5)).cast("long")
+    joint.join(mx, Seq("__x")).join(my, Seq("__y"))
+      .crossJoin(broadcast(total))
+      .select(col("n"), col("n_xy"), term.as("__t"))
+      .agg(max("n").as("n_rows"), count(lit(1)).as("n_cells"),
+        sum("__t").as("mi_nano"))
+      .crossJoin(broadcast(mx.agg(count(lit(1)).as("n_x"))))
+      .crossJoin(broadcast(my.agg(count(lit(1)).as("n_y"))))
+      .select(col("n_rows"), col("n_x"), col("n_y"), col("n_cells"),
+        col("mi_nano"))
+  }
+
   /** Snapshot profile-drift audit: per column, the shape statistics
    * whose movement between two snapshots of "the same" feed is how
    * upstream breakage actually announces itself — null rate (a field

@@ -861,6 +861,63 @@ object AnalyticsQueries {
               FROM a"""),
       "Chao1 + Good-Turing vocabulary-richness estimators"),
 
+    // Reliability-diagram calibration: doc length (integer score) as a
+    // predictor of lang='en', binned equal-width over the observed
+    // range — per bin exact mean score and positive ppm. The magnitude
+    // readout beside rank metrics (t29's nDCG family): a perfect
+    // ranking can still be uncalibrated.
+    "ml1_calibration" -> QueryDef(
+      (s, dir) => graft.ext.Experiment.calibrationBins(
+        t(s, dir, "documents").select(col("n_chars"),
+          (col("lang") === "en").cast("long").as("is_en")),
+        "n_chars", "is_en", nBins = 10),
+      Some("""WITH b AS (SELECT min(n_chars) AS lo, max(n_chars) AS hi
+                         FROM documents),
+              d AS (SELECT n_chars AS s,
+                           CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+                    FROM documents)
+              SELECT CASE WHEN b.hi = b.lo THEN 0
+                          ELSE ((d.s - b.lo) * 10) // (b.hi - b.lo + 1)
+                     END AS bin,
+                     CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(d.s) // count(*) AS BIGINT) AS mean_score,
+                     CAST((sum(d.y) * 1000000) // count(*) AS BIGINT)
+                       AS pos_ppm
+              FROM d, b GROUP BY 1"""),
+      "calibration bins: mean score vs positive rate per decile"),
+
+    // Mutual information lang ↔ source on the document corpus — the
+    // mixture-confounding audit (sampling by source silently samples by
+    // language when MI is high). Per-cell terms nano-quantized off ln
+    // (PSI discipline), total an exact BIGINT.
+    "dq14_mutual_info" -> QueryDef(
+      (s, dir) => graft.ext.Profile.mutualInfo(
+        t(s, dir, "documents"), "lang", "source"),
+      Some("""WITH j AS (SELECT lang AS x, source AS y,
+                     CAST(count(*) AS BIGINT) AS n_xy
+                   FROM documents GROUP BY 1, 2),
+              mx AS (SELECT x, CAST(sum(n_xy) AS BIGINT) AS n_x
+                     FROM j GROUP BY 1),
+              my AS (SELECT y, CAST(sum(n_xy) AS BIGINT) AS n_y
+                     FROM j GROUP BY 1),
+              tt AS (SELECT CAST(sum(n_xy) AS BIGINT) AS n FROM j),
+              t2 AS (SELECT j.n_xy, tt.n,
+                       CAST(floor(CAST(j.n_xy AS DOUBLE)
+                           / CAST(tt.n AS DOUBLE)
+                         * ln(CAST(j.n_xy AS DOUBLE)
+                             * CAST(tt.n AS DOUBLE)
+                             / (CAST(mx.n_x AS DOUBLE)
+                                * CAST(my.n_y AS DOUBLE)))
+                         * 1e9 + 0.5) AS BIGINT) AS term
+                     FROM j JOIN mx USING (x) JOIN my USING (y), tt)
+              SELECT CAST(max(n) AS BIGINT) AS n_rows,
+                     (SELECT CAST(count(*) AS BIGINT) FROM mx) AS n_x,
+                     (SELECT CAST(count(*) AS BIGINT) FROM my) AS n_y,
+                     CAST(count(*) AS BIGINT) AS n_cells,
+                     CAST(sum(term) AS BIGINT) AS mi_nano
+              FROM t2"""),
+      "mutual information between lang and source (confounding audit)"),
+
     // ---- write-layout planning ----
 
     // Iceberg-style partition-transform menu evaluated against the data

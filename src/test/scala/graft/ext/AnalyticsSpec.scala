@@ -391,6 +391,45 @@ class AnalyticsSpec extends SparkTestBase {
     assert(m2(9L) == ((2L, 1)), "equal dist must keep the 1-hop path")
   }
 
+  test("calibrationBins: hand bins, constant-score degeneracy") {
+    val d = (0L to 9L).map(s => (s, if (s >= 5) 1L else 0L))
+      .toDF("sc", "y")
+    val m = Experiment.calibrationBins(d, "sc", "y", nBins = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(m(0L) == ((5L, 2L, 0L)))
+    assert(m(1L) == ((5L, 7L, 1000000L)))
+    // constant score: single bin 0, no division blowup
+    val c = Seq((7L, 1L), (7L, 0L)).toDF("sc", "y")
+    val mc = Experiment.calibrationBins(c, "sc", "y", nBins = 10)
+      .collect()
+    assert(mc.length == 1 && mc.head.getLong(0) == 0L &&
+      mc.head.getLong(3) == 500000L)
+    // bins never exceed [0, nBins): max score lands in the top bin
+    val w = (0L to 100L).map(s => (s, 0L)).toDF("sc", "y")
+    val bins = Experiment.calibrationBins(w, "sc", "y", nBins = 7)
+      .collect().map(_.getLong(0))
+    assert(bins.min == 0L && bins.max == 6L)
+  }
+
+  test("mutualInfo: independence floor, dependence ceiling") {
+    // perfectly dependent 2x2: MI = ln 2 (in nano-nats)
+    val dep = Seq(("a", "a"), ("a", "a"), ("b", "b"), ("b", "b"))
+      .toDF("x", "y")
+    val rd = Profile.mutualInfo(dep, "x", "y").collect().head
+    assert(rd.getLong(0) == 4L && rd.getLong(3) == 2L)
+    assert(rd.getLong(4) == 693147180L, s"got ${rd.getLong(4)}")
+    // independent uniform 2x2: every cell term is exactly 0
+    val ind = Seq(("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"))
+      .toDF("x", "y")
+    val ri = Profile.mutualInfo(ind, "x", "y").collect().head
+    assert(ri.getLong(4) == 0L && ri.getLong(3) == 4L)
+    // partition independence (exact integer sum)
+    val rp = Profile.mutualInfo(dep.repartition(5), "x", "y")
+      .collect().head
+    assert(rp.getLong(4) == rd.getLong(4))
+  }
+
   test("cohortRetention: hand triangle, ppm exactness") {
     val day = 86400L * 1000000L * us // one day of event-ts nanos
     // users 1,2 start day 0; user 1 returns day 1; user 3 starts day 1
