@@ -424,7 +424,14 @@ object Bench {
         "d37_containment", "d36_cluster_agreement",
         // round-9: the 13-gram novelty panel — d16's shingle derivation
         // plus a shingle-grain df agg joined back at the shingle key
-        "d38_novelty_panel")
+        "d38_novelty_panel",
+        // round-9 session 2: the distinct-n diversity panel (one
+        // tokenization feeding three n-gram widths — replica suffixes
+        // grow every width's vocabulary 10×), Chao1/Good-Turing
+        // richness (vocab-grain agg at 10× types), and lang↔source
+        // mutual information (cell-grain joint agg; cells × 1 since
+        // replicas keep lang/source)
+        "t44_distinct_ngrams", "t45_vocab_richness", "dq14_mutual_info")
       val walls = scala.collection.mutable.ListBuffer.empty[(String, String)]
       val ratios = scala.collection.mutable.ListBuffer.empty[(String, String)]
       // BOTH raw walls per probe, not just the min (round-5 verdict #2):
@@ -714,6 +721,32 @@ object Bench {
                 ps.read.parquet(s"$dir10/embeddings.parquet"),
                 ps, idxDir, 5)),
               k = 5, topN = 20, distQCol = Some("dist_q")))) :+
+        // round-9 session 2: DBSCAN in its SCALE form — the ε-neighbor
+        // relation comes from rp-cell blocking (16 cells ⇒ ~n²/16 pair
+        // candidates instead of the gate's brute n²; the documented
+        // recall tradeoff of cell blocking), then the same degree cut /
+        // star-rounds components / border adoption as the gate query
+        ("e17_dbscan_rpblocked" ->
+          ((ps: org.apache.spark.sql.SparkSession) => {
+            graft.functions.GraftFunctions.register(ps)
+            val v = ps.read.parquet(s"$dir10/embeddings.parquet")
+            val planes = graft.ext.Similarity.rpPlanes(64, 4)
+            val cells = v.select(col("vec_id"), col("embedding"),
+              graft.ext.Similarity.rpCell(col("embedding"), planes)
+                .as("cell"))
+            val a = cells.select(col("cell"), col("vec_id").as("a_id"),
+              col("embedding").as("a_emb"))
+            val b = cells.select(col("cell"), col("vec_id").as("b_id"),
+              col("embedding").as("b_emb"))
+            val nbrs = a.join(b, "cell")
+              .filter(col("a_id") =!= col("b_id"))
+              .select(col("a_id"), col("b_id"),
+                round(graft.ext.Similarity.cosine(col("a_emb"),
+                  col("b_emb")), 4).as("sim"))
+              .filter(col("sim") >= 0.3)
+            graft.ext.Similarity.dbscanFrom(v.select("vec_id"),
+              graft.ext.Dedup.materialize(nbrs), minPts = 5)
+          })) :+
         // residual +R: codes-only retrieval from the 40x-smaller residual
         // index, exact re-rank joining the candidates back to the SOURCE
         // embeddings table (no raw-vector copy at rest — the wide column
@@ -1030,6 +1063,20 @@ object Bench {
               (col("p_partkey") % 97 + 1).cast("long").as("w"))
               .filter(col("src") >= 1),
             Seq(1L, 2L, 3L).toDF("node"), maxHops = 10)
+        }),
+        // round-9 session 2: SCC at 10× the gate graph — block-cycle +
+        // one-way-bridge edges over part keys < 10240 (1280 8-cycles);
+        // the wall prices the depth-≤15 semi-naive closure, the
+        // closure⋈transpose intersection, and the min-label/size aggs
+        "graph13_scc" -> ((ps: org.apache.spark.sql.SparkSession) => {
+          val keys = ps.read.parquet(s"$dir10/part.parquet")
+            .select(col("p_partkey").cast("long").as("parent"))
+            .filter(col("parent") < 10240)
+          val cyc = keys.select(col("parent"),
+            expr("(parent div 8) * 8 + (parent % 8 + 1) % 8").as("child"))
+          val bridge = keys.filter(col("parent") % 1024 < 64)
+            .select(col("parent"), (col("parent") + 64).as("child"))
+          graft.ext.Graph.scc(cyc.unionByName(bridge))
         })),
         setup = ps => {
           val o = ps.read.parquet(s"$sfDir/orders.parquet")
@@ -1087,7 +1134,26 @@ object Bench {
         // explode rides the USER-grain relation, so this wall is 40× a
         // user-grain agg, not 40× the event scan
         "ab3_bootstrap_ci" -> ((ps: org.apache.spark.sql.SparkSession) =>
-          SparkEntry.queries("ab3_bootstrap_ci")(ps, dir10))))
+          SparkEntry.queries("ab3_bootstrap_ci")(ps, dir10)),
+        // round-9 session 2: Kaplan-Meier over 10× session lifetimes
+        // (sessionize window at 10× users + the duration-grain product
+        // limit), the cohort triangle (two user-grain aggs + a cell
+        // agg), ACF (the 10× scan feeds the SAME types×hours series —
+        // the window part is scale-invariant by construction), the
+        // per-column snapshot drift (3-way melt at 10×, mode aggs at
+        // value grain), and the Welch readout (one user-grain agg)
+        "s10_retention_km" -> ((ps: org.apache.spark.sql.SparkSession) =>
+          SparkEntry.queries("s10_retention_km")(ps, dir10)),
+        "s12_cohort_retention" ->
+          ((ps: org.apache.spark.sql.SparkSession) =>
+            SparkEntry.queries("s12_cohort_retention")(ps, dir10)),
+        "x13_acf" -> ((ps: org.apache.spark.sql.SparkSession) =>
+          SparkEntry.queries("x13_acf")(ps, dir10)),
+        "dq13_snapshot_drift" ->
+          ((ps: org.apache.spark.sql.SparkSession) =>
+            SparkEntry.queries("dq13_snapshot_drift")(ps, dir10)),
+        "ab4_welch" -> ((ps: org.apache.spark.sql.SparkSession) =>
+          SparkEntry.queries("ab4_welch")(ps, dir10))))
       (walls.toList, ratios.toList, rawSamples.toList, nDocs, nVecs)
     }
     val sf1Fields =
@@ -1215,7 +1281,16 @@ object Bench {
       "prebuilt index (the compositional scale form; 20k-query brute " +
       "force is what it avoids). t28 at 10x prices the " +
       "sketch-size-invariance claim: 4x1024 counters regardless of the " +
-      "10x vocabulary"
+      "10x vocabulary. " +
+      "r9 session-2 probes: e17_dbscan_rpblocked is DBSCAN's scale form " +
+      "- rp-cell-blocked eps pairs (~n^2/16 candidates, the documented " +
+      "recall tradeoff) feeding the same degree/CC/border machinery as " +
+      "the brute gate query; graph13_scc runs the closure-and-transpose " +
+      "intersection over 1280 block cycles (depth<=15 semi-naive " +
+      "rounds); s10/s12/x13/dq13/ab4 extend the events-analytics family " +
+      "(x13's window stage is scale-invariant by construction - only " +
+      "its pre-agg scan grows); t44/t45/dq14 ride docs10 (tokenize-once " +
+      "3-width panel, vocab-grain richness, cell-grain MI)"
     val line = s"""{"metric":"total","value":$total,"unit":"sec","note":"$note","queries":$qs,"failed":$fs,"cpu_per_wall":$ratios,"spine_envelopes_per_sec":${spineRate.round},"spine_cpu_per_wall":${f2(spineCpuRatio)},"spine_streaming_envelopes_per_sec":${streamRate.round},"spine_streaming_batches":$streamBatches,"spine_streaming_batches_per_sec":${f2(streamBatchesPerSec)},"spine_streaming_cpu_per_wall":${f2(streamCpuRatio)},"spine_streaming_batch_ms":${jsonMap(streamBatchMs)}$sf1Fields,"sf":"$sfDir"}"""
     // The stdout line can overflow the driver's tail capture (round-3
     // verdict: "parsed": null two rounds running) — persist the full JSON

@@ -4667,7 +4667,7 @@ object ExtensionQueries {
     // the significance number beside ab1's variance-reduced means.
     // Exact BIGINT user-grain moments; t and Welch–Satterthwaite df as
     // fixed-shape doubles replayed verbatim in the oracle CTE.
-    "ab3_welch" -> QueryDef(
+    "ab4_welch" -> QueryDef(
       (s, dir) => graft.ext.Experiment.welch(t(s, dir, "events")),
       Some("""WITH u AS (SELECT user_id % 2 AS arm,
                      CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
