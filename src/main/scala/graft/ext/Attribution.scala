@@ -272,6 +272,30 @@ object Attribution {
         sum("monetary_micro").as("monetary_micro"))
   }
 
+  /** Top-k consecutive event-type trigram paths — the sequence-mining
+   * readout above [[graft.queries.RelationalQueries]]'s first-order
+   * Markov transitions (s7): WHICH three-step journeys dominate, not
+   * just pairwise hop rates. Strictly consecutive per user (two
+   * `lead()`s over one (ts, event_id)-ordered window — the s7 sort
+   * reused at width 3), global count per path, `TakeOrderedAndProject`
+   * cut under the fully deterministic (count DESC, path ASC) order.
+   * Output: (e1, e2, e3, n). */
+  def eventTrigrams(events: DataFrame, k: Int = 20): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val w = Window.partitionBy("user_id").orderBy(col("tsu"),
+      col("event_id"))
+    events
+      .select(col("user_id"), col("event_id"),
+        expr("ts div 1000").as("tsu"), col("event_type"))
+      .withColumn("e2", lead("event_type", 1).over(w))
+      .withColumn("e3", lead("event_type", 2).over(w))
+      .filter(col("e3").isNotNull)
+      .groupBy(col("event_type").as("e1"), col("e2"), col("e3"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("e1"), col("e2"), col("e3"))
+      .limit(k)
+  }
+
   /** Cohort retention matrix (the classic triangle): users cohorted by
    * FIRST-activity day, each later active day counted as (cohort, age)
    * cell activity; retention = active-users / cohort-size in exact ppm.

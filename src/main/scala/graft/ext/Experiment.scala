@@ -104,6 +104,58 @@ object Experiment {
         round(col("th"), 6).as("theta"))
   }
 
+  /** Split-conformal coverage audit (Vovk et al.; the
+   * distribution-free prediction-interval recipe): the calibration
+   * split's ⌈(n+1)·α/100⌉-th order statistic of |residual| is the
+   * conformal radius q; on the DISJOINT test split, P(|resid| ≤ q) ≥
+   * α% holds with no distributional assumption — so measured coverage
+   * far from α% means the splits aren't exchangeable (drift, leakage,
+   * or a broken predictor), which is exactly what this audits. The
+   * selection is an EXACT order statistic at distinct-|residual| grain
+   * (cumulative window over distinct values, the
+   * [[Profile.orderStatQuantiles]] posture, with the same loud
+   * `assert_true` grain bound), never an interpolating percentile two
+   * engines disagree on.
+   *
+   * `scored` carries an integer residual column and a boolean
+   * calibration-split flag. One distinct-value hash-agg + bounded
+   * window for q, one test-split agg for coverage. Output 1 row:
+   * (n_cal, n_test, q_resid, n_covered, coverage_ppm). */
+  def conformalCoverage(scored: DataFrame, residCol: String,
+      calCol: String, alphaPct: Int = 90,
+      maxDistinct: Long = 100000L): DataFrame = {
+    require(alphaPct >= 1 && alphaPct <= 99,
+      s"alphaPct must be in [1, 99], got $alphaPct")
+    val absR = abs(col(residCol))
+    val counts = scored.filter(col(calCol)).select(absR.as("r"))
+      .groupBy("r").agg(count(lit(1)).as("c"))
+    val tot = counts.agg(sum("c").as("n_cal"), count(lit(1)).as("__nd"))
+      .withColumn("__g", assert_true(col("__nd") <= maxDistinct,
+        lit(s"conformalCoverage: distinct-residual cardinality exceeds " +
+          s"$maxDistinct — quantize residuals coarser (bounded-grain " +
+          "contract)")))
+      .where(col("__g").isNull).select("n_cal")
+    val w = org.apache.spark.sql.expressions.Window.orderBy("r")
+      .rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val q = counts.crossJoin(broadcast(tot))
+      .withColumn("cum", sum("c").over(w))
+      .filter(col("cum") >=
+        least(col("n_cal"),
+          expr(s"((n_cal + 1) * $alphaPct + 99) div 100")))
+      .agg(min("r").as("q_resid"))
+    scored.filter(!col(calCol)).select(absR.as("r"))
+      .crossJoin(broadcast(q)).crossJoin(broadcast(tot))
+      .agg(max("n_cal").as("n_cal"), count(lit(1)).as("n_test"),
+        max("q_resid").as("q_resid"),
+        sum(when(col("r") <= col("q_resid"), 1L).otherwise(0L))
+          .as("n_covered"))
+      .select(col("n_cal"), col("n_test"), col("q_resid"),
+        col("n_covered"),
+        expr("(n_covered * 1000000) div n_test").as("coverage_ppm"))
+  }
+
   /** Reliability-diagram calibration bins: equal-width bins over an
    * integer score's observed range, per bin the exact mean score and
    * positive rate — the readout that tells you whether a score's

@@ -918,6 +918,79 @@ object AnalyticsQueries {
               FROM t2"""),
       "mutual information between lang and source (confounding audit)"),
 
+    // Split-conformal coverage of the seasonal-baseline predictor
+    // (x10's cells): even days calibrate the 90% conformal radius on
+    // |n·1e6 − baseline|, odd days measure empirical coverage — the
+    // distribution-free interval-validity audit. Exact order-statistic
+    // radius, exact ppm coverage.
+    "ml2_conformal_coverage" -> QueryDef(
+      (s, dir) => {
+        val cells = TimeSeries.seasonalDeviation(
+          t(s, dir, "events"), "event_type", "ts")
+          .select(
+            (col("n") * 1000000 - col("baseline_micro"))
+              .as("resid_micro"),
+            (col("day") % 2 === 0).as("is_cal"))
+        graft.ext.Experiment.conformalCoverage(cells, "resid_micro",
+          "is_cal", alphaPct = 90)
+      },
+      Some("""WITH cells AS (SELECT event_type,
+                     epoch_ns(ts) // 86400000000000 AS day,
+                     (epoch_ns(ts) // 3600000000000) % 24 AS hod,
+                     CAST(count(*) AS BIGINT) AS n
+                     FROM events GROUP BY 1, 2, 3),
+              span AS (SELECT max(day) - min(day) + 1 AS n_days
+                       FROM cells),
+              base AS (SELECT event_type, hod,
+                              (CAST(sum(n) AS BIGINT) * 1000000) //
+                                (SELECT n_days FROM span)
+                                AS baseline_micro
+                       FROM cells GROUP BY event_type, hod),
+              sc AS (SELECT c.n * 1000000 - b.baseline_micro AS resid,
+                            (c.day % 2 = 0) AS is_cal
+                     FROM cells c JOIN base b
+                       ON b.event_type = c.event_type
+                      AND b.hod = c.hod),
+              cnt AS (SELECT abs(resid) AS r,
+                             CAST(count(*) AS BIGINT) AS c
+                      FROM sc WHERE is_cal GROUP BY 1),
+              tot AS (SELECT CAST(sum(c) AS BIGINT) AS n_cal FROM cnt),
+              rk AS (SELECT r, sum(c) OVER (ORDER BY r
+                       ROWS UNBOUNDED PRECEDING) AS cum
+                     FROM cnt),
+              kq AS (SELECT n_cal,
+                            least(n_cal, ((n_cal + 1) * 90 + 99) // 100)
+                              AS k
+                     FROM tot),
+              q AS (SELECT min(r) AS q_resid FROM rk, kq
+                    WHERE rk.cum >= kq.k),
+              tst AS (SELECT abs(resid) AS r FROM sc WHERE NOT is_cal)
+              SELECT kq.n_cal, CAST(count(*) AS BIGINT) AS n_test,
+                     q.q_resid,
+                     CAST(sum(CASE WHEN tst.r <= q.q_resid THEN 1
+                              ELSE 0 END) AS BIGINT) AS n_covered,
+                     CAST((sum(CASE WHEN tst.r <= q.q_resid THEN 1
+                               ELSE 0 END) * 1000000) // count(*)
+                       AS BIGINT) AS coverage_ppm
+              FROM tst, q, kq GROUP BY kq.n_cal, q.q_resid"""),
+      "split-conformal 90% radius + test-split empirical coverage"),
+
+    // Top-20 consecutive event-type trigram paths — the dominant
+    // three-step journeys above s7's pairwise Markov hop rates.
+    "s11_event_trigrams" -> QueryDef(
+      (s, dir) => Attribution.eventTrigrams(t(s, dir, "events"), 20),
+      Some("""WITH g AS (SELECT user_id, event_type AS e1,
+                     lead(event_type, 1) OVER w AS e2,
+                     lead(event_type, 2) OVER w AS e3
+                   FROM events
+                   WINDOW w AS (PARTITION BY user_id
+                                ORDER BY epoch_us(ts), event_id))
+              SELECT e1, e2, e3, CAST(count(*) AS BIGINT) AS n
+              FROM g WHERE e3 IS NOT NULL
+              GROUP BY 1, 2, 3
+              ORDER BY n DESC, e1, e2, e3 LIMIT 20"""),
+      "top-20 consecutive event-type trigram journeys"),
+
     // ---- write-layout planning ----
 
     // Iceberg-style partition-transform menu evaluated against the data

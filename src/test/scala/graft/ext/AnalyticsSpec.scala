@@ -391,6 +391,57 @@ class AnalyticsSpec extends SparkTestBase {
     assert(m2(9L) == ((2L, 1)), "equal dist must keep the 1-hop path")
   }
 
+  test("conformalCoverage: exact order-stat radius, coverage count") {
+    // calibration |resid| = 1..10 -> k = ceil(11·0.9) = 10 -> q = 10;
+    // test {5, 10, 11} -> 2 of 3 covered
+    val rows = ((1L to 10L).map(r => (r, true)) ++
+      Seq((5L, false), (10L, false), (11L, false)))
+      .toDF("resid", "is_cal")
+    val r = Experiment.conformalCoverage(rows, "resid", "is_cal", 90)
+      .collect().head
+    assert(r.toSeq == Seq(10L, 3L, 10L, 2L, 666666L))
+    // alpha 50: k = ceil(11·0.5) = 6 -> q = 6; covers only the 5
+    val r2 = Experiment.conformalCoverage(rows, "resid", "is_cal", 50)
+      .collect().head
+    assert(r2.getLong(2) == 6L && r2.getLong(3) == 1L)
+    // negative residuals fold into |.|; ties at the radius count as
+    // covered (<=)
+    val neg = Seq((-3L, true), (3L, true), (-2L, true), (2L, true),
+      (-3L, false), (4L, false)).toDF("resid", "is_cal")
+    val r3 = Experiment.conformalCoverage(neg, "resid", "is_cal", 90)
+      .collect().head
+    assert(r3.getLong(2) == 3L, s"q was ${r3.getLong(2)}")
+    assert(r3.getLong(3) == 1L)
+    // grain bound fails loudly
+    val wide = (1L to 50L).map(r => (r * 1000L, true))
+      .toDF("resid", "is_cal")
+      .unionByName(Seq((1L, false)).toDF("resid", "is_cal"))
+    intercept[Exception] {
+      Experiment.conformalCoverage(wide, "resid", "is_cal", 90,
+        maxDistinct = 10L).collect()
+    }
+  }
+
+  test("eventTrigrams: consecutive-only paths, deterministic top-k") {
+    val ev = Seq(
+      (1L, 1L, "view"), (1L, 2L, "click"), (1L, 3L, "purchase"),
+      (1L, 4L, "view"),
+      (2L, 1L, "view"), (2L, 2L, "click"), (2L, 3L, "purchase"))
+      .zipWithIndex.map { case ((u, t0, ty), i) =>
+        (i.toLong, t0 * 1000000000L, u, ty, 0.0)
+      }.toDF("event_id", "ts", "user_id", "event_type", "value")
+    val out = Attribution.eventTrigrams(ev, 10).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)) ->
+        r.getLong(3)).toMap
+    assert(out(("view", "click", "purchase")) == 2L)
+    assert(out(("click", "purchase", "view")) == 1L)
+    assert(out.size == 2, "windows never cross users or skip events")
+    // the top-k cut is count-then-path deterministic
+    val top = Attribution.eventTrigrams(ev, 1).collect().head
+    assert((top.getString(0), top.getString(1), top.getString(2)) ==
+      (("view", "click", "purchase")))
+  }
+
   test("calibrationBins: hand bins, constant-score degeneracy") {
     val d = (0L to 9L).map(s => (s, if (s >= 5) 1L else 0L))
       .toDF("sc", "y")
