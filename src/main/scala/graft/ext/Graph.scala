@@ -94,7 +94,17 @@ object Graph {
    * deterministic top-k cut. Output: top-`topK` by (sim_micro DESC,
    * u, v): (u, v, c_uv, c_u, c_v, sim_micro). */
   def itemSimilarity(baskets: DataFrame, maxBasket: Int = 64,
-      topK: Int = 50): DataFrame = {
+      topK: Int = 50): DataFrame =
+    itemPairScores(baskets, maxBasket)
+      .orderBy(desc("sim_micro"), asc("u"), asc("v"))
+      .limit(topK)
+
+  /** The shared scored-pair relation behind [[itemSimilarity]] (global
+   * top-k) and [[itemNeighbors]] (per-item top-k): unordered co-basket
+   * pairs under the `maxBasket` expansion cap, cosine-scored against
+   * UNCAPPED marginals. */
+  private def itemPairScores(baskets: DataFrame,
+      maxBasket: Int): DataFrame = {
     require(maxBasket >= 2, s"maxBasket must be >= 2, got $maxBasket")
     val bi = Dedup.materialize(
       baskets.select(col("basket"), col("item")).distinct())
@@ -116,8 +126,57 @@ object Graph {
         floor(col("c_uv").cast("double") /
             sqrt((col("c_u") * col("c_v")).cast("double")) * lit(1e6) +
             lit(0.5)).cast("long").as("sim_micro"))
-      .orderBy(desc("sim_micro"), asc("u"), asc("v"))
-      .limit(topK)
+  }
+
+  /** Per-item top-k co-purchase neighbors — the SERVING artifact of
+   * item-item CF ([[itemSimilarity]]'s global top-k is the diagnostic;
+   * a recommender needs every item's OWN neighbor list): the scored
+   * pair relation symmetrized, then one per-item window rank under the
+   * deterministic (sim DESC, nbr ASC) order. Output:
+   * (item, nbr, sim_micro, rank ≤ kPerItem). */
+  def itemNeighbors(baskets: DataFrame, maxBasket: Int = 64,
+      kPerItem: Int = 10): DataFrame = {
+    require(kPerItem >= 1, s"kPerItem must be >= 1, got $kPerItem")
+    val sc = itemPairScores(baskets, maxBasket)
+      .select("u", "v", "sim_micro")
+    val sym = sc.select(col("u").as("item"), col("v").as("nbr"),
+        col("sim_micro"))
+      .unionByName(sc.select(col("v").as("item"), col("u").as("nbr"),
+        col("sim_micro")))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("item")
+      .orderBy(desc("sim_micro"), asc("nbr"))
+    sym.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= kPerItem)
+  }
+
+  /** Leave-none-out hit-rate eval of a neighbor model on a DISJOINT
+   * test basket set: per test basket (≥ 2 distinct items) the SEED is
+   * its minimum item, a hit is any OTHER basket item appearing in the
+   * seed's neighbor list — the offline eval every bought-X-also-bought
+   * deployment runs before swapping models. Train/test disjointness is
+   * the caller's contract (build `neighbors` on a split the test
+   * baskets are excluded from — evaluating on training baskets
+   * measures memorization). One basket-grain agg + one keyed semi-join
+   * + two 1-row aggs. Output: (n_baskets, n_hits, hitrate_ppm). */
+  def recHitRate(neighbors: DataFrame, test: DataFrame): DataFrame = {
+    val ti = test.select(col("basket"), col("item")).distinct()
+    val sized = Dedup.materialize(
+      ti.groupBy("basket")
+        .agg(count(lit(1)).as("bsz"), min("item").as("seed"))
+        .filter(col("bsz") >= 2).select("basket", "seed"))
+    val rest = ti.join(sized, Seq("basket"))
+      .filter(col("item") =!= col("seed"))
+    val nb = neighbors.select(col("item").as("__ni"),
+      col("nbr").as("__nn"))
+    val hits = rest.join(nb,
+        rest("seed") === nb("__ni") && rest("item") === nb("__nn"),
+        "left_semi")
+      .select("basket").distinct()
+      .agg(count(lit(1)).as("n_hits"))
+    sized.agg(count(lit(1)).as("n_baskets"))
+      .crossJoin(broadcast(hits))
+      .select(col("n_baskets"), col("n_hits"),
+        expr("(n_hits * 1000000) div n_baskets").as("hitrate_ppm"))
   }
 
   /**

@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /**
@@ -469,6 +469,36 @@ object Profile {
       .join(expected, Seq("digit"))
       .withColumn("dev_micro",
         abs(col("share_micro") - col("expected_micro")))
+  }
+
+  /** Declarative constraint-suite audit (the Deequ/Great-Expectations
+   * shape): not-null columns, unique keys, and arbitrary boolean check
+   * predicates, ALL evaluated in ONE hash-agg over ONE scan — a
+   * violation COUNT per constraint (zero = the contract holds), not a
+   * row dump, so the audit costs one pass however many constraints
+   * ride it. Uniqueness violations are `count − countDistinct(key)`
+   * (the number of surplus copies) computed in the same agg; a check
+   * predicate that evaluates to NULL counts as a violation (unknown is
+   * not a pass — the SQL three-valued-logic trap made explicit).
+   * Output: (constraint, n_violations), one row per constraint. */
+  def constraintAudit(df: DataFrame, notNull: Seq[String],
+      uniqueKeys: Seq[Seq[String]],
+      checks: Seq[(String, Column)]): DataFrame = {
+    val aggs: Seq[(String, Column)] =
+      notNull.map(c => s"not_null:$c" ->
+        sum(when(col(c).isNull, 1L).otherwise(0L))) ++
+      uniqueKeys.map(k => s"unique:${k.mkString(",")}" ->
+        (count(lit(1)) - countDistinct(struct(k.map(col): _*)))) ++
+      checks.map { case (n, c) => s"check:$n" ->
+        sum(when(coalesce(c, lit(false)), 0L).otherwise(1L)) }
+    require(aggs.nonEmpty, "constraintAudit needs at least one constraint")
+    val named = aggs.zipWithIndex.map { case ((n, c), i) =>
+      (n, c.as(s"__c$i"), s"__c$i") }
+    val one = df.agg(named.head._2, named.tail.map(_._2): _*)
+    one.select(explode(array(named.map { case (n, _, a) =>
+        struct(lit(n).as("constraint"), col(a).as("n_violations"))
+      }: _*)).as("m"))
+      .select(col("m.constraint"), col("m.n_violations"))
   }
 
   /** Mutual information between two categorical columns — the

@@ -991,6 +991,53 @@ object AnalyticsQueries {
               ORDER BY n DESC, e1, e2, e3 LIMIT 20"""),
       "top-20 consecutive event-type trigram journeys"),
 
+    // Declarative constraint suite over lineitem in ONE scan: not-null
+    // keys, (orderkey, linenumber) uniqueness, and range checks —
+    // violation counts per constraint (the Deequ shape). The discount
+    // ceiling is deliberately set BELOW the data's max so the audit
+    // demonstrably counts, not just passes.
+    "dq15_constraint_suite" -> QueryDef(
+      (s, dir) => graft.ext.Profile.constraintAudit(
+        t(s, dir, "lineitem"),
+        notNull = Seq("l_orderkey", "l_partkey"),
+        uniqueKeys = Seq(Seq("l_orderkey", "l_linenumber")),
+        checks = Seq(
+          "qty_range" -> (col("l_quantity") >= 1 &&
+            col("l_quantity") <= 50),
+          "price_positive" -> (col("l_extendedprice") > 0),
+          "discount_le_5pct" -> (col("l_discount") <= 0.05))),
+      Some("""SELECT 'not_null:l_orderkey' AS constraint,
+                     CAST(sum(CASE WHEN l_orderkey IS NULL THEN 1
+                              ELSE 0 END) AS BIGINT) AS n_violations
+              FROM lineitem
+              UNION ALL
+              SELECT 'not_null:l_partkey',
+                     CAST(sum(CASE WHEN l_partkey IS NULL THEN 1
+                              ELSE 0 END) AS BIGINT)
+              FROM lineitem
+              UNION ALL
+              SELECT 'unique:l_orderkey,l_linenumber',
+                     CAST(count(*) - count(DISTINCT (l_orderkey,
+                       l_linenumber)) AS BIGINT)
+              FROM lineitem
+              UNION ALL
+              SELECT 'check:qty_range',
+                     CAST(sum(CASE WHEN coalesce(l_quantity >= 1
+                         AND l_quantity <= 50, false)
+                       THEN 0 ELSE 1 END) AS BIGINT)
+              FROM lineitem
+              UNION ALL
+              SELECT 'check:price_positive',
+                     CAST(sum(CASE WHEN coalesce(l_extendedprice > 0,
+                         false) THEN 0 ELSE 1 END) AS BIGINT)
+              FROM lineitem
+              UNION ALL
+              SELECT 'check:discount_le_5pct',
+                     CAST(sum(CASE WHEN coalesce(l_discount <= 0.05,
+                         false) THEN 0 ELSE 1 END) AS BIGINT)
+              FROM lineitem"""),
+      "one-scan constraint suite: null/unique/range violation counts"),
+
     // ---- write-layout planning ----
 
     // Iceberg-style partition-transform menu evaluated against the data

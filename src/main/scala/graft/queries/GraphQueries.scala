@@ -623,6 +623,71 @@ object GraphQueries {
                      FROM a GROUP BY 1)
               SELECT a.node, a.scc_id, sz.scc_size
               FROM a JOIN sz USING (scc_id)"""),
-      "strongly connected components: closure ∩ transpose, min-label")
+      "strongly connected components: closure ∩ transpose, min-label"),
+
+    // Offline recommender eval: item-item CF neighbors trained on EVEN
+    // orders, hit-rate@10 measured on odd orders (seed = min item per
+    // basket; hit = any other basket item in the seed's neighbor list).
+    // The train/test split is the leakage control; the output is the
+    // one number a model swap is judged by.
+    "rec1_cf_hitrate" -> QueryDef(
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+        val train = li.filter(col("l_orderkey") % 2 === 0)
+          .select(col("l_orderkey").as("basket"),
+            col("l_partkey").as("item"))
+        val test = li.filter(col("l_orderkey") % 2 === 1)
+          .select(col("l_orderkey").as("basket"),
+            col("l_partkey").as("item"))
+        Graph.recHitRate(
+          Graph.itemNeighbors(train, maxBasket = 64, kPerItem = 10),
+          test)
+      },
+      Some("""WITH bi AS (SELECT DISTINCT l_orderkey AS basket,
+                                 l_partkey AS item
+                          FROM lineitem WHERE l_orderkey % 2 = 0),
+              ok AS (SELECT basket FROM bi GROUP BY basket
+                     HAVING count(*) <= 64),
+              kept AS (SELECT bi.basket, bi.item FROM bi
+                       JOIN ok ON ok.basket = bi.basket),
+              cuv AS (SELECT a.item AS u, b.item AS v,
+                             CAST(count(*) AS BIGINT) AS c_uv
+                      FROM kept a JOIN kept b
+                        ON a.basket = b.basket AND a.item < b.item
+                      GROUP BY 1, 2),
+              deg AS (SELECT item, CAST(count(*) AS BIGINT) AS c
+                      FROM bi GROUP BY item),
+              sc AS (SELECT cuv.u, cuv.v,
+                            CAST(floor(CAST(c_uv AS DOUBLE)
+                                / sqrt(CAST(du.c * dv.c AS DOUBLE))
+                                * 1e6 + 0.5) AS BIGINT) AS sim
+                     FROM cuv JOIN deg du ON du.item = cuv.u
+                              JOIN deg dv ON dv.item = cuv.v),
+              sym AS (SELECT u AS item, v AS nbr, sim FROM sc
+                      UNION ALL SELECT v, u, sim FROM sc),
+              rk AS (SELECT item, nbr,
+                            row_number() OVER (PARTITION BY item
+                              ORDER BY sim DESC, nbr) AS r
+                     FROM sym),
+              nb AS (SELECT item, nbr FROM rk WHERE r <= 10),
+              ti AS (SELECT DISTINCT l_orderkey AS basket,
+                            l_partkey AS item
+                     FROM lineitem WHERE l_orderkey % 2 = 1),
+              sz AS (SELECT basket, min(item) AS seed FROM ti
+                     GROUP BY 1 HAVING count(*) >= 2),
+              rest AS (SELECT ti.basket, ti.item, sz.seed FROM ti
+                       JOIN sz ON sz.basket = ti.basket
+                       WHERE ti.item <> sz.seed),
+              hit AS (SELECT DISTINCT rest.basket FROM rest
+                      JOIN nb ON nb.item = rest.seed
+                             AND nb.nbr = rest.item)
+              SELECT (SELECT CAST(count(*) AS BIGINT) FROM sz)
+                       AS n_baskets,
+                     CAST(count(*) AS BIGINT) AS n_hits,
+                     CAST((count(*) * 1000000) //
+                       (SELECT count(*) FROM sz) AS BIGINT)
+                       AS hitrate_ppm
+              FROM hit"""),
+      "item-item CF hit-rate@10, even-order train / odd-order test")
   )
 }

@@ -430,6 +430,30 @@ class GraphSpec extends SparkTestBase {
     assert(ce.count() == ce.distinct().count())
   }
 
+  test("itemNeighbors + recHitRate: per-item lists, hits, disjoint eval") {
+    // train: items 1,2 co-occur twice; 1,3 once -> 1's neighbors are
+    // [2 (sim high), 3]; 2's are [1, 3? no -> only 1]; via basket b3
+    // 1,3 co-occur
+    val train = Seq((10L, 1L), (10L, 2L), (11L, 1L), (11L, 2L),
+      (12L, 1L), (12L, 3L)).toDF("basket", "item")
+    val nb = Graph.itemNeighbors(train, maxBasket = 64, kPerItem = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(3)) -> r.getLong(1))
+      .toMap
+    assert(nb((1L, 1)) == 2L, "1's top neighbor is 2 (2 shared baskets)")
+    assert(nb((1L, 2)) == 3L)
+    assert(nb((2L, 1)) == 1L)
+    assert(nb((3L, 1)) == 1L)
+    // test: basket {1, 2} -> seed 1, rest {2} in 1's list -> hit;
+    // basket {2, 3} -> seed 2, rest {3} NOT in 2's list -> miss;
+    // singleton basket {1} excluded from the denominator
+    val test = Seq((20L, 1L), (20L, 2L), (21L, 2L), (21L, 3L),
+      (22L, 1L)).toDF("basket", "item")
+    val r = Graph.recHitRate(
+      Graph.itemNeighbors(train, maxBasket = 64, kPerItem = 1), test)
+      .collect().head
+    assert(r.toSeq == Seq(2L, 1L, 500000L), s"got ${r.toSeq}")
+  }
+
   test("scc: cycles form components, DAG tails stay singletons") {
     // 3-cycle 1→2→3→1, tail 4→1 (reaches the cycle, never returns),
     // 2-cycle 5↔6 bridged one-way from the 3-cycle (3→5), chain 7→8

@@ -391,6 +391,27 @@ class AnalyticsSpec extends SparkTestBase {
     assert(m2(9L) == ((2L, 1)), "equal dist must keep the 1-hop path")
   }
 
+  test("constraintAudit: nulls, surplus copies, null-fails-check") {
+    val df = Seq(
+      (java.lang.Long.valueOf(1L), java.lang.Long.valueOf(10L)),
+      (java.lang.Long.valueOf(1L), java.lang.Long.valueOf(10L)),
+      (java.lang.Long.valueOf(2L), null.asInstanceOf[java.lang.Long]),
+      (null.asInstanceOf[java.lang.Long], java.lang.Long.valueOf(5L)))
+      .toDF("k", "v")
+    val m = Profile.constraintAudit(df,
+        notNull = Seq("k", "v"),
+        uniqueKeys = Seq(Seq("k")),
+        checks = Seq("v_small" -> (col("v") < 8)))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(m("not_null:k") == 1L)
+    assert(m("not_null:v") == 1L)
+    // k values (1,1,2,null): 4 rows, 3 distinct structs -> 1 surplus
+    assert(m("unique:k") == 1L)
+    // v < 8: 10,10 fail; null fails (unknown is not a pass); 5 passes
+    assert(m("check:v_small") == 3L)
+    assert(m.size == 4)
+  }
+
   test("conformalCoverage: exact order-stat radius, coverage count") {
     // calibration |resid| = 1..10 -> k = ceil(11·0.9) = 10 -> q = 10;
     // test {5, 10, 11} -> 2 of 3 covered
