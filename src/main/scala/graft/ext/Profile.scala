@@ -342,6 +342,38 @@ object Profile {
       .groupBy("q").agg(max("rank").as("rank"), min("vq").as("vq"))
   }
 
+  /** Per-key exact k-quantiles by order-statistic selection — the
+   * GROUPED form of [[orderStatQuantiles]], and the shape that removes
+   * its single-partition caveat entirely: the cumulative window
+   * partitions BY KEY, so every key's distinct-value sweep runs in its
+   * own partition and the operator scales with keys × per-key distinct
+   * values like any keyed window (no grain bound needed — per-key
+   * value-cardinality skew is the same exposure as every keyed window
+   * in the engine). `valCol` must already be an integer (the caller
+   * owns quantization); rank_j = ⌈j·n/k⌉, selection exact, never
+   * interpolated. Output: (key, q ∈ 1..k, vq). */
+  def groupedOrderStats(df: DataFrame, keyCol: String, valCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val session = df.sparkSession
+    import session.implicits._
+    val counts = df.filter(col(valCol).isNotNull)
+      .select(col(keyCol).as("key"), col(valCol).cast("long").as("vq"))
+      .groupBy("key", "vq").agg(count(lit(1)).as("c"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("key")
+      .orderBy("vq")
+      .rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val tot = counts.groupBy("key").agg(sum("c").as("n"))
+    counts.withColumn("cum", sum("c").over(w))
+      .join(tot, "key")
+      .crossJoin(broadcast((1 to k).toDF("q")))
+      .withColumn("rank", expr(s"(q * n + $k - 1) div ${k}L"))
+      .filter(col("cum") >= col("rank"))
+      .groupBy("key", "q").agg(min("vq").as("vq"))
+  }
+
   /** Robust (median/MAD) outlier audit of a numeric column — the
    * heavy-tail-safe alternative to mean/stddev z-scores, whose own
    * inputs the outliers corrupt: median and MAD (median absolute

@@ -1038,6 +1038,101 @@ object AnalyticsQueries {
               FROM lineitem"""),
       "one-scan constraint suite: null/unique/range violation counts"),
 
+    // Per-key exact deciles — the GROUPED order-statistic selection
+    // whose cumulative window partitions BY KEY (dq11's single-
+    // partition caveat removed by shape, not by bound): deciles of the
+    // centi-quantized value per event type.
+    "dq16_grouped_quantiles" -> QueryDef(
+      (s, dir) => graft.ext.Profile.groupedOrderStats(
+        t(s, dir, "events").select(col("event_type"),
+          floor(col("value") * 100 + lit(0.5)).cast("long")
+            .as("value_centi")),
+        "event_type", "value_centi", k = 10),
+      Some("""WITH d AS (SELECT event_type AS key,
+                     CAST(floor(value * 100 + 0.5) AS BIGINT) AS vq
+                   FROM events WHERE value IS NOT NULL),
+              c AS (SELECT key, vq, CAST(count(*) AS BIGINT) AS c
+                    FROM d GROUP BY 1, 2),
+              cum AS (SELECT key, vq,
+                             CAST(sum(c) OVER (PARTITION BY key
+                               ORDER BY vq ROWS UNBOUNDED PRECEDING)
+                               AS BIGINT) AS cum
+                      FROM c),
+              tot AS (SELECT key, CAST(sum(c) AS BIGINT) AS n
+                      FROM c GROUP BY 1),
+              qs AS (SELECT CAST(unnest(generate_series(1, 10)) AS INT)
+                       AS q)
+              SELECT cum.key, qs.q, CAST(min(cum.vq) AS BIGINT) AS vq
+              FROM cum JOIN tot ON tot.key = cum.key
+              CROSS JOIN qs
+              WHERE cum.cum >= (qs.q * tot.n + 9) // 10
+              GROUP BY 1, 2"""),
+      "per-event-type exact deciles (keyed order-stat selection)"),
+
+    // Funnel-stage latency quantiles: s2's view→click→purchase chain
+    // per user, stage deltas in whole seconds, exact quartiles per
+    // stage via the grouped order-stat selection — the "how long does
+    // conversion take" readout above s2's "does it happen".
+    "s13_funnel_latency" -> QueryDef(
+      (s, dir) => {
+        val e = t(s, dir, "events")
+          .select(col("user_id"), col("event_type"),
+            expr("ts div 1000").as("tsu"))
+        val v = e.filter(col("event_type") === "view")
+          .groupBy("user_id").agg(min("tsu").as("t_view"))
+        val c = e.filter(col("event_type") === "click")
+          .join(v, "user_id").filter(col("tsu") > col("t_view"))
+          .groupBy("user_id").agg(min("tsu").as("t_click"))
+        val p = e.filter(col("event_type") === "purchase")
+          .join(c, "user_id").filter(col("tsu") > col("t_click"))
+          .groupBy("user_id").agg(min("tsu").as("t_purchase"))
+        val deltas = v.join(c, "user_id")
+          .select(lit("view->click").as("stage"),
+            expr("(t_click - t_view) div 1000000").as("delta_s"))
+          .unionByName(c.join(p, "user_id")
+            .select(lit("click->purchase").as("stage"),
+              expr("(t_purchase - t_click) div 1000000").as("delta_s")))
+        graft.ext.Profile.groupedOrderStats(deltas, "stage",
+          "delta_s", k = 4)
+      },
+      Some("""WITH v AS (
+                SELECT user_id, min(epoch_us(ts)) AS t_view
+                FROM events WHERE event_type = 'view' GROUP BY 1),
+              c AS (
+                SELECT e.user_id, min(epoch_us(e.ts)) AS t_click
+                FROM events e JOIN v ON e.user_id = v.user_id
+                 AND epoch_us(e.ts) > v.t_view
+                WHERE e.event_type = 'click' GROUP BY 1),
+              p AS (
+                SELECT e.user_id, min(epoch_us(e.ts)) AS t_purchase
+                FROM events e JOIN c ON e.user_id = c.user_id
+                 AND epoch_us(e.ts) > c.t_click
+                WHERE e.event_type = 'purchase' GROUP BY 1),
+              d AS (SELECT 'view->click' AS key,
+                           (c.t_click - v.t_view) // 1000000 AS vq
+                    FROM v JOIN c USING (user_id)
+                    UNION ALL
+                    SELECT 'click->purchase',
+                           (p.t_purchase - c.t_click) // 1000000
+                    FROM c JOIN p USING (user_id)),
+              cc AS (SELECT key, vq, CAST(count(*) AS BIGINT) AS c
+                     FROM d GROUP BY 1, 2),
+              cum AS (SELECT key, vq,
+                             CAST(sum(c) OVER (PARTITION BY key
+                               ORDER BY vq ROWS UNBOUNDED PRECEDING)
+                               AS BIGINT) AS cum
+                      FROM cc),
+              tot AS (SELECT key, CAST(sum(c) AS BIGINT) AS n
+                      FROM cc GROUP BY 1),
+              qs AS (SELECT CAST(unnest(generate_series(1, 4)) AS INT)
+                       AS q)
+              SELECT cum.key, qs.q, CAST(min(cum.vq) AS BIGINT) AS vq
+              FROM cum JOIN tot ON tot.key = cum.key
+              CROSS JOIN qs
+              WHERE cum.cum >= (qs.q * tot.n + 3) // 4
+              GROUP BY 1, 2"""),
+      "funnel-stage time-to-convert quartiles (grouped order stats)"),
+
     // ---- write-layout planning ----
 
     // Iceberg-style partition-transform menu evaluated against the data

@@ -391,6 +391,31 @@ class AnalyticsSpec extends SparkTestBase {
     assert(m2(9L) == ((2L, 1)), "equal dist must keep the 1-hop path")
   }
 
+  test("groupedOrderStats: per-key exact quartiles, keyed isolation") {
+    // key a: 1..10 -> ranks ceil(j·10/4) = 3,5,8,10 -> values 3,5,8,10
+    // key b: constant 7 -> every quartile is 7
+    val d = ((1L to 10L).map(v => ("a", v)) ++
+      (1 to 3).map(_ => ("b", 7L))).toDF("k", "v")
+    val m = Profile.groupedOrderStats(d, "k", "v", 4)
+      .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2))
+      .toMap
+    assert(m(("a", 1)) == 3L && m(("a", 2)) == 5L &&
+      m(("a", 3)) == 8L && m(("a", 4)) == 10L)
+    for (q <- 1 to 4) assert(m(("b", q)) == 7L)
+    assert(m.size == 8)
+    // duplicates shift ranks exactly: 1,1,1,9 -> median (q=2, rank 2) = 1
+    val dup = Seq(("c", 1L), ("c", 1L), ("c", 1L), ("c", 9L))
+      .toDF("k", "v")
+    val md = Profile.groupedOrderStats(dup, "k", "v", 2)
+      .collect().map(r => r.getInt(1) -> r.getLong(2)).toMap
+    assert(md(1) == 1L && md(2) == 9L)
+    // partition independence
+    val m2 = Profile.groupedOrderStats(d.repartition(7), "k", "v", 4)
+      .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2))
+      .toMap
+    assert(m2 == m)
+  }
+
   test("constraintAudit: nulls, surplus copies, null-fails-check") {
     val df = Seq(
       (java.lang.Long.valueOf(1L), java.lang.Long.valueOf(10L)),
