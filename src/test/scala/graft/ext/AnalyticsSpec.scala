@@ -416,6 +416,22 @@ class AnalyticsSpec extends SparkTestBase {
     assert(m2 == m)
   }
 
+  test("groupedOrderStats plan: every window partitions by key (no " +
+    "single-partition sort)") {
+    val d = (1L to 100L).map(v => (s"k${v % 5}", v)).toDF("k", "v")
+    val opt = Profile.groupedOrderStats(d, "k", "v", 4)
+      .queryExecution.optimizedPlan
+    val wins = opt.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(wins.nonEmpty, "expected a Window in the plan")
+    // dq11's documented caveat (one global partition over distinct
+    // values) is removed here BY SHAPE: the cumulative window must
+    // carry the key partition spec
+    assert(wins.forall(_.partitionSpec.nonEmpty),
+      s"found an unpartitioned window:\n$opt")
+  }
+
   test("constraintAudit: nulls, surplus copies, null-fails-check") {
     val df = Seq(
       (java.lang.Long.valueOf(1L), java.lang.Long.valueOf(10L)),
