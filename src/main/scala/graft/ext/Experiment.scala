@@ -104,6 +104,59 @@ object Experiment {
         round(col("th"), 6).as("theta"))
   }
 
+  /** Difference-in-differences readout: the pre/post × control/treat
+   * double difference (m̄_y,1 − m̄_x,1) − (m̄_y,0 − m̄_x,0) — the
+   * causal estimate when assignment isn't randomized but trends are
+   * parallel (the natural-experiment workhorse; [[cuped]] assumes
+   * randomization and uses the pre-period only to shrink variance —
+   * DiD uses it to REMOVE the selection gap). Same machinery end to
+   * end: per-user centi totals under the ±√Long.Max bound, the
+   * self-calibrating integer midpoint split, arms by `user % 2`, ONE
+   * conditional user-grain agg, exact BIGINT cell sums, fixed-shape
+   * double means (the oracle replays the identical shape). Output
+   * 1 row: (n0, n1, pre0, post0, pre1, post1 — round-6 value-unit
+   * means — did_micro in value-unit micros). */
+  def diffInDiff(events: DataFrame, userCol: String = "user_id",
+      tsCol: String = "ts", valCol: String = "value"): DataFrame = {
+    val vQ = floor(col(valCol) * lit(100) + lit(0.5)).cast("long")
+    val mid = events.agg(
+      expr(s"(min($tsCol) + max($tsCol)) div 2").as("t_mid"))
+    val maxAbs = 3037000499L
+    val users = events.crossJoin(broadcast(mid))
+      .groupBy(col(userCol).as("user"))
+      .agg(
+        sum(when(col(tsCol) < col("t_mid"), vQ).otherwise(lit(0L)))
+          .as("x"),
+        sum(when(col(tsCol) >= col("t_mid"), vQ).otherwise(lit(0L)))
+          .as("y"))
+      .withColumn("_b", assert_true(
+        abs(col("x")) <= maxAbs && abs(col("y")) <= maxAbs,
+        lit(s"diffInDiff: per-user period total exceeds ±$maxAbs " +
+          "centi-units")))
+      .where(col("_b").isNull).drop("_b")
+    val cells = users.groupBy(pmod(col("user"), lit(2L)).as("arm"))
+      .agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"))
+    val one = cells.agg(
+      max(when(col("arm") === 0L, col("n"))).as("n0"),
+      max(when(col("arm") === 0L, col("sx"))).as("sx0"),
+      max(when(col("arm") === 0L, col("sy"))).as("sy0"),
+      max(when(col("arm") === 1L, col("n"))).as("n1"),
+      max(when(col("arm") === 1L, col("sx"))).as("sx1"),
+      max(when(col("arm") === 1L, col("sy"))).as("sy1"))
+    def m(s: String, n: String) =
+      col(s).cast("double") / col(n).cast("double")
+    val did = (m("sy1", "n1") - m("sx1", "n1")) -
+      (m("sy0", "n0") - m("sx0", "n0"))
+    val ok = col("n0") >= 1L && col("n1") >= 1L
+    one.select(col("n0"), col("n1"),
+      round(m("sx0", "n0") / lit(100.0), 6).as("pre0"),
+      round(m("sy0", "n0") / lit(100.0), 6).as("post0"),
+      round(m("sx1", "n1") / lit(100.0), 6).as("pre1"),
+      round(m("sy1", "n1") / lit(100.0), 6).as("post1"),
+      when(ok, floor(did * lit(1e4) + lit(0.5)).cast("long"))
+        .otherwise(lit(null).cast("long")).as("did_micro"))
+  }
+
   /** Split-conformal coverage audit (Vovk et al.; the
    * distribution-free prediction-interval recipe): the calibration
    * split's ⌈(n+1)·α/100⌉-th order statistic of |residual| is the

@@ -306,6 +306,43 @@ object TimeSeries {
       .withColumn("idle", col("span") - col("covered"))
   }
 
+  /** Inter-arrival burstiness per key (Goh & Barabási 2008): the
+   * burstiness index B = (σ − μ)/(σ + μ) over a key's inter-event gaps
+   * — −1 for a metronome (σ = 0), → 0 for a Poisson process (σ ≈ μ),
+   * → 1 for extreme burst-and-silence. The behavioral fingerprint that
+   * separates a human's bursty sessions from a bot's timer loop, on
+   * the same axis for every key.
+   *
+   * Gaps quantize to whole SECONDS before the moment sums (a
+   * micros-grain square would overflow BIGINT on month-long gaps; at
+   * second grain σ and μ are exact integers' fixed-shape doubles —
+   * the CUPED discipline). One per-key window sort (lag), one keyed
+   * hash-agg; keys with < `minGaps` gaps are dropped (a one-gap σ is
+   * noise). σ is the population std over gaps. Output:
+   * (key, n_gaps, mean_gap_s, b_micro — NULL when σ + μ = 0). */
+  def interArrivalBurstiness(events: DataFrame, key: String,
+      tsCol: String, minGaps: Long = 2L): DataFrame = {
+    val w = Window.partitionBy(key).orderBy(tsCol)
+    val gaps = events
+      .select(col(key),
+        (col(tsCol) - lag(col(tsCol), 1).over(w)).as("__gns"))
+      .filter(col("__gns").isNotNull)
+      .select(col(key), expr("__gns div 1000000000").as("__g"))
+    val agg = gaps.groupBy(col(key))
+      .agg(count(lit(1)).as("n_gaps"), sum("__g").as("__s"),
+        sum(col("__g") * col("__g")).as("__ss"))
+      .filter(col("n_gaps") >= minGaps)
+    val nD = col("n_gaps").cast("double")
+    val mu = col("__s").cast("double") / nD
+    val sigma = sqrt(
+      (col("__ss").cast("double") - nD * mu * mu) / nD)
+    agg.select(col(key), col("n_gaps"),
+      expr("__s div n_gaps").as("mean_gap_s"),
+      when(sigma + mu === 0.0, lit(null).cast("long"))
+        .otherwise(floor((sigma - mu) / (sigma + mu) * lit(1e6) +
+          lit(0.5)).cast("long")).as("b_micro"))
+  }
+
   /** Sample autocorrelation function at lags 1..`maxLag` over a REGULAR
    * per-key integer series (one row per (key, ord) — pre-bucket with a
    * keyed count/[[ohlcBars]] first): the one-number-per-lag seasonality

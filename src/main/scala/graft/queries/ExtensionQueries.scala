@@ -4718,6 +4718,93 @@ object ExtensionQueries {
               FROM e"""),
       "Welch unequal-variance t + effective df over per-user totals"),
 
+    // Difference-in-differences: pre/post x control/treat double
+    // difference over per-user centi totals — the selection-gap-removing
+    // readout beside ab1's variance reduction. Same exact-integer
+    // machinery (midpoint split, arm cells), one fixed-shape double.
+    "ab5_did" -> QueryDef(
+      (s, dir) => graft.ext.Experiment.diffInDiff(t(s, dir, "events")),
+      Some("""WITH ev AS (SELECT user_id, epoch_ns(ts) AS tn,
+                     CAST(floor(value * 100 + 0.5) AS BIGINT) AS vq
+                     FROM events),
+              mid AS (SELECT (min(tn) + max(tn)) // 2 AS t_mid FROM ev),
+              u AS (SELECT user_id AS usr,
+                           CAST(sum(CASE WHEN tn < t_mid THEN vq
+                                         ELSE 0 END) AS BIGINT) AS x,
+                           CAST(sum(CASE WHEN tn >= t_mid THEN vq
+                                         ELSE 0 END) AS BIGINT) AS y
+                    FROM ev CROSS JOIN mid GROUP BY user_id),
+              c AS (SELECT usr % 2 AS arm,
+                           CAST(count(*) AS BIGINT) AS n,
+                           CAST(sum(x) AS BIGINT) AS sx,
+                           CAST(sum(y) AS BIGINT) AS sy
+                    FROM u GROUP BY 1),
+              o AS (SELECT
+                      max(CASE WHEN arm = 0 THEN n END) AS n0,
+                      max(CASE WHEN arm = 0 THEN sx END) AS sx0,
+                      max(CASE WHEN arm = 0 THEN sy END) AS sy0,
+                      max(CASE WHEN arm = 1 THEN n END) AS n1,
+                      max(CASE WHEN arm = 1 THEN sx END) AS sx1,
+                      max(CASE WHEN arm = 1 THEN sy END) AS sy1
+                    FROM c)
+              SELECT n0, n1,
+                     round(CAST(sx0 AS DOUBLE) / CAST(n0 AS DOUBLE)
+                       / 100.0e0, 6) AS pre0,
+                     round(CAST(sy0 AS DOUBLE) / CAST(n0 AS DOUBLE)
+                       / 100.0e0, 6) AS post0,
+                     round(CAST(sx1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+                       / 100.0e0, 6) AS pre1,
+                     round(CAST(sy1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+                       / 100.0e0, 6) AS post1,
+                     CASE WHEN n0 >= 1 AND n1 >= 1 THEN
+                       CAST(floor(((CAST(sy1 AS DOUBLE)
+                             / CAST(n1 AS DOUBLE)
+                           - CAST(sx1 AS DOUBLE) / CAST(n1 AS DOUBLE))
+                         - (CAST(sy0 AS DOUBLE) / CAST(n0 AS DOUBLE)
+                           - CAST(sx0 AS DOUBLE) / CAST(n0 AS DOUBLE)))
+                         * 1e4 + 0.5) AS BIGINT)
+                     END AS did_micro
+              FROM o"""),
+      "difference-in-differences over per-user pre/post totals"),
+
+    // Inter-arrival burstiness per user (Goh-Barabási B index): the
+    // metronome-vs-burst behavioral fingerprint — exact second-grain
+    // gap moments, one fixed-shape (σ−μ)/(σ+μ) double per user.
+    "s14_burstiness" -> QueryDef(
+      (s, dir) => graft.ext.TimeSeries.interArrivalBurstiness(
+        t(s, dir, "events"), "user_id", "ts"),
+      Some("""WITH g AS (SELECT user_id, epoch_ns(ts) AS tn,
+                     lag(epoch_ns(ts)) OVER (PARTITION BY user_id
+                       ORDER BY epoch_ns(ts)) AS prev
+                   FROM events),
+              gp AS (SELECT user_id,
+                            (tn - prev) // 1000000000 AS gv
+                     FROM g WHERE prev IS NOT NULL),
+              a AS (SELECT user_id,
+                           CAST(count(*) AS BIGINT) AS n_gaps,
+                           CAST(sum(gv) AS BIGINT) AS s,
+                           CAST(sum(gv * gv) AS BIGINT) AS ss
+                    FROM gp GROUP BY 1 HAVING count(*) >= 2),
+              d AS (SELECT user_id, n_gaps, s,
+                           CAST(s AS DOUBLE) / CAST(n_gaps AS DOUBLE)
+                             AS mu,
+                           sqrt((CAST(ss AS DOUBLE)
+                               - CAST(n_gaps AS DOUBLE)
+                                 * (CAST(s AS DOUBLE)
+                                    / CAST(n_gaps AS DOUBLE))
+                                 * (CAST(s AS DOUBLE)
+                                    / CAST(n_gaps AS DOUBLE)))
+                             / CAST(n_gaps AS DOUBLE)) AS sigma
+                    FROM a)
+              SELECT user_id, n_gaps,
+                     CAST(s // n_gaps AS BIGINT) AS mean_gap_s,
+                     CASE WHEN sigma + mu = 0.0e0 THEN NULL
+                          ELSE CAST(floor((sigma - mu) / (sigma + mu)
+                            * 1e6 + 0.5) AS BIGINT)
+                     END AS b_micro
+              FROM d"""),
+      "per-user inter-arrival burstiness (metronome vs burst-silence)"),
+
     // Join-size pre-flight from sketches alone (AMS/CMS inner product):
     // |orders JOIN customer| estimated from the two key sketches beside
     // the exact size — never an underestimate, computed without the

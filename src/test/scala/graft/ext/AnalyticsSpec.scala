@@ -635,6 +635,58 @@ class AnalyticsSpec extends SparkTestBase {
     assert(ex.getMessage != null)
   }
 
+  test("diffInDiff: removes the selection gap a raw diff keeps") {
+    // arm0 (user 0): 1.0 -> 2.0; arm1 (user 1): 1.0 -> 5.0
+    // DiD = (5-1) - (2-1) = 3.0 -> 3,000,000 micro
+    val ev = Seq(
+      (1L, 0L, 0L, "purchase", 1.0), (2L, 100L, 0L, "purchase", 2.0),
+      (3L, 0L, 1L, "purchase", 1.0), (4L, 100L, 1L, "purchase", 5.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val r = Experiment.diffInDiff(ev).collect().head
+    assert(r.getLong(0) == 1L && r.getLong(1) == 1L)
+    assert(r.getDouble(2) == 1.0 && r.getDouble(3) == 2.0)
+    assert(r.getDouble(4) == 1.0 && r.getDouble(5) == 5.0)
+    assert(r.getLong(6) == 3000000L)
+    // a level gap with parallel trends: DiD must read 0 even though the
+    // raw post-period diff is 9
+    val lvl = Seq(
+      (1L, 0L, 0L, "p", 1.0), (2L, 100L, 0L, "p", 2.0),
+      (3L, 0L, 1L, "p", 10.0), (4L, 100L, 1L, "p", 11.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    assert(Experiment.diffInDiff(lvl).collect().head.getLong(6) == 0L)
+    // an arm missing entirely: NULL, never a 0-division
+    val solo = Seq((1L, 0L, 0L, "p", 1.0), (2L, 100L, 0L, "p", 2.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    assert(Experiment.diffInDiff(solo).collect().head.get(6) == null)
+  }
+
+  test("interArrivalBurstiness: metronome -1, bursts positive, floors") {
+    def ev(uid: Long, secs: Seq[Long], base: Long = 0L) =
+      secs.zipWithIndex.map { case (t0, i) =>
+        (base + i.toLong, t0 * 1000000000L, uid, "view", 0.0)
+      }
+    val rows = (ev(1L, Seq(0L, 10L, 20L, 30L)) ++        // metronome
+      ev(2L, Seq(0L, 0L, 0L, 30L), 100L) ++              // bursty
+      ev(3L, Seq(0L, 5L), 200L))                          // 1 gap: dropped
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val m = TimeSeries.interArrivalBurstiness(rows, "user_id", "ts")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getAs[java.lang.Long]("b_micro"))))
+      .toMap
+    assert(m(1L) == ((3L, 10L, -1000000L)))
+    // gaps 0,0,30: mu=10, sigma=sqrt(200) -> B = 0.171572... -> 171572
+    assert(m(2L)._1 == 3L && m(2L)._2 == 10L)
+    assert(m(2L)._3 > 170000L && m(2L)._3 < 175000L,
+      s"bursty B was ${m(2L)._3}")
+    assert(!m.contains(3L), "a single gap carries no variance signal")
+    // all events at one instant: sigma + mu = 0 -> NULL
+    val z = ev(9L, Seq(0L, 0L, 0L))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val rz = TimeSeries.interArrivalBurstiness(z, "user_id", "ts")
+      .collect().head
+    assert(rz.get(3) == null)
+  }
+
   test("welch: hand t/df, zero-diff case, degenerate guards") {
     // users 0,2 -> arm0 (totals 100, 300 centi); users 1,3 -> arm1
     def ev(vals: (Long, Double)*) = vals.zipWithIndex.map {
