@@ -224,8 +224,16 @@ object Experiment {
       nBins: Int = 10): DataFrame = {
     require(nBins >= 1 && nBins <= 100000,
       s"nBins must be in [1, 100000], got $nBins")
-    val bounds = df.agg(min(col(scoreCol)).as("__lo"),
-      max(col(scoreCol)).as("__hi"))
+    // loud bound: (hi − lo)·nBins must fit a BIGINT — a 2^60-range
+    // score column would otherwise wrap the bin product silently in
+    // non-ANSI Spark (the cuped assert discipline)
+    val bounds = df.agg(min(col(scoreCol)).cast("long").as("__lo"),
+      max(col(scoreCol)).cast("long").as("__hi"))
+      .withColumn("__g", assert_true(
+        col("__hi") - col("__lo") <= Long.MaxValue / nBins,
+        lit(s"calibrationBins: score range x $nBins bins would " +
+          "overflow BIGINT — rescale the score")))
+      .where(col("__g").isNull).drop("__g")
     df.select(col(scoreCol).cast("long").as("__s"),
         col(labelCol).cast("long").as("__y"))
       .crossJoin(broadcast(bounds))

@@ -315,8 +315,10 @@ object TimeSeries {
    *
    * Gaps quantize to whole SECONDS before the moment sums (a
    * micros-grain square would overflow BIGINT on month-long gaps; at
-   * second grain σ and μ are exact integers' fixed-shape doubles —
-   * the CUPED discipline). One per-key window sort (lag), one keyed
+   * second grain each g² ≤ Long.Max for any gap under ~96 years, and
+   * the residual Σg² exposure is the same accepted class as cuped's
+   * pooled moments — exact integers' fixed-shape doubles, the CUPED
+   * discipline). One per-key window sort (lag), one keyed
    * hash-agg; keys with < `minGaps` gaps are dropped (a one-gap σ is
    * noise). σ is the population std over gaps. Output:
    * (key, n_gaps, mean_gap_s, b_micro — NULL when σ + μ = 0). */
@@ -400,7 +402,11 @@ object TimeSeries {
       col("n_pairs").cast("double") * xbar * xbar
     val den = col("__sxx").cast("double") -
       col("__n").cast("double") * xbar * xbar
-    perLag.join(broadcast(perKey), key)
+    // key-grain × (key × lag)-grain equi-join: both sides are already
+    // reduced relations, so AQE broadcasts the key-grain side when it
+    // is small — no explicit hint (a forced broadcast would be a
+    // driver-memory bet on key cardinality)
+    perLag.join(perKey, key)
       .select(col(key), col("lag_k"), col("n_pairs"),
         when(den === 0.0, lit(null).cast("long"))
           .otherwise(floor(num / den * lit(1e6) + lit(0.5)).cast("long"))
