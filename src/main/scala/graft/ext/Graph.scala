@@ -716,6 +716,38 @@ object Graph {
     closure
   }
 
+  /** Hill maximum-likelihood tail-exponent estimate (Hill 1975; the
+   * power-law-degree audit of Clauset-Shalizi-Newman): over the
+   * degrees ≥ `dMin`, α̂ = 1 + n / Σ ln(d/dMin) — a scale-free graph
+   * reads α ≈ 2–3, a link farm or bot ring pushes the tail heavier
+   * (α ↓), an Erdős–Rényi-ish graph decays too fast for the fit to
+   * mean much (α large). The one-number complement to graph0's degree
+   * histogram.
+   *
+   * Determinism: the sum runs at DISTINCT-DEGREE grain — per degree d,
+   * its ln(d/dMin) micro-quantizes once (the PSI discipline) and
+   * multiplies the exact BIGINT vertex count m_d, so Σ is an exact
+   * integer whatever the partitioning; α̂ is one fixed-shape double
+   * over (n, S_micro). All-at-dMin tails (S = 0) yield NULL, not Inf.
+   * Input is a (vertex, deg) relation ([[degreeStats]]' grain); two
+   * hash-aggs, nothing corpus-sized.
+   * Output 1 row: (n_tail, d_min, s_micro, alpha_micro). */
+  def hillAlpha(degrees: DataFrame, dMin: Long = 2L): DataFrame = {
+    require(dMin >= 1, s"dMin must be >= 1, got $dMin")
+    val byDeg = degrees.filter(col("deg") >= dMin)
+      .groupBy("deg").agg(count(lit(1)).as("m"))
+    val agg = byDeg.agg(sum("m").as("n_tail"),
+      sum(col("m") *
+        floor(org.apache.spark.sql.functions.log(
+          col("deg").cast("double") / lit(dMin.toDouble)) *
+          lit(1e6) + lit(0.5)).cast("long")).as("s_micro"))
+    agg.select(col("n_tail"), lit(dMin).as("d_min"), col("s_micro"),
+      when(col("s_micro") === 0L, lit(null).cast("long"))
+        .otherwise(floor((lit(1.0) + col("n_tail").cast("double") /
+          (col("s_micro").cast("double") / lit(1e6))) * lit(1e6) +
+          lit(0.5)).cast("long")).as("alpha_micro"))
+  }
+
   /** Strongly connected components by mutual reachability: node u and v
    * share an SCC iff each reaches the other, so the component relation
    * is the transitive closure intersected with its own transpose — one

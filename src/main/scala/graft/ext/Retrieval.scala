@@ -77,6 +77,64 @@ object Retrieval {
       .limit(k)
   }
 
+  /** Dirichlet-smoothed query-likelihood ranking (Zhai & Lafferty 2001
+   * — the language-modeling retrieval family beside [[bm25TopK]]'s
+   * probabilistic one; the two disagree exactly where their length
+   * normalizations differ, which is why an engine carries both):
+   * score(Q, d) = Σ_{t∈Q} ln((tf_{t,d} + µ·p(t|C)) / (dl_d + µ)),
+   * decomposed so only MATCHING (doc, term) pairs are ever enumerated:
+   *
+   *   Σ_matched ln((tf + µp)/(µp))   (per-pair, micro-quantized)
+   * + Σ_{t∈Q} ln(µp_t)               (doc-independent constant)
+   * − |Q|·ln(dl + µ)                 (per-doc, micro-quantized once)
+   *
+   * Every ln micro-quantizes the moment it is taken (PSI discipline),
+   * so the total is an exact BIGINT and the (score DESC, doc_id) cut
+   * is deterministic. Query terms absent from the corpus (p = 0 ⇒
+   * ln −∞) drop from Q — the standard OOV rule. Docs matching no term
+   * rank by length alone and are excluded (the [[bm25TopK]] contract).
+   * Same scan shape as BM25: one materialized (doc, term) tf relation,
+   * term-grain stats broadcast, one doc-grain agg, TakeOrdered.
+   * Output: (doc_id, n_terms, ql_micro, ql). */
+  def qlDirichletTopK(docs: DataFrame, terms: Seq[String], k: Int,
+      mu: Long = 2000L): DataFrame = {
+    require(terms.nonEmpty, "QL needs at least one query term")
+    require(mu >= 1, s"mu must be >= 1, got $mu")
+    val w = split(col("text"), " ")
+    val lens = docs.select(col("doc_id"), size(w).cast("long").as("dl"))
+    val stats = lens.agg(sum("dl").as("sum_dl"))
+    val tf = Dedup.materialize(docs
+      .select(col("doc_id"), size(w).cast("long").as("dl"),
+        explode(w).as("tok"))
+      .filter(col("tok").isin(terms: _*))
+      .groupBy("doc_id", "dl", "tok")
+      .agg(count(lit(1)).as("tf")))
+    val pt = tf.groupBy("tok").agg(sum("tf").as("ctf"))
+      .crossJoin(broadcast(stats))
+      .select(col("tok"),
+        (lit(mu).cast("double") * col("ctf").cast("double") /
+          col("sum_dl").cast("double")).as("mup"))
+    val consts = pt.agg(
+      sum(floor(log(col("mup")) * lit(1e6) + lit(0.5)).cast("long"))
+        .as("c_micro"),
+      count(lit(1)).as("n_q"))
+    tf.join(broadcast(pt), "tok")
+      .select(col("doc_id"), col("dl"),
+        floor(log((col("tf").cast("double") + col("mup")) / col("mup"))
+          * lit(1e6) + lit(0.5)).cast("long").as("p1"))
+      .groupBy("doc_id", "dl")
+      .agg(count(lit(1)).as("n_terms"), sum("p1").as("s1"))
+      .crossJoin(broadcast(consts))
+      .select(col("doc_id"), col("n_terms"),
+        (col("s1") + col("c_micro") - col("n_q") *
+          floor(log(col("dl").cast("double") + lit(mu.toDouble)) *
+            lit(1e6) + lit(0.5)).cast("long")).as("ql_micro"))
+      .select(col("doc_id"), col("n_terms"), col("ql_micro"),
+        (col("ql_micro").cast("double") / lit(1e6)).as("ql"))
+      .orderBy(col("ql_micro").desc, col("doc_id").asc)
+      .limit(k)
+  }
+
   /** RM3 pseudo-relevance feedback (Lavrenko & Croft's relevance model,
    * the Anserini/Indri "RM3" composition): run BM25, treat the top
    * `fbDocs` documents as pseudo-relevant, estimate an expansion term

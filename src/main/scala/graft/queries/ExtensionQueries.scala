@@ -6085,6 +6085,59 @@ object ExtensionQueries {
                LIMIT 20"""),
       "Okapi BM25 top-20 lexical retrieval (3-term query, Lucene idf)"),
 
+    // Dirichlet query-likelihood retrieval (Zhai-Lafferty) over the
+    // same 3-term query — the language-modeling ranking family beside
+    // BM25's probabilistic one. Matched-pair + constant + length-term
+    // decomposition, every ln micro-quantized (PSI discipline), exact
+    // BIGINT totals.
+    "t46_ql_dirichlet" -> QueryDef(
+      (s, dir) => Retrieval.qlDirichletTopK(
+        t(s, dir, "documents"), Seq("spark", "vector", "stream"),
+        k = 20, mu = 2000L),
+      Some("""WITH lens AS (SELECT doc_id,
+                     CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+                   FROM documents),
+              st AS (SELECT CAST(sum(dl) AS BIGINT) AS sum_dl FROM lens),
+              tk AS (SELECT doc_id,
+                            CAST(len(string_split(text, ' ')) AS BIGINT)
+                              AS dl,
+                            unnest(string_split(text, ' ')) AS tok
+                     FROM documents),
+              tf AS (SELECT doc_id, dl, tok,
+                            CAST(count(*) AS BIGINT) AS tf
+                     FROM tk
+                     WHERE tok IN ('spark', 'vector', 'stream')
+                     GROUP BY 1, 2, 3),
+              pt AS (SELECT tok,
+                            CAST(2000 AS DOUBLE)
+                              * CAST(sum(tf) AS DOUBLE)
+                              / (SELECT CAST(sum_dl AS DOUBLE) FROM st)
+                              AS mup
+                     FROM tf GROUP BY tok),
+              cs AS (SELECT CAST(sum(CAST(floor(ln(mup) * 1e6 + 0.5)
+                              AS BIGINT)) AS BIGINT) AS c_micro,
+                            CAST(count(*) AS BIGINT) AS n_q
+                     FROM pt),
+              p1 AS (SELECT tf.doc_id, tf.dl,
+                            CAST(floor(ln((CAST(tf.tf AS DOUBLE) + pt.mup)
+                              / pt.mup) * 1e6 + 0.5) AS BIGINT) AS p1
+                     FROM tf JOIN pt USING (tok)),
+              sc AS (SELECT doc_id, dl,
+                            CAST(count(*) AS BIGINT) AS n_terms,
+                            CAST(sum(p1) AS BIGINT) AS s1
+                     FROM p1 GROUP BY 1, 2),
+              fin AS (SELECT doc_id, n_terms,
+                             CAST(s1 + cs.c_micro - cs.n_q
+                               * CAST(floor(ln(CAST(dl AS DOUBLE)
+                                   + CAST(2000 AS DOUBLE)) * 1e6 + 0.5)
+                                 AS BIGINT) AS BIGINT) AS ql_micro
+                      FROM sc, cs)
+              SELECT doc_id, n_terms, ql_micro,
+                     CAST(ql_micro AS DOUBLE) / 1e6 AS ql
+              FROM fin
+              ORDER BY ql_micro DESC, doc_id LIMIT 20"""),
+      "Dirichlet query-likelihood top-20 (the LM retrieval family)"),
+
     // Hybrid lexical+dense retrieval: the SAME BM25 scoring (shared CTE —
     // the two oracles cannot drift) fused with brute-cosine dense neighbors
     // of query vector 0 by reciprocal-rank fusion. Rank-only fusion, so the

@@ -688,6 +688,44 @@ object GraphQueries {
                        (SELECT count(*) FROM sz) AS BIGINT)
                        AS hitrate_ppm
               FROM hit"""),
-      "item-item CF hit-rate@10, even-order train / odd-order test")
+      "item-item CF hit-rate@10, even-order train / odd-order test"),
+
+    // Hill tail-exponent estimate over the co-purchase degree
+    // distribution — the one-number power-law audit beside graph0's
+    // histogram. Distinct-degree-grain quantized-ln sum (exact BIGINT),
+    // one fixed-shape alpha.
+    "graph14_hill_alpha" -> QueryDef(
+      (s, dir) => {
+        val e = Graph.coPurchaseEdges(t(s, dir, "lineitem"))
+        val deg = e.select(col("u").as("vertex"))
+          .unionByName(e.select(col("v").as("vertex")))
+          .groupBy("vertex").agg(count(lit(1)).as("deg"))
+        Graph.hillAlpha(deg, dMin = 2L)
+      },
+      Some("""WITH e AS (SELECT DISTINCT a.l_partkey AS u,
+                                b.l_partkey AS v
+                         FROM lineitem a JOIN lineitem b
+                           ON a.l_orderkey = b.l_orderkey
+                          AND a.l_partkey < b.l_partkey),
+              deg AS (SELECT vertex, CAST(count(*) AS BIGINT) AS deg
+                      FROM (SELECT u AS vertex FROM e
+                            UNION ALL SELECT v FROM e)
+                      GROUP BY vertex),
+              bd AS (SELECT deg, CAST(count(*) AS BIGINT) AS m
+                     FROM deg WHERE deg >= 2 GROUP BY deg),
+              a AS (SELECT CAST(sum(m) AS BIGINT) AS n_tail,
+                           CAST(sum(m * CAST(floor(
+                             ln(CAST(deg AS DOUBLE) / 2.0e0) * 1e6
+                             + 0.5) AS BIGINT)) AS BIGINT) AS s_micro
+                    FROM bd)
+              SELECT n_tail, CAST(2 AS BIGINT) AS d_min, s_micro,
+                     CASE WHEN s_micro = 0 THEN NULL
+                          ELSE CAST(floor((1.0e0
+                            + CAST(n_tail AS DOUBLE)
+                              / (CAST(s_micro AS DOUBLE) / 1e6)) * 1e6
+                            + 0.5) AS BIGINT)
+                     END AS alpha_micro
+              FROM a"""),
+      "Hill power-law tail exponent of the degree distribution")
   )
 }

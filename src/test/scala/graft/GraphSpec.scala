@@ -454,6 +454,24 @@ class GraphSpec extends SparkTestBase {
     assert(r.toSeq == Seq(2L, 1L, 500000L), s"got ${r.toSeq}")
   }
 
+  test("hillAlpha: planted tail, dMin filter, flat-tail NULL") {
+    // degrees: four vertices at d=2 (= dMin, ln 1 = 0 mass), one at
+    // d=4: S = ln 2 -> alpha = 1 + 5/ln2 ~ 8.2135
+    val deg = (Seq.fill(4)(2L) :+ 4L).zipWithIndex
+      .map { case (d, i) => (i.toLong, d) }.toDF("vertex", "deg")
+    val r = Graph.hillAlpha(deg, dMin = 2L).collect().head
+    assert(r.getLong(0) == 5L)
+    assert(r.getLong(2) == 693147L)
+    val a = r.getLong(3)
+    assert(a > 8213000L && a < 8214000L, s"alpha was $a")
+    // d=1 vertices sit below dMin and must not enter the tail
+    val withLow = deg.unionByName(Seq((99L, 1L)).toDF("vertex", "deg"))
+    assert(Graph.hillAlpha(withLow, 2L).collect().head.getLong(0) == 5L)
+    // a tail entirely at dMin: S = 0 -> NULL, never Inf
+    val flat = Seq((1L, 2L), (2L, 2L)).toDF("vertex", "deg")
+    assert(Graph.hillAlpha(flat, 2L).collect().head.get(3) == null)
+  }
+
   test("scc: cycles form components, DAG tails stay singletons") {
     // 3-cycle 1→2→3→1, tail 4→1 (reaches the cycle, never returns),
     // 2-cycle 5↔6 bridged one-way from the 3-cycle (3→5), chain 7→8

@@ -205,6 +205,33 @@ class CorpusDiagnosticsSpec extends SparkTestBase {
     assert(diff == Map(2L -> "changed", 3L -> "removed", 4L -> "added"))
   }
 
+  test("qlDirichletTopK: tf and length ordering, OOV terms drop") {
+    // d1 matches 'apple' twice in 4 tokens; d2 once in 4; d3 never.
+    val docs = Seq(
+      (1L, "apple apple pie crust"),
+      (2L, "apple cherry cherry cherry"),
+      (3L, "date elderberry fig grape")).toDF("doc_id", "text")
+    val r = Retrieval.qlDirichletTopK(docs, Seq("apple"), 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(2))
+    assert(r.map(_._1).toSeq == Seq(1L, 2L),
+      s"higher tf at equal length must rank first; no-match docs " +
+        s"excluded; got ${r.toSeq}")
+    assert(r.head._2 > r.last._2)
+    // an OOV query term contributes p=0 and must DROP, leaving scores
+    // bit-identical
+    val withOov = Retrieval.qlDirichletTopK(docs,
+      Seq("apple", "zz_never_seen"), 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(2))
+    assert(withOov.toSeq == r.toSeq)
+    // length normalization: the same tf in a LONGER doc scores lower
+    val len = Seq(
+      (1L, "apple pie"),
+      (2L, "apple pie pie pie pie pie pie pie")).toDF("doc_id", "text")
+    val lr = Retrieval.qlDirichletTopK(len, Seq("apple"), 2)
+      .collect().map(_.getLong(0))
+    assert(lr.toSeq == Seq(1L, 2L))
+  }
+
   test("rm3TopK: expansion recalls a doc the literal query cannot match") {
     // query 'apple' matches only d1; RM1 expansion from d1 surfaces
     // 'banana', which recalls d2 in the second pass.
