@@ -785,6 +785,60 @@ object TextAnalysis {
         expr("(1000000 * n_distinct) div n_total"))
   }
 
+  /** Clipped ROUGE-N overlap F1 (Lin 2004) between candidate/reference
+   * text pairs — the n-gram-recall eval behind every summarization /
+   * compression / dedup-quality readout: per pair, overlapping n-grams
+   * count CLIPPED (min of the two sides' frequencies — repeating a
+   * reference bigram five times in the candidate earns it once), then
+   * precision ov/total_cand, recall ov/total_ref, and F1. Exact BIGINT
+   * gram counts; P/R in exact ppm integer division; F1 = 2PR/(P+R) as
+   * ONE fixed-shape double over the exact overlap/total integers,
+   * micro-quantized — both engines replay it bit-for-bit. Zero-gram
+   * sides (text shorter than n) yield zero scores, never NaN.
+   *
+   * Scale shape: two narrow n-gram explodes at (pair, gram) grain, one
+   * full-outer join AT THAT GRAIN (never a cross product), one
+   * pair-grain agg. Output: (pair_id, n_cand, n_ref, n_overlap,
+   * p_ppm, r_ppm, f1_micro). */
+  def rougeN(pairs: org.apache.spark.sql.DataFrame, n: Int = 2)
+      : org.apache.spark.sql.DataFrame = {
+    require(n >= 1 && n <= 8, s"n must be in [1, 8], got $n")
+    def grams(c: String, side: String) = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("pair_id").orderBy("pos")
+      val base = pairs.select(col("pair_id"),
+        posexplode(split(col(c), " ")).as(Seq("pos", "tok")))
+      val withLeads = (1 until n).foldLeft(base)((df, i) =>
+        df.withColumn(s"l$i", lead("tok", i).over(w)))
+      val gram = concat_ws(" ",
+        (col("tok") +: (1 until n).map(i => col(s"l$i"))): _*)
+      withLeads
+        .filter((1 until n).map(i => col(s"l$i").isNotNull)
+          .foldLeft(lit(true))(_ && _))
+        .groupBy(col("pair_id"), gram.as("gram"))
+        .agg(count(lit(1)).as(s"c_$side"))
+    }
+    val joined = grams("cand", "cand")
+      .join(grams("ref", "ref"), Seq("pair_id", "gram"), "full_outer")
+    val per = joined.groupBy("pair_id").agg(
+      sum(coalesce(col("c_cand"), lit(0L))).as("n_cand"),
+      sum(coalesce(col("c_ref"), lit(0L))).as("n_ref"),
+      sum(least(coalesce(col("c_cand"), lit(0L)),
+        coalesce(col("c_ref"), lit(0L)))).as("n_overlap"))
+    val pD = col("n_overlap").cast("double") / col("n_cand").cast("double")
+    val rD = col("n_overlap").cast("double") / col("n_ref").cast("double")
+    per.select(col("pair_id"), col("n_cand"), col("n_ref"),
+      col("n_overlap"),
+      when(col("n_cand") === 0L, lit(0L))
+        .otherwise(expr("(n_overlap * 1000000) div n_cand")).as("p_ppm"),
+      when(col("n_ref") === 0L, lit(0L))
+        .otherwise(expr("(n_overlap * 1000000) div n_ref")).as("r_ppm"),
+      when(col("n_cand") === 0L || col("n_ref") === 0L ||
+          col("n_overlap") === 0L, lit(0L))
+        .otherwise(floor(lit(2.0) * pD * rD / (pD + rD) * lit(1e6) +
+          lit(0.5)).cast("long")).as("f1_micro"))
+  }
+
   /** Vocabulary richness estimators: bias-corrected Chao1 and the
    * Good-Turing unseen mass. Chao1 (Chao 1984, the species-richness
    * classic) estimates how many word TYPES the corpus's source actually

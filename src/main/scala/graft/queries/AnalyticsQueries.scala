@@ -861,6 +861,77 @@ object AnalyticsQueries {
               FROM a"""),
       "Chao1 + Good-Turing vocabulary-richness estimators"),
 
+    // Clipped ROUGE-2 of each document's LEADING HALF against the full
+    // text — the lead-bias coverage diagnostic (how much of a doc's
+    // bigram content its opening already carries), and the gate for the
+    // general (cand, ref) ROUGE-N eval operator.
+    "t47_rouge2_lead" -> QueryDef(
+      (s, dir) => graft.ext.TextAnalysis.rougeN(
+        t(s, dir, "documents").select(col("doc_id").as("pair_id"),
+          expr("array_join(slice(split(text, ' '), 1, " +
+            "(size(split(text, ' ')) + 1) div 2), ' ')").as("cand"),
+          col("text").as("ref")),
+        n = 2),
+      Some("""WITH p AS (SELECT doc_id AS pair_id,
+                     array_to_string(string_split(text, ' ')[
+                       1:(len(string_split(text, ' ')) + 1) // 2], ' ')
+                       AS cand,
+                     text AS ref
+                   FROM documents),
+              cg AS (SELECT pair_id,
+                       unnest([w[i] || ' ' || w[i+1]
+                               for i in generate_series(1, len(w) - 1)])
+                         AS gram
+                     FROM (SELECT pair_id, string_split(cand, ' ') AS w
+                           FROM p) t
+                     WHERE len(w) >= 2),
+              cc AS (SELECT pair_id, gram,
+                            CAST(count(*) AS BIGINT) AS c_cand
+                     FROM cg GROUP BY 1, 2),
+              rg AS (SELECT pair_id,
+                       unnest([w[i] || ' ' || w[i+1]
+                               for i in generate_series(1, len(w) - 1)])
+                         AS gram
+                     FROM (SELECT pair_id, string_split(ref, ' ') AS w
+                           FROM p) t
+                     WHERE len(w) >= 2),
+              rc AS (SELECT pair_id, gram,
+                            CAST(count(*) AS BIGINT) AS c_ref
+                     FROM rg GROUP BY 1, 2),
+              j AS (SELECT coalesce(cc.pair_id, rc.pair_id) AS pair_id,
+                           coalesce(cc.c_cand, 0) AS c_cand,
+                           coalesce(rc.c_ref, 0) AS c_ref
+                    FROM cc FULL OUTER JOIN rc
+                      ON rc.pair_id = cc.pair_id AND rc.gram = cc.gram),
+              per AS (SELECT pair_id,
+                             CAST(sum(c_cand) AS BIGINT) AS n_cand,
+                             CAST(sum(c_ref) AS BIGINT) AS n_ref,
+                             CAST(sum(least(c_cand, c_ref)) AS BIGINT)
+                               AS n_overlap
+                      FROM j GROUP BY 1)
+              SELECT pair_id, n_cand, n_ref, n_overlap,
+                     CASE WHEN n_cand = 0 THEN 0
+                          ELSE CAST((n_overlap * 1000000) // n_cand
+                            AS BIGINT) END AS p_ppm,
+                     CASE WHEN n_ref = 0 THEN 0
+                          ELSE CAST((n_overlap * 1000000) // n_ref
+                            AS BIGINT) END AS r_ppm,
+                     CASE WHEN n_cand = 0 OR n_ref = 0 OR n_overlap = 0
+                          THEN 0
+                          ELSE CAST(floor(2.0e0
+                            * (CAST(n_overlap AS DOUBLE)
+                               / CAST(n_cand AS DOUBLE))
+                            * (CAST(n_overlap AS DOUBLE)
+                               / CAST(n_ref AS DOUBLE))
+                            / ((CAST(n_overlap AS DOUBLE)
+                                / CAST(n_cand AS DOUBLE))
+                               + (CAST(n_overlap AS DOUBLE)
+                                  / CAST(n_ref AS DOUBLE)))
+                            * 1e6 + 0.5) AS BIGINT)
+                     END AS f1_micro
+              FROM per"""),
+      "clipped ROUGE-2 of the leading half vs the full document"),
+
     // Reliability-diagram calibration: doc length (integer score) as a
     // predictor of lang='en', binned equal-width over the observed
     // range — per bin exact mean score and positive ppm. The magnitude

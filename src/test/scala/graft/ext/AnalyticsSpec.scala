@@ -578,6 +578,35 @@ class AnalyticsSpec extends SparkTestBase {
       250000L))
   }
 
+  test("rougeN: clipped overlap, F1 hand value, zero-gram guards") {
+    // cand "a b a b" bigrams: {a b:2, b a:1}; ref "a b c" bigrams:
+    // {a b:1, b c:1} -> overlap clipped = 1; P = 1/3, R = 1/2,
+    // F1 = 2·(1/3)(1/2)/(1/3+1/2) = 0.4
+    val p = Seq((1L, "a b a b", "a b c")).toDF("pair_id", "cand", "ref")
+    val r = TextAnalysis.rougeN(p, 2).collect().head
+    assert(r.toSeq == Seq(1L, 3L, 2L, 1L, 333333L, 500000L, 400000L),
+      s"got ${r.toSeq}")
+    // identical texts: perfect scores
+    val same = Seq((2L, "x y z", "x y z")).toDF("pair_id", "cand", "ref")
+    val rs = TextAnalysis.rougeN(same, 2).collect().head
+    assert(rs.getLong(4) == 1000000L && rs.getLong(5) == 1000000L &&
+      rs.getLong(6) == 1000000L)
+    // a one-token candidate has zero bigrams: zero scores, never NaN
+    val short = Seq((3L, "x", "x y z")).toDF("pair_id", "cand", "ref")
+    val rz = TextAnalysis.rougeN(short, 2).collect().head
+    assert(rz.getLong(1) == 0L && rz.getLong(4) == 0L &&
+      rz.getLong(6) == 0L)
+    // clipping: repeating a reference bigram in cand earns it once
+    val clip = Seq((4L, "q r q r q r", "q r s")).toDF("pair_id",
+      "cand", "ref")
+    val rc = TextAnalysis.rougeN(clip, 2).collect().head
+    assert(rc.getLong(3) == 1L, s"clipped overlap was ${rc.getLong(3)}")
+    // unigram mode
+    val u = TextAnalysis.rougeN(p, 1).collect().head
+    assert(u.getLong(1) == 4L && u.getLong(2) == 3L &&
+      u.getLong(3) == 2L) // a:min(2,1)=1, b:min(2,1)=1, c:0
+  }
+
   test("vocabRichness: hand f1/f2, all-singleton and converged corpora") {
     // tokens: a a a b b c d -> N=7, D=4, f1=2 (c,d), f2=1 (b)
     // chao1 = 4 + 2*1 div (2*2) = 4; gt = 2e6 div 7 = 285714
