@@ -937,7 +937,7 @@ object AnalyticsQueries {
     // range — per bin exact mean score and positive ppm. The magnitude
     // readout beside rank metrics (t29's nDCG family): a perfect
     // ranking can still be uncalibrated.
-    "ml1_calibration" -> QueryDef(
+    "ml3_calibration" -> QueryDef(
       (s, dir) => graft.ext.Experiment.calibrationBins(
         t(s, dir, "documents").select(col("n_chars"),
           (col("lang") === "en").cast("long").as("is_en")),
@@ -994,7 +994,7 @@ object AnalyticsQueries {
     // |n·1e6 − baseline|, odd days measure empirical coverage — the
     // distribution-free interval-validity audit. Exact order-statistic
     // radius, exact ppm coverage.
-    "ml2_conformal_coverage" -> QueryDef(
+    "ml4_conformal_coverage" -> QueryDef(
       (s, dir) => {
         val cells = TimeSeries.seasonalDeviation(
           t(s, dir, "events"), "event_type", "ts")
