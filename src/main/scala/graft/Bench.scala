@@ -431,7 +431,11 @@ object Bench {
         // richness (vocab-grain agg at 10× types), and lang↔source
         // mutual information (cell-grain joint agg; cells × 1 since
         // replicas keep lang/source)
-        "t44_distinct_ngrams", "t45_vocab_richness", "dq14_mutual_info")
+        "t44_distinct_ngrams", "t45_vocab_richness", "dq14_mutual_info",
+        // round-9 session 2 (late): clipped ROUGE-2 of each doc's
+        // leading half vs its full text — the (pair, gram)-grain
+        // full-outer join at 10× docs and 10× gram vocabulary
+        "t47_rouge2_lead")
       val walls = scala.collection.mutable.ListBuffer.empty[(String, String)]
       val ratios = scala.collection.mutable.ListBuffer.empty[(String, String)]
       // BOTH raw walls per probe, not just the min (round-5 verdict #2):
@@ -523,7 +527,15 @@ object Bench {
               graft.ext.Retrieval.retrievalStack(
                 ps.read.parquet(s"$dir10/documents.parquet"),
                 ps.read.parquet(s"$dir10/embeddings.parquet"),
-                sfTerms, k = 3, fetch = 8)))
+                sfTerms, k = 3, fetch = 8)),
+          // round-9 session 2: the LM retrieval family on the same
+          // expanded 30-term query — tf materialize + broadcast
+          // term stats + one doc-grain agg at 10×
+          "t46_ql_dirichlet" ->
+            ((ps: org.apache.spark.sql.SparkSession) =>
+              graft.ext.Retrieval.qlDirichletTopK(
+                ps.read.parquet(s"$dir10/documents.parquet"),
+                sfTerms, k = 20)))
       })
       // Fuzzy-name family in its OWN fresh context (r7 verdict #1: d15's
       // sf1 wall jumped 3.70 -> 21.95 s at an identical probe + identical
@@ -1077,7 +1089,15 @@ object Bench {
           val bridge = keys.filter(col("parent") % 1024 < 64)
             .select(col("parent"), (col("parent") + 64).as("child"))
           graft.ext.Graph.scc(cyc.unionByName(bridge))
-        })),
+        }),
+        // round-9 session 2: CF train/eval at 10× baskets (the full
+        // neighbor-model build on even orders + the odd-order hit join)
+        // and the Hill tail fit at 10× the degree relation
+        "rec1_cf_hitrate" -> ((ps: org.apache.spark.sql.SparkSession) =>
+          SparkEntry.queries("rec1_cf_hitrate")(ps, dir10)),
+        "graph14_hill_alpha" ->
+          ((ps: org.apache.spark.sql.SparkSession) =>
+            SparkEntry.queries("graph14_hill_alpha")(ps, dir10))),
         setup = ps => {
           val o = ps.read.parquet(s"$sfDir/orders.parquet")
             .select("o_orderkey", "o_custkey")
@@ -1153,7 +1173,24 @@ object Bench {
           ((ps: org.apache.spark.sql.SparkSession) =>
             SparkEntry.queries("dq13_snapshot_drift")(ps, dir10)),
         "ab4_welch" -> ((ps: org.apache.spark.sql.SparkSession) =>
-          SparkEntry.queries("ab4_welch")(ps, dir10))))
+          SparkEntry.queries("ab4_welch")(ps, dir10)),
+        // round-9 session 2 (late): funnel latency quartiles (staged
+        // keyed aggs + 2-key grouped selection), per-type value deciles
+        // (PARTITIONED cumulative window at 10× rows), burstiness
+        // (per-user window + user-grain moments), DiD (one conditional
+        // user agg), trigram journeys (window + 125-key agg + cut)
+        "s13_funnel_latency" -> ((ps: org.apache.spark.sql.SparkSession) =>
+          SparkEntry.queries("s13_funnel_latency")(ps, dir10)),
+        "dq16_grouped_quantiles" ->
+          ((ps: org.apache.spark.sql.SparkSession) =>
+            SparkEntry.queries("dq16_grouped_quantiles")(ps, dir10)),
+        "s14_burstiness" -> ((ps: org.apache.spark.sql.SparkSession) =>
+          SparkEntry.queries("s14_burstiness")(ps, dir10)),
+        "ab5_did" -> ((ps: org.apache.spark.sql.SparkSession) =>
+          SparkEntry.queries("ab5_did")(ps, dir10)),
+        "s11_event_trigrams" ->
+          ((ps: org.apache.spark.sql.SparkSession) =>
+            SparkEntry.queries("s11_event_trigrams")(ps, dir10))))
       (walls.toList, ratios.toList, rawSamples.toList, nDocs, nVecs)
     }
     val sf1Fields =

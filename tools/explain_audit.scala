@@ -69,7 +69,25 @@ val names = Seq(
   "graph12_sssp", "d35_damerau_pairs", "d36_cluster_agreement",
   "t42_assoc_rules", "ml1_naive_bayes", "ml2_hash_features",
   "ab3_bootstrap_ci", "dp1_noisy_counts", "sp27_time_split",
-  "z7_partition_plan")
+  "z7_partition_plan",
+  // round-9 session-2 additions: survival/cohort/path analytics (keyed
+  // windows + cell-grain aggs), DBSCAN (degree agg + star-rounds CC —
+  // plan is the final round's joins), SCC (closure ∩ transpose), CF
+  // neighbors + hit-rate (pair scores + keyed window + semi-join),
+  // grouped quantiles (PARTITIONED cumulative window — the dq11 caveat
+  // removed by shape; plan-spec locked too), QL retrieval (tf
+  // materialize + broadcast stats), ROUGE-2 ((pair, gram)-grain
+  // full-outer join), constraint suite (ONE hash-agg), MI/drift audits
+  // (cell-grain joins), conformal (bounded selection window), ACF
+  // (window + explode + AQE-decided stats join), Welch/DiD/burstiness
+  // (user-grain conditional aggs), Hill (distinct-degree agg)
+  "s10_retention_km", "s11_event_trigrams", "s12_cohort_retention",
+  "s13_funnel_latency", "s14_burstiness", "e17_dbscan", "graph13_scc",
+  "graph14_hill_alpha", "rec1_cf_hitrate", "dq13_snapshot_drift",
+  "dq14_mutual_info", "dq15_constraint_suite", "dq16_grouped_quantiles",
+  "x13_acf", "ab4_welch", "ab5_did", "ml3_calibration",
+  "ml4_conformal_coverage", "t44_distinct_ngrams", "t45_vocab_richness",
+  "t46_ql_dirichlet", "t47_rouge2_lead", "sp28_waterfill_budget")
 for (n <- names) {
   val df = graft.SparkEntry.queries(n)(spark, sfDir)
   val plan = df.queryExecution.explainString(
