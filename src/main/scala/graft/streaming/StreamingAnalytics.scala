@@ -657,4 +657,58 @@ object StreamingAnalytics {
         org.apache.spark.sql.streaming.TimeMode.EventTime(),
         OutputMode.Append())
   }
+
+  final case class TransEvent(user_id: Long, tsu: Long, event_id: Long,
+      event_type: String)
+  final case class Transition(user_id: Long, e_from: String,
+      e_to: String)
+
+  /** Per-user consecutive-event transition pairs as a STREAM — the
+   * incremental front half of the s7 Markov model: ONE string of state
+   * per user (the last event type under the (tsu, event_id) total
+   * order), each arrival emitting its (prev → cur) pair; a downstream
+   * streaming agg over (e_from, e_to) maintains the transition counts
+   * whose state is |types|²-bounded, so the whole Markov model streams
+   * with O(users + types²) state. Under per-user monotone ingest the
+   * emitted pair MULTISET equals the batch lead() pairs exactly
+   * (spec-pinned); rows inside a micro-batch sort by the same total
+   * order, so boundary placement cannot reorder a user's chain. */
+  class TransitionProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, TransEvent, Transition] {
+    @transient private var last:
+      org.apache.spark.sql.streaming.ValueState[String] = _
+
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      last = getHandle.getValueState[String]("last",
+        org.apache.spark.sql.Encoders.STRING,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[TransEvent],
+        tv: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[Transition] = {
+      var prev = if (last.exists()) Option(last.get()) else None
+      val out = scala.collection.mutable.ListBuffer.empty[Transition]
+      rows.toSeq.sortBy(e => (e.tsu, e.event_id)).foreach { e =>
+        prev.foreach(p => out += Transition(key, p, e.event_type))
+        prev = Some(e.event_type)
+      }
+      prev.foreach(last.update)
+      out.iterator
+    }
+  }
+
+  /** Streaming Markov transition pairs through `transformWithState`
+   * (RocksDB provider required); append mode, one row per consecutive
+   * pair. */
+  def markovTransitions(events: Dataset[TransEvent])(
+      implicit spark: SparkSession): Dataset[Transition] = {
+    import spark.implicits._
+    events
+      .groupByKey(_.user_id)
+      .transformWithState(new TransitionProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Append())
+  }
 }

@@ -857,6 +857,59 @@ class StreamingSpec extends SparkTestBase {
     }
   }
 
+  test("streaming Markov transitions equal the batch lead() pairs " +
+    "across micro-batch boundaries") {
+    implicit val s = spark
+    implicit val sqlCtx = spark.sqlContext
+    val prevProvider = spark.conf.getOption(
+      "spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      // u1's view->click crosses the boundary (the pair needs batch-1
+      // state); u2's same-tsu events resolve by event_id
+      val b1 = Seq((1L, 10L, 1L, "view"), (1L, 20L, 2L, "click"),
+        (2L, 10L, 3L, "view"), (2L, 10L, 4L, "click"))
+      val b2 = Seq((1L, 30L, 5L, "purchase"), (2L, 40L, 6L, "purchase"))
+      val input = MemoryStream[StreamingAnalytics.TransEvent]
+      val q = StreamingAnalytics.markovTransitions(input.toDS())
+        .writeStream.outputMode("append")
+        .format("memory").queryName("trans_out").start()
+      input.addData(b1.map(e =>
+        StreamingAnalytics.TransEvent(e._1, e._2, e._3, e._4)): _*)
+      q.processAllAvailable()
+      input.addData(b2.map(e =>
+        StreamingAnalytics.TransEvent(e._1, e._2, e._3, e._4)): _*)
+      q.processAllAvailable()
+      q.stop()
+      val streamed = spark.table("trans_out")
+        .collect().map(r => (r.getLong(0), r.getString(1),
+          r.getString(2))).sorted.toSeq
+      // batch lead() pairs over the accumulated events
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("tsu", "event_id")
+      val batch = (b1 ++ b2).toDF("user_id", "tsu", "event_id", "et")
+        .select($"user_id", $"et".as("e_from"),
+          lead($"et", 1).over(w).as("e_to"))
+        .filter($"e_to".isNotNull)
+        .collect().map(r => (r.getLong(0), r.getString(1),
+          r.getString(2))).sorted.toSeq
+      assert(streamed == batch,
+        s"streamed $streamed\nbatch $batch")
+      assert(streamed.contains((1L, "click", "purchase")),
+        "the cross-boundary pair must use batch-1 state")
+      assert(streamed.contains((2L, "view", "click")),
+        "same-tsu events must order by event_id")
+    } finally {
+      prevProvider match {
+        case Some(p) => spark.conf.set(
+          "spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset(
+          "spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("streaming growth accounting equals batch minus trailing churn") {
     implicit val s = spark
     implicit val sqlCtx = spark.sqlContext
