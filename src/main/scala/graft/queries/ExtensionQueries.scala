@@ -4805,6 +4805,66 @@ object ExtensionQueries {
               FROM d"""),
       "per-user inter-arrival burstiness (metronome vs burst-silence)"),
 
+    // Session depth panel over s1's gap rule (1-hour): session-grain
+    // event counts rolled into the one-row engagement readout — bounce
+    // share (single-event sessions), exact permille mean depth, max.
+    "s15_session_depth" -> QueryDef(
+      (s, dir) => {
+        val wOrd = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id").orderBy("ts", "event_id")
+        val gapNs = 3600L * 1000000000L
+        t(s, dir, "events")
+          .withColumn("prev_ts", lag("ts", 1).over(wOrd))
+          .withColumn("nw", when(col("prev_ts").isNull ||
+            col("ts") - col("prev_ts") > gapNs, 1L).otherwise(0L))
+          .withColumn("sid", sum("nw").over(wOrd.rowsBetween(
+            org.apache.spark.sql.expressions.Window.unboundedPreceding,
+            org.apache.spark.sql.expressions.Window.currentRow)))
+          .groupBy("user_id", "sid")
+          .agg(count(lit(1)).as("depth"))
+          .agg(count(lit(1)).as("n_sessions"),
+            sum(when(col("depth") === 1L, 1L).otherwise(0L))
+              .as("n_bounce"),
+            sum("depth").as("n_events"),
+            max("depth").as("max_depth"))
+          .select(col("n_sessions"), col("n_bounce"), col("n_events"),
+            col("max_depth"),
+            expr("(n_bounce * 1000000) div n_sessions").as("bounce_ppm"),
+            expr("(n_events * 1000) div n_sessions")
+              .as("mean_depth_milli"))
+      },
+      Some("""WITH g AS (SELECT user_id, epoch_ns(ts) AS tsn, event_id,
+                     lag(epoch_ns(ts)) OVER w AS prev_ts
+                   FROM events
+                   WINDOW w AS (PARTITION BY user_id
+                                ORDER BY epoch_ns(ts), event_id)),
+              f AS (SELECT user_id, tsn, event_id,
+                           CASE WHEN prev_ts IS NULL
+                                  OR tsn - prev_ts > 3600000000000
+                                THEN 1 ELSE 0 END AS nw
+                    FROM g),
+              sx AS (SELECT user_id,
+                            sum(nw) OVER (PARTITION BY user_id
+                              ORDER BY tsn, event_id
+                              ROWS UNBOUNDED PRECEDING) AS sid
+                     FROM f),
+              se AS (SELECT user_id, sid,
+                            CAST(count(*) AS BIGINT) AS depth
+                     FROM sx GROUP BY 1, 2),
+              a AS (SELECT CAST(count(*) AS BIGINT) AS n_sessions,
+                           CAST(sum(CASE WHEN depth = 1 THEN 1
+                                    ELSE 0 END) AS BIGINT) AS n_bounce,
+                           CAST(sum(depth) AS BIGINT) AS n_events,
+                           CAST(max(depth) AS BIGINT) AS max_depth
+                    FROM se)
+              SELECT n_sessions, n_bounce, n_events, max_depth,
+                     CAST((n_bounce * 1000000) // n_sessions AS BIGINT)
+                       AS bounce_ppm,
+                     CAST((n_events * 1000) // n_sessions AS BIGINT)
+                       AS mean_depth_milli
+              FROM a"""),
+      "session depth panel: bounce share, mean/max depth (gap rule)"),
+
     // Join-size pre-flight from sketches alone (AMS/CMS inner product):
     // |orders JOIN customer| estimated from the two key sketches beside
     // the exact size — never an underestimate, computed without the
