@@ -762,8 +762,12 @@ object Graph {
    * Cost is closure-bounded: Σ|reach(v)| pairs — the audit-slice grain
    * of graph8 (bounded subgraphs, lineage/dependency graphs), NOT a
    * 100-TB social graph; the closure itself runs semi-naive
-   * (frontier-only joins, shrinking rounds). Nodes appear iff they
-   * carry a non-self edge. Output: (node, scc_id, scc_size). */
+   * (frontier-only joins, shrinking rounds) and inherits
+   * [[reachability]]'s `maxIter` contract — a closure truncated at the
+   * bound (loudly WARN-logged there) under-merges components, so size
+   * `maxIter` to the graph's diameter (cycle length bounds it for the
+   * gate graphs). Nodes appear iff they carry a non-self edge.
+   * Output: (node, scc_id, scc_size). */
   def scc(edges: DataFrame, maxIter: Int = 30): DataFrame = {
     val e = Dedup.materialize(
       edges.select(col("parent"), col("child"))

@@ -582,6 +582,10 @@ object Profile {
    * shift of one numeric column; this is the wide-and-shallow
    * complement: every column, three integers each, exact.
    *
+   * Mode concentration is the top value's share of ALL rows (nulls
+   * included in the denominator — a column drifting toward null should
+   * depress its mode share, not inflate it).
+   *
    * Columns are profiled as STRINGS — callers must pre-project
    * non-string columns through a deterministic rendering (integers are
    * safe; cast raw doubles to a quantized integer first, since

@@ -259,9 +259,10 @@ object Similarity {
    * — a deterministic refinement of the paper's arrival-order tie —
    * and everything else is noise.
    *
-   * `nbrs` must be symmetric ordered pairs without self-pairs
-   * ([[epsNeighbors]] at gate scale; any blocked candidate relation at
-   * corpus scale). Scale shape: one degree hash-agg, two semi-joins to
+   * `nbrs` must be DISTINCT symmetric ordered pairs without
+   * self-pairs ([[epsNeighbors]] at gate scale; any blocked candidate
+   * relation at corpus scale — deduplicate a multi-block enumeration
+   * first, or duplicate pairs inflate degrees and mint false cores). Scale shape: one degree hash-agg, two semi-joins to
    * cut the core-core subgraph, star-rounds CC (shuffle-bounded), one
    * min hash-agg for borders — nothing corpus² beyond what the caller's
    * neighbor enumeration already paid.

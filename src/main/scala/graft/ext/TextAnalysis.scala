@@ -794,7 +794,9 @@ object TextAnalysis {
    * gram counts; P/R in exact ppm integer division; F1 = 2PR/(P+R) as
    * ONE fixed-shape double over the exact overlap/total integers,
    * micro-quantized — both engines replay it bit-for-bit. Zero-gram
-   * sides (text shorter than n) yield zero scores, never NaN.
+   * sides (text shorter than n) yield zero scores, never NaN; a pair
+   * whose BOTH sides have zero n-grams contributes no gram rows and is
+   * absent from the output (identically in both engines).
    *
    * Scale shape: two narrow n-gram explodes at (pair, gram) grain, one
    * full-outer join AT THAT GRAIN (never a cross product), one
