@@ -1140,6 +1140,53 @@ object AnalyticsQueries {
               GROUP BY 1, 2"""),
       "per-event-type exact deciles (keyed order-stat selection)"),
 
+    // Quantile-level drift: per-type value deciles on even- vs odd-day
+    // snapshots, joined — WHERE in the distribution the shift lives
+    // (dq4's PSI says how much mass moved; deciles say which quantiles
+    // carried it). Pure composition of the grouped order-stat selection.
+    "dq18_decile_drift" -> QueryDef(
+      (s, dir) => {
+        val ev = t(s, dir, "events").select(col("event_type"),
+          floor(col("value") * 100 + lit(0.5)).cast("long")
+            .as("value_centi"),
+          expr("((ts div 1000) div 86400000000) % 2").as("__par"))
+        def dec(par: Long, name: String) =
+          graft.ext.Profile.groupedOrderStats(
+            ev.filter(col("__par") === par).drop("__par"),
+            "event_type", "value_centi", k = 10)
+            .withColumnRenamed("vq", name)
+        dec(0L, "vq_ref").join(dec(1L, "vq_cur"), Seq("key", "q"))
+          .select(col("key"), col("q"), col("vq_ref"), col("vq_cur"),
+            (col("vq_cur") - col("vq_ref")).as("shift_centi"))
+      },
+      Some("""WITH d AS (SELECT event_type AS key,
+                     CAST(floor(value * 100 + 0.5) AS BIGINT) AS vq,
+                     (epoch_us(ts) // 86400000000) % 2 AS par
+                   FROM events WHERE value IS NOT NULL),
+              c AS (SELECT par, key, vq, CAST(count(*) AS BIGINT) AS c
+                    FROM d GROUP BY 1, 2, 3),
+              cum AS (SELECT par, key, vq,
+                             CAST(sum(c) OVER (PARTITION BY par, key
+                               ORDER BY vq ROWS UNBOUNDED PRECEDING)
+                               AS BIGINT) AS cum
+                      FROM c),
+              tot AS (SELECT par, key, CAST(sum(c) AS BIGINT) AS n
+                      FROM c GROUP BY 1, 2),
+              qs AS (SELECT CAST(unnest(generate_series(1, 10)) AS INT)
+                       AS q),
+              dq AS (SELECT cum.par, cum.key, qs.q,
+                            CAST(min(cum.vq) AS BIGINT) AS vq
+                     FROM cum JOIN tot ON tot.par = cum.par
+                                      AND tot.key = cum.key
+                     CROSS JOIN qs
+                     WHERE cum.cum >= (qs.q * tot.n + 9) // 10
+                     GROUP BY 1, 2, 3)
+              SELECT r.key, r.q, r.vq AS vq_ref, c.vq AS vq_cur,
+                     c.vq - r.vq AS shift_centi
+              FROM dq r JOIN dq c ON c.key = r.key AND c.q = r.q
+                AND r.par = 0 AND c.par = 1"""),
+      "per-type decile drift between even/odd-day snapshots"),
+
     // Funnel-stage latency quantiles: s2's view→click→purchase chain
     // per user, stage deltas in whole seconds, exact quartiles per
     // stage via the grouped order-stat selection — the "how long does
