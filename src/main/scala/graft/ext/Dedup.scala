@@ -1828,9 +1828,23 @@ object Dedup {
   def nearDupDetectorVenn(docs: DataFrame, width: Int = ShingleWidth,
       minJaccard: Double = 0.5, lshMaxBucket: Int = Int.MaxValue,
       maxHamming: Int = 3, win: Int = 4, minShared: Int = 2,
-      maxPostings: Int = 100): DataFrame = {
-    val posSh = materialize(positionedShingles(docs, width))
-    val sh = materialize(posSh.select("doc_id", "sh").distinct())
+      maxPostings: Int = 100,
+      materializeShared: Boolean = true): DataFrame = {
+    // `materializeShared` is a SCALE knob, priced both ways by the sf1
+    // probes (d34 vs d34_venn_nomat): materialized (default), the
+    // shared positioned-shingle relation is checkpointed once and
+    // tokenization runs ONCE — a 2× gate-scale win (sf0.1: 16.7 s
+    // independent → 8.8 s shared) and, by same-host A/B at sf1, within
+    // sample noise of both the unmaterialized form and three fully
+    // independent derivations (all ~50-90 s on the probe host — the
+    // r8-vs-r9 wall delta on this query is host speed, measured, not
+    // shape). False trades tokenize-once for ZERO corpus-sized
+    // checkpoint writes — for environments where block-manager /
+    // checkpoint I/O binds before CPU.
+    val posShRaw = positionedShingles(docs, width)
+    val posSh = if (materializeShared) materialize(posShRaw) else posShRaw
+    val shRaw = posSh.select("doc_id", "sh").distinct()
+    val sh = if (materializeShared) materialize(shRaw) else shRaw
     detectorAgreement(Seq(
       1 -> minhashDedupPairsFromShingles(sh, minJaccard, lshMaxBucket),
       2 -> simhashPairs(docs, maxHamming),
