@@ -306,6 +306,41 @@ object TimeSeries {
       .withColumn("idle", col("span") - col("covered"))
   }
 
+  /** Per-key OLS trend slope over an integer series — "is this key's
+   * traffic growing, and how fast": slope = (nΣtc − ΣtΣc)/(nΣt² −
+   * (Σt)²) computed as an EXACT INTEGER RATIONAL (milli-units by a
+   * single flooring division at the end — no doubles anywhere, so the
+   * cross-engine replay is trivially exact; contrast [[graft.ext
+   * .TextAnalysis.zipfFit]], whose log-log axes force the quantized-ln
+   * discipline). A constant-ord key (zero denominator: one point, or
+   * repeated ords) yields NULL.
+   *
+   * Bounds: with ords re-based per key to 0..span (one min-window),
+   * nΣtc ≤ n²·span·max|c| — day-grain ords and count-grade values keep
+   * every product far inside BIGINT for any realistic key. One keyed
+   * hash-agg after the re-base window; output one row per key:
+   * (key, n_points, slope_milli). */
+  def keyedTrend(series: DataFrame, key: String, ordCol: String,
+      valCol: String): DataFrame = {
+    val w = Window.partitionBy(key)
+    val t = (col(ordCol) - min(col(ordCol)).over(w)).cast("long")
+    val c = col(valCol).cast("long")
+    series
+      .select(col(key), t.as("__t"), c.as("__c"))
+      .groupBy(col(key))
+      .agg(count(lit(1)).as("n_points"),
+        sum("__t").as("__st"), sum("__c").as("__sc"),
+        sum(col("__t") * col("__t")).as("__stt"),
+        sum(col("__t") * col("__c")).as("__stc"))
+      .select(col(key), col("n_points"),
+        when(col("n_points") * col("__stt") -
+          col("__st") * col("__st") === 0L, lit(null).cast("long"))
+          .otherwise(expr(
+            "((n_points * __stc - __st * __sc) * 1000) div " +
+              "(n_points * __stt - __st * __st)"))
+          .as("slope_milli"))
+  }
+
   /** Inter-arrival burstiness per key (Goh & Barabási 2008): the
    * burstiness index B = (σ − μ)/(σ + μ) over a key's inter-event gaps
    * — −1 for a metronome (σ = 0), → 0 for a Poisson process (σ ≈ μ),

@@ -4865,6 +4865,39 @@ object ExtensionQueries {
               FROM a"""),
       "session depth panel: bounce share, mean/max depth (gap rule)"),
 
+    // Per-type daily-count trend: exact integer-rational OLS slope in
+    // milli-units (no doubles anywhere — the one regression in the
+    // engine whose replay needs no quantization discipline at all).
+    "x14_keyed_trend" -> QueryDef(
+      (s, dir) => graft.ext.TimeSeries.keyedTrend(
+        t(s, dir, "events")
+          .groupBy(col("event_type"),
+            expr("(ts div 1000) div 86400000000").as("day"))
+          .agg(count(lit(1)).as("n")),
+        "event_type", "day", "n"),
+      Some("""WITH sr AS (SELECT event_type,
+                     epoch_us(ts) // 86400000000 AS day,
+                     CAST(count(*) AS BIGINT) AS n
+                   FROM events GROUP BY 1, 2),
+              rb AS (SELECT event_type,
+                            day - min(day) OVER (PARTITION BY event_type)
+                              AS t, n AS c
+                     FROM sr),
+              a AS (SELECT event_type,
+                           CAST(count(*) AS BIGINT) AS n_points,
+                           CAST(sum(t) AS BIGINT) AS st,
+                           CAST(sum(c) AS BIGINT) AS sc,
+                           CAST(sum(t * t) AS BIGINT) AS stt,
+                           CAST(sum(t * c) AS BIGINT) AS stc
+                    FROM rb GROUP BY 1)
+              SELECT event_type, n_points,
+                     CASE WHEN n_points * stt - st * st = 0 THEN NULL
+                          ELSE CAST(((n_points * stc - st * sc) * 1000)
+                            // (n_points * stt - st * st) AS BIGINT)
+                     END AS slope_milli
+              FROM a"""),
+      "per-type daily-count OLS trend (exact integer-rational slope)"),
+
     // Join-size pre-flight from sketches alone (AMS/CMS inner product):
     // |orders JOIN customer| estimated from the two key sketches beside
     // the exact size — never an underestimate, computed without the

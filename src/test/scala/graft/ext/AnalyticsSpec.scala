@@ -716,6 +716,32 @@ class AnalyticsSpec extends SparkTestBase {
     assert(rz.get(3) == null)
   }
 
+  test("keyedTrend: exact rational slope, flooring, degenerate NULL") {
+    // y = 3t + 7 exactly -> slope_milli = 3000; one key flat -> 0;
+    // one key with a single point -> NULL
+    val s = ((0L to 9L).map(t0 => ("up", t0, 3 * t0 + 7)) ++
+      (0L to 5L).map(t0 => ("flat", t0, 4L)) ++
+      Seq(("one", 5L, 9L)))
+      .toDF("k", "ord", "v")
+    val m = TimeSeries.keyedTrend(s, "k", "ord", "v")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getAs[java.lang.Long]("slope_milli")))).toMap
+    assert(m("up") == ((10L, 3000L)))
+    assert(m("flat") == ((6L, 0L)))
+    assert(m("one") == ((1L, null)))
+    // non-integer slope floors: y = t/2 over t=0..3 (0,0,1,1) ->
+    // slope = 2/5 -> 400 milli
+    val h = (0L to 3L).map(t0 => ("h", t0, t0 / 2))
+      .toDF("k", "ord", "v")
+    assert(TimeSeries.keyedTrend(h, "k", "ord", "v")
+      .collect().head.getLong(2) == 400L)
+    // ord re-basing: shifting all ords must not move the slope
+    val sh = ((100L to 109L).map(t0 => ("up", t0, 3 * (t0 - 100) + 7)))
+      .toDF("k", "ord", "v")
+    assert(TimeSeries.keyedTrend(sh, "k", "ord", "v")
+      .collect().head.getLong(2) == 3000L)
+  }
+
   test("welch: hand t/df, zero-diff case, degenerate guards") {
     // users 0,2 -> arm0 (totals 100, 300 centi); users 1,3 -> arm1
     def ev(vals: (Long, Double)*) = vals.zipWithIndex.map {
