@@ -246,25 +246,44 @@ object Attribution {
    * m_score, n_customers, monetary_micro`), not the per-customer frame —
    * at 100 TB the per-customer relation is an intermediate you aggregate
    * away, and the three global `ntile`s each run on the already-reduced
-   * one-row-per-customer relation (a single-partition sort of N_customers
-   * rows is the documented cost of exact global quantile ranks; for
-   * billions of customers swap in [[Profile.orderStatQuantiles]]-style
-   * range partitioning).
+   * one-row-per-customer relation. A single-partition sort of
+   * N_customers rows is the cost of exact global quantile ranks, and
+   * that cost is ENFORCED, not merely documented (the
+   * [[Profile]] `boundedCumCounts` discipline, r9 verdict #4): a loud
+   * `assert_true` on the customer count fails the job before the
+   * unpartitioned windows run, so a caller pointing this at a
+   * billion-customer relation gets a refusal naming the
+   * range-partitioned alternative instead of a silently
+   * single-threaded terabyte sort.
    */
   def rfmSegments(orders: DataFrame,
-      asOf: java.sql.Date = graft.queries.Tables.AsOfDate): DataFrame = {
+      asOf: java.sql.Date = graft.queries.Tables.AsOfDate,
+      maxCustomers: Long = 10000000L): DataFrame = {
     val perCust = orders.groupBy("o_custkey")
       .agg(datediff(lit(asOf), max(to_date(col("o_orderdate"))))
              .as("recency_days"),
         count(lit(1)).as("n_orders"),
         sum(microCents(col("o_totalprice"))).as("monetary_micro"))
+    // loud bound at CUSTOMER grain — the rows the three unpartitioned
+    // ntile windows will single-partition sort (same refusal contract
+    // as Profile.boundedCumCounts; past it, range-partition the ranks:
+    // a global range sort + per-partition row_number with broadcast
+    // partition offsets yields the identical quintiles)
+    val guard = perCust.agg(count(lit(1)).as("__nc"))
+      .withColumn("__g", assert_true(col("__nc") <= maxCustomers,
+        lit(s"rfmSegments: customer cardinality exceeds $maxCustomers " +
+          "— the exact global ntile ranks single-partition sort at " +
+          "customer grain; range-partition the ranks instead " +
+          "(bounded-grain contract, see Profile.boundedCumCounts)")))
+      .where(col("__g").isNull).select("__g")
+    val bounded = perCust.crossJoin(broadcast(guard)).drop("__g")
     val r = ntile(5).over(
       Window.orderBy(col("recency_days").desc, col("o_custkey")))
     val f = ntile(5).over(
       Window.orderBy(col("n_orders").asc, col("o_custkey")))
     val m = ntile(5).over(
       Window.orderBy(col("monetary_micro").asc, col("o_custkey")))
-    perCust
+    bounded
       .select(col("o_custkey"), col("monetary_micro"),
         r.as("r_score"), f.as("f_score"), m.as("m_score"))
       .groupBy("r_score", "f_score", "m_score")
@@ -350,7 +369,7 @@ object Attribution {
    * then one cumulative window over DISTINCT lifetimes — a single
    * partition at that grain, corpus-independent for bucketed lifetimes
    * (minutes, days) and ENFORCED by the same loud `assert_true` bound as
-   * `Profile.boundedTotal`: a caller feeding raw-nanosecond lifetimes
+   * `Profile.boundedCumCounts`: a caller feeding raw-nanosecond lifetimes
    * fails on the job, not in a post-mortem. */
   def kaplanMeier(lifetimes: DataFrame, tCol: String, deathCol: String,
       maxDistinctT: Long = 100000L): DataFrame = {
@@ -358,19 +377,17 @@ object Attribution {
       .agg(sum(col(deathCol)).as("n_events"),
         sum(lit(1L) - col(deathCol)).as("n_censored"),
         count(lit(1)).as("__nt"))
-    val total = byT.agg(sum("__nt").as("__N"), count(lit(1)).as("__nd"))
-      .withColumn("__g", assert_true(col("__nd") <= maxDistinctT,
-        lit(s"kaplanMeier: distinct-lifetime cardinality exceeds " +
-          s"$maxDistinctT — bucket lifetimes coarser (bounded-grain " +
-          "contract, see Profile.boundedTotal)")))
-      .where(col("__g").isNull).select("__N")
-    val wPre = Window.orderBy("t")
-      .rowsBetween(Window.unboundedPreceding, -1)
     val wCum = Window.orderBy("t")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val risk = byT.crossJoin(broadcast(total))
-      .withColumn("n_risk",
-        col("__N") - coalesce(sum("__nt").over(wPre), lit(0L)))
+    // the shared enforced-grain kernel (r9 verdict #7): the risk set is
+    // the total minus the EXCLUSIVE cumulative count, i.e. n − cum + nt
+    // over the kernel's inclusive cum
+    val risk = graft.ext.Profile.boundedCumCounts(byT, "t", "__nt",
+        maxDistinctT,
+        s"kaplanMeier: distinct-lifetime cardinality exceeds " +
+          s"$maxDistinctT — bucket lifetimes coarser (bounded-grain " +
+          "contract, see Profile.boundedCumCounts)")
+      .withColumn("n_risk", col("n") - col("cum") + col("__nt"))
     val term = when(col("n_events") === 0L, lit(0L))
       .when(col("n_risk") === col("n_events"), lit(-1000000000000000L))
       .otherwise(floor(

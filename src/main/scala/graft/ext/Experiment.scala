@@ -182,24 +182,21 @@ object Experiment {
     val absR = abs(col(residCol))
     val counts = scored.filter(col(calCol)).select(absR.as("r"))
       .groupBy("r").agg(count(lit(1)).as("c"))
-    val tot = counts.agg(sum("c").as("n_cal"), count(lit(1)).as("__nd"))
-      .withColumn("__g", assert_true(col("__nd") <= maxDistinct,
-        lit(s"conformalCoverage: distinct-residual cardinality exceeds " +
+    // the shared enforced-grain kernel (r9 verdict #7): bound + ONE
+    // single-partition cumulative window, in one place for every exact
+    // order-statistic consumer
+    val q = graft.ext.Profile.boundedCumCounts(counts, "r", "c",
+        maxDistinct,
+        s"conformalCoverage: distinct-residual cardinality exceeds " +
           s"$maxDistinct — quantize residuals coarser (bounded-grain " +
-          "contract)")))
-      .where(col("__g").isNull).select("n_cal")
-    val w = org.apache.spark.sql.expressions.Window.orderBy("r")
-      .rowsBetween(
-        org.apache.spark.sql.expressions.Window.unboundedPreceding,
-        org.apache.spark.sql.expressions.Window.currentRow)
-    val q = counts.crossJoin(broadcast(tot))
-      .withColumn("cum", sum("c").over(w))
+          "contract, see Profile.boundedCumCounts)")
+      .withColumnRenamed("n", "n_cal")
       .filter(col("cum") >=
         least(col("n_cal"),
           expr(s"((n_cal + 1) * $alphaPct + 99) div 100")))
-      .agg(min("r").as("q_resid"))
+      .agg(min("r").as("q_resid"), max("n_cal").as("n_cal"))
     scored.filter(!col(calCol)).select(absR.as("r"))
-      .crossJoin(broadcast(q)).crossJoin(broadcast(tot))
+      .crossJoin(broadcast(q))
       .agg(max("n_cal").as("n_cal"), count(lit(1)).as("n_test"),
         max("q_resid").as("q_resid"),
         sum(when(col("r") <= col("q_resid"), 1L).otherwise(0L))

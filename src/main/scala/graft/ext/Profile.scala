@@ -271,13 +271,38 @@ object Profile {
    * instead of silently single-threading a terabyte sort. (A
    * range-partitioned two-level prefix sum would lift the bound; no
    * current caller needs it, so the loud bound is the honest shape.) */
-  private def boundedTotal(counts: DataFrame, maxDistinct: Long): DataFrame =
-    counts.agg(sum("c").as("n"), count(lit(1)).as("nd"))
-      .withColumn("_g", assert_true(col("nd") <= maxDistinct,
-        lit(s"order-stat selection: distinct-value cardinality exceeds " +
-          s"$maxDistinct — this column violates the bounded-grain " +
-          "contract (see Profile.boundedTotal)")))
-      .where(col("_g").isNull).select("n")
+  private def orderStatMsg(maxDistinct: Long): String =
+    s"order-stat selection: distinct-value cardinality exceeds " +
+      s"$maxDistinct — this column violates the bounded-grain " +
+      "contract (see Profile.boundedCumCounts)"
+
+  /** THE shared enforced-grain cumulative kernel (r9 verdict #7): every
+   * exact order-statistic consumer in the engine — equi-depth quantiles
+   * (dq11), median/MAD, split-conformal selection (ml4), Kaplan–Meier
+   * risk sets (s10), the key-skew Gini histogram — is the same two-step
+   * shape: (1) LOUDLY assert the distinct-value cardinality of a
+   * (value, count) relation against `maxDistinct` in the 1-row agg that
+   * also yields the grand total, (2) run ONE single-partition inclusive
+   * cumulative-count window over the distinct values. This method is
+   * that pair, in one place, so the next quantile consumer cannot
+   * re-implement the window without the bound. Input: `counts` at
+   * DISTINCT-`vCol` grain with a positive BIGINT `cCol`. Output: the
+   * input rows plus `n` (Σ cCol, broadcast onto every row) and `cum`
+   * (inclusive cumulative `cCol` in `vCol` order). The assert fails the
+   * SAME job — a violating caller gets `msg`, never a silently
+   * single-threaded terabyte sort. */
+  private[graft] def boundedCumCounts(counts: DataFrame, vCol: String,
+      cCol: String, maxDistinct: Long, msg: String): DataFrame = {
+    val tot = counts.agg(sum(cCol).as("n"), count(lit(1)).as("__nd"))
+      .withColumn("__g", assert_true(col("__nd") <= maxDistinct, lit(msg)))
+      .where(col("__g").isNull).select("n")
+    val w = org.apache.spark.sql.expressions.Window.orderBy(vCol)
+      .rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    counts.crossJoin(broadcast(tot))
+      .withColumn("cum", sum(cCol).over(w))
+  }
 
   /** Exact LOWER median of a centi-quantized value relation by
    * value-grain selection: counts per distinct value, cumulative count
@@ -285,22 +310,16 @@ object Profile {
    * (n+1) div 2. The window runs at DISTINCT-VALUE grain — for a price
    * or score column that is orders of magnitude smaller than the row
    * count, which is what makes an EXACT median scalable where a
-   * row-grain global sort would not be ([[boundedTotal]] enforces the
+   * row-grain global sort would not be ([[boundedCumCounts]] enforces the
    * grain contract). Never interpolates: an order-statistic median is
    * an integer both engines agree on, where interpolating quantile
    * implementations differ in double op shape. */
   private def lowerMedianQ(vq: DataFrame,
-      maxDistinct: Long = MaxOrderStatDistinct): DataFrame = {
-    val counts = vq.groupBy("vq").agg(count(lit(1)).as("c"))
-    val w = org.apache.spark.sql.expressions.Window.orderBy("vq")
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
-        org.apache.spark.sql.expressions.Window.currentRow)
-    counts
-      .crossJoin(broadcast(boundedTotal(counts, maxDistinct)))
-      .withColumn("cum", sum("c").over(w))
+      maxDistinct: Long = MaxOrderStatDistinct): DataFrame =
+    boundedCumCounts(vq.groupBy("vq").agg(count(lit(1)).as("c")),
+      "vq", "c", maxDistinct, orderStatMsg(maxDistinct))
       .filter(col("cum") >= expr("(n + 1) div 2"))
       .agg(min("vq").as("med_q"), max("n").as("n"))
-  }
 
   /** Default distinct-value bound for the single-partition cumulative
    * window: 4M distinct values ≈ a ~100 MB one-partition sort — cheap
@@ -318,7 +337,7 @@ object Profile {
    * percentiles render engine-dependent (their double op shapes differ);
    * an order statistic is an integer every engine agrees on. Input
    * centi-quantizes like [[madOutlierStats]]; the distinct-value grain
-   * contract is enforced by [[boundedTotal]]. Output: (q, rank, vq) —
+   * contract is enforced by [[boundedCumCounts]]. Output: (q, rank, vq) —
    * one row per cut j = 1..k, vq in centi-units. */
   def orderStatQuantiles(df: DataFrame, valCol: String,
       k: Int, maxDistinct: Long = MaxOrderStatDistinct): DataFrame = {
@@ -329,12 +348,8 @@ object Profile {
       .select(floor(col(valCol) * lit(100) + lit(0.5)).cast("long")
         .as("vq"))
       .groupBy("vq").agg(count(lit(1)).as("c"))
-    val w = org.apache.spark.sql.expressions.Window.orderBy("vq")
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
-        org.apache.spark.sql.expressions.Window.currentRow)
-    val cum = counts
-      .crossJoin(broadcast(boundedTotal(counts, maxDistinct)))
-      .withColumn("cum", sum("c").over(w))
+    val cum = boundedCumCounts(counts, "vq", "c", maxDistinct,
+      orderStatMsg(maxDistinct))
     cum.crossJoin(broadcast((1 to k).toDF("q")))
       // rank_j = ceil(j*n/k) in integer arithmetic: (j*n + k - 1) div k
       .withColumn("rank", expr(s"(q * n + $k - 1) div ${k}L"))
@@ -454,22 +469,17 @@ object Profile {
   def keySkewAudit(df: DataFrame, keyCol: String,
       maxGrain: Long = 4000000L): DataFrame = {
     val counts = df.groupBy(col(keyCol)).agg(count(lit(1)).as("c"))
-    // grain guard at the histogram grain (rows the window will sort):
-    // same loud-refusal contract as boundedTotal
-    val guard = counts.groupBy("c").agg(count(lit(1)).as("m"))
-      .agg(count(lit(1)).as("nh"))
-      .withColumn("_g", assert_true(col("nh") <= maxGrain,
-        lit(s"keySkewAudit: count-histogram grain exceeds $maxGrain — " +
+    // grain guard + cumulative window at the histogram grain via the
+    // shared enforced kernel (r9 verdict #7); the EXCLUSIVE prefix this
+    // rank math needs is the kernel's inclusive cum minus the row's own
+    // multiplicity
+    val ranked = boundedCumCounts(
+        counts.groupBy("c").agg(count(lit(1)).as("m")), "c", "m",
+        maxGrain,
+        s"keySkewAudit: count-histogram grain exceeds $maxGrain — " +
           "this key's frequency profile violates the bounded-grain " +
-          "contract (see Profile.keySkewAudit)")))
-      .where(col("_g").isNull).select("_g")
-    val hist = counts.groupBy("c").agg(count(lit(1)).as("m"))
-      .crossJoin(broadcast(guard)).drop("_g")
-    val w = org.apache.spark.sql.expressions.Window.orderBy("c")
-      .rowsBetween(org.apache.spark.sql.expressions.Window
-        .unboundedPreceding, -1)
-    val ranked = hist
-      .withColumn("k_before", coalesce(sum("m").over(w), lit(0L)))
+          "contract (see Profile.keySkewAudit)")
+      .withColumn("k_before", col("cum") - col("m"))
       .select(col("c"), col("m"), col("k_before"),
         (col("c") * (col("m") * col("k_before") +
           expr("m * (m + 1) div 2"))).as("rank_mass"))

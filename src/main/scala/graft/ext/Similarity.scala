@@ -240,7 +240,12 @@ object Similarity {
     val b = vecs.select(col("vec_id").as("b_id"),
       col("embedding").as("b_emb"),
       sqrt(dot(col("embedding"), col("embedding"))).as("b_norm"))
-    a.crossJoin(b).filter(col("a_id") =!= col("b_id"))
+    // zero-norm guard: a zero vector's cosine is 0/0 = NaN, and Spark's
+    // NaN >= eps filter DROPS the pair while DuckDB orders NaN greater
+    // than any value and would KEEP it — the explicit predicate makes
+    // the "no zero vectors pair up" contract identical in both engines.
+    a.crossJoin(b).filter(col("a_id") =!= col("b_id") &&
+        col("a_norm") > 0 && col("b_norm") > 0)
       .select(col("a_id"), col("b_id"),
         round(dot(col("a_emb"), col("b_emb")) /
           (col("a_norm") * col("b_norm")), 4).as("sim"))

@@ -309,22 +309,39 @@ object TimeSeries {
   /** Per-key OLS trend slope over an integer series — "is this key's
    * traffic growing, and how fast": slope = (nΣtc − ΣtΣc)/(nΣt² −
    * (Σt)²) computed as an EXACT INTEGER RATIONAL (milli-units by a
-   * single flooring division at the end — no doubles anywhere, so the
-   * cross-engine replay is trivially exact; contrast [[graft.ext
+   * single TRUNCATING division at the end — Spark `div` and DuckDB `//`
+   * both round toward zero, so negative non-exact slopes round toward
+   * zero, not down; no doubles anywhere, so the cross-engine replay is
+   * trivially exact; contrast [[graft.ext
    * .TextAnalysis.zipfFit]], whose log-log axes force the quantized-ln
    * discipline). A constant-ord key (zero denominator: one point, or
    * repeated ords) yields NULL.
    *
    * Bounds: with ords re-based per key to 0..span (one min-window),
    * nΣtc ≤ n²·span·max|c| — day-grain ords and count-grade values keep
-   * every product far inside BIGINT for any realistic key. One keyed
-   * hash-agg after the re-base window; output one row per key:
-   * (key, n_points, slope_milli). */
+   * every product far inside BIGINT for any realistic key, and the
+   * bound is ENFORCED, not assumed (the calibrationBins discipline): a
+   * loud `assert_true` checks every cross-moment product against the
+   * exact-BIGINT envelope before the integer arithmetic runs, so an
+   * extreme key fails the job instead of wrapping silently to a wrong
+   * slope in non-ANSI mode. One keyed hash-agg after the re-base
+   * window; output one row per key: (key, n_points, slope_milli). */
   def keyedTrend(series: DataFrame, key: String, ordCol: String,
       valCol: String): DataFrame = {
     val w = Window.partitionBy(key)
     val t = (col(ordCol) - min(col(ordCol)).over(w)).cast("long")
     val c = col(valCol).cast("long")
+    // every BIGINT product below must stay under Long.Max/1000 so the
+    // ×1000 milli-scale and the two-term subtraction cannot wrap; the
+    // check runs in doubles (exact enough at this margin — relative
+    // double error ~1e-16 against a 2× safety factor)
+    val lim = lit(4.0e15)
+    val guarded = when(
+      abs(col("n_points").cast("double") * col("__stc").cast("double")) < lim &&
+      abs(col("__st").cast("double") * col("__sc").cast("double")) < lim &&
+      abs(col("n_points").cast("double") * col("__stt").cast("double")) < lim &&
+      abs(col("__st").cast("double") * col("__st").cast("double")) < lim,
+      lit(true)).otherwise(lit(false))
     series
       .select(col(key), t.as("__t"), c.as("__c"))
       .groupBy(col(key))
@@ -332,6 +349,11 @@ object TimeSeries {
         sum("__t").as("__st"), sum("__c").as("__sc"),
         sum(col("__t") * col("__t")).as("__stt"),
         sum(col("__t") * col("__c")).as("__stc"))
+      .withColumn("__g", assert_true(guarded,
+        lit("keyedTrend: cross-moment magnitude exceeds the exact-BIGINT " +
+          "bound — re-base ords coarser or pre-aggregate values " +
+          "(bounded-moment contract, see Experiment.calibrationBins)")))
+      .where(col("__g").isNull)
       .select(col(key), col("n_points"),
         when(col("n_points") * col("__stt") -
           col("__st") * col("__st") === 0L, lit(null).cast("long"))
@@ -412,7 +434,13 @@ object TimeSeries {
       s"maxLag must be in [1, 64], got $maxLag")
     val w = Window.partitionBy(key).orderBy(ordCol)
     val x = col(valCol).cast("long")
-    val withLeads = series.select(
+    // NULL values are excluded SYMMETRICALLY up front (the
+    // groupedOrderStats posture): without this, count(*) includes NULL
+    // rows the sums skip and the pair filter drops only NULL leads, so a
+    // caller violating the regular-series contract would get silently
+    // skewed acf instead of consistent NULL-free estimates.
+    val clean = series.filter(col(valCol).isNotNull)
+    val withLeads = clean.select(
       col(key) +: x.as("__x") +:
         (1 to maxLag).map(k => lead(x, k).over(w).as(s"__l$k")): _*)
     val pairs = withLeads.select(col(key), col("__x"),
@@ -425,7 +453,7 @@ object TimeSeries {
       .agg(count(lit(1)).as("n_pairs"),
         sum("__xv").as("__sa"), sum("__y").as("__sb"),
         sum(col("__xv") * col("__y")).as("__sxy"))
-    val perKey = series.groupBy(col(key))
+    val perKey = clean.groupBy(col(key))
       .agg(count(lit(1)).as("__n"), sum(x).as("__sx"),
         sum(x * x).as("__sxx"))
     // fixed-shape double combination over the exact sums; xbar appears

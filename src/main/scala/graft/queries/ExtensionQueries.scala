@@ -1933,6 +1933,8 @@ object ExtensionQueries {
               nb AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id
                      FROM v a, v b
                      WHERE a.vec_id <> b.vec_id
+                       AND list_dot_product(a.e, a.e) > 0
+                       AND list_dot_product(b.e, b.e) > 0
                        AND round(list_dot_product(a.e, b.e)
                              / (sqrt(list_dot_product(a.e, a.e))
                                 * sqrt(list_dot_product(b.e, b.e))), 4)

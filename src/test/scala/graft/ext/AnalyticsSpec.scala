@@ -85,6 +85,22 @@ class AnalyticsSpec extends SparkTestBase {
     assert(out.map(_.getLong(4)).sum == (1 to 10).map(_ * 10000000L).sum)
   }
 
+  test("rfmSegments: loud bound on customer cardinality (r9 verdict #4)") {
+    // the three global ntile windows single-partition sort at customer
+    // grain — past maxCustomers the operator must REFUSE loudly, the
+    // Profile.boundedCumCounts contract, never silently single-thread
+    val orders = (1 to 10).map { k =>
+      (k.toLong, k.toLong,
+        java.sql.Timestamp.valueOf(f"2025-01-${k}%02d 00:00:00"),
+        k * 10.0)
+    }.toDF("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+    val e = intercept[Exception] {
+      Attribution.rfmSegments(orders, maxCustomers = 5L).collect()
+    }
+    assert(e.getMessage.contains("customer cardinality") ||
+      Option(e.getCause).exists(_.getMessage.contains("customer cardinality")))
+  }
+
   test("mergedIntervals: islands, coverage, idle — the bridged case") {
     // [1,10) [2,3) [4,20): one island (the 3rd starts before max-end 10)
     // then [30,40): second island. covered = 19+10, span = 39, idle = 10
@@ -740,6 +756,30 @@ class AnalyticsSpec extends SparkTestBase {
       .toDF("k", "ord", "v")
     assert(TimeSeries.keyedTrend(sh, "k", "ord", "v")
       .collect().head.getLong(2) == 3000L)
+    // TRUNCATING division on a NEGATIVE non-exact slope rounds toward
+    // ZERO (not down): ords (0,1,2,4), values (0,1,0,0) -> n=4, Σt=7,
+    // Σc=1, Σtt=21, Σtc=1 -> num=-3, den=35 -> -3000 div 35 = -85 in
+    // BOTH engines (Spark div and DuckDB // truncate; floor would be -86)
+    val neg = Seq(("n", 0L, 0L), ("n", 1L, 1L), ("n", 2L, 0L),
+      ("n", 4L, 0L)).toDF("k", "ord", "v")
+    assert(TimeSeries.keyedTrend(neg, "k", "ord", "v")
+      .collect().head.getLong(2) == -85L)
+  }
+
+  test("keyedTrend: loud bound on cross-moment overflow") {
+    // one key whose re-based ords and values push n·Σtc past the
+    // exact-BIGINT envelope: the guard must fail the job loudly, never
+    // wrap to a silently wrong slope (r9 advice). Per-row products and
+    // the moment sums themselves stay inside BIGINT (Σtt = Σtc = 5e18)
+    // so it is exactly the guarded n·Σ product that trips.
+    val big = Seq(("x", 0L, 0L), ("x", 1000000000L, 1000000000L),
+      ("x", 2000000000L, 2000000000L))
+      .toDF("k", "ord", "v")
+    val e = intercept[Exception] {
+      TimeSeries.keyedTrend(big, "k", "ord", "v").collect()
+    }
+    assert(e.getMessage.contains("exact-BIGINT") ||
+      Option(e.getCause).exists(_.getMessage.contains("exact-BIGINT")))
   }
 
   test("welch: hand t/df, zero-diff case, degenerate guards") {

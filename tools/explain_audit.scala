@@ -87,7 +87,11 @@ val names = Seq(
   "dq14_mutual_info", "dq15_constraint_suite", "dq16_grouped_quantiles",
   "x13_acf", "ab4_welch", "ab5_did", "ml3_calibration",
   "ml4_conformal_coverage", "t44_distinct_ngrams", "t45_vocab_richness",
-  "t46_ql_dirichlet", "t47_rouge2_lead", "sp28_waterfill_budget")
+  "t46_ql_dirichlet", "t47_rouge2_lead", "sp28_waterfill_budget",
+  // round-9 session-3 late additions (r9 advice: these were covered but
+  // missing from this sweep): session-depth panel, grouped decile drift,
+  // per-key OLS trend
+  "s15_session_depth", "dq18_decile_drift", "x14_keyed_trend")
 for (n <- names) {
   val df = graft.SparkEntry.queries(n)(spark, sfDir)
   val plan = df.queryExecution.explainString(
