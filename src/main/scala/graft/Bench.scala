@@ -76,6 +76,60 @@ object Bench {
     (wall, (osBean.getProcessCpuTime - c0) / 1e9)
   }
 
+  // Host canaries (r9 verdict #1): the graph/checkpoint-heavy family's
+  // walls moved 2-5× across rounds with untouched code, and the bench
+  // could not distinguish host drift from regression — the only recorded
+  // canary (the CPU-bound spine) moved −14% while IO-bound queries moved
+  // 3-5×. These two FIXED-WORK probes make the claim falsifiable:
+  // per-run (and per sf1 family context) the artifact now carries what
+  // this host does with (a) pure single-thread CPU and (b) the
+  // localCheckpoint write+read round-trip — the exact block-manager path
+  // every iterative operator (pagerank, components, d34's materialized
+  // form, pipe1's stage materializations) pays per iteration. Read an
+  // IO-bound query's wall AGAINST canary_ckpt before calling it a
+  // regression; a flat canary with a moved wall is a real regression.
+
+  /** Fixed-work single-thread CPU canary: 2e8 fmix64-style rounds.
+   * Returns wall seconds (inversely proportional to effective per-core
+   * speed, inflated by CPU steal). */
+  private def cpuCanary(): Double = {
+    val t0 = System.nanoTime()
+    var h = 0x9E3779B97F4A7C15L
+    var i = 0
+    while (i < 200000000) {
+      h ^= h >>> 33; h *= 0xff51afd7ed558ccdL; h ^= h >>> 29
+      i += 1
+    }
+    val w = (System.nanoTime() - t0) / 1e9
+    // value sink so the loop cannot be dead-code-eliminated
+    if (h == 42L) System.err.print("")
+    w
+  }
+
+  /** Fixed-size localCheckpoint write+read canary: 4M rows (~200 MB of
+   * blocks) checkpointed eagerly, counted back, unpersisted. Prices the
+   * block-manager/disk path of the iterative family at a constant size
+   * every round. */
+  private def ckptCanary(s: org.apache.spark.sql.SparkSession): Double = {
+    import org.apache.spark.sql.functions._
+    val df = s.range(0L, 4L * 1000 * 1000, 1L, 32)
+      .select(col("id"), (col("id") * lit(2654435761L)).as("a"),
+        md5(col("id").cast("string")).as("h"))
+    val t0 = System.nanoTime()
+    val ck = df.localCheckpoint(true)
+    val n = ck.count()
+    val w = (System.nanoTime() - t0) / 1e9
+    ck.unpersist(blocking = true)
+    require(n == 4000000L, s"ckpt canary lost rows: $n")
+    w
+  }
+
+  /** Min + raw samples of `k` canary runs. */
+  private def canarySamples(k: Int)(body: => Double): (Double, Seq[Double]) = {
+    val ss = (1 to k).map(_ => body)
+    (ss.min, ss)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
@@ -86,6 +140,13 @@ object Bench {
     // numbers measure the query, not first-touch overhead.
     Seq("lineitem", "orders", "customer", "events", "documents", "embeddings")
       .foreach(t => spark.read.parquet(s"$sfDir/$t.parquet").count())
+
+    // Pre-run host canary (r9 verdict #1) — recorded BEFORE any query so
+    // the run's walls are readable against a known-state host.
+    val (cpuPre, cpuPreRaw) = canarySamples(3)(cpuCanary())
+    val (ckptPre, ckptPreRaw) = canarySamples(3)(ckptCanary(spark))
+    System.err.println(s"[bench] canary pre: cpu=${f2(cpuPre)}s " +
+      s"ckpt=${f2(ckptPre)}s")
 
     var failed = List.empty[String]
     val cpuRatios = scala.collection.mutable.LinkedHashMap.empty[String, Double]
@@ -151,6 +212,13 @@ object Bench {
     val qs = jsonMap(results.map { case (k, v) => k -> v.toString })
     val fs = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
+
+    // Post-loop canary: a pre/post delta exposes WITHIN-run environment
+    // drift (the d34-gate-vs-fresh-context ambiguity of r9).
+    val (cpuPost, _) = canarySamples(2)(cpuCanary())
+    val (ckptPost, _) = canarySamples(2)(ckptCanary(spark))
+    System.err.println(s"[bench] canary post: cpu=${f2(cpuPost)}s " +
+      s"ckpt=${f2(ckptPost)}s")
 
     // Baseline comparison: the reference sustains 0.153 records/s end-to-end
     // through its E1 chain (BASELINE.md — source-rate-bound). Same chain
@@ -238,8 +306,8 @@ object Bench {
     // JSON field, NOT the sf1_dedup walls map — a consumer aggregating that
     // map must never misread a multi-MB byte count as seconds (r6 advice).
     val sf1Bytes = scala.collection.mutable.ListBuffer.empty[(String, String)]
-    val (sf1Walls, sf1Ratios, sf1Samples, sf1Docs, sf1Vecs) =
-      if (!runSf1) (Nil, Nil, Nil, 0L, 0L) else {
+    val (sf1Walls, sf1Ratios, sf1Samples, sf1Canaries, sf1Docs, sf1Vecs) =
+      if (!runSf1) (Nil, Nil, Nil, Nil, 0L, 0L) else {
       import org.apache.spark.sql.functions._
       val dir10 = "/root/repo/target/bench_sf1"
       val docs = spark.read.parquet(s"$sfDir/documents.parquet")
@@ -312,8 +380,13 @@ object Bench {
       // the regime streaming ER exists for. Per 6000-row batch, the
       // increment pays accumulated×batch candidate probes per block
       // (linear growth per cut); the one-shot re-resolve pays the full
-      // block self-join (quadratic).
-      spark.range(30000)
+      // block self-join (quadratic). r9 verdict #3: 5 cuts of 6000 left
+      // the two forms equal-within-noise on the official window (the
+      // quadratic term hadn't cleared the shared state-scan floor), so
+      // the relation now carries 8 cuts of 6000 — at b5-b7 the one-shot's
+      // block self-joins are 1.4-2.6× the b4 size and the divergence sits
+      // where noise can't hide it.
+      spark.range(48000)
         .select(col("id"),
           format_string("BLK%04d---- %s%d",
             expr("(id div 2) % 20"),
@@ -438,6 +511,10 @@ object Bench {
         "t47_rouge2_lead")
       val walls = scala.collection.mutable.ListBuffer.empty[(String, String)]
       val ratios = scala.collection.mutable.ListBuffer.empty[(String, String)]
+      // per-family host canaries (r9 verdict #1): each fresh context
+      // records its own ckpt+cpu canary keyed by the family's first
+      // probe, so a drifted family wall carries its own attribution
+      val canaries = scala.collection.mutable.ListBuffer.empty[(String, String)]
       // BOTH raw walls per probe, not just the min (round-5 verdict #2):
       // min-of-2 still leaves 2x swings on this VM, and without the raw
       // samples a steal-noisy run is indistinguishable from a regression.
@@ -461,6 +538,15 @@ object Bench {
         val ps = GraftSession.builder(s"local[$cpus]", cpus).getOrCreate()
         ps.sparkContext.setLogLevel("ERROR")
         try {
+          // family canary BEFORE setup/probes: what this fresh context's
+          // host does with fixed CPU and fixed checkpoint IO right now
+          val famKey = probes.headOption.map(_._1).getOrElse("empty")
+          try {
+            canaries += (s"${famKey}__ckpt" -> f2(ckptCanary(ps)))
+            canaries += (s"${famKey}__cpu" -> f2(cpuCanary()))
+          } catch { case e: Throwable =>
+            System.err.println(s"[bench] family canary FAILED: ${e.getMessage}")
+          }
           // a setup failure must not abort the artifact: the probes that
           // depended on it fail individually to their -1 sentinels, every
           // other family's numbers survive, and the JSON line still prints
@@ -502,16 +588,31 @@ object Bench {
             ps.read.parquet(s"$dir10/documents.parquet"),
             minJaccard = 0.5, samplePct = 20))) :+
         // the Venn's SCALE knob priced head-to-head against the default
-        // d34 probe above: materializeShared=false trades tokenize-once
-        // for zero corpus-sized checkpoint writes — the right side of
-        // the trade at 10× (the materialized form's two shingle-relation
-        // writes dominate there; see the operator's knob doc)
-        ("d34_venn_nomat" -> ((ps: org.apache.spark.sql.SparkSession) =>
+        // d34 probe above (r9 verdict #2: the default now FOLLOWS the
+        // measurement — gate and default run materializeShared=false,
+        // so d34 above prices nomat and THIS probe prices the
+        // checkpoint-backed tokenize-once form; the r9 window read
+        // nomat 26.0 s vs mat 46.2 s at sf1)
+        ("d34_venn_mat" -> ((ps: org.apache.spark.sql.SparkSession) =>
           graft.ext.Dedup.nearDupDetectorVenn(
             ps.read.parquet(s"$dir10/documents.parquet"),
             minJaccard = 0.5, lshMaxBucket = Int.MaxValue,
             maxHamming = 3, win = 4, minShared = 2, maxPostings = 100,
-            materializeShared = false))) :++ {
+            materializeShared = true))) :+
+        // pipe1's materialization knob priced both ways the d34 way (r9
+        // verdict #6): the pipe1 probe above runs the new nomat default;
+        // this leg checkpoints the shared shingle relation (the r6-r9
+        // behavior) — the A/B that justifies the default on this host
+        ("pipe1_curation_mat" -> ((ps: org.apache.spark.sql.SparkSession) => {
+          graft.functions.GraftFunctions.register(ps)
+          val docs = ps.read.parquet(s"$dir10/documents.parquet")
+          val emb = ps.read.parquet(s"$dir10/embeddings.parquet")
+          graft.ext.Curation.curationReport(docs,
+            bench = docs.filter(col("doc_id") % 20 === 0),
+            embeddings = Some((emb.filter(col("vec_id") >= 10),
+              emb.filter(col("vec_id") < 10))),
+            withSignals = true, materializeShared = true)
+        })) :++ {
         // Retrieval probes need terms that actually MATCH the replica
         // corpus: docs10 suffixes every token "_k" per replica, so the
         // gate queries' literal terms hit zero documents and would time
@@ -848,6 +949,8 @@ object Bench {
         val ps = GraftSession.builder(s"local[$cpus]", cpus).getOrCreate()
         ps.sparkContext.setLogLevel("ERROR")
         try {
+          try canaries += ("curation_stream__ckpt" -> f2(ckptCanary(ps)))
+          catch { case _: Throwable => () }
           val docs = ps.read.parquet(s"$dir10/documents.parquet")
           val bench = docs.filter(col("doc_id") % 20 === 0)
           val tableDir = s"$dir10/curation_table"
@@ -890,6 +993,8 @@ object Bench {
         val ps = GraftSession.builder(s"local[$cpus]", cpus).getOrCreate()
         ps.sparkContext.setLogLevel("ERROR")
         try {
+          try canaries += ("er_stream__ckpt" -> f2(ckptCanary(ps)))
+          catch { case _: Throwable => () }
           graft.functions.GraftFunctions.register(ps)
           val recs = ps.read.parquet(s"$dir10/fuzzy_names.parquet")
             .withColumn("q", (col("id") % 997).cast("double"))
@@ -936,6 +1041,8 @@ object Bench {
         val ps = GraftSession.builder(s"local[$cpus]", cpus).getOrCreate()
         ps.sparkContext.setLogLevel("ERROR")
         try {
+          try canaries += ("er_stream_sep__ckpt" -> f2(ckptCanary(ps)))
+          catch { case _: Throwable => () }
           graft.functions.GraftFunctions.register(ps)
           val recs = ps.read.parquet(s"$dir10/er_sep_names.parquet")
             .withColumn("q", (col("id") % 997).cast("double"))
@@ -950,8 +1057,7 @@ object Bench {
           val sink = graft.streaming.StreamingEntityResolution.goldenSink(
             tableDir, stateDir, "id", "nm", "q", Seq("seg"),
             blockPrefix = 12, minSim = 0.9)
-          val cuts = Seq(0L -> 6000L, 6000L -> 12000L, 12000L -> 18000L,
-            18000L -> 24000L, 24000L -> 30000L)
+          val cuts = (0 until 8).map(k => k * 6000L -> (k + 1) * 6000L)
           for ((k, (lo, hi)) <- cuts.zipWithIndex.map(_.swap)) {
             val b = recs.filter(col("id") >= lo && col("id") < hi)
             try {
@@ -1202,11 +1308,12 @@ object Bench {
         "s11_event_trigrams" ->
           ((ps: org.apache.spark.sql.SparkSession) =>
             SparkEntry.queries("s11_event_trigrams")(ps, dir10))))
-      (walls.toList, ratios.toList, rawSamples.toList, nDocs, nVecs)
+      (walls.toList, ratios.toList, rawSamples.toList, canaries.toList,
+        nDocs, nVecs)
     }
     val sf1Fields =
       if (!runSf1) ""
-      else s""","sf1_dedup":${jsonMap(sf1Walls)},"sf1_dedup_cpu_per_wall":${jsonMap(sf1Ratios)},"sf1_dedup_samples":${jsonMap(sf1Samples)},"sf1_bytes":${jsonMap(sf1Bytes)},"sf1_docs":$sf1Docs,"sf1_vecs":$sf1Vecs"""
+      else s""","sf1_dedup":${jsonMap(sf1Walls)},"sf1_dedup_cpu_per_wall":${jsonMap(sf1Ratios)},"sf1_dedup_samples":${jsonMap(sf1Samples)},"sf1_canaries":${jsonMap(sf1Canaries)},"sf1_bytes":${jsonMap(sf1Bytes)},"sf1_docs":$sf1Docs,"sf1_vecs":$sf1Vecs"""
 
     val ratios = jsonMap(cpuRatios.map { case (k, v) => k -> f2(v) })
     val note = "r3 small-query regressions (t4/sp1/p5/st1) were shared-" +
@@ -1341,12 +1448,36 @@ object Bench {
       "3-width panel, vocab-grain richness, cell-grain MI). " +
       "d34 sf1 wall vs r8 (27s -> ~60s) is HOST SPEED, not the r9 " +
       "tokenize-once refactor: same-host A/B probes of the materialized " +
-      "form, the materializeShared=false form (d34_venn_nomat), and the " +
+      "form, the materializeShared=false form, and the " +
       "r8 three-independent-derivations shape all read ~50-90s within " +
       "sample noise on this window, while the refactor's gate-scale win " +
       "is real (sf0.1 16.7 -> 8.8). The knob trades tokenize-once " +
-      "against corpus-sized checkpoint writes for I/O-bound environments"
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","note":"$note","queries":$qs,"failed":$fs,"cpu_per_wall":$ratios,"spine_envelopes_per_sec":${spineRate.round},"spine_cpu_per_wall":${f2(spineCpuRatio)},"spine_streaming_envelopes_per_sec":${streamRate.round},"spine_streaming_batches":$streamBatches,"spine_streaming_batches_per_sec":${f2(streamBatchesPerSec)},"spine_streaming_cpu_per_wall":${f2(streamCpuRatio)},"spine_streaming_batch_ms":${jsonMap(streamBatchMs)}$sf1Fields,"sf":"$sfDir"}"""
+      "against corpus-sized checkpoint writes for I/O-bound environments. " +
+      "r10: per-run host canaries land (r9 verdict #1): canary.cpu_sec = " +
+      "a fixed 2e8-round single-thread loop, canary.ckpt_sec = a fixed " +
+      "4M-row localCheckpoint write+read round-trip (the block-manager " +
+      "path the iterative family pays per iteration); pre AND post the " +
+      "main loop, plus sf1_canaries with one ckpt+cpu pair per fresh " +
+      "probe context keyed by the family's first probe. Read " +
+      "graph1/graph5/graph2/graph8/pipe1/d34 against canary_ckpt before " +
+      "calling a regression: flat canary + moved wall = real regression; " +
+      "moved canary = host. d34's operator default and gate flipped to " +
+      "materializeShared=false per the r9 measurement (nomat won 1.8x " +
+      "at sf1, and the materialized gate wall read 6x fresh-context); " +
+      "the materialized A/B leg is now the d34_venn_mat probe, so " +
+      "cross-round: r10 d34 compares to r9 d34_venn_nomat and r10 " +
+      "d34_venn_mat to r9 d34. er_sep extends to 8 cuts of 6000 (r9 " +
+      "verdict #3): read the er_stream_sep vs er_oneshot_sep b0..b7 " +
+      "trends - the one-shot's quadratic block self-joins at b5-b7 are " +
+      "1.4-2.6x its b4 size, past the shared state-scan noise floor"
+    val canaryJson = jsonMap(Seq(
+      "cpu_sec" -> f2(cpuPre),
+      "cpu_samples" -> cpuPreRaw.map(f2).mkString("[", ",", "]"),
+      "ckpt_sec" -> f2(ckptPre),
+      "ckpt_samples" -> ckptPreRaw.map(f2).mkString("[", ",", "]"),
+      "cpu_sec_post" -> f2(cpuPost),
+      "ckpt_sec_post" -> f2(ckptPost)))
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","note":"$note","canary":$canaryJson,"queries":$qs,"failed":$fs,"cpu_per_wall":$ratios,"spine_envelopes_per_sec":${spineRate.round},"spine_cpu_per_wall":${f2(spineCpuRatio)},"spine_streaming_envelopes_per_sec":${streamRate.round},"spine_streaming_batches":$streamBatches,"spine_streaming_batches_per_sec":${f2(streamBatchesPerSec)},"spine_streaming_cpu_per_wall":${f2(streamCpuRatio)},"spine_streaming_batch_ms":${jsonMap(streamBatchMs)}$sf1Fields,"sf":"$sfDir"}"""
     // The stdout line can overflow the driver's tail capture (round-3
     // verdict: "parsed": null two rounds running) — persist the full JSON
     // to a file so the artifact is always complete and auditable.
@@ -1367,7 +1498,7 @@ object Bench {
       .filter(kv => headline.contains(kv._1))
       .map { case (k, v) =>
         k -> (try f2(v.toDouble) catch { case _: Throwable => v }) })
-    val compact = s"""{"metric":"total","value":${f2(total)},"unit":"sec","n_queries":${results.size},"failed":$fs,"sf1_min":$sf1MinCompact,"spine_eps":${spineRate.round},"stream_eps":${streamRate.round},"full":"target/bench.json","sf":"$sfDir"}"""
+    val compact = s"""{"metric":"total","value":${f2(total)},"unit":"sec","n_queries":${results.size},"failed":$fs,"sf1_min":$sf1MinCompact,"canary_cpu":${f2(cpuPre)},"canary_ckpt":${f2(ckptPre)},"spine_eps":${spineRate.round},"stream_eps":${streamRate.round},"full":"target/bench.json","sf":"$sfDir"}"""
     // stop Spark first so no shutdown logging can land after the lines,
     // then print full detail followed by the compact summary and flush.
     spark.stop()

@@ -79,12 +79,22 @@ object Curation {
       spanWidth: Int = 8,
       embeddings: Option[(DataFrame, DataFrame)] = None,
       minCos: Double = 0.3, embedCellCol: String = "label",
-      withSignals: Boolean = false): DataFrame = {
-    // ONE corpus tokenization, shared by near-dup mining and the n-gram
-    // leak scan (the two shingle consumers). Materialized eagerly for the
-    // same reasons minhashDedupPairs always did — multiple consumers, and
-    // the lineage you'd checkpoint between stages at cluster scale.
-    val sh = Dedup.materialize(Dedup.shingles(docs))
+      withSignals: Boolean = false,
+      materializeShared: Boolean = false): DataFrame = {
+    // ONE corpus tokenization in the PLAN, shared by near-dup mining and
+    // the n-gram leak scan (the two shingle consumers).
+    // `materializeShared` is the same measured SCALE knob as
+    // [[Dedup.nearDupDetectorVenn]]'s (r9 verdict #2/#6): true
+    // checkpoints the shingle relation so each consumer READS it
+    // (tokenize-once at the price of a corpus-sized block-manager
+    // write); false re-derives per consumer with ZERO checkpoint writes
+    // — the measured winner on an IO-bound host (d34: nomat 26.0 s vs
+    // mat 46.2 s at sf1 on the r9 window; pipe1 carries the same
+    // checkpoint-write-bound profile, priced by the pipe1 vs
+    // pipe1_curation_mat sf1 probes). Read against the bench's
+    // canary_ckpt_sec before flipping.
+    val shRaw = Dedup.shingles(docs)
+    val sh = if (materializeShared) Dedup.materialize(shRaw) else shRaw
     val lang = docs.select(col("doc_id"),
       (TextAnalysis.langId(col("text")) === lit(targetLang)).as("lang_ok"))
     val quality = TextAnalysis.gopherRules(docs)

@@ -1829,18 +1829,21 @@ object Dedup {
       minJaccard: Double = 0.5, lshMaxBucket: Int = Int.MaxValue,
       maxHamming: Int = 3, win: Int = 4, minShared: Int = 2,
       maxPostings: Int = 100,
-      materializeShared: Boolean = true): DataFrame = {
+      materializeShared: Boolean = false): DataFrame = {
     // `materializeShared` is a SCALE knob, priced both ways by the sf1
-    // probes (d34 vs d34_venn_nomat): materialized (default), the
-    // shared positioned-shingle relation is checkpointed once and
-    // tokenization runs ONCE — a 2× gate-scale win (sf0.1: 16.7 s
-    // independent → 8.8 s shared) and, by same-host A/B at sf1, within
-    // sample noise of both the unmaterialized form and three fully
-    // independent derivations (all ~50-90 s on the probe host — the
-    // r8-vs-r9 wall delta on this query is host speed, measured, not
-    // shape). False trades tokenize-once for ZERO corpus-sized
-    // checkpoint writes — for environments where block-manager /
-    // checkpoint I/O binds before CPU.
+    // probes (d34 vs d34_venn_mat). The default FOLLOWS the recorded
+    // measurement (r9 verdict #2): on the r9 official run the
+    // UNMATERIALIZED form won 1.8× at sf1 (26.0 s vs 46.2 s) and the
+    // materialized gate wall read 6× its fresh-context cost (60.6 s vs
+    // 9.7–11.3 s) — on an IO-bound host the two corpus-sized checkpoint
+    // WRITES cost more than the tokenize-once recompute they save, and
+    // they crowd the block manager for every query that follows. True
+    // buys tokenize-once (the shared positioned-shingle relation is
+    // checkpointed and each consumer READS it) — the right side of the
+    // trade only where executor CPU binds before checkpoint I/O;
+    // measure with the bench's canary_ckpt_sec before flipping it on.
+    // Either way the plan derives the shingle relation ONCE
+    // (DetectorVennSpec pins the construction count).
     val posShRaw = positionedShingles(docs, width)
     val posSh = if (materializeShared) materialize(posShRaw) else posShRaw
     val shRaw = posSh.select("doc_id", "sh").distinct()

@@ -48,6 +48,17 @@ class DetectorVennSpec extends SparkTestBase {
       s"composed ${composed.toSeq} != independent ${independent.toSeq}")
   }
 
+  test("materializeShared knob cannot change the result, only the cost") {
+    // r9 verdict #2 flipped the default to nomat (the measured winner on
+    // the IO-bound bench host); the two forms must stay bit-identical
+    val mat = Dedup.nearDupDetectorVenn(docs, materializeShared = true)
+      .orderBy("mask").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val nomat = Dedup.nearDupDetectorVenn(docs, materializeShared = false)
+      .orderBy("mask").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(mat.nonEmpty && mat.sameElements(nomat),
+      s"mat ${mat.toSeq} != nomat ${nomat.toSeq}")
+  }
+
   test("identical doc pairs are found by all three detectors (mask 7)") {
     val byMask = Dedup.nearDupDetectorVenn(docs)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
