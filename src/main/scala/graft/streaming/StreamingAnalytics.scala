@@ -711,4 +711,78 @@ object StreamingAnalytics {
         org.apache.spark.sql.streaming.TimeMode.None(),
         OutputMode.Append())
   }
+
+  final case class AttrEvent(user_id: Long, tsu: Long, event_id: Long,
+      event_type: String, value: Double)
+  final case class AttributedConversion(user_id: Long, tsu: Long,
+      event_id: Long, channel: String, value_micro: Long)
+  final case class LastTouchState(lt_type: String, lt_tsu: Long)
+
+  /** Streaming last-touch attribution — the incremental twin of
+   * [[graft.ext.Attribution.lastTouch]] (r9 verdict #5): the reference
+   * dashboard's "where did users come from" question
+   * (`dashbord/dashbord.py:115-119`) upgraded to conversions, streamed.
+   * ONE (type, tsu) pair of state per user: each arriving touch
+   * (view/click) overwrites it; each arriving purchase emits its
+   * attributed channel — the most recent touch within `lookbackUs`, or
+   * `"(none)"` — with the purchase value micro-quantized exactly as the
+   * batch operator does. Under per-user monotone ingest (batches arrive
+   * in non-decreasing (tsu, event_id); the processor sorts within a
+   * batch by the same total order) the emitted per-purchase rows are
+   * BIT-IDENTICAL to the batch operator's pre-aggregation relation, so
+   * a downstream streaming agg over channel maintains exactly the batch
+   * (channel, n_conversions, attributed_micro) readout with
+   * O(users + channels) state — pinned the CUSUM way in StreamingSpec. */
+  class LastTouchProcessor(lookbackUs: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, AttrEvent, AttributedConversion] {
+    require(lookbackUs >= 1, s"lookbackUs must be >= 1, got $lookbackUs")
+    @transient private var st:
+      org.apache.spark.sql.streaming.ValueState[LastTouchState] = _
+
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      st = getHandle.getValueState[LastTouchState]("lastTouch",
+        org.apache.spark.sql.Encoders.product[LastTouchState],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[AttrEvent],
+        tv: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[AttributedConversion] = {
+      var s = if (st.exists()) Option(st.get()) else None
+      val out =
+        scala.collection.mutable.ListBuffer.empty[AttributedConversion]
+      rows.toSeq.sortBy(e => (e.tsu, e.event_id)).foreach { e =>
+        e.event_type match {
+          case "view" | "click" =>
+            s = Some(LastTouchState(e.event_type, e.tsu))
+          case "purchase" =>
+            val channel = s match {
+              case Some(t) if t.lt_tsu >= e.tsu - lookbackUs => t.lt_type
+              case _ => "(none)"
+            }
+            // the batch operator's exact micro quantization:
+            // floor(v·1e6 + 0.5)
+            out += AttributedConversion(key, e.tsu, e.event_id, channel,
+              math.floor(e.value * 1e6 + 0.5).toLong)
+          case _ => () // non-touch, non-purchase events carry no flow
+        }
+      }
+      s.foreach(st.update)
+      out.iterator
+    }
+  }
+
+  /** Streaming last-touch attributed conversions through
+   * `transformWithState` (RocksDB provider required); append mode, one
+   * row per purchase. */
+  def lastTouchConversions(events: Dataset[AttrEvent], lookbackUs: Long)(
+      implicit spark: SparkSession): Dataset[AttributedConversion] = {
+    import spark.implicits._
+    events
+      .groupByKey(_.user_id)
+      .transformWithState(new LastTouchProcessor(lookbackUs),
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Append())
+  }
 }

@@ -979,6 +979,75 @@ class StreamingSpec extends SparkTestBase {
     }
   }
 
+  test("streaming last-touch attribution equals the batch operator " +
+    "under monotone ingest") {
+    implicit val s = spark
+    implicit val sqlCtx = spark.sqlContext
+    val prevProvider = spark.conf.getOption(
+      "spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val lookbackUs = 7L * 86400000000L
+      // u1: view, click | purchase -> click credit CROSSES the batch
+      //   boundary (needs batch-1 state)
+      // u2: view, then a purchase past the lookback -> "(none)"
+      // u3: purchase with no touch ever -> "(none)"
+      // u4: same-tsu view(eid 8) then click(eid 9) | purchase -> click
+      //   (equal timestamps resolve by event_id, the batch tie-break)
+      val b1 = Seq(
+        (1L, 10L, 1L, "view", 0.0), (1L, 20L, 2L, "click", 0.0),
+        (2L, 10L, 3L, "view", 0.0),
+        (4L, 50L, 8L, "view", 0.0), (4L, 50L, 9L, "click", 0.0))
+      val b2 = Seq(
+        (1L, 30L, 5L, "purchase", 10.01),
+        (2L, 10L + lookbackUs + 1L, 6L, "purchase", 3.5),
+        (3L, 40L, 7L, "purchase", 2.25),
+        (4L, 60L, 10L, "purchase", 1.0))
+      val input = MemoryStream[StreamingAnalytics.AttrEvent]
+      val q = StreamingAnalytics.lastTouchConversions(input.toDS(),
+          lookbackUs)
+        .writeStream.outputMode("append")
+        .format("memory").queryName("lt_out").start()
+      input.addData(b1.map(e =>
+        StreamingAnalytics.AttrEvent(e._1, e._2, e._3, e._4, e._5)): _*)
+      q.processAllAvailable()
+      input.addData(b2.map(e =>
+        StreamingAnalytics.AttrEvent(e._1, e._2, e._3, e._4, e._5)): _*)
+      q.processAllAvailable()
+      q.stop()
+      val perPurchase = spark.table("lt_out")
+        .collect().map(r => (r.getLong(0), r.getString(3), r.getLong(4)))
+        .sorted.toSeq
+      assert(perPurchase == Seq(
+        (1L, "click", 10010000L), (2L, "(none)", 3500000L),
+        (3L, "(none)", 2250000L), (4L, "click", 1000000L)),
+        s"per-purchase rows: $perPurchase")
+      // the streamed rows aggregated by channel must be BIT-IDENTICAL
+      // to the batch operator over the accumulated events
+      val streamed = spark.table("lt_out")
+        .groupBy($"channel")
+        .agg(count(lit(1)).as("n_conversions"),
+          sum($"value_micro").as("attributed_micro"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+        .sorted.toSeq
+      val ev = (b1 ++ b2).toDF("user_id", "tsu", "event_id", "et", "v")
+        .select($"event_id", ($"tsu" * 1000L).as("ts"), $"user_id",
+          $"et".as("event_type"), $"v".as("value"))
+      val batch = graft.ext.Attribution.lastTouch(ev, lookbackDays = 7)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+        .sorted.toSeq
+      assert(streamed == batch, s"streamed $streamed\nbatch $batch")
+    } finally {
+      prevProvider match {
+        case Some(p) => spark.conf.set(
+          "spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset(
+          "spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("transformWithState running stats accumulate across micro-batches") {
     implicit val s = spark
     implicit val sqlCtx = spark.sqlContext
