@@ -400,6 +400,82 @@ object Experiment {
         .otherwise(lit(null).cast("long")).as("df_micro"))
   }
 
+  /** Mann–Whitney U / Wilcoxon rank-sum readout (Mann & Whitney 1947) —
+   * the DISTRIBUTION-FREE sibling of [[welch]] for the same experiment
+   * question: revenue-per-user metrics are heavy-tailed enough that a
+   * t-statistic rides a handful of whales; the rank-sum asks "does one
+   * arm stochastically dominate" and no single whale can move it by
+   * more than one rank. Same experiment conventions as welch: the unit
+   * is the USER (per-user centi-quantized value totals under the same
+   * ±√Long.Max loud bound), arms by `user % 2`.
+   *
+   * Exactness: ranks are handled at DISTINCT-VALUE grain through the
+   * shared enforced kernel ([[Profile.boundedCumCounts]]): a tied group
+   * ending at inclusive cumulative count `cum` with multiplicity `c`
+   * has DOUBLED average rank `2·(cum − c) + c + 1` — an exact integer,
+   * so the arm-1 rank sum and U statistic stay exact BIGINTs in DOUBLED
+   * units (`u1_doubled = 2·n1·n0 + n1·(n1+1) − r1_doubled`). The
+   * normal-approximation z uses the standard tie-corrected variance
+   * `σ² = n1·n0/12 · ((n+1) − T/(n·(n−1)))`, T = Σ(c³ − c), as ONE
+   * fixed-shape double expression over the exact sums (the cuped
+   * discipline), micro-quantized half-up. Degenerate inputs (an empty
+   * arm, or all values tied ⇒ σ = 0) yield NULL z, never NaN. A loud
+   * per-value bound keeps each c³ inside BIGINT; the tie-sum overflow
+   * beyond that is the same ANSI-raises exposure class as cuped's
+   * pooled moments.
+   *
+   * One user-grain agg, one distinct-value agg + the bounded kernel
+   * window, one 1-row agg. Output: (n0, n1, u1_doubled, tie_term,
+   * z_micro). */
+  def mannWhitney(events: DataFrame, userCol: String = "user_id",
+      valCol: String = "value", maxDistinct: Long = 100000L): DataFrame = {
+    val vQ = floor(col(valCol) * lit(100) + lit(0.5)).cast("long")
+    val maxAbs = 3037000499L // √Long.Max, the cuped bound
+    val users = events.groupBy(col(userCol).as("user"))
+      .agg(sum(vQ).as("x"))
+      .withColumn("_b", assert_true(abs(col("x")) <= maxAbs,
+        lit(s"mannWhitney: per-user total exceeds ±$maxAbs centi-units; " +
+          "integer moments would overflow")))
+      .where(col("_b").isNull).drop("_b")
+    val counts = users
+      .select(pmod(col("user"), lit(2L)).as("__a"), col("x"))
+      .groupBy(col("x").as("vq"))
+      .agg(sum(when(col("__a") === 1L, 1L).otherwise(0L)).as("c1"),
+        count(lit(1)).as("c"))
+    val ranked = graft.ext.Profile.boundedCumCounts(counts, "vq", "c",
+        maxDistinct,
+        s"mannWhitney: distinct-value cardinality exceeds $maxDistinct " +
+          "— quantize the metric coarser (bounded-grain contract, see " +
+          "Profile.boundedCumCounts)")
+      .withColumn("__gt", assert_true(col("c") <= 2000000L,
+        lit("mannWhitney: a single tied value holds > 2e6 users — its " +
+          "cubed tie term would leave BIGINT; quantize coarser")))
+      .where(col("__gt").isNull)
+    val r2 = lit(2L) * (col("cum") - col("c")) + col("c") + lit(1L)
+    val agg = ranked
+      .select(col("n"), col("c1"), (col("c1") * r2).as("__r1d"),
+        (col("c") * col("c") * col("c") - col("c")).as("__tt"))
+      .agg(max("n").as("n"), sum("c1").as("n1"),
+        sum("__r1d").as("r1_doubled"), sum("__tt").as("tie_term"))
+    // fixed-shape doubles over the exact sums (the cuped discipline);
+    // the oracle writes the literally identical shapes
+    val n0c = col("n") - col("n1")
+    val u1d = lit(2L) * col("n1") * n0c + col("n1") * (col("n1") + 1L) -
+      col("r1_doubled")
+    val nD = col("n").cast("double")
+    val n1D = col("n1").cast("double")
+    val n0D = n0c.cast("double")
+    val sigma2 = n1D * n0D / lit(12.0) *
+      ((nD + lit(1.0)) - col("tie_term").cast("double") /
+        (nD * (nD - lit(1.0))))
+    val z = (u1d.cast("double") - n1D * n0D) / (lit(2.0) * sqrt(sigma2))
+    val ok = col("n1") >= 1L && n0c >= 1L && !(sigma2 === 0.0)
+    agg.select(n0c.as("n0"), col("n1"), u1d.as("u1_doubled"),
+      col("tie_term"),
+      when(ok, floor(z * lit(1e6) + lit(0.5)).cast("long"))
+        .otherwise(lit(null).cast("long")).as("z_micro"))
+  }
+
   def srmCheck(events: DataFrame, userCol: String = "user_id"): DataFrame =
     events.select(col(userCol).as("user")).distinct()
       .agg(

@@ -910,4 +910,57 @@ object Graph {
       .orderBy(col("aa_micro").desc, col("u"), col("v"))
       .limit(topK)
   }
+
+  /** Stationary distribution of a first-order Markov chain by a FIXED
+   * number of exact-integer power-iteration steps — "where does a user
+   * session settle": the long-run occupancy readout over the s7
+   * transition matrix, the chain-level summary above per-hop
+   * probabilities (and [[pagerank]]'s structure without teleportation —
+   * user behavior chains don't jump uniformly).
+   *
+   * Exactness (the pagerank ppm discipline, taken further — NO doubles
+   * anywhere): mass is carried in integer ppm; each step distributes a
+   * state's mass as `(π_i · n_ij) div n_i` per out-edge — deterministic
+   * truncating division both engines replay exactly, with the
+   * sub-ppm remainder (< out-degree per state per step) reported as
+   * `lost_ppm` on its own row rather than silently smeared. States with
+   * no outgoing transitions hold their mass (self-loop — the absorbing
+   * convention). A fixed `iters` (not convergence-tested) keeps the
+   * oracle an unrolled CTE chain.
+   *
+   * Scale shape: state-grain relations throughout (|types| rows, a few
+   * dozen at most); per step one broadcast-sized join + one hash-agg.
+   * Input: transition counts `(e_from, e_to, n)`. Output: one row per
+   * state (state, pi_ppm) plus the `("(lost)", lost_ppm)` row — masses
+   * sum to exactly 1e6 by construction. */
+  def markovStationary(transitions: DataFrame, iters: Int = 3): DataFrame = {
+    require(iters >= 1 && iters <= 8,
+      s"iters must be in [1, 8] (oracle-unroll bound), got $iters")
+    val outM = transitions.groupBy(col("e_from"))
+      .agg(sum("n").as("n_out"))
+    val p = transitions.join(outM, Seq("e_from"))
+    val states = transitions.select(col("e_from").as("state"))
+      .unionByName(transitions.select(col("e_to").as("state")))
+      .distinct()
+    // uniform init in exact ppm; the div remainder seeds the lost row
+    val ns = states.agg(count(lit(1)).as("__ns"))
+    var pi = states.crossJoin(broadcast(ns))
+      .select(col("state"), expr("1000000 div __ns").as("pi_ppm"))
+    for (_ <- 1 to iters) {
+      val stepped = pi
+        .join(p, pi("state") === p("e_from"), "inner")
+        .select(col("e_to").as("state"),
+          expr("(pi_ppm * n) div n_out").as("pi_ppm"))
+      val held = pi.join(outM, pi("state") === outM("e_from"), "left_anti")
+        .select(col("state"), col("pi_ppm"))
+      pi = stepped.unionByName(held)
+        .groupBy("state").agg(sum("pi_ppm").as("pi_ppm"))
+    }
+    // every state row (zero-mass states included) + the conservation row
+    val full = states.join(pi, Seq("state"), "left")
+      .select(col("state"), coalesce(col("pi_ppm"), lit(0L)).as("pi_ppm"))
+    val lost = full.agg((lit(1000000L) - sum("pi_ppm")).as("pi_ppm"))
+      .select(lit("(lost)").as("state"), col("pi_ppm"))
+    full.unionByName(lost)
+  }
 }

@@ -95,6 +95,47 @@ object Profile {
       .withColumn("psi", round(col("psi_micro").cast("double") / 1e6, 6))
   }
 
+  /** Jensen-Shannon divergence between two bucket histograms — the
+   * SYMMETRIC, bounded (≤ ln 2) sibling of [[psiFromBuckets]] for the
+   * same drift question: PSI blows up on one-sided buckets even
+   * smoothed, JSD by construction cannot, so it is the saner number to
+   * threshold when snapshots can gain or lose whole modes. Same Laplace
+   * smoothing and totals as PSI (`p_b = (c_b + 1)/(N + B)`), M =
+   * (P + Q)/2, per-bucket term `(p·ln(p/m) + q·ln(q/m))/2`
+   * micro-quantized the moment it leaves `ln` (the PSI per-term
+   * discipline) so the total is an exact BIGINT both engines agree on.
+   * Same cost shape as PSI: two bucket-grain hash-aggs, a full-outer
+   * bucket join, a 1-row broadcast.
+   * Output: (bucket, n_ref, n_cur, jsd_micro), one row per bucket. */
+  def jsdFromBuckets(refBuckets: DataFrame,
+      curBuckets: DataFrame): DataFrame = {
+    val joined = refBuckets.join(curBuckets, Seq("bucket"), "full_outer")
+      .select(col("bucket"),
+        coalesce(col("n_ref"), lit(0L)).as("n_ref"),
+        coalesce(col("n_cur"), lit(0L)).as("n_cur"))
+    val totals = joined.agg(sum("n_ref").as("__nr"), sum("n_cur").as("__nc"),
+      count(lit(1)).as("__b"))
+    val p = (col("n_ref") + lit(1L)).cast("double") /
+      (col("__nr") + col("__b")).cast("double")
+    val q = (col("n_cur") + lit(1L)).cast("double") /
+      (col("__nc") + col("__b")).cast("double")
+    val m = (p + q) / lit(2.0)
+    joined.crossJoin(broadcast(totals))
+      .select(col("bucket"), col("n_ref"), col("n_cur"),
+        floor((p * log(p / m) + q * log(q / m)) / lit(2.0) * lit(1e6) +
+          lit(0.5)).cast("long").as("jsd_micro"))
+  }
+
+  /** [[jsdFromBuckets]] over fixed-width buckets of a numeric column on
+   * both snapshots — the drop-in JSD drift monitor. */
+  def jsdDrift(ref: DataFrame, cur: DataFrame, valueCol: String,
+      bucketWidth: Long): DataFrame = {
+    require(bucketWidth > 0, s"bucketWidth must be positive, got $bucketWidth")
+    jsdFromBuckets(
+      bucketCounts(ref, valueCol, bucketWidth).toDF("bucket", "n_ref"),
+      bucketCounts(cur, valueCol, bucketWidth).toDF("bucket", "n_cur"))
+  }
+
   /** Join-fanout pre-flight audit: for an equi-join about to run, the
    * top-`topN` keys by OUTPUT contribution (`n_left · n_right`) — the
    * check that catches a multiplicative hot key BEFORE a 100-TB join
@@ -389,6 +430,71 @@ object Profile {
       .groupBy("key", "q").agg(min("vq").as("vq"))
   }
 
+  /** Lorenz concentration curve of a per-key integer value — "what share
+   * of total value sits with the bottom j/k of keys" (revenue
+   * concentration per customer, token mass per source, traffic per
+   * user): the exact curve behind a Gini readout, and the number that
+   * decides whether a per-key budget/cap policy is even worth wiring in.
+   * [[keySkewAudit]] prices the FREQUENCY concentration of a key; this
+   * prices the VALUE concentration of anything summable.
+   *
+   * Exactness: per-key totals are exact BIGINT sums of the (caller-
+   * quantized) integer `valCol`; the curve evaluates at cut ranks
+   * `(j·n) div k` with tied-value groups resolved by exact interpolation
+   * INSIDE the group (keys in a tied group are interchangeable, so the
+   * bottom-r prefix takes `r − keys_before` copies of the group value —
+   * pure integer arithmetic, no doubles anywhere). Shares are exact ppm;
+   * a loud bound keeps `total·1e6` inside BIGINT (the calibrationBins
+   * discipline).
+   *
+   * Scale shape: one keyed hash-agg to key grain, then the shared
+   * enforced-grain kernel ([[boundedCumCounts]]) at distinct-total
+   * grain + one extra value-mass running sum over the SAME bounded
+   * single-partition sort, a broadcast of the k cuts, one k-row agg.
+   * Output: (q ∈ 1..k, rank, bottom_value, total_value, share_ppm). */
+  def lorenzCurve(df: DataFrame, keyCol: String, valCol: String,
+      k: Int = 10, maxDistinct: Long = MaxOrderStatDistinct): DataFrame = {
+    require(k >= 1 && k <= 1000, s"k must be in [1, 1000], got $k")
+    val session = df.sparkSession
+    import session.implicits._
+    val perKey = df.groupBy(col(keyCol))
+      .agg(sum(col(valCol).cast("long")).as("vq"))
+    val counts = perKey.groupBy("vq").agg(count(lit(1)).as("c"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy("vq")
+    val wCum = w.rowsBetween(
+      org.apache.spark.sql.expressions.Window.unboundedPreceding,
+      org.apache.spark.sql.expressions.Window.currentRow)
+    val wAll = w.rowsBetween(
+      org.apache.spark.sql.expressions.Window.unboundedPreceding,
+      org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    val cum = boundedCumCounts(counts, "vq", "c", maxDistinct,
+        orderStatMsg(maxDistinct))
+      .withColumn("cumv", sum(col("vq") * col("c")).over(wCum))
+      .withColumn("tv", sum(col("vq") * col("c")).over(wAll))
+      // nonnegative-value contract + exact-ppm envelope, both loud
+      .withColumn("__g", assert_true(
+        col("vq") >= 0L && col("tv") <= 9000000000000L,
+        lit("lorenzCurve: values must be nonnegative and total·1e6 must " +
+          "fit BIGINT — quantize coarser (bounded-moment contract, see " +
+          "Experiment.calibrationBins)")))
+      .where(col("__g").isNull)
+    cum.crossJoin(broadcast((1 to k).toDF("q")))
+      .withColumn("rank", expr(s"(q * n) div ${k}L"))
+      .filter(col("cum") >= col("rank"))
+      .groupBy("q")
+      .agg(max("rank").as("rank"),
+        min_by(struct(col("vq"), col("c"), col("cum"), col("cumv"),
+          col("tv")), col("vq")).as("g"))
+      .select(col("q"), col("rank"),
+        (col("g.cumv") - col("g.vq") * col("g.c") +
+          (col("rank") - (col("g.cum") - col("g.c"))) * col("g.vq"))
+          .as("bottom_value"),
+        col("g.tv").as("total_value"))
+      .withColumn("share_ppm",
+        when(col("total_value") === 0L, lit(null).cast("long"))
+          .otherwise(expr("(bottom_value * 1000000) div total_value")))
+  }
+
   /** Robust (median/MAD) outlier audit of a numeric column — the
    * heavy-tail-safe alternative to mean/stddev z-scores, whose own
    * inputs the outliers corrupt: median and MAD (median absolute
@@ -582,6 +688,87 @@ object Profile {
       .select(col("n_rows"), col("n_x"), col("n_y"), col("n_cells"),
         col("mi_nano"))
   }
+
+  /** Pearson chi-squared test of independence between two categorical
+   * columns, with Cramér's V — the significance-scented sibling of
+   * [[mutualInfo]] (MI says how MUCH the columns share; chi²/V says
+   * whether the association clears sampling noise and on what 0..1
+   * scale). Zero-observed cells CONTRIBUTE (their term is E): the full
+   * nx×ny grid is generated from the two broadcast marginals, so a
+   * never-observed (lang, source) cell still pushes chi² up — dropping
+   * them (the tempting join shape) understates the statistic.
+   *
+   * Exactness: O, n_x, n_y, n are exact BIGINT; each cell term
+   * `(O − E)²/E` is ONE fixed-shape double expression over those
+   * integers micro-quantized half-up (the PSI per-term discipline), so
+   * the total is an exact BIGINT; V = sqrt(chi²/(n·min(nx−1, ny−1)))
+   * derives from the already-quantized total. dof 0 (a constant column)
+   * yields NULL V, not NaN.
+   *
+   * Scale shape: one cell-grain hash-agg + two category-grain aggs; the
+   * grid is |X|·|Y| (categorical grain, broadcast). Output 1 row:
+   * (n_rows, n_x, n_y, n_cells, dof, chi2_micro, cramers_v_micro). */
+  def chi2Independence(df: DataFrame, xCol: String,
+      yCol: String): DataFrame = {
+    val joint = df.groupBy(col(xCol).as("__x"), col(yCol).as("__y"))
+      .agg(count(lit(1)).as("n_xy"))
+    val mx = joint.groupBy("__x").agg(sum("n_xy").as("n_x"))
+    val my = joint.groupBy("__y").agg(sum("n_xy").as("n_y"))
+    val total = joint.agg(sum("n_xy").as("n"))
+    val grid = mx.crossJoin(broadcast(my))
+      .join(joint, Seq("__x", "__y"), "left")
+      .select(col("n_x"), col("n_y"),
+        coalesce(col("n_xy"), lit(0L)).as("o"))
+      .crossJoin(broadcast(total))
+    val e = col("n_x").cast("double") * col("n_y").cast("double") /
+      col("n").cast("double")
+    val term = floor((col("o").cast("double") - e) *
+      (col("o").cast("double") - e) / e * lit(1e6) + lit(0.5)).cast("long")
+    grid.select(col("n"), term.as("__t"))
+      .agg(max("n").as("n_rows"), count(lit(1)).as("n_cells"),
+        sum("__t").as("chi2_micro"))
+      .crossJoin(broadcast(mx.agg(count(lit(1)).as("n_x"))))
+      .crossJoin(broadcast(my.agg(count(lit(1)).as("n_y"))))
+      .select(col("n_rows"), col("n_x"), col("n_y"), col("n_cells"),
+        ((col("n_x") - 1) * (col("n_y") - 1)).as("dof"),
+        col("chi2_micro"),
+        when((col("n_x") - 1) * (col("n_y") - 1) === 0L,
+          lit(null).cast("long"))
+          .otherwise(floor(sqrt(col("chi2_micro").cast("double") /
+            lit(1e6) / (col("n_rows").cast("double") *
+              least(col("n_x") - 1, col("n_y") - 1).cast("double"))) *
+            lit(1e6) + lit(0.5)).cast("long")).as("cramers_v_micro"))
+  }
+
+  /** Herfindahl–Hirschman concentration index of a categorical column
+   * per group — "is this language's corpus one source in a trenchcoat":
+   * HHI = Σ share², in exact ppm by integer cross-multiplication
+   * (`(Σc²·1e6) div n²` — no doubles anywhere), with the top category's
+   * exact ppm share beside it. 1e6/n_cats = perfectly even; 1e6 = fully
+   * concentrated. The one-number mixture-health readout above
+   * [[mutualInfo]]'s global association and below a full per-group
+   * histogram.
+   *
+   * A loud bound keeps `n²·1e6` inside BIGINT (n ≤ `maxN` per group —
+   * the calibrationBins discipline); past it, pre-aggregate or sample
+   * the group, which is also the cheaper measurement. One cell-grain
+   * hash-agg + one group-grain agg; output one row per group:
+   * (group, n, n_cats, top_share_ppm, hhi_ppm). */
+  def hhi(df: DataFrame, groupCol: String, catCol: String,
+      maxN: Long = 3000000L): DataFrame =
+    df.groupBy(col(groupCol).as("group"), col(catCol).as("__cat"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy("group")
+      .agg(sum("c").as("n"), count(lit(1)).as("n_cats"),
+        max("c").as("__top"), sum(col("c") * col("c")).as("__ss"))
+      .withColumn("__g", assert_true(col("n") <= maxN,
+        lit(s"hhi: group row count exceeds $maxN — n²·1e6 would leave " +
+          "BIGINT; pre-aggregate or sample the group (bounded-moment " +
+          "contract, see Experiment.calibrationBins)")))
+      .where(col("__g").isNull)
+      .select(col("group"), col("n"), col("n_cats"),
+        expr("(__top * 1000000) div n").as("top_share_ppm"),
+        expr("(__ss * 1000000) div (n * n)").as("hhi_ppm"))
 
   /** Snapshot profile-drift audit: per column, the shape statistics
    * whose movement between two snapshots of "the same" feed is how

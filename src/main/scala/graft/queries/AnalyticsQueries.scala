@@ -1299,5 +1299,286 @@ object AnalyticsQueries {
                        AS top_share_ppm,
                      CAST(n_rows // n_partitions AS BIGINT) AS mean_rows
               FROM a"""),
-      "partition-transform planner: count/skew/occupancy per candidate"))
+      "partition-transform planner: count/skew/occupancy per candidate"),
+
+    // ---- round-10 concentration / association / rank-test family ----
+
+    // Lorenz curve of customer lifetime spend: share of total revenue
+    // held by the bottom j/10 of customers — exact integer interpolation
+    // inside tied-value groups, exact ppm shares, built on the shared
+    // enforced-grain kernel (the value-concentration sibling of dq12's
+    // key-frequency Gini).
+    "dq17_lorenz" -> QueryDef(
+      (s, dir) => graft.ext.Profile.lorenzCurve(
+        t(s, dir, "orders").select(col("o_custkey"),
+          floor(col("o_totalprice") * 100 + lit(0.5)).cast("long")
+            .as("cents")),
+        "o_custkey", "cents", k = 10),
+      Some("""WITH pk AS (SELECT o_custkey,
+                     CAST(sum(CAST(floor(o_totalprice * 100 + 0.5)
+                       AS BIGINT)) AS BIGINT) AS vq
+                   FROM orders GROUP BY 1),
+              c AS (SELECT vq, CAST(count(*) AS BIGINT) AS c
+                    FROM pk GROUP BY 1),
+              cum AS (SELECT vq, c,
+                        CAST(sum(c) OVER (ORDER BY vq
+                          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+                        CAST(sum(vq * c) OVER (ORDER BY vq
+                          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cumv,
+                        CAST(sum(c) OVER () AS BIGINT) AS n,
+                        CAST(sum(vq * c) OVER () AS BIGINT) AS tv
+                      FROM c),
+              qs AS (SELECT CAST(unnest(generate_series(1, 10)) AS INT)
+                       AS q),
+              sel AS (SELECT qs.q, (qs.q * cum.n) // 10 AS rank,
+                             cum.vq, cum.c, cum.cum, cum.cumv, cum.tv
+                      FROM cum CROSS JOIN qs
+                      WHERE cum.cum >= (qs.q * cum.n) // 10),
+              g AS (SELECT q, min(vq) AS vq FROM sel GROUP BY 1)
+              SELECT sel.q, CAST(sel.rank AS BIGINT) AS rank,
+                     CAST(sel.cumv - sel.vq * sel.c
+                          + (sel.rank - (sel.cum - sel.c)) * sel.vq
+                       AS BIGINT) AS bottom_value,
+                     sel.tv AS total_value,
+                     CASE WHEN sel.tv = 0 THEN NULL
+                          ELSE CAST(((sel.cumv - sel.vq * sel.c
+                               + (sel.rank - (sel.cum - sel.c)) * sel.vq)
+                             * 1000000) // sel.tv AS BIGINT)
+                     END AS share_ppm
+              FROM sel JOIN g ON g.q = sel.q AND g.vq = sel.vq"""),
+      "Lorenz curve of customer spend: bottom-decile value shares"),
+
+    // Mann-Whitney U rank-sum test on per-user value totals, arms by
+    // user % 2 (the welch/cuped convention) — the distribution-free
+    // significance readout a heavy-tailed revenue metric needs (no
+    // single whale moves a rank sum by more than one rank). Doubled
+    // ranks keep tie-averaged ranks exact integers.
+    "ab6_mann_whitney" -> QueryDef(
+      (s, dir) => graft.ext.Experiment.mannWhitney(t(s, dir, "events")),
+      Some("""WITH u AS (SELECT user_id % 2 AS arm,
+                     CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+                       AS BIGINT) AS x
+                   FROM events GROUP BY user_id),
+              c AS (SELECT x AS vq,
+                      CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS c1,
+                      CAST(count(*) AS BIGINT) AS c
+                    FROM u GROUP BY 1),
+              r AS (SELECT c1, c,
+                      CAST(sum(c) OVER (ORDER BY vq
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+                      CAST(sum(c) OVER () AS BIGINT) AS n
+                    FROM c),
+              a AS (SELECT max(n) AS n,
+                      CAST(sum(c1) AS BIGINT) AS n1,
+                      CAST(sum(c1 * (2 * (cum - c) + c + 1)) AS BIGINT)
+                        AS r1d,
+                      CAST(sum(c * c * c - c) AS BIGINT) AS tt
+                    FROM r),
+              d AS (SELECT n - n1 AS n0, n1,
+                           2 * n1 * (n - n1) + n1 * (n1 + 1) - r1d
+                             AS u1d,
+                           tt, n
+                    FROM a)
+              SELECT CAST(n0 AS BIGINT) AS n0, n1,
+                     CAST(u1d AS BIGINT) AS u1_doubled, tt AS tie_term,
+                     CASE WHEN n1 < 1 OR n0 < 1
+                            OR CAST(n1 AS DOUBLE) * CAST(n0 AS DOUBLE)
+                               / 12.0 * ((CAST(n AS DOUBLE) + 1.0)
+                                 - CAST(tt AS DOUBLE)
+                                   / (CAST(n AS DOUBLE)
+                                      * (CAST(n AS DOUBLE) - 1.0))) = 0.0
+                          THEN NULL
+                          ELSE CAST(floor((CAST(u1d AS DOUBLE)
+                                 - CAST(n1 AS DOUBLE)
+                                   * CAST(n0 AS DOUBLE))
+                               / (2.0 * sqrt(CAST(n1 AS DOUBLE)
+                                   * CAST(n0 AS DOUBLE) / 12.0
+                                 * ((CAST(n AS DOUBLE) + 1.0)
+                                   - CAST(tt AS DOUBLE)
+                                     / (CAST(n AS DOUBLE)
+                                        * (CAST(n AS DOUBLE) - 1.0)))))
+                               * 1e6 + 0.5) AS BIGINT)
+                     END AS z_micro
+              FROM d"""),
+      "Mann-Whitney rank-sum z on per-user totals (tie-corrected)"),
+
+    // Pearson chi-squared independence lang x source with Cramér's V —
+    // the significance readout beside dq14's MI on the same contingency
+    // table; zero-observed grid cells contribute their expected counts.
+    "dq19_chi2" -> QueryDef(
+      (s, dir) => graft.ext.Profile.chi2Independence(
+        t(s, dir, "documents"), "lang", "source"),
+      Some("""WITH j AS (SELECT lang AS x, source AS y,
+                     CAST(count(*) AS BIGINT) AS n_xy
+                   FROM documents GROUP BY 1, 2),
+              mx AS (SELECT x, CAST(sum(n_xy) AS BIGINT) AS n_x
+                     FROM j GROUP BY 1),
+              my AS (SELECT y, CAST(sum(n_xy) AS BIGINT) AS n_y
+                     FROM j GROUP BY 1),
+              tt AS (SELECT CAST(sum(n_xy) AS BIGINT) AS n FROM j),
+              grid AS (SELECT mx.n_x, my.n_y,
+                              CAST(coalesce(j.n_xy, 0) AS BIGINT) AS o,
+                              tt.n
+                       FROM mx CROSS JOIN my
+                       LEFT JOIN j ON j.x = mx.x AND j.y = my.y, tt),
+              t2 AS (SELECT n,
+                       CAST(floor((CAST(o AS DOUBLE)
+                           - CAST(n_x AS DOUBLE) * CAST(n_y AS DOUBLE)
+                             / CAST(n AS DOUBLE))
+                         * (CAST(o AS DOUBLE)
+                           - CAST(n_x AS DOUBLE) * CAST(n_y AS DOUBLE)
+                             / CAST(n AS DOUBLE))
+                         / (CAST(n_x AS DOUBLE) * CAST(n_y AS DOUBLE)
+                            / CAST(n AS DOUBLE))
+                         * 1e6 + 0.5) AS BIGINT) AS term
+                     FROM grid),
+              s AS (SELECT CAST(max(n) AS BIGINT) AS n_rows,
+                      (SELECT CAST(count(*) AS BIGINT) FROM mx) AS n_x,
+                      (SELECT CAST(count(*) AS BIGINT) FROM my) AS n_y,
+                      CAST(count(*) AS BIGINT) AS n_cells,
+                      CAST(sum(term) AS BIGINT) AS chi2_micro
+                    FROM t2)
+              SELECT n_rows, n_x, n_y, n_cells,
+                     CAST((n_x - 1) * (n_y - 1) AS BIGINT) AS dof,
+                     chi2_micro,
+                     CASE WHEN (n_x - 1) * (n_y - 1) = 0 THEN NULL
+                          ELSE CAST(floor(sqrt(
+                              CAST(chi2_micro AS DOUBLE) / 1e6
+                              / (CAST(n_rows AS DOUBLE)
+                                 * CAST(least(n_x - 1, n_y - 1)
+                                     AS DOUBLE)))
+                            * 1e6 + 0.5) AS BIGINT)
+                     END AS cramers_v_micro
+              FROM s"""),
+      "chi-squared independence lang x source + Cramér's V"),
+
+    // Herfindahl-Hirschman source concentration per language — "is this
+    // language's corpus one source in a trenchcoat": exact-ppm Σ share²
+    // by integer cross-multiplication, top source share beside it.
+    "dq20_hhi" -> QueryDef(
+      (s, dir) => graft.ext.Profile.hhi(
+          t(s, dir, "documents"), "lang", "source")
+        .withColumnRenamed("group", "lang"),
+      Some("""WITH c AS (SELECT lang, source,
+                     CAST(count(*) AS BIGINT) AS c
+                   FROM documents GROUP BY 1, 2),
+              a AS (SELECT lang, CAST(sum(c) AS BIGINT) AS n,
+                           CAST(count(*) AS BIGINT) AS n_cats,
+                           CAST(max(c) AS BIGINT) AS top_c,
+                           CAST(sum(c * c) AS BIGINT) AS ss
+                    FROM c GROUP BY 1)
+              SELECT lang, n, n_cats,
+                     CAST((top_c * 1000000) // n AS BIGINT)
+                       AS top_share_ppm,
+                     CAST((ss * 1000000) // (n * n) AS BIGINT) AS hhi_ppm
+              FROM a"""),
+      "HHI source concentration per language (mixture-health audit)"),
+
+    // Jensen-Shannon divergence over the SAME en-vs-zh n_chars buckets
+    // as the PSI drift gate — the symmetric, bounded (≤ ln 2) number to
+    // threshold when snapshots can gain or lose whole modes (PSI's
+    // smoothed one-sided terms still blow up there).
+    "dq21_jsd" -> QueryDef(
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        graft.ext.Profile.jsdDrift(
+          docs.filter(col("lang") === "en"),
+          docs.filter(col("lang") === "zh"),
+          "n_chars", bucketWidth = 50L)
+      },
+      Some("""WITH rb AS (SELECT CAST(floor(CAST(n_chars AS DOUBLE) / 50)
+                       AS BIGINT) AS bucket,
+                     CAST(count(*) AS BIGINT) AS n_ref
+                   FROM documents WHERE lang = 'en' GROUP BY 1),
+              cb AS (SELECT CAST(floor(CAST(n_chars AS DOUBLE) / 50)
+                       AS BIGINT) AS bucket,
+                     CAST(count(*) AS BIGINT) AS n_cur
+                     FROM documents WHERE lang = 'zh' GROUP BY 1),
+              j AS (SELECT coalesce(rb.bucket, cb.bucket) AS bucket,
+                           CAST(coalesce(n_ref, 0) AS BIGINT) AS n_ref,
+                           CAST(coalesce(n_cur, 0) AS BIGINT) AS n_cur
+                    FROM rb FULL OUTER JOIN cb ON rb.bucket = cb.bucket),
+              tt AS (SELECT CAST(sum(n_ref) AS BIGINT) AS nr,
+                            CAST(sum(n_cur) AS BIGINT) AS nc,
+                            CAST(count(*) AS BIGINT) AS b
+                     FROM j),
+              pq AS (SELECT bucket, n_ref, n_cur,
+                       CAST(n_ref + 1 AS DOUBLE) / CAST(nr + b AS DOUBLE)
+                         AS p,
+                       CAST(n_cur + 1 AS DOUBLE) / CAST(nc + b AS DOUBLE)
+                         AS q
+                     FROM j CROSS JOIN tt)
+              SELECT bucket, n_ref, n_cur,
+                     CAST(floor((p * ln(p / ((p + q) / 2.0))
+                          + q * ln(q / ((p + q) / 2.0))) / 2.0
+                       * 1e6 + 0.5) AS BIGINT) AS jsd_micro
+              FROM pq"""),
+      "Jensen-Shannon drift over the PSI gate's en-vs-zh buckets"),
+
+    // Stationary distribution of the s7 Markov chain: 3 exact-ppm
+    // power-iteration steps over the transition counts (truncating
+    // integer division per out-edge, remainder on the '(lost)' row —
+    // masses sum to exactly 1e6). The long-run occupancy readout above
+    // s7's per-hop probabilities.
+    "s16_markov_stationary" -> QueryDef(
+      (s, dir) => {
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        val trans = t(s, dir, "events")
+          .select(col("user_id"), col("ts"), col("event_id"),
+            col("event_type").as("e_from"),
+            lead(col("event_type"), 1).over(w).as("e_to"))
+          .filter(col("e_to").isNotNull)
+          .groupBy("e_from", "e_to").agg(count(lit(1)).as("n"))
+        graft.ext.Graph.markovStationary(trans, iters = 3)
+      },
+      Some("""WITH g AS (SELECT event_type AS e_from,
+                     lead(event_type) OVER (PARTITION BY user_id
+                       ORDER BY epoch_ns(ts), event_id) AS e_to
+                   FROM events),
+              c AS (SELECT e_from, e_to, CAST(count(*) AS BIGINT) AS n
+                    FROM g WHERE e_to IS NOT NULL GROUP BY 1, 2),
+              om AS (SELECT e_from, CAST(sum(n) AS BIGINT) AS n_out
+                     FROM c GROUP BY 1),
+              st AS (SELECT e_from AS state FROM c
+                     UNION SELECT e_to FROM c),
+              ns AS (SELECT CAST(count(*) AS BIGINT) AS ns FROM st),
+              p0 AS (SELECT state, CAST(1000000 // ns AS BIGINT) AS pi
+                     FROM st, ns),
+              p1 AS (SELECT state, CAST(sum(pi) AS BIGINT) AS pi FROM (
+                       SELECT c.e_to AS state,
+                              (p0.pi * c.n) // om.n_out AS pi
+                       FROM p0 JOIN c ON c.e_from = p0.state
+                       JOIN om ON om.e_from = p0.state
+                       UNION ALL
+                       SELECT p0.state, p0.pi FROM p0
+                       LEFT JOIN om ON om.e_from = p0.state
+                       WHERE om.e_from IS NULL) GROUP BY 1),
+              p2 AS (SELECT state, CAST(sum(pi) AS BIGINT) AS pi FROM (
+                       SELECT c.e_to AS state,
+                              (p1.pi * c.n) // om.n_out AS pi
+                       FROM p1 JOIN c ON c.e_from = p1.state
+                       JOIN om ON om.e_from = p1.state
+                       UNION ALL
+                       SELECT p1.state, p1.pi FROM p1
+                       LEFT JOIN om ON om.e_from = p1.state
+                       WHERE om.e_from IS NULL) GROUP BY 1),
+              p3 AS (SELECT state, CAST(sum(pi) AS BIGINT) AS pi FROM (
+                       SELECT c.e_to AS state,
+                              (p2.pi * c.n) // om.n_out AS pi
+                       FROM p2 JOIN c ON c.e_from = p2.state
+                       JOIN om ON om.e_from = p2.state
+                       UNION ALL
+                       SELECT p2.state, p2.pi FROM p2
+                       LEFT JOIN om ON om.e_from = p2.state
+                       WHERE om.e_from IS NULL) GROUP BY 1),
+              f AS (SELECT st.state,
+                           CAST(coalesce(p3.pi, 0) AS BIGINT) AS pi_ppm
+                    FROM st LEFT JOIN p3 ON p3.state = st.state)
+              SELECT state, pi_ppm FROM f
+              UNION ALL
+              SELECT '(lost)',
+                     CAST(1000000 - (SELECT sum(pi_ppm) FROM f)
+                       AS BIGINT)"""),
+      "Markov stationary occupancy: 3 exact-ppm power steps over s7"))
 }

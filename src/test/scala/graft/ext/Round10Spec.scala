@@ -1,0 +1,123 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+/** Hand-derived cases for the round-10 concentration / association /
+ * rank-test family: Lorenz curve (tied-group interpolation), Mann-Whitney
+ * (doubled ranks, tie degeneracy), chi-squared (zero-cell contribution),
+ * HHI, JSD (identity and symmetry), and the Markov stationary
+ * distribution (exact-ppm conservation). */
+class Round10Spec extends SparkTestBase {
+  import spark.implicits._
+
+  test("lorenzCurve: exact shares, tied-group interpolation") {
+    // per-key values 1, 1, 2, 6 (total 10); quartile cuts at ranks
+    // 1, 2, 3, 4 -> bottom values 1, 2, 4, 10. Rank 1 falls INSIDE the
+    // tied {1, 1} group: the interpolation takes one copy of the group
+    // value, exactly.
+    val df = Seq((1L, 1L), (2L, 1L), (3L, 2L), (4L, 6L)).toDF("k", "v")
+    val m = Profile.lorenzCurve(df, "k", "v", k = 4)
+      .collect().map(r => r.getInt(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(4)))).toMap
+    assert(m(1) == ((1L, 1L, 100000L)))
+    assert(m(2) == ((2L, 2L, 200000L)))
+    assert(m(3) == ((3L, 4L, 400000L)))
+    assert(m(4) == ((4L, 10L, 1000000L)))
+  }
+
+  test("lorenzCurve: loud bound on negative values") {
+    val df = Seq((1L, -5L), (2L, 3L)).toDF("k", "v")
+    val e = intercept[Exception] {
+      Profile.lorenzCurve(df, "k", "v", k = 2).collect()
+    }
+    assert(e.getMessage.contains("nonnegative") ||
+      Option(e.getCause).exists(_.getMessage.contains("nonnegative")))
+  }
+
+  test("mannWhitney: hand z on distinct values; all-tied is NULL") {
+    // users 0,2 -> arm0 with totals 100, 200 centi; users 1,3 -> arm1
+    // with 300, 400: ranks 1..4, R1 = 7 (doubled 14), U1d = 0,
+    // sigma² = 5/3, z = -4 / (2·sqrt(5/3)) = -1.549193...
+    def ev(vals: (Long, Double)*) = vals.zipWithIndex.map {
+      case ((uid, v), i) => (i.toLong, 1000000L + i, uid, "purchase", v)
+    }.toDF("event_id", "ts", "user_id", "event_type", "value")
+    val r = Experiment.mannWhitney(
+      ev((0L, 1.0), (2L, 2.0), (1L, 3.0), (3L, 4.0))).collect().head
+    assert(r.getLong(0) == 2L && r.getLong(1) == 2L)
+    assert(r.getLong(2) == 0L, "U1 doubled")
+    assert(r.getLong(3) == 0L, "no ties")
+    assert(r.getLong(4) == -1549193L)
+    // all four users tied -> sigma = 0 -> NULL z, tie term 4³-4 = 60
+    val t = Experiment.mannWhitney(
+      ev((0L, 5.0), (2L, 5.0), (1L, 5.0), (3L, 5.0))).collect().head
+    assert(t.getLong(3) == 60L)
+    assert(t.get(4) == null)
+  }
+
+  test("chi2Independence: zero-observed cells contribute their E") {
+    // 10×(a,x) + 10×(b,y): every E = 5, the two ZERO cells contribute
+    // (0-5)²/5 = 5 each -> chi2 = 20 exactly, V = 1
+    val df = ((1 to 10).map(_ => ("a", "x")) ++
+      (1 to 10).map(_ => ("b", "y"))).toDF("u", "w")
+    val r = Profile.chi2Independence(df, "u", "w").collect().head
+    assert(r.getLong(0) == 20L)
+    assert(r.getLong(1) == 2L && r.getLong(2) == 2L)
+    assert(r.getLong(3) == 4L, "the full grid, zero cells included")
+    assert(r.getLong(4) == 1L, "dof")
+    assert(r.getLong(5) == 20000000L, "chi2 micro")
+    assert(r.getLong(6) == 1000000L, "Cramér's V micro")
+    // independent columns -> chi2 0
+    val ind = ((1 to 5).flatMap(_ =>
+      Seq(("a", "x"), ("a", "y"), ("b", "x"), ("b", "y"))))
+      .toDF("u", "w")
+    assert(Profile.chi2Independence(ind, "u", "w")
+      .collect().head.getLong(5) == 0L)
+  }
+
+  test("hhi: exact ppm concentration and loud bound") {
+    val df = ((1 to 8).map(_ => ("en", "s1")) ++
+      (1 to 2).map(_ => ("en", "s2"))).toDF("lang", "source")
+    val r = Profile.hhi(df, "lang", "source").collect().head
+    assert(r.getLong(1) == 10L && r.getLong(2) == 2L)
+    assert(r.getLong(3) == 800000L, "top share")
+    assert(r.getLong(4) == 680000L, "(64+4)·1e6 div 100")
+    val e = intercept[Exception] {
+      Profile.hhi(df, "lang", "source", maxN = 5L).collect()
+    }
+    assert(e.getMessage.contains("group row count") ||
+      Option(e.getCause).exists(_.getMessage.contains("group row count")))
+  }
+
+  test("jsd: zero on identical histograms, symmetric, ≤ ln 2") {
+    val h1 = Seq((0L, 5L), (1L, 5L)).toDF("bucket", "n_ref")
+    val h1c = h1.toDF("bucket", "n_cur")
+    assert(Profile.jsdFromBuckets(h1, h1c)
+      .agg(sum("jsd_micro")).head.getLong(0) == 0L)
+    // disjoint masses: positive, bounded by ln 2, and SYMMETRIC
+    val a = Seq((0L, 100L)).toDF("bucket", "n_ref")
+    val b = Seq((1L, 100L)).toDF("bucket", "n_cur")
+    val ab = Profile.jsdFromBuckets(a, b)
+      .agg(sum("jsd_micro")).head.getLong(0)
+    val ba = Profile.jsdFromBuckets(
+        Seq((1L, 100L)).toDF("bucket", "n_ref"),
+        Seq((0L, 100L)).toDF("bucket", "n_cur"))
+      .agg(sum("jsd_micro")).head.getLong(0)
+    assert(ab > 0L && ab <= 693148L)
+    assert(ab == ba, "JSD is symmetric")
+  }
+
+  test("markovStationary: exact-ppm conservation, absorbing state wins") {
+    // a->b (2), b->a (1), b->c (1); c absorbing: mass drains to c
+    val trans = Seq(("a", "b", 2L), ("b", "a", 1L), ("b", "c", 1L))
+      .toDF("e_from", "e_to", "n")
+    val rows = Graph.markovStationary(trans, iters = 3)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows.values.sum == 1000000L,
+      s"mass conserves to exactly 1e6: $rows")
+    assert(rows.contains("(lost)") && rows("(lost)") >= 0L)
+    assert(rows("c") > rows("b") && rows("b") >= rows("a"),
+      s"mass drains toward the absorbing state: $rows")
+  }
+}
