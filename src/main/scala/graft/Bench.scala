@@ -1179,6 +1179,16 @@ object Bench {
           graft.ext.Profile.orderStatQuantiles(
             ps.read.parquet(s"$dir10/lineitem.parquet"),
             "l_extendedprice", k = 10, maxDistinct = 8L * 1000 * 1000)),
+        // round-10: the SAME selection through the two-level form — at
+        // ~5.8M distinct centi-prices the default 4M grain bound holds
+        // at BOTH levels (≈11 range buckets, ≤ ~1M distinct per target
+        // bucket), so no raised bound is needed; head-to-head vs dq11's
+        // single-partition window at identical 10× distinct grain
+        "dq22_equidepth_twolevel" ->
+          ((ps: org.apache.spark.sql.SparkSession) =>
+            graft.ext.Profile.orderStatQuantilesTwoLevel(
+              ps.read.parquet(s"$dir10/lineitem.parquet"),
+              "l_extendedprice", k = 10, bucketShift = 20)),
         // round-9: frontier Bellman-Ford over the 10× part forest — 10×
         // roots/vertices, depth +log4(10) ≈ +2 relaxation rounds (the
         // hop bound rises to match); the wall prices per-round frontier
@@ -1214,10 +1224,16 @@ object Bench {
           SparkEntry.queries("rec1_cf_hitrate")(ps, dir10)),
         "graph14_hill_alpha" ->
           ((ps: org.apache.spark.sql.SparkSession) =>
-            SparkEntry.queries("graph14_hill_alpha")(ps, dir10))),
+            SparkEntry.queries("graph14_hill_alpha")(ps, dir10)),
+        // round-10: Lorenz at 10× customers — the key-grain agg scales
+        // linearly and the kernel window runs at distinct-TOTAL grain
+        // (per-customer lifetime sums; the replica shift multiplies the
+        // distinct totals ~10×, the honest axis for the bounded window)
+        "dq17_lorenz" -> ((ps: org.apache.spark.sql.SparkSession) =>
+          SparkEntry.queries("dq17_lorenz")(ps, dir10))),
         setup = ps => {
           val o = ps.read.parquet(s"$sfDir/orders.parquet")
-            .select("o_orderkey", "o_custkey")
+            .select("o_orderkey", "o_custkey", "o_totalprice")
           val l = ps.read.parquet(s"$sfDir/lineitem.parquet")
             .select("l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
               "l_extendedprice")
@@ -1227,7 +1243,10 @@ object Bench {
           val skStride = maxIdOrZero(l, "l_suppkey") + 1L
           (0 until 10).map(k => o.select(
             (col("o_orderkey") + lit(k * okStride)).as("o_orderkey"),
-            (col("o_custkey") + lit(k * ckStride)).as("o_custkey")))
+            (col("o_custkey") + lit(k * ckStride)).as("o_custkey"),
+            // per-replica cent shift: per-customer lifetime totals grow
+            // ~10× distinct (the dq17 kernel window's honest axis)
+            (col("o_totalprice") + lit(k * 0.01)).as("o_totalprice")))
             .reduce(_ unionByName _)
             .repartition(16).write.mode("overwrite")
             .parquet(s"$dir10/orders.parquet")
@@ -1307,7 +1326,16 @@ object Bench {
           SparkEntry.queries("ab5_did")(ps, dir10)),
         "s11_event_trigrams" ->
           ((ps: org.apache.spark.sql.SparkSession) =>
-            SparkEntry.queries("s11_event_trigrams")(ps, dir10))))
+            SparkEntry.queries("s11_event_trigrams")(ps, dir10)),
+        // round-10: rank-sum test at 10× users (user-grain agg + the
+        // bounded kernel at distinct-total grain) and the stationary
+        // chain (the s7 window sort at 10× + states-sized iterations)
+        "ab6_mann_whitney" ->
+          ((ps: org.apache.spark.sql.SparkSession) =>
+            SparkEntry.queries("ab6_mann_whitney")(ps, dir10)),
+        "s16_markov_stationary" ->
+          ((ps: org.apache.spark.sql.SparkSession) =>
+            SparkEntry.queries("s16_markov_stationary")(ps, dir10))))
       (walls.toList, ratios.toList, rawSamples.toList, canaries.toList,
         nDocs, nVecs)
     }

@@ -398,6 +398,78 @@ object Profile {
       .groupBy("q").agg(max("rank").as("rank"), min("vq").as("vq"))
   }
 
+  /** Two-level exact equi-depth quantiles — [[orderStatQuantiles]] with
+   * the single-partition grain caveat LIFTED (the range-partitioned
+   * two-level prefix sum the r9 verdict named): level 1 aggregates the
+   * distinct values into 2^`bucketShift`-wide range buckets and runs the
+   * bounded cumulative window at BUCKET grain; level 2 re-scans ONLY the
+   * ≤ k target buckets (a k-row broadcast semi-join against the
+   * value-grain relation) and selects the exact within-bucket order
+   * statistic under a PARTITIONED window. The grain contract therefore
+   * drops from "global distinct ≤ maxGrain" to "range buckets ≤
+   * maxGrain AND distinct-per-target-bucket ≤ maxGrain" — both still
+   * loudly asserted, both satisfiable at ANY corpus cardinality by
+   * choosing `bucketShift` (e.g. shift 32 splits a full 63-bit
+   * nonnegative domain into ≤ 2^31/bucket... pick shift ≈
+   * (domain_bits − 20) so each level holds ~1M rows). Values
+   * centi-quantize like [[orderStatQuantiles]] and must be NONNEGATIVE
+   * (asserted — truncating bucket division would fold negatives).
+   * Result is BIT-IDENTICAL to [[orderStatQuantiles]] (spec-pinned):
+   * (q, rank, vq), rank_j = ⌈j·n/k⌉, exact lower order statistics. */
+  def orderStatQuantilesTwoLevel(df: DataFrame, valCol: String, k: Int,
+      bucketShift: Int = 20,
+      maxGrain: Long = MaxOrderStatDistinct): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(bucketShift >= 8 && bucketShift <= 48,
+      s"bucketShift must be in [8, 48], got $bucketShift")
+    val session = df.sparkSession
+    import session.implicits._
+    val width = 1L << bucketShift
+    // value-grain relation materialized once: BOTH levels read it (the
+    // corpus scan happens exactly once; this relation is already
+    // distinct-value-sized)
+    val counts = Dedup.materialize(
+      df.filter(col(valCol).isNotNull)
+        .select(floor(col(valCol) * lit(100) + lit(0.5)).cast("long")
+          .as("vq"))
+        .withColumn("__gn", assert_true(col("vq") >= 0L,
+          lit("orderStatQuantilesTwoLevel: values must be nonnegative " +
+            "(range-bucket floor-division contract)")))
+        .where(col("__gn").isNull)
+        .groupBy("vq").agg(count(lit(1)).as("c")))
+    val buckets = counts.groupBy(expr(s"vq div ${width}L").as("b"))
+      .agg(sum("c").as("cb"), count(lit(1)).as("ndb"))
+    val cum1 = boundedCumCounts(buckets, "b", "cb", maxGrain,
+      s"orderStatQuantilesTwoLevel: range-bucket count exceeds " +
+        s"$maxGrain — raise bucketShift (bounded-grain contract, see " +
+        "Profile.boundedCumCounts)")
+    val targets = cum1.crossJoin(broadcast((1 to k).toDF("q")))
+      .withColumn("rank", expr(s"(q * n + $k - 1) div ${k}L"))
+      .filter(col("cum") >= col("rank"))
+      .groupBy("q")
+      .agg(max("rank").as("rank"),
+        min_by(struct(col("b"), col("cb"), col("ndb"), col("cum")),
+          col("b")).as("g"))
+      .select(col("q"), col("rank"), col("g.b").as("b"),
+        (col("rank") - (col("g.cum") - col("g.cb"))).as("in_rank"),
+        col("g.ndb").as("ndb"))
+      .withColumn("__g2", assert_true(col("ndb") <= maxGrain,
+        lit(s"orderStatQuantilesTwoLevel: a target bucket holds more " +
+          s"than $maxGrain distinct values — lower bucketShift " +
+          "(bounded-grain contract, see Profile.boundedCumCounts)")))
+      .where(col("__g2").isNull).drop("__g2")
+    val w2 = org.apache.spark.sql.expressions.Window.partitionBy("q")
+      .orderBy("vq")
+      .rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    counts.withColumn("b", expr(s"vq div ${width}L"))
+      .join(broadcast(targets), Seq("b"))
+      .withColumn("cum2", sum("c").over(w2))
+      .filter(col("cum2") >= col("in_rank"))
+      .groupBy("q").agg(max("rank").as("rank"), min("vq").as("vq"))
+  }
+
   /** Per-key exact k-quantiles by order-statistic selection — the
    * GROUPED form of [[orderStatQuantiles]], and the shape that removes
    * its single-partition caveat entirely: the cumulative window

@@ -1580,5 +1580,33 @@ object AnalyticsQueries {
               SELECT '(lost)',
                      CAST(1000000 - (SELECT sum(pi_ppm) FROM f)
                        AS BIGINT)"""),
-      "Markov stationary occupancy: 3 exact-ppm power steps over s7"))
+      "Markov stationary occupancy: 3 exact-ppm power steps over s7"),
+
+    // Two-level exact deciles — dq11's selection with the
+    // single-partition caveat LIFTED: bucket-grain cumulative (level 1)
+    // + within-target-bucket selection under a PARTITIONED window
+    // (level 2). The oracle is the UNBOUNDED global selection — the
+    // two-level plan must land on bit-identical order statistics.
+    "dq22_quantiles_twolevel" -> QueryDef(
+      (s, dir) => graft.ext.Profile.orderStatQuantilesTwoLevel(
+        t(s, dir, "lineitem"), "l_extendedprice", k = 10,
+        bucketShift = 20),
+      Some("""WITH vq AS (SELECT CAST(floor(l_extendedprice * 100 + 0.5)
+                              AS BIGINT) AS vq
+                          FROM lineitem
+                          WHERE l_extendedprice IS NOT NULL),
+              c1 AS (SELECT vq, CAST(count(*) AS BIGINT) AS c
+                     FROM vq GROUP BY vq),
+              n1 AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM c1),
+              cum AS (SELECT vq, CAST(sum(c) OVER (ORDER BY vq
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+                      FROM c1),
+              qs AS (SELECT CAST(unnest(generate_series(1, 10)) AS INTEGER)
+                              AS q)
+              SELECT q, max(rank) AS rank, min(vq) AS vq
+              FROM (SELECT qs.q, (qs.q * n1.n + 9) // 10 AS rank,
+                           cum.vq, cum.cum
+                    FROM cum CROSS JOIN n1 CROSS JOIN qs)
+              WHERE cum >= rank GROUP BY q"""),
+      "two-level exact deciles: the grain-bound caveat lifted"))
 }

@@ -108,6 +108,33 @@ class Round10Spec extends SparkTestBase {
     assert(ab == ba, "JSD is symmetric")
   }
 
+  test("orderStatQuantilesTwoLevel: bit-identical to the one-level " +
+    "selection, and succeeds where the global grain bound refuses") {
+    // integer-valued doubles 0..999 -> vq 0, 100, ..., 99900 (1000
+    // distinct). shift 16 -> 65536-wide buckets -> 2 buckets.
+    val df = (0 until 1000).map(i => i.toDouble).toDF("v")
+    val one = Profile.orderStatQuantiles(df, "v", k = 7)
+      .orderBy("q").collect().map(r => (r.getInt(0), r.getLong(1),
+        r.getLong(2))).toSeq
+    val two = Profile.orderStatQuantilesTwoLevel(df, "v", k = 7,
+        bucketShift = 16)
+      .orderBy("q").collect().map(r => (r.getInt(0), r.getLong(1),
+        r.getLong(2))).toSeq
+    assert(one == two, s"one-level $one != two-level $two")
+    // the caveat lift: global distinct (1000) exceeds maxGrain 700, so
+    // the one-level form MUST refuse — and the two-level form (2
+    // buckets, <= 656 distinct per bucket) still selects exactly
+    intercept[Exception] {
+      Profile.orderStatQuantiles(df, "v", k = 7, maxDistinct = 700L)
+        .collect()
+    }
+    val lifted = Profile.orderStatQuantilesTwoLevel(df, "v", k = 7,
+        bucketShift = 16, maxGrain = 700L)
+      .orderBy("q").collect().map(r => (r.getInt(0), r.getLong(1),
+        r.getLong(2))).toSeq
+    assert(lifted == one, "the lifted bound changes nothing but the plan")
+  }
+
   test("markovStationary: exact-ppm conservation, absorbing state wins") {
     // a->b (2), b->a (1), b->c (1); c absorbing: mass drains to c
     val trans = Seq(("a", "b", 2L), ("b", "a", 1L), ("b", "c", 1L))

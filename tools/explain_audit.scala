@@ -91,7 +91,12 @@ val names = Seq(
   // round-9 session-3 late additions (r9 advice: these were covered but
   // missing from this sweep): session-depth panel, grouped decile drift,
   // per-key OLS trend
-  "s15_session_depth", "dq18_decile_drift", "x14_keyed_trend")
+  "s15_session_depth", "dq18_decile_drift", "x14_keyed_trend",
+  // round-10 additions: Lorenz (bounded kernel + k-row agg), MW-U
+  // (kernel + 1-row agg), chi2 (broadcast grid), HHI (two hash-aggs),
+  // JSD (bucket join), Markov stationary (states-sized iterate joins)
+  "dq17_lorenz", "ab6_mann_whitney", "dq19_chi2", "dq20_hhi",
+  "dq21_jsd", "s16_markov_stationary", "dq22_quantiles_twolevel")
 for (n <- names) {
   val df = graft.SparkEntry.queries(n)(spark, sfDir)
   val plan = df.queryExecution.explainString(
