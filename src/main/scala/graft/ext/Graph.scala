@@ -911,6 +911,58 @@ object Graph {
       .limit(topK)
   }
 
+  /** Per-vertex LOCAL clustering coefficient — the link-farm / community
+   * fingerprint at vertex grain above [[triangleStats]]'s one global
+   * number: coef(v) = triangles through v / C(deg v, 2) in exact ppm
+   * (`(2e6·n_tri) div (deg·(deg−1))` — n_tri ≤ C(deg, 2) keeps the
+   * product tiny). A shop whose co-purchase neighbors all co-purchase
+   * each other (coef → 1e6) is a bundle; a hub bridging unrelated
+   * products (coef → 0) is a connector — the per-vertex split of the
+   * global census.
+   *
+   * Same compact-forward machinery as [[triangleStats]] (degeneracy
+   * orientation, per-edge adjacency-array intersection — never the
+   * Σ deg² wedge shuffle), with the found triangles EXPLODED to credit
+   * all three corners: one extra |triangles|-row explode + a vertex-
+   * grain hash-agg on top of the census cost. Vertices with deg < 2
+   * (coefficient undefined) are dropped. Output:
+   * (vertex, deg, n_tri, coef_ppm). */
+  def clusteringCoefficients(edges: DataFrame): DataFrame = {
+    val e = Dedup.materialize(canonicalEdges(edges))
+    val deg = Dedup.materialize(degrees(e))
+    val du = deg.select(col("vertex").as("u"), col("deg").as("du"))
+    val dv = deg.select(col("vertex").as("v"), col("deg").as("dv"))
+    val oriented = Dedup.materialize(
+      e.join(du, "u").join(dv, "v")
+        .select(
+          when(col("du") < col("dv") ||
+               (col("du") === col("dv") && col("u") < col("v")),
+            struct(col("u").as("lo"), col("v").as("hi")))
+            .otherwise(struct(col("v").as("lo"), col("u").as("hi")))
+            .as("d"))
+        .select(col("d.lo").as("lo"), col("d.hi").as("hi")))
+    val adj = Dedup.materialize(
+      oriented.groupBy("lo").agg(collect_set("hi").as("nbr")))
+    val tri = oriented
+      .join(adj.select(col("lo").as("__u"), col("nbr").as("__nu")),
+        col("lo") === col("__u"))
+      .join(adj.select(col("lo").as("__v"), col("nbr").as("__nv")),
+        col("hi") === col("__v"), "left")
+      .select(col("lo"), col("hi"),
+        explode(coalesce(array_intersect(col("__nu"), col("__nv")),
+          array().cast("array<long>"))).as("w"))
+    val credits = tri.select(col("lo").as("vertex"))
+      .unionByName(tri.select(col("hi").as("vertex")))
+      .unionByName(tri.select(col("w").as("vertex")))
+      .groupBy("vertex").agg(count(lit(1)).as("n_tri"))
+    deg.join(credits, Seq("vertex"), "left")
+      .filter(col("deg") >= 2)
+      .select(col("vertex"), col("deg"),
+        coalesce(col("n_tri"), lit(0L)).as("n_tri"))
+      .withColumn("coef_ppm",
+        expr("(2000000 * n_tri) div (deg * (deg - 1))"))
+  }
+
   /** Stationary distribution of a first-order Markov chain by a FIXED
    * number of exact-integer power-iteration steps — "where does a user
    * session settle": the long-run occupancy readout over the s7

@@ -726,6 +726,40 @@ object GraphQueries {
                             + 0.5) AS BIGINT)
                      END AS alpha_micro
               FROM a"""),
-      "Hill power-law tail exponent of the degree distribution")
+      "Hill power-law tail exponent of the degree distribution"),
+
+    // Per-vertex LOCAL clustering coefficient over the high-quantity
+    // co-purchase subgraph — graph2's global census split to vertex
+    // grain (bundle vs connector fingerprint). The Spark side counts
+    // through the degeneracy orientation with the found triangles
+    // exploded to credit all three corners; the oracle counts each
+    // vertex's adjacent-neighbor pairs naively — a green hash proves
+    // the oriented exploded credit neither loses nor double-counts.
+    "graph15_clustering_coef" -> QueryDef(
+      (s, dir) => Graph.clusteringCoefficients(
+        Graph.coPurchaseEdges(
+          t(s, dir, "lineitem").filter(col("l_quantity") >= 30))),
+      Some("""WITH e AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+                         FROM lineitem a JOIN lineitem b
+                           ON a.l_orderkey = b.l_orderkey
+                          AND a.l_partkey < b.l_partkey
+                         WHERE a.l_quantity >= 30 AND b.l_quantity >= 30),
+              sym AS (SELECT u AS a, v AS b FROM e
+                      UNION ALL SELECT v, u FROM e),
+              deg AS (SELECT a AS vertex, CAST(count(*) AS BIGINT) AS deg
+                      FROM sym GROUP BY 1),
+              tr AS (SELECT s1.a AS vertex,
+                            CAST(count(*) AS BIGINT) AS n_tri
+                     FROM sym s1 JOIN sym s2
+                       ON s2.a = s1.a AND s1.b < s2.b
+                     JOIN e ON e.u = s1.b AND e.v = s2.b
+                     GROUP BY 1)
+              SELECT d.vertex, d.deg,
+                     CAST(coalesce(tr.n_tri, 0) AS BIGINT) AS n_tri,
+                     CAST((2000000 * coalesce(tr.n_tri, 0))
+                       // (d.deg * (d.deg - 1)) AS BIGINT) AS coef_ppm
+              FROM deg d LEFT JOIN tr ON tr.vertex = d.vertex
+              WHERE d.deg >= 2"""),
+      "per-vertex local clustering coefficient (bundle vs connector)")
   )
 }

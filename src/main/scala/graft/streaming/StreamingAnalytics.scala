@@ -712,6 +712,66 @@ object StreamingAnalytics {
         OutputMode.Append())
   }
 
+  final case class CohortHit(user_id: Long, cohort_day: Long,
+      age_days: Long)
+  final case class CohortState(cohort: Long, last: Long)
+
+  /** Streaming cohort-retention hits — the incremental twin of
+   * [[graft.ext.Attribution.cohortRetention]]: TWO longs of state per
+   * user (first-ever active day = the cohort, last emitted day for
+   * day-grain dedup); each FRESH active day emits one (cohort, age)
+   * hit. Unlike growth accounting there is NO churn lookahead — the
+   * retention triangle is append-only — so under per-user monotone
+   * ingest the emitted hit multiset equals the batch operator's
+   * (user, cohort, age) activity EXACTLY, and a downstream keyed agg
+   * maintains the full triangle (n_active per (cohort, age); n_cohort
+   * = the age-0 cell) with O(cohorts·ages) state. Pinned against the
+   * batch operator in StreamingSpec. */
+  class CohortProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, DayActive, CohortHit] {
+    @transient private var st:
+      org.apache.spark.sql.streaming.ValueState[CohortState] = _
+
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      st = getHandle.getValueState[CohortState]("cohort",
+        org.apache.spark.sql.Encoders.product[CohortState],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[DayActive],
+        tv: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[CohortHit] = {
+      var s = if (st.exists()) Option(st.get()) else None
+      val out = scala.collection.mutable.ListBuffer.empty[CohortHit]
+      rows.map(_.day).toSeq.distinct.sorted.foreach { d =>
+        s match {
+          case None =>
+            out += CohortHit(key, d, 0L)
+            s = Some(CohortState(d, d))
+          case Some(cs) if d > cs.last =>
+            out += CohortHit(key, cs.cohort, d - cs.cohort)
+            s = Some(cs.copy(last = d))
+          case _ => () // repeat day: no new cell activity
+        }
+      }
+      s.foreach(st.update)
+      out.iterator
+    }
+  }
+
+  /** Streaming cohort hits through `transformWithState` (RocksDB
+   * provider required); append mode, one row per fresh (user, day). */
+  def cohortHits(days: Dataset[DayActive])(
+      implicit spark: SparkSession): Dataset[CohortHit] = {
+    import spark.implicits._
+    days
+      .groupByKey(_.user_id)
+      .transformWithState(new CohortProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Append())
+  }
+
   final case class AttrEvent(user_id: Long, tsu: Long, event_id: Long,
       event_type: String, value: Double)
   final case class AttributedConversion(user_id: Long, tsu: Long,

@@ -979,6 +979,61 @@ class StreamingSpec extends SparkTestBase {
     }
   }
 
+  test("streaming cohort retention equals the batch triangle exactly") {
+    implicit val s = spark
+    implicit val sqlCtx = spark.sqlContext
+    val prevProvider = spark.conf.getOption(
+      "spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      // u1 cohort day 0, active 0,1,3 (age-3 cell crosses the batch
+      // boundary); u2 cohort day 1, active 1 only; duplicate days emit
+      // no extra cell activity
+      val input = MemoryStream[StreamingAnalytics.DayActive]
+      val q = StreamingAnalytics.cohortHits(input.toDS())
+        .writeStream.outputMode("append")
+        .format("memory").queryName("cohort_out").start()
+      input.addData(StreamingAnalytics.DayActive(1L, 0L),
+        StreamingAnalytics.DayActive(1L, 1L),
+        StreamingAnalytics.DayActive(2L, 1L))
+      q.processAllAvailable()
+      input.addData(StreamingAnalytics.DayActive(1L, 3L),
+        StreamingAnalytics.DayActive(1L, 3L))
+      q.processAllAvailable()
+      q.stop()
+      // aggregate the streamed hits into the triangle (n_cohort = the
+      // age-0 cell) and compare BIT-IDENTICALLY to the batch operator —
+      // no trailing-horizon caveat here: the triangle is append-only
+      val hitRows = spark.table("cohort_out").collect()
+        .map(r => (r.getLong(1), r.getLong(2))) // (cohort_day, age)
+      val sizes = hitRows.filter(_._2 == 0L)
+        .groupBy(_._1).view.mapValues(_.length.toLong).toMap
+      val streamed = hitRows.groupBy(identity).map { case ((cd, age), v) =>
+        val nActive = v.length.toLong
+        val nCohort = sizes(cd)
+        (cd, age, nCohort, nActive, nActive * 1000000L / nCohort)
+      }.toSeq.sorted
+      val ev = Seq((1L, 0L), (1L, 1L), (2L, 1L), (1L, 3L), (1L, 3L))
+        .zipWithIndex.map { case ((u, d), i) =>
+          (i.toLong, d * 86400000000000L, u, "view", 0.0)
+        }.toDF("event_id", "ts", "user_id", "event_type", "value")
+      val batch = graft.ext.Attribution.cohortRetention(ev)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4))).sorted.toSeq
+      assert(streamed == batch, s"streamed $streamed\nbatch $batch")
+      assert(streamed.contains((0L, 3L, 1L, 1L, 1000000L)),
+        "the cross-boundary age-3 cell must use batch-1 cohort state")
+    } finally {
+      prevProvider match {
+        case Some(p) => spark.conf.set(
+          "spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset(
+          "spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("streaming last-touch attribution equals the batch operator " +
     "under monotone ingest") {
     implicit val s = spark
