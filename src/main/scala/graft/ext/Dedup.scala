@@ -1831,19 +1831,24 @@ object Dedup {
       maxPostings: Int = 100,
       materializeShared: Boolean = false): DataFrame = {
     // `materializeShared` is a SCALE knob, priced both ways by the sf1
-    // probes (d34 vs d34_venn_mat). The default FOLLOWS the recorded
-    // measurement (r9 verdict #2): on the r9 official run the
-    // UNMATERIALIZED form won 1.8× at sf1 (26.0 s vs 46.2 s) and the
-    // materialized gate wall read 6× its fresh-context cost (60.6 s vs
-    // 9.7–11.3 s) — on an IO-bound host the two corpus-sized checkpoint
-    // WRITES cost more than the tokenize-once recompute they save, and
-    // they crowd the block manager for every query that follows. True
-    // buys tokenize-once (the shared positioned-shingle relation is
-    // checkpointed and each consumer READS it) — the right side of the
-    // trade only where executor CPU binds before checkpoint I/O;
-    // measure with the bench's canary_ckpt_sec before flipping it on.
-    // Either way the plan derives the shingle relation ONCE
-    // (DetectorVennSpec pins the construction count).
+    // probes (d34 vs d34_venn_mat) — and the two recorded rounds show
+    // the winner is ENVIRONMENT-DEPENDENT, which is why the knob exists:
+    //  - r9 window (IO-bound; slow checkpoints): nomat won 1.8× at sf1
+    //    (26.0 s vs 46.2 s) and the materialized gate wall read 6× its
+    //    fresh-context cost (60.6 s vs ~10 s) — the corpus-sized
+    //    checkpoint writes dominated;
+    //  - r10 window (healthy IO; ckpt canary 0.5-1.8 s): mat won ~2× at
+    //    sf1 (33-43 s vs 65-72 s, cpu/wall 9.7 vs 5.5) — there the
+    //    tokenize-once saving dominates the cheap writes.
+    // The default stays FALSE as the minimax-safe side: its recorded
+    // worst case is 2× (fast-IO window) while the materialized form's
+    // recorded worst case is 6× (slow-IO window), checkpoint blocks
+    // never crowd the session, and at GATE scale the nomat wall (8.03 s
+    // sf0.1, r10) already sits at the materialized form's fresh-context
+    // cost. Flip to true only when the bench's canary_ckpt_sec reads
+    // healthy on the target environment. Either way the plan derives
+    // the shingle relation ONCE (DetectorVennSpec pins the construction
+    // count).
     val posShRaw = positionedShingles(docs, width)
     val posSh = if (materializeShared) materialize(posShRaw) else posShRaw
     val shRaw = posSh.select("doc_id", "sh").distinct()
