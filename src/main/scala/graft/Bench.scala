@@ -1225,6 +1225,11 @@ object Bench {
         "graph14_hill_alpha" ->
           ((ps: org.apache.spark.sql.SparkSession) =>
             SparkEntry.queries("graph14_hill_alpha")(ps, dir10)),
+        // round-10: assortativity at 10× edges — two degree joins + one
+        // 1-row moment agg over the high-quantity subgraph
+        "graph16_assortativity" ->
+          ((ps: org.apache.spark.sql.SparkSession) =>
+            SparkEntry.queries("graph16_assortativity")(ps, dir10)),
         // round-10: Lorenz at 10× customers — the key-grain agg scales
         // linearly and the kernel window runs at distinct-TOTAL grain
         // (per-customer lifetime sums; the replica shift multiplies the

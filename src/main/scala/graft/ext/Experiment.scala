@@ -476,6 +476,51 @@ object Experiment {
         .otherwise(lit(null).cast("long")).as("z_micro"))
   }
 
+  /** EXACT ROC-AUC of an integer score against a binary label — the
+   * ranking-quality number missing between [[calibrationBins]] (is the
+   * magnitude meaningful) and the retrieval rank metrics (per-query):
+   * AUC = P(score⁺ > score⁻) + ½·P(tie), which is exactly the
+   * Mann–Whitney U of the positive class over n_pos·n_neg — so it rides
+   * the same enforced kernel and DOUBLED-rank discipline as
+   * [[mannWhitney]], making the classic 0.5-for-ties convention an
+   * exact integer: `auc_ppm = ((r1d − n_pos·(n_pos+1)) · 1e6) div
+   * (2·n_pos·n_neg)` with no doubles anywhere. A degenerate label (one
+   * class empty) yields NULL, never NaN; a loud bound keeps
+   * `u·1e6` inside BIGINT (n_pos·n_neg ≤ 4e12 — far above any eval
+   * set). `scoreCol` must already be an integer (the caller owns
+   * quantization, the [[graft.ext.Profile.groupedOrderStats]]
+   * contract). One distinct-score hash-agg + the bounded kernel window
+   * + one 1-row agg. Output: (n_pos, n_neg, auc_ppm). */
+  def rocAuc(df: DataFrame, scoreCol: String, labelCol: String,
+      maxDistinct: Long = 4000000L): DataFrame = {
+    val counts = df
+      .filter(col(scoreCol).isNotNull && col(labelCol).isNotNull)
+      .select(col(scoreCol).cast("long").as("vq"),
+        col(labelCol).cast("long").as("__y"))
+      .groupBy("vq")
+      .agg(sum("__y").as("c1"), count(lit(1)).as("c"))
+    val ranked = graft.ext.Profile.boundedCumCounts(counts, "vq", "c",
+      maxDistinct,
+      s"rocAuc: distinct-score cardinality exceeds $maxDistinct — " +
+        "quantize the score coarser (bounded-grain contract, see " +
+        "Profile.boundedCumCounts)")
+    val r2 = lit(2L) * (col("cum") - col("c")) + col("c") + lit(1L)
+    val agg = ranked
+      .select(col("n"), col("c1"), (col("c1") * r2).as("__r1d"))
+      .agg(max("n").as("n"), sum("c1").as("n1"),
+        sum("__r1d").as("r1d"))
+      .withColumn("__g", assert_true(
+        col("n1") * (col("n") - col("n1")) <= 4000000000000L,
+        lit("rocAuc: n_pos·n_neg exceeds the exact-ppm envelope " +
+          "(4e12) — evaluate on a sample (bounded-moment contract)")))
+      .where(col("__g").isNull)
+    agg.select(col("n1").as("n_pos"), (col("n") - col("n1")).as("n_neg"),
+      when(col("n1") >= 1L && col("n") - col("n1") >= 1L,
+        expr("((r1d - n1 * (n1 + 1)) * 1000000) div " +
+          "(2 * n1 * (n - n1))"))
+        .otherwise(lit(null).cast("long")).as("auc_ppm"))
+  }
+
   def srmCheck(events: DataFrame, userCol: String = "user_id"): DataFrame =
     events.select(col(userCol).as("user")).distinct()
       .agg(

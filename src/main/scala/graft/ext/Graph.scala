@@ -963,6 +963,46 @@ object Graph {
         expr("(2000000 * n_tri) div (deg * (deg - 1))"))
   }
 
+  /** Degree assortativity (Newman 2002, the Pearson-of-degrees form over
+   * edge endpoints): do hubs attach to hubs (r → 1, social graphs) or to
+   * leaves (r → −1, hub-and-spoke / star topologies)? The one-number
+   * mixing summary beside [[clusteringCoefficients]]' per-vertex view —
+   * a co-purchase graph that turns disassortative is centralizing on
+   * anchor products.
+   *
+   * Exactness: the four edge-grain moment sums (m, Σ(du+dv),
+   * Σ(du²+dv²), Σ du·dv) are exact BIGINTs (overflow raises loudly
+   * under ANSI — the cuped pooled-moment exposure class); r is ONE
+   * fixed-shape double over them, micro-quantized half-up. A regular
+   * graph (zero degree variance) yields NULL, not NaN. Over the
+   * symmetric incidence list the two orientations contribute equally,
+   * so summing (du+dv) per CANONICAL edge needs no doubling anywhere —
+   * the oracle replays the identical shape. Two keyed joins of the
+   * degree relation onto the edge list + one 1-row agg.
+   * Output: (m, s1, s2, sp, assort_micro). */
+  def assortativity(edges: DataFrame): DataFrame = {
+    val e = Dedup.materialize(canonicalEdges(edges))
+    val deg = degrees(e)
+    val j = e
+      .join(deg.select(col("vertex").as("u"), col("deg").as("du")), "u")
+      .join(deg.select(col("vertex").as("v"), col("deg").as("dv")), "v")
+    val s = j.agg(count(lit(1)).as("m"),
+      sum(col("du") + col("dv")).as("s1"),
+      sum(col("du") * col("du") + col("dv") * col("dv")).as("s2"),
+      sum(col("du") * col("dv")).as("sp"))
+    // fixed-shape double combination (the cuped discipline): μ is the
+    // mean endpoint degree over the 2m incidences; the oracle writes
+    // the literally identical sub-expressions
+    val mD = col("m").cast("double")
+    val mu = col("s1").cast("double") / (lit(2.0) * mD)
+    val num = col("sp").cast("double") / mD - mu * mu
+    val den = col("s2").cast("double") / (lit(2.0) * mD) - mu * mu
+    s.select(col("m"), col("s1"), col("s2"), col("sp"),
+      when(den === 0.0, lit(null).cast("long"))
+        .otherwise(floor(num / den * lit(1e6) + lit(0.5)).cast("long"))
+        .as("assort_micro"))
+  }
+
   /** Stationary distribution of a first-order Markov chain by a FIXED
    * number of exact-integer power-iteration steps — "where does a user
    * session settle": the long-run occupancy readout over the s7

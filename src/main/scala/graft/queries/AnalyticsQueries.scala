@@ -1608,5 +1608,40 @@ object AnalyticsQueries {
                            cum.vq, cum.cum
                     FROM cum CROSS JOIN n1 CROSS JOIN qs)
               WHERE cum >= rank GROUP BY q"""),
-      "two-level exact deciles: the grain-bound caveat lifted"))
+      "two-level exact deciles: the grain-bound caveat lifted"),
+
+    // EXACT ROC-AUC of doc length as an is-english classifier — the
+    // ranking-quality number beside ml3's calibration bins on the SAME
+    // score/label pair (a score can rank perfectly and still be
+    // uncalibrated, or vice versa; now both readouts exist). Ties at
+    // the classic 0.5 via exact doubled ranks — no trapezoids, no
+    // doubles anywhere.
+    "ml5_roc_auc" -> QueryDef(
+      (s, dir) => graft.ext.Experiment.rocAuc(
+        t(s, dir, "documents").select(col("n_chars"),
+          (col("lang") === "en").cast("long").as("is_en")),
+        "n_chars", "is_en"),
+      Some("""WITH d AS (SELECT n_chars AS vq,
+                     CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+                   FROM documents),
+              c AS (SELECT vq, CAST(sum(y) AS BIGINT) AS c1,
+                           CAST(count(*) AS BIGINT) AS c
+                    FROM d GROUP BY 1),
+              r AS (SELECT c1, c,
+                      CAST(sum(c) OVER (ORDER BY vq
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+                      CAST(sum(c) OVER () AS BIGINT) AS n
+                    FROM c),
+              a AS (SELECT max(n) AS n,
+                      CAST(sum(c1) AS BIGINT) AS n1,
+                      CAST(sum(c1 * (2 * (cum - c) + c + 1)) AS BIGINT)
+                        AS r1d
+                    FROM r)
+              SELECT n1 AS n_pos, CAST(n - n1 AS BIGINT) AS n_neg,
+                     CASE WHEN n1 < 1 OR n - n1 < 1 THEN NULL
+                          ELSE CAST(((r1d - n1 * (n1 + 1)) * 1000000)
+                            // (2 * n1 * (n - n1)) AS BIGINT)
+                     END AS auc_ppm
+              FROM a"""),
+      "exact ROC-AUC via doubled ranks (n_chars as is-english score)"))
 }

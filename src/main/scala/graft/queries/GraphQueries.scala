@@ -760,6 +760,49 @@ object GraphQueries {
                        // (d.deg * (d.deg - 1)) AS BIGINT) AS coef_ppm
               FROM deg d LEFT JOIN tr ON tr.vertex = d.vertex
               WHERE d.deg >= 2"""),
-      "per-vertex local clustering coefficient (bundle vs connector)")
+      "per-vertex local clustering coefficient (bundle vs connector)"),
+
+    // Degree assortativity of the co-purchase graph — the one-number
+    // mixing summary beside graph15's per-vertex coefficients: hubs
+    // attaching to hubs (r>0) vs anchor-product hub-and-spoke (r<0).
+    // Four exact edge-grain moment sums, one fixed-shape double.
+    "graph16_assortativity" -> QueryDef(
+      (s, dir) => Graph.assortativity(
+        Graph.coPurchaseEdges(
+          t(s, dir, "lineitem").filter(col("l_quantity") >= 30))),
+      Some("""WITH e AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+                         FROM lineitem a JOIN lineitem b
+                           ON a.l_orderkey = b.l_orderkey
+                          AND a.l_partkey < b.l_partkey
+                         WHERE a.l_quantity >= 30 AND b.l_quantity >= 30),
+              deg AS (SELECT vertex, CAST(count(*) AS BIGINT) AS deg
+                      FROM (SELECT u AS vertex FROM e
+                            UNION ALL SELECT v FROM e)
+                      GROUP BY vertex),
+              j AS (SELECT du.deg AS du, dv.deg AS dv
+                    FROM e JOIN deg du ON e.u = du.vertex
+                           JOIN deg dv ON e.v = dv.vertex),
+              s AS (SELECT CAST(count(*) AS BIGINT) AS m,
+                           CAST(sum(du + dv) AS BIGINT) AS s1,
+                           CAST(sum(du * du + dv * dv) AS BIGINT) AS s2,
+                           CAST(sum(du * dv) AS BIGINT) AS sp
+                    FROM j)
+              SELECT m, s1, s2, sp,
+                     CASE WHEN CAST(s2 AS DOUBLE) / (2.0 * CAST(m AS DOUBLE))
+                            - (CAST(s1 AS DOUBLE) / (2.0 * CAST(m AS DOUBLE)))
+                              * (CAST(s1 AS DOUBLE) / (2.0 * CAST(m AS DOUBLE)))
+                            = 0.0
+                          THEN NULL
+                          ELSE CAST(floor(
+                            (CAST(sp AS DOUBLE) / CAST(m AS DOUBLE)
+                              - (CAST(s1 AS DOUBLE) / (2.0 * CAST(m AS DOUBLE)))
+                                * (CAST(s1 AS DOUBLE) / (2.0 * CAST(m AS DOUBLE))))
+                            / (CAST(s2 AS DOUBLE) / (2.0 * CAST(m AS DOUBLE))
+                              - (CAST(s1 AS DOUBLE) / (2.0 * CAST(m AS DOUBLE)))
+                                * (CAST(s1 AS DOUBLE) / (2.0 * CAST(m AS DOUBLE))))
+                            * 1e6 + 0.5) AS BIGINT)
+                     END AS assort_micro
+              FROM s"""),
+      "degree assortativity of the co-purchase graph (Newman r)")
   )
 }

@@ -135,6 +135,39 @@ class Round10Spec extends SparkTestBase {
     assert(lifted == one, "the lifted bound changes nothing but the plan")
   }
 
+  test("rocAuc: perfect separation, half-credit ties, degenerate NULL") {
+    // positives score 3,4 above negatives 1,2 -> AUC exactly 1
+    val perfect = Seq((1L, 0L), (2L, 0L), (3L, 1L), (4L, 1L))
+      .toDF("s", "y")
+    val p = Experiment.rocAuc(perfect, "s", "y").collect().head
+    assert(p.getLong(0) == 2L && p.getLong(1) == 2L)
+    assert(p.getLong(2) == 1000000L)
+    // one tied pair -> the classic 0.5 credit, exactly 500000 ppm
+    val tied = Seq((2L, 0L), (2L, 1L)).toDF("s", "y")
+    assert(Experiment.rocAuc(tied, "s", "y")
+      .collect().head.getLong(2) == 500000L)
+    // anti-predictive score -> 0
+    val anti = Seq((4L, 0L), (3L, 0L), (2L, 1L), (1L, 1L)).toDF("s", "y")
+    assert(Experiment.rocAuc(anti, "s", "y")
+      .collect().head.getLong(2) == 0L)
+    // one-class label -> NULL, never NaN
+    val onecls = Seq((1L, 1L), (2L, 1L)).toDF("s", "y")
+    assert(Experiment.rocAuc(onecls, "s", "y")
+      .collect().head.get(2) == null)
+  }
+
+  test("assortativity: star graph is exactly -1, regular graph NULL") {
+    // K1,3: hub deg 3, leaves deg 1 -> m=3, s1=12, s2=30, sp=9 -> r=-1
+    val star = Seq((0L, 1L), (0L, 2L), (0L, 3L)).toDF("u", "v")
+    val r = Graph.assortativity(star).collect().head
+    assert(r.getLong(0) == 3L && r.getLong(1) == 12L)
+    assert(r.getLong(2) == 30L && r.getLong(3) == 9L)
+    assert(r.getLong(4) == -1000000L)
+    // triangle: every degree 2 -> zero degree variance -> NULL, not NaN
+    val tri = Seq((1L, 2L), (1L, 3L), (2L, 3L)).toDF("u", "v")
+    assert(Graph.assortativity(tri).collect().head.get(4) == null)
+  }
+
   test("markovStationary: exact-ppm conservation, absorbing state wins") {
     // a->b (2), b->a (1), b->c (1); c absorbing: mass drains to c
     val trans = Seq(("a", "b", 2L), ("b", "a", 1L), ("b", "c", 1L))

@@ -96,7 +96,8 @@ val names = Seq(
   // (kernel + 1-row agg), chi2 (broadcast grid), HHI (two hash-aggs),
   // JSD (bucket join), Markov stationary (states-sized iterate joins)
   "dq17_lorenz", "ab6_mann_whitney", "dq19_chi2", "dq20_hhi",
-  "dq21_jsd", "s16_markov_stationary", "dq22_quantiles_twolevel")
+  "dq21_jsd", "s16_markov_stationary", "dq22_quantiles_twolevel",
+  "ml5_roc_auc", "graph15_clustering_coef", "graph16_assortativity")
 for (n <- names) {
   val df = graft.SparkEntry.queries(n)(spark, sfDir)
   val plan = df.queryExecution.explainString(
