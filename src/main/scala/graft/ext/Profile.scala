@@ -470,6 +470,36 @@ object Profile {
       .groupBy("q").agg(max("rank").as("rank"), min("vq").as("vq"))
   }
 
+  /** Per-key exact percentile-rank (cume_dist) TRANSFORM table — the
+   * normalization a feature pipeline joins back onto rows: every
+   * (key, value) maps to its exact within-key cumulative-distribution
+   * ppm (`(cum·1e6) div n` — integers end to end, ties share their
+   * group's inclusive rank exactly like SQL `cume_dist`). The inverse
+   * view of [[groupedOrderStats]] (that answers "what value sits at
+   * rank r"; this answers "what rank does value v hold"), and the
+   * distribution-free way to compare a value across keys with wildly
+   * different scales. Same partitioned-window scale shape as
+   * groupedOrderStats — no grain bound needed, each key sweeps its own
+   * partition; `valCol` must already be an integer (the caller owns
+   * quantization). Output: (key, vq, c, n, pct_ppm) at (key,
+   * distinct-value) grain. */
+  def percentileRanks(df: DataFrame, keyCol: String,
+      valCol: String): DataFrame = {
+    val counts = df.filter(col(valCol).isNotNull)
+      .select(col(keyCol).as("key"), col(valCol).cast("long").as("vq"))
+      .groupBy("key", "vq").agg(count(lit(1)).as("c"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("key")
+      .orderBy("vq")
+      .rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val tot = counts.groupBy("key").agg(sum("c").as("n"))
+    counts.withColumn("cum", sum("c").over(w))
+      .join(tot, "key")
+      .select(col("key"), col("vq"), col("c"), col("n"),
+        expr("(cum * 1000000) div n").as("pct_ppm"))
+  }
+
   /** Per-key exact k-quantiles by order-statistic selection — the
    * GROUPED form of [[orderStatQuantiles]], and the shape that removes
    * its single-partition caveat entirely: the cumulative window

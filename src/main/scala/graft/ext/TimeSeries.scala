@@ -363,6 +363,72 @@ object TimeSeries {
           .as("slope_milli"))
   }
 
+  /** Full per-key OLS readout — [[keyedTrend]]'s exact slope plus the
+   * intercept and R² a dashboard actually plots: "growing 3/day from a
+   * base of 7, and the line EXPLAINS the series (R² 0.98)" vs "slope 3
+   * on noise (R² 0.1)". The slope stays the exact integer rational
+   * (identical to keyedTrend, same loud cross-moment guard extended to
+   * Σc²); intercept and R² are ONE fixed-shape double expression each
+   * over the exact BIGINT moments (the welch/cuped discipline),
+   * micro-quantized half-up — intercept in value micro-units at the
+   * re-based origin (t = 0 = the key's first ord), R² in ppm-like
+   * micro. Degenerate keys (zero ord variance) yield NULL slope/R²; a
+   * constant series (zero value variance) yields R² NULL (0/0 is
+   * undefined, not 1). One keyed hash-agg after the re-base window.
+   * Output: (key, n_points, slope_milli, intercept_micro, r2_micro). */
+  def keyedTrendFull(series: DataFrame, key: String, ordCol: String,
+      valCol: String): DataFrame = {
+    val w = Window.partitionBy(key)
+    val t = (col(ordCol) - min(col(ordCol)).over(w)).cast("long")
+    val c = col(valCol).cast("long")
+    val lim = lit(4.0e15)
+    def inLim(a: org.apache.spark.sql.Column,
+        b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      abs(a.cast("double") * b.cast("double")) < lim
+    val guarded =
+      inLim(col("n_points"), col("__stc")) &&
+      inLim(col("__st"), col("__sc")) &&
+      inLim(col("n_points"), col("__stt")) &&
+      inLim(col("__st"), col("__st")) &&
+      inLim(col("n_points"), col("__scc")) &&
+      inLim(col("__sc"), col("__sc"))
+    val agg = series
+      .select(col(key), t.as("__t"), c.as("__c"))
+      .groupBy(col(key))
+      .agg(count(lit(1)).as("n_points"),
+        sum("__t").as("__st"), sum("__c").as("__sc"),
+        sum(col("__t") * col("__t")).as("__stt"),
+        sum(col("__t") * col("__c")).as("__stc"),
+        sum(col("__c") * col("__c")).as("__scc"))
+      .withColumn("__g", assert_true(guarded,
+        lit("keyedTrendFull: cross-moment magnitude exceeds the " +
+          "exact-BIGINT bound — re-base ords coarser or pre-aggregate " +
+          "values (bounded-moment contract)")))
+      .where(col("__g").isNull)
+    // exact integer numerators/denominators, then fixed-shape doubles
+    val nL = col("n_points")
+    val dNum = nL * col("__stc") - col("__st") * col("__sc")
+    val dDen = nL * col("__stt") - col("__st") * col("__st")
+    val sCC = nL * col("__scc") - col("__sc") * col("__sc")
+    val nD = nL.cast("double")
+    val slopeD = dNum.cast("double") / dDen.cast("double")
+    val interceptD = col("__sc").cast("double") / nD -
+      slopeD * (col("__st").cast("double") / nD)
+    val r2D = dNum.cast("double") * dNum.cast("double") /
+      (dDen.cast("double") * sCC.cast("double"))
+    agg.select(col(key), col("n_points"),
+      when(dDen === 0L, lit(null).cast("long"))
+        .otherwise(expr(
+          "((n_points * __stc - __st * __sc) * 1000) div " +
+            "(n_points * __stt - __st * __st)")).as("slope_milli"),
+      when(dDen === 0L, lit(null).cast("long"))
+        .otherwise(floor(interceptD * lit(1e6) + lit(0.5)).cast("long"))
+        .as("intercept_micro"),
+      when(dDen === 0L || sCC === 0L, lit(null).cast("long"))
+        .otherwise(floor(r2D * lit(1e6) + lit(0.5)).cast("long"))
+        .as("r2_micro"))
+  }
+
   /** Inter-arrival burstiness per key (Goh & Barabási 2008): the
    * burstiness index B = (σ − μ)/(σ + μ) over a key's inter-event gaps
    * — −1 for a metronome (σ = 0), → 0 for a Poisson process (σ ≈ μ),

@@ -1643,5 +1643,90 @@ object AnalyticsQueries {
                             // (2 * n1 * (n - n1)) AS BIGINT)
                      END AS auc_ppm
               FROM a"""),
-      "exact ROC-AUC via doubled ranks (n_chars as is-english score)"))
+      "exact ROC-AUC via doubled ranks (n_chars as is-english score)"),
+
+    // Per-type exact percentile-rank transform of event values — the
+    // normalization table a feature pipeline joins back onto rows
+    // (cume_dist as exact integer ppm, ties sharing their group rank);
+    // the inverse view of dq16's "value at rank r".
+    "dq23_percentile_xform" -> QueryDef(
+      (s, dir) => graft.ext.Profile.percentileRanks(
+          t(s, dir, "events").filter(col("value").isNotNull)
+            .select(col("event_type"),
+              floor(col("value") * 100 + lit(0.5)).cast("long")
+                .as("value_centi")),
+          "event_type", "value_centi")
+        .withColumnRenamed("key", "event_type"),
+      Some("""WITH d AS (SELECT event_type,
+                     CAST(floor(value * 100 + 0.5) AS BIGINT) AS vq
+                   FROM events WHERE value IS NOT NULL),
+              c AS (SELECT event_type, vq,
+                           CAST(count(*) AS BIGINT) AS c
+                    FROM d GROUP BY 1, 2),
+              cum AS (SELECT event_type, vq, c,
+                        CAST(sum(c) OVER (PARTITION BY event_type
+                          ORDER BY vq ROWS UNBOUNDED PRECEDING)
+                          AS BIGINT) AS cum
+                      FROM c),
+              tot AS (SELECT event_type, CAST(sum(c) AS BIGINT) AS n
+                      FROM c GROUP BY 1)
+              SELECT cum.event_type, cum.vq, cum.c, tot.n,
+                     CAST((cum.cum * 1000000) // tot.n AS BIGINT)
+                       AS pct_ppm
+              FROM cum JOIN tot ON tot.event_type = cum.event_type"""),
+      "per-type exact percentile-rank (cume_dist ppm) transform table"),
+
+    // Full per-type daily-count regression readout: x14's exact slope
+    // plus intercept and R² (fixed-shape doubles over the same exact
+    // moments) — slope 3/day from base 7 WITH "the line explains it".
+    "x15_keyed_trend_full" -> QueryDef(
+      (s, dir) => graft.ext.TimeSeries.keyedTrendFull(
+        t(s, dir, "events")
+          .groupBy(col("event_type"),
+            expr("(ts div 1000) div 86400000000").as("day"))
+          .agg(count(lit(1)).as("n")),
+        "event_type", "day", "n"),
+      Some("""WITH sr AS (SELECT event_type,
+                     epoch_us(ts) // 86400000000 AS day,
+                     CAST(count(*) AS BIGINT) AS n
+                   FROM events GROUP BY 1, 2),
+              rb AS (SELECT event_type,
+                            day - min(day) OVER (PARTITION BY event_type)
+                              AS t, n AS c
+                     FROM sr),
+              a AS (SELECT event_type,
+                           CAST(count(*) AS BIGINT) AS n_points,
+                           CAST(sum(t) AS BIGINT) AS st,
+                           CAST(sum(c) AS BIGINT) AS sc,
+                           CAST(sum(t * t) AS BIGINT) AS stt,
+                           CAST(sum(t * c) AS BIGINT) AS stc,
+                           CAST(sum(c * c) AS BIGINT) AS scc
+                    FROM rb GROUP BY 1),
+              m AS (SELECT event_type, n_points, st, sc, stt, stc, scc,
+                           n_points * stc - st * sc AS dnum,
+                           n_points * stt - st * st AS dden,
+                           n_points * scc - sc * sc AS sccx
+                    FROM a)
+              SELECT event_type, n_points,
+                     CASE WHEN dden = 0 THEN NULL
+                          ELSE CAST((dnum * 1000) // dden AS BIGINT)
+                     END AS slope_milli,
+                     CASE WHEN dden = 0 THEN NULL
+                          ELSE CAST(floor((CAST(sc AS DOUBLE)
+                              / CAST(n_points AS DOUBLE)
+                            - (CAST(dnum AS DOUBLE)
+                               / CAST(dden AS DOUBLE))
+                              * (CAST(st AS DOUBLE)
+                                 / CAST(n_points AS DOUBLE)))
+                            * 1e6 + 0.5) AS BIGINT)
+                     END AS intercept_micro,
+                     CASE WHEN dden = 0 OR sccx = 0 THEN NULL
+                          ELSE CAST(floor(CAST(dnum AS DOUBLE)
+                              * CAST(dnum AS DOUBLE)
+                            / (CAST(dden AS DOUBLE)
+                               * CAST(sccx AS DOUBLE))
+                            * 1e6 + 0.5) AS BIGINT)
+                     END AS r2_micro
+              FROM m"""),
+      "per-type OLS slope + intercept + R² (exact moments, fixed shapes)"))
 }

@@ -168,6 +168,36 @@ class Round10Spec extends SparkTestBase {
     assert(Graph.assortativity(tri).collect().head.get(4) == null)
   }
 
+  test("percentileRanks: exact cume_dist ppm with shared tie ranks") {
+    // key a: values 1,1,2,3 -> pct(1)=2/4, pct(2)=3/4, pct(3)=4/4
+    val df = Seq(("a", 1L), ("a", 1L), ("a", 2L), ("a", 3L),
+      ("b", 9L)).toDF("k", "v")
+    val m = Profile.percentileRanks(df, "k", "v")
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(4)))).toMap
+    assert(m(("a", 1L)) == ((2L, 500000L)))
+    assert(m(("a", 2L)) == ((1L, 750000L)))
+    assert(m(("a", 3L)) == ((1L, 1000000L)))
+    assert(m(("b", 9L)) == ((1L, 1000000L)))
+  }
+
+  test("keyedTrendFull: exact line recovers slope/intercept/R²=1; " +
+    "constant series R² NULL") {
+    // y = 3t + 7 exactly
+    val s = (0L to 9L).map(t0 => ("up", t0, 3 * t0 + 7)).toDF("k", "ord", "v")
+    val r = TimeSeries.keyedTrendFull(s, "k", "ord", "v").collect().head
+    assert(r.getLong(1) == 10L)
+    assert(r.getLong(2) == 3000L, "slope milli")
+    assert(r.getLong(3) == 7000000L, "intercept micro")
+    assert(r.getLong(4) == 1000000L, "R² micro")
+    // constant series: slope 0, intercept = the constant, R² NULL (0/0)
+    val flat = (0L to 5L).map(t0 => ("f", t0, 4L)).toDF("k", "ord", "v")
+    val fr = TimeSeries.keyedTrendFull(flat, "k", "ord", "v")
+      .collect().head
+    assert(fr.getLong(2) == 0L && fr.getLong(3) == 4000000L)
+    assert(fr.get(4) == null)
+  }
+
   test("markovStationary: exact-ppm conservation, absorbing state wins") {
     // a->b (2), b->a (1), b->c (1); c absorbing: mass drains to c
     val trans = Seq(("a", "b", 2L), ("b", "a", 1L), ("b", "c", 1L))
