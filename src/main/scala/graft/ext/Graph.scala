@@ -1028,11 +1028,19 @@ object Graph {
   def markovStationary(transitions: DataFrame, iters: Int = 3): DataFrame = {
     require(iters >= 1 && iters <= 8,
       s"iters must be in [1, 8] (oracle-unroll bound), got $iters")
-    val outM = transitions.groupBy(col("e_from"))
+    // the transition relation is |states|²-bounded but its DERIVATION is
+    // corpus-scale (a per-user window sort in the s16 caller) — each
+    // iteration references it twice (stepped + held), so without a
+    // lineage cut the plan re-runs the corpus sort ~2·iters times
+    // (plan-audited: the formatted plan carried hundreds of exchanges).
+    // One localCheckpoint of the tiny relation makes every iteration a
+    // states-sized join tree.
+    val tr = Dedup.materialize(transitions)
+    val outM = tr.groupBy(col("e_from"))
       .agg(sum("n").as("n_out"))
-    val p = transitions.join(outM, Seq("e_from"))
-    val states = transitions.select(col("e_from").as("state"))
-      .unionByName(transitions.select(col("e_to").as("state")))
+    val p = tr.join(outM, Seq("e_from"))
+    val states = tr.select(col("e_from").as("state"))
+      .unionByName(tr.select(col("e_to").as("state")))
       .distinct()
     // uniform init in exact ppm; the div remainder seeds the lost row
     val ns = states.agg(count(lit(1)).as("__ns"))
