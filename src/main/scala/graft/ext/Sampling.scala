@@ -149,6 +149,27 @@ object Sampling {
    * dominant ones). A pure narrow projection + filter like `hashSample`:
    * no shuffle, no per-stratum scan, assignment reproducible anywhere.
    * Strata missing from `rates` fall back to `defaultPct`. */
+  /** Deterministic EXACT-k-per-stratum sample — the eval-set builder
+   * [[stratifiedSample]] can't be (a pct-rate sample yields a BINOMIAL
+   * count per stratum; an eval harness wants exactly k): rows rank by
+   * the salted md5 of their id WITHIN each stratum (id as the total
+   * tie-break) and the top k survive. Fully deterministic — the same
+   * corpus always yields the same sample, any engine replays it — and
+   * stable under growth in OTHER strata (a new stratum never perturbs an
+   * existing one's picks; new rows in the same stratum displace at most
+   * the boundary ranks). One per-stratum window sort; strata with < k
+   * rows keep everything. */
+  def stratumTopK(df: DataFrame, idCol: String, stratumCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(stratumCol)
+      .orderBy(md5(concat(lit("stk:"), col(idCol).cast("string"))),
+        col(idCol))
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k).drop("__rn")
+  }
+
   def stratifiedSample(df: DataFrame, idCol: String, stratumCol: String,
       rates: Map[String, Int], defaultPct: Int = 100): DataFrame = {
     val rate = rates.foldLeft(lit(defaultPct)) { case (acc, (s, pct)) =>

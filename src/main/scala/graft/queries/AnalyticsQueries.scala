@@ -1728,5 +1728,22 @@ object AnalyticsQueries {
                             * 1e6 + 0.5) AS BIGINT)
                      END AS r2_micro
               FROM m"""),
-      "per-type OLS slope + intercept + R² (exact moments, fixed shapes)"))
+      "per-type OLS slope + intercept + R² (exact moments, fixed shapes)"),
+
+    // Deterministic EXACT-k-per-language eval sample: salted-md5 rank
+    // within stratum, top 20 survive — the eval-set builder a pct-rate
+    // stratified sample can't be (binomial counts vs exactly k), stable
+    // under growth in other strata, replayed bit-identically.
+    "sp29_stratum_topk" -> QueryDef(
+      (s, dir) => graft.ext.Sampling.stratumTopK(
+        t(s, dir, "documents").select(col("doc_id"), col("lang"),
+          col("source")),
+        "doc_id", "lang", k = 20),
+      Some("""WITH r AS (SELECT doc_id, lang, source,
+                     row_number() OVER (PARTITION BY lang
+                       ORDER BY md5(concat('stk:',
+                         CAST(doc_id AS VARCHAR))), doc_id) AS rn
+                   FROM documents)
+              SELECT doc_id, lang, source FROM r WHERE rn <= 20"""),
+      "deterministic exact-k-per-stratum sample (salted md5 rank)"))
 }

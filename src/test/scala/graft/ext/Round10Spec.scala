@@ -198,6 +198,20 @@ class Round10Spec extends SparkTestBase {
     assert(fr.get(4) == null)
   }
 
+  test("stratumTopK: exactly k per stratum, deterministic, growth-stable") {
+    val df = ((1 to 30).map(i => (i.toLong, "a")) ++
+      (31 to 33).map(i => (i.toLong, "b"))).toDF("id", "s")
+    val out = Sampling.stratumTopK(df, "id", "s", k = 5).collect()
+      .map(r => r.getString(1) -> r.getLong(0))
+    assert(out.count(_._1 == "a") == 5, "exactly k from the big stratum")
+    assert(out.count(_._1 == "b") == 3, "under-k strata keep everything")
+    // determinism + stability: adding a NEW stratum never perturbs picks
+    val out2 = Sampling.stratumTopK(
+      df.unionByName(Seq((99L, "c")).toDF("id", "s")), "id", "s", k = 5)
+      .collect().map(r => r.getString(1) -> r.getLong(0))
+    assert(out2.filter(_._1 != "c").sorted.sameElements(out.sorted))
+  }
+
   test("markovStationary: exact-ppm conservation, absorbing state wins") {
     // a->b (2), b->a (1), b->c (1); c absorbing: mass drains to c
     val trans = Seq(("a", "b", 2L), ("b", "a", 1L), ("b", "c", 1L))
