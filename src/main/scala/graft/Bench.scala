@@ -1518,15 +1518,17 @@ object Bench {
       "sf0.1 gate 4.17s vs r9 20.5/r8 3.76; sf1 10.4-13.7 vs r9 56.2/" +
       "r8 27.9) - host IO, as the r9 A/B claimed, now attributable per " +
       "run; pipe1 likewise (sf1 11.6 vs r9 27.4; mat/nomat equal within " +
-      "noise there). d34's knob INVERTED on this window (mat 33-43s vs " +
-      "nomat 65-72s at sf1; r9 window read the opposite) - the default " +
-      "stays nomat as the minimax-safe side (recorded worst cases: 2x " +
-      "fast-IO vs 6x slow-IO) with both legs priced every round; gate " +
-      "wall 8.03s sf0.1 meets the within-2x-of-fresh target. er_sep " +
-      "divergence is now legible on the recorded artifact: oneshot " +
-      "3.3/4.5/6.5/7.9/10.6/14.7/17.7/21.1 vs stream " +
-      "4.7/7.1/8.7/10.2/10.3/10.3/13.0/11.7 - crossover at b4, 1.8x by " +
-      "b7. dq22 two-level deciles beat dq11's single-partition window " +
+      "noise there). d34's knob at sf1 is RUN-NOISY on this VM: two " +
+      "same-day healthy-IO runs read (nomat, mat) = (65-72s, 33-43s) " +
+      "then (35.0s, 48.3s) - the forms trade places within ~2x - while " +
+      "r9's slow-IO window read mat 6x worse in-gate. The default stays " +
+      "nomat as the minimax-safe side (its worst recorded case ~2x; " +
+      "mat's 6x) with both legs priced every round; gate wall ~8s sf0.1 " +
+      "meets the within-2x-of-fresh target either way. er_sep " +
+      "divergence is now legible on the recorded artifact (two runs): " +
+      "oneshot 3.3->21.1 and 3.6->25.0 (quadratic) vs stream plateauing " +
+      "10-15 - crossover at b4, 1.8x by b7 both runs. " +
+      "dq22 two-level deciles beat dq11's single-partition window " +
       "at identical 10x grain (3.8 vs 5.1s sf1, gate 1.71 vs 1.37). " +
       "dq17's first sf1 probe fired the exact-ppm envelope bound at 10x " +
       "cent grain (the contract working); the probe now quantizes to " +

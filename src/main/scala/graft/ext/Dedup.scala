@@ -1837,16 +1837,18 @@ object Dedup {
     //    (26.0 s vs 46.2 s) and the materialized gate wall read 6× its
     //    fresh-context cost (60.6 s vs ~10 s) — the corpus-sized
     //    checkpoint writes dominated;
-    //  - r10 window (healthy IO; ckpt canary 0.5-1.8 s): mat won ~2× at
-    //    sf1 (33-43 s vs 65-72 s, cpu/wall 9.7 vs 5.5) — there the
-    //    tokenize-once saving dominates the cheap writes.
-    // The default stays FALSE as the minimax-safe side: its recorded
-    // worst case is 2× (fast-IO window) while the materialized form's
-    // recorded worst case is 6× (slow-IO window), checkpoint blocks
-    // never crowd the session, and at GATE scale the nomat wall (8.03 s
-    // sf0.1, r10) already sits at the materialized form's fresh-context
-    // cost. Flip to true only when the bench's canary_ckpt_sec reads
-    // healthy on the target environment. Either way the plan derives
+    //  - r10 healthy-IO windows (ckpt canary 0.5-1.8 s): two same-day
+    //    runs read (nomat, mat) = (65-72 s, 33-43 s) then
+    //    (35.0 s, 48.3 s) — at sf1 the forms trade places run-to-run
+    //    within ~2× on this VM.
+    // The default stays FALSE as the minimax-safe side: its worst
+    // recorded case is ~2× (one fast-IO run) while the materialized
+    // form's worst recorded case is 6× (the slow-IO gate window),
+    // checkpoint blocks never crowd the session, and at GATE scale the
+    // nomat wall (~8 s sf0.1, r10) already sits at the materialized
+    // form's fresh-context cost. Flip to true only when the bench's
+    // canary_ckpt_sec reads healthy AND the A/B probes separate beyond
+    // run noise on the target environment. Either way the plan derives
     // the shingle relation ONCE (DetectorVennSpec pins the construction
     // count).
     val posShRaw = positionedShingles(docs, width)
