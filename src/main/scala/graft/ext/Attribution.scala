@@ -401,4 +401,68 @@ object Attribution {
         round(exp(col("log_surv_nano").cast("double") / lit(1e9)), 6)
           .as("surv"))
   }
+
+  /** Two-arm log-rank test (Mantel 1966) — the significance readout
+   * [[kaplanMeier]] lacks: two survival curves can LOOK apart and be
+   * noise, and a Welch t on raw lifetimes is wrong under censoring
+   * (censored subjects aren't short lifetimes — they're unfinished
+   * ones). At each distinct event time the observed arm-1 deaths
+   * compare against the hypergeometric expectation `d·n₁/n` given the
+   * risk sets; χ² = (O₁−E₁)²/V on 1 dof.
+   *
+   * Exactness: risk sets ride the same shared enforced kernel as KM
+   * (inclusive cumulative over distinct lifetimes, loud `maxDistinctT`
+   * bound; the arm-1 cumulative shares the SAME single-partition sort),
+   * O₁ is an exact BIGINT, and the per-time E and V contributions are
+   * ONE fixed-shape double expression each, micro-quantized half-up the
+   * moment they leave the division (the PSI per-term discipline) so
+   * both totals are exact BIGINTs; χ² derives from the quantized totals
+   * in one more fixed shape. A time with the whole risk set dying
+   * (n_risk = d) contributes V = 0 exactly; V = 0 overall yields NULL
+   * χ², never NaN. `armCol` must be 0/1 at subject grain.
+   * Output 1 row: (n0, n1, o1, e1_micro, v_micro, chi2_micro). */
+  def logRank(lifetimes: DataFrame, tCol: String, deathCol: String,
+      armCol: String, maxDistinctT: Long = 100000L): DataFrame = {
+    val byT = lifetimes.groupBy(col(tCol).as("t"))
+      .agg(sum(when(col(armCol) === 1L, col(deathCol))
+             .otherwise(lit(0L))).as("d1"),
+        sum(col(deathCol)).as("d"),
+        sum(when(col(armCol) === 1L, 1L).otherwise(0L)).as("c1"),
+        count(lit(1)).as("c"))
+    val wCum = Window.orderBy("t")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val n1tot = broadcast(byT.agg(sum("c1").as("n1")))
+    val risk = graft.ext.Profile.boundedCumCounts(byT, "t", "c",
+        maxDistinctT,
+        s"logRank: distinct-lifetime cardinality exceeds $maxDistinctT " +
+          "— bucket lifetimes coarser (bounded-grain contract, see " +
+          "Profile.boundedCumCounts)")
+      .withColumn("cum1", sum("c1").over(wCum))
+      .crossJoin(n1tot)
+      .withColumn("n_risk", col("n") - col("cum") + col("c"))
+      .withColumn("n1_risk", col("n1") - col("cum1") + col("c1"))
+    val nrD = col("n_risk").cast("double")
+    val n1rD = col("n1_risk").cast("double")
+    val dD = col("d").cast("double")
+    val e1 = dD * n1rD / nrD
+    val v = when(col("n_risk") <= 1L, lit(0.0))
+      .otherwise(dD * (n1rD / nrD) * (lit(1.0) - n1rD / nrD) *
+        (nrD - dD) / (nrD - lit(1.0)))
+    val agg = risk
+      .select(col("d1"), col("n"), col("n1"),
+        floor(e1 * lit(1e6) + lit(0.5)).cast("long").as("__e"),
+        floor(v * lit(1e6) + lit(0.5)).cast("long").as("__v"))
+      .agg(max("n").as("n"), max("n1").as("n1"), sum("d1").as("o1"),
+        sum("__e").as("e1_micro"), sum("__v").as("v_micro"))
+    val chi2 = (col("o1").cast("double") -
+        col("e1_micro").cast("double") / lit(1e6)) *
+      (col("o1").cast("double") -
+        col("e1_micro").cast("double") / lit(1e6)) /
+      (col("v_micro").cast("double") / lit(1e6))
+    agg.select((col("n") - col("n1")).as("n0"), col("n1"), col("o1"),
+      col("e1_micro"), col("v_micro"),
+      when(col("v_micro") === 0L, lit(null).cast("long"))
+        .otherwise(floor(chi2 * lit(1e6) + lit(0.5)).cast("long"))
+        .as("chi2_micro"))
+  }
 }

@@ -1745,5 +1745,100 @@ object AnalyticsQueries {
                          CAST(doc_id AS VARCHAR))), doc_id) AS rn
                    FROM documents)
               SELECT doc_id, lang, source FROM r WHERE rn <= 20"""),
-      "deterministic exact-k-per-stratum sample (salted md5 rank)"))
+      "deterministic exact-k-per-stratum sample (salted md5 rank)"),
+
+    // Two-arm log-rank test over the SAME censored session lifetimes as
+    // s10's KM curve (arms by user % 2, the welch/cuped convention) —
+    // the significance readout survival analysis needs where a t-test
+    // is wrong under censoring. O1 exact; per-time E/V terms
+    // micro-quantized fixed shapes; chi-squared on 1 dof.
+    "ab7_logrank" -> QueryDef(
+      (s, dir) => {
+        val gapNs = 3600L * 1000000000L
+        val wOrd = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        val sess = t(s, dir, "events")
+          .withColumn("prev_ts", lag("ts", 1).over(wOrd))
+          .withColumn("nw", when(col("prev_ts").isNull ||
+            col("ts") - col("prev_ts") > gapNs, 1L).otherwise(0L))
+          .withColumn("sid", sum("nw").over(
+            wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .groupBy("user_id", "sid")
+          .agg(min("ts").as("t0"), max("ts").as("t1"))
+        val end = sess.agg(max("t1").as("t_end"))
+        val lifetimes = sess.crossJoin(broadcast(end))
+          .select(expr("(t1 - t0) div 60000000000").as("t_min"),
+            when(col("t_end") - col("t1") > gapNs, 1L).otherwise(0L)
+              .as("death"),
+            expr("user_id % 2").as("arm"))
+        Attribution.logRank(lifetimes, "t_min", "death", "arm")
+      },
+      Some("""WITH g AS (SELECT user_id, epoch_ns(ts) AS tsn, event_id,
+                     lag(epoch_ns(ts)) OVER w AS prev_ts
+                   FROM events
+                   WINDOW w AS (PARTITION BY user_id
+                                ORDER BY epoch_ns(ts), event_id)),
+              f AS (SELECT user_id, tsn, event_id,
+                           CASE WHEN prev_ts IS NULL
+                                  OR tsn - prev_ts > 3600000000000
+                                THEN 1 ELSE 0 END AS nw
+                    FROM g),
+              sx AS (SELECT user_id, tsn,
+                            sum(nw) OVER (PARTITION BY user_id
+                              ORDER BY tsn, event_id
+                              ROWS UNBOUNDED PRECEDING) AS sid
+                     FROM f),
+              se AS (SELECT user_id, sid, min(tsn) AS t0, max(tsn) AS t1
+                     FROM sx GROUP BY 1, 2),
+              en AS (SELECT max(t1) AS t_end FROM se),
+              lt AS (SELECT (t1 - t0) // 60000000000 AS t,
+                            CASE WHEN en.t_end - t1 > 3600000000000
+                                 THEN 1 ELSE 0 END AS death,
+                            user_id % 2 AS arm
+                     FROM se, en),
+              bt AS (SELECT t,
+                       CAST(sum(CASE WHEN arm = 1 THEN death ELSE 0 END)
+                         AS BIGINT) AS d1,
+                       CAST(sum(death) AS BIGINT) AS d,
+                       CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END)
+                         AS BIGINT) AS c1,
+                       CAST(count(*) AS BIGINT) AS c
+                     FROM lt GROUP BY 1),
+              rk AS (SELECT t, d1, d, c1, c,
+                       CAST(sum(c) OVER wc AS BIGINT) AS cum,
+                       CAST(sum(c1) OVER wc AS BIGINT) AS cum1,
+                       (SELECT CAST(sum(c) AS BIGINT) FROM bt) AS n,
+                       (SELECT CAST(sum(c1) AS BIGINT) FROM bt) AS n1
+                     FROM bt
+                     WINDOW wc AS (ORDER BY t ROWS UNBOUNDED PRECEDING)),
+              tm AS (SELECT d1, d, n, n1,
+                            n - cum + c AS nr,
+                            n1 - cum1 + c1 AS n1r
+                     FROM rk),
+              q AS (SELECT n, n1, CAST(sum(d1) AS BIGINT) AS o1,
+                      CAST(sum(CAST(floor(CAST(d AS DOUBLE)
+                          * CAST(n1r AS DOUBLE) / CAST(nr AS DOUBLE)
+                          * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS e1_micro,
+                      CAST(sum(CASE WHEN nr <= 1 THEN 0
+                        ELSE CAST(floor(CAST(d AS DOUBLE)
+                          * (CAST(n1r AS DOUBLE) / CAST(nr AS DOUBLE))
+                          * (1.0 - CAST(n1r AS DOUBLE)
+                               / CAST(nr AS DOUBLE))
+                          * (CAST(nr AS DOUBLE) - CAST(d AS DOUBLE))
+                          / (CAST(nr AS DOUBLE) - 1.0)
+                          * 1e6 + 0.5) AS BIGINT) END) AS BIGINT)
+                        AS v_micro
+                    FROM tm GROUP BY n, n1)
+              SELECT CAST(n - n1 AS BIGINT) AS n0, n1, o1, e1_micro,
+                     v_micro,
+                     CASE WHEN v_micro = 0 THEN NULL
+                          ELSE CAST(floor(
+                            (CAST(o1 AS DOUBLE)
+                              - CAST(e1_micro AS DOUBLE) / 1e6)
+                            * (CAST(o1 AS DOUBLE)
+                              - CAST(e1_micro AS DOUBLE) / 1e6)
+                            / (CAST(v_micro AS DOUBLE) / 1e6)
+                            * 1e6 + 0.5) AS BIGINT)
+                     END AS chi2_micro
+              FROM q"""),
+      "two-arm log-rank test on censored session lifetimes"))
 }

@@ -212,6 +212,30 @@ class Round10Spec extends SparkTestBase {
     assert(out2.filter(_._1 != "c").sorted.sameElements(out.sorted))
   }
 
+  test("logRank: hand O/E/V on a censored two-arm fixture") {
+    // arm1: die at t=1 and t=2; arm0: die at t=2, censored at t=3.
+    // t=1: nr=4, n1r=2, d=1, d1=1 -> E += 1·2/4 = 0.5, V += 0.25
+    // t=2: nr=3, n1r=1, d=2, d1=1 -> E += 2/3,        V += 2/9
+    // t=3: nr=1 -> both 0 (whole risk set leaves)
+    val lt = Seq((1L, 1L, 1L), (2L, 1L, 1L), (2L, 1L, 0L), (3L, 0L, 0L))
+      .toDF("t", "death", "arm")
+    val r = Attribution.logRank(lt, "t", "death", "arm").collect().head
+    assert(r.getLong(0) == 2L && r.getLong(1) == 2L)
+    assert(r.getLong(2) == 2L, "O1")
+    assert(r.getLong(3) == 500000L + 666667L, "E1 micro (0.5 + 2/3)")
+    assert(r.getLong(4) == 250000L + 222222L, "V micro (1/4 + 2/9)")
+    val e1 = r.getLong(3).toDouble / 1e6
+    val v = r.getLong(4).toDouble / 1e6
+    val expChi = math.floor((2.0 - e1) * (2.0 - e1) / v * 1e6 + 0.5).toLong
+    assert(r.getLong(5) == expChi)
+    // identical curves (arms mirror each other) -> chi2 near zero
+    val same = Seq((1L, 1L, 0L), (1L, 1L, 1L), (2L, 1L, 0L), (2L, 1L, 1L))
+      .toDF("t", "death", "arm")
+    val s0 = Attribution.logRank(same, "t", "death", "arm").collect().head
+    assert(s0.getLong(2) == 2L && math.abs(s0.getLong(5)) < 5L,
+      s"mirrored arms must read ~0: ${s0.getLong(5)}")
+  }
+
   test("markovStationary: exact-ppm conservation, absorbing state wins") {
     // a->b (2), b->a (1), b->c (1); c absorbing: mass drains to c
     val trans = Seq(("a", "b", 2L), ("b", "a", 1L), ("b", "c", 1L))

@@ -98,7 +98,8 @@ val names = Seq(
   "dq17_lorenz", "ab6_mann_whitney", "dq19_chi2", "dq20_hhi",
   "dq21_jsd", "s16_markov_stationary", "dq22_quantiles_twolevel",
   "ml5_roc_auc", "graph15_clustering_coef", "graph16_assortativity",
-  "dq23_percentile_xform", "x15_keyed_trend_full")
+  "dq23_percentile_xform", "x15_keyed_trend_full", "ab7_logrank",
+  "sp29_stratum_topk")
 for (n <- names) {
   val df = graft.SparkEntry.queries(n)(spark, sfDir)
   val plan = df.queryExecution.explainString(
