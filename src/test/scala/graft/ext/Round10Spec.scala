@@ -236,6 +236,26 @@ class Round10Spec extends SparkTestBase {
       s"mirrored arms must read ~0: ${s0.getLong(5)}")
   }
 
+  test("two-level quantile plan: the value-grain window is PARTITIONED " +
+    "(the single-partition sweep stays at bucket grain)") {
+    val d = (1L to 2000L).map(v => v.toDouble).toDF("v")
+    val opt = Profile.orderStatQuantilesTwoLevel(d, "v", k = 4,
+        bucketShift = 16)
+      .queryExecution.optimizedPlan
+    val wins = opt.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(wins.nonEmpty, "expected windows in the plan")
+    // exactly the shape the caveat-lift claims: the distinct-VALUE
+    // cumulative (level 2) partitions by target cut, so the only
+    // unpartitioned window left is the BUCKET-grain one the loud bound
+    // covers
+    assert(wins.exists(_.partitionSpec.nonEmpty),
+      s"expected a partitioned level-2 window:\n$opt")
+    assert(wins.count(_.partitionSpec.isEmpty) <= 1,
+      s"more than one single-partition window:\n$opt")
+  }
+
   test("markovStationary: exact-ppm conservation, absorbing state wins") {
     // a->b (2), b->a (1), b->c (1); c absorbing: mass drains to c
     val trans = Seq(("a", "b", 2L), ("b", "a", 1L), ("b", "c", 1L))
