@@ -279,6 +279,37 @@ class StreamingSpec extends SparkTestBase {
     assert(streamSet == batchPsi)
   }
 
+  test("streaming JSD drift rides the same maintained histogram as PSI") {
+    implicit val sqlCtx = spark.sqlContext
+    val ref = spark.range(100).select((($"id" % 5) * 10).as("v"))
+    val refBuckets = graft.ext.Profile.bucketCounts(ref, "v", 10L)
+      .toDF("bucket", "n_ref").cache()
+    val input = MemoryStream[Long]
+    val counts = graft.ext.Profile.bucketCounts(
+      input.toDF().select($"value".as("v")), "v", 10L)
+    val q = counts.writeStream.outputMode("complete")
+      .format("memory").queryName("jsd_buckets").start()
+    val b1 = (0L until 100L).map(i => (i % 5) * 10)
+    val b2 = (0L until 100L).map(i => (i % 5) * 10 + 200) // drifted mass
+    input.addData(b1); q.processAllAvailable()
+    input.addData(b2); q.processAllAvailable()
+    val streamedJsd = graft.ext.Profile.jsdFromBuckets(refBuckets,
+      spark.table("jsd_buckets").toDF("bucket", "n_cur"))
+    q.stop()
+    val jsdTotal = streamedJsd.agg(sum($"jsd_micro")).as[Long].head()
+    // drifted second half: clearly positive, and within the ln-2 bound
+    assert(jsdTotal > 100000L && jsdTotal <= 693148L, s"got $jsdTotal")
+    // the incrementally maintained histogram is exactly the batch one
+    val batchJsd = graft.ext.Profile.jsdDrift(ref,
+        (b1 ++ b2).toDF("v"), "v", 10L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    val streamSet = streamedJsd
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    assert(streamSet == batchJsd)
+  }
+
   test("streaming Count-Min sketch: the complete-mode counter relation " +
     "equals the batch sketch on the accumulated stream") {
     implicit val sqlCtx = spark.sqlContext
