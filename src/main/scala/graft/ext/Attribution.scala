@@ -402,6 +402,36 @@ object Attribution {
           .as("surv"))
   }
 
+  /** One-row survival summary over the [[kaplanMeier]] curve: MEDIAN
+   * survival time (the first distinct lifetime whose S(t) ≤ 0.5 —
+   * NULL when the curve never crosses, which "mean lifetime" silently
+   * hides) and the RESTRICTED MEAN SURVIVAL TIME over the observed
+   * horizon (RMST = ∫₀^τ S(t)dt of the step curve — the
+   * censoring-honest "average minutes retained" a raw mean of
+   * lifetimes gets wrong). The integral is the exact sum of per-segment
+   * terms `S(tᵢ)·(tᵢ₊₁−tᵢ)` micro-quantized half-up off the curve's
+   * own 6-dp `surv` (plus the exact leading S=1 segment [0, t₁)), so
+   * the replay is engine-identical. Runs at the SAME bounded
+   * distinct-lifetime grain as the curve itself (the kernel bound
+   * inside kaplanMeier already enforced it).
+   * Output 1 row: (t_median, rmst_micro, horizon). */
+  def survivalSummary(lifetimes: DataFrame, tCol: String,
+      deathCol: String, maxDistinctT: Long = 100000L): DataFrame = {
+    val km = kaplanMeier(lifetimes, tCol, deathCol, maxDistinctT)
+    val w = Window.orderBy("t")
+    val withNext = km.select(col("t"), col("surv"))
+      .withColumn("t_next", lead("t", 1).over(w))
+    withNext.select(col("t"), col("surv"),
+        when(col("t_next").isNotNull,
+          floor(col("surv") * (col("t_next") - col("t")) * lit(1e6) +
+            lit(0.5)).cast("long"))
+          .otherwise(lit(0L)).as("__term"))
+      .agg(
+        min(when(col("surv") <= 0.5, col("t"))).as("t_median"),
+        (min("t") * lit(1000000L) + sum("__term")).as("rmst_micro"),
+        max("t").as("horizon"))
+  }
+
   /** Two-arm log-rank test (Mantel 1966) — the significance readout
    * [[kaplanMeier]] lacks: two survival curves can LOOK apart and be
    * noise, and a Welch t on raw lifetimes is wrong under censoring

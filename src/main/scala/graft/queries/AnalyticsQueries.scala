@@ -1840,5 +1840,86 @@ object AnalyticsQueries {
                             * 1e6 + 0.5) AS BIGINT)
                      END AS chi2_micro
               FROM q"""),
-      "two-arm log-rank test on censored session lifetimes"))
+      "two-arm log-rank test on censored session lifetimes"),
+
+    // Median survival + restricted mean survival time over s10's KM
+    // curve — the two numbers a dashboard quotes from the curve, both
+    // censoring-honest where raw lifetime means/medians are not.
+    "s17_survival_summary" -> QueryDef(
+      (s, dir) => {
+        val gapNs = 3600L * 1000000000L
+        val wOrd = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        val sess = t(s, dir, "events")
+          .withColumn("prev_ts", lag("ts", 1).over(wOrd))
+          .withColumn("nw", when(col("prev_ts").isNull ||
+            col("ts") - col("prev_ts") > gapNs, 1L).otherwise(0L))
+          .withColumn("sid", sum("nw").over(
+            wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .groupBy("user_id", "sid")
+          .agg(min("ts").as("t0"), max("ts").as("t1"))
+        val end = sess.agg(max("t1").as("t_end"))
+        val lifetimes = sess.crossJoin(broadcast(end))
+          .select(expr("(t1 - t0) div 60000000000").as("t_min"),
+            when(col("t_end") - col("t1") > gapNs, 1L).otherwise(0L)
+              .as("death"))
+        Attribution.survivalSummary(lifetimes, "t_min", "death")
+      },
+      Some("""WITH g AS (SELECT user_id, epoch_ns(ts) AS tsn, event_id,
+                     lag(epoch_ns(ts)) OVER w AS prev_ts
+                   FROM events
+                   WINDOW w AS (PARTITION BY user_id
+                                ORDER BY epoch_ns(ts), event_id)),
+              f AS (SELECT user_id, tsn, event_id,
+                           CASE WHEN prev_ts IS NULL
+                                  OR tsn - prev_ts > 3600000000000
+                                THEN 1 ELSE 0 END AS nw
+                    FROM g),
+              sx AS (SELECT user_id, tsn,
+                            sum(nw) OVER (PARTITION BY user_id
+                              ORDER BY tsn, event_id
+                              ROWS UNBOUNDED PRECEDING) AS sid
+                     FROM f),
+              se AS (SELECT user_id, sid, min(tsn) AS t0, max(tsn) AS t1
+                     FROM sx GROUP BY 1, 2),
+              en AS (SELECT max(t1) AS t_end FROM se),
+              lt AS (SELECT (t1 - t0) // 60000000000 AS t,
+                            CASE WHEN en.t_end - t1 > 3600000000000
+                                 THEN 1 ELSE 0 END AS death
+                     FROM se, en),
+              bt AS (SELECT t, CAST(sum(death) AS BIGINT) AS n_events,
+                            CAST(count(*) AS BIGINT) AS nt
+                     FROM lt GROUP BY 1),
+              rk AS (SELECT t, n_events,
+                            (SELECT CAST(sum(nt) AS BIGINT) FROM bt)
+                            - CAST(coalesce(sum(nt) OVER (ORDER BY t
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND 1 PRECEDING), 0) AS BIGINT)
+                              AS n_risk
+                     FROM bt),
+              tm AS (SELECT t,
+                            CASE WHEN n_events = 0 THEN 0
+                                 WHEN n_risk = n_events
+                                   THEN -1000000000000000
+                                 ELSE CAST(floor(
+                                   ln(CAST(n_risk - n_events AS DOUBLE)
+                                      / CAST(n_risk AS DOUBLE))
+                                   * 1e9 + 0.5) AS BIGINT)
+                            END AS term
+                     FROM rk),
+              km AS (SELECT t,
+                            round(exp(CAST(sum(term) OVER wc AS DOUBLE)
+                              / 1e9), 6) AS surv
+                     FROM tm
+                     WINDOW wc AS (ORDER BY t ROWS UNBOUNDED PRECEDING)),
+              nx AS (SELECT t, surv, lead(t) OVER (ORDER BY t) AS t_next
+                     FROM km)
+              SELECT min(CASE WHEN surv <= 0.5 THEN t END) AS t_median,
+                     CAST(min(t) * 1000000
+                       + sum(CASE WHEN t_next IS NULL THEN 0
+                             ELSE CAST(floor(surv * (t_next - t) * 1e6
+                               + 0.5) AS BIGINT) END) AS BIGINT)
+                       AS rmst_micro,
+                     max(t) AS horizon
+              FROM nx"""),
+      "median survival + restricted mean survival time off the KM curve"))
 }

@@ -256,6 +256,25 @@ class Round10Spec extends SparkTestBase {
       s"more than one single-partition window:\n$opt")
   }
 
+  test("survivalSummary: hand median + RMST on the KM step curve") {
+    // lifetimes (1,d), (2,d), (2,d), (3,censored):
+    // S(1)=0.75, S(2)=0.25, S(3)=0.25 -> median t=2 (first S<=0.5);
+    // RMST = 1 (S=1 on [0,1)) + 0.75·1 + 0.25·1 = 2.0 exactly
+    val lt = Seq((1L, 1L), (2L, 1L), (2L, 1L), (3L, 0L))
+      .toDF("t", "death")
+    val r = Attribution.survivalSummary(lt, "t", "death").collect().head
+    assert(r.getLong(0) == 2L, "median")
+    assert(r.getLong(1) == 2000000L, "RMST micro")
+    assert(r.getLong(2) == 3L, "horizon")
+    // a curve that never crosses 0.5: median NULL, RMST still defined
+    val hardy = Seq((1L, 0L), (2L, 1L), (3L, 0L), (4L, 0L))
+      .toDF("t", "death") // one death among four -> S stays >= 0.66
+    val h = Attribution.survivalSummary(hardy, "t", "death")
+      .collect().head
+    assert(h.get(0) == null, "median undefined when S never crosses 0.5")
+    assert(h.getLong(1) > 0L)
+  }
+
   test("markovStationary: exact-ppm conservation, absorbing state wins") {
     // a->b (2), b->a (1), b->c (1); c absorbing: mass drains to c
     val trans = Seq(("a", "b", 2L), ("b", "a", 1L), ("b", "c", 1L))

@@ -99,7 +99,7 @@ val names = Seq(
   "dq21_jsd", "s16_markov_stationary", "dq22_quantiles_twolevel",
   "ml5_roc_auc", "graph15_clustering_coef", "graph16_assortativity",
   "dq23_percentile_xform", "x15_keyed_trend_full", "ab7_logrank",
-  "sp29_stratum_topk")
+  "sp29_stratum_topk", "s17_survival_summary")
 for (n <- names) {
   val df = graft.SparkEntry.queries(n)(spark, sfDir)
   val plan = df.queryExecution.explainString(
