@@ -1350,7 +1350,16 @@ object Bench {
             SparkEntry.queries("ab6_mann_whitney")(ps, dir10)),
         "s16_markov_stationary" ->
           ((ps: org.apache.spark.sql.SparkSession) =>
-            SparkEntry.queries("s16_markov_stationary")(ps, dir10))))
+            SparkEntry.queries("s16_markov_stationary")(ps, dir10)),
+        // round-10 late: the survival significance + summary readouts
+        // at 10× sessions — the same sessionize window as s10's probe
+        // plus distinct-lifetime-grain kernel passes
+        "ab7_logrank" ->
+          ((ps: org.apache.spark.sql.SparkSession) =>
+            SparkEntry.queries("ab7_logrank")(ps, dir10)),
+        "s17_survival_summary" ->
+          ((ps: org.apache.spark.sql.SparkSession) =>
+            SparkEntry.queries("s17_survival_summary")(ps, dir10))))
       (walls.toList, ratios.toList, rawSamples.toList, canaries.toList,
         nDocs, nVecs)
     }
