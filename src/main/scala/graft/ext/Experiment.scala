@@ -165,14 +165,17 @@ object Experiment {
    * far from α% means the splits aren't exchangeable (drift, leakage,
    * or a broken predictor), which is exactly what this audits. The
    * selection is an EXACT order statistic at distinct-|residual| grain
-   * (cumulative window over distinct values, the
-   * [[Profile.orderStatQuantiles]] posture, with the same loud
-   * `assert_true` grain bound), never an interpolating percentile two
-   * engines disagree on.
+   * through the shared TWO-LEVEL kernel
+   * ([[Profile.twoLevelRankSelect]] — r10 verdict #2: the radius rank
+   * ⌈(n+1)·α/100⌉ capped at n is exactly the kernel's
+   * `least(n, (α·n + α + 99) div 100)` family, and the loud grain
+   * bounds now sit at bucket + per-target-bucket grain instead of one
+   * global single-partition window), never an interpolating percentile
+   * two engines disagree on.
    *
    * `scored` carries an integer residual column and a boolean
-   * calibration-split flag. One distinct-value hash-agg + bounded
-   * window for q, one test-split agg for coverage. Output 1 row:
+   * calibration-split flag. One distinct-value hash-agg + the two-level
+   * selection for q, one test-split agg for coverage. Output 1 row:
    * (n_cal, n_test, q_resid, n_covered, coverage_ppm). */
   def conformalCoverage(scored: DataFrame, residCol: String,
       calCol: String, alphaPct: Int = 90,
@@ -180,21 +183,12 @@ object Experiment {
     require(alphaPct >= 1 && alphaPct <= 99,
       s"alphaPct must be in [1, 99], got $alphaPct")
     val absR = abs(col(residCol))
-    val counts = scored.filter(col(calCol)).select(absR.as("r"))
-      .groupBy("r").agg(count(lit(1)).as("c"))
-    // the shared enforced-grain kernel (r9 verdict #7): bound + ONE
-    // single-partition cumulative window, in one place for every exact
-    // order-statistic consumer
-    val q = graft.ext.Profile.boundedCumCounts(counts, "r", "c",
-        maxDistinct,
-        s"conformalCoverage: distinct-residual cardinality exceeds " +
-          s"$maxDistinct — quantize residuals coarser (bounded-grain " +
-          "contract, see Profile.boundedCumCounts)")
-      .withColumnRenamed("n", "n_cal")
-      .filter(col("cum") >=
-        least(col("n_cal"),
-          expr(s"((n_cal + 1) * $alphaPct + 99) div 100")))
-      .agg(min("r").as("q_resid"), max("n_cal").as("n_cal"))
+    val counts = scored.filter(col(calCol)).select(absR.as("vq"))
+      .groupBy("vq").agg(count(lit(1)).as("c"))
+    val q = graft.ext.Profile.twoLevelRankSelect(counts, Seq(alphaPct),
+        addNum = alphaPct + 99L, divisor = 100L, bucketShift = 20,
+        maxGrain = maxDistinct, opName = "conformalCoverage")
+      .agg(min("vq").as("q_resid"), max("n").as("n_cal"))
     scored.filter(!col(calCol)).select(absR.as("r"))
       .crossJoin(broadcast(q))
       .agg(max("n_cal").as("n_cal"), count(lit(1)).as("n_test"),
@@ -407,7 +401,13 @@ object Experiment {
    * arm stochastically dominate" and no single whale can move it by
    * more than one rank. Same experiment conventions as welch: the unit
    * is the USER (per-user centi-quantized value totals under the same
-   * ±√Long.Max loud bound), arms by `user % 2`.
+   * ±√Long.Max loud bound), arms by `user % 2`. The arm convention
+   * assumes NONNEGATIVE user ids (the welch/cuped/srm convention across
+   * this file): Spark's `pmod` and SQL's truncating `%` agree only
+   * there — a signed key (pmod(−3,2)=1 vs −3%2=−1) would land in
+   * different arms across engines (r10 ADVICE; testdata ids are
+   * generated nonnegative, so this is a documented contract, not a
+   * live divergence).
    *
    * Exactness: ranks are handled at DISTINCT-VALUE grain through the
    * shared enforced kernel ([[Profile.boundedCumCounts]]): a tied group

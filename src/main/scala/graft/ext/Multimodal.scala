@@ -52,6 +52,11 @@ object Multimodal {
     /** 8×8 mean-luma grid (row-major, 64 values in [0,1]) — the input to
      * the perceptual average-hash. */
     def decodeGray8(payload: Array[Byte]): Array[Double]
+    /** Mono-mixed INTEGER PCM samples in 16-bit range — the input to the
+     * perceptual audio fingerprint (integer end-to-end, so the
+     * fingerprint bits are exact, never float-summation-order
+     * dependent). */
+    def decodePcm16(payload: Array[Byte]): Array[Int]
   }
 
   /** Deterministic fake codec: every output derives from a rolling hash of
@@ -81,6 +86,14 @@ object Multimodal {
     def decodeGray8(payload: Array[Byte]): Array[Double] =
       featureVec(rollingSeed(payload) ^ 0x9E3779B97F4A7C15L, 64)
         .map(_.toDouble)
+
+    def decodePcm16(payload: Array[Byte]): Array[Int] = {
+      var s = rollingSeed(payload) ^ 0x51afd7ed558ccdL
+      Array.fill(2048) {
+        s = s * 6364136223846793005L + 1442695040888963407L
+        (s >>> 33).toInt % 32768
+      }
+    }
 
     private def featureVec(seed: Long, dim: Int): Array[Float] = {
       var s = seed
@@ -210,6 +223,56 @@ object Multimodal {
           Array(rms.toFloat, meanAbs.toFloat, peak.toFloat, zcr.toFloat,
             quads(0).toFloat, quads(1).toFloat, quads(2).toFloat, quads(3).toFloat)
         }.toArray
+      }
+    }
+
+    /** Real WAV/PCM decode to INTEGER samples (same supported envelope
+     * and fallback as [[decodeAudioWindows]]): 16-bit signed LE reads
+     * exact sample values; 8-bit unsigned rescales to 16-bit range by
+     * shift; channels mono-mix by truncating integer division. All
+     * integer — the audio fingerprint built on this is bit-exact. */
+    def decodePcm16(payload: Array[Byte]): Array[Int] = {
+      val stream =
+        try javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(payload))
+        catch {
+          case _: javax.sound.sampled.UnsupportedAudioFileException => null
+          case _: java.io.IOException => null
+        }
+      if (stream == null) FakeCodec.decodePcm16(payload)
+      else {
+        val fmt = stream.getFormat
+        import javax.sound.sampled.AudioFormat.Encoding
+        val bits = fmt.getSampleSizeInBits
+        val supported =
+          (fmt.getEncoding == Encoding.PCM_SIGNED && bits == 16 && !fmt.isBigEndian) ||
+          (fmt.getEncoding == Encoding.PCM_UNSIGNED && bits == 8)
+        if (!supported) {
+          stream.close()
+          return FakeCodec.decodePcm16(payload)
+        }
+        val bytesPerSample = math.max(1, bits / 8)
+        val channels = fmt.getChannels
+        val raw = stream.readAllBytes()
+        val n = raw.length / (bytesPerSample * channels)
+        val out = new Array[Int](n)
+        var i = 0
+        while (i < n) {
+          var acc = 0
+          var c = 0
+          while (c < channels) {
+            val off = (i * channels + c) * bytesPerSample
+            val v =
+              if (bytesPerSample >= 2)
+                ((raw(off + 1) << 8) | (raw(off) & 0xff)).toShort.toInt
+              else ((raw(off) & 0xff) - 128) << 8
+            acc += v
+            c += 1
+          }
+          out(i) = acc / channels
+          i += 1
+        }
+        out
       }
     }
 
@@ -432,12 +495,28 @@ object Multimodal {
     }
   }
 
-  /** Image near-dup pairs by aHash Hamming distance — the pigeonhole
-   * blocking of `Dedup.simhashPairs` lifted to the 64-bit hash: 4 disjoint
-   * 16-bit bands; two hashes within Hamming 3 must agree EXACTLY on at
-   * least one band, so the band-equality self-join is lossless at
-   * `maxHamming <= 3` and never all-pairs. Input: `imageAHash` output. */
-  def imageDupPairs(hashes: DataFrame, maxHamming: Int = 3): DataFrame = {
+  /** Image near-dup pairs by aHash Hamming distance — [[hashDupPairs]]
+   * over `imageAHash`/`imageDHash`/`imagePHash` output. */
+  def imageDupPairs(hashes: DataFrame, maxHamming: Int = 3): DataFrame =
+    hashDupPairs(hashes, "ahash", maxHamming)
+
+  /** Audio near-dup pairs by fingerprint Hamming distance —
+   * [[hashDupPairs]] over [[audioFingerprint]] output: the pigeonhole
+   * blocking lifted to the third decoded modality, completing
+   * image/audio near-dup coverage (video stays behind the declared
+   * codec stub). */
+  def audioDupPairs(fingerprints: DataFrame,
+      maxHamming: Int = 3): DataFrame =
+    hashDupPairs(fingerprints, "fp", maxHamming)
+
+  /** Near-dup pairs of any 64-bit perceptual hash by Hamming distance —
+   * the pigeonhole blocking of `Dedup.simhashPairs` lifted to a
+   * (media_id, hash) relation: 4 disjoint 16-bit bands; two hashes
+   * within Hamming 3 must agree EXACTLY on at least one band, so the
+   * band-equality self-join is lossless at `maxHamming <= 3` and never
+   * all-pairs. */
+  def hashDupPairs(hashes: DataFrame, hashCol: String,
+      maxHamming: Int = 3): DataFrame = {
     require(maxHamming <= 3,
       "4-band pigeonhole blocking is only lossless up to Hamming distance 3")
     // The hash relation is consumed four times below (both band self-join
@@ -447,9 +526,10 @@ object Multimodal {
     // and each re-runs the full decode (measured 6-8x the one-pass cost on
     // the 20k-PNG probe). Same discipline as the LSH pipelines: checkpoint
     // the small derived relation, never re-derive it per consumer.
-    val h = Dedup.materialize(hashes)
+    val h = Dedup.materialize(
+      hashes.select(col("media_id"), col(hashCol).as("__h")))
     val bandCols = (0 until 4).map(b =>
-      shiftright(col("ahash"), b * 16).bitwiseAND(lit(0xffffL)))
+      shiftright(col("__h"), b * 16).bitwiseAND(lit(0xffffL)))
     val bands = h.select(col("media_id"),
       posexplode(array(bandCols: _*)).as(Seq("band", "band_val")))
     val cands = bands.as("a").join(bands.as("b"),
@@ -464,6 +544,83 @@ object Multimodal {
       .select(col("id_a"), col("id_b"),
         bit_count(col("h_a").bitwiseXOR(col("h_b"))).cast("int").as("hamming"))
       .filter(col("hamming") <= maxHamming)
+  }
+
+  final case class AudioFingerprint(media_id: Long, fp: Long,
+      n_samples: Long)
+
+  /** Perceptual audio fingerprint — the aHash analog for PCM (r10
+   * verdict #6): the signal splits into 8 equal time windows × 8
+   * lag-difference energy bands (band b = mean of (x[i] − x[i−2^b])²
+   * over the window — a first-difference comb filterbank: small lags
+   * respond to high-frequency content, large lags to low), and each of
+   * the 64 cells thresholds against the grid mean — bit set iff the
+   * cell is more energetic than average. EXACT integer arithmetic end
+   * to end (integer PCM via [[Codec.decodePcm16]], BIGINT energy sums,
+   * truncating means), so the bits are engine/JVM-exact — no float
+   * summation order anywhere, unlike an FFT-based fingerprint.
+   * Amplitude-robust: scaling the signal scales every cell AND the mean
+   * together, so re-encodes/gain changes move few bits — near-dup audio
+   * detection becomes small-Hamming search over longs, the same problem
+   * shape as image aHash and text SimHash, solved by the same
+   * [[hashDupPairs]] machinery. Payloads never shuffle; 8 bytes per
+   * clip flow downstream.
+   *
+   * Arithmetic bound: a per-window energy sum stays inside BIGINT up to
+   * ~2^31 samples/window of full-scale alternation (~50 h at 48 kHz) —
+   * far beyond any clip this pipeline fingerprints whole. Signals
+   * shorter than 256 samples (too short for the lag-128 band) get the
+   * honest degenerate fingerprint 0. */
+  def audioFingerprint(media: Dataset[MediaRecord],
+      codec: Codec = FakeCodec)(
+      implicit spark: SparkSession): Dataset[AudioFingerprint] = {
+    import spark.implicits._
+    media.filter(_.kind == "audio").mapPartitions { it =>
+      it.map { m =>
+        val x = codec.decodePcm16(m.payload)
+        AudioFingerprint(m.media_id, fingerprintPcm16(x), x.length.toLong)
+      }
+    }
+  }
+
+  /** The 64-bit fingerprint of one integer PCM signal — see
+   * [[audioFingerprint]]. Exposed for spec-level hand verification. */
+  private[graft] def fingerprintPcm16(x: Array[Int]): Long = {
+    val n = x.length
+    if (n < 256) return 0L
+    val cells = new Array[Long](64)
+    var w = 0
+    while (w < 8) {
+      val start = (n.toLong * w / 8).toInt
+      val end = (n.toLong * (w + 1) / 8).toInt
+      var b = 0
+      while (b < 8) {
+        val lag = 1 << b
+        var s = 0L
+        var cnt = 0L
+        var i = start + lag
+        while (i < end) {
+          val d = (x(i) - x(i - lag)).toLong
+          s += d * d
+          cnt += 1
+          i += 1
+        }
+        cells(w * 8 + b) = if (cnt > 0) s / cnt else 0L
+        b += 1
+      }
+      w += 1
+    }
+    var tot = 0L
+    var i = 0
+    while (i < 64) { tot += cells(i); i += 1 }
+    val mean = tot / 64
+    var bits = 0L
+    i = 0
+    while (i < 64) {
+      if (cells(i) > mean) bits |= (1L << i)
+      i += 1
+    }
+    bits
   }
 
   /** Metadata-only resize plan: records the target geometry without touching

@@ -346,20 +346,19 @@ object Profile {
   }
 
   /** Exact LOWER median of a centi-quantized value relation by
-   * value-grain selection: counts per distinct value, cumulative count
-   * in value order, first value whose cumulative count reaches
-   * (n+1) div 2. The window runs at DISTINCT-VALUE grain — for a price
-   * or score column that is orders of magnitude smaller than the row
-   * count, which is what makes an EXACT median scalable where a
-   * row-grain global sort would not be ([[boundedCumCounts]] enforces the
-   * grain contract). Never interpolates: an order-statistic median is
-   * an integer both engines agree on, where interpolating quantile
-   * implementations differ in double op shape. */
+   * value-grain selection: the (n+1) div 2 order statistic through the
+   * shared TWO-LEVEL kernel ([[twoLevelRankSelect]] — r10 verdict #2:
+   * the two-level plan measured FASTER than the single-partition
+   * window at identical 10× grain, so the exact-median consumers ride
+   * it; the loud grain bounds move to bucket grain + per-target-bucket
+   * grain, satisfiable at any cardinality). Never interpolates: an
+   * order-statistic median is an integer both engines agree on, where
+   * interpolating quantile implementations differ in double op shape. */
   private def lowerMedianQ(vq: DataFrame,
       maxDistinct: Long = MaxOrderStatDistinct): DataFrame =
-    boundedCumCounts(vq.groupBy("vq").agg(count(lit(1)).as("c")),
-      "vq", "c", maxDistinct, orderStatMsg(maxDistinct))
-      .filter(col("cum") >= expr("(n + 1) div 2"))
+    twoLevelRankSelect(vq.groupBy("vq").agg(count(lit(1)).as("c")),
+      Seq(1), 1L, 2L, bucketShift = 20, maxGrain = maxDistinct,
+      opName = "lowerMedian")
       .agg(min("vq").as("med_q"), max("n").as("n"))
 
   /** Default distinct-value bound for the single-partition cumulative
@@ -412,51 +411,102 @@ object Profile {
    * choosing `bucketShift` (e.g. shift 32 splits a full 63-bit
    * nonnegative domain into ≤ 2^31/bucket... pick shift ≈
    * (domain_bits − 20) so each level holds ~1M rows). Values
-   * centi-quantize like [[orderStatQuantiles]] and must be NONNEGATIVE
-   * (asserted — truncating bucket division would fold negatives).
-   * Result is BIT-IDENTICAL to [[orderStatQuantiles]] (spec-pinned):
-   * (q, rank, vq), rank_j = ⌈j·n/k⌉, exact lower order statistics. */
+   * centi-quantize like [[orderStatQuantiles]]; SIGNED values are fine —
+   * the kernel shifts by the global minimum before bucketing (order-
+   * preserving exact integer offset, shifted back on output), so the
+   * r10 nonnegative caveat is gone. Result is BIT-IDENTICAL to
+   * [[orderStatQuantiles]] (spec-pinned): (q, rank, vq),
+   * rank_j = ⌈j·n/k⌉, exact lower order statistics. */
   def orderStatQuantilesTwoLevel(df: DataFrame, valCol: String, k: Int,
       bucketShift: Int = 20,
       maxGrain: Long = MaxOrderStatDistinct): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
+    val counts = df.filter(col(valCol).isNotNull)
+      .select(floor(col(valCol) * lit(100) + lit(0.5)).cast("long")
+        .as("vq"))
+      .groupBy("vq").agg(count(lit(1)).as("c"))
+    twoLevelRankSelect(counts, 1 to k, k - 1L, k.toLong, bucketShift,
+        maxGrain, "orderStatQuantilesTwoLevel")
+      .select(col("q"), col("rank"), col("vq"))
+  }
+
+  /** THE shared TWO-LEVEL exact rank-selection kernel (r10 verdict #2):
+   * every exact order-statistic consumer whose grain can plausibly
+   * exceed the one-level bound — equi-depth quantiles (dq11/dq22),
+   * median/MAD (dq9), the split-conformal radius (ml4) — is the same
+   * three-step shape, in one place so the next consumer cannot
+   * re-implement the selection without the bounds:
+   *
+   *  1. SHIFT-TO-NONNEGATIVE: range-bucket floor division needs
+   *     vq ≥ 0; instead of refusing signed inputs, shift every value by
+   *     the global minimum (an order-preserving exact integer offset,
+   *     undone on output). A loud ±2^62 magnitude bound keeps the
+   *     offset subtraction inside BIGINT. The shifted distinct-value
+   *     relation materializes ONCE — both levels read it.
+   *  2. LEVEL 1 at 2^bucketShift-wide range-bucket grain: the shared
+   *     enforced single-partition cumulative ([[boundedCumCounts]],
+   *     ≤ maxGrain buckets, loud) locates, for each requested cut
+   *     `q ∈ qs` at rank `least(n, (q·n + addNum) div divisor)`, the
+   *     ONE bucket holding that order statistic.
+   *  3. LEVEL 2 re-scans ONLY the ≤ |qs| target buckets (broadcast
+   *     join) and selects the exact within-bucket order statistic
+   *     under a PARTITIONED window (per-target-bucket distinct ≤
+   *     maxGrain, loud).
+   *
+   * The rank family `least(n, (q·n + addNum) div divisor)` covers every
+   * current consumer exactly: quantiles (⌈j·n/k⌉ = (j·n + k−1) div k,
+   * the least() a no-op), the lower median ((n+1) div 2 at q=1, addNum
+   * 1, divisor 2), and the conformal ⌈(n+1)·α/100⌉-capped-at-n (q=α,
+   * addNum α+99, divisor 100). Input: `counts0` at DISTINCT-vq grain
+   * with positive BIGINT `c`. Output: (q, rank, vq, n) — one row per
+   * cut, vq the exact lower order statistic at that rank, empty when
+   * the input is empty. */
+  private[graft] def twoLevelRankSelect(counts0: DataFrame, qs: Seq[Int],
+      addNum: Long, divisor: Long, bucketShift: Int, maxGrain: Long,
+      opName: String): DataFrame = {
+    require(qs.nonEmpty, s"$opName: need at least one cut")
+    require(divisor >= 1, s"$opName: divisor must be >= 1, got $divisor")
     require(bucketShift >= 8 && bucketShift <= 48,
       s"bucketShift must be in [8, 48], got $bucketShift")
-    val session = df.sparkSession
+    val session = counts0.sparkSession
     import session.implicits._
     val width = 1L << bucketShift
-    // value-grain relation materialized once: BOTH levels read it (the
-    // corpus scan happens exactly once; this relation is already
-    // distinct-value-sized)
+    val mn = counts0.agg(min("vq").as("vmin"), max("vq").as("__vmax"))
+      .withColumn("__gs", assert_true(
+        (col("vmin") > lit(Long.MinValue / 2) &&
+          col("__vmax") < lit(Long.MaxValue / 2)) || col("vmin").isNull,
+        lit(s"$opName: value magnitude exceeds ±2^62 — the " +
+          "shift-to-nonnegative offset would overflow (bounded-grain " +
+          "contract, see Profile.twoLevelRankSelect)")))
+      .where(col("__gs").isNull).select("vmin")
+    // shifted value-grain relation materialized once: BOTH levels read
+    // it (the corpus scan happens exactly once; this relation is
+    // already distinct-value-sized)
     val counts = Dedup.materialize(
-      df.filter(col(valCol).isNotNull)
-        .select(floor(col(valCol) * lit(100) + lit(0.5)).cast("long")
-          .as("vq"))
-        .withColumn("__gn", assert_true(col("vq") >= 0L,
-          lit("orderStatQuantilesTwoLevel: values must be nonnegative " +
-            "(range-bucket floor-division contract)")))
-        .where(col("__gn").isNull)
-        .groupBy("vq").agg(count(lit(1)).as("c")))
+      counts0.crossJoin(broadcast(mn))
+        .select((col("vq") - col("vmin")).as("vq"), col("c"),
+          col("vmin")))
     val buckets = counts.groupBy(expr(s"vq div ${width}L").as("b"))
       .agg(sum("c").as("cb"), count(lit(1)).as("ndb"))
     val cum1 = boundedCumCounts(buckets, "b", "cb", maxGrain,
-      s"orderStatQuantilesTwoLevel: range-bucket count exceeds " +
-        s"$maxGrain — raise bucketShift (bounded-grain contract, see " +
+      s"$opName: range-bucket count exceeds $maxGrain — raise " +
+        "bucketShift (bounded-grain contract, see " +
         "Profile.boundedCumCounts)")
-    val targets = cum1.crossJoin(broadcast((1 to k).toDF("q")))
-      .withColumn("rank", expr(s"(q * n + $k - 1) div ${k}L"))
+    val targets = cum1.crossJoin(broadcast(qs.toDF("q")))
+      .withColumn("rank",
+        least(col("n"), expr(s"(q * n + $addNum) div ${divisor}L")))
       .filter(col("cum") >= col("rank"))
       .groupBy("q")
-      .agg(max("rank").as("rank"),
+      .agg(max("rank").as("rank"), max("n").as("n"),
         min_by(struct(col("b"), col("cb"), col("ndb"), col("cum")),
           col("b")).as("g"))
-      .select(col("q"), col("rank"), col("g.b").as("b"),
+      .select(col("q"), col("rank"), col("n"), col("g.b").as("b"),
         (col("rank") - (col("g.cum") - col("g.cb"))).as("in_rank"),
         col("g.ndb").as("ndb"))
       .withColumn("__g2", assert_true(col("ndb") <= maxGrain,
-        lit(s"orderStatQuantilesTwoLevel: a target bucket holds more " +
-          s"than $maxGrain distinct values — lower bucketShift " +
-          "(bounded-grain contract, see Profile.boundedCumCounts)")))
+        lit(s"$opName: a target bucket holds more than $maxGrain " +
+          "distinct values — lower bucketShift (bounded-grain " +
+          "contract, see Profile.boundedCumCounts)")))
       .where(col("__g2").isNull).drop("__g2")
     val w2 = org.apache.spark.sql.expressions.Window.partitionBy("q")
       .orderBy("vq")
@@ -467,7 +517,8 @@ object Profile {
       .join(broadcast(targets), Seq("b"))
       .withColumn("cum2", sum("c").over(w2))
       .filter(col("cum2") >= col("in_rank"))
-      .groupBy("q").agg(max("rank").as("rank"), min("vq").as("vq"))
+      .groupBy("q").agg(max("rank").as("rank"),
+        min(col("vq") + col("vmin")).as("vq"), max("n").as("n"))
   }
 
   /** Per-key exact percentile-rank (cume_dist) TRANSFORM table — the
@@ -481,8 +532,11 @@ object Profile {
    * different scales. Same partitioned-window scale shape as
    * groupedOrderStats — no grain bound needed, each key sweeps its own
    * partition; `valCol` must already be an integer (the caller owns
-   * quantization). Output: (key, vq, c, n, pct_ppm) at (key,
-   * distinct-value) grain. */
+   * quantization). A loud envelope bound keeps `cum·1e6` inside BIGINT
+   * (per-key n ≤ 9e12 — the lorenzCurve/hhi/rocAuc exact-ppm
+   * discipline; r10 ADVICE: silently-wrapping non-ANSI division past
+   * that is exactly what the siblings refuse loudly). Output:
+   * (key, vq, c, n, pct_ppm) at (key, distinct-value) grain. */
   def percentileRanks(df: DataFrame, keyCol: String,
       valCol: String): DataFrame = {
     val counts = df.filter(col(valCol).isNotNull)
@@ -494,6 +548,11 @@ object Profile {
         org.apache.spark.sql.expressions.Window.unboundedPreceding,
         org.apache.spark.sql.expressions.Window.currentRow)
     val tot = counts.groupBy("key").agg(sum("c").as("n"))
+      .withColumn("__g", assert_true(col("n") <= 9000000000000L,
+        lit("percentileRanks: per-key row count exceeds 9e12 — cum·1e6 " +
+          "would leave BIGINT; pre-aggregate or sample the key " +
+          "(bounded-moment contract, see Experiment.calibrationBins)")))
+      .where(col("__g").isNull).drop("__g")
     counts.withColumn("cum", sum("c").over(w))
       .join(tot, "key")
       .select(col("key"), col("vq"), col("c"), col("n"),
@@ -807,12 +866,22 @@ object Profile {
    * derives from the already-quantized total. dof 0 (a constant column)
    * yields NULL V, not NaN.
    *
+   * NULL rows are EXCLUDED up front (both columns): a NULL category
+   * would be counted in the marginals (groupBy keeps the NULL group)
+   * while its observed grid cells never match the null-rejecting equi
+   * join — those cells would read O = 0 against a positive E,
+   * overstating chi² on NULL-bearing columns (r10 ADVICE). Callers who
+   * want NULL as a category pre-coalesce it to a sentinel, the
+   * [[mutualInfo]] contract.
+   *
    * Scale shape: one cell-grain hash-agg + two category-grain aggs; the
    * grid is |X|·|Y| (categorical grain, broadcast). Output 1 row:
    * (n_rows, n_x, n_y, n_cells, dof, chi2_micro, cramers_v_micro). */
   def chi2Independence(df: DataFrame, xCol: String,
       yCol: String): DataFrame = {
-    val joint = df.groupBy(col(xCol).as("__x"), col(yCol).as("__y"))
+    val joint = df
+      .filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .groupBy(col(xCol).as("__x"), col(yCol).as("__y"))
       .agg(count(lit(1)).as("n_xy"))
     val mx = joint.groupBy("__x").agg(sum("n_xy").as("n_x"))
     val my = joint.groupBy("__y").agg(sum("n_xy").as("n_y"))

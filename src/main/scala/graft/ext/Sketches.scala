@@ -300,6 +300,161 @@ object Sketches {
         expr("k_both * 1000 div k_used").as("jaccard_milli"))
   }
 
+  /** Quantile-sketch mantissa bits m: buckets carry the top m bits of
+   * the value's binary mantissa, so the guaranteed RELATIVE error of any
+   * quantile estimate is 2^−m (m = 5 → ≤ 3.125%), and the sketch holds
+   * ≤ 2^(m+1) + 62·2^m rows (m = 5 → ≤ 2048) at ANY input cardinality. */
+  val QSketchSubBits = 5
+
+  /** Hard row bound of a [[quantileSketch]] relation at `subBits` —
+   * exact-value buckets for the ≤ m+1-bit range plus 2^m sub-buckets
+   * per remaining binary exponent. */
+  def qSketchMaxBuckets(subBits: Int): Long =
+    (1L << (subBits + 1)) + (63L - subBits) * (1L << subBits)
+
+  /**
+   * MERGEABLE quantile sketch as a PLAIN RELATION — the missing member
+   * of the sketch family (CMS counts frequencies, HLL/KMV count
+   * distincts, SpaceSaving finds heavy hitters; THIS holds a whole
+   * value DISTRIBUTION in bounded rows). The log-bucketed-histogram
+   * design of DDSketch (Masson, Rim & Lee, VLDB 2019) with the base-2
+   * bucketing variant its §2.3 "fast" implementation uses (and
+   * HdrHistogram popularized): a nonnegative integer value `v` with
+   * binary width `e` lands in the bucket keyed by its top
+   * `subBits`-bit mantissa prefix —
+   *
+   *   s  = max(0, e − 1 − subBits)      (dropped low bits)
+   *   lo = (v >> s) << s,  hi = lo + 2^s − 1
+   *
+   * — so bucket width `2^s` never exceeds `lo / 2^subBits`: any value
+   * read back from its bucket bounds carries ≤ 2^−subBits RELATIVE
+   * error, the guarantee exact order statistics cannot give in bounded
+   * state and `approx_percentile`'s opaque blob gives unauditable.
+   * Everything is integer bit arithmetic (`length(bin(v))` — the
+   * kAnonymityAudit binary-width idiom — and shifts), so the sketch
+   * replays EXACTLY in the oracle: unlike log-base-γ DDSketch
+   * bucketing, no libm call sits on a bucket boundary.
+   *
+   * The relation is (lo, hi, c) — and like every sketch in this file it
+   * is a hash-agg: map-side partials, mergeable across
+   * batches/shards/snapshots by (lo, hi) SUM ([[quantileSketchMerge]]),
+   * maintainable as a complete-mode streaming aggregation with
+   * bucket-bounded state (the t28/t32 posture). Values must be
+   * NONNEGATIVE integers (the caller owns quantization, the
+   * percentileRanks contract; loud assert) — shift signed inputs
+   * upstream. One narrow scan + one ≤ [[qSketchMaxBuckets]]-row
+   * hash-agg.
+   */
+  def quantileSketch(df: DataFrame, valCol: String,
+      subBits: Int = QSketchSubBits): DataFrame = {
+    require(subBits >= 1 && subBits <= 16,
+      s"subBits must be in [1, 16], got $subBits")
+    df.filter(col(valCol).isNotNull)
+      .select(col(valCol).cast("long").as("v"))
+      .withColumn("__g", assert_true(col("v") >= 0L,
+        lit("quantileSketch: values must be nonnegative integers — " +
+          "quantize/shift upstream (log-bucket contract, see " +
+          "Sketches.quantileSketch)")))
+      .where(col("__g").isNull)
+      .withColumn("s",
+        greatest(lit(0), length(bin(col("v"))) - lit(1 + subBits)))
+      .select(expr("shiftleft(shiftright(v, s), s)").as("lo"),
+        (expr("shiftleft(shiftright(v, s) + 1, s)") - lit(1L)).as("hi"))
+      .groupBy("lo", "hi").agg(count(lit(1)).as("c"))
+  }
+
+  /** GROUPED quantile sketch: one [[quantileSketch]] per `groupCol`
+   * value in a single hash-agg — (group, lo, hi, c), ≤
+   * [[qSketchMaxBuckets]] rows PER GROUP at any per-group cardinality
+   * (the hllRegistersBy shape for distributions: per-source latency /
+   * per-type value profiles at 100 TB without a per-group exact sort).
+   * A single-group relation is byte-identical to [[quantileSketch]]. */
+  def quantileSketchBy(df: DataFrame, groupCol: String, valCol: String,
+      subBits: Int = QSketchSubBits): DataFrame = {
+    require(subBits >= 1 && subBits <= 16,
+      s"subBits must be in [1, 16], got $subBits")
+    df.filter(col(valCol).isNotNull)
+      .select(col(groupCol).as("group"), col(valCol).cast("long").as("v"))
+      .withColumn("__g", assert_true(col("v") >= 0L,
+        lit("quantileSketchBy: values must be nonnegative integers — " +
+          "quantize/shift upstream (log-bucket contract, see " +
+          "Sketches.quantileSketch)")))
+      .where(col("__g").isNull)
+      .withColumn("s",
+        greatest(lit(0), length(bin(col("v"))) - lit(1 + subBits)))
+      .select(col("group"),
+        expr("shiftleft(shiftright(v, s), s)").as("lo"),
+        (expr("shiftleft(shiftright(v, s) + 1, s)") - lit(1L)).as("hi"))
+      .groupBy("group", "lo", "hi").agg(count(lit(1)).as("c"))
+  }
+
+  /** Merge two [[quantileSketch]] relations: union + (lo, hi) SUM —
+   * EXACTLY the sketch of the concatenated inputs (bucket boundaries
+   * are value-determined, so equal buckets are the only possible
+   * overlap; spec-pinned bit-identical). The property that makes the
+   * sketch a per-shard/per-day artifact: build per partition of a
+   * 100-TB corpus, persist the ≤2k-row relations, merge on read. */
+  def quantileSketchMerge(a: DataFrame, b: DataFrame): DataFrame =
+    a.select("lo", "hi", "c").unionByName(b.select("lo", "hi", "c"))
+      .groupBy("lo", "hi").agg(sum("c").as("c"))
+
+  /** Quantile ESTIMATES from a [[quantileSketch]] relation: for each cut
+   * j = 1..k, the bucket holding the exact rank-⌈j·n/k⌉ order statistic
+   * — its (lo, hi) BRACKET the true order statistic by construction
+   * (bucket-grain cumulative counts are exact; only position WITHIN the
+   * bucket is unknown), which is the testable guarantee the g6b-style
+   * gate enforces: `lo ≤ exact ≤ hi` with `hi − lo` inside the 2^−m
+   * relative envelope. Rides the shared enforced-grain kernel
+   * ([[graft.ext.Profile.boundedCumCounts]]) at bucket grain — bounded
+   * by [[qSketchMaxBuckets]] by construction, so the loud bound can
+   * never fire on a well-formed sketch. Output: (q, rank, lo, hi). */
+  def quantileSketchQuantiles(sketch: DataFrame, k: Int,
+      subBits: Int = QSketchSubBits): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val session = sketch.sparkSession
+    import session.implicits._
+    val cum = graft.ext.Profile.boundedCumCounts(
+      sketch.select("lo", "hi", "c"), "lo", "c",
+      qSketchMaxBuckets(subBits),
+      s"quantileSketchQuantiles: more than ${qSketchMaxBuckets(subBits)} " +
+        "buckets — not a well-formed quantileSketch relation at " +
+        s"subBits=$subBits")
+    cum.crossJoin(broadcast((1 to k).toDF("q")))
+      .withColumn("rank", expr(s"(q * n + $k - 1) div ${k}L"))
+      .filter(col("cum") >= col("rank"))
+      .groupBy("q")
+      .agg(max("rank").as("rank"),
+        min_by(struct(col("lo"), col("hi")), col("lo")).as("g"))
+      .select(col("q"), col("rank"), col("g.lo").as("lo"),
+        col("g.hi").as("hi"))
+  }
+
+  /** Per-group quantile estimates from a [[quantileSketchBy]] relation —
+   * the bucket cumulative partitions BY GROUP (each group sweeps its
+   * own ≤ [[qSketchMaxBuckets]]-row partition; no grain bound needed,
+   * the groupedOrderStats posture). Output: (group, q, rank, lo, hi). */
+  def quantileSketchQuantilesBy(sketch: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val session = sketch.sparkSession
+    import session.implicits._
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("group")
+      .orderBy("lo")
+      .rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val tot = sketch.groupBy("group").agg(sum("c").as("n"))
+    sketch.withColumn("cum", sum("c").over(w))
+      .join(tot, "group")
+      .crossJoin(broadcast((1 to k).toDF("q")))
+      .withColumn("rank", expr(s"(q * n + $k - 1) div ${k}L"))
+      .filter(col("cum") >= col("rank"))
+      .groupBy("group", "q")
+      .agg(max("rank").as("rank"),
+        min_by(struct(col("lo"), col("hi")), col("lo")).as("g"))
+      .select(col("group"), col("q"), col("rank"), col("g.lo").as("lo"),
+        col("g.hi").as("hi"))
+  }
+
   private def bloomBit(key: Column, i: Int): Column =
     pmod(Dedup.seededHash(key, BloomSeedBase + i), lit(BloomBits.toLong))
 

@@ -1411,7 +1411,9 @@ object AnalyticsQueries {
         t(s, dir, "documents"), "lang", "source"),
       Some("""WITH j AS (SELECT lang AS x, source AS y,
                      CAST(count(*) AS BIGINT) AS n_xy
-                   FROM documents GROUP BY 1, 2),
+                   FROM documents
+                   WHERE lang IS NOT NULL AND source IS NOT NULL
+                   GROUP BY 1, 2),
               mx AS (SELECT x, CAST(sum(n_xy) AS BIGINT) AS n_x
                      FROM j GROUP BY 1),
               my AS (SELECT y, CAST(sum(n_xy) AS BIGINT) AS n_y
@@ -1587,10 +1589,14 @@ object AnalyticsQueries {
     // + within-target-bucket selection under a PARTITIONED window
     // (level 2). The oracle is the UNBOUNDED global selection — the
     // two-level plan must land on bit-identical order statistics.
+    // Since r11 dq11 itself rides the two-level kernel at the default
+    // shift; this gate pins a SECOND bucket geometry (shift 12 — ~256×
+    // more, narrower buckets) so bucketing provably cannot move the
+    // selected statistics.
     "dq22_quantiles_twolevel" -> QueryDef(
       (s, dir) => graft.ext.Profile.orderStatQuantilesTwoLevel(
         t(s, dir, "lineitem"), "l_extendedprice", k = 10,
-        bucketShift = 20),
+        bucketShift = 12),
       Some("""WITH vq AS (SELECT CAST(floor(l_extendedprice * 100 + 0.5)
                               AS BIGINT) AS vq
                           FROM lineitem
@@ -1675,6 +1681,149 @@ object AnalyticsQueries {
                        AS pct_ppm
               FROM cum JOIN tot ON tot.event_type = cum.event_type"""),
       "per-type exact percentile-rank (cume_dist ppm) transform table"),
+
+    // Mergeable quantile-sketch RELATION queried at the deciles (r10
+    // verdict #1 — the missing member of the sketch family): base-2
+    // log-bucketed histogram (DDSketch's fast/base-2 variant), ≤ ~2k
+    // (lo, hi, c) rows at ANY cardinality, union-mergeable, streaming-
+    // maintainable. All bucket math is integer bit arithmetic
+    // (length(bin(v)) + shifts), so the sketch itself replays EXACTLY
+    // in DuckDB — a full rows+hash gate, stronger than g6's rows-only.
+    "dq24_qsketch_deciles" -> QueryDef(
+      (s, dir) => graft.ext.Sketches.quantileSketchQuantiles(
+        graft.ext.Sketches.quantileSketch(
+          t(s, dir, "lineitem")
+            .select(floor(col("l_extendedprice") * 100 + lit(0.5))
+              .cast("long").as("vq")),
+          "vq"),
+        k = 10),
+      Some("""WITH vq AS (SELECT CAST(floor(l_extendedprice * 100 + 0.5)
+                              AS BIGINT) AS v
+                          FROM lineitem
+                          WHERE l_extendedprice IS NOT NULL),
+              bk AS (SELECT ((v >> s) << s) AS lo,
+                            (((v >> s) + 1) << s) - 1 AS hi,
+                            CAST(count(*) AS BIGINT) AS c
+                     FROM (SELECT v, greatest(0, length(bin(v)) - 6) AS s
+                           FROM vq)
+                     GROUP BY 1, 2),
+              n1 AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM bk),
+              cum AS (SELECT lo, hi, CAST(sum(c) OVER (ORDER BY lo
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+                      FROM bk),
+              qs AS (SELECT CAST(unnest(generate_series(1, 10))
+                              AS INTEGER) AS q)
+              SELECT q, max(rank) AS rank, min(lo) AS lo,
+                     min_by(hi, lo) AS hi
+              FROM (SELECT qs.q, (qs.q * n1.n + 9) // 10 AS rank,
+                           cum.lo, cum.hi, cum.cum
+                    FROM cum CROSS JOIN n1 CROSS JOIN qs)
+              WHERE cum >= rank GROUP BY q"""),
+      "quantile-sketch relation (base-2 DDSketch) queried at deciles"),
+
+    // The sketch's HARD accuracy gate (the g6b posture, but fully
+    // hash-gated): every decile's sketch bucket must BRACKET the exact
+    // order statistic from the two-level kernel (lo ≤ exact ≤ hi —
+    // guaranteed by construction, now measured), and the bucket width
+    // must sit inside the 2^-5 relative envelope ((hi−lo+1)·32 ≤
+    // max(lo, 32)). A sketch that drifted out of either bound fails the
+    // gate loudly.
+    "dq25_qsketch_bracket" -> QueryDef(
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+        val exact = graft.ext.Profile.orderStatQuantilesTwoLevel(
+          li, "l_extendedprice", k = 10).drop("rank")
+        val sk = graft.ext.Sketches.quantileSketchQuantiles(
+          graft.ext.Sketches.quantileSketch(
+            li.select(floor(col("l_extendedprice") * 100 + lit(0.5))
+              .cast("long").as("vq")),
+            "vq"),
+          k = 10).drop("rank")
+        exact.join(sk, "q")
+          .select(col("q"), col("vq"), col("lo"), col("hi"),
+            col("vq").between(col("lo"), col("hi")).as("bracket_ok"),
+            ((col("hi") - col("lo") + lit(1L)) * lit(32L) <=
+              greatest(col("lo"), lit(32L))).as("width_ok"))
+      },
+      Some("""WITH vq AS (SELECT CAST(floor(l_extendedprice * 100 + 0.5)
+                              AS BIGINT) AS v
+                          FROM lineitem
+                          WHERE l_extendedprice IS NOT NULL),
+              c1 AS (SELECT v, CAST(count(*) AS BIGINT) AS c
+                     FROM vq GROUP BY v),
+              n1 AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM c1),
+              cumx AS (SELECT v, CAST(sum(c) OVER (ORDER BY v
+                         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+                       FROM c1),
+              qs AS (SELECT CAST(unnest(generate_series(1, 10))
+                              AS INTEGER) AS q),
+              ex AS (SELECT q, min(v) AS vq
+                     FROM (SELECT qs.q, (qs.q * n1.n + 9) // 10 AS rank,
+                                  cumx.v, cumx.cum
+                           FROM cumx CROSS JOIN n1 CROSS JOIN qs)
+                     WHERE cum >= rank GROUP BY q),
+              bk AS (SELECT ((v >> s) << s) AS lo,
+                            (((v >> s) + 1) << s) - 1 AS hi,
+                            CAST(count(*) AS BIGINT) AS c
+                     FROM (SELECT v, greatest(0, length(bin(v)) - 6) AS s
+                           FROM vq)
+                     GROUP BY 1, 2),
+              cumb AS (SELECT lo, hi, CAST(sum(c) OVER (ORDER BY lo
+                         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+                       FROM bk),
+              sk AS (SELECT q, min(lo) AS lo, min_by(hi, lo) AS hi
+                     FROM (SELECT qs.q, (qs.q * n1.n + 9) // 10 AS rank,
+                                  cumb.lo, cumb.hi, cumb.cum
+                           FROM cumb CROSS JOIN n1 CROSS JOIN qs)
+                     WHERE cum >= rank GROUP BY q)
+              SELECT ex.q, ex.vq, sk.lo, sk.hi,
+                     (ex.vq BETWEEN sk.lo AND sk.hi) AS bracket_ok,
+                     ((sk.hi - sk.lo + 1) * 32 <= greatest(sk.lo, 32))
+                       AS width_ok
+              FROM ex JOIN sk ON sk.q = ex.q"""),
+      "sketch deciles bracket the exact order statistics (hard gate)"),
+
+    // GROUPED quantile sketch: per-event-type value quartile brackets
+    // from one (group, lo, hi, c) hash-agg — the per-source latency /
+    // per-type value profile at 100 TB without a per-group exact sort;
+    // the per-group estimate sweeps a ≤2k-row partition.
+    "dq26_qsketch_by_type" -> QueryDef(
+      (s, dir) => graft.ext.Sketches.quantileSketchQuantilesBy(
+          graft.ext.Sketches.quantileSketchBy(
+            t(s, dir, "events").filter(col("value").isNotNull)
+              .select(col("event_type"),
+                floor(col("value") * 100 + lit(0.5)).cast("long")
+                  .as("vq")),
+            "event_type", "vq"),
+          k = 4)
+        .withColumnRenamed("group", "event_type"),
+      Some("""WITH d AS (SELECT event_type,
+                     CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
+                   FROM events WHERE value IS NOT NULL),
+              bk AS (SELECT event_type, ((v >> s) << s) AS lo,
+                            (((v >> s) + 1) << s) - 1 AS hi,
+                            CAST(count(*) AS BIGINT) AS c
+                     FROM (SELECT event_type, v,
+                                  greatest(0, length(bin(v)) - 6) AS s
+                           FROM d)
+                     GROUP BY 1, 2, 3),
+              cum AS (SELECT event_type, lo, hi,
+                             CAST(sum(c) OVER (PARTITION BY event_type
+                               ORDER BY lo ROWS UNBOUNDED PRECEDING)
+                               AS BIGINT) AS cum
+                      FROM bk),
+              tot AS (SELECT event_type, CAST(sum(c) AS BIGINT) AS n
+                      FROM bk GROUP BY 1),
+              qs AS (SELECT CAST(unnest(generate_series(1, 4))
+                              AS INTEGER) AS q)
+              SELECT event_type, q, max(rank) AS rank, min(lo) AS lo,
+                     min_by(hi, lo) AS hi
+              FROM (SELECT cum.event_type, qs.q,
+                           (qs.q * tot.n + 3) // 4 AS rank,
+                           cum.lo, cum.hi, cum.cum
+                    FROM cum JOIN tot USING (event_type) CROSS JOIN qs)
+              WHERE cum >= rank GROUP BY event_type, q"""),
+      "per-type quartile brackets from the grouped quantile sketch"),
 
     // Full per-type daily-count regression readout: x14's exact slope
     // plus intercept and R² (fixed-shape doubles over the same exact

@@ -4494,13 +4494,16 @@ object ExtensionQueries {
       },
       "Benford first-digit audit of extended price (pre-quantized law)"),
 
-    // Exact equi-depth deciles: lower order statistics at ceil(j*n/10),
-    // selected at distinct-value grain (one cumulative window over
-    // distinct values) — what approx_percentile approximates and
-    // interpolating percentiles render engine-dependent; an order
-    // statistic is an integer every engine agrees on.
+    // Exact equi-depth deciles: lower order statistics at ceil(j*n/10) —
+    // what approx_percentile approximates and interpolating percentiles
+    // render engine-dependent; an order statistic is an integer every
+    // engine agrees on. Routed through the TWO-LEVEL kernel (r10 verdict
+    // #2: it measured faster than the single-partition window at
+    // identical 10× grain — 3.8-4.5 vs 5.1-5.4 s sf1 — and is
+    // bit-identical by spec); the one-level form remains the reference
+    // implementation the spec pins against and the sf1 A/B leg prices.
     "dq11_equidepth" -> QueryDef(
-      (s, dir) => graft.ext.Profile.orderStatQuantiles(
+      (s, dir) => graft.ext.Profile.orderStatQuantilesTwoLevel(
         t(s, dir, "lineitem"), "l_extendedprice", k = 10),
       Some("""WITH vq AS (SELECT CAST(floor(l_extendedprice * 100 + 0.5)
                               AS BIGINT) AS vq

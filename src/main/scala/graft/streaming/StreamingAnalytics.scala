@@ -845,4 +845,125 @@ object StreamingAnalytics {
         org.apache.spark.sql.streaming.TimeMode.None(),
         OutputMode.Append())
   }
+
+  final case class WFLevel(user_id: Long, best_level: Int)
+  final case class WFState(best: Int, pvMax: Long, pvPrev: Long,
+      pairViews: Seq[Long], pairClicks: Seq[Long])
+
+  /** Streaming WINDOWED strict-order funnel — the incremental twin of
+   * [[graft.ext.Attribution.windowFunnel]] (r10 verdict #7: s2's
+   * unbounded funnel had a streaming twin, s8's window-of-first-step
+   * rule did not): per user, the deepest view → click → purchase chain
+   * where each step is STRICTLY after the previous and the whole chain
+   * fits inside `windowUs` of its own first step, every view a
+   * candidate start.
+   *
+   * State is NOT the event history — it is the dominance-pruned
+   * candidate frontier, per user:
+   *
+   *  - `pvMax` / `pvPrev`: at most TWO views awaiting their first
+   *    click. Under monotone ingest a future click lands at
+   *    tsu ≥ pvMax, so only two cases exist — tsu > pvMax (where pvMax
+   *    dominates every older pending view: same assigned click,
+   *    strictly later deadline) and tsu == pvMax (where the strictness
+   *    rule disqualifies pvMax and the dominant eligible view is the
+   *    newest STRICTLY older one, pvPrev). Every other pending view is
+   *    provably dominated and drops at arrival.
+   *  - `pairViews/pairClicks`: per distinct first-click, the dominant
+   *    (view, click) chain still awaiting its purchase. Earlier pairs
+   *    have earlier clicks (looser purchase-after-click bound) but
+   *    earlier deadlines — neither dominates, so all live pairs are
+   *    kept, PRUNED the moment event time passes `view + windowUs`
+   *    (their chains can no longer complete). State is therefore
+   *    bounded by the user's distinct click times inside one active
+   *    window, never the history.
+   *
+   * A user at best_level 3 is terminal (3 is the max) — state freezes.
+   * Emits (user_id, best_level) whenever the level INCREASES; a
+   * downstream max-agg (or last-emit) maintains exactly the batch
+   * `(user_id, best_level)` relation under per-user monotone ingest —
+   * pinned against the batch operator in StreamingSpec, tie cases
+   * included. */
+  class WindowFunnelProcessor(windowUs: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, AttrEvent, WFLevel] {
+    require(windowUs >= 1, s"windowUs must be >= 1, got $windowUs")
+    @transient private var st:
+      org.apache.spark.sql.streaming.ValueState[WFState] = _
+
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      st = getHandle.getValueState[WFState]("windowFunnel",
+        org.apache.spark.sql.Encoders.product[WFState],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[AttrEvent],
+        tv: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[WFLevel] = {
+      var s = if (st.exists()) st.get()
+        else WFState(0, -1L, -1L, Nil, Nil)
+      var best = s.best
+      var pvMax = s.pvMax
+      var pvPrev = s.pvPrev
+      var pairs = s.pairViews.zip(s.pairClicks).toList
+      val out = scala.collection.mutable.ListBuffer.empty[WFLevel]
+      rows.toSeq.sortBy(e => (e.tsu, e.event_id)).foreach { e =>
+        val before = best
+        if (best < 3) e.event_type match {
+          case "view" =>
+            if (best < 1) best = 1
+            if (pvMax < 0L) pvMax = e.tsu
+            else if (e.tsu > pvMax) { pvPrev = pvMax; pvMax = e.tsu }
+          // a same-tsu duplicate view changes nothing
+          case "click" =>
+            val tc = e.tsu
+            pairs = pairs.filter { case (v, _) => v + windowUs >= tc }
+            if (pvMax >= 0L) {
+              if (tc > pvMax) {
+                // pvMax dominates every pending view for this and all
+                // future clicks; assigned (in window) or dead (out)
+                if (tc <= pvMax + windowUs) {
+                  if (best < 2) best = 2
+                  pairs ::= (pvMax, tc)
+                }
+                pvMax = -1L; pvPrev = -1L
+              } else {
+                // tc == pvMax: strictness disqualifies pvMax (it stays
+                // pending for a later click); the dominant eligible
+                // view is pvPrev
+                if (pvPrev >= 0L && tc <= pvPrev + windowUs) {
+                  if (best < 2) best = 2
+                  pairs ::= (pvPrev, tc)
+                }
+                pvPrev = -1L
+              }
+            }
+          case "purchase" =>
+            val tp = e.tsu
+            pairs = pairs.filter { case (v, _) => v + windowUs >= tp }
+            if (pairs.exists { case (_, c) => tp > c }) best = 3
+          case _ => () // other event types carry no funnel step
+        }
+        if (best > before) out += WFLevel(key, best)
+      }
+      st.update(
+        if (best >= 3) WFState(3, -1L, -1L, Nil, Nil)
+        else WFState(best, pvMax, pvPrev, pairs.map(_._1),
+          pairs.map(_._2)))
+      out.iterator
+    }
+  }
+
+  /** Streaming windowed funnel through `transformWithState` (RocksDB
+   * provider required); append mode, one row per per-user level
+   * increase — max per user is the batch `windowFunnel` readout. */
+  def windowFunnelLevels(events: Dataset[AttrEvent], windowUs: Long)(
+      implicit spark: SparkSession): Dataset[WFLevel] = {
+    import spark.implicits._
+    events
+      .groupByKey(_.user_id)
+      .transformWithState(new WindowFunnelProcessor(windowUs),
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Append())
+  }
 }

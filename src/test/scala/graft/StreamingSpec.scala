@@ -369,6 +369,39 @@ class StreamingSpec extends SparkTestBase {
       "incrementally maintained registers must equal the batch sketch")
   }
 
+  test("streaming quantile sketch: the complete-mode bucket relation " +
+    "equals the batch sketch on the accumulated stream") {
+    implicit val sqlCtx = spark.sqlContext
+    // the quantile-sketch relation IS a streaming aggregate: groupBy
+    // (lo, hi) count keeps keyed state bounded by qSketchMaxBuckets
+    // rows at ANY value cardinality — the whole-distribution sibling of
+    // the streaming CMS/HLL claims (r10 verdict #1)
+    val input = MemoryStream[Long]
+    val sk = graft.ext.Sketches.quantileSketch(
+      input.toDF().select($"value".as("v")), "v")
+    val q = sk.writeStream.outputMode("complete")
+      .format("memory").queryName("qsketch_out").start()
+    val b1 = (0L until 400L).map(i => (i * 37) % 10000)
+    val b2 = (0L until 400L).map(i => 100000L + (i * 91) % 900000)
+    input.addData(b1)
+    q.processAllAvailable()
+    input.addData(b2)
+    q.processAllAvailable()
+    assert(q.recentProgress.length >= 2)
+    q.stop()
+    val streamed = spark.table("qsketch_out")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    assert(streamed.size <= graft.ext.Sketches.qSketchMaxBuckets(5),
+      "state bounded by the sketch's bucket count")
+    val batch = graft.ext.Sketches.quantileSketch(
+        (b1 ++ b2).toDF("v"), "v")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    assert(streamed == batch,
+      "incrementally maintained buckets must equal the batch sketch")
+  }
+
   test("streaming weighted sample: per-batch A-ES merge equals the " +
     "batch sample on the accumulated stream; replay is a no-op") {
     implicit val sqlCtx = spark.sqlContext
@@ -1124,6 +1157,100 @@ class StreamingSpec extends SparkTestBase {
         .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
         .sorted.toSeq
       assert(streamed == batch, s"streamed $streamed\nbatch $batch")
+    } finally {
+      prevProvider match {
+        case Some(p) => spark.conf.set(
+          "spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset(
+          "spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
+  test("streaming windowed funnel equals the batch windowFunnel under " +
+    "monotone ingest (tie + expiry + cross-batch cases, then a seeded " +
+    "random stream)") {
+    implicit val s = spark
+    implicit val sqlCtx = spark.sqlContext
+    val prevProvider = spark.conf.getOption(
+      "spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val windowUs = 100L
+      def run(b1: Seq[(Long, Long, Long, String)],
+          b2: Seq[(Long, Long, Long, String)]): Map[Long, Int] = {
+        val input = MemoryStream[StreamingAnalytics.AttrEvent]
+        val name = s"wf_out_${b1.size}_${b2.size}"
+        val q = StreamingAnalytics.windowFunnelLevels(input.toDS(),
+            windowUs)
+          .writeStream.outputMode("append")
+          .format("memory").queryName(name).start()
+        input.addData(b1.map(e =>
+          StreamingAnalytics.AttrEvent(e._1, e._2, e._3, e._4, 0.0)): _*)
+        q.processAllAvailable()
+        input.addData(b2.map(e =>
+          StreamingAnalytics.AttrEvent(e._1, e._2, e._3, e._4, 0.0)): _*)
+        q.processAllAvailable()
+        q.stop()
+        spark.table(name).groupBy($"user_id")
+          .agg(max($"best_level").as("best_level"))
+          .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      }
+      def batchOf(evs: Seq[(Long, Long, Long, String)]): Map[Long, Int] =
+        graft.ext.Attribution.windowFunnel(
+            evs.toDF("user_id", "tsu", "event_id", "et")
+              .select($"user_id", ($"tsu" * 1000L).as("ts"),
+                $"et".as("event_type")),
+            windowUs)
+          .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+
+      // hand cases: (user, tsu, event_id, type)
+      // u1 full chain in window; u2 click past the window (level 1);
+      // u3 purchase past the window (level 2); u4 the TIE case — a
+      // same-tsu view+click pair where strictness assigns the OLDER
+      // view; u5 purchase past window after a valid click; u6 purchase
+      // with no view ever (batch excludes the user); u7 chain split
+      // ACROSS batches (needs batch-1 state)
+      val b1 = Seq(
+        (1L, 10L, 1L, "view"), (1L, 20L, 2L, "click"),
+        (2L, 10L, 3L, "view"),
+        (3L, 10L, 4L, "view"), (3L, 50L, 5L, "click"),
+        (4L, 10L, 6L, "view"), (4L, 50L, 7L, "view"),
+        (4L, 50L, 8L, "click"),
+        (5L, 10L, 9L, "click"), (5L, 20L, 10L, "view"),
+        (5L, 30L, 11L, "click"),
+        (7L, 10L, 12L, "view"))
+      val b2 = Seq(
+        (1L, 30L, 20L, "purchase"),
+        (2L, 200L, 21L, "click"),
+        (3L, 150L, 22L, "purchase"),
+        (4L, 60L, 23L, "purchase"),
+        (5L, 400L, 24L, "purchase"),
+        (6L, 10L, 25L, "purchase"),
+        (7L, 20L, 26L, "click"), (7L, 30L, 27L, "purchase"))
+      val streamed = run(b1, b2)
+      val batch = batchOf(b1 ++ b2)
+      assert(streamed == batch, s"streamed $streamed\nbatch $batch")
+      assert(batch(4L) == 3, "the tie case must chain through the " +
+        "older view (strictly-after rule)")
+      assert(!batch.contains(6L) && !streamed.contains(6L))
+
+      // seeded pseudo-random stream: 240 events, 8 users, duplicate
+      // timestamps every 5th event, all four event types — global
+      // (tsu, event_id) order split into two batches keeps per-user
+      // ingest monotone
+      val types = Vector("view", "click", "purchase", "other")
+      val rnd = (0 until 240).map { i =>
+        val h = (i * 2654435761L) >>> 7
+        val tsu = (i - (if (i % 5 == 0) 1 else 0)).toLong * 9L
+        (100L + (h % 8), tsu, 1000L + i, types(((h >> 13) % 4).toInt))
+      }
+      val (r1, r2) = rnd.splitAt(120)
+      val streamedR = run(r1, r2)
+      val batchR = batchOf(rnd)
+      assert(streamedR == batchR,
+        s"random pin: streamed $streamedR\nbatch $batchR")
     } finally {
       prevProvider match {
         case Some(p) => spark.conf.set(

@@ -1,0 +1,122 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+/** The mergeable quantile-sketch relation (r10 verdict #1): bucket math,
+ * the bracketing guarantee against exact order statistics, exact
+ * union-mergeability, the grouped form, the relative-error envelope, and
+ * the bounded-rows claim. The streaming (complete-mode) twin lives in
+ * StreamingSpec beside the CMS/HLL twins. */
+class QuantileSketchSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("quantileSketch buckets: exact singletons below 2^6, dyadic " +
+    "[lo, hi] covers above, bounded rows") {
+    // small values (< 2^(m+1) = 64) get width-1 buckets; larger values
+    // land in dyadic ranges whose width never exceeds lo / 2^5
+    val vals = Seq(0L, 1L, 63L, 64L, 65L, 100L, 1000L, 1000000L,
+      (1L << 40) + 12345L)
+    val sk = Sketches.quantileSketch(vals.toDF("v"), "v")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // every input value is covered by exactly one bucket
+    vals.foreach { v =>
+      val hits = sk.filter { case (lo, hi, _) => v >= lo && v <= hi }
+      assert(hits.length == 1, s"value $v must land in exactly one " +
+        s"bucket, got ${hits.toSeq}")
+    }
+    // singletons below 64
+    assert(sk.contains((0L, 0L, 1L)) && sk.contains((63L, 63L, 1L)))
+    // 64 and 65 share the width-2 bucket [64, 65] (s = 1)
+    assert(sk.contains((64L, 65L, 2L)))
+    // the relative-error envelope on every bucket: width·32 ≤ max(lo, 32)
+    sk.foreach { case (lo, hi, _) =>
+      assert((hi - lo + 1) * 32 <= math.max(lo, 32L),
+        s"bucket [$lo, $hi] leaves the 2^-5 relative envelope")
+    }
+    assert(sk.length <= Sketches.qSketchMaxBuckets(5))
+  }
+
+  test("quantileSketch: negative values refuse loudly") {
+    val e = intercept[Exception] {
+      Sketches.quantileSketch(Seq(-1L, 2L).toDF("v"), "v").collect()
+    }
+    assert(e.getMessage.contains("nonnegative") ||
+      Option(e.getCause).exists(_.getMessage.contains("nonnegative")))
+  }
+
+  test("quantileSketchMerge: union+sum equals the sketch of the " +
+    "concatenation, bit-identically") {
+    val a = (0 until 500).map(i => (i.toLong * 37) % 10000)
+    val b = (0 until 700).map(i => (i.toLong * 91) % 100000)
+    val merged = Sketches.quantileSketchMerge(
+        Sketches.quantileSketch(a.toDF("v"), "v"),
+        Sketches.quantileSketch(b.toDF("v"), "v"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    val whole = Sketches.quantileSketch((a ++ b).toDF("v"), "v")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    assert(merged == whole, "merge must be exact — same buckets, " +
+      "same counts")
+  }
+
+  test("quantileSketchQuantiles: every bucket BRACKETS the exact order " +
+    "statistic, at the matching rank") {
+    // a skewed mix: many small values, a heavy tail
+    val vals = (1 to 2000).map(i => (i.toLong * i) % 50021) ++
+      (1 to 50).map(i => 1000000L + i * 7919)
+    val df = vals.toDF("v")
+    val sk = Sketches.quantileSketchQuantiles(
+        Sketches.quantileSketch(df, "v"), k = 10)
+      .collect().map(r => r.getInt(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // exact lower order statistics at the same ranks, by hand
+    val sorted = vals.sorted
+    val n = sorted.length
+    (1 to 10).foreach { q =>
+      val rank = (q * n + 9) / 10
+      val exact = sorted(rank.toInt - 1)
+      val (skRank, lo, hi) = sk(q)
+      assert(skRank == rank, s"q=$q rank: $skRank != $rank")
+      assert(lo <= exact && exact <= hi,
+        s"q=$q: exact $exact outside sketch bucket [$lo, $hi]")
+      assert((hi - lo + 1) * 32 <= math.max(lo, 32L),
+        s"q=$q: bucket [$lo, $hi] leaves the relative envelope")
+    }
+  }
+
+  test("quantileSketchBy: a single-group relation matches the ungrouped " +
+    "sketch; per-group quartiles bracket per-group exacts") {
+    val a = (1 to 300).map(i => ("a", (i.toLong * 17) % 1000))
+    val b = (1 to 400).map(i => ("b", 10000L + (i.toLong * 23) % 90000))
+    val df = (a ++ b).toDF("g", "v")
+    val single = Sketches.quantileSketchBy(
+        df.filter(col("g") === "a"), "g", "v")
+      .select("lo", "hi", "c")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    val ungrouped = Sketches.quantileSketch(
+        df.filter(col("g") === "a").select("v"), "v")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    assert(single == ungrouped)
+    val quart = Sketches.quantileSketchQuantilesBy(
+        Sketches.quantileSketchBy(df, "g", "v"), k = 4)
+      .collect().map(r => (r.getString(0), r.getInt(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    Seq("a" -> a.map(_._2).sorted, "b" -> b.map(_._2).sorted)
+      .foreach { case (g, sorted) =>
+        val n = sorted.length
+        (1 to 4).foreach { q =>
+          val rank = (q * n + 3) / 4
+          val exact = sorted(rank - 1)
+          val (skRank, lo, hi) = quart((g, q))
+          assert(skRank == rank)
+          assert(lo <= exact && exact <= hi,
+            s"group $g q=$q: $exact outside [$lo, $hi]")
+        }
+      }
+  }
+}
