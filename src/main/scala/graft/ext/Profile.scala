@@ -471,7 +471,12 @@ object Profile {
     val session = counts0.sparkSession
     import session.implicits._
     val width = 1L << bucketShift
-    val mn = counts0.agg(min("vq").as("vmin"), max("vq").as("__vmax"))
+    // value-grain relation materialized FIRST: the min/max agg, level 1,
+    // and level 2 all read the checkpointed relation — the corpus scan
+    // (inside counts0's lineage) happens exactly once, never once per
+    // consumer (this relation is already distinct-value-sized)
+    val c0 = Dedup.materialize(counts0)
+    val mn = c0.agg(min("vq").as("vmin"), max("vq").as("__vmax"))
       .withColumn("__gs", assert_true(
         (col("vmin") > lit(Long.MinValue / 2) &&
           col("__vmax") < lit(Long.MaxValue / 2)) || col("vmin").isNull,
@@ -479,13 +484,10 @@ object Profile {
           "shift-to-nonnegative offset would overflow (bounded-grain " +
           "contract, see Profile.twoLevelRankSelect)")))
       .where(col("__gs").isNull).select("vmin")
-    // shifted value-grain relation materialized once: BOTH levels read
-    // it (the corpus scan happens exactly once; this relation is
-    // already distinct-value-sized)
-    val counts = Dedup.materialize(
-      counts0.crossJoin(broadcast(mn))
-        .select((col("vq") - col("vmin")).as("vq"), col("c"),
-          col("vmin")))
+    // the shift is a narrow projection over the checkpointed relation
+    val counts = c0.crossJoin(broadcast(mn))
+      .select((col("vq") - col("vmin")).as("vq"), col("c"),
+        col("vmin"))
     val buckets = counts.groupBy(expr(s"vq div ${width}L").as("b"))
       .agg(sum("c").as("cb"), count(lit(1)).as("ndb"))
     val cum1 = boundedCumCounts(buckets, "b", "cb", maxGrain,

@@ -4,11 +4,13 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /**
- * Mergeable frequency/membership sketches as PLAIN RELATIONAL AGGREGATES —
- * the two classics a 100-TB token pipeline leans on when exact per-key
- * state would be corpus-sized, built so every estimate replays exactly in
- * the oracle (all hashing is the repo's md5-derived [[Dedup.seededHash]];
- * counters/bitsets are integer relations, not binary blobs):
+ * Mergeable sketches as PLAIN RELATIONAL AGGREGATES — frequency (CMS),
+ * membership (Bloom), distinct count (HLL registers, KMV) and, since r11,
+ * whole DISTRIBUTIONS ([[quantileSketch]]) — the bounded-state summaries
+ * a 100-TB token pipeline leans on when exact per-key state would be
+ * corpus-sized, built so every estimate replays exactly in the oracle
+ * (hashing is the repo's md5-derived [[Dedup.seededHash]]; counters/
+ * bitsets/buckets are integer relations, not binary blobs). The first two:
  *
  *  - Count-Min (Cormode & Muthukrishnan 2005): `depth` hash rows ×
  *    `width` counters; point estimate = min over rows. The counter table

@@ -1825,6 +1825,104 @@ object AnalyticsQueries {
               WHERE cum >= rank GROUP BY event_type, q"""),
       "per-type quartile brackets from the grouped quantile sketch"),
 
+    // The MERGE property proven UNDER THE ORACLE GATE: the Spark side
+    // builds one sketch per order-key parity shard and merges
+    // (union + (lo, hi) SUM — the per-shard/per-day artifact path at
+    // 100 TB); the DuckDB oracle computes the whole-corpus sketch
+    // directly. Hash equality IS the shard-merge ≡ whole claim, on
+    // real data, not just the spec fixture.
+    "dq27_qsketch_merge" -> QueryDef(
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+          .select(col("l_orderkey"),
+            floor(col("l_extendedprice") * 100 + lit(0.5)).cast("long")
+              .as("vq"))
+        val even = graft.ext.Sketches.quantileSketch(
+          li.filter(col("l_orderkey") % 2 === 0).select("vq"), "vq")
+        val odd = graft.ext.Sketches.quantileSketch(
+          li.filter(col("l_orderkey") % 2 =!= 0).select("vq"), "vq")
+        graft.ext.Sketches.quantileSketchQuantiles(
+          graft.ext.Sketches.quantileSketchMerge(even, odd), k = 10)
+      },
+      Some("""WITH vq AS (SELECT CAST(floor(l_extendedprice * 100 + 0.5)
+                              AS BIGINT) AS v
+                          FROM lineitem
+                          WHERE l_extendedprice IS NOT NULL),
+              bk AS (SELECT ((v >> s) << s) AS lo,
+                            (((v >> s) + 1) << s) - 1 AS hi,
+                            CAST(count(*) AS BIGINT) AS c
+                     FROM (SELECT v, greatest(0, length(bin(v)) - 6) AS s
+                           FROM vq)
+                     GROUP BY 1, 2),
+              n1 AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM bk),
+              cum AS (SELECT lo, hi, CAST(sum(c) OVER (ORDER BY lo
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+                      FROM bk),
+              qs AS (SELECT CAST(unnest(generate_series(1, 10))
+                              AS INTEGER) AS q)
+              SELECT q, max(rank) AS rank, min(lo) AS lo,
+                     min_by(hi, lo) AS hi
+              FROM (SELECT qs.q, (qs.q * n1.n + 9) // 10 AS rank,
+                           cum.lo, cum.hi, cum.cum
+                    FROM cum CROSS JOIN n1 CROSS JOIN qs)
+              WHERE cum >= rank GROUP BY q"""),
+      "shard-merged sketch deciles hash-equal the whole-corpus sketch"),
+
+    // Value-distribution drift on LOG-scale buckets: JSD over the
+    // quantile sketch's (lo, c) histograms of even- vs odd-day event
+    // values — pure composition (the sketch relation IS a histogram,
+    // so jsdFromBuckets consumes it unchanged). dq21's fixed-width
+    // buckets resolve absolute ranges; these resolve relative shifts
+    // (a 2x value inflation moves every log-bucket equally) — and the
+    // streaming form is free, both pieces already maintain
+    // incrementally.
+    "dq28_qsketch_drift" -> QueryDef(
+      (s, dir) => {
+        val ev = t(s, dir, "events").filter(col("value").isNotNull)
+          .select(expr("(ts div 1000) div 86400000000").as("day"),
+            floor(col("value") * 100 + lit(0.5)).cast("long").as("vq"))
+        val ref = graft.ext.Sketches.quantileSketch(
+          ev.filter(col("day") % 2 === 0).select("vq"), "vq")
+        val cur = graft.ext.Sketches.quantileSketch(
+          ev.filter(col("day") % 2 =!= 0).select("vq"), "vq")
+        graft.ext.Profile.jsdFromBuckets(
+          ref.select(col("lo").as("bucket"), col("c").as("n_ref")),
+          cur.select(col("lo").as("bucket"), col("c").as("n_cur")))
+      },
+      Some("""WITH d AS (SELECT epoch_ns(ts) // 86400000000000 AS day,
+                     CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
+                   FROM events WHERE value IS NOT NULL),
+              rb AS (SELECT ((v >> s) << s) AS bucket,
+                            CAST(count(*) AS BIGINT) AS n_ref
+                     FROM (SELECT v, greatest(0, length(bin(v)) - 6) AS s
+                           FROM d WHERE day % 2 = 0)
+                     GROUP BY 1),
+              cb AS (SELECT ((v >> s) << s) AS bucket,
+                            CAST(count(*) AS BIGINT) AS n_cur
+                     FROM (SELECT v, greatest(0, length(bin(v)) - 6) AS s
+                           FROM d WHERE day % 2 = 1)
+                     GROUP BY 1),
+              j AS (SELECT coalesce(rb.bucket, cb.bucket) AS bucket,
+                           CAST(coalesce(n_ref, 0) AS BIGINT) AS n_ref,
+                           CAST(coalesce(n_cur, 0) AS BIGINT) AS n_cur
+                    FROM rb FULL OUTER JOIN cb ON rb.bucket = cb.bucket),
+              tt AS (SELECT CAST(sum(n_ref) AS BIGINT) AS nr,
+                            CAST(sum(n_cur) AS BIGINT) AS nc,
+                            CAST(count(*) AS BIGINT) AS b
+                     FROM j),
+              pq AS (SELECT bucket, n_ref, n_cur,
+                       CAST(n_ref + 1 AS DOUBLE) / CAST(nr + b AS DOUBLE)
+                         AS p,
+                       CAST(n_cur + 1 AS DOUBLE) / CAST(nc + b AS DOUBLE)
+                         AS q
+                     FROM j CROSS JOIN tt)
+              SELECT bucket, n_ref, n_cur,
+                     CAST(floor((p * ln(p / ((p + q) / 2.0))
+                          + q * ln(q / ((p + q) / 2.0))) / 2.0
+                       * 1e6 + 0.5) AS BIGINT) AS jsd_micro
+              FROM pq"""),
+      "JSD drift over log-scale quantile-sketch buckets (composition)"),
+
     // Full per-type daily-count regression readout: x14's exact slope
     // plus intercept and R² (fixed-shape doubles over the same exact
     // moments) — slope 3/day from base 7 WITH "the line explains it".

@@ -135,6 +135,25 @@ class Round10Spec extends SparkTestBase {
     assert(lifted == one, "the lifted bound changes nothing but the plan")
   }
 
+  test("orderStatQuantilesTwoLevel: SIGNED values select exactly (the " +
+    "r11 shift-to-nonnegative lift of the r10 nonnegativity caveat)") {
+    // values -999..1000 (mixed sign): the kernel shifts by the global
+    // min before range-bucketing and shifts the selected statistic
+    // back — results must equal the one-level selection, which never
+    // had the sign restriction
+    val df = (-999 to 1000).map(i => i.toDouble).toDF("v")
+    val one = Profile.orderStatQuantiles(df, "v", k = 5)
+      .orderBy("q").collect().map(r => (r.getInt(0), r.getLong(1),
+        r.getLong(2))).toSeq
+    val two = Profile.orderStatQuantilesTwoLevel(df, "v", k = 5,
+        bucketShift = 14)
+      .orderBy("q").collect().map(r => (r.getInt(0), r.getLong(1),
+        r.getLong(2))).toSeq
+    assert(one == two, s"signed one-level $one != two-level $two")
+    // the selected order statistics include genuinely negative values
+    assert(two.head._3 < 0L)
+  }
+
   test("rocAuc: perfect separation, half-credit ties, degenerate NULL") {
     // positives score 3,4 above negatives 1,2 -> AUC exactly 1
     val perfect = Seq((1L, 0L), (2L, 0L), (3L, 1L), (4L, 1L))

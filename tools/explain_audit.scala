@@ -99,7 +99,14 @@ val names = Seq(
   "dq21_jsd", "s16_markov_stationary", "dq22_quantiles_twolevel",
   "ml5_roc_auc", "graph15_clustering_coef", "graph16_assortativity",
   "dq23_percentile_xform", "x15_keyed_trend_full", "ab7_logrank",
-  "sp29_stratum_topk", "s17_survival_summary")
+  "sp29_stratum_topk", "s17_survival_summary",
+  // round-11 additions: quantile sketch (one bucket hash-agg + the
+  // bounded bucket-grain window + k-row agg), its bracket gate (sketch
+  // + two-level exact side by side), grouped form (PARTITIONED bucket
+  // window), shard merge (two shard sketches + (lo,hi)-sum), log-bucket
+  // JSD (sketch histograms into the bucket join)
+  "dq24_qsketch_deciles", "dq25_qsketch_bracket", "dq26_qsketch_by_type",
+  "dq27_qsketch_merge", "dq28_qsketch_drift")
 for (n <- names) {
   val df = graft.SparkEntry.queries(n)(spark, sfDir)
   val plan = df.queryExecution.explainString(
