@@ -76,9 +76,17 @@ object Bench {
       h ^= h >>> 33; h *= 0xc4ceb9fe1a85ec53L
       h ^= h >>> 33
       val halfPeriod = 1 << (((h & 0x7fL) % 6) + 1).toInt // 2..64
+      // per-window amplitude LEVEL as well as period: fingerprint bits
+      // threshold against the global grid mean, so amplitude diversity
+      // across windows multiplies the distinct band-value space —
+      // period-only construction collapsed to ~36 distinct 16-bit
+      // bands and the pigeonhole candidate join exploded ~60x (first
+      // r11 probe run measured it); (period × 8 amp levels)² per band
+      // keeps candidates near the true near-dup mass, like real audio
+      val amp = 2048 + (((h >> 8) & 0x7L) * 1024L).toInt // 2048..9216
       var i = w * 1024
       while (i < (w + 1) * 1024) {
-        x(i) = if ((i / halfPeriod) % 2 == 0) 8192 else -8192
+        x(i) = if ((i / halfPeriod) % 2 == 0) amp else -amp
         i += 1
       }
       w += 1
@@ -217,6 +225,12 @@ object Bench {
       import org.apache.spark.sql.functions.col
       val docs = graft.sources.EnvelopeGenerator.generate(spineN).toDF("value")
         .select(col("value").cast("binary").as("value"))
+      // untimed warmup: pre-loop, the spine no longer inherits the
+      // query loop's warmed codegen/JIT, and the first execution of the
+      // JSON-parse pipeline compiles it (measured 3-5x the warm wall) —
+      // warm once so min-of-3 measures the spine, not the JIT
+      graft.ops.Transforms.etlSpine(docs, graft.queries.Tables.AsOfDate)
+        .count()
       val samples = (1 to 3).map { _ =>
         timed(graft.ops.Transforms.etlSpine(docs, graft.queries.Tables.AsOfDate).count())
       }
@@ -248,11 +262,17 @@ object Bench {
       val sink = graft.streaming.StreamingEtl.BatchSink("count", (b, _) => {
         seen.addAndGet(b.count()); nBatches.incrementAndGet(); ()
       })
+      // one extra UNTIMED warmup batch (same cold-JIT reasoning as the
+      // batch spine): the timed window covers exactly `streamBatches`
+      // warm micro-batches
       val chunks = graft.sources.EnvelopeGenerator
-        .generate(streamBatches * perBatch).grouped(perBatch).toSeq
+        .generate((streamBatches + 1) * perBatch).grouped(perBatch).toSeq
       val query = graft.streaming.StreamingEtl.start(profiles, ckpt, Seq(sink))
+      mem.addData(chunks.head)
+      query.processAllAvailable()
+      val batchesBeforeTimed = nBatches.get()
       val (wall, cpu) = timed {
-        chunks.foreach { chunk =>
+        chunks.tail.foreach { chunk =>
           mem.addData(chunk)
           query.processAllAvailable()
         }
@@ -277,7 +297,8 @@ object Bench {
         }
       }
       query.stop()
-      (streamBatches * perBatch / wall, nBatches.get() / wall, cpu / wall,
+      (streamBatches * perBatch / wall,
+        (nBatches.get() - batchesBeforeTimed) / wall, cpu / wall,
         batchBreakdown)
     }
     // drop the spines' leftover state before the query loop starts

@@ -241,6 +241,138 @@ object Experiment {
         expr("(__pos * 1000000) div n").as("pos_ppm"))
   }
 
+  /** Isotonic (PAV) score calibration at BIN grain — the monotone map
+   * that turns a well-RANKING score (ml5's AUC) into well-CALIBRATED
+   * probabilities (what [[calibrationBins]] measures but does not fix):
+   * the weighted isotonic regression of per-bin positive rates, via the
+   * exact MINIMAX characterization (Ayer et al. 1955; Robertson, Wright
+   * & Dykstra 1988) instead of the sequential pool-adjacent-violators
+   * sweep —
+   *
+   *   iso(j) = max_{i ≤ j} min_{k ≥ j}  (Σ_{i..k} pos) / (Σ_{i..k} n)
+   *
+   * — which is pure relational algebra: prefix sums over the ≤ nBins
+   * bin relation, a bin-pair ratio grid, and two grouped aggs. EXACT:
+   * each candidate average floors to ppm BEFORE the minimax, and since
+   * floor is monotone nondecreasing, max/min of floored ratios equals
+   * the floor of the true rational minimax — bit-stable in both
+   * engines, no doubles anywhere. The j-expansion is O(nBins³) rows
+   * (`require`d ≤ 100 bins → ≤ 1e6 tiny rows, broadcast-grade); the
+   * only window is the bin-grain prefix sum, bounded by construction.
+   * A loud bound keeps `pos·1e6` inside BIGINT (n ≤ 9e12, the
+   * percentileRanks envelope discipline). Same binning contract as
+   * [[calibrationBins]] (equal-width over the observed integer score
+   * range; empty bins simply absent — isotonicity is over present bins
+   * in bin order). Output: (bin, n, pos, raw_ppm, iso_ppm), iso_ppm
+   * monotone nondecreasing in bin. */
+  def isotonicCalibration(df: DataFrame, scoreCol: String,
+      labelCol: String, nBins: Int = 10): DataFrame = {
+    require(nBins >= 1 && nBins <= 100,
+      s"nBins must be in [1, 100], got $nBins (the j-expansion is " +
+        "nBins³)")
+    val bounds = df.agg(min(col(scoreCol)).cast("long").as("__lo"),
+      max(col(scoreCol)).cast("long").as("__hi"))
+      .withColumn("__g", assert_true(
+        col("__hi") - col("__lo") <= Long.MaxValue / nBins,
+        lit(s"isotonicCalibration: score range x $nBins bins would " +
+          "overflow BIGINT — rescale the score")))
+      .where(col("__g").isNull).drop("__g")
+    val bins = df.select(col(scoreCol).cast("long").as("__s"),
+        col(labelCol).cast("long").as("__y"))
+      .crossJoin(broadcast(bounds))
+      .select(
+        when(col("__hi") === col("__lo"), lit(0L))
+          .otherwise(expr(s"((__s - __lo) * $nBins) div (__hi - __lo + 1)"))
+          .as("bin"),
+        col("__y"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("w"), sum("__y").as("y"))
+    val wCum = org.apache.spark.sql.expressions.Window.orderBy("bin")
+      .rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val pre = Dedup.materialize(bins
+      .withColumn("sw", sum("w").over(wCum))
+      .withColumn("sy", sum("y").over(wCum))
+      .withColumn("__g", assert_true(col("sw") <= 9000000000000L,
+        lit("isotonicCalibration: row count exceeds 9e12 — pos·1e6 " +
+          "would leave BIGINT (bounded-moment contract)")))
+      .where(col("__g").isNull).drop("__g"))
+    val a = pre.select(col("bin").as("i"),
+      (col("sw") - col("w")).as("swi"), (col("sy") - col("y")).as("syi"))
+    val b = pre.select(col("bin").as("k"), col("sw").as("swk"),
+      col("sy").as("syk"))
+    val ratios = a.join(b, col("i") <= col("k"))
+      .select(col("i"), col("k"),
+        expr("((syk - syi) * 1000000) div (swk - swi)").as("r"))
+    val iso = ratios
+      .join(broadcast(pre.select(col("bin").as("j"))),
+        col("i") <= col("j") && col("j") <= col("k"))
+      .groupBy("j", "i").agg(min("r").as("mr"))
+      .groupBy("j").agg(max("mr").as("iso_ppm"))
+    pre.join(iso, pre("bin") === iso("j"))
+      .select(col("bin"), col("w").as("n"), col("y").as("pos"),
+        expr("(y * 1000000) div w").as("raw_ppm"), col("iso_ppm"))
+  }
+
+  /** Empirical-Bayes beta-binomial shrinkage of per-key rates (Robbins
+   * 1956; the method-of-moments Beta prior fit of Morris 1983, the
+   * standard "batting average" recipe): a per-source quality rate with
+   * n = 30 should not outrank one with n = 30,000 on raw proportion —
+   * the EB estimate `(pos + α)/(n + α + β)` pulls small-n keys toward
+   * the prior mean exactly in proportion to their evidence, which is
+   * the ranking a curation policy should threshold.
+   *
+   * Prior fit: μ and population variance of the per-key ppm rates as
+   * fixed-shape doubles over EXACT BIGINT moment sums (the cuped
+   * discipline), α = μ·(μ(1−μ)/σ² − 1), β = (1−μ)·(same factor),
+   * CENTI-quantized half-up — after which the per-key shrinkage is
+   * pure integer arithmetic: `((pos·100 + α_c)·1e6) div
+   * (n·100 + α_c + β_c)`, exact and engine-identical. Degenerate
+   * priors (one key, zero rate variance, or a non-positive fitted α/β)
+   * yield NULL eb_ppm, never NaN — the caller keeps the raw rate. A
+   * loud bound keeps `pos·1e8` inside BIGINT (per-key n ≤ 9e10, the
+   * bounded-moment contract).
+   *
+   * One key-grain hash-agg, one 1-row moment agg (broadcast), one
+   * narrow projection. Output: (key, n, pos, raw_ppm, eb_ppm). */
+  def ebBetaShrink(df: DataFrame, keyCol: String,
+      labelCol: String): DataFrame = {
+    val keys = df
+      .select(col(keyCol).as("key"), col(labelCol).cast("long").as("__y"))
+      .groupBy("key").agg(count(lit(1)).as("n"), sum("__y").as("pos"))
+      .withColumn("__g", assert_true(col("n") <= 90000000000L,
+        lit("ebBetaShrink: per-key count exceeds 9e10 — pos·1e8 would " +
+          "leave BIGINT; pre-aggregate (bounded-moment contract)")))
+      .where(col("__g").isNull).drop("__g")
+      .withColumn("raw_ppm", expr("(pos * 1000000) div n"))
+    val mom = keys.agg(count(lit(1)).as("kn"),
+      sum("raw_ppm").as("sp"),
+      sum(col("raw_ppm") * col("raw_ppm")).as("spp"))
+    // fixed-shape doubles over the exact sums; the oracle writes the
+    // literally identical shapes
+    val mu = col("sp").cast("double") / col("kn").cast("double") /
+      lit(1e6)
+    val v = (col("spp").cast("double") / col("kn").cast("double") -
+      (col("sp").cast("double") / col("kn").cast("double")) *
+        (col("sp").cast("double") / col("kn").cast("double"))) / lit(1e12)
+    val inner = mu * (lit(1.0) - mu) / v - lit(1.0)
+    val fit = mom.select(
+      when(col("kn") >= 2L && v > 0.0,
+        floor(mu * inner * lit(100) + lit(0.5)).cast("long"))
+        .otherwise(lit(null).cast("long")).as("__ac"),
+      when(col("kn") >= 2L && v > 0.0,
+        floor((lit(1.0) - mu) * inner * lit(100) + lit(0.5)).cast("long"))
+        .otherwise(lit(null).cast("long")).as("__bc"))
+    keys.crossJoin(broadcast(fit))
+      .select(col("key"), col("n"), col("pos"), col("raw_ppm"),
+        when(col("__ac").isNotNull && col("__ac") >= 1L &&
+             col("__bc") >= 1L,
+          expr("((pos * 100 + __ac) * 1000000) div " +
+            "(n * 100 + __ac + __bc)"))
+          .otherwise(lit(null).cast("long")).as("eb_ppm"))
+  }
+
   /** Sample-ratio-mismatch guardrail (the first check any experiment
    * readout must pass — Fabijan et al., "Diagnosing Sample Ratio
    * Mismatch", KDD 2019): a Pearson χ² of the observed arm counts

@@ -1651,6 +1651,97 @@ object AnalyticsQueries {
               FROM a"""),
       "exact ROC-AUC via doubled ranks (n_chars as is-english score)"),
 
+    // Isotonic (PAV) calibration of the SAME score/label pair as
+    // ml3/ml5 — the monotone map that FIXES what ml3 measures, via the
+    // exact minimax characterization at bin grain (ppm-floored
+    // averages; floor is monotone, so the integer minimax equals the
+    // floor of the rational one — no doubles, full hash gate).
+    "ml6_isotonic_calibration" -> QueryDef(
+      (s, dir) => graft.ext.Experiment.isotonicCalibration(
+        t(s, dir, "documents").select(col("n_chars"),
+          (col("lang") === "en").cast("long").as("is_en")),
+        "n_chars", "is_en", nBins = 10),
+      Some("""WITH d AS (SELECT CAST(n_chars AS BIGINT) AS s,
+                     CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+                   FROM documents),
+              bd AS (SELECT min(s) AS lo, max(s) AS hi FROM d),
+              b AS (SELECT CASE WHEN hi = lo THEN 0
+                                ELSE ((s - lo) * 10) // (hi - lo + 1)
+                           END AS bin,
+                           CAST(count(*) AS BIGINT) AS w,
+                           CAST(sum(y) AS BIGINT) AS yy
+                    FROM d CROSS JOIN bd GROUP BY 1),
+              p AS (SELECT bin, w, yy,
+                           CAST(sum(w) OVER (ORDER BY bin
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sw,
+                           CAST(sum(yy) OVER (ORDER BY bin
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sy
+                    FROM b),
+              r AS (SELECT a.bin AS i, c.bin AS k,
+                           (((c.sy - (a.sy - a.yy)) * 1000000)
+                             // (c.sw - (a.sw - a.w))) AS r
+                    FROM p a JOIN p c ON a.bin <= c.bin),
+              f AS (SELECT bin, max(mr) AS iso_ppm FROM (
+                      SELECT jj.bin, r.i, min(r.r) AS mr
+                      FROM r JOIN p jj
+                        ON r.i <= jj.bin AND jj.bin <= r.k
+                      GROUP BY 1, 2)
+                    GROUP BY 1)
+              SELECT b.bin, b.w AS n, b.yy AS pos,
+                     CAST((b.yy * 1000000) // b.w AS BIGINT) AS raw_ppm,
+                     CAST(f.iso_ppm AS BIGINT) AS iso_ppm
+              FROM b JOIN f ON f.bin = b.bin"""),
+      "isotonic (PAV) calibration via the exact bin-grain minimax"),
+
+    // Empirical-Bayes shrinkage of per-source english rates: the
+    // method-of-moments Beta prior (centi-quantized off fixed-shape
+    // doubles over exact moments) then pure-integer per-key shrinkage —
+    // the small-n-source ranking fix a raw proportion cannot give.
+    "dq29_eb_shrinkage" -> QueryDef(
+      (s, dir) => graft.ext.Experiment.ebBetaShrink(
+          t(s, dir, "documents").select(col("source"),
+            (col("lang") === "en").cast("long").as("is_en")),
+          "source", "is_en")
+        .withColumnRenamed("key", "source"),
+      Some("""WITH kk AS (SELECT source, CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+                       AS BIGINT) AS pos
+                   FROM documents GROUP BY 1),
+              k2 AS (SELECT source, n, pos,
+                            CAST((pos * 1000000) // n AS BIGINT)
+                              AS raw_ppm
+                     FROM kk),
+              m AS (SELECT CAST(count(*) AS BIGINT) AS kn,
+                           CAST(sum(raw_ppm) AS BIGINT) AS sp,
+                           CAST(sum(raw_ppm * raw_ppm) AS BIGINT) AS spp
+                    FROM k2),
+              ab AS (SELECT kn,
+                       CAST(sp AS DOUBLE) / CAST(kn AS DOUBLE) / 1e6
+                         AS mu,
+                       (CAST(spp AS DOUBLE) / CAST(kn AS DOUBLE)
+                         - (CAST(sp AS DOUBLE) / CAST(kn AS DOUBLE))
+                           * (CAST(sp AS DOUBLE) / CAST(kn AS DOUBLE)))
+                         / 1e12 AS v
+                     FROM m),
+              q AS (SELECT
+                      CASE WHEN kn >= 2 AND v > 0 THEN
+                        CAST(floor(mu * (mu * (1 - mu) / v - 1) * 100
+                          + 0.5) AS BIGINT)
+                      ELSE NULL END AS ac,
+                      CASE WHEN kn >= 2 AND v > 0 THEN
+                        CAST(floor((1 - mu) * (mu * (1 - mu) / v - 1)
+                          * 100 + 0.5) AS BIGINT)
+                      ELSE NULL END AS bc
+                    FROM ab)
+              SELECT k2.source, k2.n, k2.pos, k2.raw_ppm,
+                     CASE WHEN q.ac IS NOT NULL AND q.ac >= 1
+                               AND q.bc >= 1
+                          THEN CAST(((k2.pos * 100 + q.ac) * 1000000)
+                            // (k2.n * 100 + q.ac + q.bc) AS BIGINT)
+                          ELSE NULL END AS eb_ppm
+              FROM k2 CROSS JOIN q"""),
+      "empirical-Bayes beta-binomial shrinkage of per-source rates"),
+
     // Per-type exact percentile-rank transform of event values — the
     // normalization table a feature pipeline joins back onto rows
     // (cume_dist as exact integer ppm, ties sharing their group rank);
