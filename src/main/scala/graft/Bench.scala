@@ -1656,7 +1656,10 @@ object Bench {
       "dollars - the bound's own knob, like dq11's raised maxDistinct. " +
       "r11: BOTH spines (batch + streaming) now run BEFORE the query " +
       "loop (r10 verdict #5) - spine_eps no longer inherits end-of-" +
-      "session crowding; cross-round spine comparisons reset at r11. " +
+      "session crowding; each spine takes one UNTIMED warmup pass " +
+      "first (pre-loop the first execution JIT-compiles the parse " +
+      "pipeline - measured 3-5x the warm wall), so cross-round spine " +
+      "comparisons reset at r11 on the warm, fresh-context number. " +
       "sf1 probes carry a phantom-swing guard (r10 verdict #4): when " +
       "the first two samples disagree >1.3x, up to two more are taken " +
       "before the min is trusted (raw samples all recorded). The full " +

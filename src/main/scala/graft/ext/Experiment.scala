@@ -373,6 +373,50 @@ object Experiment {
           .otherwise(lit(null).cast("long")).as("eb_ppm"))
   }
 
+  /** Two-proportion z-test on per-user CONVERSION — the canonical A/B
+   * readout for rates, completing the family ([[welch]] compares arm
+   * MEANS, [[mannWhitney]] arm distributions; this compares the share
+   * of users who converted at all, which is what most product
+   * experiments actually ship on). Unit = user, converted = the user
+   * has ≥ 1 event of `convEventType`; arms by `user % 2` (the shared
+   * welch/cuped convention — nonnegative user ids, see
+   * [[mannWhitney]]). Pooled z = (p₁ − p₀) / √(p̂(1−p̂)(1/n₀ + 1/n₁))
+   * with exact BIGINT counts, conversion shares in exact ppm, the z as
+   * ONE fixed-shape double micro-quantized half-up (the cuped
+   * discipline — oracle writes the literally identical shape).
+   * Degenerate inputs (an empty arm, or pooled conversion at exactly
+   * 0 or 1 ⇒ zero variance) yield NULL z, never NaN.
+   *
+   * One user-grain hash-agg + one 2-row arm agg + a 1-row pivot.
+   * Output 1 row: (n0, c0, n1, c1, p0_ppm, p1_ppm, z_micro). */
+  def twoProportionZ(events: DataFrame, userCol: String = "user_id",
+      convEventType: String = "purchase",
+      typeCol: String = "event_type"): DataFrame = {
+    val users = events.groupBy(col(userCol).as("user"))
+      .agg(max(when(col(typeCol) === convEventType, 1L).otherwise(0L))
+        .as("conv"))
+    val one = users.groupBy(pmod(col("user"), lit(2L)).as("arm"))
+      .agg(count(lit(1)).as("n"), sum("conv").as("c"))
+      .agg(
+        max(when(col("arm") === 0L, col("n"))).as("n0"),
+        max(when(col("arm") === 0L, col("c"))).as("c0"),
+        max(when(col("arm") === 1L, col("n"))).as("n1"),
+        max(when(col("arm") === 1L, col("c"))).as("c1"))
+    def d(c: String) = col(c).cast("double")
+    val pp = (d("c0") + d("c1")) / (d("n0") + d("n1"))
+    val z = (d("c1") / d("n1") - d("c0") / d("n0")) /
+      sqrt(pp * (lit(1.0) - pp) *
+        (lit(1.0) / d("n0") + lit(1.0) / d("n1")))
+    val ok = col("n0") >= 1L && col("n1") >= 1L &&
+      col("c0") + col("c1") > 0L &&
+      col("c0") + col("c1") < col("n0") + col("n1")
+    one.select(col("n0"), col("c0"), col("n1"), col("c1"),
+      expr("(c0 * 1000000) div n0").as("p0_ppm"),
+      expr("(c1 * 1000000) div n1").as("p1_ppm"),
+      when(ok, floor(z * lit(1e6) + lit(0.5)).cast("long"))
+        .otherwise(lit(null).cast("long")).as("z_micro"))
+  }
+
   /** Sample-ratio-mismatch guardrail (the first check any experiment
    * readout must pass — Fabijan et al., "Diagnosing Sample Ratio
    * Mismatch", KDD 2019): a Pearson χ² of the observed arm counts

@@ -1742,6 +1742,50 @@ object AnalyticsQueries {
               FROM k2 CROSS JOIN q"""),
       "empirical-Bayes beta-binomial shrinkage of per-source rates"),
 
+    // Two-proportion z on per-user purchase conversion — the canonical
+    // rate A/B readout beside ab4's means test and ab6's rank test
+    // (same arms, same unit): pooled-variance z as ONE fixed-shape
+    // double over exact user counts, micro-quantized.
+    "ab8_two_proportion" -> QueryDef(
+      (s, dir) => graft.ext.Experiment.twoProportionZ(
+        t(s, dir, "events")),
+      Some("""WITH u AS (SELECT user_id,
+                     CAST(max(CASE WHEN event_type = 'purchase'
+                              THEN 1 ELSE 0 END) AS BIGINT) AS conv
+                   FROM events GROUP BY 1),
+              a AS (SELECT user_id % 2 AS arm,
+                           CAST(count(*) AS BIGINT) AS n,
+                           CAST(sum(conv) AS BIGINT) AS c
+                    FROM u GROUP BY 1),
+              o AS (SELECT max(CASE WHEN arm = 0 THEN n END) AS n0,
+                           max(CASE WHEN arm = 0 THEN c END) AS c0,
+                           max(CASE WHEN arm = 1 THEN n END) AS n1,
+                           max(CASE WHEN arm = 1 THEN c END) AS c1
+                    FROM a)
+              SELECT n0, c0, n1, c1,
+                     CAST((c0 * 1000000) // n0 AS BIGINT) AS p0_ppm,
+                     CAST((c1 * 1000000) // n1 AS BIGINT) AS p1_ppm,
+                     CASE WHEN n0 >= 1 AND n1 >= 1 AND c0 + c1 > 0
+                               AND c0 + c1 < n0 + n1
+                          THEN CAST(floor(
+                            (CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+                              - CAST(c0 AS DOUBLE) / CAST(n0 AS DOUBLE))
+                            / sqrt(
+                              (CAST(c0 AS DOUBLE) + CAST(c1 AS DOUBLE))
+                                / (CAST(n0 AS DOUBLE)
+                                   + CAST(n1 AS DOUBLE))
+                              * (1.0
+                                - (CAST(c0 AS DOUBLE)
+                                   + CAST(c1 AS DOUBLE))
+                                  / (CAST(n0 AS DOUBLE)
+                                     + CAST(n1 AS DOUBLE)))
+                              * (1.0 / CAST(n0 AS DOUBLE)
+                                 + 1.0 / CAST(n1 AS DOUBLE)))
+                            * 1e6 + 0.5) AS BIGINT)
+                          ELSE NULL END AS z_micro
+              FROM o"""),
+      "two-proportion pooled z on per-user purchase conversion"),
+
     // Per-type exact percentile-rank transform of event values — the
     // normalization table a feature pipeline joins back onto rows
     // (cume_dist as exact integer ppm, ties sharing their group rank);

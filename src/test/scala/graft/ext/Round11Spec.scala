@@ -107,4 +107,27 @@ class Round11Spec extends SparkTestBase {
       .collect()
     assert(one.forall(_.isNullAt(4)))
   }
+
+  test("twoProportionZ: hand z on a 2x2 conversion table; a " +
+    "zero-variance pool yields NULL, never NaN") {
+    def ev(rows: (Long, String)*) =
+      rows.zipWithIndex.map { case ((u, t), i) =>
+        (i.toLong, 1000L + i, u, t, 0.0)
+      }.toDF("event_id", "ts", "user_id", "event_type", "value")
+    // arm0 = users {0, 2}: one converts; arm1 = users {1, 3}: both do.
+    // p0 = 1/2, p1 = 1, pooled 3/4 -> z = 0.5/sqrt(0.1875)
+    val r = Experiment.twoProportionZ(ev(
+      (0L, "purchase"), (0L, "view"), (2L, "view"),
+      (1L, "purchase"), (3L, "purchase"))).collect().head
+    assert(r.getLong(0) == 2L && r.getLong(1) == 1L &&
+      r.getLong(2) == 2L && r.getLong(3) == 2L)
+    assert(r.getLong(4) == 500000L && r.getLong(5) == 1000000L)
+    val z = (1.0 - 0.5) / math.sqrt(0.75 * 0.25 * (0.5 + 0.5))
+    assert(r.getLong(6) == math.floor(z * 1e6 + 0.5).toLong,
+      s"hand z: ${r.getLong(6)}")
+    // everyone converts -> pooled p = 1 -> zero variance -> NULL
+    val all = Experiment.twoProportionZ(
+      ev((0L, "purchase"), (1L, "purchase"))).collect().head
+    assert(all.isNullAt(6))
+  }
 }
