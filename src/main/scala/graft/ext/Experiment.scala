@@ -329,10 +329,13 @@ object Experiment {
    * CENTI-quantized half-up — after which the per-key shrinkage is
    * pure integer arithmetic: `((pos·100 + α_c)·1e6) div
    * (n·100 + α_c + β_c)`, exact and engine-identical. Degenerate
-   * priors (one key, zero rate variance, or a non-positive fitted α/β)
-   * yield NULL eb_ppm, never NaN — the caller keeps the raw rate. A
-   * loud bound keeps `pos·1e8` inside BIGINT (per-key n ≤ 9e10, the
-   * bounded-moment contract).
+   * priors (one key, zero rate variance, a non-positive fitted α/β, or
+   * a fitted α/β above 9e7 pseudo-counts — a near-point prior whose
+   * shrinkage is just the mean, and whose centi form would push
+   * `(pos·100 + α_c)·1e6` past BIGINT where Spark raises but DuckDB
+   * silently widens to HUGEINT) yield NULL eb_ppm, never NaN — the
+   * caller keeps the raw rate. A loud bound keeps `pos·1e8` inside
+   * BIGINT (per-key n ≤ 9e10, the bounded-moment contract).
    *
    * One key-grain hash-agg, one 1-row moment agg (broadcast), one
    * narrow projection. Output: (key, n, pos, raw_ppm, eb_ppm). */
@@ -367,7 +370,8 @@ object Experiment {
     keys.crossJoin(broadcast(fit))
       .select(col("key"), col("n"), col("pos"), col("raw_ppm"),
         when(col("__ac").isNotNull && col("__ac") >= 1L &&
-             col("__bc") >= 1L,
+             col("__bc") >= 1L && col("__ac") <= 9000000000L &&
+             col("__bc") <= 9000000000L,
           expr("((pos * 100 + __ac) * 1000000) div " +
             "(n * 100 + __ac + __bc)"))
           .otherwise(lit(null).cast("long")).as("eb_ppm"))

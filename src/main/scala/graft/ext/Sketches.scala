@@ -335,7 +335,11 @@ object Sketches {
    * Everything is integer bit arithmetic (`length(bin(v))` — the
    * kAnonymityAudit binary-width idiom — and shifts), so the sketch
    * replays EXACTLY in the oracle: unlike log-base-γ DDSketch
-   * bucketing, no libm call sits on a bucket boundary.
+   * bucketing, no libm call sits on a bucket boundary. The domain is
+   * [0, 2^62) — loudly asserted — so `hi + 1 = (sub+1)·2^s ≤ 2^62`
+   * never overflows BIGINT in EITHER engine (Spark's shiftleft wraps
+   * silently where DuckDB raises; the bound keeps both inside the
+   * well-defined range).
    *
    * The relation is (lo, hi, c) — and like every sketch in this file it
    * is a hash-agg: map-side partials, mergeable across
@@ -353,8 +357,9 @@ object Sketches {
       s"subBits must be in [1, 16], got $subBits")
     df.filter(col(valCol).isNotNull)
       .select(col(valCol).cast("long").as("v"))
-      .withColumn("__g", assert_true(col("v") >= 0L,
-        lit("quantileSketch: values must be nonnegative integers — " +
+      .withColumn("__g", assert_true(
+        col("v") >= 0L && col("v") < lit(1L << 62),
+        lit("quantileSketch: values must be in [0, 2^62) — " +
           "quantize/shift upstream (log-bucket contract, see " +
           "Sketches.quantileSketch)")))
       .where(col("__g").isNull)
@@ -377,8 +382,9 @@ object Sketches {
       s"subBits must be in [1, 16], got $subBits")
     df.filter(col(valCol).isNotNull)
       .select(col(groupCol).as("group"), col(valCol).cast("long").as("v"))
-      .withColumn("__g", assert_true(col("v") >= 0L,
-        lit("quantileSketchBy: values must be nonnegative integers — " +
+      .withColumn("__g", assert_true(
+        col("v") >= 0L && col("v") < lit(1L << 62),
+        lit("quantileSketchBy: values must be in [0, 2^62) — " +
           "quantize/shift upstream (log-bucket contract, see " +
           "Sketches.quantileSketch)")))
       .where(col("__g").isNull)

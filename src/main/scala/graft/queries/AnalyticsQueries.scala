@@ -1736,6 +1736,8 @@ object AnalyticsQueries {
               SELECT k2.source, k2.n, k2.pos, k2.raw_ppm,
                      CASE WHEN q.ac IS NOT NULL AND q.ac >= 1
                                AND q.bc >= 1
+                               AND q.ac <= 9000000000
+                               AND q.bc <= 9000000000
                           THEN CAST(((k2.pos * 100 + q.ac) * 1000000)
                             // (k2.n * 100 + q.ac + q.bc) AS BIGINT)
                           ELSE NULL END AS eb_ppm

@@ -38,12 +38,23 @@ class QuantileSketchSpec extends SparkTestBase {
     assert(sk.length <= Sketches.qSketchMaxBuckets(5))
   }
 
-  test("quantileSketch: negative values refuse loudly") {
-    val e = intercept[Exception] {
+  test("quantileSketch: negative and >= 2^62 values refuse loudly " +
+    "(the domain where both engines' shifts are well-defined)") {
+    def msg(e: Exception): String =
+      e.getMessage + Option(e.getCause).map(_.getMessage).getOrElse("")
+    val neg = intercept[Exception] {
       Sketches.quantileSketch(Seq(-1L, 2L).toDF("v"), "v").collect()
     }
-    assert(e.getMessage.contains("nonnegative") ||
-      Option(e.getCause).exists(_.getMessage.contains("nonnegative")))
+    assert(msg(neg).contains("2^62"))
+    val big = intercept[Exception] {
+      Sketches.quantileSketch(Seq(1L << 62, 2L).toDF("v"), "v").collect()
+    }
+    assert(msg(big).contains("2^62"))
+    // the top of the domain still buckets exactly
+    val top = Sketches.quantileSketch(Seq((1L << 62) - 1L).toDF("v"), "v")
+      .collect().head
+    assert(top.getLong(0) <= (1L << 62) - 1L &&
+      top.getLong(1) == (1L << 62) - 1L)
   }
 
   test("quantileSketchMerge: union+sum equals the sketch of the " +
