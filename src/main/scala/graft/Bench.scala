@@ -1471,7 +1471,17 @@ object Bench {
             SparkEntry.queries("ab7_logrank")(ps, dir10)),
         "s17_survival_summary" ->
           ((ps: org.apache.spark.sql.SparkSession) =>
-            SparkEntry.queries("s17_survival_summary")(ps, dir10))))
+            SparkEntry.queries("s17_survival_summary")(ps, dir10)),
+        // round-11: conversion z (one user-grain agg at 10×) and
+        // Mann-Kendall (10× scan feeding the SAME types×days series —
+        // the pair join is scale-invariant by construction, the x13
+        // posture)
+        "ab8_two_proportion" ->
+          ((ps: org.apache.spark.sql.SparkSession) =>
+            SparkEntry.queries("ab8_two_proportion")(ps, dir10)),
+        "x16_mann_kendall" ->
+          ((ps: org.apache.spark.sql.SparkSession) =>
+            SparkEntry.queries("x16_mann_kendall")(ps, dir10))))
       (walls.toList, ratios.toList, rawSamples.toList, canaries.toList,
         nDocs, nVecs)
     }

@@ -560,4 +560,67 @@ object TimeSeries {
         (col("__warm") &&
           x > lit(spikeFactor) * col("__ep") + lit(minBase)).as("is_spike"))
   }
+
+  /** Mann–Kendall trend test per key (Mann 1945; Kendall's τ machinery)
+   * — the DISTRIBUTION-FREE significance complement of
+   * [[keyedTrend]]/[[keyedTrendFull]]'s OLS slope: S = Σ_{i<j}
+   * sign(v_j − v_i) over the ordered series asks "does the series
+   * trend, monotonically, at all" with no linearity or normality
+   * assumption, and no single outlier can move S by more than n−1.
+   *
+   * Exactness: S and the tie correction Σ t(t−1)(2t+5) are exact
+   * BIGINT sums; Var(S) = (n(n−1)(2n+5) − Σties)/18 and the
+   * continuity-corrected z ((S∓1)/√Var; exactly 0 at S = 0) are ONE
+   * fixed-shape double each, micro-quantized half-up (the cuped
+   * discipline). Var ≤ 0 (n < 2 or an all-tied series) yields NULL z,
+   * never NaN.
+   *
+   * Contracts, loudly enforced: the series must be at (key, ord)
+   * grain (duplicate ords would double-count pairs — asserted), and
+   * per-key length ≤ `maxPoints` (the pair self-join is O(n²) per key
+   * — the audit-slice bound; aggregate to a coarser ord first). Cost:
+   * one keyed self-join at series grain + three keyed hash-aggs.
+   * Output: (key, n_points, s_stat, tie_term, z_micro). */
+  def mannKendall(series: DataFrame, key: String, ordCol: String,
+      valCol: String, maxPoints: Long = 10000L): DataFrame = {
+    require(maxPoints >= 2, s"maxPoints must be >= 2, got $maxPoints")
+    val s = series.select(col(key).as("__k"),
+      col(ordCol).cast("long").as("__t"), col(valCol).cast("long")
+        .as("__v"))
+    val n = s.groupBy("__k")
+      .agg(count(lit(1)).as("n_points"),
+        countDistinct("__t").as("__nd"))
+      .withColumn("__g", assert_true(
+        col("n_points") <= maxPoints && col("__nd") === col("n_points"),
+        lit(s"mannKendall: series must be at (key, ord) grain with at " +
+          s"most $maxPoints points per key — the pair expansion is " +
+          "O(n²) (bounded-grain contract; pre-aggregate to a coarser " +
+          "ord)")))
+      .where(col("__g").isNull).drop("__g", "__nd")
+    val pairs = s.toDF("__k", "__ta", "__va")
+      .join(s.toDF("__k", "__tb", "__vb"), "__k")
+      .filter(col("__ta") < col("__tb"))
+      .groupBy("__k")
+      .agg(sum(when(col("__vb") > col("__va"), 1L)
+        .when(col("__vb") < col("__va"), -1L).otherwise(0L))
+        .as("s_stat"))
+    val ties = s.groupBy("__k", "__v").agg(count(lit(1)).as("__c"))
+      .groupBy("__k")
+      .agg(sum(col("__c") * (col("__c") - 1L) *
+        (col("__c") * 2L + 5L)).as("tie_term"))
+    val varS = ((col("n_points") * (col("n_points") - 1L) *
+      (col("n_points") * 2L + 5L) - col("tie_term")).cast("double")) /
+      lit(18.0)
+    val z = when(col("s_stat") > 0L,
+        (col("s_stat") - 1L).cast("double") / sqrt(varS))
+      .when(col("s_stat") < 0L,
+        (col("s_stat") + 1L).cast("double") / sqrt(varS))
+      .otherwise(lit(0.0))
+    n.join(pairs, Seq("__k"), "left").join(ties, Seq("__k"))
+      .select(col("__k").as("key"), col("n_points"),
+        coalesce(col("s_stat"), lit(0L)).as("s_stat"), col("tie_term"),
+        when(varS > 0.0,
+          floor(z * lit(1e6) + lit(0.5)).cast("long"))
+          .otherwise(lit(null).cast("long")).as("z_micro"))
+  }
 }

@@ -2114,6 +2114,64 @@ object AnalyticsQueries {
               FROM m"""),
       "per-type OLS slope + intercept + R² (exact moments, fixed shapes)"),
 
+    // Mann-Kendall monotone-trend test on the SAME per-type daily
+    // series as x14/x15 — the distribution-free significance readout
+    // their OLS slope assumes away (no linearity/normality; S moves at
+    // most n-1 per outlier). Exact BIGINT S + tie correction; one
+    // fixed-shape z with continuity correction.
+    "x16_mann_kendall" -> QueryDef(
+      (s, dir) => graft.ext.TimeSeries.mannKendall(
+          t(s, dir, "events")
+            .groupBy(col("event_type"),
+              expr("(ts div 1000) div 86400000000").as("day"))
+            .agg(count(lit(1)).as("n")),
+          "event_type", "day", "n")
+        .withColumnRenamed("key", "event_type"),
+      Some("""WITH sr AS (SELECT event_type,
+                     epoch_us(ts) // 86400000000 AS t,
+                     CAST(count(*) AS BIGINT) AS v
+                   FROM events GROUP BY 1, 2),
+              p AS (SELECT a.event_type,
+                           CAST(sum(CASE WHEN b.v > a.v THEN 1
+                                         WHEN b.v < a.v THEN -1
+                                         ELSE 0 END) AS BIGINT) AS s_stat
+                    FROM sr a JOIN sr b
+                      ON b.event_type = a.event_type AND a.t < b.t
+                    GROUP BY 1),
+              nn AS (SELECT event_type, CAST(count(*) AS BIGINT)
+                              AS n_points
+                     FROM sr GROUP BY 1),
+              tt AS (SELECT event_type, CAST(sum(c * (c - 1)
+                              * (c * 2 + 5)) AS BIGINT) AS tie_term
+                     FROM (SELECT event_type, v,
+                                  CAST(count(*) AS BIGINT) AS c
+                           FROM sr GROUP BY 1, 2)
+                     GROUP BY 1)
+              SELECT nn.event_type, nn.n_points,
+                     CAST(coalesce(p.s_stat, 0) AS BIGINT) AS s_stat,
+                     tt.tie_term,
+                     CASE WHEN CAST(nn.n_points * (nn.n_points - 1)
+                              * (nn.n_points * 2 + 5) - tt.tie_term
+                              AS DOUBLE) / 18.0 > 0
+                          THEN CAST(floor(
+                            (CASE WHEN p.s_stat > 0
+                                  THEN CAST(p.s_stat - 1 AS DOUBLE)
+                                    / sqrt(CAST(nn.n_points
+                                        * (nn.n_points - 1)
+                                        * (nn.n_points * 2 + 5)
+                                        - tt.tie_term AS DOUBLE) / 18.0)
+                                  WHEN p.s_stat < 0
+                                  THEN CAST(p.s_stat + 1 AS DOUBLE)
+                                    / sqrt(CAST(nn.n_points
+                                        * (nn.n_points - 1)
+                                        * (nn.n_points * 2 + 5)
+                                        - tt.tie_term AS DOUBLE) / 18.0)
+                                  ELSE 0.0 END) * 1e6 + 0.5) AS BIGINT)
+                          ELSE NULL END AS z_micro
+              FROM nn JOIN tt USING (event_type)
+              LEFT JOIN p ON p.event_type = nn.event_type"""),
+      "Mann-Kendall monotone-trend z per event type (tie-corrected)"),
+
     // Deterministic EXACT-k-per-language eval sample: salted-md5 rank
     // within stratum, top 20 survive — the eval-set builder a pct-rate
     // stratified sample can't be (binomial counts vs exactly k), stable

@@ -130,4 +130,45 @@ class Round11Spec extends SparkTestBase {
       ev((0L, "purchase"), (1L, "purchase"))).collect().head
     assert(all.isNullAt(6))
   }
+
+  test("mannKendall: hand S/ties/z, sign symmetry, degenerate NULLs, " +
+    "loud grain refusals") {
+    def ser(rows: (String, Long, Long)*) = rows.toDF("k", "t", "v")
+    // strictly increasing 1,2,3: S = 3, no ties, z = 2/sqrt(66/18)
+    val up = TimeSeries.mannKendall(
+      ser(("a", 1L, 1L), ("a", 2L, 2L), ("a", 3L, 3L)), "k", "t", "v")
+      .collect().head
+    assert(up.getLong(1) == 3L && up.getLong(2) == 3L &&
+      up.getLong(3) == 0L)
+    val zUp = 2.0 / math.sqrt((3.0 * 2 * 11 - 0) / 18.0)
+    assert(up.getLong(4) == math.floor(zUp * 1e6 + 0.5).toLong)
+    // tie case 1,1,2: S = 2, tie term 2*1*9 = 18, z = 1/sqrt(48/18)
+    val tied = TimeSeries.mannKendall(
+      ser(("a", 1L, 1L), ("a", 2L, 1L), ("a", 3L, 2L)), "k", "t", "v")
+      .collect().head
+    assert(tied.getLong(2) == 2L && tied.getLong(3) == 18L)
+    val zT = 1.0 / math.sqrt((66.0 - 18) / 18.0)
+    assert(tied.getLong(4) == math.floor(zT * 1e6 + 0.5).toLong)
+    // mirrored series: z flips sign exactly (continuity correction is
+    // symmetric)
+    val down = TimeSeries.mannKendall(
+      ser(("a", 1L, 3L), ("a", 2L, 2L), ("a", 3L, 1L)), "k", "t", "v")
+      .collect().head
+    assert(down.getLong(2) == -3L && down.getLong(4) == -up.getLong(4))
+    // all-tied and single-point series: Var = 0 -> NULL, never NaN
+    val flat = TimeSeries.mannKendall(
+      ser(("a", 1L, 5L), ("a", 2L, 5L), ("b", 1L, 9L)), "k", "t", "v")
+      .collect().map(r => r.getString(0) -> r.isNullAt(4)).toMap
+    assert(flat("a") && flat("b"))
+    // duplicate ord (grain violation) and the O(n²) bound both refuse
+    intercept[Exception] {
+      TimeSeries.mannKendall(
+        ser(("a", 1L, 1L), ("a", 1L, 2L)), "k", "t", "v").collect()
+    }
+    intercept[Exception] {
+      TimeSeries.mannKendall(
+        ser(("a", 1L, 1L), ("a", 2L, 2L), ("a", 3L, 3L)), "k", "t", "v",
+        maxPoints = 2L).collect()
+    }
+  }
 }

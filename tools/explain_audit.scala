@@ -106,7 +106,13 @@ val names = Seq(
   // window), shard merge (two shard sketches + (lo,hi)-sum), log-bucket
   // JSD (sketch histograms into the bucket join)
   "dq24_qsketch_deciles", "dq25_qsketch_bracket", "dq26_qsketch_by_type",
-  "dq27_qsketch_merge", "dq28_qsketch_drift")
+  "dq27_qsketch_merge", "dq28_qsketch_drift",
+  // round-11 late additions: isotonic (bin-grain broadcast grid +
+  // grouped aggs), EB shrinkage (key agg + 1-row broadcast fit),
+  // two-proportion z (user agg + 2-row pivot), Mann-Kendall (bounded
+  // keyed self-join + keyed aggs)
+  "ml6_isotonic_calibration", "dq29_eb_shrinkage", "ab8_two_proportion",
+  "x16_mann_kendall")
 for (n <- names) {
   val df = graft.SparkEntry.queries(n)(spark, sfDir)
   val plan = df.queryExecution.explainString(
