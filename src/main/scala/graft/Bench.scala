@@ -1526,7 +1526,20 @@ object Bench {
             SparkEntry.queries("ab8_two_proportion")(ps, dir10)),
         "x16_mann_kendall" ->
           ((ps: org.apache.spark.sql.SparkSession) =>
-            SparkEntry.queries("x16_mann_kendall")(ps, dir10))))
+            SparkEntry.queries("x16_mann_kendall")(ps, dir10)),
+        // round-12: the trend-estimator + rank-correlation siblings on
+        // the same types x days series (scan scales 10x, the pair join
+        // and rank moments stay series-sized — the x13/x16 posture);
+        // the signed sketch + its exact two-level gate at 10x events
+        "x17_theil_sen" ->
+          ((ps: org.apache.spark.sql.SparkSession) =>
+            SparkEntry.queries("x17_theil_sen")(ps, dir10)),
+        "x18_spearman" ->
+          ((ps: org.apache.spark.sql.SparkSession) =>
+            SparkEntry.queries("x18_spearman")(ps, dir10)),
+        "dq30_qsketch_signed" ->
+          ((ps: org.apache.spark.sql.SparkSession) =>
+            SparkEntry.queries("dq30_qsketch_signed")(ps, dir10))))
       (walls.toList, ratios.toList, rawSamples.toList, canaries.toList,
         nDocs, nVecs)
     }

@@ -495,4 +495,33 @@ object Attribution {
         .otherwise(floor(chi2 * lit(1e6) + lit(0.5)).cast("long"))
         .as("chi2_micro"))
   }
+
+  /** Per-user funnel-stage conversion latencies — the row-grain relation
+   * under s13's quartile readout, factored out so the STREAMING twin
+   * ([[graft.streaming.StreamingAnalytics.funnelStageLatencies]], r11
+   * verdict #4) pins against exactly this: per user, `t_view` is the
+   * first view, `t_click` the first click STRICTLY after `t_view`,
+   * `t_purchase` the first purchase STRICTLY after `t_click` (the s2
+   * unbounded-chain rule), and each completed step emits one row with
+   * its whole-second latency. Three keyed min-aggs + two joins — every
+   * join is user-grain (already aggregated), nothing corpus-sized
+   * shuffles twice. Output: (user_id, stage, delta_s). */
+  def funnelStageDeltas(events: DataFrame): DataFrame = {
+    val e = events.select(col("user_id"), col("event_type"),
+      expr("ts div 1000").as("tsu"))
+    val v = e.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min("tsu").as("t_view"))
+    val c = e.filter(col("event_type") === "click")
+      .join(v, "user_id").filter(col("tsu") > col("t_view"))
+      .groupBy("user_id").agg(min("tsu").as("t_click"))
+    val p = e.filter(col("event_type") === "purchase")
+      .join(c, "user_id").filter(col("tsu") > col("t_click"))
+      .groupBy("user_id").agg(min("tsu").as("t_purchase"))
+    v.join(c, "user_id")
+      .select(col("user_id"), lit("view->click").as("stage"),
+        expr("(t_click - t_view) div 1000000").as("delta_s"))
+      .unionByName(c.join(p, "user_id")
+        .select(col("user_id"), lit("click->purchase").as("stage"),
+          expr("(t_purchase - t_click) div 1000000").as("delta_s")))
+  }
 }

@@ -701,6 +701,59 @@ object Experiment {
         .otherwise(lit(null).cast("long")).as("auc_ppm"))
   }
 
+  /** Spearman rank correlation between two columns (Spearman 1904) —
+   * the distribution-free co-movement readout the experiment family
+   * lacked: Pearson (x15's R² machinery) is dragged by outliers and
+   * only sees LINEAR association; this ranks both variables and asks
+   * "do they move together monotonically at all".
+   *
+   * Convention (documented, deterministic): ties take MIDRANKS held as
+   * exact integers via the ×2 trick (r2 = 2·cum − c + 1, always an
+   * integer — the midrank doubled), and ρ is the classic d² formula
+   * `1 − 6·Σd²/(n(n²−1))` on those midranks — exact for tie-free data,
+   * the standard midrank approximation under ties (the tie-free
+   * Pearson-on-ranks identity; both engines replay it bit-identically
+   * because Σd² is an exact BIGINT and the final ρ is one fixed-shape
+   * double expression over two exact scalars). `sum_d2q` carries the
+   * ×4-scaled Σd² (the doubled-rank square), so Σd² = sum_d2q/4.
+   *
+   * Bounds, loud: n ≤ 1e6 (Σd² ≤ 4n³ must stay inside BIGINT — the
+   * audit-slice contract; pre-aggregate to series grain like the
+   * x18 daily query) and each variable's distinct-value grain rides
+   * [[graft.ext.Profile.boundedCumCounts]]. Two value-grain rank
+   * joins + one 1-row agg; nothing corpus-sized crosses the driver.
+   * Output 1 row: (n, sum_d2q, rho_micro — NULL when n < 2). */
+  def spearman(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val d = df.filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .select(col(xCol).cast("long").as("__x"),
+        col(yCol).cast("long").as("__y"))
+    def ranks2(c: String, out: String): DataFrame =
+      graft.ext.Profile.boundedCumCounts(
+          d.groupBy(col(c).as("__v")).agg(count(lit(1)).as("__c")),
+          "__v", "__c", 1000000L,
+          s"spearman: more than 1e6 distinct $c values — rank moments " +
+            "would leave the exact envelope (bounded-grain contract)")
+        .select(col("__v"),
+          (lit(2L) * col("cum") - col("__c") + lit(1L)).as(out))
+    val j = d
+      .join(ranks2("__x", "__r2x").withColumnRenamed("__v", "__x"), "__x")
+      .join(ranks2("__y", "__r2y").withColumnRenamed("__v", "__y"), "__y")
+    val agg = j.agg(count(lit(1)).as("n"),
+        sum((col("__r2x") - col("__r2y")) *
+          (col("__r2x") - col("__r2y"))).as("sum_d2q"))
+      .withColumn("__g", assert_true(col("n") <= 1000000L,
+        lit("spearman: row count exceeds 1e6 — Σd² would leave BIGINT " +
+          "(bounded-moment contract); pre-aggregate to series grain")))
+      .where(col("__g").isNull)
+    val nD = col("n").cast("double")
+    agg.select(col("n"), col("sum_d2q"),
+      when(col("n") >= 2L,
+        floor((lit(1.0) - lit(1.5) * col("sum_d2q").cast("double") /
+          (nD * (nD * nD - lit(1.0)))) * lit(1e6) + lit(0.5))
+          .cast("long"))
+        .otherwise(lit(null).cast("long")).as("rho_micro"))
+  }
+
   def srmCheck(events: DataFrame, userCol: String = "user_id"): DataFrame =
     events.select(col(userCol).as("user")).distinct()
       .agg(

@@ -370,6 +370,56 @@ object Sketches {
       .groupBy("lo", "hi").agg(count(lit(1)).as("c"))
   }
 
+  /** SIGNED front door for [[quantileSketch]] (r11 verdict #3: the
+   * [0, 2^62) domain made every signed metric — deltas, balances,
+   * residuals — hand-roll an offset shift upstream, the exact footgun
+   * the loud assert exists to catch). A global additive shift is the
+   * WRONG fix for a log-bucketed sketch: shifting a near-zero residual
+   * by 2^61 lands it in a bucket ~2^56 wide — the relative-error
+   * guarantee would hold on the shifted value and be useless on the
+   * real one. The standard DDSketch answer (Masson, Rim & Lee, VLDB
+   * 2019 §2.1: separate positive/negative stores + a zero bucket) is a
+   * SIGN SPLIT: |v| buckets exactly as [[quantileSketch]], and a
+   * negative value's bucket is the MIRRORED interval —
+   *
+   *   v ≥ 0: (lo, hi) = (loAbs, hiAbs)
+   *   v < 0: (lo, hi) = (−hiAbs, −loAbs)
+   *
+   * — so buckets never straddle zero, `lo ≤ v ≤ hi` still holds
+   * row-by-row, bucket order by `lo` IS value order (the readout kernel
+   * unchanged), and width stays inside the 2^−subBits envelope of |v|
+   * on BOTH sides: (hi − lo + 1) · 2^subBits ≤ max(min(|lo|, |hi|),
+   * 2^subBits). Merge is [[quantileSketchMerge]] unchanged (bucket
+   * boundaries are value-determined on either side of zero). Domain is
+   * (−2^62, 2^62), loudly asserted. Row bound: ≤ 2·qSketchMaxBuckets+1
+   * (both sign stores + the zero bucket) — pass `signed = true` to
+   * [[quantileSketchQuantiles]] so its well-formedness bound widens to
+   * match. A nonnegative input produces bucket-identical rows to
+   * [[quantileSketch]]. */
+  def quantileSketchSigned(df: DataFrame, valCol: String,
+      subBits: Int = QSketchSubBits): DataFrame = {
+    require(subBits >= 1 && subBits <= 16,
+      s"subBits must be in [1, 16], got $subBits")
+    df.filter(col(valCol).isNotNull)
+      .select(col(valCol).cast("long").as("v"))
+      .withColumn("__g", assert_true(
+        col("v") > lit(-(1L << 62)) && col("v") < lit(1L << 62),
+        lit("quantileSketchSigned: values must be in (-2^62, 2^62) — " +
+          "quantize upstream (log-bucket contract, see " +
+          "Sketches.quantileSketchSigned)")))
+      .where(col("__g").isNull)
+      .withColumn("a", abs(col("v")))
+      .withColumn("s",
+        greatest(lit(0), length(bin(col("a"))) - lit(1 + subBits)))
+      .withColumn("loA", expr("shiftleft(shiftright(a, s), s)"))
+      .withColumn("hiA",
+        expr("shiftleft(shiftright(a, s) + 1, s)") - lit(1L))
+      .select(
+        when(col("v") >= 0L, col("loA")).otherwise(-col("hiA")).as("lo"),
+        when(col("v") >= 0L, col("hiA")).otherwise(-col("loA")).as("hi"))
+      .groupBy("lo", "hi").agg(count(lit(1)).as("c"))
+  }
+
   /** GROUPED quantile sketch: one [[quantileSketch]] per `groupCol`
    * value in a single hash-agg — (group, lo, hi, c), ≤
    * [[qSketchMaxBuckets]] rows PER GROUP at any per-group cardinality
@@ -415,18 +465,28 @@ object Sketches {
    * relative envelope. Rides the shared enforced-grain kernel
    * ([[graft.ext.Profile.boundedCumCounts]]) at bucket grain — bounded
    * by [[qSketchMaxBuckets]] by construction, so the loud bound can
-   * never fire on a well-formed sketch. Output: (q, rank, lo, hi). */
+   * never fire on a well-formed sketch. Pass `signed = true` for a
+   * [[quantileSketchSigned]] relation (the well-formedness bound widens
+   * to both sign stores + the zero bucket; the sweep itself is
+   * unchanged — bucket order by `lo` is value order on either side of
+   * zero). Output: (q, rank, lo, hi, mid) — `mid` is THE point-estimate
+   * convention (r11 verdict #5: every downstream consumer was about to
+   * re-decide one): the integer bucket midpoint `lo + (hi − lo) div 2`,
+   * exact when the bucket is a singleton, never outside the bracket. */
   def quantileSketchQuantiles(sketch: DataFrame, k: Int,
-      subBits: Int = QSketchSubBits): DataFrame = {
+      subBits: Int = QSketchSubBits, signed: Boolean = false): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     val session = sketch.sparkSession
     import session.implicits._
+    val bound =
+      if (signed) 2L * qSketchMaxBuckets(subBits) + 1L
+      else qSketchMaxBuckets(subBits)
     val cum = graft.ext.Profile.boundedCumCounts(
       sketch.select("lo", "hi", "c"), "lo", "c",
-      qSketchMaxBuckets(subBits),
-      s"quantileSketchQuantiles: more than ${qSketchMaxBuckets(subBits)} " +
+      bound,
+      s"quantileSketchQuantiles: more than $bound " +
         "buckets — not a well-formed quantileSketch relation at " +
-        s"subBits=$subBits")
+        s"subBits=$subBits, signed=$signed")
     cum.crossJoin(broadcast((1 to k).toDF("q")))
       .withColumn("rank", expr(s"(q * n + $k - 1) div ${k}L"))
       .filter(col("cum") >= col("rank"))
@@ -434,13 +494,16 @@ object Sketches {
       .agg(max("rank").as("rank"),
         min_by(struct(col("lo"), col("hi")), col("lo")).as("g"))
       .select(col("q"), col("rank"), col("g.lo").as("lo"),
-        col("g.hi").as("hi"))
+        col("g.hi").as("hi"),
+        expr("g.lo + (g.hi - g.lo) div 2").as("mid"))
   }
 
   /** Per-group quantile estimates from a [[quantileSketchBy]] relation —
    * the bucket cumulative partitions BY GROUP (each group sweeps its
    * own ≤ [[qSketchMaxBuckets]]-row partition; no grain bound needed,
-   * the groupedOrderStats posture). Output: (group, q, rank, lo, hi). */
+   * the groupedOrderStats posture). Output: (group, q, rank, lo, hi,
+   * mid) — `mid` the same documented point-estimate convention as
+   * [[quantileSketchQuantiles]]. */
   def quantileSketchQuantilesBy(sketch: DataFrame, k: Int): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     val session = sketch.sparkSession
@@ -460,7 +523,8 @@ object Sketches {
       .agg(max("rank").as("rank"),
         min_by(struct(col("lo"), col("hi")), col("lo")).as("g"))
       .select(col("group"), col("q"), col("rank"), col("g.lo").as("lo"),
-        col("g.hi").as("hi"))
+        col("g.hi").as("hi"),
+        expr("g.lo + (g.hi - g.lo) div 2").as("mid"))
   }
 
   private def bloomBit(key: Column, i: Int): Column =

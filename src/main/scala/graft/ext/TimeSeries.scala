@@ -623,4 +623,64 @@ object TimeSeries {
           floor(z * lit(1e6) + lit(0.5)).cast("long"))
           .otherwise(lit(null).cast("long")).as("z_micro"))
   }
+
+  /** Theil–Sen robust trend slope per key (Theil 1950 / Sen 1968) — the
+   * estimator companion to [[mannKendall]]: MK says whether a monotone
+   * trend is significant, this says HOW STEEP, immune to the outlier
+   * days that drag an OLS slope (x14/x15). The slope is the LOWER
+   * MEDIAN of all pairwise slopes (vb − va)/(tb − ta) over ta < tb —
+   * median-of-pairs, the classic 29.3%-breakdown robust line.
+   *
+   * Exactness across engines: each pair's slope is micro-quantized by
+   * TRUNCATING integer division — Spark's `div` and DuckDB's integer
+   * `//` share exactly that semantics (both toward zero; probed — on
+   * integers DuckDB's `//` does NOT floor), so the convention is also
+   * the sign-symmetric one: mirroring the series negates every pair
+   * slope exactly. The median is the exact (n+1) div 2 order statistic
+   * of those integers (the lowerMedianQ convention: order statistics,
+   * never interpolation). A loud 2e12 value-magnitude bound keeps
+   * `diff·1e6` inside BIGINT on both engines.
+   *
+   * Same audit-slice contract as [[mannKendall]]: the pair self-join is
+   * O(n²) per key behind the loud ≤ `maxPoints` (key, ord)-grain
+   * assert; the intended grain is a pre-aggregated series (daily
+   * counts, hourly rates), never raw events. Output:
+   * (key, n_points, n_pairs, slope_med_micro — NULL for 1-point keys). */
+  def theilSen(series: DataFrame, key: String, ordCol: String,
+      valCol: String, maxPoints: Long = 10000L): DataFrame = {
+    require(maxPoints >= 2, s"maxPoints must be >= 2, got $maxPoints")
+    val s = series.select(col(key).as("__k"),
+      col(ordCol).cast("long").as("__t"), col(valCol).cast("long")
+        .as("__v"))
+    val n = s.groupBy("__k")
+      .agg(count(lit(1)).as("n_points"),
+        countDistinct("__t").as("__nd"), max(abs(col("__v"))).as("__mx"))
+      .withColumn("__g", assert_true(
+        col("n_points") <= maxPoints && col("__nd") === col("n_points"),
+        lit(s"theilSen: series must be at (key, ord) grain with at " +
+          s"most $maxPoints points per key — the pair expansion is " +
+          "O(n²) (bounded-grain contract; pre-aggregate to a coarser " +
+          "ord)")))
+      .where(col("__g").isNull)
+      .withColumn("__g2", assert_true(col("__mx") <= 2000000000000L,
+        lit("theilSen: value magnitude exceeds 2e12 — diff·1e6 would " +
+          "leave BIGINT (bounded-moment contract); rescale the value")))
+      .where(col("__g2").isNull).drop("__g", "__g2", "__nd", "__mx")
+    val slopes = s.toDF("__k", "__ta", "__va")
+      .join(s.toDF("__k", "__tb", "__vb"), "__k")
+      .filter(col("__ta") < col("__tb"))
+      .select(col("__k"),
+        ((col("__vb") - col("__va")) * lit(1000000L)).as("__d"),
+        (col("__tb") - col("__ta")).as("__dt"))
+      .select(col("__k"), expr("__d div __dt").as("slope_micro"))
+    val med = graft.ext.Profile.groupedOrderStats(
+        slopes, "__k", "slope_micro", k = 2)
+      .filter(col("q") === 1)
+      .select(col("key").as("__k"), col("vq").as("slope_med_micro"))
+    val np = slopes.groupBy("__k").agg(count(lit(1)).as("n_pairs"))
+    n.join(np, Seq("__k"), "left").join(med, Seq("__k"), "left")
+      .select(col("__k").as("key"), col("n_points"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        col("slope_med_micro"))
+  }
 }

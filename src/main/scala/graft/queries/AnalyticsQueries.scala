@@ -1192,27 +1192,10 @@ object AnalyticsQueries {
     // stage via the grouped order-stat selection — the "how long does
     // conversion take" readout above s2's "does it happen".
     "s13_funnel_latency" -> QueryDef(
-      (s, dir) => {
-        val e = t(s, dir, "events")
-          .select(col("user_id"), col("event_type"),
-            expr("ts div 1000").as("tsu"))
-        val v = e.filter(col("event_type") === "view")
-          .groupBy("user_id").agg(min("tsu").as("t_view"))
-        val c = e.filter(col("event_type") === "click")
-          .join(v, "user_id").filter(col("tsu") > col("t_view"))
-          .groupBy("user_id").agg(min("tsu").as("t_click"))
-        val p = e.filter(col("event_type") === "purchase")
-          .join(c, "user_id").filter(col("tsu") > col("t_click"))
-          .groupBy("user_id").agg(min("tsu").as("t_purchase"))
-        val deltas = v.join(c, "user_id")
-          .select(lit("view->click").as("stage"),
-            expr("(t_click - t_view) div 1000000").as("delta_s"))
-          .unionByName(c.join(p, "user_id")
-            .select(lit("click->purchase").as("stage"),
-              expr("(t_purchase - t_click) div 1000000").as("delta_s")))
-        graft.ext.Profile.groupedOrderStats(deltas, "stage",
-          "delta_s", k = 4)
-      },
+      (s, dir) => graft.ext.Profile.groupedOrderStats(
+        graft.ext.Attribution.funnelStageDeltas(t(s, dir, "events"))
+          .select("stage", "delta_s"),
+        "stage", "delta_s", k = 4),
       Some("""WITH v AS (
                 SELECT user_id, min(epoch_us(ts)) AS t_view
                 FROM events WHERE event_type = 'view' GROUP BY 1),
@@ -1851,7 +1834,8 @@ object AnalyticsQueries {
               qs AS (SELECT CAST(unnest(generate_series(1, 10))
                               AS INTEGER) AS q)
               SELECT q, max(rank) AS rank, min(lo) AS lo,
-                     min_by(hi, lo) AS hi
+                     min_by(hi, lo) AS hi,
+                     min(lo) + (min_by(hi, lo) - min(lo)) // 2 AS mid
               FROM (SELECT qs.q, (qs.q * n1.n + 9) // 10 AS rank,
                            cum.lo, cum.hi, cum.cum
                     FROM cum CROSS JOIN n1 CROSS JOIN qs)
@@ -1954,7 +1938,8 @@ object AnalyticsQueries {
               qs AS (SELECT CAST(unnest(generate_series(1, 4))
                               AS INTEGER) AS q)
               SELECT event_type, q, max(rank) AS rank, min(lo) AS lo,
-                     min_by(hi, lo) AS hi
+                     min_by(hi, lo) AS hi,
+                     min(lo) + (min_by(hi, lo) - min(lo)) // 2 AS mid
               FROM (SELECT cum.event_type, qs.q,
                            (qs.q * tot.n + 3) // 4 AS rank,
                            cum.lo, cum.hi, cum.cum
@@ -1998,7 +1983,8 @@ object AnalyticsQueries {
               qs AS (SELECT CAST(unnest(generate_series(1, 10))
                               AS INTEGER) AS q)
               SELECT q, max(rank) AS rank, min(lo) AS lo,
-                     min_by(hi, lo) AS hi
+                     min_by(hi, lo) AS hi,
+                     min(lo) + (min_by(hi, lo) - min(lo)) // 2 AS mid
               FROM (SELECT qs.q, (qs.q * n1.n + 9) // 10 AS rank,
                            cum.lo, cum.hi, cum.cum
                     FROM cum CROSS JOIN n1 CROSS JOIN qs)
@@ -2059,6 +2045,104 @@ object AnalyticsQueries {
                        * 1e6 + 0.5) AS BIGINT) AS jsd_micro
               FROM pq"""),
       "JSD drift over log-scale quantile-sketch buckets (composition)"),
+
+    // SIGNED quantile sketch, fully gated in the dq25 posture (r11
+    // verdict #3: signed metrics — deltas, balances, residuals — had to
+    // hand-roll offset shifts, the footgun the domain assert catches).
+    // The metric is genuinely signed: each event value's deviation from
+    // its event-type's exact lower median (centi-quantized). The sign-
+    // split sketch (mirrored negative buckets, DDSketch's two-store
+    // answer) keeps the 2^-subBits relative envelope on |v| on BOTH
+    // sides — a global additive shift would land near-zero residuals in
+    // ~2^56-wide buckets. Gate: every decile bracket must hold the
+    // exact signed order statistic (two-level kernel, which shifts
+    // internally and exactly) AND sit inside the |v| width envelope;
+    // `mid` is the documented point-estimate convention riding along.
+    "dq30_qsketch_signed" -> QueryDef(
+      (s, dir) => {
+        val ev = t(s, dir, "events").filter(col("value").isNotNull)
+          .select(col("event_type"),
+            floor(col("value") * 100 + lit(0.5)).cast("long").as("vc"))
+        val med = graft.ext.Profile.groupedOrderStats(
+            ev, "event_type", "vc", k = 2)
+          .filter(col("q") === 1)
+          .select(col("key").as("event_type"), col("vq").as("med"))
+        val dd = ev.join(med, "event_type")
+          .select((col("vc") - col("med")).as("dv"))
+        val sk = graft.ext.Sketches.quantileSketchQuantiles(
+          graft.ext.Sketches.quantileSketchSigned(dd, "dv"), k = 10,
+          signed = true).drop("rank")
+        val exact = graft.ext.Profile.twoLevelRankSelect(
+            dd.select(col("dv").as("vq")).groupBy("vq")
+              .agg(count(lit(1)).as("c")),
+            1 to 10, 9L, 10L, bucketShift = 20,
+            maxGrain = graft.ext.Profile.MaxOrderStatDistinct,
+            opName = "dq30_qsketch_signed")
+          .select(col("q"), col("vq"))
+        exact.join(sk, "q")
+          .select(col("q"), col("vq"), col("lo"), col("hi"), col("mid"),
+            col("vq").between(col("lo"), col("hi")).as("bracket_ok"),
+            ((col("hi") - col("lo") + lit(1L)) * lit(32L) <=
+              greatest(least(abs(col("lo")), abs(col("hi"))), lit(32L)))
+              .as("width_ok"))
+      },
+      Some("""WITH d AS (SELECT event_type,
+                     CAST(floor(value * 100 + 0.5) AS BIGINT) AS vc
+                   FROM events WHERE value IS NOT NULL),
+              c1 AS (SELECT event_type, vc, CAST(count(*) AS BIGINT) AS c
+                     FROM d GROUP BY 1, 2),
+              cum1 AS (SELECT event_type, vc,
+                              CAST(sum(c) OVER (PARTITION BY event_type
+                                ORDER BY vc ROWS UNBOUNDED PRECEDING)
+                                AS BIGINT) AS cum
+                       FROM c1),
+              tot1 AS (SELECT event_type, CAST(sum(c) AS BIGINT) AS n
+                       FROM c1 GROUP BY 1),
+              med AS (SELECT cum1.event_type, min(cum1.vc) AS med
+                      FROM cum1 JOIN tot1 USING (event_type)
+                      WHERE cum1.cum >= (tot1.n + 1) // 2 GROUP BY 1),
+              dd AS (SELECT d.vc - med.med AS v
+                     FROM d JOIN med USING (event_type)),
+              c2 AS (SELECT v, CAST(count(*) AS BIGINT) AS c
+                     FROM dd GROUP BY 1),
+              n2 AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM c2),
+              cum2 AS (SELECT v, CAST(sum(c) OVER (ORDER BY v
+                         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+                       FROM c2),
+              qs AS (SELECT CAST(unnest(generate_series(1, 10))
+                              AS INTEGER) AS q),
+              ex AS (SELECT q, min(v) AS vq
+                     FROM (SELECT qs.q, (qs.q * n2.n + 9) // 10 AS rank,
+                                  cum2.v, cum2.cum
+                           FROM cum2 CROSS JOIN n2 CROSS JOIN qs)
+                     WHERE cum >= rank GROUP BY q),
+              bk AS (SELECT CASE WHEN v >= 0 THEN ((a >> s) << s)
+                            ELSE -((((a >> s) + 1) << s) - 1) END AS lo,
+                            CASE WHEN v >= 0
+                              THEN (((a >> s) + 1) << s) - 1
+                            ELSE -((a >> s) << s) END AS hi,
+                            CAST(count(*) AS BIGINT) AS c
+                     FROM (SELECT v, abs(v) AS a,
+                                  greatest(0, length(bin(abs(v))) - 6)
+                                    AS s
+                           FROM dd)
+                     GROUP BY 1, 2),
+              cumb AS (SELECT lo, hi, CAST(sum(c) OVER (ORDER BY lo
+                         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+                       FROM bk),
+              sk AS (SELECT q, min(lo) AS lo, min_by(hi, lo) AS hi
+                     FROM (SELECT qs.q, (qs.q * n2.n + 9) // 10 AS rank,
+                                  cumb.lo, cumb.hi, cumb.cum
+                           FROM cumb CROSS JOIN n2 CROSS JOIN qs)
+                     WHERE cum >= rank GROUP BY q)
+              SELECT ex.q, ex.vq, sk.lo, sk.hi,
+                     sk.lo + (sk.hi - sk.lo) // 2 AS mid,
+                     (ex.vq BETWEEN sk.lo AND sk.hi) AS bracket_ok,
+                     ((sk.hi - sk.lo + 1) * 32 <=
+                      greatest(least(abs(sk.lo), abs(sk.hi)), 32))
+                       AS width_ok
+              FROM ex JOIN sk ON sk.q = ex.q"""),
+      "signed quantile sketch brackets exact median-deviation deciles"),
 
     // Full per-type daily-count regression readout: x14's exact slope
     // plus intercept and R² (fixed-shape doubles over the same exact
@@ -2171,6 +2255,104 @@ object AnalyticsQueries {
               FROM nn JOIN tt USING (event_type)
               LEFT JOIN p ON p.event_type = nn.event_type"""),
       "Mann-Kendall monotone-trend z per event type (tie-corrected)"),
+
+    // Theil-Sen robust slope per type over the SAME daily series as
+    // x14/x15/x16 — the estimator completing the trend triptych: OLS
+    // slope (outlier-dragged), MK significance (distribution-free), and
+    // now the median-of-pairwise-slopes magnitude (29.3% breakdown).
+    // Every pair slope is an exact truncating-division micro integer
+    // (Spark div ≡ DuckDB integer //), the median an exact order stat.
+    "x17_theil_sen" -> QueryDef(
+      (s, dir) => graft.ext.TimeSeries.theilSen(
+          t(s, dir, "events")
+            .groupBy(col("event_type"),
+              expr("(ts div 1000) div 86400000000").as("day"))
+            .agg(count(lit(1)).as("n")),
+          "event_type", "day", "n")
+        .withColumnRenamed("key", "event_type"),
+      Some("""WITH sr AS (SELECT event_type,
+                     epoch_us(ts) // 86400000000 AS t,
+                     CAST(count(*) AS BIGINT) AS v
+                   FROM events GROUP BY 1, 2),
+              sl AS (SELECT a.event_type,
+                            ((b.v - a.v) * 1000000) // (b.t - a.t)
+                              AS slope_micro
+                     FROM sr a JOIN sr b
+                       ON b.event_type = a.event_type AND a.t < b.t),
+              c AS (SELECT event_type, slope_micro,
+                           CAST(count(*) AS BIGINT) AS c
+                    FROM sl GROUP BY 1, 2),
+              cum AS (SELECT event_type, slope_micro,
+                             CAST(sum(c) OVER (PARTITION BY event_type
+                               ORDER BY slope_micro
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                               AS cum
+                      FROM c),
+              tot AS (SELECT event_type, CAST(sum(c) AS BIGINT)
+                               AS n_pairs
+                      FROM c GROUP BY 1),
+              md AS (SELECT cum.event_type,
+                            min(cum.slope_micro) AS slope_med_micro
+                     FROM cum JOIN tot USING (event_type)
+                     WHERE cum.cum >= (tot.n_pairs + 1) // 2
+                     GROUP BY 1),
+              nn AS (SELECT event_type, CAST(count(*) AS BIGINT)
+                              AS n_points
+                     FROM sr GROUP BY 1)
+              SELECT nn.event_type, nn.n_points,
+                     CAST(coalesce(tot.n_pairs, 0) AS BIGINT) AS n_pairs,
+                     md.slope_med_micro
+              FROM nn LEFT JOIN tot USING (event_type)
+              LEFT JOIN md USING (event_type)"""),
+      "Theil-Sen median pairwise slope per event type (exact micro)"),
+
+    // Spearman rank correlation between the daily view and click
+    // volumes — "do the two funnel mouths co-move monotonically": both
+    // series midranked over days (x2-integer midranks), Σd² an exact
+    // BIGINT, ρ one fixed-shape double over two exact scalars.
+    "x18_spearman" -> QueryDef(
+      (s, dir) => graft.ext.Experiment.spearman(
+        t(s, dir, "events")
+          .groupBy(expr("(ts div 1000) div 86400000000").as("day"))
+          .agg(sum(when(col("event_type") === "view", 1L).otherwise(0L))
+              .as("x"),
+            sum(when(col("event_type") === "click", 1L).otherwise(0L))
+              .as("y")),
+        "x", "y"),
+      Some("""WITH sr AS (SELECT epoch_us(ts) // 86400000000 AS day,
+                     CAST(sum(CASE WHEN event_type = 'view' THEN 1
+                                   ELSE 0 END) AS BIGINT) AS x,
+                     CAST(sum(CASE WHEN event_type = 'click' THEN 1
+                                   ELSE 0 END) AS BIGINT) AS y
+                   FROM events GROUP BY 1),
+              cx AS (SELECT x AS v, CAST(count(*) AS BIGINT) AS c
+                     FROM sr GROUP BY 1),
+              rx AS (SELECT v, 2 * CAST(sum(c) OVER (ORDER BY v
+                       ROWS UNBOUNDED PRECEDING) AS BIGINT) - c + 1
+                       AS r2
+                     FROM cx),
+              cy AS (SELECT y AS v, CAST(count(*) AS BIGINT) AS c
+                     FROM sr GROUP BY 1),
+              ry AS (SELECT v, 2 * CAST(sum(c) OVER (ORDER BY v
+                       ROWS UNBOUNDED PRECEDING) AS BIGINT) - c + 1
+                       AS r2
+                     FROM cy),
+              j AS (SELECT rx.r2 AS r2x, ry.r2 AS r2y
+                    FROM sr JOIN rx ON rx.v = sr.x
+                    JOIN ry ON ry.v = sr.y),
+              a AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                           CAST(sum((r2x - r2y) * (r2x - r2y))
+                             AS BIGINT) AS sum_d2q
+                    FROM j)
+              SELECT n, sum_d2q,
+                     CASE WHEN n >= 2 THEN CAST(floor(
+                       (1.0 - 1.5 * CAST(sum_d2q AS DOUBLE) /
+                        (CAST(n AS DOUBLE) *
+                         (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) - 1.0)))
+                       * 1e6 + 0.5) AS BIGINT)
+                     ELSE NULL END AS rho_micro
+              FROM a"""),
+      "Spearman rank correlation of daily view vs click volumes"),
 
     // Deterministic EXACT-k-per-language eval sample: salted-md5 rank
     // within stratum, top 20 survive — the eval-set builder a pct-rate

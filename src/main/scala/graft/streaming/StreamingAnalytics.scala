@@ -966,4 +966,81 @@ object StreamingAnalytics {
         org.apache.spark.sql.streaming.TimeMode.None(),
         OutputMode.Append())
   }
+
+  final case class FunnelStageDelta(user_id: Long, stage: String,
+      delta_s: Long)
+  final case class FSLState(tView: Long, tClick: Long, tPurchase: Long)
+
+  /** Streaming funnel-stage LATENCIES — the incremental twin of
+   * [[graft.ext.Attribution.funnelStageDeltas]] (r11 verdict #4: s2 and
+   * s8 both stream; s13's per-step time-to-convert was the funnel
+   * family's last batch-only member). Per user the s2 unbounded-chain
+   * rule fixes each step FOREVER once seen under monotone ingest —
+   * `t_view` is the first view (no later event can precede it),
+   * `t_click` the first click strictly after `t_view`, `t_purchase` the
+   * first purchase strictly after `t_click` — so each completed step
+   * emits its whole-second latency exactly once, FINAL at emission (no
+   * retraction, no window). State is three longs per user, frozen once
+   * the purchase lands; a downstream grouped order-stat over the
+   * emitted rows IS the batch s13 readout. Unset steps are
+   * Long.MinValue sentinels — NOT -1, because event time is allowed to
+   * be negative (epoch-relative micros pre-1970; the seeded random pin
+   * caught exactly this). */
+  class FunnelLatencyProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, AttrEvent, FunnelStageDelta] {
+    @transient private var st:
+      org.apache.spark.sql.streaming.ValueState[FSLState] = _
+
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      st = getHandle.getValueState[FSLState]("funnelLatency",
+        org.apache.spark.sql.Encoders.product[FSLState],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[AttrEvent],
+        tv: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[FunnelStageDelta] = {
+      val unset = Long.MinValue
+      var s = if (st.exists()) st.get() else FSLState(unset, unset, unset)
+      val out = scala.collection.mutable.ListBuffer.empty[FunnelStageDelta]
+      rows.toSeq.sortBy(e => (e.tsu, e.event_id)).foreach { e =>
+        e.event_type match {
+          case "view" =>
+            if (s.tView == unset) s = s.copy(tView = e.tsu)
+          case "click" =>
+            if (s.tView != unset && s.tClick == unset &&
+                e.tsu > s.tView) {
+              s = s.copy(tClick = e.tsu)
+              out += FunnelStageDelta(key, "view->click",
+                (e.tsu - s.tView) / 1000000L)
+            }
+          case "purchase" =>
+            if (s.tClick != unset && s.tPurchase == unset &&
+                e.tsu > s.tClick) {
+              s = s.copy(tPurchase = e.tsu)
+              out += FunnelStageDelta(key, "click->purchase",
+                (e.tsu - s.tClick) / 1000000L)
+            }
+          case _ => () // other event types are not funnel steps
+        }
+      }
+      st.update(s)
+      out.iterator
+    }
+  }
+
+  /** Streaming funnel-stage latencies through `transformWithState`
+   * (RocksDB provider required); append mode, one FINAL row per
+   * completed (user, stage) — the exact row set of the batch
+   * `funnelStageDeltas` under per-user monotone ingest. */
+  def funnelStageLatencies(events: Dataset[AttrEvent])(
+      implicit spark: SparkSession): Dataset[FunnelStageDelta] = {
+    import spark.implicits._
+    events
+      .groupByKey(_.user_id)
+      .transformWithState(new FunnelLatencyProcessor(),
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Append())
+  }
 }

@@ -1261,6 +1261,99 @@ class StreamingSpec extends SparkTestBase {
     }
   }
 
+  test("streaming funnel-stage latencies equal the batch " +
+    "funnelStageDeltas under monotone ingest (strict-after ties, " +
+    "cross-batch chains, then a seeded random stream)") {
+    implicit val s = spark
+    implicit val sqlCtx = spark.sqlContext
+    val prevProvider = spark.conf.getOption(
+      "spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      def run(b1: Seq[(Long, Long, Long, String)],
+          b2: Seq[(Long, Long, Long, String)])
+          : Seq[(Long, String, Long)] = {
+        val input = MemoryStream[StreamingAnalytics.AttrEvent]
+        val name = s"fsl_out_${b1.size}_${b2.size}"
+        val q = StreamingAnalytics.funnelStageLatencies(input.toDS())
+          .writeStream.outputMode("append")
+          .format("memory").queryName(name).start()
+        input.addData(b1.map(e =>
+          StreamingAnalytics.AttrEvent(e._1, e._2, e._3, e._4, 0.0)): _*)
+        q.processAllAvailable()
+        input.addData(b2.map(e =>
+          StreamingAnalytics.AttrEvent(e._1, e._2, e._3, e._4, 0.0)): _*)
+        q.processAllAvailable()
+        q.stop()
+        spark.table(name)
+          .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+          .sorted.toSeq
+      }
+      def batchOf(evs: Seq[(Long, Long, Long, String)])
+          : Seq[(Long, String, Long)] =
+        graft.ext.Attribution.funnelStageDeltas(
+            evs.toDF("user_id", "tsu", "event_id", "et")
+              .select($"user_id", ($"tsu" * 1000L).as("ts"),
+                $"et".as("event_type")))
+          .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+          .sorted.toSeq
+
+      val M = 1000000L // 1 s in event-time micros
+      // u1 full chain (3 s then 5 s); u2 a click AT t_view (strict
+      // reject) then one 2 s later, purchase before the click is
+      // ignored, one after counts; u3 view only; u4 duplicate views
+      // never reset the chain; u5 chain split ACROSS batches; u6
+      // purchase with no view ever
+      val b1 = Seq(
+        (1L, 10 * M, 1L, "view"), (1L, 13 * M, 2L, "click"),
+        (2L, 10 * M, 3L, "view"), (2L, 10 * M, 4L, "click"),
+        (2L, 11 * M, 5L, "purchase"), (2L, 12 * M, 6L, "click"),
+        (3L, 10 * M, 7L, "view"),
+        (4L, 10 * M, 8L, "view"), (4L, 20 * M, 9L, "view"),
+        (4L, 24 * M, 10L, "click"),
+        (5L, 10 * M, 11L, "view"))
+      val b2 = Seq(
+        (1L, 18 * M, 20L, "purchase"),
+        (2L, 19 * M, 21L, "purchase"),
+        (4L, 25 * M, 22L, "purchase"),
+        (5L, 17 * M, 23L, "click"), (5L, 40 * M, 24L, "purchase"),
+        (6L, 10 * M, 25L, "purchase"))
+      val streamed = run(b1, b2)
+      val batch = batchOf(b1 ++ b2)
+      assert(streamed == batch, s"streamed $streamed\nbatch $batch")
+      // the strict-after tie: u2's click at t_view is rejected, the
+      // 12 s click stands (2 s), and only the 19 s purchase counts (7 s)
+      assert(batch.contains((2L, "view->click", 2L)) &&
+        batch.contains((2L, "click->purchase", 7L)))
+      // u4: the FIRST view anchors (14 s), later views don't reset
+      assert(batch.contains((4L, "view->click", 14L)))
+      assert(!batch.exists(_._1 == 6L) && !streamed.exists(_._1 == 6L))
+
+      // seeded pseudo-random stream, the windowed-funnel pin's
+      // generator at second-scale timestamps: 240 events, 8 users,
+      // duplicate timestamps every 5th event, all four event types
+      val types = Vector("view", "click", "purchase", "other")
+      val rnd = (0 until 240).map { i =>
+        val h = (i * 2654435761L) >>> 7
+        val tsu = (i - (if (i % 5 == 0) 1 else 0)).toLong * 9L * M
+        (100L + (h % 8), tsu, 1000L + i, types(((h >> 13) % 4).toInt))
+      }
+      val (r1, r2) = rnd.splitAt(120)
+      val streamedR = run(r1, r2)
+      val batchR = batchOf(rnd)
+      assert(streamedR == batchR,
+        s"random pin: streamed $streamedR\nbatch $batchR")
+    } finally {
+      prevProvider match {
+        case Some(p) => spark.conf.set(
+          "spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset(
+          "spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("transformWithState running stats accumulate across micro-batches") {
     implicit val s = spark
     implicit val sqlCtx = spark.sqlContext

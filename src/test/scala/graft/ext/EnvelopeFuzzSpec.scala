@@ -1,0 +1,228 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.SparkTestBase
+
+/** Cross-engine envelope fuzz (r11 verdict #6): commit 2284268 fixed the
+ * Spark-wraps-vs-DuckDB-raises divergence class case-by-case (sketch
+ * domain, EB prior); this suite generalizes the check — push boundary
+ * magnitudes through every VALUE-bounded exact operator and assert
+ * LOUD-REFUSAL-OR-EXACT: inside the documented envelope the result must
+ * equal an independently computed exact reference; at or past the
+ * boundary the operator must refuse with its documented message, never
+ * return a silently wrapped value. Plain ScalaCheck generators under
+ * fixed seeds (the SpineProperties discipline — the scalatest bridge is
+ * not in the offline cache), so failures replay exactly.
+ *
+ * Coverage note: the ROW-COUNT envelopes (percentileRanks' 9e12 per-key
+ * rows, ebBetaShrink's 9e10) guard counts no test can physically
+ * generate; their refusal legs are compile-checked by inspection and
+ * their exactness legs are covered here (percentileRanks) and by the
+ * oracle gate (dq29). Everything VALUE-triggered gets both legs. */
+class EnvelopeFuzzSpec extends SparkTestBase {
+  import spark.implicits._
+
+  /** Deterministic samples: one per seed 1..n. */
+  private def samples[T](gen: Gen[T], n: Int): Seq[T] =
+    (1 to n).flatMap(i => gen.apply(Gen.Parameters.default, Seed(i.toLong)))
+
+  /** assert_true surfaces as a SparkException wrapping the message —
+   * collect every message down the cause chain. */
+  private def loudMsg(e: Throwable): String = {
+    def walk(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ walk(t.getCause)
+    walk(e).mkString(" | ")
+  }
+
+  private val top = (1L << 62) - 1L // largest in-domain sketch value
+
+  /** Magnitude mix: tiny, mid, wide, and a band hugging the 2^62 rim —
+   * the shapes where shift/bucket arithmetic can silently wrap. */
+  private val genMagnitude: Gen[Long] = Gen.oneOf(
+    Gen.choose(0L, 100L),
+    Gen.choose(0L, 1L << 20),
+    Gen.choose(0L, 1L << 45),
+    Gen.choose(top - 1000L, top))
+
+  private val genVec: Gen[List[Long]] =
+    Gen.nonEmptyListOf(genMagnitude).map(_.take(60))
+
+  private val genSignedVec: Gen[List[Long]] = Gen.nonEmptyListOf(
+    for { m <- genMagnitude; s <- Gen.oneOf(1L, -1L) } yield m * s)
+    .map(_.take(60))
+
+  test("quantileSketch: exact cover + envelope on any in-domain mix, " +
+    "including values hugging 2^62") {
+    samples(genVec, 20).foreach { vals =>
+      val sk = Sketches.quantileSketch(vals.toDF("v"), "v")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      vals.foreach { v =>
+        assert(sk.count { case (lo, hi, _) => v >= lo && v <= hi } == 1,
+          s"value $v not covered exactly once")
+      }
+      sk.foreach { case (lo, hi, _) =>
+        assert((hi - lo + 1) * 32 <= math.max(lo, 32L),
+          s"bucket [$lo, $hi] leaves the 2^-5 envelope")
+      }
+      assert(sk.map(_._3).sum == vals.size.toLong)
+    }
+  }
+
+  test("quantileSketch: every out-of-domain poison refuses loudly, " +
+    "never wraps") {
+    val poisons = Seq(-1L, Long.MinValue, 1L << 62, Long.MaxValue)
+    samples(genVec, 3).foreach { vals =>
+      poisons.foreach { p =>
+        val e = intercept[Exception] {
+          Sketches.quantileSketch((p :: vals).toDF("v"), "v").collect()
+        }
+        assert(loudMsg(e).contains("2^62"),
+          s"poison $p must hit the documented domain message")
+      }
+    }
+  }
+
+  test("quantileSketchSigned: cover + no-straddle + |v| envelope on any " +
+    "signed in-domain mix; rim poisons refuse loudly") {
+    samples(genSignedVec, 20).foreach { vals =>
+      val sk = Sketches.quantileSketchSigned(vals.toDF("v"), "v")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      vals.foreach { v =>
+        assert(sk.count { case (lo, hi, _) => v >= lo && v <= hi } == 1,
+          s"value $v not covered exactly once")
+      }
+      sk.foreach { case (lo, hi, _) =>
+        assert(lo >= 0L || hi <= 0L, s"bucket [$lo, $hi] straddles zero")
+        assert((hi - lo + 1) * 32 <=
+          math.max(math.min(math.abs(lo), math.abs(hi)), 32L),
+          s"bucket [$lo, $hi] leaves the |v| envelope")
+      }
+      assert(sk.map(_._3).sum == vals.size.toLong)
+    }
+    Seq(1L << 62, -(1L << 62), Long.MinValue, Long.MaxValue).foreach { p =>
+      val e = intercept[Exception] {
+        Sketches.quantileSketchSigned(Seq(p, 1L, -1L).toDF("v"), "v")
+          .collect()
+      }
+      assert(loudMsg(e).contains("2^62"),
+        s"poison $p must hit the documented domain message")
+    }
+  }
+
+  test("twoLevelRankSelect: exact deciles on signed mixes inside ±2^62; " +
+    "magnitude at the rim refuses loudly") {
+    val genModest: Gen[List[Long]] = Gen.nonEmptyListOf(for {
+      m <- Gen.oneOf(Gen.choose(0L, 1000L), Gen.choose(0L, 1L << 40))
+      s <- Gen.oneOf(1L, -1L)
+    } yield m * s).map(_.take(80))
+    samples(genModest, 8).foreach { vals =>
+      val counts = vals.toDF("vq").groupBy("vq")
+        .agg(count(lit(1)).as("c"))
+      val got = Profile.twoLevelRankSelect(counts, 1 to 10, 9L, 10L,
+          bucketShift = 20, maxGrain = Profile.MaxOrderStatDistinct,
+          opName = "envelopeFuzz")
+        .collect().map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2))))
+        .toMap
+      val sorted = vals.sorted
+      val n = sorted.size
+      (1 to 10).foreach { q =>
+        val rank = (q.toLong * n + 9) / 10
+        val (gotRank, gotV) = got(q)
+        assert(gotRank == rank, s"q=$q rank $gotRank != $rank")
+        assert(gotV == sorted(rank.toInt - 1),
+          s"q=$q: $gotV != exact ${sorted(rank.toInt - 1)} in $vals")
+      }
+    }
+    // the shift-to-nonnegative bound: |v| at Long.MaxValue/2 refuses
+    Seq(Long.MaxValue / 2, Long.MinValue / 2).foreach { p =>
+      val counts = Seq(p, 0L, 1L).toDF("vq").groupBy("vq")
+        .agg(count(lit(1)).as("c"))
+      val e = intercept[Exception] {
+        Profile.twoLevelRankSelect(counts, Seq(1), 1L, 2L,
+          bucketShift = 20, maxGrain = Profile.MaxOrderStatDistinct,
+          opName = "envelopeFuzz").collect()
+      }
+      assert(loudMsg(e).contains("2^62"),
+        s"magnitude $p must hit the documented shift-overflow message")
+    }
+  }
+
+  test("mannKendall: exact S + tie term vs brute force inside the grain " +
+    "bound; one point over (or a duplicate ord) refuses loudly") {
+    val genSeries: Gen[List[Long]] =
+      Gen.listOfN(25, Gen.choose(-50L, 50L))
+    samples(genSeries, 10).foreach { vs =>
+      val rows = vs.zipWithIndex.map { case (v, t) => ("k", t.toLong, v) }
+      val got = TimeSeries.mannKendall(
+          rows.toDF("key", "t", "v"), "key", "t", "v", maxPoints = 25L)
+        .collect().head
+      val s = (for {
+        i <- vs.indices; j <- vs.indices if i < j
+      } yield math.signum((vs(j) - vs(i)).toDouble).toLong).sum
+      val ties = vs.groupBy(identity).values
+        .map(g => g.size.toLong * (g.size - 1L) * (g.size * 2L + 5L)).sum
+      assert(got.getLong(2) == s, s"S ${got.getLong(2)} != $s for $vs")
+      assert(got.getLong(3) == ties)
+    }
+    val over = (0 to 25).map(t => ("k", t.toLong, t.toLong))
+    val e1 = intercept[Exception] {
+      TimeSeries.mannKendall(over.toDF("key", "t", "v"), "key", "t", "v",
+        maxPoints = 25L).collect()
+    }
+    assert(loudMsg(e1).contains("points per key"))
+    val dup = Seq(("k", 1L, 1L), ("k", 1L, 2L), ("k", 2L, 3L))
+    val e2 = intercept[Exception] {
+      TimeSeries.mannKendall(dup.toDF("key", "t", "v"), "key", "t", "v")
+        .collect()
+    }
+    assert(loudMsg(e2).contains("grain"))
+  }
+
+  test("percentileRanks: pct_ppm is the exact integer cume_dist ppm on " +
+    "random keyed mixes (the in-envelope leg of the 9e12 contract)") {
+    val genKeyed: Gen[List[(String, Long)]] = Gen.nonEmptyListOf(for {
+      k <- Gen.oneOf("a", "b", "c")
+      v <- Gen.choose(-1000L, 1000L)
+    } yield (k, v)).map(_.take(120))
+    samples(genKeyed, 10).foreach { rows =>
+      val got = Profile.percentileRanks(
+          rows.toDF("k", "v"), "k", "v")
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1)) ->
+          ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+      rows.groupBy(_._1).foreach { case (k, kvs) =>
+        val vals = kvs.map(_._2)
+        val n = vals.size.toLong
+        val byV = vals.groupBy(identity).view.mapValues(_.size.toLong)
+          .toSeq.sortBy(_._1)
+        var cum = 0L
+        byV.foreach { case (v, c) =>
+          cum += c
+          val (gc, gn, gppm) = got((k, v))
+          assert(gc == c && gn == n, s"($k,$v): counts ($gc,$gn)")
+          assert(gppm == cum * 1000000L / n,
+            s"($k,$v): ppm $gppm != ${cum * 1000000L / n}")
+        }
+      }
+    }
+  }
+
+  test("isotonicCalibration: both refusal legs are loud — the nBins " +
+    "require and the score-range x nBins BIGINT envelope (exactness is " +
+    "the ml6 oracle's job)") {
+    val df = Seq((1L, 1L), (2L, 0L)).toDF("s", "y")
+    val e1 = intercept[IllegalArgumentException] {
+      Experiment.isotonicCalibration(df, "s", "y", nBins = 101)
+    }
+    assert(e1.getMessage.contains("nBins"))
+    val wide = Seq((0L, 1L), (Long.MaxValue / 10 + 1L, 0L)).toDF("s", "y")
+    val e2 = intercept[Exception] {
+      Experiment.isotonicCalibration(wide, "s", "y", nBins = 10).collect()
+    }
+    assert(loudMsg(e2).contains("overflow"),
+      "rim score range must hit the documented overflow message")
+  }
+}

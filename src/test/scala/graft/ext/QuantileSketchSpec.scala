@@ -98,6 +98,92 @@ class QuantileSketchSpec extends SparkTestBase {
     }
   }
 
+  test("quantileSketchSigned: sign-mirrored buckets cover every value, " +
+    "never straddle zero, keep the |v| relative envelope") {
+    val vals = Seq(-1000000L, -100000L, -999L, -64L, -63L, -1L, 0L, 1L,
+      63L, 64L, 100L, 99999L, (1L << 40) + 7L, -(1L << 40) - 7L)
+    val sk = Sketches.quantileSketchSigned(vals.toDF("v"), "v")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    vals.foreach { v =>
+      val hits = sk.filter { case (lo, hi, _) => v >= lo && v <= hi }
+      assert(hits.length == 1,
+        s"value $v must land in exactly one bucket, got ${hits.toSeq}")
+    }
+    sk.foreach { case (lo, hi, _) =>
+      assert(lo <= hi && (lo >= 0L || hi <= 0L),
+        s"bucket [$lo, $hi] straddles zero")
+      assert((hi - lo + 1) * 32 <=
+        math.max(math.min(math.abs(lo), math.abs(hi)), 32L),
+        s"bucket [$lo, $hi] leaves the 2^-5 relative envelope on |v|")
+    }
+    // small-magnitude values (|v| < 64) are exact singletons on BOTH sides
+    assert(sk.contains((-63L, -63L, 1L)) && sk.contains((0L, 0L, 1L)) &&
+      sk.contains((63L, 63L, 1L)))
+    // the negative of a positive value gets the mirrored bucket
+    val pv = (1L << 40) + 7L
+    val pos = sk.find { case (lo, hi, _) => pv >= lo && pv <= hi }
+    val neg = sk.find { case (lo, hi, _) => -pv >= lo && -pv <= hi }
+    assert(pos.isDefined && neg.isDefined &&
+      neg.get._1 == -pos.get._2 && neg.get._2 == -pos.get._1)
+  }
+
+  test("quantileSketchSigned: nonnegative input is bucket-identical to " +
+    "quantileSketch; merge stays exact; domain refuses at ±2^62") {
+    val vals = (0 until 800).map(i => (i.toLong * 53) % 70000)
+    val signed = Sketches.quantileSketchSigned(vals.toDF("v"), "v")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val plain = Sketches.quantileSketch(vals.toDF("v"), "v")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(signed == plain)
+    val a = (0 until 400).map(i => (i.toLong * 37) % 9000 - 4500)
+    val b = (0 until 300).map(i => (i.toLong * 91) % 80000 - 40000)
+    val merged = Sketches.quantileSketchMerge(
+        Sketches.quantileSketchSigned(a.toDF("v"), "v"),
+        Sketches.quantileSketchSigned(b.toDF("v"), "v"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val whole = Sketches.quantileSketchSigned((a ++ b).toDF("v"), "v")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(merged == whole)
+    def msg(e: Exception): String =
+      e.getMessage + Option(e.getCause).map(_.getMessage).getOrElse("")
+    val neg = intercept[Exception] {
+      Sketches.quantileSketchSigned(Seq(-(1L << 62), 2L).toDF("v"), "v")
+        .collect()
+    }
+    assert(msg(neg).contains("2^62"))
+    val big = intercept[Exception] {
+      Sketches.quantileSketchSigned(Seq(1L << 62, 2L).toDF("v"), "v")
+        .collect()
+    }
+    assert(msg(big).contains("2^62"))
+  }
+
+  test("quantileSketchQuantiles(signed = true): deciles of a signed " +
+    "distribution bracket the exact order statistics; mid stays inside " +
+    "the bracket and is exact on singleton buckets") {
+    val vals = (1 to 1500).map(i => ((i.toLong * i * 31) % 20011) - 10005) ++
+      (1 to 60).map(i => -3000000L - i * 7919) ++
+      (1 to 60).map(i => 3000000L + i * 104729)
+    val df = vals.toDF("v")
+    val sk = Sketches.quantileSketchQuantiles(
+        Sketches.quantileSketchSigned(df, "v"), k = 10, signed = true)
+      .collect().map(r => r.getInt(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    val sorted = vals.sorted
+    val n = sorted.length
+    (1 to 10).foreach { q =>
+      val rank = (q * n + 9) / 10
+      val exact = sorted(rank - 1)
+      val (skRank, lo, hi, mid) = sk(q)
+      assert(skRank == rank, s"q=$q rank: $skRank != $rank")
+      assert(lo <= exact && exact <= hi,
+        s"q=$q: exact $exact outside sketch bucket [$lo, $hi]")
+      assert(lo <= mid && mid <= hi, s"q=$q: mid $mid outside [$lo, $hi]")
+      assert(mid == lo + (hi - lo) / 2, s"q=$q: mid convention broken")
+      if (lo == hi) assert(mid == exact)
+    }
+  }
+
   test("quantileSketchBy: a single-group relation matches the ungrouped " +
     "sketch; per-group quartiles bracket per-group exacts") {
     val a = (1 to 300).map(i => ("a", (i.toLong * 17) % 1000))

@@ -1,0 +1,133 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+/** Round-12 operators: Theil–Sen robust slope (floor-division micro
+ * convention, outlier immunity, refusal legs) and Spearman rank
+ * correlation (midrank ×2 convention, perfect/inverse/tied cases,
+ * degeneracy). The signed quantile sketch lives in QuantileSketchSpec;
+ * the streaming funnel-latency twin pins in StreamingSpec; the envelope
+ * fuzz generalization in EnvelopeFuzzSpec. */
+class Round12Spec extends SparkTestBase {
+  import spark.implicits._
+
+  private def loudMsg(e: Throwable): String = {
+    def walk(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ walk(t.getCause)
+    walk(e).mkString(" | ")
+  }
+
+  test("theilSen: the median pairwise slope shrugs off the outlier an " +
+    "OLS fit would chase") {
+    // key a: a clean slope-10 line with one wild final point — 5 of the
+    // 6 pairwise slopes involve the outlier's pull, but the median
+    // stays at the line's 10/step (10e6 micro)
+    val rows = Seq(
+      ("a", 0L, 0L), ("a", 1L, 10L), ("a", 2L, 20L), ("a", 3L, 1000L))
+    val got = TimeSeries.theilSen(rows.toDF("k", "t", "v"), "k", "t", "v")
+      .collect().head
+    assert(got.getLong(1) == 4L && got.getLong(2) == 6L)
+    assert(got.getLong(3) == 10000000L,
+      s"median slope ${got.getLong(3)} != 10e6")
+  }
+
+  test("theilSen: negative slopes TRUNCATE toward zero (Spark div ≡ " +
+    "DuckDB integer //, probed — the sign-symmetric convention)") {
+    // pairs: (0,1) -> -7e6 exact; (0,3) -> -10e6/3 = -3333333.33…,
+    // TRUNC -3333333 (floor would say -3333334); (1,3) -> -1.5e6
+    // exact. Lower median (rank 2 of 3) = -3333333.
+    val rows = Seq(("a", 0L, 10L), ("a", 1L, 3L), ("a", 3L, 0L))
+    val got = TimeSeries.theilSen(rows.toDF("k", "t", "v"), "k", "t", "v")
+      .collect().head
+    assert(got.getLong(3) == -3333333L,
+      s"median slope ${got.getLong(3)} != trunc(-10e6/3)")
+    // sign symmetry: mirroring the series negates every pair slope
+    val mirrored = TimeSeries.theilSen(
+        rows.map { case (k, t, v) => (k, t, -v) }.toDF("k", "t", "v"),
+        "k", "t", "v")
+      .collect().head
+    assert(mirrored.getLong(3) == 3333333L)
+  }
+
+  test("theilSen: single-point keys yield 0 pairs + NULL slope; " +
+    "duplicate ord and oversized magnitude refuse loudly") {
+    val one = TimeSeries.theilSen(
+        Seq(("solo", 5L, 42L)).toDF("k", "t", "v"), "k", "t", "v")
+      .collect().head
+    assert(one.getLong(2) == 0L && one.isNullAt(3))
+    val dup = Seq(("a", 1L, 1L), ("a", 1L, 2L), ("a", 2L, 3L))
+    val e1 = intercept[Exception] {
+      TimeSeries.theilSen(dup.toDF("k", "t", "v"), "k", "t", "v")
+        .collect()
+    }
+    assert(loudMsg(e1).contains("grain"))
+    val big = Seq(("a", 1L, 0L), ("a", 2L, 2000000000001L))
+    val e2 = intercept[Exception] {
+      TimeSeries.theilSen(big.toDF("k", "t", "v"), "k", "t", "v")
+        .collect()
+    }
+    assert(loudMsg(e2).contains("2e12"))
+  }
+
+  test("spearman: +1e6 on perfect monotone, -1e6 on perfect inverse, " +
+    "exact micro on a hand case") {
+    val up = Experiment.spearman(
+        Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("x", "y"), "x", "y")
+      .collect().head
+    assert(up.getLong(0) == 3L && up.getLong(1) == 0L &&
+      up.getLong(2) == 1000000L)
+    val down = Experiment.spearman(
+        Seq((1L, 30L), (2L, 20L), (3L, 10L)).toDF("x", "y"), "x", "y")
+      .collect().head
+    // ranks x 1,2,3 vs y 3,2,1: d = ±2, 0 -> Σd² = 8, ×4-scaled 32;
+    // ρ = 1 − 6·8/(3·8) = −1
+    assert(down.getLong(1) == 32L && down.getLong(2) == -1000000L)
+    // one swap among 4: ranks x 1,2,3,4 vs y 2,1,3,4 -> Σd² = 2,
+    // ρ = 1 − 12/60 = 0.8
+    val swap = Experiment.spearman(
+        Seq((1L, 20L), (2L, 10L), (3L, 30L), (4L, 40L)).toDF("x", "y"),
+        "x", "y")
+      .collect().head
+    assert(swap.getLong(2) == 800000L, s"rho ${swap.getLong(2)} != 0.8e6")
+  }
+
+  test("spearman: ties take exact x2 midranks (co-tied pairs stay " +
+    "rho = +1e6); n < 2 yields NULL, never NaN") {
+    // x's two 1s midrank 1.5 (r2 = 3), its 2 ranks 3 (r2 = 6); y has
+    // the same tie structure at the same rows -> every d = 0
+    val tied = Experiment.spearman(
+        Seq((1L, 5L), (1L, 5L), (2L, 9L)).toDF("x", "y"), "x", "y")
+      .collect().head
+    assert(tied.getLong(1) == 0L && tied.getLong(2) == 1000000L)
+    val solo = Experiment.spearman(
+        Seq((7L, 7L)).toDF("x", "y"), "x", "y")
+      .collect().head
+    assert(solo.getLong(0) == 1L && solo.isNullAt(2))
+  }
+
+  test("funnelStageDeltas: strict-after chain anchors on FIRST " +
+    "qualifying steps; incomplete chains emit only completed stages") {
+    val M = 1000000L
+    // u1 full chain 3 s + 5 s; u2 click at t_view rejected, later click
+    // counts; u3 purchase before its click never counts; u4 view-only
+    val rows = Seq(
+      (1L, 10 * M, "view"), (1L, 13 * M, "click"),
+      (1L, 18 * M, "purchase"),
+      (2L, 10 * M, "view"), (2L, 10 * M, "click"), (2L, 12 * M, "click"),
+      (3L, 10 * M, "view"), (3L, 11 * M, "purchase"),
+      (3L, 12 * M, "click"),
+      (4L, 10 * M, "view"))
+    val got = graft.ext.Attribution.funnelStageDeltas(
+        rows.toDF("user_id", "tsu", "event_type")
+          .select(col("user_id"), (col("tsu") * 1000L).as("ts"),
+            col("event_type")))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .sorted.toSeq
+    assert(got == Seq(
+      (1L, "click->purchase", 5L), (1L, "view->click", 3L),
+      (2L, "view->click", 2L), (3L, "view->click", 2L)),
+      s"got $got")
+  }
+}
