@@ -1539,7 +1539,13 @@ object Bench {
             SparkEntry.queries("x18_spearman")(ps, dir10)),
         "dq30_qsketch_signed" ->
           ((ps: org.apache.spark.sql.SparkSession) =>
-            SparkEntry.queries("dq30_qsketch_signed")(ps, dir10))))
+            SparkEntry.queries("dq30_qsketch_signed")(ps, dir10)),
+        "ab9_kruskal_wallis" ->
+          ((ps: org.apache.spark.sql.SparkSession) =>
+            SparkEntry.queries("ab9_kruskal_wallis")(ps, dir10)),
+        "dq31_qsketch_shift" ->
+          ((ps: org.apache.spark.sql.SparkSession) =>
+            SparkEntry.queries("dq31_qsketch_shift")(ps, dir10))))
       (walls.toList, ratios.toList, rawSamples.toList, canaries.toList,
         nDocs, nVecs)
     }

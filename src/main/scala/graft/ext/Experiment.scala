@@ -754,6 +754,74 @@ object Experiment {
         .otherwise(lit(null).cast("long")).as("rho_micro"))
   }
 
+  /** Kruskal–Wallis H test (Kruskal & Wallis 1952) — the k-group
+   * extension of Mann–Whitney's two arms: "do ANY of these groups'
+   * value distributions differ", rank-based so outliers and
+   * non-normality don't poison it (the one-way-ANOVA question the
+   * experiment family answers without ANOVA's assumptions).
+   *
+   * Exact moments, fixed-shape doubles: global ×2-integer midranks
+   * (r2 = 2·cum − c + 1, the [[spearman]] convention) via the shared
+   * bounded cumulative; per-group n_g and rank sums S2_g are exact
+   * BIGINTs; the tie term Σ(t³ − t) is an exact BIGINT. H needs
+   * Σ_g S_g²/n_g — a cross-group DOUBLE sum, which is order-dependent,
+   * so it folds LEFT over the group relation sorted by group key
+   * (`array_sort(collect_list(...))` + `aggregate`), replaying as
+   * DuckDB's in-aggregate `ORDER BY` — one documented deterministic
+   * summation order on both engines, never a parallel-reduction race.
+   * With S_g = S2_g/2: H = 3·Σ(S2_g²/n_g)/(N(N+1)) − 3(N+1), then the
+   * standard tie correction H/(1 − Σ(t³−t)/(N³−N)).
+   *
+   * Bounds, loud: N ≤ 1e6 (the spearman audit-slice envelope — rank
+   * moments stay exact BIGINTs) and value grain rides
+   * [[graft.ext.Profile.boundedCumCounts]]. The group relation is
+   * k rows (one per group) — collect_list state is k-bounded, never
+   * corpus-sized. Output 1 row: (n, k_groups, tie_sum, h_micro,
+   * h_tie_micro — NULL when every value ties or n < 2). */
+  def kruskalWallis(df: DataFrame, groupCol: String,
+      valCol: String): DataFrame = {
+    val d = df.filter(col(valCol).isNotNull && col(groupCol).isNotNull)
+      .select(col(groupCol).cast("string").as("__g"),
+        col(valCol).cast("long").as("__v"))
+    val mr = graft.ext.Profile.boundedCumCounts(
+        d.groupBy("__v").agg(count(lit(1)).as("__c")),
+        "__v", "__c", 1000000L,
+        "kruskalWallis: more than 1e6 distinct values — rank moments " +
+          "would leave the exact envelope (bounded-grain contract)")
+      .select(col("__v"),
+        (lit(2L) * col("cum") - col("__c") + lit(1L)).as("__r2"),
+        (col("__c") * col("__c") * col("__c") - col("__c")).as("__t3"))
+    val sg = d.join(mr.select("__v", "__r2"), "__v")
+      .groupBy("__g")
+      .agg(count(lit(1)).as("__ng"), sum("__r2").as("__s2"))
+    val tie = mr.agg(sum("__t3").as("tie_sum"))
+    val agg = sg.agg(sum("__ng").as("n"), count(lit(1)).as("k_groups"),
+        array_sort(collect_list(struct(col("__g"), col("__s2"),
+          col("__ng")))).as("__a"))
+      .withColumn("__gd", assert_true(col("n") <= 1000000L,
+        lit("kruskalWallis: row count exceeds 1e6 — rank moments would " +
+          "leave BIGINT (bounded-moment contract); sample the audit " +
+          "slice")))
+      .where(col("__gd").isNull)
+      .withColumn("__ssq", aggregate(col("__a"), lit(0.0),
+        (acc, x) => acc + x.getField("__s2").cast("double") *
+          x.getField("__s2").cast("double") /
+          x.getField("__ng").cast("double")))
+      .crossJoin(tie)
+    val nD = col("n").cast("double")
+    val h = lit(3.0) * col("__ssq") / (nD * (nD + lit(1.0))) -
+      lit(3.0) * (nD + lit(1.0))
+    val corr = lit(1.0) - col("tie_sum").cast("double") /
+      (nD * nD * nD - nD)
+    agg.select(col("n"), col("k_groups"), col("tie_sum"),
+      when(col("n") >= 2L,
+        floor(h * lit(1e6) + lit(0.5)).cast("long"))
+        .otherwise(lit(null).cast("long")).as("h_micro"),
+      when(col("n") >= 2L && corr > lit(0.0),
+        floor(h / corr * lit(1e6) + lit(0.5)).cast("long"))
+        .otherwise(lit(null).cast("long")).as("h_tie_micro"))
+  }
+
   def srmCheck(events: DataFrame, userCol: String = "user_id"): DataFrame =
     events.select(col(userCol).as("user")).distinct()
       .agg(

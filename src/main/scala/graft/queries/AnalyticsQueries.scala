@@ -1771,6 +1771,65 @@ object AnalyticsQueries {
               FROM o"""),
       "two-proportion pooled z on per-user purchase conversion"),
 
+    // Kruskal-Wallis H across ALL event types' value distributions —
+    // the k-group extension of ab6's two-arm rank test ("do any of the
+    // k groups differ", assumption-free): exact x2 midranks + BIGINT
+    // rank sums + tie term; the one cross-group double sum folds in
+    // SORTED group order on both engines (Spark sorted-array aggregate
+    // = DuckDB in-aggregate ORDER BY), so the double shape is one
+    // documented sequential fold, never a reduction race.
+    "ab9_kruskal_wallis" -> QueryDef(
+      (s, dir) => graft.ext.Experiment.kruskalWallis(
+        t(s, dir, "events").filter(col("value").isNotNull)
+          .select(col("event_type"),
+            floor(col("value") * 100 + lit(0.5)).cast("long")
+              .as("value_centi")),
+        "event_type", "value_centi"),
+      Some("""WITH d AS (SELECT event_type AS g,
+                     CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
+                   FROM events
+                   WHERE value IS NOT NULL AND event_type IS NOT NULL),
+              cv AS (SELECT v, CAST(count(*) AS BIGINT) AS c
+                     FROM d GROUP BY 1),
+              mr AS (SELECT v,
+                            2 * CAST(sum(c) OVER (ORDER BY v
+                              ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                              - c + 1 AS r2,
+                            c * c * c - c AS t3
+                     FROM cv),
+              sg AS (SELECT d.g, CAST(count(*) AS BIGINT) AS ng,
+                            CAST(sum(mr.r2) AS BIGINT) AS s2
+                     FROM d JOIN mr ON mr.v = d.v GROUP BY 1),
+              tie AS (SELECT CAST(sum(t3) AS BIGINT) AS tie_sum FROM mr),
+              a AS (SELECT CAST(sum(ng) AS BIGINT) AS n,
+                           CAST(count(*) AS BIGINT) AS k_groups,
+                           sum(CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE)
+                               / CAST(ng AS DOUBLE) ORDER BY g) AS ssq
+                    FROM sg)
+              SELECT a.n, a.k_groups, tie.tie_sum,
+                     CASE WHEN a.n >= 2 THEN CAST(floor(
+                       (3.0 * ssq / (CAST(n AS DOUBLE)
+                          * (CAST(n AS DOUBLE) + 1.0))
+                        - 3.0 * (CAST(n AS DOUBLE) + 1.0))
+                       * 1e6 + 0.5) AS BIGINT)
+                     ELSE NULL END AS h_micro,
+                     CASE WHEN a.n >= 2 AND
+                       (1.0 - CAST(tie.tie_sum AS DOUBLE)
+                         / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                            * CAST(n AS DOUBLE) - CAST(n AS DOUBLE)))
+                       > 0.0
+                          THEN CAST(floor(
+                       (3.0 * ssq / (CAST(n AS DOUBLE)
+                          * (CAST(n AS DOUBLE) + 1.0))
+                        - 3.0 * (CAST(n AS DOUBLE) + 1.0))
+                       / (1.0 - CAST(tie.tie_sum AS DOUBLE)
+                         / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                            * CAST(n AS DOUBLE) - CAST(n AS DOUBLE)))
+                       * 1e6 + 0.5) AS BIGINT)
+                     ELSE NULL END AS h_tie_micro
+              FROM a CROSS JOIN tie"""),
+      "Kruskal-Wallis H across event types (tie-corrected, exact ranks)"),
+
     // Per-type exact percentile-rank transform of event values — the
     // normalization table a feature pipeline joins back onto rows
     // (cume_dist as exact integer ppm, ties sharing their group rank);
@@ -2143,6 +2202,69 @@ object AnalyticsQueries {
                        AS width_ok
               FROM ex JOIN sk ON sk.q = ex.q"""),
       "signed quantile sketch brackets exact median-deviation deciles"),
+
+    // The mid convention CONSUMED downstream (r11 verdict #5's
+    // rationale): per-type quartile point-estimate shift between
+    // even/odd-day snapshots, both sides read from the grouped sketch's
+    // documented mid readout — the drift threshold a dashboard compares
+    // without re-deciding a convention, and the sketch-powered sibling
+    // of dq23's exact decile drift (which needs the full value grain;
+    // this needs ≤2k rows per side per type).
+    "dq31_qsketch_shift" -> QueryDef(
+      (s, dir) => {
+        val ev = t(s, dir, "events").filter(col("value").isNotNull)
+          .select(expr("((ts div 1000) div 86400000000) % 2").as("par"),
+            col("event_type"),
+            floor(col("value") * 100 + lit(0.5)).cast("long").as("vq"))
+        def quart(par: Long) =
+          graft.ext.Sketches.quantileSketchQuantilesBy(
+            graft.ext.Sketches.quantileSketchBy(
+              ev.filter(col("par") === par).select("event_type", "vq"),
+              "event_type", "vq"), k = 4)
+            .select(col("group"), col("q"), col("mid"))
+        quart(0L).withColumnRenamed("mid", "mid_ref")
+          .join(quart(1L).withColumnRenamed("mid", "mid_cur"),
+            Seq("group", "q"))
+          .select(col("group").as("event_type"), col("q"),
+            col("mid_ref"), col("mid_cur"),
+            (col("mid_cur") - col("mid_ref")).as("shift_centi"))
+      },
+      Some("""WITH d AS (SELECT (epoch_us(ts) // 86400000000) % 2
+                       AS par, event_type,
+                     CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
+                   FROM events WHERE value IS NOT NULL),
+              bk AS (SELECT par, event_type, ((v >> s) << s) AS lo,
+                            (((v >> s) + 1) << s) - 1 AS hi,
+                            CAST(count(*) AS BIGINT) AS c
+                     FROM (SELECT par, event_type, v,
+                                  greatest(0, length(bin(v)) - 6) AS s
+                           FROM d)
+                     GROUP BY 1, 2, 3, 4),
+              cum AS (SELECT par, event_type, lo, hi,
+                             CAST(sum(c) OVER (PARTITION BY par,
+                               event_type ORDER BY lo
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                               AS cum
+                      FROM bk),
+              tot AS (SELECT par, event_type, CAST(sum(c) AS BIGINT)
+                               AS n
+                      FROM bk GROUP BY 1, 2),
+              qs AS (SELECT CAST(unnest(generate_series(1, 4))
+                              AS INTEGER) AS q),
+              dq AS (SELECT par, event_type, q,
+                            min(lo) + (min_by(hi, lo) - min(lo)) // 2
+                              AS mid
+                     FROM (SELECT cum.par, cum.event_type, qs.q,
+                                  (qs.q * tot.n + 3) // 4 AS rank,
+                                  cum.lo, cum.hi, cum.cum
+                           FROM cum JOIN tot USING (par, event_type)
+                           CROSS JOIN qs)
+                     WHERE cum >= rank GROUP BY 1, 2, 3)
+              SELECT r.event_type, r.q, r.mid AS mid_ref,
+                     c.mid AS mid_cur, c.mid - r.mid AS shift_centi
+              FROM dq r JOIN dq c ON c.event_type = r.event_type
+                AND c.q = r.q AND r.par = 0 AND c.par = 1"""),
+      "per-type quartile mid-shift between sketch snapshots"),
 
     // Full per-type daily-count regression readout: x14's exact slope
     // plus intercept and R² (fixed-shape doubles over the same exact

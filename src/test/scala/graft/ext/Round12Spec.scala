@@ -107,6 +107,42 @@ class Round12Spec extends SparkTestBase {
     assert(solo.getLong(0) == 1L && solo.isNullAt(2))
   }
 
+  test("kruskalWallis: the textbook {1,2} vs {3,4} case gives H = 2.4 " +
+    "exactly; three groups reproduce the rank-sum identity") {
+    val two = Experiment.kruskalWallis(
+        Seq(("a", 1L), ("a", 2L), ("b", 3L), ("b", 4L)).toDF("g", "v"),
+        "g", "v")
+      .collect().head
+    // ranks 1..4, S_a = 3, S_b = 7: H = 12/20·(2·1² + 2·1²) = 2.4;
+    // no ties so the corrected H is identical
+    assert(two.getLong(0) == 4L && two.getLong(1) == 2L &&
+      two.getLong(2) == 0L)
+    assert(two.getLong(3) == 2400000L, s"H ${two.getLong(3)} != 2.4e6")
+    assert(two.getLong(4) == 2400000L)
+    // three groups with a cross-group tie: hand-computed midranks
+    // a: {1, 2} ranks 1, 2.5(tie) -> S_a = 3.5; b: {2} rank 2.5 ->
+    // S_b = 2.5; c: {5} rank 4 -> S_c = 4; N = 4,
+    // H = 12/20·(3.5²/2 + 2.5² + 4²) − 15 = 0.6·28.375 − 15 = 2.025;
+    // tie term 2³−2 = 6, C = 1 − 6/60 = 0.9, H' = 2.25
+    val three = Experiment.kruskalWallis(
+        Seq(("a", 1L), ("a", 2L), ("b", 2L), ("c", 5L)).toDF("g", "v"),
+        "g", "v")
+      .collect().head
+    assert(three.getLong(2) == 6L)
+    assert(three.getLong(3) == 2025000L,
+      s"H ${three.getLong(3)} != 2.025e6")
+    assert(three.getLong(4) == 2250000L,
+      s"H' ${three.getLong(4)} != 2.25e6")
+  }
+
+  test("kruskalWallis: an all-tied column degenerates to H = 0 with a " +
+    "NULL corrected H (zero tie-correction denominator), never NaN") {
+    val got = Experiment.kruskalWallis(
+        Seq(("a", 7L), ("a", 7L), ("b", 7L)).toDF("g", "v"), "g", "v")
+      .collect().head
+    assert(got.getLong(3) == 0L && got.isNullAt(4))
+  }
+
   test("funnelStageDeltas: strict-after chain anchors on FIRST " +
     "qualifying steps; incomplete chains emit only completed stages") {
     val M = 1000000L
