@@ -822,6 +822,66 @@ object Experiment {
         .otherwise(lit(null).cast("long")).as("h_tie_micro"))
   }
 
+  /** Wilcoxon signed-rank test (Wilcoxon 1945) — the PAIRED complement
+   * of mannWhitney's independent arms: per unit a before/after (or
+   * A/B-on-the-same-unit) pair, "did the distribution of within-unit
+   * CHANGES shift from zero", rank-based so one whale's delta can't
+   * buy the result.
+   *
+   * Convention (the standard reduced-sample form): zero differences
+   * DROP (n counts nonzero pairs), |d| takes exact ×2-integer midranks
+   * (r2 = 2·cum − c + 1, the [[spearman]]/[[kruskalWallis]] machinery),
+   * `w2_pos` = Σ r2 over positive differences (an exact BIGINT, twice
+   * the classic W⁺), tie term Σ(t³ − t) exact. The normal
+   * approximation rides the ×2 scale end-to-end — E[W2⁺] = n(n+1)/2,
+   * Var[W2⁺] = n(n+1)(2n+1)/6 − Σ(t³−t)/12 — as ONE fixed-shape double
+   * expression micro-quantized; NULL (never NaN) when n < 1 (the
+   * tie-corrected variance is strictly positive for any n ≥ 1, but the
+   * guard stays in the expression so a future convention change cannot
+   * surface a NaN).
+   *
+   * Bounds, loud: n ≤ 1e6 nonzero pairs and distinct-|d| grain via
+   * [[graft.ext.Profile.boundedCumCounts]] (the spearman audit-slice
+   * envelope). Input at UNIT grain: one row per unit, two numeric
+   * columns (caller owns quantization). Output 1 row:
+   * (n_nonzero, w2_pos, tie_sum, z_micro). */
+  def wilcoxonSignedRank(df: DataFrame, xCol: String,
+      yCol: String): DataFrame = {
+    val d0 = df.filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .select((col(yCol).cast("long") - col(xCol).cast("long")).as("__d"))
+      .filter(col("__d") =!= 0L)
+      .select(col("__d"), abs(col("__d")).as("__a"))
+    val mr = graft.ext.Profile.boundedCumCounts(
+        d0.groupBy("__a").agg(count(lit(1)).as("__c")),
+        "__a", "__c", 1000000L,
+        "wilcoxonSignedRank: more than 1e6 distinct |d| values — rank " +
+          "moments would leave the exact envelope (bounded-grain " +
+          "contract)")
+      .select(col("__a"),
+        (lit(2L) * col("cum") - col("__c") + lit(1L)).as("__r2"),
+        (col("__c") * col("__c") * col("__c") - col("__c")).as("__t3"))
+    val tie = mr.agg(coalesce(sum("__t3"), lit(0L)).as("tie_sum"))
+    val agg = d0.join(mr.select("__a", "__r2"), "__a")
+      .agg(count(lit(1)).as("n_nonzero"),
+        coalesce(sum(when(col("__d") > 0L, col("__r2"))
+          .otherwise(lit(0L))), lit(0L)).as("w2_pos"))
+      .withColumn("__g", assert_true(col("n_nonzero") <= 1000000L,
+        lit("wilcoxonSignedRank: nonzero-pair count exceeds 1e6 — rank " +
+          "moments would leave BIGINT (bounded-moment contract); " +
+          "sample the audit slice")))
+      .where(col("__g").isNull)
+      .crossJoin(tie)
+    val nD = col("n_nonzero").cast("double")
+    val varW2 = nD * (nD + lit(1.0)) * (lit(2.0) * nD + lit(1.0)) /
+      lit(6.0) - col("tie_sum").cast("double") / lit(12.0)
+    val z = (col("w2_pos").cast("double") -
+      nD * (nD + lit(1.0)) / lit(2.0)) / sqrt(varW2)
+    agg.select(col("n_nonzero"), col("w2_pos"), col("tie_sum"),
+      when(col("n_nonzero") >= 1L && varW2 > lit(0.0),
+        floor(z * lit(1e6) + lit(0.5)).cast("long"))
+        .otherwise(lit(null).cast("long")).as("z_micro"))
+  }
+
   def srmCheck(events: DataFrame, userCol: String = "user_id"): DataFrame =
     events.select(col(userCol).as("user")).distinct()
       .agg(

@@ -420,6 +420,39 @@ object Sketches {
       .groupBy("lo", "hi").agg(count(lit(1)).as("c"))
   }
 
+  /** GROUPED signed quantile sketch: one [[quantileSketchSigned]] per
+   * `groupCol` value in a single hash-agg — (group, lo, hi, c), ≤
+   * 2·qSketchMaxBuckets+1 rows per group (both sign stores + zero).
+   * The per-type residual/delta profile at 100 TB: each group's
+   * deviations sketch with the 2^−subBits |v| envelope on both sides
+   * of zero. [[quantileSketchQuantilesBy]] reads it unchanged (per-
+   * group partitions need no global bound; bucket order by `lo` is
+   * value order on either side of zero). A single-group relation is
+   * bucket-identical to [[quantileSketchSigned]]. */
+  def quantileSketchSignedBy(df: DataFrame, groupCol: String,
+      valCol: String, subBits: Int = QSketchSubBits): DataFrame = {
+    require(subBits >= 1 && subBits <= 16,
+      s"subBits must be in [1, 16], got $subBits")
+    df.filter(col(valCol).isNotNull)
+      .select(col(groupCol).as("group"), col(valCol).cast("long").as("v"))
+      .withColumn("__g", assert_true(
+        col("v") > lit(-(1L << 62)) && col("v") < lit(1L << 62),
+        lit("quantileSketchSignedBy: values must be in (-2^62, 2^62) — " +
+          "quantize upstream (log-bucket contract, see " +
+          "Sketches.quantileSketchSigned)")))
+      .where(col("__g").isNull)
+      .withColumn("a", abs(col("v")))
+      .withColumn("s",
+        greatest(lit(0), length(bin(col("a"))) - lit(1 + subBits)))
+      .withColumn("loA", expr("shiftleft(shiftright(a, s), s)"))
+      .withColumn("hiA",
+        expr("shiftleft(shiftright(a, s) + 1, s)") - lit(1L))
+      .select(col("group"),
+        when(col("v") >= 0L, col("loA")).otherwise(-col("hiA")).as("lo"),
+        when(col("v") >= 0L, col("hiA")).otherwise(-col("loA")).as("hi"))
+      .groupBy("group", "lo", "hi").agg(count(lit(1)).as("c"))
+  }
+
   /** GROUPED quantile sketch: one [[quantileSketch]] per `groupCol`
    * value in a single hash-agg — (group, lo, hi, c), ≤
    * [[qSketchMaxBuckets]] rows PER GROUP at any per-group cardinality

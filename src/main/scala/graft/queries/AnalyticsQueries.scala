@@ -1830,6 +1830,75 @@ object AnalyticsQueries {
               FROM a CROSS JOIN tie"""),
       "Kruskal-Wallis H across event types (tie-corrected, exact ranks)"),
 
+    // Wilcoxon signed-rank on PAIRED per-user even-day vs odd-day spend
+    // (centi sums) — the within-unit complement of ab6's independent
+    // arms: each user is their own control, so cross-user variance
+    // cancels and only the per-user CHANGE distribution is tested.
+    // Zero-change users drop (the standard reduced-sample convention);
+    // ranks/tie term exact x2 integers, z one fixed-shape double.
+    "ab10_wilcoxon" -> QueryDef(
+      (s, dir) => graft.ext.Experiment.wilcoxonSignedRank(
+        t(s, dir, "events").filter(col("value").isNotNull)
+          .groupBy("user_id")
+          .agg(
+            sum(when(expr("((ts div 1000) div 86400000000) % 2") === 0,
+              floor(col("value") * 100 + lit(0.5)).cast("long"))
+              .otherwise(0L)).as("even_centi"),
+            sum(when(expr("((ts div 1000) div 86400000000) % 2") === 1,
+              floor(col("value") * 100 + lit(0.5)).cast("long"))
+              .otherwise(0L)).as("odd_centi")),
+        "even_centi", "odd_centi"),
+      Some("""WITH u AS (SELECT user_id,
+                     CAST(sum(CASE WHEN (epoch_us(ts) // 86400000000)
+                                % 2 = 0
+                              THEN CAST(floor(value * 100 + 0.5)
+                                     AS BIGINT)
+                              ELSE 0 END) AS BIGINT) AS x,
+                     CAST(sum(CASE WHEN (epoch_us(ts) // 86400000000)
+                                % 2 = 1
+                              THEN CAST(floor(value * 100 + 0.5)
+                                     AS BIGINT)
+                              ELSE 0 END) AS BIGINT) AS y
+                   FROM events WHERE value IS NOT NULL GROUP BY 1),
+              dd AS (SELECT y - x AS d, abs(y - x) AS a
+                     FROM u WHERE y - x <> 0),
+              ca AS (SELECT a, CAST(count(*) AS BIGINT) AS c
+                     FROM dd GROUP BY 1),
+              mr AS (SELECT a,
+                            2 * CAST(sum(c) OVER (ORDER BY a
+                              ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                              - c + 1 AS r2,
+                            c * c * c - c AS t3
+                     FROM ca),
+              tie AS (SELECT CAST(coalesce(sum(t3), 0) AS BIGINT)
+                               AS tie_sum
+                      FROM mr),
+              ag AS (SELECT CAST(count(*) AS BIGINT) AS n_nonzero,
+                            CAST(coalesce(sum(CASE WHEN dd.d > 0
+                                   THEN mr.r2 ELSE 0 END), 0)
+                              AS BIGINT) AS w2_pos
+                     FROM dd JOIN mr ON mr.a = dd.a)
+              SELECT n_nonzero, w2_pos, tie.tie_sum,
+                     CASE WHEN n_nonzero >= 1 AND
+                       (CAST(n_nonzero AS DOUBLE)
+                          * (CAST(n_nonzero AS DOUBLE) + 1.0)
+                          * (2.0 * CAST(n_nonzero AS DOUBLE) + 1.0)
+                          / 6.0
+                        - CAST(tie.tie_sum AS DOUBLE) / 12.0) > 0.0
+                          THEN CAST(floor(
+                       (CAST(w2_pos AS DOUBLE)
+                        - CAST(n_nonzero AS DOUBLE)
+                          * (CAST(n_nonzero AS DOUBLE) + 1.0) / 2.0)
+                       / sqrt(CAST(n_nonzero AS DOUBLE)
+                          * (CAST(n_nonzero AS DOUBLE) + 1.0)
+                          * (2.0 * CAST(n_nonzero AS DOUBLE) + 1.0)
+                          / 6.0
+                        - CAST(tie.tie_sum AS DOUBLE) / 12.0)
+                       * 1e6 + 0.5) AS BIGINT)
+                     ELSE NULL END AS z_micro
+              FROM ag CROSS JOIN tie"""),
+      "Wilcoxon signed-rank z on paired per-user even/odd-day spend"),
+
     // Per-type exact percentile-rank transform of event values — the
     // normalization table a feature pipeline joins back onto rows
     // (cume_dist as exact integer ppm, ties sharing their group rank);
@@ -2265,6 +2334,58 @@ object AnalyticsQueries {
               FROM dq r JOIN dq c ON c.event_type = r.event_type
                 AND c.q = r.q AND r.par = 0 AND c.par = 1"""),
       "per-type quartile mid-shift between sketch snapshots"),
+
+    // GROUPED signed sketch, gated at RELATION grain (dq30 gates the
+    // ungrouped signed readout, dq26 the grouped unsigned one; this
+    // completes the matrix): each event type's deviations from its OWN
+    // exact median held as a sign-split (lo, hi, c) relation — the
+    // per-type residual profile at 100 TB, ≤ ~4k rows per type. Full
+    // rows+hash oracle of the relation itself — the strongest gate a
+    // sketch can carry.
+    "dq32_qsketch_signed_by" -> QueryDef(
+      (s, dir) => {
+        val ev = t(s, dir, "events").filter(col("value").isNotNull)
+          .select(col("event_type"),
+            floor(col("value") * 100 + lit(0.5)).cast("long").as("vc"))
+        val med = graft.ext.Profile.groupedOrderStats(
+            ev, "event_type", "vc", k = 2)
+          .filter(col("q") === 1)
+          .select(col("key").as("event_type"), col("vq").as("med"))
+        graft.ext.Sketches.quantileSketchSignedBy(
+            ev.join(med, "event_type")
+              .select(col("event_type"),
+                (col("vc") - col("med")).as("dv")),
+            "event_type", "dv")
+          .withColumnRenamed("group", "event_type")
+      },
+      Some("""WITH d AS (SELECT event_type,
+                     CAST(floor(value * 100 + 0.5) AS BIGINT) AS vc
+                   FROM events WHERE value IS NOT NULL),
+              c1 AS (SELECT event_type, vc, CAST(count(*) AS BIGINT) AS c
+                     FROM d GROUP BY 1, 2),
+              cum1 AS (SELECT event_type, vc,
+                              CAST(sum(c) OVER (PARTITION BY event_type
+                                ORDER BY vc ROWS UNBOUNDED PRECEDING)
+                                AS BIGINT) AS cum
+                       FROM c1),
+              tot1 AS (SELECT event_type, CAST(sum(c) AS BIGINT) AS n
+                       FROM c1 GROUP BY 1),
+              med AS (SELECT cum1.event_type, min(cum1.vc) AS med
+                      FROM cum1 JOIN tot1 USING (event_type)
+                      WHERE cum1.cum >= (tot1.n + 1) // 2 GROUP BY 1),
+              dd AS (SELECT d.event_type, d.vc - med.med AS v
+                     FROM d JOIN med USING (event_type))
+              SELECT event_type,
+                     CASE WHEN v >= 0 THEN ((a >> s) << s)
+                     ELSE -((((a >> s) + 1) << s) - 1) END AS lo,
+                     CASE WHEN v >= 0 THEN (((a >> s) + 1) << s) - 1
+                     ELSE -((a >> s) << s) END AS hi,
+                     CAST(count(*) AS BIGINT) AS c
+              FROM (SELECT event_type, v, abs(v) AS a,
+                           greatest(0, length(bin(abs(v))) - 6) AS s
+                    FROM dd)
+              GROUP BY 1, 2, 3"""),
+      "grouped signed sketch of per-type median deviations (hash gate)"),
 
     // Full per-type daily-count regression readout: x14's exact slope
     // plus intercept and R² (fixed-shape doubles over the same exact

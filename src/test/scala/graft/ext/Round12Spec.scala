@@ -143,6 +143,51 @@ class Round12Spec extends SparkTestBase {
     assert(got.getLong(3) == 0L && got.isNullAt(4))
   }
 
+  test("wilcoxonSignedRank: zero diffs drop, hand z on distinct and " +
+    "tied |d|, all-zero degenerates to NULL") {
+    // d = +1, +2, +3, -4 (and one zero pair that must drop): |d| ranks
+    // 1..4 (r2 2,4,6,8), W2+ = 12, E = 10, Var = 30,
+    // z = 2/sqrt(30) = 0.36514837 -> 365148 micro
+    val a = Experiment.wilcoxonSignedRank(
+        Seq((0L, 1L), (0L, 2L), (0L, 3L), (4L, 0L), (5L, 5L))
+          .toDF("x", "y"), "x", "y")
+      .collect().head
+    assert(a.getLong(0) == 4L && a.getLong(1) == 12L &&
+      a.getLong(2) == 0L)
+    assert(a.getLong(3) == 365148L, s"z ${a.getLong(3)} != 365148")
+    // tied |d|: d = +1, -1, +2 — the two 1s midrank 1.5 (r2 = 3),
+    // W2+ = 3 + 6 = 9, tie term 6, Var = 14 - 0.5 = 13.5,
+    // z = 3/sqrt(13.5) = 0.81649658 -> 816497 micro (half-up)
+    val b = Experiment.wilcoxonSignedRank(
+        Seq((0L, 1L), (1L, 0L), (0L, 2L)).toDF("x", "y"), "x", "y")
+      .collect().head
+    assert(b.getLong(1) == 9L && b.getLong(2) == 6L)
+    assert(b.getLong(3) == 816497L, s"z ${b.getLong(3)} != 816497")
+    val none = Experiment.wilcoxonSignedRank(
+        Seq((1L, 1L), (2L, 2L)).toDF("x", "y"), "x", "y")
+      .collect().head
+    assert(none.getLong(0) == 0L && none.isNullAt(3))
+  }
+
+  test("quantileSketchSignedBy: a single-group relation is " +
+    "bucket-identical to quantileSketchSigned; groups don't bleed") {
+    val a = Seq(-500L, -1L, 0L, 7L, 4096L).map(("a", _))
+    val b = Seq(-4096L, 3L).map(("b", _))
+    val df = (a ++ b).toDF("g", "v")
+    val grouped = Sketches.quantileSketchSignedBy(df, "g", "v")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    val single = Sketches.quantileSketchSigned(
+        df.filter(col("g") === "a").select("v"), "v")
+      .collect().map(r => ("a", r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(grouped.filter(_._1 == "a").toSet == single.toSet)
+    // b's buckets contain only b's values
+    grouped.filter(_._1 == "b").foreach { case (_, lo, hi, _) =>
+      assert(b.map(_._2).exists(v => v >= lo && v <= hi))
+    }
+  }
+
   test("funnelStageDeltas: strict-after chain anchors on FIRST " +
     "qualifying steps; incomplete chains emit only completed stages") {
     val M = 1000000L
