@@ -136,6 +136,65 @@ object Profile {
       bucketCounts(cur, valueCol, bucketWidth).toDF("bucket", "n_cur"))
   }
 
+  /** Two-sample Kolmogorov–Smirnov distance — the EXACT drift test the
+   * bucket family can't be: PSI/JSD (dq20/dq21/dq28) quantize into
+   * buckets first and answer "how much mass moved between buckets";
+   * KS works at full value grain and answers "the largest ECDF gap
+   * anywhere", the classic distribution-shift statistic. And unlike
+   * the textbook double-valued form, this one is integer-EXACT end to
+   * end: D = max_v |F_ref(v) − F_cur(v)| has numerator
+   * max |cum_ref·n_cur − cum_cur·n_ref| — a BIGINT both engines agree
+   * on bit-for-bit — and the readout is its exact ppm
+   * `(d_num·1e6) div (n_ref·n_cur)`.
+   *
+   * Plan: two value-grain hash-aggs, a full-outer value join, ONE
+   * single-partition cumulative over merged distinct values (the
+   * boundedCumCounts posture with two running sums — loud `maxDistinct`
+   * grain bound), a 1-row max-agg. Loud 2e6-rows-per-side bound keeps
+   * `d_num·1e6` inside BIGINT (the rocAuc exact-ppm discipline); at
+   * corpus scale, pre-quantize values (the caller owns quantization)
+   * or sample the audit slice. Output 1 row:
+   * (n_ref, n_cur, d_num, d_ppm — NULL when either side is empty). */
+  def ksTwoSample(ref: DataFrame, cur: DataFrame, valCol: String,
+      maxDistinct: Long = MaxOrderStatDistinct): DataFrame = {
+    val ca = ref.filter(col(valCol).isNotNull)
+      .groupBy(col(valCol).cast("long").as("v"))
+      .agg(count(lit(1)).as("cr"))
+    val cb = cur.filter(col(valCol).isNotNull)
+      .groupBy(col(valCol).cast("long").as("v"))
+      .agg(count(lit(1)).as("cc"))
+    val m = ca.join(cb, Seq("v"), "full_outer")
+      .select(col("v"), coalesce(col("cr"), lit(0L)).as("cr"),
+        coalesce(col("cc"), lit(0L)).as("cc"))
+    val tot = m.agg(sum("cr").as("na"), sum("cc").as("nb"),
+        count(lit(1)).as("__nd"))
+      .withColumn("__g", assert_true(col("__nd") <= maxDistinct,
+        lit(s"ksTwoSample: more than $maxDistinct merged distinct " +
+          "values — quantize coarser (bounded-grain contract, see " +
+          "Profile.boundedCumCounts)")))
+      .where(col("__g").isNull)
+      .withColumn("__g2", assert_true(
+        col("na") <= 2000000L && col("nb") <= 2000000L,
+        lit("ksTwoSample: a side exceeds 2e6 rows — d_num·1e6 would " +
+          "leave BIGINT (bounded-moment contract); sample the audit " +
+          "slice")))
+      .where(col("__g2").isNull).select("na", "nb")
+    val w = org.apache.spark.sql.expressions.Window.orderBy("v")
+      .rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    m.crossJoin(broadcast(tot))
+      .withColumn("cum_a", sum("cr").over(w))
+      .withColumn("cum_b", sum("cc").over(w))
+      .agg(max("na").as("n_ref"), max("nb").as("n_cur"),
+        max(abs(col("cum_a") * col("nb") - col("cum_b") * col("na")))
+          .as("d_num"))
+      .select(col("n_ref"), col("n_cur"), col("d_num"),
+        when(col("n_ref") > 0L && col("n_cur") > 0L,
+          expr("(d_num * 1000000) div (n_ref * n_cur)"))
+          .otherwise(lit(null).cast("long")).as("d_ppm"))
+  }
+
   /** Join-fanout pre-flight audit: for an equi-join about to run, the
    * top-`topN` keys by OUTPUT contribution (`n_left · n_right`) — the
    * check that catches a multiplicative hot key BEFORE a 100-TB join

@@ -2387,6 +2387,54 @@ object AnalyticsQueries {
               GROUP BY 1, 2, 3"""),
       "grouped signed sketch of per-type median deviations (hash gate)"),
 
+    // Exact two-sample KS distance between even- and odd-day event
+    // values — the full-value-grain drift statistic beside dq20/dq21/
+    // dq28's bucketed mass moves: the largest ECDF gap anywhere, its
+    // numerator an exact BIGINT cross-product both engines hash
+    // identically (no doubles anywhere in the statistic).
+    "dq33_ks_drift" -> QueryDef(
+      (s, dir) => {
+        val ev = t(s, dir, "events").filter(col("value").isNotNull)
+          .select(expr("((ts div 1000) div 86400000000) % 2").as("par"),
+            floor(col("value") * 100 + lit(0.5)).cast("long").as("vq"))
+        graft.ext.Profile.ksTwoSample(
+          ev.filter(col("par") === 0).select("vq"),
+          ev.filter(col("par") === 1).select("vq"), "vq")
+      },
+      Some("""WITH d AS (SELECT (epoch_us(ts) // 86400000000) % 2
+                       AS par,
+                     CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
+                   FROM events WHERE value IS NOT NULL),
+              ca AS (SELECT v, CAST(count(*) AS BIGINT) AS cr
+                     FROM d WHERE par = 0 GROUP BY 1),
+              cb AS (SELECT v, CAST(count(*) AS BIGINT) AS cc
+                     FROM d WHERE par = 1 GROUP BY 1),
+              m AS (SELECT coalesce(ca.v, cb.v) AS v,
+                           CAST(coalesce(cr, 0) AS BIGINT) AS cr,
+                           CAST(coalesce(cc, 0) AS BIGINT) AS cc
+                    FROM ca FULL OUTER JOIN cb ON cb.v = ca.v),
+              t AS (SELECT CAST(sum(cr) AS BIGINT) AS na,
+                           CAST(sum(cc) AS BIGINT) AS nb
+                    FROM m),
+              c AS (SELECT v,
+                           CAST(sum(cr) OVER (ORDER BY v
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                             AS cum_a,
+                           CAST(sum(cc) OVER (ORDER BY v
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                             AS cum_b
+                    FROM m),
+              mx AS (SELECT CAST(max(abs(c.cum_a * t.nb
+                              - c.cum_b * t.na)) AS BIGINT) AS d_num
+                     FROM c CROSS JOIN t)
+              SELECT t.na AS n_ref, t.nb AS n_cur, mx.d_num,
+                     CASE WHEN t.na > 0 AND t.nb > 0
+                          THEN CAST((mx.d_num * 1000000)
+                                 // (t.na * t.nb) AS BIGINT)
+                     ELSE NULL END AS d_ppm
+              FROM t CROSS JOIN mx"""),
+      "exact two-sample KS distance between day-parity snapshots"),
+
     // Full per-type daily-count regression readout: x14's exact slope
     // plus intercept and R² (fixed-shape doubles over the same exact
     // moments) — slope 3/day from base 7 WITH "the line explains it".

@@ -188,6 +188,31 @@ class Round12Spec extends SparkTestBase {
     }
   }
 
+  test("ksTwoSample: exact integer D — hand overlap case, identical " +
+    "-> 0, disjoint -> 1e6 ppm, empty side -> NULL") {
+    import spark.implicits._
+    // ref {1,2,3} vs cur {2,3,4}: ECDF gap 1/3 everywhere except the
+    // top — d_num = 3 (of 9), d_ppm = 333333
+    val a = Profile.ksTwoSample(
+        Seq(1L, 2L, 3L).toDF("v"), Seq(2L, 3L, 4L).toDF("v"), "v")
+      .collect().head
+    assert(a.getLong(0) == 3L && a.getLong(1) == 3L &&
+      a.getLong(2) == 3L && a.getLong(3) == 333333L)
+    val same = Profile.ksTwoSample(
+        Seq(5L, 5L, 9L).toDF("v"), Seq(5L, 5L, 9L).toDF("v"), "v")
+      .collect().head
+    assert(same.getLong(2) == 0L && same.getLong(3) == 0L)
+    val disjoint = Profile.ksTwoSample(
+        Seq(1L, 2L).toDF("v"), Seq(10L, 11L).toDF("v"), "v")
+      .collect().head
+    assert(disjoint.getLong(3) == 1000000L)
+    val empty = Profile.ksTwoSample(
+        Seq(1L, 2L).toDF("v"),
+        Seq.empty[Long].toDF("v"), "v")
+      .collect().head
+    assert(empty.getLong(1) == 0L && empty.isNullAt(3))
+  }
+
   test("funnelStageDeltas: strict-after chain anchors on FIRST " +
     "qualifying steps; incomplete chains emit only completed stages") {
     val M = 1000000L
