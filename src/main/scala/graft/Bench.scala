@@ -1088,7 +1088,13 @@ object Bench {
       // number that justifies the design: each increment tracks the
       // BATCH (plus accumulated-state probes), not the corpus — compare
       // against pipe1_curation_report above, the full recompute.
-      locally {
+      // budget fence for the custom streaming blocks too (they bypass
+      // runFamily's fences — the r12 shakeout run overshot ~290 s here)
+      if (sf1OverBudget) {
+        (0 to 4).foreach(k => sf1Truncated += s"curation_stream_b$k")
+        System.err.println(s"[bench] sf1 budget spent — skipping " +
+          "curation_stream block")
+      } else locally {
         val ps = GraftSession.builder(s"local[$cpus]", cpus).getOrCreate()
         ps.sparkContext.setLogLevel("ERROR")
         try {
@@ -1132,7 +1138,11 @@ object Bench {
       // above) are the incremental claim: each increment pays the
       // accumulated×batch probe + the match-graph relabel, not the full
       // corpus self-join.
-      locally {
+      if (sf1OverBudget) {
+        (0 to 4).foreach(k => sf1Truncated += s"er_stream_b$k")
+        System.err.println(s"[bench] sf1 budget spent — skipping " +
+          "er_stream block")
+      } else locally {
         val ps = GraftSession.builder(s"local[$cpus]", cpus).getOrCreate()
         ps.sparkContext.setLogLevel("ERROR")
         try {
@@ -1180,7 +1190,14 @@ object Bench {
       // LINEARLY per cut (accumulated×batch per block) while the
       // one-shot grows QUADRATICALLY (full block self-joins). Read the
       // b0→b4 trends against each other, not any single wall.
-      locally {
+      if (sf1OverBudget) {
+        (0 to 7).foreach { k =>
+          sf1Truncated += s"er_stream_sep_b$k"
+          sf1Truncated += s"er_oneshot_sep_b$k"
+        }
+        System.err.println(s"[bench] sf1 budget spent — skipping " +
+          "er_stream_sep block")
+      } else locally {
         val ps = GraftSession.builder(s"local[$cpus]", cpus).getOrCreate()
         ps.sparkContext.setLogLevel("ERROR")
         try {
@@ -1202,6 +1219,10 @@ object Bench {
             blockPrefix = 12, minSim = 0.9)
           val cuts = (0 until 8).map(k => k * 6000L -> (k + 1) * 6000L)
           for ((k, (lo, hi)) <- cuts.zipWithIndex.map(_.swap)) {
+            if (sf1OverBudget) {
+              sf1Truncated += s"er_stream_sep_b$k"
+              sf1Truncated += s"er_oneshot_sep_b$k"
+            } else {
             val b = recs.filter(col("id") >= lo && col("id") < hi)
             try {
               val (w, c) = timed(sink.write(b, k.toLong))
@@ -1225,6 +1246,7 @@ object Bench {
               System.err.println(
                 s"[bench] er_oneshot_sep_b$k FAILED: ${e.getMessage}")
               walls += (s"er_oneshot_sep_b$k" -> "-1")
+            }
             }
           }
         } finally {

@@ -402,6 +402,38 @@ class StreamingSpec extends SparkTestBase {
       "incrementally maintained buckets must equal the batch sketch")
   }
 
+  test("streaming SIGNED quantile sketch: the complete-mode bucket " +
+    "relation equals the batch signed sketch on the accumulated stream") {
+    implicit val sqlCtx = spark.sqlContext
+    // same streaming-aggregate claim as the unsigned pin, state bounded
+    // by both sign stores + the zero bucket
+    val input = MemoryStream[Long]
+    val sk = graft.ext.Sketches.quantileSketchSigned(
+      input.toDF().select($"value".as("v")), "v")
+    val q = sk.writeStream.outputMode("complete")
+      .format("memory").queryName("qsketch_signed_out").start()
+    val b1 = (0L until 400L).map(i => (i * 37) % 10000 - 5000)
+    val b2 = (0L until 400L).map(i => (i * 91) % 900000 - 450000)
+    input.addData(b1)
+    q.processAllAvailable()
+    input.addData(b2)
+    q.processAllAvailable()
+    assert(q.recentProgress.length >= 2)
+    q.stop()
+    val streamed = spark.table("qsketch_signed_out")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    assert(streamed.size <=
+      2 * graft.ext.Sketches.qSketchMaxBuckets(5) + 1,
+      "state bounded by both sign stores + the zero bucket")
+    val batch = graft.ext.Sketches.quantileSketchSigned(
+        (b1 ++ b2).toDF("v"), "v")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    assert(streamed == batch,
+      "incrementally maintained buckets must equal the batch sketch")
+  }
+
   test("streaming weighted sample: per-batch A-ES merge equals the " +
     "batch sample on the accumulated stream; replay is a no-op") {
     implicit val sqlCtx = spark.sqlContext
