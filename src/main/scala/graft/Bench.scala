@@ -719,6 +719,110 @@ object Bench {
           System.gc()
         }
       }
+      // r12: this family runs FIRST among the probe families so the
+      // round's NEWEST operator probes land inside the driver's sf1
+      // budget (fresh context per family, own canary - ordering between
+      // families does not contaminate walls).
+      // Round-9 events-analytics family at 10× (disjoint user replicas
+      // written in the main setup above): per-user window operators whose
+      // pass criterion is LINEAR walls — 10× users, identical per-user
+      // history, so the window sorts shuffle 10× the rows into 10× the
+      // (independent) partitions and nothing is superlinear by shape.
+      runFamily(Seq(
+        "at2_linear_attrib" -> ((ps: org.apache.spark.sql.SparkSession) =>
+          SparkEntry.queries("at2_linear_attrib")(ps, dir10)),
+        "s8_window_funnel" -> ((ps: org.apache.spark.sql.SparkSession) =>
+          SparkEntry.queries("s8_window_funnel")(ps, dir10)),
+        "s9_growth_accounting" -> ((ps: org.apache.spark.sql.SparkSession) =>
+          SparkEntry.queries("s9_growth_accounting")(ps, dir10)),
+        // the massive-data bootstrap at 10× users: the ×40 replicate
+        // explode rides the USER-grain relation, so this wall is 40× a
+        // user-grain agg, not 40× the event scan
+        "ab3_bootstrap_ci" -> ((ps: org.apache.spark.sql.SparkSession) =>
+          SparkEntry.queries("ab3_bootstrap_ci")(ps, dir10)),
+        // round-9 session 2: Kaplan-Meier over 10× session lifetimes
+        // (sessionize window at 10× users + the duration-grain product
+        // limit), the cohort triangle (two user-grain aggs + a cell
+        // agg), ACF (the 10× scan feeds the SAME types×hours series —
+        // the window part is scale-invariant by construction), the
+        // per-column snapshot drift (3-way melt at 10×, mode aggs at
+        // value grain), and the Welch readout (one user-grain agg)
+        "s10_retention_km" -> ((ps: org.apache.spark.sql.SparkSession) =>
+          SparkEntry.queries("s10_retention_km")(ps, dir10)),
+        "s12_cohort_retention" ->
+          ((ps: org.apache.spark.sql.SparkSession) =>
+            SparkEntry.queries("s12_cohort_retention")(ps, dir10)),
+        "x13_acf" -> ((ps: org.apache.spark.sql.SparkSession) =>
+          SparkEntry.queries("x13_acf")(ps, dir10)),
+        "dq13_snapshot_drift" ->
+          ((ps: org.apache.spark.sql.SparkSession) =>
+            SparkEntry.queries("dq13_snapshot_drift")(ps, dir10)),
+        "ab4_welch" -> ((ps: org.apache.spark.sql.SparkSession) =>
+          SparkEntry.queries("ab4_welch")(ps, dir10)),
+        // round-9 session 2 (late): funnel latency quartiles (staged
+        // keyed aggs + 2-key grouped selection), per-type value deciles
+        // (PARTITIONED cumulative window at 10× rows), burstiness
+        // (per-user window + user-grain moments), DiD (one conditional
+        // user agg), trigram journeys (window + 125-key agg + cut)
+        "s13_funnel_latency" -> ((ps: org.apache.spark.sql.SparkSession) =>
+          SparkEntry.queries("s13_funnel_latency")(ps, dir10)),
+        "dq16_grouped_quantiles" ->
+          ((ps: org.apache.spark.sql.SparkSession) =>
+            SparkEntry.queries("dq16_grouped_quantiles")(ps, dir10)),
+        "s14_burstiness" -> ((ps: org.apache.spark.sql.SparkSession) =>
+          SparkEntry.queries("s14_burstiness")(ps, dir10)),
+        "ab5_did" -> ((ps: org.apache.spark.sql.SparkSession) =>
+          SparkEntry.queries("ab5_did")(ps, dir10)),
+        "s11_event_trigrams" ->
+          ((ps: org.apache.spark.sql.SparkSession) =>
+            SparkEntry.queries("s11_event_trigrams")(ps, dir10)),
+        // round-10: rank-sum test at 10× users (user-grain agg + the
+        // bounded kernel at distinct-total grain) and the stationary
+        // chain (the s7 window sort at 10× + states-sized iterations)
+        "ab6_mann_whitney" ->
+          ((ps: org.apache.spark.sql.SparkSession) =>
+            SparkEntry.queries("ab6_mann_whitney")(ps, dir10)),
+        "s16_markov_stationary" ->
+          ((ps: org.apache.spark.sql.SparkSession) =>
+            SparkEntry.queries("s16_markov_stationary")(ps, dir10)),
+        // round-10 late: the survival significance + summary readouts
+        // at 10× sessions — the same sessionize window as s10's probe
+        // plus distinct-lifetime-grain kernel passes
+        "ab7_logrank" ->
+          ((ps: org.apache.spark.sql.SparkSession) =>
+            SparkEntry.queries("ab7_logrank")(ps, dir10)),
+        "s17_survival_summary" ->
+          ((ps: org.apache.spark.sql.SparkSession) =>
+            SparkEntry.queries("s17_survival_summary")(ps, dir10)),
+        // round-11: conversion z (one user-grain agg at 10×) and
+        // Mann-Kendall (10× scan feeding the SAME types×days series —
+        // the pair join is scale-invariant by construction, the x13
+        // posture)
+        "ab8_two_proportion" ->
+          ((ps: org.apache.spark.sql.SparkSession) =>
+            SparkEntry.queries("ab8_two_proportion")(ps, dir10)),
+        "x16_mann_kendall" ->
+          ((ps: org.apache.spark.sql.SparkSession) =>
+            SparkEntry.queries("x16_mann_kendall")(ps, dir10)),
+        // round-12: the trend-estimator + rank-correlation siblings on
+        // the same types x days series (scan scales 10x, the pair join
+        // and rank moments stay series-sized — the x13/x16 posture);
+        // the signed sketch + its exact two-level gate at 10x events
+        "x17_theil_sen" ->
+          ((ps: org.apache.spark.sql.SparkSession) =>
+            SparkEntry.queries("x17_theil_sen")(ps, dir10)),
+        "x18_spearman" ->
+          ((ps: org.apache.spark.sql.SparkSession) =>
+            SparkEntry.queries("x18_spearman")(ps, dir10)),
+        "dq30_qsketch_signed" ->
+          ((ps: org.apache.spark.sql.SparkSession) =>
+            SparkEntry.queries("dq30_qsketch_signed")(ps, dir10)),
+        "ab9_kruskal_wallis" ->
+          ((ps: org.apache.spark.sql.SparkSession) =>
+            SparkEntry.queries("ab9_kruskal_wallis")(ps, dir10)),
+        "dq31_qsketch_shift" ->
+          ((ps: org.apache.spark.sql.SparkSession) =>
+            SparkEntry.queries("dq31_qsketch_shift")(ps, dir10))))
       runFamily(
         dedupNames.map(n => n -> ((ps: org.apache.spark.sql.SparkSession) =>
           SparkEntry.queries(n)(ps, dir10))) :+
@@ -1468,106 +1572,6 @@ object Bench {
             .repartition(8).write.mode("overwrite")
             .parquet(s"$dir10/part.parquet")
         })
-      // Round-9 events-analytics family at 10× (disjoint user replicas
-      // written in the main setup above): per-user window operators whose
-      // pass criterion is LINEAR walls — 10× users, identical per-user
-      // history, so the window sorts shuffle 10× the rows into 10× the
-      // (independent) partitions and nothing is superlinear by shape.
-      runFamily(Seq(
-        "at2_linear_attrib" -> ((ps: org.apache.spark.sql.SparkSession) =>
-          SparkEntry.queries("at2_linear_attrib")(ps, dir10)),
-        "s8_window_funnel" -> ((ps: org.apache.spark.sql.SparkSession) =>
-          SparkEntry.queries("s8_window_funnel")(ps, dir10)),
-        "s9_growth_accounting" -> ((ps: org.apache.spark.sql.SparkSession) =>
-          SparkEntry.queries("s9_growth_accounting")(ps, dir10)),
-        // the massive-data bootstrap at 10× users: the ×40 replicate
-        // explode rides the USER-grain relation, so this wall is 40× a
-        // user-grain agg, not 40× the event scan
-        "ab3_bootstrap_ci" -> ((ps: org.apache.spark.sql.SparkSession) =>
-          SparkEntry.queries("ab3_bootstrap_ci")(ps, dir10)),
-        // round-9 session 2: Kaplan-Meier over 10× session lifetimes
-        // (sessionize window at 10× users + the duration-grain product
-        // limit), the cohort triangle (two user-grain aggs + a cell
-        // agg), ACF (the 10× scan feeds the SAME types×hours series —
-        // the window part is scale-invariant by construction), the
-        // per-column snapshot drift (3-way melt at 10×, mode aggs at
-        // value grain), and the Welch readout (one user-grain agg)
-        "s10_retention_km" -> ((ps: org.apache.spark.sql.SparkSession) =>
-          SparkEntry.queries("s10_retention_km")(ps, dir10)),
-        "s12_cohort_retention" ->
-          ((ps: org.apache.spark.sql.SparkSession) =>
-            SparkEntry.queries("s12_cohort_retention")(ps, dir10)),
-        "x13_acf" -> ((ps: org.apache.spark.sql.SparkSession) =>
-          SparkEntry.queries("x13_acf")(ps, dir10)),
-        "dq13_snapshot_drift" ->
-          ((ps: org.apache.spark.sql.SparkSession) =>
-            SparkEntry.queries("dq13_snapshot_drift")(ps, dir10)),
-        "ab4_welch" -> ((ps: org.apache.spark.sql.SparkSession) =>
-          SparkEntry.queries("ab4_welch")(ps, dir10)),
-        // round-9 session 2 (late): funnel latency quartiles (staged
-        // keyed aggs + 2-key grouped selection), per-type value deciles
-        // (PARTITIONED cumulative window at 10× rows), burstiness
-        // (per-user window + user-grain moments), DiD (one conditional
-        // user agg), trigram journeys (window + 125-key agg + cut)
-        "s13_funnel_latency" -> ((ps: org.apache.spark.sql.SparkSession) =>
-          SparkEntry.queries("s13_funnel_latency")(ps, dir10)),
-        "dq16_grouped_quantiles" ->
-          ((ps: org.apache.spark.sql.SparkSession) =>
-            SparkEntry.queries("dq16_grouped_quantiles")(ps, dir10)),
-        "s14_burstiness" -> ((ps: org.apache.spark.sql.SparkSession) =>
-          SparkEntry.queries("s14_burstiness")(ps, dir10)),
-        "ab5_did" -> ((ps: org.apache.spark.sql.SparkSession) =>
-          SparkEntry.queries("ab5_did")(ps, dir10)),
-        "s11_event_trigrams" ->
-          ((ps: org.apache.spark.sql.SparkSession) =>
-            SparkEntry.queries("s11_event_trigrams")(ps, dir10)),
-        // round-10: rank-sum test at 10× users (user-grain agg + the
-        // bounded kernel at distinct-total grain) and the stationary
-        // chain (the s7 window sort at 10× + states-sized iterations)
-        "ab6_mann_whitney" ->
-          ((ps: org.apache.spark.sql.SparkSession) =>
-            SparkEntry.queries("ab6_mann_whitney")(ps, dir10)),
-        "s16_markov_stationary" ->
-          ((ps: org.apache.spark.sql.SparkSession) =>
-            SparkEntry.queries("s16_markov_stationary")(ps, dir10)),
-        // round-10 late: the survival significance + summary readouts
-        // at 10× sessions — the same sessionize window as s10's probe
-        // plus distinct-lifetime-grain kernel passes
-        "ab7_logrank" ->
-          ((ps: org.apache.spark.sql.SparkSession) =>
-            SparkEntry.queries("ab7_logrank")(ps, dir10)),
-        "s17_survival_summary" ->
-          ((ps: org.apache.spark.sql.SparkSession) =>
-            SparkEntry.queries("s17_survival_summary")(ps, dir10)),
-        // round-11: conversion z (one user-grain agg at 10×) and
-        // Mann-Kendall (10× scan feeding the SAME types×days series —
-        // the pair join is scale-invariant by construction, the x13
-        // posture)
-        "ab8_two_proportion" ->
-          ((ps: org.apache.spark.sql.SparkSession) =>
-            SparkEntry.queries("ab8_two_proportion")(ps, dir10)),
-        "x16_mann_kendall" ->
-          ((ps: org.apache.spark.sql.SparkSession) =>
-            SparkEntry.queries("x16_mann_kendall")(ps, dir10)),
-        // round-12: the trend-estimator + rank-correlation siblings on
-        // the same types x days series (scan scales 10x, the pair join
-        // and rank moments stay series-sized — the x13/x16 posture);
-        // the signed sketch + its exact two-level gate at 10x events
-        "x17_theil_sen" ->
-          ((ps: org.apache.spark.sql.SparkSession) =>
-            SparkEntry.queries("x17_theil_sen")(ps, dir10)),
-        "x18_spearman" ->
-          ((ps: org.apache.spark.sql.SparkSession) =>
-            SparkEntry.queries("x18_spearman")(ps, dir10)),
-        "dq30_qsketch_signed" ->
-          ((ps: org.apache.spark.sql.SparkSession) =>
-            SparkEntry.queries("dq30_qsketch_signed")(ps, dir10)),
-        "ab9_kruskal_wallis" ->
-          ((ps: org.apache.spark.sql.SparkSession) =>
-            SparkEntry.queries("ab9_kruskal_wallis")(ps, dir10)),
-        "dq31_qsketch_shift" ->
-          ((ps: org.apache.spark.sql.SparkSession) =>
-            SparkEntry.queries("dq31_qsketch_shift")(ps, dir10))))
       (walls.toList, ratios.toList, rawSamples.toList, canaries.toList,
         nDocs, nVecs)
     }
