@@ -489,6 +489,17 @@ object Sketches {
     a.select("lo", "hi", "c").unionByName(b.select("lo", "hi", "c"))
       .groupBy("lo", "hi").agg(sum("c").as("c"))
 
+  /** Merge two GROUPED sketch relations ([[quantileSketchBy]] or
+   * [[quantileSketchSignedBy]]): union + (group, lo, hi) SUM — exactly
+   * the grouped sketch of the concatenated inputs, because bucket
+   * boundaries are value-determined within every group. The per-shard/
+   * per-day artifact path for PER-KEY distributions: build each shard's
+   * (group, lo, hi, c) relation, persist, merge on read. */
+  def quantileSketchMergeBy(a: DataFrame, b: DataFrame): DataFrame =
+    a.select("group", "lo", "hi", "c")
+      .unionByName(b.select("group", "lo", "hi", "c"))
+      .groupBy("group", "lo", "hi").agg(sum("c").as("c"))
+
   /** Quantile ESTIMATES from a [[quantileSketch]] relation: for each cut
    * j = 1..k, the bucket holding the exact rank-⌈j·n/k⌉ order statistic
    * — its (lo, hi) BRACKET the true order statistic by construction

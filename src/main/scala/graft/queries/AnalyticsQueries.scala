@@ -2435,6 +2435,54 @@ object AnalyticsQueries {
               FROM t CROSS JOIN mx"""),
       "exact two-sample KS distance between day-parity snapshots"),
 
+    // GROUPED shard-merge proven under the gate (dq27's claim lifted to
+    // per-key distributions): per-type sketches built on user-parity
+    // shards, merged by (group, lo, hi) SUM, read at quartiles — the
+    // oracle computes the whole-corpus grouped readout directly, so
+    // hash equality IS the per-key shard-merge ≡ whole claim.
+    "dq34_qsketch_merge_by" -> QueryDef(
+      (s, dir) => {
+        val ev = t(s, dir, "events").filter(col("value").isNotNull)
+          .select(col("user_id"), col("event_type"),
+            floor(col("value") * 100 + lit(0.5)).cast("long").as("vq"))
+        def shard(par: Long) = graft.ext.Sketches.quantileSketchBy(
+          ev.filter(col("user_id") % 2 === par)
+            .select("event_type", "vq"),
+          "event_type", "vq")
+        graft.ext.Sketches.quantileSketchQuantilesBy(
+            graft.ext.Sketches.quantileSketchMergeBy(shard(0L), shard(1L)),
+            k = 4)
+          .withColumnRenamed("group", "event_type")
+      },
+      Some("""WITH d AS (SELECT event_type,
+                     CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
+                   FROM events WHERE value IS NOT NULL),
+              bk AS (SELECT event_type, ((v >> s) << s) AS lo,
+                            (((v >> s) + 1) << s) - 1 AS hi,
+                            CAST(count(*) AS BIGINT) AS c
+                     FROM (SELECT event_type, v,
+                                  greatest(0, length(bin(v)) - 6) AS s
+                           FROM d)
+                     GROUP BY 1, 2, 3),
+              cum AS (SELECT event_type, lo, hi,
+                             CAST(sum(c) OVER (PARTITION BY event_type
+                               ORDER BY lo ROWS UNBOUNDED PRECEDING)
+                               AS BIGINT) AS cum
+                      FROM bk),
+              tot AS (SELECT event_type, CAST(sum(c) AS BIGINT) AS n
+                      FROM bk GROUP BY 1),
+              qs AS (SELECT CAST(unnest(generate_series(1, 4))
+                              AS INTEGER) AS q)
+              SELECT event_type, q, max(rank) AS rank, min(lo) AS lo,
+                     min_by(hi, lo) AS hi,
+                     min(lo) + (min_by(hi, lo) - min(lo)) // 2 AS mid
+              FROM (SELECT cum.event_type, qs.q,
+                           (qs.q * tot.n + 3) // 4 AS rank,
+                           cum.lo, cum.hi, cum.cum
+                    FROM cum JOIN tot USING (event_type) CROSS JOIN qs)
+              WHERE cum >= rank GROUP BY event_type, q"""),
+      "per-type shard-merged sketch quartiles hash-equal the whole"),
+
     // Full per-type daily-count regression readout: x14's exact slope
     // plus intercept and R² (fixed-shape doubles over the same exact
     // moments) — slope 3/day from base 7 WITH "the line explains it".
