@@ -210,6 +210,113 @@ class EnvelopeFuzzSpec extends SparkTestBase {
     }
   }
 
+  test("theilSen: median pairwise slope equals brute force on random " +
+    "series (truncating-division micro convention)") {
+    val genSeries: Gen[List[Long]] =
+      Gen.choose(2, 15).flatMap(n =>
+        Gen.listOfN(n, Gen.choose(-10000L, 10000L)))
+    samples(genSeries, 12).foreach { vs =>
+      val rows = vs.zipWithIndex.map { case (v, i) =>
+        ("k", (i.toLong + 1) * 3, v) } // uneven-looking but distinct ords
+      val got = TimeSeries.theilSen(
+          rows.toDF("key", "t", "v"), "key", "t", "v")
+        .collect().head
+      val slopes = (for {
+        i <- rows.indices; j <- rows.indices if i < j
+      } yield ((rows(j)._3 - rows(i)._3) * 1000000L) /
+        (rows(j)._2 - rows(i)._2)).sorted
+      val med = slopes((slopes.size + 1) / 2 - 1)
+      assert(got.getLong(2) == slopes.size.toLong)
+      assert(got.getLong(3) == med,
+        s"slope ${got.getLong(3)} != brute $med for $vs")
+    }
+  }
+
+  test("spearman: rho equals brute-force midrank d² on random pairs") {
+    val genPairs: Gen[List[(Long, Long)]] = Gen.choose(2, 40).flatMap(n =>
+      Gen.listOfN(n, for {
+        x <- Gen.choose(-50L, 50L); y <- Gen.choose(-50L, 50L)
+      } yield (x, y)))
+    def ranks2(vs: Seq[Long]): Map[Long, Long] = {
+      val byV = vs.groupBy(identity).view.mapValues(_.size.toLong)
+        .toSeq.sortBy(_._1)
+      var cum = 0L
+      byV.map { case (v, c) => cum += c; v -> (2 * cum - c + 1) }.toMap
+    }
+    samples(genPairs, 12).foreach { ps =>
+      val got = Experiment.spearman(ps.toDF("x", "y"), "x", "y")
+        .collect().head
+      val rx = ranks2(ps.map(_._1)); val ry = ranks2(ps.map(_._2))
+      val d2q = ps.map { case (x, y) =>
+        val d = rx(x) - ry(y); d * d }.sum
+      val n = ps.size.toDouble
+      val rho = 1.0 - 1.5 * d2q.toDouble / (n * (n * n - 1.0))
+      assert(got.getLong(1) == d2q)
+      assert(got.getLong(2) == math.floor(rho * 1e6 + 0.5).toLong,
+        s"rho ${got.getLong(2)} != brute for $ps")
+    }
+  }
+
+  test("kruskalWallis: H equals brute-force midrank computation on " +
+    "random grouped values (sorted-group fold)") {
+    val genRows: Gen[List[(String, Long)]] = Gen.choose(4, 50).flatMap(n =>
+      Gen.listOfN(n, for {
+        g <- Gen.oneOf("a", "b", "c"); v <- Gen.choose(-20L, 20L)
+      } yield (g, v)))
+    samples(genRows, 12).foreach { rows =>
+      if (rows.map(_._1).distinct.size >= 2) {
+        val got = Experiment.kruskalWallis(rows.toDF("g", "v"), "g", "v")
+          .collect().head
+        val byV = rows.map(_._2).groupBy(identity).view
+          .mapValues(_.size.toLong).toSeq.sortBy(_._1)
+        var cum = 0L
+        val r2 = byV.map { case (v, c) =>
+          cum += c; v -> (2 * cum - c + 1) }.toMap
+        val tie = byV.map { case (_, c) => c * c * c - c }.sum
+        val n = rows.size.toDouble
+        // the operator's documented fold: ascending group key
+        val ssq = rows.groupBy(_._1).toSeq.sortBy(_._1)
+          .foldLeft(0.0) { case (acc, (_, g)) =>
+            val s2 = g.map(r => r2(r._2)).sum.toDouble
+            acc + s2 * s2 / g.size.toDouble
+          }
+        val h = 3.0 * ssq / (n * (n + 1.0)) - 3.0 * (n + 1.0)
+        assert(got.getLong(2) == tie)
+        assert(got.getLong(3) == math.floor(h * 1e6 + 0.5).toLong,
+          s"H ${got.getLong(3)} != brute for $rows")
+      }
+    }
+  }
+
+  test("wilcoxonSignedRank: W2+/z equal brute force on random pairs") {
+    val genPairs: Gen[List[(Long, Long)]] = Gen.choose(2, 40).flatMap(n =>
+      Gen.listOfN(n, for {
+        x <- Gen.choose(-30L, 30L); y <- Gen.choose(-30L, 30L)
+      } yield (x, y)))
+    samples(genPairs, 12).foreach { ps =>
+      val got = Experiment.wilcoxonSignedRank(ps.toDF("x", "y"), "x", "y")
+        .collect().head
+      val ds = ps.map { case (x, y) => y - x }.filter(_ != 0L)
+      val byA = ds.map(math.abs).groupBy(identity).view
+        .mapValues(_.size.toLong).toSeq.sortBy(_._1)
+      var cum = 0L
+      val r2 = byA.map { case (a, c) =>
+        cum += c; a -> (2 * cum - c + 1) }.toMap
+      val w2 = ds.filter(_ > 0).map(d => r2(math.abs(d))).sum
+      val tie = byA.map { case (_, c) => c * c * c - c }.sum
+      assert(got.getLong(0) == ds.size.toLong)
+      assert(got.getLong(1) == w2)
+      assert(got.getLong(2) == tie)
+      if (ds.nonEmpty) {
+        val n = ds.size.toDouble
+        val v = n * (n + 1.0) * (2.0 * n + 1.0) / 6.0 - tie.toDouble / 12.0
+        val z = (w2.toDouble - n * (n + 1.0) / 2.0) / math.sqrt(v)
+        assert(got.getLong(3) == math.floor(z * 1e6 + 0.5).toLong,
+          s"z ${got.getLong(3)} != brute for $ps")
+      } else assert(got.isNullAt(3))
+    }
+  }
+
   test("isotonicCalibration: both refusal legs are loud — the nBins " +
     "require and the score-range x nBins BIGINT envelope (exactness is " +
     "the ml6 oracle's job)") {
