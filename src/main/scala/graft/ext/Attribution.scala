@@ -496,17 +496,21 @@ object Attribution {
         .as("chi2_micro"))
   }
 
-  /** Per-user funnel-stage conversion latencies — the row-grain relation
-   * under s13's quartile readout, factored out so the STREAMING twin
-   * ([[graft.streaming.StreamingAnalytics.funnelStageLatencies]], r11
-   * verdict #4) pins against exactly this: per user, `t_view` is the
-   * first view, `t_click` the first click STRICTLY after `t_view`,
-   * `t_purchase` the first purchase STRICTLY after `t_click` (the s2
-   * unbounded-chain rule), and each completed step emits one row with
-   * its whole-second latency. Three keyed min-aggs + two joins — every
-   * join is user-grain (already aggregated), nothing corpus-sized
-   * shuffles twice. Output: (user_id, stage, delta_s). */
-  def funnelStageDeltas(events: DataFrame): DataFrame = {
+  /** THE strict-after funnel stage-time relation — the ONE copy of the
+   * view→click→purchase chain rule that s2_funnel's left-join readout,
+   * s13's quartile readout (via [[funnelStageDeltas]]), and the
+   * streaming twin's batch pin all consume, so the rule cannot drift
+   * between them: per user, `t_view` is the first view, `t_click` the
+   * first click STRICTLY after `t_view`, `t_purchase` the first
+   * purchase STRICTLY after `t_click` (the unbounded-chain rule), all
+   * at MICROsecond precision (`ts div 1000` — the w2/w5 convention:
+   * DuckDB's parquet reader truncates TIMESTAMP_NS to µs). Three keyed
+   * min-aggs + two user-grain joins — each stage joins a one-row-per-
+   * user relation (AQE-broadcastable), no window sort over the full
+   * event stream; stages stay keyed passes at any scale. Output:
+   * (user_id, t_view, t_click, t_purchase) for every user with a view;
+   * uncompleted stages are NULL. */
+  def funnelStageTimes(events: DataFrame): DataFrame = {
     val e = events.select(col("user_id"), col("event_type"),
       expr("ts div 1000").as("tsu"))
     val v = e.filter(col("event_type") === "view")
@@ -517,10 +521,23 @@ object Attribution {
     val p = e.filter(col("event_type") === "purchase")
       .join(c, "user_id").filter(col("tsu") > col("t_click"))
       .groupBy("user_id").agg(min("tsu").as("t_purchase"))
-    v.join(c, "user_id")
+    v.join(c, Seq("user_id"), "left").join(p, Seq("user_id"), "left")
+  }
+
+  /** Per-user funnel-stage conversion latencies — the row-grain relation
+   * under s13's quartile readout, factored out so the STREAMING twin
+   * ([[graft.streaming.StreamingAnalytics.funnelStageLatencies]], r11
+   * verdict #4) pins against exactly this. The stage times come from
+   * [[funnelStageTimes]] (the shared strict-after chain — one copy of
+   * the rule, not two that can drift); each completed step emits one
+   * row with its whole-second latency.
+   * Output: (user_id, stage, delta_s). */
+  def funnelStageDeltas(events: DataFrame): DataFrame = {
+    val st = funnelStageTimes(events)
+    st.filter(col("t_click").isNotNull)
       .select(col("user_id"), lit("view->click").as("stage"),
         expr("(t_click - t_view) div 1000000").as("delta_s"))
-      .unionByName(c.join(p, "user_id")
+      .unionByName(st.filter(col("t_purchase").isNotNull)
         .select(col("user_id"), lit("click->purchase").as("stage"),
           expr("(t_purchase - t_click) div 1000000").as("delta_s")))
   }

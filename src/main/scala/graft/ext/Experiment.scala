@@ -754,6 +754,168 @@ object Experiment {
         .otherwise(lit(null).cast("long")).as("rho_micro"))
   }
 
+  /** Kendall rank correlation τ-b (Kendall 1938) — the PAIR-based
+   * monotone-association reading beside [[spearman]]'s rank-distance
+   * one: over all C(n,2) ordered pairs of a series, count concordant
+   * (x and y move the same way) vs discordant, with the τ-b tie
+   * normalization √((n₀−n₁)(n₀−n₂)) so heavily tied columns can still
+   * reach ±1. [[graft.ext.TimeSeries.mannKendall]] IS this statistic's
+   * S = C − D against time; this is the x-vs-y generalization, sharing
+   * the pair-expansion audit-slice contract.
+   *
+   * Exactness: the statistic needs ONLY comparisons — sx/sy come from
+   * `when(xb > xa, 1)(xb < xa, −1)(0)`, never a subtraction — so unlike
+   * theilSen/wilcoxon there is NO value-magnitude envelope at all: any
+   * long is in-domain, nothing can wrap. C, D and the per-column tie
+   * pair counts are exact BIGINTs; with the loud n ≤ `maxPoints` (ord)-
+   * grain bound, n₀ = n(n−1)/2 ≤ ~5·10⁷ keeps (n₀−n₁)(n₀−n₂) ≤ ~2.5e15
+   * < 2^53, so even the one double expression is built from
+   * exactly-representable integers. τ micro-quantizes half-up; NULL
+   * (never NaN) when either tie factor degenerates or n < 2.
+   *
+   * Same O(n²)-behind-a-loud-grain-assert contract as
+   * [[graft.ext.TimeSeries.theilSen]]: the input is a pre-aggregated
+   * series at (ord) grain (daily volumes, hourly rates), never raw
+   * events. Output 1 row: (n_points, n_conc, n_disc, tie_x_pairs,
+   * tie_y_pairs, tau_micro). */
+  def kendallTau(series: DataFrame, ordCol: String, xCol: String,
+      yCol: String, maxPoints: Long = 10000L): DataFrame = {
+    require(maxPoints >= 2, s"maxPoints must be >= 2, got $maxPoints")
+    val s = series.filter(col(xCol).isNotNull && col(yCol).isNotNull &&
+        col(ordCol).isNotNull)
+      .select(col(ordCol).cast("long").as("__t"),
+        col(xCol).cast("long").as("__x"), col(yCol).cast("long").as("__y"))
+    val n = s.agg(count(lit(1)).as("n_points"),
+        countDistinct("__t").as("__nd"))
+      .withColumn("__g", assert_true(
+        col("n_points") <= maxPoints && col("__nd") === col("n_points"),
+        lit(s"kendallTau: series must be at (ord) grain with at most " +
+          s"$maxPoints points — the pair expansion is O(n²) " +
+          "(bounded-grain contract; pre-aggregate to a coarser ord)")))
+      .where(col("__g").isNull).select("n_points")
+    def sgn(b: org.apache.spark.sql.Column,
+        a: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      when(b > a, lit(1L)).when(b < a, lit(-1L)).otherwise(lit(0L))
+    val pairs = s.toDF("__ta", "__xa", "__ya")
+      .join(s.toDF("__tb", "__xb", "__yb"), col("__ta") < col("__tb"))
+      .select((sgn(col("__xb"), col("__xa")) *
+        sgn(col("__yb"), col("__ya"))).as("__s"))
+      .agg(coalesce(sum(when(col("__s") === 1L, 1L).otherwise(0L)),
+          lit(0L)).as("n_conc"),
+        coalesce(sum(when(col("__s") === -1L, 1L).otherwise(0L)),
+          lit(0L)).as("n_disc"))
+    def tiePairs(c: String, out: String): DataFrame =
+      s.groupBy(col(c)).agg(count(lit(1)).as("__c"))
+        .agg(coalesce(sum(expr("__c * (__c - 1) div 2")), lit(0L)).as(out))
+    val joined = n.crossJoin(pairs)
+      .crossJoin(tiePairs("__x", "tie_x_pairs"))
+      .crossJoin(tiePairs("__y", "tie_y_pairs"))
+      .withColumn("__n0", expr("n_points * (n_points - 1) div 2"))
+    val denom = (col("__n0") - col("tie_x_pairs")).cast("double") *
+      (col("__n0") - col("tie_y_pairs")).cast("double")
+    val tau = (col("n_conc") - col("n_disc")).cast("double") / sqrt(denom)
+    joined.select(col("n_points"), col("n_conc"), col("n_disc"),
+      col("tie_x_pairs"), col("tie_y_pairs"),
+      when(col("n_points") >= 2L && denom > lit(0.0),
+        floor(tau * lit(1e6) + lit(0.5)).cast("long"))
+        .otherwise(lit(null).cast("long")).as("tau_micro"))
+  }
+
+  /** Friedman test (Friedman 1937) — the k-treatment PAIRED rank test,
+   * completing the family's 2×2: Mann–Whitney (two arms, independent),
+   * Kruskal–Wallis (k arms, independent), Wilcoxon signed-rank (two
+   * treatments, paired) — and this, k treatments ranked WITHIN each
+   * block (user, day, site), "did any treatment consistently rank
+   * higher", with block effects cancelled by construction.
+   *
+   * Exact moments, one double at the end: per-block midranks on the ×2
+   * integer scale (r2 = 2·cum − c + 1 over the block's value-grain
+   * counts — the cumulative partitions BY BLOCK, the
+   * [[graft.ext.Profile.ksTwoSampleBy]] posture, so there is no global
+   * single-partition sweep at any block count); per-treatment rank sums
+   * R2_j and the cell square sum Σr2² are exact BIGINTs, and the
+   * tie-corrected statistic (Conover's form)
+   *   Q = (k−1)·(ΣR_j² − n²k(k+1)²/4) / (Σr² − nk(k+1)²/4)
+   * becomes, on the ×2 scale where every term is ×4,
+   *   Q = (k−1)·(ΣR2_j² − n²k(k+1)²) / (S2 − nk(k+1)²)
+   * — an exact integer ratio both engines agree on term-for-term; the
+   * artifact carries q_num/q_den as BIGINTs beside the micro readout.
+   * Ties-free this reduces to the textbook 12/(nk(k+1))·ΣR_j² − 3n(k+1).
+   *
+   * Contract, loud: COMPLETE blocks only (every block exactly one
+   * observation of every treatment — assert, not silent skip), k ≤ 100
+   * and n_blocks ≤ 1e6 (ΣR2_j² ≤ 4k³n² stays inside BIGINT). The χ²_{k−1}
+   * readout is the large-sample approximation — `approx_ok` (BIGINT 1/0)
+   * = 1 iff n_blocks ≥ 10 (Friedman 1937's exact small-n tables exist
+   * because the χ² read is unsafe below that), the [[kruskalWallis]]/
+   * [[wilcoxonSignedRank]] regime-flag convention. Output 1 row:
+   * (n_blocks, k_treatments, q_num, q_den, q_micro — NULL when every
+   * block is internally all-tied — approx_ok). */
+  def friedman(df: DataFrame, blockCol: String, treatCol: String,
+      valCol: String): DataFrame = {
+    val d = df.filter(col(blockCol).isNotNull && col(treatCol).isNotNull &&
+        col(valCol).isNotNull)
+      .select(col(blockCol).cast("string").as("__b"),
+        col(treatCol).cast("string").as("__j"),
+        col(valCol).cast("long").as("__v"))
+    val kAll = d.agg(countDistinct("__j").as("k_treatments"),
+        count(lit(1)).as("__nr"), countDistinct("__b").as("n_blocks"))
+      .withColumn("__g1", assert_true(
+        coalesce(col("__nr") ===
+          col("k_treatments") * col("n_blocks"), lit(true)),
+        lit("friedman: blocks must be COMPLETE — every block exactly " +
+          "one observation per treatment (complete-block contract; " +
+          "fill or drop incomplete blocks explicitly)")))
+      .where(col("__g1").isNull)
+      .withColumn("__g2", assert_true(
+        coalesce(col("k_treatments") <= 100L &&
+          col("n_blocks") <= 1000000L, lit(true)),
+        lit("friedman: k > 100 or blocks > 1e6 — rank moments would " +
+          "leave BIGINT (bounded-moment contract); sample the audit " +
+          "slice")))
+      .where(col("__g2").isNull).select("n_blocks", "k_treatments")
+    // completeness at CELL grain too: k·n row-count equality above can't
+    // see a (dup cell + missing cell) swap — assert max cell count == 1
+    val cellsOk = d.groupBy("__b", "__j").agg(count(lit(1)).as("__c"))
+      .agg(coalesce(max("__c"), lit(1L)).as("__mx"))
+      .withColumn("__g", assert_true(col("__mx") <= 1L,
+        lit("friedman: a (block, treatment) cell holds more than one " +
+          "observation (complete-block contract; pre-aggregate cells)")))
+      .where(col("__g").isNull).select(lit(1).as("__ok"))
+    val bc = d.groupBy("__b", "__v").agg(count(lit(1)).as("__c"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("__b")
+      .orderBy("__v")
+      .rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val mr = bc.withColumn("cum", sum("__c").over(w))
+      .select(col("__b"), col("__v"),
+        (lit(2L) * col("cum") - col("__c") + lit(1L)).as("__r2"))
+    val cells = d.join(mr, Seq("__b", "__v"))
+      .crossJoin(broadcast(cellsOk))
+    val byTreat = cells.groupBy("__j").agg(sum("__r2").as("__s2j"))
+      .agg(coalesce(sum(col("__s2j") * col("__s2j")), lit(0L))
+        .as("__sr2sq"))
+    val sq = cells.agg(coalesce(sum(col("__r2") * col("__r2")), lit(0L))
+      .as("__s2"))
+    kAll.crossJoin(byTreat).crossJoin(sq)
+      .withColumn("q_num", (col("k_treatments") - lit(1L)) *
+        (col("__sr2sq") - col("n_blocks") * col("n_blocks") *
+          col("k_treatments") * (col("k_treatments") + lit(1L)) *
+          (col("k_treatments") + lit(1L))))
+      .withColumn("q_den", col("__s2") - col("n_blocks") *
+        col("k_treatments") * (col("k_treatments") + lit(1L)) *
+        (col("k_treatments") + lit(1L)))
+      .select(col("n_blocks"), col("k_treatments"), col("q_num"),
+        col("q_den"),
+        when(col("q_den") > 0L,
+          floor(col("q_num").cast("double") / col("q_den").cast("double")
+            * lit(1e6) + lit(0.5)).cast("long"))
+          .otherwise(lit(null).cast("long")).as("q_micro"),
+        when(col("n_blocks") >= 10L, lit(1L)).otherwise(lit(0L))
+          .as("approx_ok"))
+  }
+
   /** Kruskal–Wallis H test (Kruskal & Wallis 1952) — the k-group
    * extension of Mann–Whitney's two arms: "do ANY of these groups'
    * value distributions differ", rank-based so outliers and
@@ -776,8 +938,18 @@ object Experiment {
    * moments stay exact BIGINTs) and value grain rides
    * [[graft.ext.Profile.boundedCumCounts]]. The group relation is
    * k rows (one per group) — collect_list state is k-bounded, never
-   * corpus-sized. Output 1 row: (n, k_groups, tie_sum, h_micro,
-   * h_tie_micro — NULL when every value ties or n < 2). */
+   * corpus-sized.
+   *
+   * Approximation regime, flagged loudly: H's χ²_{k−1} reference
+   * distribution is the LARGE-SAMPLE approximation (Kruskal & Wallis
+   * 1952 tabulate exact small-sample critical values precisely because
+   * the χ² read is unsafe there); the classic rule is every group
+   * n_g ≥ 5. `approx_ok` (BIGINT 1/0) carries that regime check so a
+   * 3-row audit slice cannot silently read as significant — the H value
+   * itself stays exact either way (it is a statistic, not a p-value).
+   * Output 1 row: (n, k_groups, tie_sum, h_micro, h_tie_micro — NULL
+   * when every value ties or n < 2 — approx_ok = 1 iff k_groups ≥ 2
+   * and min group size ≥ 5). */
   def kruskalWallis(df: DataFrame, groupCol: String,
       valCol: String): DataFrame = {
     val d = df.filter(col(valCol).isNotNull && col(groupCol).isNotNull)
@@ -794,8 +966,13 @@ object Experiment {
     val sg = d.join(mr.select("__v", "__r2"), "__v")
       .groupBy("__g")
       .agg(count(lit(1)).as("__ng"), sum("__r2").as("__s2"))
-    val tie = mr.agg(sum("__t3").as("tie_sum"))
-    val agg = sg.agg(sum("__ng").as("n"), count(lit(1)).as("k_groups"),
+    // Both 1-row relations coalesce their sums: on an EMPTY (or
+    // all-NULL) input, sum over zero rows is NULL and assert_true(NULL)
+    // would crash with the (wrong) 1e6-bound message instead of the
+    // documented NULL-valued output row.
+    val tie = mr.agg(coalesce(sum("__t3"), lit(0L)).as("tie_sum"))
+    val agg = sg.agg(coalesce(sum("__ng"), lit(0L)).as("n"),
+        count(lit(1)).as("k_groups"), min("__ng").as("__nmin"),
         array_sort(collect_list(struct(col("__g"), col("__s2"),
           col("__ng")))).as("__a"))
       .withColumn("__gd", assert_true(col("n") <= 1000000L,
@@ -819,7 +996,9 @@ object Experiment {
         .otherwise(lit(null).cast("long")).as("h_micro"),
       when(col("n") >= 2L && corr > lit(0.0),
         floor(h / corr * lit(1e6) + lit(0.5)).cast("long"))
-        .otherwise(lit(null).cast("long")).as("h_tie_micro"))
+        .otherwise(lit(null).cast("long")).as("h_tie_micro"),
+      when(col("k_groups") >= 2L && col("__nmin") >= 5L, lit(1L))
+        .otherwise(lit(0L)).as("approx_ok"))
   }
 
   /** Wilcoxon signed-rank test (Wilcoxon 1945) — the PAIRED complement
@@ -840,15 +1019,46 @@ object Experiment {
    * guard stays in the expression so a future convention change cannot
    * surface a NaN).
    *
-   * Bounds, loud: n ≤ 1e6 nonzero pairs and distinct-|d| grain via
+   * Bounds, loud: n ≤ 1e6 nonzero pairs, distinct-|d| grain via
    * [[graft.ext.Profile.boundedCumCounts]] (the spearman audit-slice
-   * envelope). Input at UNIT grain: one row per unit, two numeric
-   * columns (caller owns quantization). Output 1 row:
-   * (n_nonzero, w2_pos, tie_sum, z_micro). */
+   * envelope), and |x|,|y| ≤ 2^62 − 1 (so y − x cannot wrap BIGINT —
+   * the family's refuse-don't-wrap convention, matching
+   * theilSen/ksTwoSample; asserted PER ROW strictly below the
+   * subtraction so the documented refusal deterministically beats
+   * ANSI's own overflow error, and on raw values, never abs, because
+   * abs(Long.MinValue) itself wraps).
+   *
+   * Approximation regime, flagged loudly: the z readout is the
+   * large-sample NORMAL approximation (Wilcoxon 1945's exact
+   * small-sample tables exist precisely because it is unsafe below
+   * n ≈ 10); `approx_ok` (BIGINT 1/0) = 1 iff n_nonzero ≥ 10, so a
+   * 3-pair audit slice cannot silently read as significant. W2⁺ and
+   * the tie term stay exact either way.
+   *
+   * Input at UNIT grain: one row per unit, two numeric columns (caller
+   * owns quantization). Output 1 row:
+   * (n_nonzero, w2_pos, tie_sum, z_micro, approx_ok). */
   def wilcoxonSignedRank(df: DataFrame, xCol: String,
       yCol: String): DataFrame = {
+    val bnd = 4611686018427387903L // 2^62 − 1: |y − x| ≤ 2^63 − 2
+    // The magnitude gate is PER ROW, asserted strictly below the
+    // subtraction (a filter the projection pipelines after), not a
+    // 1-row agg like the grain bounds: under ANSI the y − x overflow
+    // itself throws, and an agg-side gate only RACES it (concurrent
+    // stage materialization), so the documented message would win
+    // nondeterministically. The row-level assert is one codegen'd long
+    // comparison; the violating row hits it before its subtraction runs.
     val d0 = df.filter(col(xCol).isNotNull && col(yCol).isNotNull)
-      .select((col(yCol).cast("long") - col(xCol).cast("long")).as("__d"))
+      .select(col(xCol).cast("long").as("__x"),
+        col(yCol).cast("long").as("__y"))
+      .withColumn("__g", assert_true(
+        col("__x") >= -bnd && col("__x") <= bnd &&
+          col("__y") >= -bnd && col("__y") <= bnd,
+        lit("wilcoxonSignedRank: a value's magnitude exceeds 2^62 − 1 " +
+          "— y − x would wrap BIGINT and flip the difference sign " +
+          "(bounded-moment contract); rescale the inputs")))
+      .where(col("__g").isNull)
+      .select((col("__y") - col("__x")).as("__d"))
       .filter(col("__d") =!= 0L)
       .select(col("__d"), abs(col("__d")).as("__a"))
     val mr = graft.ext.Profile.boundedCumCounts(
@@ -879,7 +1089,9 @@ object Experiment {
     agg.select(col("n_nonzero"), col("w2_pos"), col("tie_sum"),
       when(col("n_nonzero") >= 1L && varW2 > lit(0.0),
         floor(z * lit(1e6) + lit(0.5)).cast("long"))
-        .otherwise(lit(null).cast("long")).as("z_micro"))
+        .otherwise(lit(null).cast("long")).as("z_micro"),
+      when(col("n_nonzero") >= 10L, lit(1L)).otherwise(lit(0L))
+        .as("approx_ok"))
   }
 
   def srmCheck(events: DataFrame, userCol: String = "user_id"): DataFrame =

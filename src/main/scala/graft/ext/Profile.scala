@@ -156,26 +156,59 @@ object Profile {
    * or sample the audit slice. Output 1 row:
    * (n_ref, n_cur, d_num, d_ppm — NULL when either side is empty). */
   def ksTwoSample(ref: DataFrame, cur: DataFrame, valCol: String,
-      maxDistinct: Long = MaxOrderStatDistinct): DataFrame = {
-    val ca = ref.filter(col(valCol).isNotNull)
-      .groupBy(col(valCol).cast("long").as("v"))
-      .agg(count(lit(1)).as("cr"))
-    val cb = cur.filter(col(valCol).isNotNull)
-      .groupBy(col(valCol).cast("long").as("v"))
-      .agg(count(lit(1)).as("cc"))
+      maxDistinct: Long = MaxOrderStatDistinct): DataFrame =
+    ksFromCounts(
+      ref.filter(col(valCol).isNotNull)
+        .groupBy(col(valCol).cast("long").as("v"))
+        .agg(count(lit(1)).as("cr")),
+      cur.filter(col(valCol).isNotNull)
+        .groupBy(col(valCol).cast("long").as("v"))
+        .agg(count(lit(1)).as("cc")),
+      maxDistinct, "ksTwoSample")
+
+  /** [[ksTwoSample]] over pre-bucketed histograms `(bucket, n_ref)` /
+   * `(bucket, n_cur)` — the composition seam the STREAMING drift
+   * monitor uses, exactly like [[psiFromBuckets]]/[[jsdFromBuckets]]:
+   * reference histogram frozen once, current histogram maintained
+   * incrementally as streaming state ([[bucketCounts]] in
+   * complete/update mode), and this readout is BUCKET-GRAIN KS — the
+   * largest ECDF gap measured at bucket boundaries, identically
+   * ksTwoSample on floor(v/width)-quantized values (documented as such
+   * vs dq33's full value grain: quantization can only HIDE gap inside
+   * a bucket, never invent one). Input grain: one row per distinct
+   * bucket per side (the [[bucketCounts]] output — positive counts).
+   * Output 1 row, same shape as [[ksTwoSample]]. */
+  def ksFromBuckets(refBuckets: DataFrame, curBuckets: DataFrame,
+      maxDistinct: Long = MaxOrderStatDistinct): DataFrame =
+    ksFromCounts(
+      refBuckets.select(col("bucket").cast("long").as("v"),
+        col("n_ref").cast("long").as("cr")),
+      curBuckets.select(col("bucket").cast("long").as("v"),
+        col("n_cur").cast("long").as("cc")),
+      maxDistinct, "ksFromBuckets")
+
+  /** THE exact-KS kernel shared by [[ksTwoSample]] (value-grain counts)
+   * and [[ksFromBuckets]] (maintained bucket histograms): inputs are
+   * distinct-`v`-grain count relations `(v, cr)` / `(v, cc)`. */
+  private def ksFromCounts(ca: DataFrame, cb: DataFrame,
+      maxDistinct: Long, opName: String): DataFrame = {
     val m = ca.join(cb, Seq("v"), "full_outer")
       .select(col("v"), coalesce(col("cr"), lit(0L)).as("cr"),
         coalesce(col("cc"), lit(0L)).as("cc"))
-    val tot = m.agg(sum("cr").as("na"), sum("cc").as("nb"),
+    // Coalesce the side totals: with BOTH inputs empty, sum over zero
+    // rows is NULL and assert_true(NULL) would crash with the (wrong)
+    // 2e6-bound message instead of the documented NULL-valued row.
+    val tot = m.agg(coalesce(sum("cr"), lit(0L)).as("na"),
+        coalesce(sum("cc"), lit(0L)).as("nb"),
         count(lit(1)).as("__nd"))
       .withColumn("__g", assert_true(col("__nd") <= maxDistinct,
-        lit(s"ksTwoSample: more than $maxDistinct merged distinct " +
+        lit(s"$opName: more than $maxDistinct merged distinct " +
           "values — quantize coarser (bounded-grain contract, see " +
           "Profile.boundedCumCounts)")))
       .where(col("__g").isNull)
       .withColumn("__g2", assert_true(
         col("na") <= 2000000L && col("nb") <= 2000000L,
-        lit("ksTwoSample: a side exceeds 2e6 rows — d_num·1e6 would " +
+        lit(s"$opName: a side exceeds 2e6 rows — d_num·1e6 would " +
           "leave BIGINT (bounded-moment contract); sample the audit " +
           "slice")))
       .where(col("__g2").isNull).select("na", "nb")
@@ -190,6 +223,99 @@ object Profile {
         max(abs(col("cum_a") * col("nb") - col("cum_b") * col("na")))
           .as("d_num"))
       .select(col("n_ref"), col("n_cur"), col("d_num"),
+        when(col("n_ref") > 0L && col("n_cur") > 0L,
+          expr("(d_num * 1000000) div (n_ref * n_cur)"))
+          .otherwise(lit(null).cast("long")).as("d_ppm"))
+  }
+
+  /** GROUPED two-sample Kolmogorov–Smirnov — [[ksTwoSample]] per key,
+   * the "WHICH segment drifted" readout every other drift statistic in
+   * the family already has (PSI dq4, JSD dq21, qsketch dq28/dq31 all
+   * compose per-key forms): one exact KS row per group, numerator the
+   * same BIGINT cross-product both engines agree on bit-for-bit.
+   *
+   * This SCALES BETTER than the global form: the merged-value
+   * cumulative partitions BY GROUP (`Window.partitionBy(group)
+   * .orderBy(v)` — the [[graft.ext.Sketches.quantileSketchQuantilesBy]]
+   * posture), so there is no global single-partition sweep at any group
+   * count; the loud `maxDistinct` grain bound and the 2e6-rows-per-side
+   * BIGINT bound apply PER GROUP (each is asserted on that group's
+   * 1-row total, so a violating segment fails loudly while the job
+   * shape stays per-group bounded). Groups present on only one side
+   * still surface (full-outer on (group, value)) with a NULL `d_ppm`.
+   * Output: (group as string, n_ref, n_cur, d_num, d_ppm — NULL when
+   * that group is empty on either side). */
+  def ksTwoSampleBy(ref: DataFrame, cur: DataFrame, groupCol: String,
+      valCol: String, maxDistinct: Long = MaxOrderStatDistinct)
+      : DataFrame = {
+    def counts(df: DataFrame, out: String): DataFrame =
+      df.filter(col(valCol).isNotNull && col(groupCol).isNotNull)
+        .groupBy(col(groupCol).cast("string").as("g"),
+          col(valCol).cast("long").as("v"))
+        .agg(count(lit(1)).as(out))
+    ksFromCountsBy(counts(ref, "cr"), counts(cur, "cc"), maxDistinct,
+      "ksTwoSampleBy")
+  }
+
+  /** [[ksTwoSampleBy]] over pre-bucketed GROUPED histograms
+   * `(group, bucket, n_ref)` / `(group, bucket, n_cur)` — the grouped
+   * composition seam of [[ksFromBuckets]]: per-segment reference
+   * histograms frozen once, per-segment current histograms maintained
+   * as ONE streaming aggregate (`groupBy(group, bucket).count` in
+   * complete/update mode — same keyed state, one more key column), and
+   * this readout is per-group bucket-grain KS. Input grain: one row per
+   * (group, bucket) per side. Output: one [[ksTwoSampleBy]]-shaped row
+   * per group. */
+  def ksFromBucketsBy(refBuckets: DataFrame, curBuckets: DataFrame,
+      maxDistinct: Long = MaxOrderStatDistinct): DataFrame =
+    ksFromCountsBy(
+      refBuckets.select(col("group").cast("string").as("g"),
+        col("bucket").cast("long").as("v"),
+        col("n_ref").cast("long").as("cr")),
+      curBuckets.select(col("group").cast("string").as("g"),
+        col("bucket").cast("long").as("v"),
+        col("n_cur").cast("long").as("cc")),
+      maxDistinct, "ksFromBucketsBy")
+
+  /** THE grouped exact-KS kernel shared by [[ksTwoSampleBy]] and
+   * [[ksFromBucketsBy]]: inputs at distinct-(g, v) grain with positive
+   * counts `cr` / `cc`. */
+  private def ksFromCountsBy(ca: DataFrame, cb: DataFrame,
+      maxDistinct: Long, opName: String): DataFrame = {
+    val m = ca.join(cb, Seq("g", "v"), "full_outer")
+      .select(col("g"), col("v"), coalesce(col("cr"), lit(0L)).as("cr"),
+        coalesce(col("cc"), lit(0L)).as("cc"))
+    // Per-group totals + loud per-group bounds: each group's row exists
+    // (a group reaches here only with ≥ 1 merged value), so the sums are
+    // never NULL — the empty-input hazard the GLOBAL form coalesces
+    // against cannot arise at this grain.
+    val tot = m.groupBy("g").agg(sum("cr").as("na"), sum("cc").as("nb"),
+        count(lit(1)).as("__nd"))
+      .withColumn("__g1", assert_true(col("__nd") <= maxDistinct,
+        lit(s"$opName: a group exceeds $maxDistinct merged " +
+          "distinct values — quantize coarser (bounded-grain contract, " +
+          "see Profile.boundedCumCounts)")))
+      .where(col("__g1").isNull)
+      .withColumn("__g2", assert_true(
+        col("na") <= 2000000L && col("nb") <= 2000000L,
+        lit(s"$opName: a group's side exceeds 2e6 rows — d_num·1e6 " +
+          "would leave BIGINT (bounded-moment contract); sample the " +
+          "audit slice")))
+      .where(col("__g2").isNull).select("g", "na", "nb")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("g")
+      .orderBy("v")
+      .rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    m.withColumn("cum_a", sum("cr").over(w))
+      .withColumn("cum_b", sum("cc").over(w))
+      .join(tot, "g")
+      .groupBy("g")
+      .agg(max("na").as("n_ref"), max("nb").as("n_cur"),
+        max(abs(col("cum_a") * col("nb") - col("cum_b") * col("na")))
+          .as("d_num"))
+      .select(col("g").as("group"), col("n_ref"), col("n_cur"),
+        col("d_num"),
         when(col("n_ref") > 0L && col("n_cur") > 0L,
           expr("(d_num * 1000000) div (n_ref * n_cur)"))
           .otherwise(lit(null).cast("long")).as("d_ppm"))

@@ -649,23 +649,32 @@ object TimeSeries {
   def theilSen(series: DataFrame, key: String, ordCol: String,
       valCol: String, maxPoints: Long = 10000L): DataFrame = {
     require(maxPoints >= 2, s"maxPoints must be >= 2, got $maxPoints")
+    // The magnitude gate is PER ROW, asserted strictly below the pair
+    // arithmetic (r12 advice: the old max(abs(__v)) agg gate had TWO
+    // holes — abs(Long.MinValue) wraps negative and silently passes a
+    // <= 2e12 check, and under ANSI the pair subtraction's own overflow
+    // RACES any agg-side gate across concurrently-materializing stages,
+    // so the documented message won nondeterministically). One
+    // codegen'd long comparison per row; the violating row refuses
+    // before any arithmetic touches it.
     val s = series.select(col(key).as("__k"),
-      col(ordCol).cast("long").as("__t"), col(valCol).cast("long")
-        .as("__v"))
+        col(ordCol).cast("long").as("__t"), col(valCol).cast("long")
+          .as("__v"))
+      .withColumn("__g", assert_true(
+        col("__v") >= -2000000000000L && col("__v") <= 2000000000000L,
+        lit("theilSen: value magnitude exceeds 2e12 — diff·1e6 would " +
+          "leave BIGINT (bounded-moment contract); rescale the value")))
+      .where(col("__g").isNull).drop("__g")
     val n = s.groupBy("__k")
       .agg(count(lit(1)).as("n_points"),
-        countDistinct("__t").as("__nd"), max(abs(col("__v"))).as("__mx"))
+        countDistinct("__t").as("__nd"))
       .withColumn("__g", assert_true(
         col("n_points") <= maxPoints && col("__nd") === col("n_points"),
         lit(s"theilSen: series must be at (key, ord) grain with at " +
           s"most $maxPoints points per key — the pair expansion is " +
           "O(n²) (bounded-grain contract; pre-aggregate to a coarser " +
           "ord)")))
-      .where(col("__g").isNull)
-      .withColumn("__g2", assert_true(col("__mx") <= 2000000000000L,
-        lit("theilSen: value magnitude exceeds 2e12 — diff·1e6 would " +
-          "leave BIGINT (bounded-moment contract); rescale the value")))
-      .where(col("__g2").isNull).drop("__g", "__g2", "__nd", "__mx")
+      .where(col("__g").isNull).drop("__g", "__nd")
     val slopes = s.toDF("__k", "__ta", "__va")
       .join(s.toDF("__k", "__tb", "__vb"), "__k")
       .filter(col("__ta") < col("__tb"))

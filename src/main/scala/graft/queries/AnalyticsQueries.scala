@@ -1803,6 +1803,7 @@ object AnalyticsQueries {
               tie AS (SELECT CAST(sum(t3) AS BIGINT) AS tie_sum FROM mr),
               a AS (SELECT CAST(sum(ng) AS BIGINT) AS n,
                            CAST(count(*) AS BIGINT) AS k_groups,
+                           CAST(min(ng) AS BIGINT) AS nmin,
                            sum(CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE)
                                / CAST(ng AS DOUBLE) ORDER BY g) AS ssq
                     FROM sg)
@@ -1826,7 +1827,10 @@ object AnalyticsQueries {
                          / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
                             * CAST(n AS DOUBLE) - CAST(n AS DOUBLE)))
                        * 1e6 + 0.5) AS BIGINT)
-                     ELSE NULL END AS h_tie_micro
+                     ELSE NULL END AS h_tie_micro,
+                     CASE WHEN a.k_groups >= 2 AND a.nmin >= 5
+                          THEN CAST(1 AS BIGINT)
+                     ELSE CAST(0 AS BIGINT) END AS approx_ok
               FROM a CROSS JOIN tie"""),
       "Kruskal-Wallis H across event types (tie-corrected, exact ranks)"),
 
@@ -1895,9 +1899,89 @@ object AnalyticsQueries {
                           / 6.0
                         - CAST(tie.tie_sum AS DOUBLE) / 12.0)
                        * 1e6 + 0.5) AS BIGINT)
-                     ELSE NULL END AS z_micro
+                     ELSE NULL END AS z_micro,
+                     CASE WHEN n_nonzero >= 10 THEN CAST(1 AS BIGINT)
+                     ELSE CAST(0 AS BIGINT) END AS approx_ok
               FROM ag CROSS JOIN tie"""),
       "Wilcoxon signed-rank z on paired per-user even/odd-day spend"),
+
+    // Friedman test on day-blocks x event-type treatments (daily counts,
+    // blocks COMPLETED with zero cells so the complete-block contract
+    // holds by construction) — the k-treatment PAIRED rank test that
+    // completes the family's 2x2 (MW/KW independent, Wilcoxon/this
+    // paired): day effects cancel by ranking WITHIN each day. q_num and
+    // q_den are exact BIGINTs on the x2-rank scale (Conover's
+    // tie-corrected form), so the oracle hashes the statistic's exact
+    // integer moments, not just the rounded double.
+    "ab11_friedman" -> QueryDef(
+      (s, dir) => {
+        val cnt = t(s, dir, "events")
+          .groupBy(expr("(ts div 1000) div 86400000000").as("day"),
+            col("event_type"))
+          .agg(count(lit(1)).as("n"))
+        val full = cnt.select("day").distinct()
+          .crossJoin(cnt.select("event_type").distinct())
+          .join(cnt, Seq("day", "event_type"), "left")
+          .select(col("day"), col("event_type"),
+            coalesce(col("n"), lit(0L)).as("n"))
+        graft.ext.Experiment.friedman(full, "day", "event_type", "n")
+      },
+      Some("""WITH cnt AS (SELECT epoch_us(ts) // 86400000000 AS day,
+                     event_type, CAST(count(*) AS BIGINT) AS n
+                   FROM events GROUP BY 1, 2),
+              f AS (SELECT d.day, t.event_type,
+                           CAST(coalesce(cnt.n, 0) AS BIGINT) AS v
+                    FROM (SELECT DISTINCT day FROM cnt) d
+                    CROSS JOIN (SELECT DISTINCT event_type FROM cnt) t
+                    LEFT JOIN cnt ON cnt.day = d.day
+                      AND cnt.event_type = t.event_type),
+              bc AS (SELECT day, v, CAST(count(*) AS BIGINT) AS c
+                     FROM f GROUP BY 1, 2),
+              mr AS (SELECT day, v,
+                            2 * CAST(sum(c) OVER (PARTITION BY day
+                              ORDER BY v ROWS UNBOUNDED PRECEDING)
+                              AS BIGINT) - c + 1 AS r2
+                     FROM bc),
+              cells AS (SELECT f.day, f.event_type, mr.r2
+                        FROM f JOIN mr ON mr.day = f.day AND mr.v = f.v),
+              kn AS (SELECT CAST(count(DISTINCT day) AS BIGINT)
+                              AS n_blocks,
+                            CAST(count(DISTINCT event_type) AS BIGINT)
+                              AS k_treatments
+                     FROM f),
+              bt AS (SELECT CAST(coalesce(sum(s2j * s2j), 0) AS BIGINT)
+                              AS sr2sq
+                     FROM (SELECT event_type,
+                                  CAST(sum(r2) AS BIGINT) AS s2j
+                           FROM cells GROUP BY 1)),
+              sq AS (SELECT CAST(coalesce(sum(r2 * r2), 0) AS BIGINT)
+                              AS s2
+                     FROM cells)
+              SELECT kn.n_blocks, kn.k_treatments,
+                     CAST((kn.k_treatments - 1) * (bt.sr2sq
+                       - kn.n_blocks * kn.n_blocks * kn.k_treatments
+                         * (kn.k_treatments + 1) * (kn.k_treatments + 1))
+                       AS BIGINT) AS q_num,
+                     CAST(sq.s2 - kn.n_blocks * kn.k_treatments
+                       * (kn.k_treatments + 1) * (kn.k_treatments + 1)
+                       AS BIGINT) AS q_den,
+                     CASE WHEN (sq.s2 - kn.n_blocks * kn.k_treatments
+                            * (kn.k_treatments + 1)
+                            * (kn.k_treatments + 1)) > 0
+                          THEN CAST(floor(
+                       CAST((kn.k_treatments - 1) * (bt.sr2sq
+                         - kn.n_blocks * kn.n_blocks * kn.k_treatments
+                           * (kn.k_treatments + 1)
+                           * (kn.k_treatments + 1)) AS DOUBLE)
+                       / CAST(sq.s2 - kn.n_blocks * kn.k_treatments
+                           * (kn.k_treatments + 1)
+                           * (kn.k_treatments + 1) AS DOUBLE)
+                       * 1e6 + 0.5) AS BIGINT)
+                     ELSE NULL END AS q_micro,
+                     CASE WHEN kn.n_blocks >= 10 THEN CAST(1 AS BIGINT)
+                     ELSE CAST(0 AS BIGINT) END AS approx_ok
+              FROM kn CROSS JOIN bt CROSS JOIN sq"""),
+      "Friedman test: event types ranked within day blocks (daily counts)"),
 
     // Per-type exact percentile-rank transform of event values — the
     // normalization table a feature pipeline joins back onto rows
@@ -2435,6 +2519,64 @@ object AnalyticsQueries {
               FROM t CROSS JOIN mx"""),
       "exact two-sample KS distance between day-parity snapshots"),
 
+    // GROUPED exact KS drift — dq33 lifted to per-type grain, the
+    // "WHICH segment drifted" readout the rest of the drift family
+    // already has: one exact KS row per event_type, the merged-value
+    // cumulative partitioned BY GROUP (no global single-partition sweep
+    // — this form scales BETTER than dq33's), the oracle literally
+    // dq33's SQL with PARTITION BY event_type threaded through.
+    "dq35_ks_drift_by" -> QueryDef(
+      (s, dir) => {
+        val ev = t(s, dir, "events").filter(col("value").isNotNull)
+          .select(col("event_type"),
+            expr("((ts div 1000) div 86400000000) % 2").as("par"),
+            floor(col("value") * 100 + lit(0.5)).cast("long").as("vq"))
+        graft.ext.Profile.ksTwoSampleBy(
+            ev.filter(col("par") === 0).select("event_type", "vq"),
+            ev.filter(col("par") === 1).select("event_type", "vq"),
+            "event_type", "vq")
+          .withColumnRenamed("group", "event_type")
+      },
+      Some("""WITH d AS (SELECT event_type,
+                     (epoch_us(ts) // 86400000000) % 2 AS par,
+                     CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
+                   FROM events
+                   WHERE value IS NOT NULL AND event_type IS NOT NULL),
+              ca AS (SELECT event_type AS g, v,
+                            CAST(count(*) AS BIGINT) AS cr
+                     FROM d WHERE par = 0 GROUP BY 1, 2),
+              cb AS (SELECT event_type AS g, v,
+                            CAST(count(*) AS BIGINT) AS cc
+                     FROM d WHERE par = 1 GROUP BY 1, 2),
+              m AS (SELECT coalesce(ca.g, cb.g) AS g,
+                           coalesce(ca.v, cb.v) AS v,
+                           CAST(coalesce(cr, 0) AS BIGINT) AS cr,
+                           CAST(coalesce(cc, 0) AS BIGINT) AS cc
+                    FROM ca FULL OUTER JOIN cb
+                      ON cb.g = ca.g AND cb.v = ca.v),
+              t AS (SELECT g, CAST(sum(cr) AS BIGINT) AS na,
+                           CAST(sum(cc) AS BIGINT) AS nb
+                    FROM m GROUP BY 1),
+              c AS (SELECT g, v,
+                           CAST(sum(cr) OVER (PARTITION BY g ORDER BY v
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                             AS cum_a,
+                           CAST(sum(cc) OVER (PARTITION BY g ORDER BY v
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                             AS cum_b
+                    FROM m),
+              mx AS (SELECT c.g, CAST(max(abs(c.cum_a * t.nb
+                              - c.cum_b * t.na)) AS BIGINT) AS d_num
+                     FROM c JOIN t USING (g) GROUP BY 1)
+              SELECT t.g AS event_type, t.na AS n_ref, t.nb AS n_cur,
+                     mx.d_num,
+                     CASE WHEN t.na > 0 AND t.nb > 0
+                          THEN CAST((mx.d_num * 1000000)
+                                 // (t.na * t.nb) AS BIGINT)
+                     ELSE NULL END AS d_ppm
+              FROM t JOIN mx USING (g)"""),
+      "per-type exact two-sample KS drift (grouped ECDF gap)"),
+
     // GROUPED shard-merge proven under the gate (dq27's claim lifted to
     // per-key distributions): per-type sketches built on user-parity
     // shards, merged by (group, lo, hi) SUM, read at quartiles — the
@@ -2692,6 +2834,65 @@ object AnalyticsQueries {
                      ELSE NULL END AS rho_micro
               FROM a"""),
       "Spearman rank correlation of daily view vs click volumes"),
+
+    // Kendall tau-b on the same daily view/click series as x18 — the
+    // pair-based monotone-association reading (x16's Mann-Kendall IS
+    // this statistic against time; this is x-vs-y): concordant /
+    // discordant / per-column tie-pair counts all exact BIGINTs from
+    // COMPARISONS ONLY (no subtraction anywhere — no magnitude envelope
+    // at all), tau-b one fixed-shape double over exactly-representable
+    // integers.
+    "x19_kendall_tau" -> QueryDef(
+      (s, dir) => graft.ext.Experiment.kendallTau(
+        t(s, dir, "events")
+          .groupBy(expr("(ts div 1000) div 86400000000").as("day"))
+          .agg(sum(when(col("event_type") === "view", 1L).otherwise(0L))
+              .as("x"),
+            sum(when(col("event_type") === "click", 1L).otherwise(0L))
+              .as("y")),
+        "day", "x", "y"),
+      Some("""WITH sr AS (SELECT epoch_us(ts) // 86400000000 AS day,
+                     CAST(sum(CASE WHEN event_type = 'view' THEN 1
+                                   ELSE 0 END) AS BIGINT) AS x,
+                     CAST(sum(CASE WHEN event_type = 'click' THEN 1
+                                   ELSE 0 END) AS BIGINT) AS y
+                   FROM events GROUP BY 1),
+              p AS (SELECT (CASE WHEN b.x > a.x THEN 1
+                                 WHEN b.x < a.x THEN -1 ELSE 0 END)
+                         * (CASE WHEN b.y > a.y THEN 1
+                                 WHEN b.y < a.y THEN -1 ELSE 0 END) AS s
+                    FROM sr a JOIN sr b ON a.day < b.day),
+              cd AS (SELECT CAST(coalesce(sum(CASE WHEN s = 1 THEN 1
+                              ELSE 0 END), 0) AS BIGINT) AS n_conc,
+                            CAST(coalesce(sum(CASE WHEN s = -1 THEN 1
+                              ELSE 0 END), 0) AS BIGINT) AS n_disc
+                     FROM p),
+              nn AS (SELECT CAST(count(*) AS BIGINT) AS n_points FROM sr),
+              tx AS (SELECT CAST(coalesce(sum(c * (c - 1) // 2), 0)
+                              AS BIGINT) AS tie_x_pairs
+                     FROM (SELECT CAST(count(*) AS BIGINT) AS c
+                           FROM sr GROUP BY x)),
+              ty AS (SELECT CAST(coalesce(sum(c * (c - 1) // 2), 0)
+                              AS BIGINT) AS tie_y_pairs
+                     FROM (SELECT CAST(count(*) AS BIGINT) AS c
+                           FROM sr GROUP BY y))
+              SELECT nn.n_points, cd.n_conc, cd.n_disc, tx.tie_x_pairs,
+                     ty.tie_y_pairs,
+                     CASE WHEN nn.n_points >= 2 AND
+                       CAST(nn.n_points * (nn.n_points - 1) // 2
+                         - tx.tie_x_pairs AS DOUBLE)
+                       * CAST(nn.n_points * (nn.n_points - 1) // 2
+                         - ty.tie_y_pairs AS DOUBLE) > 0.0
+                          THEN CAST(floor(
+                       CAST(cd.n_conc - cd.n_disc AS DOUBLE)
+                       / sqrt(CAST(nn.n_points * (nn.n_points - 1) // 2
+                           - tx.tie_x_pairs AS DOUBLE)
+                         * CAST(nn.n_points * (nn.n_points - 1) // 2
+                           - ty.tie_y_pairs AS DOUBLE))
+                       * 1e6 + 0.5) AS BIGINT)
+                     ELSE NULL END AS tau_micro
+              FROM nn CROSS JOIN cd CROSS JOIN tx CROSS JOIN ty"""),
+      "Kendall tau-b of daily view vs click volumes (comparison-exact)"),
 
     // Deterministic EXACT-k-per-language eval sample: salted-md5 rank
     // within stratum, top 20 survive — the eval-set builder a pct-rate

@@ -984,7 +984,9 @@ object RelationalQueries {
       "recency-decayed value rollup (staircase dyadic half-life decay)"),
 
     // Ordered-step conversion funnel: first view, first click AFTER that
-    // view, first purchase AFTER that click. Each stage is one keyed
+    // view, first purchase AFTER that click — the shared strict-after
+    // chain (graft.ext.Attribution.funnelStageTimes, ONE copy of the
+    // rule for s2/s13/the streaming twin). Each stage is one keyed
     // hash-agg over a type-filtered scan joined to the (one-row-per-user,
     // AQE-broadcastable) previous stage — no window sort over the full
     // event stream, no per-user event collection; stages stay keyed passes
@@ -992,20 +994,8 @@ object RelationalQueries {
     // sides (w2/w5 convention: DuckDB's parquet reader truncates
     // TIMESTAMP_NS to us, so ns-precision outputs can never hash-match).
     "s2_funnel" -> QueryDef(
-      (s, dir) => {
-        val e = t(s, dir, "events")
-          .select(col("user_id"), col("event_type"),
-            expr("ts div 1000").as("tsu"))
-        val v = e.filter(col("event_type") === "view")
-          .groupBy("user_id").agg(min("tsu").as("t_view"))
-        val c = e.filter(col("event_type") === "click")
-          .join(v, "user_id").filter(col("tsu") > col("t_view"))
-          .groupBy("user_id").agg(min("tsu").as("t_click"))
-        val p = e.filter(col("event_type") === "purchase")
-          .join(c, "user_id").filter(col("tsu") > col("t_click"))
-          .groupBy("user_id").agg(min("tsu").as("t_purchase"))
-        v.join(c, Seq("user_id"), "left").join(p, Seq("user_id"), "left")
-      },
+      (s, dir) => graft.ext.Attribution.funnelStageTimes(
+        t(s, dir, "events")),
       Some("""WITH v AS (
                 SELECT user_id, min(epoch_us(ts)) AS t_view
                 FROM events WHERE event_type = 'view' GROUP BY 1),

@@ -310,6 +310,95 @@ class StreamingSpec extends SparkTestBase {
     assert(streamSet == batchJsd)
   }
 
+  test("streaming KS drift monitor rides the same maintained histogram " +
+    "as PSI/JSD: bucket-grain ksFromBuckets on the complete-mode bucket " +
+    "state equals batch ksTwoSample on the quantized accumulated stream") {
+    implicit val sqlCtx = spark.sqlContext
+    val ref = spark.range(100).select((($"id" % 5) * 10).as("v"))
+    val refBuckets = graft.ext.Profile.bucketCounts(ref, "v", 10L)
+      .toDF("bucket", "n_ref").cache()
+    val input = MemoryStream[Long]
+    val counts = graft.ext.Profile.bucketCounts(
+      input.toDF().select($"value".as("v")), "v", 10L)
+    val q = counts.writeStream.outputMode("complete")
+      .format("memory").queryName("ks_buckets").start()
+    val b1 = (0L until 100L).map(i => (i % 5) * 10)
+    input.addData(b1); q.processAllAvailable()
+    val mid = graft.ext.Profile.ksFromBuckets(refBuckets,
+        spark.table("ks_buckets").toDF("bucket", "n_cur"))
+      .collect().head
+    assert(mid.getLong(3) == 0L,
+      s"identical first batch must score 0, got ${mid.getLong(3)}")
+    val b2 = (0L until 100L).map(i => (i % 5) * 10 + 200) // drifted mass
+    input.addData(b2); q.processAllAvailable()
+    val end = graft.ext.Profile.ksFromBuckets(refBuckets,
+        spark.table("ks_buckets").toDF("bucket", "n_cur"))
+      .collect().head
+    q.stop()
+    // half the current mass sits entirely past the reference support:
+    // the largest ECDF gap is exactly 1/2 (d_num 100·200 − 100·100)
+    assert((end.getLong(0), end.getLong(1), end.getLong(2),
+      end.getLong(3)) == ((100L, 200L, 10000L, 500000L)),
+      s"got $end")
+    // batch≡stream: bucket-grain KS over the maintained histogram IS
+    // value-grain ksTwoSample on floor(v/width)-quantized snapshots
+    val batch = graft.ext.Profile.ksTwoSample(
+        ref.select(floor($"v" / 10L).cast("long").as("b")),
+        (b1 ++ b2).toDF("v").select(floor($"v" / 10L).cast("long")
+          .as("b")), "b")
+      .collect().head
+    assert((batch.getLong(0), batch.getLong(1), batch.getLong(2),
+      batch.getLong(3)) ==
+      ((end.getLong(0), end.getLong(1), end.getLong(2), end.getLong(3))))
+  }
+
+  test("GROUPED streaming KS monitor: per-segment maintained histograms " +
+    "are ONE streaming aggregate (group, bucket), and ksFromBucketsBy " +
+    "over them equals per-group quantized ksTwoSampleBy on the " +
+    "accumulated stream") {
+    implicit val sqlCtx = spark.sqlContext
+    // per-segment reference: a uniform over buckets 0-4, b over 0-1
+    val ref = spark.range(100)
+      .select(when($"id" % 2 === 0, "a").otherwise("b").as("g"),
+        when($"id" % 2 === 0, ($"id" % 5) * 10L)
+          .otherwise(($"id" % 2) * 10L).as("v"))
+    def buckets(df: org.apache.spark.sql.DataFrame,
+        nCol: String): org.apache.spark.sql.DataFrame =
+      df.select($"g".as("group"),
+          floor($"v".cast("double") / 10L).cast("long").as("bucket"))
+        .groupBy("group", "bucket").agg(count(lit(1)).as(nCol))
+    val refB = buckets(ref, "n_ref").cache()
+    val input = MemoryStream[(String, Long)]
+    val q = buckets(input.toDF().toDF("g", "v"), "n_cur")
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("ksby_buckets").start()
+    // batch 1 matches the reference shape per segment; batch 2 drifts
+    // ONLY segment a (mass past its reference support)
+    val b1 = (0L until 100L).map(i =>
+      if (i % 2 == 0) ("a", (i % 5) * 10L) else ("b", (i % 2) * 10L))
+    val b2 = (0L until 50L).map(i => ("a", 200L + (i % 3) * 10L))
+    input.addData(b1); q.processAllAvailable()
+    input.addData(b2); q.processAllAvailable()
+    val got = graft.ext.Profile.ksFromBucketsBy(refB,
+        spark.table("ksby_buckets").toDF("group", "bucket", "n_cur"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))).toMap
+    q.stop()
+    // segment b never drifted: exact zero; segment a carries the gap
+    assert(got("b")._4 == 0L, s"b: ${got("b")}")
+    assert(got("a")._4 > 0L, s"a: ${got("a")}")
+    // batch≡stream per group, exact tuple equality
+    val acc = (b1 ++ b2).toDF("g", "v")
+    val batch = graft.ext.Profile.ksTwoSampleBy(
+        ref.select($"g", floor($"v".cast("double") / 10L).cast("long")
+          .as("b")),
+        acc.select($"g", floor($"v".cast("double") / 10L).cast("long")
+          .as("b")), "g", "b")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))).toMap
+    assert(got == batch, s"stream $got != batch $batch")
+  }
+
   test("streaming Count-Min sketch: the complete-mode counter relation " +
     "equals the batch sketch on the accumulated stream") {
     implicit val sqlCtx = spark.sqlContext

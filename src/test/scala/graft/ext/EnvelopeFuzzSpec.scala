@@ -181,6 +181,48 @@ class EnvelopeFuzzSpec extends SparkTestBase {
     assert(loudMsg(e2).contains("grain"))
   }
 
+  test("ksTwoSampleBy: per-group rows equal the global ksTwoSample on " +
+    "each group's slices (in-envelope leg); the per-group maxDistinct " +
+    "grain bound refuses loudly (refusal leg)") {
+    val genKeyed: Gen[List[(String, Long, Boolean)]] =
+      Gen.nonEmptyListOf(for {
+        k <- Gen.oneOf("a", "b", "c")
+        v <- Gen.choose(-40L, 40L)
+        side <- Gen.oneOf(true, false)
+      } yield (k, v, side)).map(_.take(120))
+    samples(genKeyed, 8).foreach { rows =>
+      val ref = rows.filter(_._3).map(r => (r._1, r._2))
+      val cur = rows.filterNot(_._3).map(r => (r._1, r._2))
+      val got = Profile.ksTwoSampleBy(
+          ref.toDF("g", "v"), cur.toDF("g", "v"), "g", "v")
+        .collect()
+        .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+          r.getLong(3), if (r.isNullAt(4)) None else Some(r.getLong(4)))))
+        .toMap
+      val keys = (ref.map(_._1) ++ cur.map(_._1)).distinct
+      assert(got.keySet == keys.toSet)
+      keys.foreach { k =>
+        val g = Profile.ksTwoSample(
+            ref.filter(_._1 == k).map(_._2).toDF("v"),
+            cur.filter(_._1 == k).map(_._2).toDF("v"), "v")
+          .collect().head
+        // a group absent on one side: the global form on that slice
+        // produces the same (n, 0, 0, NULL) shape — compare verbatim
+        assert(got(k) == ((g.getLong(0), g.getLong(1), g.getLong(2),
+          if (g.isNullAt(3)) None else Some(g.getLong(3)))),
+          s"group $k: ${got(k)} != global")
+      }
+    }
+    val wide = (1L to 7L).map(("hot", _))
+    val e = intercept[Exception] {
+      Profile.ksTwoSampleBy(wide.toDF("g", "v"),
+          Seq(("hot", 3L)).toDF("g", "v"), "g", "v", maxDistinct = 5L)
+        .collect()
+    }
+    assert(loudMsg(e).contains("merged distinct"),
+      "a >maxDistinct group must hit the documented grain message")
+  }
+
   test("percentileRanks: pct_ppm is the exact integer cume_dist ppm on " +
     "random keyed mixes (the in-envelope leg of the 9e12 contract)") {
     val genKeyed: Gen[List[(String, Long)]] = Gen.nonEmptyListOf(for {
@@ -314,6 +356,75 @@ class EnvelopeFuzzSpec extends SparkTestBase {
         assert(got.getLong(3) == math.floor(z * 1e6 + 0.5).toLong,
           s"z ${got.getLong(3)} != brute for $ps")
       } else assert(got.isNullAt(3))
+    }
+  }
+
+  test("kendallTau: C/D/tie-pairs/tau-b equal brute force on random " +
+    "series, including rim-magnitude values (comparison-only domain)") {
+    val genSeries: Gen[List[(Long, Long)]] = Gen.choose(2, 30).flatMap(n =>
+      Gen.listOfN(n, for {
+        x <- Gen.oneOf(Gen.choose(-20L, 20L),
+          Gen.oneOf(Long.MinValue, Long.MaxValue, 1L << 62))
+        y <- Gen.choose(-20L, 20L)
+      } yield (x, y)))
+    samples(genSeries, 12).foreach { ps =>
+      val rows = ps.zipWithIndex.map { case ((x, y), i) =>
+        (i.toLong, x, y) }
+      val got = Experiment.kendallTau(
+          rows.toDF("t", "x", "y"), "t", "x", "y")
+        .collect().head
+      val pairs = for {
+        i <- ps.indices; j <- ps.indices if i < j
+      } yield java.lang.Long.compare(ps(j)._1, ps(i)._1).sign *
+        java.lang.Long.compare(ps(j)._2, ps(i)._2).sign
+      val c = pairs.count(_ == 1).toLong
+      val d = pairs.count(_ == -1).toLong
+      def tp(vs: Seq[Long]): Long = vs.groupBy(identity).values
+        .map(g => g.size.toLong * (g.size - 1) / 2).sum
+      val (tx, ty) = (tp(ps.map(_._1)), tp(ps.map(_._2)))
+      val n0 = ps.size.toLong * (ps.size - 1) / 2
+      assert(got.getLong(1) == c && got.getLong(2) == d &&
+        got.getLong(3) == tx && got.getLong(4) == ty)
+      val den = (n0 - tx).toDouble * (n0 - ty).toDouble
+      if (den > 0.0) {
+        val tau = (c - d).toDouble / math.sqrt(den)
+        assert(got.getLong(5) == math.floor(tau * 1e6 + 0.5).toLong,
+          s"tau ${got.getLong(5)} != brute for $ps")
+      } else assert(got.isNullAt(5))
+    }
+  }
+
+  test("friedman: exact q_num/q_den equal brute-force within-block " +
+    "midrank computation on random complete blocks") {
+    val genBlocks: Gen[List[List[Long]]] = Gen.choose(2, 12).flatMap(n =>
+      Gen.listOfN(n, Gen.listOfN(4, Gen.choose(0L, 6L))))
+    samples(genBlocks, 12).foreach { blocks =>
+      val rows = blocks.zipWithIndex.flatMap { case (vs, b) =>
+        vs.zipWithIndex.map { case (v, j) => (s"b$b", s"t$j", v) } }
+      val got = Experiment.friedman(rows.toDF("b", "j", "v"),
+          "b", "j", "v")
+        .collect().head
+      val k = 4L; val n = blocks.size.toLong
+      // per-block x2 midranks
+      val r2 = blocks.map { vs =>
+        val byV = vs.groupBy(identity).view.mapValues(_.size.toLong)
+          .toSeq.sortBy(_._1)
+        var cum = 0L
+        val m = byV.map { case (v, c) =>
+          cum += c; v -> (2 * cum - c + 1) }.toMap
+        vs.map(m)
+      }
+      val r2j = (0 until 4).map(j => r2.map(_(j)).sum)
+      val num = (k - 1) * (r2j.map(s => s * s).sum - n * n * k *
+        (k + 1) * (k + 1))
+      val den = r2.flatten.map(r => r * r).sum - n * k * (k + 1) * (k + 1)
+      assert(got.getLong(0) == n && got.getLong(1) == k)
+      assert(got.getLong(2) == num && got.getLong(3) == den,
+        s"num/den ${got.getLong(2)}/${got.getLong(3)} != $num/$den")
+      if (den > 0)
+        assert(got.getLong(4) ==
+          math.floor(num.toDouble / den.toDouble * 1e6 + 0.5).toLong)
+      else assert(got.isNullAt(4))
     }
   }
 
