@@ -205,6 +205,28 @@ object Bench {
     val (ckptPre, ckptPreRaw) = canarySamples(3)(ckptCanary(spark))
     System.err.println(s"[bench] canary pre: cpu=${f2(cpuPre)}s " +
       s"ckpt=${f2(ckptPre)}s")
+    // r12 verdict #1 (re-baseline on a healthy window): an artifact
+    // regenerated FOR COMMIT must not come from a degraded host window —
+    // r12's closing regen ran at ckpt 1.06 s (vs r11's 0.54) and ~20
+    // checkpoint-heavy walls read 1.5-2.3x with zero code change,
+    // leaving cross-round perf unprovable. With
+    // SPARK_GRAFT_REQUIRE_CKPT_SEC set (the closing-regen invocation
+    // passes ~0.6), a degraded PRE canary aborts before any timing is
+    // taken (rc=3 — retry in a later window), and a degraded POST canary
+    // demotes the artifact to BENCH_DEGRADED.json (gitignored) so it can
+    // never clobber the committed healthy baseline.
+    val requireCkpt = sys.env.get("SPARK_GRAFT_REQUIRE_CKPT_SEC")
+      .flatMap(v => scala.util.Try(v.trim.toDouble).toOption)
+    requireCkpt.foreach { thr =>
+      if (ckptPre > thr) {
+        System.err.println(f"[bench] ckpt canary ${ckptPre}%.2f s exceeds " +
+          f"required $thr%.2f s — degraded host window, aborting " +
+          "(retry in a later window)")
+        println(s"""{"metric":"aborted_degraded_window","canary_ckpt":${f2(ckptPre)},"required":$thr}""")
+        spark.stop()
+        sys.exit(3)
+      }
+    }
 
     // Baseline comparison spines, measured BEFORE the query loop (r10
     // verdict #5): the r10 spine ran after 312 queries and inherited
@@ -308,6 +330,13 @@ object Bench {
 
     var failed = List.empty[String]
     val cpuRatios = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    // r12 verdict #1: per-query CPU seconds committed alongside walls —
+    // the canary-insensitive number. A degraded-IO host window inflates
+    // WALLS of checkpoint/shuffle-heavy queries 1.5-2.3x while their CPU
+    // time barely moves; with cpu_sec in the artifact a future degraded
+    // window can no longer poison cross-round per-query reads (compare
+    // cpu_sec when the ckpt canaries disagree, walls when they agree).
+    val cpuSecs = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     // Every query is measured at least twice and the min is reported — this
     // VM has multi-second CPU-steal bursts, so no number may be a single
     // sample (round-1 verdict finding 3). Cheap queries (<5 s) get a third
@@ -349,7 +378,7 @@ object Bench {
           failed ::= name; None
         }
       first match {
-        case None => (name, -1.0, -1.0)
+        case None => (name, -1.0, -1.0, -1.0)
         case Some((w1, c1)) =>
           val extraRuns = if (w1 < 5.0) 2 else 1
           val extras = (1 to extraRuns).flatMap { _ =>
@@ -361,10 +390,11 @@ object Bench {
             }
           }
           val (bestW, bestC) = ((w1, c1) +: extras).minBy(_._1)
-          (name, bestW, if (bestW > 0) bestC / bestW else -1.0)
+          (name, bestW, if (bestW > 0) bestC / bestW else -1.0, bestC)
       }
-    }.map { case (name, wall, cpuRatio) =>
+    }.map { case (name, wall, cpuRatio, cpuSec) =>
       cpuRatios += (name -> cpuRatio)
+      cpuSecs += (name -> cpuSec)
       name -> wall
     }
     val qs = jsonMap(results.map { case (k, v) => k -> v.toString })
@@ -409,6 +439,25 @@ object Bench {
       sys.env.getOrElse("SPARK_GRAFT_SF1_BUDGET_SEC", "900").toDouble
     val sf1SwingBoxSec = 20.0
     val sf1Truncated = scala.collection.mutable.ListBuffer.empty[String]
+    // r12 verdict #2: the driver's BUDGETED run used to evidence zero sf1
+    // scaling (sf1_min: {} — the budget bound before the first fixed-order
+    // family completed). The probe families now execute in a ROTATED
+    // order: the rotation index comes from SPARK_GRAFT_SF1_ROTATION, else
+    // the committed tools/sf1_rotation file (bumped once per round), else
+    // 0 — so each round's budgeted run completes a DIFFERENT leading slice
+    // and every family gets driver-committed evidence every few rounds.
+    // The unbudgeted closing regen still runs every family regardless of
+    // where the rotation starts.
+    val sf1Rotation: Int = sys.env.get("SPARK_GRAFT_SF1_ROTATION")
+      .flatMap(v => scala.util.Try(v.trim.toInt).toOption)
+      .orElse(Seq("tools/sf1_rotation", "/root/repo/tools/sf1_rotation")
+        .view
+        .flatMap(p => scala.util.Try(new String(
+          java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p)),
+          java.nio.charset.StandardCharsets.UTF_8).trim.toInt).toOption)
+        .headOption)
+      .getOrElse(0)
+    var sf1FamilyOrder: Seq[String] = Nil
     val (sf1Walls, sf1Ratios, sf1Samples, sf1Canaries, sf1Docs, sf1Vecs) =
       if (!runSf1) (Nil, Nil, Nil, Nil, 0L, 0L) else {
       import org.apache.spark.sql.functions._
@@ -546,10 +595,11 @@ object Bench {
         // numbers from day one
         "t16_bigram_xent", "sp12_dsir_weights",
         // round-8 session 3: interpolated Kneser-Ney — the same two-corpus
-        // CCNet shape as t16 plus the continuation-count model aggs —
-        // and the three-detector agreement Venn (LSH + SimHash + winnow
-        // all run at 10×; the price of the joint-coverage diagnostic)
-        "t30_kneser_ney", "d34_detector_agreement",
+        // CCNet shape as t16 plus the continuation-count model aggs.
+        // (d34_detector_agreement moved to its own demoted half-scale
+        // family — r12 verdict #3; the sf0.1 gate still prices the full
+        // default-config query every round.)
+        "t30_kneser_ney",
         // round-7 additions: Gopher repetition panel (corpus-scale n-gram
         // aggs + coverage expansion) and frozen-table BPE tokenization
         // (pure narrow projection — its number is the codegen'd
@@ -647,7 +697,13 @@ object Bench {
       System.gc()
       def runFamily(probes: Seq[(String,
           org.apache.spark.sql.SparkSession => org.apache.spark.sql.DataFrame)],
-          setup: org.apache.spark.sql.SparkSession => Unit = _ => ()): Unit = {
+          setup: org.apache.spark.sql.SparkSession => Unit = _ => (),
+          // r12 verdict #3: deliberately demoted probes take ONE
+          // confirmation sample instead of min-of-2 + swing guard — for
+          // expensive A/B legs whose knob note has stabilized ("run-noisy,
+          // keep defaults" three rounds running), a single sample plus the
+          // family canary + cpu/wall ratio is evidence enough per round.
+          oneSample: Set[String] = Set.empty): Unit = {
         // budget fence at FAMILY grain: don't even pay the fresh-context
         // + setup cost for a family whose probes would all be skipped
         if (sf1OverBudget) {
@@ -695,8 +751,10 @@ object Bench {
               // across its samples, extra samples cost more than the
               // noise they remove (min-of-2 stands; the raw samples +
               // cpu/wall ratio still self-identify a stolen window).
-              var samples = (1 to 2).map(_ => timed(mk(ps).count())).toList
-              while (samples.size < 4 &&
+              var samples =
+                (1 to (if (oneSample.contains(label)) 1 else 2))
+                  .map(_ => timed(mk(ps).count())).toList
+              while (!oneSample.contains(label) && samples.size < 4 &&
                   samples.map(_._1).sum < sf1SwingBoxSec &&
                   !sf1OverBudget &&
                   samples.map(_._1).max > samples.map(_._1).min * 1.3)
@@ -719,10 +777,16 @@ object Bench {
           System.gc()
         }
       }
-      // r12: this family runs FIRST among the probe families so the
-      // round's NEWEST operator probes land inside the driver's sf1
-      // budget (fresh context per family, own canary - ordering between
-      // families does not contaminate walls).
+      // r12 verdict #2: families REGISTER here and execute in rotated
+      // order below (fresh context per family, own canary — ordering
+      // between families does not contaminate walls, so any rotation is
+      // measurement-equivalent; only which families fit under the
+      // driver's budget changes per round).
+      val sf1Families =
+        scala.collection.mutable.ListBuffer.empty[(String, () => Unit)]
+      def family(name: String)(body: => Unit): Unit =
+        sf1Families += (name -> (() => body))
+      family("events_analytics") {
       // Round-9 events-analytics family at 10× (disjoint user replicas
       // written in the main setup above): per-user window operators whose
       // pass criterion is LINEAR walls — 10× users, identical per-user
@@ -822,7 +886,71 @@ object Bench {
             SparkEntry.queries("ab9_kruskal_wallis")(ps, dir10)),
         "dq31_qsketch_shift" ->
           ((ps: org.apache.spark.sql.SparkSession) =>
-            SparkEntry.queries("dq31_qsketch_shift")(ps, dir10))))
+            SparkEntry.queries("dq31_qsketch_shift")(ps, dir10)),
+        // r12 verdict #5: the round's previously unprobed queries —
+        // paired signed-rank (user-grain agg at 10× users + |d|-grain
+        // kernel), grouped signed sketch + grouped shard-merge (narrow
+        // scans + ≤4k-row-per-type hash-aggs), exact KS drift (two
+        // value-grain aggs + bounded merged cumulative) — all
+        // value/user-grain, so linear walls are the pass criterion
+        "ab10_wilcoxon" ->
+          ((ps: org.apache.spark.sql.SparkSession) =>
+            SparkEntry.queries("ab10_wilcoxon")(ps, dir10)),
+        "dq32_qsketch_signed_by" ->
+          ((ps: org.apache.spark.sql.SparkSession) =>
+            SparkEntry.queries("dq32_qsketch_signed_by")(ps, dir10)),
+        "dq33_ks_drift" ->
+          ((ps: org.apache.spark.sql.SparkSession) =>
+            SparkEntry.queries("dq33_ks_drift")(ps, dir10)),
+        "dq34_qsketch_merge_by" ->
+          ((ps: org.apache.spark.sql.SparkSession) =>
+            SparkEntry.queries("dq34_qsketch_merge_by")(ps, dir10)),
+        // round-13: the grouped KS (per-type partitioned cumulative —
+        // scales BETTER than dq33's global sweep; this probe is the
+        // evidence)
+        "dq35_ks_drift_by" ->
+          ((ps: org.apache.spark.sql.SparkSession) =>
+            SparkEntry.queries("dq35_ks_drift_by")(ps, dir10)),
+        // round-13: Kendall tau-b (same types x days series — the
+        // scan scales 10x, the pair join is series-sized, the x13/x16
+        // posture) and Friedman (day-blocks x type-treatments: the
+        // per-day partitioned rank cumulative at 10x the events)
+        "x19_kendall_tau" ->
+          ((ps: org.apache.spark.sql.SparkSession) =>
+            SparkEntry.queries("x19_kendall_tau")(ps, dir10)),
+        "ab11_friedman" ->
+          ((ps: org.apache.spark.sql.SparkSession) =>
+            SparkEntry.queries("ab11_friedman")(ps, dir10))))
+      }
+      // r12 verdict #3: the d34 sf1 A/B pair demoted to HALF scale (5 of
+      // the 10 replicas — doc ids below 5·docStride keep replicas 0-4
+      // intact) with ONE confirmation sample per leg: three rounds of
+      // full-scale min-of-2 sampling (~307 s in the r12 closing regen)
+      // kept reproducing the same knob note ("run-noisy on this VM, keep
+      // nomat as the minimax-safe default"). The half-scale pair keeps a
+      // current-round window on the knob at ~1/4 the sample cost; the
+      // sf0.1 gate still prices the full default-config d34 every round.
+      // Labels carry the _h5 suffix so cross-round readers never mistake
+      // the re-based scale for a regression.
+      family("d34_venn_half") {
+      runFamily(Seq(
+        "d34_venn_nomat_h5" -> ((ps: org.apache.spark.sql.SparkSession) =>
+          graft.ext.Dedup.nearDupDetectorVenn(
+            ps.read.parquet(s"$dir10/documents.parquet")
+              .filter(col("doc_id") < lit(5L * docStride)),
+            minJaccard = 0.5, lshMaxBucket = Int.MaxValue,
+            maxHamming = 3, win = 4, minShared = 2, maxPostings = 100,
+            materializeShared = false)),
+        "d34_venn_mat_h5" -> ((ps: org.apache.spark.sql.SparkSession) =>
+          graft.ext.Dedup.nearDupDetectorVenn(
+            ps.read.parquet(s"$dir10/documents.parquet")
+              .filter(col("doc_id") < lit(5L * docStride)),
+            minJaccard = 0.5, lshMaxBucket = Int.MaxValue,
+            maxHamming = 3, win = 4, minShared = 2, maxPostings = 100,
+            materializeShared = true))),
+        oneSample = Set("d34_venn_nomat_h5", "d34_venn_mat_h5"))
+      }
+      family("dedup_text_retrieval") {
       runFamily(
         dedupNames.map(n => n -> ((ps: org.apache.spark.sql.SparkSession) =>
           SparkEntry.queries(n)(ps, dir10))) :+
@@ -834,18 +962,6 @@ object Bench {
           graft.ext.Dedup.lshRecall(
             ps.read.parquet(s"$dir10/documents.parquet"),
             minJaccard = 0.5, samplePct = 20))) :+
-        // the Venn's SCALE knob priced head-to-head against the default
-        // d34 probe above (r9 verdict #2: the default now FOLLOWS the
-        // measurement — gate and default run materializeShared=false,
-        // so d34 above prices nomat and THIS probe prices the
-        // checkpoint-backed tokenize-once form; the r9 window read
-        // nomat 26.0 s vs mat 46.2 s at sf1)
-        ("d34_venn_mat" -> ((ps: org.apache.spark.sql.SparkSession) =>
-          graft.ext.Dedup.nearDupDetectorVenn(
-            ps.read.parquet(s"$dir10/documents.parquet"),
-            minJaccard = 0.5, lshMaxBucket = Int.MaxValue,
-            maxHamming = 3, win = 4, minShared = 2, maxPostings = 100,
-            materializeShared = true))) :+
         // pipe1's materialization knob priced both ways the d34 way (r9
         // verdict #6): the pipe1 probe above runs the new nomat default;
         // this leg checkpoints the shared shingle relation (the r6-r9
@@ -896,6 +1012,7 @@ object Bench {
                 ps.read.parquet(s"$dir10/documents.parquet"),
                 sfTerms, k = 20)))
       })
+      }
       // Fuzzy-name family in its OWN fresh context (r7 verdict #1: d15's
       // sf1 wall jumped 3.70 -> 21.95 s at an identical probe + identical
       // code; the r7 run had six MORE checkpointing probes ahead of it in
@@ -904,6 +1021,7 @@ object Bench {
       // context measures the operator: 5.3-8.4 s over 3 clean samples
       // (min 5.3) for the bidirectional pass, i.e. ~2 independent 8M-pair
       // Levenshtein joins over the documented single-hot-block relation.)
+      family("fuzzy_names") {
       runFamily(Seq(
         ("d15_fuzzy_bidir" -> ((ps: org.apache.spark.sql.SparkSession) =>
           graft.ext.Dedup.editDistancePairsBidirectional(
@@ -967,7 +1085,10 @@ object Bench {
             "id", "nm", Seq(col("nm"), reverse(col("nm"))),
             window = 5, minSim = 0.95)
         }))))
+      }
       // ANN/PQ family at 10× vectors — its OWN fresh context (see above):
+      // (the tombstone/vacuum lifecycle families below REGISTER inside
+      // the same rotation unit: they depend on this family's index build)
       // trained-IVF search, PQ encode, PQ-ADC search, IVF-PQ. The last
       // probe times the PREBUILT-INDEX search path (AnnIndex.searchIvfPq,
       // same geometry as n14): the index is built once in setup (untimed —
@@ -992,6 +1113,7 @@ object Bench {
         "e14_linear_probe", "t29_rank_eval")
       val idxDir = s"$dir10/ann_ivfpq_index"
       val residualIdxDir = s"$dir10/ann_ivfadc_residual_index"
+      family("ann_lifecycle") {
       runFamily(
         annNames.map(n =>
           s"ann_$n" -> ((ps: org.apache.spark.sql.SparkSession) =>
@@ -1186,6 +1308,7 @@ object Bench {
           sf1Bytes += ("ann_index_bytes_reclaimed" ->
             (before - dirBytes(idxDir)).toString)
         })
+      }
       // Streaming curation at 10x: the incrementally MAINTAINED curation
       // table (StreamingCuration.curationSink) driven over the same 10x
       // corpus in 5 monotone-id batches. The per-batch walls are the
@@ -1194,6 +1317,7 @@ object Bench {
       // against pipe1_curation_report above, the full recompute.
       // budget fence for the custom streaming blocks too (they bypass
       // runFamily's fences — the r12 shakeout run overshot ~290 s here)
+      family("curation_stream") {
       if (sf1OverBudget) {
         (0 to 4).foreach(k => sf1Truncated += s"curation_stream_b$k")
         System.err.println(s"[bench] sf1 budget spent — skipping " +
@@ -1235,6 +1359,7 @@ object Bench {
           System.gc()
         }
       }
+      }
       // Streaming entity resolution at 10×: the incrementally MAINTAINED
       // golden-record table driven over the fuzzy-name relation in 3
       // monotone-id batches (ids are custkey + k·1000, so k-ranges are
@@ -1242,6 +1367,7 @@ object Bench {
       // above) are the incremental claim: each increment pays the
       // accumulated×batch probe + the match-graph relabel, not the full
       // corpus self-join.
+      family("er_stream") {
       if (sf1OverBudget) {
         (0 to 4).foreach(k => sf1Truncated += s"er_stream_b$k")
         System.err.println(s"[bench] sf1 budget spent — skipping " +
@@ -1285,6 +1411,7 @@ object Bench {
           System.gc()
         }
       }
+      }
       // Streaming ER favorable case (r8 verdict #3): the SAME sink over
       // the block-separating relation, with a one-shot re-resolve of
       // everything ingested so far timed at each cut as the alternative
@@ -1294,6 +1421,7 @@ object Bench {
       // LINEARLY per cut (accumulated×batch per block) while the
       // one-shot grows QUADRATICALLY (full block self-joins). Read the
       // b0→b4 trends against each other, not any single wall.
+      family("er_stream_sep") {
       if (sf1OverBudget) {
         (0 to 7).foreach { k =>
           sf1Truncated += s"er_stream_sep_b$k"
@@ -1358,8 +1486,10 @@ object Bench {
           System.gc()
         }
       }
+      }
       // Multimodal family — real PNG decode (JdkCodec) + aHash pigeonhole
       // near-dup pairs over 20k images, in its own fresh context.
+      family("multimodal") {
       runFamily(Seq(
         "m1_image_ahash_pairs" -> ((ps: org.apache.spark.sql.SparkSession) => {
           val media = ps.read.parquet(s"$dir10/media.parquet")
@@ -1384,6 +1514,7 @@ object Bench {
               .toDF(),
             maxHamming = 3)
         })))
+      }
       // Graph family at 10×: the order book replicated as 10 DISJOINT
       // copies (EVERY key shifted per replica) — same density per copy,
       // 10× vertices and edges, the honest linear-scale target. A
@@ -1392,6 +1523,7 @@ object Bench {
       // measuring a different workload than "10× the data". PageRank runs
       // its full three fixed-point iterations; triangles the degeneracy-
       // oriented census.
+      family("graph_relational") {
       runFamily(Seq(
         "graph1_pagerank" -> ((ps: org.apache.spark.sql.SparkSession) =>
           graft.ext.Graph.pagerank(
@@ -1572,14 +1704,28 @@ object Bench {
             .repartition(8).write.mode("overwrite")
             .parquet(s"$dir10/part.parquet")
         })
+      }
+      // execute the registered families in rotated order (r12 verdict
+      // #2): rotation R runs family R first, then R+1, ... wrapping —
+      // under the driver's budget each round completes a different
+      // leading slice; an unbudgeted run completes all of them.
+      val rotIdx =
+        ((sf1Rotation % sf1Families.size) + sf1Families.size) %
+          sf1Families.size
+      val orderedFams = sf1Families.drop(rotIdx) ++ sf1Families.take(rotIdx)
+      sf1FamilyOrder = orderedFams.map(_._1).toSeq
+      System.err.println(s"[bench] sf1 rotation $sf1Rotation -> family " +
+        s"order: ${sf1FamilyOrder.mkString(",")}")
+      orderedFams.foreach { case (_, run) => run() }
       (walls.toList, ratios.toList, rawSamples.toList, canaries.toList,
         nDocs, nVecs)
     }
     val sf1Fields =
       if (!runSf1) ""
-      else s""","sf1_dedup":${jsonMap(sf1Walls)},"sf1_dedup_cpu_per_wall":${jsonMap(sf1Ratios)},"sf1_dedup_samples":${jsonMap(sf1Samples)},"sf1_canaries":${jsonMap(sf1Canaries)},"sf1_bytes":${jsonMap(sf1Bytes)},"sf1_docs":$sf1Docs,"sf1_vecs":$sf1Vecs,"sf1_budget_sec":$sf1BudgetSec,"sf1_truncated":${sf1Truncated.map(s => "\"" + s + "\"").mkString("[", ",", "]")}"""
+      else s""","sf1_dedup":${jsonMap(sf1Walls)},"sf1_dedup_cpu_per_wall":${jsonMap(sf1Ratios)},"sf1_dedup_samples":${jsonMap(sf1Samples)},"sf1_canaries":${jsonMap(sf1Canaries)},"sf1_bytes":${jsonMap(sf1Bytes)},"sf1_docs":$sf1Docs,"sf1_vecs":$sf1Vecs,"sf1_budget_sec":$sf1BudgetSec,"sf1_rotation":$sf1Rotation,"sf1_family_order":${sf1FamilyOrder.map(s => "\"" + s + "\"").mkString("[", ",", "]")},"sf1_truncated":${sf1Truncated.map(s => "\"" + s + "\"").mkString("[", ",", "]")}"""
 
     val ratios = jsonMap(cpuRatios.map { case (k, v) => k -> f2(v) })
+    val cpuSecsJson = jsonMap(cpuSecs.map { case (k, v) => k -> f2(v) })
     val note = "r3 small-query regressions (t4/sp1/p5/st1) were shared-" +
       "session block-manager crowding from earlier checkpointing queries, " +
       "not data scaling (fresh-context probe: 0.2-0.8s); periodic GC " +
@@ -1787,7 +1933,7 @@ object Bench {
       "ckpt_samples" -> ckptPreRaw.map(f2).mkString("[", ",", "]"),
       "cpu_sec_post" -> f2(cpuPost),
       "ckpt_sec_post" -> f2(ckptPost)))
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","note":"$note","canary":$canaryJson,"queries":$qs,"failed":$fs,"cpu_per_wall":$ratios,"spine_envelopes_per_sec":${spineRate.round},"spine_cpu_per_wall":${f2(spineCpuRatio)},"spine_streaming_envelopes_per_sec":${streamRate.round},"spine_streaming_batches":$streamBatches,"spine_streaming_batches_per_sec":${f2(streamBatchesPerSec)},"spine_streaming_cpu_per_wall":${f2(streamCpuRatio)},"spine_streaming_batch_ms":${jsonMap(streamBatchMs)}$sf1Fields,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","note":"$note","canary":$canaryJson,"queries":$qs,"failed":$fs,"cpu_per_wall":$ratios,"queries_cpu_sec":$cpuSecsJson,"spine_envelopes_per_sec":${spineRate.round},"spine_cpu_per_wall":${f2(spineCpuRatio)},"spine_streaming_envelopes_per_sec":${streamRate.round},"spine_streaming_batches":$streamBatches,"spine_streaming_batches_per_sec":${f2(streamBatchesPerSec)},"spine_streaming_cpu_per_wall":${f2(streamCpuRatio)},"spine_streaming_batch_ms":${jsonMap(streamBatchMs)}$sf1Fields,"sf":"$sfDir"}"""
     // The stdout line can overflow the driver's tail capture (round-3
     // verdict: "parsed": null two rounds running) — persist the full JSON
     // to a file so the artifact is always complete and auditable.
@@ -1805,7 +1951,13 @@ object Bench {
     // default-budget run would otherwise overwrite the round-closing
     // unbudgeted regen) — truncated runs land beside it instead.
     val fullPath =
-      if (sf1Truncated.isEmpty) "BENCH_FULL.json" else "BENCH_TRUNCATED.json"
+      if (sf1Truncated.nonEmpty) "BENCH_TRUNCATED.json"
+      else if (requireCkpt.exists(thr => ckptPost > thr)) {
+        System.err.println(f"[bench] POST ckpt canary ${ckptPost}%.2f s " +
+          "exceeds the required window — demoting artifact to " +
+          "BENCH_DEGRADED.json (the committed baseline is untouched)")
+        "BENCH_DEGRADED.json"
+      } else "BENCH_FULL.json"
     java.nio.file.Files.write(java.nio.file.Paths.get(fullPath),
       (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     // r7 verdict #3: even with the full line printed last, the driver's
@@ -1814,13 +1966,20 @@ object Bench {
     // total, the failure list, and the headline sf1 probe minimums) that
     // no tail window can truncate; the full detail precedes it on stdout
     // and lives completely in target/bench.json.
+    // Compact sf1_min: headline probes that completed PLUS the first
+    // completed probes in (rotated) execution order — so a BUDGETED run
+    // always evidences whatever slice it finished (r12 verdict #2: the
+    // old fixed-headline filter left the driver artifact with sf1_min {}
+    // whenever the budget cut before those specific probes ran).
     val headline = Seq("d15_fuzzy_bidir", "pipe1_curation_report",
       "graph1_pagerank", "ann_sp18_kcenter_n1000", "d27_winnow_fps",
       "d28_winnow_pairs")
-    val sf1MinCompact = jsonMap(sf1Walls
-      .filter(kv => headline.contains(kv._1))
-      .map { case (k, v) =>
-        k -> (try f2(v.toDouble) catch { case _: Throwable => v }) })
+    val sf1Completed = sf1Walls.filter(_._2 != "-1")
+    val sf1MinCompact = jsonMap(
+      (sf1Completed.filter(kv => headline.contains(kv._1)) ++ sf1Completed)
+        .distinctBy(_._1).take(8)
+        .map { case (k, v) =>
+          k -> (try f2(v.toDouble) catch { case _: Throwable => v }) })
     val compact = s"""{"metric":"total","value":${f2(total)},"unit":"sec","n_queries":${results.size},"failed":$fs,"sf1_min":$sf1MinCompact,"sf1_truncated_n":${sf1Truncated.size},"canary_cpu":${f2(cpuPre)},"canary_ckpt":${f2(ckptPre)},"spine_eps":${spineRate.round},"stream_eps":${streamRate.round},"full":"target/bench.json","sf":"$sfDir"}"""
     // stop Spark first so no shutdown logging can land after the lines,
     // then print full detail followed by the compact summary and flush.
