@@ -920,7 +920,16 @@ object Bench {
             SparkEntry.queries("x19_kendall_tau")(ps, dir10)),
         "ab11_friedman" ->
           ((ps: org.apache.spark.sql.SparkSession) =>
-            SparkEntry.queries("ab11_friedman")(ps, dir10))))
+            SparkEntry.queries("ab11_friedman")(ps, dir10)),
+        // round-13: grouped Spearman (per-type day series — group-
+        // partitioned rank cumulants at 10x the scan) and the bucket-
+        // grain KS (two bucket hash-aggs + a bucket-count-bounded merge)
+        "x20_spearman_by" ->
+          ((ps: org.apache.spark.sql.SparkSession) =>
+            SparkEntry.queries("x20_spearman_by")(ps, dir10)),
+        "dq36_ks_buckets" ->
+          ((ps: org.apache.spark.sql.SparkSession) =>
+            SparkEntry.queries("dq36_ks_buckets")(ps, dir10))))
       }
       // r12 verdict #3: the d34 sf1 A/B pair demoted to HALF scale (5 of
       // the 10 replicas — doc ids below 5·docStride keep replicas 0-4

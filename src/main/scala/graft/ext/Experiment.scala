@@ -754,6 +754,55 @@ object Experiment {
         .otherwise(lit(null).cast("long")).as("rho_micro"))
   }
 
+  /** GROUPED Spearman — [[spearman]] per key, the "does the monotone
+   * co-movement hold in THIS segment" readout (a pooled ρ famously
+   * averages away sign-opposed segments — Simpson's classic): one
+   * (n, Σd², ρ) row per group, midranks taken WITHIN the group.
+   *
+   * Scale posture: both rank relations come from (group, value)-grain
+   * hash-aggs with the cumulative partitioned BY GROUP (the
+   * [[graft.ext.Profile.ksTwoSampleBy]] posture — no global
+   * single-partition sweep at any group count), then two (group, value)
+   * equi-joins and one group-grain agg. The n ≤ 1e6 BIGINT envelope for
+   * Σd² applies PER GROUP, asserted on that group's own 1-row total.
+   * Output: (group as string, n, sum_d2q, rho_micro — NULL when the
+   * group has n < 2). */
+  def spearmanBy(df: DataFrame, groupCol: String, xCol: String,
+      yCol: String): DataFrame = {
+    val d = df.filter(col(groupCol).isNotNull && col(xCol).isNotNull &&
+        col(yCol).isNotNull)
+      .select(col(groupCol).cast("string").as("__g"),
+        col(xCol).cast("long").as("__x"), col(yCol).cast("long").as("__y"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("__g")
+      .orderBy("__v")
+      .rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    def ranks2(c: String, out: String): DataFrame =
+      d.groupBy(col("__g"), col(c).as("__v"))
+        .agg(count(lit(1)).as("__c"))
+        .withColumn("cum", sum("__c").over(w))
+        .select(col("__g"), col("__v").as(c),
+          (lit(2L) * col("cum") - col("__c") + lit(1L)).as(out))
+    val j = d.join(ranks2("__x", "__r2x"), Seq("__g", "__x"))
+      .join(ranks2("__y", "__r2y"), Seq("__g", "__y"))
+    val agg = j.groupBy("__g").agg(count(lit(1)).as("n"),
+        sum((col("__r2x") - col("__r2y")) *
+          (col("__r2x") - col("__r2y"))).as("sum_d2q"))
+      .withColumn("__gd", assert_true(col("n") <= 1000000L,
+        lit("spearmanBy: a group's row count exceeds 1e6 — Σd² would " +
+          "leave BIGINT (bounded-moment contract); pre-aggregate to " +
+          "series grain")))
+      .where(col("__gd").isNull)
+    val nD = col("n").cast("double")
+    agg.select(col("__g").as("group"), col("n"), col("sum_d2q"),
+      when(col("n") >= 2L,
+        floor((lit(1.0) - lit(1.5) * col("sum_d2q").cast("double") /
+          (nD * (nD * nD - lit(1.0)))) * lit(1e6) + lit(0.5))
+          .cast("long"))
+        .otherwise(lit(null).cast("long")).as("rho_micro"))
+  }
+
   /** Kendall rank correlation τ-b (Kendall 1938) — the PAIR-based
    * monotone-association reading beside [[spearman]]'s rank-distance
    * one: over all C(n,2) ordered pairs of a series, count concordant

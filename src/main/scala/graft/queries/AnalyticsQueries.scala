@@ -2577,6 +2577,60 @@ object AnalyticsQueries {
               FROM t JOIN mx USING (g)"""),
       "per-type exact two-sample KS drift (grouped ECDF gap)"),
 
+    // BUCKET-grain KS between the same day-parity snapshots — the
+    // oracle-gated batch form of the STREAMING KS monitor's readout
+    // (ksFromBuckets over maintained bucketCounts histograms): $10
+    // buckets of the centi values, documented vs dq33's full value
+    // grain (bucketing can only hide gap inside a bucket, never invent
+    // one — dq36's D is a certified lower bound of dq33's).
+    "dq36_ks_buckets" -> QueryDef(
+      (s, dir) => {
+        val ev = t(s, dir, "events").filter(col("value").isNotNull)
+          .select(expr("((ts div 1000) div 86400000000) % 2").as("par"),
+            floor(col("value") * 100 + lit(0.5)).cast("long").as("vq"))
+        graft.ext.Profile.ksFromBuckets(
+          graft.ext.Profile.bucketCounts(
+              ev.filter(col("par") === 0).select("vq"), "vq", 1000L)
+            .toDF("bucket", "n_ref"),
+          graft.ext.Profile.bucketCounts(
+              ev.filter(col("par") === 1).select("vq"), "vq", 1000L)
+            .toDF("bucket", "n_cur"))
+      },
+      Some("""WITH d AS (SELECT (epoch_us(ts) // 86400000000) % 2
+                       AS par,
+                     CAST(floor(CAST(CAST(floor(value * 100 + 0.5)
+                       AS BIGINT) AS DOUBLE) / 1000) AS BIGINT) AS b
+                   FROM events WHERE value IS NOT NULL),
+              ca AS (SELECT b, CAST(count(*) AS BIGINT) AS cr
+                     FROM d WHERE par = 0 GROUP BY 1),
+              cb AS (SELECT b, CAST(count(*) AS BIGINT) AS cc
+                     FROM d WHERE par = 1 GROUP BY 1),
+              m AS (SELECT coalesce(ca.b, cb.b) AS b,
+                           CAST(coalesce(cr, 0) AS BIGINT) AS cr,
+                           CAST(coalesce(cc, 0) AS BIGINT) AS cc
+                    FROM ca FULL OUTER JOIN cb ON cb.b = ca.b),
+              t AS (SELECT CAST(sum(cr) AS BIGINT) AS na,
+                           CAST(sum(cc) AS BIGINT) AS nb
+                    FROM m),
+              c AS (SELECT b,
+                           CAST(sum(cr) OVER (ORDER BY b
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                             AS cum_a,
+                           CAST(sum(cc) OVER (ORDER BY b
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                             AS cum_b
+                    FROM m),
+              mx AS (SELECT CAST(max(abs(c.cum_a * t.nb
+                              - c.cum_b * t.na)) AS BIGINT) AS d_num
+                     FROM c CROSS JOIN t)
+              SELECT t.na AS n_ref, t.nb AS n_cur, mx.d_num,
+                     CASE WHEN t.na > 0 AND t.nb > 0
+                          THEN CAST((mx.d_num * 1000000)
+                                 // (t.na * t.nb) AS BIGINT)
+                     ELSE NULL END AS d_ppm
+              FROM t CROSS JOIN mx"""),
+      "bucket-grain KS between day-parity snapshots (streaming readout)"),
+
     // GROUPED shard-merge proven under the gate (dq27's claim lifted to
     // per-key distributions): per-type sketches built on user-parity
     // shards, merged by (group, lo, hi) SUM, read at quartiles — the
@@ -2893,6 +2947,62 @@ object AnalyticsQueries {
                      ELSE NULL END AS tau_micro
               FROM nn CROSS JOIN cd CROSS JOIN tx CROSS JOIN ty"""),
       "Kendall tau-b of daily view vs click volumes (comparison-exact)"),
+
+    // GROUPED Spearman: per event type, does daily activity VOLUME move
+    // with daily VALUE — the per-segment form of x18 (a pooled rho
+    // averages away sign-opposed segments); midranks taken WITHIN each
+    // type via the group-partitioned cumulative (no global sweep).
+    "x20_spearman_by" -> QueryDef(
+      (s, dir) => graft.ext.Experiment.spearmanBy(
+          t(s, dir, "events").filter(col("value").isNotNull)
+            .groupBy(col("event_type"),
+              expr("(ts div 1000) div 86400000000").as("day"))
+            .agg(count(lit(1)).as("x"),
+              sum(floor(col("value") * 100 + lit(0.5)).cast("long"))
+                .as("y")),
+          "event_type", "x", "y")
+        .withColumnRenamed("group", "event_type"),
+      Some("""WITH sr AS (SELECT event_type,
+                     epoch_us(ts) // 86400000000 AS day,
+                     CAST(count(*) AS BIGINT) AS x,
+                     CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+                       AS BIGINT) AS y
+                   FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+              cx AS (SELECT event_type, x AS v,
+                            CAST(count(*) AS BIGINT) AS c
+                     FROM sr GROUP BY 1, 2),
+              rx AS (SELECT event_type, v,
+                            2 * CAST(sum(c) OVER (PARTITION BY event_type
+                              ORDER BY v ROWS UNBOUNDED PRECEDING)
+                              AS BIGINT) - c + 1 AS r2
+                     FROM cx),
+              cy AS (SELECT event_type, y AS v,
+                            CAST(count(*) AS BIGINT) AS c
+                     FROM sr GROUP BY 1, 2),
+              ry AS (SELECT event_type, v,
+                            2 * CAST(sum(c) OVER (PARTITION BY event_type
+                              ORDER BY v ROWS UNBOUNDED PRECEDING)
+                              AS BIGINT) - c + 1 AS r2
+                     FROM cy),
+              j AS (SELECT sr.event_type, rx.r2 AS r2x, ry.r2 AS r2y
+                    FROM sr
+                    JOIN rx ON rx.event_type = sr.event_type
+                      AND rx.v = sr.x
+                    JOIN ry ON ry.event_type = sr.event_type
+                      AND ry.v = sr.y),
+              a AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                           CAST(sum((r2x - r2y) * (r2x - r2y))
+                             AS BIGINT) AS sum_d2q
+                    FROM j GROUP BY 1)
+              SELECT event_type, n, sum_d2q,
+                     CASE WHEN n >= 2 THEN CAST(floor(
+                       (1.0 - 1.5 * CAST(sum_d2q AS DOUBLE) /
+                        (CAST(n AS DOUBLE) *
+                         (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) - 1.0)))
+                       * 1e6 + 0.5) AS BIGINT)
+                     ELSE NULL END AS rho_micro
+              FROM a"""),
+      "per-type Spearman of daily volume vs daily value (grouped ranks)"),
 
     // Deterministic EXACT-k-per-language eval sample: salted-md5 rank
     // within stratum, top 20 survive — the eval-set builder a pct-rate

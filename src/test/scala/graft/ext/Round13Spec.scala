@@ -151,6 +151,47 @@ class Round13Spec extends SparkTestBase {
     assert(edge.getLong(2) == 1L)
   }
 
+  test("spearmanBy: sign-opposed segments a pooled rho averages away " +
+    "read ±1e6 per group; a single-group relation matches the global " +
+    "spearman row exactly") {
+    val rows = Seq(("a", 1L, 10L), ("a", 2L, 20L), ("a", 3L, 30L),
+      ("b", 1L, 30L), ("b", 2L, 20L), ("b", 3L, 10L))
+    val got = Experiment.spearmanBy(rows.toDF("g", "x", "y"),
+        "g", "x", "y")
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(got == Map("a" -> 1000000L, "b" -> -1000000L), s"got $got")
+    val pairs = Seq((1L, 5L), (2L, 9L), (2L, 7L), (4L, 1L))
+    val g = Experiment.spearman(pairs.toDF("x", "y"), "x", "y")
+      .collect().head
+    val b = Experiment.spearmanBy(
+        pairs.map(p => ("only", p._1, p._2)).toDF("g", "x", "y"),
+        "g", "x", "y")
+      .collect().head
+    assert(b.getLong(1) == g.getLong(0) && b.getLong(2) == g.getLong(1) &&
+      b.getLong(3) == g.getLong(2))
+  }
+
+  test("ksFromBuckets is the certified lower bound of the value-grain " +
+    "KS: bucketing can hide gap inside a bucket, never invent one") {
+    import spark.implicits._
+    // values 0-19 vs 10-29: value-grain D = 1/2; at width 10 the two
+    // histograms are (b0: 10, b1: 10) vs (b1: 10, b2: 10) -> bucket D
+    // still 1/2; at width 100 everything shares bucket 0 -> D = 0
+    val ref = (0L until 20L).toDF("v")
+    val cur = (10L until 30L).toDF("v")
+    def ks(width: Long): Long = graft.ext.Profile.ksFromBuckets(
+        graft.ext.Profile.bucketCounts(ref, "v", width)
+          .toDF("bucket", "n_ref"),
+        graft.ext.Profile.bucketCounts(cur, "v", width)
+          .toDF("bucket", "n_cur"))
+      .collect().head.getLong(3)
+    val exact = graft.ext.Profile.ksTwoSample(ref, cur, "v")
+      .collect().head.getLong(3)
+    assert(exact == 500000L)
+    assert(ks(10L) == 500000L && ks(100L) == 0L)
+    assert(ks(10L) <= exact && ks(100L) <= exact)
+  }
+
   test("kendallTau: hand concordance cases — clean 1/3 mix, tau-b tie " +
     "normalization, perfect/inverse, degenerate constant column") {
     def kt(rows: Seq[(Long, Long, Long)]) =
