@@ -182,10 +182,43 @@ object Bench {
     w
   }
 
+  /** Scheduler-grain canary: wall of 20 trivial 2-stage (shuffle) jobs,
+   * reported as ms/job. Prices the per-JOB/per-STAGE constant cost the
+   * sustained cpu/ckpt canaries cannot see: the r13→r14 attribution of
+   * the small-query wall creep (at3/s10-s14/d12/n1 +0.3-0.6 s,
+   * graph13/n20 +1.4-2.1 s — creep ∝ job count, reproduced in a FRESH
+   * context with a flat cpu canary, so neither session crowding nor core
+   * speed) found this host's trivial-shuffle-job wall swinging
+   * 220→470 ms/job between back-to-back samples in one session. With
+   * this in the artifact, a future cross-round read of sub-2 s walls
+   * starts from the window's scheduler-jitter price. */
+  private def schedCanary(s: org.apache.spark.sql.SparkSession): Double = {
+    import org.apache.spark.sql.functions._
+    val t0 = System.nanoTime()
+    var i = 0
+    while (i < 20) {
+      s.range(100).groupBy(col("id") % 10).count().count()
+      i += 1
+    }
+    (System.nanoTime() - t0) / 1e9 / 20 * 1000 // ms per job
+  }
+
   /** Min + raw samples of `k` canary runs. */
   private def canarySamples(k: Int)(body: => Double): (Double, Seq[Double]) = {
     val ss = (1 to k).map(_ => body)
     (ss.min, ss)
+  }
+
+  /** Median of canary samples — what the REQUIRE_CKPT healthy-window
+   * gate reads (r13 ADVICE): the MIN of 3 samples certifies a window
+   * with intermittent degradation (r13's committed pre samples were
+   * [2.2, 0.61, 0.73] — 2 of 3 above the 0.65 gate, yet min passed),
+   * while the median requires the window to be healthy at least half
+   * the time. Min stays in the informational canary fields. */
+  private def canaryMedian(ss: Seq[Double]): Double = {
+    val s = ss.sorted
+    if (s.size % 2 == 1) s(s.size / 2)
+    else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
   }
 
   def main(args: Array[String]): Unit = {
@@ -203,8 +236,10 @@ object Bench {
     // the run's walls are readable against a known-state host.
     val (cpuPre, cpuPreRaw) = canarySamples(3)(cpuCanary())
     val (ckptPre, ckptPreRaw) = canarySamples(3)(ckptCanary(spark))
+    val (_, schedPreRaw) = canarySamples(3)(schedCanary(spark))
+    val schedPreMed = canaryMedian(schedPreRaw)
     System.err.println(s"[bench] canary pre: cpu=${f2(cpuPre)}s " +
-      s"ckpt=${f2(ckptPre)}s")
+      s"ckpt=${f2(ckptPre)}s sched=${f2(schedPreMed)}ms/job")
     // r12 verdict #1 (re-baseline on a healthy window): an artifact
     // regenerated FOR COMMIT must not come from a degraded host window —
     // r12's closing regen ran at ckpt 1.06 s (vs r11's 0.54) and ~20
@@ -217,12 +252,17 @@ object Bench {
     // never clobber the committed healthy baseline.
     val requireCkpt = sys.env.get("SPARK_GRAFT_REQUIRE_CKPT_SEC")
       .flatMap(v => scala.util.Try(v.trim.toDouble).toOption)
+    // Gate on the MEDIAN of the samples, not the min (r13 ADVICE): a
+    // window with intermittent degradation has samples like
+    // [2.2, 0.61, 0.73] whose min passes while 2 of 3 exceed the gate.
+    val ckptPreMed = canaryMedian(ckptPreRaw)
     requireCkpt.foreach { thr =>
-      if (ckptPre > thr) {
-        System.err.println(f"[bench] ckpt canary ${ckptPre}%.2f s exceeds " +
+      if (ckptPreMed > thr) {
+        System.err.println(f"[bench] ckpt canary median ${ckptPreMed}%.2f s " +
+          f"(samples ${ckptPreRaw.map(f2).mkString(",")}) exceeds " +
           f"required $thr%.2f s — degraded host window, aborting " +
           "(retry in a later window)")
-        println(s"""{"metric":"aborted_degraded_window","canary_ckpt":${f2(ckptPre)},"required":$thr}""")
+        println(s"""{"metric":"aborted_degraded_window","canary_ckpt_median":${f2(ckptPreMed)},"canary_ckpt":${f2(ckptPre)},"required":$thr}""")
         spark.stop()
         sys.exit(3)
       }
@@ -404,9 +444,15 @@ object Bench {
     // Post-loop canary: a pre/post delta exposes WITHIN-run environment
     // drift (the d34-gate-vs-fresh-context ambiguity of r9).
     val (cpuPost, _) = canarySamples(2)(cpuCanary())
-    val (ckptPost, _) = canarySamples(2)(ckptCanary(spark))
+    // 3 ckpt samples post (was 2) so the REQUIRE_CKPT demotion check can
+    // read a true median, same as the pre gate (r13 ADVICE).
+    val (ckptPost, ckptPostRaw) = canarySamples(3)(ckptCanary(spark))
+    val ckptPostMed = canaryMedian(ckptPostRaw)
+    val (_, schedPostRaw) = canarySamples(3)(schedCanary(spark))
+    val schedPostMed = canaryMedian(schedPostRaw)
     System.err.println(s"[bench] canary post: cpu=${f2(cpuPost)}s " +
-      s"ckpt=${f2(ckptPost)}s")
+      s"ckpt=${f2(ckptPost)}s (median ${f2(ckptPostMed)}) " +
+      s"sched=${f2(schedPostMed)}ms/job")
 
     // One-order-of-magnitude scale probe of the dedup family (round-2
     // verdict "next" #8): no sf1 testdata exists, so a deterministic 10×
@@ -929,7 +975,26 @@ object Bench {
             SparkEntry.queries("x20_spearman_by")(ps, dir10)),
         "dq36_ks_buckets" ->
           ((ps: org.apache.spark.sql.SparkSession) =>
-            SparkEntry.queries("dq36_ks_buckets")(ps, dir10))))
+            SparkEntry.queries("dq36_ks_buckets")(ps, dir10)),
+        // round-14: the grouped-bucket KS (dq35 × dq36 composition —
+        // per-type bucket hash-aggs + a group-partitioned bucket
+        // cumulative, both bucket-count-bounded after the 10× scan),
+        // Nemenyi + Cochran's Q on the same day-block × type panel
+        // (panel-sized rank/indicator moments, scan scales 10×), and
+        // grouped Kendall (per-type day series — each group's pair
+        // join is series-sized, the x19 posture per group)
+        "dq37_ks_buckets_by" ->
+          ((ps: org.apache.spark.sql.SparkSession) =>
+            SparkEntry.queries("dq37_ks_buckets_by")(ps, dir10)),
+        "ab12_nemenyi" ->
+          ((ps: org.apache.spark.sql.SparkSession) =>
+            SparkEntry.queries("ab12_nemenyi")(ps, dir10)),
+        "ab13_cochran_q" ->
+          ((ps: org.apache.spark.sql.SparkSession) =>
+            SparkEntry.queries("ab13_cochran_q")(ps, dir10)),
+        "x21_kendall_tau_by" ->
+          ((ps: org.apache.spark.sql.SparkSession) =>
+            SparkEntry.queries("x21_kendall_tau_by")(ps, dir10))))
       }
       // r12 verdict #3: the d34 sf1 A/B pair demoted to HALF scale (5 of
       // the 10 replicas — doc ids below 5·docStride keep replicas 0-4
@@ -1939,9 +2004,15 @@ object Bench {
       "cpu_sec" -> f2(cpuPre),
       "cpu_samples" -> cpuPreRaw.map(f2).mkString("[", ",", "]"),
       "ckpt_sec" -> f2(ckptPre),
+      "ckpt_median" -> f2(ckptPreMed),
+      "ckpt_median_post" -> f2(ckptPostMed),
       "ckpt_samples" -> ckptPreRaw.map(f2).mkString("[", ",", "]"),
       "cpu_sec_post" -> f2(cpuPost),
-      "ckpt_sec_post" -> f2(ckptPost)))
+      "ckpt_sec_post" -> f2(ckptPost),
+      "sched_ms_per_job" -> f2(schedPreMed),
+      "sched_samples" -> schedPreRaw.map(f2).mkString("[", ",", "]"),
+      "sched_ms_per_job_post" -> f2(schedPostMed),
+      "sched_samples_post" -> schedPostRaw.map(f2).mkString("[", ",", "]")))
     val line = s"""{"metric":"total","value":$total,"unit":"sec","note":"$note","canary":$canaryJson,"queries":$qs,"failed":$fs,"cpu_per_wall":$ratios,"queries_cpu_sec":$cpuSecsJson,"spine_envelopes_per_sec":${spineRate.round},"spine_cpu_per_wall":${f2(spineCpuRatio)},"spine_streaming_envelopes_per_sec":${streamRate.round},"spine_streaming_batches":$streamBatches,"spine_streaming_batches_per_sec":${f2(streamBatchesPerSec)},"spine_streaming_cpu_per_wall":${f2(streamCpuRatio)},"spine_streaming_batch_ms":${jsonMap(streamBatchMs)}$sf1Fields,"sf":"$sfDir"}"""
     // The stdout line can overflow the driver's tail capture (round-3
     // verdict: "parsed": null two rounds running) — persist the full JSON
@@ -1961,8 +2032,9 @@ object Bench {
     // unbudgeted regen) — truncated runs land beside it instead.
     val fullPath =
       if (sf1Truncated.nonEmpty) "BENCH_TRUNCATED.json"
-      else if (requireCkpt.exists(thr => ckptPost > thr)) {
-        System.err.println(f"[bench] POST ckpt canary ${ckptPost}%.2f s " +
+      else if (requireCkpt.exists(thr => ckptPostMed > thr)) {
+        System.err.println(f"[bench] POST ckpt canary median " +
+          f"${ckptPostMed}%.2f s (samples ${ckptPostRaw.map(f2).mkString(",")}) " +
           "exceeds the required window — demoting artifact to " +
           "BENCH_DEGRADED.json (the committed baseline is untouched)")
         "BENCH_DEGRADED.json"

@@ -817,10 +817,12 @@ object Experiment {
    * theilSen/wilcoxon there is NO value-magnitude envelope at all: any
    * long is in-domain, nothing can wrap. C, D and the per-column tie
    * pair counts are exact BIGINTs; with the loud n ≤ `maxPoints` (ord)-
-   * grain bound, n₀ = n(n−1)/2 ≤ ~5·10⁷ keeps (n₀−n₁)(n₀−n₂) ≤ ~2.5e15
-   * < 2^53, so even the one double expression is built from
-   * exactly-representable integers. τ micro-quantizes half-up; NULL
-   * (never NaN) when either tie factor degenerates or n < 2.
+   * grain bound and `maxPoints` itself capped at 1e7, every factor of
+   * the one double expression — n₀ = n(n−1)/2 ≤ ~5e13, n₀−n₁, n₀−n₂ —
+   * is an exactly-representable integer < 2^53 (the product is one
+   * correctly-rounded multiply feeding sqrt, fixed shape on both
+   * engines). τ micro-quantizes half-up; NULL (never NaN) when either
+   * tie factor degenerates or n < 2.
    *
    * Same O(n²)-behind-a-loud-grain-assert contract as
    * [[graft.ext.TimeSeries.theilSen]]: the input is a pre-aggregated
@@ -830,6 +832,12 @@ object Experiment {
   def kendallTau(series: DataFrame, ordCol: String, xCol: String,
       yCol: String, maxPoints: Long = 10000L): DataFrame = {
     require(maxPoints >= 2, s"maxPoints must be >= 2, got $maxPoints")
+    // n₀ = n(n−1)/2 ≤ ~5e13 < 2^53 keeps every n₀-derived double term
+    // exactly representable; a caller-raised maxPoints beyond 1e7 would
+    // silently void that claim (r13 ADVICE), so refuse it here.
+    require(maxPoints <= 10000000L,
+      s"maxPoints must be <= 1e7 so n0 = n(n-1)/2 stays exactly " +
+        s"representable as a double (< 2^53), got $maxPoints")
     val s = series.filter(col(xCol).isNotNull && col(yCol).isNotNull &&
         col(ordCol).isNotNull)
       .select(col(ordCol).cast("long").as("__t"),
@@ -845,8 +853,18 @@ object Experiment {
     def sgn(b: org.apache.spark.sql.Column,
         a: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
       when(b > a, lit(1L)).when(b < a, lit(-1L)).otherwise(lit(0L))
-    val pairs = s.toDF("__ta", "__xa", "__ya")
-      .join(s.toDF("__tb", "__xb", "__yb"), col("__ta") < col("__tb"))
+    // The pair expansion rides the GATED relation (r13 ADVICE): the
+    // 1-row asserted n is broadcast-crossJoined into s BEFORE the
+    // self-join, so the broadcast build side — and its assert —
+    // materializes before any pair is expanded. Previously the gate was
+    // a separate 1-row agg crossJoined with the O(n²) aggregate, and an
+    // over-bound series could pay much of the quadratic expansion
+    // before the loud refusal landed (the agg-gate race wilcoxon gates
+    // per row; here the hazard is cost, not overflow, so gating the
+    // expansion's input suffices).
+    val sg = s.crossJoin(broadcast(n)).drop("n_points")
+    val pairs = sg.toDF("__ta", "__xa", "__ya")
+      .join(sg.toDF("__tb", "__xb", "__yb"), col("__ta") < col("__tb"))
       .select((sgn(col("__xb"), col("__xa")) *
         sgn(col("__yb"), col("__ya"))).as("__s"))
       .agg(coalesce(sum(when(col("__s") === 1L, 1L).otherwise(0L)),
@@ -864,6 +882,83 @@ object Experiment {
       (col("__n0") - col("tie_y_pairs")).cast("double")
     val tau = (col("n_conc") - col("n_disc")).cast("double") / sqrt(denom)
     joined.select(col("n_points"), col("n_conc"), col("n_disc"),
+      col("tie_x_pairs"), col("tie_y_pairs"),
+      when(col("n_points") >= 2L && denom > lit(0.0),
+        floor(tau * lit(1e6) + lit(0.5)).cast("long"))
+        .otherwise(lit(null).cast("long")).as("tau_micro"))
+  }
+
+  /** GROUPED Kendall τ-b — [[kendallTau]] per key, the "WHICH segment's
+   * x tracks its y" readout beside [[spearmanBy]]'s rank-distance one
+   * (a pooled τ averages away sign-opposed segments exactly like a
+   * pooled ρ does). Same comparison-only exactness — sx/sy are
+   * `when(>)(<)(0)` signs, never a subtraction, so NO value-magnitude
+   * envelope exists by construction — and the same maxPoints ≤ 1e7 cap
+   * keeping every n₀-derived double factor exactly representable.
+   *
+   * Scale posture: the O(n²) pair expansion is PER GROUP — an equi-join
+   * on the group key with the `ord` inequality inside it, so work is
+   * Σ_g n_g² with each n_g behind the loud per-group (ord)-grain bound
+   * (asserted on that group's count row, the [[graft.ext.Profile
+   * .ksTwoSampleBy]] posture), never a global cross product. The
+   * expansion rides the GATED per-group counts relation (joined into
+   * the series before the self-join), so an over-bound group refuses
+   * before its quadratic expansion completes. Groups with one point
+   * surface with 0 pairs and NULL tau_micro.
+   *
+   * Output: one [[kendallTau]]-shaped row per group —
+   * (group as string, n_points, n_conc, n_disc, tie_x_pairs,
+   * tie_y_pairs, tau_micro). */
+  def kendallTauBy(series: DataFrame, groupCol: String, ordCol: String,
+      xCol: String, yCol: String, maxPoints: Long = 10000L): DataFrame = {
+    require(maxPoints >= 2, s"maxPoints must be >= 2, got $maxPoints")
+    require(maxPoints <= 10000000L,
+      s"maxPoints must be <= 1e7 so n0 = n(n-1)/2 stays exactly " +
+        s"representable as a double (< 2^53), got $maxPoints")
+    val s = series.filter(col(groupCol).isNotNull &&
+        col(ordCol).isNotNull && col(xCol).isNotNull &&
+        col(yCol).isNotNull)
+      .select(col(groupCol).cast("string").as("__gk"),
+        col(ordCol).cast("long").as("__t"),
+        col(xCol).cast("long").as("__x"), col(yCol).cast("long").as("__y"))
+    val n = s.groupBy("__gk").agg(count(lit(1)).as("n_points"),
+        countDistinct("__t").as("__nd"))
+      .withColumn("__g", assert_true(
+        col("n_points") <= maxPoints && col("__nd") === col("n_points"),
+        lit(s"kendallTauBy: a group's series must be at (ord) grain " +
+          s"with at most $maxPoints points — the pair expansion is " +
+          "O(n²) per group (bounded-grain contract; pre-aggregate to " +
+          "a coarser ord)")))
+      .where(col("__g").isNull).select(col("__gk"), col("n_points"))
+    def sgn(b: org.apache.spark.sql.Column,
+        a: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      when(b > a, lit(1L)).when(b < a, lit(-1L)).otherwise(lit(0L))
+    val sg = s.join(n.select("__gk"), Seq("__gk"))
+    val pairs = sg.toDF("__gk", "__ta", "__xa", "__ya")
+      .join(sg.toDF("__gkb", "__tb", "__xb", "__yb"),
+        col("__gk") === col("__gkb") && col("__ta") < col("__tb"))
+      .select(col("__gk"), (sgn(col("__xb"), col("__xa")) *
+        sgn(col("__yb"), col("__ya"))).as("__s"))
+      .groupBy("__gk")
+      .agg(sum(when(col("__s") === 1L, 1L).otherwise(0L)).as("n_conc"),
+        sum(when(col("__s") === -1L, 1L).otherwise(0L)).as("n_disc"))
+    def tiePairs(c: String, out: String): DataFrame =
+      s.groupBy(col("__gk"), col(c)).agg(count(lit(1)).as("__c"))
+        .groupBy("__gk")
+        .agg(coalesce(sum(expr("__c * (__c - 1) div 2")), lit(0L)).as(out))
+    val joined = n.join(pairs, Seq("__gk"), "left")
+      .join(tiePairs("__x", "tie_x_pairs"), Seq("__gk"))
+      .join(tiePairs("__y", "tie_y_pairs"), Seq("__gk"))
+      .select(col("__gk"), col("n_points"),
+        coalesce(col("n_conc"), lit(0L)).as("n_conc"),
+        coalesce(col("n_disc"), lit(0L)).as("n_disc"),
+        col("tie_x_pairs"), col("tie_y_pairs"))
+      .withColumn("__n0", expr("n_points * (n_points - 1) div 2"))
+    val denom = (col("__n0") - col("tie_x_pairs")).cast("double") *
+      (col("__n0") - col("tie_y_pairs")).cast("double")
+    val tau = (col("n_conc") - col("n_disc")).cast("double") / sqrt(denom)
+    joined.select(col("__gk").as("group"), col("n_points"),
+      col("n_conc"), col("n_disc"),
       col("tie_x_pairs"), col("tie_y_pairs"),
       when(col("n_points") >= 2L && denom > lit(0.0),
         floor(tau * lit(1e6) + lit(0.5)).cast("long"))
@@ -892,8 +987,16 @@ object Experiment {
    * Ties-free this reduces to the textbook 12/(nk(k+1))·ΣR_j² − 3n(k+1).
    *
    * Contract, loud: COMPLETE blocks only (every block exactly one
-   * observation of every treatment — assert, not silent skip), k ≤ 100
-   * and n_blocks ≤ 1e6 (ΣR2_j² ≤ 4k³n² stays inside BIGINT). The χ²_{k−1}
+   * observation of every treatment — assert, not silent skip), k ≤ 100,
+   * n_blocks ≤ 1e6, AND the joint product bound
+   * n² · k(k+1)(k−1)² ≤ 3·(2^63−1): the box alone bounds
+   * ΣR2_j² ≤ 4k³n² but q_num multiplies the bracket by (k−1), and the
+   * bracket's true maximum (consistent tie-free rankings — ties only
+   * shrink per-block rank spread) is n²k(k+1)(k−1)/3, so q_num peaks at
+   * exactly n²·k(k+1)(k−1)²/3 — past BIGINT at k = 100 once
+   * n_blocks ≳ 5.3e5, which the joint gate refuses loudly. Under both
+   * gates the largest intermediate, ΣR2_j² ≤ 2n²k(k+1)(2k+1)/3
+   * ≤ ~1.36e18 at (k, n) = (100, 1e6), stays inside BIGINT. The χ²_{k−1}
    * readout is the large-sample approximation — `approx_ok` (BIGINT 1/0)
    * = 1 iff n_blocks ≥ 10 (Friedman 1937's exact small-n tables exist
    * because the χ² read is unsafe below that), the [[kruskalWallis]]/
@@ -902,46 +1005,8 @@ object Experiment {
    * block is internally all-tied — approx_ok). */
   def friedman(df: DataFrame, blockCol: String, treatCol: String,
       valCol: String): DataFrame = {
-    val d = df.filter(col(blockCol).isNotNull && col(treatCol).isNotNull &&
-        col(valCol).isNotNull)
-      .select(col(blockCol).cast("string").as("__b"),
-        col(treatCol).cast("string").as("__j"),
-        col(valCol).cast("long").as("__v"))
-    val kAll = d.agg(countDistinct("__j").as("k_treatments"),
-        count(lit(1)).as("__nr"), countDistinct("__b").as("n_blocks"))
-      .withColumn("__g1", assert_true(
-        coalesce(col("__nr") ===
-          col("k_treatments") * col("n_blocks"), lit(true)),
-        lit("friedman: blocks must be COMPLETE — every block exactly " +
-          "one observation per treatment (complete-block contract; " +
-          "fill or drop incomplete blocks explicitly)")))
-      .where(col("__g1").isNull)
-      .withColumn("__g2", assert_true(
-        coalesce(col("k_treatments") <= 100L &&
-          col("n_blocks") <= 1000000L, lit(true)),
-        lit("friedman: k > 100 or blocks > 1e6 — rank moments would " +
-          "leave BIGINT (bounded-moment contract); sample the audit " +
-          "slice")))
-      .where(col("__g2").isNull).select("n_blocks", "k_treatments")
-    // completeness at CELL grain too: k·n row-count equality above can't
-    // see a (dup cell + missing cell) swap — assert max cell count == 1
-    val cellsOk = d.groupBy("__b", "__j").agg(count(lit(1)).as("__c"))
-      .agg(coalesce(max("__c"), lit(1L)).as("__mx"))
-      .withColumn("__g", assert_true(col("__mx") <= 1L,
-        lit("friedman: a (block, treatment) cell holds more than one " +
-          "observation (complete-block contract; pre-aggregate cells)")))
-      .where(col("__g").isNull).select(lit(1).as("__ok"))
-    val bc = d.groupBy("__b", "__v").agg(count(lit(1)).as("__c"))
-    val w = org.apache.spark.sql.expressions.Window.partitionBy("__b")
-      .orderBy("__v")
-      .rowsBetween(
-        org.apache.spark.sql.expressions.Window.unboundedPreceding,
-        org.apache.spark.sql.expressions.Window.currentRow)
-    val mr = bc.withColumn("cum", sum("__c").over(w))
-      .select(col("__b"), col("__v"),
-        (lit(2L) * col("cum") - col("__c") + lit(1L)).as("__r2"))
-    val cells = d.join(mr, Seq("__b", "__v"))
-      .crossJoin(broadcast(cellsOk))
+    val (kAll, cells) =
+      friedmanRankedCells(df, blockCol, treatCol, valCol, "friedman")
     val byTreat = cells.groupBy("__j").agg(sum("__r2").as("__s2j"))
       .agg(coalesce(sum(col("__s2j") * col("__s2j")), lit(0L))
         .as("__sr2sq"))
@@ -963,6 +1028,220 @@ object Experiment {
           .otherwise(lit(null).cast("long")).as("q_micro"),
         when(col("n_blocks") >= 10L, lit(1L)).otherwise(lit(0L))
           .as("approx_ok"))
+  }
+
+  /** THE complete-block rank machinery shared by [[friedman]] and
+   * [[nemenyi]] — one copy of the contract and the per-block midranks
+   * so the omnibus test and its post-hoc cannot drift: null-dropped
+   * (block, treatment, value) at string/long grain, the loud
+   * complete-block assert at ROW grain (row count = k·n), the k ≤ 100 /
+   * n ≤ 1e6 box, the joint product bound n²·k(k+1)(k−1)² ≤ 3·(2^63−1)
+   * (the exact peak of Friedman's q_num under consistent rankings — see
+   * [[friedman]]'s envelope derivation), the CELL-grain dup assert, and
+   * ×2-scale midranks from a BY-BLOCK partitioned cumulative (no global
+   * single-partition sweep at any block count). Returns
+   * (gated 1-row (n_blocks, k_treatments),
+   *  cells (__b, __j, __r2) riding the cell-grain gate). */
+  private def friedmanRankedCells(df: DataFrame, blockCol: String,
+      treatCol: String, valCol: String, opName: String)
+      : (DataFrame, DataFrame) = {
+    val d = df.filter(col(blockCol).isNotNull && col(treatCol).isNotNull &&
+        col(valCol).isNotNull)
+      .select(col(blockCol).cast("string").as("__b"),
+        col(treatCol).cast("string").as("__j"),
+        col(valCol).cast("long").as("__v"))
+    val kAll = d.agg(countDistinct("__j").as("k_treatments"),
+        count(lit(1)).as("__nr"), countDistinct("__b").as("n_blocks"))
+      .withColumn("__g1", assert_true(
+        coalesce(col("__nr") ===
+          col("k_treatments") * col("n_blocks"), lit(true)),
+        lit(s"$opName: blocks must be COMPLETE — every block exactly " +
+          "one observation per treatment (complete-block contract; " +
+          "fill or drop incomplete blocks explicitly)")))
+      .where(col("__g1").isNull)
+      .withColumn("__g2", assert_true(
+        coalesce(col("k_treatments") <= 100L &&
+          col("n_blocks") <= 1000000L, lit(true)),
+        lit(s"$opName: k > 100 or blocks > 1e6 — rank moments would " +
+          "leave BIGINT (bounded-moment contract); sample the audit " +
+          "slice")))
+      .where(col("__g2").isNull)
+      // Joint product bound (r13 ADVICE): the k/n box above bounds
+      // ΣR2_j² ≤ 4k³n² but misses q_num's ×(k−1) multiplication — with
+      // consistent tie-free rankings ΣR2_j² peaks at 2n²k(k+1)(2k+1)/3
+      // (ties only pull the per-block rank spread toward its mean, and
+      // Σ of squares is convex, so the untied extreme IS the maximum),
+      // making q_num's exact peak n²·k(k+1)(k−1)²/3 — past BIGINT at
+      // k = 100 once n_blocks ≳ 5.3e5. Gate n² against
+      // (maxLong div k(k+1)(k−1)²)·3 ≤ 3·maxLong/X (conservative);
+      // k is clamped to ≤ 101 inside X so the gate's own arithmetic
+      // cannot overflow even on inputs __g2 refuses, and k ≤ 1 (where
+      // q_num = 0 identically) passes trivially.
+      .withColumn("__kc", least(col("k_treatments"), lit(101L)))
+      .withColumn("__g3", assert_true(
+        col("k_treatments") <= 1L ||
+          col("n_blocks") * col("n_blocks") <=
+            expr("(9223372036854775807L div (__kc * (__kc + 1L) * " +
+              "(__kc - 1L) * (__kc - 1L))) * 3L"),
+        lit(s"$opName: n_blocks² · k(k+1)(k−1)² exceeds 3·(2^63−1) — " +
+          "q_num would leave BIGINT at this (k, n_blocks) " +
+          "(bounded-moment contract); sample the audit slice")))
+      .where(col("__g3").isNull).select("n_blocks", "k_treatments")
+    // completeness at CELL grain too: k·n row-count equality above can't
+    // see a (dup cell + missing cell) swap — assert max cell count == 1
+    val cellsOk = d.groupBy("__b", "__j").agg(count(lit(1)).as("__c"))
+      .agg(coalesce(max("__c"), lit(1L)).as("__mx"))
+      .withColumn("__g", assert_true(col("__mx") <= 1L,
+        lit(s"$opName: a (block, treatment) cell holds more than one " +
+          "observation (complete-block contract; pre-aggregate cells)")))
+      .where(col("__g").isNull).select(lit(1).as("__ok"))
+    val bc = d.groupBy("__b", "__v").agg(count(lit(1)).as("__c"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("__b")
+      .orderBy("__v")
+      .rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val mr = bc.withColumn("cum", sum("__c").over(w))
+      .select(col("__b"), col("__v"),
+        (lit(2L) * col("cum") - col("__c") + lit(1L)).as("__r2"))
+    val cells = d.join(mr, Seq("__b", "__v"))
+      .crossJoin(broadcast(cellsOk))
+    (kAll, cells)
+  }
+
+  /** Nemenyi post-hoc (Nemenyi 1963) over [[friedman]]'s per-treatment
+   * rank sums — the "WHICH pairs differ" readout after the omnibus
+   * "do ANY treatments differ": for every unordered treatment pair, the
+   * studentized-range-scale statistic
+   *   q = (R̄_a − R̄_b) / √(k(k+1)/(12n))
+   * that Demšar 2006 popularized for classifier comparison (|q| is
+   * compared against q_{α,k,∞}; the critical value is the caller's
+   * table lookup — the engine ships the exact statistic, not a
+   * p-value). A k²-row relation off the aggregates friedman already
+   * computes — same scan, same midranks, no new corpus pass.
+   *
+   * Exactness: rides [[friedmanRankedCells]] (one copy of the
+   * complete-block contract, the k/n box, the joint product bound, and
+   * the ×2-scale by-block midranks), so r2_sum_a/b and
+   * diff2 = R2_a − R2_b are exact BIGINTs (|diff2| ≤ 2nk ≤ 2e8 — far
+   * inside BIGINT under the gates). With R̄ = R2/(2n) the statistic is
+   * q = diff2 · √(3/(n·k(k+1))) — ONE fixed-shape double whose integer
+   * factors (diff2, n·k(k+1) ≤ ~1.01e10) are all exactly representable
+   * < 2^53, micro-quantized half-up. `approx_ok` carries friedman's
+   * n_blocks ≥ 10 regime flag (the q_{α,k,∞} read is the same
+   * large-sample approximation as the omnibus χ²).
+   *
+   * Output: one row per pair with treat_a < treat_b (string order),
+   * (treat_a, treat_b, n_blocks, k_treatments, r2_sum_a, r2_sum_b,
+   * diff2, q_micro, approx_ok); empty when k < 2 or the input is
+   * empty. */
+  def nemenyi(df: DataFrame, blockCol: String, treatCol: String,
+      valCol: String): DataFrame = {
+    val (kAll, cells) =
+      friedmanRankedCells(df, blockCol, treatCol, valCol, "nemenyi")
+    val byTreat = cells.groupBy("__j").agg(sum("__r2").as("__s2j"))
+    val pairs = byTreat
+      .select(col("__j").as("treat_a"), col("__s2j").as("r2_sum_a"))
+      .join(byTreat
+          .select(col("__j").as("treat_b"), col("__s2j").as("r2_sum_b")),
+        col("treat_a") < col("treat_b"))
+      .crossJoin(broadcast(kAll))
+    val nD = col("n_blocks").cast("double")
+    val kD = col("k_treatments").cast("double")
+    val q = col("diff2").cast("double") *
+      sqrt(lit(3.0) / (nD * kD * (kD + lit(1.0))))
+    pairs.withColumn("diff2", col("r2_sum_a") - col("r2_sum_b"))
+      .select(col("treat_a"), col("treat_b"), col("n_blocks"),
+        col("k_treatments"), col("r2_sum_a"), col("r2_sum_b"),
+        col("diff2"),
+        when(col("n_blocks") >= 1L,
+          floor(q * lit(1e6) + lit(0.5)).cast("long"))
+          .otherwise(lit(null).cast("long")).as("q_micro"),
+        when(col("n_blocks") >= 10L, lit(1L)).otherwise(lit(0L))
+          .as("approx_ok"))
+  }
+
+  /** Cochran's Q test (Cochran 1950) — the BINARY corner of the paired
+   * k-treatment family: with every (block, treatment) cell a 0/1
+   * outcome (converted, passed, flagged), "do ANY treatments differ in
+   * success rate with block effects cancelled" — McNemar's k-treatment
+   * generalization, and exactly what [[friedman]] degenerates to on
+   * binary data.
+   *
+   * Fully exact integer statistic — no doubles anywhere in the moments:
+   * with column (treatment) totals C_j, row (block) totals R_i and
+   * grand total T = ΣC_j = ΣR_i,
+   *   Q = (k−1)·(k·ΣC_j² − T²) / (k·T − ΣR_i²)
+   * — numerator ≥ 0 by Cauchy–Schwarz, denominator = ΣR_i(k−R_i) ≥ 0,
+   * both exact BIGINTs the artifact carries beside the micro readout.
+   *
+   * Contract, loud: values must be EXACTLY 0 or 1 — asserted PER ROW
+   * (a silent !=0→1 coercion would fabricate successes; the
+   * refuse-don't-wrap convention applied to domain, not overflow);
+   * COMPLETE blocks at row and cell grain (the [[friedman]] asserts);
+   * k ≤ 100, n_blocks ≤ 1e6. No joint product gate is needed: the box
+   * alone bounds q_num ≤ (k−1)·k²n² ≤ 9.9e17 and every intermediate
+   * (ΣC_j² ≤ kn² ≤ 1e14, T² ≤ 1e16, ΣR_i² ≤ nk² ≤ 1e10) far inside
+   * BIGINT. `approx_ok` (BIGINT 1/0) = 1 iff n·k ≥ 24 (Tate & Brown
+   * 1970's adequacy rule for the χ²_{k−1} read — the statistic stays
+   * exact either way). Output 1 row: (n_blocks, k_treatments, t_total,
+   * q_num, q_den, q_micro — NULL when q_den = 0, i.e. every block is
+   * all-0 or all-1 — approx_ok). */
+  def cochranQ(df: DataFrame, blockCol: String, treatCol: String,
+      valCol: String): DataFrame = {
+    val d = df.filter(col(blockCol).isNotNull && col(treatCol).isNotNull &&
+        col(valCol).isNotNull)
+      .select(col(blockCol).cast("string").as("__b"),
+        col(treatCol).cast("string").as("__j"),
+        col(valCol).cast("long").as("__v"))
+      .withColumn("__g", assert_true(
+        col("__v") === 0L || col("__v") === 1L,
+        lit("cochranQ: values must be binary 0/1 — a non-binary " +
+          "outcome would silently fabricate successes " +
+          "(binary-outcome contract; threshold upstream explicitly)")))
+      .where(col("__g").isNull).drop("__g")
+    val kAll = d.agg(countDistinct("__j").as("k_treatments"),
+        count(lit(1)).as("__nr"), countDistinct("__b").as("n_blocks"))
+      .withColumn("__g1", assert_true(
+        coalesce(col("__nr") ===
+          col("k_treatments") * col("n_blocks"), lit(true)),
+        lit("cochranQ: blocks must be COMPLETE — every block exactly " +
+          "one observation per treatment (complete-block contract; " +
+          "fill or drop incomplete blocks explicitly)")))
+      .where(col("__g1").isNull)
+      .withColumn("__g2", assert_true(
+        coalesce(col("k_treatments") <= 100L &&
+          col("n_blocks") <= 1000000L, lit(true)),
+        lit("cochranQ: k > 100 or blocks > 1e6 — moments would leave " +
+          "the documented envelope (bounded-moment contract); sample " +
+          "the audit slice")))
+      .where(col("__g2").isNull).select("n_blocks", "k_treatments")
+    val cellsOk = d.groupBy("__b", "__j").agg(count(lit(1)).as("__c"))
+      .agg(coalesce(max("__c"), lit(1L)).as("__mx"))
+      .withColumn("__g", assert_true(col("__mx") <= 1L,
+        lit("cochranQ: a (block, treatment) cell holds more than one " +
+          "observation (complete-block contract; pre-aggregate cells)")))
+      .where(col("__g").isNull).select(lit(1).as("__ok"))
+    val colSums = d.groupBy("__j").agg(sum("__v").as("__cj"))
+      .agg(coalesce(sum(col("__cj") * col("__cj")), lit(0L)).as("__sc2"),
+        coalesce(sum("__cj"), lit(0L)).as("t_total"))
+    val rowSums = d.groupBy("__b").agg(sum("__v").as("__ri"))
+      .agg(coalesce(sum(col("__ri") * col("__ri")), lit(0L)).as("__sr2"))
+    kAll.crossJoin(colSums).crossJoin(rowSums)
+      .crossJoin(broadcast(cellsOk))
+      .withColumn("q_num", (col("k_treatments") - lit(1L)) *
+        (col("k_treatments") * col("__sc2") -
+          col("t_total") * col("t_total")))
+      .withColumn("q_den", col("k_treatments") * col("t_total") -
+        col("__sr2"))
+      .select(col("n_blocks"), col("k_treatments"), col("t_total"),
+        col("q_num"), col("q_den"),
+        when(col("q_den") > 0L,
+          floor(col("q_num").cast("double") / col("q_den").cast("double")
+            * lit(1e6) + lit(0.5)).cast("long"))
+          .otherwise(lit(null).cast("long")).as("q_micro"),
+        when(col("n_blocks") * col("k_treatments") >= 24L, lit(1L))
+          .otherwise(lit(0L)).as("approx_ok"))
   }
 
   /** Kruskal–Wallis H test (Kruskal & Wallis 1952) — the k-group

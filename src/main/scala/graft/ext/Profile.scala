@@ -72,6 +72,22 @@ object Profile {
       .groupBy("bucket").agg(count(lit(1)).as("n"))
   }
 
+  /** [[bucketCounts]] per key — the GROUPED histogram-maintenance seam
+   * [[ksFromBucketsBy]]/per-segment PSI compose over: ONE keyed
+   * hash-agg (`groupBy(group, bucket).count` — in streaming
+   * complete/update mode this is the same keyed state as the global
+   * form with one more key column), null-keyed rows dropped. Output:
+   * (group as string, bucket, n) at distinct-(group, bucket) grain. */
+  def bucketCountsBy(df: DataFrame, groupCol: String, valueCol: String,
+      bucketWidth: Long): DataFrame = {
+    require(bucketWidth > 0, s"bucketWidth must be positive, got $bucketWidth")
+    df.filter(col(groupCol).isNotNull && col(valueCol).isNotNull)
+      .select(col(groupCol).cast("string").as("group"),
+        floor(col(valueCol).cast("double") / bucketWidth)
+          .cast("long").as("bucket"))
+      .groupBy("group", "bucket").agg(count(lit(1)).as("n"))
+  }
+
   /** [[psiDrift]] over pre-bucketed histograms `(bucket, n_ref)` /
    * `(bucket, n_cur)` — the composition seam the streaming monitor uses
    * (reference histogram frozen once, current histogram maintained

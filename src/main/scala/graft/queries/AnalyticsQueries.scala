@@ -1983,6 +1983,155 @@ object AnalyticsQueries {
               FROM kn CROSS JOIN bt CROSS JOIN sq"""),
       "Friedman test: event types ranked within day blocks (daily counts)"),
 
+    // Nemenyi post-hoc over the SAME day-block × event-type layout as
+    // ab11 (r13 verdict next #5): ab11 answers "do ANY event types
+    // consistently rank differently across days"; this names WHICH
+    // pairs, one studentized-range-scale q per treatment pair off the
+    // per-treatment rank sums the Friedman machinery already computes —
+    // a k²-row relation, no new corpus pass. diff2 = R2_a − R2_b is an
+    // exact BIGINT the oracle hashes beside the one fixed-shape double.
+    "ab12_nemenyi" -> QueryDef(
+      (s, dir) => {
+        val cnt = t(s, dir, "events")
+          .groupBy(expr("(ts div 1000) div 86400000000").as("day"),
+            col("event_type"))
+          .agg(count(lit(1)).as("n"))
+        val full = cnt.select("day").distinct()
+          .crossJoin(cnt.select("event_type").distinct())
+          .join(cnt, Seq("day", "event_type"), "left")
+          .select(col("day"), col("event_type"),
+            coalesce(col("n"), lit(0L)).as("n"))
+        graft.ext.Experiment.nemenyi(full, "day", "event_type", "n")
+      },
+      Some("""WITH cnt AS (SELECT epoch_us(ts) // 86400000000 AS day,
+                     event_type, CAST(count(*) AS BIGINT) AS n
+                   FROM events GROUP BY 1, 2),
+              f AS (SELECT d.day, t.event_type,
+                           CAST(coalesce(cnt.n, 0) AS BIGINT) AS v
+                    FROM (SELECT DISTINCT day FROM cnt) d
+                    CROSS JOIN (SELECT DISTINCT event_type FROM cnt) t
+                    LEFT JOIN cnt ON cnt.day = d.day
+                      AND cnt.event_type = t.event_type),
+              bc AS (SELECT day, v, CAST(count(*) AS BIGINT) AS c
+                     FROM f GROUP BY 1, 2),
+              mr AS (SELECT day, v,
+                            2 * CAST(sum(c) OVER (PARTITION BY day
+                              ORDER BY v ROWS UNBOUNDED PRECEDING)
+                              AS BIGINT) - c + 1 AS r2
+                     FROM bc),
+              cells AS (SELECT f.day, f.event_type, mr.r2
+                        FROM f JOIN mr ON mr.day = f.day AND mr.v = f.v),
+              kn AS (SELECT CAST(count(DISTINCT day) AS BIGINT)
+                              AS n_blocks,
+                            CAST(count(DISTINCT event_type) AS BIGINT)
+                              AS k_treatments
+                     FROM f),
+              bt AS (SELECT event_type,
+                            CAST(sum(r2) AS BIGINT) AS s2j
+                     FROM cells GROUP BY 1)
+              SELECT a.event_type AS treat_a, b.event_type AS treat_b,
+                     kn.n_blocks, kn.k_treatments,
+                     a.s2j AS r2_sum_a, b.s2j AS r2_sum_b,
+                     CAST(a.s2j - b.s2j AS BIGINT) AS diff2,
+                     CASE WHEN kn.n_blocks >= 1 THEN CAST(floor(
+                       CAST(a.s2j - b.s2j AS DOUBLE)
+                       * sqrt(3.0 / (CAST(kn.n_blocks AS DOUBLE)
+                           * CAST(kn.k_treatments AS DOUBLE)
+                           * (CAST(kn.k_treatments AS DOUBLE) + 1.0)))
+                       * 1e6 + 0.5) AS BIGINT)
+                     ELSE NULL END AS q_micro,
+                     CASE WHEN kn.n_blocks >= 10 THEN CAST(1 AS BIGINT)
+                     ELSE CAST(0 AS BIGINT) END AS approx_ok
+              FROM bt a JOIN bt b ON a.event_type < b.event_type
+              CROSS JOIN kn"""),
+      "Nemenyi post-hoc: which event-type pairs rank apart across days"),
+
+    // Cochran's Q on the binary "above-average day" panel — blocks =
+    // days, treatments = event types, outcome = 1 iff that type's daily
+    // count strictly exceeds its own mean daily count (cnt·n_days >
+    // type_total — an exact integer comparison, no division): do the
+    // types' above-average days CO-OCCUR or diverge, with day effects
+    // cancelled. The binary corner of the paired k-treatment family
+    // (MW/KW independent, Wilcoxon/Friedman paired ordinal, this paired
+    // binary); q_num/q_den are exact BIGINTs end-to-end.
+    "ab13_cochran_q" -> QueryDef(
+      (s, dir) => {
+        val cnt = t(s, dir, "events")
+          .groupBy(expr("(ts div 1000) div 86400000000").as("day"),
+            col("event_type"))
+          .agg(count(lit(1)).as("n"))
+        val days = cnt.select("day").distinct()
+        val full = days.crossJoin(cnt.select("event_type").distinct())
+          .join(cnt, Seq("day", "event_type"), "left")
+          .select(col("day"), col("event_type"),
+            coalesce(col("n"), lit(0L)).as("n"))
+        val nd = days.agg(count(lit(1)).as("__ndays"))
+        val tot = full.groupBy("event_type")
+          .agg(sum("n").as("__tot"))
+        val bin = full.join(tot, Seq("event_type"))
+          .crossJoin(broadcast(nd))
+          .select(col("day"), col("event_type"),
+            when(col("n") * col("__ndays") > col("__tot"), lit(1L))
+              .otherwise(lit(0L)).as("v"))
+        graft.ext.Experiment.cochranQ(bin, "day", "event_type", "v")
+      },
+      Some("""WITH cnt AS (SELECT epoch_us(ts) // 86400000000 AS day,
+                     event_type, CAST(count(*) AS BIGINT) AS n
+                   FROM events GROUP BY 1, 2),
+              f AS (SELECT d.day, t.event_type,
+                           CAST(coalesce(cnt.n, 0) AS BIGINT) AS n
+                    FROM (SELECT DISTINCT day FROM cnt) d
+                    CROSS JOIN (SELECT DISTINCT event_type FROM cnt) t
+                    LEFT JOIN cnt ON cnt.day = d.day
+                      AND cnt.event_type = t.event_type),
+              nd AS (SELECT CAST(count(DISTINCT day) AS BIGINT)
+                              AS ndays
+                     FROM f),
+              tot AS (SELECT event_type, CAST(sum(n) AS BIGINT) AS tot
+                      FROM f GROUP BY 1),
+              bin AS (SELECT f.day, f.event_type,
+                             CASE WHEN f.n * nd.ndays > tot.tot
+                                  THEN CAST(1 AS BIGINT)
+                             ELSE CAST(0 AS BIGINT) END AS v
+                      FROM f JOIN tot USING (event_type) CROSS JOIN nd),
+              kn AS (SELECT CAST(count(DISTINCT day) AS BIGINT)
+                              AS n_blocks,
+                            CAST(count(DISTINCT event_type) AS BIGINT)
+                              AS k_treatments
+                     FROM bin),
+              cs AS (SELECT CAST(coalesce(sum(cj * cj), 0) AS BIGINT)
+                              AS sc2,
+                            CAST(coalesce(sum(cj), 0) AS BIGINT)
+                              AS t_total
+                     FROM (SELECT event_type, CAST(sum(v) AS BIGINT)
+                             AS cj
+                           FROM bin GROUP BY 1)),
+              rs AS (SELECT CAST(coalesce(sum(ri * ri), 0) AS BIGINT)
+                              AS sr2
+                     FROM (SELECT day, CAST(sum(v) AS BIGINT) AS ri
+                           FROM bin GROUP BY 1))
+              SELECT kn.n_blocks, kn.k_treatments, cs.t_total,
+                     CAST((kn.k_treatments - 1)
+                       * (kn.k_treatments * cs.sc2
+                          - cs.t_total * cs.t_total) AS BIGINT) AS q_num,
+                     CAST(kn.k_treatments * cs.t_total - rs.sr2
+                       AS BIGINT) AS q_den,
+                     CASE WHEN (kn.k_treatments * cs.t_total - rs.sr2)
+                            > 0
+                          THEN CAST(floor(
+                       CAST((kn.k_treatments - 1)
+                         * (kn.k_treatments * cs.sc2
+                            - cs.t_total * cs.t_total) AS DOUBLE)
+                       / CAST(kn.k_treatments * cs.t_total - rs.sr2
+                           AS DOUBLE)
+                       * 1e6 + 0.5) AS BIGINT)
+                     ELSE NULL END AS q_micro,
+                     CASE WHEN kn.n_blocks * kn.k_treatments >= 24
+                          THEN CAST(1 AS BIGINT)
+                     ELSE CAST(0 AS BIGINT) END AS approx_ok
+              FROM kn CROSS JOIN cs CROSS JOIN rs"""),
+      "Cochran's Q: do event types' above-average days co-occur"),
+
     // Per-type exact percentile-rank transform of event values — the
     // normalization table a feature pipeline joins back onto rows
     // (cume_dist as exact integer ppm, ties sharing their group rank);
@@ -2631,6 +2780,72 @@ object AnalyticsQueries {
               FROM t CROSS JOIN mx"""),
       "bucket-grain KS between day-parity snapshots (streaming readout)"),
 
+    // GROUPED bucket-grain KS — the fourth cell of the KS 2×2 (value ×
+    // bucket grain, global × grouped): per-type day-parity KS over $10
+    // bucket histograms, the per-segment STREAMING monitor's readout
+    // (ksFromBucketsBy over per-type bucketCountsBy state — one keyed
+    // agg, one more key column than dq36's). The per-group bucket
+    // cumulative partitions BY GROUP; each group's D is a certified
+    // lower bound of that group's dq35 value-grain D. Oracle = dq36's
+    // SQL with PARTITION BY event_type threaded through (the dq35
+    // pattern).
+    "dq37_ks_buckets_by" -> QueryDef(
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+          .filter(col("value").isNotNull && col("event_type").isNotNull)
+          .select(col("event_type"),
+            expr("((ts div 1000) div 86400000000) % 2").as("par"),
+            floor(col("value") * 100 + lit(0.5)).cast("long").as("vq"))
+        graft.ext.Profile.ksFromBucketsBy(
+            graft.ext.Profile.bucketCountsBy(
+                ev.filter(col("par") === 0), "event_type", "vq", 1000L)
+              .toDF("group", "bucket", "n_ref"),
+            graft.ext.Profile.bucketCountsBy(
+                ev.filter(col("par") === 1), "event_type", "vq", 1000L)
+              .toDF("group", "bucket", "n_cur"))
+          .withColumnRenamed("group", "event_type")
+      },
+      Some("""WITH d AS (SELECT event_type,
+                     (epoch_us(ts) // 86400000000) % 2 AS par,
+                     CAST(floor(CAST(CAST(floor(value * 100 + 0.5)
+                       AS BIGINT) AS DOUBLE) / 1000) AS BIGINT) AS b
+                   FROM events
+                   WHERE value IS NOT NULL AND event_type IS NOT NULL),
+              ca AS (SELECT event_type AS g, b,
+                            CAST(count(*) AS BIGINT) AS cr
+                     FROM d WHERE par = 0 GROUP BY 1, 2),
+              cb AS (SELECT event_type AS g, b,
+                            CAST(count(*) AS BIGINT) AS cc
+                     FROM d WHERE par = 1 GROUP BY 1, 2),
+              m AS (SELECT coalesce(ca.g, cb.g) AS g,
+                           coalesce(ca.b, cb.b) AS b,
+                           CAST(coalesce(cr, 0) AS BIGINT) AS cr,
+                           CAST(coalesce(cc, 0) AS BIGINT) AS cc
+                    FROM ca FULL OUTER JOIN cb
+                      ON cb.g = ca.g AND cb.b = ca.b),
+              t AS (SELECT g, CAST(sum(cr) AS BIGINT) AS na,
+                           CAST(sum(cc) AS BIGINT) AS nb
+                    FROM m GROUP BY 1),
+              c AS (SELECT g, b,
+                           CAST(sum(cr) OVER (PARTITION BY g ORDER BY b
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                             AS cum_a,
+                           CAST(sum(cc) OVER (PARTITION BY g ORDER BY b
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                             AS cum_b
+                    FROM m),
+              mx AS (SELECT c.g, CAST(max(abs(c.cum_a * t.nb
+                              - c.cum_b * t.na)) AS BIGINT) AS d_num
+                     FROM c JOIN t USING (g) GROUP BY 1)
+              SELECT t.g AS event_type, t.na AS n_ref, t.nb AS n_cur,
+                     mx.d_num,
+                     CASE WHEN t.na > 0 AND t.nb > 0
+                          THEN CAST((mx.d_num * 1000000)
+                                 // (t.na * t.nb) AS BIGINT)
+                     ELSE NULL END AS d_ppm
+              FROM t JOIN mx USING (g)"""),
+      "per-type bucket-grain KS drift (grouped streaming readout)"),
+
     // GROUPED shard-merge proven under the gate (dq27's claim lifted to
     // per-key distributions): per-type sketches built on user-parity
     // shards, merged by (group, lo, hi) SUM, read at quartiles — the
@@ -3003,6 +3218,81 @@ object AnalyticsQueries {
                      ELSE NULL END AS rho_micro
               FROM a"""),
       "per-type Spearman of daily volume vs daily value (grouped ranks)"),
+
+    // GROUPED Kendall τ-b over the SAME per-type daily (volume, value)
+    // series as x20 — the pair-based monotone reading beside x20's
+    // rank-distance one, per segment (a pooled τ averages away
+    // sign-opposed segments). Comparison-only signs (no subtraction, no
+    // value envelope); the per-group O(n²) pair expansion rides the
+    // gated per-group (ord)-grain bound and an equi-join on the type
+    // key — never a global cross product.
+    "x21_kendall_tau_by" -> QueryDef(
+      (s, dir) => graft.ext.Experiment.kendallTauBy(
+          t(s, dir, "events").filter(col("value").isNotNull)
+            .groupBy(col("event_type"),
+              expr("(ts div 1000) div 86400000000").as("day"))
+            .agg(count(lit(1)).as("x"),
+              sum(floor(col("value") * 100 + lit(0.5)).cast("long"))
+                .as("y")),
+          "event_type", "day", "x", "y")
+        .withColumnRenamed("group", "event_type"),
+      Some("""WITH sr AS (SELECT event_type,
+                     epoch_us(ts) // 86400000000 AS day,
+                     CAST(count(*) AS BIGINT) AS x,
+                     CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+                       AS BIGINT) AS y
+                   FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+              p AS (SELECT a.event_type,
+                           (CASE WHEN b.x > a.x THEN 1
+                                 WHEN b.x < a.x THEN -1 ELSE 0 END)
+                         * (CASE WHEN b.y > a.y THEN 1
+                                 WHEN b.y < a.y THEN -1 ELSE 0 END) AS s
+                    FROM sr a JOIN sr b
+                      ON a.event_type = b.event_type AND a.day < b.day),
+              cd AS (SELECT event_type,
+                            CAST(coalesce(sum(CASE WHEN s = 1 THEN 1
+                              ELSE 0 END), 0) AS BIGINT) AS n_conc,
+                            CAST(coalesce(sum(CASE WHEN s = -1 THEN 1
+                              ELSE 0 END), 0) AS BIGINT) AS n_disc
+                     FROM p GROUP BY 1),
+              nn AS (SELECT event_type, CAST(count(*) AS BIGINT)
+                              AS n_points
+                     FROM sr GROUP BY 1),
+              tx AS (SELECT event_type,
+                            CAST(coalesce(sum(c * (c - 1) // 2), 0)
+                              AS BIGINT) AS tie_x_pairs
+                     FROM (SELECT event_type, CAST(count(*) AS BIGINT)
+                             AS c
+                           FROM sr GROUP BY event_type, x)
+                     GROUP BY 1),
+              ty AS (SELECT event_type,
+                            CAST(coalesce(sum(c * (c - 1) // 2), 0)
+                              AS BIGINT) AS tie_y_pairs
+                     FROM (SELECT event_type, CAST(count(*) AS BIGINT)
+                             AS c
+                           FROM sr GROUP BY event_type, y)
+                     GROUP BY 1)
+              SELECT nn.event_type, nn.n_points,
+                     CAST(coalesce(cd.n_conc, 0) AS BIGINT) AS n_conc,
+                     CAST(coalesce(cd.n_disc, 0) AS BIGINT) AS n_disc,
+                     tx.tie_x_pairs, ty.tie_y_pairs,
+                     CASE WHEN nn.n_points >= 2 AND
+                       CAST(nn.n_points * (nn.n_points - 1) // 2
+                         - tx.tie_x_pairs AS DOUBLE)
+                       * CAST(nn.n_points * (nn.n_points - 1) // 2
+                         - ty.tie_y_pairs AS DOUBLE) > 0.0
+                          THEN CAST(floor(
+                       CAST(coalesce(cd.n_conc, 0)
+                         - coalesce(cd.n_disc, 0) AS DOUBLE)
+                       / sqrt(CAST(nn.n_points * (nn.n_points - 1) // 2
+                           - tx.tie_x_pairs AS DOUBLE)
+                         * CAST(nn.n_points * (nn.n_points - 1) // 2
+                           - ty.tie_y_pairs AS DOUBLE))
+                       * 1e6 + 0.5) AS BIGINT)
+                     ELSE NULL END AS tau_micro
+              FROM nn LEFT JOIN cd USING (event_type)
+              JOIN tx USING (event_type) JOIN ty USING (event_type)"""),
+      "per-type Kendall tau-b of daily volume vs daily value"),
 
     // Deterministic EXACT-k-per-language eval sample: salted-md5 rank
     // within stratum, top 20 survive — the eval-set builder a pct-rate
