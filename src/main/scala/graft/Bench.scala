@@ -994,7 +994,31 @@ object Bench {
             SparkEntry.queries("ab13_cochran_q")(ps, dir10)),
         "x21_kendall_tau_by" ->
           ((ps: org.apache.spark.sql.SparkSession) =>
-            SparkEntry.queries("x21_kendall_tau_by")(ps, dir10))))
+            SparkEntry.queries("x21_kendall_tau_by")(ps, dir10)),
+        // round-14: the ECDF-trio completions (CvM + W1 ride dq33's
+        // merged-cumulative kernel — two value-grain hash-aggs + the
+        // bounded single-partition sweep at 10x the scan), Cliff's
+        // delta (ab6's user-grain agg + one extra running sum on the
+        // same bounded ordering), and Page's trend (the ab11 panel's
+        // by-day midranks + a k-sized rank window)
+        "dq38_cvm_drift" ->
+          ((ps: org.apache.spark.sql.SparkSession) =>
+            SparkEntry.queries("dq38_cvm_drift")(ps, dir10)),
+        "dq39_wasserstein" ->
+          ((ps: org.apache.spark.sql.SparkSession) =>
+            SparkEntry.queries("dq39_wasserstein")(ps, dir10)),
+        "ab14_cliffs_delta" ->
+          ((ps: org.apache.spark.sql.SparkSession) =>
+            SparkEntry.queries("ab14_cliffs_delta")(ps, dir10)),
+        "ab15_page_trend" ->
+          ((ps: org.apache.spark.sql.SparkSession) =>
+            SparkEntry.queries("ab15_page_trend")(ps, dir10)),
+        "dq40_cvm_drift_by" ->
+          ((ps: org.apache.spark.sql.SparkSession) =>
+            SparkEntry.queries("dq40_cvm_drift_by")(ps, dir10)),
+        "dq41_wasserstein_by" ->
+          ((ps: org.apache.spark.sql.SparkSession) =>
+            SparkEntry.queries("dq41_wasserstein_by")(ps, dir10))))
       }
       // r12 verdict #3: the d34 sf1 A/B pair demoted to HALF scale (5 of
       // the 10 replicas — doc ids below 5·docStride keep replicas 0-4

@@ -656,6 +656,90 @@ object Experiment {
         .otherwise(lit(null).cast("long")).as("z_micro"))
   }
 
+  /** Cliff's delta (Cliff 1993) — the EFFECT-SIZE companion the rank
+   * family's significance tests have been missing: [[mannWhitney]]'s z
+   * says "arm 1 stochastically dominates, p < ε" but at experiment
+   * scale EVERYTHING is significant; δ = P(x₁ > x₀) − P(x₁ < x₀) says
+   * by HOW MUCH, on the [−1, 1] dominance scale (|δ| ≳ 0.33 is
+   * Romano 2006's "medium"), immune to the same whale-rides-the-mean
+   * failure that motivates the rank tests. Same experiment conventions
+   * as [[welch]]/[[mannWhitney]]: unit is the USER, per-user
+   * centi-quantized totals under the ±√Long.Max loud bound, arms by
+   * `user % 2` (nonnegative-id contract).
+   *
+   * Fully exact pair counts with NO O(n²) pair join: at distinct-value
+   * grain with per-arm cumulative counts, the dominance counts are
+   *   n_gt = Σ_v c1_v · below0(v),  n_tie = Σ_v c1_v · c0_v,
+   *   n_lt = n1·n0 − n_gt − n_tie
+   * — exact BIGINTs off the same [[graft.ext.Profile.boundedCumCounts]]
+   * kernel as mannWhitney (one extra running sum on the same bounded
+   * ordering). The pair moments ride a GATED relation: arm sizes are
+   * asserted ≤ 2e6 each BEFORE the per-value products are built (the
+   * [[kendallTau]] gate-the-expansion posture), so n1·n0 ≤ 4e12 and
+   * every product stays far inside BIGINT. δ is ONE fixed-shape double
+   * (n_gt − n_lt ≤ 4e12 < 2^53, exactly representable),
+   * micro-quantized half-up; NULL when an arm is empty. Output 1 row:
+   * (n0, n1, n_gt, n_lt, n_tie, delta_micro). */
+  def cliffsDelta(events: DataFrame, userCol: String = "user_id",
+      valCol: String = "value", maxDistinct: Long = 100000L): DataFrame = {
+    val vQ = floor(col(valCol) * lit(100) + lit(0.5)).cast("long")
+    val maxAbs = 3037000499L // √Long.Max, the cuped bound
+    val users = events.groupBy(col(userCol).as("user"))
+      .agg(sum(vQ).as("x"))
+      .withColumn("_b", assert_true(abs(col("x")) <= maxAbs,
+        lit(s"cliffsDelta: per-user total exceeds ±$maxAbs " +
+          "centi-units; integer moments would overflow")))
+      .where(col("_b").isNull).drop("_b")
+    val counts = users
+      .select(pmod(col("user"), lit(2L)).as("__a"), col("x"))
+      .groupBy(col("x").as("vq"))
+      .agg(sum(when(col("__a") === 1L, 1L).otherwise(0L)).as("c1"),
+        count(lit(1)).as("c"))
+    // Arm-size gate asserted BEFORE the per-value pair products are
+    // built (the kendallTau posture): per-side ≤ 2e6 keeps n1·n0 ≤
+    // 4e12, so the dominance sums and the ·1e6-free delta factors all
+    // stay far inside BIGINT — and the gate's own arithmetic cannot
+    // overflow on inputs it refuses.
+    val gate = counts
+      .agg(coalesce(sum("c1"), lit(0L)).as("__n1t"),
+        coalesce(sum("c"), lit(0L)).as("__nt"))
+      .withColumn("__g", assert_true(
+        col("__n1t") <= 2000000L &&
+          col("__nt") - col("__n1t") <= 2000000L,
+        lit("cliffsDelta: an arm exceeds 2e6 users — the exact pair " +
+          "moments would leave the documented envelope " +
+          "(bounded-moment contract); sample the audit slice")))
+      .where(col("__g").isNull).select(lit(1L).as("__ok"))
+    val ranked = graft.ext.Profile.boundedCumCounts(counts, "vq", "c",
+        maxDistinct,
+        s"cliffsDelta: distinct-value cardinality exceeds $maxDistinct " +
+          "— quantize the metric coarser (bounded-grain contract, see " +
+          "Profile.boundedCumCounts)")
+      .crossJoin(broadcast(gate))
+    val w = org.apache.spark.sql.expressions.Window.orderBy("vq")
+      .rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    // below0(v) = arm-0 mass strictly below v = (cum − c) − (cum1 − c1)
+    val agg = ranked.withColumn("cum1", sum("c1").over(w))
+      .select(col("n"), col("c1"),
+        (col("c1") * ((col("cum") - col("c")) -
+          (col("cum1") - col("c1")))).as("__gt"),
+        (col("c1") * (col("c") - col("c1"))).as("__tie"))
+      .agg(max("n").as("n"), coalesce(sum("c1"), lit(0L)).as("n1"),
+        coalesce(sum("__gt"), lit(0L)).as("n_gt"),
+        coalesce(sum("__tie"), lit(0L)).as("n_tie"))
+    val n0c = col("n") - col("n1")
+    val nLt = col("n1") * n0c - col("n_gt") - col("n_tie")
+    val delta = (col("n_gt") - nLt).cast("double") /
+      (col("n1") * n0c).cast("double")
+    agg.select(n0c.as("n0"), col("n1"), col("n_gt"), nLt.as("n_lt"),
+      col("n_tie"),
+      when(col("n1") >= 1L && n0c >= 1L,
+        floor(delta * lit(1e6) + lit(0.5)).cast("long"))
+        .otherwise(lit(null).cast("long")).as("delta_micro"))
+  }
+
   /** EXACT ROC-AUC of an integer score against a binary label — the
    * ranking-quality number missing between [[calibrationBins]] (is the
    * magnitude meaningful) and the retrieval rank metrics (per-query):
@@ -1242,6 +1326,68 @@ object Experiment {
           .otherwise(lit(null).cast("long")).as("q_micro"),
         when(col("n_blocks") * col("k_treatments") >= 24L, lit(1L))
           .otherwise(lit(0L)).as("approx_ok"))
+  }
+
+  /** Page's trend test (Page 1963) — the ORDERED-alternative member of
+   * the paired k-treatment family: [[friedman]] asks "do ANY treatments
+   * differ" and is blind to direction; Page asks "do the treatments
+   * trend in THIS hypothesized order" (dose levels, model sizes,
+   * curriculum stages) and concentrates all its power on the monotone
+   * alternative,
+   *   L = Σ_j pos_j · R_j
+   * over the same per-block (mid)ranks. The hypothesized order is the
+   * LEXICAL treatment order — encode the hypothesis in the labels
+   * (`1_ctrl`, `2_low`, `3_high`), the same caller-owns-encoding
+   * contract as the family's string group keys.
+   *
+   * Exactness: rides [[friedmanRankedCells]] (one copy of the
+   * complete-block contract, the k/n box, the joint product bound, and
+   * the ×2-scale by-block midranks), so l2 = Σ pos_j·R2_j (DOUBLED
+   * Page L, ≤ n·k²(k+1) ≤ ~1e12 under the gates) and its null mean
+   * e_l2 = n·k(k+1)²/2 (k(k+1) even ⇒ exact integer) are exact
+   * BIGINTs. The z readout uses Page's null variance on the ×2 scale,
+   * Var(L2) = n·k²(k+1)(k²−1)/36, as ONE fixed-shape double over the
+   * exact integers, micro-quantized half-up — NULL when k < 2 or
+   * n = 0. That variance is the NO-TIES form (the standard Page
+   * statistic); `ties_present` (exact BIGINT 1/0 — any (block, value)
+   * cell with multiplicity > 1) flags when midranks make the z an
+   * approximation, the [[kruskalWallis]] honesty convention.
+   * `approx_ok` = 1 iff n_blocks ≥ 10 (Page 1963's exact tables cover
+   * the small-n regime), the family's regime flag. Output 1 row:
+   * (n_blocks, k_treatments, l2, e_l2, ties_present, z_micro,
+   * approx_ok). */
+  def pageTrend(df: DataFrame, blockCol: String, treatCol: String,
+      valCol: String): DataFrame = {
+    val (kAll, cells) =
+      friedmanRankedCells(df, blockCol, treatCol, valCol, "pageTrend")
+    val ordW = org.apache.spark.sql.expressions.Window.orderBy("__j")
+    // k ≤ 100 rows by the gate: the single-partition rank window is a
+    // treatment-count-sized relation, never data-sized
+    val lsum = cells.groupBy("__j").agg(sum("__r2").as("__s2j"))
+      .withColumn("__pos", row_number().over(ordW).cast("long"))
+      .agg(coalesce(sum(col("__pos") * col("__s2j")), lit(0L)).as("l2"))
+    val ties = df.filter(col(blockCol).isNotNull &&
+        col(treatCol).isNotNull && col(valCol).isNotNull)
+      .select(col(blockCol).cast("string").as("__b"),
+        col(valCol).cast("long").as("__v"))
+      .groupBy("__b", "__v").agg(count(lit(1)).as("__c"))
+      .agg(when(coalesce(max("__c"), lit(0L)) > 1L, lit(1L))
+        .otherwise(lit(0L)).as("ties_present"))
+    val nD = col("n_blocks").cast("double")
+    val kD = col("k_treatments").cast("double")
+    val varL2 = nD * kD * kD * (kD + lit(1.0)) *
+      (kD * kD - lit(1.0)) / lit(36.0)
+    val z = (col("l2") - col("e_l2")).cast("double") / sqrt(varL2)
+    kAll.crossJoin(lsum).crossJoin(broadcast(ties))
+      .withColumn("e_l2", expr("(n_blocks * k_treatments * " +
+        "(k_treatments + 1) * (k_treatments + 1)) div 2"))
+      .select(col("n_blocks"), col("k_treatments"), col("l2"),
+        col("e_l2"), col("ties_present"),
+        when(col("k_treatments") >= 2L && col("n_blocks") >= 1L,
+          floor(z * lit(1e6) + lit(0.5)).cast("long"))
+          .otherwise(lit(null).cast("long")).as("z_micro"),
+        when(col("n_blocks") >= 10L, lit(1L)).otherwise(lit(0L))
+          .as("approx_ok"))
   }
 
   /** Kruskal–Wallis H test (Kruskal & Wallis 1952) — the k-group

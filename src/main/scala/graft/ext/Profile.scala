@@ -203,10 +203,18 @@ object Profile {
         col("n_cur").cast("long").as("cc")),
       maxDistinct, "ksFromBuckets")
 
-  /** THE exact-KS kernel shared by [[ksTwoSample]] (value-grain counts)
-   * and [[ksFromBuckets]] (maintained bucket histograms): inputs are
-   * distinct-`v`-grain count relations `(v, cr)` / `(v, cc)`. */
-  private def ksFromCounts(ca: DataFrame, cb: DataFrame,
+  /** THE merged-cumulative ECDF kernel shared by every two-sample
+   * ECDF-comparison statistic in the family — [[ksTwoSample]] (largest
+   * gap), [[cvmTwoSample]] (mean squared gap), and
+   * [[wassersteinTwoSample]] (area between the curves): full-outer-
+   * merges two distinct-`v`-grain count relations `(v, cr)` / `(v, cc)`,
+   * asserts the loud `maxDistinct` grain bound and the 2e6-rows-per-side
+   * moment bound on the 1-row totals, and returns the merged rows with
+   * both INCLUSIVE cumulative counts and the broadcast totals:
+   * (v, cr, cc, cum_a, cum_b, na, nb). The scaled ECDF gap at any row
+   * is the exact BIGINT `cum_a·nb − cum_b·na` (ECDF difference times
+   * na·nb); each statistic is one aggregate over it. */
+  private def mergedCumCounts(ca: DataFrame, cb: DataFrame,
       maxDistinct: Long, opName: String): DataFrame = {
     val m = ca.join(cb, Seq("v"), "full_outer")
       .select(col("v"), coalesce(col("cr"), lit(0L)).as("cr"),
@@ -224,9 +232,9 @@ object Profile {
       .where(col("__g").isNull)
       .withColumn("__g2", assert_true(
         col("na") <= 2000000L && col("nb") <= 2000000L,
-        lit(s"$opName: a side exceeds 2e6 rows — d_num·1e6 would " +
-          "leave BIGINT (bounded-moment contract); sample the audit " +
-          "slice")))
+        lit(s"$opName: a side exceeds 2e6 rows — the statistic's " +
+          "integer moments would leave the documented envelope " +
+          "(bounded-moment contract); sample the audit slice")))
       .where(col("__g2").isNull).select("na", "nb")
     val w = org.apache.spark.sql.expressions.Window.orderBy("v")
       .rowsBetween(
@@ -235,6 +243,14 @@ object Profile {
     m.crossJoin(broadcast(tot))
       .withColumn("cum_a", sum("cr").over(w))
       .withColumn("cum_b", sum("cc").over(w))
+  }
+
+  /** THE exact-KS readout over [[mergedCumCounts]], shared by
+   * [[ksTwoSample]] (value-grain counts) and [[ksFromBuckets]]
+   * (maintained bucket histograms). */
+  private def ksFromCounts(ca: DataFrame, cb: DataFrame,
+      maxDistinct: Long, opName: String): DataFrame =
+    mergedCumCounts(ca, cb, maxDistinct, opName)
       .agg(max("na").as("n_ref"), max("nb").as("n_cur"),
         max(abs(col("cum_a") * col("nb") - col("cum_b") * col("na")))
           .as("d_num"))
@@ -242,6 +258,113 @@ object Profile {
         when(col("n_ref") > 0L && col("n_cur") > 0L,
           expr("(d_num * 1000000) div (n_ref * n_cur)"))
           .otherwise(lit(null).cast("long")).as("d_ppm"))
+
+  /** Two-sample Cramér–von Mises statistic (Anderson 1962's two-sample
+   * form) — the WHOLE-CURVE sibling of [[ksTwoSample]] on the same
+   * merged-ECDF kernel: KS reads the single largest ECDF gap and is
+   * famously blind to tail and spread differences that never produce
+   * one big gap; CvM integrates the SQUARED gap over the combined
+   * sample,
+   *   T = n·m/(n+m)² · Σ_{x in both samples} (F_n(x) − G_m(x))²,
+   * so many small systematic gaps accumulate. The complement makes
+   * KS+CvM the standard drift pair (a shift moves both; a variance or
+   * tail change moves CvM long before KS).
+   *
+   * Exactness: at distinct-value grain with gap numerator
+   * d_v = cum_ref·m − cum_cur·n (the kernel's exact BIGINT),
+   *   T = t_num / (n·m·(n+m)²),   t_num = Σ_v (cr_v + cc_v)·d_v².
+   * Under the kernel's 2e6-per-side bound |d| ≤ n·m ≤ 4e12, so d² can
+   * reach 1.6e25 — past BIGINT, and why t_num is summed as
+   * DECIMAL(38,0): exact, order-independent, bounded by
+   * (n+m)·(n·m)² ≤ 6.4e31 < 10³⁸ (both engines carry it exactly —
+   * DuckDB sums to HUGEINT). The readout is ONE fixed-shape double off
+   * the exact t_num (the [[graft.ext.Experiment.mannWhitney]]
+   * discipline), micro-quantized half-up; the H0 5% critical value of
+   * the limiting distribution is ≈ 0.461, i.e. t_micro ≈ 461000.
+   * Same plan shape as KS: two value-grain hash-aggs, the kernel's
+   * bounded single-partition cumulative, one 1-row agg. Output 1 row:
+   * (n_ref, n_cur, n_distinct, t_micro — NULL when either side is
+   * empty). */
+  def cvmTwoSample(ref: DataFrame, cur: DataFrame, valCol: String,
+      maxDistinct: Long = MaxOrderStatDistinct): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val d = (col("cum_a") * col("nb") - col("cum_b") * col("na"))
+      .cast(dec)
+    val agg = mergedCumCounts(
+        ref.filter(col(valCol).isNotNull)
+          .groupBy(col(valCol).cast("long").as("v"))
+          .agg(count(lit(1)).as("cr")),
+        cur.filter(col(valCol).isNotNull)
+          .groupBy(col(valCol).cast("long").as("v"))
+          .agg(count(lit(1)).as("cc")),
+        maxDistinct, "cvmTwoSample")
+      .agg(max("na").as("n_ref"), max("nb").as("n_cur"),
+        count(lit(1)).as("n_distinct"),
+        sum(d * d * (col("cr") + col("cc")).cast(dec)).as("__t"))
+    val naD = col("n_ref").cast("double")
+    val nbD = col("n_cur").cast("double")
+    val t = col("__t").cast("double") * lit(1e6) /
+      (naD * nbD * ((naD + nbD) * (naD + nbD)))
+    agg.select(col("n_ref"), col("n_cur"), col("n_distinct"),
+      when(col("n_ref") > 0L && col("n_cur") > 0L,
+        floor(t + lit(0.5)).cast("long"))
+        .otherwise(lit(null).cast("long")).as("t_micro"))
+  }
+
+  /** Two-sample 1-Wasserstein (earth-mover) distance — the
+   * MAGNITUDE-carrying member of the ECDF trio: KS says "the largest
+   * gap", CvM says "the accumulated squared gap", both in probability
+   * units; W₁ = ∫|F_ref − F_cur| dx is in VALUE units — "the mean
+   * amount each unit of mass moved" — so a 3-cent price shift reads as
+   * W₁ ≈ 3 regardless of sample size, the number a drift runbook can
+   * threshold in domain terms.
+   *
+   * Exactness: over merged distinct values with gaps
+   * g_i = v_{i+1} − v_i,
+   *   W₁ = w_num / (n·m),   w_num = Σ_i |d_i| · g_i
+   * with d_i the kernel's exact BIGINT scaled gap. |d| ≤ n·m ≤ 4e12
+   * and g can span the full long range, so w_num (≤ n·m·range
+   * ≤ 7.4e31) is summed as DECIMAL(38,0) — exact at ANY value range,
+   * no range gate needed (the gap subtraction itself is decimal so
+   * even v spanning the whole long line cannot wrap). The readout is
+   * ONE fixed-shape double off the exact w_num, micro-quantized
+   * half-up: w1_micro = micro-units of the value column. Same plan as
+   * [[cvmTwoSample]] plus a `lead` over the same bounded ordering (one
+   * sort serves both windows). Output 1 row:
+   * (n_ref, n_cur, n_distinct, w1_micro — NULL when either side is
+   * empty). */
+  def wassersteinTwoSample(ref: DataFrame, cur: DataFrame,
+      valCol: String, maxDistinct: Long = MaxOrderStatDistinct)
+      : DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val ord = org.apache.spark.sql.expressions.Window.orderBy("v")
+    val gap = lead(col("v").cast(dec), 1).over(ord) -
+      col("v").cast(dec)
+    val d = (col("cum_a") * col("nb") - col("cum_b") * col("na"))
+      .cast(dec)
+    val agg = mergedCumCounts(
+        ref.filter(col(valCol).isNotNull)
+          .groupBy(col(valCol).cast("long").as("v"))
+          .agg(count(lit(1)).as("cr")),
+        cur.filter(col(valCol).isNotNull)
+          .groupBy(col(valCol).cast("long").as("v"))
+          .agg(count(lit(1)).as("cc")),
+        maxDistinct, "wassersteinTwoSample")
+      .withColumn("__g", gap)
+      // the last merged value has no successor (NULL gap) and carries
+      // zero ECDF gap anyway (cum_a = na, cum_b = nb ⇒ d = 0); a NULL
+      // term is skipped by sum, and coalesce keeps the single-distinct-
+      // value input at its true W₁ of 0 instead of NULL
+      .agg(max("na").as("n_ref"), max("nb").as("n_cur"),
+        count(lit(1)).as("n_distinct"),
+        coalesce(sum(when(col("__g").isNotNull, abs(d) * col("__g"))),
+          lit(0).cast(dec)).as("__w"))
+    val w1 = col("__w").cast("double") * lit(1e6) /
+      (col("n_ref").cast("double") * col("n_cur").cast("double"))
+    agg.select(col("n_ref"), col("n_cur"), col("n_distinct"),
+      when(col("n_ref") > 0L && col("n_cur") > 0L,
+        floor(w1 + lit(0.5)).cast("long"))
+        .otherwise(lit(null).cast("long")).as("w1_micro"))
   }
 
   /** GROUPED two-sample Kolmogorov–Smirnov — [[ksTwoSample]] per key,
@@ -296,7 +419,14 @@ object Profile {
   /** THE grouped exact-KS kernel shared by [[ksTwoSampleBy]] and
    * [[ksFromBucketsBy]]: inputs at distinct-(g, v) grain with positive
    * counts `cr` / `cc`. */
-  private def ksFromCountsBy(ca: DataFrame, cb: DataFrame,
+  /** GROUPED sibling of [[mergedCumCounts]] — the per-key merged-ECDF
+   * kernel shared by [[ksFromCountsBy]], [[cvmTwoSampleBy]] and
+   * [[wassersteinTwoSampleBy]]: same merge/bounds/cumulative with
+   * everything partitioned BY GROUP (no global single-partition sweep
+   * at any group count; the loud grain + side bounds asserted on each
+   * group's own total row). Returns
+   * (g, v, cr, cc, cum_a, cum_b, na, nb). */
+  private def mergedCumCountsBy(ca: DataFrame, cb: DataFrame,
       maxDistinct: Long, opName: String): DataFrame = {
     val m = ca.join(cb, Seq("g", "v"), "full_outer")
       .select(col("g"), col("v"), coalesce(col("cr"), lit(0L)).as("cr"),
@@ -314,9 +444,10 @@ object Profile {
       .where(col("__g1").isNull)
       .withColumn("__g2", assert_true(
         col("na") <= 2000000L && col("nb") <= 2000000L,
-        lit(s"$opName: a group's side exceeds 2e6 rows — d_num·1e6 " +
-          "would leave BIGINT (bounded-moment contract); sample the " +
-          "audit slice")))
+        lit(s"$opName: a group's side exceeds 2e6 rows — the " +
+          "statistic's integer moments would leave the documented " +
+          "envelope (bounded-moment contract); sample the audit " +
+          "slice")))
       .where(col("__g2").isNull).select("g", "na", "nb")
     val w = org.apache.spark.sql.expressions.Window.partitionBy("g")
       .orderBy("v")
@@ -326,6 +457,11 @@ object Profile {
     m.withColumn("cum_a", sum("cr").over(w))
       .withColumn("cum_b", sum("cc").over(w))
       .join(tot, "g")
+  }
+
+  private def ksFromCountsBy(ca: DataFrame, cb: DataFrame,
+      maxDistinct: Long, opName: String): DataFrame =
+    mergedCumCountsBy(ca, cb, maxDistinct, opName)
       .groupBy("g")
       .agg(max("na").as("n_ref"), max("nb").as("n_cur"),
         max(abs(col("cum_a") * col("nb") - col("cum_b") * col("na")))
@@ -335,6 +471,82 @@ object Profile {
         when(col("n_ref") > 0L && col("n_cur") > 0L,
           expr("(d_num * 1000000) div (n_ref * n_cur)"))
           .otherwise(lit(null).cast("long")).as("d_ppm"))
+
+  /** GROUPED Cramér–von Mises — [[cvmTwoSample]] per key, the "WHICH
+   * segment's whole curve moved" readout beside [[ksTwoSampleBy]]'s
+   * largest-gap one: a pooled CvM dilutes a one-segment spread change
+   * by every stable segment's mass exactly as a pooled KS does. Same
+   * DECIMAL(38,0)-exact t_num, same fixed-shape double readout, all
+   * moments per group on the group-partitioned kernel (scales better
+   * than the global form — no single-partition sweep). Groups present
+   * on only one side surface with NULL t_micro. Output: one
+   * [[cvmTwoSample]]-shaped row per group (group, n_ref, n_cur,
+   * n_distinct, t_micro). */
+  def cvmTwoSampleBy(ref: DataFrame, cur: DataFrame, groupCol: String,
+      valCol: String, maxDistinct: Long = MaxOrderStatDistinct)
+      : DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    def counts(df: DataFrame, out: String): DataFrame =
+      df.filter(col(valCol).isNotNull && col(groupCol).isNotNull)
+        .groupBy(col(groupCol).cast("string").as("g"),
+          col(valCol).cast("long").as("v"))
+        .agg(count(lit(1)).as(out))
+    val d = (col("cum_a") * col("nb") - col("cum_b") * col("na"))
+      .cast(dec)
+    val agg = mergedCumCountsBy(counts(ref, "cr"), counts(cur, "cc"),
+        maxDistinct, "cvmTwoSampleBy")
+      .groupBy("g")
+      .agg(max("na").as("n_ref"), max("nb").as("n_cur"),
+        count(lit(1)).as("n_distinct"),
+        sum(d * d * (col("cr") + col("cc")).cast(dec)).as("__t"))
+    val naD = col("n_ref").cast("double")
+    val nbD = col("n_cur").cast("double")
+    val t = col("__t").cast("double") * lit(1e6) /
+      (naD * nbD * ((naD + nbD) * (naD + nbD)))
+    agg.select(col("g").as("group"), col("n_ref"), col("n_cur"),
+      col("n_distinct"),
+      when(col("n_ref") > 0L && col("n_cur") > 0L,
+        floor(t + lit(0.5)).cast("long"))
+        .otherwise(lit(null).cast("long")).as("t_micro"))
+  }
+
+  /** GROUPED 1-Wasserstein — [[wassersteinTwoSample]] per key: per
+   * segment, "how many value units did this segment's mass move",
+   * beside the grouped KS/CvM probability readouts. Same
+   * DECIMAL(38,0)-exact w_num at any value range, the gap `lead`
+   * partitioned BY GROUP on the same one sort as the cumulative.
+   * Output: one row per group (group, n_ref, n_cur, n_distinct,
+   * w1_micro — NULL when that group is empty on either side). */
+  def wassersteinTwoSampleBy(ref: DataFrame, cur: DataFrame,
+      groupCol: String, valCol: String,
+      maxDistinct: Long = MaxOrderStatDistinct): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    def counts(df: DataFrame, out: String): DataFrame =
+      df.filter(col(valCol).isNotNull && col(groupCol).isNotNull)
+        .groupBy(col(groupCol).cast("string").as("g"),
+          col(valCol).cast("long").as("v"))
+        .agg(count(lit(1)).as(out))
+    val ord = org.apache.spark.sql.expressions.Window.partitionBy("g")
+      .orderBy("v")
+    val gap = lead(col("v").cast(dec), 1).over(ord) -
+      col("v").cast(dec)
+    val d = (col("cum_a") * col("nb") - col("cum_b") * col("na"))
+      .cast(dec)
+    val agg = mergedCumCountsBy(counts(ref, "cr"), counts(cur, "cc"),
+        maxDistinct, "wassersteinTwoSampleBy")
+      .withColumn("__gp", gap)
+      .groupBy("g")
+      .agg(max("na").as("n_ref"), max("nb").as("n_cur"),
+        count(lit(1)).as("n_distinct"),
+        coalesce(sum(when(col("__gp").isNotNull, abs(d) * col("__gp"))),
+          lit(0).cast(dec)).as("__w"))
+    val w1 = col("__w").cast("double") * lit(1e6) /
+      (col("n_ref").cast("double") * col("n_cur").cast("double"))
+    agg.select(col("g").as("group"), col("n_ref"), col("n_cur"),
+      col("n_distinct"),
+      when(col("n_ref") > 0L && col("n_cur") > 0L,
+        floor(w1 + lit(0.5)).cast("long"))
+        .otherwise(lit(null).cast("long")).as("w1_micro"))
   }
 
   /** Join-fanout pre-flight audit: for an equi-join about to run, the

@@ -2132,6 +2132,131 @@ object AnalyticsQueries {
               FROM kn CROSS JOIN cs CROSS JOIN rs"""),
       "Cochran's Q: do event types' above-average days co-occur"),
 
+    // Cliff's delta on the ab6 arms — the EFFECT SIZE beside ab6's
+    // significance on the exact same per-user totals: ab6's z says the
+    // arms differ, delta says by how much on the [-1,1] dominance scale.
+    // n_gt/n_lt/n_tie are exact BIGINT pair counts computed from the
+    // per-arm cumulatives (no O(n^2) pair join), so the oracle hashes
+    // the complete dominance decomposition, not just the rounded delta.
+    "ab14_cliffs_delta" -> QueryDef(
+      (s, dir) => graft.ext.Experiment.cliffsDelta(t(s, dir, "events")),
+      Some("""WITH u AS (SELECT user_id % 2 AS arm,
+                     CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+                       AS BIGINT) AS x
+                   FROM events GROUP BY user_id),
+              c AS (SELECT x AS vq,
+                      CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS c1,
+                      CAST(count(*) AS BIGINT) AS c
+                    FROM u GROUP BY 1),
+              r AS (SELECT c1, c,
+                      CAST(sum(c) OVER (ORDER BY vq
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+                      CAST(sum(c1) OVER (ORDER BY vq
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum1,
+                      CAST(sum(c) OVER () AS BIGINT) AS n
+                    FROM c),
+              a AS (SELECT max(n) AS n,
+                      CAST(coalesce(sum(c1), 0) AS BIGINT) AS n1,
+                      CAST(coalesce(sum(c1 * ((cum - c) - (cum1 - c1))),
+                        0) AS BIGINT) AS n_gt,
+                      CAST(coalesce(sum(c1 * (c - c1)), 0) AS BIGINT)
+                        AS n_tie
+                    FROM r)
+              SELECT CAST(n - n1 AS BIGINT) AS n0, n1, n_gt,
+                     CAST(n1 * (n - n1) - n_gt - n_tie AS BIGINT)
+                       AS n_lt,
+                     n_tie,
+                     CASE WHEN n1 >= 1 AND n - n1 >= 1
+                          THEN CAST(floor(
+                       CAST(n_gt - (n1 * (n - n1) - n_gt - n_tie)
+                         AS DOUBLE)
+                       / CAST(n1 * (n - n1) AS DOUBLE)
+                       * 1e6 + 0.5) AS BIGINT)
+                     ELSE NULL END AS delta_micro
+              FROM a"""),
+      "Cliff's delta dominance effect size on the ab6 arms"),
+
+    // Page's trend test on the ab11 panel with the lexical event-type
+    // order as the hypothesized monotone ordering — the
+    // ordered-alternative reading of the same day-block ranks: friedman
+    // (ab11) asks "do ANY types differ", this asks "do they trend in
+    // this order". l2/e_l2 are exact BIGINTs off the identical midrank
+    // machinery, so the oracle hashes the exact trend moments plus the
+    // no-ties-variance z and the ties_present honesty flag.
+    "ab15_page_trend" -> QueryDef(
+      (s, dir) => {
+        val cnt = t(s, dir, "events")
+          .groupBy(expr("(ts div 1000) div 86400000000").as("day"),
+            col("event_type"))
+          .agg(count(lit(1)).as("n"))
+        val full = cnt.select("day").distinct()
+          .crossJoin(cnt.select("event_type").distinct())
+          .join(cnt, Seq("day", "event_type"), "left")
+          .select(col("day"), col("event_type"),
+            coalesce(col("n"), lit(0L)).as("n"))
+        graft.ext.Experiment.pageTrend(full, "day", "event_type", "n")
+      },
+      Some("""WITH cnt AS (SELECT epoch_us(ts) // 86400000000 AS day,
+                     event_type, CAST(count(*) AS BIGINT) AS n
+                   FROM events GROUP BY 1, 2),
+              f AS (SELECT d.day, t.event_type,
+                           CAST(coalesce(cnt.n, 0) AS BIGINT) AS v
+                    FROM (SELECT DISTINCT day FROM cnt) d
+                    CROSS JOIN (SELECT DISTINCT event_type FROM cnt) t
+                    LEFT JOIN cnt ON cnt.day = d.day
+                      AND cnt.event_type = t.event_type),
+              bc AS (SELECT day, v, CAST(count(*) AS BIGINT) AS c
+                     FROM f GROUP BY 1, 2),
+              mr AS (SELECT day, v,
+                            2 * CAST(sum(c) OVER (PARTITION BY day
+                              ORDER BY v ROWS UNBOUNDED PRECEDING)
+                              AS BIGINT) - c + 1 AS r2
+                     FROM bc),
+              cells AS (SELECT f.day, f.event_type, mr.r2
+                        FROM f JOIN mr ON mr.day = f.day AND mr.v = f.v),
+              kn AS (SELECT CAST(count(DISTINCT day) AS BIGINT)
+                              AS n_blocks,
+                            CAST(count(DISTINCT event_type) AS BIGINT)
+                              AS k_treatments
+                     FROM f),
+              lt AS (SELECT CAST(coalesce(sum(pos * s2j), 0) AS BIGINT)
+                              AS l2
+                     FROM (SELECT CAST(row_number() OVER
+                               (ORDER BY event_type) AS BIGINT) AS pos,
+                             s2j
+                           FROM (SELECT event_type,
+                                   CAST(sum(r2) AS BIGINT) AS s2j
+                                 FROM cells GROUP BY 1))),
+              tp AS (SELECT CASE WHEN coalesce(max(c), 0) > 1
+                              THEN CAST(1 AS BIGINT)
+                            ELSE CAST(0 AS BIGINT) END AS ties_present
+                     FROM bc),
+              el AS (SELECT kn.n_blocks, kn.k_treatments, lt.l2,
+                            tp.ties_present,
+                            CAST((kn.n_blocks * kn.k_treatments
+                              * (kn.k_treatments + 1)
+                              * (kn.k_treatments + 1)) // 2 AS BIGINT)
+                              AS e_l2
+                     FROM kn CROSS JOIN lt CROSS JOIN tp)
+              SELECT n_blocks, k_treatments, l2, e_l2, ties_present,
+                     CASE WHEN k_treatments >= 2 AND n_blocks >= 1
+                          THEN CAST(floor(
+                       CAST(l2 - e_l2 AS DOUBLE)
+                       / sqrt(CAST(n_blocks AS DOUBLE)
+                         * CAST(k_treatments AS DOUBLE)
+                         * CAST(k_treatments AS DOUBLE)
+                         * (CAST(k_treatments AS DOUBLE) + 1.0)
+                         * (CAST(k_treatments AS DOUBLE)
+                            * CAST(k_treatments AS DOUBLE) - 1.0)
+                         / 36.0)
+                       * 1e6 + 0.5) AS BIGINT)
+                     ELSE NULL END AS z_micro,
+                     CASE WHEN n_blocks >= 10 THEN CAST(1 AS BIGINT)
+                     ELSE CAST(0 AS BIGINT) END AS approx_ok
+              FROM el"""),
+      "Page's trend test: do event types trend in lexical order"),
+
     // Per-type exact percentile-rank transform of event values — the
     // normalization table a feature pipeline joins back onto rows
     // (cume_dist as exact integer ppm, ties sharing their group rank);
@@ -2845,6 +2970,256 @@ object AnalyticsQueries {
                      ELSE NULL END AS d_ppm
               FROM t JOIN mx USING (g)"""),
       "per-type bucket-grain KS drift (grouped streaming readout)"),
+
+    // Cramér–von Mises on the dq33 day-parity split — the WHOLE-CURVE
+    // companion of dq33's exact KS on the same merged-ECDF kernel: KS
+    // reads the one largest gap, CvM accumulates the squared gap over
+    // the combined sample, the readout that moves on spread/tail drift
+    // long before a single gap grows. t_num is summed as DECIMAL(38,0)
+    // (d^2 can pass BIGINT); the oracle replays it in HUGEINT.
+    "dq38_cvm_drift" -> QueryDef(
+      (s, dir) => {
+        val ev = t(s, dir, "events").filter(col("value").isNotNull)
+          .select(expr("((ts div 1000) div 86400000000) % 2").as("par"),
+            floor(col("value") * 100 + lit(0.5)).cast("long").as("vq"))
+        graft.ext.Profile.cvmTwoSample(
+          ev.filter(col("par") === 0).select("vq"),
+          ev.filter(col("par") === 1).select("vq"), "vq")
+      },
+      Some("""WITH d AS (SELECT (epoch_us(ts) // 86400000000) % 2
+                       AS par,
+                     CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
+                   FROM events WHERE value IS NOT NULL),
+              ca AS (SELECT v, CAST(count(*) AS BIGINT) AS cr
+                     FROM d WHERE par = 0 GROUP BY 1),
+              cb AS (SELECT v, CAST(count(*) AS BIGINT) AS cc
+                     FROM d WHERE par = 1 GROUP BY 1),
+              m AS (SELECT coalesce(ca.v, cb.v) AS v,
+                           CAST(coalesce(cr, 0) AS BIGINT) AS cr,
+                           CAST(coalesce(cc, 0) AS BIGINT) AS cc
+                    FROM ca FULL OUTER JOIN cb ON cb.v = ca.v),
+              t AS (SELECT CAST(sum(cr) AS BIGINT) AS na,
+                           CAST(sum(cc) AS BIGINT) AS nb
+                    FROM m),
+              c AS (SELECT v, cr, cc,
+                           CAST(sum(cr) OVER (ORDER BY v
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                             AS cum_a,
+                           CAST(sum(cc) OVER (ORDER BY v
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                             AS cum_b
+                    FROM m),
+              tn AS (SELECT CAST(count(*) AS BIGINT) AS n_distinct,
+                            sum(CAST(c.cum_a * t.nb - c.cum_b * t.na
+                                  AS HUGEINT)
+                                * CAST(c.cum_a * t.nb - c.cum_b * t.na
+                                  AS HUGEINT)
+                                * CAST(c.cr + c.cc AS HUGEINT)) AS t_num
+                     FROM c CROSS JOIN t)
+              SELECT t.na AS n_ref, t.nb AS n_cur, tn.n_distinct,
+                     CASE WHEN t.na > 0 AND t.nb > 0
+                          THEN CAST(floor(
+                       CAST(tn.t_num AS DOUBLE) * 1000000.0
+                       / (CAST(t.na AS DOUBLE) * CAST(t.nb AS DOUBLE)
+                          * ((CAST(t.na AS DOUBLE)
+                              + CAST(t.nb AS DOUBLE))
+                             * (CAST(t.na AS DOUBLE)
+                                + CAST(t.nb AS DOUBLE))))
+                       + 0.5) AS BIGINT)
+                     ELSE NULL END AS t_micro
+              FROM t CROSS JOIN tn"""),
+      "Cramér–von Mises whole-curve drift between day-parity snapshots"),
+
+    // 1-Wasserstein on the same split — the MAGNITUDE member of the
+    // ECDF trio: KS/CvM read in probability units, W1 reads in VALUE
+    // units ("mean centi-units each unit of mass moved"), the number a
+    // drift runbook thresholds in domain terms. w_num = sum |gap|*width
+    // rides the same kernel plus one lead() on the same bounded
+    // ordering; DECIMAL(38,0)-exact at any value range.
+    "dq39_wasserstein" -> QueryDef(
+      (s, dir) => {
+        val ev = t(s, dir, "events").filter(col("value").isNotNull)
+          .select(expr("((ts div 1000) div 86400000000) % 2").as("par"),
+            floor(col("value") * 100 + lit(0.5)).cast("long").as("vq"))
+        graft.ext.Profile.wassersteinTwoSample(
+          ev.filter(col("par") === 0).select("vq"),
+          ev.filter(col("par") === 1).select("vq"), "vq")
+      },
+      Some("""WITH d AS (SELECT (epoch_us(ts) // 86400000000) % 2
+                       AS par,
+                     CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
+                   FROM events WHERE value IS NOT NULL),
+              ca AS (SELECT v, CAST(count(*) AS BIGINT) AS cr
+                     FROM d WHERE par = 0 GROUP BY 1),
+              cb AS (SELECT v, CAST(count(*) AS BIGINT) AS cc
+                     FROM d WHERE par = 1 GROUP BY 1),
+              m AS (SELECT coalesce(ca.v, cb.v) AS v,
+                           CAST(coalesce(cr, 0) AS BIGINT) AS cr,
+                           CAST(coalesce(cc, 0) AS BIGINT) AS cc
+                    FROM ca FULL OUTER JOIN cb ON cb.v = ca.v),
+              t AS (SELECT CAST(sum(cr) AS BIGINT) AS na,
+                           CAST(sum(cc) AS BIGINT) AS nb
+                    FROM m),
+              c AS (SELECT v,
+                           CAST(sum(cr) OVER (ORDER BY v
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                             AS cum_a,
+                           CAST(sum(cc) OVER (ORDER BY v
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                             AS cum_b
+                    FROM m),
+              g AS (SELECT v, cum_a, cum_b,
+                           lead(v) OVER (ORDER BY v) AS nxt
+                    FROM c),
+              wn AS (SELECT CAST(count(*) AS BIGINT) AS n_distinct,
+                            coalesce(sum(CASE WHEN nxt IS NOT NULL THEN
+                              abs(CAST(g.cum_a * t.nb - g.cum_b * t.na
+                                    AS HUGEINT))
+                              * (CAST(nxt AS HUGEINT)
+                                 - CAST(v AS HUGEINT)) END),
+                              CAST(0 AS HUGEINT)) AS w_num
+                     FROM g CROSS JOIN t)
+              SELECT t.na AS n_ref, t.nb AS n_cur, wn.n_distinct,
+                     CASE WHEN t.na > 0 AND t.nb > 0
+                          THEN CAST(floor(
+                       CAST(wn.w_num AS DOUBLE) * 1000000.0
+                       / (CAST(t.na AS DOUBLE) * CAST(t.nb AS DOUBLE))
+                       + 0.5) AS BIGINT)
+                     ELSE NULL END AS w1_micro
+              FROM t CROSS JOIN wn"""),
+      "1-Wasserstein value-unit drift between day-parity snapshots"),
+
+    // GROUPED CvM — dq38 lifted to per-type grain (the dq35 pattern:
+    // same kernel, cumulative partitioned BY GROUP, oracle literally
+    // dq38's SQL with PARTITION BY event_type threaded through): WHICH
+    // segment's whole curve moved, with per-group exact t_num.
+    "dq40_cvm_drift_by" -> QueryDef(
+      (s, dir) => {
+        val ev = t(s, dir, "events").filter(col("value").isNotNull)
+          .select(col("event_type"),
+            expr("((ts div 1000) div 86400000000) % 2").as("par"),
+            floor(col("value") * 100 + lit(0.5)).cast("long").as("vq"))
+        graft.ext.Profile.cvmTwoSampleBy(
+            ev.filter(col("par") === 0).select("event_type", "vq"),
+            ev.filter(col("par") === 1).select("event_type", "vq"),
+            "event_type", "vq")
+          .withColumnRenamed("group", "event_type")
+      },
+      Some("""WITH d AS (SELECT event_type,
+                     (epoch_us(ts) // 86400000000) % 2 AS par,
+                     CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
+                   FROM events
+                   WHERE value IS NOT NULL AND event_type IS NOT NULL),
+              ca AS (SELECT event_type AS g, v,
+                            CAST(count(*) AS BIGINT) AS cr
+                     FROM d WHERE par = 0 GROUP BY 1, 2),
+              cb AS (SELECT event_type AS g, v,
+                            CAST(count(*) AS BIGINT) AS cc
+                     FROM d WHERE par = 1 GROUP BY 1, 2),
+              m AS (SELECT coalesce(ca.g, cb.g) AS g,
+                           coalesce(ca.v, cb.v) AS v,
+                           CAST(coalesce(cr, 0) AS BIGINT) AS cr,
+                           CAST(coalesce(cc, 0) AS BIGINT) AS cc
+                    FROM ca FULL OUTER JOIN cb
+                      ON cb.g = ca.g AND cb.v = ca.v),
+              t AS (SELECT g, CAST(sum(cr) AS BIGINT) AS na,
+                           CAST(sum(cc) AS BIGINT) AS nb
+                    FROM m GROUP BY 1),
+              c AS (SELECT g, v, cr, cc,
+                           CAST(sum(cr) OVER (PARTITION BY g ORDER BY v
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                             AS cum_a,
+                           CAST(sum(cc) OVER (PARTITION BY g ORDER BY v
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                             AS cum_b
+                    FROM m),
+              tn AS (SELECT c.g, CAST(count(*) AS BIGINT) AS n_distinct,
+                            sum(CAST(c.cum_a * t.nb - c.cum_b * t.na
+                                  AS HUGEINT)
+                                * CAST(c.cum_a * t.nb - c.cum_b * t.na
+                                  AS HUGEINT)
+                                * CAST(c.cr + c.cc AS HUGEINT)) AS t_num
+                     FROM c JOIN t USING (g) GROUP BY 1)
+              SELECT t.g AS event_type, t.na AS n_ref, t.nb AS n_cur,
+                     tn.n_distinct,
+                     CASE WHEN t.na > 0 AND t.nb > 0
+                          THEN CAST(floor(
+                       CAST(tn.t_num AS DOUBLE) * 1000000.0
+                       / (CAST(t.na AS DOUBLE) * CAST(t.nb AS DOUBLE)
+                          * ((CAST(t.na AS DOUBLE)
+                              + CAST(t.nb AS DOUBLE))
+                             * (CAST(t.na AS DOUBLE)
+                                + CAST(t.nb AS DOUBLE))))
+                       + 0.5) AS BIGINT)
+                     ELSE NULL END AS t_micro
+              FROM t JOIN tn USING (g)"""),
+      "per-type Cramér–von Mises whole-curve drift (day-parity)"),
+
+    // GROUPED 1-Wasserstein — dq39 per type: how many centi-units each
+    // segment's mass moved, the domain-unit drift number per key.
+    "dq41_wasserstein_by" -> QueryDef(
+      (s, dir) => {
+        val ev = t(s, dir, "events").filter(col("value").isNotNull)
+          .select(col("event_type"),
+            expr("((ts div 1000) div 86400000000) % 2").as("par"),
+            floor(col("value") * 100 + lit(0.5)).cast("long").as("vq"))
+        graft.ext.Profile.wassersteinTwoSampleBy(
+            ev.filter(col("par") === 0).select("event_type", "vq"),
+            ev.filter(col("par") === 1).select("event_type", "vq"),
+            "event_type", "vq")
+          .withColumnRenamed("group", "event_type")
+      },
+      Some("""WITH d AS (SELECT event_type,
+                     (epoch_us(ts) // 86400000000) % 2 AS par,
+                     CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
+                   FROM events
+                   WHERE value IS NOT NULL AND event_type IS NOT NULL),
+              ca AS (SELECT event_type AS g, v,
+                            CAST(count(*) AS BIGINT) AS cr
+                     FROM d WHERE par = 0 GROUP BY 1, 2),
+              cb AS (SELECT event_type AS g, v,
+                            CAST(count(*) AS BIGINT) AS cc
+                     FROM d WHERE par = 1 GROUP BY 1, 2),
+              m AS (SELECT coalesce(ca.g, cb.g) AS g,
+                           coalesce(ca.v, cb.v) AS v,
+                           CAST(coalesce(cr, 0) AS BIGINT) AS cr,
+                           CAST(coalesce(cc, 0) AS BIGINT) AS cc
+                    FROM ca FULL OUTER JOIN cb
+                      ON cb.g = ca.g AND cb.v = ca.v),
+              t AS (SELECT g, CAST(sum(cr) AS BIGINT) AS na,
+                           CAST(sum(cc) AS BIGINT) AS nb
+                    FROM m GROUP BY 1),
+              c AS (SELECT g, v,
+                           CAST(sum(cr) OVER (PARTITION BY g ORDER BY v
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                             AS cum_a,
+                           CAST(sum(cc) OVER (PARTITION BY g ORDER BY v
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                             AS cum_b
+                    FROM m),
+              g2 AS (SELECT g, v, cum_a, cum_b,
+                            lead(v) OVER (PARTITION BY g ORDER BY v)
+                              AS nxt
+                     FROM c),
+              wn AS (SELECT g2.g,
+                            CAST(count(*) AS BIGINT) AS n_distinct,
+                            coalesce(sum(CASE WHEN nxt IS NOT NULL THEN
+                              abs(CAST(g2.cum_a * t.nb - g2.cum_b * t.na
+                                    AS HUGEINT))
+                              * (CAST(nxt AS HUGEINT)
+                                 - CAST(v AS HUGEINT)) END),
+                              CAST(0 AS HUGEINT)) AS w_num
+                     FROM g2 JOIN t USING (g) GROUP BY 1)
+              SELECT t.g AS event_type, t.na AS n_ref, t.nb AS n_cur,
+                     wn.n_distinct,
+                     CASE WHEN t.na > 0 AND t.nb > 0
+                          THEN CAST(floor(
+                       CAST(wn.w_num AS DOUBLE) * 1000000.0
+                       / (CAST(t.na AS DOUBLE) * CAST(t.nb AS DOUBLE))
+                       + 0.5) AS BIGINT)
+                     ELSE NULL END AS w1_micro
+              FROM t JOIN wn USING (g)"""),
+      "per-type 1-Wasserstein value-unit drift (day-parity)"),
 
     // GROUPED shard-merge proven under the gate (dq27's claim lifted to
     // per-key distributions): per-type sketches built on user-parity

@@ -247,4 +247,160 @@ class Round14Spec extends SparkTestBase {
     assert(value.forall { case (g, d) => coarse(g) <= d },
       s"coarse $coarse must lower-bound value-grain $value")
   }
+
+  test("cvmTwoSample: hand pin + exact agreement with a BigInt brute " +
+    "reference on a pseudo-random tied sample; grain refusal is loud") {
+    // ref {1,2}, cur {2,3}: t_num = 12, T = 12/(2*2*16) = 0.1875
+    val got = Profile.cvmTwoSample(Seq(1L, 2L).toDF("v"),
+      Seq(2L, 3L).toDF("v"), "v").collect().head
+    assert(got.getLong(0) == 2L && got.getLong(1) == 2L &&
+      got.getLong(2) == 3L && got.getLong(3) == 187500L)
+    // brute: merged cumulative in BigInt, the documented readout shape
+    val a = (1 to 37).map(i => ((i * 2654435761L) % 11 + 11) % 11)
+    val b = (1 to 29).map(i => ((i * 40503L) % 11 + 11) % 11)
+    def brute(xs: Seq[Long], ys: Seq[Long]): Long = {
+      val vs = (xs ++ ys).distinct.sorted
+      val (na, nb) = (xs.size.toLong, ys.size.toLong)
+      var (ca, cb) = (0L, 0L)
+      var t = BigInt(0)
+      vs.foreach { v =>
+        val (cr, cc) = (xs.count(_ == v).toLong, ys.count(_ == v).toLong)
+        ca += cr; cb += cc
+        val d = BigInt(ca * nb - cb * na)
+        t += d * d * (cr + cc)
+      }
+      math.floor(t.toDouble * 1e6 /
+        (na.toDouble * nb.toDouble *
+          ((na.toDouble + nb.toDouble) * (na.toDouble + nb.toDouble))) +
+        0.5).toLong
+    }
+    val r = Profile.cvmTwoSample(a.toDF("v"), b.toDF("v"), "v")
+      .collect().head
+    assert(r.getLong(3) == brute(a, b), s"${r.getLong(3)} vs brute")
+    val e = intercept[Exception] {
+      Profile.cvmTwoSample(Seq(1L, 2L).toDF("v"), Seq(3L).toDF("v"),
+        "v", maxDistinct = 2L).collect()
+    }
+    assert(loudMsg(e).contains("cvmTwoSample"), loudMsg(e))
+  }
+
+  test("wassersteinTwoSample: hand pin, exact shift reads as the shift " +
+    "in micro value units, identical samples read 0") {
+    // ref {1,2} vs cur {2,3}: a pure +1 shift => W1 = 1
+    val got = Profile.wassersteinTwoSample(Seq(1L, 2L).toDF("v"),
+      Seq(2L, 3L).toDF("v"), "v").collect().head
+    assert(got.getLong(3) == 1000000L, s"w1 ${got.getLong(3)}")
+    val xs = (1 to 41).map(i => ((i * 2654435761L) % 97 + 97) % 97)
+    val shifted = Profile.wassersteinTwoSample(xs.toDF("v"),
+      xs.map(_ + 7L).toDF("v"), "v").collect().head
+    assert(shifted.getLong(3) == 7000000L, s"${shifted.getLong(3)}")
+    val same = Profile.wassersteinTwoSample(xs.toDF("v"),
+      xs.toDF("v"), "v").collect().head
+    assert(same.getLong(3) == 0L)
+    // KS of the shifted pair is tiny while W1 reads the full 7 units —
+    // the "magnitude member of the trio" claim on data
+    val ks = Profile.ksTwoSample(xs.toDF("v"),
+      xs.map(_ + 7L).toDF("v"), "v").collect().head
+    assert(ks.getLong(3) < 200000L, s"ks_ppm ${ks.getLong(3)}")
+  }
+
+  test("cliffsDelta: hand pin + the exact mannWhitney bridge " +
+    "u1_doubled = 2*n_gt + n_tie on a pseudo-random tied panel") {
+    // arm0 = {100, 300}, arm1 = {200, 400}: gt 3, lt 1, tie 0
+    val ev = Seq((0L, 1.0), (1L, 2.0), (2L, 3.0), (3L, 4.0))
+      .toDF("user_id", "value")
+    val got = Experiment.cliffsDelta(ev).collect().head
+    assert(got.getLong(0) == 2L && got.getLong(1) == 2L &&
+      got.getLong(2) == 3L && got.getLong(3) == 1L &&
+      got.getLong(4) == 0L && got.getLong(5) == 500000L)
+    // pseudo-random heavy-tie panel: brute pair loop + the U bridge
+    val users = (0L until 40L).map(u => (u, (((u * 31L) % 7) - 3).toDouble))
+    val df = users.toDF("user_id", "value")
+    val d = Experiment.cliffsDelta(df).collect().head
+    val arm0 = users.filter(_._1 % 2 == 0).map(u => (u._2 * 100).round)
+    val arm1 = users.filter(_._1 % 2 == 1).map(u => (u._2 * 100).round)
+    val gt = (for (x <- arm1; y <- arm0) yield ()).size -
+      (for (x <- arm1; y <- arm0 if x <= y) yield ()).size
+    val tie = (for (x <- arm1; y <- arm0 if x == y) yield ()).size
+    val lt = arm1.size * arm0.size - gt - tie
+    assert(d.getLong(2) == gt && d.getLong(3) == lt &&
+      d.getLong(4) == tie,
+      s"got (${d.getLong(2)},${d.getLong(3)},${d.getLong(4)}) " +
+        s"brute ($gt,$lt,$tie)")
+    assert(d.getLong(5) == math.floor((gt - lt).toDouble /
+      (arm1.size * arm0.size).toDouble * 1e6 + 0.5).toLong)
+    // mannWhitney's u1_doubled rides the U = n1·n0 + n1(n1+1)/2 − R1
+    // convention, i.e. it counts arm-0-dominates pairs: 2·n_lt + n_tie
+    val mw = Experiment.mannWhitney(df).collect().head
+    assert(mw.getLong(2) == 2L * d.getLong(3) + d.getLong(4),
+      s"u1_doubled ${mw.getLong(2)} != 2*lt+tie")
+  }
+
+  test("pageTrend: perfect ascending panel pins l2/e_l2/z; reversing " +
+    "the label order mirrors l2 and negates z; refusal is loud") {
+    val rows = for (b <- 1 to 3; (t, v) <- Seq(("A", 1L), ("B", 2L),
+      ("C", 3L))) yield (s"b$b", t, v)
+    val got = Experiment.pageTrend(rows.toDF("b", "t", "v"),
+      "b", "t", "v").collect().head
+    // per-block doubled ranks 2/4/6 => l2 = 1*6 + 2*12 + 3*18 = 84;
+    // e_l2 = 3*3*16/2 = 72; Var(L2) = 3*9*4*8/36 = 24; z = 12/sqrt(24)
+    assert(got.getLong(0) == 3L && got.getLong(1) == 3L &&
+      got.getLong(2) == 84L && got.getLong(3) == 72L &&
+      got.getLong(4) == 0L)
+    assert(got.getLong(5) ==
+      math.floor(12.0 / math.sqrt(24.0) * 1e6 + 0.5).toLong)
+    assert(got.getLong(6) == 0L) // n < 10
+    // relabel so the hypothesized (lexical) order reverses the trend:
+    // l2_rev = (k+1)*sum(R2) - l2 = 4*36 - 84 = 60, z negated
+    val rev = rows.map { case (b, t, v) =>
+      (b, Map("A" -> "C", "B" -> "B", "C" -> "A")(t), v) }
+    val g2 = Experiment.pageTrend(rev.toDF("b", "t", "v"),
+      "b", "t", "v").collect().head
+    assert(g2.getLong(2) == 60L && g2.getLong(5) == -got.getLong(5))
+    val e = intercept[Exception] {
+      Experiment.pageTrend(Seq(("b1", "A", 1L), ("b1", "B", 2L),
+        ("b2", "A", 3L)).toDF("b", "t", "v"), "b", "t", "v").collect()
+    }
+    assert(loudMsg(e).contains("pageTrend: blocks must be COMPLETE"),
+      loudMsg(e))
+  }
+
+  test("pageTrend: within-block ties surface ties_present = 1 with the " +
+    "midrank l2 still exact") {
+    // b1: A=1, B=1, C=2 -> doubled midranks: ties at 1 share (2+4)/2*2=3
+    val rows = Seq(("b1", "A", 1L), ("b1", "B", 1L), ("b1", "C", 2L),
+      ("b2", "A", 1L), ("b2", "B", 2L), ("b2", "C", 3L))
+    val got = Experiment.pageTrend(rows.toDF("b", "t", "v"),
+      "b", "t", "v").collect().head
+    // b1 r2: A=3, B=3, C=6; b2 r2: 2, 4, 6
+    // l2 = 1*(3+2) + 2*(3+4) + 3*(6+6) = 5 + 14 + 36 = 55
+    assert(got.getLong(2) == 55L && got.getLong(4) == 1L)
+  }
+
+  test("cvmTwoSampleBy / wassersteinTwoSampleBy: each group's row " +
+    "equals the global operator on that group's slice; one-sided " +
+    "groups surface with NULL micro") {
+    val ref = Seq(("a", 1L), ("a", 2L), ("a", 2L), ("b", 5L), ("b", 9L),
+      ("only_ref", 3L)).toDF("g", "v")
+    val cur = Seq(("a", 2L), ("a", 3L), ("b", 5L), ("b", 7L), ("b", 8L))
+      .toDF("g", "v")
+    val cvmBy = Profile.cvmTwoSampleBy(ref, cur, "g", "v")
+      .collect().map(r => r.getString(0) -> r).toMap
+    val w1By = Profile.wassersteinTwoSampleBy(ref, cur, "g", "v")
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(cvmBy.keySet == Set("a", "b", "only_ref"))
+    Seq("a", "b").foreach { g =>
+      val rs = ref.filter(col("g") === g).select("v")
+      val cs = cur.filter(col("g") === g).select("v")
+      val cg = Profile.cvmTwoSample(rs, cs, "v").collect().head
+      val wg = Profile.wassersteinTwoSample(rs, cs, "v").collect().head
+      (1 to 3).foreach { i =>
+        assert(cvmBy(g).getLong(i) == cg.getLong(i - 1), s"cvm $g col $i")
+        assert(w1By(g).getLong(i) == wg.getLong(i - 1), s"w1 $g col $i")
+      }
+      assert(cvmBy(g).getLong(4) == cg.getLong(3))
+      assert(w1By(g).getLong(4) == wg.getLong(3))
+    }
+    assert(cvmBy("only_ref").isNullAt(4) && w1By("only_ref").isNullAt(4))
+  }
 }
