@@ -428,6 +428,101 @@ class EnvelopeFuzzSpec extends SparkTestBase {
     }
   }
 
+  test("cvmTwoSample / wassersteinTwoSample: t_micro / w1_micro equal " +
+    "BigInt brute force on random SIGNED mixes incl. the 2^62 rim (the " +
+    "DECIMAL(38,0) moments + documented fixed-shape readouts, no wrap " +
+    "at any value range)") {
+    val genPair: Gen[(List[Long], List[Long])] = for {
+      a <- genSignedVec
+      b <- genSignedVec
+    } yield (a, b)
+    samples(genPair, 6).foreach { case (a, b) =>
+      val (na, nb) = (a.size.toLong, b.size.toLong)
+      val vs = (a ++ b).distinct.sorted
+      var (ca, cb) = (0L, 0L)
+      var t = BigInt(0)
+      var w = BigInt(0)
+      vs.zipWithIndex.foreach { case (v, i) =>
+        val (cr, cc) = (a.count(_ == v).toLong, b.count(_ == v).toLong)
+        ca += cr; cb += cc
+        val d = BigInt(ca) * nb - BigInt(cb) * na
+        t += d * d * (cr + cc)
+        if (i + 1 < vs.size)
+          w += d.abs * (BigInt(vs(i + 1)) - BigInt(v))
+      }
+      val tMicro = math.floor(t.toDouble * 1e6 /
+        (na.toDouble * nb.toDouble *
+          ((na.toDouble + nb.toDouble) * (na.toDouble + nb.toDouble))) +
+        0.5).toLong
+      val wMicro = math.floor(w.toDouble * 1e6 /
+        (na.toDouble * nb.toDouble) + 0.5).toLong
+      val cg = Profile.cvmTwoSample(a.toDF("v"), b.toDF("v"), "v")
+        .collect().head
+      val wg = Profile.wassersteinTwoSample(a.toDF("v"), b.toDF("v"), "v")
+        .collect().head
+      assert(cg.getLong(0) == na && cg.getLong(1) == nb &&
+        cg.getLong(2) == vs.size.toLong)
+      assert(cg.getLong(3) == tMicro, s"cvm ${cg.getLong(3)} != $tMicro")
+      assert(wg.getLong(3) == wMicro, s"w1 ${wg.getLong(3)} != $wMicro")
+    }
+  }
+
+  test("cochranQ: exact q_num/q_den equal brute force on random " +
+    "complete binary panels") {
+    val genPanel: Gen[List[List[Long]]] = Gen.listOfN(6,
+      Gen.listOfN(4, Gen.oneOf(0L, 1L)))
+    samples(genPanel, 6).foreach { panel =>
+      val rows = panel.zipWithIndex.flatMap { case (blk, b) =>
+        blk.zipWithIndex.map { case (v, j) => (s"b$b", s"t$j", v) } }
+      val got = Experiment.cochranQ(rows.toDF("b", "j", "v"),
+        "b", "j", "v").collect().head
+      val k = 4L
+      val n = 6L
+      val cj = (0 until 4).map(j => panel.map(_(j)).sum)
+      val ri = panel.map(_.sum)
+      val tTot = cj.sum
+      val num = (k - 1) * (k * cj.map(c => c * c).sum - tTot * tTot)
+      val den = k * tTot - ri.map(r => r * r).sum
+      assert(got.getLong(0) == n && got.getLong(1) == k &&
+        got.getLong(2) == tTot)
+      assert(got.getLong(3) == num && got.getLong(4) == den,
+        s"${got.getLong(3)}/${got.getLong(4)} != $num/$den")
+      if (den > 0)
+        assert(got.getLong(5) ==
+          math.floor(num.toDouble / den.toDouble * 1e6 + 0.5).toLong)
+      else assert(got.isNullAt(5))
+    }
+  }
+
+  test("pageTrend: exact l2 equals brute-force within-block x2 " +
+    "midranks dotted with lexical positions on random panels") {
+    val genPanel: Gen[List[List[Long]]] = Gen.listOfN(5,
+      Gen.listOfN(4, Gen.choose(0L, 5L)))
+    samples(genPanel, 6).foreach { panel =>
+      val rows = panel.zipWithIndex.flatMap { case (blk, b) =>
+        blk.zipWithIndex.map { case (v, j) => (s"b$b", s"t$j", v) } }
+      val got = Experiment.pageTrend(rows.toDF("b", "j", "v"),
+        "b", "j", "v").collect().head
+      // brute x2 midranks per block, dotted with positions 1..4
+      def ranks2(vs: Seq[Long]): Seq[Long] = {
+        val sorted = vs.sorted
+        vs.map { v =>
+          val below = sorted.count(_ < v)
+          val eq = sorted.count(_ == v)
+          2L * below + eq + 1L
+        }
+      }
+      val l2 = panel.map(ranks2).map(r2 =>
+        r2.zipWithIndex.map { case (r, j) => (j + 1L) * r }.sum).sum
+      val e2 = 5L * 4L * 5L * 5L / 2L
+      assert(got.getLong(2) == l2, s"l2 ${got.getLong(2)} != $l2")
+      assert(got.getLong(3) == e2)
+      val anyTie = panel.exists(blk =>
+        blk.groupBy(identity).values.exists(_.size > 1))
+      assert(got.getLong(4) == (if (anyTie) 1L else 0L))
+    }
+  }
+
   test("isotonicCalibration: both refusal legs are loud — the nBins " +
     "require and the score-range x nBins BIGINT envelope (exactness is " +
     "the ml6 oracle's job)") {
