@@ -2023,7 +2023,19 @@ object Bench {
       "probes skipped by the budget are NAMED in sf1_truncated (empty " +
       "= complete map), and the swing guard stops adding samples once " +
       "a probe has spent >20s (min-of-2 stands; raw samples + cpu/wall " +
-      "still self-identify a stolen window)"
+      "still self-identify a stolen window). r14: the r13 small-query " +
+      "wall creep (at3/s10-s14/d12/n1 +0.3-0.6s, graph13/n20 +1.4-2.1s) " +
+      "is ATTRIBUTED: fresh-context probes (tools/probe_r14.scala) " +
+      "reproduce the r13 walls in a fresh JVM, refuting shared-session " +
+      "crowding; the cpu canary is flat across r11-r14, refuting core " +
+      "slowdown; the creep is proportional to each query's JOB COUNT, " +
+      "and a trivial-job probe measured this host's 2-stage-job wall " +
+      "swinging 220-470 ms/job between back-to-back rounds in ONE " +
+      "session - per-job scheduler-grain jitter the sustained canaries " +
+      "cannot see. canary.sched_ms_per_job (median of 3x 20 trivial " +
+      "shuffle jobs, pre+post) now prices that jitter per window, so " +
+      "cross-round reads of sub-2s walls start from the window's " +
+      "per-job cost"
     val canaryJson = jsonMap(Seq(
       "cpu_sec" -> f2(cpuPre),
       "cpu_samples" -> cpuPreRaw.map(f2).mkString("[", ",", "]"),
