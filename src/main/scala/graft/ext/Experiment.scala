@@ -1475,6 +1475,118 @@ object Experiment {
         .otherwise(lit(0L)).as("approx_ok"))
   }
 
+  /** Jonckheere–Terpstra trend test (Jonckheere 1954; Terpstra 1952) —
+   * the ORDERED-alternative member of the INDEPENDENT k-group family,
+   * completing the rank-test 2×3 grid: MW/Wilcoxon (two arms),
+   * KW/Friedman (k arms, any alternative), this/[[pageTrend]] (k arms,
+   * MONOTONE alternative) — independent × paired. "Does the metric
+   * increase across dose levels" concentrates all power on the ordered
+   * hypothesis KW spreads over every permutation. The hypothesized
+   * order is the LEXICAL group order (the [[pageTrend]] caller-encodes-
+   * the-hypothesis contract: label groups `1_ctrl`, `2_low`, ...).
+   *
+   * Exactness: J = Σ_{a<b} U_ab over ordered group pairs, computed with
+   * NO pair explosion: on the completed (value × group) grid, per-cell
+   * `below_g(v)` (that group's mass strictly below v, an exclusive
+   * BY-GROUP window) and the exclusive BY-VALUE prefix over groups give
+   *   gt = Σ_cells c_g(v) · Σ_{a<g} below_a(v),
+   *   tie = Σ_cells c_g(v) · Σ_{a<g} c_a(v),
+   * both exact BIGINTs, and j2 = 2·gt + tie is the DOUBLED J (the
+   * family's ×2 tie convention). Null moments are exact integers:
+   * e_j2 = (N² − Σn_g²) div 2 (always even), and the no-ties variance
+   * numerator var18 = N²(2N+3) − Σn_g²(2n_g+3) with Var(J2) = var18/18
+   * — the z is ONE fixed-shape double over exact BIGINTs,
+   * `ties_present` (any merged value with total multiplicity > 1)
+   * flags when that variance is an approximation (the [[pageTrend]]
+   * honesty convention). `approx_ok` = 1 iff k ≥ 2 and every group
+   * ≥ 8 (the standard normal-approximation floor for J).
+   *
+   * Scale posture: the grid is (merged distinct values) × (groups) —
+   * `require(maxDistinct·maxGroups ≤ 1e7)` keeps it audit-slice-sized
+   * by construction, both dims loudly gated, N ≤ 1e6 moment bound (so
+   * every integer above stays far inside BIGINT). Output 1 row:
+   * (n, k_groups, j2, e_j2, var18, ties_present, z_micro, approx_ok). */
+  def jonckheereTerpstra(df: DataFrame, groupCol: String,
+      valCol: String, maxDistinct: Long = 100000L,
+      maxGroups: Long = 100L): DataFrame = {
+    require(maxGroups >= 2, s"maxGroups must be >= 2, got $maxGroups")
+    require(maxDistinct >= 1 && maxDistinct * maxGroups <= 10000000L,
+      s"maxDistinct * maxGroups must be <= 1e7 (grid bound), got " +
+        s"$maxDistinct * $maxGroups")
+    val d = df.filter(col(valCol).isNotNull && col(groupCol).isNotNull)
+      .select(col(groupCol).cast("string").as("__g"),
+        col(valCol).cast("long").as("__v"))
+    val counts = d.groupBy("__g", "__v").agg(count(lit(1)).as("__c"))
+    val sizes = counts.groupBy("__g").agg(sum("__c").as("__ng"))
+    val kAll = sizes
+      .agg(coalesce(sum("__ng"), lit(0L)).as("n"),
+        count(lit(1)).as("k_groups"),
+        coalesce(min("__ng"), lit(0L)).as("__nmin"),
+        coalesce(sum(col("__ng") * col("__ng")), lit(0L)).as("__sn2"),
+        coalesce(sum(col("__ng") * col("__ng") *
+          (lit(2L) * col("__ng") + lit(3L))), lit(0L)).as("__sn23"))
+      .withColumn("__g1", assert_true(
+        col("n") <= 1000000L && col("k_groups") <= maxGroups,
+        lit(s"jonckheereTerpstra: rows > 1e6 or groups > $maxGroups — " +
+          "pair moments would leave the documented envelope " +
+          "(bounded-moment contract); sample the audit slice")))
+      .where(col("__g1").isNull).drop("__g1")
+    val vals = counts.select("__v").distinct()
+    val nd = vals.agg(count(lit(1)).as("__nd"))
+      .withColumn("__g2", assert_true(col("__nd") <= maxDistinct,
+        lit(s"jonckheereTerpstra: more than $maxDistinct merged " +
+          "distinct values — quantize coarser (bounded-grain " +
+          "contract, see Profile.boundedCumCounts)")))
+      .where(col("__g2").isNull).select(lit(1L).as("__ok"))
+    // completed grid: every (value, group) cell, zero-count where
+    // absent. BOTH dims ride their gated 1-row asserts (broadcast
+    // build sides materialize — and refuse — BEFORE the cross
+    // expands: the kendallTau gate-the-expansion posture), so an
+    // over-bound value grain or group count cannot pay the grid cost.
+    val gatedVals = vals.crossJoin(broadcast(nd)).drop("__ok")
+    val gatedGroups = counts.select("__g").distinct()
+      .crossJoin(broadcast(kAll.select(lit(1L).as("__okk"))))
+      .drop("__okk")
+    val grid = gatedVals.crossJoin(gatedGroups)
+      .join(counts, Seq("__g", "__v"), "left")
+      .select(col("__g"), col("__v"),
+        coalesce(col("__c"), lit(0L)).as("__c"))
+    val byG = org.apache.spark.sql.expressions.Window
+      .partitionBy("__g").orderBy("__v")
+      .rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val byV = org.apache.spark.sql.expressions.Window
+      .partitionBy("__v").orderBy("__g")
+      .rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val cells = grid
+      .withColumn("__below", coalesce(sum("__c").over(byG), lit(0L)))
+      .withColumn("__sBelow", coalesce(sum("__below").over(byV), lit(0L)))
+      .withColumn("__sTie", coalesce(sum("__c").over(byV), lit(0L)))
+    val sums = cells
+      .agg(coalesce(sum(col("__c") * col("__sBelow")), lit(0L)).as("__gt"),
+        coalesce(sum(col("__c") * col("__sTie")), lit(0L)).as("__tie"))
+    val ties = counts.groupBy("__v").agg(sum("__c").as("__cv"))
+      .agg(when(coalesce(max("__cv"), lit(0L)) > 1L, lit(1L))
+        .otherwise(lit(0L)).as("ties_present"))
+    val j2 = lit(2L) * col("__gt") + col("__tie")
+    val eJ2 = expr("(n * n - __sn2) div 2")
+    val var18 = col("n") * col("n") * (lit(2L) * col("n") + lit(3L)) -
+      col("__sn23")
+    val z = (col("j2") - col("e_j2")).cast("double") /
+      sqrt(col("var18").cast("double") / lit(18.0))
+    kAll.crossJoin(sums).crossJoin(broadcast(ties))
+      .withColumn("j2", j2).withColumn("e_j2", eJ2)
+      .withColumn("var18", var18)
+      .select(col("n"), col("k_groups"), col("j2"), col("e_j2"),
+        col("var18"), col("ties_present"),
+        when(col("k_groups") >= 2L && col("var18") > 0L,
+          floor(z * lit(1e6) + lit(0.5)).cast("long"))
+          .otherwise(lit(null).cast("long")).as("z_micro"),
+        when(col("k_groups") >= 2L && col("__nmin") >= 8L, lit(1L))
+          .otherwise(lit(0L)).as("approx_ok"))
+  }
+
   /** Wilcoxon signed-rank test (Wilcoxon 1945) — the PAIRED complement
    * of mannWhitney's independent arms: per unit a before/after (or
    * A/B-on-the-same-unit) pair, "did the distribution of within-unit

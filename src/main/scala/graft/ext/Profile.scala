@@ -419,6 +419,67 @@ object Profile {
   /** THE grouped exact-KS kernel shared by [[ksTwoSampleBy]] and
    * [[ksFromBucketsBy]]: inputs at distinct-(g, v) grain with positive
    * counts `cr` / `cc`. */
+  /** Two-sample energy distance (Székely & Rizzo 2004) — the METRIC
+   * member of the ECDF family: KS/CvM read probability gaps, W₁ reads
+   * transported mass, energy distance
+   *   D = 2·E|X−Y| − E|X−X'| − E|Y−Y'|
+   * is a true metric between the distributions (0 iff identical),
+   * rotation/shift-sensitive in exactly the way embedding-distribution
+   * comparison wants, and the basis of the energy two-sample test. For
+   * scalars every term is an ECDF integral —
+   *   E|X−Y| = ∫ (F(1−G) + G(1−F)) dx,  E|X−X'| = 2∫ F(1−F) dx
+   * — so all three ride ONE pass of [[mergedCumCounts]]: per merged
+   * gap, exact integer cross-products `cum_a(nb−cum_b) + cum_b(na−cum_a)`
+   * (and the within-sample twins) times the gap width, summed as
+   * DECIMAL(38,0) (exact at any value range, the
+   * [[wassersteinTwoSample]] discipline; DuckDB replays in HUGEINT).
+   * The readout is ONE fixed-shape double over the three exact sums
+   * and exact integer denominators,
+   *   D = 2·axy/(na·nb) − axx/(na·na) − ayy/(nb·nb),
+   * micro-quantized half-up, in VALUE units like W₁. The scalar
+   * identity D = 2·∫(F−G)² dx (the Cramér distance, doubled) gives its
+   * bounds: 0 ≤ D ≤ 2·W₁ (since (F−G)² ≤ |F−G|), with D → 2·W₁ as the
+   * supports separate. NULL when either side is empty. Output 1 row:
+   * (n_ref, n_cur, n_distinct, e_micro). */
+  def energyDistance(ref: DataFrame, cur: DataFrame, valCol: String,
+      maxDistinct: Long = MaxOrderStatDistinct): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val ord = org.apache.spark.sql.expressions.Window.orderBy("v")
+    val gap = lead(col("v").cast(dec), 1).over(ord) -
+      col("v").cast(dec)
+    def cross(x: Column, y: Column): Column = x.cast(dec) * y.cast(dec)
+    val agg = mergedCumCounts(
+        ref.filter(col(valCol).isNotNull)
+          .groupBy(col(valCol).cast("long").as("v"))
+          .agg(count(lit(1)).as("cr")),
+        cur.filter(col(valCol).isNotNull)
+          .groupBy(col(valCol).cast("long").as("v"))
+          .agg(count(lit(1)).as("cc")),
+        maxDistinct, "energyDistance")
+      .withColumn("__gp", gap)
+      .agg(max("na").as("n_ref"), max("nb").as("n_cur"),
+        count(lit(1)).as("n_distinct"),
+        coalesce(sum(when(col("__gp").isNotNull,
+          (cross(col("cum_a"), col("nb") - col("cum_b")) +
+            cross(col("cum_b"), col("na") - col("cum_a"))) *
+            col("__gp"))), lit(0).cast(dec)).as("__xy"),
+        coalesce(sum(when(col("__gp").isNotNull,
+          cross(col("cum_a"), col("na") - col("cum_a")) *
+            col("__gp"))), lit(0).cast(dec)).as("__xx"),
+        coalesce(sum(when(col("__gp").isNotNull,
+          cross(col("cum_b"), col("nb") - col("cum_b")) *
+            col("__gp"))), lit(0).cast(dec)).as("__yy"))
+    val naD = col("n_ref").cast("double")
+    val nbD = col("n_cur").cast("double")
+    val e = lit(2.0) * col("__xy").cast("double") / (naD * nbD) -
+      lit(2.0) * col("__xx").cast("double") / (naD * naD) -
+      lit(2.0) * col("__yy").cast("double") / (nbD * nbD)
+    agg.select(col("n_ref"), col("n_cur"), col("n_distinct"),
+      when(col("n_ref") > 0L && col("n_cur") > 0L,
+        floor(e * lit(1e6) + lit(0.5)).cast("long"))
+        .otherwise(lit(null).cast("long")).as("e_micro"))
+  }
+
   /** GROUPED sibling of [[mergedCumCounts]] — the per-key merged-ECDF
    * kernel shared by [[ksFromCountsBy]], [[cvmTwoSampleBy]] and
    * [[wassersteinTwoSampleBy]]: same merge/bounds/cumulative with

@@ -2257,6 +2257,91 @@ object AnalyticsQueries {
               FROM el"""),
       "Page's trend test: do event types trend in lexical order"),
 
+    // Jonckheere-Terpstra on per-type value distributions (the ab9 KW
+    // input) with the lexical type order as the hypothesized monotone
+    // ordering — completes the rank-test 2x3 grid (MW/Wilcoxon two-arm,
+    // KW/Friedman k-arm any-alternative, JT/Page k-arm ORDERED,
+    // independent x paired). j2/e_j2/var18 exact BIGINTs; the grid plan
+    // (completed value x group cells, two exclusive windows) replays
+    // verbatim in the oracle.
+    "ab16_jonckheere" -> QueryDef(
+      (s, dir) => graft.ext.Experiment.jonckheereTerpstra(
+        t(s, dir, "events").filter(col("value").isNotNull)
+          .select(col("event_type"),
+            floor(col("value") * 100 + lit(0.5)).cast("long").as("vq")),
+        "event_type", "vq"),
+      Some("""WITH d AS (SELECT event_type AS g,
+                     CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
+                   FROM events
+                   WHERE value IS NOT NULL AND event_type IS NOT NULL),
+              c AS (SELECT g, v, CAST(count(*) AS BIGINT) AS c
+                    FROM d GROUP BY 1, 2),
+              sz AS (SELECT g, CAST(sum(c) AS BIGINT) AS ng
+                     FROM c GROUP BY 1),
+              kn AS (SELECT CAST(coalesce(sum(ng), 0) AS BIGINT) AS n,
+                            CAST(count(*) AS BIGINT) AS k_groups,
+                            CAST(coalesce(min(ng), 0) AS BIGINT)
+                              AS nmin,
+                            CAST(coalesce(sum(ng * ng), 0) AS BIGINT)
+                              AS sn2,
+                            CAST(coalesce(sum(ng * ng * (2 * ng + 3)),
+                              0) AS BIGINT) AS sn23
+                     FROM sz),
+              grid AS (SELECT gg.g, vv.v,
+                              CAST(coalesce(c.c, 0) AS BIGINT) AS c
+                       FROM (SELECT DISTINCT v FROM c) vv
+                       CROSS JOIN (SELECT DISTINCT g FROM c) gg
+                       LEFT JOIN c ON c.g = gg.g AND c.v = vv.v),
+              cells AS (SELECT g, v, c,
+                               CAST(coalesce(sum(c) OVER (PARTITION BY g
+                                 ORDER BY v ROWS BETWEEN UNBOUNDED
+                                 PRECEDING AND 1 PRECEDING), 0)
+                                 AS BIGINT) AS below
+                        FROM grid),
+              cells2 AS (SELECT g, v, c,
+                                CAST(coalesce(sum(below) OVER
+                                  (PARTITION BY v ORDER BY g
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND 1 PRECEDING), 0) AS BIGINT)
+                                  AS sbelow,
+                                CAST(coalesce(sum(c) OVER
+                                  (PARTITION BY v ORDER BY g
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND 1 PRECEDING), 0) AS BIGINT)
+                                  AS stie
+                         FROM cells),
+              sums AS (SELECT CAST(coalesce(sum(c * sbelow), 0)
+                                AS BIGINT) AS gt,
+                              CAST(coalesce(sum(c * stie), 0)
+                                AS BIGINT) AS tie
+                       FROM cells2),
+              tp AS (SELECT CASE WHEN coalesce(max(cv), 0) > 1
+                              THEN CAST(1 AS BIGINT)
+                            ELSE CAST(0 AS BIGINT) END AS ties_present
+                     FROM (SELECT v, CAST(sum(c) AS BIGINT) AS cv
+                           FROM c GROUP BY 1)),
+              fin AS (SELECT kn.n, kn.k_groups, kn.nmin,
+                             CAST(2 * sums.gt + sums.tie AS BIGINT)
+                               AS j2,
+                             CAST((kn.n * kn.n - kn.sn2) // 2
+                               AS BIGINT) AS e_j2,
+                             CAST(kn.n * kn.n * (2 * kn.n + 3) - kn.sn23
+                               AS BIGINT) AS var18,
+                             tp.ties_present
+                      FROM kn CROSS JOIN sums CROSS JOIN tp)
+              SELECT n, k_groups, j2, e_j2, var18, ties_present,
+                     CASE WHEN k_groups >= 2 AND var18 > 0
+                          THEN CAST(floor(
+                       CAST(j2 - e_j2 AS DOUBLE)
+                       / sqrt(CAST(var18 AS DOUBLE) / 18.0)
+                       * 1e6 + 0.5) AS BIGINT)
+                     ELSE NULL END AS z_micro,
+                     CASE WHEN k_groups >= 2 AND nmin >= 8
+                          THEN CAST(1 AS BIGINT)
+                     ELSE CAST(0 AS BIGINT) END AS approx_ok
+              FROM fin"""),
+      "Jonckheere-Terpstra: do per-type values trend in lexical order"),
+
     // Per-type exact percentile-rank transform of event values — the
     // normalization table a feature pipeline joins back onto rows
     // (cume_dist as exact integer ppm, ties sharing their group rank);
@@ -3220,6 +3305,82 @@ object AnalyticsQueries {
                      ELSE NULL END AS w1_micro
               FROM t JOIN wn USING (g)"""),
       "per-type 1-Wasserstein value-unit drift (day-parity)"),
+
+    // Energy distance on the same split — the METRIC member of the
+    // ECDF family (Székely-Rizzo 2004): a true metric between the two
+    // distributions (0 iff identical), all three E|·| terms exact
+    // DECIMAL sums off ONE kernel pass; the embedding-distribution
+    // comparison statistic, here gated on the scalar value column.
+    "dq42_energy_distance" -> QueryDef(
+      (s, dir) => {
+        val ev = t(s, dir, "events").filter(col("value").isNotNull)
+          .select(expr("((ts div 1000) div 86400000000) % 2").as("par"),
+            floor(col("value") * 100 + lit(0.5)).cast("long").as("vq"))
+        graft.ext.Profile.energyDistance(
+          ev.filter(col("par") === 0).select("vq"),
+          ev.filter(col("par") === 1).select("vq"), "vq")
+      },
+      Some("""WITH d AS (SELECT (epoch_us(ts) // 86400000000) % 2
+                       AS par,
+                     CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
+                   FROM events WHERE value IS NOT NULL),
+              ca AS (SELECT v, CAST(count(*) AS BIGINT) AS cr
+                     FROM d WHERE par = 0 GROUP BY 1),
+              cb AS (SELECT v, CAST(count(*) AS BIGINT) AS cc
+                     FROM d WHERE par = 1 GROUP BY 1),
+              m AS (SELECT coalesce(ca.v, cb.v) AS v,
+                           CAST(coalesce(cr, 0) AS BIGINT) AS cr,
+                           CAST(coalesce(cc, 0) AS BIGINT) AS cc
+                    FROM ca FULL OUTER JOIN cb ON cb.v = ca.v),
+              t AS (SELECT CAST(sum(cr) AS BIGINT) AS na,
+                           CAST(sum(cc) AS BIGINT) AS nb
+                    FROM m),
+              c AS (SELECT v,
+                           CAST(sum(cr) OVER (ORDER BY v
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                             AS cum_a,
+                           CAST(sum(cc) OVER (ORDER BY v
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                             AS cum_b
+                    FROM m),
+              g AS (SELECT v, cum_a, cum_b,
+                           lead(v) OVER (ORDER BY v) AS nxt
+                    FROM c),
+              en AS (SELECT CAST(count(*) AS BIGINT) AS n_distinct,
+                            coalesce(sum(CASE WHEN nxt IS NOT NULL THEN
+                              (CAST(g.cum_a AS HUGEINT)
+                                 * CAST(t.nb - g.cum_b AS HUGEINT)
+                               + CAST(g.cum_b AS HUGEINT)
+                                 * CAST(t.na - g.cum_a AS HUGEINT))
+                              * (CAST(nxt AS HUGEINT)
+                                 - CAST(v AS HUGEINT)) END),
+                              CAST(0 AS HUGEINT)) AS xy,
+                            coalesce(sum(CASE WHEN nxt IS NOT NULL THEN
+                              CAST(g.cum_a AS HUGEINT)
+                                * CAST(t.na - g.cum_a AS HUGEINT)
+                              * (CAST(nxt AS HUGEINT)
+                                 - CAST(v AS HUGEINT)) END),
+                              CAST(0 AS HUGEINT)) AS xx,
+                            coalesce(sum(CASE WHEN nxt IS NOT NULL THEN
+                              CAST(g.cum_b AS HUGEINT)
+                                * CAST(t.nb - g.cum_b AS HUGEINT)
+                              * (CAST(nxt AS HUGEINT)
+                                 - CAST(v AS HUGEINT)) END),
+                              CAST(0 AS HUGEINT)) AS yy
+                     FROM g CROSS JOIN t)
+              SELECT t.na AS n_ref, t.nb AS n_cur, en.n_distinct,
+                     CASE WHEN t.na > 0 AND t.nb > 0
+                          THEN CAST(floor((
+                       2.0 * CAST(en.xy AS DOUBLE)
+                         / (CAST(t.na AS DOUBLE) * CAST(t.nb AS DOUBLE))
+                       - 2.0 * CAST(en.xx AS DOUBLE)
+                         / (CAST(t.na AS DOUBLE) * CAST(t.na AS DOUBLE))
+                       - 2.0 * CAST(en.yy AS DOUBLE)
+                         / (CAST(t.nb AS DOUBLE) * CAST(t.nb AS DOUBLE)))
+                       * 1e6 + 0.5) AS BIGINT)
+                     ELSE NULL END AS e_micro
+              FROM t CROSS JOIN en"""),
+      "energy distance (metric member of the ECDF family, day-parity)"),
 
     // GROUPED shard-merge proven under the gate (dq27's claim lifted to
     // per-key distributions): per-type sketches built on user-parity

@@ -428,10 +428,10 @@ class EnvelopeFuzzSpec extends SparkTestBase {
     }
   }
 
-  test("cvmTwoSample / wassersteinTwoSample: t_micro / w1_micro equal " +
-    "BigInt brute force on random SIGNED mixes incl. the 2^62 rim (the " +
-    "DECIMAL(38,0) moments + documented fixed-shape readouts, no wrap " +
-    "at any value range)") {
+  test("cvmTwoSample / wassersteinTwoSample / energyDistance: micro " +
+    "readouts equal BigInt brute force on random SIGNED mixes incl. " +
+    "the 2^62 rim (the DECIMAL(38,0) moments + documented fixed-shape " +
+    "readouts, no wrap at any value range)") {
     val genPair: Gen[(List[Long], List[Long])] = for {
       a <- genSignedVec
       b <- genSignedVec
@@ -442,13 +442,19 @@ class EnvelopeFuzzSpec extends SparkTestBase {
       var (ca, cb) = (0L, 0L)
       var t = BigInt(0)
       var w = BigInt(0)
+      var (exy, exx, eyy) = (BigInt(0), BigInt(0), BigInt(0))
       vs.zipWithIndex.foreach { case (v, i) =>
         val (cr, cc) = (a.count(_ == v).toLong, b.count(_ == v).toLong)
         ca += cr; cb += cc
         val d = BigInt(ca) * nb - BigInt(cb) * na
         t += d * d * (cr + cc)
-        if (i + 1 < vs.size)
-          w += d.abs * (BigInt(vs(i + 1)) - BigInt(v))
+        if (i + 1 < vs.size) {
+          val gap = BigInt(vs(i + 1)) - BigInt(v)
+          w += d.abs * gap
+          exy += (BigInt(ca) * (nb - cb) + BigInt(cb) * (na - ca)) * gap
+          exx += BigInt(ca) * (na - ca) * gap
+          eyy += BigInt(cb) * (nb - cb) * gap
+        }
       }
       val tMicro = math.floor(t.toDouble * 1e6 /
         (na.toDouble * nb.toDouble *
@@ -464,6 +470,15 @@ class EnvelopeFuzzSpec extends SparkTestBase {
         cg.getLong(2) == vs.size.toLong)
       assert(cg.getLong(3) == tMicro, s"cvm ${cg.getLong(3)} != $tMicro")
       assert(wg.getLong(3) == wMicro, s"w1 ${wg.getLong(3)} != $wMicro")
+      val eMicro = math.floor(
+        (2.0 * exy.toDouble / (na.toDouble * nb.toDouble) -
+          2.0 * exx.toDouble / (na.toDouble * na.toDouble) -
+          2.0 * eyy.toDouble / (nb.toDouble * nb.toDouble)) * 1e6 +
+        0.5).toLong
+      val eg = Profile.energyDistance(a.toDF("v"), b.toDF("v"), "v")
+        .collect().head
+      assert(eg.getLong(3) == eMicro,
+        s"energy ${eg.getLong(3)} != $eMicro")
     }
   }
 

@@ -403,4 +403,88 @@ class Round14Spec extends SparkTestBase {
     }
     assert(cvmBy("only_ref").isNullAt(4) && w1By("only_ref").isNullAt(4))
   }
+
+  test("energyDistance: hand pin, identity 0, point masses read " +
+    "2·separation (the D = 2∫(F−G)² identity), and D <= 2·W1 always") {
+    // {1,2} vs {2,3}: E|XY| = 1, E|XX| = E|YY| = 0.5 => D = 1
+    val got = Profile.energyDistance(Seq(1L, 2L).toDF("v"),
+      Seq(2L, 3L).toDF("v"), "v").collect().head
+    assert(got.getLong(3) == 1000000L, s"D ${got.getLong(3)}")
+    val same = Profile.energyDistance(Seq(1L, 5L, 9L).toDF("v"),
+      Seq(1L, 5L, 9L).toDF("v"), "v").collect().head
+    assert(same.getLong(3) == 0L)
+    // point masses at 0 and 1000: D = 2E|X−Y| = 2000 (and the ∫(F−G)²
+    // reading: (F−G)² = 1 over the 1000-wide separation, doubled)
+    val pm = Profile.energyDistance(Seq(0L).toDF("v"),
+      Seq(1000L).toDF("v"), "v").collect().head
+    assert(pm.getLong(3) == 2000000000L, s"point-mass D ${pm.getLong(3)}")
+    val xs = (1 to 31).map(i => ((i * 2654435761L) % 50 + 50) % 50)
+    val ys = (1 to 23).map(i => ((i * 40503L) % 50 + 50) % 50)
+    val d = Profile.energyDistance(xs.toDF("v"), ys.toDF("v"), "v")
+      .collect().head.getLong(3)
+    val w1 = Profile.wassersteinTwoSample(xs.toDF("v"), ys.toDF("v"),
+      "v").collect().head.getLong(3)
+    assert(d <= 2L * w1 + 1L, s"D $d must be <= 2*W1 ${2 * w1} (+1 ulp)")
+  }
+
+  test("jonckheereTerpstra: ascending hand pin (exact j2/e_j2/var18), " +
+    "label reversal mirrors j2 about e_j2 and negates z; within- and " +
+    "cross-group ties flag; refusals are loud") {
+    val asc = Seq(("A", 1L), ("A", 2L), ("B", 3L), ("B", 4L),
+      ("C", 5L), ("C", 6L)).toDF("g", "v")
+    val got = Experiment.jonckheereTerpstra(asc, "g", "v").collect().head
+    // gt = 12 (every cross pair ordered), j2 = 24; e_j2 = (36-12)/2 =
+    // 12; var18 = 36*15 - 3*(4*7) = 456
+    assert(got.getLong(0) == 6L && got.getLong(1) == 3L &&
+      got.getLong(2) == 24L && got.getLong(3) == 12L &&
+      got.getLong(4) == 456L && got.getLong(5) == 0L)
+    assert(got.getLong(6) == math.floor(12.0 /
+      math.sqrt(456.0 / 18.0) * 1e6 + 0.5).toLong)
+    assert(got.getLong(7) == 0L) // nmin = 2 < 8
+    val rev = Seq(("C", 1L), ("C", 2L), ("B", 3L), ("B", 4L),
+      ("A", 5L), ("A", 6L)).toDF("g", "v")
+    val g2 = Experiment.jonckheereTerpstra(rev, "g", "v").collect().head
+    assert(g2.getLong(2) == 0L && g2.getLong(6) == -got.getLong(6))
+    // a cross-group tie contributes tie (not gt) and flags ties_present
+    val tied = Seq(("A", 1L), ("A", 5L), ("B", 5L), ("B", 9L))
+      .toDF("g", "v")
+    val g3 = Experiment.jonckheereTerpstra(tied, "g", "v").collect().head
+    // pairs (A,B): 1<5 gt, 1<9 gt, 5=5 tie, 5<9 gt => gt 3, tie 1,
+    // j2 = 7
+    assert(g3.getLong(2) == 7L && g3.getLong(5) == 1L)
+    val e1 = intercept[IllegalArgumentException] {
+      Experiment.jonckheereTerpstra(asc, "g", "v",
+        maxDistinct = 1000000L, maxGroups = 100L)
+    }
+    assert(e1.getMessage.contains("1e7"))
+    val e2 = intercept[Exception] {
+      Experiment.jonckheereTerpstra(asc, "g", "v", maxDistinct = 3L)
+        .collect()
+    }
+    assert(loudMsg(e2).contains("merged distinct"), loudMsg(e2))
+  }
+
+  test("jonckheereTerpstra: brute-force pair-count equality on a " +
+    "pseudo-random tied 4-group panel") {
+    val rows = (0 until 48).map { i =>
+      (s"g${i % 4}", ((i * 2654435761L) % 9 + 9) % 9)
+    }
+    val got = Experiment.jonckheereTerpstra(rows.toDF("g", "v"),
+      "g", "v").collect().head
+    val byG = rows.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val gs = byG.keys.toSeq.sorted
+    var (gt, tie) = (0L, 0L)
+    for {
+      i <- gs.indices; j <- (i + 1) until gs.size
+      x <- byG(gs(i)); y <- byG(gs(j))
+    } {
+      if (x < y) gt += 1
+      else if (x == y) tie += 1
+    }
+    assert(got.getLong(2) == 2 * gt + tie,
+      s"j2 ${got.getLong(2)} != ${2 * gt + tie}")
+    val n = 48L
+    val sn2 = byG.values.map(v => v.size.toLong * v.size).sum
+    assert(got.getLong(3) == (n * n - sn2) / 2)
+  }
 }
