@@ -110,6 +110,50 @@ object Dedup {
     if (reliable) df.checkpoint() else df.localCheckpoint()
   }
 
+  /** Lazy variant of [[materialize]] for FIXED-ITERATION loops whose next
+   * round needs NO driver-side readout (no Observation, no count-based
+   * convergence): truncates the logical plan exactly like [[materialize]]
+   * (the physical RDD is pinned now, so Catalyst never re-optimizes a
+   * growing tree), but defers the block write to the first consuming job
+   * instead of paying one eager job per round — on this host the
+   * scheduler's per-job constant (see the bench `sched` canary,
+   * 0.2-0.45 s/job) dominated sub-second iteration bodies. Work and
+   * results are identical: the round's blocks are still computed once and
+   * persisted (consumers read the cached blocks), only the job BOUNDARY
+   * moves. Under `graft.checkpoint.reliable=true` this stays the EAGER
+   * reliable checkpoint — on a cluster the fault-tolerance barrier
+   * between rounds is the point, and a lazy reliable checkpoint would
+   * recompute the whole lineage on the checkpoint job anyway. */
+  private[graft] def materializeLazy(df: DataFrame): DataFrame = {
+    val reliable = df.sparkSession.conf
+      .getOption(ReliableCheckpointConf).exists(_.toBoolean)
+    if (reliable) df.checkpoint() else df.localCheckpoint(eager = false)
+  }
+
+  /** Parallelism floor for compute-heavy kernels (brute-force pair
+   * scoring, per-vector encode/assignment folds, per-token fingerprint
+   * votes): when the input exposes fewer base splits than the session's
+   * default parallelism — one small parquet split at bench scale, so the
+   * whole O(n²)- or O(n·K·dim)-per-row stage would execute as a SINGLE
+   * task regardless of core count — round-robin repartition to the
+   * default. The probe reads the plan's input FILE count (never
+   * `.rdd`/`.toRdd`, which under AQE can materialize upstream stages at
+   * plan-build time): at cluster scale any data-sized scan has far more
+   * splits than cores and this is a no-op, so no constant tuned for
+   * local mode leaks into the scale posture. The shuffle it inserts
+   * moves only the narrow input it is applied to (raw vectors / PQ
+   * codes / doc text) — orders of magnitude below the expanded pair or
+   * encode work it parallelizes. Relations with no file provenance
+   * (in-memory test relations) count as 0 files and get the floor,
+   * which is semantically neutral. */
+  private[graft] def spread(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    val nFiles =
+      try df.inputFiles.length
+      catch { case scala.util.control.NonFatal(_) => Int.MaxValue }
+    if (nFiles >= target) df else df.repartition(target)
+  }
+
   /** Pair-counting clustering agreement (Rand 1971; the pairwise P/R/F1
    * of record-linkage evaluation): compare a DETECTOR clustering against
    * a TRUTH clustering over a shared universe, on the pair relation each
@@ -1770,7 +1814,13 @@ object Dedup {
 
   /** SimHash fingerprint (32-bit): per-token md5-derived hash, per-bit vote. */
   def simhash(docs: DataFrame): DataFrame = {
-    val tok = docs.select(col("doc_id"),
+    // Re-split by doc_id before the per-token derivation (the
+    // positionedShingles posture): the explode+hash multiplies work per
+    // input byte, so a corpus that fits one parquet split would vote the
+    // whole fingerprint on a single core; the shuffle moves only raw
+    // docs, and the doc_id partitioning makes the per-doc bit-vote agg
+    // exchange-free.
+    val tok = docs.repartition(col("doc_id")).select(col("doc_id"),
       explode(split(col("text"), " ")).as("w"))
       .withColumn("h", seededHash(col("w"), 0))
     val bitVotes = (0 until 32).map { i =>

@@ -281,43 +281,47 @@ object Graph {
     val seedBase = ((dampDen - dampNum) * n * unit) / (dampDen * seedCount)
 
     var ranks = vertices.withColumn("rank", lit(unit))
-    // Iteration 1's dangling mass follows from the uniform init; every
-    // later iteration's rides the PREVIOUS materialize as an observed
-    // metric (the dupClusters zero-extra-jobs pattern) — so the loop runs
-    // exactly ONE Spark job per iteration (the rank checkpoint), with no
-    // separate dangling-sum pass.
-    var danglingMass = danglingCount * unit
+    // The dangling mass each iteration redistributes is carried IN THE
+    // DATAFLOW as a 1-row aggregate over the previous iterate (broadcast
+    // into the rank update), not as a driver-side Observation readout:
+    // the readout form forced one EAGER job per iteration just to learn
+    // an 8-byte scalar the plan itself can compute, and on this host the
+    // scheduler's per-job constant (bench `sched` canary, 0.2-0.45 s/job)
+    // dominated the sub-second iteration bodies. Same integer arithmetic
+    // — `(dampNum·danglingMass) div (dampDen·seedCount)` with every
+    // factor non-negative, so SQL `div` ≡ the former driver `/` — and
+    // the lazy checkpoint still truncates each iterate's plan; only the
+    // per-iteration job boundary is gone (GraphSpec pins the outputs).
+    // The mass tripwire moved in-plan with the same strictness upgrade
+    // as labelPropagation's id gate: fixed-point truncation only ever
+    // LEAKS mass, so total rank above the initial n·unit means broken
+    // arithmetic (overflow, a negative rank) and now refuses loudly
+    // instead of logging.
     for (i <- 1 to iters) {
-      val seedShare = (dampNum * danglingMass) / (dampDen * seedCount)
+      val dm = ranks.agg(
+        coalesce(sum(when(col("is_dangling"), col("rank"))
+          .otherwise(lit(0L))), lit(0L)).as("__dm"),
+        coalesce(sum("rank"), lit(0L)).as("__mass"))
       val contribs = weighted
         .join(ranks, weighted("src") === ranks("vertex"))
         .groupBy("dst")
         .agg(sum(expr(s"(rank * ${dampNum}L) div (${dampDen}L * outdeg)"))
           .as("contrib"))
-      // Observed alongside the next dangling sum: the mass tripwire —
-      // fixed-point truncation only ever LEAKS mass, so total rank must
-      // never exceed the initial n·unit; an excess means broken
-      // arithmetic (overflow, a negative rank, a double-accumulated
-      // metric), worth being loud about at runtime, not just in specs.
-      val obs = org.apache.spark.sql.Observation(s"graft_pr_mass_$i")
-      ranks = Dedup.materialize(
+      ranks = Dedup.materializeLazy(
         vertices.join(contribs, vertices("vertex") === contribs("dst"), "left")
+          .crossJoin(broadcast(dm))
           .select(
             col("vertex"), col("is_dangling"), col("is_seed"),
-            (when(col("is_seed"), lit(seedBase + seedShare))
+            (when(col("is_seed"),
+              when(assert_true(col("__mass") <= lit(n * unit),
+                lit(s"pagerank iteration $i: total mass exceeds the " +
+                  s"initial ${n * unit} — fixed-point arithmetic should " +
+                  "only ever leak mass; suspect overflow")).isNull,
+                lit(seedBase) +
+                  expr(s"(${dampNum}L * __dm) div " +
+                    s"(${dampDen}L * ${seedCount}L)")))
               .otherwise(lit(0L)) + coalesce(col("contrib"), lit(0L)))
-              .as("rank"))
-          .observe(obs,
-            coalesce(sum("rank"), lit(0L)).as("mass"),
-            coalesce(sum(when(col("is_dangling"), col("rank"))
-              .otherwise(lit(0L))), lit(0L)).as("dangling_mass")))
-      val m = obs.get
-      danglingMass = m("dangling_mass").asInstanceOf[Long]
-      val mass = m("mass").asInstanceOf[Long]
-      if (mass > n * unit)
-        log.warn(s"pagerank iteration $i observed total mass $mass > " +
-          s"initial ${n * unit} — fixed-point arithmetic should only ever " +
-          "leak mass; suspect overflow or a double-accumulated metric")
+              .as("rank")))
     }
     ranks.select("vertex", "rank")
   }
@@ -357,14 +361,17 @@ object Graph {
       val aRaw = e.join(hubs, e("src") === hubs("vertex"))
         .groupBy("dst").agg(sum("h").as("a_raw"))
       val am = aRaw.agg(max("a_raw").as("am"))
-      auths = Dedup.materialize(
+      // fixed-iteration loop, no driver readout per round: the lazy
+      // checkpoint truncates the plan identically but folds each round's
+      // eager job into the final action (see materializeLazy)
+      auths = Dedup.materializeLazy(
         aRaw.crossJoin(broadcast(am))
           .select(col("dst").as("vertex"),
             expr(s"a_raw div greatest(am div ${unit}L, 1L)").as("a")))
       val hRaw = e.join(auths, e("dst") === auths("vertex"))
         .groupBy("src").agg(sum("a").as("h_raw"))
       val hm = hRaw.agg(max("h_raw").as("hm"))
-      hubs = Dedup.materialize(
+      hubs = Dedup.materializeLazy(
         verts.join(hRaw.withColumnRenamed("src", "vertex"),
           Seq("vertex"), "left")
           .crossJoin(broadcast(hm))
@@ -604,7 +611,9 @@ object Graph {
               " overflows the packed argmax key")).isNull,
             col("vertex")).as("label")))
     for (_ <- 1 to iters) {
-      labels = Dedup.materialize(
+      // fixed-iteration, no per-round driver readout → lazy checkpoint
+      // (plan truncation unchanged, per-round eager job folded away)
+      labels = Dedup.materializeLazy(
         sym.join(labels.withColumnRenamed("vertex", "nbr"), Seq("nbr"))
           .groupBy("vertex", "label").agg(count(lit(1)).as("cnt"))
           .groupBy("vertex")

@@ -180,9 +180,14 @@ object Selection {
       sampled.select(col("vec_id"), col("embedding")))
     require(v.filter(col("vec_id") >= M || col("vec_id") < 0).isEmpty,
       s"kcenterSelect requires 0 <= vec_id < $M for key packing")
+    // Streamed side spread to the parallelism floor + explicit broadcast
+    // of the (sample-bounded) build side: the sample²-sized sim grid is
+    // the whole cost of the selector, and without the floor it scores on
+    // a single task (the checkpointed sample is one block).
     val sims = graft.ext.Dedup.materialize(
-      v.toDF("id_a", "emb_a")
-        .join(v.toDF("id_b", "emb_b"), col("id_a") =!= col("id_b"))
+      graft.ext.Dedup.spread(v.toDF("id_a", "emb_a"))
+        .join(broadcast(v.toDF("id_b", "emb_b")),
+          col("id_a") =!= col("id_b"))
         .select(col("id_a"), col("id_b"),
           floor(round(Similarity.cosine(col("emb_a"), col("emb_b")), 4)
             * lit(1e4) + lit(0.5)).cast("long").as("sim4")))

@@ -50,9 +50,14 @@ object Similarity {
   def knnBrute(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
     val q = queries.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
       sqrt(dot(col("embedding"), col("embedding"))).as("q_norm"))
-    val c = corpus.select(col("vec_id").as("n_id"), col("embedding").as("n_emb"),
+    // Query side broadcast EXPLICITLY (the documented bounded-query-set
+    // posture) so the streamed side is the corpus — spread to the
+    // parallelism floor, since the O(q·n) scoring otherwise runs inside
+    // however few splits the corpus scan yields (ONE at bench scale).
+    val c = Dedup.spread(corpus).select(col("vec_id").as("n_id"),
+      col("embedding").as("n_emb"),
       sqrt(dot(col("embedding"), col("embedding"))).as("n_norm"))
-    val scored = q.crossJoin(c)
+    val scored = broadcast(q).crossJoin(c)
       .filter(col("q_id") =!= col("n_id"))
       .select(col("q_id"), col("n_id"),
         round(dot(col("q_emb"), col("n_emb")) / (col("q_norm") * col("n_norm")), 4).as("sim"))
@@ -237,14 +242,17 @@ object Similarity {
     val a = vecs.select(col("vec_id").as("a_id"),
       col("embedding").as("a_emb"),
       sqrt(dot(col("embedding"), col("embedding"))).as("a_norm"))
-    val b = vecs.select(col("vec_id").as("b_id"),
+    // Streamed side spread to the parallelism floor (the knnBrute
+    // posture): the O(n²) scoring otherwise runs inside however few
+    // splits the scan yields (one at bench scale).
+    val b = Dedup.spread(vecs).select(col("vec_id").as("b_id"),
       col("embedding").as("b_emb"),
       sqrt(dot(col("embedding"), col("embedding"))).as("b_norm"))
     // zero-norm guard: a zero vector's cosine is 0/0 = NaN, and Spark's
     // NaN >= eps filter DROPS the pair while DuckDB orders NaN greater
     // than any value and would KEEP it — the explicit predicate makes
     // the "no zero vectors pair up" contract identical in both engines.
-    a.crossJoin(b).filter(col("a_id") =!= col("b_id") &&
+    broadcast(a).crossJoin(b).filter(col("a_id") =!= col("b_id") &&
         col("a_norm") > 0 && col("b_norm") > 0)
       .select(col("a_id"), col("b_id"),
         round(dot(col("a_emb"), col("b_emb")) /
@@ -327,10 +335,10 @@ object Similarity {
     val q = queries.select(col("vec_id").as("q_id"),
       col("embedding").as("q_emb"), col(labelCol).as("__ql"),
       sqrt(dot(col("embedding"), col("embedding"))).as("q_norm"))
-    val c = corpus.select(col("vec_id").as("n_id"),
+    val c = Dedup.spread(corpus).select(col("vec_id").as("n_id"),
       col("embedding").as("n_emb"), col(labelCol).as("__nl"),
       sqrt(dot(col("embedding"), col("embedding"))).as("n_norm"))
-    val scored = q.crossJoin(c)
+    val scored = broadcast(q).crossJoin(c)
       .filter(col("q_id") =!= col("n_id"))
       .filter(!(col("__ql") <=> col("__nl")))
       .select(col("q_id"), col("n_id"),
@@ -439,8 +447,9 @@ object Similarity {
   def cellCentroids(vecs: DataFrame, bits: Int = 4, dim: Int = 64,
       seed: String = "rp"): DataFrame = {
     val planes = rpPlanes(dim, bits, seed)
-    centroidsOf(vecs.select(rpCell(col("embedding"), planes).as("cell"),
-      col("embedding")))
+    centroidsOf(Dedup.spread(vecs)
+      .select(rpCell(col("embedding"), planes).as("cell"),
+        col("embedding")))
   }
 
   /** The M-step over an ARBITRARY (cell, embedding) assignment — the
@@ -564,7 +573,7 @@ object Similarity {
   def ivfStats(vecs: DataFrame, bits: Int = 4, dim: Int = 64,
       seed: String = "rp", rounds: Int = 1): DataFrame = {
     val cb = trainCodebook(vecs, bits, dim, seed, rounds)
-    vecs
+    Dedup.spread(vecs)
       .select(nearestCellStruct(col("embedding"), cb).as("a"))
       .select(col("a.cell").as("cell"), col("a.d").as("dq"))
       .groupBy("cell")
@@ -596,7 +605,9 @@ object Similarity {
     require(dropFrac >= 0.0 && dropFrac < 1.0,
       s"dropFrac must be in [0, 1), got $dropFrac")
     val cb = trainCodebook(vecs, bits, dim, seed, rounds)
-    val assigned = vecs
+    // assignment fold spread to the parallelism floor: K·dim work per row
+    // otherwise runs inside the scan's (possibly single) split
+    val assigned = Dedup.spread(vecs)
       .select(col("vec_id"), nearestCellStruct(col("embedding"), cb).as("a"))
       .select(col("vec_id"), col("a.cell").as("cell"), col("a.d").as("dq"))
     if (dropFrac == 0.0) return assigned
@@ -753,9 +764,10 @@ object Similarity {
       col(cellCol).as("cell"),
       sqrt(dot(col("embedding"), col("embedding"))).as("q_norm"))
     val c = capCell(
-      corpus.select(col("vec_id").as("n_id"), col("embedding").as("n_emb"),
-        col(cellCol).as("cell"),
-        sqrt(dot(col("embedding"), col("embedding"))).as("n_norm")),
+      Dedup.spread(corpus)
+        .select(col("vec_id").as("n_id"), col("embedding").as("n_emb"),
+          col(cellCol).as("cell"),
+          sqrt(dot(col("embedding"), col("embedding"))).as("n_norm")),
       "n_id", maxCell)
     val scored = q.join(c, Seq("cell"))
       .filter(col("q_id") =!= col("n_id"))
@@ -779,9 +791,9 @@ object Similarity {
   def knnInt8Quantized(queries: DataFrame, corpus: DataFrame,
       k: Int): DataFrame = {
     val q = int8Prep(queries, "q_id", "qq", "qn", Nil)
-    val c = int8Prep(corpus, "n_id", "cq", "cn", Nil)
+    val c = int8Prep(Dedup.spread(corpus), "n_id", "cq", "cn", Nil)
     topKBySim(
-      q.crossJoin(c).filter(col("q_id") =!= col("n_id"))
+      broadcast(q).crossJoin(c).filter(col("q_id") =!= col("n_id"))
         .select(col("q_id"), col("n_id"), int8Sim.as("sim8")),
       k, "sim8")
   }
@@ -833,7 +845,7 @@ object Similarity {
   private[ext] def ivfSq8Search(queries: DataFrame, corpus: DataFrame,
       k: Int): DataFrame = {
     val q = int8Prep(queries, "q_id", "qq", "qn", Seq("cell"))
-    val c = int8Prep(corpus, "n_id", "cq", "cn", Seq("cell"))
+    val c = int8Prep(Dedup.spread(corpus), "n_id", "cq", "cn", Seq("cell"))
     topKBySim(
       q.join(c, Seq("cell"))
         .filter(col("q_id") =!= col("n_id"))
@@ -994,7 +1006,8 @@ object Similarity {
       m: Int = 4, subDim: Int = 16, bits: Int = 2,
       seed: String = "pq"): DataFrame = {
     val cbs = pqCodebooks(corpus, m, subDim, bits, seed)
-    adcSearchEncoded(queries, pqEncode(corpus, cbs, subDim), cbs, subDim, k)
+    adcSearchEncoded(queries, pqEncode(Dedup.spread(corpus), cbs, subDim),
+      cbs, subDim, k)
   }
 
   /** The ADC search body over an ALREADY-ENCODED corpus (`(vec_id,
@@ -1008,7 +1021,7 @@ object Similarity {
         adcTableCols(i => quantizeMicro(subvec(col("embedding"), i,
           subDim)), cbs): _*)
     topKByDist(
-      q.crossJoin(enc)
+      broadcast(q).crossJoin(Dedup.spread(enc))
         .filter(col("q_id") =!= col("vec_id"))
         .select(col("q_id"), col("vec_id").as("n_id"),
           adcTableLookup(cbs).as("dist_q")),
@@ -1027,7 +1040,8 @@ object Similarity {
       pqSeed: String = "pq"): DataFrame = {
     val planes = rpPlanes(dim, bits, seed)
     val cbs = pqCodebooks(corpus, m, subDim, pqBits, pqSeed)
-    ivfPqSearchEncoded(queries, encodeIvfPq(corpus, planes, cbs, subDim),
+    ivfPqSearchEncoded(queries,
+      encodeIvfPq(Dedup.spread(corpus), planes, cbs, subDim),
       planes, cbs, subDim, k)
   }
 
@@ -1053,7 +1067,7 @@ object Similarity {
     val planes = rpPlanes(dim, bits, seed)
     val cbs = pqCodebooks(corpus, m, subDim, pqBits, pqSeed)
     ivfPqSearchEncoded(queries,
-      encodeIvfPq(corpus, planes, cbs, subDim)
+      encodeIvfPq(Dedup.spread(corpus), planes, cbs, subDim)
         .join(allowed.select("vec_id").distinct(), Seq("vec_id"), "left_semi"),
       planes, cbs, subDim, k)
   }
@@ -1098,7 +1112,7 @@ object Similarity {
           col("q_id") +: col("cell") +:
             adcTableCols(i => quantizeMicro(subvec(col("q_emb"), i,
               subDim)), cbs): _*)
-        .join(enc, "cell")
+        .join(Dedup.spread(enc), "cell")
         .filter(col("q_id") =!= col("vec_id"))
         .select(col("q_id"), col("vec_id").as("n_id"),
           adcTableLookup(cbs).as("dist_q")),
@@ -1119,7 +1133,8 @@ object Similarity {
       multiProbeCells(queries, planes, "cell")
         .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
           col("cell")),
-      encodeIvfPq(corpus, planes, cbs, subDim), cbs, subDim, k)
+      encodeIvfPq(Dedup.spread(corpus), planes, cbs, subDim),
+      cbs, subDim, k)
   }
 
   /** IVF-PQ search with exact re-ranking — the IVFADC+R composition
@@ -1420,7 +1435,7 @@ object Similarity {
           col("q_id") +: col("cell") +:
             adcTableCols(i => slice(col("qr"), i * subDim + 1, subDim),
               cbs): _*)
-        .join(enc, "cell")
+        .join(Dedup.spread(enc), "cell")
         .filter(col("q_id") =!= col("vec_id"))
         .select(col("q_id"), col("vec_id").as("n_id"),
           adcTableLookup(cbs).as("dist_q")),
