@@ -447,7 +447,13 @@ object Similarity {
   def cellCentroids(vecs: DataFrame, bits: Int = 4, dim: Int = 64,
       seed: String = "rp"): DataFrame = {
     val planes = rpPlanes(dim, bits, seed)
-    centroidsOf(Dedup.spread(vecs)
+    // deliberately NOT spread: the M-step is explode + partial-aggregable
+    // hash-agg (KB-scale output), and an extra exchange inside each of the
+    // m per-subspace training jobs cost more at bench scale than the
+    // narrow pass it parallelized (measured: +0.8 s/query on the PQ
+    // family); the expensive per-vector folds live in the encode/search
+    // paths, which carry the parallelism floor at their corpus boundary.
+    centroidsOf(vecs
       .select(rpCell(col("embedding"), planes).as("cell"),
         col("embedding")))
   }
@@ -1021,7 +1027,7 @@ object Similarity {
         adcTableCols(i => quantizeMicro(subvec(col("embedding"), i,
           subDim)), cbs): _*)
     topKByDist(
-      broadcast(q).crossJoin(Dedup.spread(enc))
+      broadcast(q).crossJoin(enc)
         .filter(col("q_id") =!= col("vec_id"))
         .select(col("q_id"), col("vec_id").as("n_id"),
           adcTableLookup(cbs).as("dist_q")),
@@ -1112,7 +1118,7 @@ object Similarity {
           col("q_id") +: col("cell") +:
             adcTableCols(i => quantizeMicro(subvec(col("q_emb"), i,
               subDim)), cbs): _*)
-        .join(Dedup.spread(enc), "cell")
+        .join(enc, "cell")
         .filter(col("q_id") =!= col("vec_id"))
         .select(col("q_id"), col("vec_id").as("n_id"),
           adcTableLookup(cbs).as("dist_q")),
@@ -1435,7 +1441,7 @@ object Similarity {
           col("q_id") +: col("cell") +:
             adcTableCols(i => slice(col("qr"), i * subDim + 1, subDim),
               cbs): _*)
-        .join(Dedup.spread(enc), "cell")
+        .join(enc, "cell")
         .filter(col("q_id") =!= col("vec_id"))
         .select(col("q_id"), col("vec_id").as("n_id"),
           adcTableLookup(cbs).as("dist_q")),
